@@ -1,0 +1,242 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column-name binding for an EAVT event table.
+  * Reference model: `Event(entity, eventType, ts, value, properties)`
+  * (reference: diamond/models/Event.scala:26-43). Defaults match the driver
+  * `events` table (event_id, ts, user_id, event_type, value, props).
+  */
+case class EventCols(
+    entity: String = "user_id",
+    eventType: String = "event_type",
+    ts: String = "ts",
+    value: String = "value",
+    id: String = "event_id")
+
+/** Event / time-series analytics over a `DataFrame` of EAVT events.
+  *
+  * Re-expresses the reference's hand-rolled RDD operators
+  * (reference: diamond/transform/eventFunctions.scala) as Spark window
+  * functions and aggregations. Every operator here is fully distributed —
+  * the reference's driver-side `collectAsMap`/`reduce` hotspots
+  * (eventFunctions.scala:160-180) are deliberately NOT reproduced: at 100 TB
+  * the per-entity state must stay on executors, and `Window.partitionBy
+  * (entity)` shuffles each entity's events to one partition exactly once,
+  * after which every per-entity pass (session ids, run collapsing, top-n,
+  * anchors) is computed in that single shuffle's output without further
+  * exchanges.
+  */
+object EventFunctions {
+
+  private def chron(c: EventCols) = Seq(col(c.ts), col(c.id))
+
+  /** A3: count of events of `attribute` in [start, end] per entity
+    * (reference: eventFunctions.scala:28-35). */
+  def count(events: DataFrame, attribute: String, start: String, end: String,
+      c: EventCols = EventCols()): DataFrame =
+    events
+      .filter(col(c.eventType) === attribute &&
+        graft.functions.tsBetween(col(c.ts), start, end))
+      .groupBy(col(c.entity))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
+  /** A4: distinct-value count in interval (reference: eventFunctions.scala:37-46). */
+  def countUnique(events: DataFrame, attribute: String, start: String,
+      end: String, c: EventCols = EventCols()): DataFrame =
+    events
+      .filter(col(c.eventType) === attribute &&
+        graft.functions.tsBetween(col(c.ts), start, end))
+      .groupBy(col(c.entity))
+      .agg(countDistinct(col(c.value)).as("n_unique"))
+
+  /** A5: sum of event values in interval (reference: eventFunctions.scala:48-56). */
+  def sumValues(events: DataFrame, attribute: String, start: String,
+      end: String, c: EventCols = EventCols()): DataFrame =
+    events
+      .filter(col(c.eventType) === attribute &&
+        graft.functions.tsBetween(col(c.ts), start, end))
+      .groupBy(col(c.entity))
+      .agg(round(sum(col(c.value)), 2).as("sum_value"))
+
+  /** A11: days since each entity's latest event of `attribute` at or before
+    * `asof` (reference: eventFunctions.scala:58-68). */
+  def daysSinceLatest(events: DataFrame, attribute: String, asof: String,
+      c: EventCols = EventCols()): DataFrame =
+    events
+      .filter(col(c.eventType) === attribute &&
+        col(c.ts) <= lit(asof).cast("timestamp"))
+      .groupBy(col(c.entity))
+      .agg(datediff(lit(asof).cast("date"), max(col(c.ts)).cast("date"))
+        .as("days_since"))
+
+  /** W7 `current()`: latest record per (entity, eventType, ts) — event-level
+    * dedup keeping the highest id as the "version"
+    * (reference: eventFunctions.scala:304-308). */
+  def current(events: DataFrame, c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity), col(c.eventType), col(c.ts))
+      .orderBy(col(c.id).desc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W1 `sessionize(timeoutSec)`: per entity, order events by time and assign
+    * session numbers, incrementing when the gap to the previous event exceeds
+    * the timeout (reference: eventFunctions.scala:77-96, groupByKey+scanLeft).
+    *
+    * Spark-first: `lag` over an entity window → gap flag → running sum.
+    * One shuffle on entity; everything else is a single sorted pass.
+    */
+  def sessionize(events: DataFrame, timeoutSec: Long,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity)).orderBy(chron(c): _*)
+    events
+      .withColumn("__prev_ts", lag(col(c.ts), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col(c.ts)) - unix_timestamp(col("__prev_ts")) > timeoutSec, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Per-session rollup on top of [[sessionize]]: bounds, event count, value sum. */
+  def sessionStats(events: DataFrame, timeoutSec: Long,
+      c: EventCols = EventCols()): DataFrame =
+    sessionize(events, timeoutSec, c)
+      .groupBy(col(c.entity), col("session_id"))
+      .agg(
+        min(col(c.ts)).as("session_start"),
+        max(col(c.ts)).as("session_end"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_events"),
+        round(sum(col(c.value)), 2).as("session_value"))
+
+  /** W2 `previousInteractions(n, asof)`: last n events per entity at or before
+    * `asof` (reference: eventFunctions.scala:105-111, MLlib topByKey). */
+  def previousInteractions(events: DataFrame, n: Int, asof: String,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.ts).desc, col(c.id).desc)
+    events.filter(col(c.ts) <= lit(asof).cast("timestamp"))
+      .withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= n)
+  }
+
+  /** W8 `extractChords(eventType)`: each entity's latest event of the given
+    * type — the per-entity "anchor" (reference: eventFunctions.scala:319-328).
+    * Implemented as `max_by(struct, (ts,id))` — a single partial+final agg,
+    * no window sort. */
+  def extractChords(events: DataFrame, eventType: String,
+      c: EventCols = EventCols()): DataFrame =
+    events.filter(col(c.eventType) === eventType)
+      .groupBy(col(c.entity))
+      .agg(max(struct(col(c.ts), col(c.id))).as("__m"))
+      .select(col(c.entity), col(s"__m.${c.ts}").as("anchor_ts"))
+
+  /** W3 chord paths: for each entity anchored at its latest `eventType` event,
+    * the last `n` events at or before that anchor
+    * (reference: eventFunctions.scala:128-185 — per-partition heaps merged on
+    * the driver; here a broadcast-able anchor join + window top-n, fully
+    * distributed). */
+  def previousInteractionsBefore(events: DataFrame, eventType: String, n: Int,
+      c: EventCols = EventCols()): DataFrame = {
+    val anchors = extractChords(events, eventType, c)
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.ts).desc, col(c.id).desc)
+    events.join(anchors, c.entity)
+      .filter(col(c.ts) <= col("anchor_ts"))
+      .withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= n)
+  }
+
+  /** Collapse contiguous runs of the same eventType per entity into one row
+    * carrying the run's last timestamp and its length — the building block of
+    * W4 (reference: eventFunctions.scala:197-295's in-memory fold).
+    * lag → change flag → running sum = run id → groupBy run. */
+  def collapseRuns(events: DataFrame, c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity)).orderBy(chron(c): _*)
+    events
+      .withColumn("__chg",
+        when(lag(col(c.eventType), 1).over(w).isNull ||
+          lag(col(c.eventType), 1).over(w) =!= col(c.eventType), 1).otherwise(0))
+      .withColumn("__run",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(c.entity), col("__run"))
+      .agg(
+        first(col(c.eventType)).as(c.eventType),
+        max(col(c.ts)).as("run_end_ts"),
+        min(col(c.ts)).as("run_start_ts"),
+        org.apache.spark.sql.functions.count(lit(1)).as("run_length"))
+      .withColumnRenamed("__run", "run_id")
+  }
+
+  /** W4 `previousUniqueInteractions`: like W3 but over run-collapsed events —
+    * the last `n` distinct-run events before each entity's anchor. */
+  def previousUniqueInteractionsBefore(events: DataFrame, eventType: String,
+      n: Int, c: EventCols = EventCols()): DataFrame = {
+    val anchors = extractChords(events, eventType, c)
+    val runs = collapseRuns(events, c)
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col("run_end_ts").desc, col("run_id").desc)
+    runs.join(anchors, c.entity)
+      .filter(col("run_end_ts") <= col("anchor_ts"))
+      .withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= n)
+  }
+
+  /** W9 `paths`: chronological comma-joined eventType sequence per entity
+    * (reference: eventFunctions.scala:338-343). Deterministic: sorted by
+    * (ts, id) inside the aggregate, no window needed. */
+  def paths(events: DataFrame, c: EventCols = EventCols()): DataFrame =
+    events
+      .groupBy(col(c.entity))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(c.ts), col(c.id), col(c.eventType)))),
+          x => x.getField(c.eventType)),
+        ",").as("path"))
+
+  /** W9 `uniquePaths`: like [[paths]] but over run-collapsed events
+    * (reference: eventFunctions.scala:345-349). */
+  def uniquePaths(events: DataFrame, c: EventCols = EventCols()): DataFrame =
+    collapseRuns(events, c)
+      .groupBy(col(c.entity))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("run_start_ts"), col("run_id"),
+            col(c.eventType)))),
+          x => x.getField(c.eventType)),
+        ",").as("path"))
+
+  /** W5 `snapshot(dt, features)`: per entity, the latest value of each
+    * registered feature (eventType) as-of `dt`, pivoted to one column per
+    * feature (reference: diamond/transform/PivotFunctions.scala:27-56 —
+    * a groupByKey + in-memory pivot; here latest-per-(entity,type) via
+    * `max_by` then `groupBy.pivot` with an explicit feature list, so the
+    * pivot needs no extra pass to discover values). */
+  def snapshot(events: DataFrame, dt: String, features: Seq[String],
+      c: EventCols = EventCols()): DataFrame =
+    events
+      .filter(col(c.ts) <= lit(dt).cast("timestamp") &&
+        col(c.eventType).isin(features: _*))
+      .groupBy(col(c.entity))
+      .pivot(c.eventType, features)
+      .agg(max_by(col(c.value), struct(col(c.ts), col(c.id))))
+
+  /** W6 `chord(attribute, features)`: like W5 but as-of each entity's own
+    * latest `attribute` event time (the syncTime)
+    * (reference: PivotFunctions.scala:63-97). */
+  def chord(events: DataFrame, attribute: String, features: Seq[String],
+      c: EventCols = EventCols()): DataFrame = {
+    val anchors = extractChords(events, attribute, c)
+    events.join(anchors, c.entity)
+      .filter(col(c.ts) <= col("anchor_ts") && col(c.eventType).isin(features: _*))
+      .groupBy(col(c.entity), col("anchor_ts"))
+      .pivot(c.eventType, features)
+      .agg(max_by(col(c.value), struct(col(c.ts), col(c.id))))
+      .withColumnRenamed("anchor_ts", "sync_time")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Core column library: entity-id / change-detection hashes, date helpers,
+  * SQL string templating.
+  *
+  * Everything here is a thin composition of built-in (codegen'd) Catalyst
+  * expressions — no UDFs. The reference used Scala UDFs for all three hashes
+  * (reference: common/utility/hashFunctions.scala:30-62, registered in
+  * diamond/load/ParquetDataLoader.scala:71-72); modern Spark ships `md5`,
+  * `sha2` and `xxhash64` natively so the whole hot path stays inside
+  * whole-stage codegen.
+  */
+package object functions {
+
+  /** MD5-hex entity key over an id-type discriminator plus the natural-key
+    * columns: `md5(idType || id1 || id2 …)`.
+    * Reference semantics: common/utility/hashFunctions.scala:30-35 (`hashKey`),
+    * applied as `hashKeyUDF(concat(lit(idType), concat(pk…)))`
+    * (ParquetDataLoader.scala:304).
+    */
+  def entityIdHash(idType: String, idCols: Seq[Column]): Column =
+    md5(concat_ws("", (lit(idType) +: idCols.map(_.cast("string"))): _*))
+
+  /** SHA-256 variant (reference: hashFunctions.scala:45-50). */
+  def entityIdSha256(idType: String, idCols: Seq[Column]): Column =
+    sha2(concat_ws("", (lit(idType) +: idCols.map(_.cast("string"))): _*), 256)
+
+  /** xxHash64 change-detection hash over the non-key attribute columns.
+    * Reference: `fastHash` (hashFunctions.scala:60-62) stamped as
+    * `hashed_value` (ParquetDataLoader.scala:312). Spark's `xxhash64` hashes
+    * the raw typed values; we hash the string forms concatenated with a unit
+    * separator so the result is stable across engines and type widenings.
+    */
+  def changeHash(cols: Seq[Column]): Column =
+    xxhash64(concat_ws("", cols.map(_.cast("string")): _*))
+
+  /** MD5 change hash — used where the oracle (DuckDB) must reproduce the
+    * value; DuckDB has `md5` but not Spark-compatible `xxhash64`. */
+  def changeHashMd5(cols: Seq[Column]): Column =
+    md5(concat_ws("", cols.map(_.cast("string")): _*))
+
+  /** Inclusive [start, end] timestamp-range predicate. */
+  def tsBetween(ts: Column, start: String, end: String): Column =
+    ts >= lit(start).cast("timestamp") && ts <= lit(end).cast("timestamp")
+
+  /** `"…$var ${var}"` parameter substitution for templated SQL.
+    * Quote-aware, regex-driven, same surface as the reference's
+    * `String.template` (reference: common/utility/stringFunctions.scala:71-134,
+    * behaviour spec StringUtilsSpec.scala:8-18): `$name` and `${name}` are
+    * replaced from `params`; unknown names are left untouched; `$$` escapes a
+    * literal dollar.
+    */
+  def template(sql: String, params: Map[String, String]): String = {
+    val token = """\$\$|\$\{([A-Za-z_][A-Za-z0-9_]*)\}|\$([A-Za-z_][A-Za-z0-9_]*)""".r
+    token.replaceAllIn(sql, m =>
+      if (m.matched == "$$") java.util.regex.Matcher.quoteReplacement("$")
+      else {
+        val name = Option(m.group(1)).getOrElse(m.group(2))
+        params.get(name) match {
+          case Some(v) => java.util.regex.Matcher.quoteReplacement(v)
+          case None    => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+  }
+
+  /** snake_case → camelCase (reference: stringFunctions.scala:15-24). */
+  def camelize(s: String): String = {
+    val parts = s.split("_")
+    (parts.head +: parts.tail.map(p =>
+      if (p.isEmpty) p else p.head.toUpper +: p.tail)).mkString
+  }
+
+  /** camelCase → snake_case (reference: stringFunctions.scala:26-33). */
+  def underscore(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+
+  /** Numeric-literal detection, used to decide SQL quoting
+    * (reference: stringFunctions.scala:55-64, use ParquetDataLoader.scala:175). */
+  def isNumber(s: String): Boolean =
+    s != null && s.nonEmpty && s.matches("""[+-]?\d+(\.\d+)?([eE][+-]?\d+)?""")
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.events.EventFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event / time-series operator coverage (SURVEY.md §2.4 A3–A5/A11 and §2.5
+  * W1–W9) over the driver `events` table, each with a DuckDB window-function
+  * oracle. See RelationalQueries for the cross-engine conventions.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val features = Seq("click", "error", "purchase", "signup", "view")
+  private val Asof  = "2024-01-20 00:00:00"
+  private val Start = "2024-01-05 00:00:00"
+  private val Mid   = "2024-01-15 00:00:00"
+
+  val queries: Map[String, Q] = Map(
+    // A3/A4/A5: interval count / distinct / sum per entity.
+    "q_a3_event_interval_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("ts").between(lit(Start).cast("timestamp"), lit(Asof).cast("timestamp")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("value")).as("n_unique"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // A11: days since each entity's latest 'purchase' as-of a date.
+    "q_a11_days_since_latest" -> { (s, dir) =>
+      EventFunctions.daysSinceLatest(t(s, dir, "events"), "purchase", Asof)
+        .withColumn("days_since", col("days_since").cast("long"))
+        .orderBy(col("user_id"))
+    },
+
+    // W1: sessionization (1h gap) rolled up to per-session stats.
+    "q_w1_sessionize" -> { (s, dir) =>
+      EventFunctions.sessionStats(t(s, dir, "events"), 3600)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // W2: last-3 interactions per entity as-of a date.
+    "q_w2_prev_interactions" -> { (s, dir) =>
+      EventFunctions.previousInteractions(t(s, dir, "events"), 3, Asof)
+        .select(col("user_id"), col("recency").cast("long").as("recency"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("recency"))
+    },
+
+    // W3+W9: last-5 events before each entity's latest 'purchase' anchor,
+    // stringified chronologically.
+    "q_w3_chord_paths" -> { (s, dir) =>
+      EventFunctions.previousInteractionsBefore(t(s, dir, "events"), "purchase", 5)
+        .groupBy(col("user_id"), col("anchor_ts"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("path"))
+        .orderBy(col("user_id"))
+    },
+
+    // W4: unique (run-collapsed) paths per entity over a bounded window.
+    "q_w4_unique_paths" -> { (s, dir) =>
+      EventFunctions.uniquePaths(
+        t(s, dir, "events").filter(col("ts") <= lit(Mid).cast("timestamp")))
+        .orderBy(col("user_id"))
+    },
+
+    // W5: snapshot pivot — latest value per registered feature as-of a date.
+    "q_w5_snapshot_pivot" -> { (s, dir) =>
+      EventFunctions.snapshot(t(s, dir, "events"), Mid, features)
+        .orderBy(col("user_id"))
+    },
+
+    // W6: chord pivot — as-of each entity's own latest 'purchase' time.
+    "q_w6_chord_pivot" -> { (s, dir) =>
+      EventFunctions.chord(t(s, dir, "events"), "purchase", features)
+        .orderBy(col("user_id"))
+    },
+
+    // W7: event-level dedup, latest id per (entity, type, ts).
+    "q_w7_current_dedup" -> { (s, dir) =>
+      EventFunctions.current(t(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
+    // W8: chord anchors — latest 'signup' per entity.
+    "q_w8_chords" -> { (s, dir) =>
+      EventFunctions.extractChords(t(s, dir, "events"), "signup")
+        .orderBy(col("user_id"))
+    },
+
+    // W9: full chronological event-type path per entity (bounded range).
+    "q_w9_paths" -> { (s, dir) =>
+      EventFunctions.paths(
+        t(s, dir, "events").filter(col("ts") <= lit(Start).cast("timestamp")))
+        .orderBy(col("user_id"))
+    })
+
+  private val pivotCases = features.map(f =>
+    s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "q_a3_event_interval_agg" ->
+      s"""SELECT user_id, count(1) AS n, count(DISTINCT value) AS n_unique,
+         |  round(sum(value), 2) AS sum_value
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |  AND ts BETWEEN TIMESTAMP '$Start' AND TIMESTAMP '$Asof'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_a11_days_since_latest" ->
+      s"""SELECT user_id,
+         |  date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-20') AS days_since
+         |FROM events
+         |WHERE event_type = 'purchase' AND ts <= TIMESTAMP '$Asof'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_w1_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(1) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_w2_prev_interactions" ->
+      s"""SELECT user_id, rk AS recency, event_id, event_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rk
+         |  FROM events WHERE ts <= TIMESTAMP '$Asof')
+         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "q_w3_chord_paths" ->
+      """WITH anchors AS (
+        |  SELECT user_id, max(ts) AS anchor_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |prev AS (
+        |  SELECT e.user_id, e.ts, e.event_id, e.event_type, a.anchor_ts,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM events e JOIN anchors a USING (user_id)
+        |  WHERE e.ts <= a.anchor_ts)
+        |SELECT user_id, anchor_ts,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        |FROM prev WHERE rn <= 5 GROUP BY user_id, anchor_ts
+        |ORDER BY user_id""".stripMargin,
+    "q_w4_unique_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(event_type) OVER w IS NULL
+         |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         |  FROM events WHERE ts <= TIMESTAMP '$Mid'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+         |FROM e WHERE chg = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_w5_snapshot_pivot" ->
+      s"""WITH latest AS (
+         |  SELECT user_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts <= TIMESTAMP '$Mid')
+         |SELECT user_id,
+         |$pivotCases
+         |FROM latest WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_w6_chord_pivot" ->
+      s"""WITH anchors AS (
+         |  SELECT user_id, max(ts) AS sync_time FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |latest AS (
+         |  SELECT e.user_id, a.sync_time, e.event_type, e.value,
+         |    row_number() OVER (PARTITION BY e.user_id, e.event_type
+         |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+         |  FROM events e JOIN anchors a USING (user_id)
+         |  WHERE e.ts <= a.sync_time)
+         |SELECT user_id, sync_time,
+         |$pivotCases
+         |FROM latest WHERE rn = 1 GROUP BY user_id, sync_time
+         |ORDER BY user_id""".stripMargin,
+    "q_w7_current_dedup" ->
+      """SELECT user_id, event_type, ts, event_id FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_w8_chords" ->
+      """SELECT user_id, max(ts) AS anchor_ts FROM events
+        |WHERE event_type = 'signup' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_w9_paths" ->
+      s"""SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+         |FROM events WHERE ts <= TIMESTAMP '$Start'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

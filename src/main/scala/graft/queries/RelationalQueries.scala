@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.4, §2.6–§2.8) expressed
+  * as oracle-checked queries over the driver's TPC-H-ish tables.
+  *
+  * Conventions shared by every query in this project:
+  *  - every computed column is aliased identically in the Spark plan and the
+  *    DuckDB oracle (the driver sorts columns by name and hashes values);
+  *  - every result carries a total ORDER BY on a unique key so row order is
+  *    deterministic in both engines;
+  *  - double aggregates are `round(_, 2)` on both sides (sum order is
+  *    engine-dependent; rounding absorbs the last-ulp difference);
+  *  - cross-engine hash demos only hash string/integer columns (double →
+  *    string formatting differs between engines).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
+    "q_a1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // P1/P3/P7: projection + predicate, pushed to the parquet scan.
+    "q_p1_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // J1: left-anti "new records" — customers with no orders.
+    "q_j1_anti_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J2 + F1-style hash: changed-record detection between a current snapshot
+    // and a derived incoming batch, via md5 change hash over string/int cols.
+    "q_j2_changed_detection" -> { (s, dir) =>
+      val cur = t(s, dir, "customer")
+      val inc = cur.select(
+        col("c_custkey"),
+        col("c_name"),
+        when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      def h(df: DataFrame) =
+        graft.functions.changeHashMd5(Seq(df("c_name"), df("c_mktsegment")))
+      inc.as("i").join(cur.as("e"), Seq("c_custkey"))
+        .filter(graft.functions.changeHashMd5(
+          Seq(col("i.c_name"), col("i.c_mktsegment"))) =!=
+          graft.functions.changeHashMd5(
+            Seq(col("e.c_name"), col("e.c_mktsegment"))))
+        .select(col("c_custkey"), col("i.c_mktsegment").as("new_segment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J3: delete detection — current rows absent from the incoming batch.
+    "q_j3_delete_detection" -> { (s, dir) =>
+      val cur = t(s, dir, "customer")
+      val incoming = cur.filter(col("c_custkey") % 5 =!= 3)
+        .select(col("c_custkey"))
+      cur.join(incoming, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J4/A2/W7: latest version per entity via window arg-max.
+    "q_j4_latest_per_key" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // J5/J6: multi-hop star join with explicitly broadcast small dims.
+    "q_j6_broadcast_star_join" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // F1: md5 entity-id hash (SQL-visible, cross-engine identical).
+    "q_f1_entity_hash" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.functions.entityIdHash("customer", Seq(col("c_custkey")))
+            .as("entity_id"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // A6: full-row distinct.
+    "q_a6_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // J11: deterministic first-wins dedup per key.
+    "q_j11_dedup_first_wins" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderkey")).as("first_orderkey"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // O4/W2: bounded top-k per key via window row_number.
+    "q_o4_topk_per_key" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+          col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rk"))
+    },
+
+    // O1/O2: global sort + limit.
+    "q_o1_sort_limit" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(20)
+    },
+
+    // U1: union of branch results (the SCD2 I/U/D merge shape).
+    "q_u1_union_branches" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 300000)
+        .select(lit("high").as("tier"), col("o_orderkey"))
+      val lo = o.filter(col("o_totalprice") <= 50000)
+        .select(lit("low").as("tier"), col("o_orderkey"))
+      hi.unionByName(lo).orderBy(col("tier"), col("o_orderkey"))
+    },
+
+    // F6/R5/S3: templated parameterized SQL over a temp view.
+    "q_f6_templated_sql" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      val sql = graft.functions.template(
+        """SELECT o_orderpriority, count(1) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM $table WHERE o_orderstatus = '$status'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("table" -> "orders_v", "status" -> "F"))
+      s.sql(sql)
+    },
+
+    // A8/F9: surrogate-key assignment — dense, deterministic row_number
+    // (the scalable replacement for the reference's zipWithUniqueId).
+    "q_f9_surrogate_ids" -> { (s, dir) =>
+      val w = Window.orderBy(col("p_brand"))
+      t(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .withColumn("sk", row_number().over(w).cast("long"))
+        .orderBy(col("sk"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_p1_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |  AND TIMESTAMP '1996-12-31 00:00:00' AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_j2_changed_detection" ->
+      """WITH inc AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT i.c_custkey, i.c_mktsegment AS new_segment
+        |FROM inc i JOIN customer e USING (c_custkey)
+        |WHERE md5(concat(i.c_name, i.c_mktsegment)) <> md5(concat(e.c_name, e.c_mktsegment))
+        |ORDER BY i.c_custkey""".stripMargin,
+    "q_j3_delete_detection" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 5 = 3
+        |ORDER BY c_custkey""".stripMargin,
+    "q_j4_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q_j6_broadcast_star_join" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(1) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_f1_entity_hash" ->
+      """SELECT c_custkey,
+        |  md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_a6_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_j11_dedup_first_wins" ->
+      """SELECT o_custkey, min(o_orderkey) AS first_orderkey
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_o4_topk_per_key" ->
+      """SELECT l_suppkey, rk, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rk
+        |  FROM lineitem) WHERE rk <= 3
+        |ORDER BY l_suppkey, rk""".stripMargin,
+    "q_o1_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_u1_union_branches" ->
+      """SELECT * FROM (
+        |  SELECT 'high' AS tier, o_orderkey FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT 'low' AS tier, o_orderkey FROM orders WHERE o_totalprice <= 50000)
+        |ORDER BY tier, o_orderkey""".stripMargin,
+    "q_f6_templated_sql" ->
+      """SELECT o_orderpriority, count(1) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_f9_surrogate_ids" ->
+      """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
+        |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin)
+}
