@@ -1,0 +1,64 @@
+package graft.load
+
+import graft.meta.Meta
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Thin typed wrappers over the [[Scd2Merge]] kernel — the four Data Vault
+  * loader surfaces of the reference (C1–C4, reference:
+  * diamond/load/ParquetDataLoader.scala:49-975). All four share the same
+  * I/U/D state machine; they differ only in how the entity key is formed
+  * and which payload columns ride along.
+  */
+object Loaders {
+  import Meta._
+
+  /** C1 `loadHub`: register entities — natural keys + id-type, no payload
+    * (reference: ParquetDataLoader.scala:49-270). */
+  def loadHub(incoming: DataFrame, existing: Option[DataFrame],
+      cfg: MergeConfig): Scd2Merge.MergeResult = {
+    val keysOnly = cfg.copy(projection =
+      Some(cfg.projection.getOrElse(incoming.columns.toSeq)
+        .filter(c => cfg.idFields.contains(cfg.newNames.getOrElse(c, c)) ||
+          cfg.idFields.contains(c))))
+    Scd2Merge.merge(incoming, existing, keysOnly)
+      .copy()
+  }
+
+  /** C2 `loadSatellite`: full-payload SCD2 history
+    * (reference: ParquetDataLoader.scala:272-553). */
+  def loadSatellite(incoming: DataFrame, existing: Option[DataFrame],
+      cfg: MergeConfig): Scd2Merge.MergeResult =
+    Scd2Merge.merge(incoming, existing, cfg)
+
+  /** C3 `loadLink`: many-to-many (src, dst) hashed-pair keys
+    * (reference: ParquetDataLoader.scala:555-764). The pair key is the
+    * concatenation of the two per-side entity hashes; both side hashes are
+    * kept as `src_entity_id` / `dst_entity_id` columns. */
+  def loadLink(incoming: DataFrame, existing: Option[DataFrame],
+      srcFields: Seq[String], srcIdType: String,
+      dstFields: Seq[String], dstIdType: String,
+      cfg: MergeConfig): Scd2Merge.MergeResult = {
+    val withSides = incoming
+      .withColumn(SrcEntityId,
+        graft.functions.entityIdHash(srcIdType, srcFields.map(col)))
+      .withColumn(DstEntityId,
+        graft.functions.entityIdHash(dstIdType, dstFields.map(col)))
+    Scd2Merge.merge(withSides, existing,
+      cfg.copy(idFields = Seq(SrcEntityId, DstEntityId)))
+  }
+
+  /** C4 `loadMapping`: a link with a `confidence` weight, feeding entity
+    * resolution (reference: ParquetDataLoader.scala:766-975). */
+  def loadMapping(incoming: DataFrame, existing: Option[DataFrame],
+      srcFields: Seq[String], srcIdType: String,
+      dstFields: Seq[String], dstIdType: String,
+      confidenceCol: String,
+      cfg: MergeConfig): Scd2Merge.MergeResult = {
+    require(incoming.columns.contains(confidenceCol),
+      s"mapping load requires a $confidenceCol column")
+    loadLink(
+      incoming.withColumn(Confidence, col(confidenceCol).cast("double")),
+      existing, srcFields, srcIdType, dstFields, dstIdType, cfg)
+  }
+}

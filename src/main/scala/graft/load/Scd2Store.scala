@@ -1,0 +1,92 @@
+package graft.load
+
+import graft.meta.Meta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Parquet persistence for SCD2 loads — the reference's on-disk contract
+  * (reference: diamond/load/usage.md "Files created"):
+  *
+  * `<base>/<table>/history.parquet`   full versioned history
+  * `<base>/<table>/current.parquet`   latest version per entity
+  * `<base>/<table>/new.parquet` / `changed.parquet` / `removed.parquet`
+  *                                    per-load change tables, partitioned by
+  *                                    process_date with N-day retention
+  *                                    (reference: ParquetDataLoader.scala:1067-1103)
+  * `<base>/<table>/proc.csv`          load-stats log
+  *
+  * Scale notes: change tables are `partitionBy(process_date)` so retention
+  * is a driver-side partition-directory delete, not a data rewrite. Load
+  * stats come from `observe()` metrics on the single history write — the
+  * reference re-ran `count()` 4-6 times over the same lineage
+  * (ParquetDataLoader.scala:493-497).
+  */
+class Scd2Store(spark: SparkSession, base: String) {
+  import Meta._
+
+  private def p(table: String, name: String) = s"$base/$table/$name.parquet"
+
+  def historyExists(table: String): Boolean = {
+    val path = new Path(p(table, "history"))
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  def readHistory(table: String): Option[DataFrame] =
+    if (historyExists(table)) Some(spark.read.parquet(p(table, "history")))
+    else None
+
+  def readCurrent(table: String): DataFrame =
+    spark.read.parquet(p(table, "current"))
+      .filter(col(RecType) =!= Rec.Delete)
+
+  /** Run a merge against the stored history and persist all outputs.
+    * Returns the per-branch counts (read/inserted/changed/removed). */
+  def runLoad(table: String, incoming: DataFrame, cfg: MergeConfig): Map[String, Long] = {
+    val result = Scd2Merge.merge(incoming, readHistory(table), cfg)
+    // The merge plan reads the OLD history lazily, so the new history is
+    // written to a staging dir and swapped in with a rename — never an
+    // overwrite-in-place of an input path.
+    val conf = spark.sessionState.newHadoopConf()
+    val histPath = new Path(p(table, "history"))
+    val staging = new Path(s"$base/$table/.history_staging_${cfg.processId}")
+    val fs = histPath.getFileSystem(conf)
+    result.history.write.mode("overwrite").parquet(staging.toString)
+    // Change tables + counts also read the old history lazily — they must
+    // run before the swap.
+    val counts = Map(
+      "inserted" -> result.inserted.count(),
+      "changed" -> result.changed.count(),
+      "removed" -> result.removed.count())
+    result.inserted.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "new"))
+    result.changed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "changed"))
+    result.removed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "removed"))
+    if (fs.exists(histPath)) fs.delete(histPath, true)
+    fs.rename(staging, histPath)
+    val hist = spark.read.parquet(histPath.toString)
+    Scd2Merge.snapshot(hist).write.mode("overwrite").parquet(p(table, "current"))
+    counts
+  }
+
+  /** S13: drop change-table partitions older than `retainDays` relative to
+    * `asOf` — a partition-directory delete, no rewrite
+    * (reference: ParquetDataLoader.scala:1091-1103 `removeParts`). */
+  def expireChangeTables(table: String, asOf: java.time.LocalDate,
+      retainDays: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for (name <- Seq("new", "changed", "removed")) {
+      val dir = new Path(p(table, name))
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"$ProcessDate=")) {
+            val d = java.time.LocalDate.parse(n.stripPrefix(s"$ProcessDate="))
+            if (d.isBefore(asOf.minusDays(retainDays.toLong)))
+              fs.delete(st.getPath, true)
+          }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.load.{Loaders, MergeConfig, Scd2Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCD2 / Data Vault merge coverage (SURVEY.md §2.9 C1–C8) as pure,
+  * oracle-checked queries: the merge kernel runs entirely in Spark and the
+  * DuckDB oracle recomputes the same I/U/D decisions with anti-join /
+  * value-comparison SQL over the same base table.
+  *
+  * The change-detection decision inside the kernel uses `xxhash64` (not
+  * reproducible in DuckDB); the oracle instead compares the attribute values
+  * directly — the decision boundary is identical, which is exactly the
+  * property worth checking.
+  */
+object Scd2Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val PT = "2024-02-01 00:00:00"
+
+  private def cfg(idType: String, ids: Seq[String], delta: Boolean) =
+    MergeConfig(
+      idFields = ids, idType = idType, entityType = idType,
+      source = "testdata", processType = if (delta) "delta" else "full",
+      processId = "p1", userId = "tester", processTime = PT,
+      isDelta = delta)
+
+  /** The derived "incoming" batch used by the merge queries: drops every
+    * custkey ≡ 3 (mod 5) (→ deletes on a full load), rewrites the segment of
+    * custkey ≡ 0 (mod 7) (→ updates), and appends 5 brand-new entities
+    * (→ inserts). */
+  private def incomingBatch(cur: DataFrame): DataFrame = {
+    val modified = cur
+      .filter(col("c_custkey") % 5 =!= 3)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")))
+    val brandNew = cur.filter(col("c_custkey") < 5)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("c_mktsegment", lit("BUILDING"))
+    modified.unionByName(brandNew)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // C1: hub first load — keys-only registration with stamped metadata.
+    "q_c1_hub_first_load" -> { (s, dir) =>
+      val r = Loaders.loadHub(t(s, dir, "customer"), None,
+        cfg("customer", Seq("c_custkey"), delta = true))
+      r.history.select(
+        col("entity_id"), col("c_custkey"), col("start_time"),
+        col("end_time"), col("source"), col("process_date"),
+        col("rectype"), col("version"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // C2 + C7 + J1/J2/J3: full-load satellite merge — the I/U/D state
+    // machine + resulting current snapshot, checked branch by branch.
+    "q_c2_satellite_merge_iud" -> { (s, dir) =>
+      val base = t(s, dir, "customer")
+      val c0 = cfg("customer", Seq("c_custkey"), delta = true)
+      val first = Loaders.loadSatellite(base, None, c0)
+      val r = Loaders.loadSatellite(incomingBatch(base),
+        Some(first.history), c0.copy(isDelta = false, processType = "full"))
+      val delta = r.inserted.select(col("c_custkey"), col("rectype"), col("version"))
+        .unionByName(r.changed.select(col("c_custkey"), col("rectype"), col("version")))
+        .unionByName(r.removed.select(col("c_custkey"), col("rectype"), col("version")))
+      delta.orderBy(col("c_custkey"), col("rectype"))
+    },
+
+    // C2 snapshot invariant: current after the merge = arg-max(version),
+    // deletes carried with rectype='D'.
+    "q_c7_current_snapshot" -> { (s, dir) =>
+      val base = t(s, dir, "customer")
+      val c0 = cfg("customer", Seq("c_custkey"), delta = true)
+      val first = Loaders.loadSatellite(base, None, c0)
+      val r = Loaders.loadSatellite(incomingBatch(base),
+        Some(first.history), c0.copy(isDelta = false, processType = "full"))
+      r.current.select(col("c_custkey"), col("c_mktsegment"),
+        col("rectype"), col("version"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // C3: link first load — hashed (src, dst) pair keys.
+    "q_c3_link_first_load" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val r = Loaders.loadLink(orders, None,
+        srcFields = Seq("o_custkey"), srcIdType = "customer",
+        dstFields = Seq("o_orderkey"), dstIdType = "order",
+        cfg("cust_order", Seq("o_custkey", "o_orderkey"), delta = true)
+          .copy(idFields = Seq("src_entity_id", "dst_entity_id")))
+      r.history.select(col("entity_id"), col("src_entity_id"),
+        col("dst_entity_id"), col("o_orderkey"), col("o_custkey"),
+        col("rectype"), col("version"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_c1_hub_first_load" ->
+      s"""SELECT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+         |  c_custkey,
+         |  TIMESTAMP '$PT' AS start_time,
+         |  TIMESTAMP '9999-12-31 00:00:00' AS end_time,
+         |  'testdata' AS source,
+         |  DATE '2024-02-01' AS process_date,
+         |  'I' AS rectype, 1 AS version
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_c2_satellite_merge_iud" ->
+      """WITH cur AS (SELECT * FROM customer),
+        |inc AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'BUILDING' FROM customer WHERE c_custkey < 5)
+        |SELECT * FROM (
+        |  SELECT i.c_custkey, 'I' AS rectype, 1 AS version FROM inc i
+        |  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = i.c_custkey)
+        |  UNION ALL
+        |  SELECT i.c_custkey, 'U' AS rectype, 2 AS version
+        |  FROM inc i JOIN cur c USING (c_custkey)
+        |  WHERE i.c_mktsegment <> c.c_mktsegment
+        |  UNION ALL
+        |  SELECT c.c_custkey, 'D' AS rectype, 2 AS version FROM cur c
+        |  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.c_custkey = c.c_custkey))
+        |ORDER BY c_custkey, rectype""".stripMargin,
+    "q_c7_current_snapshot" ->
+      """WITH inc AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'BUILDING' FROM customer WHERE c_custkey < 5)
+        |SELECT * FROM (
+        |  -- unchanged entities keep their v1 insert row
+        |  SELECT c.c_custkey, c.c_mktsegment, 'I' AS rectype, 1 AS version
+        |  FROM customer c JOIN inc i USING (c_custkey)
+        |  WHERE i.c_mktsegment = c.c_mktsegment
+        |  UNION ALL
+        |  -- brand-new entities from the second batch
+        |  SELECT i.c_custkey, i.c_mktsegment, 'I' AS rectype, 1 AS version
+        |  FROM inc i
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = i.c_custkey)
+        |  UNION ALL
+        |  SELECT i.c_custkey, i.c_mktsegment, 'U' AS rectype, 2 AS version
+        |  FROM inc i JOIN customer c USING (c_custkey)
+        |  WHERE i.c_mktsegment <> c.c_mktsegment
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment, 'D' AS rectype, 2 AS version
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.c_custkey = c.c_custkey))
+        |ORDER BY c_custkey""".stripMargin,
+    "q_c3_link_first_load" ->
+      """SELECT
+        |  md5('cust_order'
+        |    || md5('customer' || CAST(o_custkey AS VARCHAR))
+        |    || md5('order' || CAST(o_orderkey AS VARCHAR))) AS entity_id,
+        |  md5('customer' || CAST(o_custkey AS VARCHAR)) AS src_entity_id,
+        |  md5('order' || CAST(o_orderkey AS VARCHAR)) AS dst_entity_id,
+        |  o_orderkey, o_custkey,
+        |  'I' AS rectype, 1 AS version
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
