@@ -32,7 +32,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
-    (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles))
+    (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
+    (graft.queries.Scd2Queries.queries, graft.queries.Scd2Queries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  /** ASCII unit separator between hashed fields: without it, distinct tuples
+    * like ("ab","c") and ("a","bc") concatenate identically and merge
+    * distinct entities — at 100 TB that is silent data corruption, not a
+    * corner case. DuckDB mirror: `chr(31)`. */
+  val HashSep = "\u001f"
+
+  /** Sentinel for NULL inside a hash input — keeps ("x",NULL), ("x","") and
+    * (NULL,"x") all distinct (`concat_ws` alone silently *skips* nulls,
+    * collapsing ("x",null) and ("x") to the same bytes). DuckDB mirror:
+    * `coalesce(x, chr(1))`. */
+  val HashNull = "\u0001"
+
+  /** Fields joined with [[HashSep]], NULLs replaced by [[HashNull]] — the
+    * canonical pre-hash encoding shared by every hash below and by the
+    * DuckDB oracles. */
+  def hashInput(cols: Seq[Column]): Column =
+    concat_ws(HashSep, cols.map(c => coalesce(c.cast("string"), lit(HashNull))): _*)
+
   /** MD5-hex entity key over an id-type discriminator plus the natural-key
     * columns: `md5(idType || id1 || id2 …)`.
     * Reference semantics: common/utility/hashFunctions.scala:30-35 (`hashKey`),
@@ -22,11 +40,11 @@ package object functions {
     * (ParquetDataLoader.scala:304).
     */
   def entityIdHash(idType: String, idCols: Seq[Column]): Column =
-    md5(concat_ws("", (lit(idType) +: idCols.map(_.cast("string"))): _*))
+    md5(hashInput(lit(idType) +: idCols))
 
   /** SHA-256 variant (reference: hashFunctions.scala:45-50). */
   def entityIdSha256(idType: String, idCols: Seq[Column]): Column =
-    sha2(concat_ws("", (lit(idType) +: idCols.map(_.cast("string"))): _*), 256)
+    sha2(hashInput(lit(idType) +: idCols), 256)
 
   /** xxHash64 change-detection hash over the non-key attribute columns.
     * Reference: `fastHash` (hashFunctions.scala:60-62) stamped as
@@ -35,12 +53,12 @@ package object functions {
     * separator so the result is stable across engines and type widenings.
     */
   def changeHash(cols: Seq[Column]): Column =
-    xxhash64(concat_ws("", cols.map(_.cast("string")): _*))
+    xxhash64(hashInput(cols))
 
   /** MD5 change hash — used where the oracle (DuckDB) must reproduce the
     * value; DuckDB has `md5` but not Spark-compatible `xxhash64`. */
   def changeHashMd5(cols: Seq[Column]): Column =
-    md5(concat_ws("", cols.map(_.cast("string")): _*))
+    md5(hashInput(cols))
 
   /** Inclusive [start, end] timestamp-range predicate. */
   def tsBetween(ts: Column, start: String, end: String): Column =

@@ -62,13 +62,19 @@ case class MergeConfig(
 object Scd2Merge {
   import Meta._
 
-  /** Branches of one merge, pre-union. `history` is the full new history. */
+  /** Branches of one merge, pre-union. `history` is the full new history.
+    * `cachedPlans` are intermediate plans the merge cached; call
+    * [[MergeResult.unpersist]] once all branches are materialized so cached
+    * snapshots don't accumulate executor memory across successive loads. */
   case class MergeResult(
       history: DataFrame,
       current: DataFrame,
       inserted: DataFrame,
       changed: DataFrame,
-      removed: DataFrame)
+      removed: DataFrame,
+      cachedPlans: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = cachedPlans.foreach(_.unpersist())
+  }
 
   /** Latest version per entity (C7 `snapshot`, reference:
     * ParquetDataLoader.scala:977-990 reduceByKey arg-max). `max_by` compiles
@@ -134,7 +140,14 @@ object Scd2Merge {
       case Some(hist) =>
         val snap = snapshot(hist).cache()
         val cur = snap.filter(col(RecType) =!= Rec.Delete)
+        // Delete markers take precedence: an entity with both a live row and
+        // a delete-marker row in the same batch emits only the D row —
+        // otherwise a changed (U) and a removed (D) row would tie on the new
+        // version number and the snapshot arg-max would be nondeterministic.
+        val deleteFlagged = inc.filter(col("__is_delete"))
+          .select(col(EntityId)).distinct()
         val incLive = inc.filter(!col("__is_delete")).drop("__is_delete")
+          .join(deleteFlagged, Seq(EntityId), "left_anti")
         val curKeyed = cur.select(
           col(EntityId).as("__ex_id"),
           col(Version).as("__ex_version"),
@@ -162,13 +175,16 @@ object Scd2Merge {
           .drop("__ex_id", "__ex_version", "__ex_hash")
 
         // J3 / delete-indicator: logical deletes, stamped off the existing
-        // current row's attributes with fresh process metadata.
+        // current row's attributes with fresh process metadata. Full loads
+        // delete by absence from the live incoming set AND by delete flag;
+        // delta loads only by flag.
         val deleteIds: DataFrame =
           if (!cfg.isDelta)
             cur.select(col(EntityId))
-              .join(inc.select(col(EntityId)), Seq(EntityId), "left_anti")
+              .join(incLive.select(col(EntityId)), Seq(EntityId), "left_anti")
+              .unionByName(deleteFlagged).distinct()
           else
-            inc.filter(col("__is_delete")).select(col(EntityId))
+            deleteFlagged
         val removed = cur
           .join(deleteIds, Seq(EntityId), "left_semi")
           .withColumn(RecType, lit(Rec.Delete))
@@ -200,7 +216,8 @@ object Scd2Merge {
             untouched.unionByName(closed).unionByName(delta.select(outCols: _*))
           } else hist.unionByName(delta.select(outCols: _*))
 
-        MergeResult(newHistory, snapshot(newHistory), inserted, changed, removed)
+        MergeResult(newHistory, snapshot(newHistory), inserted, changed,
+          removed, cachedPlans = Seq(snap))
     }
   }
 }

@@ -61,10 +61,24 @@ class Scd2Store(spark: SparkSession, base: String) {
     result.inserted.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "new"))
     result.changed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "changed"))
     result.removed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "removed"))
-    if (fs.exists(histPath)) fs.delete(histPath, true)
-    fs.rename(staging, histPath)
+    result.unpersist()
+    // Swap via backup, never delete-then-rename: HDFS `rename` reports
+    // failure as `false` rather than throwing, and a crash between a delete
+    // and a rename would permanently lose the history table.
+    val backup = new Path(s"$base/$table/.history_backup_${cfg.processId}")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadOld = fs.exists(histPath)
+    if (hadOld && !fs.rename(histPath, backup))
+      throw new java.io.IOException(
+        s"could not move $histPath aside to $backup; history left untouched")
+    if (!fs.rename(staging, histPath)) {
+      if (hadOld) fs.rename(backup, histPath)
+      throw new java.io.IOException(
+        s"could not publish $staging to $histPath; old history restored")
+    }
     val hist = spark.read.parquet(histPath.toString)
     Scd2Merge.snapshot(hist).write.mode("overwrite").parquet(p(table, "current"))
+    if (hadOld) fs.delete(backup, true)
     counts
   }
 

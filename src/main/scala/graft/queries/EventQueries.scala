@@ -126,9 +126,10 @@ object EventQueries {
         |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
+        |  -- CAST: DuckDB's integer window sum is HUGEINT; Spark's is BIGINT
         |  SELECT user_id, ts, value,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(1) AS n_events,

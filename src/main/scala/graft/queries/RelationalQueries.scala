@@ -214,7 +214,8 @@ object RelationalQueries {
         |  FROM customer)
         |SELECT i.c_custkey, i.c_mktsegment AS new_segment
         |FROM inc i JOIN customer e USING (c_custkey)
-        |WHERE md5(concat(i.c_name, i.c_mktsegment)) <> md5(concat(e.c_name, e.c_mktsegment))
+        |WHERE md5(i.c_name || chr(31) || i.c_mktsegment)
+        |  <> md5(e.c_name || chr(31) || e.c_mktsegment)
         |ORDER BY i.c_custkey""".stripMargin,
     "q_j3_delete_detection" ->
       """SELECT c_custkey, c_name FROM customer
@@ -236,7 +237,7 @@ object RelationalQueries {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_f1_entity_hash" ->
       """SELECT c_custkey,
-        |  md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id
+        |  md5('customer' || chr(31) || CAST(c_custkey AS VARCHAR)) AS entity_id
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_a6_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -48,9 +48,14 @@ object Scd2Queries {
     "q_c1_hub_first_load" -> { (s, dir) =>
       val r = Loaders.loadHub(t(s, dir, "customer"), None,
         cfg("customer", Seq("c_custkey"), delta = true))
+      // Time columns as strings: the 9999-12-31 open-end sentinel overflows
+      // nanosecond timestamp ranges in downstream compare tooling.
       r.history.select(
-        col("entity_id"), col("c_custkey"), col("start_time"),
-        col("end_time"), col("source"), col("process_date"),
+        col("entity_id"), col("c_custkey"),
+        col("start_time").cast("string").as("start_time"),
+        col("end_time").cast("string").as("end_time"),
+        col("source"),
+        col("process_date").cast("string").as("process_date"),
         col("rectype"), col("version"))
         .orderBy(col("c_custkey"))
     },
@@ -99,12 +104,12 @@ object Scd2Queries {
 
   val oracles: Map[String, String] = Map(
     "q_c1_hub_first_load" ->
-      s"""SELECT md5('customer' || CAST(c_custkey AS VARCHAR)) AS entity_id,
+      s"""SELECT md5('customer' || chr(31) || CAST(c_custkey AS VARCHAR)) AS entity_id,
          |  c_custkey,
-         |  TIMESTAMP '$PT' AS start_time,
-         |  TIMESTAMP '9999-12-31 00:00:00' AS end_time,
+         |  '$PT' AS start_time,
+         |  '9999-12-31 00:00:00' AS end_time,
          |  'testdata' AS source,
-         |  DATE '2024-02-01' AS process_date,
+         |  '2024-02-01' AS process_date,
          |  'I' AS rectype, 1 AS version
          |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_c2_satellite_merge_iud" ->
@@ -155,10 +160,10 @@ object Scd2Queries {
     "q_c3_link_first_load" ->
       """SELECT
         |  md5('cust_order'
-        |    || md5('customer' || CAST(o_custkey AS VARCHAR))
-        |    || md5('order' || CAST(o_orderkey AS VARCHAR))) AS entity_id,
-        |  md5('customer' || CAST(o_custkey AS VARCHAR)) AS src_entity_id,
-        |  md5('order' || CAST(o_orderkey AS VARCHAR)) AS dst_entity_id,
+        |    || chr(31) || md5('customer' || chr(31) || CAST(o_custkey AS VARCHAR))
+        |    || chr(31) || md5('order' || chr(31) || CAST(o_orderkey AS VARCHAR))) AS entity_id,
+        |  md5('customer' || chr(31) || CAST(o_custkey AS VARCHAR)) AS src_entity_id,
+        |  md5('order' || chr(31) || CAST(o_orderkey AS VARCHAR)) AS dst_entity_id,
         |  o_orderkey, o_custkey,
         |  'I' AS rectype, 1 AS version
         |FROM orders ORDER BY o_orderkey""".stripMargin)
