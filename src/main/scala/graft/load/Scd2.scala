@@ -96,20 +96,27 @@ object Scd2Merge {
 
   /** Dedup + project + rename + stamp metadata columns onto an incoming
     * batch (reference: ParquetDataLoader.scala:292-322). Output columns:
-    * entity_id, [natural keys unless dropKeys], attrs…, then Meta.StampedCols. */
+    * entity_id, [natural keys unless dropKeys], attrs…, then Meta.StampedCols.
+    *
+    * The delete-indicator column is *consumed* here (into `__is_delete`),
+    * never persisted and never part of the change hash — a flipped flag must
+    * not masquerade as an attribute change, and the history schema must not
+    * depend on whether a given load carried the indicator. */
   def stamp(incoming: DataFrame, cfg: MergeConfig): DataFrame = {
     val projected = cfg.projection
       .map(p => incoming.select(p.map(col): _*)).getOrElse(incoming)
       .withColumnsRenamed(cfg.newNames)
       .distinct()
     val keyCols = cfg.idFields.map(projected(_))
-    val attrNames = projected.columns.filterNot(cfg.idFields.contains)
+    val delField = cfg.deleteIndicatorField.map(_._1)
+    val attrNames = projected.columns
+      .filterNot(cfg.idFields.contains).filterNot(delField.contains)
     val delCol = cfg.deleteIndicatorField.map { case (f, vs) =>
       col(f).isin(vs: _*)
     }.getOrElse(lit(false))
     val dataCols =
       if (cfg.dropKeys) attrNames.map(col).toSeq
-      else projected.columns.map(col).toSeq
+      else projected.columns.filterNot(delField.contains).map(col).toSeq
     projected.select(
       (graft.functions.entityIdHash(cfg.idType, keyCols).as(EntityId) +:
         dataCols :+

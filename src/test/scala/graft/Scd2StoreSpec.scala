@@ -1,0 +1,53 @@
+package graft
+
+import graft.load.{MergeConfig, Scd2Store}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** On-disk lifecycle of the SCD2 store: history/current/change tables,
+  * counts, retention (reference contract: diamond/load/usage.md
+  * "Files created"). */
+class Scd2StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(pid: String, delta: Boolean = true) = MergeConfig(
+    idFields = Seq("cid"), idType = "cust", entityType = "cust",
+    source = "unit", processType = "load", processId = pid, userId = "t",
+    processTime = "2024-03-01 00:00:00", isDelta = delta)
+
+  it should "persist history/current and survive successive loads" in {
+    val dir = Files.createTempDirectory("scd2store").toString
+    val store = new Scd2Store(spark, dir)
+    val b1 = Seq((1, "a"), (2, "b")).toDF("cid", "v")
+    val c1 = store.runLoad("t1", b1, cfg("p1"))
+    c1("inserted") shouldBe 2
+    store.readCurrent("t1").count() shouldBe 2
+
+    val b2 = Seq((1, "a2"), (3, "c")).toDF("cid", "v")
+    val c2 = store.runLoad("t1", b2, cfg("p2").copy(processTime = "2024-03-02 00:00:00"))
+    c2("inserted") shouldBe 1
+    c2("changed") shouldBe 1
+    c2("removed") shouldBe 0
+    val cur = store.readCurrent("t1")
+    cur.count() shouldBe 3
+    cur.filter(col("cid") === 1).select("v").as[String].head() shouldBe "a2"
+    // full history retained
+    spark.read.parquet(s"$dir/t1/history.parquet").count() shouldBe 4
+    // no leftover staging/backup dirs after a successful swap
+    new java.io.File(s"$dir/t1").listFiles().map(_.getName)
+      .filter(n => n.startsWith(".history_")) shouldBe empty
+  }
+
+  it should "expire old change-table partitions by directory" in {
+    val dir = Files.createTempDirectory("scd2exp").toString
+    val store = new Scd2Store(spark, dir)
+    store.runLoad("t2", Seq((1, "a")).toDF("cid", "v"), cfg("p1"))
+    store.runLoad("t2", Seq((1, "b")).toDF("cid", "v"),
+      cfg("p2").copy(processTime = "2024-03-20 00:00:00"))
+    store.expireChangeTables("t2", java.time.LocalDate.parse("2024-03-21"), 7)
+    val parts = new java.io.File(s"$dir/t2/changed.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("process_date="))
+    parts should contain("process_date=2024-03-20")
+    parts should not contain "process_date=2024-03-01"
+  }
+}
