@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.text.{Dedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators (north-star scope, BASELINE.json) over the
+  * `documents` table: exact + MinHash/LSH + SimHash + Jaccard dedup, and
+  * text-analysis statistics. Every signature is md5-derived so the DuckDB
+  * oracle reproduces it bit-for-bit; see graft.text.Dedup for the scale
+  * rationale (single-projection signatures, band-join candidates).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Corpus with planted exact duplicates: every doc_id ≡ 0 (mod 5) is
+    * repeated under doc_id+100000 (the raw table has near-dups but no
+    * byte-identical ones). */
+  private def corpusWithExactDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+
+  val queries: Map[String, Q] = Map(
+    // X1: exact dedup via md5-groupBy with canonical min-id per group.
+    "q_x1_exact_dedup" -> { (s, dir) =>
+      Dedup.exactDuplicates(corpusWithExactDups(t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // X2: MinHash(16) + LSH(4 bands of 4) near-duplicate pairs.
+    "q_x2_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // X3: 32-bit SimHash per document.
+    "q_x3_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X4: exact word-3-gram Jaccard similarity join (inverted index).
+    "q_x4_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // X5: quality scoring + token counts.
+    "q_x5_text_stats" -> { (s, dir) =>
+      val base = t(s, dir, "documents")
+      val (nTok, nBpe) = TextStats.tokenCounts(col("text"))
+      TextStats.qualityScore(base, "text")
+        .withColumn("n_bpe_tokens", nBpe)
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+          col("n_punct"), col("stopword_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X6: stopword-heuristic language identification.
+    "q_x6_lang_id" -> { (s, dir) =>
+      TextStats.languageId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("hits_en"), col("hits_de"),
+          col("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X7: rolling-hash (min 5-gram md5) document fingerprint.
+    "q_x7_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** DuckDB mirror of [[Dedup.words]]/[[Dedup.shingles]]: 1-based list
+    * slices over regexp-split tokens. */
+  private def shingleCte(n: Int, distinct: Boolean = false) =
+    s"""words AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
+       |    array_to_string(w[i:i+${n - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
+       |        FROM words))""".stripMargin
+
+  /** DuckDB mirror of the first-8-md5-hex-digits integer token hash
+    * (Spark side: `conv(substring(md5(t),1,8),16,10)`). */
+  private val hexDigitSum = (1 to 8).map(j =>
+    s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q_x1_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT md5(text) AS th, min(doc_id) AS canonical_id,
+        |    count(*) AS group_size
+        |  FROM corpus GROUP BY 1)
+        |SELECT c.doc_id, g.canonical_id, g.group_size,
+        |  c.doc_id <> g.canonical_id AS is_duplicate
+        |FROM corpus c JOIN g ON md5(c.text) = g.th
+        |ORDER BY c.doc_id""".stripMargin,
+    "q_x2_minhash_lsh" ->
+      s"""WITH ${shingleCte(3)},
+         |mh AS (
+         |  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+         |  FROM sh, range(16) AS r(k) GROUP BY doc_id, k),
+         |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
+         |  FROM sig, range(4) AS rb(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         |nm AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM cand
+         |  JOIN mh x ON x.doc_id = cand.doc_a
+         |  JOIN mh y ON y.doc_id = cand.doc_b AND y.k = x.k
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_match,
+         |  round(n_match / 16.0, 4) AS est_jaccard
+         |FROM nm WHERE n_match >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_x3_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, md5(tok) AS m FROM toks),
+         |hv AS (SELECT doc_id, $hexDigitSum AS h FROM th),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1
+         |      THEN 1 ELSE -1 END) AS s
+         |  FROM hv, range(32) AS r(b) GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_x4_jaccard_pairs" ->
+      s"""WITH ${shingleCte(3, distinct = true)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_x5_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[.,!?;:''"()]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(w,
+        |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS sh
+        |  FROM base)
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_punct,
+        |  round(CAST(sh AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (CAST(sh AS DOUBLE) / n_tokens) * 5.0 * 0.5, 4) AS quality
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "q_x6_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','los','las','y','es'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['的','是','在','了','和'], x))) AS BIGINT) AS hits_zh
+        |  FROM base)
+        |SELECT doc_id, hits_en, hits_de,
+        |  CASE
+        |    WHEN hits_en > hits_de AND hits_es <= hits_en AND hits_fr <= hits_en AND hits_zh <= hits_en THEN 'en'
+        |    WHEN hits_es > hits_de AND hits_es > hits_en AND hits_fr <= hits_es AND hits_zh <= hits_es THEN 'es'
+        |    WHEN hits_fr > hits_de AND hits_fr > hits_en AND hits_fr > hits_es AND hits_zh <= hits_fr THEN 'fr'
+        |    WHEN hits_zh > hits_de AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+        |    ELSE 'de' END AS pred_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_x7_fingerprint" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM words))
+        |SELECT doc_id, min(md5(shingle)) AS fp
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language identification,
+  * quality scoring, token counting and document fingerprinting.
+  *
+  * Everything is a single-projection column expression over the document
+  * row — embarrassingly parallel, no shuffle, whole-stage codegen — so the
+  * operators cost one scan regardless of corpus size. Heuristics are
+  * deliberately deterministic and engine-neutral (token membership, length
+  * arithmetic, md5) so the DuckDB oracle reproduces them exactly.
+  */
+object TextStats {
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: membership counting is the mechanism; a
+    * production deployment swaps in fuller lists. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def hits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(set)))
+
+  /** Stopword-hit count per candidate language, plus the predicted language
+    * (argmax, ties broken by language code order). */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = Dedup.words(col(textCol))
+    val withHits = Stopwords.foldLeft(df) { case (d, (lang, set)) =>
+      d.withColumn(s"hits_$lang", hits(toks, set).cast("long"))
+    }
+    // argmax with deterministic ties: fold keeps the earlier (alphabetical)
+    // language unless a later one is STRICTLY greater.
+    val pred = Stopwords.tail.foldLeft(
+      (lit(Stopwords.head._1), col(s"hits_${Stopwords.head._1}"))) {
+      case ((bestLang, bestHits), (lang, _)) =>
+        (when(col(s"hits_$lang") > bestHits, lit(lang)).otherwise(bestLang),
+          greatest(bestHits, col(s"hits_$lang")))
+    }._1
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Whitespace token count plus a BPE-ish subword count: runs of letters,
+    * runs of digits, and single other non-space characters each count as
+    * one token — the shape a byte-pair tokenizer's pre-tokenizer produces. */
+  def tokenCounts(text: Column): (Column, Column) = (
+    size(Dedup.words(text)).cast("long"),
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+
+  /** Quality heuristics: lengths, punctuation ratio, stopword ratio, and a
+    * composite score in [0,1] (half length-based, half stopword-based). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = Dedup.words(text)
+    val nTok = size(toks).cast("long")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,!?;:'\"()]", ""))).cast("long")
+    val stopHits = hits(toks, Stopwords.toMap.apply("en")).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_punct", punct)
+      .withColumn("punct_ratio", round(punct / length(text).cast("double"), 4))
+      .withColumn("stopword_ratio", round(stopHits / nTok.cast("double"), 4))
+      .withColumn("quality",
+        round(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (stopHits / nTok.cast("double")) * lit(5.0) * 0.5, 4))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum md5 over the document's
+    * word 5-gram shingles (winnowing with a single global window). Documents
+    * sharing long spans collide on the fingerprint; a banded variant is
+    * [[Dedup.minhashNearDuplicates]]. */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(Dedup.shingles(text, n), s => md5(s)))
+}
