@@ -34,7 +34,8 @@ object SparkEntry {
     (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
     (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
     (graft.queries.Scd2Queries.queries, graft.queries.Scd2Queries.oracles),
-    (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles))
+    (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+    (graft.queries.AnnQueries.queries, graft.queries.AnnQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

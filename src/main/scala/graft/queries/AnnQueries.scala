@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ann.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search coverage over the `embeddings` table (north-star
+  * scope): brute-force cosine top-k, IVF bucketed approximate top-k, and
+  * embedding-cosine near-duplicate pairs. Dot products are left-to-right
+  * double folds on both engines (Spark `aggregate`, DuckDB
+  * `list_dot_product`), so cosines are bit-identical before rounding.
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Corpus with planted near-duplicates: every vec_id ≡ 0 (mod 10) is
+    * copied under vec_id+100000 with its first component shifted by +0.05
+    * (organic pairs top out at cosine ≈ 0.51, planted ones ≈ 0.999). */
+  private def corpusWithNearDups(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.05)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // X8: exact cosine top-5 neighbors per vector (baseline).
+    "q_x8_ann_bruteforce" -> { (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
+    // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
+    "q_x9_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 40 === 0)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, 3)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
+    // X10: embedding-cosine near-duplicate pairs (threshold 0.99).
+    "q_x10_embedding_neardup" -> { (s, dir) =>
+      Similarity.cosineNearDuplicates(
+        corpusWithNearDups(t(s, dir, "embeddings")),
+        "vec_id", "embedding", 0.99)
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+
+  private val nnCte =
+    """nn AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_x8_ann_bruteforce" ->
+      s"""WITH $nnCte,
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM nn a, nn b WHERE a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    "q_x9_ann_ivf" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |asg AS (
+         |  SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |          c.centroid_id) AS rn
+         |    FROM nn n, cent c) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id, a.centroid_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, centroid_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_x10_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(v[1] + 0.05, v[2:]) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+        |FROM pairs WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin)
+}

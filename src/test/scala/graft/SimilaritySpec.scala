@@ -1,0 +1,47 @@
+package graft
+
+import graft.ann.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.9f, 0.1f)))   // close to 3
+    .toDF("vec_id", "embedding")
+
+  it should "rank exact cosine neighbors correctly" in {
+    val top1 = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    top1(1L) shouldBe 2L
+    top1(2L) shouldBe 1L
+    top1(3L) shouldBe 4L
+    top1(4L) shouldBe 3L
+  }
+
+  it should "assign vectors to their nearest centroid" in {
+    val centroids = vecs.filter(col("vec_id").isin(1, 3))
+    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    asg shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)
+  }
+
+  it should "restrict IVF search to the bucket" in {
+    val centroids = vecs.filter(col("vec_id").isin(1, 3))
+    val r = Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, 3)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    // buckets are {1,2} and {3,4}: each vector sees exactly 1 neighbor
+    r.length shouldBe 4
+    r.toMap.apply(1L) shouldBe 2L
+    r.toMap.apply(3L) shouldBe 4L
+  }
+
+  it should "find only above-threshold near-duplicate pairs" in {
+    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L), (3L, 4L))
+  }
+}
