@@ -35,7 +35,8 @@ object SparkEntry {
     (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
     (graft.queries.Scd2Queries.queries, graft.queries.Scd2Queries.oracles),
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
-    (graft.queries.AnnQueries.queries, graft.queries.AnnQueries.oracles))
+    (graft.queries.AnnQueries.queries, graft.queries.AnnQueries.oracles),
+    (graft.queries.StarQueries.queries, graft.queries.StarQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,160 @@
+package graft.star
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension descriptor (reference config model: star/conf.scala:13-44).
+  * Key and attribute columns are cast to string and null-filled with
+  * `unknown`, as the reference does before dimension build
+  * (star/Loader.scala:97-104). */
+case class DimSpec(
+    name: String,
+    keyFields: Seq[String],
+    attrFields: Seq[String],
+    unknown: String = "unknown")
+
+/** Star-schema generation (SURVEY.md §2.10, reference star/Loader.scala).
+  *
+  * Deviations from the reference, all deliberate:
+  *  - surrogate ids are dense `row_number` over the key hash instead of
+  *    `zipWithUniqueId` (deterministic, oracle-checkable; the reference left
+  *    a TODO to change this, star/Loader.scala:134-137);
+  *  - insert/update detection joins on `hashed_key`/`hashed_value` — the
+  *    reference joined batch-local surrogate ids against stored ids
+  *    (star/Loader.scala:248-255), which only works by accident of id
+  *    assignment order;
+  *  - fact FK resolution is a broadcast *join* on the key hash, not a
+  *    collected driver-side map (star/Loader.scala:49-57) — the map breaks
+  *    at scale, the broadcast join is the same plan without the driver hop.
+  *
+  * Scale: dims are broadcast-sized by definition (they seed FK lookups);
+  * the single-partition `row_number` window over a dim is bounded by dim
+  * cardinality, while facts only ever flow through broadcast hash joins —
+  * the fact table is never shuffled.
+  */
+object Star {
+  import graft.meta.Meta.OpenEndDate
+
+  private val openEnd = lit(OpenEndDate).cast("timestamp")
+
+  /** T2 `loadDim`: deterministic first-wins distinct dim tuples + metadata.
+    * "First" = lexicographic min of the attribute tuple per key
+    * (the reference's `reduceByKey((a, b) => a)` kept an arbitrary one,
+    * star/Loader.scala:102-107). */
+  def loadDim(src: DataFrame, spec: DimSpec, processTime: String): DataFrame = {
+    val fields = spec.keyFields ++ spec.attrFields
+    val filled = src
+      .select(fields.map(f => col(f).cast("string").as(f)): _*)
+      .na.fill(spec.unknown)
+    val firstWins =
+      if (spec.attrFields.isEmpty) filled.distinct()
+      else filled
+        .groupBy(spec.keyFields.map(col): _*)
+        .agg(min(struct(spec.attrFields.map(col): _*)).as("__a"))
+        .select(spec.keyFields.map(col) ++
+          spec.attrFields.map(f => col(s"__a.$f").as(f)): _*)
+    firstWins
+      .withColumn("hashed_key",
+        graft.functions.entityIdHash(spec.name, spec.keyFields.map(col)))
+      .withColumn("hashed_value",
+        graft.functions.changeHashMd5(spec.attrFields.map(col)))
+      .withColumn("start_time", lit(processTime).cast("timestamp"))
+      .withColumn("end_time", openEnd)
+      .withColumn("rectype", lit("I"))
+      .withColumn("version", lit(1))
+  }
+
+  /** The id = -1 'unknown' member stamped on first load
+    * (reference: star/Loader.scala:220-241). */
+  private def unknownRow(any: DataFrame, spec: DimSpec,
+      processTime: String): DataFrame = {
+    val fields = spec.keyFields ++ spec.attrFields
+    any.sparkSession.range(1).select(
+      (fields.map(f => lit(spec.unknown).as(f)) :+
+        graft.functions.entityIdHash(spec.name,
+          spec.keyFields.map(_ => lit(spec.unknown))).as("hashed_key") :+
+        graft.functions.changeHashMd5(
+          spec.attrFields.map(_ => lit(spec.unknown))).as("hashed_value") :+
+        lit(processTime).cast("timestamp").as("start_time") :+
+        openEnd.as("end_time") :+
+        lit("I").as("rectype") :+
+        lit(1).as("version") :+
+        lit(-1L).as("id")): _*)
+  }
+
+  private def assignIds(dim: DataFrame, seed: Long): DataFrame =
+    dim.withColumn("id",
+      row_number().over(Window.orderBy(col("hashed_key"))).cast("long") +
+        lit(seed - 1))
+
+  /** T3 `writeDim` semantics as a pure merge: first load seeds ids 1..n and
+    * adds the unknown row; subsequent loads insert new keys (ids continue
+    * from max), version changed keys (same id, version+1, old version
+    * closed at the new start_time) and pass untouched rows through. */
+  def mergeDim(existing: Option[DataFrame], incoming: DataFrame,
+      spec: DimSpec, processTime: String): DataFrame = {
+    val pt = lit(processTime).cast("timestamp")
+    existing match {
+      case None =>
+        val first = assignIds(incoming, 1L)
+        unknownRow(incoming, spec, processTime).unionByName(first)
+          .select(first.columns.map(col): _*)
+
+      case Some(ex) =>
+        val open = ex.filter(col("end_time") === openEnd && col("id") =!= -1L)
+        val exKeyed = open.select(col("hashed_key").as("__ex_hk"),
+          col("hashed_value").as("__ex_hv"), col("id").as("__ex_id"),
+          col("version").as("__ex_v"))
+        val seed = ex.agg(max(col("id"))).head().getLong(0) + 1L
+        val inserts = assignIds(
+          incoming.join(exKeyed, col("hashed_key") === col("__ex_hk"), "left_anti"),
+          seed)
+        val changed = incoming
+          .join(exKeyed, col("hashed_key") === col("__ex_hk") &&
+            col("hashed_value") =!= col("__ex_hv"))
+          .withColumn("rectype", lit("U"))
+          .withColumn("version", col("__ex_v") + 1)
+          .withColumn("id", col("__ex_id"))
+          .drop("__ex_hk", "__ex_hv", "__ex_id", "__ex_v")
+        val closeKeys = changed.select(col("hashed_key"))
+        val closed = ex.join(closeKeys, Seq("hashed_key"), "left_semi")
+          .withColumn("end_time",
+            when(col("end_time") === openEnd, pt).otherwise(col("end_time")))
+        val untouched = ex.join(closeKeys, Seq("hashed_key"), "left_anti")
+        val cols = inserts.columns.map(col).toSeq
+        untouched.select(cols: _*)
+          .unionByName(closed.select(cols: _*))
+          .unionByName(changed.select(cols: _*))
+          .unionByName(inserts.select(cols: _*))
+    }
+  }
+
+  /** One dim's fact-side binding: the dim table plus the fact columns that
+    * carry its natural key (defaults to the dim's own key field names). */
+  case class FactDim(spec: DimSpec, dim: DataFrame,
+      factKeyFields: Seq[String] = Nil) {
+    def keys: Seq[String] =
+      if (factKeyFields.nonEmpty) factKeyFields else spec.keyFields
+  }
+
+  /** T4 `loadFacts`: append `fk_<dim>` surrogate columns by broadcast-joining
+    * each dim on the key hash computed from the fact row (unmatched keys fall
+    * back to the unknown member, id = -1). */
+  def loadFacts(fact: DataFrame, dims: Seq[FactDim],
+      outCols: Seq[String]): DataFrame = {
+    val withFks = dims.foldLeft(fact) { case (f, fd) =>
+      val fk = s"fk_${fd.spec.name}"
+      val lookup = broadcast(
+        fd.dim.filter(col("end_time") === openEnd && col("id") =!= -1L)
+          .select(col("hashed_key").as(s"__hk_$fk"), col("id").as(fk)))
+      val factKey = graft.functions.entityIdHash(fd.spec.name,
+        fd.keys.map(k => coalesce(col(k).cast("string"), lit(fd.spec.unknown))))
+      f.withColumn(s"__k_$fk", factKey)
+        .join(lookup, col(s"__k_$fk") === col(s"__hk_$fk"), "left")
+        .withColumn(fk, coalesce(col(fk), lit(-1L)))
+        .drop(s"__k_$fk", s"__hk_$fk")
+    }
+    withFks.select((outCols ++ dims.map(d => s"fk_${d.spec.name}")).map(col): _*)
+  }
+}
