@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.dq.Dq
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operator coverage (SURVEY.md §2.13 D1-D4). */
+object DqQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1: assertion summary — one aggregate pass over lineitem.
+    "q_d1_assertion" -> { (s, dir) =>
+      val r = Dq.assertion(t(s, dir, "lineitem"),
+        "l_discount <= 0.08 AND l_quantity > 0", threshold = 0.25)
+      s.range(1).select(
+        lit(r.total).as("total"), lit(r.invalid).as("invalid"),
+        round(lit(r.ratio), 6).as("ratio"), lit(r.passed).as("passed"))
+    },
+
+    // D2: row diff between a table and a mutated copy.
+    "q_d2_diff" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val mutated = orders
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 17 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Dq.diff(orders, mutated, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // D4: plan chaining — an assertion's invalid rows feed a summary view.
+    "q_d4_plan_view" -> { (s, dir) =>
+      val out = Dq.runPlan(s,
+        Seq(
+          Dq.AssertCmd("lineitem_in", "l_discount <= 0.08", 0.25, "a1"),
+          Dq.ViewCmd(
+            """SELECT l_returnflag, count(1) AS n_invalid,
+              |  round(sum(l_quantity), 2) AS qty
+              |FROM a1_invalid GROUP BY l_returnflag""".stripMargin, "v1")),
+        Map("lineitem_in" -> t(s, dir, "lineitem")))
+      out("v1").orderBy(col("l_returnflag"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_d1_assertion" ->
+      """SELECT count(1) AS total,
+        |  count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
+        |    THEN 1 END) AS invalid,
+        |  round(count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
+        |    THEN 1 END) / CAST(count(1) AS DOUBLE), 6) AS ratio,
+        |  count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
+        |    THEN 1 END) / CAST(count(1) AS DOUBLE) <= 0.25 AS passed
+        |FROM lineitem""".stripMargin,
+    "q_d2_diff" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+        |      ELSE o_totalprice END AS o_totalprice_right,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus_right
+        |  FROM orders)
+        |SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+        |  m.o_totalprice_right, m.o_orderstatus_right,
+        |  o.o_totalprice = m.o_totalprice_right AS o_totalprice_match,
+        |  o.o_orderstatus = m.o_orderstatus_right AS o_orderstatus_match
+        |FROM orders o JOIN m USING (o_orderkey)
+        |WHERE o.o_totalprice <> m.o_totalprice_right
+        |   OR o.o_orderstatus <> m.o_orderstatus_right
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_d4_plan_view" ->
+      """SELECT l_returnflag, count(1) AS n_invalid,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE NOT (l_discount <= 0.08)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
