@@ -37,7 +37,8 @@ object SparkEntry {
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
     (graft.queries.AnnQueries.queries, graft.queries.AnnQueries.oracles),
     (graft.queries.StarQueries.queries, graft.queries.StarQueries.oracles),
-    (graft.queries.DqQueries.queries, graft.queries.DqQueries.oracles))
+    (graft.queries.DqQueries.queries, graft.queries.DqQueries.oracles),
+    (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.ml.{LinearModel, Scoring}
+import graft.pipeline.{Pipeline, RowPipeline, Transformation, TransformationContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Pipeline-framework coverage (SURVEY.md §2.11 R1-R6, §2.1 S1/S4, F10):
+  * dependency-ordered table pipelines, row-level append pipelines, CSV
+  * source/sink roundtrip, and column-expression model scoring. */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // R4+O7: table pipeline, registered out of order, run in tsort order.
+    "q_r4_table_pipeline" -> { (s, dir) =>
+      val ctx = new TransformationContext
+      val ts = Seq(
+        Transformation("agg", deps = Seq("derive")) { (df, _) =>
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), round(sum(col("net")), 2).as("net_total"))
+        },
+        Transformation("filter_f") { (df, _) =>
+          df.filter(col("o_orderstatus") === "F")
+        },
+        Transformation("derive", deps = Seq("filter_f")) { (df, _) =>
+          df.withColumn("net", col("o_totalprice") * 0.9)
+        })
+      Pipeline.run(t(s, dir, "orders"), ts, ctx)
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // R1-R3: row-level append pipeline (imperative per-row logic path).
+    "q_r3_row_pipeline" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val (out, _) = RowPipeline.appendColumns(cust,
+        Seq(StructField("name_len", LongType)),
+        (r: Row) => Seq(r.getAs[String]("c_name").length.toLong))
+      out.select(col("c_custkey"), col("name_len")).orderBy(col("c_custkey"))
+    },
+
+    // S1+S4: CSV sink then source roundtrip preserves the data.
+    "q_s1_csv_roundtrip" -> { (s, dir) =>
+      val ctx = new TransformationContext
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      ctx.update("out_path", path)
+      ctx.update("in_path", path)
+      val orig = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.sources.CsvSink.write(orig, ctx)
+      ctx.update("schema", orig.schema)
+      graft.sources.CsvSource(s, ctx)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // F10: linear model scoring with enum re-coding.
+    "q_f10_scoring" -> { (s, dir) =>
+      val scored = Scoring.score(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_returnflag"),
+        LinearModel(Seq(0.5, 2.0, 3.0), bias = 1.0),
+        recode = Map("l_returnflag" ->
+          Map("R" -> 1.0, "A" -> 0.5, "N" -> 0.0)))
+      scored.select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("score"), 4).as("score"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_r4_table_pipeline" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  round(sum(o_totalprice * 0.9), 2) AS net_total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_r3_row_pipeline" ->
+      """SELECT c_custkey, CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_s1_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(1) AS n, min(c_custkey) AS min_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_f10_scoring" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(0.5 * l_quantity + 2.0 * l_discount +
+        |    3.0 * (CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 0.5
+        |      WHEN 'N' THEN 0.0 END) + 1.0, 4) AS score
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.infer.{BooleanParser, CsvSniffer, DateParser, Ebcdic}
+import graft.pipeline._
+import graft.store._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "Pipeline"
+
+  it should "order transformations topologically and reject cycles" in {
+    Pipeline.tsort(Seq("a" -> "b", "b" -> "c", "a" -> "c")) shouldBe
+      Seq("a", "b", "c")
+    an[IllegalStateException] should be thrownBy
+      Pipeline.tsort(Seq("a" -> "b", "b" -> "a"))
+  }
+
+  it should "run steps in dependency order with audit" in {
+    val ctx = new TransformationContext
+    val ts = Seq(
+      Transformation("double", deps = Seq("inc")) { (df, _) =>
+        df.withColumn("x", col("x") * 2) },
+      Transformation("inc") { (df, _) => df.withColumn("x", col("x") + 1) })
+    val out = Pipeline.run(Seq(1).toDF("x"), ts, ctx)
+    out.select("x").as[Int].head() shouldBe 4 // (1+1)*2, not 1*2+1
+    ctx.steps.map(s => (s.name, s.ok)) shouldBe
+      Vector(("inc", true), ("double", true))
+  }
+
+  it should "record the failing step and rethrow" in {
+    val ctx = new TransformationContext
+    val boom = Transformation("boom") { (_, _) =>
+      throw new RuntimeException("nope") }
+    an[RuntimeException] should be thrownBy
+      Pipeline.run(Seq(1).toDF("x"), Seq(boom), ctx)
+    ctx.steps shouldBe Vector(JobStep("boom", ok = false, detail = "nope"))
+  }
+
+  it should "join two sources on all key pairs (fixed reference bug)" in {
+    val l = Seq((1, "a"), (2, "b")).toDF("k1", "v1")
+    val r = Seq((1, "a", 10), (1, "x", 20)).toDF("k2", "v2", "w")
+    val out = Pipeline.join2(l, r, Seq("k1" -> "k2", "v1" -> "v2"))
+    out.count() shouldBe 1 // cartesian would give 2 for k1=1
+  }
+
+  behavior of "RowPipeline"
+
+  it should "append computed columns and count row errors" in {
+    implicit val s: SparkSession = spark
+    val df = Seq("4", "oops", "6").toDF("v")
+    val (out, errors) = RowPipeline.appendColumns(df,
+      Seq(StructField("n", LongType)),
+      r => Seq(r.getString(0).toLong * 2))
+    out.count() shouldBe 2
+    errors.value shouldBe 1
+  }
+
+  behavior of "CsvSniffer"
+
+  it should "sniff delimiter, quote and header" in {
+    val d = CsvSniffer.sniff("name;age;city\nbob;3;NY\nsue;4;SF\n")
+    d.delimiter shouldBe ';'
+    d.hasHeader shouldBe true
+    CsvSniffer.sniff("1,2\n3,4\n").hasHeader shouldBe false
+    CsvSniffer.sniff("a\tb\nc\td\n").delimiter shouldBe '\t'
+    CsvSniffer.detectLineEnding("a\r\nb") shouldBe "\r\n"
+  }
+
+  behavior of "type parsers"
+
+  it should "parse booleans and dates with move-to-front" in {
+    BooleanParser.parse("Yes") shouldBe Some(true)
+    BooleanParser.parse("off") shouldBe Some(false)
+    BooleanParser.parse("maybe") shouldBe None
+    val p = new DateParser()
+    p.parse("2024-03-01").map(_.toString) shouldBe Some("2024-03-01 00:00:00.0")
+    p.parse("01/03/2024") should not be empty
+    p.parse("not a date") shouldBe None
+  }
+
+  it should "decode EBCDIC ibm500 bytes" in {
+    // 'A' = 0xC1, '1' = 0xF1 in EBCDIC cp500
+    Ebcdic.decodeBytes(Array(0xC1.toByte, 0xF1.toByte)) shouldBe "A1"
+  }
+
+  behavior of "FeatureRegistry"
+
+  it should "round-trip features through the CSV repository" in {
+    val reg = new FeatureRegistry
+    reg.register(Feature("spend", AttributeType.Base, "cust", "double"))
+    reg.register(Feature("clicks", AttributeType.Derived, "web", "long",
+      description = "clicks, last 7d", active = false))
+    val f = java.nio.file.Files.createTempFile("feats", ".csv").toString
+    FeatureRepository.save(f, reg)
+    val back = FeatureRepository.load(f)
+    back.all.map(_.attribute) shouldBe Seq("spend", "clicks")
+    back.active.map(_.attribute) shouldBe Seq("spend")
+    back.attributes("cust") shouldBe Seq("spend")
+  }
+}
