@@ -39,7 +39,8 @@ object SparkEntry {
     (graft.queries.StarQueries.queries, graft.queries.StarQueries.oracles),
     (graft.queries.DqQueries.queries, graft.queries.DqQueries.oracles),
     (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
-    (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracles))
+    (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracles),
+    (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
