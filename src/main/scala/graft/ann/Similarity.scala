@@ -7,46 +7,62 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the correctness baseline: a broadcast
-  * nested-loop join against the candidate set, one pass, no shuffle of the
-  * big side. The scale path is IVF: assign every vector to its nearest
-  * centroid (tiny centroid set, broadcast), then search only within the
-  * centroid bucket — the pair space shrinks from O(n²) to
+  * nested-loop join of a query set against the candidate index — one pass,
+  * no shuffle of the query side. The scale path is IVF: assign every vector
+  * to its nearest centroid (tiny centroid set, broadcast), then search only
+  * within the centroid bucket — the pair space shrinks from O(n²) to
   * O(n · bucket size) and the only shuffle is on the centroid id.
   *
-  * All arithmetic is double-precision left-to-right folds over the vector —
-  * bit-reproducible by the DuckDB oracle's `list_dot_product`, which uses
-  * the same sequential accumulation.
-  */
+  * The dot product is a primitive while-loop UDF: per-pair cost is what a
+  * millions-of-pairs join lives or dies on, and both pure-expression forms
+  * measured an order of magnitude slower at sf0.1 (the `aggregate`/
+  * `zip_with` fold interprets a lambda per element; a 64-term unrolled
+  * `element_at` chain loses whole-stage codegen to expression-tree depth).
+  * The loop accumulates left-to-right, so the value is bit-identical to
+  * both expression forms and to DuckDB's `list_dot_product`. */
 object Similarity {
 
-  /** Left-to-right double fold of the element products. */
-  def dot(a: Column, b: Column): Column =
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** Left-to-right dot product (`dim` is advisory; kept for API clarity). */
+  def dot(a: Column, b: Column, dim: Int): Column = dotUdf(a, b)
+
+  /** Fallback fold for unknown dimension (interpreted, slower). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
-  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+  def cosine(a: Column, b: Column, normA: Column, normB: Column,
+      dim: Int): Column =
+    dot(a, b, dim) / (normA * normB)
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String) =
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int) =
     df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"), dim))
 
-  /** Brute-force exact cosine top-k per query vector (self excluded).
-    * Candidates are broadcast: at 100 TB the query side streams through
-    * executors while the (smaller, or sampled) candidate index rides along —
-    * no shuffle of the query side at all. */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val n = withNorm(df, idCol, vecCol)
-    val a = n.select(col("vec_id"), col("v"), col("nrm"))
-    val b = broadcast(n.select(col("vec_id").as("neighbor_id"),
-      col("v").as("w"), col("nrm").as("nrm_b")))
+  /** Brute-force exact cosine top-k of `candidates` per row of `queries`
+    * (self excluded by id). Candidates are broadcast: the query side
+    * streams through executors while the index rides along — no shuffle of
+    * the query side at all. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, dim)
+    val c = broadcast(withNorm(candidates, idCol, vecCol, dim)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("nrm_b")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+    q.join(c, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("rk"), col("neighbor_id"),
@@ -58,15 +74,16 @@ object Similarity {
     * production index it is k-means output; here any deterministic subset
     * works. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val n = withNorm(df, idCol, vecCol)
-    val c = broadcast(withNorm(centroids, idCol, vecCol)
+      centroids: DataFrame, dim: Int): DataFrame = {
+    val n = withNorm(df, idCol, vecCol, dim)
+    val c = broadcast(withNorm(centroids, idCol, vecCol, dim)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("nrm").as("cnrm")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     n.crossJoin(c)
-      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("ccos",
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm"), dim))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
@@ -76,31 +93,44 @@ object Similarity {
     * The bucket join shuffles both sides by `centroid_id` once; within a
     * bucket the pair count is bounded by bucket size. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, k: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      centroids: DataFrame, k: Int, dim: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, dim).persist()
     val cands = assigned.select(col("centroid_id"),
       col("vec_id").as("neighbor_id"), col("v").as("w"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(cands, "centroid_id")
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+      .withColumn("cos",
+        cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("centroid_id"), col("rk"),
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (brute-force
-    * pair generation with the candidate side broadcast; for the banded
-    * scale path see the LSH design in [[graft.text.Dedup]]). */
+  /** Embedding-cosine near-duplicate pairs above a threshold. With
+    * `blockCols` (metadata columns near-duplicates must share — label,
+    * language, source shard) the pair space is generated by an equi-join
+    * on the block key: a hash join whose fan-out is bounded by block size,
+    * the classic blocking strategy for pairwise comparison at scale.
+    * Without block columns this degrades to an exhaustive nested-loop
+    * pair scan — correct, but O(n²). */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val n = withNorm(df, idCol, vecCol)
-    val b = broadcast(n.select(col("vec_id").as("vec_b"),
-      col("v").as("w"), col("nrm").as("nrm_b")))
-    n.join(b, col("vec_id") < col("vec_b"))
-      .withColumn("cos", cosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+      threshold: Double, dim: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val n = df.select((Seq(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")) ++
+        blockCols.map(col)): _*)
+      .withColumn("nrm", norm(col("v"), dim))
+    val b = broadcast(n.select((Seq(col("vec_id").as("vec_b"),
+      col("v").as("w"), col("nrm").as("nrm_b")) ++
+      blockCols.map(c => col(c).as(s"${c}_b"))): _*))
+    val blockCond = blockCols.map(c => col(c) === col(s"${c}_b"))
+      .foldLeft(col("vec_id") < col("vec_b"))(_ && _)
+    n.join(b, blockCond)
+      .withColumn("cos",
+        cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("cosine"))

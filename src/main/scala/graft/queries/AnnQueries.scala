@@ -16,23 +16,30 @@ object AnnQueries {
 
   /** Corpus with planted near-duplicates: every vec_id ≡ 0 (mod 10) is
     * copied under vec_id+100000 with its first component shifted by +0.05
-    * (organic pairs top out at cosine ≈ 0.51, planted ones ≈ 0.999). */
+    * (organic pairs top out at cosine ≈ 0.51, planted ones ≈ 0.999).
+    * `label` rides along as the blocking key. */
   private def corpusWithNearDups(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
+      col("embedding").cast("array<double>").as("embedding"), col("label"))
     base.unionByName(
       base.filter(col("vec_id") % 10 === 0).select(
         (col("vec_id") + 100000).as("vec_id"),
         concat(
           array(element_at(col("embedding"), 1) + lit(0.05)),
           slice(col("embedding"), lit(2), size(col("embedding")) - 1))
-          .as("embedding")))
+          .as("embedding"),
+        col("label")))
   }
 
+  private val Dim = 64
+
   val queries: Map[String, Q] = Map(
-    // X8: exact cosine top-5 neighbors per vector (baseline).
+    // X8: exact cosine top-5 over the index for a query batch (every 4th
+    // vector — the realistic query-set-vs-index shape).
     "q_x8_ann_bruteforce" -> { (s, dir) =>
-      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 4 === 0), emb,
+        "vec_id", "embedding", 5, Dim)
         .orderBy(col("vec_id"), col("rk"))
     },
 
@@ -40,15 +47,16 @@ object AnnQueries {
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") % 40 === 0)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, 3)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, 3, Dim)
         .orderBy(col("vec_id"), col("rk"))
     },
 
-    // X10: embedding-cosine near-duplicate pairs (threshold 0.99).
+    // X10: embedding-cosine near-duplicate pairs (threshold 0.99),
+    // label-blocked: candidates must share the label metadata column.
     "q_x10_embedding_neardup" -> { (s, dir) =>
       Similarity.cosineNearDuplicates(
         corpusWithNearDups(t(s, dir, "embeddings")),
-        "vec_id", "embedding", 0.99)
+        "vec_id", "embedding", 0.99, Dim, blockCols = Seq("label"))
         .orderBy(col("vec_a"), col("vec_b"))
     })
 
@@ -65,7 +73,8 @@ object AnnQueries {
          |pairs AS (
          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
          |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-         |  FROM nn a, nn b WHERE a.vec_id <> b.vec_id),
+         |  FROM nn a, nn b
+         |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
          |rk AS (
          |  SELECT vec_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY vec_id
@@ -98,18 +107,21 @@ object AnnQueries {
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q_x10_embedding_neardup" ->
       """WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
         |corpus AS (
-        |  SELECT vec_id, v FROM base
+        |  SELECT vec_id, v, label FROM base
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id,
-        |    list_prepend(v[1] + 0.05, v[2:]) AS v
+        |    list_prepend(v[1] + 0.05, v[2:]) AS v, label
         |  FROM base WHERE vec_id % 10 = 0),
-        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |nn AS (SELECT vec_id, v, label,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
         |pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-        |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id)
+        |  FROM nn a JOIN nn b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
         |FROM pairs WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin)
 }

@@ -37,11 +37,19 @@ object Dedup {
 
   /** MinHash signature: `k` independent permutations simulated as
     * `min(md5(k ':' shingle))` over the shingle set (min over a multiset
-    * equals min over the set, so no distinct pass is needed). */
+    * equals min over the set, so no distinct pass is needed).
+    *
+    * Computed as ONE aggregate pass carrying all `k` running minima —
+    * the naive `transform(0..k-1, ki => array_min(...))` re-evaluates the
+    * shingle-construction expression inside every per-k lambda (Catalyst
+    * does not CSE across lambda bodies), which measured 16× slower.
+    * The `\u007f` (DEL) sentinel sorts above every md5 hex digit. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      ki => array_min(transform(shingleArr,
-        s => md5(concat(ki.cast("string"), lit(":"), s)))))
+    aggregate(
+      shingleArr,
+      array_repeat(lit("\u007f"), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, ki) => least(m, md5(concat(ki.cast("string"), lit(":"), s)))))
 
   /** 32-bit SimHash over the token multiset: token hash = first 8 md5 hex
     * digits as an integer; bit b of the result is set when strictly more
@@ -84,10 +92,15 @@ object Dedup {
       minMatch: Int = 8): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
+    // The signature plan feeds three consumers (banding + both sides of the
+    // candidate join-back): persist it so 8M-odd md5 evaluations at sf0.1
+    // run once, not three times.
     val sig = df
       .select(col(idCol).as("doc_id"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
-      .filter(size(col("sig")) > 0 && !col("sig").getItem(0).isNull)
+        shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("__sh"), k).as("sig"))
+      .persist()
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
@@ -116,8 +129,10 @@ object Dedup {
     * O(n²) pair space. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Reused by the size aggregate and both sides of the self-join.
     val sh = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      .persist()
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val shared = sh.as("a").join(sh.as("b"),

@@ -14,7 +14,7 @@ class SimilaritySpec extends SparkSpec {
     .toDF("vec_id", "embedding")
 
   it should "rank exact cosine neighbors correctly" in {
-    val top1 = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 1)
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 1, 3)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
     top1(1L) shouldBe 2L
     top1(2L) shouldBe 1L
@@ -24,14 +24,14 @@ class SimilaritySpec extends SparkSpec {
 
   it should "assign vectors to their nearest centroid" in {
     val centroids = vecs.filter(col("vec_id").isin(1, 3))
-    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids, 3)
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
     asg shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)
   }
 
   it should "restrict IVF search to the bucket" in {
     val centroids = vecs.filter(col("vec_id").isin(1, 3))
-    val r = Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, 3)
+    val r = Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, 3, 3)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
     // buckets are {1,2} and {3,4}: each vector sees exactly 1 neighbor
     r.length shouldBe 4
@@ -40,7 +40,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   it should "find only above-threshold near-duplicate pairs" in {
-    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", 0.9)
+    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", 0.9, 3)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L), (3L, 4L))
   }
