@@ -40,7 +40,8 @@ object SparkEntry {
     (graft.queries.DqQueries.queries, graft.queries.DqQueries.oracles),
     (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
     (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracles),
-    (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracles))
+    (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracles),
+    (graft.queries.FeatureQueries.queries, graft.queries.FeatureQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

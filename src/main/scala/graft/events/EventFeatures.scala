@@ -1,0 +1,84 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived-feature operators from the reference's feature catalogue
+  * (reference: docs/feature_examples.md:1-125 — "Weekly average maximum
+  * spend", "Gradient of weekly output call duration over last 2 months",
+  * "First quantile (0.1) daily event count", inter-purchase intervals).
+  *
+  * Determinism note: the regression/average formulas are computed from
+  * exact integer sums (counts, epoch-second diffs, week indexes) with ONE
+  * final double division — both engines produce bit-identical doubles, so
+  * results oracle-check without tolerance. `regr_slope`-style built-ins
+  * are avoided for exactly this reason: their incremental formulations
+  * differ between engines in the last ulp.
+  */
+object EventFeatures {
+
+  /** Weekly activity buckets per entity: event count and value sum per
+    * ISO week (date_trunc) — the building block of every "weekly X"
+    * feature. One shuffle on (entity, week). */
+  def weeklyActivity(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame =
+    events.filter(col(c.eventType) === attribute)
+      .groupBy(col(c.entity),
+        date_trunc("week", col(c.ts)).cast("date").cast("string").as("week"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(c.value)), 2).as("value_sum"))
+
+  /** Least-squares gradient of weekly event count over time per entity
+    * (x = epoch-week index, y = weekly count): the "gradient of weekly X"
+    * feature family. Closed form over exact integer sums:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). */
+  def weeklyCountGradient(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame = {
+    val weekly = events.filter(col(c.eventType) === attribute)
+      .groupBy(col(c.entity),
+        floor(unix_timestamp(date_trunc("week", col(c.ts))) / 604800L)
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    weekly.groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") > 1)
+      .select(col(c.entity),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("gradient"))
+  }
+
+  /** Type-1 (rank-based) quantile of event values per entity: the value at
+    * rank ceil(q·n) in ascending (value, id) order — exact, no
+    * interpolation, identical in any engine. */
+  def valueQuantile(events: DataFrame, attribute: String, q: Double,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.value), col(c.id))
+    events.filter(col(c.eventType) === attribute)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(c.entity))))
+      .filter(col("__rn") === ceil(lit(q) * col("__n")))
+      .select(col(c.entity), col(c.value).as("quantile_value"))
+  }
+
+  /** Inter-event intervals per entity (seconds between consecutive events
+    * of `attribute`): count, max, and mean — the "inter-purchase interval"
+    * feature. Mean = exact BIGINT sum / count, one double division. */
+  def interEventIntervals(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity)).orderBy(col(c.ts), col(c.id))
+    events.filter(col(c.eventType) === attribute)
+      .withColumn("__gap",
+        unix_timestamp(col(c.ts)) - unix_timestamp(lag(col(c.ts), 1).over(w)))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("__gap")).as("max_gap_s"),
+        round(sum(col("__gap")).cast("double") / count(lit(1)), 4)
+          .as("mean_gap_s"))
+  }
+}

@@ -48,6 +48,44 @@ object Loaders {
       cfg.copy(idFields = Seq(SrcEntityId, DstEntityId)))
   }
 
+  /** One table of a C5 `loadAll` run. `kind` decides the loader surface;
+    * links/mappings carry their side-key config. */
+  case class TableLoad(
+      table: String,
+      incoming: DataFrame,
+      cfg: MergeConfig,
+      kind: String = "satellite",
+      srcFields: Seq[String] = Nil, srcIdType: String = "",
+      dstFields: Seq[String] = Nil, dstIdType: String = "")
+
+  /** C5 `loadAll`: config-driven orchestration — hubs, then satellites,
+    * then links/mappings, each persisted and logged through the store
+    * (reference: DataLoader.scala:98-151). Hash keys mean the phases have
+    * no surrogate-lookup dependency; the phase order only preserves the
+    * reference's audit convention. */
+  def loadAll(store: Scd2Store, loads: Seq[TableLoad]): Map[String, Map[String, Long]] = {
+    val phase = Map("hub" -> 0, "satellite" -> 1, "link" -> 2, "mapping" -> 2)
+    loads.sortBy(l => phase.getOrElse(l.kind, 3)).map { l =>
+      val incoming = l.kind match {
+        case "hub" =>
+          l.incoming.select(l.cfg.idFields.map(col): _*)
+        case "link" | "mapping" =>
+          l.incoming
+            .withColumn(SrcEntityId,
+              graft.functions.entityIdHash(l.srcIdType, l.srcFields.map(col)))
+            .withColumn(DstEntityId,
+              graft.functions.entityIdHash(l.dstIdType, l.dstFields.map(col)))
+        case _ => l.incoming
+      }
+      val cfg = l.kind match {
+        case "link" | "mapping" =>
+          l.cfg.copy(idFields = Seq(SrcEntityId, DstEntityId))
+        case _ => l.cfg
+      }
+      l.table -> store.runLoadLogged(l.table, incoming, cfg)
+    }.toMap
+  }
+
   /** C4 `loadMapping`: a link with a `confidence` weight, feeding entity
     * resolution (reference: ParquetDataLoader.scala:766-975). */
   def loadMapping(incoming: DataFrame, existing: Option[DataFrame],

@@ -82,6 +82,55 @@ class Scd2Store(spark: SparkSession, base: String) {
     counts
   }
 
+  /** S14 process-log sink: append one stats line per load to
+    * `<base>/<table>/proc.csv` (reference schema: DataLoader.scala:85-96;
+    * the reference's collect+re-parallelize merge, ParquetDataLoader.scala:
+    * 1014-1056, is replaced by a driver-side append — the log is one line
+    * per load, never data-sized). */
+  def logProcess(table: String, cfg: MergeConfig, readCount: Long,
+      duplicates: Long, counts: Map[String, Long]): Unit = {
+    val f = java.nio.file.Paths.get(s"$base/$table/proc.csv")
+    java.nio.file.Files.createDirectories(f.getParent)
+    val header =
+      "process_id,process_type,table,read_count,duplicates,inserted,changed,removed,process_time\n"
+    val line = Seq(cfg.processId, cfg.processType, table, readCount,
+      duplicates, counts("inserted"), counts("changed"), counts("removed"),
+      cfg.processTime).mkString(",") + "\n"
+    if (!java.nio.file.Files.exists(f))
+      java.nio.file.Files.write(f, (header + line).getBytes("UTF-8"))
+    else
+      java.nio.file.Files.write(f, line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** S15 meta-file sink: load parameters as `<base>/<table>/meta.json`
+    * (reference: ParquetDataLoader.scala:1058-1065). */
+  def writeMeta(table: String, cfg: MergeConfig): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = Seq(
+      "table" -> table, "id_type" -> cfg.idType,
+      "entity_type" -> cfg.entityType, "source" -> cfg.source,
+      "process_type" -> cfg.processType, "process_id" -> cfg.processId,
+      "user_id" -> cfg.userId, "process_time" -> cfg.processTime,
+      "id_fields" -> cfg.idFields.mkString("|"))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/$table/meta.json"),
+      json.getBytes("UTF-8"))
+  }
+
+  /** [[runLoad]] plus the A7 duplicates metric and the S14/S15 sinks. */
+  def runLoadLogged(table: String, incoming: DataFrame,
+      cfg: MergeConfig): Map[String, Long] = {
+    val readCount = incoming.count()
+    val duplicates = readCount - incoming.distinct().count()
+    val counts = runLoad(table, incoming, cfg)
+    logProcess(table, cfg, readCount, duplicates, counts)
+    writeMeta(table, cfg)
+    counts + ("read" -> readCount) + ("duplicates" -> duplicates)
+  }
+
   /** S13: drop change-table partitions older than `retainDays` relative to
     * `asOf` — a partition-directory delete, no rewrite
     * (reference: ParquetDataLoader.scala:1091-1103 `removeParts`). */

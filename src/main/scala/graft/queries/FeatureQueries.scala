@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.events.EventFeatures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived-feature coverage (reference: docs/feature_examples.md — weekly
+  * windows, gradients, quantiles, inter-event intervals). All formulas
+  * reduce to exact integer sums with one final double division, so the
+  * DuckDB oracle matches bit-for-bit. */
+object FeatureQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E1: weekly activity buckets (count + value sum per entity-week).
+    "q_e1_weekly_activity" -> { (s, dir) =>
+      EventFeatures.weeklyActivity(t(s, dir, "events"), "view")
+        .orderBy(col("user_id"), col("week"))
+    },
+
+    // E2: gradient of weekly event count per entity.
+    "q_e2_weekly_gradient" -> { (s, dir) =>
+      EventFeatures.weeklyCountGradient(t(s, dir, "events"), "click")
+        .orderBy(col("user_id"))
+    },
+
+    // E3: rank-based 0.9-quantile of purchase values per entity.
+    "q_e3_value_quantile" -> { (s, dir) =>
+      EventFeatures.valueQuantile(t(s, dir, "events"), "purchase", 0.9)
+        .orderBy(col("user_id"))
+    },
+
+    // E4: inter-purchase interval stats per entity.
+    "q_e4_purchase_intervals" -> { (s, dir) =>
+      EventFeatures.interEventIntervals(t(s, dir, "events"), "purchase")
+        .orderBy(col("user_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_e1_weekly_activity" ->
+      """SELECT user_id,
+        |  CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+        |  count(1) AS n, round(sum(value), 2) AS value_sum
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1, 2 ORDER BY user_id, week""".stripMargin,
+    "q_e2_weekly_gradient" ->
+      """WITH weekly AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('week', ts)) / 604800) AS BIGINT) AS x,
+        |    count(1) AS y
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT user_id, count(1) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM weekly GROUP BY 1)
+        |SELECT user_id,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS gradient
+        |FROM sums WHERE n > 1 ORDER BY user_id""".stripMargin,
+    "q_e3_value_quantile" ->
+      """WITH ranked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value, event_id) AS rn,
+        |    count(1) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, value AS quantile_value
+        |FROM ranked WHERE rn = ceil(0.9 * n)
+        |ORDER BY user_id""".stripMargin,
+    "q_e4_purchase_intervals" ->
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    date_diff('second', lag(ts) OVER w, ts) AS gap
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(1) AS n_gaps,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_s,
+        |  round(CAST(sum(gap) AS DOUBLE) / count(1), 4) AS mean_gap_s
+        |FROM gaps WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.events.EventCols
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming event analytics — the reference's "reactive
+  * pipeline" roadmap item (reference: docs/reactive_pipeline.md:1-10,
+  * docs/roadmap.md; no streaming execution exists in the reference — its
+  * only streaming import is the `Duration` *type* for the sessionize
+  * timeout, eventFunctions.scala:9,77).
+  *
+  * Spark-first realization: the batch operators in
+  * [[graft.events.EventFunctions]] map onto streaming primitives —
+  * sessionize → `session_window` + watermark, current() → keyed state via
+  * `flatMapGroupsWithState`. State lives in the streaming state store
+  * (RocksDB-backed on a real cluster), partitioned by the grouping key:
+  * per-entity state never converges on the driver and scales with
+  * executor count. */
+object StreamingEvents {
+
+  /** W1 streaming: per-entity session stats over a gap-based
+    * `session_window`. Append mode — a session emits once the watermark
+    * passes its close. */
+  def sessionStats(events: DataFrame, timeoutSec: Long,
+      watermarkDelay: String, c: EventCols = EventCols()): DataFrame =
+    events
+      .withWatermark(c.ts, watermarkDelay)
+      .groupBy(col(c.entity),
+        session_window(col(c.ts), s"$timeoutSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(c.value)), 2).as("session_value"))
+      .select(col(c.entity), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Windowed interval aggregates (A3-A5 streaming): tumbling-window event
+    * counts/sums per entity and event type. */
+  def windowedCounts(events: DataFrame, windowDur: String,
+      watermarkDelay: String, c: EventCols = EventCols()): DataFrame =
+    events
+      .withWatermark(c.ts, watermarkDelay)
+      .groupBy(col(c.entity), col(c.eventType),
+        window(col(c.ts), windowDur).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col(c.value)), 2).as("value_sum"))
+      .select(col(c.entity), col(c.eventType), col("w.start").as("window_start"),
+        col("n"), col("value_sum"))
+
+  /** One (entity, eventType) lane of streaming state. */
+  case class EventKey(entity: Long, eventType: String)
+  case class EventIn(entity: Long, eventType: String,
+      ts: java.sql.Timestamp, value: Double)
+  case class Latest(entity: Long, eventType: String,
+      ts: java.sql.Timestamp, value: Double, updates: Long)
+
+  /** W7/W5 streaming: the running latest value per (entity, eventType) —
+    * the state that keeps a snapshot feature vector current as events
+    * arrive. `flatMapGroupsWithState` in update mode; state is one small
+    * record per key. */
+  def runningLatest(events: Dataset[EventIn]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => EventKey(e.entity, e.eventType))
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: EventKey, rows: Iterator[EventIn], state: GroupState[Latest]) =>
+          val prev = state.getOption
+          val batchLatest = rows.toSeq.maxBy(_.ts.getTime)
+          val updates = prev.map(_.updates).getOrElse(0L) + 1
+          val next =
+            if (prev.forall(_.ts.getTime <= batchLatest.ts.getTime))
+              Latest(key.entity, key.eventType, batchLatest.ts,
+                batchLatest.value, updates)
+            else prev.get.copy(updates = updates)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

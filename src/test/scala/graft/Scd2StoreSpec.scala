@@ -38,6 +38,35 @@ class Scd2StoreSpec extends SparkSpec {
       .filter(n => n.startsWith(".history_")) shouldBe empty
   }
 
+  it should "orchestrate loadAll with proc and meta sinks" in {
+    val dir = Files.createTempDirectory("scd2all").toString
+    val store = new Scd2Store(spark, dir)
+    val custs = Seq((1, "gold"), (1, "gold"), (2, "silver")).toDF("cid", "tier")
+    val pairs = Seq((1, 10), (2, 20)).toDF("cid", "oid")
+    val r = graft.load.Loaders.loadAll(store, Seq(
+      graft.load.Loaders.TableLoad("sat_cust", custs, cfg("p1")),
+      graft.load.Loaders.TableLoad("hub_cust", custs, cfg("p1"), kind = "hub"),
+      graft.load.Loaders.TableLoad("lnk_cust_order", pairs,
+        cfg("p1").copy(idFields = Seq("cid", "oid")), kind = "link",
+        srcFields = Seq("cid"), srcIdType = "cust",
+        dstFields = Seq("oid"), dstIdType = "order")))
+    r("hub_cust")("inserted") shouldBe 2
+    r("sat_cust")("inserted") shouldBe 2
+    r("sat_cust")("read") shouldBe 3
+    r("sat_cust")("duplicates") shouldBe 1
+    r("lnk_cust_order")("inserted") shouldBe 2
+    // proc + meta sinks exist with the audited line
+    val proc = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/sat_cust/proc.csv")), "UTF-8")
+    proc should include("p1,load,sat_cust,3,1,2,0,0")
+    new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/hub_cust/meta.json")), "UTF-8") should
+      include(""""id_type": "cust"""")
+    // hub history carries only keys + metadata
+    spark.read.parquet(s"$dir/hub_cust/history.parquet")
+      .columns should not contain "tier"
+  }
+
   it should "expire old change-table partitions by directory" in {
     val dir = Files.createTempDirectory("scd2exp").toString
     val store = new Scd2Store(spark, dir)

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.{EventIn, Latest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  it should "sessionize a stream with session_window and watermark" in {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingEvents.sessionStats(events, 3600, "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0),  // same session
+        (1L, ts("2024-01-01 13:00:00"), 3.0))  // new session
+      q.processAllAvailable()
+      // advance the watermark far past both sessions so they close
+      in.addData((99L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "session_value")
+        .as[(Long, Long, Double)].collect().filter(_._1 == 1L).sortBy(_._2)
+      rows shouldBe Array((1L, 1L, 3.0), (1L, 2L, 3.0))
+    } finally q.stop()
+  }
+
+  it should "keep the running latest value per key with state" in {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = StreamingEvents.runningLatest(in.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(EventIn(1L, "view", ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // out-of-order older event must NOT override the newer state
+      in.addData(EventIn(1L, "view", ts("2024-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(EventIn(1L, "view", ts("2024-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+      val last = spark.table("latest_out").as[Latest].collect()
+        .filter(_.entity == 1L).maxBy(_.updates)
+      last.value shouldBe 9.0
+      last.updates shouldBe 3L
+      val afterOld = spark.table("latest_out").as[Latest].collect()
+        .find(_.updates == 2L).get
+      afterOld.value shouldBe 5.0 // stale event ignored
+    } finally q.stop()
+  }
+}
