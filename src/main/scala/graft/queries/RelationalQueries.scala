@@ -176,6 +176,24 @@ object RelationalQueries {
       s.sql(sql)
     },
 
+    // F4: date parse/format roundtrip + calendar field extraction
+    // (the reference's convertStringToTimestamp/formatDateString UDFs,
+    // all built-ins here).
+    "q_f4_date_functions" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          date_format(
+            to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"),
+              "yyyy-MM-dd"),
+            "dd/MM/yyyy").as("roundtrip"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // A8/F9: surrogate-key assignment — dense, deterministic row_number
     // (the scalable replacement for the reference's zipWithUniqueId).
     "q_f9_surrogate_ids" -> { (s, dir) =>
@@ -267,5 +285,14 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_f9_surrogate_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
-        |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin)
+        |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin,
+    "q_f4_date_functions" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_str,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |  strftime(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d'),
+        |    '%d/%m/%Y') AS roundtrip
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -38,6 +38,21 @@ class Scd2StoreSpec extends SparkSpec {
       .filter(n => n.startsWith(".history_")) shouldBe empty
   }
 
+  it should "run merges against catalog tables (C6 variant)" in {
+    val store = new graft.load.CatalogStore(spark)
+    store.tableExists("cat_t1_history") shouldBe false
+    val c1 = store.runLoad("cat_t1", Seq((1, "a"), (2, "b")).toDF("cid", "v"),
+      cfg("p1"))
+    c1("inserted") shouldBe 2
+    store.readCurrent("cat_t1").count() shouldBe 2
+    val c2 = store.runLoad("cat_t1", Seq((1, "a2"), (2, "b")).toDF("cid", "v"),
+      cfg("p2").copy(processTime = "2024-03-02 00:00:00"))
+    c2("changed") shouldBe 1
+    spark.table("cat_t1_history").count() shouldBe 3
+    store.readCurrent("cat_t1")
+      .filter(col("cid") === 1).select("v").as[String].head() shouldBe "a2"
+  }
+
   it should "orchestrate loadAll with proc and meta sinks" in {
     val dir = Files.createTempDirectory("scd2all").toString
     val store = new Scd2Store(spark, dir)
