@@ -25,6 +25,17 @@ class CatalogStore(spark: SparkSession) {
   /** A9 existence probe. */
   def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
 
+  /** Drop a managed table AND its warehouse location — a stale location
+    * from an earlier session would otherwise fail the next
+    * `saveAsTable` with LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(name: String): Unit = {
+    if (tableExists(name)) spark.sql(s"DROP TABLE $name")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+  }
+
   def readHistory(table: String): Option[DataFrame] =
     if (tableExists(historyName(table))) Some(spark.table(historyName(table)))
     else None
@@ -40,13 +51,14 @@ class CatalogStore(spark: SparkSession) {
     val result = Scd2Merge.merge(incoming, readHistory(table), cfg)
     val hist = historyName(table)
     val staging = s"${hist}_staging_${cfg.processId.replaceAll("\\W", "_")}"
+    dropManaged(staging)
     result.history.write.mode(SaveMode.Overwrite).saveAsTable(staging)
     val counts = Map(
       "inserted" -> result.inserted.count(),
       "changed" -> result.changed.count(),
       "removed" -> result.removed.count())
     result.unpersist()
-    if (tableExists(hist)) spark.sql(s"DROP TABLE $hist")
+    dropManaged(hist)
     spark.sql(s"ALTER TABLE $staging RENAME TO $hist")
     Scd2Merge.snapshot(spark.table(hist))
       .write.mode(SaveMode.Overwrite).saveAsTable(currentName(table))

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *                  column value is in the set are logical deletes
   * @param dropKeys  drop natural-key columns from the stamped output
   *                  (satellite privacy mode, reference: ParquetDataLoader.scala:519-521)
+  * @param validStartTimeField source column carrying the *business*
+  *                  validity start (reference loadHub/loadSatellite
+  *                  `validStartTimeField`, DataLoader.scala:188-189);
+  *                  stamped as `valid_start_time` (processTime when absent)
+  * @param validEndTimeField  likewise for `valid_end_time` (open-end
+  *                  sentinel when absent)
   */
 case class MergeConfig(
     idFields: Seq[String],
@@ -40,7 +46,9 @@ case class MergeConfig(
     projection: Option[Seq[String]] = None,
     newNames: Map[String, String] = Map.empty,
     deleteIndicatorField: Option[(String, Seq[String])] = None,
-    dropKeys: Boolean = false) {
+    dropKeys: Boolean = false,
+    validStartTimeField: Option[String] = None,
+    validEndTimeField: Option[String] = None) {
   require(!(isDelta && overwrite), "isDelta and overwrite are mutually exclusive")
 }
 
@@ -117,11 +125,17 @@ object Scd2Merge {
     val dataCols =
       if (cfg.dropKeys) attrNames.map(col).toSeq
       else projected.columns.filterNot(delField.contains).map(col).toSeq
+    val validStart = cfg.validStartTimeField.map(col(_).cast("timestamp"))
+      .getOrElse(lit(cfg.processTime).cast("timestamp"))
+    val validEnd = cfg.validEndTimeField.map(col(_).cast("timestamp"))
+      .getOrElse(lit(OpenEndDate).cast("timestamp"))
     projected.select(
       (graft.functions.entityIdHash(cfg.idType, keyCols).as(EntityId) +:
         dataCols :+
         lit(cfg.processTime).cast("timestamp").as(StartTime) :+
         lit(OpenEndDate).cast("timestamp").as(EndTime) :+
+        validStart.as(ValidStartTime) :+
+        validEnd.as(ValidEndTime) :+
         lit(cfg.source).as(Source) :+
         lit(cfg.processType).as(ProcessType) :+
         lit(cfg.processId).as(ProcessId) :+

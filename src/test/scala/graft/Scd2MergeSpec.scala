@@ -118,6 +118,17 @@ class Scd2MergeSpec extends SparkSpec {
     open shouldBe "9999-12-31 00:00:00"
   }
 
+  it should "stamp business validity from configured fields" in {
+    val src = Seq((1, "a", "2023-01-01 00:00:00")).toDF("cid", "tier", "vstart")
+    val r = Scd2Merge.merge(src, None,
+      cfg().copy(validStartTimeField = Some("vstart")))
+    val row = r.history.select(
+      col(Meta.ValidStartTime).cast("string"),
+      col(Meta.ValidEndTime).cast("string")).head()
+    row.getString(0) shouldBe "2023-01-01 00:00:00"
+    row.getString(1) shouldBe "9999-12-31 00:00:00"
+  }
+
   behavior of "loadHub / loadLink wrappers"
 
   it should "strip payload columns on hub loads" in {
