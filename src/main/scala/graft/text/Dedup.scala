@@ -39,17 +39,39 @@ object Dedup {
     * `min(md5(k ':' shingle))` over the shingle set (min over a multiset
     * equals min over the set, so no distinct pass is needed).
     *
-    * Computed as ONE aggregate pass carrying all `k` running minima —
-    * the naive `transform(0..k-1, ki => array_min(...))` re-evaluates the
-    * shingle-construction expression inside every per-k lambda (Catalyst
-    * does not CSE across lambda bodies), which measured 16× slower.
-    * The `\u007f` (DEL) sentinel sorts above every md5 hex digit. */
+    * Implemented as a tight UDF loop over the shingle array: the
+    * pure-expression form (an `aggregate` carrying k running minima)
+    * interprets a lambda per (shingle, k) pair — ~10× slower over the
+    * sf0.1 corpus' 8M hash evaluations. `MessageDigest` MD5 hex output is
+    * byte-identical to Spark's `md5` and DuckDB's, so signatures are
+    * unchanged. The `"\u007f"` (DEL) seed sorts above every hex digit. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    aggregate(
-      shingleArr,
-      array_repeat(lit("\u007f"), k),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, ki) => least(m, md5(concat(ki.cast("string"), lit(":"), s)))))
+    minhashUdf(k)(shingleArr)
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def minhashUdf(k: Int) = udf { shingles: Seq[String] =>
+    val mins = Array.fill(k)("\u007f")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = new Array[Char](32)
+    shingles.foreach { s =>
+      var ki = 0
+      while (ki < k) {
+        md.reset()
+        val d = md.digest((ki.toString + ":" + s).getBytes("UTF-8"))
+        var i = 0
+        while (i < 16) {
+          hex(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+          hex(2 * i + 1) = hexDigits(d(i) & 0xf)
+          i += 1
+        }
+        val h = new String(hex)
+        if (h < mins(ki)) mins(ki) = h
+        ki += 1
+      }
+    }
+    mins.toSeq
+  }
 
   /** 32-bit SimHash over the token multiset: token hash = first 8 md5 hex
     * digits as an integer; bit b of the result is set when strictly more
