@@ -32,6 +32,9 @@ object EntityResolution {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Carry the old label through the checkpoint so the convergence
+      // probe is a local filter over materialized data — one Spark job per
+      // iteration (propagate+checkpoint), not two.
       val neighborMin = sym
         .join(labels.select(col("v").as("b"), col("component").as("nc")), "b")
         .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
@@ -39,12 +42,11 @@ object EntityResolution {
         .join(neighborMin.select(col("a").as("v"), col("nmin")), Seq("v"), "left")
         .select(col("v"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("__old"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("v"), col("component").as("old")), "v")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("__old")).count()
+      labels = next.drop("__old")
       converged = changed == 0
       i += 1
     }

@@ -60,6 +60,7 @@ class CatalogStore(spark: SparkSession) {
     result.unpersist()
     dropManaged(hist)
     spark.sql(s"ALTER TABLE $staging RENAME TO $hist")
+    dropManaged(currentName(table))
     Scd2Merge.snapshot(spark.table(hist))
       .write.mode(SaveMode.Overwrite).saveAsTable(currentName(table))
     counts

@@ -15,6 +15,14 @@ object SqlTransformations {
       ctx: TransformationContext): DataFrame =
     spark.sql(graft.functions.template(text, ctx.sqlParams))
 
+  /** Spark-4-native parameterized SQL (`:name` markers) — the engine-level
+    * replacement for string templating the reference lacked
+    * (docs/executing_sql.md:66-74 explains its `$var` workaround; Spark 4
+    * binds parameters in the parser, so values need no quoting/escaping). */
+  def sqlWithArgs(spark: SparkSession, text: String,
+      args: Map[String, Any]): DataFrame =
+    spark.sql(text, args)
+
   /** Table-scoped: register the input as a temp view first (reference:
     * table/SQLTableTransformation.scala:23-27). */
   def sqlTable(df: DataFrame, viewName: String, text: String,

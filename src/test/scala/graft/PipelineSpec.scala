@@ -47,6 +47,14 @@ class PipelineSpec extends SparkSpec {
     out.count() shouldBe 1 // cartesian would give 2 for k1=1
   }
 
+  it should "bind native SQL parameters without string splicing" in {
+    Seq((1, "a"), (2, "o'brien")).toDF("id", "name")
+      .createOrReplaceTempView("sqlargs_in")
+    val out = SqlTransformations.sqlWithArgs(spark,
+      "SELECT id FROM sqlargs_in WHERE name = :n", Map("n" -> "o'brien"))
+    out.as[Int].collect() shouldBe Array(2)
+  }
+
   behavior of "RowPipeline"
 
   it should "append computed columns and count row errors" in {
