@@ -176,6 +176,19 @@ object RelationalQueries {
       s.sql(sql)
     },
 
+    // J12: skew-salted join — must be result-identical to the plain join
+    // (the oracle IS the plain join).
+    "q_j12_salted_join" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.relational.Joins
+        .saltedJoin(t(s, dir, "orders"), dim, Seq("o_custkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // F4: date parse/format roundtrip + calendar field extraction
     // (the reference's convertStringToTimestamp/formatDateString UDFs,
     // all built-ins here).
@@ -286,6 +299,11 @@ object RelationalQueries {
     "q_f9_surrogate_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
         |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin,
+    "q_j12_salted_join" ->
+      """SELECT c_mktsegment, count(1) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_f4_date_functions" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_str,

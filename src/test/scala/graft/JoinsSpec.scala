@@ -1,0 +1,46 @@
+package graft
+
+import graft.relational.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  it should "produce identical results salted and unsalted" in {
+    // heavily skewed probe side: 900 of 1000 rows share key 1
+    val probe = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (i, i)))
+      .toDF("k", "payload")
+    val build = (1 to 100).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = probe.join(build, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    val salted = Joins.saltedJoin(probe, build, Seq("k"), salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    salted shouldBe plain
+    salted(1) shouldBe 901L // 900 skew rows + the (1,1) row from the tail
+  }
+
+  it should "spread a hot key across salt partitions" in {
+    val probe = (1 to 1000).map(i => (1, i)).toDF("k", "payload")
+    val salts = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(8L)))
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    salts should be > 4L // the hot key's rows land in many salt buckets
+  }
+
+  it should "join bucketed tables without an exchange" in {
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    Joins.writeBucketed(left, "bkt_left", Seq("k"), buckets = 8)
+    Joins.writeBucketed(right, "bkt_right", Seq("k"), buckets = 8)
+    // disable auto-broadcast so the shuffle-free SMJ path is observable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      joined.count() shouldBe 500
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
