@@ -50,6 +50,12 @@ object EntityResolution {
       converged = changed == 0
       i += 1
     }
+    // Silently returning unconverged labels would split true components
+    // into several — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations; " +
+          "the graph has a component with a longer diameter — raise maxIter")
     labels
   }
 

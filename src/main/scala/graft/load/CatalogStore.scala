@@ -58,8 +58,20 @@ class CatalogStore(spark: SparkSession) {
       "changed" -> result.changed.count(),
       "removed" -> result.removed.count())
     result.unpersist()
-    dropManaged(hist)
-    spark.sql(s"ALTER TABLE $staging RENAME TO $hist")
+    // Swap via a backup rename, never drop-then-rename: a crash between a
+    // drop and the rename would lose the only history copy (same protocol
+    // as Scd2Store's path-based swap).
+    val backup = s"${hist}_backup"
+    dropManaged(backup)
+    val hadOld = tableExists(hist)
+    if (hadOld) spark.sql(s"ALTER TABLE $hist RENAME TO $backup")
+    try spark.sql(s"ALTER TABLE $staging RENAME TO $hist")
+    catch {
+      case e: Exception =>
+        if (hadOld) spark.sql(s"ALTER TABLE $backup RENAME TO $hist")
+        throw e
+    }
+    if (hadOld) dropManaged(backup)
     dropManaged(currentName(table))
     Scd2Merge.snapshot(spark.table(hist))
       .write.mode(SaveMode.Overwrite).saveAsTable(currentName(table))

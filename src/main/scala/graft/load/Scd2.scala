@@ -116,15 +116,21 @@ object Scd2Merge {
       .withColumnsRenamed(cfg.newNames)
       .distinct()
     val keyCols = cfg.idFields.map(projected(_))
-    val delField = cfg.deleteIndicatorField.map(_._1)
+    // Load-metadata columns (delete flag, business-validity sources) are
+    // consumed into their stamped forms: they must not ride in the payload
+    // (the history schema would depend on which loads carried them) and
+    // must not feed the change hash (a flag/validity-only change is not an
+    // attribute change).
+    val metaFields = cfg.deleteIndicatorField.map(_._1).toSeq ++
+      cfg.validStartTimeField ++ cfg.validEndTimeField
     val attrNames = projected.columns
-      .filterNot(cfg.idFields.contains).filterNot(delField.contains)
+      .filterNot(cfg.idFields.contains).filterNot(metaFields.contains)
     val delCol = cfg.deleteIndicatorField.map { case (f, vs) =>
       col(f).isin(vs: _*)
     }.getOrElse(lit(false))
     val dataCols =
       if (cfg.dropKeys) attrNames.map(col).toSeq
-      else projected.columns.filterNot(delField.contains).map(col).toSeq
+      else projected.columns.filterNot(metaFields.contains).map(col).toSeq
     val validStart = cfg.validStartTimeField.map(col(_).cast("timestamp"))
       .getOrElse(lit(cfg.processTime).cast("timestamp"))
     val validEnd = cfg.validEndTimeField.map(col(_).cast("timestamp"))

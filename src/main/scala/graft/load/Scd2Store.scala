@@ -89,18 +89,26 @@ class Scd2Store(spark: SparkSession, base: String) {
     * per load, never data-sized). */
   def logProcess(table: String, cfg: MergeConfig, readCount: Long,
       duplicates: Long, counts: Map[String, Long]): Unit = {
-    val f = java.nio.file.Paths.get(s"$base/$table/proc.csv")
-    java.nio.file.Files.createDirectories(f.getParent)
+    // Hadoop FS, not java.nio: `base` may be any filesystem URI (hdfs://,
+    // s3a://...) — local Paths would silently write to the driver's cwd.
+    // Read-modify-write instead of append: HDFS append support is
+    // configuration-dependent and the log is one line per load.
+    val f = new Path(p(table, "history")).getParent
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val procPath = new Path(f, "proc.csv")
     val header =
       "process_id,process_type,table,read_count,duplicates,inserted,changed,removed,process_time\n"
     val line = Seq(cfg.processId, cfg.processType, table, readCount,
       duplicates, counts("inserted"), counts("changed"), counts("removed"),
       cfg.processTime).mkString(",") + "\n"
-    if (!java.nio.file.Files.exists(f))
-      java.nio.file.Files.write(f, (header + line).getBytes("UTF-8"))
-    else
-      java.nio.file.Files.write(f, line.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.APPEND)
+    val existing =
+      if (fs.exists(procPath)) {
+        val in = fs.open(procPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      } else header
+    val out = fs.create(procPath, true)
+    try out.write((existing + line).getBytes("UTF-8")) finally out.close()
   }
 
   /** S15 meta-file sink: load parameters as `<base>/<table>/meta.json`
@@ -115,9 +123,10 @@ class Scd2Store(spark: SparkSession, base: String) {
       "id_fields" -> cfg.idFields.mkString("|"))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ", ", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$base/$table/meta.json"),
-      json.getBytes("UTF-8"))
+    val metaPath = new Path(new Path(p(table, "history")).getParent, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** [[runLoad]] plus the A7 duplicates metric and the S14/S15 sinks. */

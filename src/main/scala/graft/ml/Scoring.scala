@@ -30,7 +30,9 @@ object Scoring {
     val feats = featureCols.map { c =>
       recode.get(c) match {
         case Some(m) =>
-          m.foldLeft(lit(Double.NaN)) { case (acc, (k, v)) =>
+          // unmapped enum value -> NULL (propagates to a NULL score),
+          // matching SQL CASE semantics, not NaN
+          m.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
             when(col(c) === k, lit(v)).otherwise(acc)
           }
         case None => col(c)

@@ -76,22 +76,14 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Redistribute media rows into `numPartitions` by cumulative payload
-    * size: rows are range-bucketed on their running byte total so each
-    * partition carries a comparable byte load (row-count repartitioning
-    * leaves 4K-video partitions 1000× heavier than thumbnail ones). */
-  def repartitionBySize(media: DataFrame, numPartitions: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("meta.byte_len").desc, col("meta.checksum"))
-    val total = media.agg(sum(col("meta.byte_len"))).head().getLong(0)
-    val perPart = math.max(1L, total / numPartitions)
-    media
-      .withColumn("__cum", sum(col("meta.byte_len"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__bucket", (col("__cum") / perPart).cast("long"))
-      .repartition(numPartitions, col("__bucket"))
-      .drop("__cum", "__bucket")
-  }
-
-  private val Window = org.apache.spark.sql.expressions.Window
+  /** Redistribute media rows into `numPartitions` with statistically
+    * balanced BYTE load: hash-partition on the content checksum, which
+    * scatters big and small payloads uniformly (partitioning that follows
+    * ingest order leaves 4K-video partitions 1000× heavier than thumbnail
+    * ones). Fully distributed — an exact cumulative-bytes assignment would
+    * need a global running sum through one task, a worse bottleneck than
+    * the skew it fixes. A single payload larger than a whole partition's
+    * fair share still needs chunking upstream. */
+  def repartitionBySize(media: DataFrame, numPartitions: Int): DataFrame =
+    media.repartition(numPartitions, col("meta.checksum"))
 }

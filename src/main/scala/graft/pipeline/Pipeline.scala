@@ -73,13 +73,34 @@ object Pipeline {
 
   /** Order transformations by their declared dependencies; independent
     * transformations keep registration order (reference:
-    * table/RowTransformationPipeline.scala:73-83). */
+    * table/RowTransformationPipeline.scala:73-83). Kahn's algorithm over
+    * ALL registered transformations with the ready set ordered by
+    * registration index — a dependency-free step registered first runs
+    * first, never after the dependent chain. */
   def order(ts: Seq[Transformation]): Seq[Transformation] = {
     val byName = ts.map(t => t.name -> t).toMap
-    val edges = ts.flatMap(t => t.dependencies.map(_ -> t.name))
-    val sorted = tsort(edges).filter(byName.contains)
-    val orphans = ts.map(_.name).filterNot(sorted.contains)
-    (sorted ++ orphans).map(byName)
+    val regIndex = ts.map(_.name).zipWithIndex.toMap
+    val incoming = mutable.Map(ts.map(t =>
+      t.name -> t.dependencies.count(byName.contains)): _*)
+    val dependents = ts.flatMap(t =>
+      t.dependencies.filter(byName.contains).map(_ -> t.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ready = mutable.PriorityQueue.empty[String](
+      Ordering.by[String, Int](regIndex).reverse)
+    ready ++= ts.filter(t => incoming(t.name) == 0).map(_.name)
+    val out = mutable.ListBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += n
+      dependents.getOrElse(n, Nil).foreach { m =>
+        incoming(m) -= 1
+        if (incoming(m) == 0) ready += m
+      }
+    }
+    if (out.size != ts.size)
+      throw new IllegalStateException(
+        s"cycle among ${ts.map(_.name).diff(out.toSeq).mkString(", ")}")
+    out.toSeq.map(byName)
   }
 
   /** R4 `TableTransformationPipeline`: dependency-ordered fold with JobStep
@@ -118,11 +139,16 @@ class ErrorThresholdReachedException(val errors: Long, val threshold: Long)
   * `Row => Row` lambdas over `df.rdd` and mutated a serialized context
   * (an acknowledged limitation, RowTransformationPipeline.scala:47-51),
   * this keeps the row function but counts failures with a Spark
-  * accumulator and drops failed rows; each partition aborts early once the
-  * global error budget is exhausted. Prefer column expressions — this
+  * accumulator and drops failed rows. Prefer column expressions — this
   * exists for genuinely imperative per-row logic. */
 object RowPipeline {
 
+  /** Append computed columns; failed rows are dropped and counted in the
+    * returned accumulator. With a finite `errorThreshold` the result is
+    * materialized eagerly (localCheckpoint) and the GLOBAL error total
+    * checked on the driver — executor-side accumulator reads only see the
+    * task-local copy, so a distributed in-flight budget cannot be enforced
+    * deterministically. */
   def appendColumns(df: DataFrame, appended: Seq[StructField],
       f: Row => Seq[Any], errorThreshold: Long = Long.MaxValue)(
       implicit spark: SparkSession): (DataFrame, LongAccumulator) = {
@@ -131,12 +157,17 @@ object RowPipeline {
       df.schema.fields ++ appended)
     val rdd = df.rdd.mapPartitions { it =>
       it.flatMap { row =>
-        if (errors.value > errorThreshold)
-          throw new ErrorThresholdReachedException(errors.value, errorThreshold)
         try Iterator.single(Row.fromSeq(row.toSeq ++ f(row)))
         catch { case _: Exception => errors.add(1); Iterator.empty }
       }
     }
-    (spark.createDataFrame(rdd, schema), errors)
+    val out = spark.createDataFrame(rdd, schema)
+    if (errorThreshold == Long.MaxValue) (out, errors)
+    else {
+      val materialized = out.localCheckpoint(true)
+      if (errors.value > errorThreshold)
+        throw new ErrorThresholdReachedException(errors.value, errorThreshold)
+      (materialized, errors)
+    }
   }
 }

@@ -22,6 +22,11 @@ object Joins {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Build-side replication is only sound for probe-preserving joins: a
+    // right/full join would emit every unmatched build row once per salt.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports probe-preserving join types only, not $joinType")
     val salted = probe.withColumn("__salt",
       pmod(xxhash64(probe.columns.map(col): _*), lit(salts.toLong)))
     val replicated = build.withColumn("__salt",

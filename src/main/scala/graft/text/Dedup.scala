@@ -165,10 +165,12 @@ object Dedup {
     shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("__na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("__nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_shared") /
-          (col("__na") + col("__nb") - col("n_shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      // threshold on the RAW ratio (rounding only for output): filtering on
+      // the rounded value would admit pairs just below the threshold
+      .withColumn("__j",
+        col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("__j"), 4).as("jaccard"))
   }
 }

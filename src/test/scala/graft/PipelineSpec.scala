@@ -31,6 +31,21 @@ class PipelineSpec extends SparkSpec {
       Vector(("inc", true), ("double", true))
   }
 
+  it should "run a dependency-free step registered first before dependent chains" in {
+    val ctx = new TransformationContext
+    val ts = Seq(
+      Transformation("filter") { (df, _) => df.filter(col("x") < 10) },
+      Transformation("agg", deps = Seq("derive")) { (df, _) =>
+        df.agg(sum(col("x")).as("x")) },
+      Transformation("derive", deps = Seq("filter")) { (df, _) =>
+        df.withColumn("x", col("x") * 2) })
+    // a pre-fix ordering appended the independent 'filter' AFTER the
+    // chain, aggregating unfiltered data
+    val out = Pipeline.run(Seq(1, 50).toDF("x"), ts, ctx)
+    out.as[Long].head() shouldBe 2L // only x=1 survives the filter
+    ctx.steps.map(_.name) shouldBe Vector("filter", "derive", "agg")
+  }
+
   it should "record the failing step and rethrow" in {
     val ctx = new TransformationContext
     val boom = Transformation("boom") { (_, _) =>
