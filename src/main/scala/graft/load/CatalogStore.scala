@@ -65,6 +65,9 @@ class CatalogStore(spark: SparkSession) {
     dropManaged(backup)
     val hadOld = tableExists(hist)
     if (hadOld) spark.sql(s"ALTER TABLE $hist RENAME TO $backup")
+    // no live table: still clear any stale location left by an earlier
+    // session (in-memory catalog forgets tables, the warehouse dir doesn't)
+    else dropManaged(hist)
     try spark.sql(s"ALTER TABLE $staging RENAME TO $hist")
     catch {
       case e: Exception =>

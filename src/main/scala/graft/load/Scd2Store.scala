@@ -41,7 +41,13 @@ class Scd2Store(spark: SparkSession, base: String) {
       .filter(col(RecType) =!= Rec.Delete)
 
   /** Run a merge against the stored history and persist all outputs.
-    * Returns the per-branch counts (read/inserted/changed/removed). */
+    * Returns the per-branch counts (inserted/changed/removed).
+    *
+    * Branch counts ride on the history write via `observe()` — rows of
+    * this load are identified by (process_id, rectype), so the metrics
+    * cost zero extra jobs (the reference re-ran `count()` 4-6 times over
+    * the same lineage, ParquetDataLoader.scala:493-497). `processId` must
+    * be unique per load for the attribution to hold. */
   def runLoad(table: String, incoming: DataFrame, cfg: MergeConfig): Map[String, Long] = {
     val result = Scd2Merge.merge(incoming, readHistory(table), cfg)
     // The merge plan reads the OLD history lazily, so the new history is
@@ -51,13 +57,20 @@ class Scd2Store(spark: SparkSession, base: String) {
     val histPath = new Path(p(table, "history"))
     val staging = new Path(s"$base/$table/.history_staging_${cfg.processId}")
     val fs = histPath.getFileSystem(conf)
-    result.history.write.mode("overwrite").parquet(staging.toString)
-    // Change tables + counts also read the old history lazily — they must
-    // run before the swap.
+    val obs = org.apache.spark.sql.Observation(s"scd2_${table}_${cfg.processId}")
+    def branch(rectype: String) = count(
+      when(col(ProcessId) === cfg.processId && col(RecType) === rectype, 1))
+    result.history
+      .observe(obs,
+        branch(Rec.Insert).as("inserted"),
+        branch(Rec.Update).as("changed"),
+        branch(Rec.Delete).as("removed"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val metrics = obs.get
     val counts = Map(
-      "inserted" -> result.inserted.count(),
-      "changed" -> result.changed.count(),
-      "removed" -> result.removed.count())
+      "inserted" -> metrics("inserted").asInstanceOf[Long],
+      "changed" -> metrics("changed").asInstanceOf[Long],
+      "removed" -> metrics("removed").asInstanceOf[Long])
     result.inserted.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "new"))
     result.changed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "changed"))
     result.removed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "removed"))
