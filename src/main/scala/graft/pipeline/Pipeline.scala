@@ -128,6 +128,22 @@ object Pipeline {
       keyPairs: Seq[(String, String)]): DataFrame =
     left.join(right,
       keyPairs.map { case (l, r) => left(l) === right(r) }.reduce(_ && _))
+
+  /** R6 `Pipeline.run`: source → ordered transformations → sink
+    * (reference: diamond/transform/Pipeline.scala:20-22). Lazy end to end —
+    * the single action is the sink's write. */
+  def runPipeline(spark: SparkSession, source: graft.sources.Source,
+      ts: Seq[Transformation], sink: graft.sources.Sink,
+      ctx: TransformationContext): Unit =
+    sink.write(run(source(spark, ctx), ts, ctx), ctx)
+
+  /** R6 `printDAG`: ASCII rendering of the dependency-ordered plan
+    * (reference: Pipeline.scala:31-45). */
+  def renderDag(ts: Seq[Transformation]): String =
+    order(ts).map { t =>
+      if (t.dependencies.isEmpty) t.name
+      else s"${t.dependencies.mkString(", ")} --> ${t.name}"
+    }.mkString("\n")
 }
 
 /** Signal for R3's error budget (reference:

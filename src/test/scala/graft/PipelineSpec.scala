@@ -70,6 +70,27 @@ class PipelineSpec extends SparkSpec {
     out.as[Int].collect() shouldBe Array(2)
   }
 
+  it should "run source -> transforms -> sink end to end" in {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val ctx = new TransformationContext
+    ctx.update("in_path", s"$dir/in")
+    ctx.update("out_path", s"$dir/out")
+    Pipeline.runPipeline(spark, graft.sources.ParquetSource,
+      Seq(Transformation("only_a") { (df, _) => df.filter(col("tag") === "a") }),
+      graft.sources.ParquetSink, ctx)
+    spark.read.parquet(s"$dir/out").count() shouldBe 2
+    ctx.steps.map(_.name) shouldBe Vector("only_a")
+  }
+
+  it should "render the dependency DAG" in {
+    val ts = Seq(
+      Transformation("b", deps = Seq("a")) { (df, _) => df },
+      Transformation("a") { (df, _) => df })
+    Pipeline.renderDag(ts) shouldBe "a\na --> b"
+  }
+
   behavior of "RowPipeline"
 
   it should "append computed columns and count row errors" in {
