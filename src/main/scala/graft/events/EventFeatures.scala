@@ -65,6 +65,32 @@ object EventFeatures {
       .select(col(c.entity), col(c.value).as("quantile_value"))
   }
 
+  /** "Weekly average maximum spend" (docs/feature_examples.md): per
+    * entity, the daily maximum value averaged over each week (daily maxima
+    * are exact; the ≤7-term mean is stable under round-4 across engines). */
+  def weeklyAvgDailyMax(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame = {
+    val daily = events.filter(col(c.eventType) === attribute)
+      .groupBy(col(c.entity),
+        date_trunc("week", col(c.ts)).cast("date").cast("string").as("week"),
+        col(c.ts).cast("date").as("__day"))
+      .agg(max(col(c.value)).as("__dmax"))
+    daily.groupBy(col(c.entity), col("week"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("__dmax")) / count(lit(1)), 4).as("avg_daily_max"))
+  }
+
+  /** Event-type proportion per entity: share of `attribute` events among
+    * all events — exact integer counts, one double division. */
+  def eventProportion(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame =
+    events.groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col(c.eventType) === attribute, 1)).as("n_attr"))
+      .select(col(c.entity), col("n_total"), col("n_attr"),
+        round(col("n_attr").cast("double") / col("n_total"), 6)
+          .as("proportion"))
+
   /** Inter-event intervals per entity (seconds between consecutive events
     * of `attribute`): count, max, and mean — the "inter-purchase interval"
     * feature. Mean = exact BIGINT sum / count, one double division. */

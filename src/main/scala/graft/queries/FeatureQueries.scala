@@ -35,6 +35,18 @@ object FeatureQueries {
     "q_e4_purchase_intervals" -> { (s, dir) =>
       EventFeatures.interEventIntervals(t(s, dir, "events"), "purchase")
         .orderBy(col("user_id"))
+    },
+
+    // E5: weekly average of daily maximum purchase value.
+    "q_e5_weekly_avg_daily_max" -> { (s, dir) =>
+      EventFeatures.weeklyAvgDailyMax(t(s, dir, "events"), "purchase")
+        .orderBy(col("user_id"), col("week"))
+    },
+
+    // E6: proportion of purchase events among all events per entity.
+    "q_e6_event_proportion" -> { (s, dir) =>
+      EventFeatures.eventProportion(t(s, dir, "events"), "purchase")
+        .orderBy(col("user_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +82,23 @@ object FeatureQueries {
         |SELECT user_id, value AS quantile_value
         |FROM ranked WHERE rn = ceil(0.9 * n)
         |ORDER BY user_id""".stripMargin,
+    "q_e5_weekly_avg_daily_max" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+        |    CAST(ts AS DATE) AS day, max(value) AS dmax
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, week, count(1) AS n_days,
+        |  round(sum(dmax) / count(1), 4) AS avg_daily_max
+        |FROM daily GROUP BY user_id, week
+        |ORDER BY user_id, week""".stripMargin,
+    "q_e6_event_proportion" ->
+      """SELECT user_id, count(1) AS n_total,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_attr,
+        |  round(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS DOUBLE) / count(1), 6) AS proportion
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e4_purchase_intervals" ->
       """WITH gaps AS (
         |  SELECT user_id,
