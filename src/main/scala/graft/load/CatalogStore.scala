@@ -50,18 +50,32 @@ class CatalogStore(spark: SparkSession) {
       cfg: MergeConfig): Map[String, Long] = {
     val result = Scd2Merge.merge(incoming, readHistory(table), cfg)
     val hist = historyName(table)
-    val staging = s"${hist}_staging_${cfg.processId.replaceAll("\\W", "_")}"
+    val pid = cfg.processId.replaceAll("\\W", "_")
+    val staging = s"${hist}_staging_$pid"
     dropManaged(staging)
-    result.history.write.mode(SaveMode.Overwrite).saveAsTable(staging)
+    // Branch counts ride the staging write via observe() — zero extra
+    // jobs (same pattern as Scd2Store.runLoad; processId must be unique
+    // per load).
+    val obs = org.apache.spark.sql.Observation(s"cat_${table}_$pid")
+    def branch(rectype: String) = count(
+      when(col(ProcessId) === cfg.processId && col(RecType) === rectype, 1))
+    result.history
+      .observe(obs,
+        branch(Rec.Insert).as("inserted"),
+        branch(Rec.Update).as("changed"),
+        branch(Rec.Delete).as("removed"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(staging)
+    val metrics = obs.get
     val counts = Map(
-      "inserted" -> result.inserted.count(),
-      "changed" -> result.changed.count(),
-      "removed" -> result.removed.count())
+      "inserted" -> metrics("inserted").asInstanceOf[Long],
+      "changed" -> metrics("changed").asInstanceOf[Long],
+      "removed" -> metrics("removed").asInstanceOf[Long])
     result.unpersist()
-    // Swap via a backup rename, never drop-then-rename: a crash between a
-    // drop and the rename would lose the only history copy (same protocol
-    // as Scd2Store's path-based swap).
-    val backup = s"${hist}_backup"
+    // Swap via a PROCESS-UNIQUE backup rename, never drop-then-rename: a
+    // crash between the two renames leaves the old history recoverable
+    // under the backup name, and a later load's cleanup cannot touch an
+    // earlier crash's backup (distinct suffix).
+    val backup = s"${hist}_backup_$pid"
     dropManaged(backup)
     val hadOld = tableExists(hist)
     if (hadOld) spark.sql(s"ALTER TABLE $hist RENAME TO $backup")

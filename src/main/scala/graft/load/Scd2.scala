@@ -120,9 +120,14 @@ object Scd2Merge {
     // consumed into their stamped forms: they must not ride in the payload
     // (the history schema would depend on which loads carried them) and
     // must not feed the change hash (a flag/validity-only change is not an
-    // attribute change).
-    val metaFields = cfg.deleteIndicatorField.map(_._1).toSeq ++
-      cfg.validStartTimeField ++ cfg.validEndTimeField
+    // attribute change). A natural-key column doubling as a validity
+    // source stays in the payload — keys are never dropped unless
+    // `dropKeys` says so. NOTE: histories persisted by versions that kept
+    // the raw validity column in the payload need a one-time column drop
+    // before merging with this stamp.
+    val metaFields = (cfg.deleteIndicatorField.map(_._1).toSeq ++
+      cfg.validStartTimeField ++ cfg.validEndTimeField)
+      .filterNot(cfg.idFields.contains)
     val attrNames = projected.columns
       .filterNot(cfg.idFields.contains).filterNot(metaFields.contains)
     val delCol = cfg.deleteIndicatorField.map { case (f, vs) =>

@@ -120,8 +120,14 @@ class Scd2Store(spark: SparkSession, base: String) {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       } else header
-    val out = fs.create(procPath, true)
+    // write-then-rename: truncating proc.csv in place would lose the whole
+    // log if the driver dies mid-write
+    val tmp = new Path(f, s".proc_${cfg.processId.replaceAll("\\W", "_")}.tmp")
+    val out = fs.create(tmp, true)
     try out.write((existing + line).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(procPath)) fs.delete(procPath, false)
+    if (!fs.rename(tmp, procPath))
+      throw new java.io.IOException(s"could not publish $tmp to $procPath")
   }
 
   /** S15 meta-file sink: load parameters as `<base>/<table>/meta.json`

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * then streaming over rows).
   *
   * Scale notes: media blobs are heavily skewed — [[repartitionBySize]]
-  * redistributes by cumulative payload bytes, not row count, so one
-  * partition of 4K-video rows cannot straggle a stage. Metadata-only
+  * round-robins rows so partitions carry statistically comparable byte
+  * loads and one partition of 4K-video rows cannot straggle a stage
+  * (ingest order usually clusters assets of one size). Metadata-only
   * operations (length, checksum, frame counts) never touch the payload
   * beyond the projected expressions — with parquet column pruning, a
   * metadata query does not even read the blob pages when metadata is
@@ -77,13 +78,13 @@ object Multimodal {
   }
 
   /** Redistribute media rows into `numPartitions` with statistically
-    * balanced BYTE load: hash-partition on the content checksum, which
-    * scatters big and small payloads uniformly (partitioning that follows
-    * ingest order leaves 4K-video partitions 1000× heavier than thumbnail
-    * ones). Fully distributed — an exact cumulative-bytes assignment would
-    * need a global running sum through one task, a worse bottleneck than
-    * the skew it fixes. A single payload larger than a whole partition's
-    * fair share still needs chunking upstream. */
+    * balanced BYTE load via round-robin: scatters big and small payloads
+    * uniformly regardless of ingest order or duplicate content (hashing on
+    * a content key would send every copy of a hot asset to one partition).
+    * Fully distributed — an exact cumulative-bytes assignment would need a
+    * global running sum through one task, a worse bottleneck than the skew
+    * it fixes. A single payload larger than a partition's fair share still
+    * needs chunking upstream. */
   def repartitionBySize(media: DataFrame, numPartitions: Int): DataFrame =
-    media.repartition(numPartitions, col("meta.checksum"))
+    media.repartition(numPartitions)
 }

@@ -160,11 +160,11 @@ class ErrorThresholdReachedException(val errors: Long, val threshold: Long)
 object RowPipeline {
 
   /** Append computed columns; failed rows are dropped and counted in the
-    * returned accumulator. With a finite `errorThreshold` the result is
-    * materialized eagerly (localCheckpoint) and the GLOBAL error total
-    * checked on the driver — executor-side accumulator reads only see the
-    * task-local copy, so a distributed in-flight budget cannot be enforced
-    * deterministically. */
+    * returned accumulator (informational — accumulators in transformations
+    * over-count on task retries). With a finite `errorThreshold` the
+    * result is materialized eagerly (localCheckpoint) and the budget is
+    * enforced on the DETERMINISTIC error count, input rows minus surviving
+    * rows — retry- and speculation-proof. */
   def appendColumns(df: DataFrame, appended: Seq[StructField],
       f: Row => Seq[Any], errorThreshold: Long = Long.MaxValue)(
       implicit spark: SparkSession): (DataFrame, LongAccumulator) = {
@@ -181,8 +181,11 @@ object RowPipeline {
     if (errorThreshold == Long.MaxValue) (out, errors)
     else {
       val materialized = out.localCheckpoint(true)
-      if (errors.value > errorThreshold)
-        throw new ErrorThresholdReachedException(errors.value, errorThreshold)
+      val errCount = df.count() - materialized.count()
+      if (errCount > errorThreshold) {
+        materialized.unpersist()
+        throw new ErrorThresholdReachedException(errCount, errorThreshold)
+      }
       (materialized, errors)
     }
   }

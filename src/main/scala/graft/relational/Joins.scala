@@ -24,7 +24,8 @@ object Joins {
     require(salts > 0, "salts must be positive")
     // Build-side replication is only sound for probe-preserving joins: a
     // right/full join would emit every unmatched build row once per salt.
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti", "cross")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports probe-preserving join types only, not $joinType")
     val salted = probe.withColumn("__salt",

@@ -33,9 +33,12 @@ class MultimodalSpec extends SparkSpec {
     feats(2L) shouldBe Seq('x'.toDouble, 'y'.toDouble, 0.0, 0.0) // padded
   }
 
-  it should "rebalance partitions by payload bytes" in {
+  it should "rebalance partitions without losing rows or columns" in {
     val parts = Multimodal.repartitionBySize(media, 2)
-    parts.count() shouldBe 3 // no rows lost, layout-only change
-    parts.columns should not contain "__bucket"
+    parts.count() shouldBe 3 // layout-only change
+    parts.columns shouldBe media.columns
+    parts.rdd.getNumPartitions shouldBe 2
+    // round-robin spreads the rows over both partitions
+    parts.rdd.mapPartitions(it => Iterator(it.size)).collect().max should be <= 2
   }
 }
