@@ -100,6 +100,25 @@ object EventQueries {
       EventFunctions.paths(
         t(s, dir, "events").filter(col("ts") <= lit(Start).cast("timestamp")))
         .orderBy(col("user_id"))
+    },
+
+    // W10: sessionized funnel — per entity, how many 1h-gap sessions
+    // contain a view, and how many of those also convert to a purchase.
+    "q_w10_session_funnel" -> { (s, dir) =>
+      EventFunctions.sessionize(t(s, dir, "events"), 3600)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("__v"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__p"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("__v")).cast("long").as("n_view_sessions"),
+          sum(col("__v") * col("__p")).cast("long").as("n_converted"))
+        .withColumn("conversion_rate",
+          round(col("n_converted").cast("double") /
+            greatest(col("n_view_sessions"), lit(1L)), 4))
+        .orderBy(col("user_id"))
     })
 
   private val pivotCases = features.map(f =>
@@ -136,6 +155,28 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_w10_session_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |per_session AS (
+        |  SELECT user_id, session_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(1) AS n_sessions,
+        |  CAST(sum(v) AS BIGINT) AS n_view_sessions,
+        |  CAST(sum(v * p) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(v * p) AS DOUBLE) /
+        |    greatest(CAST(sum(v) AS BIGINT), 1), 4) AS conversion_rate
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_w2_prev_interactions" ->
       s"""SELECT user_id, rk AS recency, event_id, event_type FROM (
          |  SELECT user_id, event_id, event_type,

@@ -74,6 +74,20 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // X11: PII redaction over a corpus with planted contact strings
+    // (doc_id ≡ 0 mod 7 gets an email + phone appended).
+    "q_x11_pii_redaction" -> { (s, dir) =>
+      val corpus = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-867-5309")))
+          .otherwise(col("text")))
+      TextStats.redact(corpus, "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+          col("has_pii"), md5(col("redacted_text")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     })
 
   /** DuckDB mirror of [[Dedup.words]]/[[Dedup.shingles]]: 1-based list
@@ -201,6 +215,29 @@ object TextQueries {
         |    WHEN hits_zh > hits_de AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
         |    ELSE 'de' END AS pred_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_x11_pii_redaction" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com or 555-867-5309'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+        |  (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) > 0
+        |   OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0) AS has_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g')) AS redacted_md5
+        |FROM corpus ORDER BY doc_id""".stripMargin,
     "q_x7_fingerprint" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

@@ -76,4 +76,29 @@ object TextStats {
     * [[Dedup.minhashNearDuplicates]]. */
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(Dedup.shingles(text, n), s => md5(s)))
+
+  /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
+    * (no lookarounds/backrefs) so an RE2-based engine matches Java's
+    * behaviour exactly. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Training-data PII scrub: per pattern, count matches and replace them
+    * with a `[TYPE]` placeholder. One projection, no shuffle; rows with
+    * any hit are flagged for routing to quarantine. */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    val counted = patterns.foldLeft(df) { case (d, (name, p)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(p)).cast("long"))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"[${name.toUpperCase}]")
+    }
+    counted
+      .withColumn("redacted_text", redacted)
+      .withColumn("has_pii",
+        patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
+  }
 }
