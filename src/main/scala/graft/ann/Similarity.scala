@@ -93,8 +93,11 @@ object Similarity {
           while (ci < cands.length) {
             val (cid, cv, cn) = cands(ci)
             if (cid != qid) {
+              // min-length bound: ragged embeddings degrade like dotUdf
+              // instead of throwing on the shorter side
               var d = 0.0; var j = 0
-              while (j < cv.length) { d += qv(j) * cv(j); j += 1 }
+              val dn = math.min(qv.length, cv.length)
+              while (j < dn) { d += qv(j) * cv(j); j += 1 }
               val cos = d / (qn * cn)
               var pos = n
               while (pos > 0 && (topCos(pos - 1) < cos ||
@@ -165,10 +168,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold. With
     * `blockCols` (metadata columns near-duplicates must share — label,
     * language, source shard) the pair space is generated by an equi-join
-    * on the block key: a hash join whose fan-out is bounded by block size,
-    * the classic blocking strategy for pairwise comparison at scale.
-    * Without block columns this degrades to an exhaustive nested-loop
-    * pair scan — correct, but O(n²). */
+    * on the block key: a shuffled hash join whose fan-out is bounded by
+    * block size, the classic blocking strategy for pairwise comparison at
+    * scale — neither side is collected or broadcast, so the corpus can be
+    * arbitrarily large. Without block columns this degrades to an
+    * exhaustive broadcast nested-loop pair scan — correct, but O(n²) and
+    * bounded by what fits in one broadcast (driver + executor memory). */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
@@ -176,9 +181,12 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v")) ++
         blockCols.map(col)): _*)
       .withColumn("nrm", norm(col("v"), dim))
-    val b = broadcast(n.select((Seq(col("vec_id").as("vec_b"),
+    val right = n.select((Seq(col("vec_id").as("vec_b"),
       col("v").as("w"), col("nrm").as("nrm_b")) ++
-      blockCols.map(c => col(c).as(s"${c}_b"))): _*))
+      blockCols.map(c => col(c).as(s"${c}_b"))): _*)
+    // broadcast ONLY when there is no equi-key: with blockCols the planner
+    // must be free to shuffle-hash-join on the block key
+    val b = if (blockCols.isEmpty) broadcast(right) else right
     val blockCond = blockCols.map(c => col(c) === col(s"${c}_b"))
       .foldLeft(col("vec_id") < col("vec_b"))(_ && _)
     n.join(b, blockCond)

@@ -28,14 +28,19 @@ object Dq {
       invalidRows: DataFrame)
 
   /** D1: rows NOT satisfying `validWhere` are invalid; the assertion fails
-    * when their fraction exceeds `threshold`. */
+    * when their fraction exceeds `threshold`. A row whose predicate
+    * evaluates to NULL (e.g. a NULL in the checked column) does NOT satisfy
+    * it and counts as invalid — the reference spec says a row is invalid
+    * "if it does not pass the query clause" (docs/dq_testing.md), so
+    * NULL-predicate rows must not silently pass the gate. Hence invalid =
+    * total − count(predicate true), not count(NOT predicate). */
   def assertion(df: DataFrame, validWhere: String,
       threshold: Double): AssertionResult = {
-    val bad = not(expr(validWhere))
+    val bad = !coalesce(expr(validWhere), lit(false))
     val row = df.agg(
       count(lit(1)).as("total"),
-      count(when(bad, 1)).as("invalid")).head()
-    val (total, invalid) = (row.getLong(0), row.getLong(1))
+      count(when(expr(validWhere), 1)).as("valid")).head()
+    val (total, invalid) = (row.getLong(0), row.getLong(0) - row.getLong(1))
     val ratio = if (total == 0) 0.0 else invalid.toDouble / total
     AssertionResult(validWhere, threshold, total, invalid, ratio,
       ratio <= threshold, df.filter(bad))
@@ -90,7 +95,8 @@ object Dq {
       out.createOrReplaceTempView(cmd.output)
       val extra = cmd match {
         case AssertCmd(in, where, _, o) =>
-          val inv = ctx(in).filter(not(expr(where)))
+          // NULL-predicate rows are invalid too (see assertion scaladoc)
+          val inv = ctx(in).filter(!coalesce(expr(where), lit(false)))
           inv.createOrReplaceTempView(s"${o}_invalid")
           Map(s"${o}_invalid" -> inv)
         case _ => Map.empty[String, DataFrame]

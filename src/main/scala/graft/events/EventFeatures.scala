@@ -53,17 +53,22 @@ object EventFeatures {
 
   /** Type-1 (rank-based) quantile of event values per entity: the value at
     * rank ceil(q·n) in ascending (value, id) order — exact, no
-    * interpolation, identical in any engine. */
+    * interpolation, identical in any engine.
+    *
+    * One partial+final hash aggregate: `collect_list` the (value, id)
+    * structs, `array_sort`, pick the rank — no shuffle-sort and no second
+    * window pass over the same partition (the double-window form cost 2
+    * sorts over 600k events at sf0.1). Per-group state is bounded by
+    * events-per-entity, the same bound any exact per-entity quantile has. */
   def valueQuantile(events: DataFrame, attribute: String, q: Double,
-      c: EventCols = EventCols()): DataFrame = {
-    val w = Window.partitionBy(col(c.entity))
-      .orderBy(col(c.value), col(c.id))
+      c: EventCols = EventCols()): DataFrame =
     events.filter(col(c.eventType) === attribute)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(c.entity))))
-      .filter(col("__rn") === ceil(lit(q) * col("__n")))
-      .select(col(c.entity), col(c.value).as("quantile_value"))
-  }
+      .groupBy(col(c.entity))
+      .agg(array_sort(collect_list(
+        struct(col(c.value).as("v"), col(c.id).as("i")))).as("__a"))
+      .select(col(c.entity),
+        element_at(col("__a"), ceil(lit(q) * size(col("__a"))).cast("int"))
+          .getField("v").as("quantile_value"))
 
   /** "Weekly average maximum spend" (docs/feature_examples.md): per
     * entity, the daily maximum value averaged over each week (daily maxima

@@ -82,6 +82,21 @@ object Scd2Merge {
       removed: DataFrame,
       cachedPlans: Seq[DataFrame] = Nil) {
     def unpersist(): Unit = cachedPlans.foreach(_.unpersist())
+
+    /** Materialize `history` for plan-chaining callers — feeding this
+      * merge's in-memory result straight into a further merge without it,
+      * every branch of the next merge (and its snapshot) re-executes this
+      * merge's shuffles; chains recompute combinatorially. `localCheckpoint`
+      * runs one eager job and truncates lineage; `current` is rebuilt over
+      * the checkpointed history so it shares the materialized blocks.
+      *
+      * Memory contract: holds one history copy on executor block storage
+      * (memory-and-disk). The store paths ([[Scd2Store]]/[[CatalogStore]])
+      * materialize to parquet between loads instead and don't need this. */
+    def materialized: MergeResult = {
+      val h = history.localCheckpoint()
+      copy(history = h, current = Scd2Merge.snapshot(h))
+    }
   }
 
   /** Latest version per entity (C7 `snapshot`, reference:
@@ -172,13 +187,17 @@ object Scd2Merge {
       case Some(hist) =>
         val snap = snapshot(hist).cache()
         val cur = snap.filter(col(RecType) =!= Rec.Delete)
+        // The stamped batch feeds four branch plans (inserted / changed /
+        // deleteIds / deleteFlagged) — cache it so stamp's distinct()
+        // shuffle runs once per merge, not once per branch.
+        val incC = inc.cache()
         // Delete markers take precedence: an entity with both a live row and
         // a delete-marker row in the same batch emits only the D row —
         // otherwise a changed (U) and a removed (D) row would tie on the new
         // version number and the snapshot arg-max would be nondeterministic.
-        val deleteFlagged = inc.filter(col("__is_delete"))
+        val deleteFlagged = incC.filter(col("__is_delete"))
           .select(col(EntityId)).distinct()
-        val incLive = inc.filter(!col("__is_delete")).drop("__is_delete")
+        val incLive = incC.filter(!col("__is_delete")).drop("__is_delete")
           .join(deleteFlagged, Seq(EntityId), "left_anti")
         val curKeyed = cur.select(
           col(EntityId).as("__ex_id"),
@@ -249,7 +268,7 @@ object Scd2Merge {
           } else hist.unionByName(delta.select(outCols: _*))
 
         MergeResult(newHistory, snapshot(newHistory), inserted, changed,
-          removed, cachedPlans = Seq(snap))
+          removed, cachedPlans = Seq(snap, incC))
     }
   }
 }

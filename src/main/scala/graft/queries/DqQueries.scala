@@ -48,14 +48,16 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // invalid = total - valid, so NULL-predicate rows count as invalid
+    // (mirrors Dq.assertion's semantics).
     "q_d1_assertion" ->
       """SELECT count(1) AS total,
-        |  count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
+        |  count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
         |    THEN 1 END) AS invalid,
-        |  round(count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
-        |    THEN 1 END) / CAST(count(1) AS DOUBLE), 6) AS ratio,
-        |  count(CASE WHEN NOT (l_discount <= 0.08 AND l_quantity > 0)
-        |    THEN 1 END) / CAST(count(1) AS DOUBLE) <= 0.25 AS passed
+        |  round((count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
+        |    THEN 1 END)) / CAST(count(1) AS DOUBLE), 6) AS ratio,
+        |  (count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
+        |    THEN 1 END)) / CAST(count(1) AS DOUBLE) <= 0.25 AS passed
         |FROM lineitem""".stripMargin,
     "q_d2_diff" ->
       """WITH m AS (
@@ -76,6 +78,6 @@ object DqQueries {
     "q_d4_plan_view" ->
       """SELECT l_returnflag, count(1) AS n_invalid,
         |  round(sum(l_quantity), 2) AS qty
-        |FROM lineitem WHERE NOT (l_discount <= 0.08)
+        |FROM lineitem WHERE NOT coalesce(l_discount <= 0.08, false)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

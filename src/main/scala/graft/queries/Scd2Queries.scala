@@ -65,7 +65,9 @@ object Scd2Queries {
     "q_c2_satellite_merge_iud" -> { (s, dir) =>
       val base = t(s, dir, "customer")
       val c0 = cfg("customer", Seq("c_custkey"), delta = true)
-      val first = Loaders.loadSatellite(base, None, c0)
+      // materialized: chaining an unpersisted first merge re-runs its
+      // shuffles in every branch of the second (see MergeResult scaladoc)
+      val first = Loaders.loadSatellite(base, None, c0).materialized
       val r = Loaders.loadSatellite(incomingBatch(base),
         Some(first.history), c0.copy(isDelta = false, processType = "full"))
       val delta = r.inserted.select(col("c_custkey"), col("rectype"), col("version"))
@@ -79,9 +81,10 @@ object Scd2Queries {
     "q_c7_current_snapshot" -> { (s, dir) =>
       val base = t(s, dir, "customer")
       val c0 = cfg("customer", Seq("c_custkey"), delta = true)
-      val first = Loaders.loadSatellite(base, None, c0)
+      val first = Loaders.loadSatellite(base, None, c0).materialized
       val r = Loaders.loadSatellite(incomingBatch(base),
         Some(first.history), c0.copy(isDelta = false, processType = "full"))
+        .materialized // r.current re-reads one checkpointed history, not the branch plans
       r.current.select(col("c_custkey"), col("c_mktsegment"),
         col("rectype"), col("version"))
         .orderBy(col("c_custkey"))

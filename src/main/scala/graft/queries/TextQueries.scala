@@ -102,10 +102,11 @@ object TextQueries {
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
        |        FROM words))""".stripMargin
 
-  /** DuckDB mirror of the first-8-md5-hex-digits integer token hash
-    * (Spark side: `conv(substring(md5(t),1,8),16,10)`). */
-  private val hexDigitSum = (1 to 8).map(j =>
-    s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+  /** DuckDB mirror of "md5 hex digits [lo..hi] as an integer" (Spark side:
+    * `conv(substring(md5(t),lo,hi-lo+1),16,10)` / the minhash UDF's byte
+    * extraction): digit-weight sum over strpos. */
+  private def hexDigitSum(lo: Int, hi: Int): String = (lo to hi).map(j =>
+    s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${BigInt(16).pow(hi - j)}")
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
@@ -124,9 +125,14 @@ object TextQueries {
         |ORDER BY c.doc_id""".stripMargin,
     "q_x2_minhash_lsh" ->
       s"""WITH ${shingleCte(3)},
+         |th AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+         |xv AS (SELECT doc_id,
+         |    ${hexDigitSum(1, 8)} AS x1,
+         |    ${hexDigitSum(9, 16)} AS x2
+         |  FROM th),
          |mh AS (
-         |  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
-         |  FROM sh, range(16) AS r(k) GROUP BY doc_id, k),
+         |  SELECT doc_id, k, min((x1 + k * x2) % ${Dedup.MinhashPrime}) AS mh
+         |  FROM xv, range(16) AS r(k) GROUP BY doc_id, k),
          |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, b, md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
@@ -151,7 +157,7 @@ object TextQueries {
          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
          |  FROM documents),
          |th AS (SELECT doc_id, md5(tok) AS m FROM toks),
-         |hv AS (SELECT doc_id, $hexDigitSum AS h FROM th),
+         |hv AS (SELECT doc_id, ${hexDigitSum(1, 8)} AS h FROM th),
          |bits AS (
          |  SELECT doc_id, b,
          |    sum(CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1

@@ -101,16 +101,24 @@ object Star {
         unknownRow(incoming, spec, processTime).unionByName(first)
           .select(first.columns.map(col): _*)
 
-      case Some(ex) =>
+      case Some(exPlan) =>
+        // Both inputs feed 2-4 branch plans each, and the seed agg below is
+        // a driver action that would otherwise run the incoming plan's
+        // lineage a first time for nothing. Dims are broadcast-sized by
+        // contract (class scaladoc), so one localCheckpoint per side is
+        // bounded — it materializes each ONCE instead of per branch (the
+        // chained dim-merge recompute that dominated q_t3).
+        val ex = exPlan.localCheckpoint()
+        val inc = incoming.localCheckpoint()
         val open = ex.filter(col("end_time") === openEnd && col("id") =!= -1L)
         val exKeyed = open.select(col("hashed_key").as("__ex_hk"),
           col("hashed_value").as("__ex_hv"), col("id").as("__ex_id"),
           col("version").as("__ex_v"))
         val seed = ex.agg(max(col("id"))).head().getLong(0) + 1L
         val inserts = assignIds(
-          incoming.join(exKeyed, col("hashed_key") === col("__ex_hk"), "left_anti"),
+          inc.join(exKeyed, col("hashed_key") === col("__ex_hk"), "left_anti"),
           seed)
-        val changed = incoming
+        val changed = inc
           .join(exKeyed, col("hashed_key") === col("__ex_hk") &&
             col("hashed_value") =!= col("__ex_hv"))
           .withColumn("rectype", lit("U"))

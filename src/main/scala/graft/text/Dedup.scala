@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    self-join on the band hash. The shuffle key is the band hash —
   *    uniformly distributed by construction — and join fan-out is bounded by
   *    bucket size, never O(n²).
-  *  - All hashes are md5-hex based so an independent engine (the DuckDB
+  *  - The exact Jaccard join is prefix-filtered (AllPairs/PPJoin family):
+  *    only each document's rarest shingles are indexed, so a stop-phrase
+  *    shared by m documents can no longer create an m²/2 join blow-up.
+  *  - All hashes are md5-derived so an independent engine (the DuckDB
   *    oracle) reproduces every signature bit-for-bit.
   */
 object Dedup {
@@ -35,37 +38,38 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `k` independent permutations simulated as
-    * `min(md5(k ':' shingle))` over the shingle set (min over a multiset
-    * equals min over the set, so no distinct pass is needed).
+  /** Largest prime below 2^32 — modulus of the minhash permutation family.
+    * Fits comfortably in BIGINT arithmetic in any engine. */
+  val MinhashPrime = 4294967291L
+
+  /** MinHash signature: `k` permutations derived from ONE md5 per shingle.
+    * The digest's first and second 4 bytes become 32-bit integers (x1, x2)
+    * and permutation `ki` is `(x1 + ki·x2) mod 4294967291` — the classic
+    * affine `(a + k·b) mod p` family over a shared base hash. One digest
+    * plus k multiply-adds per shingle replaces the previous k full digests
+    * (which burned ~8M md5 evaluations at sf0.1 — the dominant cost).
     *
     * Implemented as a tight UDF loop over the shingle array: the
-    * pure-expression form (an `aggregate` carrying k running minima)
-    * interprets a lambda per (shingle, k) pair — ~10× slower over the
-    * sf0.1 corpus' 8M hash evaluations. `MessageDigest` MD5 hex output is
-    * byte-identical to Spark's `md5` and DuckDB's, so signatures are
-    * unchanged. The `"\u007f"` (DEL) seed sorts above every hex digit. */
+    * pure-expression form interprets a lambda per (shingle, k) pair, ~10×
+    * slower (see memory/bench notes). All arithmetic stays below 2^36, so
+    * the DuckDB oracle reproduces it exactly in 64-bit integers (hex
+    * digits → x1/x2 via digit-weight sums). Min over the shingle multiset
+    * equals min over the set, so no distinct pass is needed. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     minhashUdf(k)(shingleArr)
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   private def minhashUdf(k: Int) = udf { shingles: Seq[String] =>
-    val mins = Array.fill(k)("\u007f")
+    val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = new Array[Char](32)
     shingles.foreach { s =>
+      val d = md.digest(s.getBytes("UTF-8")) // digest() resets the engine
+      val x1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val x2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       var ki = 0
       while (ki < k) {
-        md.reset()
-        val d = md.digest((ki.toString + ":" + s).getBytes("UTF-8"))
-        var i = 0
-        while (i < 16) {
-          hex(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-          hex(2 * i + 1) = hexDigits(d(i) & 0xf)
-          i += 1
-        }
-        val h = new String(hex)
+        val h = (x1 + ki * x2) % MinhashPrime
         if (h < mins(ki)) mins(ki) = h
         ki += 1
       }
@@ -115,8 +119,8 @@ object Dedup {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
     // The signature plan feeds three consumers (banding + both sides of the
-    // candidate join-back): persist it so 8M-odd md5 evaluations at sf0.1
-    // run once, not three times.
+    // candidate join-back): persist it so the corpus-wide hashing pass
+    // runs once, not three times.
     val sig = df
       .select(col(idCol).as("doc_id"),
         shingles(col(textCol), shingleN).as("__sh"))
@@ -125,7 +129,9 @@ object Dedup {
       .persist()
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        b => md5(concat_ws("|",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string")))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -144,27 +150,57 @@ object Dedup {
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard similarity join via an inverted shingle index:
-    * explode distinct shingles, self-join on the shingle, count shared,
-    * then `|A∩B| / (|A|+|B|-|A∩B|)`. Scales with the number of co-occurring
-    * shingle pairs (bounded by posting-list sizes), never materializing the
-    * O(n²) pair space. */
+  /** Exact n-gram Jaccard similarity join with prefix filtering (the
+    * AllPairs/PPJoin candidate rule — public knowledge, Bayardo et al. /
+    * Xiao et al.): under a global document-frequency-ascending shingle
+    * order, two documents with J ≥ t must share a shingle within their
+    * first `|d| − ⌈t·|d|⌉ + 1` shingles. Only those prefixes are indexed,
+    * so a stop-phrase shared by m documents no longer yields m²/2 join
+    * rows — the skew that made the unguarded inverted index a 100 TB
+    * scale-killer. Rare-first ordering keeps every posting list in the
+    * prefix index short by construction.
+    *
+    * Candidates additionally pass the length filter (t·|a| ≤ |b| ≤ |a|/t),
+    * then verify EXACTLY via `array_intersect` on the full sorted shingle
+    * arrays — the final (doc_a, doc_b, n_shared, jaccard) rows are
+    * identical to the unfiltered join's. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Reused by the size aggregate and both sides of the self-join.
+    // ε guards float fuzz in t·n: ceil must never round a mathematically
+    // integral t·n upward (which would shorten the prefix and lose pairs).
+    val eps = 1e-9
     val sh = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      .persist() // feeds the DF count and the sorted-array rebuild
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // Per doc: shingles sorted rare-first (ties lexicographic), plus the
+    // prefix length for the threshold.
+    val docs = sh.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("__df"), col("shingle")))),
+          s => s.getField("shingle")).as("__sh"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("__plen",
+        (col("n_shingles") -
+          ceil(lit(threshold) * col("n_shingles") - lit(eps)) + 1).cast("int"))
       .persist()
-    val sizes = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val shared = sh.as("a").join(sh.as("b"),
+    val prefix = docs.select(col("doc_id"), col("n_shingles").as("__n"),
+      explode(slice(col("__sh"), lit(1), col("__plen"))).as("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("__na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("__nb")), "doc_b")
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.__n") >= lit(threshold) * col("a.__n") - lit(eps) &&
+          col("a.__n") >= lit(threshold) * col("b.__n") - lit(eps))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"),
+        col("n_shingles").as("__na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"),
+        col("n_shingles").as("__nb")), "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       // threshold on the RAW ratio (rounding only for output): filtering on
       // the rounded value would admit pairs just below the threshold
       .withColumn("__j",
