@@ -27,6 +27,16 @@ package object functions {
     * `coalesce(x, chr(1))`. */
   val HashNull = "\u0001"
 
+  /** Version of the pre-hash encoding below. v1 was plain concatenation
+    * (boundary-collision prone); v2 is [[HashSep]]/[[HashNull]]. Any change
+    * to [[hashInput]] silently changes every persisted `entity_id` and
+    * `hashed_value` — a merge against a history written under another
+    * encoding would classify every entity as deleted+re-inserted — so
+    * stores stamp this into meta.json and refuse cross-version merges
+    * (see [[graft.load.Scd2Store.writeMeta]]/`runLoad`). Bump on ANY
+    * change to the encoding. */
+  val HashEncodingVersion = 2
+
   /** Fields joined with [[HashSep]], NULLs replaced by [[HashNull]] — the
     * canonical pre-hash encoding shared by every hash below and by the
     * DuckDB oracles. */

@@ -1,8 +1,5 @@
 package graft.infer
 
-import java.text.SimpleDateFormat
-import java.util.TimeZone
-
 /** S17: CSV dialect sniffing — driver-side analysis of a text sample that
   * feeds `spark.read.csv` options (reference:
   * common/inference/FileMetadataExtractor.scala:31-428; same statistical
@@ -13,7 +10,21 @@ case class CsvDialect(
     delimiter: Char,
     quote: Char = '"',
     hasHeader: Boolean = false,
-    lineEnding: String = "\n")
+    lineEnding: String = "\n",
+    doubleQuoted: Boolean = false,
+    skipInitialSpace: Boolean = false) {
+
+  /** The `spark.read.csv` options this dialect maps onto. RFC-4180
+    * quote-doubling is Spark's `escape == quote`; skip-initial-space maps
+    * to `ignoreLeadingWhiteSpace`. */
+  def sparkOptions: Map[String, String] = Map(
+    "sep" -> delimiter.toString,
+    "quote" -> quote.toString,
+    "header" -> hasHeader.toString,
+    "lineSep" -> lineEnding,
+    "escape" -> (if (doubleQuoted) quote.toString else "\\"),
+    "ignoreLeadingWhiteSpace" -> skipInitialSpace.toString)
+}
 
 object CsvSniffer {
   private val candidateDelims = Seq(',', '\t', ';', '|', ':', ' ')
@@ -59,11 +70,38 @@ object CsvSniffer {
     votes.sum > 0
   }
 
+  /** Quote-doubling detection (reference `guessQuoteAndDelimiter`'s
+    * "extra quote between delimiters" rule,
+    * FileMetadataExtractor.scala:252-260): a delimited cell that opens
+    * with the quote and contains a doubled quote before closing means the
+    * writer escapes quotes RFC-4180-style (`""`), not with a backslash. */
+  def guessDoubleQuoted(lines: Seq[String], delim: Char, quote: Char): Boolean = {
+    val d = java.util.regex.Pattern.quote(delim.toString)
+    val q = java.util.regex.Pattern.quote(quote.toString)
+    val re = (s"(?:^|$d)\\s*$q[^$d$q]*$q$q[^$d]*(?:$d|$$)").r
+    lines.exists(l => re.findFirstIn(l).isDefined)
+  }
+
+  /** Skip-initial-space convention (reference
+    * FileMetadataExtractor.scala:236-246 `delims(d) == spaces`): true when
+    * EVERY delimiter occurrence is followed by a space — the
+    * `", "`-separated dialect python's csv module calls
+    * `skipinitialspace`. Any unspaced delimiter vetoes it. */
+  def guessSkipInitialSpace(lines: Seq[String], delim: Char): Boolean = {
+    val total = lines.map(_.count(_ == delim)).sum
+    val spaced = lines.map(_.sliding(2).count(p =>
+      p.length == 2 && p(0) == delim && p(1) == ' ')).sum
+    total > 0 && total == spaced
+  }
+
   def sniff(sample: String): CsvDialect = {
     val ending = detectLineEnding(sample)
     val lines = sample.split(ending).toSeq.filter(_.nonEmpty).take(50)
     val delim = guessDelimiter(lines)
-    CsvDialect(delim, guessQuote(lines, delim), hasHeader(lines, delim), ending)
+    val quote = guessQuote(lines, delim)
+    CsvDialect(delim, quote, hasHeader(lines, delim), ending,
+      guessDoubleQuoted(lines, delim, quote),
+      guessSkipInitialSpace(lines, delim))
   }
 }
 
@@ -84,28 +122,68 @@ object BooleanParser extends Parser[Boolean] {
 
 class DateParser(patterns: Seq[String] = DateParser.DefaultPatterns)
     extends Parser[java.sql.Timestamp] {
-  private var order = patterns.toVector
+  import java.time._
+  import java.time.format.DateTimeFormatter
+  import java.time.temporal.{ChronoField, TemporalQueries}
+
+  // formatter construction is the expensive part — build once per pattern
+  private var order: Vector[(String, DateTimeFormatter)] = patterns.toVector
+    .map(p => p -> DateTimeFormatter.ofPattern(p, java.util.Locale.ENGLISH))
+
   def parse(s: String): Option[java.sql.Timestamp] = synchronized {
     if (s == null || s.trim.isEmpty) return None
     val t = s.trim
-    order.zipWithIndex.collectFirst(Function.unlift { case (p, i) =>
+    order.zipWithIndex.collectFirst(Function.unlift { case ((_, f), i) =>
       try {
-        val f = new SimpleDateFormat(p)
-        f.setLenient(false)
-        f.setTimeZone(TimeZone.getTimeZone("UTC"))
-        val d = f.parse(t)
+        val ta = f.parse(t)
+        // assemble from whatever fields the pattern carried: date-only →
+        // midnight, time-only → epoch day, bare hour → HH:00, no offset →
+        // UTC (matches the previous SimpleDateFormat-UTC behaviour)
+        val ld = Option(ta.query(TemporalQueries.localDate))
+          .getOrElse(LocalDate.EPOCH)
+        val lt = Option(ta.query(TemporalQueries.localTime)).getOrElse(
+          if (ta.isSupported(ChronoField.HOUR_OF_DAY))
+            LocalTime.of(ta.get(ChronoField.HOUR_OF_DAY), 0)
+          else LocalTime.MIDNIGHT)
+        val off = Option(ta.query(TemporalQueries.offset)).getOrElse(ZoneOffset.UTC)
         // move-to-front: the matched pattern is tried first next time
         if (i > 0) order = order(i) +: (order.take(i) ++ order.drop(i + 1))
-        Some(new java.sql.Timestamp(d.getTime))
+        Some(java.sql.Timestamp.from(LocalDateTime.of(ld, lt).toInstant(off)))
       } catch { case _: Exception => None }
     })
   }
 }
 object DateParser {
+  /** The reference's full raw-feed pattern table (reference:
+    * common/parsing/DateParser.scala:10-86 — millis/micros/offset ISO
+    * forms, compact, named-weekday, the dotted/dashed/slashed d-m-y /
+    * m-d-y / 2-digit-year families, and partial-precision ISO).
+    * Ambiguous families resolve in list order (dd/MM before MM/dd, as the
+    * reference chose); move-to-front then locks a feed onto its own
+    * format after the first hit. */
   val DefaultPatterns: Seq[String] = Seq(
-    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd",
-    "yyyy/MM/dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MMM-yyyy", "yyyyMMdd",
-    "dd.MM.yyyy", "yyyy-MM-dd HH:mm", "HH:mm:ss")
+    "yyyy-MM-dd'T'HH:mm:ss.SSSZ",   // 2001-07-04T12:08:56.235-0700
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX", // 2001-07-04T12:08:56.235-07:00
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", // 2001-07-04T12:08:56.235000
+    "yyyy-MM-dd HH:mm:ss.SSSZ",
+    "yyyy-MM-dd HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyyMMdd HH:mm:ss",            // 20010704 12:08:56
+    "EEE, MMM d, ''yy",             // Wed, Jul 4, '01
+    "EEE, MMM d, yyyy",             // Wed, Jul 4, 2001
+    "yyyy.MM.dd", "yyyy-MM-dd", "yyyy/MM/dd",
+    "dd.MM.yyyy", "dd-MM-yyyy", "dd/MM/yyyy",
+    "MM.dd.yyyy", "MM-dd-yyyy", "MM/dd/yyyy",
+    "dd.MM.yy", "dd-MM-yy", "dd/MM/yy",
+    "MM.dd.yy", "MM-dd-yy", "MM/dd/yy",
+    "dd/MMM/yy",                    // 03/Apr/15
+    "dd-MMM-yyyy",                  // 03-Apr-2015
+    "yyyy-MM-dd'T'HH", "yyyy-MM-dd HH",
+    "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss Z", "yyyy-MM-dd HH:mm:ss Z",
+    "yyyyMMdd", "HH:mm:ss")
 }
 
 /** S16: EBCDIC (ibm500) text decoding (reference:

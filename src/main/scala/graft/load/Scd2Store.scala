@@ -49,6 +49,7 @@ class Scd2Store(spark: SparkSession, base: String) {
     * the same lineage, ParquetDataLoader.scala:493-497). `processId` must
     * be unique per load for the attribution to hold. */
   def runLoad(table: String, incoming: DataFrame, cfg: MergeConfig): Map[String, Long] = {
+    requireCompatibleHashEncoding(table)
     val result = Scd2Merge.merge(incoming, readHistory(table), cfg)
     // The merge plan reads the OLD history lazily, so the new history is
     // written to a staging dir and swapped in with a rename — never an
@@ -95,6 +96,45 @@ class Scd2Store(spark: SparkSession, base: String) {
     counts
   }
 
+  /** Read `<base>/<table>/meta.json` as a flat string map (empty when the
+    * table was never logged through [[writeMeta]]). */
+  def readMeta(table: String): Map[String, String] = {
+    val metaPath = new Path(new Path(p(table, "history")).getParent, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) Map.empty
+    else {
+      val in = fs.open(metaPath)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      // flat {"k": "v", ...} as written by writeMeta — a full JSON parser
+      // is not needed for our own escaped output
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(txt)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    }
+  }
+
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Refuse to merge into a history stamped with a different [[graft.functions.HashEncodingVersion]]:
+    * entity/change hashes from another encoding would classify every
+    * existing entity as deleted + re-inserted — silent corruption, not a
+    * merge. Histories logged before versions were stamped count as v1.
+    * Unlogged histories (no meta.json) can't be checked and pass through. */
+  private def requireCompatibleHashEncoding(table: String): Unit = {
+    val meta = readMeta(table)
+    if (meta.nonEmpty && historyExists(table)) {
+      val stored = meta.getOrElse("hash_encoding", "1")
+      val current = graft.functions.HashEncodingVersion.toString
+      require(stored == current,
+        s"history for '$table' was written with hash encoding v$stored but " +
+          s"this library stamps v$current: merging would mark every entity " +
+          "deleted+re-inserted. Rehash the stored history (recompute " +
+          "entity_id/hashed_value from the natural keys) before loading.")
+    }
+  }
+
   /** S14 process-log sink: append one stats line per load to
     * `<base>/<table>/proc.csv` (reference schema: DataLoader.scala:85-96;
     * the reference's collect+re-parallelize merge, ParquetDataLoader.scala:
@@ -120,14 +160,29 @@ class Scd2Store(spark: SparkSession, base: String) {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       } else header
-    // write-then-rename: truncating proc.csv in place would lose the whole
-    // log if the driver dies mid-write
-    val tmp = new Path(f, s".proc_${cfg.processId.replaceAll("\\W", "_")}.tmp")
+    // write-then-swap: truncating proc.csv in place would lose the whole
+    // log if the driver dies mid-write, and delete-then-rename leaves NO
+    // published log if it dies between the two — so the old file is moved
+    // ASIDE (not deleted) until the new one is in place. Any crash leaves
+    // either the old log or the new log at a findable name. The
+    // read-modify-write makes this single-writer-per-table; concurrent
+    // loads of the SAME table are outside the store's contract (the
+    // reference's loader had the same constraint).
+    val tag = cfg.processId.replaceAll("\\W", "_")
+    val tmp = new Path(f, s".proc_$tag.tmp")
     val out = fs.create(tmp, true)
     try out.write((existing + line).getBytes("UTF-8")) finally out.close()
-    if (fs.exists(procPath)) fs.delete(procPath, false)
-    if (!fs.rename(tmp, procPath))
-      throw new java.io.IOException(s"could not publish $tmp to $procPath")
+    val aside = new Path(f, s".proc_$tag.old")
+    val hadOld = fs.exists(procPath)
+    if (hadOld && !fs.rename(procPath, aside))
+      throw new java.io.IOException(
+        s"could not move $procPath aside to $aside; log left untouched")
+    if (!fs.rename(tmp, procPath)) {
+      if (hadOld) fs.rename(aside, procPath)
+      throw new java.io.IOException(
+        s"could not publish $tmp to $procPath; old log restored")
+    }
+    if (hadOld) fs.delete(aside, false)
   }
 
   /** S15 meta-file sink: load parameters as `<base>/<table>/meta.json`
@@ -139,7 +194,9 @@ class Scd2Store(spark: SparkSession, base: String) {
       "entity_type" -> cfg.entityType, "source" -> cfg.source,
       "process_type" -> cfg.processType, "process_id" -> cfg.processId,
       "user_id" -> cfg.userId, "process_time" -> cfg.processTime,
-      "id_fields" -> cfg.idFields.mkString("|"))
+      "id_fields" -> cfg.idFields.mkString("|"),
+      // guards future loads against a silent hash-format break
+      "hash_encoding" -> graft.functions.HashEncodingVersion.toString)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ", ", "}")
     val metaPath = new Path(new Path(p(table, "history")).getParent, "meta.json")

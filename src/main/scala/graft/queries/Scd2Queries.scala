@@ -90,6 +90,26 @@ object Scd2Queries {
         .orderBy(col("c_custkey"))
     },
 
+    // C4: mapping first load — a link carrying a confidence weight
+    // (reference: ParquetDataLoader.scala:766-975). The confidence is an
+    // ordinary payload attribute: it feeds the change hash, so a weight
+    // change versions the mapping.
+    "q_c4_mapping_load" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 100 / lit(100.0)).as("conf"))
+      val r = Loaders.loadMapping(orders, None,
+        srcFields = Seq("o_custkey"), srcIdType = "customer",
+        dstFields = Seq("o_orderkey"), dstIdType = "order",
+        confidenceCol = "conf",
+        cfg("cust_order_map", Seq("src_entity_id", "dst_entity_id"),
+          delta = true))
+      r.history.select(col("entity_id"), col("src_entity_id"),
+        col("dst_entity_id"), col("o_orderkey"), col("o_custkey"),
+        col("confidence"), col("rectype"), col("version"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // C3: link first load — hashed (src, dst) pair keys.
     "q_c3_link_first_load" -> { (s, dir) =>
       val orders = t(s, dir, "orders")
@@ -160,6 +180,17 @@ object Scd2Queries {
         |  FROM customer c
         |  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.c_custkey = c.c_custkey))
         |ORDER BY c_custkey""".stripMargin,
+    "q_c4_mapping_load" ->
+      """SELECT
+        |  md5('cust_order_map'
+        |    || chr(31) || md5('customer' || chr(31) || CAST(o_custkey AS VARCHAR))
+        |    || chr(31) || md5('order' || chr(31) || CAST(o_orderkey AS VARCHAR))) AS entity_id,
+        |  md5('customer' || chr(31) || CAST(o_custkey AS VARCHAR)) AS src_entity_id,
+        |  md5('order' || chr(31) || CAST(o_orderkey AS VARCHAR)) AS dst_entity_id,
+        |  o_orderkey, o_custkey,
+        |  CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS confidence,
+        |  'I' AS rectype, 1 AS version
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_c3_link_first_load" ->
       """SELECT
         |  md5('cust_order'

@@ -53,6 +53,54 @@ object ParquetSink extends Sink {
   }
 }
 
+/** S6 JdbcSource (reference: star/io/JdbcReader.scala:13-22). Context keys:
+  * `url`, `dbtable` (a table name OR a parenthesized pushdown subquery),
+  * optional `driver`, `user`, `password`, and — for parallel reads —
+  * `partition_column`/`lower_bound`/`upper_bound`/`num_partitions` (without
+  * them the whole table arrives through ONE connection on one task; any
+  * table worth reading at scale should set them).
+  *
+  * The sandbox ships no database, so this surface is exercised by a
+  * plumbing-level spec (option wiring), not an end-to-end read — the read
+  * itself is Spark's built-in JDBC relation. */
+object JdbcSource extends Source {
+  def apply(spark: SparkSession, ctx: TransformationContext): DataFrame =
+    reader(spark, ctx).load()
+
+  /** Visible for the plumbing spec: the fully-configured reader. */
+  private[graft] def reader(spark: SparkSession, ctx: TransformationContext) = {
+    val r = spark.read.format("jdbc")
+      .option("url", ctx[String]("url"))
+      .option("dbtable", ctx[String]("dbtable"))
+    val withOpt = Seq("driver", "user", "password").foldLeft(r) { (acc, k) =>
+      ctx.get[String](k).map(acc.option(k, _)).getOrElse(acc)
+    }
+    ctx.get[String]("partition_column").map { pc =>
+      withOpt.option("partitionColumn", pc)
+        .option("lowerBound", ctx[String]("lower_bound"))
+        .option("upperBound", ctx[String]("upper_bound"))
+        .option("numPartitions",
+          ctx.get[Int]("num_partitions").getOrElse(8).toString)
+    }.getOrElse(withOpt)
+  }
+}
+
+/** S6 JdbcSink: append/overwrite into a JDBC table. `batchsize` bounds
+  * per-round-trip row count; writes run one connection per partition, so
+  * `coalesce` the input if the target DB can't take the fan-in. */
+object JdbcSink extends Sink {
+  def write(df: DataFrame, ctx: TransformationContext): Unit = {
+    val w = df.write.format("jdbc")
+      .mode(ctx.get[String]("mode").getOrElse("append"))
+      .option("url", ctx[String]("url"))
+      .option("dbtable", ctx[String]("dbtable"))
+      .option("batchsize", ctx.get[Int]("batchsize").getOrElse(1000).toString)
+    Seq("driver", "user", "password").foldLeft(w) { (acc, k) =>
+      ctx.get[String](k).map(acc.option(k, _)).getOrElse(acc)
+    }.save()
+  }
+}
+
 /** S8/O8-style sample writer (reference: star/io/ParquetWriter.scala:20-32). */
 object SampleParquetSink extends Sink {
   def write(df: DataFrame, ctx: TransformationContext): Unit =

@@ -146,6 +146,54 @@ object Star {
       if (factKeyFields.nonEmpty) factKeyFields else spec.keyFields
   }
 
+  /** One source table of a T1 [[dimensionalize]] run: which dims it feeds,
+    * how its fact rows carry each dim's key (`factKeys`, defaulting to the
+    * dim's own key fields), and which columns the fact output keeps.
+    * `factOutCols` empty ⇒ the source contributes dims only, no fact. */
+  case class StarSource(
+      name: String,
+      df: DataFrame,
+      dims: Seq[DimSpec],
+      factKeys: Map[String, Seq[String]] = Map.empty,
+      factOutCols: Seq[String] = Nil)
+
+  /** Output of one [[dimensionalize]] run: merged dim tables by name and
+    * one resolved fact table per fact-producing source. */
+  case class StarRun(dims: Map[String, DataFrame], facts: Map[String, DataFrame])
+
+  /** T1 `dimensionalize`: the config-driven multi-source orchestration loop
+    * the reference runs over its source list (reference:
+    * star/Loader.scala:24-40) — for each source, build its dims (T2) and
+    * merge them into the accumulated dim state (T3); then resolve every
+    * fact-producing source against the FINAL dim state (T4). Resolving
+    * facts after all dim merges (rather than source-by-source) means a key
+    * contributed by a later source still gets its surrogate id instead of
+    * falling back to the unknown member — the fact side only ever flows
+    * through broadcast hash joins either way.
+    *
+    * A dim fed by several sources merges sequentially in source order;
+    * each merge localCheckpoints its inputs (see [[mergeDim]]), so chains
+    * don't recompute upstream plans. `existing` seeds the run with
+    * previously stored dim tables. */
+  def dimensionalize(sources: Seq[StarSource], processTime: String,
+      existing: Map[String, DataFrame] = Map.empty): StarRun = {
+    val specs = sources.flatMap(_.dims).map(s => s.name -> s).toMap
+    val dims = sources.foldLeft(existing) { (acc, src) =>
+      src.dims.foldLeft(acc) { (a, spec) =>
+        a + (spec.name ->
+          mergeDim(a.get(spec.name), loadDim(src.df, spec, processTime),
+            spec, processTime))
+      }
+    }
+    val facts = sources.filter(_.factOutCols.nonEmpty).map { src =>
+      val fds = src.dims.map(spec =>
+        FactDim(specs(spec.name), dims(spec.name),
+          src.factKeys.getOrElse(spec.name, Nil)))
+      src.name -> loadFacts(src.df, fds, src.factOutCols)
+    }.toMap
+    StarRun(dims, facts)
+  }
+
   /** T4 `loadFacts`: append `fk_<dim>` surrogate columns by broadcast-joining
     * each dim on the key hash computed from the fact row (unmatched keys fall
     * back to the unknown member, id = -1). */

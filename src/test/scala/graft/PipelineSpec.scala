@@ -126,9 +126,86 @@ class PipelineSpec extends SparkSpec {
     p.parse("not a date") shouldBe None
   }
 
+  it should "cover the reference's long-tail date patterns" in {
+    def ts(s: String) = new DateParser().parse(s).map(_.toString)
+    // ISO with millis + offsets (both RFC822 and colon forms)
+    ts("2001-07-04T12:08:56.235-0700") shouldBe Some("2001-07-04 19:08:56.235")
+    ts("2001-07-04 12:08:56.235+02:00") shouldBe Some("2001-07-04 10:08:56.235")
+    // micros survive (not misread as 235000 milliseconds)
+    ts("2001-07-04T12:08:56.235000") shouldBe Some("2001-07-04 12:08:56.235")
+    // compact, dotted, named-weekday, 2-digit-year, d/MMM forms
+    ts("20010704 12:08:56") shouldBe Some("2001-07-04 12:08:56.0")
+    ts("2001.07.04") shouldBe Some("2001-07-04 00:00:00.0")
+    ts("Wed, Jul 4, 2001") shouldBe Some("2001-07-04 00:00:00.0")
+    ts("04-07-01") shouldBe Some("2001-07-04 00:00:00.0")
+    ts("03/Apr/15") shouldBe Some("2015-04-03 00:00:00.0")
+    ts("03-Apr-2015") shouldBe Some("2015-04-03 00:00:00.0")
+    // partial-precision ISO keeps the parsed hour
+    ts("2024-03-01 07") shouldBe Some("2024-03-01 07:00:00.0")
+    ts("2024-03-01T07:30") shouldBe Some("2024-03-01 07:30:00.0")
+    // dd/MM wins over MM/dd in the ambiguous family (reference order)
+    ts("04/07/2001") shouldBe Some("2001-07-04 00:00:00.0")
+  }
+
+  it should "sniff quote-doubling and skip-initial-space on dirty CSVs" in {
+    // superstore-style: quoted cells with embedded commas + doubled quotes
+    val dirty =
+      "id,product,note\n" +
+        "1,\"Desk, oak\",\"said \"\"fragile\"\" on box\"\n" +
+        "2,\"Chair, blue\",plain\n"
+    val d = CsvSniffer.sniff(dirty)
+    d.delimiter shouldBe ','
+    d.quote shouldBe '"'
+    d.doubleQuoted shouldBe true
+    d.sparkOptions("escape") shouldBe "\"" // RFC-4180 doubling for Spark
+    // ", "-separated dialect: every delimiter followed by one space
+    val spaced = CsvSniffer.sniff("a, b, c\n1, 2, 3\n4, 5, 6\n")
+    spaced.skipInitialSpace shouldBe true
+    CsvSniffer.sniff("a,b\n1,2\n").skipInitialSpace shouldBe false
+    // the dirty sample must ALSO round-trip through spark.read with the
+    // sniffed options: embedded commas and doubled quotes intact
+    val f = java.nio.file.Files.createTempFile("sniff", ".csv")
+    java.nio.file.Files.writeString(f, dirty)
+    val opts = d.sparkOptions
+    val df = spark.read.options(opts).csv(f.toString)
+    df.count() shouldBe 2
+    df.where(col("id") === "1").select("note").as[String].head() shouldBe
+      "said \"fragile\" on box"
+    df.where(col("id") === "1").select("product").as[String].head() shouldBe
+      "Desk, oak"
+  }
+
   it should "decode EBCDIC ibm500 bytes" in {
     // 'A' = 0xC1, '1' = 0xF1 in EBCDIC cp500
     Ebcdic.decodeBytes(Array(0xC1.toByte, 0xF1.toByte)) shouldBe "A1"
+  }
+
+  behavior of "JdbcSource plumbing"
+  // No database ships in the sandbox, so these verify the option wiring
+  // reaches Spark's JDBC layer (the driver lookup fails with OUR url),
+  // not an end-to-end read.
+
+  it should "pass url/dbtable through to the jdbc relation" in {
+    val ctx = new TransformationContext
+    ctx("url") = "jdbc:nosuchdb://localhost/x"
+    ctx("dbtable") = "t1"
+    val e = intercept[Exception] {
+      graft.sources.JdbcSource(spark, ctx).collect()
+    }
+    // DriverManager rejects the unknown scheme — proof the url arrived
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage != null) shouldBe true
+  }
+
+  it should "wire partition-read options without failing reader construction" in {
+    val ctx = new TransformationContext
+    ctx("url") = "jdbc:nosuchdb://localhost/x"
+    ctx("dbtable") = "t1"
+    ctx("partition_column") = "id"
+    ctx("lower_bound") = "0"
+    ctx("upper_bound") = "100"
+    ctx("num_partitions") = 4
+    noException should be thrownBy graft.sources.JdbcSource.reader(spark, ctx)
   }
 
   behavior of "FeatureRegistry"

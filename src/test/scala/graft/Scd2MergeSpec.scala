@@ -147,4 +147,36 @@ class Scd2MergeSpec extends SparkSpec {
     r.history.select(Meta.SrcEntityId).distinct().count() shouldBe 2
     r.history.columns should contain allOf (Meta.SrcEntityId, Meta.DstEntityId)
   }
+
+  behavior of "loadMapping"
+
+  it should "carry the confidence weight and version it on change" in {
+    val pairs = Seq((1, 10, 0.9), (2, 20, 0.5)).toDF("src", "dst", "conf")
+    val first = Loaders.loadMapping(pairs, None,
+      srcFields = Seq("src"), srcIdType = "a",
+      dstFields = Seq("dst"), dstIdType = "b",
+      confidenceCol = "conf", cfg())
+    first.history.columns should contain(Meta.Confidence)
+    first.history.select(Meta.Confidence).as[Double].collect().sorted shouldBe
+      Array(0.5, 0.9)
+    // confidence is an attribute: a weight change alone is an Update
+    val rescored = Seq((1, 10, 0.9), (2, 20, 0.7)).toDF("src", "dst", "conf")
+    val r = Loaders.loadMapping(rescored, Some(first.history),
+      srcFields = Seq("src"), srcIdType = "a",
+      dstFields = Seq("dst"), dstIdType = "b",
+      confidenceCol = "conf", cfg())
+    r.inserted.count() shouldBe 0
+    r.changed.count() shouldBe 1
+    r.changed.select(Meta.Confidence).as[Double].head() shouldBe 0.7
+    r.changed.select(Meta.Version).as[Int].head() shouldBe 2
+  }
+
+  it should "reject an incoming batch without the confidence column" in {
+    val pairs = Seq((1, 10)).toDF("src", "dst")
+    an[IllegalArgumentException] should be thrownBy
+      Loaders.loadMapping(pairs, None,
+        srcFields = Seq("src"), srcIdType = "a",
+        dstFields = Seq("dst"), dstIdType = "b",
+        confidenceCol = "conf", cfg())
+  }
 }

@@ -55,4 +55,48 @@ class StarSpec extends SparkSpec {
     m("NY") should be > 0L
     m("XX") shouldBe -1L // no matching dim member
   }
+
+  behavior of "dimensionalize (T1 orchestration)"
+
+  it should "run a multi-source loop: shared dim merges, facts resolve against final state" in {
+    // Source 1 contributes cities NY/SF; source 2 adds LA to the SAME dim
+    // and produces a fact table. The fact's LA row must resolve to LA's
+    // surrogate id (final dim state), not the unknown member.
+    val sales = Seq(("NY", "q1", 10.0), ("LA", "q2", 30.0))
+      .toDF("city", "quarter", "amount")
+    // NY keeps its source-1 attributes so the shared-dim merge adds LA
+    // without versioning NY
+    val citySrc2 = Seq(("NY", "east"), ("LA", "west")).toDF("city", "region")
+    val qSpec = DimSpec("dim_quarter", Seq("quarter"), Seq())
+    val run = Star.dimensionalize(Seq(
+      Star.StarSource("cities", src, Seq(spec)),
+      Star.StarSource("sales",
+        sales.join(citySrc2, Seq("city"), "left"),
+        Seq(spec, qSpec),
+        factOutCols = Seq("city", "quarter", "amount"))), PT)
+    run.dims.keySet shouldBe Set("dim_city", "dim_quarter")
+    // shared dim carries members from both sources under one id space
+    // (src contributes NY/SF plus a null-key "unknown" member; sales adds LA)
+    val cities = run.dims("dim_city")
+    cities.filter(col("id") > 0).select("city").as[String].collect().toSet shouldBe
+      Set("NY", "SF", "unknown", "LA")
+    cities.select("id").as[Long].collect().distinct.length shouldBe 5 // + id=-1
+    val fact = run.facts("sales")
+    fact.columns should contain allOf ("fk_dim_city", "fk_dim_quarter")
+    val byCity = fact.select("city", "fk_dim_city").as[(String, Long)]
+      .collect().toMap
+    byCity("LA") should be > 0L // resolved, not unknown
+    fact.filter(col("fk_dim_quarter") === -1L).count() shouldBe 0
+  }
+
+  it should "seed from previously stored dims" in {
+    val d1 = Star.mergeDim(None, Star.loadDim(src, spec, PT), spec, PT)
+    val nyId = d1.filter(col("city") === "NY").select("id").as[Long].head()
+    val batch = Seq(("NY", "north")).toDF("city", "region")
+    val run = Star.dimensionalize(
+      Seq(Star.StarSource("s", batch, Seq(spec))),
+      "2024-04-01 00:00:00", existing = Map("dim_city" -> d1))
+    val ny = run.dims("dim_city").filter(col("city") === "NY" && col("rectype") === "U")
+    ny.select("id").as[Long].head() shouldBe nyId // id stable across the seed
+  }
 }
