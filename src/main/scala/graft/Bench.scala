@@ -18,9 +18,12 @@ object Bench {
       "q_x10_embedding_neardup", "q_x9_ann_ivf", "q_x8_ann_bruteforce",
       "q_g1_connected_components", "q_g2_resolve_ids", "q_w9_paths",
       "q_c2_satellite_merge_iud", "q_c7_current_snapshot", "q_t3_dim_merge")
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (heavy.contains(n), n)
-    }
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (heavy.contains(n), n) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

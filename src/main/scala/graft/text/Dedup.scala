@@ -29,13 +29,35 @@ object Dedup {
   def words(text: Column): Column = split(lower(text), "\\s+")
 
   /** Word n-gram shingles (space-joined); empty array when the document has
-    * fewer than `n` words. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    * fewer than `n` words.
+    *
+    * A tight UDF over the (codegen'd) split words, not a `transform`
+    * lambda: Catalyst interprets HOF lambdas per element, and the
+    * slice+concat_ws closure measured ~10µs per shingle — it was the
+    * dominant cost of every shingle consumer (minhash, Jaccard,
+    * fingerprint) once the hashing itself got cheap. The strings produced
+    * are identical, so the DuckDB oracle mirror is unchanged. */
+  def shingles(text: Column, n: Int): Column = shinglesUdf(n)(words(text))
+
+  private def shinglesUdf(n: Int) = udf { ws: Seq[String] =>
+    if (ws == null || ws.length < n) Seq.empty[String]
+    else {
+      val out = new Array[String](ws.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
   }
 
   /** Largest prime below 2^32 — modulus of the minhash permutation family.
@@ -58,20 +80,49 @@ object Dedup {
   def minhashSignature(shingleArr: Column, k: Int): Column =
     minhashUdf(k)(shingleArr)
 
+  private def updateMins(mins: Array[Long], d: Array[Byte], k: Int): Unit = {
+    val x1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val x2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    var ki = 0
+    while (ki < k) {
+      val h = (x1 + ki * x2) % MinhashPrime
+      if (h < mins(ki)) mins(ki) = h
+      ki += 1
+    }
+  }
+
   private def minhashUdf(k: Int) = udf { shingles: Seq[String] =>
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     shingles.foreach { s =>
-      val d = md.digest(s.getBytes("UTF-8")) // digest() resets the engine
-      val x1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val x2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-      var ki = 0
-      while (ki < k) {
-        val h = (x1 + ki * x2) % MinhashPrime
-        if (h < mins(ki)) mins(ki) = h
-        ki += 1
+      updateMins(mins, md.digest(s.getBytes("UTF-8")), k)
+    }
+    mins.toSeq
+  }
+
+  /** Fused words → signature: builds each n-gram shingle in a local
+    * StringBuilder and digests it immediately, skipping the Catalyst
+    * materialization (and JVM↔UTF8String conversion) of the 100s-of-
+    * strings shingle array per document. Same shingle strings, same
+    * signature values as `minhashSignature(shingles(...))`. */
+  private def minhashWordsUdf(n: Int, k: Int) = udf { ws: Seq[String] =>
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (ws != null && ws.length >= n) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= ws.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        updateMins(mins, md.digest(sb.toString.getBytes("UTF-8")), k)
+        i += 1
       }
     }
     mins.toSeq
@@ -121,11 +172,12 @@ object Dedup {
     // The signature plan feeds three consumers (banding + both sides of the
     // candidate join-back): persist it so the corpus-wide hashing pass
     // runs once, not three times.
+    // docs with fewer than n words have no shingles — same set the
+    // unfused filter(size(shingles) > 0) kept
     val sig = df
+      .filter(size(words(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("__sh"), k).as("sig"))
+        minhashWordsUdf(shingleN, k)(words(col(textCol))).as("sig"))
       .persist()
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -173,20 +225,28 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
       .persist() // feeds the DF count and the sorted-array rebuild
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    // Per doc: shingles sorted rare-first (ties lexicographic), plus the
-    // prefix length for the threshold.
+    // Per doc: shingles tagged "lpad(df,10,'0')|shingle" and sorted — the
+    // zero-padded prefix makes lexicographic order equal (df asc, shingle
+    // asc), i.e. rare-first. The tagged STRING stands in for the shingle
+    // everywhere (a shingle's global df is unique to it, so tagged
+    // equality == shingle equality): the prefix join keys on it and the
+    // verification intersects the string arrays on the hash-set fast path.
+    // A struct<df,shingle> formulation sorts identically but falls into
+    // array_intersect's O(n·m) ordering scan (no hashing for non-atomic
+    // element types — measured 2.6× slower end-to-end), and projecting
+    // bare shingles back out would interpret a lambda per element.
     val docs = sh.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
-      .agg(transform(
-          array_sort(collect_list(struct(col("__df"), col("shingle")))),
-          s => s.getField("shingle")).as("__sh"),
+      .agg(array_sort(collect_list(
+          concat(lpad(col("__df").cast("string"), 10, "0"),
+            lit("|"), col("shingle")))).as("__ss"),
         count(lit(1)).as("n_shingles"))
       .withColumn("__plen",
         (col("n_shingles") -
           ceil(lit(threshold) * col("n_shingles") - lit(eps)) + 1).cast("int"))
       .persist()
     val prefix = docs.select(col("doc_id"), col("n_shingles").as("__n"),
-      explode(slice(col("__sh"), lit(1), col("__plen"))).as("shingle"))
+      explode(slice(col("__ss"), lit(1), col("__plen"))).as("shingle"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -195,9 +255,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("__sh").as("__sa"),
+      .join(docs.select(col("doc_id").as("doc_a"), col("__ss").as("__sa"),
         col("n_shingles").as("__na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("__sh").as("__sb"),
+      .join(docs.select(col("doc_id").as("doc_b"), col("__ss").as("__sb"),
         col("n_shingles").as("__nb")), "doc_b")
       .withColumn("n_shared",
         size(array_intersect(col("__sa"), col("__sb"))).cast("long"))

@@ -70,12 +70,39 @@ object TextStats {
           (stopHits / nTok.cast("double")) * lit(5.0) * 0.5, 4))
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** min(md5-hex) over a string array in one tight loop — the
+    * `array_min(transform(_, md5))` form interprets the lambda per element
+    * (see Dedup.shingles); the hex strings are byte-identical to Spark's
+    * and DuckDB's `md5`. */
+  private val minMd5Udf = udf { ss: Seq[String] =>
+    if (ss == null || ss.isEmpty) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = new Array[Char](32)
+      var best: String = null
+      ss.foreach { s =>
+        val d = md.digest(s.getBytes("UTF-8"))
+        var i = 0
+        while (i < 16) {
+          hex(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+          hex(2 * i + 1) = hexDigits(d(i) & 0xf)
+          i += 1
+        }
+        val h = new String(hex)
+        if (best == null || h < best) best = h
+      }
+      best
+    }
+  }
+
   /** Rolling-hash document fingerprint: the minimum md5 over the document's
     * word 5-gram shingles (winnowing with a single global window). Documents
     * sharing long spans collide on the fingerprint; a banded variant is
     * [[Dedup.minhashNearDuplicates]]. */
   def fingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(Dedup.shingles(text, n), s => md5(s)))
+    minMd5Udf(Dedup.shingles(text, n))
 
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
