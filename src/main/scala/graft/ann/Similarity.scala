@@ -55,8 +55,11 @@ object Similarity {
     * relational form: a BroadcastNestedLoopJoin materializes a joined row
     * (two 64-double arrays) per PAIR — ~15µs each, 20s at sf0.1 — while a
     * broadcast index scanned with primitive-array loops runs the same
-    * million pairs in well under a second. The index side must fit in a
-    * broadcast, the exact constraint the join formulation already had.
+    * million pairs in well under a second. The index side is collect()ed
+    * to the DRIVER and must fit in driver memory and one broadcast — the
+    * same constraint the join formulation already had, stated plainly:
+    * this is the exactness baseline; [[ivfTopK]] is the production path
+    * when candidates exceed broadcast scale.
     * Accumulation is left-to-right, and rounding is HALF_UP BigDecimal —
     * both bit-identical to the Column/`round` forms and to the DuckDB
     * oracle. */
