@@ -46,6 +46,46 @@ object StreamingEvents {
       .select(col(c.entity), col(c.eventType), col("w.start").as("window_start"),
         col("n"), col("value_sum"))
 
+  /** X1 streaming: exact-duplicate suppression on content hash during
+    * ingest — the streaming counterpart of [[graft.text.Dedup.exactDuplicates]]
+    * for a training-data pipeline that must not admit byte-identical
+    * documents twice. `dropDuplicatesWithinWatermark` keys the state store
+    * by the md5, and the watermark BOUNDS the dedup state: a duplicate
+    * arriving inside the delay is dropped, state for older hashes is
+    * reclaimed — the property that makes ingest dedup run indefinitely at
+    * scale (an unbounded `dropDuplicates` would grow state forever). */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__th", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__th")
+      .drop("__th")
+
+  /** SCD2 streaming ingest (the reference's "reactive pipeline" roadmap
+    * item realized): each micro-batch runs through the SAME
+    * [[graft.load.Scd2Store.runLoad]] merge the batch path uses, via
+    * `foreachBatch` — history/current parquet stay transactionally
+    * published per batch, and the merge semantics (I/U/D, versioning,
+    * delete detection) are literally the batch kernel's, not a parallel
+    * implementation. `mkConfig` stamps each batch with a UNIQUE processId
+    * (required for the observe()-metric attribution in runLoad).
+    *
+    * Returns the started query; callers own checkpointing/termination.
+    * Delta loads only — a stream never sees the "full" universe, so
+    * delete-by-absence is meaningless here. */
+  def scd2Sink(incoming: DataFrame, store: graft.load.Scd2Store,
+      table: String, mkConfig: Long => graft.load.MergeConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cfg = mkConfig(batchId)
+        require(cfg.isDelta, "streaming SCD2 ingest must be a delta load")
+        if (!batch.isEmpty) { store.runLoad(table, batch, cfg); () }
+      }
+      .start()
+
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)
   case class EventIn(entity: Long, eventType: String,

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingEvents
 import graft.streaming.StreamingEvents.{EventIn, Latest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -30,6 +31,53 @@ class StreamingSpec extends SparkSpec {
         .select("user_id", "n_events", "session_value")
         .as[(Long, Long, Double)].collect().filter(_._1 == 1L).sortBy(_._2)
       rows shouldBe Array((1L, 1L, 3.0), (1L, 2L, 3.0))
+    } finally q.stop()
+  }
+
+  it should "suppress exact duplicates within the watermark on ingest" in {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingEvents.dedupStream(docs, "doc_id", "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+        (2L, "another document", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // byte-identical text inside the watermark window → dropped
+      in.addData((3L, "the quick brown fox", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().sorted
+      ids shouldBe Array(1L, 2L)
+    } finally q.stop()
+  }
+
+  it should "run streaming micro-batches through the batch SCD2 merge" in {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2stream").toString
+    val store = new graft.load.Scd2Store(spark, s"$dir/store")
+    val in = MemoryStream[(Int, String)]
+    val cfgFor = (batchId: Long) => graft.load.MergeConfig(
+      idFields = Seq("cid"), idType = "cust", entityType = "cust",
+      source = "stream", processType = "delta", processId = s"b$batchId",
+      userId = "t", processTime = "2024-03-01 00:00:00", isDelta = true)
+    val q = StreamingEvents.scd2Sink(in.toDF().toDF("cid", "tier"),
+      store, "cust", cfgFor, s"$dir/ckpt")
+    try {
+      in.addData((1, "gold"), (2, "silver"))
+      q.processAllAvailable()
+      in.addData((1, "plat"), (3, "bronze")) // update + insert
+      q.processAllAvailable()
+      val hist = spark.read.parquet(s"$dir/store/cust/history.parquet")
+      hist.count() shouldBe 4 // 2 inserts + 1 update + 1 insert
+      hist.filter(col("rectype") === "U").count() shouldBe 1
+      val cur = store.readCurrent("cust")
+      cur.count() shouldBe 3
+      cur.filter(col("cid") === 1).select("tier").as[String]
+        .head() shouldBe "plat"
     } finally q.stop()
   }
 
