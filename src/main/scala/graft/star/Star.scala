@@ -177,6 +177,12 @@ object Star {
     * previously stored dim tables. */
   def dimensionalize(sources: Seq[StarSource], processTime: String,
       existing: Map[String, DataFrame] = Map.empty): StarRun = {
+    // Two sources feeding one dim under DIFFERENT specs would version-thrash
+    // the dim on every run (each merge would "change" the attr tuple).
+    sources.flatMap(_.dims).groupBy(_.name).foreach { case (name, ss) =>
+      require(ss.distinct.size == 1,
+        s"dim '$name' is declared with conflicting specs across sources")
+    }
     val specs = sources.flatMap(_.dims).map(s => s.name -> s).toMap
     val dims = sources.foldLeft(existing) { (acc, src) =>
       src.dims.foldLeft(acc) { (a, spec) =>

@@ -218,6 +218,11 @@ object Dedup {
     * identical to the unfiltered join's. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // t > 1 is unsatisfiable and would drive the prefix length negative;
+    // t ≤ 0 degenerates to the full O(n²) pair space the operator exists
+    // to avoid.
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     // ε guards float fuzz in t·n: ceil must never round a mathematically
     // integral t·n upward (which would shorten the prefix and lose pairs).
     val eps = 1e-9

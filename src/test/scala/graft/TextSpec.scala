@@ -73,4 +73,44 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long)].head()
     r shouldBe ((3L, 4L)) // ab|12|cd|! as subword tokens
   }
+
+  it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
+    // Random docs built from a small vocabulary PLUS a planted stop-phrase
+    // shared by most docs — the exact posting-list skew prefix filtering
+    // exists to survive. The naive reference implementation is plain Scala
+    // over the same shingle definition.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 3) {
+      val t = 0.3 + 0.2 * trial // thresholds 0.5, 0.7, 0.9
+      val corpus = (1 to 40).map { id =>
+        val base = Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        val words =
+          if (rnd.nextInt(4) > 0) "the common stop phrase".split(" ").toSeq ++ base
+          else base
+        (id.toLong, words.mkString(" "))
+      }
+      // duplicate a few docs so high-jaccard pairs exist at every threshold
+      val withDups = corpus ++ corpus.take(6)
+        .map { case (id, text) => (id + 100L, text) }
+      def shingleSet(text: String): Set[String] =
+        text.toLowerCase.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ida, ta) <- withDups; (idb, tb) <- withDups if ida < idb
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ida, idb, inter.toLong)).toSet
+      val got = Dedup.jaccardSimilarityJoin(
+        withDups.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = t)
+        .select("doc_a", "doc_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      got shouldBe expected
+    }
+  }
 }
