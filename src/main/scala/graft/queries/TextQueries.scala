@@ -76,6 +76,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X12: deterministic stratified sampling by language — hash-uniform
+    // per (seed, id), no RNG, reproducible in any engine.
+    "q_x12_stratified_sample" -> { (s, dir) =>
+      graft.curate.Curation.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), "s1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X13: token-budget sequence packing — concatenate-then-chunk per
+    // shard; a doc's pack is where its first token lands.
+    "q_x13_sequence_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", col("doc_id") % 4)
+        .withColumn("n_toks",
+          size(graft.text.Dedup.words(col("text"))).cast("long"))
+      graft.curate.Curation.packSequences(docs, "n_toks", "shard",
+        "doc_id", 2048)
+        .select(col("doc_id"), col("shard"), col("n_toks"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     // X11: PII redaction over a corpus with planted contact strings
     // (doc_id ≡ 0 mod 7 gets an email + phone appended).
     "q_x11_pii_redaction" -> { (s, dir) =>
@@ -244,6 +267,29 @@ object TextQueries {
         |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g'),
         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g')) AS redacted_md5
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    "q_x12_stratified_sample" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, md5('s1:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents)
+         |SELECT doc_id, lang FROM u
+         |WHERE (${hexDigitSum(1, 8)}) / 4294967296.0 <
+         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+         |    WHEN 'fr' THEN 0.25 ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin,
+    "q_x13_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM toks)
+        |SELECT doc_id, shard, n_toks,
+        |  CAST(floor((c - n_toks) / 2048.0) AS BIGINT) AS pack_id,
+        |  (c - n_toks) % 2048 AS pack_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q_x7_fingerprint" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

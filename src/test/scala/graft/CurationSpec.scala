@@ -1,0 +1,44 @@
+package graft
+
+import graft.curate.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "stratifiedSample"
+
+  it should "be deterministic, respect fractions, and drop unlisted strata" in {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), "seed1")
+    // unlisted stratum fully dropped
+    kept.filter(col("lang") === "xx").count() shouldBe 0
+    // ~50% of the 1000 'en' rows survive (hash-uniform, loose bound)
+    val n = kept.count()
+    n should (be > 400L and be < 600L)
+    // same seed → identical set; different seed → different set
+    val again = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), "seed1").select("id").as[Long].collect().sorted
+    again shouldBe kept.select("id").as[Long].collect().sorted
+    val other = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), "seed2").select("id").as[Long].collect().sorted
+    other should not equal again
+  }
+
+  behavior of "packSequences"
+
+  it should "cut packs at the token budget with per-shard streams" in {
+    val df = Seq((1L, 0L, 4L), (2L, 0L, 5L), (3L, 0L, 3L), (4L, 0L, 8L),
+      (5L, 1L, 9L), (6L, 1L, 2L))
+      .toDF("doc_id", "shard", "n_toks")
+    val packed = Curation.packSequences(df, "n_toks", "shard", "doc_id", 10L)
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // shard 0 stream offsets: 0,4,9,12 → packs 0,0,0,1 (doc 3 straddles)
+    packed shouldBe Array(
+      (1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L), (4L, 1L, 2L),
+      (5L, 0L, 0L), (6L, 0L, 9L))
+  }
+}
