@@ -99,6 +99,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X14: eval-set decontamination — corpus docs sharing any 8-gram with
+    // the planted "eval set" (doc_id % 97 == 0) are flagged.
+    "q_x14_decontamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        shingleN = 8, minShared = 1)
+        .orderBy(col("doc_id"))
+    },
+
+    // X15: within-document repetition stats (duplicate 3-gram fraction,
+    // top-word share) — the Gopher-style boilerplate filters.
+    "q_x15_repetition_stats" -> { (s, dir) =>
+      TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_ngrams"), col("dup_ngram_ratio"),
+          col("top_word_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // X11: PII redaction over a corpus with planted contact strings
     // (doc_id ≡ 0 mod 7 gets an email + phone appended).
     "q_x11_pii_redaction" -> { (s, dir) =>
@@ -267,6 +286,50 @@ object TextQueries {
         |    '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g'),
         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g')) AS redacted_md5
         |FROM corpus ORDER BY doc_id""".stripMargin,
+    "q_x14_decontamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM words)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |shared AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh JOIN ev USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(shared.n, 0) AS n_shared_ngrams,
+        |  coalesce(shared.n, 0) >= 1 AS is_contaminated
+        |FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_x15_repetition_stats" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words)),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |    CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+        |  FROM sh GROUP BY doc_id),
+        |tw AS (
+        |  SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total
+        |  FROM (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+        |        GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(g.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+        |    / g.n_ngrams, 4), 0.0) AS dup_ngram_ratio,
+        |  round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) AS top_word_ratio
+        |FROM documents d
+        |LEFT JOIN g ON d.doc_id = g.doc_id
+        |LEFT JOIN tw ON d.doc_id = tw.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_x12_stratified_sample" ->
       s"""WITH u AS (
          |  SELECT doc_id, lang, md5('s1:' || CAST(doc_id AS VARCHAR)) AS m

@@ -202,6 +202,36 @@ object Dedup {
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
   }
 
+  /** Benchmark/eval-set decontamination: flag corpus documents sharing at
+    * least `minShared` distinct word n-grams with ANY document of the
+    * eval set — the standard n-gram-overlap test-set contamination check
+    * for pretraining corpora. One inverted-index equi-join: corpus
+    * shingles ⋈ the DISTINCT eval shingle set (eval sets are small —
+    * broadcast), then a per-doc count. Returns every corpus id with
+    * `n_shared_ngrams` and `is_contaminated`; the caller filters or
+    * routes. Never O(corpus × eval). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String,
+      shingleN: Int = 8, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val evalShingles = evalSet
+      .select(explode(array_distinct(
+        shingles(col(evalTextCol), shingleN))).as("shingle"))
+      .distinct()
+    val shared = corpus
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+    corpus.select(col(idCol))
+      .join(shared, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) >= minShared)
+          .as("is_contaminated"))
+  }
+
   /** Exact n-gram Jaccard similarity join with prefix filtering (the
     * AllPairs/PPJoin candidate rule — public knowledge, Bayardo et al. /
     * Xiao et al.): under a global document-frequency-ascending shingle

@@ -70,6 +70,41 @@ object TextStats {
           (stopHits / nTok.cast("double")) * lit(5.0) * 0.5, 4))
   }
 
+  /** Repetition heuristics (the Gopher-style within-document repetition
+    * filters): duplicate n-gram fraction (1 − distinct/total over word
+    * n-grams) and top-word fraction (most frequent word's share of all
+    * words). High values mark boilerplate, keyword stuffing and
+    * degenerate generations. One projection — the per-row counts run in a
+    * tight UDF (an explode+groupBy would shuffle the whole corpus for a
+    * per-document statistic). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val grams = Dedup.shingles(col(textCol), shingleN)
+    val nGrams = size(grams).cast("long")
+    val nDistinct = size(array_distinct(grams)).cast("long")
+    df.withColumn("n_ngrams", nGrams)
+      .withColumn("dup_ngram_ratio",
+        when(nGrams > 0,
+          round((nGrams - nDistinct) / nGrams.cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("top_word_ratio",
+        round(topFreqUdf(Dedup.words(col(textCol))), 4))
+  }
+
+  /** Share of the most frequent element; 0 for empty input. */
+  private val topFreqUdf = udf { ws: Seq[String] =>
+    if (ws == null || ws.isEmpty) 0.0
+    else {
+      val counts = new java.util.HashMap[String, Int]()
+      var max = 0
+      ws.foreach { w =>
+        val c = counts.merge(w, 1, Integer.sum)
+        if (c > max) max = c
+      }
+      max.toDouble / ws.length
+    }
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** min(md5-hex) over a string array in one tight loop — the

@@ -74,6 +74,36 @@ class TextSpec extends SparkSpec {
     r shouldBe ((3L, 4L)) // ab|12|cd|! as subword tokens
   }
 
+  it should "flag corpus docs overlapping the eval set by n-grams" in {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+      (2L, "totally unrelated content with many distinct words here now"),
+      (3L, "short doc")) // fewer than n words -> 0 shared
+      .toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, "doc_id", "text", evalSet, "text",
+      shingleN = 8, minShared = 1)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 1L, true)) // shares the full 8-gram
+    r(1) shouldBe ((2L, 0L, false))
+    r(2) shouldBe ((3L, 0L, false))
+  }
+
+  it should "measure within-document repetition" in {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one word, all 3-grams equal
+      (2L, "one two three four five six"))     // all distinct
+      .toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(d, "doc_id", "text")
+      .select("doc_id", "dup_ngram_ratio", "top_word_ratio")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    r(0)._2 shouldBe 0.75 // 4 grams, 1 distinct -> 3/4 duplicated
+    r(0)._3 shouldBe 1.0
+    r(1)._2 shouldBe 0.0
+    r(1)._3 shouldBe (1.0 / 6 +- 1e-4)
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
