@@ -177,9 +177,16 @@ object Similarity {
     * arbitrarily large. Without block columns this degrades to an
     * exhaustive broadcast nested-loop pair scan — correct, but O(n²) and
     * bounded by what fits in one broadcast (driver + executor memory). */
+  /** @param saltBuckets with blockCols, replicate the build side over this
+    *   many deterministic salt buckets ([[graft.relational.Joins.saltedJoin]]):
+    *   block keys are LOW-cardinality by design (label, language), so an
+    *   unsalted block join caps its parallelism at the number of distinct
+    *   blocks and a popular block becomes a straggler — salting spreads
+    *   each block's pair generation over `saltBuckets` tasks with
+    *   identical results. */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil, saltBuckets: Int = 1): DataFrame = {
     val n = df.select((Seq(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v")) ++
         blockCols.map(col)): _*)
@@ -187,12 +194,21 @@ object Similarity {
     val right = n.select((Seq(col("vec_id").as("vec_b"),
       col("v").as("w"), col("nrm").as("nrm_b")) ++
       blockCols.map(c => col(c).as(s"${c}_b"))): _*)
-    // broadcast ONLY when there is no equi-key: with blockCols the planner
-    // must be free to shuffle-hash-join on the block key
-    val b = if (blockCols.isEmpty) broadcast(right) else right
-    val blockCond = blockCols.map(c => col(c) === col(s"${c}_b"))
-      .foldLeft(col("vec_id") < col("vec_b"))(_ && _)
-    n.join(b, blockCond)
+    val paired =
+      if (blockCols.isEmpty)
+        // no equi-key: exhaustive broadcast nested-loop pair scan
+        n.join(broadcast(right), col("vec_id") < col("vec_b"))
+      else {
+        // equi-join on the block key; salted so parallelism is not capped
+        // by the (low) block cardinality
+        val renamed = blockCols.foldLeft(right) { (d, c) =>
+          d.withColumnRenamed(s"${c}_b", c)
+        }
+        graft.relational.Joins
+          .saltedJoin(n, renamed, blockCols, math.max(1, saltBuckets))
+          .filter(col("vec_id") < col("vec_b"))
+      }
+    paired
       .withColumn("cos",
         cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
       .filter(col("cos") >= threshold)

@@ -56,7 +56,8 @@ object AnnQueries {
     "q_x10_embedding_neardup" -> { (s, dir) =>
       Similarity.cosineNearDuplicates(
         corpusWithNearDups(t(s, dir, "embeddings")),
-        "vec_id", "embedding", 0.99, Dim, blockCols = Seq("label"))
+        "vec_id", "embedding", 0.99, Dim, blockCols = Seq("label"),
+        saltBuckets = 8) // 10 labels alone would cap parallelism at 10 tasks
         .orderBy(col("vec_a"), col("vec_b"))
     })
 
