@@ -86,6 +86,31 @@ object Loaders {
     }.toMap
   }
 
+  /** [[loadAll]] with intra-phase parallelism — the reference's stated
+    * design goal for hash keys (DataLoader.scala:15-21: no surrogate-key
+    * lookup step means hubs, satellites and links of one source have no
+    * load-order dependency). Tables of the SAME phase submit their Spark
+    * jobs concurrently (the scheduler interleaves them across the
+    * cluster); phases still run in the reference's audit order. Each
+    * table's store directory is independent, so the concurrent writes
+    * never contend. */
+  def loadAllParallel(store: Scd2Store, loads: Seq[TableLoad],
+      maxConcurrent: Int = 4): Map[String, Map[String, Long]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val phase = Map("hub" -> 0, "satellite" -> 1, "link" -> 2, "mapping" -> 2)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, maxConcurrent))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      loads.groupBy(l => phase.getOrElse(l.kind, 3)).toSeq.sortBy(_._1)
+        .flatMap { case (_, phaseLoads) =>
+          val fs = phaseLoads.map(l => Future(loadAll(store, Seq(l)).head))
+          fs.map(Await.result(_, Duration.Inf))
+        }.toMap
+    } finally pool.shutdown()
+  }
+
   /** C4 `loadMapping`: a link with a `confidence` weight, feeding entity
     * resolution (reference: ParquetDataLoader.scala:766-975). */
   def loadMapping(incoming: DataFrame, existing: Option[DataFrame],

@@ -82,6 +82,30 @@ class Scd2StoreSpec extends SparkSpec {
       .columns should not contain "tier"
   }
 
+  it should "load tables of one phase concurrently with sequential-identical results" in {
+    val dir = Files.createTempDirectory("scd2par").toString
+    val store = new Scd2Store(spark, dir)
+    val custs = Seq((1, "gold"), (2, "silver"), (3, "bronze")).toDF("cid", "tier")
+    val pairs = Seq((1, 10), (2, 20)).toDF("cid", "oid")
+    val r = graft.load.Loaders.loadAllParallel(store, Seq(
+      graft.load.Loaders.TableLoad("sat_a", custs, cfg("pa")),
+      graft.load.Loaders.TableLoad("sat_b", custs, cfg("pb")),
+      graft.load.Loaders.TableLoad("hub_a", custs, cfg("pc"), kind = "hub"),
+      graft.load.Loaders.TableLoad("lnk_a", pairs,
+        cfg("pd").copy(idFields = Seq("cid", "oid")), kind = "link",
+        srcFields = Seq("cid"), srcIdType = "cust",
+        dstFields = Seq("oid"), dstIdType = "order")), maxConcurrent = 3)
+    r("sat_a")("inserted") shouldBe 3
+    r("sat_b")("inserted") shouldBe 3
+    r("hub_a")("inserted") shouldBe 3
+    r("lnk_a")("inserted") shouldBe 2
+    // every table published its full store layout despite concurrency
+    for (t <- Seq("sat_a", "sat_b", "hub_a", "lnk_a")) {
+      spark.read.parquet(s"$dir/$t/history.parquet").count() should be > 0L
+      Files.exists(java.nio.file.Paths.get(s"$dir/$t/proc.csv")) shouldBe true
+    }
+  }
+
   it should "expire old change-table partitions by directory" in {
     val dir = Files.createTempDirectory("scd2exp").toString
     val store = new Scd2Store(spark, dir)
