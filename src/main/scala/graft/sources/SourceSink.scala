@@ -76,9 +76,13 @@ object JdbcSource extends Source {
       ctx.get[String](k).map(acc.option(k, _)).getOrElse(acc)
     }
     ctx.get[String]("partition_column").map { pc =>
+      val (lo, hi) = (ctx.get[String]("lower_bound"), ctx.get[String]("upper_bound"))
+      require(lo.isDefined && hi.isDefined,
+        "partition_column requires lower_bound and upper_bound ctx keys " +
+          "(Spark needs the range to split the read into stride queries)")
       withOpt.option("partitionColumn", pc)
-        .option("lowerBound", ctx[String]("lower_bound"))
-        .option("upperBound", ctx[String]("upper_bound"))
+        .option("lowerBound", lo.get)
+        .option("upperBound", hi.get)
         .option("numPartitions",
           ctx.get[Int]("num_partitions").getOrElse(8).toString)
     }.getOrElse(withOpt)

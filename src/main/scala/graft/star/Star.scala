@@ -83,10 +83,35 @@ object Star {
         lit(-1L).as("id")): _*)
   }
 
-  private def assignIds(dim: DataFrame, seed: Long): DataFrame =
-    dim.withColumn("id",
-      row_number().over(Window.orderBy(col("hashed_key"))).cast("long") +
-        lit(seed - 1))
+  /** Dense surrogate ids in `hashed_key` order WITHOUT a global
+    * single-partition window (the one task a high-cardinality dim would
+    * straggle on at scale): the key's first 4 hex digits range-bucket the
+    * rows — prefix buckets align with lexicographic md5 order, so
+    * (bucket, key) order IS global key order — then each bucket ranks
+    * independently and a cumulative per-bucket offset stitches the
+    * buckets into exactly the ids a global `row_number` would assign.
+    * The offsets come from a 64-row aggregate + cumsum window inside the
+    * SAME plan (the "no partition defined" window is bounded by the
+    * constant bucket count, not the data) joined back by broadcast — no
+    * driver action, no extra job. */
+  private val IdBuckets = 64
+
+  private def assignIds(dim: DataFrame, seed: Long): DataFrame = {
+    val bucket = (conv(substring(col("hashed_key"), 1, 4), 16, 10)
+      .cast("long") * IdBuckets / 65536).cast("int")
+    val withB = dim.withColumn("__b", bucket)
+    val offs = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("hashed_key"))
+    withB.join(broadcast(offs), "__b")
+      .withColumn("id",
+        row_number().over(w).cast("long") + col("__off") + lit(seed - 1))
+      .drop("__b", "__off")
+  }
 
   /** T3 `writeDim` semantics as a pure merge: first load seeds ids 1..n and
     * adds the unknown row; subsequent loads insert new keys (ids continue
@@ -97,8 +122,11 @@ object Star {
     val pt = lit(processTime).cast("timestamp")
     existing match {
       case None =>
-        val first = assignIds(incoming, 1L)
-        unknownRow(incoming, spec, processTime).unionByName(first)
+        // assignIds consumes its input twice (bucket counts + rank join):
+        // materialize once so loadDim's aggregation doesn't run twice
+        val inc0 = incoming.localCheckpoint()
+        val first = assignIds(inc0, 1L)
+        unknownRow(inc0, spec, processTime).unionByName(first)
           .select(first.columns.map(col): _*)
 
       case Some(exPlan) =>
