@@ -117,6 +117,14 @@ object Scd2Merge {
   def currentActive(history: DataFrame): DataFrame =
     snapshot(history).filter(col(RecType) =!= Rec.Delete)
 
+  /** Time-travel read: the snapshot as it stood at `asOf` — the latest
+    * version per entity among rows whose `start_time` is at or before the
+    * instant. SCD2 histories are append-only, so this is a filter + the
+    * same one-shuffle arg-max as [[snapshot]]; entities first loaded
+    * after `asOf` simply don't appear. */
+  def snapshotAsOf(history: DataFrame, asOf: String): DataFrame =
+    snapshot(history.filter(col(StartTime) <= lit(asOf).cast("timestamp")))
+
   /** Dedup + project + rename + stamp metadata columns onto an incoming
     * batch (reference: ParquetDataLoader.scala:292-322). Output columns:
     * entity_id, [natural keys unless dropKeys], attrs…, then Meta.StampedCols.

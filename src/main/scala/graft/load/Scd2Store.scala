@@ -40,6 +40,24 @@ class Scd2Store(spark: SparkSession, base: String) {
     spark.read.parquet(p(table, "current"))
       .filter(col(RecType) =!= Rec.Delete)
 
+  /** Current view with history fallback (reference `readCurrentMapping`,
+    * ParquetDataLoader.scala:992-1001): prefer the materialized current
+    * table; when only a history exists (e.g. written by an external job),
+    * derive the latest-per-entity view from it. For links/mappings the
+    * entity id IS the (src, dst) pair hash, so this equals the
+    * reference's latest-per-pair `readMapping`. */
+  def readCurrentOrSnapshot(table: String): DataFrame = {
+    val cur = new Path(p(table, "current"))
+    if (cur.getFileSystem(spark.sessionState.newHadoopConf()).exists(cur))
+      readCurrent(table)
+    else
+      Scd2Merge.currentActive(spark.read.parquet(p(table, "history")))
+  }
+
+  /** Time-travel read of a stored table (see [[Scd2Merge.snapshotAsOf]]). */
+  def readSnapshotAsOf(table: String, asOf: String): DataFrame =
+    Scd2Merge.snapshotAsOf(spark.read.parquet(p(table, "history")), asOf)
+
   /** Run a merge against the stored history and persist all outputs.
     * Returns the per-branch counts (inserted/changed/removed).
     *

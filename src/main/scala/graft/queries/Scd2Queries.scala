@@ -110,6 +110,23 @@ object Scd2Queries {
         .orderBy(col("o_orderkey"))
     },
 
+    // C7 time travel: snapshot as-of an instant BETWEEN two loads — must
+    // reproduce the first load's state exactly, invisible to the later
+    // merge's updates/deletes/inserts.
+    "q_c9_snapshot_asof" -> { (s, dir) =>
+      val base = t(s, dir, "customer")
+      val c0 = cfg("customer", Seq("c_custkey"), delta = true)
+      val first = Loaders.loadSatellite(base, None, c0).materialized
+      val r = Loaders.loadSatellite(incomingBatch(base),
+        Some(first.history),
+        c0.copy(isDelta = false, processType = "full",
+          processTime = "2024-03-01 00:00:00"))
+      Scd2Merge.snapshotAsOf(r.history, "2024-02-15 00:00:00")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("rectype"), col("version"))
+        .orderBy(col("c_custkey"))
+    },
+
     // C3: link first load — hashed (src, dst) pair keys.
     "q_c3_link_first_load" -> { (s, dir) =>
       val orders = t(s, dir, "orders")
@@ -180,6 +197,9 @@ object Scd2Queries {
         |  FROM customer c
         |  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.c_custkey = c.c_custkey))
         |ORDER BY c_custkey""".stripMargin,
+    "q_c9_snapshot_asof" ->
+      """SELECT c_custkey, c_mktsegment, 'I' AS rectype, 1 AS version
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_c4_mapping_load" ->
       """SELECT
         |  md5('cust_order_map'

@@ -106,6 +106,25 @@ class Scd2StoreSpec extends SparkSpec {
     }
   }
 
+  it should "read current-or-snapshot and as-of views" in {
+    val dir = Files.createTempDirectory("scd2asof").toString
+    val store = new Scd2Store(spark, dir)
+    store.runLoad("t3", Seq((1, "a"), (2, "b")).toDF("cid", "v"), cfg("p1"))
+    store.runLoad("t3", Seq((1, "a2")).toDF("cid", "v"),
+      cfg("p2").copy(processTime = "2024-03-10 00:00:00"))
+    // current prefers the materialized table
+    store.readCurrentOrSnapshot("t3").count() shouldBe 2
+    // as-of between the loads sees the first state
+    val asOf = store.readSnapshotAsOf("t3", "2024-03-05 00:00:00")
+    asOf.count() shouldBe 2
+    asOf.filter(col("cid") === 1).select("v").as[String].head() shouldBe "a"
+    // history-only fallback (simulate an externally-written table)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t3/current.parquet"), true)
+    store.readCurrentOrSnapshot("t3").count() shouldBe 2
+  }
+
   it should "expire old change-table partitions by directory" in {
     val dir = Files.createTempDirectory("scd2exp").toString
     val store = new Scd2Store(spark, dir)
