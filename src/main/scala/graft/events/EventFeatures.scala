@@ -96,6 +96,50 @@ object EventFeatures {
         round(col("n_attr").cast("double") / col("n_total"), 6)
           .as("proportion"))
 
+  /** Hour-of-day band predicate (`startHour` inclusive, `endHour`
+    * exclusive): the "events between 11am and 3pm" feature family. */
+  def hourBand(startHour: Int, endHour: Int,
+      c: EventCols = EventCols()): Column =
+    hour(col(c.ts)) >= startHour && hour(col(c.ts)) < endHour
+
+  /** Weekend predicate via pure integer arithmetic — epoch-day mod 7 with
+    * 1970-01-01 anchored as Thursday, so (day+4) mod 7 gives Sunday=0 …
+    * Saturday=6. No engine-specific day-of-week numbering to mismatch. */
+  def weekendDays(c: EventCols = EventCols()): Column = {
+    val dow = pmod(floor(unix_timestamp(col(c.ts)) / 86400L) + 4, lit(7))
+    dow === 0 || dow === 6
+  }
+
+  /** "Average number of daily events <in some band>" (docs/
+    * feature_examples.md: 11am-3pm, weekend, weekday variants): events
+    * matching `cond`, averaged over the entity's ACTIVE days in the band
+    * (days with no band events don't dilute the mean — the reference's
+    * daily averages behave the same). One aggregate: count / distinct-day
+    * count. */
+  def bandedDailyAverage(events: DataFrame, cond: Column,
+      c: EventCols = EventCols()): DataFrame =
+    events.filter(cond)
+      .groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(c.ts).cast("date")).as("n_days"))
+      .select(col(c.entity), col("n_events"), col("n_days"),
+        round(col("n_events").cast("double") / col("n_days"), 4)
+          .as("avg_daily"))
+
+  /** "Average duration of sessions" (docs/feature_examples.md): session
+    * bounds from [[EventFunctions.sessionStats]] (gap-based sessionize),
+    * duration in whole seconds, per-entity mean as one exact BIGINT sum
+    * and a final double division. */
+  def avgSessionDuration(events: DataFrame, timeoutSec: Long,
+      c: EventCols = EventCols()): DataFrame =
+    EventFunctions.sessionStats(events, timeoutSec, c)
+      .withColumn("__dur",
+        unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+      .groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("__dur")).cast("double") / count(lit(1)), 4)
+          .as("avg_session_s"))
+
   /** Inter-event intervals per entity (seconds between consecutive events
     * of `attribute`): count, max, and mean — the "inter-purchase interval"
     * feature. Mean = exact BIGINT sum / count, one double division. */

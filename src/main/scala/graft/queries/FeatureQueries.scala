@@ -47,6 +47,27 @@ object FeatureQueries {
     "q_e6_event_proportion" -> { (s, dir) =>
       EventFeatures.eventProportion(t(s, dir, "events"), "purchase")
         .orderBy(col("user_id"))
+    },
+
+    // E7: average daily event count inside the 11am-3pm band.
+    "q_e7_band_daily_avg" -> { (s, dir) =>
+      EventFeatures.bandedDailyAverage(t(s, dir, "events"),
+        EventFeatures.hourBand(11, 15))
+        .orderBy(col("user_id"))
+    },
+
+    // E8: average daily event count on weekend days (arithmetic
+    // day-of-week, engine-neutral).
+    "q_e8_weekend_daily_avg" -> { (s, dir) =>
+      EventFeatures.bandedDailyAverage(t(s, dir, "events"),
+        EventFeatures.weekendDays())
+        .orderBy(col("user_id"))
+    },
+
+    // E9: average session duration (1h-gap sessions) per entity.
+    "q_e9_session_duration" -> { (s, dir) =>
+      EventFeatures.avgSessionDuration(t(s, dir, "events"), 3600)
+        .orderBy(col("user_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -99,6 +120,40 @@ object FeatureQueries {
         |  round(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
         |    AS DOUBLE) / count(1), 6) AS proportion
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_e7_band_daily_avg" ->
+      """WITH band AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE extract(hour FROM ts) >= 11 AND extract(hour FROM ts) < 15)
+        |SELECT user_id, count(1) AS n_events,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  round(CAST(count(1) AS DOUBLE) / count(DISTINCT day), 4) AS avg_daily
+        |FROM band GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_e8_weekend_daily_avg" ->
+      """WITH wk AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 IN (0, 6))
+        |SELECT user_id, count(1) AS n_events,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  round(CAST(count(1) AS DOUBLE) / count(DISTINCT day), 4) AS avg_daily
+        |FROM wk GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_e9_session_duration" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |d AS (
+        |  SELECT user_id, session_id,
+        |    date_diff('second', min(ts), max(ts)) AS dur
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(1) AS n_sessions,
+        |  round(CAST(sum(dur) AS DOUBLE) / count(1), 4) AS avg_session_s
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e4_purchase_intervals" ->
       """WITH gaps AS (
         |  SELECT user_id,
