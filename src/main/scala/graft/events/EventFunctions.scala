@@ -82,6 +82,23 @@ object EventFunctions {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** W11 journey transition matrix (docs/customer_journey_mapping.md:
+    * journeys as stage sequences): count (from_type → to_type) transitions
+    * of consecutive events per entity, aggregated corpus-wide. The
+    * building block of journey-pattern and Markov-chain analyses. One
+    * entity-window pass + one small aggregate — the output is bounded by
+    * |event types|², not by data size. */
+  def transitionCounts(events: DataFrame,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity)).orderBy(col(c.ts), col(c.id))
+    events
+      .withColumn("__from", lag(col(c.eventType), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"),
+        col(c.eventType).as("to_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_transitions"))
+  }
+
   /** W1 `sessionize(timeoutSec)`: per entity, order events by time and assign
     * session numbers, incrementing when the gap to the previous event exceeds
     * the timeout (reference: eventFunctions.scala:77-96, groupByKey+scanLeft).

@@ -104,6 +104,13 @@ object EventQueries {
 
     // W10: sessionized funnel — per entity, how many 1h-gap sessions
     // contain a view, and how many of those also convert to a purchase.
+    // W11: corpus-wide journey transition matrix (consecutive event-type
+    // pairs per entity).
+    "q_w11_transition_matrix" -> { (s, dir) =>
+      EventFunctions.transitionCounts(t(s, dir, "events"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     "q_w10_session_funnel" -> { (s, dir) =>
       EventFunctions.sessionize(t(s, dir, "events"), 3600)
         .groupBy(col("user_id"), col("session_id"))
@@ -155,6 +162,15 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_w11_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS from_type, event_type AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(1) AS n_transitions
+        |FROM p WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_w10_session_funnel" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,
