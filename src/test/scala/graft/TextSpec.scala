@@ -74,6 +74,32 @@ class TextSpec extends SparkSpec {
     r shouldBe ((3L, 4L)) // ab|12|cd|! as subword tokens
   }
 
+  it should "compute minhash signatures matching the affine-family definition" in {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "alpha beta gamma alpha beta gamma alpha beta"))
+    def expected(text: String, k: Int): Seq[Long] = {
+      val ws = text.toLowerCase.split("\\s+")
+      val mins = Array.fill(k)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).foreach { s =>
+        val d = md.digest(s.getBytes("UTF-8"))
+        val x1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val x2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        for (ki <- 0 until k)
+          mins(ki) = math.min(mins(ki), (x1 + ki * x2) % Dedup.MinhashPrime)
+      }
+      mins.toSeq
+    }
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    got(1L) shouldBe expected(texts(0)._2, 16)
+    got(2L) shouldBe expected(texts(1)._2, 16)
+  }
+
   it should "flag corpus docs overlapping the eval set by n-grams" in {
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
