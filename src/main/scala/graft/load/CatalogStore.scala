@@ -43,6 +43,17 @@ class CatalogStore(spark: SparkSession) {
   def readCurrent(table: String): DataFrame =
     spark.table(currentName(table)).filter(col(RecType) =!= Rec.Delete)
 
+  /** Time-travel read of a catalog-stored table
+    * (see [[Scd2Merge.snapshotAsOf]]). */
+  def readSnapshotAsOf(table: String, asOf: String): DataFrame =
+    Scd2Merge.snapshotAsOf(spark.table(historyName(table)), asOf)
+
+  /** Current view with history fallback (parity with
+    * [[Scd2Store.readCurrentOrSnapshot]]). */
+  def readCurrentOrSnapshot(table: String): DataFrame =
+    if (tableExists(currentName(table))) readCurrent(table)
+    else Scd2Merge.currentActive(spark.table(historyName(table)))
+
   /** Run a merge against the stored history tables. The new history is
     * staged under a temporary name and swapped in with a rename so the
     * lazy merge plan never overwrites its own input. */

@@ -51,6 +51,10 @@ class Scd2StoreSpec extends SparkSpec {
     spark.table("cat_t1_history").count() shouldBe 3
     store.readCurrent("cat_t1")
       .filter(col("cid") === 1).select("v").as[String].head() shouldBe "a2"
+    // as-of between the two loads sees the first state
+    store.readSnapshotAsOf("cat_t1", "2024-03-01 12:00:00")
+      .filter(col("cid") === 1).select("v").as[String].head() shouldBe "a"
+    store.readCurrentOrSnapshot("cat_t1").count() shouldBe 2
   }
 
   it should "orchestrate loadAll with proc and meta sinks" in {
