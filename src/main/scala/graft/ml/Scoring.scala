@@ -22,6 +22,50 @@ case class LinearModel(weights: Seq[Double], bias: Double = 0.0) extends Model {
       .reduce(_ + _) + lit(bias)
 }
 
+/** A binary decision tree over numeric columns. Split semantics:
+  * `feature <= threshold` goes left, else (INCLUDING a NULL feature) goes
+  * right — identical to SQL `CASE WHEN f <= t THEN … ELSE … END`, which
+  * is exactly what the compiler emits on both engines. */
+sealed trait TreeNode extends Serializable
+case class Leaf(value: Double) extends TreeNode
+case class Split(feature: String, threshold: Double,
+    left: TreeNode, right: TreeNode) extends TreeNode
+
+/** Tree-ensemble scoring COMPILED to native expressions — the real
+  * replacement for row-at-a-time POJO scoring (reference:
+  * common/utility/scoringFunctions.scala:24-49): a GBM/RF-style ensemble
+  * becomes nested `when()` columns summed left-to-right, fully inside
+  * whole-stage codegen with zero UDF or model-runtime dependency, and the
+  * SAME compiler emits the ANSI SQL `CASE` text so an independent engine
+  * scores bit-identically. Model ingestion (from a trained artifact's
+  * tree dump) is a parsing concern; the evaluator here is complete. */
+object TreeScoring {
+  def compile(t: TreeNode): Column = t match {
+    case Leaf(v) => lit(v)
+    case Split(f, thr, l, r) =>
+      when(col(f).cast("double") <= thr, compile(l)).otherwise(compile(r))
+  }
+
+  /** ANSI SQL mirror of [[compile]] — same shape, same NULL routing. */
+  def compileSql(t: TreeNode): String = t match {
+    case Leaf(v) => v.toString
+    case Split(f, thr, l, r) =>
+      s"CASE WHEN CAST($f AS DOUBLE) <= $thr THEN ${compileSql(l)} " +
+        s"ELSE ${compileSql(r)} END"
+  }
+
+  /** Sum-of-trees score (+ bias), accumulated left-to-right so the double
+    * result is bit-identical to the SQL mirror's `bias + t1 + t2 + …`. */
+  def scoreEnsemble(df: DataFrame, trees: Seq[TreeNode],
+      bias: Double = 0.0, outCol: String = "score"): DataFrame =
+    df.withColumn(outCol,
+      round(trees.map(compile).foldLeft(lit(bias))(_ + _), 6))
+
+  /** The SQL expression matching [[scoreEnsemble]]'s output column. */
+  def scoreEnsembleSql(trees: Seq[TreeNode], bias: Double = 0.0): String =
+    s"round(${trees.map(compileSql).foldLeft(bias.toString)((a, t) => s"$a + $t")}, 6)"
+}
+
 object Scoring {
   /** Append a `score` column; enum re-coding (the reference's domain-value
     * mapping) is expressed as an optional per-column recode map. */

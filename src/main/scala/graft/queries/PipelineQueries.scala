@@ -70,7 +70,31 @@ object PipelineQueries {
         col("l_linenumber").cast("long").as("l_linenumber"),
         round(col("score"), 4).as("score"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // F12: tree-ensemble scoring compiled to native expressions — the
+    // oracle SQL below is emitted by the SAME compiler, so DuckDB
+    // re-evaluates the identical CASE tree independently.
+    "q_f12_tree_ensemble" -> { (s, dir) =>
+      graft.ml.TreeScoring.scoreEnsemble(
+        t(s, dir, "lineitem"), PipelineQueries.EnsembleTrees, bias = 0.1)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("score"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
+
+  /** The demo GBM-style ensemble shared by q_f12's Spark and oracle sides. */
+  val EnsembleTrees: Seq[graft.ml.TreeNode] = {
+    import graft.ml.{Leaf, Split}
+    Seq(
+      Split("l_quantity", 25.0,
+        Split("l_discount", 0.05, Leaf(0.2), Leaf(0.7)),
+        Split("l_extendedprice", 30000.0, Leaf(1.1), Leaf(1.9))),
+      Split("l_discount", 0.08,
+        Leaf(-0.3),
+        Split("l_quantity", 40.0, Leaf(0.4), Leaf(0.9))))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_r4_table_pipeline" ->
@@ -89,5 +113,9 @@ object PipelineQueries {
         |  round(0.5 * l_quantity + 2.0 * l_discount +
         |    3.0 * (CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 0.5
         |      WHEN 'N' THEN 0.0 END) + 1.0, 4) AS score
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_f12_tree_ensemble" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  ${graft.ml.TreeScoring.scoreEnsembleSql(EnsembleTrees, bias = 0.1)} AS score
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -62,4 +62,32 @@ class FunctionsSpec extends SparkSpec {
     graft.functions.isNumber("4x") shouldBe false
     graft.functions.isNumber("") shouldBe false
   }
+
+  behavior of "TreeScoring"
+
+  it should "route splits (nulls right) and mirror its own SQL exactly" in {
+    import graft.ml.{Leaf, Split, TreeScoring}
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val trees = Seq(
+      Split("x", 10.0, Leaf(1.0), Split("y", 0.5, Leaf(2.0), Leaf(3.0))),
+      Split("y", 0.2, Leaf(0.1), Leaf(0.2)))
+    val df = Seq(
+      (1L, Some(5.0), Some(0.1)),   // x<=10 -> 1.0; y<=0.2 -> 0.1
+      (2L, Some(20.0), Some(0.4)),  // x>10,y<=0.5 -> 2.0; y>0.2 -> 0.2
+      (3L, None, Some(0.9)))        // null x routes RIGHT; y>0.5 -> 3.0
+      .toDF("id", "x", "y")
+    val scored = TreeScoring.scoreEnsemble(df, trees, bias = 0.5)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    scored(1L) shouldBe 1.6
+    scored(2L) shouldBe 2.7
+    scored(3L) shouldBe 3.7
+    // the emitted SQL, evaluated by Spark's OWN parser, matches exactly
+    // (cast: the SQL parser types bare literals as DECIMAL)
+    val viaSql = df.select(col("id"),
+      expr(TreeScoring.scoreEnsembleSql(trees, bias = 0.5))
+        .cast("double").as("s"))
+      .as[(Long, Double)].collect().toMap
+    viaSql shouldBe scored
+  }
 }
