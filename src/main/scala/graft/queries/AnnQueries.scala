@@ -51,6 +51,21 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X16: int8 embedding quantization — per-vector scale, quantized
+    // cells (summarized as exact integer sums for the scalar compare) and
+    // max reconstruction error.
+    "q_x16_int8_quantization" -> { (s, dir) =>
+      graft.ann.Embeddings.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          element_at(col("q"), 1).as("q1"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // X10: embedding-cosine near-duplicate pairs (threshold 0.99),
     // label-blocked: candidates must share the label metadata column.
     "q_x10_embedding_neardup" -> { (s, dir) =>
@@ -106,6 +121,27 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, centroid_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_x16_int8_quantization" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM base),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+        |      ELSE list_transform(v, x -> 0) END AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale, qv[1] AS q1,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS q_l1,
+        |  round(CASE WHEN scale > 0
+        |    THEN list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - qv[i] * scale)))
+        |    ELSE 0.0 END, 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_x10_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
