@@ -44,4 +44,22 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L), (3L, 4L))
   }
+
+  it should "normalize to unit vectors and quantize within one scale step" in {
+    import graft.ann.Embeddings
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val n = df.select(col("vec_id"),
+        Embeddings.normalized(col("embedding")).as("u"))
+      .as[(Long, Seq[Double])].collect().toMap
+    n(1L) shouldBe Seq(0.6, 0.8)
+    n(2L) shouldBe Seq(0.0, 0.0) // zero vector passes through
+    val q = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .select("vec_id", "scale", "q", "max_abs_err")
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    q(1L)._3.max shouldBe 127 // the largest component maps to full range
+    q(1L)._4 should be <= q(1L)._2 / 2 + 1e-12 // error bounded by scale/2
+    q(2L)._3 shouldBe Seq(0, 0)
+    q(2L)._4 shouldBe 0.0
+  }
 }
