@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * training-data pipelines (north-star scope; the reference itself has no
   * text operators). Design points for 100 TB:
   *
-  *  - Signatures (minhash, simhash) are computed with *array expressions
-  *    inside one projection* — no explode, no shuffle, no UDF; one pass over
-  *    the corpus, fully whole-stage-codegen.
+  *  - Signatures are computed in ONE projection over the corpus — no
+  *    explode, no shuffle. SimHash is pure array expressions; minhash and
+  *    shingle construction run as tight per-row UDF loops, the measured-
+  *    fast form (Catalyst interprets higher-order-function lambdas per
+  *    element — see memory/bench notes).
   *  - Candidate generation is LSH banding: explode to (band, band_hash) and
   *    self-join on the band hash. The shuffle key is the band hash —
   *    uniformly distributed by construction — and join fan-out is bounded by
