@@ -99,6 +99,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X17: near-dup clusters — LSH pairs transitively closed into
+    // components with a canonical (min-id) member per cluster.
+    "q_x17_neardup_clusters" -> { (s, dir) =>
+      Dedup.nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X14: eval-set decontamination — corpus docs sharing any 8-gram with
     // the planted "eval set" (doc_id % 97 == 0) are flagged.
     "q_x14_decontamination" -> { (s, dir) =>
@@ -151,6 +158,35 @@ object TextQueries {
     s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${BigInt(16).pow(hi - j)}")
     .mkString(" + ")
 
+  /** Shared CTE chain: shingles → affine minhash signatures → band hashes
+    * → candidate pairs → per-pair minhash agreement counts (`nm`). Used by
+    * the q_x2 pair oracle and the q_x17 cluster-closure oracle. */
+  private def minhashNmCte: String =
+    s"""${shingleCte(3)},
+       |th AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+       |xv AS (SELECT doc_id,
+       |    ${hexDigitSum(1, 8)} AS x1,
+       |    ${hexDigitSum(9, 16)} AS x2
+       |  FROM th),
+       |mh AS (
+       |  SELECT doc_id, k, min((x1 + k * x2) % ${Dedup.MinhashPrime}) AS mh
+       |  FROM xv, range(16) AS r(k) GROUP BY doc_id, k),
+       |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
+       |  FROM sig, range(4) AS rb(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+       |nm AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN mh x ON x.doc_id = cand.doc_a
+       |  JOIN mh y ON y.doc_id = cand.doc_b AND y.k = x.k
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_x1_exact_dedup" ->
       """WITH corpus AS (
@@ -166,34 +202,23 @@ object TextQueries {
         |FROM corpus c JOIN g ON md5(c.text) = g.th
         |ORDER BY c.doc_id""".stripMargin,
     "q_x2_minhash_lsh" ->
-      s"""WITH ${shingleCte(3)},
-         |th AS (SELECT doc_id, md5(shingle) AS m FROM sh),
-         |xv AS (SELECT doc_id,
-         |    ${hexDigitSum(1, 8)} AS x1,
-         |    ${hexDigitSum(9, 16)} AS x2
-         |  FROM th),
-         |mh AS (
-         |  SELECT doc_id, k, min((x1 + k * x2) % ${Dedup.MinhashPrime}) AS mh
-         |  FROM xv, range(16) AS r(k) GROUP BY doc_id, k),
-         |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b, md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
-         |  FROM sig, range(4) AS rb(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-         |nm AS (
-         |  SELECT cand.doc_a, cand.doc_b,
-         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-         |  FROM cand
-         |  JOIN mh x ON x.doc_id = cand.doc_a
-         |  JOIN mh y ON y.doc_id = cand.doc_b AND y.k = x.k
-         |  GROUP BY 1, 2)
+      s"""WITH $minhashNmCte
          |SELECT doc_a, doc_b, n_match,
          |  round(n_match / 16.0, 4) AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_x17_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashNmCte,
+         |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         |  v = min(r) AS is_canonical
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_x3_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok

@@ -204,6 +204,24 @@ object Dedup {
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS — the step production dedup actually ships:
+    * candidate pairs from MinHash+LSH, transitively closed into components
+    * (distributed min-label propagation, [[graft.graph.EntityResolution]]),
+    * canonical member = the minimum doc id. Returns one row per clustered
+    * document: (doc_id, cluster_id, is_canonical); keep the canonicals and
+    * drop the rest. Documents in no near-dup pair are not emitted (they
+    * are their own trivial cluster). */
+  def nearDuplicateClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, shingleN, k,
+      bands, minMatch).select(col("doc_a"), col("doc_b"))
+    graft.graph.EntityResolution
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"),
+        (col("v") === col("component")).as("is_canonical"))
+  }
+
   /** Benchmark/eval-set decontamination: flag corpus documents sharing at
     * least `minShared` distinct word n-grams with ANY document of the
     * eval set — the standard n-gram-overlap test-set contamination check
