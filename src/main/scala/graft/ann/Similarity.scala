@@ -30,8 +30,17 @@ object Similarity {
     s
   })
 
-  /** Left-to-right dot product (`dim` is advisory; kept for API clarity). */
+  /** Left-to-right dot product (`dim` is advisory; kept for API clarity).
+    * UDF form — works on any session with no registration; the operator
+    * entry points below use the NATIVE [[graft.functions.DotProductExpr]]
+    * instead (same values bit-for-bit, but codegen'd over `ArrayData` in
+    * place — no per-call Seq conversion of both arrays). */
   def dot(a: Column, b: Column, dim: Int): Column = dotUdf(a, b)
+
+  /** The codegen'd dot — requires `graft_dot` registered on the session
+    * ([[graft.GraftExtensions]] or `DotProductExpr.register`). */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function(graft.functions.DotProductExpr.Name, a, b)
 
   /** Fallback fold for unknown dimension (interpreted, slower). */
   def dotFold(a: Column, b: Column): Column =
@@ -43,10 +52,21 @@ object Similarity {
       dim: Int): Column =
     dot(a, b, dim) / (normA * normB)
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int) =
+  // Native-expression forms used by the operator entry points (which
+  // guarantee registration via ensureNative).
+  private def nNorm(a: Column): Column = sqrt(nativeDot(a, a))
+  private def nCosine(a: Column, b: Column, normA: Column,
+      normB: Column): Column = nativeDot(a, b) / (normA * normB)
+
+  private def ensureNative(df: DataFrame): Unit =
+    graft.functions.DotProductExpr.register(df.sparkSession)
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int) = {
+    ensureNative(df)
     df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v"), dim))
+      .withColumn("nrm", nNorm(col("v")))
+  }
 
   /** Brute-force exact cosine top-k of `candidates` per row of `queries`
     * (self excluded by id).
@@ -142,7 +162,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col("centroid_id"))
     n.crossJoin(c)
       .withColumn("ccos",
-        cosine(col("v"), col("cv"), col("nrm"), col("cnrm"), dim))
+        nCosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
@@ -161,7 +181,7 @@ object Similarity {
     assigned.join(cands, "centroid_id")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
+        nCosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("centroid_id"), col("rk"),
@@ -187,10 +207,11 @@ object Similarity {
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
       blockCols: Seq[String] = Nil, saltBuckets: Int = 1): DataFrame = {
+    ensureNative(df)
     val n = df.select((Seq(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v")) ++
         blockCols.map(col)): _*)
-      .withColumn("nrm", norm(col("v"), dim))
+      .withColumn("nrm", nNorm(col("v")))
     val right = n.select((Seq(col("vec_id").as("vec_b"),
       col("v").as("w"), col("nrm").as("nrm_b")) ++
       blockCols.map(c => col(c).as(s"${c}_b"))): _*)
@@ -210,7 +231,7 @@ object Similarity {
       }
     paired
       .withColumn("cos",
-        cosine(col("v"), col("w"), col("nrm"), col("nrm_b"), dim))
+        nCosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("cosine"))

@@ -13,6 +13,29 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.0f, 0.9f, 0.1f)))   // close to 3
     .toDF("vec_id", "embedding")
 
+  it should "evaluate the native codegen dot identically to the UDF and via SQL" in {
+    graft.functions.DotProductExpr.register(spark)
+    val v = col("embedding").cast("array<double>")
+    val rows = vecs.select(
+        Similarity.dot(v, v, 3).as("u"),
+        Similarity.nativeDot(v, v).as("n"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (u, n) => n shouldBe u } // bit-identical
+    // pure-SQL surface after registration
+    spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head() shouldBe 11.0
+    // ragged inputs truncate to the shorter length, like the UDF
+    spark.sql("SELECT graft_dot(array(2.0d, 5.0d), array(3.0d)) AS d")
+      .as[Double].head() shouldBe 6.0
+    // NULL in -> NULL out
+    spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .select(col("d").isNull).as[Boolean].head() shouldBe true
+    // the SparkSessionExtensions entry point installs without error
+    noException should be thrownBy
+      new graft.GraftExtensions().apply(
+        new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   it should "rank exact cosine neighbors correctly" in {
     val top1 = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 1, 3)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
