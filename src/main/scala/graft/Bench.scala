@@ -38,6 +38,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // intra-query persists must not leak (untimed)
+      System.gc() // untimed: stop one query's garbage from taxing the next
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
