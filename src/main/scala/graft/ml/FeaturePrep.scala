@@ -1,0 +1,37 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic feature-preparation transforms.
+  *
+  * Min-max scaling is chosen over z-score standardization deliberately:
+  * min/max are EXACT under any aggregation order, so the scaled values
+  * are bit-identical across engines and across reruns — a double `sum`
+  * (the mean/stddev path) is partial-aggregated in nondeterministic order
+  * and can drift in the last ulp between plans. Determinism is a design
+  * requirement of this library (SURVEY §7.1). */
+object FeaturePrep {
+
+  /** Scale each column to [0, 1] by its global (min, max); constant
+    * columns map to 0.0. The stats come from ONE aggregate row that joins
+    * back by broadcast cross-join — two scans total, no shuffle of the
+    * data side, scale-safe at any row count. Appends `<col>_scaled`. */
+  def minMaxScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "minMaxScale needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      val lo = col(s"__min_$c")
+      val hi = col(s"__max_$c")
+      d.withColumn(s"${c}_scaled",
+        when(hi > lo,
+          round((col(c).cast("double") - lo) / (hi - lo), 6))
+          .otherwise(lit(0.0)))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+}

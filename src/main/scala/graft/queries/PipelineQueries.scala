@@ -72,6 +72,18 @@ object PipelineQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // F13: min-max feature scaling — exact global min/max (deterministic
+    // under any aggregation order, unlike float sums), one stats row
+    // broadcast back.
+    "q_f13_minmax_scale" -> { (s, dir) =>
+      graft.ml.FeaturePrep.minMaxScale(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity_scaled"), col("l_extendedprice_scaled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // F12: tree-ensemble scoring compiled to native expressions — the
     // oracle SQL below is emitted by the SAME compiler, so DuckDB
     // re-evaluates the identical CASE tree independently.
@@ -114,6 +126,20 @@ object PipelineQueries {
         |    3.0 * (CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 0.5
         |      WHEN 'N' THEN 0.0 END) + 1.0, 4) AS score
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_f13_minmax_scale" ->
+      """WITH s AS (
+        |  SELECT min(CAST(l_quantity AS DOUBLE)) AS qlo,
+        |    max(CAST(l_quantity AS DOUBLE)) AS qhi,
+        |    min(CAST(l_extendedprice AS DOUBLE)) AS elo,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS ehi
+        |  FROM lineitem)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round((CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo), 6)
+        |    AS l_quantity_scaled,
+        |  round((CAST(l_extendedprice AS DOUBLE) - elo) / (ehi - elo), 6)
+        |    AS l_extendedprice_scaled
+        |FROM lineitem, s
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_f12_tree_ensemble" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  ${graft.ml.TreeScoring.scoreEnsembleSql(EnsembleTrees, bias = 0.1)} AS score
