@@ -21,6 +21,7 @@ object ExplainCheck {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // AQE shows the pre-execution plan (no codegen markers yet); disable
       // it here so the diagnostic sees the final codegen'd shape.
       .config("spark.sql.adaptive.enabled", "false")
