@@ -28,10 +28,12 @@ case class DimSpec(
   *    collected driver-side map (star/Loader.scala:49-57) — the map breaks
   *    at scale, the broadcast join is the same plan without the driver hop.
   *
-  * Scale: dims are broadcast-sized by definition (they seed FK lookups);
-  * the single-partition `row_number` window over a dim is bounded by dim
-  * cardinality, while facts only ever flow through broadcast hash joins —
-  * the fact table is never shuffled.
+  * Scale: dims are broadcast-sized by definition (they seed FK lookups),
+  * and id assignment no longer needs even that contract — surrogate ids
+  * come from prefix-range buckets ranked independently (see `assignIds`),
+  * so no data-sized single-partition window exists anywhere. Facts only
+  * ever flow through broadcast hash joins — the fact table is never
+  * shuffled.
   */
 object Star {
   import graft.meta.Meta.OpenEndDate
