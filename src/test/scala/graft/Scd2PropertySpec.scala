@@ -15,10 +15,11 @@ import scala.util.Random
 class Scd2PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def cfg(pid: String) = MergeConfig(
-    idFields = Seq("cid"), idType = "e", entityType = "e", source = "prop",
-    processType = "full", processId = pid, userId = "t",
-    processTime = "2024-05-01 00:00:00", isDelta = false)
+  private def cfg(pid: String, pt: String = "2024-05-01 00:00:00") =
+    MergeConfig(
+      idFields = Seq("cid"), idType = "e", entityType = "e", source = "prop",
+      processType = "full", processId = pid, userId = "t",
+      processTime = pt, isDelta = false)
 
   private def randomBatch(rnd: Random, idSpace: Int): DataFrame = {
     val rows = (1 to idSpace).filter(_ => rnd.nextDouble() > 0.3)
@@ -56,11 +57,24 @@ class Scd2PropertySpec extends SparkSpec {
       val rnd = new Random(seed)
       var hist: Option[DataFrame] = None
       var histCount = 0L
+      // per-step snapshots for the time-travel invariant below
+      var stepSnaps: List[(String, DataFrame)] = Nil
       for (step <- 1 to 3) {
-        val r = Scd2Merge.merge(randomBatch(rnd, 12), hist, cfg(s"p$seed-$step"))
+        val pt = s"2024-05-0$step 00:00:00"
+        val r = Scd2Merge.merge(randomBatch(rnd, 12), hist,
+          cfg(s"p$seed-$step", pt))
         checkInvariants(r, histCount)
         hist = Some(r.history.localCheckpoint(true))
         histCount = hist.get.count()
+        stepSnaps ::= pt -> Scd2Merge.snapshot(hist.get).localCheckpoint(true)
+      }
+      // time travel: as-of each load's processTime reproduces that load's
+      // snapshot EXACTLY (append-only history never mutates old rows)
+      for ((pt, snapK) <- stepSnaps) {
+        val asOf = Scd2Merge.snapshotAsOf(hist.get, pt)
+        asOf.count() shouldBe snapK.count()
+        asOf.exceptAll(snapK).count() shouldBe 0
+        snapK.exceptAll(asOf).count() shouldBe 0
       }
       // idempotence: replaying the exact final state as a full load is a no-op
       val replay = Scd2Merge.snapshot(hist.get)
