@@ -89,6 +89,37 @@ class StarSpec extends SparkSpec {
     fact.filter(col("fk_dim_quarter") === -1L).count() shouldBe 0
   }
 
+  it should "hold id-stability invariants across random dim-merge chains" in {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("NY", "SF", "LA", "CHI", "DAL", "SEA")
+      def batch() = keys.filter(_ => rnd.nextDouble() > 0.3)
+        .map(k => (k, s"r${rnd.nextInt(3)}"))
+        .toDF("city", "region")
+      var dim: Option[org.apache.spark.sql.DataFrame] = None
+      for (step <- 1 to 4) {
+        val merged = Star.mergeDim(dim,
+          Star.loadDim(batch(), spec, s"2024-0$step-01 00:00:00"),
+          spec, s"2024-0$step-01 00:00:00").localCheckpoint(true)
+        // one id per key, forever (id never reassigned across versions)
+        merged.filter(col("id") =!= -1L)
+          .groupBy(col("city"))
+          .agg(countDistinct(col("id")).as("nid"))
+          .filter(col("nid") =!= 1).count() shouldBe 0
+        // ids are dense 1..n with the -1 unknown member
+        val ids = merged.select("id").distinct().as[Long].collect().sorted
+        ids.head shouldBe -1L
+        ids.tail shouldBe (1L to ids.tail.length)
+        // exactly one OPEN row per key (old versions closed off)
+        merged.filter(col("id") =!= -1L &&
+            col("end_time") === lit("9999-12-31 00:00:00").cast("timestamp"))
+          .groupBy(col("city")).count()
+          .filter(col("count") =!= 1).count() shouldBe 0
+        dim = Some(merged)
+      }
+    }
+  }
+
   it should "seed from previously stored dims" in {
     val d1 = Star.mergeDim(None, Star.loadDim(src, spec, PT), spec, PT)
     val nyId = d1.filter(col("city") === "NY").select("id").as[Long].head()
