@@ -301,14 +301,34 @@ object Dedup {
           ceil(lit(threshold) * col("n_shingles") - lit(eps)) + 1).cast("int"))
       .persist()
     val prefix = docs.select(col("doc_id"), col("n_shingles").as("__n"),
-      explode(slice(col("__ss"), lit(1), col("__plen"))).as("shingle"))
+      posexplode(slice(col("__ss"), lit(1), col("__plen"))))
+      .withColumnsRenamed(Map("pos" -> "__p", "col" -> "shingle"))
+    // Candidate pairs with the PPJoin POSITIONAL filter: the prefix join
+    // yields, per pair, its m shared prefix shingles with their 0-based
+    // array positions. Under the shared global order, any further shared
+    // shingle must sit strictly after the LAST prefix match in BOTH arrays
+    // (a shared shingle outside one side's prefix is ordered after every
+    // prefix element of that side, hence after the last match on the other
+    // side too), so overlap ≤ m + min(na−pa−1, nb−pb−1). J ≥ t needs
+    // overlap ≥ t/(1+t)·(na+nb); pairs whose bound cannot reach it are
+    // dropped HERE — in the same aggregate that replaced distinct() —
+    // before any shingle array is shipped to the verify joins. Lossless:
+    // the randomized all-pairs spec proves it at three thresholds.
+    val alpha = ceil(
+      lit(threshold / (1 + threshold)) * (col("__na") + col("__nb")) - lit(eps))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.__n") >= lit(threshold) * col("a.__n") - lit(eps) &&
           col("a.__n") >= lit(threshold) * col("b.__n") - lit(eps))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__m"),
+        max(col("a.__p")).as("__pa"), max(col("b.__p")).as("__pb"),
+        first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
+      .filter(col("__m") +
+        least(col("__na") - col("__pa") - 1,
+          col("__nb") - col("__pb") - 1) >= alpha)
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("__ss").as("__sa"),
         col("n_shingles").as("__na")), "doc_a")
