@@ -151,21 +151,62 @@ object Similarity {
   /** IVF bucket assignment: nearest centroid by cosine (ties to the lower
     * centroid id). `centroids` must be small enough to broadcast — in a
     * production index it is k-means output; here any deterministic subset
-    * works. */
+    * works.
+    *
+    * The nearest centroid is a ROW-LOCAL argmax over the broadcast centroid
+    * set: a primitive-array scan inside `mapPartitions`, zero shuffle. The
+    * former crossJoin + `row_number` window formulation shuffled and sorted
+    * n×c rows — with a production centroid count (√n, thousands) that is
+    * thousands× corpus traffic for a decision each row can make alone.
+    * The scan iterates centroids in ascending id and replaces only on a
+    * strictly better cosine (NaN ranked above any number, as Spark orders
+    * it), reproducing the window's (cos desc, centroid_id asc) tie-break
+    * bit-for-bit: dots accumulate left-to-right like the codegen'd
+    * `graft_dot`. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, dim: Int): DataFrame = {
-    val n = withNorm(df, idCol, vecCol, dim)
-    val c = broadcast(withNorm(centroids, idCol, vecCol, dim)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
-        col("nrm").as("cnrm")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    n.crossJoin(c)
-      .withColumn("ccos",
-        nCosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(s)
+          var best = Double.NegativeInfinity
+          var bestNaN = false
+          var bestId = cs(0)._1
+          var ci = 0
+          while (ci < cs.length) {
+            val (cid, cv, cn) = cs(ci)
+            var d = 0.0; var j = 0
+            val dn = math.min(v.length, cv.length)
+            while (j < dn) { d += v(j) * cv(j); j += 1 }
+            val cos = d / (nrm * cn)
+            val isNaN = java.lang.Double.isNaN(cos)
+            if (!bestNaN && (isNaN || cos > best)) {
+              best = cos; bestNaN = isNaN; bestId = cid
+            }
+            ci += 1
+          }
+          (id, v, nrm, bestId)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "centroid_id")
   }
 
   /** IVF approximate top-k: search only the query's own centroid bucket.
