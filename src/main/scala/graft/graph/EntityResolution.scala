@@ -22,9 +22,18 @@ object EntityResolution {
     * minimum vertex id in the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
+    connectedComponentsLoop(edges, srcCol, dstCol, maxIter)
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): DataFrame = {
+    // sym is re-joined on `b` every iteration: partition it by the join key
+    // BEFORE the checkpoint. localCheckpoint preserves outputPartitioning,
+    // so the per-iteration join never re-exchanges the (static) edge side.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .repartition(col("b"))
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("component", col("v"))
@@ -32,22 +41,31 @@ object EntityResolution {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // Carry the old label through the checkpoint so the convergence
-      // probe is a local filter over materialized data — one Spark job per
-      // iteration (propagate+checkpoint), not two.
-      val neighborMin = sym
+      // One shuffle join + one aggregation per iteration: each vertex's own
+      // label enters the same groupBy as its neighbours' labels (tagged
+      // `self`), so next = min(own, neighbour min) and the previous label
+      // (min over the single self row) come out of ONE aggregate — no
+      // second join back onto `labels`. The convergence probe rides the
+      // checkpoint job as an observe() metric: the eager localCheckpoint
+      // is the one action per iteration, and the changed-label count is
+      // collected by that same job — no separate count() pass.
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
+      val contrib = sym
         .join(labels.select(col("v").as("b"), col("component").as("nc")), "b")
-        .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
-      val next = labels
-        .join(neighborMin.select(col("a").as("v"), col("nmin")), Seq("v"), "left")
-        .select(col("v"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"),
-          col("component").as("__old"))
+        .select(col("a"), col("nc"), lit(false).as("self"))
+        .unionByName(labels.select(col("v").as("a"), col("component").as("nc"),
+          lit(true).as("self")))
+      val next = contrib
+        .groupBy(col("a"))
+        .agg(min(col("nc")).as("component"),
+          min(when(col("self"), col("nc"))).as("__old"))
+        .select(col("a").as("v"), col("component"), col("__old"))
+        // count(when) never returns NULL, even over an empty vertex set
+        .observe(obs, count(when(col("component") =!= col("__old"), 1))
+          .as("changed"))
         .localCheckpoint(true)
-      val changed = next.filter(col("component") =!= col("__old")).count()
       labels = next.drop("__old")
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
     // Silently returning unconverged labels would split true components
