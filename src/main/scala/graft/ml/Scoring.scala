@@ -23,13 +23,17 @@ case class LinearModel(weights: Seq[Double], bias: Double = 0.0) extends Model {
 }
 
 /** A binary decision tree over numeric columns. Split semantics:
-  * `feature <= threshold` goes left, else (INCLUDING a NULL feature) goes
-  * right — identical to SQL `CASE WHEN f <= t THEN … ELSE … END`, which
-  * is exactly what the compiler emits on both engines. */
+  * `feature <= threshold` (or `<` when `strict`) goes left, else right; a
+  * NULL feature goes right by default, or left when `missingLeft` — the
+  * XGBoost `missing`-branch convention, which [[ModelIngest]] maps onto
+  * these flags. Both engines evaluate the identical SQL `CASE` shape: the
+  * NULL direction is encoded by which comparison guards the WHEN (a NULL
+  * comparison is never true, so the `otherwise` side receives NULLs). */
 sealed trait TreeNode extends Serializable
 case class Leaf(value: Double) extends TreeNode
 case class Split(feature: String, threshold: Double,
-    left: TreeNode, right: TreeNode) extends TreeNode
+    left: TreeNode, right: TreeNode,
+    missingLeft: Boolean = false, strict: Boolean = false) extends TreeNode
 
 /** Tree-ensemble scoring COMPILED to native expressions — the real
   * replacement for row-at-a-time POJO scoring (reference:
@@ -37,21 +41,33 @@ case class Split(feature: String, threshold: Double,
   * becomes nested `when()` columns summed left-to-right, fully inside
   * whole-stage codegen with zero UDF or model-runtime dependency, and the
   * SAME compiler emits the ANSI SQL `CASE` text so an independent engine
-  * scores bit-identically. Model ingestion (from a trained artifact's
-  * tree dump) is a parsing concern; the evaluator here is complete. */
+  * scores bit-identically. [[ModelIngest]] parses trained-artifact tree
+  * dumps into [[TreeNode]]s; the evaluator here is complete. */
 object TreeScoring {
   def compile(t: TreeNode): Column = t match {
     case Leaf(v) => lit(v)
-    case Split(f, thr, l, r) =>
-      when(col(f).cast("double") <= thr, compile(l)).otherwise(compile(r))
+    case Split(f, thr, l, r, missingLeft, strict) =>
+      val c = col(f).cast("double")
+      (missingLeft, strict) match {
+        case (false, false) => when(c <= thr, compile(l)).otherwise(compile(r))
+        case (false, true)  => when(c < thr, compile(l)).otherwise(compile(r))
+        case (true, false)  => when(c > thr, compile(r)).otherwise(compile(l))
+        case (true, true)   => when(c >= thr, compile(r)).otherwise(compile(l))
+      }
   }
 
   /** ANSI SQL mirror of [[compile]] — same shape, same NULL routing. */
   def compileSql(t: TreeNode): String = t match {
     case Leaf(v) => v.toString
-    case Split(f, thr, l, r) =>
-      s"CASE WHEN CAST($f AS DOUBLE) <= $thr THEN ${compileSql(l)} " +
-        s"ELSE ${compileSql(r)} END"
+    case Split(f, thr, l, r, missingLeft, strict) =>
+      val c = s"CAST($f AS DOUBLE)"
+      val (cond, thn, els) = (missingLeft, strict) match {
+        case (false, false) => (s"$c <= $thr", l, r)
+        case (false, true)  => (s"$c < $thr", l, r)
+        case (true, false)  => (s"$c > $thr", r, l)
+        case (true, true)   => (s"$c >= $thr", r, l)
+      }
+      s"CASE WHEN $cond THEN ${compileSql(thn)} ELSE ${compileSql(els)} END"
   }
 
   /** Sum-of-trees score (+ bias), accumulated left-to-right so the double

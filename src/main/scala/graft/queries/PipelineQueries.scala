@@ -84,29 +84,45 @@ object PipelineQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
-    // F12: tree-ensemble scoring compiled to native expressions — the
-    // oracle SQL below is emitted by the SAME compiler, so DuckDB
-    // re-evaluates the identical CASE tree independently.
+    // F12: tree-ensemble scoring INGESTED from an XGBoost-style JSON dump
+    // (graft.ml.ModelIngest), then compiled to native expressions — the
+    // oracle SQL below is emitted by the SAME compiler over the SAME
+    // parsed trees, so DuckDB re-evaluates the identical CASE tree
+    // independently of the ingestion path.
     "q_f12_tree_ensemble" -> { (s, dir) =>
-      graft.ml.TreeScoring.scoreEnsemble(
-        t(s, dir, "lineitem"), PipelineQueries.EnsembleTrees, bias = 0.1)
+      PipelineQueries.EnsembleModel.score(t(s, dir, "lineitem"))
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           col("score"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
 
-  /** The demo GBM-style ensemble shared by q_f12's Spark and oracle sides. */
-  val EnsembleTrees: Seq[graft.ml.TreeNode] = {
-    import graft.ml.{Leaf, Split}
-    Seq(
-      Split("l_quantity", 25.0,
-        Split("l_discount", 0.05, Leaf(0.2), Leaf(0.7)),
-        Split("l_extendedprice", 30000.0, Leaf(1.1), Leaf(1.9))),
-      Split("l_discount", 0.08,
-        Leaf(-0.3),
-        Split("l_quantity", 40.0, Leaf(0.4), Leaf(0.9))))
-  }
+  /** The demo GBM ensemble as a trained artifact would dump it — XGBoost
+    * `get_dump(dump_format="json")` node shape, with a base-score wrapper.
+    * q_f12 scores the PARSED model, so ingestion sits on the oracle-checked
+    * path, not only in the spec. */
+  val EnsembleDumpJson: String =
+    """{"bias": 0.1, "trees": [
+      |  {"nodeid": 0, "split": "f0", "split_condition": 25.0,
+      |   "yes": 1, "no": 2, "missing": 2, "children": [
+      |     {"nodeid": 1, "split": "f1", "split_condition": 0.05,
+      |      "yes": 3, "no": 4, "missing": 4, "children": [
+      |        {"nodeid": 3, "leaf": 0.2}, {"nodeid": 4, "leaf": 0.7}]},
+      |     {"nodeid": 2, "split": "f2", "split_condition": 30000.0,
+      |      "yes": 5, "no": 6, "missing": 6, "children": [
+      |        {"nodeid": 5, "leaf": 1.1}, {"nodeid": 6, "leaf": 1.9}]}]},
+      |  {"nodeid": 0, "split": "f1", "split_condition": 0.08,
+      |   "yes": 1, "no": 2, "missing": 2, "children": [
+      |     {"nodeid": 1, "leaf": -0.3},
+      |     {"nodeid": 2, "split": "f0", "split_condition": 40.0,
+      |      "yes": 3, "no": 4, "missing": 4, "children": [
+      |        {"nodeid": 3, "leaf": 0.4}, {"nodeid": 4, "leaf": 0.9}]}]}
+      |]}""".stripMargin
+
+  /** Parsed once; shared by q_f12's Spark side and its oracle SQL. */
+  val EnsembleModel: graft.ml.ModelIngest.Ensemble =
+    graft.ml.ModelIngest.parseEnsemble(EnsembleDumpJson, featureNames = Map(
+      "f0" -> "l_quantity", "f1" -> "l_discount", "f2" -> "l_extendedprice"))
 
   val oracles: Map[String, String] = Map(
     "q_r4_table_pipeline" ->
@@ -142,6 +158,6 @@ object PipelineQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_f12_tree_ensemble" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         |  ${graft.ml.TreeScoring.scoreEnsembleSql(EnsembleTrees, bias = 0.1)} AS score
+         |  ${EnsembleModel.scoreSql} AS score
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -90,4 +90,63 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     viaSql shouldBe scored
   }
+
+  behavior of "ModelIngest"
+
+  it should "parse an XGBoost-style dump into strict splits with missing routing" in {
+    import graft.ml.{Leaf, ModelIngest, Split}
+    val dump =
+      """[{"nodeid": 0, "split": "f0", "split_condition": 10.0,
+        |  "yes": 1, "no": 2, "missing": 1, "children": [
+        |    {"nodeid": 1, "leaf": 1.5},
+        |    {"nodeid": 2, "split": "f1", "split_condition": 0.5,
+        |     "yes": 3, "no": 4, "missing": 4, "children": [
+        |       {"nodeid": 3, "leaf": 2.5}, {"nodeid": 4, "leaf": 3.5}]}]}]""".stripMargin
+    val m = ModelIngest.parseEnsemble(dump, featureNames = Map("f0" -> "x", "f1" -> "y"))
+    m.bias shouldBe 0.0
+    m.trees shouldBe Seq(
+      Split("x", 10.0, Leaf(1.5),
+        Split("y", 0.5, Leaf(2.5), Leaf(3.5), missingLeft = false, strict = true),
+        missingLeft = true, strict = true))
+  }
+
+  it should "score an ingested model with < comparisons and the missing branch, matching its SQL" in {
+    import graft.ml.ModelIngest
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val dump =
+      """{"bias": 100.0, "trees": [
+        |  {"nodeid": 0, "split": "x", "split_condition": 10.0,
+        |   "yes": 1, "no": 2, "missing": 1, "children": [
+        |     {"nodeid": 1, "leaf": 1.0}, {"nodeid": 2, "leaf": 2.0}]}]}""".stripMargin
+    val m = ModelIngest.parseEnsemble(dump)
+    val df = Seq(
+      (1L, Some(9.9)),   // x < 10  -> yes -> 1.0
+      (2L, Some(10.0)),  // x == 10 -> STRICT comparison: no -> 2.0
+      (3L, None))        // missing -> yes branch -> 1.0
+      .toDF("id", "x")
+    val scored = m.score(df).select("id", "score")
+      .as[(Long, Double)].collect().toMap
+    scored shouldBe Map(1L -> 101.0, 2L -> 102.0, 3L -> 101.0)
+    val viaSql = df.select(col("id"),
+      expr(m.scoreSql).cast("double").as("s"))
+      .as[(Long, Double)].collect().toMap
+    viaSql shouldBe scored
+  }
+
+  it should "reject dumps with dangling child ids or a foreign missing id" in {
+    import graft.ml.ModelIngest
+    val dangling =
+      """[{"nodeid": 0, "split": "x", "split_condition": 1.0,
+        |  "yes": 1, "no": 9, "missing": 1,
+        |  "children": [{"nodeid": 1, "leaf": 0.5}]}]""".stripMargin
+    an[IllegalArgumentException] should be thrownBy
+      ModelIngest.parseEnsemble(dangling)
+    val badMissing =
+      """[{"nodeid": 0, "split": "x", "split_condition": 1.0,
+        |  "yes": 1, "no": 2, "missing": 7, "children": [
+        |    {"nodeid": 1, "leaf": 0.5}, {"nodeid": 2, "leaf": 1.5}]}]""".stripMargin
+    an[IllegalArgumentException] should be thrownBy
+      ModelIngest.parseEnsemble(badMissing)
+  }
 }
