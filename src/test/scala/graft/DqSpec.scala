@@ -36,4 +36,59 @@ class DqSpec extends SparkSpec {
     out("a").select("invalid").as[Long].head() shouldBe 2L
     out("v").as[Long].head() shouldBe 2L
   }
+
+  it should "run a TopNotch JSON plan end-to-end (view -> assertion -> diff)" in {
+    import graft.dq.DqPlans
+    val base = java.nio.file.Files.createTempDirectory("dqplan").toString
+    Seq((1, 10.0, "a"), (2, -5.0, "b"), (3, 20.0, "a"), (4, -1.0, "b"))
+      .toDF("id", "amount", "tag")
+      .write.mode("overwrite").parquet(s"$base/sales.parquet")
+    Seq((1, 10.0), (2, -6.0), (3, 20.0), (4, -1.0))
+      .toDF("idOld", "amountOld")
+      .write.mode("overwrite").parquet(s"$base/old.parquet")
+    val plan =
+      """{"topnotch": [
+        |  {"command": "view", "externalParamsFile": "view.json",
+        |   "inputs": [{"ref": "sales.parquet", "onDisk": true}],
+        |   "outputKey": "salesView", "cache": true},
+        |  {"command": "assertion", "externalParamsFile": "asserts.json",
+        |   "input": {"ref": "salesView", "onDisk": false},
+        |   "outputKey": "salesReport",
+        |   "outputPath": "report.parquet"},
+        |  {"command": "diff", "externalParamsFile": "diff.json",
+        |   "input1": {"ref": "sales.parquet", "onDisk": true},
+        |   "input2": {"ref": "old.parquet", "onDisk": true},
+        |   "outputKey": "salesDiff"}
+        |]}""".stripMargin
+    val params = Map(
+      "view.json" ->
+        """{"topnotch": {"tableAliases": ["sales"],
+          |  "query": "SELECT id, amount FROM sales WHERE tag IS NOT NULL"}}""".stripMargin,
+      "asserts.json" ->
+        """{"topnotch": {"assertions": [
+          |  {"query": "amount > 0", "description": "amounts positive", "threshold": 0.5},
+          |  {"query": "id < 4", "description": "ids small", "threshold": 0.1}]}}""".stripMargin,
+      "diff.json" ->
+        """{"topnotch": {
+          |  "input1Columns": {"joinColumns": ["id"], "diffColumns": ["amount"]},
+          |  "input2Columns": {"joinColumns": ["idOld"], "diffColumns": ["amountOld"]}}}""".stripMargin)
+    val out = DqPlans.run(spark, plan, params, inputBase = base,
+      outputBase = Some(base))
+    // report: one row per assertion, reference column shape
+    val report = out("salesReport")
+      .select("query", "threshold", "total", "invalid", "passed")
+      .as[(String, Double, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    report shouldBe Array(
+      ("amount > 0", 0.5, 4L, 2L, true),
+      ("id < 4", 0.1, 4L, 1L, false))
+    // per-assertion invalid rows stay addressable
+    out("salesReport__a1_invalid").select("id").as[Int].collect()
+      .sorted shouldBe Array(2, 4)
+    // diff maps the old side positionally onto the new side's names
+    out("salesDiff").select("id", "amount", "amount_right")
+      .as[(Int, Double, Double)].collect() shouldBe Array((2, -5.0, -6.0))
+    // outputPath wrote the report
+    spark.read.parquet(s"$base/report.parquet").count() shouldBe 2L
+  }
 }
