@@ -68,7 +68,11 @@ object Loaders {
     loads.sortBy(l => phase.getOrElse(l.kind, 3)).map { l =>
       val incoming = l.kind match {
         case "hub" =>
-          l.incoming.select(l.cfg.idFields.map(col): _*)
+          // keep key columns whether idFields name their raw or renamed
+          // form — same rule as loadHub
+          l.incoming.select(l.incoming.columns.toSeq
+            .filter(c => l.cfg.idFields.contains(l.cfg.newNames.getOrElse(c, c)) ||
+              l.cfg.idFields.contains(c)).map(col): _*)
         case "link" | "mapping" =>
           l.incoming
             .withColumn(SrcEntityId,

@@ -22,7 +22,7 @@ import org.apache.hadoop.fs.Path
   * reference re-ran `count()` 4-6 times over the same lineage
   * (ParquetDataLoader.scala:493-497).
   */
-class Scd2Store(spark: SparkSession, base: String) {
+class Scd2Store(val spark: SparkSession, base: String) {
   import Meta._
 
   private def p(table: String, name: String) = s"$base/$table/$name.parquet"

@@ -86,6 +86,81 @@ class Scd2StoreSpec extends SparkSpec {
       .columns should not contain "tier"
   }
 
+  it should "drive a multi-table loadAll from a HOCON config fixture" in {
+    val dir = Files.createTempDirectory("scd2conf").toString
+    Seq((1, "gold", "a@x.com"), (2, "silver", "b@x.com"))
+      .toDF("cust_id", "tier", "email")
+      .write.mode("overwrite").parquet(s"$dir/raw/customers.parquet")
+    Seq((1, "a@x.com"), (2, "b@x.com")).toDF("cust_id", "email")
+      .write.mode("overwrite").parquet(s"$dir/raw/email_map.parquet")
+    // the reference data.conf shape: substitutions, unquoted strings with
+    // spaces, dotted path keys, new-names, a constant mapping confidence
+    val confText =
+      s"""data {
+         |  base-uri = "$dir"   // comment after a value
+         |  raw {
+         |    path = raw
+         |    tables {
+         |      demographics.path = $${data.base-uri}/$${data.raw.path}/customers.parquet
+         |      email-mappings.path = $${data.base-uri}/$${data.raw.path}/email_map.parquet
+         |    }
+         |  }
+         |  acquisition {
+         |    hubs {
+         |      customer {
+         |        entity-type = customer
+         |        delta = false
+         |        id-fields = [cust_id]
+         |        id-type = id1
+         |        source = $${data.raw.tables.demographics.path}
+         |        new-names { cust_id: customer_id }
+         |      }
+         |    }
+         |    satellites {
+         |      customer-demographics {
+         |        table-name = customer_demo
+         |        delta = false
+         |        id-fields = [cust_id]
+         |        id-type = id1
+         |        source = $${data.raw.tables.demographics.path}
+         |      }
+         |    }
+         |    mappings {
+         |      email {
+         |        entity-type = customer
+         |        delta = false
+         |        src-id-fields = [cust_id]
+         |        src-id-type = Customer Number
+         |        dst-id-fields = [email]
+         |        dst-id-type = email
+         |        confidence = 1.0
+         |        source = $${data.raw.tables.email-mappings.path}
+         |      }
+         |    }
+         |  }
+         |}""".stripMargin
+    val store = new Scd2Store(spark, s"$dir/store")
+    val r = graft.load.LoadConfig.loadAll(store, confText,
+      processId = "pc1", processTime = "2024-03-01 00:00:00")
+    r.keySet shouldBe Set("customer", "customer_demo", "email")
+    r("customer")("inserted") shouldBe 2
+    r("customer_demo")("inserted") shouldBe 2
+    r("email")("inserted") shouldBe 2
+    // the hub renamed cust_id -> customer_id and kept only the key
+    val hubCols = spark.read.parquet(s"$dir/store/customer/history.parquet").columns
+    hubCols should contain("customer_id")
+    hubCols should not contain "tier"
+    // the mapping carries the constant confidence and hashed side keys
+    val m = spark.read.parquet(s"$dir/store/email/history.parquet")
+    m.columns should contain allOf ("confidence", "src_entity_id", "dst_entity_id")
+    m.select("confidence").as[Double].collect().toSet shouldBe Set(1.0)
+    // config-side metadata flowed into meta.json (incl. the unquoted
+    // two-word id-type)
+    new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/store/email/meta.json")), "UTF-8") should
+      include("Customer Number|email")
+  }
+
   it should "load tables of one phase concurrently with sequential-identical results" in {
     val dir = Files.createTempDirectory("scd2par").toString
     val store = new Scd2Store(spark, dir)
