@@ -33,19 +33,26 @@ object CsvSniffer {
     if (sample.contains("\r\n")) "\r\n"
     else if (sample.contains("\r")) "\r" else "\n"
 
-  /** The delimiter whose per-line field count is maximal-and-consistent
-    * across the sample lines (reference `guessDelimiter`'s char-frequency
-    * vote, FileMetadataExtractor.scala:72-173). */
+  /** Statistical mode-of-counts delimiter vote (reference
+    * `guessDelimiter`'s char-frequency histogram,
+    * FileMetadataExtractor.scala:72-173): for each candidate, take the
+    * MODE of its per-line occurrence counts and score it
+    * `modeVotes − otherVotes` — so a ragged sample (some lines with
+    * extra or missing fields, embedded delimiters, blank lines) still
+    * elects the character that is consistent on MOST lines, instead of
+    * requiring a perfectly uniform count. A candidate wins only with a
+    * positive score (its mode covers more than half the sample); ties
+    * prefer the conventional delimiter order, mirroring the reference's
+    * `commonDelimiters` preference list. */
   def guessDelimiter(lines: Seq[String]): Char = {
-    val scored = candidateDelims.map { d =>
+    val scored = candidateDelims.zipWithIndex.map { case (d, pref) =>
       val counts = lines.map(_.count(_ == d))
-      val consistent = counts.nonEmpty && counts.distinct.size == 1 && counts.head > 0
-      (d, if (consistent) counts.head else 0)
+      val votes = counts.filter(_ > 0)
+        .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      (d, 2 * votes - counts.size, pref)
     }
-    scored.maxBy(_._2)._1 match {
-      case d if scored.exists(_._2 > 0) => d
-      case _ => ','
-    }
+    val (best, score, _) = scored.maxBy { case (_, s, p) => (s, -p) }
+    if (score > 0) best else ','
   }
 
   def guessQuote(lines: Seq[String], delim: Char): Char = {

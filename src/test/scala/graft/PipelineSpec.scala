@@ -114,6 +114,24 @@ class PipelineSpec extends SparkSpec {
     CsvSniffer.detectLineEnding("a\r\nb") shouldBe "\r\n"
   }
 
+  it should "sniff the delimiter on ragged samples by mode-of-counts" in {
+    // per-line ';' counts 2,2,3,2,1 — no uniform count, but the MODE (2)
+    // covers most lines; the old consistency vote fell back to ','
+    val ragged =
+      "a;b;c\n" +
+        "1;2;3\n" +
+        "4;5;6;EXTRA\n" +
+        "7;8;9\n" +
+        "10;11\n"
+    CsvSniffer.guessDelimiter(ragged.split("\n").toSeq) shouldBe ';'
+    CsvSniffer.sniff(ragged).delimiter shouldBe ';'
+    // a candidate must still win MOST lines: two dialects split 2/2 with
+    // one tie-breaking third line elects the majority character
+    CsvSniffer.guessDelimiter(Seq("a|b", "c|d", "e;f", "g|h")) shouldBe '|'
+    // all lines disagree on every candidate -> conventional fallback
+    CsvSniffer.guessDelimiter(Seq("abc", "def")) shouldBe ','
+  }
+
   behavior of "type parsers"
 
   it should "parse booleans and dates with move-to-front" in {
