@@ -36,6 +36,14 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X18: the composed production pipeline — exact dedup, then near-dup
+    // clustering over the survivors, one keep/drop row per input doc.
+    "q_x18_dedup_pipeline" -> { (s, dir) =>
+      Dedup.dedupPipeline(corpusWithExactDups(t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X3: 32-bit SimHash per document.
     "q_x3_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -141,10 +149,11 @@ object TextQueries {
 
   /** DuckDB mirror of [[Dedup.words]]/[[Dedup.shingles]]: 1-based list
     * slices over regexp-split tokens. */
-  private def shingleCte(n: Int, distinct: Boolean = false) =
+  private def shingleCte(n: Int, distinct: Boolean = false,
+      src: String = "documents") =
     s"""words AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
        |    array_to_string(w[i:i+${n - 1}], ' ') AS shingle
@@ -161,8 +170,8 @@ object TextQueries {
   /** Shared CTE chain: shingles → affine minhash signatures → band hashes
     * → candidate pairs → per-pair minhash agreement counts (`nm`). Used by
     * the q_x2 pair oracle and the q_x17 cluster-closure oracle. */
-  private def minhashNmCte: String =
-    s"""${shingleCte(3)},
+  private def minhashNmCte(src: String = "documents"): String =
+    s"""${shingleCte(3, src = src)},
        |th AS (SELECT doc_id, md5(shingle) AS m FROM sh),
        |xv AS (SELECT doc_id,
        |    ${hexDigitSum(1, 8)} AS x1,
@@ -202,13 +211,42 @@ object TextQueries {
         |FROM corpus c JOIN g ON md5(c.text) = g.th
         |ORDER BY c.doc_id""".stripMargin,
     "q_x2_minhash_lsh" ->
-      s"""WITH $minhashNmCte
+      s"""WITH ${minhashNmCte()}
          |SELECT doc_a, doc_b, n_match,
          |  round(n_match / 16.0, 4) AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_x18_dedup_pipeline" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |g AS (
+         |  SELECT md5(text) AS th, min(doc_id) AS exact_canonical
+         |  FROM corpus GROUP BY 1),
+         |withc AS (
+         |  SELECT c.doc_id, c.text, g.exact_canonical
+         |  FROM corpus c JOIN g ON md5(c.text) = g.th),
+         |survivors AS (
+         |  SELECT doc_id, text FROM withc WHERE doc_id = exact_canonical),
+         |${minhashNmCte(src = "survivors")},
+         |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a),
+         |clusters AS (
+         |  SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY v)
+         |SELECT w.doc_id, w.exact_canonical, cl.cluster_id,
+         |  w.doc_id = w.exact_canonical AND
+         |    (cl.cluster_id IS NULL OR w.doc_id = cl.cluster_id) AS keep
+         |FROM withc w LEFT JOIN clusters cl ON w.doc_id = cl.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     "q_x17_neardup_clusters" ->
-      s"""WITH RECURSIVE $minhashNmCte,
+      s"""WITH RECURSIVE ${minhashNmCte()},
          |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),

@@ -222,6 +222,40 @@ object Dedup {
         (col("v") === col("component")).as("is_canonical"))
   }
 
+  /** X18: the COMPOSED production dedup pipeline — exact dedup, then
+    * MinHash+LSH near-dup clustering over the exact survivors, then one
+    * keep/drop decision per input document:
+    * `keep` = the doc is its exact group's canonical AND (not in any
+    * near-dup cluster OR its cluster's canonical). One row per input doc:
+    * (doc_id, exact_canonical, cluster_id | NULL, keep).
+    *
+    * Plan notes: the hashed projection feeds both the survivor filter and
+    * the final join-back, so it is persisted (the CC loop inside
+    * clustering materializes it on its first action); the text column
+    * rides the hashed projection, so the corpus is scanned ONCE for the
+    * exact stage and the signature stage together. */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        md5(col(textCol)).as("__th"))
+      .persist()
+    val groups = hashed.groupBy(col("__th"))
+      .agg(min(col("doc_id")).as("exact_canonical"))
+    val withCanon = hashed.join(groups, "__th").persist()
+    val survivors = withCanon
+      .filter(col("doc_id") === col("exact_canonical"))
+      .select(col("doc_id"), col("__text"))
+    val clusters = nearDuplicateClusters(survivors, "doc_id", "__text",
+      shingleN, k, bands, minMatch)
+    withCanon
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_canonical"), col("cluster_id"),
+        (col("doc_id") === col("exact_canonical") &&
+          (col("cluster_id").isNull || col("is_canonical"))).as("keep"))
+  }
+
   /** Benchmark/eval-set decontamination: flag corpus documents sharing at
     * least `minShared` distinct word n-grams with ANY document of the
     * eval set — the standard n-gram-overlap test-set contamination check

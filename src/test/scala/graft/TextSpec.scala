@@ -130,6 +130,26 @@ class TextSpec extends SparkSpec {
     r(1)._3 shouldBe (1.0 / 6 +- 1e-4)
   }
 
+  it should "compose exact dedup and near-dup clustering into one keep/drop decision" in {
+    // docs 1/2 identical text (exact group, canonical 1); doc 3 near-dup of
+    // them (same text - clusters with 1 after 2 is dropped); doc 4 unique
+    val d = Seq(
+      (1L, "the cat sat on the mat and then slept all day"),
+      (2L, "the cat sat on the mat and then slept all day"),
+      (3L, "the cat sat on the mat and then slept all night"),
+      (4L, "completely different words about embedded systems and rust"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupPipeline(d, "doc_id", "text", shingleN = 3, k = 16,
+      bands = 4, minMatch = 8)
+      .select("doc_id", "exact_canonical", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 1L, true))   // exact + cluster canonical
+    r(1) shouldBe ((2L, 1L, false))  // exact duplicate of 1
+    r(2)._2 shouldBe 3L              // its own exact group...
+    r(2)._3 shouldBe false           // ...but clustered under canonical 1
+    r(3) shouldBe ((4L, 4L, true))   // untouched unique doc
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
