@@ -1,0 +1,57 @@
+package graft
+
+import graft.ann.Similarity
+import graft.text.Dedup
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards for the scale-critical operators: these assert the
+  * STRUCTURE of the physical plan, so a regression that silently
+  * re-introduces a known scale hazard (a window over a crossJoin, a lost
+  * positional filter, a fact join that stopped broadcasting) fails a spec
+  * instead of only showing up as a 100 TB incident. */
+class PlanGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private val vecs = (1L to 40L)
+    .map(i => (i, Array.tabulate(8)(j => (i % 7 + j).toDouble)))
+    .toDF("vec_id", "embedding")
+
+  it should "assign IVF centroids without a window or a cartesian product" in {
+    val plan = planOf(Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") % 10 === 0), dim = 8))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "keep the PPJoin positional filter in the Jaccard candidate stage" in {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5))
+    // the candidate aggregate must carry the positional-filter state: max
+    // matched prefix positions on both sides plus the match count
+    plan should include("__pa")
+    plan should include("__pb")
+    plan should include("__m")
+  }
+
+  it should "resolve star fact FKs through broadcast joins only" in {
+    val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
+    val dim = graft.star.Star.mergeDim(None,
+      graft.star.Star.loadDim(
+        Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier"),
+        spec, "2024-03-01 00:00:00"),
+      spec, "2024-03-01 00:00:00")
+    val fact = Seq((1L, "gold", 10.0), (2L, "silver", 5.0))
+      .toDF("k", "tier", "amount")
+    val plan = planOf(graft.star.Star.loadFacts(fact,
+      Seq(graft.star.Star.FactDim(spec, dim, Seq("tier"))),
+      Seq("k", "amount")))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+}
