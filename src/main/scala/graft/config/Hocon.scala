@@ -51,6 +51,13 @@ object Hocon {
     }
     def getBool(path: String, default: Boolean = false): Boolean =
       getOpt(path).map(_.toBoolean).getOrElse(default)
+    /** Raw list access — elements may be strings or nested lists. */
+    def getList(path: String): Seq[Any] = at(path) match {
+      case Some(xs: Seq[Any @unchecked]) => xs
+      case Some(other) => throw new IllegalArgumentException(
+        s"$path is not a list: $other")
+      case None => throw new NoSuchElementException(s"missing config: $path")
+    }
     def getDouble(path: String): Double = getString(path).toDouble
     def getObj(path: String): Conf = at(path) match {
       case Some(m: Map[String @unchecked, Any @unchecked]) => Conf(m)
@@ -89,12 +96,56 @@ object Hocon {
       if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
         s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
       else s
+    // recursive list parser: supports nesting ([[a, b], []]) and elements
+    // separated by commas OR line breaks (the reference's star.conf lists
+    // its dim specs one per line with no commas)
+    def parseListBody(s: String, from: Int): (Seq[Any], Int) = {
+      val out = mutable.ArrayBuffer.empty[Any]
+      var j = from
+      val scalar = new java.lang.StringBuilder
+      def flush(): Unit = {
+        val t = scalar.toString.trim
+        if (t.nonEmpty) out += unquote(t)
+        scalar.setLength(0)
+      }
+      var inQ = false
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (inQ) {
+          scalar.append(c); if (c == '"') inQ = false
+          j += 1
+        } else c match {
+          case '"' => scalar.append(c); inQ = true; j += 1
+          case '[' =>
+            val (nested, nj) = parseListBody(s, j + 1)
+            out += nested; j = nj
+          case ']' => flush(); return (out.toSeq, j + 1)
+          case ',' | '\n' | '\r' => flush(); j += 1
+          case c2 => scalar.append(c2); j += 1
+        }
+      }
+      throw new IllegalArgumentException(s"unterminated list: $s")
+    }
     def parseScalarList(s: String): Any =
-      if (s.startsWith("[") && s.endsWith("]")) {
-        val body = s.substring(1, s.length - 1).trim
-        if (body.isEmpty) Seq.empty[String]
-        else body.split(",").toSeq.map(e => unquote(e.trim))
+      if (s.startsWith("[")) {
+        val (xs, end) = parseListBody(s, 1)
+        require(s.substring(end).trim.isEmpty,
+          s"trailing content after list: ${s.substring(end)}")
+        xs
       } else unquote(s)
+    // path segments split on dots OUTSIDE quotes: `"a.csv"` is one key
+    def splitPath(s: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      val cur = new java.lang.StringBuilder
+      var inQ = false
+      s.foreach { c =>
+        if (c == '"') { inQ = !inQ; cur.append(c) }
+        else if (c == '.' && !inQ) { out += cur.toString; cur.setLength(0) }
+        else cur.append(c)
+      }
+      out += cur.toString
+      out.toSeq.map(x => unquote(x.trim))
+    }
     // mutable tree of LinkedHashMap (declaration order preserved)
     type MMap = mutable.LinkedHashMap[String, Any]
     def newMap(): MMap = mutable.LinkedHashMap.empty[String, Any]
@@ -116,7 +167,7 @@ object Hocon {
         j += 1
       }
       require(sep > 0, s"unparseable config line: $kv")
-      val path = kv.substring(0, sep).trim.split('.').toSeq.map(unquote)
+      val path = splitPath(kv.substring(0, sep).trim)
       val value = parseScalarList(kv.substring(sep + 1).trim)
       descend(into, path.init).put(path.last, value)
     }
@@ -144,7 +195,7 @@ object Hocon {
           else {
             val obr = objectBrace(line)
             if (obr >= 0) {
-              val path = line.substring(0, obr).trim.split('.').toSeq.map(unquote)
+              val path = splitPath(line.substring(0, obr).trim)
               val child = descend(into, path)
               val rest = line.substring(obr + 1).trim
               if (rest.isEmpty) parseObject(child) // multi-line block
@@ -155,10 +206,29 @@ object Hocon {
                 rest.dropRight(1).split(",").map(_.trim)
                   .filter(_.nonEmpty).foreach(putKeyValue(child, _))
               }
-            } else putKeyValue(into, line)
+            } else {
+              // a list may span lines: accumulate until brackets balance
+              var full = line
+              while (bracketBalance(full) > 0 && i < lines.length) {
+                full = full + "\n" + stripComment(lines(i))
+                i += 1
+              }
+              putKeyValue(into, full)
+            }
           }
         }
       }
+    }
+    def bracketBalance(s: String): Int = {
+      var inQ = false; var bal = 0; var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (c == '"') inQ = !inQ
+        else if (!inQ && c == '[') bal += 1
+        else if (!inQ && c == ']') bal -= 1
+        j += 1
+      }
+      bal
     }
     val root = newMap()
     parseObject(root)
@@ -185,24 +255,19 @@ object Hocon {
       }.collect { case s: String => s }
     def pass(tree: Map[String, Any], whole: Map[String, Any]): (Map[String, Any], Boolean) = {
       var changed = false
-      val out = tree.map {
-        case (k, v: Map[String @unchecked, Any @unchecked]) =>
-          val (nv, c) = pass(v, whole); if (c) changed = true; k -> nv
-        case (k, v: String) if v.contains("${") =>
-          val nv = SubRef.replaceAllIn(v, m =>
+      def value(v: Any): Any = v match {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val (nv, c) = pass(m, whole); if (c) changed = true; nv
+        case s: String if s.contains("${") =>
+          val ns = SubRef.replaceAllIn(s, m =>
             scala.util.matching.Regex.quoteReplacement(
               lookup(whole, m.group(1)).getOrElse(m.matched)))
-          if (nv != v) changed = true
-          k -> nv
-        case (k, xs: Seq[String @unchecked]) if xs.exists(_.contains("${")) =>
-          val nxs = xs.map(x => SubRef.replaceAllIn(x, m =>
-            scala.util.matching.Regex.quoteReplacement(
-              lookup(whole, m.group(1)).getOrElse(m.matched))))
-          if (nxs != xs) changed = true
-          k -> nxs
-        case kv => kv
+          if (ns != s) changed = true
+          ns
+        case xs: Seq[Any @unchecked] => xs.map(value)
+        case other => other
       }
-      (out, changed)
+      (tree.map { case (k, v) => k -> value(v) }, changed)
     }
     var cur = root
     var rounds = 0
@@ -211,11 +276,14 @@ object Hocon {
       val (next, c) = pass(cur, cur)
       cur = next; changed = c; rounds += 1
     }
+    def unresolvedIn(v: Any): Boolean = v match {
+      case s: String => s.contains("${")
+      case xs: Seq[Any @unchecked] => xs.exists(unresolvedIn)
+      case _ => false
+    }
     def unresolved(tree: Map[String, Any]): Seq[String] = tree.toSeq.flatMap {
       case (_, m: Map[String @unchecked, Any @unchecked]) => unresolved(m)
-      case (k, s: String) if s.contains("${") => Seq(s"$k = $s")
-      case (k, xs: Seq[String @unchecked]) if xs.exists(_.contains("${")) =>
-        Seq(s"$k = ${xs.mkString("[", ",", "]")}")
+      case (k, v) if unresolvedIn(v) => Seq(s"$k = $v")
       case _ => Nil
     }
     val bad = unresolved(cur)

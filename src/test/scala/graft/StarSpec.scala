@@ -120,6 +120,52 @@ class StarSpec extends SparkSpec {
     }
   }
 
+  it should "drive dimensionalize from the reference's star.conf shape" in {
+    // the reference fixture's syntax verbatim: quoted source keys with an
+    // extension, multi-line dims lists of [keyFields, attrFields] pairs
+    // with NO commas between entries, a facts column list, substitutions
+    val confText =
+      """base-uri = "hdfs://example"
+        |unknown = unknown
+        |default-end-date = 9999-12-31
+        |dims {
+        |  "superstore_sales.csv" = [
+        |    [[order_priority], []]
+        |    [[province, region], []]
+        |  ]
+        |}
+        |facts {
+        |  "superstore_sales.csv" = [
+        |    order_id
+        |    sales
+        |  ]
+        |}
+        |tables = [
+        |  "superstore_sales.csv"
+        |]""".stripMargin
+    val sales = Seq(
+      (1L, "HIGH", "NSW", "east", 10.0),
+      (2L, "LOW", "VIC", "south", 20.0),
+      (3L, "HIGH", "NSW", "east", 30.0))
+      .toDF("order_id", "order_priority", "province", "region", "sales")
+    val run = graft.star.StarConfig.dimensionalize(confText,
+      { name => name shouldBe "superstore_sales.csv"; sales }, PT)
+    // dim named after its first key field; two dims from the pair list
+    run.dims.keySet shouldBe Set("order_priority", "province")
+    run.dims("order_priority").filter(col("id") > 0).count() shouldBe 2
+    run.dims("province").filter(col("id") > 0).count() shouldBe 2 // NSW, VIC
+    // facts: configured out-cols + one fk per dim, resolved
+    val f = run.facts("superstore_sales")
+    f.columns.toSeq shouldBe
+      Seq("order_id", "sales", "fk_order_priority", "fk_province")
+    f.filter(col("fk_order_priority") === -1L).count() shouldBe 0
+    f.filter(col("fk_province") === -1L).count() shouldBe 0
+    // the composite (province, region) key resolves rows 1 and 3 together
+    f.select("order_id", "fk_province").as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet shouldBe
+      Set(Set(1L, 3L), Set(2L))
+  }
+
   it should "seed from previously stored dims" in {
     val d1 = Star.mergeDim(None, Star.loadDim(src, spec, PT), spec, PT)
     val nyId = d1.filter(col("city") === "NY").select("id").as[Long].head()
