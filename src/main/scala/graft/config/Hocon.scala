@@ -78,8 +78,6 @@ object Hocon {
   }
 
   def parse(text: String): Conf = {
-    val lines = text.split("\n", -1)
-    var i = 0
     def stripComment(l: String): String = {
       var inQ = false; var j = 0
       while (j < l.length) {
@@ -92,6 +90,36 @@ object Hocon {
       }
       l
     }
+    // Normalize structure to one item per line so single-line nesting
+    // (`a { b { x = 1 } }`, `m { a: 1, b: 2 }`) parses like its multi-line
+    // form: outside quotes, substitutions and list brackets, a `{` ends its
+    // line, a `}` stands alone, and a comma breaks the line.
+    def preprocess(t: String): String = {
+      val out = new java.lang.StringBuilder(t.length + 16)
+      var inQ = false; var inSub = false; var depth = 0
+      var j = 0
+      while (j < t.length) {
+        val c = t.charAt(j)
+        if (inQ) { out.append(c); if (c == '"') inQ = false }
+        else if (inSub) { out.append(c); if (c == '}') inSub = false }
+        else c match {
+          case '"' => out.append(c); inQ = true
+          case '$' if j + 1 < t.length && t.charAt(j + 1) == '{' =>
+            out.append("${"); inSub = true; j += 1
+          case '[' => depth += 1; out.append(c)
+          case ']' => depth -= 1; out.append(c)
+          case '{' if depth == 0 => out.append("{\n")
+          case '}' if depth == 0 => out.append("\n}\n")
+          case ',' if depth == 0 => out.append('\n')
+          case c2 => out.append(c2)
+        }
+        j += 1
+      }
+      out.toString
+    }
+    val lines = preprocess(
+      text.split("\n", -1).map(stripComment).mkString("\n")).split("\n", -1)
+    var i = 0
     def unquote(s: String): String =
       if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
         s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
@@ -195,17 +223,9 @@ object Hocon {
           else {
             val obr = objectBrace(line)
             if (obr >= 0) {
+              // preprocess guarantees an object-opening `{` ends its line
               val path = splitPath(line.substring(0, obr).trim)
-              val child = descend(into, path)
-              val rest = line.substring(obr + 1).trim
-              if (rest.isEmpty) parseObject(child) // multi-line block
-              else {
-                // inline object: `key { a: b, c: d }` on one line
-                require(rest.endsWith("}"),
-                  s"inline object must close on the same line: $line")
-                rest.dropRight(1).split(",").map(_.trim)
-                  .filter(_.nonEmpty).foreach(putKeyValue(child, _))
-              }
+              parseObject(descend(into, path))
             } else {
               // a list may span lines: accumulate until brackets balance
               var full = line
