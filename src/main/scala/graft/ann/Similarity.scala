@@ -167,6 +167,14 @@ object Similarity {
       centroids: DataFrame, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed argmax path keys on LONG ids (same contract as
+    // bruteForceTopK); reject other id types up front instead of letting
+    // cast("long") produce NULLs that fail deep inside Dataset decoding
+    for (d <- Seq(df, centroids)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ivfAssign requires a numeric $idCol (castable to long), got $t")
+    }
     val cents: Array[(Long, Array[Double], Double)] = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -184,6 +192,9 @@ object Similarity {
       .mapPartitions { rows =>
         val cs = bc.value
         rows.map { case (id, v) =>
+          if (v == null) throw new IllegalArgumentException(
+            s"ivfAssign: vector id=$id has a NULL embedding — filter or " +
+              "impute null vectors before assignment")
           var s = 0.0; var i = 0
           while (i < v.length) { s += v(i) * v(i); i += 1 }
           val nrm = math.sqrt(s)

@@ -82,7 +82,8 @@ object Hocon {
       var inQ = false; var j = 0
       while (j < l.length) {
         val c = l.charAt(j)
-        if (c == '"') inQ = !inQ
+        if (inQ && c == '\\') j += 1 // escaped char inside quotes
+        else if (c == '"') inQ = !inQ
         else if (!inQ && (c == '#' ||
           (c == '/' && j + 1 < l.length && l.charAt(j + 1) == '/')))
           return l.substring(0, j)
@@ -100,7 +101,11 @@ object Hocon {
       var j = 0
       while (j < t.length) {
         val c = t.charAt(j)
-        if (inQ) { out.append(c); if (c == '"') inQ = false }
+        if (inQ) {
+          out.append(c)
+          if (c == '\\' && j + 1 < t.length) { out.append(t.charAt(j + 1)); j += 1 }
+          else if (c == '"') inQ = false
+        }
         else if (inSub) { out.append(c); if (c == '}') inSub = false }
         else c match {
           case '"' => out.append(c); inQ = true
@@ -140,7 +145,9 @@ object Hocon {
       while (j < s.length) {
         val c = s.charAt(j)
         if (inQ) {
-          scalar.append(c); if (c == '"') inQ = false
+          scalar.append(c)
+          if (c == '\\' && j + 1 < s.length) { scalar.append(s.charAt(j + 1)); j += 1 }
+          else if (c == '"') inQ = false
           j += 1
         } else c match {
           case '"' => scalar.append(c); inQ = true; j += 1
@@ -165,11 +172,16 @@ object Hocon {
     def splitPath(s: String): Seq[String] = {
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new java.lang.StringBuilder
-      var inQ = false
-      s.foreach { c =>
-        if (c == '"') { inQ = !inQ; cur.append(c) }
+      var inQ = false; var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (inQ && c == '\\' && j + 1 < s.length) {
+          cur.append(c).append(s.charAt(j + 1)); j += 1
+        }
+        else if (c == '"') { inQ = !inQ; cur.append(c) }
         else if (c == '.' && !inQ) { out += cur.toString; cur.setLength(0) }
         else cur.append(c)
+        j += 1
       }
       out += cur.toString
       out.toSeq.map(x => unquote(x.trim))
@@ -190,7 +202,8 @@ object Hocon {
       var inQ = false; var sep = -1; var j = 0
       while (j < kv.length && sep < 0) {
         val c = kv.charAt(j)
-        if (c == '"') inQ = !inQ
+        if (inQ && c == '\\') j += 1
+        else if (c == '"') inQ = !inQ
         else if (!inQ && (c == '=' || c == ':')) sep = j
         j += 1
       }
@@ -206,7 +219,8 @@ object Hocon {
       var inQ = false; var j = 0
       while (j < line.length) {
         val c = line.charAt(j)
-        if (c == '"') inQ = !inQ
+        if (inQ && c == '\\') j += 1
+        else if (c == '"') inQ = !inQ
         else if (!inQ && (c == '=' || c == ':')) return -1
         else if (!inQ && c == '{' && (j == 0 || line.charAt(j - 1) != '$'))
           return j
@@ -214,18 +228,24 @@ object Hocon {
       }
       -1
     }
-    def parseObject(into: MMap): Unit = {
+    def parseObject(into: MMap, depth: Int): Unit = {
       while (i < lines.length) {
         val line = stripComment(lines(i)).trim
         i += 1
         if (line.nonEmpty) {
-          if (line == "}") return
+          if (line == "}") {
+            // a stray close at root would silently drop the rest of the
+            // file if accepted — fail at the parse site instead
+            if (depth == 0) throw new IllegalArgumentException(
+              s"unmatched '}' at line $i")
+            return
+          }
           else {
             val obr = objectBrace(line)
             if (obr >= 0) {
               // preprocess guarantees an object-opening `{` ends its line
               val path = splitPath(line.substring(0, obr).trim)
-              parseObject(descend(into, path))
+              parseObject(descend(into, path), depth + 1)
             } else {
               // a list may span lines: accumulate until brackets balance
               var full = line
@@ -238,12 +258,15 @@ object Hocon {
           }
         }
       }
+      if (depth > 0) throw new IllegalArgumentException(
+        s"unclosed block: $depth '}' missing at end of input")
     }
     def bracketBalance(s: String): Int = {
       var inQ = false; var bal = 0; var j = 0
       while (j < s.length) {
         val c = s.charAt(j)
-        if (c == '"') inQ = !inQ
+        if (inQ && c == '\\') j += 1
+        else if (c == '"') inQ = !inQ
         else if (!inQ && c == '[') bal += 1
         else if (!inQ && c == ']') bal -= 1
         j += 1
@@ -251,7 +274,7 @@ object Hocon {
       bal
     }
     val root = newMap()
-    parseObject(root)
+    parseObject(root, 0)
     Conf(resolve(freeze(root)))
   }
 

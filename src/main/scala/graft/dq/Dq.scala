@@ -78,12 +78,15 @@ object Dq {
   /** D4: run commands in order; each output becomes addressable by later
     * commands and is registered as a temp view for ViewCmd SQL. Assertion
     * outputs are one-row summary frames (the invalid rows are registered
-    * under `<output>_invalid`). */
+    * under `<output>_invalid`). Outputs named in `cacheKeys` are cached AS
+    * CREATED, so later commands that reuse them don't recompute their
+    * lineage — the point of the reference plan format's `cache` flag. */
   def runPlan(spark: SparkSession, commands: Seq[Command],
-      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+      inputs: Map[String, DataFrame],
+      cacheKeys: Set[String] = Set.empty): Map[String, DataFrame] = {
     inputs.foreach { case (k, df) => df.createOrReplaceTempView(k) }
     commands.foldLeft(inputs) { (ctx, cmd) =>
-      val out = cmd match {
+      val out0 = cmd match {
         case AssertCmd(in, where, thr, _) =>
           val r = assertion(ctx(in), where, thr)
           ctx(in).sparkSession.range(1).select(
@@ -92,6 +95,7 @@ object Dq {
         case DiffCmd(li, ri, jc, cc, _) => diff(ctx(li), ctx(ri), jc, cc)
         case ViewCmd(sql, _) => view(spark, sql)
       }
+      val out = if (cacheKeys.contains(cmd.output)) out0.cache() else out0
       out.createOrReplaceTempView(cmd.output)
       val extra = cmd match {
         case AssertCmd(in, where, _, o) =>

@@ -51,10 +51,15 @@ object DqPlans {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** An absent key AND an explicit JSON `null` both mean "not set"
+    * (`asText()` on a NullNode would yield the string "null"). */
+  private def optText(n: JsonNode): Option[String] =
+    Option(n).filterNot(_.isNull).map(_.asText())
+
   private def parseIn(n: JsonNode): In = In(
     n.get("ref").asText(),
     n.has("onDisk") && n.get("onDisk").asBoolean(),
-    Option(n.get("delimiter")).map(_.asText()))
+    optText(n.get("delimiter")))
 
   /** Run a TopNotch JSON plan. `params` resolves each command's
     * `externalParamsFile` NAME to its JSON content (use [[fromDirectory]]
@@ -156,14 +161,15 @@ object DqPlans {
       }
       directives :+= ((out,
         c.has("cache") && c.get("cache").asBoolean(),
-        Option(c.get("outputPath")).map(_.asText())))
+        optText(c.get("outputPath"))))
     }
 
-    val ctx = Dq.runPlan(spark, commands, inputs)
-    directives.foreach { case (key, cache, outPath) =>
-      if (cache) ctx(key).cache()
+    val cacheKeys = directives.collect { case (k, true, _) => k }.toSet
+    val ctx = Dq.runPlan(spark, commands, inputs, cacheKeys)
+    directives.foreach { case (key, _, outPath) =>
       for (base <- outputBase; p <- outPath) {
-        val resolved = if (p.startsWith("/")) s"$base$p" else s"$base/$p"
+        // absolute outputPath is used verbatim, like absolute input refs
+        val resolved = if (p.startsWith("/")) p else s"$base/$p"
         ctx(key).write.mode("overwrite").parquet(resolved)
       }
     }

@@ -41,17 +41,22 @@ object CsvSniffer {
     * extra or missing fields, embedded delimiters, blank lines) still
     * elects the character that is consistent on MOST lines, instead of
     * requiring a perfectly uniform count. A candidate wins only with a
-    * positive score (its mode covers more than half the sample); ties
-    * prefer the conventional delimiter order, mirroring the reference's
-    * `commonDelimiters` preference list. */
+    * positive score (its mode covers more than half the sample); score
+    * ties break on the HIGHER modal count first (a real delimiter splits
+    * more fields than a character merely embedded once per line — the old
+    * consistency vote's magnitude rule), then on the conventional
+    * delimiter order, mirroring the reference's `commonDelimiters`
+    * preference list. */
   def guessDelimiter(lines: Seq[String]): Char = {
     val scored = candidateDelims.zipWithIndex.map { case (d, pref) =>
       val counts = lines.map(_.count(_ == d))
-      val votes = counts.filter(_ > 0)
-        .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
-      (d, 2 * votes - counts.size, pref)
+      val (modeCount, votes) = counts.filter(_ > 0)
+        .groupBy(identity).view.mapValues(_.size)
+        .maxByOption { case (c, n) => (n, c) }.getOrElse((0, 0))
+      (d, 2 * votes - counts.size, modeCount, pref)
     }
-    val (best, score, _) = scored.maxBy { case (_, s, p) => (s, -p) }
+    val (best, score, _, _) =
+      scored.maxBy { case (_, s, m, p) => (s, m, -p) }
     if (score > 0) best else ','
   }
 

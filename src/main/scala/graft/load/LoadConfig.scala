@@ -60,7 +60,10 @@ object LoadConfig {
       isDelta = c.getBool("delta"),
       overwrite = c.getBool("overwrite"),
       projection = if (c.has("projection")) Some(c.getSeq("projection")) else None,
-      newNames = c.stringMap("new-names"))
+      newNames = c.stringMap("new-names"),
+      // reference satellites default this OFF; absent = keep the store's
+      // default (on) so unconfigured loads keep their change tables
+      writeChangeTables = c.getBool("write-change-tables", default = true))
 
     val hubs = conf.children(s"$acq.hubs").map { case (name, c) =>
       Loaders.TableLoad(

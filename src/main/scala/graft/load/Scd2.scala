@@ -48,7 +48,11 @@ case class MergeConfig(
     deleteIndicatorField: Option[(String, Seq[String])] = None,
     dropKeys: Boolean = false,
     validStartTimeField: Option[String] = None,
-    validEndTimeField: Option[String] = None) {
+    validEndTimeField: Option[String] = None,
+    // store-level: append per-load new/changed/removed tables (reference
+    // SatelliteTable `write-change-tables`; the reference defaults it OFF,
+    // this store defaults ON because its change tables feed S13 retention)
+    writeChangeTables: Boolean = true) {
   require(!(isDelta && overwrite), "isDelta and overwrite are mutually exclusive")
 }
 

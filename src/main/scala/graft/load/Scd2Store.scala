@@ -90,9 +90,11 @@ class Scd2Store(val spark: SparkSession, base: String) {
       "inserted" -> metrics("inserted").asInstanceOf[Long],
       "changed" -> metrics("changed").asInstanceOf[Long],
       "removed" -> metrics("removed").asInstanceOf[Long])
-    result.inserted.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "new"))
-    result.changed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "changed"))
-    result.removed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "removed"))
+    if (cfg.writeChangeTables) {
+      result.inserted.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "new"))
+      result.changed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "changed"))
+      result.removed.write.mode("append").partitionBy(ProcessDate).parquet(p(table, "removed"))
+    }
     result.unpersist()
     // Swap via backup, never delete-then-rename: HDFS `rename` reports
     // failure as `false` rather than throwing, and a crash between a delete

@@ -90,4 +90,16 @@ class HoconSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Hocon.parse("a = 1\na { b = 2 }\n")
   }
+
+  it should "reject unbalanced braces instead of silently dropping content" in {
+    an[IllegalArgumentException] should be thrownBy
+      Hocon.parse("a { x = 1 }\n}\nb = 2\n") // stray close
+    an[IllegalArgumentException] should be thrownBy
+      Hocon.parse("a {\n x = 1\n")            // unclosed block
+  }
+
+  it should "keep comment markers after an escaped quote inside a quoted value" in {
+    val c = Hocon.parse("""x = "a\" // b"""" + "\n")
+    c.getString("x") shouldBe """a" // b"""
+  }
 }

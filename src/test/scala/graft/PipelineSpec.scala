@@ -130,6 +130,10 @@ class PipelineSpec extends SparkSpec {
     CsvSniffer.guessDelimiter(Seq("a|b", "c|d", "e;f", "g|h")) shouldBe '|'
     // all lines disagree on every candidate -> conventional fallback
     CsvSniffer.guessDelimiter(Seq("abc", "def")) shouldBe ','
+    // a consistently-EMBEDDED higher-preference character must not beat
+    // the true delimiter: both are fully consistent here, but '|' splits
+    // more fields per line than the one embedded ';'
+    CsvSniffer.guessDelimiter(Seq("a;b|c|d", "e;f|g|h")) shouldBe '|'
   }
 
   behavior of "type parsers"

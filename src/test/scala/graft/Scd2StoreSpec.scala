@@ -123,6 +123,7 @@ class Scd2StoreSpec extends SparkSpec {
          |        id-fields = [cust_id]
          |        id-type = id1
          |        source = $${data.raw.tables.demographics.path}
+         |        write-change-tables = false
          |      }
          |    }
          |    mappings {
@@ -159,6 +160,12 @@ class Scd2StoreSpec extends SparkSpec {
     new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/store/email/meta.json")), "UTF-8") should
       include("Customer Number|email")
+    // write-change-tables = false suppressed the satellite's change
+    // tables; the hub (unconfigured -> store default) kept its own
+    Files.exists(java.nio.file.Paths.get(
+      s"$dir/store/customer_demo/new.parquet")) shouldBe false
+    Files.exists(java.nio.file.Paths.get(
+      s"$dir/store/customer/new.parquet")) shouldBe true
   }
 
   it should "load tables of one phase concurrently with sequential-identical results" in {
