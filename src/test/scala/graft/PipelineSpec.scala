@@ -244,4 +244,25 @@ class PipelineSpec extends SparkSpec {
     back.active.map(_.attribute) shouldBe Seq("spend")
     back.attributes("cust") shouldBe Seq("spend")
   }
+
+  it should "persist job-step and row-error audit as CSV" in {
+    import graft.store.AuditRepository
+    val pt = "2024-03-01 00:00:00"
+    val sf = java.nio.file.Files.createTempFile("steps", ".csv").toString
+    AuditRepository.saveSteps(sf, Seq(
+      graft.pipeline.JobStep("load", ok = true),
+      graft.pipeline.JobStep("validate", ok = false,
+        detail = "bad, \"quoted\" detail")), pt)
+    AuditRepository.loadSteps(sf) shouldBe Seq(
+      ("load", "completed", pt, ""),
+      ("validate", "failed", pt, "bad, \"quoted\" detail"))
+    val ef = java.nio.file.Files.createTempFile("errs", ".csv").toString
+    AuditRepository.saveErrors(ef, Seq(
+      AuditRepository.RowError("validate", "parse", "not a number",
+        Seq("42", "x,y"))), pt)
+    val errs = AuditRepository.loadErrors(ef)
+    errs.head.stepName shouldBe "validate"
+    errs.head.errorType shouldBe "parse"
+    errs.head.row shouldBe Seq("42", "x,y")
+  }
 }
