@@ -115,6 +115,41 @@ object CsvSniffer {
       guessDoubleQuoted(lines, delim, quote),
       guessSkipInitialSpace(lines, delim))
   }
+
+  /** Read the first `maxBytes` of `path` as the sniffing sample (reference
+    * `fileFunctions.readSample`, common/utility/fileFunctions.scala:13-20).
+    * Hadoop FS, not java.nio: the path may be any filesystem URI. The tail
+    * is trimmed back to the last complete line so a mid-record cut can't
+    * skew the vote. */
+  def readSample(path: String, maxBytes: Int = 64 * 1024,
+      encoding: String = "UTF-8",
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    val buf = new Array[Byte](maxBytes)
+    val n =
+      try {
+        var off = 0; var read = 0
+        while (off < maxBytes && read >= 0) {
+          read = in.read(buf, off, maxBytes - off)
+          if (read > 0) off += read
+        }
+        off
+      } finally in.close()
+    val s = new String(buf, 0, n, encoding)
+    // a full read (file smaller than maxBytes) keeps its last line
+    if (n < maxBytes) s
+    else s.lastIndexOf('\n') match {
+      case -1 => s
+      case cut => s.substring(0, cut)
+    }
+  }
+
+  /** [[readSample]] + [[sniff]] in one step. */
+  def sniffFile(path: String, maxBytes: Int = 64 * 1024): CsvDialect =
+    sniff(readSample(path, maxBytes))
 }
 
 /** S18: pluggable value parsers (reference: common/parsing/TypeParser.scala,

@@ -136,6 +136,18 @@ class PipelineSpec extends SparkSpec {
     CsvSniffer.guessDelimiter(Seq("a;b|c|d", "e;f|g|h")) shouldBe '|'
   }
 
+  it should "sniff a file from a bounded sample cut at a line boundary" in {
+    val f = java.nio.file.Files.createTempFile("sample", ".csv")
+    val content = (1 to 200).map(i => s"$i;x$i;y$i").mkString("\n")
+    java.nio.file.Files.writeString(f, content)
+    // tiny budget: the sample must end on a complete line, not mid-record
+    val sample = CsvSniffer.readSample(f.toString, maxBytes = 100)
+    sample.split("\n").forall(_.count(_ == ';') == 2) shouldBe true
+    CsvSniffer.sniffFile(f.toString, maxBytes = 100).delimiter shouldBe ';'
+    // a budget larger than the file keeps the (unterminated) last line
+    CsvSniffer.readSample(f.toString, maxBytes = 1 << 20) shouldBe content
+  }
+
   behavior of "type parsers"
 
   it should "parse booleans and dates with move-to-front" in {
