@@ -87,6 +87,12 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // same long-id contract as ivfAssign — reject other id types up front
+    for (d <- Seq(queries, candidates)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"bruteForceTopK requires a numeric $idCol (castable to long), got $t")
+    }
     val index: Array[(Long, Array[Double], Double)] = candidates
       .select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"))
