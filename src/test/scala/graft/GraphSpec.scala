@@ -15,6 +15,35 @@ class GraphSpec extends SparkSpec {
       "x" -> "x", "y" -> "x")
   }
 
+  it should "match a union-find reference on random graphs" in {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map { _ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }
+      // plain Scala union-find over the same edge set
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(v: String): String = {
+        val p = parent.getOrElseUpdate(v, v)
+        if (p == v) v else { val r = find(p); parent(v) = r; r }
+      }
+      def union(a: String, b: String): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = verts
+        .groupBy(find)
+        .flatMap { case (_, vs) => vs.map(_ -> vs.min) }
+      val got = EntityResolution
+        .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+        .as[(String, String)].collect().toMap
+      got shouldBe expected
+    }
+  }
+
   it should "resolve ids through the component honouring confidence" in {
     val mapping = Seq(
       ("e:1", "p:9", 1.0),
