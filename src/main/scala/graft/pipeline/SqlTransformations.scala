@@ -31,8 +31,10 @@ object SqlTransformations {
     sql(df.sparkSession, text, ctx)
   }
 
-  /** Named queries from a `.properties` file, cached per path (reference:
-    * sql/SQLLoader.scala:27-56 — synchronized map cache). */
+  /** Named queries from a `.properties` file — line-oriented, or the Java
+    * XML properties format when the path ends in `.xml` — cached per path
+    * (reference: sql/SQLLoader.scala:27-56 — synchronized map cache with
+    * the same extension rule). */
   private val cache = TrieMap.empty[String, Map[String, String]]
 
   def loadNamed(propsPath: String): Map[String, String] =
@@ -40,7 +42,9 @@ object SqlTransformations {
       val p = new java.util.Properties()
       val in = java.nio.file.Files.newInputStream(
         java.nio.file.Paths.get(propsPath))
-      try p.load(in) finally in.close()
+      try {
+        if (propsPath.endsWith(".xml")) p.loadFromXML(in) else p.load(in)
+      } finally in.close()
       import scala.jdk.CollectionConverters._
       p.asScala.toMap
     })

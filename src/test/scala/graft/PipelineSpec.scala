@@ -70,6 +70,33 @@ class PipelineSpec extends SparkSpec {
     out.as[Int].collect() shouldBe Array(2)
   }
 
+  it should "execute named SQL from line-oriented and XML properties files" in {
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("named_in")
+    val ctx = new TransformationContext
+    ctx.update(TransformationContext.SqlParams, Map("tag" -> "a"))
+    // line-oriented .properties
+    val pf = java.nio.file.Files.createTempFile("queries", ".properties")
+    java.nio.file.Files.writeString(pf,
+      "count_by_tag=SELECT count(1) AS n FROM named_in WHERE tag = '$tag'\n")
+    SqlTransformations.namedSql(spark, pf.toString, "count_by_tag", ctx)
+      .as[Long].head() shouldBe 2L
+    // the XML properties format the reference's SQLLoader supports for
+    // .xml extensions (TransformSpec "from an XML configuration file")
+    val xf = java.nio.file.Files.createTempFile("queries", ".xml")
+    java.nio.file.Files.writeString(xf,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!DOCTYPE properties SYSTEM "http://java.sun.com/dtd/properties.dtd">
+        |<properties>
+        |  <entry key="count_by_tag">SELECT count(1) AS n FROM named_in WHERE tag = '$tag'</entry>
+        |</properties>""".stripMargin)
+    SqlTransformations.namedSql(spark, xf.toString, "count_by_tag", ctx)
+      .as[Long].head() shouldBe 2L
+    // unknown names fail loudly
+    a[NoSuchElementException] should be thrownBy
+      SqlTransformations.namedSql(spark, pf.toString, "missing", ctx)
+  }
+
   it should "run source -> transforms -> sink end to end" in {
     val dir = java.nio.file.Files.createTempDirectory("pipe").toString
     Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
