@@ -35,8 +35,13 @@ object EntityResolution {
       .distinct()
       .repartition(col("b"))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("component", col("v"))
+    // Seed labels with the first propagation round for free: the vertex
+    // set needs a groupBy(a) anyway (the old distinct), and aggregating
+    // min(b) in that same shuffle yields each vertex's 1-hop neighbour
+    // min — one fewer loop iteration for every graph.
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("component"))
+      .select(col("a").as("v"), col("component"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
