@@ -51,6 +51,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X19: SimHash-band near-dup pairs — banded LSH over the signature
+    // bits (lossless for Hamming <= bands-1), exact bit_count(xor) verify.
+    // Corpus plants lightly-perturbed copies (one appended token) so the
+    // radius-3 ball is non-trivially populated.
+    "q_x19_simhash_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      Dedup.simhashNearDuplicates(corpus, "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X4: exact word-3-gram Jaccard similarity join (inverted index).
     "q_x4_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
@@ -196,6 +210,26 @@ object TextQueries {
        |  JOIN mh y ON y.doc_id = cand.doc_b AND y.k = x.k
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.simhash32]] as a CTE chain ending in
+    * `sim(doc_id, simhash)`. Bit extraction via exact double arithmetic —
+    * identical to the Spark expression. */
+  private def simhashCte(src: String = "documents"): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |  FROM $src),
+       |tokh AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |hv AS (SELECT doc_id, ${hexDigitSum(1, 8)} AS h FROM tokh),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS s
+       |  FROM hv, range(32) AS r(b) GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_x1_exact_dedup" ->
       """WITH corpus AS (
@@ -258,20 +292,29 @@ object TextQueries {
          |  v = min(r) AS is_canonical
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_x3_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, md5(tok) AS m FROM toks),
-         |hv AS (SELECT doc_id, ${hexDigitSum(1, 8)} AS h FROM th),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN CAST(floor(h / pow(2, b)) AS BIGINT) % 2 = 1
-         |      THEN 1 ELSE -1 END) AS s
-         |  FROM hv, range(32) AS r(b) GROUP BY 1, 2)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
-         |    AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${simhashCte()}
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q_x19_simhash_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${simhashCte(src = "corpus")},
+         |bands AS (
+         |  SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
+         |  FROM sim, range(4) AS r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN sim x ON x.doc_id = doc_a
+         |JOIN sim y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_x4_jaccard_pairs" ->
       s"""WITH ${shingleCte(3, distinct = true)},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

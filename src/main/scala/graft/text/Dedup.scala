@@ -131,21 +131,87 @@ object Dedup {
   }
 
   /** 32-bit SimHash over the token multiset: token hash = first 8 md5 hex
-    * digits as an integer; bit b of the result is set when strictly more
-    * tokens have bit b set than clear. Bit extraction uses exact double
-    * arithmetic (`floor(h / 2^b) % 2`) so an engine without bit-shift
-    * built-ins can mirror it. */
-  def simhash32(text: Column): Column = {
-    val hs = transform(words(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val contrib = (b: Column) => aggregate(hs, lit(0L),
-      (acc, h) => acc +
-        when(floor(h / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
-    aggregate(
-      transform(sequence(lit(0), lit(31)),
-        b => when(contrib(b) > 0,
-          pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    * digits (the digest's first 4 bytes) as an integer; bit b of the result
+    * is set when strictly more tokens have bit b set than clear.
+    *
+    * A tight UDF loop, not array expressions: the expression form
+    * (`aggregate` over 32 bits × `transform`-hashed tokens) interprets a
+    * lambda per (token, bit) pair — measured 17 s for 6,000 documents at
+    * sf0.1 vs ~1 s here (see memory/bench notes on interpreted HOF
+    * lambdas). One md5 per token, 32 counter bumps per token, same bits.
+    * The DuckDB oracle mirrors it with exact double arithmetic
+    * (`floor(h / 2^b) % 2`), so an engine without bit-shift built-ins can
+    * reproduce every signature. */
+  def simhash32(text: Column): Column = simhashUdf(words(text))
+
+  private val simhashUdf = udf { ws: Seq[String] =>
+    val counts = new Array[Int](32)
+    if (ws != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ws.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) acc |= 1L << b; b += 1 }
+    acc
+  }
+
+  /** X19: SimHash near-duplicate pairs within Hamming distance `maxDist`.
+    *
+    * LSH over the simhash bits themselves: the 32-bit signature is split
+    * into `bands` contiguous bit-bands (4 × 8 bits by default) and
+    * documents are self-joined on (band index, band value). By pigeonhole,
+    * two signatures within Hamming distance `maxDist < bands` agree on at
+    * least one whole band, so the banding is LOSSLESS for the requested
+    * radius; every candidate is then verified exactly with
+    * `bit_count(a XOR b) <= maxDist`.
+    *
+    * Scale shape: one projection for signatures, one shuffle keyed on the
+    * (band, value) pair. Unlike minhash band hashes (md5 — uniform by
+    * construction), simhash bands of a shared-vocabulary corpus are heavily
+    * CORRELATED: common tokens push every signature toward the same
+    * majority bits, so band buckets skew. The signature therefore rides the
+    * banding rows (8 extra bytes) and the Hamming verify runs INSIDE the
+    * join stage — candidate pairs die in whole-stage codegen without ever
+    * being shuffled; only the true near-dup pairs reach the closing
+    * `distinct` (measured 21.6 s → ~1 s at sf0.1 vs. the
+    * distinct-then-verify plan). Within-bucket compute is still quadratic —
+    * the inherent simhash-LSH cost; a web-scale corpus would use a 64-bit
+    * signature (2^16 buckets per band) and idf-weighted tokens to
+    * decorrelate, which changes only constants here. The 32-bit width is
+    * kept so the DuckDB oracle reproduces every bit via exact double
+    * arithmetic (see [[simhash32]]).
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4, bits: Int = 32): DataFrame = {
+    require(bands > maxDist,
+      s"bands ($bands) must exceed maxDist ($maxDist) for lossless banding")
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val sim = df.select(col(idCol).as("doc_id"),
+      simhash32(col(textCol)).as("__sh")).persist() // both sides of the self-join
+    val banded = sim.select(col("doc_id"), col("__sh"),
+      posexplode(array((0 until bands).map(b =>
+        pmod(shiftright(col("__sh"), b * width), lit(1L << width))): _*)))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bv"))
+    val ham = bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long")
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bv") === col("b.__bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(ham <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .distinct()
   }
 
   /** Exact dedup: one row per input row with the canonical (minimum) id of

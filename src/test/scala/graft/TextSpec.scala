@@ -48,6 +48,33 @@ class TextSpec extends SparkSpec {
     all(r.values.map(_._1)) should (be >= 0L and be < (1L << 32))
   }
 
+  it should "find every pair within the simhash Hamming radius (lossless banding)" in {
+    // Random-ish corpus via deterministic word soup: brute-force all-pairs
+    // Hamming distances vs the banded operator — pigeonhole says banding
+    // with maxDist < bands loses nothing.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val soup = (1L to 40L).map { i =>
+      val w = (0 until 12).map(j => vocab(((i * 7 + j * j + 3) % 6).toInt))
+      (i, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sims = soup.select(col("doc_id"),
+      Dedup.simhash32(col("text")).as("sh")).as[(Long, Long)].collect().toMap
+    val expect = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashNearDuplicates(soup, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe expect
+    expect should not be empty // the fixture actually exercises the radius
+  }
+
+  it should "reject simhash banding that cannot be lossless" in {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDist = 4, bands = 4)
+    }
+  }
+
   it should "compute exact jaccard on the inverted index" in {
     // doc1 trigrams: 4; doc3 trigrams: 5;
     // shared: "the cat sat","cat sat on","sat on the" = 3 -> 3/(4+5-3) = 0.5
