@@ -44,6 +44,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X20: incremental cross-corpus dedup — a delta batch (held-out docs
+    // + planted exact/near copies of corpus docs) checked against the
+    // corpus without re-deduping it; verdict per batch doc.
+    "q_x20_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 2)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X3: 32-bit SimHash per document.
     "q_x3_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -164,15 +182,15 @@ object TextQueries {
   /** DuckDB mirror of [[Dedup.words]]/[[Dedup.shingles]]: 1-based list
     * slices over regexp-split tokens. */
   private def shingleCte(n: Int, distinct: Boolean = false,
-      src: String = "documents") =
-    s"""words AS (
+      src: String = "documents", sfx: String = "") =
+    s"""words$sfx AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
        |  FROM $src),
-       |sh AS (
+       |sh$sfx AS (
        |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
        |    array_to_string(w[i:i+${n - 1}], ' ') AS shingle
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
-       |        FROM words))""".stripMargin
+       |        FROM words$sfx))""".stripMargin
 
   /** DuckDB mirror of "md5 hex digits [lo..hi] as an integer" (Spark side:
     * `conv(substring(md5(t),lo,hi-lo+1),16,10)` / the minhash UDF's byte
@@ -181,23 +199,32 @@ object TextQueries {
     s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${BigInt(16).pow(hi - j)}")
     .mkString(" + ")
 
-  /** Shared CTE chain: shingles → affine minhash signatures → band hashes
-    * → candidate pairs → per-pair minhash agreement counts (`nm`). Used by
-    * the q_x2 pair oracle and the q_x17 cluster-closure oracle. */
-  private def minhashNmCte(src: String = "documents"): String =
-    s"""${shingleCte(3, src = src)},
-       |th AS (SELECT doc_id, md5(shingle) AS m FROM sh),
-       |xv AS (SELECT doc_id,
+  /** Suffix-parameterized minhash signature chain over `src`: shingles →
+    * affine minhash values `mh$sfx(doc_id, k, mh)` → signatures → band
+    * hashes `bands$sfx(doc_id, b, bh)`. Mirrors [[Dedup.minhashSignature]]
+    * + [[Dedup]]'s banding exactly; instantiated twice (corpus/batch) by
+    * the q_x20 cross-corpus oracle. */
+  private def minhashSigCte(src: String, sfx: String): String =
+    s"""${shingleCte(3, src = src, sfx = sfx)},
+       |th$sfx AS (SELECT doc_id, md5(shingle) AS m FROM sh$sfx),
+       |xv$sfx AS (SELECT doc_id,
        |    ${hexDigitSum(1, 8)} AS x1,
        |    ${hexDigitSum(9, 16)} AS x2
-       |  FROM th),
-       |mh AS (
+       |  FROM th$sfx),
+       |mh$sfx AS (
        |  SELECT doc_id, k, min((x1 + k * x2) % ${Dedup.MinhashPrime}) AS mh
-       |  FROM xv, range(16) AS r(k) GROUP BY doc_id, k),
-       |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id),
-       |bands AS (
+       |  FROM xv$sfx, range(16) AS r(k) GROUP BY doc_id, k),
+       |sig$sfx AS (SELECT doc_id, list(mh ORDER BY k) AS sig
+       |  FROM mh$sfx GROUP BY doc_id),
+       |bands$sfx AS (
        |  SELECT doc_id, b, md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
-       |  FROM sig, range(4) AS rb(b)),
+       |  FROM sig$sfx, range(4) AS rb(b))""".stripMargin
+
+  /** Shared CTE chain: signature chain → candidate pairs → per-pair
+    * minhash agreement counts (`nm`). Used by the q_x2 pair oracle and
+    * the q_x17 cluster-closure oracle. */
+  private def minhashNmCte(src: String = "documents"): String =
+    s"""${minhashSigCte(src, "")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM bands a JOIN bands c
@@ -279,6 +306,47 @@ object TextQueries {
          |    (cl.cluster_id IS NULL OR w.doc_id = cl.cluster_id) AS keep
          |FROM withc w LEFT JOIN clusters cl ON w.doc_id = cl.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+    "q_x20_incremental_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text
+         |  FROM corpus WHERE doc_id % 20 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+         |  FROM corpus WHERE doc_id % 20 = 2),
+         |ex AS (
+         |  SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
+         |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+         |  GROUP BY 1),
+         |${minhashSigCte("corpus", "_c")},
+         |${minhashSigCte("batch", "_b")},
+         |candx AS (
+         |  SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS cid
+         |  FROM bands_c cb JOIN bands_b bb ON cb.b = bb.b AND cb.bh = bb.bh),
+         |nmx AS (
+         |  SELECT candx.doc_id, candx.cid,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM candx
+         |  JOIN mh_b x ON x.doc_id = candx.doc_id
+         |  JOIN mh_c y ON y.doc_id = candx.cid AND y.k = x.k
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT doc_id, min(cid) AS near_dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_near_dups
+         |  FROM nmx WHERE n_match >= 8 GROUP BY 1)
+         |SELECT b.doc_id, ex.exact_dup_of, near.near_dup_of,
+         |  coalesce(near.n_near_dups, 0) AS n_near_dups,
+         |  CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact'
+         |       WHEN near.near_dup_of IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict
+         |FROM batch b
+         |LEFT JOIN ex ON b.doc_id = ex.doc_id
+         |LEFT JOIN near ON b.doc_id = near.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "q_x17_neardup_clusters" ->
       s"""WITH RECURSIVE ${minhashNmCte()},
          |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),

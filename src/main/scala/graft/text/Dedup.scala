@@ -247,12 +247,8 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         minhashWordsUdf(shingleN, k)(words(col(textCol))).as("sig"))
       .persist()
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            v => v.cast("string")))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val banded = bandedSig(sig, "sig", bands, rows)
+      .select(col("doc_id"), col("band"), col("band_hash"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -268,6 +264,79 @@ object Dedup {
       .filter(col("n_match") >= minMatch)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
+  }
+
+  /** Banded LSH projection of a signature column: one row per (input row,
+    * band) with `band` (0-based) and `band_hash` = md5 of the band's
+    * `rows` signature values joined with '|'. All input columns ride
+    * along. This projection — plus the text md5 — is what a production
+    * corpus persists as its dedup index. */
+  private def bandedSig(sig: DataFrame, sigCol: String, bands: Int,
+      rows: Int): DataFrame =
+    sig.select(sig.columns.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|",
+            transform(slice(col(sigCol), b * rows + 1, lit(rows)),
+              v => v.cast("string")))))): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+  /** X20: INCREMENTAL cross-corpus dedup — the production delta shape: a
+    * new batch is checked AGAINST an existing corpus without re-deduping
+    * (or re-shuffling) the corpus. Exact stage: text-md5 equi-join. Near
+    * stage: minhash band join, candidates verified by exact signature
+    * agreement (>= `minMatch` of `k`). In BOTH stages the batch side is
+    * broadcast, so the corpus is touched by exactly two pruned column
+    * scans and never shuffled — cost is O(corpus scan) + O(batch·matches)
+    * regardless of history size. The verify runs INSIDE the broadcast
+    * join stage (signatures ride the banding rows): non-matching
+    * candidates die in codegen without reaching the aggregate. In
+    * production the banded-signature + text-md5 projection is persisted
+    * with the corpus ([[bandedSig]] output) and maintained incrementally,
+    * making re-runs index-only reads; computing it inline keeps the
+    * operator self-contained.
+    *
+    * One row per batch doc: (doc_id, exact_dup_of, near_dup_of,
+    * n_near_dups, verdict ∈ exact|near|new); `*_dup_of` is the MINIMUM
+    * matching corpus id, `n_near_dups` the count of distinct qualifying
+    * corpus docs. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    val bBase = batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text")).persist()
+    val exact = corpus
+      .select(col(idCol).as("__cid"), md5(col(textCol)).as("__th"))
+      .join(broadcast(bBase.select(col("doc_id"),
+        md5(col("__text")).as("__th"))), "__th")
+      .groupBy(col("doc_id"))
+      .agg(min(col("__cid")).as("exact_dup_of"))
+    def sigOf(df: DataFrame, id: Column, text: Column, idName: String,
+        sigName: String): DataFrame = df
+      .filter(size(words(text)) >= shingleN)
+      .select(id.as(idName),
+        minhashWordsUdf(shingleN, k)(words(text)).as(sigName))
+    val cBand = bandedSig(sigOf(corpus, col(idCol), col(textCol),
+      "__cid", "__csig"), "__csig", bands, rows)
+    val bBand = bandedSig(sigOf(bBase, col("doc_id"), col("__text"),
+      "doc_id", "__bsig"), "__bsig", bands, rows)
+    val near = cBand.join(broadcast(bBand), Seq("band", "band_hash"))
+      .withColumn("__nm",
+        size(filter(zip_with(col("__csig"), col("__bsig"), (x, y) => x === y),
+          b => b)))
+      .filter(col("__nm") >= minMatch)
+      .groupBy(col("doc_id"))
+      .agg(min(col("__cid")).as("near_dup_of"),
+        count_distinct(col("__cid")).as("n_near_dups"))
+    bBase.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(col("exact_dup_of").isNotNull, lit("exact"))
+          .when(col("near_dup_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"))
   }
 
   /** Near-duplicate CLUSTERS — the step production dedup actually ships:

@@ -177,6 +177,37 @@ class TextSpec extends SparkSpec {
     r(3) shouldBe ((4L, 4L, true))   // untouched unique doc
   }
 
+  it should "classify an incremental batch as exact, near, or new against a corpus" in {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and then slept all day"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog"),
+      (3L, "completely different words about embedded systems and rust"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on the mat and then slept all day"),   // exact of 1
+      (11L, "the cat sat on the mat and then slept all night"), // near of 1
+      (12L, "unrelated new content with entirely fresh tokens today"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, minMatch = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "verdict").as[(Long, String)].collect()
+    r shouldBe Array((10L, "exact"), (11L, "near"), (12L, "new"))
+    // an exact dup is also a full-agreement near dup of its source
+    val row10 = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .filter(col("doc_id") === 10L)
+      .select("exact_dup_of", "near_dup_of", "n_near_dups")
+      .as[(Long, Long, Long)].head()
+    row10 shouldBe ((1L, 1L, 1L))
+    // corpus docs never pair with each other: a batch of one unique doc
+    // yields exactly one 'new' row even though corpus docs 1/2/3 coexist
+    val lone = Dedup.incrementalDedup(corpus,
+      Seq((20L, "nothing shared here at all between these words"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("verdict").as[String].collect()
+    lone shouldBe Array("new")
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
