@@ -432,9 +432,16 @@ object Dedup {
     * prefix index short by construction.
     *
     * Candidates additionally pass the length filter (t·|a| ≤ |b| ≤ |a|/t),
-    * then verify EXACTLY via `array_intersect` on the full sorted shingle
-    * arrays — the final (doc_a, doc_b, n_shared, jaccard) rows are
-    * identical to the unfiltered join's. */
+    * then verify EXACTLY by OVERLAP COUNT: a second inverted-index
+    * equi-join restricted to the candidate pairs — candidate × left-side
+    * shingles ⋈ the (doc, shingle) index on (doc_b, shingle), then
+    * `groupBy(doc_a, doc_b).count()`. `n_shared` is all the output needs,
+    * so no shingle ARRAY ever leaves the docs aggregate: verify traffic is
+    * O(survivors × shingles) narrow rows instead of full sorted-array
+    * payloads shipped through two joins and intersected per pair — the
+    * part that grew with document length at 100 TB. The final
+    * (doc_a, doc_b, n_shared, jaccard) rows are identical to the
+    * unfiltered join's. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     // t > 1 is unsatisfiable and would drive the prefix length negative;
@@ -447,31 +454,29 @@ object Dedup {
     val eps = 1e-9
     val sh = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
-      .persist() // feeds the DF count and the sorted-array rebuild
+      .persist() // feeds document frequencies, the prefix ranking and both
+                 // sides of the overlap-count verify
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    // Per doc: shingles tagged "lpad(df,10,'0')|shingle" and sorted — the
-    // zero-padded prefix makes lexicographic order equal (df asc, shingle
-    // asc), i.e. rare-first. The tagged STRING stands in for the shingle
-    // everywhere (a shingle's global df is unique to it, so tagged
-    // equality == shingle equality): the prefix join keys on it and the
-    // verification intersects the string arrays on the hash-set fast path.
-    // A struct<df,shingle> formulation sorts identically but falls into
-    // array_intersect's O(n·m) ordering scan (no hashing for non-atomic
-    // element types — measured 2.6× slower end-to-end), and projecting
-    // bare shingles back out would interpret a lambda per element.
-    val docs = sh.join(dfreq, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(
-          concat(lpad(col("__df").cast("string"), 10, "0"),
-            lit("|"), col("shingle")))).as("__ss"),
-        count(lit(1)).as("n_shingles"))
-      .withColumn("__plen",
-        (col("n_shingles") -
-          ceil(lit(threshold) * col("n_shingles") - lit(eps)) + 1).cast("int"))
+    // Per-doc rare-first rank: row_number over (df asc, shingle asc) — the
+    // global AllPairs ordering — computed RELATIONALLY (one shuffle keyed
+    // by doc_id; the unordered size window rides the same exchange).
+    // Prefix rows are just the first |d| − ⌈t·|d|⌉ + 1 ranks; no per-doc
+    // sorted array is ever materialized (the former collect_list +
+    // array_sort + posexplode build was the docs-stage bottleneck, and the
+    // overlap-count verify no longer needs the arrays at all). Persisted:
+    // the candidate self-join reads it twice and ReuseExchange does not
+    // fire across a window chain.
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("__p", (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__p") <
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+      .select(col("doc_id"), col("shingle"), col("__p"), col("__n"))
       .persist()
-    val prefix = docs.select(col("doc_id"), col("n_shingles").as("__n"),
-      posexplode(slice(col("__ss"), lit(1), col("__plen"))))
-      .withColumnsRenamed(Map("pos" -> "__p", "col" -> "shingle"))
     // Candidate pairs with the PPJoin POSITIONAL filter: the prefix join
     // yields, per pair, its m shared prefix shingles with their 0-based
     // array positions. Under the shared global order, any further shared
@@ -497,14 +502,21 @@ object Dedup {
       .filter(col("__m") +
         least(col("__na") - col("__pa") - 1,
           col("__nb") - col("__pb") - 1) >= alpha)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+    // Overlap-count verify: candidate × left-side shingles ⋈ the inverted
+    // index on (doc_b, shingle), counted per pair. Every candidate pair
+    // shares at least one prefix shingle, so the inner join emits >= 1 row
+    // per pair — no candidate is lost. The doc sizes ride the candidate
+    // rows out of the aggregate above, so no size join-back is needed, and
+    // only narrow (ids, shingle) rows ever move — the candidate side stays
+    // AQE-broadcastable when survivors are few and degrades to a shuffled
+    // hash join when they are not.
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("__ss").as("__sa"),
-        col("n_shingles").as("__na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("__ss").as("__sb"),
-        col("n_shingles").as("__nb")), "doc_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
       // threshold on the RAW ratio (rounding only for output): filtering on
       // the rounded value would admit pairs just below the threshold
       .withColumn("__j",

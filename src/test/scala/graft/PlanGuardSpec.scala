@@ -37,6 +37,8 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("__pa")
     plan should include("__pb")
     plan should include("__m")
+    // verify must be the overlap-count join, never full-array shipping
+    plan should not include "array_intersect"
   }
 
   it should "resolve star fact FKs through broadcast joins only" in {
