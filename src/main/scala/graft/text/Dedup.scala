@@ -197,8 +197,11 @@ object Dedup {
       s"bands ($bands) must exceed maxDist ($maxDist) for lossless banding")
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
+    // both sides of the self-join are this identical subtree shuffled on
+    // the same (band, value) key — ReuseExchange runs the signature
+    // projection once, no operator-internal persist needed
     val sim = df.select(col(idCol).as("doc_id"),
-      simhash32(col(textCol)).as("__sh")).persist() // both sides of the self-join
+      simhash32(col(textCol)).as("__sh"))
     val banded = sim.select(col("doc_id"), col("__sh"),
       posexplode(array((0 until bands).map(b =>
         pmod(shiftright(col("__sh"), b * width), lit(1L << width))): _*)))
@@ -231,37 +234,37 @@ object Dedup {
     * `k/bands` rows → self-join on (band, band-hash) → exact signature
     * agreement count for the surviving candidates. Returns
     * (doc_a, doc_b, n_match, est_jaccard) for pairs agreeing on at least
-    * `minMatch` of the `k` minhashes. */
+    * `minMatch` of the `k` minhashes.
+    *
+    * The signatures RIDE the banding rows (k longs each), so the agreement
+    * verify runs INSIDE the band self-join stage: non-matching candidates
+    * die in codegen without a distinct-then-join-back round trip, and the
+    * corpus-wide hashing pass feeds exactly one downstream plan — the same
+    * shape [[incrementalDedup]] uses. The self-join's two sides are the
+    * identical subtree shuffled on the same (band, band_hash) key, so
+    * ReuseExchange computes the signature projection once; nothing needs
+    * an operator-internal persist. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minMatch: Int = 8): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
-    // The signature plan feeds three consumers (banding + both sides of the
-    // candidate join-back): persist it so the corpus-wide hashing pass
-    // runs once, not three times.
     // docs with fewer than n words have no shingles — same set the
     // unfused filter(size(shingles) > 0) kept
     val sig = df
       .filter(size(words(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc_id"),
         minhashWordsUdf(shingleN, k)(words(col(textCol))).as("sig"))
-      .persist()
     val banded = bandedSig(sig, "sig", bands, rows)
-      .select(col("doc_id"), col("band"), col("band_hash"))
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("__sa")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("__sb")), "doc_b")
-      .withColumn("n_match",
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
-          b => b)).cast("long"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)).cast("long").as("n_match"))
       .filter(col("n_match") >= minMatch)
+      .distinct()
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
   }

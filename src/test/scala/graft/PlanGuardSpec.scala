@@ -41,6 +41,36 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "array_intersect"
   }
 
+  it should "reuse one exchange for both sides of the LSH band self-joins" in {
+    // the signature projection (corpus-wide hashing) must be computed once:
+    // both self-join sides are the identical subtree shuffled on the same
+    // band key, which ReuseExchange collapses — a regression here doubles
+    // the corpus scan instead of failing a test
+    // duplicated texts so real pairs survive — an empty result lets AQE
+    // propagate EmptyRelation and skip the shuffle entirely
+    val docs = (1L to 30L)
+      .map(i => (i, s"alpha beta gamma delta w${i % 3} epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    def executedWithReuse(df: org.apache.spark.sql.DataFrame): Boolean = {
+      // collect() (not count(), which builds a separate plan) so THIS
+      // DataFrame's adaptive plan is finalized, then look for the reuse
+      // node in the final plan
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+    }
+    // force the shuffle-join path (the 100 TB shape): with tiny test data
+    // AQE broadcasts one side instead, which precludes shuffle reuse
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(executedWithReuse(
+        Dedup.minhashNearDuplicates(docs, "doc_id", "text")))
+      assert(executedWithReuse(
+        Dedup.simhashNearDuplicates(docs, "doc_id", "text")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,
