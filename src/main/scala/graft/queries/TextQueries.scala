@@ -83,6 +83,19 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X21: 64-bit SimHash near-dup pairs — 4 x 16-bit bands (65,536
+    // buckets per band vs the 32-bit operator's 256), same planted
+    // one-token perturbation corpus as q_x19.
+    "q_x21_simhash64_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      Dedup.simhashNearDuplicates64(corpus, "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X4: exact word-3-gram Jaccard similarity join (inverted index).
     "q_x4_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
@@ -257,7 +270,58 @@ object TextQueries {
        |      AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.simhash64]] as a CTE chain ending in
+    * `sim(doc_id, hi, lo)` — the two 32-bit halves keep every probe inside
+    * exact double arithmetic (`floor(h / 2^b) % 2`, exact to 2^53). */
+  private def simhash64Cte(src: String = "documents"): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |  FROM $src),
+       |tokh AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |hv AS (SELECT doc_id, ${hexDigitSum(1, 8)} AS xh,
+       |  ${hexDigitSum(9, 16)} AS xl FROM tokh),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN CAST(floor(xh / pow(2, b)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS sh,
+       |    sum(CASE WHEN CAST(floor(xl / pow(2, b)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS sl
+       |  FROM hv, range(32) AS r(b) GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sh > 0 THEN CAST(pow(2, b) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN sl > 0 THEN CAST(pow(2, b) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_x21_simhash64_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${simhash64Cte(src = "corpus")},
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN lo % 65536
+         |           WHEN 1 THEN CAST(floor(lo / 65536) AS BIGINT)
+         |           WHEN 2 THEN hi % 65536
+         |           ELSE CAST(floor(hi / 65536) AS BIGINT) END AS bv
+         |  FROM sim, range(4) AS r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+         |    AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN sim x ON x.doc_id = doc_a
+         |JOIN sim y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_x1_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

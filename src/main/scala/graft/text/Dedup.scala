@@ -165,6 +165,86 @@ object Dedup {
     acc
   }
 
+  /** 64-bit SimHash over the token multiset, returned as TWO 32-bit
+    * halves `struct(hi, lo)`: the token hash is the digest's first 8 bytes
+    * — bytes 0–3 drive bits 0–31 of `hi`, bytes 4–7 drive bits 0–31 of
+    * `lo` (the same two 32-bit words the minhash family reads as x1/x2).
+    * Bit b of a half is set when strictly more tokens have that bit set
+    * than clear. Splitting the signature keeps every value below 2^32, so
+    * an engine limited to exact double arithmetic (the DuckDB oracle's
+    * `floor(h / 2^b) % 2` bit probe, exact to 2^53) reproduces each half
+    * bit-for-bit — a single 64-bit value could not cross that bridge.
+    * Same tight UDF loop as [[simhash32]] (one md5 per token, 64 counter
+    * bumps), doubling the bit budget that [[simhashNearDuplicates64]]
+    * spends on 16-bit bands. */
+  def simhash64(text: Column): Column = simhash64Udf(words(text))
+
+  private val simhash64Udf = udf { ws: Seq[String] =>
+    val counts = new Array[Int](64)
+    if (ws != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ws.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) lo |= 1L << b
+      if (counts(b + 32) > 0) hi |= 1L << b
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** X21: 64-bit SimHash near-duplicate pairs within Hamming distance
+    * `maxDist` — the scale path [[simhashNearDuplicates]]'s own scaladoc
+    * names. Banding is 4 × 16-bit bands over the 64 signature bits: up to
+    * 2^16 = 65,536 distinct values per band versus the 32-bit operator's
+    * 2^8 = 256, so correlated majority bits of a shared-vocabulary corpus
+    * spread over 256× more buckets and the within-bucket quadratic stops
+    * being a straggler factory. Banding stays LOSSLESS for
+    * `maxDist < 4` by pigeonhole, and the Hamming verify
+    * (`bit_count(hi XOR hi') + bit_count(lo XOR lo')`) runs inside the
+    * join stage exactly like the 32-bit operator. Output:
+    * (doc_a, doc_b, hamming). */
+  def simhashNearDuplicates64(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bands = 4
+    require(bands > maxDist,
+      s"$bands bands are lossless only for maxDist < $bands, got $maxDist")
+    val sim = df.select(col(idCol).as("doc_id"),
+        simhash64(col(textCol)).as("__s"))
+      .select(col("doc_id"), col("__s._1").as("__hi"), col("__s._2").as("__lo"))
+    val banded = sim.select(col("doc_id"), col("__hi"), col("__lo"),
+      posexplode(array(
+        pmod(col("__lo"), lit(65536L)),
+        shiftright(col("__lo"), 16),
+        pmod(col("__hi"), lit(65536L)),
+        shiftright(col("__hi"), 16))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bv"))
+    val ham = (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+      bit_count(col("a.__lo").bitwiseXOR(col("b.__lo")))).cast("long")
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bv") === col("b.__bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(ham <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .distinct()
+  }
+
   /** X19: SimHash near-duplicate pairs within Hamming distance `maxDist`.
     *
     * LSH over the simhash bits themselves: the 32-bit signature is split
@@ -185,11 +265,10 @@ object Dedup {
     * being shuffled; only the true near-dup pairs reach the closing
     * `distinct` (measured 21.6 s → ~1 s at sf0.1 vs. the
     * distinct-then-verify plan). Within-bucket compute is still quadratic —
-    * the inherent simhash-LSH cost; a web-scale corpus would use a 64-bit
-    * signature (2^16 buckets per band) and idf-weighted tokens to
-    * decorrelate, which changes only constants here. The 32-bit width is
-    * kept so the DuckDB oracle reproduces every bit via exact double
-    * arithmetic (see [[simhash32]]).
+    * the inherent simhash-LSH cost; [[simhashNearDuplicates64]] is the
+    * web-scale path (64-bit signature, 2^16 buckets per band). The 32-bit
+    * width is kept here for the single-value signature form (see
+    * [[simhash32]]).
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, bands: Int = 4, bits: Int = 32): DataFrame = {

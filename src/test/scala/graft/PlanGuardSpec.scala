@@ -71,6 +71,16 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  it should "band the 64-bit simhash join on 16-bit keys" in {
+    // the whole point of the 64-bit variant is 2^16 buckets per band: the
+    // band values must be built with the 65536 modulus / 16-bit shift, not
+    // the 32-bit operator's 256-bucket bands
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.simhashNearDuplicates64(docs, "doc_id", "text"))
+    plan should include("65536")
+    plan should include("shiftright")
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,

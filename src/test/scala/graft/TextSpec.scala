@@ -69,9 +69,50 @@ class TextSpec extends SparkSpec {
     expect should not be empty // the fixture actually exercises the radius
   }
 
+  it should "give identical texts identical 64-bit simhash halves in 32-bit range" in {
+    val r = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("hi"), col("s._2").as("lo"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    r(1L) shouldBe r(2L)
+    r(1L) should not be r(4L)
+    all(r.values.flatMap(v => Seq(v._1, v._2))) should
+      (be >= 0L and be < (1L << 32))
+    // the low half IS the 32-bit simhash (same token bytes drive it)
+    val s32 = docs.select(col("doc_id"), Dedup.simhash32(col("text")))
+      .as[(Long, Long)].collect().toMap
+    r(1L)._2 should not be s32(1L) // hi bytes differ from lo bytes...
+    // ...but both halves are majority votes over the same token set, so
+    // identical docs agree on both operators
+    s32(1L) shouldBe s32(2L)
+  }
+
+  it should "find every pair within the 64-bit simhash Hamming radius (lossless 16-bit banding)" in {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val soup = (1L to 40L).map { i =>
+      val w = (0 until 12).map(j => vocab(((i * 7 + j * j + 3) % 6).toInt))
+      (i, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sims = soup.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1"), col("s._2"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2 << 32) | t._3)).toMap
+    val expect = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashNearDuplicates64(soup, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe expect
+    expect should not be empty
+  }
+
   it should "reject simhash banding that cannot be lossless" in {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDist = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDuplicates64(docs, "doc_id", "text", maxDist = 4)
     }
   }
 
