@@ -62,6 +62,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X22: the persisted dedup index projection itself — text md5 + banded
+    // minhash signature rows, the table a production corpus stores so
+    // incremental dedup never re-reads history.
+    "q_x22_dedup_index" -> { (s, dir) =>
+      Dedup.buildDedupIndex(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("band").isNotNull)
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("band_hash"), col("text_md5"))
+        .orderBy(col("doc_id"), col("band"))
+    },
+
     // X3: 32-bit SimHash per document.
     "q_x3_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -426,6 +437,12 @@ object TextQueries {
     "q_x3_simhash" ->
       s"""WITH ${simhashCte()}
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q_x22_dedup_index" ->
+      s"""WITH ${minhashSigCte("documents", "")}
+         |SELECT b.doc_id, b.b AS band, b.bh AS band_hash,
+         |  md5(d.text) AS text_md5
+         |FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+         |ORDER BY b.doc_id, b.b""".stripMargin,
     "q_x19_simhash_neardup" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

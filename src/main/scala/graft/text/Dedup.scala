@@ -362,48 +362,72 @@ object Dedup {
               v => v.cast("string")))))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
 
-  /** X20: INCREMENTAL cross-corpus dedup — the production delta shape: a
-    * new batch is checked AGAINST an existing corpus without re-deduping
-    * (or re-shuffling) the corpus. Exact stage: text-md5 equi-join. Near
-    * stage: minhash band join, candidates verified by exact signature
-    * agreement (>= `minMatch` of `k`). In BOTH stages the batch side is
-    * broadcast, so the corpus is touched by exactly two pruned column
-    * scans and never shuffled — cost is O(corpus scan) + O(batch·matches)
-    * regardless of history size. The verify runs INSIDE the broadcast
-    * join stage (signatures ride the banding rows): non-matching
-    * candidates die in codegen without reaching the aggregate. In
-    * production the banded-signature + text-md5 projection is persisted
-    * with the corpus ([[bandedSig]] output) and maintained incrementally,
-    * making re-runs index-only reads; computing it inline keeps the
-    * operator self-contained.
+  /** X22: the persisted dedup INDEX of a corpus — the projection a
+    * production pipeline stores alongside its documents so incremental
+    * dedup re-runs are index-only reads (no re-scan, no re-hash of
+    * history). One row per (doc, band): (doc_id, text_md5, sig, band,
+    * band_hash); documents too short to shingle carry a single row with
+    * NULL band columns so the exact-dup stage still sees their text hash.
+    * Append-only maintainable: indexing a new batch with this same
+    * function and appending the rows IS the index update. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    // `when` guards the UDF: short docs never pay the hashing loop
+    val base = corpus.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("text_md5"),
+      when(size(words(col(textCol))) >= shingleN,
+        minhashWordsUdf(shingleN, k)(words(col(textCol)))).as("sig"))
+    val sigged = bandedSig(base.filter(col("sig").isNotNull), "sig", bands,
+      rows).select(col("doc_id"), col("text_md5"), col("sig"),
+      col("band"), col("band_hash"))
+    val short = base.filter(col("sig").isNull)
+      .select(col("doc_id"), col("text_md5"), col("sig"),
+        lit(null).cast("int").as("band"),
+        lit(null).cast("string").as("band_hash"))
+    sigged.unionByName(short)
+  }
+
+  /** X20 (index form): incremental cross-corpus dedup answered from a
+    * [[buildDedupIndex]] table alone — the corpus documents are never
+    * touched. Exact stage: the index's one-row-per-doc slice
+    * (band 0 or NULL) equi-joined on text_md5. Near stage: the banded
+    * slice joined on (band, band_hash), signature agreement verified
+    * INSIDE the join (>= `minMatch` of `k`). The batch side is broadcast
+    * in both stages, so the index is touched by two pruned scans and
+    * never shuffled — cost is O(index scan) + O(batch·matches) regardless
+    * of history size. `shingleN`/`k`/`bands` must match the values the
+    * index was built with.
     *
     * One row per batch doc: (doc_id, exact_dup_of, near_dup_of,
     * n_near_dups, verdict ∈ exact|near|new); `*_dup_of` is the MINIMUM
     * matching corpus id, `n_near_dups` the count of distinct qualifying
     * corpus docs. */
-  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      minMatch: Int = 8): DataFrame = {
+  def incrementalDedupIndexed(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4, minMatch: Int = 8): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
     val bBase = batch
       .select(col(idCol).as("doc_id"), col(textCol).as("__text")).persist()
-    val exact = corpus
-      .select(col(idCol).as("__cid"), md5(col(textCol)).as("__th"))
+    val exact = index
+      .filter(col("band").isNull || col("band") === 0)
+      .select(col("doc_id").as("__cid"), col("text_md5").as("__th"))
       .join(broadcast(bBase.select(col("doc_id"),
         md5(col("__text")).as("__th"))), "__th")
       .groupBy(col("doc_id"))
       .agg(min(col("__cid")).as("exact_dup_of"))
-    def sigOf(df: DataFrame, id: Column, text: Column, idName: String,
-        sigName: String): DataFrame = df
-      .filter(size(words(text)) >= shingleN)
-      .select(id.as(idName),
-        minhashWordsUdf(shingleN, k)(words(text)).as(sigName))
-    val cBand = bandedSig(sigOf(corpus, col(idCol), col(textCol),
-      "__cid", "__csig"), "__csig", bands, rows)
-    val bBand = bandedSig(sigOf(bBase, col("doc_id"), col("__text"),
-      "doc_id", "__bsig"), "__bsig", bands, rows)
-    val near = cBand.join(broadcast(bBand), Seq("band", "band_hash"))
+    val bBand = bandedSig(bBase
+        .filter(size(words(col("__text"))) >= shingleN)
+        .select(col("doc_id"),
+          minhashWordsUdf(shingleN, k)(words(col("__text"))).as("__bsig")),
+      "__bsig", bands, rows)
+    val near = index
+      .filter(col("band").isNotNull)
+      .select(col("doc_id").as("__cid"), col("sig").as("__csig"),
+        col("band"), col("band_hash"))
+      .join(broadcast(bBand), Seq("band", "band_hash"))
       .withColumn("__nm",
         size(filter(zip_with(col("__csig"), col("__bsig"), (x, y) => x === y),
           b => b)))
@@ -419,6 +443,22 @@ object Dedup {
         when(col("exact_dup_of").isNotNull, lit("exact"))
           .when(col("near_dup_of").isNotNull, lit("near"))
           .otherwise(lit("new")).as("verdict"))
+  }
+
+  /** X20: INCREMENTAL cross-corpus dedup — the production delta shape: a
+    * new batch is checked AGAINST an existing corpus without re-deduping
+    * (or re-shuffling) the corpus. Builds the [[buildDedupIndex]]
+    * projection inline (persisted for the run so the corpus is hashed
+    * once) and answers through [[incrementalDedupIndexed]]; a production
+    * pipeline stores the index as a table and calls the indexed form
+    * directly, making re-runs index-only reads. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val index = buildDedupIndex(corpus, idCol, textCol, shingleN, k, bands)
+      .persist() // exact + near stages each read it; hash the corpus once
+    incrementalDedupIndexed(index, batch, idCol, textCol, shingleN, k,
+      bands, minMatch)
   }
 
   /** Near-duplicate CLUSTERS — the step production dedup actually ships:

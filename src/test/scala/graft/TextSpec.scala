@@ -249,6 +249,41 @@ class TextSpec extends SparkSpec {
     lone shouldBe Array("new")
   }
 
+  it should "answer incremental dedup from a persisted index alone" in {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and then slept all day"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog"),
+      (3L, "completely different words about embedded systems and rust"),
+      (4L, "tiny doc")) // < shingleN words -> NULL-band index row
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on the mat and then slept all day"),   // exact of 1
+      (11L, "the cat sat on the mat and then slept all night"), // near of 1
+      (12L, "tiny doc"),                                        // exact of short 4
+      (13L, "unrelated new content with entirely fresh tokens today"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    corpus.write.parquet(s"$tmp/corpus_store")
+    val corpusPq = spark.read.parquet(s"$tmp/corpus_store")
+    Dedup.buildDedupIndex(corpusPq, "doc_id", "text")
+      .write.parquet(s"$tmp/idx_store")
+    val index = spark.read.parquet(s"$tmp/idx_store")
+    val viaIndex = Dedup.incrementalDedupIndexed(index, batch,
+      "doc_id", "text")
+    val viaCorpus = Dedup.incrementalDedup(corpusPq, batch, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "exact_dup_of", "near_dup_of", "n_near_dups", "verdict")
+      .collect().map(_.toString).sorted.toSeq
+    rows(viaIndex) shouldBe rows(viaCorpus)
+    // the short corpus doc is matchable exactly through its NULL-band row
+    viaIndex.filter(col("doc_id") === 12L).select("verdict", "exact_dup_of")
+      .as[(String, Long)].head() shouldBe (("exact", 4L))
+    // index-only: the plan scans the index parquet and NEVER the corpus
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    plan should include("idx_store")
+    plan should not include "corpus_store"
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
