@@ -39,7 +39,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // intra-query persists must not leak (untimed)
+      // intra-query persists + checkpoint blocks must not leak (untimed)
+      graft.util.Caches.releaseAll(spark)
+      spark.catalog.clearCache()
       System.gc() // untimed: stop one query's garbage from taxing the next
       name -> elapsed
     }

@@ -27,8 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist() intra-query reuse plans; drop them between
-      // queries so cached copies don't accumulate across the run
+      // operators persist() intra-query reuse plans; drop them (and any
+      // checkpoint blocks) between queries so cached copies don't
+      // accumulate across the run
+      graft.util.Caches.releaseAll(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -231,7 +231,8 @@ object Similarity {
     * bucket the pair count is bounded by bucket size. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, dim: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, centroids, dim).persist()
+    val assigned = graft.util.Caches.persistTracked(
+      ivfAssign(df, idCol, vecCol, centroids, dim))
     val cands = assigned.select(col("centroid_id"),
       col("vec_id").as("neighbor_id"), col("v").as("w"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_id"))

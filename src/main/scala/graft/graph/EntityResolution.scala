@@ -30,11 +30,12 @@ object EntityResolution {
     // sym is re-joined on `b` every iteration: partition it by the join key
     // BEFORE the checkpoint. localCheckpoint preserves outputPartitioning,
     // so the per-iteration join never re-exchanges the (static) edge side.
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
-      .repartition(col("b"))
-      .localCheckpoint(true)
+    val sym = graft.util.Caches.trackCheckpointed(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .distinct()
+        .repartition(col("b"))
+        .localCheckpoint(true))
     // Seed labels with the first propagation round for free: the vertex
     // set needs a groupBy(a) anyway (the old distinct), and aggregating
     // min(b) in that same shuffle yields each vertex's 1-hop neighbour
@@ -69,6 +70,10 @@ object EntityResolution {
         .observe(obs, count(when(col("component") =!= col("__old"), 1))
           .as("changed"))
         .localCheckpoint(true)
+      // `next` is materialized (eager checkpoint), so the PREVIOUS round's
+      // label blocks are unreachable — drop them now instead of pinning
+      // O(iterations) copies of the vertex set until session end
+      graft.util.Caches.checkpointRdds(labels).foreach(_.unpersist(false))
       labels = next.drop("__old")
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
@@ -79,7 +84,9 @@ object EntityResolution {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations; " +
           "the graph has a component with a longer diameter — raise maxIter")
-    labels
+    // the surviving blocks (edge set + final labels) are the caller's to
+    // release once results are materialized
+    graft.util.Caches.trackCheckpointed(labels)
   }
 
   /** G2 `mapEntities`: resolve every id of `fromType` to an id of `toType`

@@ -98,7 +98,7 @@ object Scd2Merge {
       * (memory-and-disk). The store paths ([[Scd2Store]]/[[CatalogStore]])
       * materialize to parquet between loads instead and don't need this. */
     def materialized: MergeResult = {
-      val h = history.localCheckpoint()
+      val h = graft.util.Caches.trackCheckpointed(history.localCheckpoint())
       copy(history = h, current = Scd2Merge.snapshot(h))
     }
   }

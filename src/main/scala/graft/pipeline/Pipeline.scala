@@ -180,7 +180,8 @@ object RowPipeline {
     val out = spark.createDataFrame(rdd, schema)
     if (errorThreshold == Long.MaxValue) (out, errors)
     else {
-      val materialized = out.localCheckpoint(true)
+      val materialized = graft.util.Caches.trackCheckpointed(
+        out.localCheckpoint(true))
       val errCount = df.count() - materialized.count()
       if (errCount > errorThreshold) {
         materialized.unpersist()

@@ -126,7 +126,8 @@ object Star {
       case None =>
         // assignIds consumes its input twice (bucket counts + rank join):
         // materialize once so loadDim's aggregation doesn't run twice
-        val inc0 = incoming.localCheckpoint(false) // lazy: materializes inside the consuming job
+        val inc0 = graft.util.Caches.trackCheckpointed(
+          incoming.localCheckpoint(false)) // lazy: materializes inside the consuming job
         val first = assignIds(inc0, 1L)
         unknownRow(inc0, spec, processTime).unionByName(first)
           .select(first.columns.map(col): _*)
@@ -140,8 +141,10 @@ object Star {
         // chained dim-merge recompute that dominated q_t3).
         // lazy checkpoints: blocks materialize inside the first consuming
         // job (the seed agg below) instead of one eager job per input
-        val ex = exPlan.localCheckpoint(false)
-        val inc = incoming.localCheckpoint(false)
+        val ex = graft.util.Caches.trackCheckpointed(
+          exPlan.localCheckpoint(false))
+        val inc = graft.util.Caches.trackCheckpointed(
+          incoming.localCheckpoint(false))
         val open = ex.filter(col("end_time") === openEnd && col("id") =!= -1L)
         val exKeyed = open.select(col("hashed_key").as("__ex_hk"),
           col("hashed_value").as("__ex_hv"), col("id").as("__ex_id"),

@@ -409,8 +409,8 @@ object Dedup {
       bands: Int = 4, minMatch: Int = 8): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
-    val bBase = batch
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text")).persist()
+    val bBase = graft.util.Caches.persistTracked(batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text")))
     val exact = index
       .filter(col("band").isNull || col("band") === 0)
       .select(col("doc_id").as("__cid"), col("text_md5").as("__th"))
@@ -456,7 +456,8 @@ object Dedup {
       textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minMatch: Int = 8): DataFrame = {
     val index = buildDedupIndex(corpus, idCol, textCol, shingleN, k, bands)
-      .persist() // exact + near stages each read it; hash the corpus once
+      .transform(graft.util.Caches.persistTracked)
+      // exact + near stages each read it; hash the corpus once
     incrementalDedupIndexed(index, batch, idCol, textCol, shingleN, k,
       bands, minMatch)
   }
@@ -494,13 +495,13 @@ object Dedup {
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minMatch: Int = 8): DataFrame = {
-    val hashed = df
+    val hashed = graft.util.Caches.persistTracked(df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        md5(col(textCol)).as("__th"))
-      .persist()
+        md5(col(textCol)).as("__th")))
     val groups = hashed.groupBy(col("__th"))
       .agg(min(col("doc_id")).as("exact_canonical"))
-    val withCanon = hashed.join(groups, "__th").persist()
+    val withCanon = graft.util.Caches.persistTracked(
+      hashed.join(groups, "__th"))
     val survivors = withCanon
       .filter(col("doc_id") === col("exact_canonical"))
       .select(col("doc_id"), col("__text"))
@@ -574,10 +575,11 @@ object Dedup {
     // ε guards float fuzz in t·n: ceil must never round a mathematically
     // integral t·n upward (which would shorten the prefix and lose pairs).
     val eps = 1e-9
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
-      .persist() // feeds document frequencies, the prefix ranking and both
-                 // sides of the overlap-count verify
+    val sh = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle")))
+      // feeds document frequencies, the prefix ranking and both sides of
+      // the overlap-count verify; released via Caches.releaseAll
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     // Per-doc rare-first rank: row_number over (df asc, shingle asc) — the
     // global AllPairs ordering — computed RELATIONALLY (one shuffle keyed
@@ -598,7 +600,7 @@ object Dedup {
       .filter(col("__p") <
         col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
       .select(col("doc_id"), col("shingle"), col("__p"), col("__n"))
-      .persist()
+      .transform(graft.util.Caches.persistTracked)
     // Candidate pairs with the PPJoin POSITIONAL filter: the prefix join
     // yields, per pair, its m shared prefix shingles with their 0-based
     // array positions. Under the shared global order, any further shared

@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.Dedup
+import graft.ann.Similarity
+import org.apache.spark.sql.functions._
+
+/** Operator-internal caches must be releasable: a composed production run
+  * (the X18 shape — exact dedup + LSH clustering + connected components,
+  * i.e. persists AND localCheckpoint blocks) materializes its result, the
+  * caller calls `Caches.releaseAll`, and NO cached block introduced by the
+  * run survives. Without this contract a long-running service accumulates
+  * cached corpus projections until eviction pressure. */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cachedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  it should "leave zero cached blocks after a released dedup pipeline run" in {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then slept all day"),
+      (2L, "the cat sat on the mat and then slept all day"),
+      (3L, "the cat sat on the mat and then slept all night"),
+      (4L, "completely different words about embedded systems and rust"))
+      .toDF("doc_id", "text")
+    val before = cachedIds
+    Dedup.dedupPipeline(docs, "doc_id", "text").collect()
+    // the run pinned something (persists + CC checkpoints)...
+    (cachedIds -- before) should not be empty
+    graft.util.Caches.releaseAll(spark)
+    // ...and releasing drops every block the run introduced
+    (cachedIds -- before) shouldBe empty
+  }
+
+  it should "leave zero cached blocks after released jaccard, incremental and IVF runs" in {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val vecs = (1L to 20L)
+      .map(i => (i, Array.tabulate(8)(j => (i % 5 + j).toDouble)))
+      .toDF("vec_id", "embedding")
+    graft.functions.DotProductExpr.register(spark)
+    val before = cachedIds
+    Dedup.jaccardSimilarityJoin(docs, "doc_id", "text").collect()
+    Dedup.incrementalDedup(docs.filter(col("doc_id") < 3),
+      docs.filter(col("doc_id") >= 3), "doc_id", "text").collect()
+    Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") % 7 === 0), k = 2, dim = 8).collect()
+    (cachedIds -- before) should not be empty
+    graft.util.Caches.releaseAll(spark)
+    (cachedIds -- before) shouldBe empty
+  }
+
+  it should "pin only O(1) label copies during connected components" in {
+    // a path graph forces several propagation rounds; superseded label
+    // checkpoints must be dropped inside the loop, not at session end
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = cachedIds
+    graft.graph.EntityResolution
+      .connectedComponents(edges, "src", "dst").collect()
+    // surviving blocks: the symmetric edge set + the final labels only
+    (cachedIds -- before).size should be <= 2
+    graft.util.Caches.releaseAll(spark)
+    (cachedIds -- before) shouldBe empty
+  }
+}
