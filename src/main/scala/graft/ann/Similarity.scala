@@ -226,11 +226,163 @@ object Similarity {
       .toDF("vec_id", "v", "nrm", "centroid_id")
   }
 
+  /** IVF bucket assignment, MULTI-PROBE form: the top `probes` centroids
+    * per row by cosine (probe 0 = the [[ivfAssign]] bucket), ordered
+    * (cos desc — NaN ranked above any number, as Spark and the oracle both
+    * order it — then centroid id asc). The argmax scan already computes
+    * every centroid cosine row-locally, so emitting the top p instead of
+    * the top 1 costs only the p-slot insertion — still zero shuffle.
+    * Output: (vec_id, v, nrm, probe, centroid_id), one row per probe. */
+  def ivfAssignProbes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, probes: Int): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    for (d <- Seq(df, centroids)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ivfAssignProbes requires a numeric $idCol (castable to long), got $t")
+    }
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val bc = spark.sparkContext.broadcast(cents)
+    val p0 = probes
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val p = math.min(p0, cs.length)
+        rows.flatMap { case (id, v) =>
+          if (v == null) throw new IllegalArgumentException(
+            s"ivfAssignProbes: vector id=$id has a NULL embedding — filter " +
+              "or impute null vectors before assignment")
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(s)
+          val topId = new Array[Long](p)
+          val topCos = new Array[Double](p)
+          val topNaN = new Array[Boolean](p)
+          var n = 0
+          var ci = 0
+          while (ci < cs.length) {
+            val (cid, cv, cn) = cs(ci)
+            var d = 0.0; var j = 0
+            val dn = math.min(v.length, cv.length)
+            while (j < dn) { d += v(j) * cv(j); j += 1 }
+            val cos = d / (nrm * cn)
+            val isNaN = java.lang.Double.isNaN(cos)
+            // strict superiority only: centroids iterate in ascending id,
+            // so equal ranks keep the earlier (smaller) id — the
+            // (cos desc, centroid_id asc) order of the window form
+            var pos = n
+            while (pos > 0 && ((isNaN && !topNaN(pos - 1)) ||
+                (isNaN == topNaN(pos - 1) && cos > topCos(pos - 1)))) pos -= 1
+            if (pos < p) {
+              var m = math.min(n, p - 1)
+              while (m > pos) {
+                topCos(m) = topCos(m - 1); topId(m) = topId(m - 1)
+                topNaN(m) = topNaN(m - 1); m -= 1
+              }
+              topCos(pos) = cos; topId(pos) = cid; topNaN(pos) = isNaN
+              if (n < p) n += 1
+            }
+            ci += 1
+          }
+          (0 until n).map(r => (id, v, nrm, r, topId(r)))
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "probe", "centroid_id")
+  }
+
+  /** IVF approximate top-k with MULTI-PROBE search: each query searches
+    * its top `probes` centroid buckets instead of only its own, recovering
+    * most of the recall an IVF index loses at bucket boundaries for a
+    * bounded extra cost (the candidate side stays single-bucket — each
+    * vector is indexed once, under probe 0). One pass computes both
+    * roles, one shuffle keys the bucket join on `centroid_id`; pair count
+    * is bounded by `probes` × bucket size. Output matches [[ivfTopK]]
+    * minus the centroid column (a multi-probe query has no single
+    * bucket): (vec_id, rk, neighbor_id, cosine). */
+  def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, dim: Int,
+      probes: Int = 2): DataFrame = {
+    ensureNative(df)
+    val probed = graft.util.Caches.persistTracked(
+      ivfAssignProbes(df, idCol, vecCol, centroids, dim, probes))
+    val cands = probed.filter(col("probe") === 0)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("v").as("w"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(cands, "centroid_id")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        nCosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic k-means centroid training for the IVF index: seeded
+    * init (the k rows with the smallest md5 of their id — a uniform,
+    * engine-reproducible draw that costs one top-k, not a global sort)
+    * followed by a FIXED number of Lloyd iterations. Assignment reuses
+    * [[ivfAssign]]'s row-local argmax (zero shuffle); the mean update is
+    * posexplode → partial-aggregated (centroid, position) sums, so
+    * shuffle traffic per iteration is O(partitions × k × dim), never
+    * O(rows). Empty buckets keep their previous centroid. Returns
+    * (idCol = 0..k-1, vecCol) ready to feed [[ivfTopK]] /
+    * [[ivfTopKMultiProbe]]; centroid means depend on float accumulation
+    * order, so train once and PERSIST the centroid table — the index
+    * contract anyway. */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k/$iters")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var cents = base
+      .orderBy(md5(col("__vid").cast("string")), col("__vid"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(
+          md5(col("__vid").cast("string")), col("__vid")))
+          .cast("long").minus(1).as(idCol),
+        col("__v").as(vecCol))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(base, "__vid", "__v", cents
+        .withColumnRenamed(idCol, "__vid").withColumnRenamed(vecCol, "__v"),
+        dim)
+      val means = assigned.select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("col")).as("__s"), count(lit(1)).as("__c"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(
+            struct(col("pos"), (col("__s") / col("__c")).as("m")))),
+          x => x.getField("m")).as("__mean"))
+        .select(col("centroid_id").as(idCol), col("__mean"))
+      cents = cents.as("o").join(means.as("n"), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__mean"), col(s"o.$vecCol")).as(vecCol))
+    }
+    cents
+  }
+
   /** IVF approximate top-k: search only the query's own centroid bucket.
     * The bucket join shuffles both sides by `centroid_id` once; within a
     * bucket the pair count is bounded by bucket size. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, dim: Int): DataFrame = {
+    ensureNative(df)
     val assigned = graft.util.Caches.persistTracked(
       ivfAssign(df, idCol, vecCol, centroids, dim))
     val cands = assigned.select(col("centroid_id"),

@@ -51,6 +51,17 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X9b: IVF multi-probe top-3 — each query searches its top-2 centroid
+    // buckets (candidates indexed once, under their own bucket),
+    // recovering recall lost at bucket boundaries.
+    "q_x9b_ann_ivf_multiprobe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 40 === 0)
+      Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding", centroids,
+        3, Dim, probes = 2)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X16: int8 embedding quantization — per-vector scale, quantized
     // cells (summarized as exact integer sums for the scalar compare) and
     // max reconstruction error.
@@ -120,6 +131,30 @@ object AnnQueries {
          |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
          |  FROM pairs)
          |SELECT vec_id, centroid_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_x9b_ann_ivf_multiprobe" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |own AS (SELECT vec_id, v, nrm, centroid_id FROM rnk WHERE rn = 1),
+         |probe AS (SELECT vec_id, v, nrm, centroid_id FROM rnk WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM probe a JOIN own b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q_x16_int8_quantization" ->
       """WITH base AS (

@@ -62,6 +62,66 @@ class SimilaritySpec extends SparkSpec {
     r.toMap.apply(3L) shouldBe 4L
   }
 
+  it should "recover cross-bucket neighbors with multi-probe search" in {
+    // vec 5 sits between the two clusters, slightly closer to centroid 1:
+    // single-probe search never sees its true near-neighbor set on the
+    // other side of the boundary; probing 2 buckets does
+    val straddler = vecs.unionByName(
+      Seq((5L, Array(0.7f, 0.68f, 0.0f))).toDF("vec_id", "embedding"))
+    val centroids = straddler.filter(col("vec_id").isin(1, 3))
+    val one = Similarity.ivfTopK(straddler, "vec_id", "embedding",
+      centroids, 4, 3)
+      .filter(col("vec_id") === 5L)
+      .select("neighbor_id").as[Long].collect().toSet
+    val two = Similarity.ivfTopKMultiProbe(straddler, "vec_id", "embedding",
+      centroids, 4, 3, probes = 2)
+      .filter(col("vec_id") === 5L)
+      .select("neighbor_id").as[Long].collect().toSet
+    one shouldBe Set(1L, 2L)            // own bucket only
+    two shouldBe Set(1L, 2L, 3L, 4L)    // both probed buckets
+    // probes = 1 degenerates to single-bucket search for every vector
+    val p1 = Similarity.ivfTopKMultiProbe(straddler, "vec_id", "embedding",
+      centroids, 4, 3, probes = 1)
+      .select("vec_id", "rk", "neighbor_id", "cosine")
+      .collect().map(_.toString).sorted.toSeq
+    val base = Similarity.ivfTopK(straddler, "vec_id", "embedding",
+      centroids, 4, 3)
+      .select("vec_id", "rk", "neighbor_id", "cosine")
+      .collect().map(_.toString).sorted.toSeq
+    p1 shouldBe base
+  }
+
+  it should "train centroids that balance buckets better than the subset heuristic" in {
+    // three tight planted clusters with very different subset-draw
+    // densities: every 7th vector as a "centroid" lands them all in one
+    // cluster, k-means pulls one centroid into each
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]): Array[Double] =
+      base.map(_ + rnd.nextDouble() * 0.05)
+    val data = ((1 to 40).map(i => (i.toLong, jitter(Array(1.0, 0.0, 0.0)))) ++
+      (41 to 60).map(i => (i.toLong, jitter(Array(0.0, 1.0, 0.0)))) ++
+      (61 to 80).map(i => (i.toLong, jitter(Array(0.0, 0.0, 1.0)))))
+      .toDF("vec_id", "embedding")
+    def sizes(cents: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.ivfAssign(data, "vec_id", "embedding", cents, 3)
+        .groupBy("centroid_id").count().select("count").as[Long].collect().toSeq
+    def variance(xs: Seq[Long]): Double = {
+      val all = xs.padTo(3, 0L) // unused centroids hold zero vectors
+      val m = all.sum.toDouble / all.size
+      all.map(x => (x - m) * (x - m)).sum / all.size
+    }
+    val heuristic = data.filter(col("vec_id") % 27 === 1) // 1, 28 — cluster 1 twice... and 55
+    val trained = Similarity.trainCentroids(data, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 3)
+    trained.count() shouldBe 3L
+    val vTrained = variance(sizes(
+      trained.select(col("vec_id"), col("embedding"))))
+    val vHeuristic = variance(sizes(heuristic))
+    vTrained should be < vHeuristic
+    // with one centroid per planted cluster the buckets are exact
+    sizes(trained).sorted shouldBe Seq(20L, 20L, 40L)
+  }
+
   it should "find only above-threshold near-duplicate pairs" in {
     val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", 0.9, 3)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
