@@ -25,17 +25,42 @@ object EntityResolution {
     connectedComponentsLoop(edges, srcCol, dstCol, maxIter)
   }
 
-  private def connectedComponentsLoop(edges: DataFrame, srcCol: String,
-      dstCol: String, maxIter: Int): DataFrame = {
-    // sym is re-joined on `b` every iteration: partition it by the join key
-    // BEFORE the checkpoint. localCheckpoint preserves outputPartitioning,
-    // so the per-iteration join never re-exchanges the (static) edge side.
-    val sym = graft.util.Caches.trackCheckpointed(
+  /** The symmetrized, join-key-partitioned, checkpointed edge set the
+    * propagation loop re-reads every iteration. Package-private so
+    * PlanGuardSpec can assert the no-re-exchange property on the real
+    * construction. */
+  private[graft] def symmetrized(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    graft.util.Caches.trackCheckpointed(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
         .distinct()
         .repartition(col("b"))
         .localCheckpoint(true))
+
+  /** One min-label propagation round over `sym` given current `labels` —
+    * the loop body's plan, minus the observe/checkpoint bookkeeping.
+    * Output: (v, component, __old). */
+  private[graft] def propagationPlan(sym: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val contrib = sym
+      .join(labels.select(col("v").as("b"), col("component").as("nc")), "b")
+      .select(col("a"), col("nc"), lit(false).as("self"))
+      .unionByName(labels.select(col("v").as("a"), col("component").as("nc"),
+        lit(true).as("self")))
+    contrib
+      .groupBy(col("a"))
+      .agg(min(col("nc")).as("component"),
+        min(when(col("self"), col("nc"))).as("__old"))
+      .select(col("a").as("v"), col("component"), col("__old"))
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): DataFrame = {
+    // sym is re-joined on `b` every iteration: partition it by the join key
+    // BEFORE the checkpoint. localCheckpoint preserves outputPartitioning,
+    // so the per-iteration join never re-exchanges the (static) edge side.
+    val sym = symmetrized(edges, srcCol, dstCol)
     // Seed labels with the first propagation round for free: the vertex
     // set needs a groupBy(a) anyway (the old distinct), and aggregating
     // min(b) in that same shuffle yields each vertex's 1-hop neighbour
@@ -56,16 +81,7 @@ object EntityResolution {
       // is the one action per iteration, and the changed-label count is
       // collected by that same job — no separate count() pass.
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
-      val contrib = sym
-        .join(labels.select(col("v").as("b"), col("component").as("nc")), "b")
-        .select(col("a"), col("nc"), lit(false).as("self"))
-        .unionByName(labels.select(col("v").as("a"), col("component").as("nc"),
-          lit(true).as("self")))
-      val next = contrib
-        .groupBy(col("a"))
-        .agg(min(col("nc")).as("component"),
-          min(when(col("self"), col("nc"))).as("__old"))
-        .select(col("a").as("v"), col("component"), col("__old"))
+      val next = propagationPlan(sym, labels)
         // count(when) never returns NULL, even over an empty vertex set
         .observe(obs, count(when(col("component") =!= col("__old"), 1))
           .as("changed"))

@@ -81,6 +81,94 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("shiftright")
   }
 
+  private def withStaticShufflePlans[T](f: => T): T = {
+    // static plans make the structural asserts deterministic: AQE would
+    // wrap stages and hide the tree shape from collect(), and tiny test
+    // inputs would broadcast where the 100 TB shape shuffles
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  it should "probe the dedup index through broadcast joins with an unshuffled index side" in {
+    // X20's contract: the corpus/index side is touched by pruned scans and
+    // NEVER shuffled — the (small) batch is what broadcasts. A regression
+    // to a shuffled join re-partitions the 100 TB side per delta batch.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    withStaticShufflePlans {
+      val corpus = (1L to 20L)
+        .map(i => (i, s"alpha beta gamma delta w${i % 4} epsilon"))
+        .toDF("doc_id", "text")
+      val batch = Seq((100L, "alpha beta gamma delta w1 epsilon"))
+        .toDF("doc_id", "text")
+      val plan = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+        .queryExecution.executedPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      // the index-probing joins: exact keys on the text hash, near on the
+      // band hash (the final per-doc result joins are batch-sized and out
+      // of scope — their streamed side legitimately contains aggregates)
+      val probes = bhj.filter(_.leftKeys.map(_.toString).exists(k =>
+        k.contains("__th") || k.contains("band_hash")))
+      probes.size shouldBe 2
+      // the streamed (index) side of those joins must carry no shuffle
+      probes.foreach { j =>
+        val streamed = if (j.buildSide.toString.contains("Right")) j.left
+          else j.right
+        streamed.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      }
+    }
+  }
+
+  it should "scan the dedup-pipeline corpus once, through the cache" in {
+    // X18 composes exact dedup + clustering + a final join-back over the
+    // same corpus: every consumer must read the single cached projection,
+    // not re-scan the files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    withStaticShufflePlans {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
+      (1L to 20L)
+        .map(i => (i, s"alpha beta gamma delta w${i % 3} epsilon zeta"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$tmp/docs_store")
+      val docs = spark.read.parquet(s"$tmp/docs_store")
+      val result = Dedup.dedupPipeline(docs, "doc_id", "text")
+      val plan = result.queryExecution.executedPlan
+      plan.collect { case f: FileSourceScanExec => f } shouldBe empty
+      plan.collect { case m: InMemoryTableScanExec => m } should not be empty
+      graft.util.Caches.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
+  it should "never re-exchange the checkpointed edge side of the CC propagation join" in {
+    // the edge set is partitioned by the join key BEFORE its checkpoint,
+    // and the label side inherits its aggregate's partitioning through its
+    // own checkpoint (outputPartitioning rewrites through the v->b alias),
+    // so the propagation join re-exchanges NEITHER side: one round costs
+    // exactly one exchange — the closing aggregate
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticShufflePlans {
+      val edges = (1L to 10L).map(i => (i, i + 1)).toDF("src", "dst")
+      val sym = graft.graph.EntityResolution.symmetrized(edges, "src", "dst")
+      val labels = sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("component"))
+        .select(col("a").as("v"), col("component"))
+        .localCheckpoint(true)
+      val step = graft.graph.EntityResolution.propagationPlan(sym, labels)
+      val exchanges = step.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      exchanges.size shouldBe 1
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,
