@@ -207,6 +207,58 @@ object Dedup {
     (hi, lo)
   }
 
+  /** Idf-weighted 64-bit SimHash signatures for a whole corpus: each
+    * token's ±1 bit votes are scaled by `ln(1 + N/df)`, so the
+    * high-frequency tokens that drive every unweighted signature toward
+    * the same majority bits (the bucket-skew hazard the banded joins
+    * document) carry the least weight and RARE, discriminative tokens
+    * dominate — the classic idf decorrelation. Weighting requires corpus
+    * document frequencies, so unlike [[simhash64]] this is a corpus-level
+    * operator: one explode + one (token ⋈ df) shuffle + one per-doc
+    * aggregate of 64 weighted bit sums (partial-aggregated — shuffle rows
+    * are O(docs), not O(tokens)). Spec-checked only: `ln` is not
+    * bit-reproducible across engines, so no DuckDB oracle — the banded
+    * join remains lossless regardless (pigeonhole does not care how the
+    * signature was made). Returns (doc_id, hi, lo) 32-bit halves. */
+  def simhash64Idf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("tok"))
+    val dfreq = toks.distinct().groupBy(col("tok"))
+      .agg(count(lit(1)).as("__df"))
+    val total = df.select(count(lit(1)).as("__N"))
+    val weighted = toks.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("__xh"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("__xl"),
+        log(lit(1.0) + col("__N") / col("__df")).as("__w"))
+    def bitSum(src: Column, b: Int, name: String): Column =
+      sum(when(shiftright(src, b).bitwiseAND(lit(1L)) === 1L, col("__w"))
+        .otherwise(-col("__w"))).as(name)
+    val sums = (0 until 32).map(b => bitSum(col("__xh"), b, s"__h$b")) ++
+      (0 until 32).map(b => bitSum(col("__xl"), b, s"__l$b"))
+    def assemble(prefix: String): Column = (0 until 32)
+      .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    weighted.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), assemble("__h").as("hi"), assemble("__l").as("lo"))
+  }
+
+  /** [[simhashNearDuplicates64]] over IDF-WEIGHTED signatures — the full
+    * mitigation stack for correlated-corpus bucket skew: 16-bit bands for
+    * spread, idf weighting for decorrelation. Same lossless pigeonhole
+    * banding and in-join Hamming verify; spec-checked (see
+    * [[simhash64Idf]] on why there is no oracle). */
+  def simhashNearDuplicates64Idf(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4,
+      s"4 bands are lossless only for maxDist < 4, got $maxDist")
+    bandJoin64(simhash64Idf(df, idCol, textCol)
+      .select(col("doc_id"), col("hi").as("__hi"), col("lo").as("__lo")),
+      maxDist)
+  }
+
   /** X21: 64-bit SimHash near-duplicate pairs within Hamming distance
     * `maxDist` — the scale path [[simhashNearDuplicates]]'s own scaladoc
     * names. Banding is 4 × 16-bit bands over the 64 signature bits: up to
@@ -220,12 +272,18 @@ object Dedup {
     * (doc_a, doc_b, hamming). */
   def simhashNearDuplicates64(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val bands = 4
-    require(bands > maxDist,
-      s"$bands bands are lossless only for maxDist < $bands, got $maxDist")
-    val sim = df.select(col(idCol).as("doc_id"),
+    require(maxDist < 4,
+      s"4 bands are lossless only for maxDist < 4, got $maxDist")
+    bandJoin64(df.select(col(idCol).as("doc_id"),
         simhash64(col(textCol)).as("__s"))
-      .select(col("doc_id"), col("__s._1").as("__hi"), col("__s._2").as("__lo"))
+      .select(col("doc_id"), col("__s._1").as("__hi"),
+        col("__s._2").as("__lo")), maxDist)
+  }
+
+  /** 4 × 16-bit band self-join + in-join Hamming verify over a
+    * (doc_id, __hi, __lo) signature table — shared by the plain and
+    * idf-weighted 64-bit operators. */
+  private def bandJoin64(sim: DataFrame, maxDist: Int): DataFrame = {
     val banded = sim.select(col("doc_id"), col("__hi"), col("__lo"),
       posexplode(array(
         pmod(col("__lo"), lit(65536L)),

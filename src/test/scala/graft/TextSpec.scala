@@ -107,6 +107,41 @@ class TextSpec extends SparkSpec {
     expect should not be empty
   }
 
+  it should "decorrelate signatures with idf weighting while keeping dups at distance 0" in {
+    // every doc shares a long stop-phrase plus a few unique rare words:
+    // unweighted majority bits are driven by the (more numerous) stop
+    // tokens, so signatures collapse toward each other; idf weighting
+    // hands the vote to the rare words and signatures spread apart
+    val stop = "the quick brown common stop phrase shared by every doc " +
+      "always and forever in this corpus"
+    val corpus = ((1L to 10L).map(i =>
+      (i, s"$stop unique${i}a unique${i}b unique${i}c")) :+
+      (99L, s"$stop unique1a unique1b unique1c")) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    def avgPairHam(sig: Map[Long, (Long, Long)]): Double = {
+      val ids = (1L to 10L).toSeq
+      val hs = for (a <- ids; b <- ids if a < b) yield
+        java.lang.Long.bitCount(sig(a)._1 ^ sig(b)._1) +
+          java.lang.Long.bitCount(sig(a)._2 ^ sig(b)._2)
+      hs.sum.toDouble / hs.size
+    }
+    val plain = corpus.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1"), col("s._2"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val idf = Dedup.simhash64Idf(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    avgPairHam(idf) should be > avgPairHam(plain)
+    // identical docs still agree exactly, so the banded join finds them
+    idf(99L) shouldBe idf(1L)
+    val pairs = Dedup.simhashNearDuplicates64Idf(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    pairs should contain((1L, 99L, 0L))
+  }
+
   it should "reject simhash banding that cannot be lossless" in {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDist = 4, bands = 4)
