@@ -319,6 +319,35 @@ class TextSpec extends SparkSpec {
     plan should not include "corpus_store"
   }
 
+  it should "answer identically through the index on random corpora (property)" in {
+    // randomized cross-check of the index path: for several seeds, a
+    // random corpus/batch split with planted exact and near copies must
+    // produce byte-identical verdicts via buildDedupIndex +
+    // incrementalDedupIndexed and via the direct corpus form
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (1 to 30).map { id =>
+        val words = Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, words.mkString(" "))
+      }
+      val (corpusRows, batchBase) = pool.partition(_._1 % 3 != 0)
+      val batchRows = batchBase ++
+        corpusRows.filter(_._1 % 4 == 1)
+          .map { case (id, t) => (id + 500L, t) } ++          // exact copies
+        corpusRows.filter(_._1 % 4 == 2)
+          .map { case (id, t) => (id + 900L, t + " tail") }   // perturbed
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      rows(Dedup.incrementalDedupIndexed(index, batch, "doc_id", "text")) shouldBe
+        rows(Dedup.incrementalDedup(corpus, batch, "doc_id", "text"))
+    }
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
