@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * driver-side `collect` fallback and flagged its own approach as wrong
   * (reference: diamond/load/CustomerResolver.scala:11,59-65,77). Here the
   * semantics are connected components via iterative min-label propagation
-  * expressed in DataFrames: every iteration is one shuffle join keyed by
-  * vertex id, the iteration count is bounded by the component diameter
-  * (id-mapping graphs are shallow — an entity's ids form a star around it),
-  * and `localCheckpoint` truncates the plan lineage so the loop does not
-  * accumulate a growing DAG. Nothing is ever collected to the driver.
+  * with ADAPTIVE POINTER JUMPING expressed in DataFrames: shallow
+  * id-mapping stars converge in 2-3 one-aggregate rounds; if convergence
+  * has not arrived by round [[JumpAfter]] (a deep chain), jumping engages
+  * and the remaining rounds are O(log diameter). `localCheckpoint`
+  * truncates the plan lineage so the loop does not accumulate a growing
+  * DAG. Nothing is ever collected to the driver.
   */
 object EntityResolution {
 
@@ -38,22 +39,55 @@ object EntityResolution {
         .repartition(col("b"))
         .localCheckpoint(true))
 
-  /** One min-label propagation round over `sym` given current `labels` —
-    * the loop body's plan, minus the observe/checkpoint bookkeeping.
+  /** One propagation round over `sym` given current `labels` — the loop
+    * body's plan, minus the observe/checkpoint bookkeeping.
+    *
+    * Always: the neighbourhood min `m(v)` (one aggregate — one exchange;
+    * neither join side re-exchanges, see PlanGuardSpec). With
+    * `jump = true`, POINTER JUMPING is fused on top —
+    * `next(v) = min(m(v), label(m(v)))` — compressing label chains so the
+    * remaining convergence is O(log diameter) rounds instead of
+    * O(diameter): plain propagation walks the minimum one hop per round,
+    * so a 1000-hop near-dup chain (real in boilerplate-heavy corpora
+    * feeding [[graft.text.Dedup.nearDuplicateClusters]]) would need 1000
+    * shuffle rounds, with jumping ~10. Labels are ids of in-component
+    * vertices and only ever decrease, so the jump preserves both
+    * invariants; at the stable fixpoint every label equals the component
+    * minimum (same argument as plain propagation, plus idempotence
+    * `label(label(v)) = label(v)`). The jump costs one extra exchange per
+    * round (the O(V) aggregate output re-keyed for the lookup), so the
+    * loop engages it ADAPTIVELY — shallow star graphs, the common
+    * entity-resolution shape, converge in 2-3 plain rounds and never pay
+    * for it (measured +20-70% per consumer when unconditional).
     * Output: (v, component, __old). */
-  private[graft] def propagationPlan(sym: DataFrame,
-      labels: DataFrame): DataFrame = {
+  private[graft] def propagationPlan(sym: DataFrame, labels: DataFrame,
+      jump: Boolean = false): DataFrame = {
     val contrib = sym
       .join(labels.select(col("v").as("b"), col("component").as("nc")), "b")
       .select(col("a"), col("nc"), lit(false).as("self"))
       .unionByName(labels.select(col("v").as("a"), col("component").as("nc"),
         lit(true).as("self")))
-    contrib
+    val m = contrib
       .groupBy(col("a"))
       .agg(min(col("nc")).as("component"),
         min(when(col("self"), col("nc"))).as("__old"))
       .select(col("a").as("v"), col("component"), col("__old"))
+    if (!jump) m
+    else
+      // label(m(v)): every label value IS a vertex id, so the lookup is an
+      // equi-join of the aggregate output against the label table (left +
+      // coalesce only guards the theoretical miss — labels cover vertices)
+      m.join(labels.select(col("v").as("component"),
+          col("component").as("__jump")), Seq("component"), "left")
+        .select(col("v"),
+          least(col("component"), coalesce(col("__jump"), col("component")))
+            .as("component"),
+          col("__old"))
   }
+
+  /** Plain rounds before pointer jumping engages: shallow graphs converge
+    * inside this budget and never pay the jump join. */
+  private val JumpAfter = 4
 
   private def connectedComponentsLoop(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int): DataFrame = {
@@ -81,7 +115,7 @@ object EntityResolution {
       // is the one action per iteration, and the changed-label count is
       // collected by that same job — no separate count() pass.
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
-      val next = propagationPlan(sym, labels)
+      val next = propagationPlan(sym, labels, jump = i >= JumpAfter)
         // count(when) never returns NULL, even over an empty vertex set
         .observe(obs, count(when(col("component") =!= col("__old"), 1))
           .as("changed"))
@@ -99,7 +133,8 @@ object EntityResolution {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations; " +
-          "the graph has a component with a longer diameter — raise maxIter")
+          "with pointer jumping that needs a component of diameter " +
+          "~2^maxIter — raise maxIter")
     // the surviving blocks (edge set + final labels) are the caller's to
     // release once results are materialized
     graft.util.Caches.trackCheckpointed(labels)

@@ -44,6 +44,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  it should "close a 300-vertex chain within the default iteration budget (pointer jumping)" in {
+    // plain min-label propagation moves the minimum one hop per round and
+    // would need ~300 rounds; pointer jumping compresses label chains so
+    // ~log2(300) rounds suffice — this is the deep near-dup-chain shape a
+    // boilerplate-heavy corpus feeds into nearDuplicateClusters
+    val edges = (1L until 300L).map(i => (s"v%03d".format(i), s"v%03d".format(i + 1)))
+      .toDF("src", "dst")
+    val cc = EntityResolution.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect()
+    cc.length shouldBe 300
+    cc.map(_._2).distinct shouldBe Array("v001")
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "resolve ids through the component honouring confidence" in {
     val mapping = Seq(
       ("e:1", "p:9", 1.0),

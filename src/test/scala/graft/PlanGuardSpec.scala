@@ -151,8 +151,10 @@ class PlanGuardSpec extends SparkSpec {
     // the edge set is partitioned by the join key BEFORE its checkpoint,
     // and the label side inherits its aggregate's partitioning through its
     // own checkpoint (outputPartitioning rewrites through the v->b alias),
-    // so the propagation join re-exchanges NEITHER side: one round costs
-    // exactly one exchange — the closing aggregate
+    // so the propagation join re-exchanges NEITHER side: a plain round
+    // costs exactly one exchange (the closing aggregate); a jumping round
+    // adds exactly one more — the aggregate's O(V) output re-keyed for
+    // the pointer-jump lookup, whose label side is again exchange-free
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     withStaticShufflePlans {
       val edges = (1L to 10L).map(i => (i, i + 1)).toDF("src", "dst")
@@ -161,10 +163,12 @@ class PlanGuardSpec extends SparkSpec {
         .agg(least(col("a"), min(col("b"))).as("component"))
         .select(col("a").as("v"), col("component"))
         .localCheckpoint(true)
-      val step = graft.graph.EntityResolution.propagationPlan(sym, labels)
-      val exchanges = step.queryExecution.executedPlan
-        .collect { case e: ShuffleExchangeExec => e }
-      exchanges.size shouldBe 1
+      def exchanges(jump: Boolean): Int = graft.graph.EntityResolution
+        .propagationPlan(sym, labels, jump)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.size
+      exchanges(jump = false) shouldBe 1
+      exchanges(jump = true) shouldBe 2
       graft.util.Caches.releaseAll(spark)
     }
   }
