@@ -86,6 +86,60 @@ object StreamingEvents {
       }
       .start()
 
+  /** X20/X22 streaming: continuous corpus ingestion deduplicated against
+    * the PERSISTED dedup index, with the index maintained append-only —
+    * the full production loop of [[graft.text.Dedup.buildDedupIndex]] /
+    * [[graft.text.Dedup.incrementalDedupIndexed]] run per micro-batch via
+    * `foreachBatch`:
+    *
+    *  1. verdict every batch doc against the current index (exact text-md5
+    *     + banded-minhash near match; batch broadcast, index never
+    *     shuffled) → appended to `verdictDir`;
+    *  2. docs judged `new` are indexed with the SAME buildDedupIndex
+    *     projection and appended to `indexDir`, so later batches dedup
+    *     against them — the index update IS the indexing function, no
+    *     parallel implementation.
+    *
+    * Duplicates WITHIN one micro-batch are not cross-checked (the indexed
+    * form is batch-vs-index by construction); put
+    * [[dedupStream]] (watermark-bounded exact suppression) upstream for
+    * that. Operator caches are released per batch, so the query runs
+    * indefinitely without accumulating blocks. Seed `indexDir` with
+    * `buildDedupIndex(corpus)` output (or leave it empty and every
+    * first-batch doc is `new`). Returns the started query; callers own
+    * checkpointing/termination. */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, verdictDir: String, checkpointDir: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val index =
+            if (new java.io.File(indexDir).exists())
+              spark.read.parquet(indexDir)
+            else graft.text.Dedup
+              .buildDedupIndex(batch.limit(0).toDF(), idCol, textCol,
+                shingleN, k, bands) // empty, schema-only seed
+          val verdicts = graft.text.Dedup.incrementalDedupIndexed(index,
+            batch.toDF(), idCol, textCol, shingleN, k, bands, minMatch)
+            .persist() // verdictDir write + the fresh-doc filter below
+          verdicts.write.mode("append").parquet(verdictDir)
+          val fresh = batch.toDF().join(
+            verdicts.filter(col("verdict") === "new")
+              .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+          graft.text.Dedup
+            .buildDedupIndex(fresh, idCol, textCol, shingleN, k, bands)
+            .write.mode("append").parquet(indexDir)
+          verdicts.unpersist()
+          graft.util.Caches.releaseAll(spark)
+          ()
+        }
+      }
+      .start()
+
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)
   case class EventIn(entity: Long, eventType: String,

@@ -34,6 +34,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "dedup a stream against the persisted index and grow it with new docs" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    // seed the index from an existing corpus
+    val corpus = Seq((1L, "the cat sat on the mat and then slept all day"))
+      .toDF("doc_id", "text")
+    graft.text.Dedup.buildDedupIndex(corpus, "doc_id", "text")
+      .write.parquet(s"$tmp/index")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.incrementalDedupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/index", s"$tmp/verdicts", s"$tmp/ckpt")
+    try {
+      in.addData(
+        (10L, "the cat sat on the mat and then slept all day"), // exact of 1
+        (11L, "totally novel content with fresh tokens here now"))
+      q.processAllAvailable()
+      in.addData( // exact copy of batch-1's NEW doc: only found if the
+        (20L, "totally novel content with fresh tokens here now")) // index grew
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .select("doc_id", "verdict", "exact_dup_of")
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+      verdicts.map(v => (v._1, v._2)) shouldBe
+        Array((10L, "exact"), (11L, "new"), (20L, "exact"))
+      verdicts.last._3 shouldBe Some(11L)
+      // the index now carries rows for corpus + both new docs
+      spark.read.parquet(s"$tmp/index")
+        .select("doc_id").distinct().as[Long].collect().sorted shouldBe
+        Array(1L, 11L)
+    } finally q.stop()
+  }
+
   it should "suppress exact duplicates within the watermark on ingest" in {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
