@@ -432,16 +432,20 @@ object Dedup {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
-    // `when` guards the UDF: short docs never pay the hashing loop
-    val base = corpus.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("text_md5"),
-      when(size(words(col(textCol))) >= shingleN,
-        minhashWordsUdf(shingleN, k)(words(col(textCol)))).as("sig"))
-    val sigged = bandedSig(base.filter(col("sig").isNotNull), "sig", bands,
-      rows).select(col("doc_id"), col("text_md5"), col("sig"),
-      col("band"), col("band_hash"))
-    val short = base.filter(col("sig").isNull)
+    // branch on the CHEAP word-count guard, not on sig nullness: a
+    // null-sig filter would re-evaluate the hashing UDF in both union
+    // branches (the short branch's isNull test runs the UDF on every long
+    // doc just to discard the row) — this way the corpus is hashed once
+    val shingleable = size(words(col(textCol))) >= shingleN
+    val sigged = bandedSig(corpus.filter(shingleable)
+        .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_md5"),
+          minhashWordsUdf(shingleN, k)(words(col(textCol))).as("sig")),
+      "sig", bands, rows)
       .select(col("doc_id"), col("text_md5"), col("sig"),
+        col("band"), col("band_hash"))
+    val short = corpus.filter(!shingleable)
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_md5"),
+        lit(null).cast("array<bigint>").as("sig"),
         lit(null).cast("int").as("band"),
         lit(null).cast("string").as("band_hash"))
     sigged.unionByName(short)
