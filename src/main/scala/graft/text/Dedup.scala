@@ -356,13 +356,18 @@ object Dedup {
 
   /** Exact dedup: one row per input row with the canonical (minimum) id of
     * its identical-text group and the group size. Single hash-groupBy on
-    * `md5(text)` — the only shuffle, keyed uniformly. */
+    * `md5(text)` — the only shuffle, keyed uniformly. The group join-back
+    * is NULL-SAFE: `md5(NULL)` is NULL, and a plain equi-join would
+    * silently DROP every null-text document from the output — instead
+    * they form one exact group of their own (matching the aggregate,
+    * which always grouped them together). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = df.select(col(idCol), md5(col(textCol)).as("__th"))
     val groups = h.groupBy(col("__th"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("group_size"))
-    h.join(groups, "__th")
+      .withColumnRenamed("__th", "__gth")
+    h.join(groups, col("__th") <=> col("__gth"))
       .select(col(idCol), col("canonical_id"), col("group_size"),
         (col(idCol) =!= col("canonical_id")).as("is_duplicate"))
   }
@@ -435,8 +440,11 @@ object Dedup {
     // branch on the CHEAP word-count guard, not on sig nullness: a
     // null-sig filter would re-evaluate the hashing UDF in both union
     // branches (the short branch's isNull test runs the UDF on every long
-    // doc just to discard the row) — this way the corpus is hashed once
-    val shingleable = size(words(col(textCol))) >= shingleN
+    // doc just to discard the row) — this way the corpus is hashed once.
+    // coalesce: size(words(NULL)) is NULL, and a NULL predicate would
+    // drop null-text docs from BOTH branches instead of neither
+    val shingleable =
+      coalesce(size(words(col(textCol))) >= shingleN, lit(false))
     val sigged = bandedSig(corpus.filter(shingleable)
         .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_md5"),
           minhashWordsUdf(shingleN, k)(words(col(textCol))).as("sig")),
@@ -562,8 +570,11 @@ object Dedup {
         md5(col(textCol)).as("__th")))
     val groups = hashed.groupBy(col("__th"))
       .agg(min(col("doc_id")).as("exact_canonical"))
+      .withColumnRenamed("__th", "__gth")
+    // null-safe: md5(NULL) is NULL and a plain equi-join would silently
+    // drop null-text docs from the pipeline output (they group together)
     val withCanon = graft.util.Caches.persistTracked(
-      hashed.join(groups, "__th"))
+      hashed.join(groups, col("__th") <=> col("__gth")))
     val survivors = withCanon
       .filter(col("doc_id") === col("exact_canonical"))
       .select(col("doc_id"), col("__text"))

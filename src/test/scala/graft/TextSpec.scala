@@ -319,6 +319,44 @@ class TextSpec extends SparkSpec {
     plan should not include "corpus_store"
   }
 
+  it should "survive null, empty and single-word texts across every dedup operator" in {
+    // production corpora contain nulls and fragments; no operator may
+    // throw, and the accounting must stay sane
+    val messy = Seq[(Long, String)](
+      (1L, null), (2L, ""), (3L, "word"),
+      (4L, "the cat sat on the mat"),
+      (5L, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    noException should be thrownBy
+      Dedup.exactDuplicates(messy, "doc_id", "text").collect()
+    // null-text docs never exact-match real text (md5(null) joins nothing
+    // downstream); the two real dups still pair
+    val pipeline = Dedup.dedupPipeline(messy, "doc_id", "text").collect()
+    pipeline.length shouldBe 5
+    noException should be thrownBy
+      Dedup.minhashNearDuplicates(messy, "doc_id", "text").collect()
+    noException should be thrownBy
+      Dedup.simhashNearDuplicates(messy, "doc_id", "text").collect()
+    noException should be thrownBy
+      Dedup.simhashNearDuplicates64(messy, "doc_id", "text").collect()
+    noException should be thrownBy
+      Dedup.jaccardSimilarityJoin(messy, "doc_id", "text").collect()
+    noException should be thrownBy
+      Dedup.decontaminate(messy, "doc_id", "text",
+        messy.filter(col("doc_id") === 4L), "text").collect()
+    // index path: unshingleable docs land on NULL-band rows, and a
+    // null-text batch doc is verdicted 'new', never matched
+    val index = Dedup.buildDedupIndex(messy, "doc_id", "text")
+    index.filter(col("band").isNull).count() shouldBe 3 // null, "", "word"
+    val verdicts = Dedup.incrementalDedupIndexed(index,
+      Seq[(Long, String)]((10L, null), (11L, "the cat sat on the mat"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    verdicts(10L) shouldBe "new"
+    verdicts(11L) shouldBe "exact"
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "answer identically through the index on random corpora (property)" in {
     // randomized cross-check of the index path: for several seeds, a
     // random corpus/batch split with planted exact and near copies must
