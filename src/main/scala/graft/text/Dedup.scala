@@ -3,27 +3,35 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Large-scale document deduplication: exact, MinHash+LSH, SimHash and
-  * exact n-gram-Jaccard similarity joins.
+/** Large-scale document deduplication: exact, MinHash+LSH, SimHash
+  * (32/64-bit, optionally idf-weighted) and exact n-gram-Jaccard
+  * similarity joins, plus the persisted dedup index backing incremental
+  * cross-corpus dedup.
   *
   * These extend the reference's feature-engineering surface toward
   * training-data pipelines (north-star scope; the reference itself has no
   * text operators). Design points for 100 TB:
   *
   *  - Signatures are computed in ONE projection over the corpus — no
-  *    explode, no shuffle. SimHash is pure array expressions; minhash and
-  *    shingle construction run as tight per-row UDF loops, the measured-
-  *    fast form (Catalyst interprets higher-order-function lambdas per
-  *    element — see memory/bench notes).
-  *  - Candidate generation is LSH banding: explode to (band, band_hash) and
-  *    self-join on the band hash. The shuffle key is the band hash —
-  *    uniformly distributed by construction — and join fan-out is bounded by
-  *    bucket size, never O(n²).
+  *    explode, no shuffle. SimHash, minhash and shingle construction run
+  *    as tight per-row UDF loops, the measured-fast form (Catalyst
+  *    interprets higher-order-function lambdas per element — the
+  *    expression forms measured ~10× slower).
+  *  - Candidate generation is LSH banding: explode to (band, band_hash)
+  *    and self-join on the band hash; signatures RIDE the banding rows so
+  *    verification happens inside the join stage. Both self-join sides
+  *    are the identical subtree, so ReuseExchange hashes the corpus once;
+  *    join fan-out is bounded by bucket size, never O(n²).
   *  - The exact Jaccard join is prefix-filtered (AllPairs/PPJoin family):
   *    only each document's rarest shingles are indexed, so a stop-phrase
-  *    shared by m documents can no longer create an m²/2 join blow-up.
+  *    shared by m documents can no longer create an m²/2 join blow-up;
+  *    candidates are verified by overlap COUNT — no shingle array is ever
+  *    shipped between stages.
   *  - All hashes are md5-derived so an independent engine (the DuckDB
-  *    oracle) reproduces every signature bit-for-bit.
+  *    oracle) reproduces every signature bit-for-bit; the idf-weighted
+  *    variant is the one spec-only exception (ln rounding).
+  *  - Operator-internal persists register with [[graft.util.Caches]];
+  *    callers release them after materializing results.
   */
 object Dedup {
 
