@@ -21,7 +21,8 @@ object Bench {
       "q_c2_satellite_merge_iud", "q_c7_current_snapshot",
       "q_c9_snapshot_asof", "q_t3_dim_merge", "q_x17_neardup_clusters",
       "q_x18_dedup_pipeline", "q_x19_simhash_neardup",
-      "q_x21_simhash64_neardup", "q_x9b_ann_ivf_multiprobe")
+      "q_x21_simhash64_neardup", "q_x9b_ann_ivf_multiprobe",
+      "q_x23_jaccard_between")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -114,6 +114,19 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X23: cross-corpus exact Jaccard join — left corpus (doc_id % 2 = 0)
+    // against right corpus (doc_id % 3 = 0); ids in both corpora share a
+    // namespace on purpose (docs divisible by 6 appear on both sides and
+    // must link to themselves at J = 1).
+    "q_x23_jaccard_between" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardSimilarityJoinBetween(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X5: quality scoring + token counts.
     "q_x5_text_stats" -> { (s, dir) =>
       val base = t(s, dir, "documents")
@@ -476,6 +489,25 @@ object TextQueries {
          |FROM shared
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_x23_jaccard_between" ->
+      s"""WITH la AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |rb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |${shingleCte(3, distinct = true, src = "la", sfx = "_a")},
+         |${shingleCte(3, distinct = true, src = "rb", sfx = "_b")},
+         |sza AS (SELECT doc_id, count(*) AS n FROM sh_a GROUP BY 1),
+         |szb AS (SELECT doc_id, count(*) AS n FROM sh_b GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM sh_a a JOIN sh_b b ON a.shingle = b.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+         |    AS jaccard
+         |FROM shared
+         |JOIN sza sa ON sa.doc_id = doc_a
+         |JOIN szb sb ON sb.doc_id = doc_b
          |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_x5_text_stats" ->

@@ -730,4 +730,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("__j"), 4).as("jaccard"))
   }
+
+  /** X23: exact n-gram Jaccard join BETWEEN two corpora (R × S) — the
+    * cross-table counterpart of [[jaccardSimilarityJoin]]: link every
+    * left document to every right document with J ≥ `threshold`
+    * (cross-source record linkage, contamination audit at exact-Jaccard
+    * precision). Same AllPairs/PPJoin machinery, with one load-bearing
+    * difference: document frequencies (and hence the rare-first prefix
+    * order) are computed over the UNION of both corpora — the prefix
+    * theorem requires both sides of a pair to rank their shingles under
+    * the SAME global order. Candidates join left-prefix × right-prefix
+    * (ids need not be disjoint — sides are kept apart structurally), pass
+    * the length + positional filters, and verify by overlap count exactly
+    * like the self-join. Output: (doc_a = left id, doc_b = right id,
+    * n_shared, jaccard). */
+  def jaccardSimilarityJoinBetween(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val eps = 1e-9
+    def shOf(df: DataFrame, side: Int): DataFrame = df
+      .select(lit(side).as("__side"), col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+    val sh = graft.util.Caches.persistTracked(
+      shOf(left, 0).unionByName(shOf(right, 1)))
+    // GLOBAL document frequencies over both corpora: a per-side df would
+    // rank the same shingle differently on the two sides and break the
+    // prefix guarantee
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__side"), col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__side"), col("doc_id"))
+    val prefix = graft.util.Caches.persistTracked(sh.join(dfreq, "shingle")
+      .withColumn("__p", (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__p") <
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+      .select(col("__side"), col("doc_id"), col("shingle"), col("__p"),
+        col("__n")))
+    val alpha = ceil(
+      lit(threshold / (1 + threshold)) * (col("__na") + col("__nb")) - lit(eps))
+    val cand = prefix.filter(col("__side") === 0).as("a")
+      .join(prefix.filter(col("__side") === 1).as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("b.__n") >= lit(threshold) * col("a.__n") - lit(eps) &&
+          col("a.__n") >= lit(threshold) * col("b.__n") - lit(eps))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__m"),
+        max(col("a.__p")).as("__pa"), max(col("b.__p")).as("__pb"),
+        first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
+      .filter(col("__m") +
+        least(col("__na") - col("__pa") - 1,
+          col("__nb") - col("__pb") - 1) >= alpha)
+      .select(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+    cand
+      .join(sh.filter(col("__side") === 0)
+        .select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.filter(col("__side") === 1)
+        .select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("__j",
+        col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("__j"), 4).as("jaccard"))
+  }
 }

@@ -386,6 +386,47 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  it should "match a naive cross-corpus Jaccard on random skewed corpora (R x S prefix filtering is lossless)" in {
+    // same adversarial setup as the self-join property: a planted
+    // stop-phrase shared by most docs on BOTH sides, plus cross-side
+    // duplicates so high-jaccard links exist at every threshold
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def mkCorpus(n: Int, base: Long): Seq[(Long, String)] = (1 to n).map { i =>
+      val words = Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      val full =
+        if (rnd.nextInt(4) > 0) "the common stop phrase".split(" ").toSeq ++ words
+        else words
+      (base + i, full.mkString(" "))
+    }
+    for (trial <- 1 to 2) {
+      val t = 0.3 + 0.2 * trial // thresholds 0.5, 0.7
+      val leftRows = mkCorpus(25, 0L)
+      val rightRows = mkCorpus(25, 1000L) ++
+        leftRows.take(5).map { case (id, text) => (id + 2000L, text) }
+      def shingleSet(text: String): Set[String] =
+        text.toLowerCase.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ida, ta) <- leftRows; (idb, tb) <- rightRows
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ida, idb, inter.toLong)).toSet
+      val got = Dedup.jaccardSimilarityJoinBetween(
+        leftRows.toDF("doc_id", "text"), rightRows.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, threshold = t)
+        .select("doc_a", "doc_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      got shouldBe expected
+      expected should not be empty
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
