@@ -193,6 +193,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X24: corpus vocabulary top-100 — the token-frequency pass tokenizer
+    // training runs; one explode + one aggregate, top-N via TakeOrdered.
+    "q_x24_vocab_top" -> { (s, dir) =>
+      TextStats.topTokens(t(s, dir, "documents"), "doc_id", "text", 100)
+        .orderBy(col("term_freq").desc, col("token"))
+    },
+
     // X15: within-document repetition stats (duplicate 3-gram fraction,
     // top-word share) — the Gopher-style boilerplate filters.
     "q_x15_repetition_stats" -> { (s, dir) =>
@@ -590,6 +597,16 @@ object TextQueries {
         |  coalesce(shared.n, 0) >= 1 AS is_contaminated
         |FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_x24_vocab_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS term_freq,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |  FROM toks GROUP BY token)
+        |SELECT token, term_freq, doc_freq FROM v
+        |ORDER BY term_freq DESC, token LIMIT 100""".stripMargin,
     "q_x15_repetition_stats" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

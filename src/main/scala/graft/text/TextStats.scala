@@ -139,6 +139,31 @@ object TextStats {
   def fingerprint(text: Column, n: Int = 5): Column =
     minMd5Udf(Dedup.shingles(text, n))
 
+  /** X24: corpus vocabulary statistics — (token, term_freq, doc_freq),
+    * the frequency pass tokenizer training (BPE corpus preparation) and
+    * stopword discovery run over a corpus. One explode + ONE hash
+    * aggregate: both frequencies come out of the same shuffle
+    * (`count` for occurrences, `count_distinct(doc)` for documents),
+    * partial-aggregated so shuffle rows are O(distinct tokens per
+    * partition), never O(corpus tokens). Deliberately returns NO global
+    * rank column — ranking a 100M-token vocabulary needs a global sort;
+    * callers take top-N via orderBy+limit, which Spark executes as a
+    * scale-safe TakeOrdered. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(Dedup.words(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+        count_distinct(col("__doc")).as("doc_freq"))
+
+  /** The `n` most frequent corpus tokens (ties broken by token asc —
+    * deterministic); executed as TakeOrdered, no global sort. */
+  def topTokens(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    vocabulary(df, idCol, textCol)
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(n)
+
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
     * behaviour exactly. */

@@ -170,6 +170,19 @@ class TextSpec extends SparkSpec {
     r(2L) shouldBe "de" // all-zero tie -> first language code
   }
 
+  it should "count corpus vocabulary term and document frequencies" in {
+    val v = TextStats.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    v("the") shouldBe ((6L, 3L)) // 2+2+2 occurrences across docs 1,2,3
+    v("mat") shouldBe ((3L, 3L))
+    v("red") shouldBe ((1L, 1L))
+    val top = TextStats.topTokens(docs, "doc_id", "text", 2)
+      .as[(String, Long, Long)].collect()
+    top.head._1 shouldBe "the"
+    top.length shouldBe 2
+  }
+
   it should "count whitespace and BPE-ish tokens" in {
     val (nTok, nBpe) = TextStats.tokenCounts(lit("ab 12 cd!"))
     val r = docs.limit(1).select(nTok.as("a"), nBpe.as("b"))
