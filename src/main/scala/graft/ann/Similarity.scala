@@ -358,6 +358,7 @@ object Similarity {
           md5(col("__vid").cast("string")), col("__vid")))
           .cast("long").minus(1).as(idCol),
         col("__v").as(vecCol))
+    import spark.implicits._
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(base, "__vid", "__v", cents
         .withColumnRenamed(idCol, "__vid").withColumnRenamed(vecCol, "__v"),
@@ -370,9 +371,16 @@ object Similarity {
             struct(col("pos"), (col("__s") / col("__c")).as("m")))),
           x => x.getField("m")).as("__mean"))
         .select(col("centroid_id").as(idCol), col("__mean"))
-      cents = cents.as("o").join(means.as("n"), Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("__mean"), col(s"o.$vecCol")).as(vecCol))
+      // pin the k updated centroids on the driver and rebuild the frame:
+      // chaining the join plans instead would make iteration i's collect
+      // (inside ivfAssign) re-execute every earlier iteration's
+      // corpus-wide aggregate — O(iters²) corpus scans
+      val pinned = cents.as("o").join(means.as("n"), Seq(idCol), "left")
+        .select(col(idCol).cast("long"),
+          coalesce(col("__mean"), col(s"o.$vecCol"))
+            .cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      cents = pinned.toDF(idCol, vecCol)
     }
     cents
   }

@@ -59,7 +59,13 @@ object EntityResolution {
     * loop engages it ADAPTIVELY — shallow star graphs, the common
     * entity-resolution shape, converge in 2-3 plain rounds and never pay
     * for it (measured +20-70% per consumer when unconditional).
-    * Output: (v, component, __old). */
+    *
+    * Skew note: the jump join keys the aggregate output by its label
+    * value, and late rounds concentrate a giant component's vertices on
+    * one key. That is the canonical AQE skewed-join case — runtime
+    * partition splitting handles it (AQE is on by default and in every
+    * entry point here); with AQE off, expect stragglers on huge
+    * components in jump rounds. Output: (v, component, __old). */
   private[graft] def propagationPlan(sym: DataFrame, labels: DataFrame,
       jump: Boolean = false): DataFrame = {
     val contrib = sym

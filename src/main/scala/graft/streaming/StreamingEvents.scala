@@ -106,33 +106,55 @@ object StreamingEvents {
     * that. Operator caches are released per batch, so the query runs
     * indefinitely without accumulating blocks. Seed `indexDir` with
     * `buildDedupIndex(corpus)` output (or leave it empty and every
-    * first-batch doc is `new`). Returns the started query; callers own
-    * checkpointing/termination. */
+    * first-batch doc is `new`).
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract: both writes
+    * land in a `batch_id=<id>` partition directory with per-batch
+    * overwrite, and index rows written by a failed attempt of the SAME
+    * batch are excluded from verdicting (anti-join on the batch's doc
+    * ids), so a replay reproduces byte-identical verdicts instead of
+    * matching documents against their own half-committed rows. Doc ids
+    * are therefore assumed unique across batches (re-ingesting an id
+    * re-verdicts it fresh). Seed the index INTO the partition layout —
+    * e.g. `buildDedupIndex(corpus).write.parquet(s"$dir/batch_id=-1")` —
+    * so the seed and the per-batch appends share one discoverable
+    * directory. Index existence goes through the Hadoop FileSystem of
+    * the path — a driver-local File test would be false for every
+    * hdfs:///s3a:// path and silently disable dedup. Returns the started
+    * query; callers own checkpointing/termination. */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, verdictDir: String, checkpointDir: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minMatch: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val path = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val index =
-            if (new java.io.File(indexDir).exists())
+            if (fs.exists(path))
               spark.read.parquet(indexDir)
+                // a failed attempt of THIS batch may have appended its
+                // rows already; they must not verdict the replay
+                .join(broadcast(batch.toDF().select(col(idCol).as("doc_id"))),
+                  Seq("doc_id"), "left_anti")
             else graft.text.Dedup
               .buildDedupIndex(batch.limit(0).toDF(), idCol, textCol,
                 shingleN, k, bands) // empty, schema-only seed
           val verdicts = graft.text.Dedup.incrementalDedupIndexed(index,
             batch.toDF(), idCol, textCol, shingleN, k, bands, minMatch)
             .persist() // verdictDir write + the fresh-doc filter below
-          verdicts.write.mode("append").parquet(verdictDir)
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
           val fresh = batch.toDF().join(
             verdicts.filter(col("verdict") === "new")
               .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
           graft.text.Dedup
             .buildDedupIndex(fresh, idCol, textCol, shingleN, k, bands)
-            .write.mode("append").parquet(indexDir)
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch_id=$batchId")
           verdicts.unpersist()
           graft.util.Caches.releaseAll(spark)
           ()

@@ -248,9 +248,16 @@ object Dedup {
     def assemble(prefix: String): Column = (0 until 32)
       .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    weighted.groupBy(col("doc_id"))
+    val sigs = weighted.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), assemble("__h").as("hi"), assemble("__l").as("lo"))
+    // token-less docs (null text) produce no exploded rows and would
+    // silently vanish; give them the zero signature [[simhash64]] emits
+    // for the same input, so the two operators cover the same universe
+    df.select(col(idCol).as("doc_id"))
+      .join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hi"), lit(0L)).as("hi"),
+        coalesce(col("lo"), lit(0L)).as("lo"))
   }
 
   /** [[simhashNearDuplicates64]] over IDF-WEIGHTED signatures — the full
@@ -489,11 +496,15 @@ object Dedup {
     require(bands * rows == k, "bands must divide k")
     val bBase = graft.util.Caches.persistTracked(batch
       .select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+    // NULL-SAFE on the text hash, matching exactDuplicates' semantics:
+    // md5(NULL) is NULL, and a plain equi-join would verdict a null-text
+    // batch doc 'new' forever even when the corpus already holds
+    // null-text docs the batch should match
     val exact = index
       .filter(col("band").isNull || col("band") === 0)
       .select(col("doc_id").as("__cid"), col("text_md5").as("__th"))
       .join(broadcast(bBase.select(col("doc_id"),
-        md5(col("__text")).as("__th"))), "__th")
+        md5(col("__text")).as("__bth"))), col("__th") <=> col("__bth"))
       .groupBy(col("doc_id"))
       .agg(min(col("__cid")).as("exact_dup_of"))
     val bBand = bandedSig(bBase

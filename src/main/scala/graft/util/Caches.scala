@@ -27,14 +27,26 @@ object Caches {
   private val dfs = mutable.Map.empty[SparkSession, mutable.Buffer[DataFrame]]
   private val rdds = mutable.Map.empty[SparkSession, mutable.Buffer[RDD[_]]]
 
+  /** Drop registry entries whose session is already stopped — their
+    * blocks are gone with the context, and holding the references would
+    * otherwise pin dead sessions forever in a long-lived JVM that cycles
+    * SparkSessions without calling [[releaseAll]]. Called on every
+    * registration; the maps stay small (one entry per live session). */
+  private def pruneStopped(): Unit = {
+    dfs.filterInPlace((s, _) => !s.sparkContext.isStopped)
+    rdds.filterInPlace((s, _) => !s.sparkContext.isStopped)
+  }
+
   /** `df.persist()`, registered for [[releaseAll]]. */
   def persistTracked(df: DataFrame): DataFrame = synchronized {
+    pruneStopped()
     dfs.getOrElseUpdate(df.sparkSession, mutable.Buffer.empty) += df
     df.persist()
   }
 
   /** Register an already-pinned RDD (a `localCheckpoint` block). */
   def trackRdd(spark: SparkSession, rdd: RDD[_]): Unit = synchronized {
+    pruneStopped()
     rdds.getOrElseUpdate(spark, mutable.Buffer.empty) += rdd
   }
 

@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq((1L, "the cat sat on the mat and then slept all day"))
       .toDF("doc_id", "text")
     graft.text.Dedup.buildDedupIndex(corpus, "doc_id", "text")
-      .write.parquet(s"$tmp/index")
+      .write.parquet(s"$tmp/index/batch_id=-1")
     val in = MemoryStream[(Long, String)]
     val q = StreamingEvents.incrementalDedupSink(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text",

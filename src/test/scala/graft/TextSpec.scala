@@ -358,15 +358,18 @@ class TextSpec extends SparkSpec {
       Dedup.decontaminate(messy, "doc_id", "text",
         messy.filter(col("doc_id") === 4L), "text").collect()
     // index path: unshingleable docs land on NULL-band rows, and a
-    // null-text batch doc is verdicted 'new', never matched
+    // null-text batch doc matches the corpus's null-text doc (null-safe
+    // hash join — same semantics as exactDuplicates)
     val index = Dedup.buildDedupIndex(messy, "doc_id", "text")
     index.filter(col("band").isNull).count() shouldBe 3 // null, "", "word"
     val verdicts = Dedup.incrementalDedupIndexed(index,
       Seq[(Long, String)]((10L, null), (11L, "the cat sat on the mat"))
         .toDF("doc_id", "text"), "doc_id", "text")
-      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
-    verdicts(10L) shouldBe "new"
-    verdicts(11L) shouldBe "exact"
+      .select("doc_id", "verdict", "exact_dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    verdicts(10L) shouldBe (("exact", Some(1L)))
+    verdicts(11L) shouldBe (("exact", Some(4L)))
     graft.util.Caches.releaseAll(spark)
   }
 
