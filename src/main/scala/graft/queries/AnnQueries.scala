@@ -62,6 +62,28 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X25: product-quantization encoding — 4 subspaces of 16 dims against
+    // a deterministic codebook (every 40th embedding, sliced per
+    // subspace); codes + total squared reconstruction error.
+    "q_x25_pq_encode" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 40 === 0)
+      val codebooks = (0 until 4).map(sub => cents.select(
+          lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
+          slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
+            .as("centroid")))
+        .reduce(_ unionByName _)
+      graft.ann.ProductQuantization
+        .encode(emb, "vec_id", "embedding", codebooks, 4)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("code_0"),
+          element_at(col("codes"), 2).as("code_1"),
+          element_at(col("codes"), 3).as("code_2"),
+          element_at(col("codes"), 4).as("code_3"),
+          round(col("sq_err"), 6).as("sq_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // X16: int8 embedding quantization — per-vector scale, quantized
     // cells (summarized as exact integer sums for the scalar compare) and
     // max reconstruction error.
@@ -156,6 +178,29 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_x25_pq_encode" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM nn WHERE vec_id % 40 = 0),
+        |dists AS (
+        |  SELECT n.vec_id, s.s AS sub, c.cid,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])
+        |      * (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])))
+        |      AS d
+        |  FROM nn n, range(4) AS s(s), cent c),
+        |best AS (
+        |  SELECT vec_id, sub, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+        |  FROM dists)
+        |SELECT vec_id,
+        |  max(CASE WHEN sub = 0 THEN cid END) AS code_0,
+        |  max(CASE WHEN sub = 1 THEN cid END) AS code_1,
+        |  max(CASE WHEN sub = 2 THEN cid END) AS code_2,
+        |  max(CASE WHEN sub = 3 THEN cid END) AS code_3,
+        |  round(sum(d), 6) AS sq_err
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_x16_int8_quantization" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

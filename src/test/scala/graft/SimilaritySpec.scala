@@ -128,6 +128,45 @@ class SimilaritySpec extends SparkSpec {
     pairs shouldBe Set((1L, 2L), (3L, 4L))
   }
 
+  it should "product-quantize onto matching centroids and rank ADC neighbors" in {
+    import graft.ann.ProductQuantization
+    // 8 dims, 2 subspaces of 4; hand-built codebooks with exact matches
+    val codebooks = Seq(
+      (0, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (0, 1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (1, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (1, 1L, Seq(2.0, 2.0, 2.0, 2.0)))
+      .toDF("subspace", "centroid_id", "centroid")
+    val vecs8 = Seq(
+      (1L, Array(0.0, 0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0)),
+      (2L, Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.9, 0.9, 0.9, 0.9, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val enc = ProductQuantization.encode(vecs8, "vec_id", "embedding",
+      codebooks, 2)
+    val byId = enc.select("vec_id", "codes", "sq_err")
+      .as[(Long, Seq[Long], Double)].collect().map(r => r._1 -> r).toMap
+    byId(1L)._2 shouldBe Seq(0L, 1L)
+    byId(1L)._3 shouldBe 0.0
+    byId(2L)._2 shouldBe Seq(1L, 0L)
+    byId(3L)._2 shouldBe Seq(1L, 0L) // 0.9s closer to the ones centroid
+    byId(3L)._3 shouldBe (0.04 +- 1e-9)
+    // ADC: query 3 scores v2 at its own quantization cells (0.04) and v1
+    // far away; self excluded
+    val top = ProductQuantization.adcTopK(
+      vecs8.filter(col("vec_id") === 3L), enc, "vec_id", "embedding",
+      codebooks, 2, k = 2)
+      .select("vec_id", "rk", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    top.map(_._3).toSeq shouldBe Seq(2L, 1L)
+    // trained codebooks cover every subspace with k rows each and feed
+    // encode directly
+    val trained = ProductQuantization.trainCodebooks(vecs8, "vec_id",
+      "embedding", m = 2, k = 2, iters = 2, dim = 8)
+    trained.groupBy("subspace").count()
+      .as[(Int, Long)].collect().toMap shouldBe Map(0 -> 2L, 1 -> 2L)
+    ProductQuantization.encode(vecs8, "vec_id", "embedding", trained, 2)
+      .count() shouldBe 3L
+  }
+
   it should "normalize to unit vectors and quantize within one scale step" in {
     import graft.ann.Embeddings
     val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
