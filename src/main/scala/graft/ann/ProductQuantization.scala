@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantization {
 
-  /** Codebook row layout: (subspace, centroid_id, centroid). */
+  /** Codebook row layout: (subspace, centroid_id, centroid). Ids need NOT
+    * be dense — [[adcTopK]] remaps codes to positions in this id-sorted
+    * array. */
   private def collectCodebooks(codebooks: DataFrame, m: Int)
       : Array[Array[(Long, Array[Double])]] = {
     val spark = codebooks.sparkSession
@@ -38,6 +40,31 @@ object ProductQuantization {
       s"codebooks must cover subspaces 0..${m - 1}, got ${bySub.keySet}")
     (0 until m).map(s => bySub(s).sortBy(_._2)
       .map(r => (r._2, r._3)).toArray).toArray
+  }
+
+  private def requireNumericId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val t = df.schema(idCol).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric $idCol (castable to long), got $t")
+  }
+
+  /** Exact squared L2 between a subvector of `v` starting at `off` and a
+    * centroid — bounded by the vector's real length, so ragged or short
+    * embeddings degrade (missing dims contribute nothing) instead of
+    * throwing mid-stage, the same contract as
+    * [[Similarity.bruteForceTopK]]'s min-length dot. */
+  private def subDist(v: Array[Double], off: Int,
+      cv: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(cv.length, math.max(0, v.length - off))
+    while (i < n) {
+      val diff = v(off + i) - cv(i)
+      d += diff * diff
+      i += 1
+    }
+    d
   }
 
   /** Train per-subspace codebooks with the deterministic seeded k-means of
@@ -67,6 +94,7 @@ object ProductQuantization {
     * quantization loss PQ evaluations report). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int): DataFrame = {
+    requireNumericId(df, idCol, "encode")
     val spark = df.sparkSession
     import spark.implicits._
     val cb = collectCodebooks(codebooks, m)
@@ -77,6 +105,9 @@ object ProductQuantization {
         val books = bc.value
         val m0 = books.length
         rows.map { case (id, v) =>
+          if (v == null) throw new IllegalArgumentException(
+            s"encode: vector id=$id has a NULL embedding — filter or " +
+              "impute null vectors before quantization")
           val codes = new Array[Long](m0)
           var err = 0.0
           var s = 0
@@ -89,13 +120,7 @@ object ProductQuantization {
             var c = 0
             while (c < book.length) {
               val (cid, cv) = book(c)
-              var d = 0.0
-              var i = 0
-              while (i < sub) {
-                val diff = v(off + i) - cv(i)
-                d += diff * diff
-                i += 1
-              }
+              val d = subDist(v, off, cv)
               if (d < best) { best = d; bestId = cid }
               c += 1
             }
@@ -119,40 +144,37 @@ object ProductQuantization {
     * batch-of-queries contract as [[Similarity.bruteForceTopK]]. */
   def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
       vecCol: String, codebooks: DataFrame, m: Int, k: Int): DataFrame = {
+    requireNumericId(queries, idCol, "adcTopK")
     val spark = queries.sparkSession
     import spark.implicits._
     val cb = collectCodebooks(codebooks, m)
+    // codes are raw CENTROID IDS (not positions): build per-subspace
+    // id → LUT-slot maps so non-dense id spaces (e.g. codebooks keyed by
+    // source vector ids) look up the right centroid instead of indexing
+    // out of bounds or, worse, silently reading a wrong slot
+    val codeSlot: Array[Map[Long, Int]] =
+      cb.map(_.iterator.map(_._1).zipWithIndex.toMap)
     val qluts: Array[(Long, Array[Array[Double]])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1)
       .map { case (qid, qv) =>
+        require(qv != null, s"adcTopK: query id=$qid has a NULL embedding")
         val lut = cb.zipWithIndex.map { case (book, s) =>
           val sub = book(0)._2.length
-          val off = s * sub
-          book.map { case (_, cv) =>
-            var d = 0.0
-            var i = 0
-            while (i < sub) {
-              val diff = qv(off + i) - cv(i)
-              d += diff * diff
-              i += 1
-            }
-            d
-          }
+          book.map { case (_, cv) => subDist(qv, s * sub, cv) }
         }
         (qid, lut)
       }
-    val bc = spark.sparkContext.broadcast(qluts)
-    // codebook centroid ids are dense 0..k-1 from trainCentroids; ADC
-    // indexes the LUT by code directly. Per-PARTITION insertion top-k per
-    // query (never materializing the corpus × queries pair space), then
-    // one small window over the q × k partials per partition.
+    val bc = spark.sparkContext.broadcast((qluts, codeSlot))
+    // Per-PARTITION insertion top-k per query (never materializing the
+    // corpus × queries pair space), then one small window over the q × k
+    // partials per partition.
     val partials = encoded.select(col("vec_id"), col("codes"))
       .as[(Long, Seq[Long])]
       .mapPartitions { rows =>
-        val qs = bc.value
+        val (qs, slots) = bc.value
         val nq = qs.length
         val topId = Array.fill(nq)(new Array[Long](k))
         val topD = Array.fill(nq)(new Array[Double](k))
@@ -165,7 +187,7 @@ object ProductQuantization {
               var d = 0.0
               var s = 0
               while (s < lut.length) {
-                d += lut(s)(codes(s).toInt)
+                d += lut(s)(slots(s)(codes(s)))
                 s += 1
               }
               val ids = topId(q); val ds = topD(q); val n = topN(q)

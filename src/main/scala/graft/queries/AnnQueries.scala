@@ -198,7 +198,7 @@ object AnnQueries {
         |  max(CASE WHEN sub = 1 THEN cid END) AS code_1,
         |  max(CASE WHEN sub = 2 THEN cid END) AS code_2,
         |  max(CASE WHEN sub = 3 THEN cid END) AS code_3,
-        |  round(sum(d), 6) AS sq_err
+        |  round(list_sum(list(d ORDER BY sub)), 6) AS sq_err
         |FROM best WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_x16_int8_quantization" ->

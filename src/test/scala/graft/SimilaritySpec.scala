@@ -157,6 +157,17 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "rk", "neighbor_id")
       .as[(Long, Long, Long)].collect().sortBy(_._2)
     top.map(_._3).toSeq shouldBe Seq(2L, 1L)
+    // NON-DENSE centroid ids (codebooks keyed by source vector ids, the
+    // q_x25 shape): ADC must remap codes to LUT slots, not index by id
+    val sparseBooks = codebooks
+      .withColumn("centroid_id", col("centroid_id") * 40)
+    val encSparse = ProductQuantization.encode(vecs8, "vec_id", "embedding",
+      sparseBooks, 2)
+    val topSparse = ProductQuantization.adcTopK(
+      vecs8.filter(col("vec_id") === 3L), encSparse, "vec_id", "embedding",
+      sparseBooks, 2, k = 2)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    topSparse.map(_._2).toSeq shouldBe Seq(2L, 1L)
     // trained codebooks cover every subspace with k rows each and feed
     // encode directly
     val trained = ProductQuantization.trainCodebooks(vecs8, "vec_id",
