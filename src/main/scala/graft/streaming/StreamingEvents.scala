@@ -129,38 +129,47 @@ object StreamingEvents {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val path = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val index =
-            if (fs.exists(path))
-              spark.read.parquet(indexDir)
-                // a failed attempt of THIS batch may have appended its
-                // rows already; they must not verdict the replay
-                .join(broadcast(batch.toDF().select(col(idCol).as("doc_id"))),
-                  Seq("doc_id"), "left_anti")
-            else graft.text.Dedup
-              .buildDedupIndex(batch.limit(0).toDF(), idCol, textCol,
-                shingleN, k, bands) // empty, schema-only seed
-          val verdicts = graft.text.Dedup.incrementalDedupIndexed(index,
-            batch.toDF(), idCol, textCol, shingleN, k, bands, minMatch)
-            .persist() // verdictDir write + the fresh-doc filter below
-          verdicts.write.mode("overwrite")
-            .parquet(s"$verdictDir/batch_id=$batchId")
-          val fresh = batch.toDF().join(
-            verdicts.filter(col("verdict") === "new")
-              .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-          graft.text.Dedup
-            .buildDedupIndex(fresh, idCol, textCol, shingleN, k, bands)
-            .write.mode("overwrite")
-            .parquet(s"$indexDir/batch_id=$batchId")
-          verdicts.unpersist()
-          graft.util.Caches.releaseAll(spark)
-          ()
-        }
+        if (!batch.isEmpty)
+          dedupBatch(batch.toDF(), batchId, idCol, textCol, indexDir,
+            verdictDir, shingleN, k, bands, minMatch)
       }
       .start()
+
+  /** One micro-batch of [[incrementalDedupSink]] — package-private so the
+    * replay-idempotence spec can invoke the same batch twice and prove a
+    * re-run reproduces identical verdicts and index contents. */
+  private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, verdictDir: String,
+      shingleN: Int, k: Int, bands: Int, minMatch: Int): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (fs.exists(path))
+        spark.read.parquet(indexDir)
+          // a failed attempt of THIS batch may have appended its rows
+          // already; they must not verdict the replay
+          .join(broadcast(batch.select(col(idCol).as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+      else graft.text.Dedup
+        .buildDedupIndex(batch.limit(0), idCol, textCol,
+          shingleN, k, bands) // empty, schema-only seed
+    val verdicts = graft.text.Dedup.incrementalDedupIndexed(index,
+      batch, idCol, textCol, shingleN, k, bands, minMatch)
+      .persist() // verdictDir write + the fresh-doc filter below
+    verdicts.write.mode("overwrite")
+      .parquet(s"$verdictDir/batch_id=$batchId")
+    val fresh = batch.join(
+      verdicts.filter(col("verdict") === "new")
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+    graft.text.Dedup
+      .buildDedupIndex(fresh, idCol, textCol, shingleN, k, bands)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/batch_id=$batchId")
+    verdicts.unpersist()
+    graft.util.Caches.releaseAll(spark)
+    ()
+  }
 
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)

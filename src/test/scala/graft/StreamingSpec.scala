@@ -67,6 +67,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "reproduce identical verdicts and index when a dedup micro-batch replays" in {
+    // foreachBatch is at-least-once: a batch that committed its writes but
+    // not the streaming checkpoint re-runs with the same batchId. The
+    // replay must not verdict docs against their own half-committed index
+    // rows, and the partition overwrite must leave no duplicates.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    graft.text.Dedup.buildDedupIndex(
+        Seq((1L, "the cat sat on the mat and then slept all day"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$tmp/index/batch_id=-1")
+    val batch = Seq(
+      (10L, "the cat sat on the mat and then slept all day"), // exact of 1
+      (11L, "totally novel content with fresh tokens here now"))
+      .toDF("doc_id", "text")
+    def snapshot(): (Seq[String], Seq[String]) = (
+      spark.read.parquet(s"$tmp/verdicts")
+        .select("doc_id", "verdict", "exact_dup_of", "batch_id")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$tmp/index")
+        .select("doc_id", "band", "band_hash", "batch_id")
+        .collect().map(_.toString).sorted.toSeq)
+    StreamingEvents.dedupBatch(batch, 7L, "doc_id", "text",
+      s"$tmp/index", s"$tmp/verdicts", 3, 16, 4, 8)
+    val first = snapshot()
+    // replay the SAME batch (the index now already holds doc 11's rows)
+    StreamingEvents.dedupBatch(batch, 7L, "doc_id", "text",
+      s"$tmp/index", s"$tmp/verdicts", 3, 16, 4, 8)
+    snapshot() shouldBe first
+    // and the verdicts are the original ones — doc 11 stayed 'new'
+    first._1.count(_.contains("new")) shouldBe 1
+  }
+
   it should "suppress exact duplicates within the watermark on ingest" in {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
