@@ -44,10 +44,15 @@ class CacheHygieneSpec extends SparkSpec {
     graft.functions.DotProductExpr.register(spark)
     val before = cachedIds
     Dedup.jaccardSimilarityJoin(docs, "doc_id", "text").collect()
+    Dedup.jaccardSimilarityJoinBetween(docs.filter(col("doc_id") < 3),
+      docs.filter(col("doc_id") >= 3), "doc_id", "text").collect()
     Dedup.incrementalDedup(docs.filter(col("doc_id") < 3),
       docs.filter(col("doc_id") >= 3), "doc_id", "text").collect()
     Similarity.ivfTopK(vecs, "vec_id", "embedding",
       vecs.filter(col("vec_id") % 7 === 0), k = 2, dim = 8).collect()
+    Similarity.ivfTopKMultiProbe(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") % 7 === 0), k = 2, dim = 8,
+      probes = 2).collect()
     (cachedIds -- before) should not be empty
     graft.util.Caches.releaseAll(spark)
     (cachedIds -- before) shouldBe empty

@@ -39,6 +39,12 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("__m")
     // verify must be the overlap-count join, never full-array shipping
     plan should not include "array_intersect"
+    // the cross-corpus variant shares the machinery and the same contract
+    val planRS = planOf(Dedup.jaccardSimilarityJoinBetween(docs,
+      Seq((7L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, threshold = 0.5))
+    planRS should include("__pa")
+    planRS should not include "array_intersect"
   }
 
   it should "reuse one exchange for both sides of the LSH band self-joins" in {
