@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, per-partition batched decoding,
   * size-aware repartitioning, frame-sample explosion — is real and tested.
-  * The actual byte decoding is STUBBED: this container ships no image or
-  * audio codecs, so [[decodeFeatures]]'s "decoder" is a deterministic fake
-  * (first bytes as doubles) behind the exact iterator-per-partition shape a
-  * JNI/FFMPEG-backed decoder would use (expensive init once per partition,
-  * then streaming over rows).
+  * IMAGE decode is real: [[decodeImageFeatures]] decodes PNG/JPEG/BMP/GIF
+  * through the JDK's headless `javax.imageio.ImageIO` (ships in every JDK)
+  * to (width, height, bands, exact per-channel means) inside the
+  * init-once-per-partition iterator. Audio/video decode remains genuinely
+  * out-of-sandbox (no FFMPEG/JNI codecs here); [[decodeFeatures]] keeps the
+  * pluggable byte-decoder shape a real codec would drop into.
   *
   * Scale notes: media blobs are heavily skewed — [[repartitionBySize]]
   * round-robins rows so partitions carry statistically comparable byte
@@ -56,9 +57,11 @@ object Multimodal {
         (col("col") * frameStride).as("byte_offset"))
   }
 
-  /** STUB decoder: batched per-partition feature extraction over the binary
-    * payload. The fake "decoder" reads the first `dim` bytes as doubles;
-    * swap `init`/`decode` for a real codec without touching the plumbing. */
+  /** Generic pluggable decoder plumbing: batched per-partition feature
+    * extraction over the binary payload. The placeholder "decoder" reads
+    * the first `dim` bytes as doubles; swap `init`/`decode` for an
+    * audio/video codec (out-of-sandbox) without touching the plumbing.
+    * For images, use the real [[decodeImageFeatures]] below. */
   def decodeFeatures(media: DataFrame, idCol: String, dim: Int): DataFrame = {
     val schema = StructType(Seq(
       media.schema(idCol),
@@ -75,6 +78,82 @@ object Multimodal {
       }
     }
     media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL image decode via the JDK's headless `javax.imageio.ImageIO`
+    * (PNG/JPEG/BMP/GIF — no external codec needed). Emits one row per input
+    * row: (id, width, height, channels, channel_means). Undecodable or null
+    * payloads keep their row with null decode fields (no data loss; callers
+    * filter on `width IS NULL` to quarantine).
+    *
+    * Exactness: means are computed from integer raster samples summed in
+    * Long, divided once — for solid-color images the result is an exact
+    * integer-valued double, which is what makes the decode round-trip
+    * oracle-checkable (q_m3).
+    *
+    * Scale: decoding is per-row work inside one `mapPartitions` pass —
+    * no shuffle, parallel across partitions; pair with
+    * [[repartitionBySize]] so byte-skewed asset batches don't straggle.
+    * Per-partition init disables ImageIO's disk cache (a tmp-file write
+    * per image, pure overhead for in-memory byte payloads). */
+  def decodeImageFeatures(media: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      media.schema(idCol),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("channel_means", ArrayType(DoubleType))))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // init once per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.get(idIdx), null, null, null, null)
+        else {
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val sums = new Array[Long](bands)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) {
+                sums(b) += raster.getSample(x, y, b); b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(r.get(idIdx), w, h, bands, sums.map(_.toDouble / n).toSeq)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Encode a solid-color RGB PNG entirely in the JDK — the deterministic
+    * payload generator behind q_m3's decode round-trip (and specs). */
+  def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Redistribute media rows into `numPartitions` with statistically

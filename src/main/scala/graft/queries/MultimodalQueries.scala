@@ -31,6 +31,30 @@ object MultimodalQueries {
       Multimodal.frameSamples(media(s, dir), "doc_id",
         frameStride = 100L, maxFrames = 4)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // M3: REAL image decode round-trip. Each doc gets a solid-color PNG
+    // whose size/color derive arithmetically from doc_id; Spark encodes it
+    // (JDK ImageIO) and decodes it back through decodeImageFeatures, so the
+    // decoded width/height/means must equal the oracle's pure-SQL
+    // arithmetic — a hash-checked proof the decoder is exact.
+    "q_m3_image_decode" -> { (s, dir) =>
+      val png = udf((w: Int, h: Int, r: Int, g: Int, b: Int) =>
+        Multimodal.solidPng(w, h, r, g, b))
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id"),
+        png(
+          (col("doc_id") % 7 + 1).cast("int"),
+          (col("doc_id") % 5 + 1).cast("int"),
+          (col("doc_id") % 256).cast("int"),
+          (col("doc_id") * 7 % 256).cast("int"),
+          (col("doc_id") * 13 % 256).cast("int")).as("content"))
+      Multimodal.decodeImageFeatures(payloads, "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("channel_means"), 1).as("mean_r"),
+          element_at(col("channel_means"), 2).as("mean_g"),
+          element_at(col("channel_means"), 3).as("mean_b"))
+        .orderBy(col("doc_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -50,5 +74,17 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * 100 AS BIGINT) AS byte_offset
         |FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM v WHERE n > 0)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Ground truth for the decode round-trip is pure arithmetic: solid
+    // color (r,g,b) over w×h pixels means every channel mean IS the
+    // channel value, exactly (integer-valued doubles on both engines).
+    "q_m3_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 7 + 1 AS INT) AS width,
+        |  CAST(doc_id % 5 + 1 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+        |  CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -33,6 +33,47 @@ class MultimodalSpec extends SparkSpec {
     feats(2L) shouldBe Seq('x'.toDouble, 'y'.toDouble, 0.0, 0.0) // padded
   }
 
+  it should "decode a real PNG through JDK ImageIO to exact dimensions and means" in {
+    // 4×2 solid RGB(10, 200, 30): every channel mean IS the channel value.
+    val solid = Multimodal.solidPng(4, 2, 10, 200, 30)
+    // 2×1 half-red half-blue: exact fractional means (255/2 per channel).
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val rows = Multimodal.decodeImageFeatures(
+      Seq((1L, solid), (2L, out.toByteArray)).toDF("id", "content"), "id")
+      .select("id", "width", "height", "channels", "channel_means")
+      .as[(Long, Int, Int, Int, Seq[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+    rows(1L) shouldBe ((4, 2, 3, Seq(10.0, 200.0, 30.0)))
+    rows(2L) shouldBe ((2, 1, 3, Seq(127.5, 0.0, 127.5)))
+  }
+
+  it should "decode grayscale images with a single band" in {
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 3; y <- 0 until 3) img.getRaster.setSample(x, y, 0, 77)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val r = Multimodal.decodeImageFeatures(
+      Seq((9L, out.toByteArray)).toDF("id", "content"), "id")
+      .select("width", "height", "channels", "channel_means")
+      .as[(Int, Int, Int, Seq[Double])].head()
+    r shouldBe ((3, 3, 1, Seq(77.0)))
+  }
+
+  it should "quarantine undecodable payloads as null rows, not drop them" in {
+    val bad = Multimodal.decodeImageFeatures(
+      Seq((1L, "not a png".getBytes), (2L, Array.empty[Byte]),
+        (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "content"), "id")
+    bad.count() shouldBe 3 // no data loss
+    bad.filter(col("width").isNull).count() shouldBe 3
+  }
+
   it should "rebalance partitions without losing rows or columns" in {
     val parts = Multimodal.repartitionBySize(media, 2)
     parts.count() shouldBe 3 // layout-only change
