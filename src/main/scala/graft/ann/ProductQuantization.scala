@@ -67,6 +67,52 @@ object ProductQuantization {
     d
   }
 
+  /** Shared encode kernel: nearest centroid id per subspace (ties to the
+    * lower id) + total squared reconstruction error. */
+  private def encodeVector(books: Array[Array[(Long, Array[Double])]],
+      v: Array[Double]): (Array[Long], Double) = {
+    val m0 = books.length
+    val codes = new Array[Long](m0)
+    var err = 0.0
+    var s = 0
+    while (s < m0) {
+      val book = books(s)
+      val sub = book(0)._2.length
+      val off = s * sub
+      var best = Double.PositiveInfinity
+      var bestId = book(0)._1
+      var c = 0
+      while (c < book.length) {
+        val (cid, cv) = book(c)
+        val d = subDist(v, off, cv)
+        if (d < best) { best = d; bestId = cid }
+        c += 1
+      }
+      codes(s) = bestId
+      err += best
+      s += 1
+    }
+    (codes, err)
+  }
+
+  /** Fail-loud LUT slot lookup: a code that is not in the codebook means
+    * the codes were encoded against a DIFFERENT codebook table — surface
+    * that as a diagnosable error, not a bare NoSuchElementException deep
+    * in an executor task. */
+  private def slotOf(slots: Array[Map[Long, Int]], s: Int,
+      code: Long): Int =
+    slots(s).getOrElse(code, throw new IllegalArgumentException(
+      s"ADC: code $code is not a centroid id of subspace $s " +
+        s"(${slots(s).size} known) — were these codes encoded with a " +
+        "different codebook table?"))
+
+  private def requireCodeArity(id: Long, codes: Seq[Long], m: Int): Unit =
+    if (codes == null || codes.length != m)
+      throw new IllegalArgumentException(
+        s"ADC: vec_id=$id carries ${if (codes == null) "null"
+          else codes.length.toString} codes, expected $m — " +
+          "codes and codebooks disagree on the subspace count")
+
   /** Train per-subspace codebooks with the deterministic seeded k-means of
     * [[Similarity.trainCentroids]] over each subvector slice. Returns
     * (subspace, centroid_id, centroid) — persist this table; it IS the
@@ -103,31 +149,11 @@ object ProductQuantization {
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val books = bc.value
-        val m0 = books.length
         rows.map { case (id, v) =>
           if (v == null) throw new IllegalArgumentException(
             s"encode: vector id=$id has a NULL embedding — filter or " +
               "impute null vectors before quantization")
-          val codes = new Array[Long](m0)
-          var err = 0.0
-          var s = 0
-          while (s < m0) {
-            val book = books(s)
-            val sub = book(0)._2.length
-            val off = s * sub
-            var best = Double.PositiveInfinity
-            var bestId = book(0)._1
-            var c = 0
-            while (c < book.length) {
-              val (cid, cv) = book(c)
-              val d = subDist(v, off, cv)
-              if (d < best) { best = d; bestId = cid }
-              c += 1
-            }
-            codes(s) = bestId
-            err += best
-            s += 1
-          }
+          val (codes, err) = encodeVector(books, v)
           (id, codes.toSeq, err)
         }
       }
@@ -180,6 +206,14 @@ object ProductQuantization {
         val topD = Array.fill(nq)(new Array[Double](k))
         val topN = new Array[Int](nq)
         rows.foreach { case (cid, codes) =>
+          // resolve codes → LUT slots ONCE per candidate row (guarded),
+          // not once per (candidate, query, subspace)
+          requireCodeArity(cid, codes, slots.length)
+          val slotArr = new Array[Int](slots.length)
+          var si = 0
+          while (si < slots.length) {
+            slotArr(si) = slotOf(slots, si, codes(si)); si += 1
+          }
           var q = 0
           while (q < nq) {
             val (qid, lut) = qs(q)
@@ -187,7 +221,7 @@ object ProductQuantization {
               var d = 0.0
               var s = 0
               while (s < lut.length) {
-                d += lut(s)(slots(s)(codes(s)))
+                d += lut(s)(slotArr(s))
                 s += 1
               }
               val ids = topId(q); val ds = topD(q); val n = topN(q)
@@ -209,6 +243,184 @@ object ProductQuantization {
         }
         (0 until nq).iterator.flatMap { q =>
           val (qid, _) = qs(q)
+          (0 until topN(q)).map(r => (qid, topId(q)(r), topD(q)(r)))
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "sq_dist")
+    partials
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("sq_dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("sq_dist"), 6).as("sq_dist"))
+  }
+
+  /** Build the IVFADC index (Jégou et al. 2011 §IV, non-residual form):
+    * every vector is assigned to its probe-0 IVF bucket by
+    * [[Similarity.ivfAssign]]'s row-local argmax over the broadcast
+    * centroid set, PQ-encoded row-locally against the broadcast codebooks,
+    * and laid out partitioned by `centroid_id` — the ONE shuffle of the
+    * index build, modelling the bucket-partitioned layout a production
+    * index persists so bucket-restricted search touches only probed
+    * partitions. Output: (centroid_id, vec_id, codes, sq_err). */
+  def ivfEncode(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(codebooks, m)
+    val bc = spark.sparkContext.broadcast(cb)
+    Similarity.ivfAssign(df, idCol, vecCol, centroids, dim)
+      .select(col("centroid_id"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { rows =>
+        val books = bc.value
+        rows.map { case (bucket, id, v) =>
+          val (codes, err) = encodeVector(books, v)
+          (bucket, id, codes.toSeq, err)
+        }
+      }
+      .toDF("centroid_id", "vec_id", "codes", "sq_err")
+      .repartition(col("centroid_id"))
+  }
+
+  /** IVFADC search: ADC-score a query batch ONLY within each query's top
+    * `probes` IVF buckets — the composed index of Jégou et al. 2011 §IV.
+    * Per query the m × k LUT of exact query-to-centroid subdistances is
+    * built once on the driver, together with its probed bucket ids (same
+    * cosine ranking and tie-breaks as [[Similarity.ivfAssignProbes]]);
+    * the encoded index then streams through `mapPartitions` against the
+    * broadcast (bucket → queries, LUTs) set, so per-candidate cost is
+    * O(m) table lookups for ONLY the queries probing that candidate's
+    * bucket — search work drops from O(corpus × queries) to
+    * O(corpus × queries-per-bucket), and the index side is never
+    * re-shuffled. Query count must fit one broadcast (the batch contract
+    * of [[adcTopK]] / [[Similarity.bruteForceTopK]]).
+    * Output: (vec_id, rk, neighbor_id, sq_dist), rk by (dist asc, id asc). */
+  def ivfAdcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, codebooks: DataFrame,
+      m: Int, k: Int, probes: Int): DataFrame = {
+    requireNumericId(queries, idCol, "ivfAdcTopK")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(codebooks, m)
+    val codeSlot: Array[Map[Long, Int]] =
+      cb.map(_.iterator.map(_._1).zipWithIndex.toMap)
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val p = math.min(probes, cents.length)
+    // per query: probed bucket ids (cos desc — NaN ranked above any
+    // number — then centroid id asc, exactly ivfAssignProbes) + ADC LUT
+    val qs: Array[(Long, Array[Long], Array[Array[Double]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (qid, qv) =>
+        require(qv != null, s"ivfAdcTopK: query id=$qid has a NULL embedding")
+        var s0 = 0.0; var i = 0
+        while (i < qv.length) { s0 += qv(i) * qv(i); i += 1 }
+        val nrm = math.sqrt(s0)
+        val topId = new Array[Long](p)
+        val topCos = new Array[Double](p)
+        val topNaN = new Array[Boolean](p)
+        var n = 0
+        var ci = 0
+        while (ci < cents.length) {
+          val (cid, cv, cn) = cents(ci)
+          var d = 0.0; var j = 0
+          val dn = math.min(qv.length, cv.length)
+          while (j < dn) { d += qv(j) * cv(j); j += 1 }
+          val cos = d / (nrm * cn)
+          val isNaN = java.lang.Double.isNaN(cos)
+          var pos = n
+          while (pos > 0 && ((isNaN && !topNaN(pos - 1)) ||
+              (isNaN == topNaN(pos - 1) && cos > topCos(pos - 1)))) pos -= 1
+          if (pos < p) {
+            var mi = math.min(n, p - 1)
+            while (mi > pos) {
+              topCos(mi) = topCos(mi - 1); topId(mi) = topId(mi - 1)
+              topNaN(mi) = topNaN(mi - 1); mi -= 1
+            }
+            topCos(pos) = cos; topId(pos) = cid; topNaN(pos) = isNaN
+            if (n < p) n += 1
+          }
+          ci += 1
+        }
+        val lut = cb.zipWithIndex.map { case (book, s) =>
+          val sub = book(0)._2.length
+          book.map { case (_, cv) => subDist(qv, s * sub, cv) }
+        }
+        (qid, topId.take(n), lut)
+      }
+    // bucket → indices of the queries probing it (the search fan-out map)
+    val bucketQueries: Map[Long, Array[Int]] = qs.zipWithIndex
+      .flatMap { case ((_, buckets, _), qi) => buckets.map(_ -> qi) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(
+      (qs.map(q => (q._1, q._3)), bucketQueries, codeSlot))
+    val kk = k
+    val partials = encoded
+      .select(col("centroid_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Long])]
+      .mapPartitions { rows =>
+        val (qluts, b2q, slots) = bc.value
+        val nq = qluts.length
+        val topId = Array.fill(nq)(new Array[Long](kk))
+        val topD = Array.fill(nq)(new Array[Double](kk))
+        val topN = new Array[Int](nq)
+        val noQ = Array.empty[Int]
+        rows.foreach { case (bucket, cid, codes) =>
+          val probing = b2q.getOrElse(bucket, noQ)
+          if (probing.nonEmpty) {
+            requireCodeArity(cid, codes, slots.length)
+            val slotArr = new Array[Int](slots.length)
+            var si = 0
+            while (si < slots.length) {
+              slotArr(si) = slotOf(slots, si, codes(si)); si += 1
+            }
+            var qi = 0
+            while (qi < probing.length) {
+              val q = probing(qi)
+              val (qid, lut) = qluts(q)
+              if (qid != cid) {
+                var d = 0.0
+                var s = 0
+                while (s < lut.length) {
+                  d += lut(s)(slotArr(s))
+                  s += 1
+                }
+                val ids = topId(q); val ds = topD(q); val n = topN(q)
+                var pos = n
+                while (pos > 0 && (ds(pos - 1) > d ||
+                    (ds(pos - 1) == d && ids(pos - 1) > cid))) pos -= 1
+                if (pos < kk) {
+                  var mIdx = math.min(n, kk - 1)
+                  while (mIdx > pos) {
+                    ds(mIdx) = ds(mIdx - 1); ids(mIdx) = ids(mIdx - 1)
+                    mIdx -= 1
+                  }
+                  ds(pos) = d; ids(pos) = cid
+                  if (n < kk) topN(q) = n + 1
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          val (qid, _) = qluts(q)
           (0 until topN(q)).map(r => (qid, topId(q)(r), topD(q)(r)))
         }
       }

@@ -84,6 +84,26 @@ object AnnQueries {
         .orderBy(col("vec_id"))
     },
 
+    // X26: IVFADC — the composed index: PQ codes searched only within
+    // each query's top-2 probed IVF buckets (Jégou 2011 §IV). Same
+    // deterministic centroids/codebooks as q_x9/q_x25, so encoding and
+    // ADC distances are exactly reproducible.
+    "q_x26_ivfadc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 40 === 0)
+      val codebooks = (0 until 4).map(sub => cents.select(
+          lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
+          slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
+            .as("centroid")))
+        .reduce(_ unionByName _)
+      val encoded = graft.ann.ProductQuantization.ivfEncode(
+        emb, "vec_id", "embedding", cents, codebooks, 4, Dim)
+      graft.ann.ProductQuantization.ivfAdcTopK(
+        emb.filter(col("vec_id") % 4 === 0), encoded, "vec_id", "embedding",
+        cents, codebooks, m = 4, k = 3, probes = 2)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X16: int8 embedding quantization — per-vector scale, quantized
     // cells (summarized as exact integer sums for the scalar compare) and
     // max reconstruction error.
@@ -201,6 +221,56 @@ object AnnQueries {
         |  round(list_sum(list(d ORDER BY sub)), 6) AS sq_err
         |FROM best WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // IVFADC ground truth: probe-0 assignment (candidates) and top-2
+    // probes (queries) by cosine as in q_x9/q_x9b; PQ codes as in q_x25;
+    // ADC distance = per-subspace exact query-to-centroid squared
+    // distances summed in subspace order (each pair appears once: a
+    // candidate lives in exactly one bucket).
+    "q_x26_ivfadc" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |own AS (SELECT vec_id, centroid_id FROM rnk WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id, centroid_id FROM rnk
+         |  WHERE vec_id % 4 = 0 AND rn <= 2),
+         |cdist AS (
+         |  SELECT n.vec_id, s.s AS sub, c.centroid_id AS cid,
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])
+         |      * (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])))
+         |      AS d
+         |  FROM nn n, range(4) AS s(s), cent c),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d, cid) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT p.vec_id, o.vec_id AS neighbor_id,
+         |    list_sum(list(q.d ORDER BY b.sub)) AS sq_dist
+         |  FROM probe p
+         |  JOIN own o ON p.centroid_id = o.centroid_id
+         |    AND p.vec_id <> o.vec_id
+         |  JOIN codes b ON b.vec_id = o.vec_id
+         |  JOIN cdist q ON q.vec_id = p.vec_id AND q.sub = b.sub
+         |    AND q.cid = b.cid
+         |  GROUP BY p.vec_id, o.vec_id),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, sq_dist,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sq_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(sq_dist, 6) AS sq_dist
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q_x16_int8_quantization" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

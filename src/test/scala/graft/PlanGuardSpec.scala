@@ -179,6 +179,40 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "shuffle the IVFADC index exactly once, on centroid_id only" in {
+    // the composed index's contract: the encoded corpus pays ONE exchange
+    // (the bucket layout on centroid_id) at build time, and search never
+    // re-shuffles it — the only post-build exchange is the tiny q × k
+    // partials window. A regression that re-partitions the corpus per
+    // query batch is the 100 TB incident this guard exists for.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ann.ProductQuantization
+    withStaticShufflePlans {
+      val vecs8 = (1L to 20L)
+        .map(i => (i, Array.tabulate(8)(j => (i % 5 + j).toDouble)))
+        .toDF("vec_id", "embedding")
+      val cents = vecs8.filter(col("vec_id") % 7 === 0)
+      val books = (0 until 2).map(s => cents.select(
+          lit(s).as("subspace"), col("vec_id").as("centroid_id"),
+          slice(col("embedding"), s * 4 + 1, 4).as("centroid")))
+        .reduce(_ unionByName _)
+      val encoded = ProductQuantization.ivfEncode(vecs8, "vec_id",
+        "embedding", cents, books, m = 2, dim = 8)
+      val buildEx = encoded.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      buildEx.map(_.outputPartitioning.toString).filter(
+        _.contains("centroid_id")) should have size 1
+      buildEx should have size 1
+      val search = ProductQuantization.ivfAdcTopK(
+        vecs8.filter(col("vec_id") % 4 === 0), encoded, "vec_id",
+        "embedding", cents, books, m = 2, k = 2, probes = 2)
+      val searchEx = search.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      // index layout + partials window — nothing else
+      searchEx should have size 2
+    }
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,

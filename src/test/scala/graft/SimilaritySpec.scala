@@ -178,6 +178,70 @@ class SimilaritySpec extends SparkSpec {
       .count() shouldBe 3L
   }
 
+  it should "compose IVF buckets with ADC scoring and restrict search to probed buckets" in {
+    import graft.ann.ProductQuantization
+    val codebooks = Seq(
+      (0, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (0, 1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (1, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (1, 1L, Seq(2.0, 2.0, 2.0, 2.0)))
+      .toDF("subspace", "centroid_id", "centroid")
+    val vecs8 = Seq(
+      (1L, Array(0.0, 0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0)),
+      (2L, Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.9, 0.9, 0.9, 0.9, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs8.filter(col("vec_id").isin(1, 2))
+    val encoded = ProductQuantization.ivfEncode(vecs8, "vec_id", "embedding",
+      cents, codebooks, m = 2, dim = 8)
+    // probe-0 buckets: v1 → c1; v2, v3 → c2 (cosine-parallel); codes as
+    // in the flat-encode spec
+    encoded.select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L)
+    val q3 = vecs8.filter(col("vec_id") === 3L)
+    // single probe: only bucket c2 is searched — v1 is INVISIBLE even
+    // with k=2 (the bucket restriction is the operator's point)
+    val single = ProductQuantization.ivfAdcTopK(q3, encoded, "vec_id",
+      "embedding", cents, codebooks, m = 2, k = 2, probes = 1)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect()
+    single.toSeq shouldBe Seq((1L, 2L))
+    // two probes: both buckets searched; ADC ranks v2 (shared codes,
+    // dist 0.04) before v1
+    val multi = ProductQuantization.ivfAdcTopK(q3, encoded, "vec_id",
+      "embedding", cents, codebooks, m = 2, k = 2, probes = 2)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    multi.map(_._2).toSeq shouldBe Seq(2L, 1L)
+  }
+
+  it should "fail loud on codebook-mismatched or ragged ADC codes" in {
+    import graft.ann.ProductQuantization
+    val codebooks = Seq(
+      (0, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (0, 1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (1, 0L, Seq(0.0, 0.0, 0.0, 0.0)), (1, 1L, Seq(2.0, 2.0, 2.0, 2.0)))
+      .toDF("subspace", "centroid_id", "centroid")
+    val vecs8 = Seq(
+      (1L, Array(0.0, 0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0)),
+      (2L, Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    // codes encoded against a DIFFERENT codebook (shifted ids): the slot
+    // lookup must name the mismatch, not throw a bare NoSuchElement
+    val foreign = ProductQuantization.encode(vecs8, "vec_id", "embedding",
+      codebooks.withColumn("centroid_id", col("centroid_id") + 7), 2)
+    val exF = intercept[Exception] {
+      ProductQuantization.adcTopK(vecs8.limit(1), foreign, "vec_id",
+        "embedding", codebooks, 2, k = 1).collect()
+    }
+    chain(exF) should include("different codebook")
+    // ragged codes (fewer than m): must name the expected arity
+    val ragged = Seq((5L, Seq(0L))).toDF("vec_id", "codes")
+    val exR = intercept[Exception] {
+      ProductQuantization.adcTopK(vecs8.limit(1), ragged, "vec_id",
+        "embedding", codebooks, 2, k = 1).collect()
+    }
+    chain(exR) should include("expected 2")
+  }
+
   it should "normalize to unit vectors and quantize within one scale step" in {
     import graft.ann.Embeddings
     val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
