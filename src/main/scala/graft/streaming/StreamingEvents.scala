@@ -121,7 +121,12 @@ object StreamingEvents {
     * directory. Index existence goes through the Hadoop FileSystem of
     * the path — a driver-local File test would be false for every
     * hdfs:///s3a:// path and silently disable dedup. Returns the started
-    * query; callers own checkpointing/termination. */
+    * query; callers own checkpointing/termination.
+    *
+    * The per-batch partition layout accumulates small files and listing
+    * cost over a long-running query — periodically stop the query, run
+    * [[graft.text.Dedup.compactDedupIndex]] over `indexDir`, and
+    * restart; verdicts are proven identical across compaction. */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, verdictDir: String, checkpointDir: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,

@@ -474,6 +474,53 @@ object Dedup {
     sigged.unionByName(short)
   }
 
+  /** X22 maintenance: compact a persisted dedup index's accumulated
+    * `batch_id=*` partitions into ONE consolidated partition with a
+    * bounded file count. The streaming ingest loop
+    * ([[graft.streaming.StreamingEvents.incrementalDedupSink]]) appends
+    * one partition directory per micro-batch, so over a long-running
+    * query the driver's file/partition listing cost per batch grows
+    * without bound (the classic small-file problem — the reference ships
+    * the same concern as partition retention,
+    * diamond/load/ParquetDataLoader.scala:1091-1103, and its README asks
+    * for a small-file "stitching function"). Run this with the ingest
+    * query STOPPED (a maintenance window), then restart.
+    *
+    * Crash-safe by construction: the consolidated rows are written to a
+    * NEW partition `batch_id = min(existing) - 1` — compaction ids count
+    * DOWN from the seed convention (-1) while stream batch ids count up
+    * from 0, so the target never collides with a future micro-batch and
+    * never overwrites a directory the rewrite is concurrently reading —
+    * and the source partitions are deleted only after the write commits.
+    * A crash in between leaves duplicate index rows, which verdicts are
+    * insensitive to ([[incrementalDedupIndexed]] aggregates with `min` /
+    * `count_distinct`); the next compaction absorbs them.
+    *
+    * Returns the consolidated partition's batch id (or the single
+    * existing id when there is nothing to compact). */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetFiles: Int = 8): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"compactDedupIndex: no index at $indexDir")
+    val batchDirs = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    require(batchDirs.nonEmpty,
+      s"compactDedupIndex: $indexDir has no batch_id=* partitions — not " +
+        "a partitioned dedup index (seed it via buildDedupIndex into " +
+        "batch_id=-1)")
+    val ids = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
+    if (batchDirs.length == 1) return ids.head // already compact
+    val compactTo = ids.min - 1
+    spark.read.parquet(indexDir)
+      .drop("batch_id") // re-materialized by the target directory name
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$compactTo")
+    batchDirs.foreach(d => fs.delete(d, true))
+    compactTo
+  }
+
   /** X20 (index form): incremental cross-corpus dedup answered from a
     * [[buildDedupIndex]] table alone — the corpus documents are never
     * touched. Exact stage: the index's one-row-per-doc slice

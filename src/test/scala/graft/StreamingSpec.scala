@@ -99,6 +99,61 @@ class StreamingSpec extends SparkSpec {
     first._1.count(_.contains("new")) shouldBe 1
   }
 
+  it should "preserve dedup verdicts and bound file count across index compaction" in {
+    import graft.text.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Dedup.buildDedupIndex(
+        Seq((1L, "the cat sat on the mat and then slept all day"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$tmp/index/batch_id=-1")
+    // three micro-batches, each indexing one fresh doc → 4 partition dirs
+    val texts = Seq(
+      10L -> "totally novel content with fresh tokens here now",
+      11L -> "another quite different document about distant topics",
+      12L -> "yet more unique words nobody has used before today")
+    texts.zipWithIndex.foreach { case ((id, txt), b) =>
+      StreamingEvents.dedupBatch(Seq((id, txt)).toDF("doc_id", "text"),
+        b.toLong, "doc_id", "text", s"$tmp/index", s"$tmp/verdicts",
+        3, 16, 4, 8)
+    }
+    val probe = Seq(
+      (100L, "the cat sat on the mat and then slept all day"), // seed dup
+      (101L, "yet more unique words nobody has used before today"), // b2 dup
+      (102L, "completely new probe text matching nothing else at all"))
+      .toDF("doc_id", "text")
+    def verdicts(): Seq[String] = Dedup.incrementalDedupIndexed(
+      spark.read.parquet(s"$tmp/index"), probe, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    def indexRows(): Seq[String] = spark.read.parquet(s"$tmp/index")
+      .select("doc_id", "text_md5", "sig", "band", "band_hash")
+      .collect().map(_.toString).sorted.toSeq
+    def batchDirs(): Seq[String] = new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def partFiles(): Int = batchDirs().map(d =>
+      new java.io.File(s"$tmp/index/$d").listFiles()
+        .count(_.getName.startsWith("part-"))).sum
+    val (vBefore, iBefore) = (verdicts(), indexRows())
+    vBefore.count(_.contains("exact")) shouldBe 2
+    batchDirs() should have size 4
+    // compact: one partition (ids count DOWN from the seed), bounded files
+    Dedup.compactDedupIndex(spark, s"$tmp/index", targetFiles = 2) shouldBe -2L
+    batchDirs() shouldBe Seq("batch_id=-2")
+    partFiles() should be <= 2
+    verdicts() shouldBe vBefore
+    indexRows() shouldBe iBefore
+    // idempotent: a second run finds a single partition and leaves it
+    Dedup.compactDedupIndex(spark, s"$tmp/index") shouldBe -2L
+    batchDirs() shouldBe Seq("batch_id=-2")
+    // the ingest loop continues cleanly against the compacted index
+    StreamingEvents.dedupBatch(
+      Seq((20L, "totally novel content with fresh tokens here now"))
+        .toDF("doc_id", "text"),
+      3L, "doc_id", "text", s"$tmp/index", s"$tmp/verdicts", 3, 16, 4, 8)
+    spark.read.parquet(s"$tmp/verdicts").filter(col("doc_id") === 20L)
+      .select("verdict", "exact_dup_of").as[(String, Option[Long])]
+      .head() shouldBe (("exact", Some(10L)))
+  }
+
   it should "suppress exact duplicates within the watermark on ingest" in {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
