@@ -116,6 +116,27 @@ class Scd2Store(val spark: SparkSession, base: String) {
     counts
   }
 
+  /** Publish the stored history and current views as catalog tables
+    * BUCKETED (and sorted) on entity_id
+    * ([[graft.relational.Joins.writeBucketed]]) — the storage layout for
+    * a table merged every day. Every join in the merge kernel keys on
+    * entity_id (inserts anti-join, changed-detection join, delete
+    * semi-join), so against a staged batch bucketed the same way they run
+    * EXCHANGE-FREE (plan-guarded in PlanGuardSpec), and against a plain
+    * unbucketed delta only the small batch side shuffles — the 100 TB
+    * history/current side is never re-partitioned, load after load.
+    * Returns the (history, current) catalog table names. */
+  def publishBucketed(table: String, buckets: Int): (String, String) = {
+    val histT = s"${table}_history_bucketed"
+    val curT = s"${table}_current_bucketed"
+    val hist = readHistory(table).getOrElse(throw new IllegalArgumentException(
+      s"publishBucketed: no history stored for '$table'"))
+    graft.relational.Joins.writeBucketed(hist, histT, Seq(EntityId), buckets)
+    graft.relational.Joins.writeBucketed(
+      spark.read.parquet(p(table, "current")), curT, Seq(EntityId), buckets)
+    (histT, curT)
+  }
+
   /** Read `<base>/<table>/meta.json` as a flat string map (empty when the
     * table was never logged through [[writeMeta]]). */
   def readMeta(table: String): Map[String, String] = {

@@ -213,6 +213,44 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "run the SCD2 changed-detection join exchange-free on bucketed tables" in {
+    // the daily-merge layout: history/current published bucketed on
+    // entity_id, the staged batch bucketed the same way — every merge
+    // join keys on entity_id, so neither side shuffles, load after load
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.load.{MergeConfig, Scd2Merge, Scd2Store}
+    import graft.meta.Meta
+    withStaticShufflePlans {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val store = new Scd2Store(spark, dir)
+      val cfg = MergeConfig(idFields = Seq("cid"), idType = "cust",
+        entityType = "cust", source = "unit", processType = "load",
+        processId = "p1", userId = "t",
+        processTime = "2024-03-01 00:00:00", isDelta = true)
+      store.runLoad("bt", (1 to 20).map(i => (i, s"v$i")).toDF("cid", "v"),
+        cfg)
+      val (_, curT) = store.publishBucketed("bt", buckets = 4)
+      // stage the next batch with the SAME stamp projection (a first-load
+      // merge) into an identically-bucketed table
+      val staged = Scd2Merge.merge(
+        (1 to 20).map(i => (i, s"w$i")).toDF("cid", "v"), None,
+        cfg.copy(processId = "p2", processTime = "2024-03-02 00:00:00"))
+        .history
+      graft.relational.Joins.writeBucketed(staged, "bt_staged",
+        Seq(Meta.EntityId), buckets = 4)
+      // the merge kernel's J2 shape: incoming ⋈ current on entity_id
+      // with a change-hash mismatch
+      val changed = spark.table("bt_staged").join(
+        spark.table(curT).select(col(Meta.EntityId).as("__ex_id"),
+          col(Meta.HashedValue).as("__ex_hash")),
+        col(Meta.EntityId) === col("__ex_id") &&
+          col(Meta.HashedValue) =!= col("__ex_hash"))
+      changed.collect().length shouldBe 20 // every value changed
+      changed.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+    }
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,
