@@ -706,6 +706,39 @@ object Dedup {
     * unfiltered join's. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (sh, cand) = jaccardCandidateStage(df, idCol, textCol, shingleN,
+      threshold)
+    // Overlap-count verify: candidate × left-side shingles ⋈ the inverted
+    // index on (doc_b, shingle), counted per pair. Every candidate pair
+    // shares at least one prefix shingle, so the inner join emits >= 1 row
+    // per pair — no candidate is lost. The doc sizes ride the candidate
+    // rows out of the aggregate above, so no size join-back is needed, and
+    // only narrow (ids, shingle) rows ever move — the candidate side stays
+    // AQE-broadcastable when survivors are few and degrades to a shuffled
+    // hash join when they are not.
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      // threshold on the RAW ratio (rounding only for output): filtering on
+      // the rounded value would admit pairs just below the threshold
+      .withColumn("__j",
+        col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("__j"), 4).as("jaccard"))
+  }
+
+  /** The shingle index + PPJoin candidate stage of [[jaccardSimilarityJoin]],
+    * package-private so the skew stress spec can count the candidate set
+    * directly: under a planted stop-phrase the candidate count staying
+    * O(docs) IS the prefix filter working. Returns (shingle index, candidate
+    * pairs with sizes); the index is persist-tracked. */
+  private[graft] def jaccardCandidateStage(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     // t > 1 is unsatisfiable and would drive the prefix length negative;
     // t ≤ 0 degenerates to the full O(n²) pair space the operator exists
     // to avoid.
@@ -766,27 +799,7 @@ object Dedup {
         least(col("__na") - col("__pa") - 1,
           col("__nb") - col("__pb") - 1) >= alpha)
       .select(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
-    // Overlap-count verify: candidate × left-side shingles ⋈ the inverted
-    // index on (doc_b, shingle), counted per pair. Every candidate pair
-    // shares at least one prefix shingle, so the inner join emits >= 1 row
-    // per pair — no candidate is lost. The doc sizes ride the candidate
-    // rows out of the aggregate above, so no size join-back is needed, and
-    // only narrow (ids, shingle) rows ever move — the candidate side stays
-    // AQE-broadcastable when survivors are few and degrades to a shuffled
-    // hash join when they are not.
-    cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("n_shared"))
-      // threshold on the RAW ratio (rounding only for output): filtering on
-      // the rounded value would admit pairs just below the threshold
-      .withColumn("__j",
-        col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
-      .filter(col("__j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("__j"), 4).as("jaccard"))
+    (sh, cand)
   }
 
   /** X23: exact n-gram Jaccard join BETWEEN two corpora (R × S) — the

@@ -443,6 +443,53 @@ class TextSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "keep Jaccard candidates O(docs) under a planted stop-phrase (skew stress)" in {
+    // The adversarial input PPJoin exists for: a stop-phrase shared by
+    // ~40% of the corpus. An unguarded inverted index would emit a join
+    // row for every pair of sharers — (0.4n choose 2), quadratic — while
+    // the rare-first prefix filter must keep the candidate set linear in
+    // the corpus. Results are simultaneously checked against naive
+    // all-pairs truth, so the filter is tight AND lossless.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val n = 200
+    val corpus = (1 to n).map { id =>
+      val base = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val words = // ~40% of docs carry the planted hot phrase
+        if (rnd.nextInt(5) < 2) "the common stop phrase".split(" ").toSeq ++ base
+        else base
+      (id.toLong, words.mkString(" "))
+    }
+    val hotSharers = corpus.count(_._2.startsWith("the common stop phrase"))
+    hotSharers.toDouble / n should (be >= 0.3 and be <= 0.5)
+    val hotPairs = hotSharers.toLong * (hotSharers - 1) / 2 // naive blow-up
+    def shingleSet(text: String): Set[String] =
+      text.toLowerCase.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val (_, cand) = Dedup.jaccardCandidateStage(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = t)
+      val nCand = cand.count()
+      nCand should be <= 4L * n       // linear in docs, generous slack
+      nCand should be < hotPairs / 4  // nowhere near the quadratic blow-up
+      val expected = (for {
+        (ida, ta) <- corpus; (idb, tb) <- corpus if ida < idb
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (ida, idb, inter.toLong)).toSet
+      Dedup.jaccardSimilarityJoin(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", shingleN = 3, threshold = t)
+        .select("doc_a", "doc_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet shouldBe expected
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
+
   it should "match a naive all-pairs Jaccard on random skewed corpora (prefix filtering is lossless)" in {
     // Random docs built from a small vocabulary PLUS a planted stop-phrase
     // shared by most docs — the exact posting-list skew prefix filtering
