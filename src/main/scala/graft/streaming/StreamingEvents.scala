@@ -176,6 +176,50 @@ object StreamingEvents {
     ()
   }
 
+  /** X24 streaming: corpus vocabulary statistics maintained incrementally
+    * over micro-batches — the streaming counterpart of
+    * [[graft.text.TextStats.vocabulary]]. Each batch's partial
+    * (token, term_freq, doc_freq) aggregate lands in its own
+    * `batch_id=<id>` partition with per-batch overwrite (the dedup sink's
+    * replay-safe layout: an at-least-once re-run of a batch rewrites the
+    * same partition byte-identically); [[vocabularyView]] publishes the
+    * exact corpus totals by summing the partials. Exact because term
+    * occurrences are additive and each document is ingested in exactly
+    * one batch (the same unique-doc-id contract as
+    * [[incrementalDedupSink]]), so per-batch distinct-doc counts never
+    * overlap. Shuffle per batch is O(distinct tokens in batch); nothing
+    * is ever re-aggregated over history. Batch-vs-stream equivalence is
+    * proven by spec. */
+  def vocabularySink(docs: DataFrame, idCol: String, textCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) vocabularyBatch(batch.toDF(), batchId, idCol,
+          textCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[vocabularySink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def vocabularyBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, statsDir: String): Unit = {
+    graft.text.TextStats.vocabulary(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[vocabularySink]] directory: exact
+    * corpus-wide (token, term_freq, doc_freq) — proven identical to the
+    * batch operator run over the union of every ingested batch. */
+  def vocabularyView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    spark.read.parquet(statsDir)
+      .groupBy(col("token"))
+      .agg(sum(col("term_freq")).as("term_freq"),
+        sum(col("doc_freq")).as("doc_freq"))
+
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)
   case class EventIn(entity: Long, eventType: String,

@@ -154,6 +154,37 @@ class StreamingSpec extends SparkSpec {
       .head() shouldBe (("exact", Some(10L)))
   }
 
+  it should "accumulate streaming vocabulary stats identical to the batch operator" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svocab").toString
+    val b1 = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat quietly"))
+    val b2 = Seq(
+      (3L, "a cat and a dog sat together"),
+      (4L, "the mat stayed empty"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.vocabularySink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select("token", "term_freq", "doc_freq")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val streamed = rows(StreamingEvents.vocabularyView(spark, s"$tmp/stats"))
+    val batch = rows(graft.text.TextStats.vocabulary(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text"))
+    streamed shouldBe batch
+    // replay safety: re-running a batch rewrites its partition in place —
+    // the published view is unchanged
+    StreamingEvents.vocabularyBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", s"$tmp/stats")
+    rows(StreamingEvents.vocabularyView(spark, s"$tmp/stats")) shouldBe batch
+  }
+
   it should "suppress exact duplicates within the watermark on ingest" in {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
