@@ -283,7 +283,10 @@ object TextQueries {
 
   /** DuckDB mirror of [[Dedup.simhash32]] as a CTE chain ending in
     * `sim(doc_id, simhash)`. Bit extraction via exact double arithmetic —
-    * identical to the Spark expression. */
+    * identical to the Spark expression. The final select LEFT-joins from
+    * the doc universe so a null-text doc keeps Spark's zero-signature
+    * convention (unnest of a NULL token array would otherwise drop it —
+    * a latent hash-parity break the moment a null-text fixture appears). */
   private def simhashCte(src: String = "documents"): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -296,14 +299,18 @@ object TextQueries {
        |      THEN 1 ELSE -1 END) AS s
        |  FROM hv, range(32) AS r(b) GROUP BY 1, 2),
        |sim AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
-       |      AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id)""".stripMargin
+       |  SELECT u.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+       |      ELSE 0 END), 0) AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id FROM $src) u
+       |  LEFT JOIN bits ON bits.doc_id = u.doc_id
+       |  GROUP BY u.doc_id)""".stripMargin
 
   /** DuckDB mirror of [[Dedup.simhash64]] as a CTE chain ending in
     * `sim(doc_id, hi, lo)` — the two 32-bit halves keep every probe inside
-    * exact double arithmetic (`floor(h / 2^b) % 2`, exact to 2^53). */
+    * exact double arithmetic (`floor(h / 2^b) % 2`, exact to 2^53).
+    * Null-text docs keep Spark's zero-signature convention via the same
+    * doc-universe left join as [[simhashCte]]. */
   private def simhash64Cte(src: String = "documents"): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -319,12 +326,14 @@ object TextQueries {
        |      THEN 1 ELSE -1 END) AS sl
        |  FROM hv, range(32) AS r(b) GROUP BY 1, 2),
        |sim AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN sh > 0 THEN CAST(pow(2, b) AS BIGINT)
-       |      ELSE 0 END) AS BIGINT) AS hi,
-       |    CAST(sum(CASE WHEN sl > 0 THEN CAST(pow(2, b) AS BIGINT)
-       |      ELSE 0 END) AS BIGINT) AS lo
-       |  FROM bits GROUP BY doc_id)""".stripMargin
+       |  SELECT u.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN sh > 0 THEN CAST(pow(2, b) AS BIGINT)
+       |      ELSE 0 END), 0) AS BIGINT) AS hi,
+       |    CAST(coalesce(sum(CASE WHEN sl > 0 THEN CAST(pow(2, b) AS BIGINT)
+       |      ELSE 0 END), 0) AS BIGINT) AS lo
+       |  FROM (SELECT doc_id FROM $src) u
+       |  LEFT JOIN bits ON bits.doc_id = u.doc_id
+       |  GROUP BY u.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_x21_simhash64_neardup" ->
