@@ -256,33 +256,86 @@ object ProductQuantization {
         round(col("sq_dist"), 6).as("sq_dist"))
   }
 
-  /** Build the IVFADC index (Jégou et al. 2011 §IV, non-residual form):
-    * every vector is assigned to its probe-0 IVF bucket by
-    * [[Similarity.ivfAssign]]'s row-local argmax over the broadcast
-    * centroid set, PQ-encoded row-locally against the broadcast codebooks,
-    * and laid out partitioned by `centroid_id` — the ONE shuffle of the
-    * index build, modelling the bucket-partitioned layout a production
-    * index persists so bucket-restricted search touches only probed
-    * partitions. Output: (centroid_id, vec_id, codes, sq_err). */
+  /** v − c, elementwise over v's length (centroid dims past v contribute
+    * nothing — the same ragged-degrade contract as [[subDist]]). */
+  private def residualOf(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) {
+      r(i) = v(i) - (if (i < c.length) c(i) else 0.0); i += 1
+    }
+    r
+  }
+
+  private def collectCentroidMap(centroids: DataFrame, idCol: String,
+      vecCol: String): Map[Long, Array[Double]] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+  }
+
+  /** Build the IVFADC index (Jégou et al. 2011 §IV): every vector is
+    * assigned to its probe-0 IVF bucket by [[Similarity.ivfAssign]]'s
+    * row-local argmax over the broadcast centroid set, PQ-encoded
+    * row-locally against the broadcast codebooks, and laid out partitioned
+    * by `centroid_id` — the ONE shuffle of the index build, modelling the
+    * bucket-partitioned layout a production index persists so
+    * bucket-restricted search touches only probed partitions.
+    *
+    * `residual = true` is the paper's actual §IV structure: codes quantize
+    * `v − centroid(bucket)` instead of `v`, so the codebooks only have to
+    * cover the (much tighter) within-bucket displacement distribution —
+    * train them with [[trainResidualCodebooks]] and search with
+    * `ivfAdcTopK(..., residual = true)`. Encoding stays row-local either
+    * way. Output: (centroid_id, vec_id, codes, sq_err). */
   def ivfEncode(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, codebooks: DataFrame, m: Int,
-      dim: Int): DataFrame = {
+      dim: Int, residual: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cb = collectCodebooks(codebooks, m)
-    val bc = spark.sparkContext.broadcast(cb)
+    val bc = spark.sparkContext.broadcast(
+      (cb, if (residual) collectCentroidMap(centroids, idCol, vecCol)
+        else Map.empty[Long, Array[Double]]))
+    val res = residual
     Similarity.ivfAssign(df, idCol, vecCol, centroids, dim)
       .select(col("centroid_id"), col("vec_id"), col("v"))
       .as[(Long, Long, Array[Double])]
       .mapPartitions { rows =>
-        val books = bc.value
+        val (books, cents) = bc.value
         rows.map { case (bucket, id, v) =>
-          val (codes, err) = encodeVector(books, v)
+          val base = if (res) residualOf(v, cents(bucket)) else v
+          val (codes, err) = encodeVector(books, base)
           (bucket, id, codes.toSeq, err)
         }
       }
       .toDF("centroid_id", "vec_id", "codes", "sq_err")
       .repartition(col("centroid_id"))
+  }
+
+  /** Train per-subspace codebooks over the RESIDUALS `v − centroid(bucket)`
+    * — the distribution residual-IVFADC codes actually quantize. One
+    * assignment pass (row-local argmax), then the deterministic seeded
+    * k-means of [[trainCodebooks]] per subspace slice. Persist the output;
+    * it is the index artifact. */
+  def trainResidualCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      collectCentroidMap(centroids, idCol, vecCol))
+    val residuals = Similarity.ivfAssign(df, idCol, vecCol, centroids, dim)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { case (id, v, b) => (id, residualOf(v, cents(b)).toSeq) }
+      }
+      .toDF("vec_id", "residual")
+    trainCodebooks(residuals, "vec_id", "residual", m, k, iters, dim)
   }
 
   /** IVFADC search: ADC-score a query batch ONLY within each query's top
@@ -297,10 +350,16 @@ object ProductQuantization {
     * O(corpus × queries-per-bucket), and the index side is never
     * re-shuffled. Query count must fit one broadcast (the batch contract
     * of [[adcTopK]] / [[Similarity.bruteForceTopK]]).
+    *
+    * With `residual = true` (index built by `ivfEncode(..., residual =
+    * true)` over [[trainResidualCodebooks]] output), each probed bucket
+    * gets its OWN LUT built from the query's residual against that
+    * bucket's centroid — the exact §IV search; cost is unchanged
+    * (probes × m × k subdistances per query, built once on the driver).
     * Output: (vec_id, rk, neighbor_id, sq_dist), rk by (dist asc, id asc). */
   def ivfAdcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, codebooks: DataFrame,
-      m: Int, k: Int, probes: Int): DataFrame = {
+      m: Int, k: Int, probes: Int, residual: Boolean = false): DataFrame = {
     requireNumericId(queries, idCol, "ivfAdcTopK")
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val spark = queries.sparkSession
@@ -319,10 +378,15 @@ object ProductQuantization {
         (id, v, math.sqrt(s))
       }
     require(cents.nonEmpty, "centroid set must be non-empty")
+    val centMap: Map[Long, Array[Double]] =
+      if (residual) cents.map(c => c._1 -> c._2).toMap
+      else Map.empty
     val p = math.min(probes, cents.length)
     // per query: probed bucket ids (cos desc — NaN ranked above any
-    // number — then centroid id asc, exactly ivfAssignProbes) + ADC LUT
-    val qs: Array[(Long, Array[Long], Array[Array[Double]])] = queries
+    // number — then centroid id asc, exactly ivfAssignProbes) + one ADC
+    // LUT per probed bucket (the SAME shared array in non-residual mode;
+    // the query's bucket-residual LUT in residual mode)
+    val qs: Array[(Long, Array[(Long, Array[Array[Double]])])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .collect()
@@ -358,29 +422,37 @@ object ProductQuantization {
           }
           ci += 1
         }
-        val lut = cb.zipWithIndex.map { case (book, s) =>
-          val sub = book(0)._2.length
-          book.map { case (_, cv) => subDist(qv, s * sub, cv) }
+        def lutFor(base: Array[Double]): Array[Array[Double]] =
+          cb.zipWithIndex.map { case (book, s) =>
+            val sub = book(0)._2.length
+            book.map { case (_, ctr) => subDist(base, s * sub, ctr) }
+          }
+        val shared = if (residual) null else lutFor(qv)
+        val perBucket = topId.take(n).map { b =>
+          b -> (if (residual) lutFor(residualOf(qv, centMap(b))) else shared)
         }
-        (qid, topId.take(n), lut)
+        (qid, perBucket)
       }
-    // bucket → indices of the queries probing it (the search fan-out map)
-    val bucketQueries: Map[Long, Array[Int]] = qs.zipWithIndex
-      .flatMap { case ((_, buckets, _), qi) => buckets.map(_ -> qi) }
-      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    // bucket → (query index, that query's LUT for this bucket)
+    val bucketQueries: Map[Long, Array[(Int, Array[Array[Double]])]] =
+      qs.zipWithIndex
+        .flatMap { case ((_, buckets), qi) =>
+          buckets.map { case (b, lut) => (b, (qi, lut)) }
+        }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     val bc = spark.sparkContext.broadcast(
-      (qs.map(q => (q._1, q._3)), bucketQueries, codeSlot))
+      (qs.map(_._1), bucketQueries, codeSlot))
     val kk = k
     val partials = encoded
       .select(col("centroid_id"), col("vec_id"), col("codes"))
       .as[(Long, Long, Seq[Long])]
       .mapPartitions { rows =>
-        val (qluts, b2q, slots) = bc.value
-        val nq = qluts.length
+        val (qids, b2q, slots) = bc.value
+        val nq = qids.length
         val topId = Array.fill(nq)(new Array[Long](kk))
         val topD = Array.fill(nq)(new Array[Double](kk))
         val topN = new Array[Int](nq)
-        val noQ = Array.empty[Int]
+        val noQ = Array.empty[(Int, Array[Array[Double]])]
         rows.foreach { case (bucket, cid, codes) =>
           val probing = b2q.getOrElse(bucket, noQ)
           if (probing.nonEmpty) {
@@ -392,8 +464,8 @@ object ProductQuantization {
             }
             var qi = 0
             while (qi < probing.length) {
-              val q = probing(qi)
-              val (qid, lut) = qluts(q)
+              val (q, lut) = probing(qi)
+              val qid = qids(q)
               if (qid != cid) {
                 var d = 0.0
                 var s = 0
@@ -420,8 +492,7 @@ object ProductQuantization {
           }
         }
         (0 until nq).iterator.flatMap { q =>
-          val (qid, _) = qluts(q)
-          (0 until topN(q)).map(r => (qid, topId(q)(r), topD(q)(r)))
+          (0 until topN(q)).map(r => (qids(q), topId(q)(r), topD(q)(r)))
         }
       }
       .toDF("vec_id", "neighbor_id", "sq_dist")

@@ -104,6 +104,27 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X27: residual IVFADC — codes quantize v − centroid(bucket) (the
+    // exact Jégou 2011 §IV structure) and each probed bucket gets its own
+    // query-residual LUT. Same deterministic centroids/codebooks as
+    // q_x26, so every distance is exactly reproducible.
+    "q_x27_ivfadc_residual" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 40 === 0)
+      val codebooks = (0 until 4).map(sub => cents.select(
+          lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
+          slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
+            .as("centroid")))
+        .reduce(_ unionByName _)
+      val encoded = graft.ann.ProductQuantization.ivfEncode(
+        emb, "vec_id", "embedding", cents, codebooks, 4, Dim,
+        residual = true)
+      graft.ann.ProductQuantization.ivfAdcTopK(
+        emb.filter(col("vec_id") % 4 === 0), encoded, "vec_id", "embedding",
+        cents, codebooks, m = 4, k = 3, probes = 2, residual = true)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X16: int8 embedding quantization — per-vector scale, quantized
     // cells (summarized as exact integer sums for the scalar compare) and
     // max reconstruction error.
@@ -263,6 +284,71 @@ object AnnQueries {
          |  JOIN codes b ON b.vec_id = o.vec_id
          |  JOIN cdist q ON q.vec_id = p.vec_id AND q.sub = b.sub
          |    AND q.cid = b.cid
+         |  GROUP BY p.vec_id, o.vec_id),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, sq_dist,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sq_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(sq_dist, 6) AS sq_dist
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // Residual IVFADC ground truth: same assignment/probing as q_x26;
+    // candidate codes minimize the RESIDUAL subdistance against the
+    // candidate's own bucket centroid; pair distance sums the query's
+    // bucket-residual subdistances at the candidate's codes.
+    "q_x27_ivfadc_residual" ->
+      s"""WITH $nnCte,
+         |centv AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, centv c),
+         |own AS (SELECT vec_id, centroid_id FROM rnk WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id, centroid_id FROM rnk
+         |  WHERE vec_id % 4 = 0 AND rn <= 2),
+         |crd AS (
+         |  SELECT n.vec_id, s.s AS sub, c.centroid_id AS cid,
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      ((n.v[CAST(s.s * 16 + i AS INT)] - oc.cv[CAST(s.s * 16 + i AS INT)])
+         |        - c.cv[CAST(s.s * 16 + i AS INT)])
+         |      * ((n.v[CAST(s.s * 16 + i AS INT)] - oc.cv[CAST(s.s * 16 + i AS INT)])
+         |        - c.cv[CAST(s.s * 16 + i AS INT)]))) AS d
+         |  FROM nn n
+         |  JOIN own o ON o.vec_id = n.vec_id
+         |  JOIN centv oc ON oc.centroid_id = o.centroid_id,
+         |  range(4) AS s(s), centv c),
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d, cid) AS rn
+         |    FROM crd) WHERE rn = 1),
+         |qrd AS (
+         |  SELECT p.vec_id, p.centroid_id AS pc, s.s AS sub,
+         |    c.centroid_id AS cid,
+         |    list_sum(list_transform(range(1, 17), i ->
+         |      ((n.v[CAST(s.s * 16 + i AS INT)] - pv.cv[CAST(s.s * 16 + i AS INT)])
+         |        - c.cv[CAST(s.s * 16 + i AS INT)])
+         |      * ((n.v[CAST(s.s * 16 + i AS INT)] - pv.cv[CAST(s.s * 16 + i AS INT)])
+         |        - c.cv[CAST(s.s * 16 + i AS INT)]))) AS d
+         |  FROM probe p
+         |  JOIN nn n ON n.vec_id = p.vec_id
+         |  JOIN centv pv ON pv.centroid_id = p.centroid_id,
+         |  range(4) AS s(s), centv c),
+         |pairs AS (
+         |  SELECT p.vec_id, o.vec_id AS neighbor_id,
+         |    list_sum(list(q.d ORDER BY b.sub)) AS sq_dist
+         |  FROM probe p
+         |  JOIN own o ON p.centroid_id = o.centroid_id
+         |    AND p.vec_id <> o.vec_id
+         |  JOIN codes b ON b.vec_id = o.vec_id
+         |  JOIN qrd q ON q.vec_id = p.vec_id AND q.pc = p.centroid_id
+         |    AND q.sub = b.sub AND q.cid = b.cid
          |  GROUP BY p.vec_id, o.vec_id),
          |rk AS (
          |  SELECT vec_id, neighbor_id, sq_dist,

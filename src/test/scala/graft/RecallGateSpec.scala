@@ -85,6 +85,19 @@ class RecallGateSpec extends SparkSpec {
     val ivfadc = recallOf(ProductQuantization.ivfAdcTopK(queries, ivfEnc,
       "vec_id", "embedding", centroids, books, m = 4, k = K, probes = 2))
     ivfadc should be >= 0.8
+    // residual IVFADC (codes quantize v − centroid, codebooks trained on
+    // the residual distribution): the §IV refinement must not lose
+    // recall against the raw-vector composition — on clustered data the
+    // residuals are tighter than the vectors, so it usually gains
+    val rBooks = ProductQuantization.trainResidualCodebooks(corpus,
+      "vec_id", "embedding", centroids, m = 4, k = 8, iters = 3, dim = Dim)
+    val rEnc = ProductQuantization.ivfEncode(corpus, "vec_id", "embedding",
+      centroids, rBooks, 4, Dim, residual = true)
+    val rAdc = recallOf(ProductQuantization.ivfAdcTopK(queries, rEnc,
+      "vec_id", "embedding", centroids, rBooks, m = 4, k = K, probes = 2,
+      residual = true))
+    info(f"ivfadc=$ivfadc%.3f residual=$rAdc%.3f")
+    rAdc should be >= ivfadc
     graft.util.Caches.releaseAll(spark)
   }
 }
