@@ -504,4 +504,105 @@ object ProductQuantization {
       .select(col("vec_id"), col("rk"), col("neighbor_id"),
         round(col("sq_dist"), 6).as("sq_dist"))
   }
+
+  /** IVFADC search, DISTRIBUTED-QUERY form: lifts [[ivfAdcTopK]]'s
+    * one-broadcast query-batch ceiling. Queries are probe-assigned
+    * row-locally ([[Similarity.ivfAssignProbes]], zero shuffle), then
+    * both sides shuffle ONCE on the bucket id and are cogrouped: per
+    * bucket, each probing query's m × k LUT is built once on the
+    * EXECUTOR (its cost amortizes over the bucket's candidates) and the
+    * bucket's codes stream through per-query insertion top-k — the
+    * per-candidate cost stays O(m) lookups and nothing is ever collected
+    * to the driver, so the query side scales like any other shuffled
+    * relation. Results are identical to [[ivfAdcTopK]] (spec-proven) and
+    * to the q_x26 oracle. Prefer the broadcast form for small query
+    * batches (it leaves the stored index layout untouched); this form
+    * when queries outgrow one broadcast. */
+  def ivfAdcTopKDistributed(queries: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      codebooks: DataFrame, m: Int, k: Int, dim: Int, probes: Int,
+      residual: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(codebooks, m)
+    val codeSlot: Array[Map[Long, Int]] =
+      cb.map(_.iterator.map(_._1).zipWithIndex.toMap)
+    val bcAll = spark.sparkContext.broadcast(
+      (cb, codeSlot, if (residual)
+        collectCentroidMap(centroids, idCol, vecCol)
+      else Map.empty[Long, Array[Double]]))
+    val kk = k
+    val probed = Similarity
+      .ivfAssignProbes(queries, idCol, vecCol, centroids, dim, probes)
+      .select(col("centroid_id"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+    val cands = encoded
+      .select(col("centroid_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Long])]
+    val partials = probed.groupByKey(_._1).cogroup(cands.groupByKey(_._1)) {
+      (bucket, qit, cit) =>
+        val (books, slots, cents) = bcAll.value
+        val qs = qit.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val luts: Array[Array[Array[Double]]] = qs.map { case (_, _, qv) =>
+            val base = if (cents.nonEmpty) residualOf(qv, cents(bucket))
+              else qv
+            books.zipWithIndex.map { case (book, s) =>
+              val sub = book(0)._2.length
+              book.map { case (_, ctr) => subDist(base, s * sub, ctr) }
+            }
+          }
+          val nq = qs.length
+          val topId = Array.fill(nq)(new Array[Long](kk))
+          val topD = Array.fill(nq)(new Array[Double](kk))
+          val topN = new Array[Int](nq)
+          cit.foreach { case (_, cid, codes) =>
+            requireCodeArity(cid, codes, slots.length)
+            val slotArr = new Array[Int](slots.length)
+            var si = 0
+            while (si < slots.length) {
+              slotArr(si) = slotOf(slots, si, codes(si)); si += 1
+            }
+            var q = 0
+            while (q < nq) {
+              val qid = qs(q)._2
+              if (qid != cid) {
+                val lut = luts(q)
+                var d = 0.0
+                var s = 0
+                while (s < lut.length) {
+                  d += lut(s)(slotArr(s))
+                  s += 1
+                }
+                val ids = topId(q); val ds = topD(q); val n = topN(q)
+                var pos = n
+                while (pos > 0 && (ds(pos - 1) > d ||
+                    (ds(pos - 1) == d && ids(pos - 1) > cid))) pos -= 1
+                if (pos < kk) {
+                  var mIdx = math.min(n, kk - 1)
+                  while (mIdx > pos) {
+                    ds(mIdx) = ds(mIdx - 1); ids(mIdx) = ids(mIdx - 1)
+                    mIdx -= 1
+                  }
+                  ds(pos) = d; ids(pos) = cid
+                  if (n < kk) topN(q) = n + 1
+                }
+              }
+              q += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { q =>
+            (0 until topN(q)).map(r => (qs(q)._2, topId(q)(r), topD(q)(r)))
+          }
+        }
+    }.toDF("vec_id", "neighbor_id", "sq_dist")
+    partials
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("sq_dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("sq_dist"), 6).as("sq_dist"))
+  }
 }

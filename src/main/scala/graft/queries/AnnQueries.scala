@@ -33,6 +33,31 @@ object AnnQueries {
 
   private val Dim = 64
 
+  /** Shared IVFADC fixture: deterministic centroids (every 40th
+    * embedding) + sliced codebooks, queries = every 4th vector, k=3,
+    * probes=2 — one body behind q_x26/q_x27/q_x28. */
+  private def ivfadcQuery(s: SparkSession, dir: String, residual: Boolean,
+      distributed: Boolean = false): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    val codebooks = (0 until 4).map(sub => cents.select(
+        lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
+        slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
+          .as("centroid")))
+      .reduce(_ unionByName _)
+    val encoded = graft.ann.ProductQuantization.ivfEncode(
+      emb, "vec_id", "embedding", cents, codebooks, 4, Dim, residual)
+    val qs = emb.filter(col("vec_id") % 4 === 0)
+    val top =
+      if (distributed) graft.ann.ProductQuantization.ivfAdcTopKDistributed(
+        qs, encoded, "vec_id", "embedding", cents, codebooks,
+        m = 4, k = 3, dim = Dim, probes = 2, residual = residual)
+      else graft.ann.ProductQuantization.ivfAdcTopK(
+        qs, encoded, "vec_id", "embedding", cents, codebooks,
+        m = 4, k = 3, probes = 2, residual = residual)
+    top.orderBy(col("vec_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     // X8: exact cosine top-5 over the index for a query batch (every 4th
     // vector — the realistic query-set-vs-index shape).
@@ -88,41 +113,21 @@ object AnnQueries {
     // each query's top-2 probed IVF buckets (Jégou 2011 §IV). Same
     // deterministic centroids/codebooks as q_x9/q_x25, so encoding and
     // ADC distances are exactly reproducible.
-    "q_x26_ivfadc" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val cents = emb.filter(col("vec_id") % 40 === 0)
-      val codebooks = (0 until 4).map(sub => cents.select(
-          lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
-          slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
-            .as("centroid")))
-        .reduce(_ unionByName _)
-      val encoded = graft.ann.ProductQuantization.ivfEncode(
-        emb, "vec_id", "embedding", cents, codebooks, 4, Dim)
-      graft.ann.ProductQuantization.ivfAdcTopK(
-        emb.filter(col("vec_id") % 4 === 0), encoded, "vec_id", "embedding",
-        cents, codebooks, m = 4, k = 3, probes = 2)
-        .orderBy(col("vec_id"), col("rk"))
-    },
+    "q_x26_ivfadc" -> { (s, dir) => ivfadcQuery(s, dir, residual = false) },
 
     // X27: residual IVFADC — codes quantize v − centroid(bucket) (the
     // exact Jégou 2011 §IV structure) and each probed bucket gets its own
     // query-residual LUT. Same deterministic centroids/codebooks as
     // q_x26, so every distance is exactly reproducible.
     "q_x27_ivfadc_residual" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val cents = emb.filter(col("vec_id") % 40 === 0)
-      val codebooks = (0 until 4).map(sub => cents.select(
-          lit(sub).as("subspace"), col("vec_id").as("centroid_id"),
-          slice(col("embedding").cast("array<double>"), sub * 16 + 1, 16)
-            .as("centroid")))
-        .reduce(_ unionByName _)
-      val encoded = graft.ann.ProductQuantization.ivfEncode(
-        emb, "vec_id", "embedding", cents, codebooks, 4, Dim,
-        residual = true)
-      graft.ann.ProductQuantization.ivfAdcTopK(
-        emb.filter(col("vec_id") % 4 === 0), encoded, "vec_id", "embedding",
-        cents, codebooks, m = 4, k = 3, probes = 2, residual = true)
-        .orderBy(col("vec_id"), col("rk"))
+      ivfadcQuery(s, dir, residual = true)
+    },
+
+    // X28: distributed-query IVFADC — identical semantics to q_x26
+    // through the cogrouped form (no driver-collected query batch), so
+    // it shares q_x26's oracle SQL verbatim.
+    "q_x28_ivfadc_distributed" -> { (s, dir) =>
+      ivfadcQuery(s, dir, residual = false, distributed = true)
     },
 
     // X16: int8 embedding quantization — per-vector scale, quantized
@@ -156,6 +161,52 @@ object AnnQueries {
       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |      CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  private val ivfadcOracle: String =
+    s"""WITH $nnCte,
+      |cent AS (
+      |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      |  FROM nn WHERE vec_id % 40 = 0),
+      |rnk AS (
+      |  SELECT n.vec_id, n.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY n.vec_id
+      |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+      |        c.centroid_id) AS rn
+      |  FROM nn n, cent c),
+      |own AS (SELECT vec_id, centroid_id FROM rnk WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id, centroid_id FROM rnk
+      |  WHERE vec_id % 4 = 0 AND rn <= 2),
+      |cdist AS (
+      |  SELECT n.vec_id, s.s AS sub, c.centroid_id AS cid,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])
+      |      * (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])))
+      |      AS d
+      |  FROM nn n, range(4) AS s(s), cent c),
+      |codes AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d, cid) AS rn
+      |    FROM cdist) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT p.vec_id, o.vec_id AS neighbor_id,
+      |    list_sum(list(q.d ORDER BY b.sub)) AS sq_dist
+      |  FROM probe p
+      |  JOIN own o ON p.centroid_id = o.centroid_id
+      |    AND p.vec_id <> o.vec_id
+      |  JOIN codes b ON b.vec_id = o.vec_id
+      |  JOIN cdist q ON q.vec_id = p.vec_id AND q.sub = b.sub
+      |    AND q.cid = b.cid
+      |  GROUP BY p.vec_id, o.vec_id),
+      |rk AS (
+      |  SELECT vec_id, neighbor_id, sq_dist,
+      |    CAST(row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sq_dist, neighbor_id) AS BIGINT) AS rk
+      |  FROM pairs)
+      |SELECT vec_id, rk, neighbor_id, round(sq_dist, 6) AS sq_dist
+      |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_x8_ann_bruteforce" ->
@@ -247,51 +298,9 @@ object AnnQueries {
     // ADC distance = per-subspace exact query-to-centroid squared
     // distances summed in subspace order (each pair appears once: a
     // candidate lives in exactly one bucket).
-    "q_x26_ivfadc" ->
-      s"""WITH $nnCte,
-         |cent AS (
-         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-         |  FROM nn WHERE vec_id % 40 = 0),
-         |rnk AS (
-         |  SELECT n.vec_id, n.v, c.centroid_id,
-         |    row_number() OVER (PARTITION BY n.vec_id
-         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
-         |        c.centroid_id) AS rn
-         |  FROM nn n, cent c),
-         |own AS (SELECT vec_id, centroid_id FROM rnk WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id, centroid_id FROM rnk
-         |  WHERE vec_id % 4 = 0 AND rn <= 2),
-         |cdist AS (
-         |  SELECT n.vec_id, s.s AS sub, c.centroid_id AS cid,
-         |    list_sum(list_transform(range(1, 17), i ->
-         |      (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])
-         |      * (n.v[CAST(s.s * 16 + i AS INT)] - c.cv[CAST(s.s * 16 + i AS INT)])))
-         |      AS d
-         |  FROM nn n, range(4) AS s(s), cent c),
-         |codes AS (
-         |  SELECT vec_id, sub, cid FROM (
-         |    SELECT vec_id, sub, cid,
-         |      row_number() OVER (PARTITION BY vec_id, sub
-         |        ORDER BY d, cid) AS rn
-         |    FROM cdist) WHERE rn = 1),
-         |pairs AS (
-         |  SELECT p.vec_id, o.vec_id AS neighbor_id,
-         |    list_sum(list(q.d ORDER BY b.sub)) AS sq_dist
-         |  FROM probe p
-         |  JOIN own o ON p.centroid_id = o.centroid_id
-         |    AND p.vec_id <> o.vec_id
-         |  JOIN codes b ON b.vec_id = o.vec_id
-         |  JOIN cdist q ON q.vec_id = p.vec_id AND q.sub = b.sub
-         |    AND q.cid = b.cid
-         |  GROUP BY p.vec_id, o.vec_id),
-         |rk AS (
-         |  SELECT vec_id, neighbor_id, sq_dist,
-         |    CAST(row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sq_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM pairs)
-         |SELECT vec_id, rk, neighbor_id, round(sq_dist, 6) AS sq_dist
-         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_x26_ivfadc" -> ivfadcOracle,
+    // the distributed-query form computes the SAME function — one oracle
+    "q_x28_ivfadc_distributed" -> ivfadcOracle,
     // Residual IVFADC ground truth: same assignment/probing as q_x26;
     // candidate codes minimize the RESIDUAL subdistance against the
     // candidate's own bucket centroid; pair distance sums the query's

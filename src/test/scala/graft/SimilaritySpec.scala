@@ -211,6 +211,36 @@ class SimilaritySpec extends SparkSpec {
     multi.map(_._2).toSeq shouldBe Seq(2L, 1L)
   }
 
+  it should "answer identically through the distributed-query IVFADC form" in {
+    import graft.ann.ProductQuantization
+    // randomized corpus: the cogrouped form must equal the broadcast form
+    // row for row, in both raw and residual encodings
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") % 9 === 0)
+    val books = (0 until 2).map(s => cents.select(
+        lit(s).as("subspace"), col("vec_id").as("centroid_id"),
+        slice(col("embedding"), s * 4 + 1, 4).as("centroid")))
+      .reduce(_ unionByName _)
+    val queries = vecs.filter(col("vec_id") % 3 === 0)
+    for (res <- Seq(false, true)) {
+      val enc = ProductQuantization.ivfEncode(vecs, "vec_id", "embedding",
+        cents, books, m = 2, dim = 8, residual = res)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val broadcastForm = rows(ProductQuantization.ivfAdcTopK(queries, enc,
+        "vec_id", "embedding", cents, books, m = 2, k = 3, probes = 2,
+        residual = res))
+      val distributedForm = rows(ProductQuantization.ivfAdcTopKDistributed(
+        queries, enc, "vec_id", "embedding", cents, books, m = 2, k = 3,
+        dim = 8, probes = 2, residual = res))
+      distributedForm shouldBe broadcastForm
+      broadcastForm should not be empty
+    }
+  }
+
   it should "fail loud on codebook-mismatched or ragged ADC codes" in {
     import graft.ann.ProductQuantization
     val codebooks = Seq(
