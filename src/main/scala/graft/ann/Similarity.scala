@@ -78,8 +78,10 @@ object Similarity {
     * million pairs in well under a second. The index side is collect()ed
     * to the DRIVER and must fit in driver memory and one broadcast — the
     * same constraint the join formulation already had, stated plainly:
-    * this is the exactness baseline; [[ivfTopK]] is the production path
-    * when candidates exceed broadcast scale.
+    * this is the exactness baseline; [[bruteForceTopKStreamed]] keeps the
+    * exactness with the ROLES FLIPPED (query batch broadcast, corpus
+    * streamed) when candidates exceed broadcast scale, and [[ivfTopK]] is
+    * the approximate production path past that.
     * Accumulation is left-to-right, and rounding is HALF_UP BigDecimal —
     * both bit-identical to the Column/`round` forms and to the DuckDB
     * oracle. */
@@ -152,6 +154,90 @@ object Similarity {
         }
       }
       .toDF("vec_id", "rk", "neighbor_id", "cosine")
+  }
+
+  /** Exact cosine top-k, STREAMED-INDEX form. [[bruteForceTopK]]
+    * broadcasts the candidate INDEX — at 100 TB that is the wrong side:
+    * its ceiling binds the corpus. This form flips the roles: the
+    * (small, bounded) QUERY batch is collected and broadcast, the index
+    * STREAMS through one `mapPartitions` pass with per-partition
+    * insertion top-k per query, and a window over the tiny
+    * queries × k × partitions partials merges — exactness unchanged
+    * (spec-proven identical to [[bruteForceTopK]]), corpus unbounded.
+    * Same output contract: (vec_id, rk, neighbor_id, cosine), rk by
+    * (cos desc, neighbor id asc), self excluded. */
+  def bruteForceTopKStreamed(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    for (d <- Seq(queries, candidates)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"bruteForceTopKStreamed requires a numeric $idCol, got $t")
+    }
+    val qbatch: Array[(Long, Array[Double], Double)] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        require(v != null,
+          s"bruteForceTopKStreamed: query id=$id has a NULL embedding")
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(qbatch)
+    val kk = k
+    val partials = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        val nq = qs.length
+        val topId = Array.fill(nq)(new Array[Long](kk))
+        val topCos = Array.fill(nq)(new Array[Double](kk))
+        val topN = new Array[Int](nq)
+        rows.foreach { case (cid, cv) =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          val cn = math.sqrt(s)
+          var q = 0
+          while (q < nq) {
+            val (qid, qv, qn) = qs(q)
+            if (qid != cid) {
+              var d = 0.0; var j = 0
+              val dn = math.min(qv.length, cv.length)
+              while (j < dn) { d += qv(j) * cv(j); j += 1 }
+              val cos = d / (qn * cn)
+              val ids = topId(q); val cs = topCos(q); val n = topN(q)
+              var pos = n
+              while (pos > 0 && (cs(pos - 1) < cos ||
+                  (cs(pos - 1) == cos && ids(pos - 1) > cid))) pos -= 1
+              if (pos < kk) {
+                var m = math.min(n, kk - 1)
+                while (m > pos) {
+                  cs(m) = cs(m - 1); ids(m) = ids(m - 1); m -= 1
+                }
+                cs(pos) = cos; ids(pos) = cid
+                if (n < kk) topN(q) = n + 1
+              }
+            }
+            q += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          (0 until topN(q)).map(r => (qs(q)._1, topId(q)(r), topCos(q)(r)))
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "cos")
+    partials
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
   }
 
   /** IVF bucket assignment: nearest centroid by cosine (ties to the lower

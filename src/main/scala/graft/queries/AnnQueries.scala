@@ -68,6 +68,16 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X29: exact cosine top-5 with the STREAMED-INDEX form — the query
+    // batch broadcasts and the corpus streams, so exact search scales to
+    // an unbounded index. Same function as q_x8, same oracle.
+    "q_x29_bruteforce_streamed" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKStreamed(emb.filter(col("vec_id") % 4 === 0),
+        emb, "vec_id", "embedding", 5, Dim)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -162,6 +172,21 @@ object AnnQueries {
       |      CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  private val bruteForceOracle: String =
+    s"""WITH $nnCte,
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM nn a, nn b
+       |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM pairs)
+       |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+       |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
   private val ivfadcOracle: String =
     s"""WITH $nnCte,
       |cent AS (
@@ -209,20 +234,9 @@ object AnnQueries {
       |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_x8_ann_bruteforce" ->
-      s"""WITH $nnCte,
-         |pairs AS (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-         |  FROM nn a, nn b
-         |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
-         |rk AS (
-         |  SELECT vec_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
-         |  FROM pairs)
-         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
-         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    "q_x8_ann_bruteforce" -> bruteForceOracle,
+    // streamed-index form computes the SAME exact function — one oracle
+    "q_x29_bruteforce_streamed" -> bruteForceOracle,
     "q_x9_ann_ivf" ->
       s"""WITH $nnCte,
          |cent AS (

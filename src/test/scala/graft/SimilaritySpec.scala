@@ -211,6 +211,24 @@ class SimilaritySpec extends SparkSpec {
     multi.map(_._2).toSeq shouldBe Seq(2L, 1L)
   }
 
+  it should "answer identically through the streamed-index brute-force form" in {
+    // random corpus: the streamed form (query batch broadcast, corpus
+    // streamed) must equal the broadcast-index form row for row
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 80L)
+      .map(i => (i, Array.fill(6)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 7 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val broadcastIdx = rows(Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", 4, 6))
+    val streamedIdx = rows(Similarity.bruteForceTopKStreamed(queries,
+      corpus, "vec_id", "embedding", 4, 6))
+    streamedIdx shouldBe broadcastIdx
+    broadcastIdx should not be empty
+  }
+
   it should "answer identically through the distributed-query IVFADC form" in {
     import graft.ann.ProductQuantization
     // randomized corpus: the cogrouped form must equal the broadcast form
