@@ -493,6 +493,42 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs WITHOUT metadata blocking:
+    * IVF-bucketed approximate pair generation for corpora where no
+    * blocking column exists (the case [[cosineNearDuplicates]] otherwise
+    * answers with an O(n²) broadcast nested-loop scan). Each vector is
+    * indexed once under its probe-0 bucket; the probe side searches its
+    * top `probes` buckets, so a near-dup pair is found whenever either
+    * member probes the other's bucket — multi-probe recovers most
+    * boundary pairs for a bounded cost, exactly the IVF recall trade.
+    * Pairs are normalized (vec_a < vec_b) and deduplicated (a pair can
+    * surface via both members' probes). One shuffle on the bucket id;
+    * pair fan-out bounded by probes × bucket size, never O(n²). */
+  def ivfCosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double, dim: Int,
+      probes: Int = 2): DataFrame = {
+    ensureNative(df)
+    val probed = graft.util.Caches.persistTracked(
+      ivfAssignProbes(df, idCol, vecCol, centroids, dim, probes))
+    val cands = probed.filter(col("probe") === 0)
+      .select(col("centroid_id"), col("vec_id").as("vec_b"),
+        col("v").as("w"), col("nrm").as("nrm_b"))
+    probed.join(cands, "centroid_id")
+      // keep BOTH orientations, then normalize with least/greatest: a
+      // pair found only via its larger-id member's probe would be lost
+      // by filtering on vec_id < vec_b before normalization. The float
+      // cosine is orientation-independent (same products, same
+      // accumulation order), so distinct() collapses the two rows.
+      .filter(col("vec_id") =!= col("vec_b"))
+      .withColumn("cos",
+        nCosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_id"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_id"), col("vec_b")).as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. With
     * `blockCols` (metadata columns near-duplicates must share — label,
     * language, source shard) the pair space is generated by an equi-join

@@ -163,6 +163,16 @@ object AnnQueries {
         "vec_id", "embedding", 0.99, Dim, blockCols = Seq("label"),
         saltBuckets = 8) // 10 labels alone would cap parallelism at 10 tasks
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // X30: IVF-bucketed near-dup pairs over the SAME planted corpus but
+    // with NO metadata blocking — the approximate fallback when no
+    // blocking column exists (q_x10's alternative was O(n²)).
+    "q_x30_ivf_neardup" -> { (s, dir) =>
+      val corpus = corpusWithNearDups(t(s, dir, "embeddings"))
+      Similarity.ivfCosineNearDuplicates(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") % 40 === 0), 0.99, Dim, probes = 2)
+        .orderBy(col("vec_a"), col("vec_b"))
     })
 
   private val nnCte =
@@ -419,5 +429,41 @@ object AnnQueries {
         |  FROM nn a JOIN nn b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
-        |FROM pairs WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin)
+        |FROM pairs WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin,
+    // IVF near-dup ground truth: probe/own assignment as in q_x9b over
+    // the planted corpus; both orientations generated, then normalized
+    // with least/greatest and deduplicated — the rounded cosine is
+    // orientation-independent, so DISTINCT collapses the two rows.
+    "q_x30_ivf_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(v[1] + 0.05, v[2:]) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |nn AS (SELECT vec_id, v,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM nn WHERE vec_id % 40 = 0),
+        |rnk AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |        c.centroid_id) AS rn
+        |  FROM nn n, cent c),
+        |own AS (SELECT vec_id, v, nrm, centroid_id FROM rnk WHERE rn = 1),
+        |probe AS (SELECT vec_id, v, nrm, centroid_id FROM rnk WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT DISTINCT
+        |    least(a.vec_id, b.vec_id) AS vec_a,
+        |    greatest(a.vec_id, b.vec_id) AS vec_b,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM probe a JOIN own b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT vec_a, vec_b, cosine FROM pairs
+        |ORDER BY vec_a, vec_b""".stripMargin)
 }

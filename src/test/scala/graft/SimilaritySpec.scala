@@ -128,6 +128,18 @@ class SimilaritySpec extends SparkSpec {
     pairs shouldBe Set((1L, 2L), (3L, 4L))
   }
 
+  it should "find in-bucket near-duplicate pairs without metadata blocking" in {
+    val centroids = vecs.filter(col("vec_id").isin(1, 3))
+    // buckets {1,2} and {3,4}: both planted pairs are in-bucket, found
+    // once each (normalized a < b, deduped across probe orientations)
+    val pairs = Similarity.ivfCosineNearDuplicates(vecs, "vec_id",
+      "embedding", centroids, 0.9, 3, probes = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    pairs.toSet shouldBe Set((1L, 2L), (3L, 4L))
+    pairs.length shouldBe 2 // no duplicate orientations survive
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "product-quantize onto matching centroids and rank ADC neighbors" in {
     import graft.ann.ProductQuantization
     // 8 dims, 2 subspaces of 4; hand-built codebooks with exact matches
