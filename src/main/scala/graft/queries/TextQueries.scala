@@ -138,6 +138,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X31: text normalization over a corpus with planted markup, URLs,
+    // ragged whitespace and a control byte (derived from doc_id so both
+    // engines build the identical dirty corpus).
+    "q_x31_text_normalize" -> { (s, dir) =>
+      val dirty = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" <b>bold</b> see https://example.com/a?q=1 tail"))
+            .when(col("doc_id") % 3 === 1, lit("   spaced   out   "))
+            .otherwise(lit("\u0001" + "ctl"))))
+      TextStats.normalizeText(dirty, "text")
+        .select(col("doc_id"), col("n_html_tags"), col("n_urls"),
+          col("n_control_chars"), col("norm_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X32: Gopher-style quality-rule verdict — named rule flags + keep.
+    "q_x32_quality_rules" -> { (s, dir) =>
+      TextStats.qualityRuleVerdict(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 30, maxWords = 5000)
+        .select(col("doc_id"), col("n_words"), col("rule_word_count"),
+          col("rule_mean_word_len"), col("rule_symbol_ratio"),
+          col("rule_stopwords"), col("rule_dup_ngrams"),
+          col("rule_top_word"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // X6: stopword-heuristic language identification.
     "q_x6_lang_id" -> { (s, dir) =>
       TextStats.languageId(t(s, dir, "documents"), "text")
@@ -526,6 +553,83 @@ object TextQueries {
          |JOIN szb sb ON sb.doc_id = doc_b
          |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Normalization mirror: same dirty-corpus construction, same regex
+    // chain in the same ORDER (control bytes stripped BEFORE the \s+
+    // collapse — RE2's \s lacks \x0b, Java's has it, so no \x0b may
+    // survive to the collapse), all patterns dialect-neutral.
+    "q_x31_text_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' <b>bold</b> see https://example.com/a?q=1 tail'
+        |    WHEN doc_id % 3 = 1 THEN '   spaced   out   '
+        |    ELSE chr(1) || 'ctl' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+        |    AS n_html_tags,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT)
+        |    AS n_control_chars,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text, '<[^>]*>', ' ', 'g'), 'https?://[^\s]+', ' ', 'g'),
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    // Quality rules: same word/shingle definitions as q_x5/q_x15; all
+    // rules exact arithmetic + boolean compare.
+    "q_x32_quality_rules" ->
+      """WITH words AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words)),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |    CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+        |  FROM sh GROUP BY doc_id),
+        |tw AS (
+        |  SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total
+        |  FROM (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+        |        GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT ws.doc_id,
+        |    CAST(len(ws.w) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(ws.text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(ws.w) AS mean_wl,
+        |    CAST(len(regexp_extract_all(ws.text, '[#…]|\.\.\.')) AS BIGINT)
+        |      AS symbols,
+        |    CAST(len(list_filter(ws.w,
+        |      x -> list_contains(['the','a','of','and','is'], x)))
+        |      AS BIGINT) AS stop_hits,
+        |    coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+        |      / g.n_ngrams, 4), 0.0) AS dup_ratio,
+        |    round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) AS top_ratio
+        |  FROM words ws
+        |  LEFT JOIN g ON ws.doc_id = g.doc_id
+        |  LEFT JOIN tw ON ws.doc_id = tw.doc_id)
+        |SELECT doc_id, n_words,
+        |  n_words >= 30 AND n_words <= 5000 AS rule_word_count,
+        |  n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |    AS rule_mean_word_len,
+        |  n_words > 0 AND CAST(symbols AS DOUBLE) / n_words <= 0.1
+        |    AS rule_symbol_ratio,
+        |  stop_hits >= 2 AS rule_stopwords,
+        |  dup_ratio <= 0.3 AS rule_dup_ngrams,
+        |  top_ratio <= 0.2 AS rule_top_word,
+        |  (n_words >= 30 AND n_words <= 5000)
+        |    AND (n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0)
+        |    AND (n_words > 0 AND CAST(symbols AS DOUBLE) / n_words <= 0.1)
+        |    AND stop_hits >= 2 AND dup_ratio <= 0.3 AND top_ratio <= 0.2
+        |    AS keep
+        |FROM base ORDER BY doc_id""".stripMargin,
     "q_x5_text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -70,6 +70,92 @@ object TextStats {
           (stopHits / nTok.cast("double")) * lit(5.0) * 0.5, 4))
   }
 
+  /** Normalization patterns — dialect-neutral regexes (no lookarounds /
+    * backrefs) so an RE2-based engine (the DuckDB oracle) matches Java's
+    * behaviour exactly, same contract as [[PiiPatterns]]. */
+  val HtmlTagPattern = "<[^>]*>"
+  val UrlPattern = "https?://[^\\s]+"
+  val ControlCharPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Corpus text normalization — the cleaning pass that PRECEDES dedup
+    * and tokenization in a training-data pipeline (raw web text carries
+    * markup, URLs and control bytes that poison shingles, signatures and
+    * token counts). Strips HTML tags, URLs and control characters (each
+    * replaced by a space so adjacent words never fuse), collapses
+    * whitespace runs and trims; per-rule hit counts ride along so a
+    * curation step can route heavily-marked-up documents. One
+    * projection, no shuffle, whole-stage codegen — and every rule is
+    * exact arithmetic on both engines. Unicode canonicalization is the
+    * separate [[nfcNormalize]] (UDF — Spark has no NFC expression). */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, HtmlTagPattern, " "),
+          UrlPattern, " "),
+        ControlCharPattern, " "),
+      "\\s+", " "))
+    df.withColumn("n_html_tags", regexp_count(text, lit(HtmlTagPattern)).cast("long"))
+      .withColumn("n_urls", regexp_count(text, lit(UrlPattern)).cast("long"))
+      .withColumn("n_control_chars",
+        regexp_count(text, lit(ControlCharPattern)).cast("long"))
+      .withColumn("norm_text", cleaned)
+  }
+
+  /** Unicode NFC canonicalization (é as one codepoint vs e+combining
+    * accent hash differently — a real dedup hazard on web text). UDF:
+    * Spark has no normalizer expression; java.text.Normalizer implements
+    * the same Unicode NFC as DuckDB's nfc_normalize. */
+  val nfcNormalize: Column => Column = {
+    val f = udf { s: String =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    f(_)
+  }
+
+  /** Gopher-style quality-rule verdict (Rae et al. 2021 §A1.1 — public
+    * knowledge): the standard pre-training keep/drop gate as NAMED rule
+    * flags plus a composite `keep`, so curation can both filter and
+    * report per-rule loss. Rules (all exact arithmetic, one projection):
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * symbol ratio (#/…) below `maxSymbolRatio`; at least `minStopwordHits`
+    * English stopword hits; duplicate-shingle ratio below
+    * `maxDupNgramRatio`; top-word share below `maxTopWordRatio`. */
+  def qualityRuleVerdict(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2,
+      maxDupNgramRatio: Double = 0.3,
+      maxTopWordRatio: Double = 0.2): DataFrame = {
+    val text = col(textCol)
+    val toks = Dedup.words(text)
+    val nWords = size(toks).cast("long")
+    val meanWordLen =
+      (length(regexp_replace(text, "\\s+", "")).cast("double") /
+        nWords.cast("double"))
+    val symbols = regexp_count(text, lit("[#…]|\\.\\.\\.")).cast("long")
+    val withStats = repetitionStats(df, idCol, textCol)
+    withStats
+      .withColumn("n_words", nWords)
+      .withColumn("rule_word_count",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("rule_mean_word_len",
+        nWords > 0 && meanWordLen >= 3.0 && meanWordLen <= 10.0)
+      .withColumn("rule_symbol_ratio",
+        nWords > 0 && symbols.cast("double") / nWords <= maxSymbolRatio)
+      .withColumn("rule_stopwords",
+        hits(toks, Stopwords.toMap.apply("en")) >= minStopwordHits)
+      .withColumn("rule_dup_ngrams",
+        col("dup_ngram_ratio") <= maxDupNgramRatio)
+      .withColumn("rule_top_word",
+        col("top_word_ratio") <= maxTopWordRatio)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_stopwords") &&
+          col("rule_dup_ngrams") && col("rule_top_word"))
+  }
+
   /** Repetition heuristics (the Gopher-style within-document repetition
     * filters): duplicate n-gram fraction (1 − distinct/total over word
     * n-grams) and top-word fraction (most frequent word's share of all

@@ -232,6 +232,47 @@ class TextSpec extends SparkSpec {
     r(2) shouldBe ((3L, 0L, false))
   }
 
+  it should "normalize markup, urls, control bytes and whitespace" in {
+    import graft.text.TextStats
+    val rows = TextStats.normalizeText(Seq(
+      (1L, "hello <b>world</b> visit https://x.io/a?b=1 now"),
+      (2L, "ab   c\t\nd"),
+      (3L, "pre<i>tag</i>post")) // tag replaced by space: words never fuse
+      .toDF("doc_id", "text"), "text")
+      .select("doc_id", "n_html_tags", "n_urls", "n_control_chars",
+        "norm_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    rows(0) shouldBe ((1L, 2L, 1L, 0L, "hello world visit now"))
+    rows(1) shouldBe ((2L, 0L, 0L, 1L, "a b c d"))
+    rows(2) shouldBe ((3L, 2L, 0L, 0L, "pre tag post"))
+    // NFC: e + combining acute collapses to the precomposed é
+    Seq(("café")).toDF("t")
+      .select(TextStats.nfcNormalize(col("t")).as("n"))
+      .as[String].head() shouldBe "café"
+  }
+
+  it should "apply the Gopher-style quality rules with named flags" in {
+    import graft.text.TextStats
+    val good = (("the quick brown fox jumps of a and is many words here " * 4)
+      .trim)
+    val rows = TextStats.qualityRuleVerdict(Seq(
+      (1L, good),                         // passes everything (minWords=10)
+      (2L, "too short"),                  // fails word count + stopwords
+      (3L, ("spam " * 40).trim))          // fails repetition rules
+      .toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 10, maxWords = 1000)
+      .select("doc_id", "rule_word_count", "rule_stopwords",
+        "rule_dup_ngrams", "rule_top_word", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    rows(0)._6 shouldBe false // "many words here" repeats -> dup rule
+    rows(0)._4 shouldBe false // the dup-ngram rule is what fails
+    rows(0)._2 shouldBe true
+    rows(0)._3 shouldBe true
+    rows(1) shouldBe ((2L, false, false, true, false, false))
+    rows(2) shouldBe ((3L, true, false, false, false, false))
+  }
+
   it should "measure within-document repetition" in {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),   // one word, all 3-grams equal
