@@ -37,6 +37,46 @@ object Curation {
     df.filter(uniformHash(col(idCol), seed) < frac)
   }
 
+  /** X34: the COMPOSED curation pipeline — normalize → quality-rule
+    * verdict → exact dedup (canonical = min id over the NORMALIZED text,
+    * so documents differing only in markup/whitespace dedup together —
+    * the reason normalization runs first) → deterministic hash sampling,
+    * producing ONE verdict row per input document with every stage's
+    * flag (`keep_quality`, `is_canonical`, `sampled`) plus the composite
+    * `keep`. Per-stage flags are what let a curation run REPORT loss by
+    * stage instead of just shrinking.
+    *
+    * Plan shape (the [[graft.text.Dedup.dedupPipeline]] contract): the
+    * normalized + quality projection is computed ONCE and persisted —
+    * the dedup aggregate and the final join-back both read the cached
+    * projection, so the corpus is scanned a single time. The only
+    * shuffle is the dedup hash-groupBy; quality and sampling are pure
+    * column expressions. Null-safe on the text hash (md5(NULL) is NULL;
+    * a plain equi-join would drop null-text docs from the output). */
+  def curationPipeline(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      sampleFraction: Double = 1.0, seed: String = "curate"): DataFrame = {
+    require(sampleFraction >= 0 && sampleFraction <= 1,
+      "sampleFraction must be in [0, 1]")
+    import graft.text.TextStats
+    val base = graft.util.Caches.persistTracked(
+      TextStats.qualityRuleVerdict(
+          TextStats.normalizeText(df, textCol), idCol, "norm_text",
+          minWords, maxWords)
+        .select(col(idCol), md5(col("norm_text")).as("__th"),
+          col("n_words"), col("keep").as("keep_quality")))
+    val canon = base.groupBy(col("__th").as("__gth"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    base.join(canon, col("__th") <=> col("__gth"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+      .withColumn("sampled",
+        uniformHash(col(idCol), seed) < lit(sampleFraction))
+      .select(col(idCol), col("n_words"), col("keep_quality"),
+        col("canonical_id"), col("is_canonical"), col("sampled"),
+        (col("keep_quality") && col("is_canonical") && col("sampled"))
+          .as("keep"))
+  }
+
   /** X13: sequence packing — lay documents out in (`shardCol`,
     * `orderCol`) order as one token stream per shard and cut context
     * windows of `tokenBudget` tokens; a document belongs to the pack

@@ -165,6 +165,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X33: BPE merge-pair counting — top-200 adjacent-token pairs.
+    "q_x33_bpe_pairs" -> { (s, dir) =>
+      TextStats.topPairs(t(s, dir, "documents"), "doc_id", "text", 200)
+    },
+
+    // X34: the composed curation pipeline over a corpus with planted
+    // exact duplicates — one verdict row per doc with per-stage flags.
+    "q_x34_curation_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.curate.Curation.curationPipeline(corpus, "doc_id", "text",
+        minWords = 30, maxWords = 5000, sampleFraction = 0.8, seed = "cur7")
+        .orderBy(col("doc_id"))
+    },
+
     // X6: stopword-heuristic language identification.
     "q_x6_lang_id" -> { (s, dir) =>
       TextStats.languageId(t(s, dir, "documents"), "text")
@@ -553,6 +570,92 @@ object TextQueries {
          |JOIN szb sb ON sb.doc_id = doc_b
          |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // BPE pair counting: bigrams from the same word split, counted and
+    // cut at 200 under a TOTAL order (freq desc, tokens asc).
+    "q_x33_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT w[i] AS token_a, w[i + 1] AS token_b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM words))
+        |SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS pair_freq
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_freq DESC, token_a, token_b LIMIT 200""".stripMargin,
+    // Curation pipeline: normalization chain (q_x31) → quality composite
+    // (q_x32, over the NORMALIZED text) → canonical min-id per norm-text
+    // md5 → (seed, id)-hash sampling (q_x12) — per-stage flags + keep.
+    "q_x34_curation_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      text, '<[^>]*>', ' ', 'g'), 'https?://[^\\s]+', ' ', 'g'),
+         |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS nt
+         |  FROM corpus),
+         |words AS (
+         |  SELECT doc_id, nt,
+         |    regexp_split_to_array(lower(nt), '\\s+') AS w
+         |  FROM norm),
+         |sh AS (
+         |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM words)),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |    CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+         |  FROM sh GROUP BY doc_id),
+         |tw AS (
+         |  SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total
+         |  FROM (SELECT doc_id, tok, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+         |        GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |q AS (
+         |  SELECT ws.doc_id, ws.nt,
+         |    CAST(len(ws.w) AS BIGINT) AS n_words,
+         |    (CAST(len(ws.w) AS BIGINT) >= 30
+         |      AND CAST(len(ws.w) AS BIGINT) <= 5000)
+         |    AND (len(ws.w) > 0
+         |      AND CAST(length(regexp_replace(ws.nt, '\\s+', '', 'g')) AS DOUBLE)
+         |        / len(ws.w) >= 3.0
+         |      AND CAST(length(regexp_replace(ws.nt, '\\s+', '', 'g')) AS DOUBLE)
+         |        / len(ws.w) <= 10.0)
+         |    AND (len(ws.w) > 0
+         |      AND CAST(len(regexp_extract_all(ws.nt, '[#…]|\\.\\.\\.'))
+         |        AS DOUBLE) / len(ws.w) <= 0.1)
+         |    AND len(list_filter(ws.w,
+         |      x -> list_contains(['the','a','of','and','is'], x))) >= 2
+         |    AND coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+         |      / g.n_ngrams, 4), 0.0) <= 0.3
+         |    AND round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) <= 0.2
+         |      AS keep_quality
+         |  FROM words ws
+         |  LEFT JOIN g ON ws.doc_id = g.doc_id
+         |  LEFT JOIN tw ON ws.doc_id = tw.doc_id),
+         |canon AS (
+         |  SELECT md5(nt) AS th, min(doc_id) AS canonical_id
+         |  FROM norm GROUP BY md5(nt)),
+         |samp AS (
+         |  SELECT doc_id, md5('cur7:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM corpus)
+         |SELECT q.doc_id, q.n_words, q.keep_quality,
+         |  c.canonical_id,
+         |  q.doc_id = c.canonical_id AS is_canonical,
+         |  (${hexDigitSum(1, 8)}) / 4294967296.0 < 0.8 AS sampled,
+         |  q.keep_quality AND q.doc_id = c.canonical_id
+         |    AND (${hexDigitSum(1, 8)}) / 4294967296.0 < 0.8 AS keep
+         |FROM q
+         |JOIN norm n ON n.doc_id = q.doc_id
+         |JOIN canon c ON md5(n.nt) = c.th
+         |JOIN samp s ON s.doc_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
     // Normalization mirror: same dirty-corpus construction, same regex
     // chain in the same ORDER (control bytes stripped BEFORE the \s+
     // collapse — RE2's \s lacks \x0b, Java's has it, so no \x0b may

@@ -250,6 +250,33 @@ object TextStats {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(n)
 
+  /** X33: adjacent-token-pair frequencies — the counting step of a BPE
+    * merge iteration (the most frequent pair becomes the next merge
+    * rule; re-running over re-tokenized text yields the next). Pairs are
+    * the 2-gram output of the same shingle kernel every dedup operator
+    * uses; tokens never contain spaces ([[Dedup.words]] splits on \s+),
+    * so the space-joined pair splits back losslessly. Same scale shape
+    * as [[vocabulary]]: one explode + one partial-aggregated shuffle
+    * keyed by pair — shuffle rows O(distinct pairs per partition), never
+    * O(corpus tokens). */
+  def bpePairFrequencies(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("pair_freq"))
+      .select(
+        split(col("pair"), " ").getItem(0).as("token_a"),
+        split(col("pair"), " ").getItem(1).as("token_b"),
+        col("pair_freq"))
+
+  /** The `n` most frequent adjacent pairs (freq desc, then tokens asc) —
+    * the next BPE merge candidates; TakeOrdered, no global sort. */
+  def topPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    bpePairFrequencies(df, idCol, textCol)
+      .orderBy(col("pair_freq").desc, col("token_a"), col("token_b"))
+      .limit(n)
+
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
     * behaviour exactly. */

@@ -153,6 +153,29 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "scan the curation-pipeline corpus once, through the cache" in {
+    // X34 composes normalize + quality + dedup + sampling: the dedup
+    // aggregate and the verdict join-back must both read the single
+    // cached normalized projection, not re-scan the files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    withStaticShufflePlans {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cur").toString
+      (1L to 20L)
+        .map(i => (i, s"the a of and is w${i % 3} x y z " * 4))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$tmp/docs_store")
+      val docs = spark.read.parquet(s"$tmp/docs_store")
+      val plan = graft.curate.Curation
+        .curationPipeline(docs, "doc_id", "text", minWords = 5)
+        .queryExecution.executedPlan
+      plan.collect { case f: FileSourceScanExec => f } shouldBe empty
+      plan.collect { case m: InMemoryTableScanExec => m } should not be empty
+      graft.util.Caches.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
   it should "never re-exchange the checkpointed edge side of the CC propagation join" in {
     // the edge set is partitioned by the join key BEFORE its checkpoint,
     // and the label side inherits its aggregate's partitioning through its

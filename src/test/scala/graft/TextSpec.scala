@@ -273,6 +273,40 @@ class TextSpec extends SparkSpec {
     rows(2) shouldBe ((3L, true, false, false, false, false))
   }
 
+  it should "count adjacent BPE merge pairs" in {
+    val d = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val pairs = TextStats.bpePairFrequencies(d, "doc_id", "text")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pairs shouldBe Map(
+      ("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L)
+    TextStats.topPairs(d, "doc_id", "text", 1)
+      .as[(String, String, Long)].head() shouldBe (("a", "b", 3L))
+  }
+
+  it should "compose curation into per-stage verdicts with one corpus scan" in {
+    import graft.curate.Curation
+    val good = ("the quick brown fox of a and is " +
+      (1 to 30).map(i => s"word$i").mkString(" ")) // long enough words
+    val corpus = Seq(
+      (1L, good),                    // canonical, passes quality
+      (2L, good),                    // exact dup of 1 (after normalize)
+      (3L, s"  $good  "),            // whitespace-variant dup of 1
+      (4L, "too short")).toDF("doc_id", "text")
+    val r = Curation.curationPipeline(corpus, "doc_id", "text",
+      minWords = 10, maxWords = 100, sampleFraction = 1.0)
+      .select("doc_id", "keep_quality", "canonical_id", "is_canonical",
+        "sampled", "keep")
+      .as[(Long, Boolean, Long, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    // normalization runs BEFORE dedup: the whitespace variant groups too
+    r.map(x => (x._1, x._3)) shouldBe
+      Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+    r.map(_._6) shouldBe Array(true, false, false, false)
+    r(3)._2 shouldBe false // quality, not dedup, is what drops doc 4
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "measure within-document repetition" in {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),   // one word, all 3-grams equal
