@@ -139,6 +139,129 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** M4: perceptual image hash (dHash — gradient-sign hashing, public
+    * knowledge): decode via JDK ImageIO, grayscale (single-band sample,
+    * or the integer mean of the first three bands), box-average resize to
+    * a 9×8 grid (integer floor division — engine-reproducible), then one
+    * bit per horizontally-adjacent cell pair: `right > left`. Emits the
+    * 64 bits as two 32-bit halves (hi, lo) — the exact layout of
+    * [[graft.text.Dedup.simhash64]], so the SAME lossless 16-bit banding
+    * join answers image NEAR-dup search ([[dHashNearDuplicates]]) and
+    * every value stays in exact-double oracle range. Undecodable
+    * payloads keep their row with null hash halves. Zero shuffle — one
+    * mapPartitions decode pass. */
+  def dHash(media: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      media.schema(idCol),
+      StructField("hi", LongType),
+      StructField("lo", LongType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.get(idIdx), null, null)
+        else {
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          // integer grayscale: band 0, or mean of the first 3 bands
+          def gray(x: Int, y: Int): Long =
+            if (bands >= 3)
+              (raster.getSample(x, y, 0).toLong +
+                raster.getSample(x, y, 1) + raster.getSample(x, y, 2)) / 3
+            else raster.getSample(x, y, 0).toLong
+          // 9×8 box means with integer (floor) division — cell (cx, cy)
+          // averages x in [cx·w/9, (cx+1)·w/9) (at least one pixel)
+          val cell = Array.ofDim[Long](9, 8)
+          var cy = 0
+          while (cy < 8) {
+            val y0 = cy * h / 8
+            val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+            var cx = 0
+            while (cx < 9) {
+              val x0 = cx * w / 9
+              val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+              var s = 0L; var n = 0L
+              var y = y0
+              while (y < y1 && y < h) {
+                var x = x0
+                while (x < x1 && x < w) { s += gray(x, y); n += 1; x += 1 }
+                y += 1
+              }
+              cell(cx)(cy) = if (n == 0) 0L else s / n
+              cx += 1
+            }
+            cy += 1
+          }
+          var hi = 0L; var lo = 0L
+          var b = 0
+          while (b < 64) {
+            val x = b % 8; val y = b / 8
+            if (cell(x + 1)(y) > cell(x)(y)) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          Row(r.get(idIdx), hi, lo)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** M5: image near-duplicate pairs by dHash Hamming distance, through
+    * the SAME lossless 4×16-bit pigeonhole banding join as the 64-bit
+    * SimHash operator — one band shuffle, never O(n²); undecodable rows
+    * (null halves) are excluded. */
+  def dHashNearDuplicates(media: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4,
+      s"4 bands are lossless only for maxDist < 4, got $maxDist")
+    graft.text.Dedup.bandJoin64(
+      dHash(media, idCol).filter(col("hi").isNotNull)
+        .select(col(idCol).as("doc_id"), col("hi").as("__hi"),
+          col("lo").as("__lo")),
+      maxDist)
+  }
+
+  /** Deterministic grayscale pattern PNG — the arithmetic payload
+    * generator behind q_m4/q_m5's oracle-checked decode round-trips.
+    * The seed-dependent QUADRATIC x term matters: with a linear pattern
+    * every seed produces nearly the same gradient-sign hash (adjacent
+    * cells differ by a constant, so bits only flip at wraparounds) and
+    * the near-dup fixture degenerates to all-pairs; the x² coefficient
+    * decorrelates seeds so only planted copies collide (measured: 104
+    * pairs from 600 docs vs ~9,700 with the linear form). */
+  def grayPatternPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, patternValue(seed, x, y).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The q_m4/q_m5 pixel formula (non-negative for seed >= 0; mirrored
+    * verbatim by the DuckDB oracle). */
+  def patternValue(seed: Long, x: Int, y: Int): Long =
+    ((seed * 2654435761L) % 256 +
+      ((seed % 251) + 1) * x * x + x * 119L +
+      y.toLong * y * 17 + y * ((seed % 67) + 29)) % 256
+
   /** Encode a solid-color RGB PNG entirely in the JDK — the deterministic
     * payload generator behind q_m3's decode round-trip (and specs). */
   def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {

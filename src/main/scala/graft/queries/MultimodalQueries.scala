@@ -17,7 +17,7 @@ object MultimodalQueries {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = queriesDHash ++ Map(
     // M1: metadata-only pass over binary payloads (length + checksum).
     "q_m1_binary_meta" -> { (s, dir) =>
       media(s, dir).select(col("doc_id"), col("media_type"),
@@ -57,6 +57,34 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     })
 
+  private def patternPng = udf((seed: Long) =>
+    Multimodal.grayPatternPng(9, 8, seed))
+
+  private lazy val queriesDHash: Map[String, Q] = Map(
+    // M4: perceptual dHash round-trip — 9×8 arithmetic-pattern PNGs
+    // (Multimodal.patternValue arithmetic) are encoded, decoded through
+    // real ImageIO and gradient-hashed; the oracle computes the same
+    // bits in pure SQL.
+    "q_m4_image_dhash" -> { (s, dir) =>
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        patternPng(col("doc_id")).as("content"))
+      Multimodal.dHash(payloads, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // M5: image near-dup pairs — every 5th doc's image is duplicated
+    // under doc_id+100000 (same pattern seed), found at Hamming 0 by the
+    // 16-bit banding join.
+    "q_m5_image_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id")))
+      val payloads = corpus.select(col("doc_id"),
+        patternPng(col("doc_id") % 100000).as("content"))
+      Multimodal.dHashNearDuplicates(payloads, "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
   val oracles: Map[String, String] = Map(
     "q_m1_binary_meta" ->
       """SELECT doc_id,
@@ -75,6 +103,71 @@ object MultimodalQueries {
         |  CAST(i * 100 AS BIGINT) AS byte_offset
         |FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM v WHERE n > 0)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // dHash ground truth: on a 9×8 image the resize is the identity, so
+    // bit (8y + x) is patternValue(seed, x+1, y) > patternValue(seed, x, y)
+    // — pure integer arithmetic, the same formula inlined.
+    "q_m4_image_dhash" ->
+      """WITH bits AS (
+        |  SELECT doc_id, yy.y * 8 + xx.x AS b,
+        |    CASE WHEN ((doc_id * 2654435761) % 256 + ((doc_id % 251) + 1) * (xx.x + 1) * (xx.x + 1)
+        |       + (xx.x + 1) * 119 + yy.y * yy.y * 17 + yy.y * ((doc_id % 67) + 29)) % 256 >
+        |      ((doc_id * 2654435761) % 256 + ((doc_id % 251) + 1) * xx.x * xx.x
+        |       + xx.x * 119 + yy.y * yy.y * 17 + yy.y * ((doc_id % 67) + 29)) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM documents, range(8) AS xx(x), range(8) AS yy(y))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32
+        |    THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN b < 32
+        |    THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Image near-dup: same bits over the planted corpus (copies share
+    // the seed), 4×16-bit bands, in-join Hamming verify — the q_x21
+    // band structure over dHash values.
+    "q_m5_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, doc_id AS seed
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |bits AS (
+        |  SELECT doc_id, yy.y * 8 + xx.x AS b,
+        |    CASE WHEN ((seed * 2654435761) % 256 + ((seed % 251) + 1) * (xx.x + 1) * (xx.x + 1)
+        |       + (xx.x + 1) * 119 + yy.y * yy.y * 17 + yy.y * ((seed % 67) + 29)) % 256 >
+        |      ((seed * 2654435761) % 256 + ((seed % 251) + 1) * xx.x * xx.x
+        |       + xx.x * 119 + yy.y * yy.y * 17 + yy.y * ((seed % 67) + 29)) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM corpus, range(8) AS xx(x), range(8) AS yy(y)),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    CASE b WHEN 0 THEN lo % 65536
+        |           WHEN 1 THEN CAST(floor(lo / 65536) AS BIGINT)
+        |           WHEN 2 THEN hi % 65536
+        |           ELSE CAST(floor(hi / 65536) AS BIGINT) END AS bv
+        |  FROM sim, range(4) AS r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN sim x ON x.doc_id = doc_a
+        |JOIN sim y ON y.doc_id = doc_b
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Ground truth for the decode round-trip is pure arithmetic: solid
     // color (r,g,b) over w×h pixels means every channel mean IS the
     // channel value, exactly (integer-valued doubles on both engines).

@@ -298,7 +298,7 @@ object Dedup {
   /** 4 × 16-bit band self-join + in-join Hamming verify over a
     * (doc_id, __hi, __lo) signature table — shared by the plain and
     * idf-weighted 64-bit operators. */
-  private def bandJoin64(sim: DataFrame, maxDist: Int): DataFrame = {
+  private[graft] def bandJoin64(sim: DataFrame, maxDist: Int): DataFrame = {
     val banded = sim.select(col("doc_id"), col("__hi"), col("__lo"),
       posexplode(array(
         pmod(col("__lo"), lit(65536L)),

@@ -74,6 +74,38 @@ class MultimodalSpec extends SparkSpec {
     bad.filter(col("width").isNull).count() shouldBe 3
   }
 
+  it should "hash images perceptually: scale-invariant dHash with banded near-dup join" in {
+    // an image upscaled 2× per axis box-averages back to the identical
+    // 9×8 grid, so its dHash must equal the original's — the property
+    // that makes dHash a PERCEPTUAL hash rather than a byte hash
+    def upscaled(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.getRaster.setSample(x, y, 0,
+          Multimodal.patternValue(seed, x / 2, y / 2).toInt)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, Multimodal.grayPatternPng(9, 8, 42L)),
+      (2L, upscaled(42L)),                        // 2× upscale of 1
+      (3L, Multimodal.grayPatternPng(9, 8, 301L)), // different image
+      (4L, "not a png".getBytes))                 // undecodable
+      .toDF("id", "content")
+    val hs = Multimodal.dHash(payloads, "id")
+      .select("id", "hi", "lo").as[(Long, Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    hs(2L) shouldBe hs(1L)
+    hs(3L) should not be hs(1L)
+    hs(4L) shouldBe ((None, None)) // quarantined, not dropped
+    val pairs = Multimodal.dHashNearDuplicates(payloads, "id")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    pairs should contain((1L, 2L, 0L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
   it should "rebalance partitions without losing rows or columns" in {
     val parts = Multimodal.repartitionBySize(media, 2)
     parts.count() shouldBe 3 // layout-only change
