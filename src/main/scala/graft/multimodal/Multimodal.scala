@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is real: [[decodeImageFeatures]] decodes PNG/JPEG/BMP/GIF
   * through the JDK's headless `javax.imageio.ImageIO` (ships in every JDK)
   * to (width, height, bands, exact per-channel means) inside the
-  * init-once-per-partition iterator. Audio/video decode remains genuinely
-  * out-of-sandbox (no FFMPEG/JNI codecs here); [[decodeFeatures]] keeps the
-  * pluggable byte-decoder shape a real codec would drop into.
+  * init-once-per-partition iterator, and [[dHash]] builds a perceptual
+  * hash on top. AUDIO decode is real for WAV/PCM (and AIFF/AU):
+  * [[decodeWavFeatures]] goes through the JDK's `javax.sound.sampled`.
+  * Only COMPRESSED codecs (MP3/AAC/video) remain genuinely
+  * out-of-sandbox; [[decodeFeatures]] keeps the pluggable byte-decoder
+  * shape such a codec would drop into.
   *
   * Scale notes: media blobs are heavily skewed — [[repartitionBySize]]
   * round-robins rows so partitions carry statistically comparable byte
@@ -276,6 +279,95 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** M6: REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM
+    * — AIFF/AU too; no external codec needed; only compressed formats
+    * like MP3/AAC remain genuinely out-of-sandbox). Emits one row per
+    * input: (id, sample_rate, channels, n_frames, mean_amp, rms) over
+    * channel 0 of 16-bit PCM — amplitude sums accumulate exactly in
+    * Long, so mean and RMS are engine-reproducible and the decode
+    * round-trip is oracle-checkable (q_m6). Undecodable or non-16-bit
+    * payloads keep their row with null audio fields. Zero shuffle — one
+    * mapPartitions decode pass. */
+  def decodeWavFeatures(media: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      media.schema(idCol),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("rms", DoubleType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val decoded =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              val data = in.readAllBytes()
+              in.close()
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val ch = fmt.getChannels
+                val frameBytes = 2 * ch
+                val n = data.length / frameBytes
+                var sum = 0L; var sq = 0L
+                var i = 0
+                while (i < n) {
+                  val off = i * frameBytes // channel 0 of each frame
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                    else
+                      ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                  sum += s; sq += s.toLong * s
+                  i += 1
+                }
+                Some((fmt.getSampleRate.toInt, ch, n.toLong,
+                  if (n == 0) 0.0 else sum.toDouble / n,
+                  if (n == 0) 0.0 else math.sqrt(sq.toDouble / n)))
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case Some((rate, ch, n, mean, rms)) =>
+            Row(r.get(idIdx), rate, ch, n, mean, rms)
+          case None => Row(r.get(idIdx), null, null, null, null, null)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic 16-bit PCM mono WAV: sample i carries
+    * `((seed·31 + i·17) mod 65536) − 32768` — the arithmetic payload
+    * generator behind q_m6's decode round-trip. */
+  def pcmWav(seed: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = ((((seed * 31 + i.toLong * 17) % 65536) + 65536) % 65536
+        - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte // little-endian
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

@@ -83,6 +83,21 @@ object MultimodalQueries {
         patternPng(col("doc_id") % 100000).as("content"))
       Multimodal.dHashNearDuplicates(payloads, "doc_id")
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // M6: REAL WAV decode round-trip — deterministic 16-bit PCM encoded
+    // and decoded through javax.sound.sampled; amplitude stats must equal
+    // the oracle's pure integer arithmetic.
+    "q_m6_wav_decode" -> { (s, dir) =>
+      val wav = udf((seed: Long, n: Int) => Multimodal.pcmWav(seed, n))
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        wav(col("doc_id"), (lit(100) + col("doc_id") % 50).cast("int"))
+          .as("content"))
+      Multimodal.decodeWavFeatures(payloads, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +183,22 @@ object MultimodalQueries {
         |JOIN sim y ON y.doc_id = doc_b
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // WAV ground truth: sample i of doc d is
+    // ((d·31 + i·17) mod 65536) − 32768; sums accumulate exactly in
+    // BIGINT on both engines, so mean/RMS agree to the last bit before
+    // rounding.
+    "q_m6_wav_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS BIGINT) AS v
+        |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f))
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(max(n) AS BIGINT) AS n_frames,
+        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS mean_amp,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 6) AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Ground truth for the decode round-trip is pure arithmetic: solid
     // color (r,g,b) over w×h pixels means every channel mean IS the
     // channel value, exactly (integer-valued doubles on both engines).

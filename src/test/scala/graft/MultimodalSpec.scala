@@ -106,6 +106,46 @@ class MultimodalSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  it should "decode real WAV audio through javax.sound.sampled to exact stats" in {
+    // constant-amplitude mono: mean IS the value, rms its magnitude
+    def constWav(v: Int, n: Int, channels: Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n * channels) {
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+        true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, constWav(-1234, 50, 1)),
+      (2L, constWav(700, 20, 2)),   // stereo: channel count reported
+      (3L, "not audio".getBytes))
+      .toDF("id", "content")
+    val r = Multimodal.decodeWavFeatures(payloads, "id")
+      .select("id", "sample_rate", "channels", "n_frames", "mean_amp", "rms")
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Double],
+        Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, Some(8000), Some(1), Some(50L), Some(-1234.0),
+      Some(1234.0)))
+    r(2L)._3 shouldBe Some(2)
+    r(2L)._4 shouldBe Some(20L)
+    r(2L)._5 shouldBe Some(700.0)
+    r(3L)._2 shouldBe None // quarantined, not dropped
+    // the q_m6 generator round-trips bit-exactly
+    val gen = Multimodal.decodeWavFeatures(
+      Seq((9L, Multimodal.pcmWav(9L, 100))).toDF("id", "content"), "id")
+      .select("n_frames").as[Long].head()
+    gen shouldBe 100L
+  }
+
   it should "rebalance partitions without losing rows or columns" in {
     val parts = Multimodal.repartitionBySize(media, 2)
     parts.count() shouldBe 3 // layout-only change
