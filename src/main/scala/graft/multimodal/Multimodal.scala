@@ -371,6 +371,120 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** M7: audio fingerprint — the dHash idea applied to sound: channel-0
+    * PCM frames are split into 65 windows (`w = i·65 / n`, integer floor
+    * — engine-reproducible), each window's ENERGY (sum of squared
+    * samples, exact in Long) is computed, and bit w says
+    * `energy(w+1) > energy(w)` — a 64-bit envelope-shape signature,
+    * robust to volume-preserving edits that keep the energy contour.
+    * Emitted as the (hi, lo) simhash64 layout so [[audioNearDuplicates]]
+    * reuses the SAME lossless 16-bit banding join as text and images.
+    * Undecodable/non-16-bit payloads keep their row with null halves.
+    * Zero shuffle. */
+  def audioEnergyHash(media: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      media.schema(idCol),
+      StructField("hi", LongType),
+      StructField("lo", LongType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val hash: Option[(Long, Long)] =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              val data = in.readAllBytes()
+              in.close()
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val ch = fmt.getChannels
+                val frameBytes = 2 * ch
+                val n = data.length / frameBytes
+                if (n == 0) None
+                else {
+                  val energy = new Array[Long](65)
+                  var i = 0
+                  while (i < n) {
+                    val off = i * frameBytes
+                    val s =
+                      if (fmt.isBigEndian)
+                        ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                      else
+                        ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                    energy((i.toLong * 65 / n).toInt) += s.toLong * s
+                    i += 1
+                  }
+                  var hi = 0L; var lo = 0L
+                  var w = 0
+                  while (w < 64) {
+                    if (energy(w + 1) > energy(w)) {
+                      if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+                    }
+                    w += 1
+                  }
+                  Some((hi, lo))
+                }
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        hash match {
+          case Some((hi, lo)) => Row(r.get(idIdx), hi, lo)
+          case None => Row(r.get(idIdx), null, null)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** M7: audio near-duplicate pairs by energy-hash Hamming distance —
+    * the shared lossless 4×16-bit banding join; one band shuffle. */
+  def audioNearDuplicates(media: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4,
+      s"4 bands are lossless only for maxDist < 4, got $maxDist")
+    graft.text.Dedup.bandJoin64(
+      audioEnergyHash(media, idCol).filter(col("hi").isNotNull)
+        .select(col(idCol).as("doc_id"), col("hi").as("__hi"),
+          col("lo").as("__lo")),
+      maxDist)
+  }
+
+  /** Deterministic seed-MODULATED 16-bit PCM mono WAV: sample i carries
+    * `((seed·2654435761 + i²·((seed mod 97)+3) + i·((seed mod 31)+17))
+    * mod 65536) − 32768`. The seed-dependent quadratic term matters for
+    * the same reason as [[grayPatternPng]]'s: with [[pcmWav]]'s linear
+    * samples every seed produces a near-identical energy contour and the
+    * near-dup fixture degenerates to all-pairs (measured: 100 pairs from
+    * 600 docs vs ~180,000 with the linear form). */
+  def modulatedWav(seed: Long, nFrames: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val raw = (seed * 2654435761L + i.toLong * i * ((seed % 97) + 3) +
+        i.toLong * ((seed % 31) + 17)) % 65536
+      val v = (((raw + 65536) % 65536) - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Redistribute media rows into `numPartitions` with statistically
     * balanced BYTE load via round-robin: scatters big and small payloads
     * uniformly regardless of ingest order or duplicate content (hashing on

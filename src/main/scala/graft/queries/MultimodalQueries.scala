@@ -85,6 +85,31 @@ object MultimodalQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // M7: audio energy-hash round-trip — seed-modulated PCM encoded and
+    // decoded through javax.sound.sampled, window energies summed in
+    // Long, gradient bits vs the oracle's pure integer arithmetic.
+    "q_m7_audio_fingerprint" -> { (s, dir) =>
+      val wav = udf((seed: Long) => Multimodal.modulatedWav(seed, 650))
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        wav(col("doc_id")).as("content"))
+      Multimodal.audioEnergyHash(payloads, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // M8: audio near-dup pairs — every 5th doc's audio duplicated under
+    // doc_id+100000 (same seed), found at Hamming 0 by the shared
+    // 16-bit banding join.
+    "q_m8_audio_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id")))
+      val wav = udf((seed: Long) => Multimodal.modulatedWav(seed, 650))
+      val payloads = corpus.select(col("doc_id"),
+        wav(col("doc_id") % 100000).as("content"))
+      Multimodal.audioNearDuplicates(payloads, "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // M6: REAL WAV decode round-trip — deterministic 16-bit PCM encoded
     // and decoded through javax.sound.sampled; amplitude stats must equal
     // the oracle's pure integer arithmetic.
@@ -155,6 +180,80 @@ object MultimodalQueries {
         |       + xx.x * 119 + yy.y * yy.y * 17 + yy.y * ((seed % 67) + 29)) % 256
         |      THEN 1 ELSE 0 END AS bit
         |  FROM corpus, range(8) AS xx(x), range(8) AS yy(y)),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    CASE b WHEN 0 THEN lo % 65536
+        |           WHEN 1 THEN CAST(floor(lo / 65536) AS BIGINT)
+        |           WHEN 2 THEN hi % 65536
+        |           ELSE CAST(floor(hi / 65536) AS BIGINT) END AS bv
+        |  FROM sim, range(4) AS r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN sim x ON x.doc_id = doc_a
+        |JOIN sim y ON y.doc_id = doc_b
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Audio fingerprint ground truth: modulatedWav samples, window
+    // w = (i·65) // 650, Long energy sums, gradient bits — all integer.
+    "q_m7_audio_fingerprint" ->
+      """WITH s AS (
+        |  SELECT doc_id, i,
+        |    (doc_id * 2654435761 + i * i * ((doc_id % 97) + 3)
+        |      + i * ((doc_id % 31) + 17)) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(range(0, 650)) AS i FROM documents)),
+        |e AS (
+        |  SELECT doc_id, (i * 65) // 650 AS w, sum(v * v) AS en
+        |  FROM s GROUP BY doc_id, (i * 65) // 650),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS b,
+        |    CASE WHEN n.en > a.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.w = a.w + 1
+        |  WHERE a.w < 64)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32
+        |    THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN b < 32
+        |    THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Audio near-dup: same hash over the planted corpus, q_x21's band
+    // structure, in-join Hamming verify.
+    "q_m8_audio_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, doc_id AS seed
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    (seed * 2654435761 + i * i * ((seed % 97) + 3)
+        |      + i * ((seed % 31) + 17)) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, seed, unnest(range(0, 650)) AS i
+        |        FROM corpus)),
+        |e AS (
+        |  SELECT doc_id, (i * 65) // 650 AS w, sum(v * v) AS en
+        |  FROM s GROUP BY doc_id, (i * 65) // 650),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS b,
+        |    CASE WHEN n.en > a.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.w = a.w + 1
+        |  WHERE a.w < 64),
         |sim AS (
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN b >= 32

@@ -146,6 +146,44 @@ class MultimodalSpec extends SparkSpec {
     gen shouldBe 100L
   }
 
+  it should "fingerprint audio by energy contour with a banded near-dup join" in {
+    // phase inversion (negated samples) preserves every window ENERGY,
+    // so the hash must be identical — the invariance that makes this a
+    // perceptual fingerprint rather than a byte hash
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val base = Array.tabulate(650)(i => ((i * i * 37 + i * 11) % 32000) - 16000)
+    val payloads = Seq(
+      (1L, Multimodal.modulatedWav(42L, 650)),
+      (2L, Multimodal.modulatedWav(42L, 650)),  // identical clip
+      (3L, wavOf(base)),
+      (4L, wavOf(base.map(-_))),                // phase-inverted copy of 3
+      (5L, "noise".getBytes))                   // undecodable
+      .toDF("id", "content")
+    val hs = Multimodal.audioEnergyHash(payloads, "id")
+      .select("id", "hi", "lo").as[(Long, Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    hs(2L) shouldBe hs(1L)
+    hs(4L) shouldBe hs(3L) // energy is sign-invariant
+    hs(5L) shouldBe ((None, None))
+    val pairs = Multimodal.audioNearDuplicates(payloads, "id")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    pairs should contain((1L, 2L, 0L))
+    pairs should contain((3L, 4L, 0L))
+  }
+
   it should "rebalance partitions without losing rows or columns" in {
     val parts = Multimodal.repartitionBySize(media, 2)
     parts.count() shouldBe 3 // layout-only change
