@@ -393,42 +393,17 @@ object ProductQuantization {
       .sortBy(_._1)
       .map { case (qid, qv) =>
         require(qv != null, s"ivfAdcTopK: query id=$qid has a NULL embedding")
-        var s0 = 0.0; var i = 0
-        while (i < qv.length) { s0 += qv(i) * qv(i); i += 1 }
-        val nrm = math.sqrt(s0)
-        val topId = new Array[Long](p)
-        val topCos = new Array[Double](p)
-        val topNaN = new Array[Boolean](p)
-        var n = 0
-        var ci = 0
-        while (ci < cents.length) {
-          val (cid, cv, cn) = cents(ci)
-          var d = 0.0; var j = 0
-          val dn = math.min(qv.length, cv.length)
-          while (j < dn) { d += qv(j) * cv(j); j += 1 }
-          val cos = d / (nrm * cn)
-          val isNaN = java.lang.Double.isNaN(cos)
-          var pos = n
-          while (pos > 0 && ((isNaN && !topNaN(pos - 1)) ||
-              (isNaN == topNaN(pos - 1) && cos > topCos(pos - 1)))) pos -= 1
-          if (pos < p) {
-            var mi = math.min(n, p - 1)
-            while (mi > pos) {
-              topCos(mi) = topCos(mi - 1); topId(mi) = topId(mi - 1)
-              topNaN(mi) = topNaN(mi - 1); mi -= 1
-            }
-            topCos(pos) = cos; topId(pos) = cid; topNaN(pos) = isNaN
-            if (n < p) n += 1
-          }
-          ci += 1
-        }
+        // probe ranking via the SHARED Similarity.topProbes — the same
+        // code ivfAssignProbes runs, so the broadcast and distributed
+        // forms can never drift apart
+        val probed = Similarity.topProbes(qv, cents, p)
         def lutFor(base: Array[Double]): Array[Array[Double]] =
           cb.zipWithIndex.map { case (book, s) =>
             val sub = book(0)._2.length
             book.map { case (_, ctr) => subDist(base, s * sub, ctr) }
           }
         val shared = if (residual) null else lutFor(qv)
-        val perBucket = topId.take(n).map { b =>
+        val perBucket = probed.map { b =>
           b -> (if (residual) lutFor(residualOf(qv, centMap(b))) else shared)
         }
         (qid, perBucket)
@@ -543,7 +518,10 @@ object ProductQuantization {
       (bucket, qit, cit) =>
         val (books, slots, cents) = bcAll.value
         val qs = qit.toArray
-        if (qs.isEmpty) Iterator.empty
+        // no queries OR no candidates → nothing to score; the candidate
+        // check matters because LUT construction below is the expensive
+        // part and must not run for buckets that cannot emit a partial
+        if (qs.isEmpty || !cit.hasNext) Iterator.empty
         else {
           val luts: Array[Array[Array[Double]]] = qs.map { case (_, _, qv) =>
             val base = if (cents.nonEmpty) residualOf(qv, cents(bucket))

@@ -210,17 +210,24 @@ object Similarity {
               val dn = math.min(qv.length, cv.length)
               while (j < dn) { d += qv(j) * cv(j); j += 1 }
               val cos = d / (qn * cn)
-              val ids = topId(q); val cs = topCos(q); val n = topN(q)
-              var pos = n
-              while (pos > 0 && (cs(pos - 1) < cos ||
-                  (cs(pos - 1) == cos && ids(pos - 1) > cid))) pos -= 1
-              if (pos < kk) {
-                var m = math.min(n, kk - 1)
-                while (m > pos) {
-                  cs(m) = cs(m - 1); ids(m) = ids(m - 1); m -= 1
+              // drop NaN cosines (zero-norm vectors) HERE, exactly as the
+              // broadcast form's insertion does implicitly — otherwise a
+              // NaN partial would reach the merge window, where Spark
+              // ranks NaN ABOVE every number, and the result would depend
+              // on partition layout
+              if (!java.lang.Double.isNaN(cos)) {
+                val ids = topId(q); val cs = topCos(q); val n = topN(q)
+                var pos = n
+                while (pos > 0 && (cs(pos - 1) < cos ||
+                    (cs(pos - 1) == cos && ids(pos - 1) > cid))) pos -= 1
+                if (pos < kk) {
+                  var m = math.min(n, kk - 1)
+                  while (m > pos) {
+                    cs(m) = cs(m - 1); ids(m) = ids(m - 1); m -= 1
+                  }
+                  cs(pos) = cos; ids(pos) = cid
+                  if (n < kk) topN(q) = n + 1
                 }
-                cs(pos) = cos; ids(pos) = cid
-                if (n < kk) topN(q) = n + 1
               }
             }
             q += 1
@@ -312,6 +319,49 @@ object Similarity {
       .toDF("vec_id", "v", "nrm", "centroid_id")
   }
 
+  /** Top-`p` centroids of one vector by cosine — cos desc, NaN ranked
+    * above any number (as Spark orders it), strict-superiority insertion
+    * so ties keep the lower centroid id. THE probe ranking, shared by
+    * [[ivfAssignProbes]]'s executor scan and
+    * [[ProductQuantization.ivfAdcTopK]]'s driver batch so the two paths
+    * can never drift apart (the distributed/broadcast IVFADC equivalence
+    * depends on them staying bit-identical). Returns probed ids in rank
+    * order; shorter than `p` when fewer centroids exist. */
+  private[graft] def topProbes(v: Array[Double],
+      cents: Array[(Long, Array[Double], Double)], p: Int): Array[Long] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    val pp = math.min(p, cents.length)
+    val topId = new Array[Long](pp)
+    val topCos = new Array[Double](pp)
+    val topNaN = new Array[Boolean](pp)
+    var n = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val (cid, cv, cn) = cents(ci)
+      var d = 0.0; var j = 0
+      val dn = math.min(v.length, cv.length)
+      while (j < dn) { d += v(j) * cv(j); j += 1 }
+      val cos = d / (nrm * cn)
+      val isNaN = java.lang.Double.isNaN(cos)
+      var pos = n
+      while (pos > 0 && ((isNaN && !topNaN(pos - 1)) ||
+          (isNaN == topNaN(pos - 1) && cos > topCos(pos - 1)))) pos -= 1
+      if (pos < pp) {
+        var m = math.min(n, pp - 1)
+        while (m > pos) {
+          topCos(m) = topCos(m - 1); topId(m) = topId(m - 1)
+          topNaN(m) = topNaN(m - 1); m -= 1
+        }
+        topCos(pos) = cos; topId(pos) = cid; topNaN(pos) = isNaN
+        if (n < pp) n += 1
+      }
+      ci += 1
+    }
+    topId.take(n)
+  }
+
   /** IVF bucket assignment, MULTI-PROBE form: the top `probes` centroids
     * per row by cosine (probe 0 = the [[ivfAssign]] bucket), ordered
     * (cos desc — NaN ranked above any number, as Spark and the oracle both
@@ -346,7 +396,6 @@ object Similarity {
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>
         val cs = bc.value
-        val p = math.min(p0, cs.length)
         rows.flatMap { case (id, v) =>
           if (v == null) throw new IllegalArgumentException(
             s"ivfAssignProbes: vector id=$id has a NULL embedding — filter " +
@@ -354,36 +403,11 @@ object Similarity {
           var s = 0.0; var i = 0
           while (i < v.length) { s += v(i) * v(i); i += 1 }
           val nrm = math.sqrt(s)
-          val topId = new Array[Long](p)
-          val topCos = new Array[Double](p)
-          val topNaN = new Array[Boolean](p)
-          var n = 0
-          var ci = 0
-          while (ci < cs.length) {
-            val (cid, cv, cn) = cs(ci)
-            var d = 0.0; var j = 0
-            val dn = math.min(v.length, cv.length)
-            while (j < dn) { d += v(j) * cv(j); j += 1 }
-            val cos = d / (nrm * cn)
-            val isNaN = java.lang.Double.isNaN(cos)
-            // strict superiority only: centroids iterate in ascending id,
-            // so equal ranks keep the earlier (smaller) id — the
-            // (cos desc, centroid_id asc) order of the window form
-            var pos = n
-            while (pos > 0 && ((isNaN && !topNaN(pos - 1)) ||
-                (isNaN == topNaN(pos - 1) && cos > topCos(pos - 1)))) pos -= 1
-            if (pos < p) {
-              var m = math.min(n, p - 1)
-              while (m > pos) {
-                topCos(m) = topCos(m - 1); topId(m) = topId(m - 1)
-                topNaN(m) = topNaN(m - 1); m -= 1
-              }
-              topCos(pos) = cos; topId(pos) = cid; topNaN(pos) = isNaN
-              if (n < p) n += 1
-            }
-            ci += 1
-          }
-          (0 until n).map(r => (id, v, nrm, r, topId(r)))
+          // the SHARED probe ranking (strict superiority: centroids
+          // iterate in ascending id, so equal ranks keep the smaller id
+          // — the (cos desc, centroid_id asc) order of the window form)
+          val probed = topProbes(v, cs, p0)
+          probed.indices.map(r => (id, v, nrm, r, probed(r)))
         }
       }
       .toDF("vec_id", "v", "nrm", "probe", "centroid_id")

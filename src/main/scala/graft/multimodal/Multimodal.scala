@@ -83,6 +83,56 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Null-safe image decode: None for null/empty/undecodable payloads.
+    * Catches NonFatal, not just IOException — JDK image readers throw
+    * RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+    * CMMException) on malformed/fuzzed inputs, and a corrupt blob must
+    * quarantine its row, never fail the task. Shared by
+    * [[decodeImageFeatures]] and [[dHash]] so the two paths cannot
+    * diverge in robustness. */
+  private def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Null-safe 16-bit PCM decode to (sampleRate, channels, channel-0
+    * samples). None for null/empty/undecodable/non-16-bit payloads AND
+    * for degenerate headers (channels <= 0 — a crafted fmt chunk would
+    * otherwise divide by zero or produce negative frame counts).
+    * Shared by [[decodeWavFeatures]] and [[audioEnergyHash]]. */
+  private def readPcm(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        in.close()
+        val ch = fmt.getChannels
+        if (fmt.getSampleSizeInBits != 16 || ch <= 0) None
+        else {
+          val frameBytes = 2 * ch
+          val n = data.length / frameBytes
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val off = i * frameBytes // channel 0 of each frame
+            samples(i) =
+              if (fmt.isBigEndian)
+                ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+              else
+                ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, ch, samples))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL image decode via the JDK's headless `javax.imageio.ImageIO`
     * (PNG/JPEG/BMP/GIF — no external codec needed). Emits one row per input
     * row: (id, width, height, channels, channel_means). Undecodable or null
@@ -111,14 +161,9 @@ object Multimodal {
     val rdd = media.rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // init once per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        val img =
-          if (bytes == null || bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-        if (img == null) Row(r.get(idIdx), null, null, null, null)
-        else {
+        readImage(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(r.get(idIdx), null, null, null, null)
+          case Some(img) =>
           val raster = img.getRaster
           val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
           val sums = new Array[Long](bands)
@@ -163,14 +208,9 @@ object Multimodal {
     val rdd = media.rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        val img =
-          if (bytes == null || bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-        if (img == null) Row(r.get(idIdx), null, null)
-        else {
+        readImage(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(r.get(idIdx), null, null)
+          case Some(img) =>
           val raster = img.getRaster
           val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
           // integer grayscale: band 0, or mean of the first 3 bands
@@ -258,12 +298,19 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** The q_m4/q_m5 pixel formula (non-negative for seed >= 0; mirrored
-    * verbatim by the DuckDB oracle). */
-  def patternValue(seed: Long, x: Int, y: Int): Long =
+  /** The q_m4/q_m5 pixel formula, mirrored verbatim by the DuckDB
+    * oracle. Seeds are bounded to [0, 2^31): beyond that
+    * `seed * 2654435761` overflows Long, Java's `%` goes negative while
+    * the oracle's wider arithmetic stays positive, and the raster sample
+    * silently corrupts — fail loud instead. */
+  def patternValue(seed: Long, x: Int, y: Int): Long = {
+    require(seed >= 0 && seed <= Int.MaxValue,
+      s"patternValue seed must be in [0, 2^31), got $seed — larger seeds " +
+        "overflow the 2654435761 multiplier and break oracle parity")
     ((seed * 2654435761L) % 256 +
       ((seed % 251) + 1) * x * x + x * 119L +
       y.toLong * y * 17 + y * ((seed % 67) + 29)) % 256
+  }
 
   /** Encode a solid-color RGB PNG entirely in the JDK — the deterministic
     * payload generator behind q_m3's decode round-trip (and specs). */
@@ -303,45 +350,20 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        val decoded =
-          if (bytes == null || bytes.isEmpty) None
-          else
-            try {
-              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = in.getFormat
-              val data = in.readAllBytes()
-              in.close()
-              if (fmt.getSampleSizeInBits != 16) None
-              else {
-                val ch = fmt.getChannels
-                val frameBytes = 2 * ch
-                val n = data.length / frameBytes
-                var sum = 0L; var sq = 0L
-                var i = 0
-                while (i < n) {
-                  val off = i * frameBytes // channel 0 of each frame
-                  val s =
-                    if (fmt.isBigEndian)
-                      ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
-                    else
-                      ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
-                  sum += s; sq += s.toLong * s
-                  i += 1
-                }
-                Some((fmt.getSampleRate.toInt, ch, n.toLong,
-                  if (n == 0) 0.0 else sum.toDouble / n,
-                  if (n == 0) 0.0 else math.sqrt(sq.toDouble / n)))
-              }
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
-        decoded match {
-          case Some((rate, ch, n, mean, rms)) =>
-            Row(r.get(idIdx), rate, ch, n, mean, rms)
+        readPcm(r.getAs[Array[Byte]](contentIdx)) match {
           case None => Row(r.get(idIdx), null, null, null, null, null)
+          case Some((rate, ch, samples)) =>
+            val n = samples.length
+            var sum = 0L; var sq = 0L
+            var i = 0
+            while (i < n) {
+              val s = samples(i)
+              sum += s; sq += s.toLong * s
+              i += 1
+            }
+            Row(r.get(idIdx), rate, ch, n.toLong,
+              if (n == 0) 0.0 else sum.toDouble / n,
+              if (n == 0) 0.0 else math.sqrt(sq.toDouble / n))
         }
       }
     }
@@ -390,53 +412,28 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
-        val hash: Option[(Long, Long)] =
-          if (bytes == null || bytes.isEmpty) None
-          else
-            try {
-              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = in.getFormat
-              val data = in.readAllBytes()
-              in.close()
-              if (fmt.getSampleSizeInBits != 16) None
-              else {
-                val ch = fmt.getChannels
-                val frameBytes = 2 * ch
-                val n = data.length / frameBytes
-                if (n == 0) None
-                else {
-                  val energy = new Array[Long](65)
-                  var i = 0
-                  while (i < n) {
-                    val off = i * frameBytes
-                    val s =
-                      if (fmt.isBigEndian)
-                        ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
-                      else
-                        ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
-                    energy((i.toLong * 65 / n).toInt) += s.toLong * s
-                    i += 1
-                  }
-                  var hi = 0L; var lo = 0L
-                  var w = 0
-                  while (w < 64) {
-                    if (energy(w + 1) > energy(w)) {
-                      if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
-                    }
-                    w += 1
-                  }
-                  Some((hi, lo))
-                }
-              }
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
-        hash match {
-          case Some((hi, lo)) => Row(r.get(idIdx), hi, lo)
+        readPcm(r.getAs[Array[Byte]](contentIdx)) match {
           case None => Row(r.get(idIdx), null, null)
+          case Some((_, _, samples)) if samples.isEmpty =>
+            Row(r.get(idIdx), null, null)
+          case Some((_, _, samples)) =>
+            val n = samples.length
+            val energy = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              val s = samples(i).toLong
+              energy((i.toLong * 65 / n).toInt) += s * s
+              i += 1
+            }
+            var hi = 0L; var lo = 0L
+            var w = 0
+            while (w < 64) {
+              if (energy(w + 1) > energy(w)) {
+                if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+              }
+              w += 1
+            }
+            Row(r.get(idIdx), hi, lo)
         }
       }
     }

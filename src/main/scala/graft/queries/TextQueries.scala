@@ -577,10 +577,11 @@ object TextQueries {
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |  FROM documents),
         |pairs AS (
-        |  SELECT w[i] AS token_a, w[i + 1] AS token_b
+        |  SELECT doc_id, w[i] AS token_a, w[i + 1] AS token_b
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
         |        FROM words))
-        |SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS pair_freq
+        |SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS pair_freq,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS pair_doc_freq
         |FROM pairs GROUP BY 1, 2
         |ORDER BY pair_freq DESC, token_a, token_b LIMIT 200""".stripMargin,
     // Curation pipeline: normalization chain (q_x31) → quality composite
@@ -653,7 +654,7 @@ object TextQueries {
          |    AND (${hexDigitSum(1, 8)}) / 4294967296.0 < 0.8 AS keep
          |FROM q
          |JOIN norm n ON n.doc_id = q.doc_id
-         |JOIN canon c ON md5(n.nt) = c.th
+         |JOIN canon c ON md5(n.nt) IS NOT DISTINCT FROM c.th
          |JOIN samp s ON s.doc_id = q.doc_id
          |ORDER BY q.doc_id""".stripMargin,
     // Normalization mirror: same dirty-corpus construction, same regex

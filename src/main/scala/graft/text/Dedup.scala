@@ -511,7 +511,14 @@ object Dedup {
         "a partitioned dedup index (seed it via buildDedupIndex into " +
         "batch_id=-1)")
     val ids = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
-    if (batchDirs.length == 1) return ids.head // already compact
+    // a single partition still needs consolidation when IT carries more
+    // files than the target (e.g. a seed written by a wide-parallelism
+    // job) — the small-file listing cost this function exists to bound
+    // does not care how the files are grouped
+    if (batchDirs.length == 1 &&
+        fs.listStatus(batchDirs.head)
+          .count(_.getPath.getName.startsWith("part-")) <= targetFiles)
+      return ids.head // already compact
     val compactTo = ids.min - 1
     spark.read.parquet(indexDir)
       .drop("batch_id") // re-materialized by the target directory name

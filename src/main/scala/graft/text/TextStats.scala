@@ -256,18 +256,21 @@ object TextStats {
     * the 2-gram output of the same shingle kernel every dedup operator
     * uses; tokens never contain spaces ([[Dedup.words]] splits on \s+),
     * so the space-joined pair splits back losslessly. Same scale shape
-    * as [[vocabulary]]: one explode + one partial-aggregated shuffle
-    * keyed by pair — shuffle rows O(distinct pairs per partition), never
-    * O(corpus tokens). */
+    * and output convention as [[vocabulary]]: one explode + one
+    * partial-aggregated shuffle keyed by pair carrying both the
+    * occurrence count and the distinct-document count — shuffle rows
+    * O(distinct pairs per partition), never O(corpus tokens). */
   def bpePairFrequencies(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(explode(Dedup.shingles(col(textCol), 2)).as("pair"))
+    df.select(col(idCol).as("__doc"),
+        explode(Dedup.shingles(col(textCol), 2)).as("pair"))
       .groupBy(col("pair"))
-      .agg(count(lit(1)).as("pair_freq"))
+      .agg(count(lit(1)).as("pair_freq"),
+        count_distinct(col("__doc")).as("pair_doc_freq"))
       .select(
         split(col("pair"), " ").getItem(0).as("token_a"),
         split(col("pair"), " ").getItem(1).as("token_b"),
-        col("pair_freq"))
+        col("pair_freq"), col("pair_doc_freq"))
 
   /** The `n` most frequent adjacent pairs (freq desc, then tokens asc) —
     * the next BPE merge candidates; TakeOrdered, no global sort. */

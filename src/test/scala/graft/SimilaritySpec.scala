@@ -227,8 +227,14 @@ class SimilaritySpec extends SparkSpec {
     // random corpus: the streamed form (query batch broadcast, corpus
     // streamed) must equal the broadcast-index form row for row
     val rnd = new scala.util.Random(13)
-    val corpus = (1L to 80L)
-      .map(i => (i, Array.fill(6)(rnd.nextDouble() * 2 - 1)))
+    // includes a ZERO-NORM vector: its cosines are NaN, which the
+    // broadcast form's insertion silently drops — the streamed form must
+    // drop them too (not let them reach the merge window, where NaN
+    // ranks above every number and the result would depend on partition
+    // layout)
+    val corpus = ((1L to 80L)
+      .map(i => (i, Array.fill(6)(rnd.nextDouble() * 2 - 1))) :+
+      (81L, Array.fill(6)(0.0)))
       .toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") % 7 === 0)
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =

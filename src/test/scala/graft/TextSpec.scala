@@ -273,15 +273,16 @@ class TextSpec extends SparkSpec {
     rows(2) shouldBe ((3L, true, false, false, false, false))
   }
 
-  it should "count adjacent BPE merge pairs" in {
+  it should "count adjacent BPE merge pairs with doc frequencies" in {
     val d = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
     val pairs = TextStats.bpePairFrequencies(d, "doc_id", "text")
-      .as[(String, String, Long)].collect()
-      .map(t => (t._1, t._2) -> t._3).toMap
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
     pairs shouldBe Map(
-      ("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L)
+      ("a", "b") -> ((3L, 2L)), ("b", "a") -> ((1L, 1L)),
+      ("b", "c") -> ((1L, 1L)))
     TextStats.topPairs(d, "doc_id", "text", 1)
-      .as[(String, String, Long)].head() shouldBe (("a", "b", 3L))
+      .as[(String, String, Long, Long)].head() shouldBe (("a", "b", 3L, 2L))
   }
 
   it should "compose curation into per-stage verdicts with one corpus scan" in {
