@@ -22,7 +22,9 @@ object Bench {
       "q_c9_snapshot_asof", "q_t3_dim_merge", "q_x17_neardup_clusters",
       "q_x18_dedup_pipeline", "q_x19_simhash_neardup",
       "q_x21_simhash64_neardup", "q_x9b_ann_ivf_multiprobe",
-      "q_x23_jaccard_between")
+      "q_x23_jaccard_between", "q_x22_dedup_index", "q_x26_ivfadc",
+      "q_x28_ivfadc_distributed", "q_x34_curation_pipeline",
+      "q_m5_image_neardup", "q_m8_audio_neardup")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
