@@ -36,6 +36,16 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X35: hybrid dedup — the q_x2 lexical pairs re-verified by
+    // embedding cosine (documents and embeddings share the id space).
+    "q_x35_semantic_neardup" -> { (s, dir) =>
+      Dedup.semanticVerifiedNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.0)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X18: the composed production pipeline — exact dedup, then near-dup
     // clustering over the survivors, one keep/drop row per input doc.
     "q_x18_dedup_pipeline" -> { (s, dir) =>
@@ -424,6 +434,23 @@ object TextQueries {
          |SELECT doc_a, doc_b, n_match,
          |  round(n_match / 16.0, 4) AS est_jaccard
          |FROM nm WHERE n_match >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Hybrid verify: the q_x2 pair chain, cosine-scored against the
+    // embeddings table (list_dot_product matches graft_dot bit-for-bit).
+    "q_x35_semantic_neardup" ->
+      s"""WITH ${minhashNmCte()},
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings)
+         |SELECT doc_a, doc_b, n_match,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM nm
+         |JOIN e a ON a.vec_id = nm.doc_a
+         |JOIN e b ON b.vec_id = nm.doc_b
+         |WHERE n_match >= 8
+         |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.0
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_x18_dedup_pipeline" ->
       s"""WITH RECURSIVE corpus AS (

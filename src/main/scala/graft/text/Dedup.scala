@@ -605,6 +605,42 @@ object Dedup {
       bands, minMatch)
   }
 
+  /** X35: semantically-VERIFIED near-duplicates — lexical MinHash/LSH
+    * candidate pairs re-scored by embedding cosine, keeping only pairs
+    * that agree on BOTH signals. Token overlap alone over-fires on
+    * boilerplate (shared headers, templates) and under-fires on
+    * paraphrase; crossing the lexical candidate set with a semantic
+    * verify is the standard hybrid curation gate, and at scale the
+    * expensive side (all-pairs semantics) never runs: the pair set from
+    * [[minhashNearDuplicates]] is bounded by band-bucket fan-out, and
+    * the embedding verify is two hash joins keyed on the pair ids (the
+    * pair side is far smaller than the corpus — AQE broadcasts it) with
+    * the codegen'd `graft_dot` doing the scoring. Docs without an
+    * embedding cannot be verified and are dropped (inner join — the
+    * verification IS the contract). Output: (doc_a, doc_b, n_match,
+    * cosine). */
+  def semanticVerifiedNearDuplicates(docs: DataFrame, idCol: String,
+      textCol: String, embeddings: DataFrame, embIdCol: String,
+      vecCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8, minCosine: Double = 0.0): DataFrame = {
+    graft.functions.DotProductExpr.register(docs.sparkSession)
+    def dot(a: Column, b: Column): Column =
+      call_function(graft.functions.DotProductExpr.Name, a, b)
+    val emb = embeddings.select(col(embIdCol).cast("long").as("__eid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
+    minhashNearDuplicates(docs, idCol, textCol, shingleN, k, bands, minMatch)
+      .join(emb.select(col("__eid").as("doc_a"), col("__v").as("__va"),
+        col("__nrm").as("__na")), "doc_a")
+      .join(emb.select(col("__eid").as("doc_b"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), "doc_b")
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Near-duplicate CLUSTERS — the step production dedup actually ships:
     * candidate pairs from MinHash+LSH, transitively closed into components
     * (distributed min-label propagation, [[graft.graph.EntityResolution]]),

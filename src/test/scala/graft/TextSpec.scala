@@ -273,6 +273,24 @@ class TextSpec extends SparkSpec {
     rows(2) shouldBe ((3L, true, false, false, false, false))
   }
 
+  it should "verify lexical near-dup candidates semantically" in {
+    // three byte-identical texts → lexical pairs (1,2), (1,3), (2,3);
+    // embeddings align 1↔2, oppose 1↔3 and 2↔3, and doc 4 (also
+    // identical text) has NO embedding — only the semantically-agreeing
+    // pair survives, and unverifiable docs drop
+    val txt = "the cat sat on the mat and then slept all day long"
+    val docs = Seq((1L, txt), (2L, txt), (3L, txt), (4L, txt))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticVerifiedNearDuplicates(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", minCosine = 0.5)
+      .select("doc_a", "doc_b", "n_match").as[(Long, Long, Long)].collect()
+    kept.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    kept.head._3 shouldBe 16L // full signature agreement rides along
+  }
+
   it should "count adjacent BPE merge pairs with doc frequencies" in {
     val d = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
     val pairs = TextStats.bpePairFrequencies(d, "doc_id", "text")
