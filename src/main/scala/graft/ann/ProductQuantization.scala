@@ -396,7 +396,9 @@ object ProductQuantization {
         // probe ranking via the SHARED Similarity.topProbes — the same
         // code ivfAssignProbes runs, so the broadcast and distributed
         // forms can never drift apart
-        val probed = Similarity.topProbes(qv, cents, p)
+        var s0 = 0.0; var qi = 0
+        while (qi < qv.length) { s0 += qv(qi) * qv(qi); qi += 1 }
+        val probed = Similarity.topProbes(qv, math.sqrt(s0), cents, p)
         def lutFor(base: Array[Double]): Array[Array[Double]] =
           cb.zipWithIndex.map { case (book, s) =>
             val sub = book(0)._2.length

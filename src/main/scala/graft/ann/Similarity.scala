@@ -84,7 +84,9 @@ object Similarity {
     * the approximate production path past that.
     * Accumulation is left-to-right, and rounding is HALF_UP BigDecimal —
     * both bit-identical to the Column/`round` forms and to the DuckDB
-    * oracle. */
+    * oracle. NaN cosines (zero-norm vectors on either side) are
+    * unrankable and DROPPED — the shared contract of this form, the
+    * streamed form and the oracle. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -130,17 +132,25 @@ object Similarity {
               val dn = math.min(qv.length, cv.length)
               while (j < dn) { d += qv(j) * cv(j); j += 1 }
               val cos = d / (qn * cn)
-              var pos = n
-              while (pos > 0 && (topCos(pos - 1) < cos ||
-                (topCos(pos - 1) == cos && topId(pos - 1) > cid))) pos -= 1
-              if (pos < k) {
-                val last = math.min(n, k - 1)
-                var m = last
-                while (m > pos) {
-                  topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1
+              // a NaN cosine (zero-norm vector) is unrankable: drop it
+              // EXPLICITLY. Without this, a NaN arriving while the top-k
+              // is not yet full is appended (every comparison with NaN
+              // is false) and then never displaced — a slot silently
+              // wasted on a meaningless similarity, and a divergence
+              // from the streamed form and the oracle (which filter NaN)
+              if (!java.lang.Double.isNaN(cos)) {
+                var pos = n
+                while (pos > 0 && (topCos(pos - 1) < cos ||
+                  (topCos(pos - 1) == cos && topId(pos - 1) > cid))) pos -= 1
+                if (pos < k) {
+                  val last = math.min(n, k - 1)
+                  var m = last
+                  while (m > pos) {
+                    topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1
+                  }
+                  topCos(pos) = cos; topId(pos) = cid
+                  if (n < k) n += 1
                 }
-                topCos(pos) = cos; topId(pos) = cid
-                if (n < k) n += 1
               }
             }
             ci += 1
@@ -327,11 +337,8 @@ object Similarity {
     * can never drift apart (the distributed/broadcast IVFADC equivalence
     * depends on them staying bit-identical). Returns probed ids in rank
     * order; shorter than `p` when fewer centroids exist. */
-  private[graft] def topProbes(v: Array[Double],
+  private[graft] def topProbes(v: Array[Double], nrm: Double,
       cents: Array[(Long, Array[Double], Double)], p: Int): Array[Long] = {
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i) * v(i); i += 1 }
-    val nrm = math.sqrt(s)
     val pp = math.min(p, cents.length)
     val topId = new Array[Long](pp)
     val topCos = new Array[Double](pp)
@@ -405,8 +412,9 @@ object Similarity {
           val nrm = math.sqrt(s)
           // the SHARED probe ranking (strict superiority: centroids
           // iterate in ascending id, so equal ranks keep the smaller id
-          // — the (cos desc, centroid_id asc) order of the window form)
-          val probed = topProbes(v, cs, p0)
+          // — the (cos desc, centroid_id asc) order of the window form);
+          // the norm computed above is passed down, not recomputed
+          val probed = topProbes(v, nrm, cs, p0)
           probed.indices.map(r => (id, v, nrm, r, probed(r)))
         }
       }

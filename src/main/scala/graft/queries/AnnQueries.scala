@@ -182,13 +182,16 @@ object AnnQueries {
       |      CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  // NaN cosines (zero-norm vectors) are unrankable and dropped — the
+  // shared contract of both Spark brute-force forms
   private val bruteForceOracle: String =
     s"""WITH $nnCte,
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
        |  FROM nn a, nn b
-       |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+       |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id
+       |    AND NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
        |rk AS (
        |  SELECT vec_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY vec_id

@@ -450,6 +450,7 @@ object TextQueries {
          |JOIN e a ON a.vec_id = nm.doc_a
          |JOIN e b ON b.vec_id = nm.doc_b
          |WHERE n_match >= 8
+         |  AND NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
          |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.0
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_x18_dedup_pipeline" ->

@@ -636,7 +636,11 @@ object Dedup {
         col("__nrm").as("__nb")), "doc_b")
       .withColumn("cosine",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .filter(col("cosine") >= minCosine)
+      // NaN guard is load-bearing: Spark (and DuckDB) order NaN ABOVE
+      // every number, so a zero-norm embedding would pass ANY threshold
+      // — a pair with no semantic signal must fail verification, not
+      // sail through it
+      .filter(!isnan(col("cosine")) && col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("cosine"), 6).as("cosine"))
   }

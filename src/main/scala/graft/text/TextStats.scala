@@ -227,11 +227,13 @@ object TextStats {
 
   /** X24: corpus vocabulary statistics — (token, term_freq, doc_freq),
     * the frequency pass tokenizer training (BPE corpus preparation) and
-    * stopword discovery run over a corpus. One explode + ONE hash
-    * aggregate: both frequencies come out of the same shuffle
-    * (`count` for occurrences, `count_distinct(doc)` for documents),
-    * partial-aggregated so shuffle rows are O(distinct tokens per
-    * partition), never O(corpus tokens). Deliberately returns NO global
+    * stopword discovery run over a corpus. One explode + a distinct
+    * aggregate: Catalyst plans `count` + `count_distinct(doc)` as TWO
+    * partial-aggregated exchanges (the distinct count first de-dups on
+    * the (token, doc) key), so shuffle rows are O(distinct (token, doc)
+    * pairs per partition) — bounded by corpus tokens in the worst case
+    * of document-unique tokens, and far below it on real text where
+    * tokens repeat within documents. Deliberately returns NO global
     * rank column — ranking a 100M-token vocabulary needs a global sort;
     * callers take top-N via orderBy+limit, which Spark executes as a
     * scale-safe TakeOrdered. */
@@ -256,10 +258,10 @@ object TextStats {
     * the 2-gram output of the same shingle kernel every dedup operator
     * uses; tokens never contain spaces ([[Dedup.words]] splits on \s+),
     * so the space-joined pair splits back losslessly. Same scale shape
-    * and output convention as [[vocabulary]]: one explode + one
-    * partial-aggregated shuffle keyed by pair carrying both the
-    * occurrence count and the distinct-document count — shuffle rows
-    * O(distinct pairs per partition), never O(corpus tokens). */
+    * and output convention as [[vocabulary]]: one explode + the
+    * two-exchange distinct-aggregate plan (occurrence count and
+    * distinct-document count; shuffle rows bounded by distinct
+    * (pair, doc) pairs per partition — see [[vocabulary]]'s note). */
   def bpePairFrequencies(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("__doc"),

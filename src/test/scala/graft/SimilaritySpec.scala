@@ -227,12 +227,14 @@ class SimilaritySpec extends SparkSpec {
     // random corpus: the streamed form (query batch broadcast, corpus
     // streamed) must equal the broadcast-index form row for row
     val rnd = new scala.util.Random(13)
-    // includes a ZERO-NORM vector: its cosines are NaN, which the
-    // broadcast form's insertion silently drops — the streamed form must
-    // drop them too (not let them reach the merge window, where NaN
-    // ranks above every number and the result would depend on partition
-    // layout)
-    val corpus = ((1L to 80L)
+    // ZERO-NORM vectors at BOTH ends of the id order: their cosines are
+    // NaN, which both forms must DROP (the shared contract). Id 0 is
+    // the hard case — it reaches the broadcast form's insertion while
+    // the top-k is still empty, where an un-guarded insertion would
+    // park NaN in a slot no later candidate can displace; id 81 covers
+    // the full-heap path; and partition placement must not matter for
+    // the streamed form's merge window.
+    val corpus = ((0L, Array.fill(6)(0.0)) +: (1L to 80L)
       .map(i => (i, Array.fill(6)(rnd.nextDouble() * 2 - 1))) :+
       (81L, Array.fill(6)(0.0)))
       .toDF("vec_id", "embedding")
@@ -245,6 +247,10 @@ class SimilaritySpec extends SparkSpec {
       corpus, "vec_id", "embedding", 4, 6))
     streamedIdx shouldBe broadcastIdx
     broadcastIdx should not be empty
+    // the zero-norm vectors are never ranked as neighbors, and the
+    // zero-norm QUERY (id 0 is in the query set) emits no rows at all
+    broadcastIdx.filter(_.contains("[0,")) shouldBe empty
+    all(broadcastIdx) should not include ",81,"
   }
 
   it should "answer identically through the distributed-query IVFADC form" in {
