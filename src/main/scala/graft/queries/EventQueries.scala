@@ -18,6 +18,23 @@ object EventQueries {
   private val Mid   = "2024-01-15 00:00:00"
 
   val queries: Map[String, Q] = Map(
+    // J13: row-wise AS-OF join — each purchase picks up the latest view
+    // value at or before its own timestamp, per user (the
+    // point-in-time-correct feature lookup). Right side pre-aggregated
+    // to one row per (user, ts), the operator's uniqueness contract.
+    // Oracle: DuckDB's NATIVE ASOF LEFT JOIN.
+    "q_j13_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val leftSide = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val rightSide = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("last_view_value"))
+      graft.relational.Joins.asOfJoin(leftSide, rightSide,
+        Seq("user_id"), "ts", "ts")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
     // A3/A4/A5: interval count / distinct / sum per entity.
     "q_a3_event_interval_agg" -> { (s, dir) =>
       t(s, dir, "events")
@@ -132,6 +149,21 @@ object EventQueries {
     s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // the union+window Spark form vs DuckDB's native ASOF JOIN — two
+    // completely independent formulations of the same semantics
+    "q_j13_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS last_view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, ts)
+        |SELECT l.user_id, l.ts, l.event_id,
+        |  r.last_view_value, r.ts AS asof_ts
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.ts, l.event_id""".stripMargin,
     "q_a3_event_interval_agg" ->
       s"""SELECT user_id, count(1) AS n, count(DISTINCT value) AS n_unique,
          |  round(sum(value), 2) AS sum_value

@@ -35,6 +35,71 @@ object Joins {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** AS-OF JOIN: every left row paired with the LATEST right row whose
+    * timestamp is <= the left row's, per join key — the time-series join
+    * behind point-in-time-correct feature lookup (a feature value is
+    * visible from its own timestamp forward, never backward: the join
+    * that prevents label leakage in training-data assembly). Spark has
+    * no native form; the naive encodings are a range join (O(n·m)
+    * nested-loop pair space) or a per-row subquery.
+    *
+    * This is the UNION + WINDOW form: both sides are tagged and unioned,
+    * and each right payload column is carried forward by
+    * `last(_, ignoreNulls)` over (key ORDER BY ts, side) — ONE shuffle
+    * keyed on the join key, zero pair explosion, linear in rows. At
+    * equal timestamps the right row sorts first and is therefore
+    * visible to the left row (the `>=` convention, matching DuckDB's
+    * native ASOF JOIN, which is the oracle).
+    *
+    * Output: every left column, then each right value column, then
+    * `asof_ts` (the matched right timestamp) — all NULL when no right
+    * row precedes. `toleranceSec` voids matches older than
+    * `leftTs − tolerance` (stale features must not leak forward
+    * indefinitely). Contract: right must be UNIQUE per (keys, rightTs) —
+    * pre-aggregate otherwise (equal-key-and-ts right rows have no
+    * deterministic winner); left/right non-key column names must not
+    * collide. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one join key")
+    val leftOther = left.columns.filterNot(keys.contains)
+      .filterNot(_ == leftTs).toSeq
+    val rightVals = right.columns.filterNot(keys.contains)
+      .filterNot(_ == rightTs).toSeq
+    val collide = leftOther.toSet & rightVals.toSet
+    require(collide.isEmpty,
+      s"asOfJoin column collision: ${collide.mkString(", ")} — rename one side")
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ts") :+
+        lit(1).as("__side") :+
+        lit(null).cast("timestamp").as("__rts")) ++
+        leftOther.map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
+        lit(0).as("__side") :+ col(rightTs).cast("timestamp").as("__rts")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val stale = toleranceSec.map(t =>
+      col("asof_ts") < col("__ts") - expr(s"INTERVAL $t SECONDS"))
+      .getOrElse(lit(false))
+    val masked = rightVals.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+    }.withColumn("asof_ts", when(stale, lit(null)).otherwise(col("asof_ts")))
+    masked.filter(col("__side") === 1)
+      .select((keys.map(col) :+ col("__ts").as(leftTs)) ++
+        leftOther.map(col) ++ rightVals.map(col) :+ col("asof_ts"): _*)
+  }
+
   /** Write both sides bucketed on the join key so subsequent joins are
     * exchange-free: `bucketBy` hashes rows into `buckets` files per
     * partition at WRITE time; a later join of two tables bucketed on the

@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  it should "match each left row to the latest preceding right row (as-of join)" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"), // exactly AT a quote ts
+      (1L, ts("2024-01-01 09:00:00"), "t0"), // before any quote
+      (2L, ts("2024-01-01 10:00:07"), "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (2L, ts("2024-01-01 10:00:01"), 50.0))
+      .toDF("k", "ts", "px")
+    val r = Joins.asOfJoin(trades, quotes, Seq("k"), "ts", "ts")
+      .select("trade", "px", "asof_ts")
+      .as[(String, Option[Double], Option[java.sql.Timestamp])]
+      .collect().map(t => t._1 -> ((t._2, t._3.map(_.toString)))).toMap
+    r("t0") shouldBe ((None, None)) // nothing precedes → null match
+    r("t1") shouldBe ((Some(100.0), Some("2024-01-01 10:00:00.0")))
+    r("t2") shouldBe ((Some(101.0), Some("2024-01-01 10:00:10.0"))) // ties see the right row
+    r("t3") shouldBe ((Some(50.0), Some("2024-01-01 10:00:01.0")))
+    // tolerance voids stale matches: t1's quote is 5s old, t3's 6s old
+    val tol = Joins.asOfJoin(trades, quotes, Seq("k"), "ts", "ts",
+      toleranceSec = Some(5L))
+      .select("trade", "px").as[(String, Option[Double])].collect().toMap
+    tol("t1") shouldBe Some(100.0)
+    tol("t2") shouldBe Some(101.0)
+    tol("t3") shouldBe None // older than the tolerance window
+  }
+
   it should "produce identical results salted and unsalted" in {
     // heavily skewed probe side: 900 of 1000 rows share key 1
     val probe = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (i, i)))
