@@ -62,42 +62,61 @@ object Joins {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       toleranceSec: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     require(keys.nonEmpty, "asOfJoin needs at least one join key")
     val leftOther = left.columns.filterNot(keys.contains)
       .filterNot(_ == leftTs).toSeq
     val rightVals = right.columns.filterNot(keys.contains)
       .filterNot(_ == rightTs).toSeq
-    val collide = leftOther.toSet & rightVals.toSet
+    val reserved = Set("asof_ts", "__ts", "__side", "__rp")
+    val collide = (leftOther.toSet & rightVals.toSet) ++
+      ((left.columns.toSet ++ right.columns.toSet) & reserved) ++
+      (rightVals.toSet & Set(leftTs))
     require(collide.isEmpty,
-      s"asOfJoin column collision: ${collide.mkString(", ")} — rename one side")
+      s"asOfJoin column collision: ${collide.mkString(", ")} — rename " +
+        "(asof_ts/__ts/__side/__rp are reserved output/scratch names)")
+    // the right payload travels as ONE nullable struct (its own matched
+    // timestamp inside): last(_, ignoreNulls) then carries forward the
+    // ENTIRE matched row — a genuine NULL inside the matched row stays
+    // NULL instead of being backfilled from an older row, every output
+    // column comes from the SAME right row, and tolerance judges the
+    // timestamp of the row the values actually came from
+    val payloadType = StructType(
+      rightVals.map(c => StructField(c, right.schema(c).dataType)) :+
+        StructField("__rts", TimestampType))
     val l = left.select(
       (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ts") :+
-        lit(1).as("__side") :+
-        lit(null).cast("timestamp").as("__rts")) ++
-        leftOther.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
-        lit(0).as("__side") :+ col(rightTs).cast("timestamp").as("__rts")) ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        lit(1).as("__side") :+ lit(null).cast(payloadType).as("__rp")) ++
+        leftOther.map(col): _*)
+    val r = right
+      // NULL join keys never match in an equi-join (and in the DuckDB
+      // ASOF oracle) — drop null-key RIGHT rows so the window's
+      // null-groups-together partitioning cannot manufacture matches;
+      // null-key LEFT rows keep left-join semantics (they land in a
+      // partition with no right rows → null match)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
+          lit(0).as("__side") :+
+          struct(rightVals.map(col) :+
+            col(rightTs).cast("timestamp").as("__rts"): _*).as("__rp")) ++
+          leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val carried = l.unionByName(r)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
     val stale = toleranceSec.map(t =>
-      col("asof_ts") < col("__ts") - expr(s"INTERVAL $t SECONDS"))
+      col("__rp.__rts") < col("__ts") - expr(s"INTERVAL $t SECONDS"))
       .getOrElse(lit(false))
-    val masked = rightVals.foldLeft(carried) { (d, c) =>
-      d.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
-    }.withColumn("asof_ts", when(stale, lit(null)).otherwise(col("asof_ts")))
-    masked.filter(col("__side") === 1)
+    val keep = when(stale, lit(null).cast(payloadType)).otherwise(col("__rp"))
+    carried.filter(col("__side") === 1)
       .select((keys.map(col) :+ col("__ts").as(leftTs)) ++
-        leftOther.map(col) ++ rightVals.map(col) :+ col("asof_ts"): _*)
+        leftOther.map(col) ++
+        rightVals.map(c => keep.getField(c).as(c)) :+
+        keep.getField("__rts").as("asof_ts"): _*)
   }
 
   /** Write both sides bucketed on the join key so subsequent joins are

@@ -36,6 +36,37 @@ class JoinsSpec extends SparkSpec {
     tol("t3") shouldBe None // older than the tolerance window
   }
 
+  it should "take as-of values from the matched row only, and never match NULL keys" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the matched row carries a genuine NULL value: it must come through
+    // as NULL, not be backfilled from the older row (values and the
+    // reported asof_ts must come from the SAME right row)
+    val l1 = Seq((1L, ts("2024-01-01 10:00:20"), "a"))
+      .toDF("k", "ts", "tag")
+    val r1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 10:00:10"), None))
+      .toDF("k", "ts", "px")
+    val m = Joins.asOfJoin(l1, r1, Seq("k"), "ts", "ts")
+      .select("px", "asof_ts")
+      .as[(Option[Double], Option[java.sql.Timestamp])].head()
+    m._1 shouldBe None // NOT 100.0 from the older row
+    m._2.map(_.toString) shouldBe Some("2024-01-01 10:00:10.0")
+    // NULL join keys: equi-join semantics — a null-key left row gets a
+    // null match even when a null-key right row precedes it
+    val l2 = Seq((Option.empty[Long], ts("2024-01-01 10:00:05"), "n"))
+      .toDF("k", "ts", "tag")
+    val r2 = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), 7.0))
+      .toDF("k", "ts", "px")
+    Joins.asOfJoin(l2, r2, Seq("k"), "ts", "ts")
+      .select("px").as[Option[Double]].head() shouldBe None
+    // reserved/colliding names fail loud, not silently overwrite
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(l1.withColumnRenamed("tag", "asof_ts"), r1,
+        Seq("k"), "ts", "ts")
+    }
+  }
+
   it should "produce identical results salted and unsalted" in {
     // heavily skewed probe side: 900 of 1000 rows share key 1
     val probe = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (i, i)))
