@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object EventFeatures {
 
+  /** E10: trailing event-time ROLLING features — for EVERY event, the
+    * count, value sum and max of the same entity's events in the
+    * trailing `windowSec` seconds (inclusive of the event itself): the
+    * leakage-safe per-event feature (each row sees only its own past)
+    * that bucketed weekly aggregates cannot express — the standard
+    * velocity/fraud-feature shape ("transactions in the last hour").
+    *
+    * `rangeBetween` over epoch seconds: one shuffle keyed on the
+    * entity, each frame bounded by that entity's event density × window
+    * — never a whole-history scan per row. Ties (same entity + second)
+    * share one frame and therefore the same trailing values, so output
+    * is order-independent and deterministic. */
+  def trailingWindow(events: DataFrame, windowSec: Long,
+      c: EventCols = EventCols()): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.ts).cast("long"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", round(sum(col(c.value)).over(w), 2))
+      .withColumn("max_trailing", max(col(c.value)).over(w))
+  }
+
   /** Weekly activity buckets per entity: event count and value sum per
     * ISO week (date_trunc) — the building block of every "weekly X"
     * feature. One shuffle on (entity, week). */

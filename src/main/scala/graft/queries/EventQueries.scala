@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.events.EventFunctions
+import graft.events.{EventFeatures, EventFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,18 @@ object EventQueries {
       graft.relational.Joins.asOfJoin(leftSide, rightSide,
         Seq("user_id"), "ts", "ts")
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
+    // E10: per-event trailing rolling features (1-day window) over
+    // purchases — the leakage-safe velocity-feature shape.
+    "q_e10_trailing_window" -> { (s, dir) =>
+      EventFeatures.trailingWindow(
+        t(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        windowSec = 86400L)
+        .select(col("user_id"), col("event_id"), col("n_trailing"),
+          col("sum_trailing"), col("max_trailing"))
+        .orderBy(col("user_id"), col("event_id"))
     },
 
     // A3/A4/A5: interval count / distinct / sum per entity.
@@ -149,6 +161,21 @@ object EventQueries {
     s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Rolling frame over floor-epoch-seconds on both engines; ties share
+    // one frame so the values are order-independent.
+    "q_e10_trailing_window" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |  round(sum(value) OVER w, 2) AS sum_trailing,
+        |  max(value) OVER w AS max_trailing
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     // the union+window Spark form vs DuckDB's native ASOF JOIN — two
     // completely independent formulations of the same semantics
     "q_j13_asof_join" ->

@@ -20,6 +20,19 @@ class EventFunctionsSpec extends SparkSpec {
     .toDF("event_id", "ts", "user_id", "event_type", "value")
     .withColumn("ts", col("ts").cast("timestamp"))
 
+  it should "compute trailing rolling features each row sees only its own past" in {
+    // 1-hour trailing window: event 3 (12:00) sees only itself (the
+    // 10:xx views fell out of range); event 4 (12:05) sees 3 and itself
+    val r = graft.events.EventFeatures.trailingWindow(ev, windowSec = 3600)
+      .select("event_id", "n_trailing", "sum_trailing", "max_trailing")
+      .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, 1L, 1.0, 1.0))
+    r(2L) shouldBe ((2L, 2L, 3.0, 2.0))  // sees event 1
+    r(3L) shouldBe ((3L, 1L, 30.0, 30.0)) // views are > 1h old
+    r(4L) shouldBe ((4L, 2L, 33.0, 30.0)) // sees the purchase
+    r(6L) shouldBe ((6L, 1L, 50.0, 50.0)) // other entity, day later
+  }
+
   it should "assign session ids that break on the timeout gap" in {
     val s = EventFunctions.sessionize(ev, 3600)
       .select("user_id", "event_id", "session_id")
