@@ -89,13 +89,29 @@ object Multimodal {
     * CMMException) on malformed/fuzzed inputs, and a corrupt blob must
     * quarantine its row, never fail the task. Shared by
     * [[decodeImageFeatures]] and [[dHash]] so the two paths cannot
-    * diverge in robustness. */
+    * diverge in robustness.
+    *
+    * Palette-indexed images (GIF, indexed PNG) are converted to RGB
+    * here: their raw raster samples are palette INDICES, not color
+    * intensities, so summing them directly would report statistics of
+    * lookup-table positions. Drawing into a TYPE_INT_RGB buffer resolves
+    * every pixel through the palette once, and both downstream passes
+    * then read true per-channel values. */
   private def readImage(bytes: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
     else
       try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes)))
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+          val rgb = new java.awt.image.BufferedImage(
+            img.getWidth, img.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          try g.drawImage(img, 0, 0, null) finally g.dispose()
+          rgb
+        } else img
+      }
       catch { case scala.util.control.NonFatal(_) => None }
 
   /** Null-safe 16-bit PCM decode to (sampleRate, channels, channel-0
@@ -374,6 +390,9 @@ object Multimodal {
     * `((seed·31 + i·17) mod 65536) − 32768` — the arithmetic payload
     * generator behind q_m6's decode round-trip. */
   def pcmWav(seed: Long, nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(seed >= 0 && seed <= Int.MaxValue,
+      s"pcmWav seed must be in [0, 2^31), got $seed — larger seeds " +
+        "overflow the sample arithmetic and break oracle parity")
     val data = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {
@@ -462,6 +481,9 @@ object Multimodal {
     * 600 docs vs ~180,000 with the linear form). */
   def modulatedWav(seed: Long, nFrames: Int,
       sampleRate: Int = 8000): Array[Byte] = {
+    require(seed >= 0 && seed <= Int.MaxValue,
+      s"modulatedWav seed must be in [0, 2^31), got $seed — larger seeds " +
+        "overflow the 2654435761 multiplier and break oracle parity")
     val data = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {

@@ -57,11 +57,14 @@ object Joins {
     * `leftTs − tolerance` (stale features must not leak forward
     * indefinitely). Contract: right must be UNIQUE per (keys, rightTs) —
     * pre-aggregate otherwise (equal-key-and-ts right rows have no
-    * deterministic winner); left/right non-key column names must not
-    * collide. */
+    * deterministic winner); pass `checkUnique = true` to enforce that
+    * precondition with one extra aggregate pass that fails loud naming
+    * the duplicated (keys, ts) groups. Left/right non-key column names
+    * must not collide. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      checkUnique: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     require(keys.nonEmpty, "asOfJoin needs at least one join key")
     val leftOther = left.columns.filterNot(keys.contains)
@@ -88,13 +91,31 @@ object Joins {
       (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ts") :+
         lit(1).as("__side") :+ lit(null).cast(payloadType).as("__rp")) ++
         leftOther.map(col): _*)
-    val r = right
+    val rightLive = right
       // NULL join keys never match in an equi-join (and in the DuckDB
       // ASOF oracle) — drop null-key RIGHT rows so the window's
       // null-groups-together partitioning cannot manufacture matches;
       // null-key LEFT rows keep left-join semantics (they land in a
-      // partition with no right rows → null match)
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      // partition with no right rows → null match). A NULL right
+      // TIMESTAMP must go too: it casts to NULL __ts, sorts FIRST in
+      // the ascending (ts, side) window, and last(ignoreNulls) would
+      // then carry its payload into left rows that have no real
+      // preceding right row (DuckDB's l.ts >= r.ts never matches NULL).
+      .filter((keys.map(col(_).isNotNull) :+
+        col(rightTs).cast("timestamp").isNotNull).reduce(_ && _))
+    if (checkUnique) {
+      // one aggregate over the live right side; only runs on request —
+      // the count is an extra job, so the default stays zero-cost
+      val dups = rightLive.groupBy(keys.map(col) :+
+          col(rightTs).cast("timestamp").as("__ts"): _*)
+        .count().filter(col("count") > 1)
+        .limit(5).collect()
+      require(dups.isEmpty,
+        "asOfJoin: right side has duplicate (keys, ts) groups — no " +
+          "deterministic winner; pre-aggregate first. First offenders: " +
+          dups.map(_.toSeq.mkString("(", ",", ")")).mkString("; "))
+    }
+    val r = rightLive
       .select(
         (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
           lit(0).as("__side") :+

@@ -494,7 +494,11 @@ object Dedup {
     * and the source partitions are deleted only after the write commits.
     * A crash in between leaves duplicate index rows, which verdicts are
     * insensitive to ([[incrementalDedupIndexed]] aggregates with `min` /
-    * `count_distinct`); the next compaction absorbs them.
+    * `count_distinct`); the next compaction's `distinct` genuinely
+    * absorbs them (identical rows collapse), so storage and scan cost
+    * recover rather than carrying the duplicates forever. The distinct
+    * is one extra exchange, acceptable in a maintenance window, and also
+    * collapses docs legitimately re-indexed verbatim across batches.
     *
     * Returns the consolidated partition's batch id (or the single
     * existing id when there is nothing to compact). */
@@ -522,6 +526,7 @@ object Dedup {
     val compactTo = ids.min - 1
     spark.read.parquet(indexDir)
       .drop("batch_id") // re-materialized by the target directory name
+      .distinct()       // absorb crash-window leftovers (see scaladoc)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$compactTo")
     batchDirs.foreach(d => fs.delete(d, true))

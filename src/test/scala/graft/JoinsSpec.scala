@@ -67,6 +67,41 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  it should "never manufacture a match from a NULL right timestamp" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a right row with a NULL ts sorts FIRST in the ascending window; if
+    // kept, last(ignoreNulls) would carry its payload into left rows
+    // with no real preceding right row. DuckDB's ASOF (l.ts >= r.ts)
+    // never matches NULL — neither may we.
+    val l = Seq((1L, ts("2024-01-01 10:00:05"), "early"))
+      .toDF("k", "ts", "tag")
+    val r = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 999.0),
+      (1L, Some(ts("2024-01-01 11:00:00")), 100.0)) // AFTER the left row
+      .toDF("k", "ts", "px")
+    val m = Joins.asOfJoin(l, r, Seq("k"), "ts", "ts")
+      .select("px", "asof_ts")
+      .as[(Option[Double], Option[java.sql.Timestamp])].head()
+    m shouldBe ((None, None)) // not 999.0 from the NULL-ts row
+  }
+
+  it should "enforce right-side (keys, ts) uniqueness when checkUnique is set" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 10:00:05"), "a")).toDF("k", "ts", "tag")
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 2.0)) // same (k, ts): no winner
+      .toDF("k", "ts", "px")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(l, dup, Seq("k"), "ts", "ts", checkUnique = true)
+    }
+    e.getMessage should include("duplicate")
+    // unique right side passes the check and returns the normal result
+    val ok = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "ts", "px")
+    Joins.asOfJoin(l, ok, Seq("k"), "ts", "ts", checkUnique = true)
+      .select("px").as[Option[Double]].head() shouldBe Some(1.0)
+  }
+
   it should "produce identical results salted and unsalted" in {
     // heavily skewed probe side: 900 of 1000 rows share key 1
     val probe = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (i, i)))

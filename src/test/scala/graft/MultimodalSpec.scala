@@ -65,6 +65,27 @@ class MultimodalSpec extends SparkSpec {
     r shouldBe ((3, 3, 1, Seq(77.0)))
   }
 
+  it should "decode palette-indexed images to true color values, not palette indices" in {
+    // a solid RGB(200, 10, 30) image written as GIF: the decoded raster
+    // is palette-INDEXED, and the raw samples are lookup-table positions
+    // (likely 0) — the decode must resolve through the palette so the
+    // reported channel means are the actual color
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4)
+      img.setRGB(x, y, (200 << 16) | (10 << 8) | 30)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    // sanity: the GIF really decodes indexed (else this spec tests nothing)
+    javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out.toByteArray))
+      .getColorModel shouldBe a[java.awt.image.IndexColorModel]
+    val r = Multimodal.decodeImageFeatures(
+      Seq((1L, out.toByteArray)).toDF("id", "content"), "id")
+      .select("channels", "channel_means").as[(Int, Seq[Double])].head()
+    r shouldBe ((3, Seq(200.0, 10.0, 30.0)))
+  }
+
   it should "quarantine undecodable payloads as null rows, not drop them" in {
     val bad = Multimodal.decodeImageFeatures(
       Seq((1L, "not a png".getBytes), (2L, Array.empty[Byte]),

@@ -144,6 +144,15 @@ class StreamingSpec extends SparkSpec {
     // idempotent: a second run finds a single partition and leaves it
     Dedup.compactDedupIndex(spark, s"$tmp/index") shouldBe -2L
     batchDirs() shouldBe Seq("batch_id=-2")
+    // a crash between write and delete leaves duplicate rows — simulate
+    // by re-appending the full consolidated content as a stale partition;
+    // the next compaction's distinct must absorb them (storage recovers)
+    spark.read.parquet(s"$tmp/index").drop("batch_id")
+      .write.parquet(s"$tmp/index/batch_id=7")
+    spark.read.parquet(s"$tmp/index").count() shouldBe 2 * iBefore.size
+    Dedup.compactDedupIndex(spark, s"$tmp/index", targetFiles = 2) shouldBe -3L
+    indexRows() shouldBe iBefore // duplicates collapsed, content intact
+    verdicts() shouldBe vBefore
     // the ingest loop continues cleanly against the compacted index
     StreamingEvents.dedupBatch(
       Seq((20L, "totally novel content with fresh tokens here now"))
