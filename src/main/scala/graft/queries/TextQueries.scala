@@ -124,6 +124,28 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X36: exact-substring cross-document dedup (Lee et al. 2021) —
+    // maximal token spans occurring verbatim in >= 2 docs, at 8-token
+    // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
+    // with a licence line appended (whole-doc span + boilerplate shared
+    // among copies); doc_id % 7 = 3 docs get a copy of only their first
+    // 20 tokens plus a second boilerplate (a PARTIAL prefix span in the
+    // original — the case doc-level dedup cannot see).
+    "q_x36_substring_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" " + bp1)).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(concat_ws(" ", slice(Dedup.words(col("text")), 1, 20)),
+              lit(" " + bp2)).as("text")))
+      graft.text.SubstringDedup.duplicatedSpans(corpus, "doc_id", "text",
+        windowTokens = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // X23: cross-corpus exact Jaccard join — left corpus (doc_id % 2 = 0)
     // against right corpus (doc_id % 3 = 0); ids in both corpora share a
     // namespace on purpose (docs divisible by 6 appear on both sides and
@@ -277,6 +299,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** q_x36 planted licence/boilerplate lines (>= 8 tokens each so every
+    * copy contains full fingerprint windows). */
+  private val bp1 =
+    "provided as is without warranty of any kind either express or implied"
+  private val bp2 = "redistribution and use in source and binary forms " +
+    "with or without modification are permitted"
+
   /** DuckDB mirror of [[Dedup.words]]/[[Dedup.shingles]]: 1-based list
     * slices over regexp-split tokens. */
   private def shingleCte(n: Int, distinct: Boolean = false,
@@ -390,6 +419,49 @@ object TextQueries {
        |  GROUP BY u.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact-substring dedup: 8-token window fingerprints, cross-doc test
+    // via min<>max doc_id per fingerprint, gaps-and-islands span merge —
+    // the same three stages as the Spark operator.
+    "q_x36_substring_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' $bp1' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(
+         |      (regexp_split_to_array(lower(text), '\\s+'))[1:20], ' ')
+         |      || ' $bp2' AS text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |  FROM corpus),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(w[i:i+7], ' ')) AS fp
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+         |        FROM toks WHERE len(w) >= 8)),
+         |dupfp AS (
+         |  SELECT fp FROM wins GROUP BY fp
+         |  HAVING min(doc_id) <> max(doc_id)),
+         |dw AS (SELECT doc_id, pos FROM wins JOIN dupfp USING (fp)),
+         |flags AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS nw
+         |  FROM (SELECT doc_id, pos,
+         |          max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |        FROM dw)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM flags)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
     "q_x21_simhash64_neardup" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

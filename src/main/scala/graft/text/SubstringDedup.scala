@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X36: EXACT-SUBSTRING cross-document deduplication — the third standard
+  * dedup modality of LLM training pipelines (after doc-level exact and
+  * near-dup): find token SPANS that occur verbatim in more than one
+  * document (licence blocks, boilerplate paragraphs, quoted headers) and
+  * report/excise them per document, even when the documents as wholes are
+  * unique. Public-knowledge algorithm: Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better" builds a corpus-wide
+  * suffix array and extracts substrings of >= 50 tokens appearing twice.
+  *
+  * A suffix array is a single-machine structure; the DISTRIBUTED
+  * re-expression is fixed-length window fingerprinting (the same
+  * pigeonhole idea as winnowing): any shared span of >= `windowTokens`
+  * tokens necessarily contains shared aligned windows of exactly
+  * `windowTokens`, so
+  *
+  *   1. slide a `windowTokens`-token window over every document (one
+  *      `posexplode` — rows = corpus token count, no shuffle),
+  *   2. fingerprint each window (md5 of the window text — 128-bit, so
+  *      false merges are vanishingly unlikely even at 10^13 windows;
+  *      built-in expressions only, the whole stage is codegen'd),
+  *   3. a fingerprint seen in >= 2 DISTINCT docs marks its windows
+  *      duplicated — detected as `min(doc_id) != max(doc_id)` per
+  *      fingerprint: ONE map-side-combined exchange, immune to the
+  *      hot-fingerprint skew that a `collect_set`/window-function
+  *      formulation would hit when one licence block spans millions of
+  *      docs (no countDistinct expand, no per-key buffering),
+  *   4. merge each doc's overlapping-or-adjacent duplicated windows into
+  *      maximal spans (gaps-and-islands over one doc_id-keyed window —
+  *      the third and last exchange).
+  *
+  * Granularity caveat (inherent to the pigeonhole): span boundaries are
+  * reported at window resolution — a shared span's first/last partial
+  * window is included only if the span covers it fully, so spans shorter
+  * than `windowTokens` are invisible by design (Lee et al.'s 50-token
+  * threshold plays the same role). Tokenization is [[Dedup.words]]
+  * (lowercased whitespace split) so every text operator shares one token
+  * coordinate system.
+  */
+object SubstringDedup {
+
+  /** One row per (doc, window): (doc_id, pos, __fp) with `pos` the
+    * 0-based token index of the window start. */
+  private def windows(corpus: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= windowTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(__w) - $windowTokens),
+           |  i -> md5(concat_ws(' ', slice(__w, i + 1, $windowTokens))))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("__fp"))
+
+  /** Maximal duplicated spans per document: one row per merged span,
+    * (doc_id, span_start, span_end, span_tokens) in token coordinates
+    * (`span_end` exclusive). A span is reported when every
+    * `windowTokens`-window inside it occurs verbatim in at least one
+    * OTHER document; overlapping or exactly-adjacent duplicated windows
+    * merge into one span. Docs shorter than `windowTokens` never match
+    * (sub-threshold spans are out of scope — see the class note). */
+  def duplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens must be >= 2, got $windowTokens — 1-token windows " +
+        "would mark every repeated word a duplicated span")
+    val wins = windows(corpus, idCol, textCol, windowTokens)
+    // cross-doc test without countDistinct: a fingerprint is shared by
+    // >= 2 distinct docs iff its min and max doc_id differ. Partial
+    // aggregation keeps a hot fingerprint (one boilerplate in millions
+    // of docs) combining map-side instead of flooding one reducer.
+    val dupFp = wins.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__fp"))
+    // wins is re-shuffled on __fp for the probe side — the same exchange
+    // the aggregate consumed, so Catalyst reuses it (ReusedExchange)
+    val dup = wins.join(dupFp, "__fp")
+    // gaps-and-islands: a window starts a new span iff it begins past
+    // the furthest end seen so far (pos > running max end; equality =
+    // adjacent windows, merged — the combined region is duplicated)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + windowTokens)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowTokens).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Excise every duplicated span from every document (Lee et al. drop
+    * ALL occurrences; canonical-copy policies can filter the span table
+    * themselves). Output: one row per input doc — (doc_id, kept_text,
+    * n_tokens, n_dup_tokens); `kept_text` is the surviving tokens
+    * re-joined with single spaces (token-space surgery is
+    * whitespace-normalizing by construction), empty when the whole doc
+    * is duplicated, the full token stream when nothing matched. The
+    * span join is doc_id-keyed; the surgery itself is one codegen'd
+    * higher-order projection (indexed `filter` + `exists`), no UDF. */
+  def exciseDuplicates(corpus: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val spans = duplicatedSpans(corpus, idCol, textCol, windowTokens)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    corpus
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .select(
+        col("doc_id"),
+        expr("""concat_ws(' ', filter(__w, (tok, i) ->
+               |  NOT exists(__spans, s ->
+               |    i >= s.span_start AND i < s.span_end)))""".stripMargin)
+          .as("kept_text"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        expr("""aggregate(__spans, 0L,
+               |  (acc, s) -> acc + (s.span_end - s.span_start))"""
+          .stripMargin).as("n_dup_tokens"))
+  }
+}

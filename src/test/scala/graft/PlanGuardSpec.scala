@@ -274,6 +274,29 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "bound substring-dedup at three key-partitioned exchanges with no cartesian stage" in {
+    // exact-substring dedup is windows → dup-fingerprint agg (fp) →
+    // probe join (fp, reusable exchange) → span merge (doc_id): every
+    // exchange is key-partitioned and linear in corpus token count. A
+    // cartesian/BNL stage or a window over the unaggregated fingerprint
+    // stream would be the O(n²)/skew regression this guard exists for.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = (1L to 30L)
+      .map(i => (i, ((1 to 12).map(j => s"t${(i * 31 + j) % 97}") ++
+        Seq("shared", "licence", "line", "of", "eight", "tokens", "in",
+          "total")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val df = graft.text.SubstringDedup.duplicatedSpans(
+      docs, "doc_id", "text", 8)
+    df.collect().length should be > 0 // the guard must watch a live plan
+    val plan = planOf(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    val exchanges = df.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }
+    exchanges.size should be <= 3
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,

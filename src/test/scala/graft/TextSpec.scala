@@ -623,4 +623,57 @@ class TextSpec extends SparkSpec {
       got shouldBe expected
     }
   }
+
+  "SubstringDedup" should "find maximal cross-document spans at window resolution" in {
+    import graft.text.SubstringDedup
+    // docs 1 and 2 share tokens 5..12 of doc 1 (an 8-token span planted
+    // mid-document); doc 3 is fully unique; doc 4 is too short to window
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $shared v1 v2 v3"),
+      (2L, s"w1 w2 $shared x1"),
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+      (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(corpus, "doc_id", "text", 8)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    spans shouldBe Seq((1L, 5L, 13L, 8L), (2L, 2L, 10L, 8L))
+  }
+
+  it should "merge overlapping and adjacent duplicated windows into one span" in {
+    import graft.text.SubstringDedup
+    // 16 shared tokens → windows at every offset 0..8 on the copy;
+    // they must merge to ONE [start, start+16) span, not 9 fragments
+    val shared = (1 to 16).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared b1 b2"),
+      (2L, s"$shared c1 c2 c3"))
+      .toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(corpus, "doc_id", "text", 8)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    spans shouldBe Seq((1L, 2L, 18L), (2L, 0L, 16L))
+  }
+
+  it should "excise duplicated spans while preserving all other text" in {
+    import graft.text.SubstringDedup
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $shared v1 v2 v3"),
+      (2L, s"w1 w2 $shared x1"),
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"))
+      .toDF("doc_id", "text")
+    val out = SubstringDedup.exciseDuplicates(corpus, "doc_id", "text", 8)
+      .select("doc_id", "kept_text", "n_tokens", "n_dup_tokens")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    out(1L) shouldBe (("u1 u2 u3 u4 u5 v1 v2 v3", 16L, 8L))
+    out(2L) shouldBe (("w1 w2 x1", 11L, 8L))
+    out(3L) shouldBe (("y1 y2 y3 y4 y5 y6 y7 y8 y9 y10", 10L, 0L)) // untouched
+    // a fully-duplicated doc excises to empty, not a dropped row
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    SubstringDedup.exciseDuplicates(dup, "doc_id", "text", 8)
+      .select("kept_text").as[String].collect().toSeq shouldBe Seq("", "")
+  }
 }
