@@ -124,6 +124,15 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X37: iterated word-level BPE training — the 5-rule ranked merge
+    // table (q_x33 is one counting step; this is the loop: count, take
+    // the global best pair, apply it everywhere, repeat).
+    "q_x37_bpe_train" -> { (s, dir) =>
+      TextStats.bpeTrain(t(s, dir, "documents"), "doc_id", "text",
+        nMerges = 5)
+        .orderBy(col("merge_rank"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -299,6 +308,63 @@ object TextQueries {
         .orderBy(col("doc_id"))
     })
 
+  /** q_x37 oracle: the BPE training loop unrolled into a CTE chain — per
+    * iteration k: adjacent pairs of the CURRENT token stream via lead(),
+    * the global best (freq desc, tokens asc, limit 1), left-to-right
+    * non-overlapping application (runs of consecutive match positions →
+    * keep even offsets — equivalent to the greedy fold; runs only form
+    * when token_a = token_b), then dense renumbering for the next round. */
+  private def bpeOracle(n: Int): String = {
+    val head =
+      """WITH tok0 AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents)))""".stripMargin
+    val iters = (0 until n).map { k =>
+      s"""pair$k AS (
+         |  SELECT doc_id, pos, tok AS a,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |  FROM tok$k),
+         |best$k AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS f
+         |  FROM pair$k WHERE b IS NOT NULL GROUP BY a, b
+         |  ORDER BY f DESC, a, b LIMIT 1),
+         |mt$k AS (
+         |  SELECT p.doc_id, p.pos,
+         |    row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
+         |  FROM pair$k p JOIN best$k bb ON p.a = bb.a AND p.b = bb.b),
+         |keep$k AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY doc_id, pos - rn
+         |        ORDER BY pos) - 1 AS ri
+         |    FROM mt$k)
+         |  WHERE ri % 2 = 0),
+         |tok${k + 1} AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+         |  FROM (
+         |    SELECT t.doc_id, t.pos,
+         |      CASE WHEN k1.pos IS NOT NULL THEN t.tok || ' ' || nb.tok
+         |           ELSE t.tok END AS tok
+         |    FROM tok$k t
+         |    LEFT JOIN keep$k k1 ON k1.doc_id = t.doc_id AND k1.pos = t.pos
+         |    LEFT JOIN keep$k k2 ON k2.doc_id = t.doc_id
+         |      AND k2.pos = t.pos - 1
+         |    LEFT JOIN tok$k nb ON nb.doc_id = t.doc_id
+         |      AND nb.pos = t.pos + 1
+         |    WHERE k2.pos IS NULL))""".stripMargin
+    }
+    val selects = (0 until n).map { k =>
+      s"""SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, a AS token_a,
+         |  b AS token_b, f AS pair_freq FROM best$k""".stripMargin
+    }
+    (head +: iters).mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+  }
+
   /** q_x36 planted licence/boilerplate lines (>= 8 tokens each so every
     * copy contains full fingerprint windows). */
   private val bp1 =
@@ -419,6 +485,7 @@ object TextQueries {
        |  GROUP BY u.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_x37_bpe_train" -> bpeOracle(5),
     // Exact-substring dedup: 8-token window fingerprints, cross-doc test
     // via min<>max doc_id per fingerprint, gaps-and-islands span merge —
     // the same three stages as the Spark operator.

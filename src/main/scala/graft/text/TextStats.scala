@@ -282,6 +282,106 @@ object TextStats {
       .orderBy(col("pair_freq").desc, col("token_a"), col("token_b"))
       .limit(n)
 
+  /** One BPE merge application as a codegen'd higher-order fold: replace
+    * every left-to-right non-overlapping adjacent occurrence of
+    * (a, b) in the token array with the single merged token "a b" —
+    * exactly the BPE apply step ("a a a" with rule (a,a) → ["a a", "a"],
+    * the first match consumes its right token). Tokens never contain
+    * spaces ([[Dedup.words]]), so the space-joined merge token is
+    * unambiguous and splits back losslessly. Pure projection: ZERO
+    * shuffle, whole-stage codegen, no UDF. */
+  private def mergePairExpr(toksCol: String, a: String, b: String): Column = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    expr(
+      s"""CASE WHEN $toksCol IS NULL OR size($toksCol) < 2 THEN $toksCol
+         |ELSE aggregate(
+         |  sequence(1, size($toksCol)),
+         |  struct(cast(array() as array<string>) as acc, false as skip),
+         |  (s, i) -> CASE
+         |    WHEN s.skip THEN struct(s.acc as acc, false as skip)
+         |    WHEN i < size($toksCol)
+         |        AND element_at($toksCol, i) = ${q(a)}
+         |        AND element_at($toksCol, i + 1) = ${q(b)}
+         |      THEN struct(array_append(s.acc, ${q(a + " " + b)}) as acc,
+         |        true as skip)
+         |    ELSE struct(array_append(s.acc, element_at($toksCol, i)) as acc,
+         |      false as skip) END,
+         |  s -> s.acc) END""".stripMargin)
+  }
+
+  /** X37: iterated word-level BPE TRAINING — the loop [[bpePairFrequencies]]
+    * is one step of. Each of `nMerges` iterations counts adjacent pairs
+    * over the CURRENT token streams (one map-side-combined exchange),
+    * takes the global best pair (freq desc, then tokens asc — a
+    * deterministic total order; one-row collect, the learned RULE is
+    * driver-sized by definition), and applies it everywhere via the
+    * shuffle-free [[mergePairExpr]] fold. The driver loop is over merge
+    * ITERATIONS (inherent to BPE — rule k+1 depends on the corpus after
+    * rule k), never over rows; each iteration's token streams are
+    * persisted so iteration k scans cached state, not a k-deep
+    * recompute chain.
+    *
+    * Returns the ranked merge table: (merge_rank 1-based, token_a,
+    * token_b, pair_freq at learn time). Stops early when no adjacent
+    * pair is left. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    var cur = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__toks")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val top = cur.select(explode(expr(
+          """CASE WHEN __toks IS NULL OR size(__toks) < 2
+            |  THEN cast(array() as array<struct<a:string,b:string>>)
+            |ELSE transform(sequence(1, size(__toks) - 1),
+            |  i -> struct(element_at(__toks, i) as a,
+            |    element_at(__toks, i + 1) as b)) END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((k + 1, a, b, f))
+        val next = graft.util.Caches.persistTracked(cur.select(col("doc_id"),
+          mergePairExpr("__toks", a, b).as("__toks")))
+        next.count() // materialize before the parent cache is dropped
+        cur.unpersist()
+        cur = next
+      }
+      k += 1
+    }
+    cur.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "token_a", "token_b", "pair_freq")
+      .select(col("merge_rank").cast("long"), col("token_a"),
+        col("token_b"), col("pair_freq"))
+  }
+
+  /** X37: TOKENIZE with a learned merge table — fold the ordered rules
+    * over each document's token stream ([[mergePairExpr]] per rule:
+    * one chained projection, zero shuffle, no driver loop over rows).
+    * Output: (doc_id, tokens array, n_tokens) — the sequence lengths
+    * [[graft.curate.Curation.packSequences]] packs. `merges` is
+    * (token_a, token_b) in rank order, exactly [[bpeTrain]]'s table. */
+  def applyMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = merges.foldLeft(
+      df.select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__toks"))) { case (d, (a, b)) =>
+      d.select(col("doc_id"), mergePairExpr("__toks", a, b).as("__toks"))
+    }
+    toks.select(col("doc_id"), col("__toks").as("tokens"),
+      coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
+  }
+
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
     * behaviour exactly. */

@@ -624,6 +624,60 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  "bpeTrain" should "learn ranked merges matching a hand-computed trace" in {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    // pairs: (a,b)=3 (b,a)=1 (b,c)=2 (c,d)=1 → rule 1: (a,b) f=3
+    // then docs are [ab, ab, c] / [ab, c, d]:
+    //   (ab,ab)=1 (ab,c)=2 (c,d)=1 → rule 2: ("a b", c) f=2
+    // then [ab, abc] / [abc, d]: (ab,abc)=1 (abc,d)=1 → tie broken by
+    // token_a asc: "a b" < "a b c" → rule 3: ("a b", "a b c") f=1
+    val merges = TextStats.bpeTrain(corpus, "doc_id", "text", 3)
+      .select("merge_rank", "token_a", "token_b", "pair_freq")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    merges shouldBe Seq(
+      (1L, "a", "b", 3L),
+      (2L, "a b", "c", 2L),
+      (3L, "a b", "a b c", 1L))
+  }
+
+  it should "apply merges greedily left-to-right on self-adjacent pairs" in {
+    // BPE apply semantics: "x x x x" under rule (x,x) → [xx, xx], the
+    // first match consumes its right token (never [xx, xx, x] fragments
+    // or an overlapping triple)
+    val corpus = Seq((1L, "x x x x"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextStats.applyMerges(corpus, "doc_id", "text",
+      Seq(("x", "x")))
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    out(1L) shouldBe Seq("x x", "x x")
+    out(2L) shouldBe Seq("x x", "x")
+  }
+
+  it should "feed applyMerges token counts into sequence packing end-to-end" in {
+    val corpus = Seq(
+      (1L, "a b a b c"), (2L, "a b c d"), (3L, "a b a b a b"),
+      (4L, "c d c d"))
+      .toDF("doc_id", "text")
+    val table = TextStats.bpeTrain(corpus, "doc_id", "text", 2)
+      .select("token_a", "token_b").as[(String, String)]
+      .collect().toSeq
+    val tokenized = TextStats.applyMerges(corpus, "doc_id", "text", table)
+      .withColumn("shard", lit(0L))
+    // merges compress: every doc's BPE token count is below its word count
+    val counts = tokenized.select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    counts(3L) should be < 6L
+    // and the packer consumes the learned counts directly
+    val packed = graft.curate.Curation.packSequences(tokenized,
+      "n_tokens", "shard", "doc_id", tokenBudget = 5)
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    packed.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+    // offsets are the running sum of the POST-merge counts
+    val expectedOffsets = packed.map(_._1).map(counts)
+      .scanLeft(0L)(_ + _).dropRight(1)
+    packed.map(t => t._3 + t._2 * 5) shouldBe expectedOffsets
+  }
+
   "SubstringDedup" should "find maximal cross-document spans at window resolution" in {
     import graft.text.SubstringDedup
     // docs 1 and 2 share tokens 5..12 of doc 1 (an 8-token span planted
