@@ -124,6 +124,23 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X38: paragraph-granularity near-dup rollup. Fixture: doc i carries
+    // its own text plus doc (i+17)'s text as a second paragraph, so
+    // paragraph-level duplication exists while whole docs stay unique —
+    // the case doc-level near-dup scores too low to catch.
+    "q_x38_paragraph_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nxt = docs.select((col("doc_id") - 17).as("doc_id"),
+        col("text").as("__t2"))
+      val corpus = docs.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__t2").isNull, col("text"))
+            .otherwise(concat(col("text"), lit("\n\n"), col("__t2")))
+            .as("text"))
+      Dedup.paragraphNearDupStats(corpus, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X37: iterated word-level BPE training — the 5-rule ranked merge
     // table (q_x33 is one counting step; this is the loop: count, take
     // the global best pair, apply it everywhere, repeat).
@@ -486,6 +503,52 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x37_bpe_train" -> bpeOracle(5),
+    // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
+    // (paras-per-doc << 1000) so the shared minhash CTE chain applies
+    // unchanged; cross-DOC candidacy via integer-division id mapping.
+    "q_x38_paragraph_neardup" ->
+      s"""WITH pcorpus AS (
+         |  SELECT d1.doc_id,
+         |    CASE WHEN d2.text IS NULL THEN d1.text
+         |         ELSE d1.text || chr(10) || chr(10) || d2.text END AS text
+         |  FROM documents d1
+         |  LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 17),
+         |paras AS (
+         |  SELECT doc_id, i - 1 AS para_idx, p[i] AS ptext
+         |  FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+         |        FROM (SELECT doc_id,
+         |                regexp_split_to_array(text, '\\n\\s*\\n') AS p
+         |              FROM pcorpus))),
+         |pcount AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+         |  FROM paras GROUP BY 1),
+         |psrc AS (
+         |  SELECT doc_id * 1000 + para_idx AS doc_id, ptext AS text
+         |  FROM paras),
+         |${minhashSigCte("psrc", "_p")},
+         |candp AS (
+         |  SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+         |  FROM bands_p a JOIN bands_p c
+         |    ON a.b = c.b AND a.bh = c.bh
+         |    AND a.doc_id // 1000 <> c.doc_id // 1000),
+         |nmp AS (
+         |  SELECT candp.pa, candp.pb,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM candp
+         |  JOIN mh_p x ON x.doc_id = candp.pa
+         |  JOIN mh_p y ON y.doc_id = candp.pb AND y.k = x.k
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT pa // 1000 AS doc_id,
+         |    CAST(count(DISTINCT pa) AS BIGINT) AS n_dup_paras
+         |  FROM nmp WHERE n_match >= 8 GROUP BY 1)
+         |SELECT p.doc_id, p.n_paras,
+         |  coalesce(d.n_dup_paras, 0) AS n_dup_paras,
+         |  round(coalesce(d.n_dup_paras, 0) / CAST(p.n_paras AS DOUBLE), 4)
+         |    AS dup_para_fraction
+         |FROM pcount p LEFT JOIN dup d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     // Exact-substring dedup: 8-token window fingerprints, cross-doc test
     // via min<>max doc_id per fingerprint, gaps-and-islands span merge —
     // the same three stages as the Spark operator.

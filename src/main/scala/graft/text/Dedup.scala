@@ -923,4 +923,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("__j"), 4).as("jaccard"))
   }
+
+  /** X38: PARAGRAPH-granularity near-duplicate statistics — the fuzzy
+    * complement of [[graft.text.SubstringDedup]]'s exact spans: split
+    * each document on blank lines, run the standard MinHash+LSH banding
+    * at paragraph level, and roll verdicts UP to documents as the
+    * fraction of a doc's paragraphs that near-duplicate a paragraph of
+    * some OTHER document (same-doc repetition is [[TextStats]]'s
+    * `dup_ngram_ratio` territory, deliberately excluded here).
+    *
+    * Output: one row per doc — (doc_id, n_paras, n_dup_paras,
+    * dup_para_fraction). Paragraphs shorter than `shingleN` words can't
+    * carry a signature and count as never-duplicated (they stay in the
+    * denominator: boilerplate detection should not reward one-word
+    * paragraphs).
+    *
+    * Scale shape: the banding self-join is the SAME one-exchange
+    * ReuseExchange pattern as [[minhashNearDuplicates]], just keyed at
+    * paragraph grain — rows grow by the paragraphs-per-doc factor, the
+    * plan does not change; the rollup is one doc_id-keyed aggregate.
+    * The paragraph explode is persisted so the count and signature
+    * branches share one pass over the split. */
+  def paragraphNearDupStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    val paras = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), "\\n\\s*\\n")))
+        .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+          col("col").as("__p")))
+    val counts = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"))
+    val sig = paras.filter(size(words(col("__p"))) >= shingleN)
+      .select(col("doc_id"), col("para_idx"),
+        minhashWordsUdf(shingleN, k)(words(col("__p"))).as("sig"))
+    val banded = bandedSig(sig, "sig", bands, rows)
+    val dup = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .filter(size(filter(
+        zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+        m => m)) >= minMatch)
+      .select(col("a.doc_id").as("doc_id"), col("a.para_idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nd"))
+    counts.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_paras"),
+        round(coalesce(col("__nd"), lit(0L)) / col("n_paras"), 4)
+          .as("dup_para_fraction"))
+  }
 }

@@ -624,6 +624,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  "paragraphNearDupStats" should "roll cross-document paragraph duplication up to docs" in {
+    val shared = "shared paragraph of exactly seven words here"
+    val selfdup = "identical internal paragraph of five words"
+    val corpus = Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog\n\n$shared"),
+      (2L, s"$shared\n\ncompletely different second content paragraph words"),
+      (3L, "totally unrelated text about nothing in particular at all\n\nok"),
+      (4L, s"$selfdup\n\n$selfdup")) // same-DOC repetition: not dedup's job
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphNearDupStats(corpus, "doc_id", "text")
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_para_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 2L, 1L, 0.5), // second para shared with doc 2
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0), // unique; the short para can't even sign
+      (4L, 2L, 0L, 0.0)) // cross-doc only — self-repeat excluded
+  }
+
   "bpeTrain" should "learn ranked merges matching a hand-computed trace" in {
     val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
     // pairs: (a,b)=3 (b,a)=1 (b,c)=2 (c,d)=1 → rule 1: (a,b) f=3
