@@ -257,6 +257,88 @@ class Scd2Store(val spark: SparkSession, base: String) {
     counts + ("read" -> readCount) + ("duplicates" -> duplicates)
   }
 
+  /** Crash-safe in-place consolidation of one parquet directory: rows are
+    * rewritten into `targetFiles` files in a dot-prefixed staging dir
+    * (invisible to parquet readers), then swapped in via the same
+    * rename-aside discipline as [[runLoad]]'s history publish — at every
+    * instant a reader finds either the old files or the new ones, and a
+    * crash leaves the data at a findable name (the backup is deleted
+    * last). `dropCols` lets partitioned callers strip the column the
+    * directory name re-materializes. */
+  private def rewriteCompact(dir: Path, targetFiles: Int, tag: String,
+      dropCols: Seq[String] = Nil): Unit = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = dir.getParent
+    val staging = new Path(parent, s".compact_staging_$tag")
+    val backup = new Path(parent, s".compact_backup_$tag")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    spark.read.parquet(dir.toString)
+      .drop(dropCols: _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(dir, backup))
+      throw new java.io.IOException(
+        s"could not move $dir aside to $backup; data left untouched")
+    if (!fs.rename(staging, dir)) {
+      fs.rename(backup, dir)
+      throw new java.io.IOException(
+        s"could not publish $staging to $dir; old data restored")
+    }
+    fs.delete(backup, true)
+  }
+
+  private def partFileCount(dir: Path): Int = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** Consolidate the history and current tables to `targetFiles` files
+    * each. Every load's full-history rewrite emits one file per shuffle
+    * partition regardless of data size, so a long-lived small table
+    * carries hundreds of KB-sized files whose open/footer cost dominates
+    * reads (the classic small-file problem; the reference's README asks
+    * for the same "stitching function"). Run in a maintenance window —
+    * single-writer-per-table, like every store mutation. */
+  def compactHistory(table: String, targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val tag = s"hist_${System.currentTimeMillis()}"
+    for (name <- Seq("history", "current")) {
+      val dir = new Path(p(table, name))
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dir) && partFileCount(dir) > targetFiles)
+        rewriteCompact(dir, targetFiles, s"${tag}_$name")
+    }
+  }
+
+  /** Consolidate change-table partitions whose per-load appends exceeded
+    * `targetFiles` part files. Appends accumulate one file set per load
+    * into each `process_date=` partition (retention deletes whole
+    * partitions but never consolidates live ones); this rewrites only
+    * the partitions over the threshold, one at a time, keeping the
+    * directory-per-partition layout [[expireChangeTables]] deletes by. */
+  def compactChangeTables(table: String, targetFiles: Int = 4): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    for (name <- Seq("new", "changed", "removed")) {
+      val root = new Path(p(table, name))
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith(s"$ProcessDate="))
+          .filter(partFileCount(_) > targetFiles)
+          .foreach { part =>
+            // the partition column lives in the directory name; dropping
+            // it from the rewrite keeps the read-back schema identical
+            rewriteCompact(part, targetFiles,
+              s"${name}_${part.getName.replaceAll("\\W", "_")}",
+              dropCols = Seq(ProcessDate))
+          }
+      }
+    }
+  }
+
   /** S13: drop change-table partitions older than `retainDays` relative to
     * `asOf` — a partition-directory delete, no rewrite
     * (reference: ParquetDataLoader.scala:1091-1103 `removeParts`). */

@@ -38,6 +38,53 @@ class Scd2StoreSpec extends SparkSpec {
       .filter(n => n.startsWith(".history_")) shouldBe empty
   }
 
+  it should "compact history, current and change tables without changing read-backs" in {
+    val dir = Files.createTempDirectory("scd2compact").toString
+    val store = new Scd2Store(spark, dir)
+    def load(pid: String, day: Int, rows: Seq[(Int, String)]): Unit =
+      store.runLoad("t1", rows.toDF("cid", "v"),
+        cfg(pid).copy(processTime = f"2024-03-$day%02d 00:00:00"))
+    // five loads, three of them on one process_date so that partition
+    // accumulates per-load part files; each history rewrite leaves one
+    // file per shuffle partition
+    load("p1", 1, Seq(1 -> "a", 2 -> "b"))
+    load("p2", 1, Seq(1 -> "a2", 3 -> "c"))
+    load("p3", 1, Seq(4 -> "d"))
+    load("p4", 2, Seq(1 -> "a3", 5 -> "e"))
+    load("p5", 3, Seq(6 -> "f"))
+    def files(sub: String): Int = {
+      val f = new java.io.File(s"$dir/t1/$sub")
+      if (!f.exists()) 0
+      else f.listFiles().count(_.getName.startsWith("part-"))
+    }
+    def slurp(sub: String): Seq[String] =
+      spark.read.parquet(s"$dir/t1/$sub")
+        .collect().map(_.toString).sorted.toSeq
+    val histBefore = slurp("history.parquet")
+    val curBefore = slurp("current.parquet")
+    val newBefore = slurp("new.parquet")
+    files("history.parquet") should be > 2 // the small-file problem is live
+    files("new.parquet/process_date=2024-03-01") should be > 1
+    store.compactHistory("t1", targetFiles = 2)
+    store.compactChangeTables("t1", targetFiles = 1)
+    files("history.parquet") should be <= 2
+    files("current.parquet") should be <= 2
+    files("new.parquet/process_date=2024-03-01") shouldBe 1
+    slurp("history.parquet") shouldBe histBefore
+    slurp("current.parquet") shouldBe curBefore
+    slurp("new.parquet") shouldBe newBefore
+    // no leftover staging/backup dirs anywhere after the swaps
+    def hidden(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+        (if (c.getName.startsWith(".compact_")) Seq(c.getPath) else Nil) ++
+          (if (c.isDirectory) hidden(c) else Nil))
+    hidden(new java.io.File(s"$dir/t1")) shouldBe empty
+    // compaction is invisible to the merge loop: a sixth load still works
+    load("p6", 4, Seq(1 -> "a4"))
+    store.readCurrent("t1").filter(col("cid") === 1)
+      .select("v").as[String].head() shouldBe "a4"
+  }
+
   it should "run merges against catalog tables (C6 variant)" in {
     val store = new graft.load.CatalogStore(spark)
     store.tableExists("cat_t1_history") shouldBe false
