@@ -100,4 +100,63 @@ class RecallGateSpec extends SparkSpec {
     rAdc should be >= ivfadc
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "hold the recall floor in the DISTRIBUTED IVFADC form at two probe settings" in {
+    // the cogrouped form collects nothing to the driver; its quality was
+    // previously pinned only transitively (row-equivalence to X26) — this
+    // gates it directly so probe/bucket tuning can't silently degrade it
+    val books = ProductQuantization.trainCodebooks(corpus, "vec_id",
+      "embedding", m = 4, k = 8, iters = 3, dim = Dim)
+    val ivfEnc = ProductQuantization.ivfEncode(corpus, "vec_id", "embedding",
+      centroids, books, 4, Dim)
+    val r1 = recallOf(ProductQuantization.ivfAdcTopKDistributed(queries,
+      ivfEnc, "vec_id", "embedding", centroids, books, m = 4, k = K,
+      dim = Dim, probes = 1))
+    val r2 = recallOf(ProductQuantization.ivfAdcTopKDistributed(queries,
+      ivfEnc, "vec_id", "embedding", centroids, books, m = 4, k = K,
+      dim = Dim, probes = 2))
+    info(f"distributed ivfadc probes1=$r1%.3f probes2=$r2%.3f")
+    r1 should be >= 0.7
+    r2 should be >= 0.8
+    r2 should be >= r1 // a second probe can only add candidates
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "hold the IVF near-dup pair recall floor against the exact pair set" in {
+    // planted near-identical copies: every 5th corpus vector re-appears
+    // under id+1000 with a tiny deterministic perturbation (cos ~ 1)
+    val copies = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x + (j % 3).cast("double") * 0.001).as("embedding"))
+    val dupCorpus = corpus.unionByName(copies)
+    val thr = 0.99
+    // exact truth: brute-force all-pairs cosine on the spec-sized corpus
+    val vecs = dupCorpus.select("vec_id", "embedding")
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truthPairs = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    truthPairs.size should be >= 15 // the fixture must be non-trivial
+    def pairRecall(probes: Int): Double = {
+      val got = Similarity.ivfCosineNearDuplicates(dupCorpus, "vec_id",
+        "embedding", centroids, thr, Dim, probes = probes)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      (got & truthPairs).size.toDouble / truthPairs.size
+    }
+    val r1 = pairRecall(1)
+    val r2 = pairRecall(2)
+    info(f"ivf near-dup pair recall probes1=$r1%.3f probes2=$r2%.3f")
+    r1 should be >= 0.8
+    r2 should be >= 0.95
+    r2 should be >= r1
+    graft.util.Caches.releaseAll(spark)
+  }
 }
