@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for the sf1 scale probe (BASELINE.md):
+  * replicates the sf0.1 tables the heavy-hitter queries read into K
+  * id-shifted copies, because the driver ships no sf1 data and the
+  * testdata tree is read-only.
+  *
+  * Replication is NOT naive duplication — naive copies would plant
+  * cross-copy exact/near duplicates that turn the dedup workloads
+  * quadratic in K and measure an artifact instead of scaling:
+  *  - `documents`: copy k > 0 suffixes every token with `~k`, making
+  *    copies vocabulary-disjoint — the corpus grows 10x with zero
+  *    cross-copy shingle collisions, the way a real corpus grows with
+  *    mostly-fresh text (vocabulary growth is the pessimistic model:
+  *    real vocab grows sublinearly, which would only make the inverted
+  *    indexes cheaper per doc).
+  *  - `embeddings`: copy k shifts every component by k/1000 — vectors
+  *    stay in-distribution but exact duplicates don't exist.
+  *  - `customer`: plain key shift (the SCD2 merge and graph workloads
+  *    key on c_custkey; rows per key is what matters, content doesn't).
+  * `region` is copied once (the bench warm-up reads it).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <destDir> <copies>
+  */
+object ScaleUp {
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <copies>")
+    val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    require(copies >= 1, "copies must be >= 1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map(k => copy(base, k)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table x$copies written")
+    }
+
+    replicate("customer") { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * Off))
+    }
+    replicate("documents") { (df, k) =>
+      val d = df.withColumn("doc_id", col("doc_id") + lit(k * Off))
+      if (k == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1~" + k))
+    }
+    replicate("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + lit(k * Off))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(k * 0.001f)))
+    }
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$dst/region.parquet")
+    println(s"[scaleup] done -> $dst")
+    spark.stop()
+  }
+}
