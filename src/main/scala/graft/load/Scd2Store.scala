@@ -260,17 +260,25 @@ class Scd2Store(val spark: SparkSession, base: String) {
   /** Crash-safe in-place consolidation of one parquet directory: rows are
     * rewritten into `targetFiles` files in a dot-prefixed staging dir
     * (invisible to parquet readers), then swapped in via the same
-    * rename-aside discipline as [[runLoad]]'s history publish — at every
-    * instant a reader finds either the old files or the new ones, and a
-    * crash leaves the data at a findable name (the backup is deleted
-    * last). `dropCols` lets partitioned callers strip the column the
-    * directory name re-materializes. */
-  private def rewriteCompact(dir: Path, targetFiles: Int, tag: String,
+    * rename-aside discipline as [[runLoad]]'s history publish. The swap
+    * itself is two renames; a crash exactly between them leaves the data
+    * at the DETERMINISTIC backup name (tags are content-addressed, never
+    * timestamped), and the recovery preamble of the next call — or of
+    * [[recoverCompact]] directly — renames it back before doing anything
+    * else, so the table is restored by re-running the maintenance job.
+    * The backup is deleted last. `dropCols` lets partitioned callers
+    * strip the column the directory name re-materializes. Staging and
+    * backup names are the live directory's own name behind a dot prefix,
+    * so a backup always names exactly the directory it must restore. */
+  private def rewriteCompact(dir: Path, targetFiles: Int,
       dropCols: Seq[String] = Nil): Unit = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val parent = dir.getParent
-    val staging = new Path(parent, s".compact_staging_$tag")
-    val backup = new Path(parent, s".compact_backup_$tag")
+    val staging = new Path(parent, s".compact_staging_${dir.getName}")
+    val backup = new Path(parent, s".compact_backup_${dir.getName}")
+    // recovery preamble: a backup with no live dir is the crashed-between-
+    // renames state — restore it; everything else hidden is stale output
+    if (fs.exists(backup) && !fs.exists(dir)) fs.rename(backup, dir)
     if (fs.exists(staging)) fs.delete(staging, true)
     if (fs.exists(backup)) fs.delete(backup, true)
     spark.read.parquet(dir.toString)
@@ -303,12 +311,34 @@ class Scd2Store(val spark: SparkSession, base: String) {
     * single-writer-per-table, like every store mutation. */
   def compactHistory(table: String, targetFiles: Int = 8): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    val tag = s"hist_${System.currentTimeMillis()}"
+    recoverCompact(table)
     for (name <- Seq("history", "current")) {
       val dir = new Path(p(table, name))
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(dir) && partFileCount(dir) > targetFiles)
-        rewriteCompact(dir, targetFiles, s"${tag}_$name")
+        rewriteCompact(dir, targetFiles)
+    }
+  }
+
+  /** Restore any compaction backup whose live directory is missing (the
+    * crashed-between-renames state) — called automatically by
+    * [[compactHistory]]/[[compactChangeTables]], exposed for explicit
+    * recovery. A backup dir is `.compact_backup_<liveName>` in the live
+    * directory's parent, so restoration is a prefix strip + rename. */
+  def recoverCompact(table: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parents = new Path(s"$base/$table") +:
+      Seq("new", "changed", "removed").map(n => new Path(p(table, n)))
+    for (parent <- parents) {
+      val fs = parent.getFileSystem(conf)
+      if (fs.exists(parent)) {
+        fs.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(".compact_backup_")).foreach { b =>
+            val live = new Path(parent,
+              b.getName.stripPrefix(".compact_backup_"))
+            if (!fs.exists(live)) fs.rename(b, live)
+          }
+      }
     }
   }
 
@@ -320,6 +350,7 @@ class Scd2Store(val spark: SparkSession, base: String) {
     * directory-per-partition layout [[expireChangeTables]] deletes by. */
   def compactChangeTables(table: String, targetFiles: Int = 4): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    recoverCompact(table)
     val conf = spark.sessionState.newHadoopConf()
     for (name <- Seq("new", "changed", "removed")) {
       val root = new Path(p(table, name))
@@ -331,9 +362,7 @@ class Scd2Store(val spark: SparkSession, base: String) {
           .foreach { part =>
             // the partition column lives in the directory name; dropping
             // it from the rewrite keeps the read-back schema identical
-            rewriteCompact(part, targetFiles,
-              s"${name}_${part.getName.replaceAll("\\W", "_")}",
-              dropCols = Seq(ProcessDate))
+            rewriteCompact(part, targetFiles, dropCols = Seq(ProcessDate))
           }
       }
     }

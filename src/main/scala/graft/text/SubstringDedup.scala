@@ -45,17 +45,19 @@ import org.apache.spark.sql.functions._
 object SubstringDedup {
 
   /** One row per (doc, window): (doc_id, pos, __fp) with `pos` the
-    * 0-based token index of the window start. */
+    * 0-based token index of the window start. Windows come from
+    * [[Dedup.shingles]] — the measured-fast shingle UDF every dedup
+    * operator shares (an inline transform+slice+concat_ws HOF chain is
+    * interpreted per element, the exact cost that kernel exists to
+    * avoid); md5 over the exploded strings stays codegen'd. */
   private def windows(corpus: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame =
     corpus
-      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= windowTokens)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(__w) - $windowTokens),
-           |  i -> md5(concat_ws(' ', slice(__w, i + 1, $windowTokens))))"""
-          .stripMargin)))
-      .select(col("doc_id"), col("pos"), col("col").as("__fp"))
+      .select(col(idCol).as("doc_id"),
+        Dedup.shingles(col(textCol), windowTokens).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .select(col("doc_id"), posexplode(col("__ws")))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("__fp"))
 
   /** Maximal duplicated spans per document: one row per merged span,
     * (doc_id, span_start, span_end, span_tokens) in token coordinates
@@ -124,7 +126,7 @@ object SubstringDedup {
                |  NOT exists(__spans, s ->
                |    i >= s.span_start AND i < s.span_end)))""".stripMargin)
           .as("kept_text"),
-        size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(size(col("__w")), lit(0)).cast("long").as("n_tokens"),
         expr("""aggregate(__spans, 0L,
                |  (acc, s) -> acc + (s.span_end - s.span_start))"""
           .stripMargin).as("n_dup_tokens"))

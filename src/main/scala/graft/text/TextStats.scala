@@ -291,7 +291,12 @@ object TextStats {
     * unambiguous and splits back losslessly. Pure projection: ZERO
     * shuffle, whole-stage codegen, no UDF. */
   private def mergePairExpr(toksCol: String, a: String, b: String): Column = {
-    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    // Spark SQL string literals process backslash escapes (a lone
+    // trailing backslash even escapes the closing quote) — double them
+    // BEFORE quote-doubling or a token like "a\\b" silently becomes
+    // "a<backspace>" and the merge never applies
+    def q(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     expr(
       s"""CASE WHEN $toksCol IS NULL OR size($toksCol) < 2 THEN $toksCol
          |ELSE aggregate(

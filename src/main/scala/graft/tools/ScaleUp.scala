@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *    mostly-fresh text (vocabulary growth is the pessimistic model:
   *    real vocab grows sublinearly, which would only make the inverted
   *    indexes cheaper per doc).
-  *  - `embeddings`: copy k shifts every component by k/1000 — vectors
-  *    stay in-distribution but exact duplicates don't exist.
+  *  - `embeddings`: copy k circularly ROTATES each vector's components
+  *    by k positions — per-component marginals are preserved but
+  *    cross-copy cosine is that of unrelated vectors (a constant
+  *    additive shift would leave cos(v, v') ~ 0.9999, planting 10-way
+  *    near-dup cliques that any cosine-threshold workload would measure
+  *    instead of scaling).
   *  - `customer`: plain key shift (the SCD2 merge and graph workloads
   *    key on c_custkey; rows per key is what matters, content doesn't).
   * `region` is copied once (the bench warm-up reads it).
@@ -56,9 +60,15 @@ object ScaleUp {
         regexp_replace(col("text"), "(\\S+)", "$1~" + k))
     }
     replicate("embeddings") { (df, k) =>
+      // rotation offset must be unique per copy (k < dim, dim = 64 in
+      // the shipped table) or two copies would be exact duplicates
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(
+          expr(s"slice(embedding, ${k + 1}, size(embedding))"),
+          expr(s"slice(embedding, 1, $k)"))
       df.withColumn("vec_id", col("vec_id") + lit(k * Off))
-        .withColumn("embedding",
-          transform(col("embedding"), x => x + lit(k * 0.001f)))
+        .withColumn("embedding", rotated)
     }
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$dst/region.parquet")

@@ -118,7 +118,10 @@ class RecallGateSpec extends SparkSpec {
     info(f"distributed ivfadc probes1=$r1%.3f probes2=$r2%.3f")
     r1 should be >= 0.7
     r2 should be >= 0.8
-    r2 should be >= r1 // a second probe can only add candidates
+    // no r2 >= r1 assert: ADC ranks by QUANTIZED distance, so an extra
+    // probe's underestimated candidate can displace a true neighbor —
+    // recall is not monotone in probes for ADC top-k (the floors are the
+    // gate; the exact-verified near-dup test below CAN assert it)
     graft.util.Caches.releaseAll(spark)
   }
 

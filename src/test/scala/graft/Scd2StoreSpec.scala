@@ -83,6 +83,14 @@ class Scd2StoreSpec extends SparkSpec {
     load("p6", 4, Seq(1 -> "a4"))
     store.readCurrent("t1").filter(col("cid") === 1)
       .select("v").as[String].head() shouldBe "a4"
+    // crash-between-renames recovery: the live dir is gone, the backup
+    // holds the data at its deterministic name — the next compaction
+    // call restores it before doing anything else
+    val histAfter = slurp("history.parquet")
+    new java.io.File(s"$dir/t1/history.parquet").renameTo(
+      new java.io.File(s"$dir/t1/.compact_backup_history.parquet")) shouldBe true
+    store.compactHistory("t1", targetFiles = 2)
+    slurp("history.parquet") shouldBe histAfter
   }
 
   it should "run merges against catalog tables (C6 variant)" in {
