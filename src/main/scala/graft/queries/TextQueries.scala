@@ -150,6 +150,21 @@ object TextQueries {
         .orderBy(col("merge_rank"))
     },
 
+    // X37 (apply side): tokenize the corpus with the 5-rule merge table
+    // learned by q_x37 — per-doc token counts before/after, oracle =
+    // the training CTE chain's final token stream. Proves applyMerges
+    // reproduces the training loop's stream given the same table.
+    "q_x39_bpe_tokenize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val table = TextStats.bpeTrain(docs, "doc_id", "text", nMerges = 5)
+        .orderBy(col("merge_rank"))
+        .select(col("token_a"), col("token_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      TextStats.applyMerges(docs, "doc_id", "text", table)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -332,34 +347,52 @@ object TextQueries {
     * keep even offsets — equivalent to the greedy fold; runs only form
     * when token_a = token_b), then dense renumbering for the next round. */
   private def bpeOracle(n: Int): String = {
+    val selects = (0 until n).map { k =>
+      s"""SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, a AS token_a,
+         |  b AS token_b, f AS pair_freq FROM best$k""".stripMargin
+    }
+    bpeChain(n) + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+  }
+
+  /** q_x39 oracle: the SAME unrolled training chain, but the answer is
+    * the FINAL token stream's per-doc counts — what `applyMerges` must
+    * reproduce when handed the learned table. */
+  private def bpeTokenizeOracle(n: Int): String =
+    bpeChain(n) +
+      s"""
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM tok$n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpeChain(n: Int): String = {
     val head =
-      """WITH tok0 AS (
+      """WITH tok0 AS MATERIALIZED (
         |  SELECT doc_id, i AS pos, w[i] AS tok
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
         |        FROM (SELECT doc_id,
         |                regexp_split_to_array(lower(text), '\s+') AS w
         |              FROM documents)))""".stripMargin
     val iters = (0 until n).map { k =>
-      s"""pair$k AS (
+      s"""pair$k AS MATERIALIZED (
          |  SELECT doc_id, pos, tok AS a,
          |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
          |  FROM tok$k),
-         |best$k AS (
+         |best$k AS MATERIALIZED (
          |  SELECT a, b, CAST(count(*) AS BIGINT) AS f
          |  FROM pair$k WHERE b IS NOT NULL GROUP BY a, b
          |  ORDER BY f DESC, a, b LIMIT 1),
-         |mt$k AS (
+         |mt$k AS MATERIALIZED (
          |  SELECT p.doc_id, p.pos,
          |    row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
          |  FROM pair$k p JOIN best$k bb ON p.a = bb.a AND p.b = bb.b),
-         |keep$k AS (
+         |keep$k AS MATERIALIZED (
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos,
          |      row_number() OVER (PARTITION BY doc_id, pos - rn
          |        ORDER BY pos) - 1 AS ri
          |    FROM mt$k)
          |  WHERE ri % 2 = 0),
-         |tok${k + 1} AS (
+         |tok${k + 1} AS MATERIALIZED (
          |  SELECT doc_id,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok
          |  FROM (
@@ -374,12 +407,7 @@ object TextQueries {
          |      AND nb.pos = t.pos + 1
          |    WHERE k2.pos IS NULL))""".stripMargin
     }
-    val selects = (0 until n).map { k =>
-      s"""SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, a AS token_a,
-         |  b AS token_b, f AS pair_freq FROM best$k""".stripMargin
-    }
-    (head +: iters).mkString(",\n") + "\n" +
-      selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+    (head +: iters).mkString(",\n")
   }
 
   /** q_x36 planted licence/boilerplate lines (>= 8 tokens each so every
@@ -503,6 +531,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x37_bpe_train" -> bpeOracle(5),
+    "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies
     // unchanged; cross-DOC candidacy via integer-division id mapping.
