@@ -165,6 +165,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X40: INCREMENTAL substring dedup — batch docs checked for spans
+    // shared with an indexed corpus (the X22 pattern at window grain:
+    // index scanned once, never shuffled; batch fingerprints broadcast).
+    // Plants: some corpus docs re-appear in the batch as their first 20
+    // tokens plus a licence tail the corpus has never seen — the span
+    // report must cover the prefix only.
+    "q_x40_incremental_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(concat_ws(" ", slice(Dedup.words(col("text")), 1, 20)),
+              lit(" " + bp1)).as("text")))
+      val idx = graft.text.SubstringDedup.buildSpanIndex(corpus, "doc_id",
+        "text", windowTokens = 8)
+      graft.text.SubstringDedup.incrementalDuplicatedSpans(idx, batch,
+        "doc_id", "text", windowTokens = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -410,6 +433,38 @@ object TextQueries {
     (head +: iters).mkString(",\n")
   }
 
+  /** Shared q_x36/q_x40 oracle tail: gaps-and-islands span merge over a
+    * `dw(doc_id, pos)` duplicated-window CTE, at window width `w`. */
+  private def spanMergeSql(w: Int): String =
+    s"""flags AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS nw
+       |  FROM (SELECT doc_id, pos,
+       |          max(pos + $w) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |        FROM dw)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM flags)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $w AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $w - min(pos) AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Window CTE over `src`: `wins$sfx(doc_id, pos, fp)` — `w`-token
+    * window fingerprints at 0-based token positions. */
+  private def winCte(w: Int, src: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tw
+       |  FROM $src),
+       |wins$sfx AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(tw[i:i+${w - 1}], ' ')) AS fp
+       |  FROM (SELECT doc_id, tw, unnest(range(1, len(tw) - ${w - 2})) AS i
+       |        FROM toks$sfx WHERE len(tw) >= $w))""".stripMargin
+
   /** q_x36 planted licence/boilerplate lines (>= 8 tokens each so every
     * copy contains full fingerprint windows). */
   private val bp1 =
@@ -593,34 +648,31 @@ object TextQueries {
          |      (regexp_split_to_array(lower(text), '\\s+'))[1:20], ' ')
          |      || ' $bp2' AS text
          |  FROM documents WHERE doc_id % 7 = 3),
-         |toks AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-         |  FROM corpus),
-         |wins AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    md5(array_to_string(w[i:i+7], ' ')) AS fp
-         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
-         |        FROM toks WHERE len(w) >= 8)),
+         |${winCte(8, "corpus")},
          |dupfp AS (
          |  SELECT fp FROM wins GROUP BY fp
          |  HAVING min(doc_id) <> max(doc_id)),
          |dw AS (SELECT doc_id, pos FROM wins JOIN dupfp USING (fp)),
-         |flags AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS nw
-         |  FROM (SELECT doc_id, pos,
-         |          max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-         |        FROM dw)),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM flags)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
-         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
-         |FROM isl GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin,
+         |${spanMergeSql(8)}""".stripMargin,
+    // Incremental substring dedup: batch windows semi-joined against the
+    // corpus fingerprint set, same span merge.
+    "q_x40_incremental_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id,
+         |    array_to_string(
+         |      (regexp_split_to_array(lower(text), '\\s+'))[1:20], ' ')
+         |      || ' $bp1' AS text
+         |  FROM corpus WHERE doc_id % 20 = 1),
+         |${winCte(8, "corpus", "_c")},
+         |${winCte(8, "batch", "_b")},
+         |dw AS (
+         |  SELECT b.doc_id, b.pos FROM wins_b b
+         |  WHERE b.fp IN (SELECT fp FROM wins_c)),
+         |${spanMergeSql(8)}""".stripMargin,
     "q_x21_simhash64_neardup" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -59,6 +59,56 @@ object SubstringDedup {
       .select(col("doc_id"), posexplode(col("__ws")))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("__fp"))
 
+  /** The persistable SPAN INDEX of a corpus: one row per (doc, window) —
+    * (doc_id, pos, fp) — the projection a production pipeline stores so
+    * incremental batches are checked for shared spans against history
+    * without re-hashing it (the [[Dedup.buildDedupIndex]] pattern at
+    * window grain). Append-only maintainable: indexing a new batch with
+    * this same function and appending the rows IS the update. */
+  def buildSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    windows(corpus, idCol, textCol, windowTokens)
+      .select(col("doc_id"), col("pos"), col("__fp").as("fp"))
+
+  /** Incremental substring dedup: maximal spans of each BATCH doc that
+    * occur verbatim somewhere in the indexed corpus — same output shape
+    * as [[duplicatedSpans]] (span_start/span_end/span_tokens per batch
+    * doc), but answered from the index alone; batch-internal sharing is
+    * deliberately out of scope (run [[duplicatedSpans]] on the batch for
+    * that). Scale shape mirrors the X22 contract: the batch fingerprint
+    * set BROADCASTS into one semi-join against the index (the index is
+    * scanned once, never shuffled), the matched-fingerprint set — small
+    * by construction — broadcasts back onto the batch windows, and only
+    * the batch (bounded) flows through the span-merge window. */
+  def incrementalDuplicatedSpans(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int): DataFrame = {
+    val bWins = graft.util.Caches.persistTracked(
+      windows(batch, idCol, textCol, windowTokens))
+    val matched = index.select(col("fp").as("__fp"))
+      .join(broadcast(bWins.select(col("__fp")).distinct()), "__fp")
+      .distinct()
+    mergeSpans(bWins.join(broadcast(matched), "__fp"), windowTokens)
+  }
+
+  /** Shared span-merge kernel: gaps-and-islands over (doc_id, pos)
+    * duplicated-window rows — a window starts a new span iff it begins
+    * past the furthest end seen so far (pos > running max end; equality
+    * = adjacent windows, merged — the combined region is duplicated). */
+  private def mergeSpans(dup: DataFrame, windowTokens: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + windowTokens)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowTokens).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Maximal duplicated spans per document: one row per merged span,
     * (doc_id, span_start, span_end, span_tokens) in token coordinates
     * (`span_end` exclusive). A span is reported when every
@@ -82,22 +132,7 @@ object SubstringDedup {
       .select(col("__fp"))
     // wins is re-shuffled on __fp for the probe side — the same exchange
     // the aggregate consumed, so Catalyst reuses it (ReusedExchange)
-    val dup = wins.join(dupFp, "__fp")
-    // gaps-and-islands: a window starts a new span iff it begins past
-    // the furthest end seen so far (pos > running max end; equality =
-    // adjacent windows, merged — the combined region is duplicated)
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + windowTokens)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    dup
-      .withColumn("__new",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
-      .withColumn("__island", sum(col("__new")).over(byDoc))
-      .groupBy(col("doc_id"), col("__island"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + windowTokens).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_tokens"))
+    mergeSpans(wins.join(dupFp, "__fp"), windowTokens)
   }
 
   /** Excise every duplicated span from every document (Lee et al. drop

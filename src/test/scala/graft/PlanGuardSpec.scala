@@ -295,6 +295,21 @@ class PlanGuardSpec extends SparkSpec {
     val exchanges = df.queryExecution.executedPlan
       .collect { case e: ShuffleExchangeExec => e }
     exchanges.size should be <= 3
+
+    // the incremental form's index side must never shuffle: the batch
+    // fingerprints broadcast into the semi-join, so the only exchange
+    // left is the batch-side span-merge window (doc_id-keyed)
+    val idx = graft.text.SubstringDedup.buildSpanIndex(docs, "doc_id",
+      "text", 8)
+    val inc = graft.text.SubstringDedup.incrementalDuplicatedSpans(idx,
+      docs.limit(5), "doc_id", "text", 8)
+    inc.collect().length should be > 0
+    val incPlan = planOf(inc)
+    incPlan should include("BroadcastHashJoin")
+    inc.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }
+      .size should be <= 1
+    graft.util.Caches.releaseAll(spark)
   }
 
   it should "resolve star fact FKs through broadcast joins only" in {

@@ -729,6 +729,37 @@ class TextSpec extends SparkSpec {
     spans shouldBe Seq((1L, 2L, 18L), (2L, 0L, 16L))
   }
 
+  it should "answer incremental spans from the index, ignoring batch-internal sharing" in {
+    import graft.text.SubstringDedup
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"c1 c2 $shared c3"),
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      .toDF("doc_id", "text")
+    val batchOnly = "bb1 bb2 bb3 bb4 bb5 bb6 bb7 bb8 bb9"
+    val batch = Seq(
+      (10L, s"n1 n2 $shared n3 n4"), // shares the corpus span
+      (11L, batchOnly),              // shared ONLY batch-internally
+      (12L, batchOnly),
+      (13L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")) // novel
+      .toDF("doc_id", "text")
+    val idx = SubstringDedup.buildSpanIndex(corpus, "doc_id", "text", 8)
+    val spans = SubstringDedup.incrementalDuplicatedSpans(idx, batch,
+      "doc_id", "text", 8)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // only the corpus-shared span reports; batch-internal sharing (11/12)
+    // and novel docs are silent
+    spans shouldBe Seq((10L, 2L, 10L))
+    // and the composed check: appending the batch to the index makes a
+    // re-probe of doc 11's text report its (now indexed) twin
+    val idx2 = idx.unionByName(
+      SubstringDedup.buildSpanIndex(batch, "doc_id", "text", 8))
+    SubstringDedup.incrementalDuplicatedSpans(idx2,
+      Seq((20L, batchOnly)).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .count() shouldBe 1L
+  }
+
   it should "excise duplicated spans while preserving all other text" in {
     import graft.text.SubstringDedup
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
