@@ -24,7 +24,9 @@ object Bench {
       "q_x21_simhash64_neardup", "q_x9b_ann_ivf_multiprobe",
       "q_x23_jaccard_between", "q_x22_dedup_index", "q_x26_ivfadc",
       "q_x28_ivfadc_distributed", "q_x34_curation_pipeline",
-      "q_m5_image_neardup", "q_m8_audio_neardup", "q_x35_semantic_neardup")
+      "q_m5_image_neardup", "q_m8_audio_neardup", "q_x35_semantic_neardup",
+      "q_x36_substring_dedup", "q_x37_bpe_train", "q_x39_bpe_tokenize",
+      "q_x40_incremental_spans")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
