@@ -176,6 +176,55 @@ object StreamingEvents {
     ()
   }
 
+  /** X40 streaming: exact-substring span detection maintained over
+    * micro-batches — each batch's docs are checked for token spans
+    * shared with the ALREADY-INDEXED corpus
+    * ([[graft.text.SubstringDedup.incrementalDuplicatedSpans]]), span
+    * reports land in `spanDir/batch_id=<id>`, and the batch's own
+    * window fingerprints append to the index as `batch_id=<id>` — the
+    * exact replay-safe layout of [[incrementalDedupSink]] (per-batch
+    * overwrite; a failed attempt's own index rows are anti-joined out
+    * so a replay cannot match a doc against itself). A long-running
+    * query compacts with [[graft.text.Dedup.compactDedupIndex]]'s
+    * sibling pattern: the span index is plain `batch_id=`-partitioned
+    * parquet too. */
+  def spanDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, spanDir: String, checkpointDir: String,
+      windowTokens: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          spanBatch(batch.toDF(), batchId, idCol, textCol, indexDir,
+            spanDir, windowTokens)
+      }
+      .start()
+
+  /** One micro-batch of [[spanDedupSink]] — package-private for the
+    * replay-idempotence spec. */
+  private[graft] def spanBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, spanDir: String,
+      windowTokens: Int): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (fs.exists(path))
+        spark.read.parquet(indexDir)
+          .join(broadcast(batch.select(col(idCol).as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+      else graft.text.SubstringDedup
+        .buildSpanIndex(batch.limit(0), idCol, textCol, windowTokens)
+    graft.text.SubstringDedup
+      .incrementalDuplicatedSpans(index, batch, idCol, textCol, windowTokens)
+      .write.mode("overwrite").parquet(s"$spanDir/batch_id=$batchId")
+    graft.text.SubstringDedup
+      .buildSpanIndex(batch, idCol, textCol, windowTokens)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    graft.util.Caches.releaseAll(spark)
+    ()
+  }
+
   /** X24 streaming: corpus vocabulary statistics maintained incrementally
     * over micro-batches — the streaming counterpart of
     * [[graft.text.TextStats.vocabulary]]. Each batch's partial

@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     first._1.count(_.contains("new")) shouldBe 1
   }
 
+  it should "detect cross-batch shared spans replay-idempotently in the span sink" in {
+    import graft.text.SubstringDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    def run(id: Long, text: String, b: Long): Unit =
+      StreamingEvents.spanBatch(Seq((id, text)).toDF("doc_id", "text"),
+        b, "doc_id", "text", s"$tmp/index", s"$tmp/spans", 8)
+    run(1L, s"c1 c2 $shared c3", 0L)
+    run(2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10", 1L)
+    run(3L, s"n1 n2 $shared n3", 2L) // shares batch 0's span
+    def spans(): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$tmp/spans")
+        .select("doc_id", "span_start", "span_end", "batch_id")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val before = spans()
+    before.filter(_._1 == 3L) shouldBe Seq((3L, 2L, 10L, 2L))
+    before.map(_._1) shouldBe Seq(3L) // earlier batches saw nothing
+    // the index accumulated every batch's windows
+    spark.read.parquet(s"$tmp/index").select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    // at-least-once replay of batch 2: identical outputs — the anti-join
+    // keeps doc 3's own already-appended windows from matching itself
+    // (without it, the replay would also report the n1/n2/n3 context)
+    run(3L, s"n1 n2 $shared n3", 2L)
+    spans() shouldBe before
+  }
+
   it should "preserve dedup verdicts and bound file count across index compaction" in {
     import graft.text.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
