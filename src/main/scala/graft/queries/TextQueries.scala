@@ -129,15 +129,19 @@ object TextQueries {
     // paragraph-level duplication exists while whole docs stay unique —
     // the case doc-level near-dup scores too low to catch.
     "q_x38_paragraph_neardup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val nxt = docs.select((col("doc_id") - 17).as("doc_id"),
-        col("text").as("__t2"))
-      val corpus = docs.join(nxt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("__t2").isNull, col("text"))
-            .otherwise(concat(col("text"), lit("\n\n"), col("__t2")))
-            .as("text"))
-      Dedup.paragraphNearDupStats(corpus, "doc_id", "text")
+      Dedup.paragraphNearDupStats(paragraphCorpus(t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // X41: paragraph excision — q_x38's verdicts applied: duplicated
+    // paragraphs dropped, docs rebuilt from the survivors (md5-compared
+    // so the oracle checks the exact rebuilt text).
+    "q_x41_paragraph_excision" -> { (s, dir) =>
+      Dedup.exciseDuplicateParagraphs(paragraphCorpus(t(s, dir, "documents")),
+        "doc_id", "text")
+        .select(col("doc_id"), md5(col("kept_text")).as("kept_md5"),
+          col("n_paras"), col("n_dup_paras"))
         .orderBy(col("doc_id"))
     },
 
@@ -362,6 +366,58 @@ object TextQueries {
           col("has_pii"), md5(col("redacted_text")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     })
+
+  /** q_x38/q_x41 shared oracle chain: the fixture corpus, paragraphs
+    * under synthetic ids doc_id*1000+idx (paras-per-doc << 1000, so the
+    * shared minhash CTE chain applies unchanged), cross-doc candidate
+    * pairs and per-pair agreement counts `nmp(pa, pb, n_match)`. */
+  private def paragraphChain: String =
+    s"""WITH pcorpus AS (
+       |  SELECT d1.doc_id,
+       |    CASE WHEN d2.text IS NULL THEN d1.text
+       |         ELSE d1.text || chr(10) || chr(10) || d2.text END AS text
+       |  FROM documents d1
+       |  LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 17),
+       |paras AS (
+       |  SELECT doc_id, i - 1 AS para_idx, p[i] AS ptext
+       |  FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(text, '\\n\\s*\\n') AS p
+       |              FROM pcorpus))),
+       |pcount AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+       |  FROM paras GROUP BY 1),
+       |psrc AS (
+       |  SELECT doc_id * 1000 + para_idx AS doc_id, ptext AS text
+       |  FROM paras),
+       |${minhashSigCte("psrc", "_p")},
+       |candp AS (
+       |  SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+       |  FROM bands_p a JOIN bands_p c
+       |    ON a.b = c.b AND a.bh = c.bh
+       |    AND a.doc_id // 1000 <> c.doc_id // 1000),
+       |nmp AS (
+       |  SELECT candp.pa, candp.pb,
+       |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM candp
+       |  JOIN mh_p x ON x.doc_id = candp.pa
+       |  JOIN mh_p y ON y.doc_id = candp.pb AND y.k = x.k
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q_x38/q_x41 fixture: doc i carries its own text plus doc (i+17)'s
+    * text as a second paragraph — paragraph-level duplication with
+    * whole docs staying unique. */
+  private def paragraphCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val nxt = base.select((col("doc_id") - 17).as("doc_id"),
+      col("text").as("__t2"))
+    base.join(nxt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__t2").isNull, col("text"))
+          .otherwise(concat(col("text"), lit("\n\n"), col("__t2")))
+          .as("text"))
+  }
 
   /** q_x37 oracle: the BPE training loop unrolled into a CTE chain — per
     * iteration k: adjacent pairs of the CURRENT token stream via lead(),
@@ -591,38 +647,7 @@ object TextQueries {
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies
     // unchanged; cross-DOC candidacy via integer-division id mapping.
     "q_x38_paragraph_neardup" ->
-      s"""WITH pcorpus AS (
-         |  SELECT d1.doc_id,
-         |    CASE WHEN d2.text IS NULL THEN d1.text
-         |         ELSE d1.text || chr(10) || chr(10) || d2.text END AS text
-         |  FROM documents d1
-         |  LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 17),
-         |paras AS (
-         |  SELECT doc_id, i - 1 AS para_idx, p[i] AS ptext
-         |  FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
-         |        FROM (SELECT doc_id,
-         |                regexp_split_to_array(text, '\\n\\s*\\n') AS p
-         |              FROM pcorpus))),
-         |pcount AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
-         |  FROM paras GROUP BY 1),
-         |psrc AS (
-         |  SELECT doc_id * 1000 + para_idx AS doc_id, ptext AS text
-         |  FROM paras),
-         |${minhashSigCte("psrc", "_p")},
-         |candp AS (
-         |  SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
-         |  FROM bands_p a JOIN bands_p c
-         |    ON a.b = c.b AND a.bh = c.bh
-         |    AND a.doc_id // 1000 <> c.doc_id // 1000),
-         |nmp AS (
-         |  SELECT candp.pa, candp.pb,
-         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_match
-         |  FROM candp
-         |  JOIN mh_p x ON x.doc_id = candp.pa
-         |  JOIN mh_p y ON y.doc_id = candp.pb AND y.k = x.k
-         |  GROUP BY 1, 2),
+      s"""$paragraphChain,
          |dup AS (
          |  SELECT pa // 1000 AS doc_id,
          |    CAST(count(DISTINCT pa) AS BIGINT) AS n_dup_paras
@@ -632,6 +657,22 @@ object TextQueries {
          |  round(coalesce(d.n_dup_paras, 0) / CAST(p.n_paras AS DOUBLE), 4)
          |    AS dup_para_fraction
          |FROM pcount p LEFT JOIN dup d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+    // Paragraph excision: q_x38's dup verdicts applied — surviving
+    // paragraphs re-joined with blank lines in original order, md5'd.
+    "q_x41_paragraph_excision" ->
+      s"""$paragraphChain,
+         |dupp AS (SELECT DISTINCT pa FROM nmp WHERE n_match >= 8)
+         |SELECT p.doc_id,
+         |  md5(coalesce(string_agg(
+         |    CASE WHEN d.pa IS NULL THEN p.ptext END,
+         |    chr(10) || chr(10) ORDER BY p.para_idx), '')) AS kept_md5,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN d.pa IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_paras
+         |FROM paras p
+         |LEFT JOIN dupp d ON d.pa = p.doc_id * 1000 + p.para_idx
+         |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin,
     // Exact-substring dedup: 8-token window fingerprints, cross-doc test
     // via min<>max doc_id per fingerprint, gaps-and-islands span merge —

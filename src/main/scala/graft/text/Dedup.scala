@@ -946,7 +946,42 @@ object Dedup {
     * branches share one pass over the split. */
   def paragraphNearDupStats(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      minMatch: Int = 8): DataFrame = {
+      minMatch: Int = 8): DataFrame =
+    paragraphDupFlags(df, idCol, textCol, shingleN, k, bands, minMatch)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        round(col("n_dup_paras") / col("n_paras"), 4)
+          .as("dup_para_fraction"))
+
+  /** X38 (excision): drop every paragraph that near-duplicates a
+    * paragraph of ANOTHER document and rebuild the doc from the
+    * survivors (blank-line joined, original order and original casing —
+    * the split is on blank lines, so surviving text is byte-preserved).
+    * Output: (doc_id, kept_text, n_paras, n_dup_paras); `kept_text` is
+    * empty when everything was boilerplate. The rebuild is one
+    * doc_id-keyed aggregate over the flags projection. */
+  def exciseDuplicateParagraphs(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame =
+    paragraphDupFlags(df, idCol, textCol, shingleN, k, bands, minMatch)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("__dup"), struct(col("para_idx"), col("__p"))))),
+          x => x.getField("__p")), "\n\n").as("kept_text"))
+      .select(col("doc_id"), col("kept_text"), col("n_paras"),
+        col("n_dup_paras"))
+
+  /** Shared X38 kernel: one row per (doc, paragraph) with a cross-doc
+    * near-dup flag — blank-line split, paragraph-grain MinHash banding
+    * (the X2 ReuseExchange self-join), same-doc matches excluded. */
+  private def paragraphDupFlags(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int,
+      minMatch: Int): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
     val paras = graft.util.Caches.persistTracked(
@@ -954,8 +989,6 @@ object Dedup {
           posexplode(split(col(textCol), "\\n\\s*\\n")))
         .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
           col("col").as("__p")))
-    val counts = paras.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_paras"))
     val sig = paras.filter(size(words(col("__p"))) >= shingleN)
       .select(col("doc_id"), col("para_idx"),
         minhashWordsUdf(shingleN, k)(words(col("__p"))).as("sig"))
@@ -969,11 +1002,8 @@ object Dedup {
         m => m)) >= minMatch)
       .select(col("a.doc_id").as("doc_id"), col("a.para_idx"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nd"))
-    counts.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("__nd"), lit(0L)).as("n_dup_paras"),
-        round(coalesce(col("__nd"), lit(0L)) / col("n_paras"), 4)
-          .as("dup_para_fraction"))
+      .withColumn("__dup", lit(true))
+    paras.join(dup, Seq("doc_id", "para_idx"), "left")
+      .withColumn("__dup", coalesce(col("__dup"), lit(false)))
   }
 }

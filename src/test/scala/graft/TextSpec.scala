@@ -641,6 +641,20 @@ class TextSpec extends SparkSpec {
       (2L, 2L, 1L, 0.5),
       (3L, 2L, 0L, 0.0), // unique; the short para can't even sign
       (4L, 2L, 0L, 0.0)) // cross-doc only — self-repeat excluded
+    // excision drops exactly the flagged paragraphs, preserving the
+    // survivors byte-for-byte (original casing, original order)
+    val kept = Dedup.exciseDuplicateParagraphs(corpus, "doc_id", "text")
+      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+    kept(1L) shouldBe "the quick brown fox jumps over the lazy dog"
+    kept(2L) shouldBe "completely different second content paragraph words"
+    kept(3L) shouldBe "totally unrelated text about nothing in particular at all\n\nok"
+    kept(4L) shouldBe s"$selfdup\n\n$selfdup" // self-repeat untouched
+    // a doc that is ALL shared boilerplate excises to empty, not dropped
+    val allBp = corpus.unionByName(
+      Seq((5L, shared)).toDF("doc_id", "text"))
+    Dedup.exciseDuplicateParagraphs(allBp, "doc_id", "text")
+      .filter(col("doc_id") === 5L)
+      .select("kept_text").as[String].head() shouldBe ""
   }
 
   "bpeTrain" should "learn ranked merges matching a hand-computed trace" in {
