@@ -221,7 +221,10 @@ object StreamingEvents {
     graft.text.SubstringDedup
       .buildSpanIndex(batch, idCol, textCol, windowTokens)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    graft.util.Caches.releaseAll(spark)
+    // no session-global cache release: incrementalDuplicatedSpans
+    // persists nothing, so there is nothing of OURS to drop — and a
+    // global releaseAll here would clobber the caches of any other sink
+    // sharing this SparkSession mid-batch
     ()
   }
 

@@ -76,14 +76,21 @@ object SubstringDedup {
     * doc), but answered from the index alone; batch-internal sharing is
     * deliberately out of scope (run [[duplicatedSpans]] on the batch for
     * that). Scale shape mirrors the X22 contract: the batch fingerprint
-    * set BROADCASTS into one semi-join against the index (the index is
-    * scanned once, never shuffled), the matched-fingerprint set — small
-    * by construction — broadcasts back onto the batch windows, and only
-    * the batch (bounded) flows through the span-merge window. */
+    * set BROADCASTS into the join against the index — the index is
+    * scanned once and NEVER shuffled (it streams through a broadcast
+    * hash join) — the matched-fingerprint set, small by construction,
+    * broadcasts back onto the batch windows, and only the batch flows
+    * through the span-merge window. The plan's three exchanges
+    * (batch-fingerprint distinct, matched-fingerprint distinct, span
+    * merge) are all BATCH-sized; nothing index-sized moves
+    * (plan-guarded under static plans). The batch window projection is
+    * deliberately unpersisted — it is micro-batch-sized and recomputing
+    * it twice is cheaper than pinning executor memory per call (and
+    * keeps this operator safe under concurrent streaming sinks that
+    * share one session). */
   def incrementalDuplicatedSpans(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, windowTokens: Int): DataFrame = {
-    val bWins = graft.util.Caches.persistTracked(
-      windows(batch, idCol, textCol, windowTokens))
+    val bWins = windows(batch, idCol, textCol, windowTokens)
     val matched = index.select(col("fp").as("__fp"))
       .join(broadcast(bWins.select(col("__fp")).distinct()), "__fp")
       .distinct()

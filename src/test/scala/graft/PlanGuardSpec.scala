@@ -286,30 +286,38 @@ class PlanGuardSpec extends SparkSpec {
         Seq("shared", "licence", "line", "of", "eight", "tokens", "in",
           "total")).mkString(" ")))
       .toDF("doc_id", "text")
-    val df = graft.text.SubstringDedup.duplicatedSpans(
-      docs, "doc_id", "text", 8)
-    df.collect().length should be > 0 // the guard must watch a live plan
-    val plan = planOf(df)
-    plan should not include "CartesianProduct"
-    plan should not include "BroadcastNestedLoopJoin"
-    val exchanges = df.queryExecution.executedPlan
-      .collect { case e: ShuffleExchangeExec => e }
-    exchanges.size should be <= 3
+    // static plans: under AQE the executedPlan is one AdaptiveSparkPlanExec
+    // leaf and a ShuffleExchangeExec collect() would vacuously count zero
+    withStaticShufflePlans {
+      val df = graft.text.SubstringDedup.duplicatedSpans(
+        docs, "doc_id", "text", 8)
+      df.collect().length should be > 0 // the guard must watch a live plan
+      val plan = planOf(df)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      val exchanges = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      exchanges.size should be <= 3
 
-    // the incremental form's index side must never shuffle: the batch
-    // fingerprints broadcast into the semi-join, so the only exchange
-    // left is the batch-side span-merge window (doc_id-keyed)
-    val idx = graft.text.SubstringDedup.buildSpanIndex(docs, "doc_id",
-      "text", 8)
-    val inc = graft.text.SubstringDedup.incrementalDuplicatedSpans(idx,
-      docs.limit(5), "doc_id", "text", 8)
-    inc.collect().length should be > 0
-    val incPlan = planOf(inc)
-    incPlan should include("BroadcastHashJoin")
-    inc.queryExecution.executedPlan
-      .collect { case e: ShuffleExchangeExec => e }
-      .size should be <= 1
-    graft.util.Caches.releaseAll(spark)
+      // the incremental form's INDEX side must never shuffle: it streams
+      // through a broadcast hash join; the plan's exchanges (batch-fp
+      // distinct, matched-fp distinct, span-merge window) are all
+      // batch-sized
+      val idx = graft.text.SubstringDedup.buildSpanIndex(docs, "doc_id",
+        "text", 8)
+      val inc = graft.text.SubstringDedup.incrementalDuplicatedSpans(idx,
+        docs.limit(5), "doc_id", "text", 8)
+      inc.collect().length should be > 0
+      val incPlan = planOf(inc)
+      incPlan should include("BroadcastHashJoin")
+      // three batch-bounded exchanges: batch-fp distinct, matched-fp
+      // distinct (partial-aggregated map-side, so its shuffle volume is
+      // distinct-fps-per-partition even though the index scan feeds it),
+      // and the doc_id span-merge window
+      inc.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .size should be <= 3
+    }
   }
 
   it should "resolve star fact FKs through broadcast joins only" in {
