@@ -202,6 +202,14 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // X42: bigram-LM perplexity scoring (the CCNet quality signal) —
+    // self-trained add-alpha model; the model is two count tables
+    // consulted by key joins, never broadcast.
+    "q_x42_lm_perplexity" -> { (s, dir) =>
+      TextStats.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -652,6 +660,31 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x37_bpe_train" -> bpeOracle(5),
+    // Bigram-LM perplexity: same count tables, same smoothing, same
+    // context-count simplification; ln/exp rounded at 3 decimals.
+    "q_x42_lm_perplexity" ->
+      s"""WITH ${shingleCte(2)},
+         |bc AS (SELECT shingle, count(*) AS cab FROM sh GROUP BY 1),
+         |toks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |uc AS (SELECT tok, count(*) AS ca FROM toks GROUP BY 1),
+         |v AS (SELECT count(*) AS vv FROM uc),
+         |sc AS (
+         |  SELECT sh.doc_id,
+         |    -ln((bc.cab + 0.4) / (uc.ca + 0.4 * v.vv)) AS nll
+         |  FROM sh
+         |  JOIN bc USING (shingle)
+         |  JOIN uc ON uc.tok = split_part(sh.shingle, ' ', 1)
+         |  CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    round(exp(avg(nll)), 3) AS perplexity
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |  agg.perplexity
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies

@@ -387,6 +387,52 @@ object TextStats {
       coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
   }
 
+  /** X42: n-gram language-model PERPLEXITY scoring — the CCNet quality
+    * signal (Wenzek et al. 2020, public knowledge: docs scored by an
+    * n-gram LM's perplexity; low = fluent, high = noise/boilerplate
+    * soup). Here the LM is a word-BIGRAM model with add-alpha smoothing
+    * trained on the corpus itself (self-perplexity — the common
+    * bootstrap when no external LM ships):
+    * `P(b|a) = (c(ab) + alpha) / (c(a) + alpha·V)`, perplexity =
+    * `exp(mean -ln P)` over the doc's bigrams.
+    *
+    * 100 TB shape: the "model" is never materialized driver-side or
+    * broadcast — it IS two count tables (bigram, unigram), built by two
+    * map-side-combined aggregates and consulted by two key-partitioned
+    * joins; scoring is one per-doc aggregate. Five exchanges total, all
+    * key-hashed, nothing collected. Docs with fewer than 2 tokens carry
+    * NULL perplexity (no bigrams to judge — rows are kept, callers
+    * quarantine). The unigram denominator counts every occurrence of
+    * the context token (including final positions) — a documented
+    * modeling simplification, mirrored exactly by the oracle. */
+  def bigramPerplexity(corpus: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bi = corpus.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    val biCounts = bi.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("__cab"))
+    val uni = corpus.select(
+      explode(Dedup.words(col(textCol))).as("tok"))
+    val uniCounts = uni.groupBy(col("tok")).agg(count(lit(1)).as("__ca"))
+    val vocab = uniCounts.agg(count(lit(1)).as("__v"))
+    val scored = bi
+      .join(biCounts, "bigram")
+      .withColumn("tok", split(col("bigram"), " ").getItem(0))
+      .join(uniCounts, "tok")
+      .crossJoin(broadcast(vocab)) // one global scalar, not the model
+      .withColumn("__nll",
+        -log((col("__cab") + alpha) / (col("__ca") + col("__v") * alpha)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(avg(col("__nll"))), 3).as("perplexity"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("perplexity"))
+  }
+
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
     * behaviour exactly. */

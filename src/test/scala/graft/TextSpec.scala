@@ -657,6 +657,30 @@ class TextSpec extends SparkSpec {
       .select("kept_text").as[String].head() shouldBe ""
   }
 
+  "bigramPerplexity" should "score docs against the hand-computed self-trained model" in {
+    val corpus = Seq(
+      (1L, "a b a b a b"),      // the corpus's common bigrams
+      (2L, "x y z w q r"),      // every bigram unique
+      (3L, "solo"))             // no bigrams at all
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramPerplexity(corpus, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "perplexity")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // V = 9 distinct tokens; c(a)=c(b)=3, others 1; c(ab)=3, c(ba)=2,
+    // doc-2 bigrams each 1. alpha = 0.4.
+    val v = 9; val al = 0.4
+    def p(cab: Long, ca: Long) = (cab + al) / (ca + al * v)
+    def ppl(ps: Seq[Double]) =
+      BigDecimal(math.exp(ps.map(x => -math.log(x)).sum / ps.size))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl1 = ppl(Seq(p(3, 3), p(2, 3), p(3, 3), p(2, 3), p(3, 3)))
+    val ppl2 = ppl(Seq.fill(5)(p(1, 1)))
+    out(0) shouldBe ((1L, 5L, Some(ppl1)))
+    out(1) shouldBe ((2L, 5L, Some(ppl2)))
+    out(2) shouldBe ((3L, 0L, None)) // kept, not dropped
+    ppl1 should be < ppl2 // fluent-under-the-model scores lower
+  }
+
   "bpeTrain" should "learn ranked merges matching a hand-computed trace" in {
     val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
     // pairs: (a,b)=3 (b,a)=1 (b,c)=2 (c,d)=1 → rule 1: (a,b) f=3
