@@ -21,6 +21,64 @@ object Curation {
     conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0)
 
+  /** X43: DSIR importance weighting — Data Selection via Importance
+    * Resampling (Xie et al. 2023, public knowledge): score every raw doc
+    * by how target-like its HASHED n-gram feature distribution is,
+    * `imp(x) = Σ_f [ln p_target(bucket(f)) − ln p_raw(bucket(f))]` over
+    * the doc's unigram + bigram features hashed into `buckets` bins
+    * (add-alpha smoothed bucket distributions). Positive = looks more
+    * like the target corpus than like the raw pool; select by threshold
+    * or top-fraction downstream.
+    *
+    * 100 TB shape: the two bucket-distribution tables have exactly
+    * `buckets` rows — a CONSTANT (2^10..2^17), independent of corpus
+    * size — so broadcasting them is the scale-correct plan (unlike the
+    * X42 LM whose tables grow with the corpus and must be key-joined).
+    * Everything else is one explode + one per-doc aggregate; the
+    * bucket hash is the engine-neutral md5-hex arithmetic every other
+    * deterministic operator shares. Output: (doc_id, n_feats,
+    * importance, keep = importance > 0); docs with no features (empty
+    * text) keep their row with NULL importance and keep = false. */
+  def dsirImportance(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0 && alpha > 0, "buckets and alpha must be positive")
+    def feats(df: DataFrame, text: String, cols: Column*): DataFrame =
+      df.select(cols :+ explode(concat(
+        graft.text.Dedup.words(col(text)),
+        graft.text.Dedup.shingles(col(text), 2))).as("__f"): _*)
+    def bucket(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    def dist(f: DataFrame): DataFrame = f
+      .select(bucket(col("__f")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val tDist = dist(feats(target, targetTextCol))
+    val rDist = dist(feats(corpus, textCol))
+    val tTot = tDist.agg(sum(col("__c")).as("__nt"))
+    val rTot = rDist.agg(sum(col("__c")).as("__nr"))
+    val scored = feats(corpus, textCol, col(idCol).as("doc_id"))
+      .withColumn("__b", bucket(col("__f")))
+      .join(broadcast(tDist.withColumnRenamed("__c", "__tc")), Seq("__b"), "left")
+      .join(broadcast(rDist.withColumnRenamed("__c", "__rc")), Seq("__b"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .withColumn("__w",
+        log((coalesce(col("__tc"), lit(0L)) + alpha) /
+          (col("__nt") + buckets * alpha)) -
+        log((coalesce(col("__rc"), lit(0L)) + alpha) /
+          (col("__nr") + buckets * alpha)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("__w")), 3).as("importance"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("importance"),
+        coalesce(col("importance") > 0, lit(false)).as("keep"))
+  }
+
   /** X12: deterministic stratified sampling — keep a row of stratum `s`
     * when its [0,1) hash falls under `fractions(s)` (strata absent from
     * the map are dropped). The classic class-balancing primitive for

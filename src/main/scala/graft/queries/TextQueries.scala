@@ -202,6 +202,16 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // X43: DSIR importance weighting — raw pool scored against the
+    // English-language slice as the target distribution (hashed
+    // unigram+bigram features, 1024 buckets).
+    "q_x43_dsir_importance" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.curate.Curation.dsirImportance(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X42: bigram-LM perplexity scoring (the CCNet quality signal) —
     // self-trained add-alpha model; the model is two count tables
     // consulted by key joins, never broadcast.
@@ -660,6 +670,42 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x37_bpe_train" -> bpeOracle(5),
+    // DSIR: hashed unigram+bigram features -> 1024-bucket distributions
+    // (target = lang 'en'), per-doc sum of smoothed log-ratios.
+    "q_x43_dsir_importance" ->
+      s"""WITH ${shingleCte(2)},
+         |feats AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS f
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, shingle AS f FROM sh),
+         |bk AS (
+         |  SELECT doc_id, (${hexDigitSum(1, 8)}) % 1024 AS b
+         |  FROM (SELECT doc_id, md5(f) AS m FROM feats)),
+         |tb AS (
+         |  SELECT b, count(*) AS c FROM bk
+         |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+         |  GROUP BY b),
+         |rb AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+         |nt AS (SELECT sum(c) AS n FROM tb),
+         |nr AS (SELECT sum(c) AS n FROM rb),
+         |imp AS (
+         |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    round(sum(
+         |      ln((coalesce(tb.c, 0) + 0.5) / (nt.n + 512.0)) -
+         |      ln((coalesce(rb.c, 0) + 0.5) / (nr.n + 512.0))), 3)
+         |      AS importance
+         |  FROM bk
+         |  LEFT JOIN tb USING (b)
+         |  LEFT JOIN rb USING (b)
+         |  CROSS JOIN nt CROSS JOIN nr
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(imp.n_feats, 0) AS n_feats,
+         |  imp.importance,
+         |  coalesce(imp.importance > 0, false) AS keep
+         |FROM documents d LEFT JOIN imp ON imp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Bigram-LM perplexity: same count tables, same smoothing, same
     // context-count simplification; ln/exp rounded at 3 decimals.
     "q_x42_lm_perplexity" ->

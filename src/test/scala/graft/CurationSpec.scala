@@ -41,4 +41,26 @@ class CurationSpec extends SparkSpec {
       (1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L), (4L, 1L, 2L),
       (5L, 0L, 0L), (6L, 0L, 9L))
   }
+
+  it should "weight target-like docs above off-distribution docs (DSIR)" in {
+    // target speaks vocabulary T; the raw pool mixes T-docs and docs
+    // over a disjoint vocabulary U. A T-doc's hashed features live in
+    // target-heavy buckets -> positive importance; U-docs negative.
+    val tDocs = Seq(
+      (101L, "spark shuffle partition broadcast join filter"),
+      (102L, "partition join shuffle spark broadcast scan"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "spark shuffle partition broadcast join scan"), // target-like
+      (2L, "zebra yak walrus vole tapir shrew"))           // off-dist
+      .toDF("doc_id", "text")
+    val out = Curation.dsirImportance(corpus, "doc_id", "text",
+      tDocs, "text")
+      .select("doc_id", "importance", "keep")
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    val Seq(a, b) = out
+    a._2.get should be > b._2.get
+    a._3 shouldBe true   // target-like: kept
+    b._3 shouldBe false  // off-distribution: dropped
+  }
 }
