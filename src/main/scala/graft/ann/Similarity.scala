@@ -609,4 +609,55 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** X44: SemDeDup (Abbas et al. 2023, public knowledge) — semantic
+    * CORPUS PRUNING, the keep/drop complement of the pair-listing forms
+    * (X10/X30 list near-dup pairs; this decides which rows survive).
+    * Every vector is assigned to its nearest centroid ([[ivfAssign]]'s
+    * row-local argmax — zero shuffle); within each cluster a row is
+    * dropped when some LOWER-id row of the same cluster has cosine ≥
+    * `threshold` with it. Greedy-by-id is the paper's "keep one point
+    * per ε-ball" made deterministic and engine-reproducible: the kept
+    * set is exactly the ids with no earlier similar neighbor, and no
+    * chain effects (a dropped row still disqualifies later rows — the
+    * evidence join runs over ALL cluster members, matching the paper's
+    * pairwise formulation, not iterative removal).
+    *
+    * 100 TB shape: ONE shuffle keys the within-cluster pair join on
+    * `centroid_id`; pair fan-out is O(Σ bucket²), controlled by k — the
+    * paper runs k ≈ n/10⁴ so buckets stay ~10⁴ rows and the quadratic
+    * term is bounded per task. The dup-evidence aggregate is map-side
+    * combined on the same key; the verdict join back to the assignment
+    * is id-keyed. Centroids broadcast (they must fit one executor — the
+    * IVF contract shared with every other index here). Degenerate rows
+    * are explicitly NOT duplicate evidence: a zero-norm vector's cosine
+    * is NULL (guarded before the ANSI-checked division, which would
+    * otherwise throw on the zero denominator) and NaN cosines (NaN
+    * vector components) are filtered — Spark and DuckDB both order NaN
+    * above every number, so an unguarded `>=` would let one degenerate
+    * row silently erase its whole cluster.
+    *
+    * Output: (vec_id, centroid_id, dup_of = lowest-id similar earlier
+    * neighbor or NULL, cosine = its cosine or NULL, keep). */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double, dim: Int): DataFrame = {
+    ensureNative(df)
+    val assigned = graft.util.Caches.persistTracked(
+      ivfAssign(df, idCol, vecCol, centroids, dim))
+    val earlier = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_a"), col("v").as("w"), col("nrm").as("nrm_b"))
+    val evidence = assigned.join(earlier, "centroid_id")
+      .filter(col("vec_a") < col("vec_id"))
+      .withColumn("cos",
+        when(col("nrm") =!= 0.0 && col("nrm_b") =!= 0.0,
+          nCosine(col("v"), col("w"), col("nrm"), col("nrm_b"))))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("vec_a"), col("cos"))).as("__d"))
+      .select(col("vec_id"), col("__d.vec_a").as("dup_of"),
+        round(col("__d.cos"), 6).as("cosine"))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(evidence, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
 }

@@ -173,6 +173,16 @@ object AnnQueries {
       Similarity.ivfCosineNearDuplicates(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") % 40 === 0), 0.99, Dim, probes = 2)
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // X44: SemDeDup corpus pruning over the same planted corpus — the
+    // +100000 planted copies must be dropped (dup_of = their source,
+    // when both land in the same cluster), organic rows all kept.
+    "q_x44_semdedup" -> { (s, dir) =>
+      val corpus = corpusWithNearDups(t(s, dir, "embeddings"))
+      Similarity.semDeDup(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") % 40 === 0), 0.99, Dim)
+        .orderBy(col("vec_id"))
     })
 
   private val nnCte =
@@ -468,5 +478,44 @@ object AnnQueries {
         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99)
         |SELECT vec_a, vec_b, cosine FROM pairs
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup ground truth: single-cluster assignment exactly as the
+    // Spark argmax (cos desc — NaN sorts greatest in both engines —
+    // then centroid id), dup evidence = lowest-id earlier cluster-mate
+    // at cosine >= τ, NaN cosines excluded.
+    "q_x44_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(v[1] + 0.05, v[2:]) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |nn AS (SELECT vec_id, v,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM nn WHERE vec_id % 40 = 0),
+        |rnk AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+        |        c.centroid_id) AS rn
+        |  FROM nn n, cent c),
+        |own AS (SELECT vec_id, v, nrm, centroid_id FROM rnk WHERE rn = 1),
+        |pairs AS (
+        |  SELECT b.vec_id, a.vec_id AS dup_of,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY a.vec_id) AS rn
+        |  FROM own a JOIN own b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99),
+        |ev AS (SELECT vec_id, dup_of, cosine FROM pairs WHERE rn = 1)
+        |SELECT o.vec_id, o.centroid_id, e.dup_of, e.cosine,
+        |  e.dup_of IS NULL AS keep
+        |FROM own o LEFT JOIN ev e USING (vec_id)
+        |ORDER BY o.vec_id""".stripMargin)
 }

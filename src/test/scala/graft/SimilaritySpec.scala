@@ -331,4 +331,48 @@ class SimilaritySpec extends SparkSpec {
     q(2L)._3 shouldBe Seq(0, 0)
     q(2L)._4 shouldBe 0.0
   }
+
+  it should "prune semantic duplicates greedily by id within clusters" in {
+    graft.functions.DotProductExpr.register(spark)
+    // cluster A (centroid 1): 1, 2≈1, 5≈1; cluster B (centroid 3): 3, 4
+    // (4 is near 3 but below τ=0.999); 6 is zero-norm (NaN cosine) and
+    // lands wherever argmax's NaN ranking puts it — it must be KEPT and
+    // must not erase its cluster-mates.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.1f)),
+      (5L, Array(1.0f, 0.0f, 0.001f)),
+      (6L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id").isin(1, 3))
+    val r = Similarity.semDeDup(corpus, "vec_id", "embedding", cents,
+        0.999, 3)
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    r(1L)._3 shouldBe true
+    r(2L) shouldBe (2L, Some(1L), false) // earliest similar wins
+    r(5L) shouldBe (5L, Some(1L), false) // min id, not min cosine
+    r(3L)._3 shouldBe true
+    r(4L)._3 shouldBe true // below threshold — kept
+    r(6L) shouldBe (6L, None, true) // NaN is never duplicate evidence
+    // invariant: no two KEPT cluster-mates at cosine >= τ
+    val kept = Similarity.semDeDup(corpus, "vec_id", "embedding", cents,
+        0.999, 3)
+      .filter(col("keep"))
+    val asg = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents, 3)
+    val viol = asg.join(kept.select("vec_id"), "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Long, Array[Double], Double)].collect()
+      .toSeq.groupBy(_._1).values.flatMap { g =>
+        for {
+          a <- g; b <- g if a._2 < b._2
+          cos = a._3.zip(b._3).map(p => p._1 * p._2).sum / (a._4 * b._4)
+          if !cos.isNaN && cos >= 0.999
+        } yield (a._2, b._2)
+      }
+    viol shouldBe empty
+  }
 }
