@@ -151,6 +151,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X45: CCNet-style global line dedup over a fixture where every 3rd
+    // doc carries the same boilerplate footer and doc i embeds doc
+    // (i+17)'s text as a trailing line — only first occurrences (by
+    // doc_id, idx) survive; blank lines always survive.
+    "q_x45_line_dedup" -> { (s, dir) =>
+      Dedup.lineDeduplicate(lineCorpus(t(s, dir, "documents")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("dedup_text")).as("dedup_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // X37: iterated word-level BPE training — the 5-rule ranked merge
     // table (q_x33 is one counting step; this is the loop: count, take
     // the global best pair, apply it everywhere, repeat).
@@ -444,6 +456,26 @@ object TextQueries {
       .select(col("doc_id"),
         when(col("__t2").isNull, col("text"))
           .otherwise(concat(col("text"), lit("\n\n"), col("__t2")))
+          .as("text"))
+  }
+
+  /** q_x45 fixture: doc i's single-line text becomes a multi-line page —
+    * its own text, a hot boilerplate footer (preceded by a blank line) on
+    * every 3rd doc, and doc (i+17)'s text as a trailing line. The corpus
+    * then has blank lines, one ~n/3-times-repeated boilerplate line (the
+    * skew case), and cross-doc content-line duplicates. */
+  private def lineCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val nxt = base.select((col("doc_id") - 17).as("doc_id"),
+      col("text").as("__t2"))
+    base.join(nxt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nCopyright Example Corp - all rights reserved"))
+            .otherwise(lit("")),
+          when(col("__t2").isNull, lit(""))
+            .otherwise(concat(lit("\n"), col("__t2"))))
           .as("text"))
   }
 
@@ -763,6 +795,45 @@ object TextQueries {
          |LEFT JOIN dupp d ON d.pa = p.doc_id * 1000 + p.para_idx
          |GROUP BY p.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    // CCNet line dedup: the fixture inline, first occurrence per
+    // trim-hash by (doc_id, idx), blank lines exempt, rebuilt text
+    // md5-compared.
+    "q_x45_line_dedup" ->
+      """WITH fix AS (
+        |  SELECT b.doc_id,
+        |    b.text ||
+        |    CASE WHEN b.doc_id % 3 = 0
+        |      THEN chr(10) || chr(10) ||
+        |        'Copyright Example Corp - all rights reserved'
+        |      ELSE '' END ||
+        |    CASE WHEN n.text IS NULL THEN ''
+        |      ELSE chr(10) || n.text END AS text
+        |  FROM documents b
+        |  LEFT JOIN documents n ON n.doc_id = b.doc_id + 17),
+        |lines AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1)
+        |      - 1 AS idx,
+        |    unnest(string_split(coalesce(text, ''), chr(10))) AS line
+        |  FROM fix),
+        |keyed AS (
+        |  SELECT doc_id, idx, line, trim(line) <> '' AS dedupable,
+        |    md5(trim(line)) AS h
+        |  FROM lines),
+        |ranked AS (
+        |  SELECT doc_id, idx, line, dedupable,
+        |    row_number() OVER (PARTITION BY dedupable, h
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM keyed),
+        |flags AS (
+        |  SELECT doc_id, idx, line,
+        |    (NOT dedupable OR rn = 1) AS keep
+        |  FROM ranked)
+        |SELECT doc_id, count(1) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+        |    chr(10) ORDER BY idx), '')) AS dedup_md5
+        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Exact-substring dedup: 8-token window fingerprints, cross-doc test
     // via min<>max doc_id per fingerprint, gaps-and-islands span merge —
     // the same three stages as the Spark operator.

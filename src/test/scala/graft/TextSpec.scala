@@ -818,4 +818,26 @@ class TextSpec extends SparkSpec {
     SubstringDedup.exciseDuplicates(dup, "doc_id", "text", 8)
       .select("kept_text").as[String].collect().toSeq shouldBe Seq("", "")
   }
+
+  it should "keep only the first occurrence of each line corpus-wide" in {
+    val corpus = Seq(
+      (1L, "unique one\nshared footer\n\nunique two"),
+      (2L, "shared footer\nits own line\nshared footer"),
+      (3L, "  \nonly here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDeduplicate(corpus, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "dedup_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1 is first everywhere: byte-identical round trip, blank kept
+    r(1L) shouldBe ((4L, 4L, "unique one\nshared footer\n\nunique two"))
+    // doc 2 loses BOTH copies of the already-seen footer (global rule
+    // covers within-doc repeats too)
+    r(2L) shouldBe ((3L, 1L, "its own line"))
+    // whitespace-only lines are structure: kept, never evidence
+    r(3L) shouldBe ((2L, 2L, "  \nonly here"))
+    // NULL text behaves as empty — one blank line, kept
+    r(4L) shouldBe ((1L, 1L, ""))
+  }
 }
