@@ -79,6 +79,50 @@ object Curation {
         coalesce(col("importance") > 0, lit(false)).as("keep"))
   }
 
+  /** X46: temperature-scaled domain mixing (the GLaM/Gopher mixture rule,
+    * public knowledge): per-domain token shares `s_d` are flattened to
+    * `w_d ∝ s_d^α` (α ∈ (0,1]; α = 1 is the natural mix, α → 0
+    * approaches uniform), and each document receives `n_copies` =
+    * ⌊f_d⌋ + Bernoulli(frac(f_d)) where `f_d = w_d / s_d` is the
+    * domain's epoch factor — the deterministic-hash realization of
+    * "domain d is seen f_d times per epoch of the mixture". The
+    * Bernoulli draw is the (seed, id) md5 hash every sampling operator
+    * here shares, so reruns are idempotent and engine-reproducible;
+    * upsampled tails replicate (n_copies ≥ 1 possible per doc),
+    * downsampled heads thin (n_copies ∈ {0, 1}).
+    *
+    * 100 TB shape: the mixture table has one row per DOMAIN — a
+    * constant — so both reductions (domain token totals, weight
+    * normalizer) are map-side-combined aggregates over tiny results, and
+    * the factor joins back onto the corpus as a broadcast. The corpus is
+    * scanned once; no shuffle touches corpus-sized data. Output:
+    * (doc_id, <domainCol>, n_tokens, mix_factor, n_copies); NULL text
+    * counts 0 tokens but still receives its domain's factor. */
+  def temperatureMixture(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, alpha: Double, seed: String = "mix"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val toks = df.select(col(idCol).as("doc_id"), col(domainCol),
+      coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
+        .cast("long").as("n_tokens"))
+    val dom = toks.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("__toks"))
+    val tot = dom.agg(sum(col("__toks")).as("__t"))
+    val wts = dom.crossJoin(broadcast(tot))
+      .withColumn("__raw", pow(col("__toks") / col("__t"), lit(alpha)))
+    val norm = wts.agg(sum(col("__raw")).as("__w"))
+    val fac = wts.crossJoin(broadcast(norm))
+      .withColumn("__f",
+        (col("__raw") / col("__w")) / (col("__toks") / col("__t")))
+      .select(col(domainCol), col("__f"))
+    toks.join(broadcast(fac), Seq(domainCol))
+      .select(col("doc_id"), col(domainCol), col("n_tokens"),
+        round(col("__f"), 6).as("mix_factor"),
+        (floor(col("__f")) +
+          when(uniformHash(col("doc_id"), seed) <
+            col("__f") - floor(col("__f")), 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
   /** X12: deterministic stratified sampling — keep a row of stratum `s`
     * when its [0,1) hash falls under `fractions(s)` (strata absent from
     * the map are dropped). The classic class-balancing primitive for

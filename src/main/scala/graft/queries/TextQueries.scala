@@ -224,6 +224,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X46: temperature-scaled domain mixing at α = 0.5 over the source
+    // column — under-represented domains get epoch factors > 1
+    // (replication), over-represented < 1 (thinning).
+    "q_x46_domain_mixture" -> { (s, dir) =>
+      graft.curate.Curation.temperatureMixture(t(s, dir, "documents"),
+        "doc_id", "text", "source", 0.5, "m1")
+        .orderBy(col("doc_id"))
+    },
+
     // X42: bigram-LM perplexity scoring (the CCNet quality signal) —
     // self-trained add-alpha model; the model is two count tables
     // consulted by key joins, never broadcast.
@@ -702,6 +711,31 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x37_bpe_train" -> bpeOracle(5),
+    // Temperature mixing: domain token shares flattened by pow(s, 0.5),
+    // epoch factor f = flattened/raw share, per-doc copies via floor +
+    // hash-Bernoulli on the fractional part.
+    "q_x46_domain_mixture" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len(regexp_split_to_array(lower(text), '\\s+')),
+         |      0) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |dom AS (SELECT source, sum(n_tokens) AS toks FROM tok
+         |  GROUP BY source),
+         |tot AS (SELECT sum(toks) AS t FROM dom),
+         |wts AS (SELECT source, toks, pow(toks / t, 0.5) AS raw
+         |  FROM dom, tot),
+         |norm AS (SELECT sum(raw) AS w FROM wts),
+         |fac AS (SELECT source, (raw / w) / (toks / t) AS f
+         |  FROM wts, tot, norm),
+         |u AS (SELECT doc_id,
+         |  md5('m1:' || CAST(doc_id AS VARCHAR)) AS m FROM documents)
+         |SELECT k.doc_id, k.source, k.n_tokens,
+         |  round(f, 6) AS mix_factor,
+         |  CAST(floor(f) + (CASE WHEN (${hexDigitSum(1, 8)}) / 4294967296.0
+         |    < f - floor(f) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+         |FROM tok k JOIN fac USING (source) JOIN u USING (doc_id)
+         |ORDER BY k.doc_id""".stripMargin,
     // DSIR: hashed unigram+bigram features -> 1024-bucket distributions
     // (target = lang 'en'), per-doc sum of smoothed log-ratios.
     "q_x43_dsir_importance" ->

@@ -63,4 +63,33 @@ class CurationSpec extends SparkSpec {
     a._3 shouldBe true   // target-like: kept
     b._3 shouldBe false  // off-distribution: dropped
   }
+
+  it should "flatten domain shares by temperature and conserve the epoch" in {
+    // 9:1 token split: web docs carry 9 tokens, books 1. At α = 0.5 the
+    // shares 0.9/0.1 flatten to 0.75/0.25, so the epoch factors are
+    // 0.75/0.9 = 0.8333 and 0.25/0.1 = 2.5.
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "web"),
+      (2L, "b1", "books"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.temperatureMixture(corpus, "doc_id", "text",
+        "source", 0.5, "s")
+      .select("doc_id", "n_tokens", "mix_factor", "n_copies")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    r(1L)._2 shouldBe 9L
+    r(1L)._3 shouldBe 0.833333
+    r(2L)._3 shouldBe 2.5
+    // factors conserve the epoch: Σ f_d · s_d = 1
+    (r(1L)._3 * 0.9 + r(2L)._3 * 0.1) shouldBe (1.0 +- 1e-5)
+    // copies = floor(f) + Bernoulli(frac(f)): 2.5 → 2 or 3, 0.83 → 0 or 1
+    r(2L)._4 should (be(2L) or be(3L))
+    r(1L)._4 should (be(0L) or be(1L))
+    // α = 1 is the identity mix: every factor 1, every doc exactly once
+    val id = Curation.temperatureMixture(corpus, "doc_id", "text",
+        "source", 1.0, "s")
+      .select("mix_factor", "n_copies")
+      .as[(Double, Long)].collect()
+    id.foreach { case (f, c) => f shouldBe 1.0; c shouldBe 1L }
+  }
 }
