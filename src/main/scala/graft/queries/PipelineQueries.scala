@@ -58,6 +58,27 @@ object PipelineQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // JSONL round trip: documents (incl. full text) written as
+    // newline-delimited JSON and read back under the explicit schema;
+    // the per-lang digest of sorted text md5s proves every text byte
+    // survives JSON escaping.
+    "q_s2_jsonl_roundtrip" -> { (s, dir) =>
+      val ctx = new TransformationContext
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      ctx.update("out_path", path)
+      ctx.update("in_path", path)
+      val orig = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.sources.JsonlSink.write(orig, ctx)
+      ctx.update("schema", orig.schema)
+      graft.sources.JsonlSource(s, ctx)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_key"),
+          md5(concat_ws("", array_sort(collect_list(md5(col("text"))))))
+            .as("texts_md5"))
+        .orderBy(col("lang"))
+    },
+
     // F10: linear model scoring with enum re-coding.
     "q_f10_scoring" -> { (s, dir) =>
       val scored = Scoring.score(
@@ -136,6 +157,10 @@ object PipelineQueries {
     "q_s1_csv_roundtrip" ->
       """SELECT c_mktsegment, count(1) AS n, min(c_custkey) AS min_key
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_s2_jsonl_roundtrip" ->
+      """SELECT lang, count(1) AS n, min(doc_id) AS min_key,
+        |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS texts_md5
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_f10_scoring" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  round(0.5 * l_quantity + 2.0 * l_discount +

@@ -105,6 +105,35 @@ object JdbcSink extends Sink {
   }
 }
 
+/** JSONL source (beyond the reference — the interchange format LLM text
+  * corpora actually ship as: one JSON object per line, newline-delimited,
+  * splittable so a 100 TB dump still reads one HDFS block per task).
+  * Schema from ctx when given (the scale path: inference reads the whole
+  * input TWICE — never let it near a large corpus), else inferred.
+  * Multiline JSON is deliberately NOT supported: a multiline file is not
+  * splittable and serializes the read through one task per file. */
+object JsonlSource extends Source {
+  def apply(spark: SparkSession, ctx: TransformationContext): DataFrame = {
+    val r = spark.read
+    ctx.get[StructType]("schema").map(r.schema).getOrElse(r)
+      .json(ctx[String]("in_path"))
+  }
+}
+
+/** JSONL sink: newline-delimited JSON, overwrite mode, optional
+  * `compression` (zstd/gzip — line-oriented codecs keep splittability
+  * only for block codecs; prefer zstd). Column TYPES survive the round
+  * trip only through an explicit read schema — JSON itself stores
+  * numbers untyped. */
+object JsonlSink extends Sink {
+  def write(df: DataFrame, ctx: TransformationContext): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    ctx.get[String]("compression").map(w.option("compression", _))
+      .getOrElse(w)
+      .json(ctx[String]("out_path"))
+  }
+}
+
 /** S8/O8-style sample writer (reference: star/io/ParquetWriter.scala:20-32). */
 object SampleParquetSink extends Sink {
   def write(df: DataFrame, ctx: TransformationContext): Unit =
