@@ -26,7 +26,10 @@ object Bench {
       "q_x28_ivfadc_distributed", "q_x34_curation_pipeline",
       "q_m5_image_neardup", "q_m8_audio_neardup", "q_x35_semantic_neardup",
       "q_x36_substring_dedup", "q_x37_bpe_train", "q_x39_bpe_tokenize",
-      "q_x40_incremental_spans")
+      "q_x40_incremental_spans", "q_x38_paragraph_neardup",
+      "q_x41_paragraph_excision", "q_x42_lm_perplexity",
+      "q_x43_dsir_importance", "q_x44_semdedup", "q_x45_line_dedup",
+      "q_x47_ann_l2", "q_x48_ppl_buckets")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

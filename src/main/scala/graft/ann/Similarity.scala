@@ -166,6 +166,83 @@ object Similarity {
       .toDF("vec_id", "rk", "neighbor_id", "cosine")
   }
 
+  /** Brute-force exact EUCLIDEAN top-k — the metric the IVF/PQ
+    * literature is native to (Jégou 2011 scores L2; cosine is the text
+    * convention). Same broadcast-index mapPartitions kernel and output
+    * contract as [[bruteForceTopK]], ranked by (distance ASC, neighbor
+    * id asc); the distance is `sqrt(Σ (aᵢ−bᵢ)²)` accumulated
+    * left-to-right — the [[graft.functions.L2DistanceExpr]] /
+    * DuckDB `list_distance` semantics, NOT the algebraic
+    * `√(a·a − 2a·b + b·b)`, which rounds differently and collapses for
+    * near-equal vectors. L2 needs no normalization, so zero vectors
+    * rank normally; NaN distances (NaN components) are dropped like
+    * NaN cosines. Output: (vec_id, rk, neighbor_id, distance). */
+  def bruteForceTopKL2(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    for (d <- Seq(queries, candidates)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"bruteForceTopKL2 requires a numeric $idCol (castable to long), got $t")
+    }
+    val index: Array[(Long, Array[Double])] = candidates
+      .select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cands = bc.value
+        rows.flatMap { case (qid, qv) =>
+          val topId = new Array[Long](k)
+          val topDist = new Array[Double](k)
+          var n = 0
+          var ci = 0
+          while (ci < cands.length) {
+            val (cid, cv) = cands(ci)
+            if (cid != qid) {
+              var s = 0.0; var j = 0
+              val dn = math.min(qv.length, cv.length)
+              while (j < dn) {
+                val d = qv(j) - cv(j)
+                s += d * d
+                j += 1
+              }
+              val dist = math.sqrt(s)
+              if (!java.lang.Double.isNaN(dist)) {
+                // insertion top-k by (dist asc, neighbor id asc)
+                var pos = n
+                while (pos > 0 && (topDist(pos - 1) > dist ||
+                  (topDist(pos - 1) == dist && topId(pos - 1) > cid))) pos -= 1
+                if (pos < k) {
+                  val last = math.min(n, k - 1)
+                  var m = last
+                  while (m > pos) {
+                    topDist(m) = topDist(m - 1); topId(m) = topId(m - 1); m -= 1
+                  }
+                  topDist(pos) = dist; topId(pos) = cid
+                  if (n < k) n += 1
+                }
+              }
+            }
+            ci += 1
+          }
+          (0 until n).map { r =>
+            (qid, (r + 1).toLong, topId(r),
+              BigDecimal(topDist(r))
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+        }
+      }
+      .toDF("vec_id", "rk", "neighbor_id", "distance")
+  }
+
   /** Exact cosine top-k, STREAMED-INDEX form. [[bruteForceTopK]]
     * broadcasts the candidate INDEX — at 100 TB that is the wrong side:
     * its ceiling binds the corpus. This form flips the roles: the

@@ -68,6 +68,15 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X47: exact EUCLIDEAN top-5 — the L2 metric variant (checked
+    // against DuckDB's native list_distance).
+    "q_x47_ann_l2" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKL2(emb.filter(col("vec_id") % 4 === 0), emb,
+        "vec_id", "embedding", 5, Dim)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X29: exact cosine top-5 with the STREAMED-INDEX form — the query
     // batch broadcasts and the corpus streams, so exact search scales to
     // an unbounded index. Same function as q_x8, same oracle.
@@ -260,6 +269,24 @@ object AnnQueries {
     "q_x8_ann_bruteforce" -> bruteForceOracle,
     // streamed-index form computes the SAME exact function — one oracle
     "q_x29_bruteforce_streamed" -> bruteForceOracle,
+    // L2 variant: DuckDB's native list_distance IS sqrt(Σ(a-b)²) with
+    // the same left-to-right accumulation as the Spark kernel
+    "q_x47_ann_l2" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_distance(a.v, b.v) AS dist
+        |  FROM nn a, nn b
+        |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id
+        |    AND NOT isnan(list_distance(a.v, b.v))),
+        |rk AS (
+        |  SELECT vec_id, neighbor_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
+        |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     "q_x9_ann_ivf" ->
       s"""WITH $nnCte,
          |cent AS (

@@ -241,6 +241,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X48: CCNet head/middle/tail bucketing — per-language perplexity
+    // percent-rank thirds over the X42 signal; sub-2-token docs are
+    // 'unscored' and excluded from everyone else's percentile.
+    "q_x48_ppl_buckets" -> { (s, dir) =>
+      TextStats.perplexityBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -797,6 +806,44 @@ object TextQueries {
          |  agg.perplexity
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // CCNet buckets: the X42 chain + per-lang percent_rank thirds on
+    // the ROUNDED rank (both engines compare the same 6-decimal value).
+    "q_x48_ppl_buckets" ->
+      s"""WITH ${shingleCte(2)},
+         |bc AS (SELECT shingle, count(*) AS cab FROM sh GROUP BY 1),
+         |toks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |uc AS (SELECT tok, count(*) AS ca FROM toks GROUP BY 1),
+         |v AS (SELECT count(*) AS vv FROM uc),
+         |sc AS (
+         |  SELECT sh.doc_id,
+         |    -ln((bc.cab + 0.4) / (uc.ca + 0.4 * v.vv)) AS nll
+         |  FROM sh
+         |  JOIN bc USING (shingle)
+         |  JOIN uc ON uc.tok = split_part(sh.shingle, ' ', 1)
+         |  CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, round(exp(avg(nll)), 3) AS perplexity
+         |  FROM sc GROUP BY 1),
+         |ppl AS (
+         |  SELECT d.doc_id, d.lang, agg.perplexity
+         |  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+         |scored AS (
+         |  SELECT doc_id, lang, perplexity,
+         |    round(percent_rank() OVER (PARTITION BY lang
+         |      ORDER BY perplexity, doc_id), 6) AS ppl_rank
+         |  FROM ppl WHERE perplexity IS NOT NULL)
+         |SELECT doc_id, lang, perplexity, ppl_rank,
+         |  CASE WHEN ppl_rank < 1.0 / 3 THEN 'head'
+         |    WHEN ppl_rank < 2.0 / 3 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM scored
+         |UNION ALL
+         |SELECT doc_id, lang, perplexity,
+         |  CAST(NULL AS DOUBLE) AS ppl_rank, 'unscored' AS bucket
+         |FROM ppl WHERE perplexity IS NULL
+         |ORDER BY doc_id""".stripMargin,
     "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies

@@ -433,6 +433,70 @@ object TextStats {
         col("perplexity"))
   }
 
+  /** X48: CCNet head/middle/tail bucketing (Wenzek et al. 2020, public
+    * knowledge) — the SELECTION step the X42 perplexity signal feeds:
+    * per language, documents sort by perplexity and split into equal
+    * thirds (head = most fluent, tail = noisiest; CCNet trains on head+
+    * middle). Exact percent_rank form: rank ties are impossible (doc id
+    * tiebreak), thresholds are the float thirds both engines compute
+    * identically. Unscorable docs (NULL perplexity — under 2 tokens)
+    * are EXCLUDED from the ranking and bucketed 'unscored', not allowed
+    * to shift everyone else's percentile.
+    *
+    * Scale note: percent_rank puts each language in ONE window
+    * partition — one task sorts that language's whole slice, which is
+    * exactly wrong at 100 TB with 70% English. This form is the
+    * oracle-exact reference; [[perplexityBucketsByCutoff]] is the scale
+    * path (per-lang percentile CUTOFFS — a map-side-combinable
+    * aggregate — broadcast back; no per-lang sort anywhere). Output:
+    * (doc_id, <langCol>, perplexity, ppl_rank, bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, alpha: Double = 0.4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("perplexity"), col("doc_id"))
+    val ppl = bigramPerplexity(df, idCol, textCol, alpha)
+      .join(df.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+    val scored = ppl.filter(col("perplexity").isNotNull)
+      .withColumn("ppl_rank", round(percent_rank().over(w), 6))
+      .withColumn("bucket",
+        when(col("ppl_rank") < lit(1.0 / 3), "head")
+          .when(col("ppl_rank") < lit(2.0 / 3), "middle")
+          .otherwise("tail"))
+    val unscored = ppl.filter(col("perplexity").isNull)
+      .withColumn("ppl_rank", lit(null).cast("double"))
+      .withColumn("bucket", lit("unscored"))
+    scored.unionByName(unscored)
+      .select(col("doc_id"), col(langCol), col("perplexity"),
+        col("ppl_rank"), col("bucket"))
+  }
+
+  /** X48 (scale form): the same head/middle/tail verdicts from per-lang
+    * percentile CUTOFFS instead of a rank — `percentile(ppl, 1/3)` and
+    * `percentile(ppl, 2/3)` per language (one aggregate whose result is
+    * language-count-sized), broadcast back onto the corpus as two
+    * comparisons. No window, no per-lang sort task, corpus scanned
+    * once past the X42 scoring. Boundary docs whose perplexity EQUALS a
+    * cutoff go to the lower bucket (ties share a bucket here — the rank
+    * form splits ties by doc id; the spec pins the agreement on
+    * tie-free data). */
+  def perplexityBucketsByCutoff(df: DataFrame, idCol: String,
+      textCol: String, langCol: String, alpha: Double = 0.4): DataFrame = {
+    val ppl = bigramPerplexity(df, idCol, textCol, alpha)
+      .join(df.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+    val cuts = ppl.filter(col("perplexity").isNotNull)
+      .groupBy(col(langCol))
+      .agg(percentile(col("perplexity"), lit(1.0 / 3)).as("__c1"),
+        percentile(col("perplexity"), lit(2.0 / 3)).as("__c2"))
+    ppl.join(broadcast(cuts), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col("perplexity").isNull, "unscored")
+          .when(col("perplexity") <= col("__c1"), "head")
+          .when(col("perplexity") <= col("__c2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col(langCol), col("perplexity"), col("bucket"))
+  }
+
   /** PII patterns for [[redact]] — deliberately dialect-neutral regexes
     * (no lookarounds/backrefs) so an RE2-based engine matches Java's
     * behaviour exactly. */

@@ -332,6 +332,33 @@ class SimilaritySpec extends SparkSpec {
     q(2L)._4 shouldBe 0.0
   }
 
+  it should "rank exact Euclidean neighbors and evaluate graft_l2 natively" in {
+    graft.functions.L2DistanceExpr.register(spark)
+    // nearest by L2 differs from nearest by cosine for unnormalized
+    // vectors: (10,0,0) is cosine-identical to (1,0,0) but L2-far
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(10.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopKL2(pts, pts, "vec_id", "embedding", 2, 3)
+      .select("vec_id", "rk", "neighbor_id", "distance")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    r((1L, 1L)) shouldBe ((2L, 1.0))   // zero vector ranks fine under L2
+    r((1L, 2L)) shouldBe ((4L, 2.0))
+    r((2L, 1L)) shouldBe ((1L, 1.0))   // NOT 3: cosine twin is L2-far
+    r((3L, 1L)) shouldBe ((2L, 9.0))
+    // native expression: direct sqrt(Σ(a-b)²), ragged truncation, NULLs
+    spark.sql("SELECT graft_l2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d")
+      .as[Double].head() shouldBe 5.0
+    spark.sql("SELECT graft_l2(array(3.0d, 9.0d), array(7.0d)) AS d")
+      .as[Double].head() shouldBe 4.0
+    spark.sql("SELECT graft_l2(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .select(col("d").isNull).as[Boolean].head() shouldBe true
+  }
+
   it should "prune semantic duplicates greedily by id within clusters" in {
     graft.functions.DotProductExpr.register(spark)
     // cluster A (centroid 1): 1, 2≈1, 5≈1; cluster B (centroid 3): 3, 4

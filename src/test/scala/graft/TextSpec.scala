@@ -819,6 +819,38 @@ class TextSpec extends SparkSpec {
       .select("kept_text").as[String].collect().toSeq shouldBe Seq("", "")
   }
 
+  it should "bucket docs into per-language perplexity thirds" in {
+    import graft.text.TextStats
+    // six scoreable docs (distinct fluency -> tie-free perplexities)
+    // plus one unscorable single-token doc
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat", "en"),
+      (2L, "the dog sat on the mat and a dog ran", "en"),
+      (3L, "a cat and a dog sat on a mat", "en"),
+      (4L, "quantum flux capacitors destabilize chrono spatial manifolds", "en"),
+      (5L, "zebra umbrella xylophone quixotic jughandle vortex", "en"),
+      (6L, "the mat sat on the cat and the mat sat", "en"),
+      (7L, "solo", "en"))
+      .toDF("doc_id", "text", "lang")
+    val exact = TextStats.perplexityBuckets(corpus, "doc_id", "text", "lang")
+      .select("doc_id", "bucket", "ppl_rank")
+      .as[(Long, String, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    // 6 ranked docs split 2/2/2; the single-token doc is outside the rank
+    exact.values.map(_._2).groupBy(identity).view.mapValues(_.size).toMap shouldBe
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2, "unscored" -> 1)
+    exact(7L) shouldBe ((7L, "unscored", None))
+    // ranks are the percent_rank lattice 0, 0.2, ..., 1 over 6 rows
+    exact.values.flatMap(_._3).toSeq.sorted shouldBe
+      Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    // the cutoff (scale) form reproduces the exact form on tie-free data
+    val byCut = TextStats.perplexityBucketsByCutoff(
+        corpus, "doc_id", "text", "lang")
+      .select("doc_id", "bucket")
+      .as[(Long, String)].collect().toMap
+    exact.values.foreach { case (id, b, _) => byCut(id) shouldBe b }
+  }
+
   it should "keep only the first occurrence of each line corpus-wide" in {
     val corpus = Seq(
       (1L, "unique one\nshared footer\n\nunique two"),
