@@ -320,6 +320,48 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "keep the round-8 curation operators window-free and bounded" in {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // X45 line dedup: deliberately NOT a window over the line hash (a
+    // hot boilerplate line would serialize through one task) — the plan
+    // must be the groupBy+join form with bounded exchanges and no sort
+    // of corpus-sized data by hash
+    val docs = (1L to 30L)
+      .map(i => (i, s"own line $i\nshared footer\n\ntail ${i % 5}"))
+      .toDF("doc_id", "text")
+    val ld = Dedup.lineDeduplicate(docs, "doc_id", "text")
+    ld.collect().length shouldBe 30
+    val ldPlan = planOf(ld)
+    ldPlan should not include "Window"
+    ldPlan should not include "CartesianProduct"
+    ld.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }
+      .size should be <= 4
+
+    // X44 SemDeDup: one pair shuffle keyed on centroid_id; never a
+    // cartesian pair space, never a window
+    graft.functions.DotProductExpr.register(spark)
+    val sd = Similarity.semDeDup(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") % 10 === 0), 0.99, 8)
+    sd.collect().length shouldBe 40
+    val sdPlan = planOf(sd)
+    sdPlan should not include "CartesianProduct"
+    sdPlan should not include "BroadcastNestedLoopJoin"
+    sdPlan should not include "Window"
+
+    // X46 temperature mixing: the factor table joins back as a
+    // BROADCAST — corpus-sized data must not shuffle for a
+    // domain-count-sized mixture table
+    val mix = graft.curate.Curation.temperatureMixture(
+      docs.withColumn("src", concat(lit("d"), col("doc_id") % 3)),
+      "doc_id", "text", "src", 0.5)
+    mix.collect().length shouldBe 30
+    val mixPlan = planOf(mix)
+    mixPlan should include("BroadcastHashJoin")
+    mixPlan should not include "SortMergeJoin"
+    mixPlan should not include "Window"
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,
