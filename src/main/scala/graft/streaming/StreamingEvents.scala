@@ -228,6 +228,58 @@ object StreamingEvents {
     ()
   }
 
+  /** X45 streaming: CCNet line dedup maintained over micro-batches —
+    * each batch's lines are deduplicated against every line hash claimed
+    * by EARLIER batches ([[graft.text.Dedup.lineDeduplicateIndexed]]),
+    * rebuilt docs land in `outDir/batch_id=<id>`, and the batch's
+    * newly-claimed hashes append to the index as `batch_id=<id>` — the
+    * replay-safe layout of [[incrementalDedupSink]] (per-batch
+    * overwrite; a failed attempt's own index rows are anti-joined out by
+    * claimant doc_id so a replay cannot dedup a doc against itself).
+    * Only NEW hashes append (already-claimed ones are filtered through
+    * the same broadcast-probe shape), so the index stays one row per
+    * distinct corpus line and never re-claims. */
+  def lineDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          lineBatch(batch.toDF(), batchId, idCol, textCol, indexDir, outDir)
+      }
+      .start()
+
+  /** One micro-batch of [[lineDedupSink]] — package-private for the
+    * replay-idempotence and batch-parity specs. */
+  private[graft] def lineBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String,
+      outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      if (fs.exists(path))
+        spark.read.parquet(indexDir)
+          .join(broadcast(batch.select(col(idCol).as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+      else graft.text.Dedup
+        .buildLineIndex(batch.limit(0), idCol, textCol)
+    graft.text.Dedup
+      .lineDeduplicateIndexed(index, batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // append only the hashes no earlier batch claimed: the index streams
+    // through two broadcast probes (semi to find claims, anti to drop
+    // them from the batch's candidate rows) — never shuffled
+    val fresh = graft.text.Dedup.buildLineIndex(batch, idCol, textCol)
+    val claimed = index
+      .join(broadcast(fresh.select(col("h"))), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+    fresh.join(broadcast(claimed), Seq("h"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    ()
+  }
+
   /** X24 streaming: corpus vocabulary statistics maintained incrementally
     * over micro-batches — the streaming counterpart of
     * [[graft.text.TextStats.vocabulary]]. Each batch's partial

@@ -1035,18 +1035,30 @@ object Dedup {
     * line was a repeat. */
   def lineDeduplicate(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val lines = df.select(col(idCol).as("doc_id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)))
-      .select(col("doc_id"), col("pos").cast("long").as("idx"),
-        col("col").as("line"))
-      .withColumn("dedupable", trim(col("line")) =!= "")
-      .withColumn("h", md5(trim(col("line"))))
+    val lines = explodedLines(df, idCol, textCol)
     val first = lines.filter(col("dedupable"))
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
     val flagged = lines.join(first, Seq("h"), "left")
       .withColumn("keep", !col("dedupable") ||
         (col("doc_id") === col("__f.doc_id") && col("idx") === col("__f.idx")))
+    rebuildDocs(flagged)
+  }
+
+  /** Shared X45 kernel: one row per (doc, line) with the trim-hash and
+    * the dedupable flag (blank/whitespace-only lines are structure). */
+  private def explodedLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("line"))
+      .withColumn("dedupable", trim(col("line")) =!= "")
+      .withColumn("h", md5(trim(col("line"))))
+
+  /** Shared X45 rebuild: per-doc counts + the newline-joined survivors
+    * in original order, from a flagged line relation. */
+  private def rebuildDocs(flagged: DataFrame): DataFrame =
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -1054,5 +1066,44 @@ object Dedup {
           array_sort(collect_list(
             when(col("keep"), struct(col("idx"), col("line"))))),
           x => x.getField("line")), "\n").as("dedup_text"))
+
+  /** X45 (index): the persisted-state form — (h = line trim-hash,
+    * doc_id = first claimant) rows, one per distinct content line of
+    * `df`. The X22/X40 index pattern at LINE grain: append-only
+    * `batch_id=`-partitioned parquet, compacted by
+    * [[compactDedupIndex]]'s sibling layout. */
+  def buildLineIndex(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    explodedLines(df, idCol, textCol)
+      .filter(col("dedupable"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
+      .select(col("h"), col("__f.doc_id").as("doc_id"))
+
+  /** X45 (incremental): deduplicate a BATCH against the already-claimed
+    * line set — a batch line is dropped when its hash exists in the
+    * index OR a lower-(doc_id, idx) batch occurrence claimed it first;
+    * blank lines always survive. The index is scanned ONCE and never
+    * shuffled: the batch's distinct hashes broadcast into a left-semi
+    * probe, and only the (batch-bounded) matches flow on. Output matches
+    * [[lineDeduplicate]]. */
+  def lineDeduplicateIndexed(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val lines = explodedLines(batch, idCol, textCol)
+    val batchHashes = lines.filter(col("dedupable"))
+      .select(col("h")).distinct()
+    val seen = index.join(broadcast(batchHashes), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+      .withColumn("__seen", lit(true))
+    val first = lines.filter(col("dedupable"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
+    val flagged = lines.join(first, Seq("h"), "left")
+      .join(broadcast(seen), Seq("h"), "left")
+      .withColumn("keep", !col("dedupable") ||
+        (col("__seen").isNull &&
+          col("doc_id") === col("__f.doc_id") &&
+          col("idx") === col("__f.idx")))
+    rebuildDocs(flagged)
   }
 }

@@ -126,6 +126,43 @@ class StreamingSpec extends SparkSpec {
     spans() shouldBe before
   }
 
+  it should "dedup lines across batches replay-idempotently in the line sink" in {
+    import graft.text.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lines").toString
+    def run(rows: Seq[(Long, String)], b: Long): Unit =
+      StreamingEvents.lineBatch(rows.toDF("doc_id", "text"), b,
+        "doc_id", "text", s"$tmp/index", s"$tmp/out")
+    def out(): Map[Long, (Long, Long, String)] =
+      spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "n_lines", "n_kept", "dedup_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // batch 0: in-batch dedup only — parity with the batch operator
+    val b0 = Seq(1L -> "one\nshared footer\n\ntwo",
+      2L -> "shared footer\nown line")
+    run(b0, 0L)
+    val direct = Dedup.lineDeduplicate(b0.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "dedup_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    out() shouldBe direct
+    // batch 1: a line claimed in batch 0 is dropped; new lines survive
+    run(Seq(3L -> "shared footer\nthree\n\nown line"), 1L)
+    val r = out()
+    r(3L) shouldBe ((4L, 2L, "three\n"))
+    // the index holds one claimant per distinct line, never re-claimed
+    val idx = spark.read.parquet(s"$tmp/index")
+      .select("h", "doc_id").as[(String, Long)].collect()
+    idx.map(_._1).distinct.length shouldBe idx.length
+    // at-least-once replay of batch 1: byte-identical verdicts + index
+    run(Seq(3L -> "shared footer\nthree\n\nown line"), 1L)
+    out() shouldBe r
+    spark.read.parquet(s"$tmp/index")
+      .select("h", "doc_id").as[(String, Long)].collect()
+      .sorted.toSeq shouldBe idx.sorted.toSeq
+  }
+
   it should "preserve dedup verdicts and bound file count across index compaction" in {
     import graft.text.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
