@@ -233,10 +233,17 @@ object Similarity {
             ci += 1
           }
           (0 until n).map { r =>
-            (qid, (r + 1).toLong, topId(r),
-              BigDecimal(topDist(r))
+            // unlike cosine (whose overflow path lands on NaN via
+            // inf/inf), an L2 square-sum can overflow to +Infinity on
+            // finite-but-huge inputs — it ranks last like the oracle's,
+            // but BigDecimal cannot round it, so pass it through raw
+            val d = topDist(r)
+            val rounded =
+              if (java.lang.Double.isInfinite(d)) d
+              else BigDecimal(d)
                 .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble)
+                .toDouble
+            (qid, (r + 1).toLong, topId(r), rounded)
           }
         }
       }

@@ -108,11 +108,20 @@ object Curation {
       .agg(sum(col("n_tokens")).as("__toks"))
     val tot = dom.agg(sum(col("__toks")).as("__t"))
     val wts = dom.crossJoin(broadcast(tot))
-      .withColumn("__raw", pow(col("__toks") / col("__t"), lit(alpha)))
+      // pow(0, α) = 0 without touching the share ratio, whose t = 0
+      // denominator would throw on an all-empty corpus
+      .withColumn("__raw",
+        when(col("__toks") > 0, pow(col("__toks") / col("__t"), lit(alpha)))
+          .otherwise(lit(0.0)))
     val norm = wts.agg(sum(col("__raw")).as("__w"))
+    // a domain whose docs carry zero tokens has zero share — it gets
+    // factor 0 (no epochs of nothing) rather than the 0/0 the ratio
+    // would hit (ANSI division would throw on the zero denominator)
     val fac = wts.crossJoin(broadcast(norm))
       .withColumn("__f",
-        (col("__raw") / col("__w")) / (col("__toks") / col("__t")))
+        when(col("__toks") > 0,
+          (col("__raw") / col("__w")) / (col("__toks") / col("__t")))
+          .otherwise(lit(0.0)))
       .select(col(domainCol), col("__f"))
     toks.join(broadcast(fac), Seq(domainCol))
       .select(col("doc_id"), col(domainCol), col("n_tokens"),

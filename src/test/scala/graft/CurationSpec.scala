@@ -91,5 +91,16 @@ class CurationSpec extends SparkSpec {
       .select("mix_factor", "n_copies")
       .as[(Double, Long)].collect()
     id.foreach { case (f, c) => f shouldBe 1.0; c shouldBe 1L }
+    // a zero-token domain (empty/null texts) gets factor 0 and no
+    // copies instead of a 0/0 division error; others are untouched
+    val withEmpty = corpus.unionByName(
+      Seq((3L, null.asInstanceOf[String], "spam")).toDF("doc_id", "text", "source"))
+    val z = Curation.temperatureMixture(withEmpty, "doc_id", "text",
+        "source", 0.5, "s")
+      .select("doc_id", "mix_factor", "n_copies")
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    z(3L) shouldBe ((0.0, 0L))
+    z(1L)._1 shouldBe 0.833333 // null text -> 0 tokens -> shares unchanged
   }
 }

@@ -357,6 +357,17 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].head() shouldBe 4.0
     spark.sql("SELECT graft_l2(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
       .select(col("d").isNull).as[Boolean].head() shouldBe true
+    // square-sum overflow on finite-but-huge inputs: the infinite
+    // distance passes through (rounding would throw), still ranked
+    val huge = Seq(
+      (1L, Array(1e200, 0.0)), (2L, Array(-1e200, 0.0)))
+      .toDF("vec_id", "embedding")
+    val hr = Similarity.bruteForceTopKL2(huge, huge, "vec_id",
+        "embedding", 1, 2)
+      .select("vec_id", "neighbor_id", "distance")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    hr.map(_._2) shouldBe Seq(2L, 1L)
+    hr.foreach(_._3.isPosInfinity shouldBe true)
   }
 
   it should "prune semantic duplicates greedily by id within clusters" in {
