@@ -58,8 +58,15 @@ object Similarity {
   private def nCosine(a: Column, b: Column, normA: Column,
       normB: Column): Column = nativeDot(a, b) / (normA * normB)
 
-  private def ensureNative(df: DataFrame): Unit =
+  private def ensureNative(df: DataFrame): Unit = {
     graft.functions.DotProductExpr.register(df.sparkSession)
+    graft.functions.L2DistanceExpr.register(df.sparkSession)
+  }
+
+  /** The codegen'd Euclidean distance — requires `graft_l2` registered
+    * ([[graft.GraftExtensions]] or `L2DistanceExpr.register`). */
+  def nativeL2(a: Column, b: Column): Column =
+    call_function(graft.functions.L2DistanceExpr.Name, a, b)
 
   private def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int) = {
     ensureNative(df)
@@ -607,6 +614,89 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("centroid_id"), col("rk"),
         col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** [[ivfAssign]]'s L2 twin: nearest centroid by EUCLIDEAN distance
+    * (argmin, ties keep the lower centroid id; NaN distances — NaN
+    * components — rank LAST, the ascending-order position both Spark
+    * and the oracle give NaN, so a degenerate vector only lands on a
+    * NaN centroid when every distance is NaN, and then on the lowest
+    * id). Same zero-shuffle broadcast-centroid scan; no norm column —
+    * L2 needs none. Output: (vec_id, v, centroid_id). */
+  def ivfAssignL2(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    for (d <- Seq(df, centroids)) {
+      val t = d.schema(idCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ivfAssignL2 requires a numeric $idCol (castable to long), got $t")
+    }
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          if (v == null) throw new IllegalArgumentException(
+            s"ivfAssignL2: vector id=$id has a NULL embedding — filter or " +
+              "impute null vectors before assignment")
+          var best = Double.PositiveInfinity
+          var bestId = cs(0)._1
+          var ci = 0
+          while (ci < cs.length) {
+            val (cid, cv) = cs(ci)
+            var s = 0.0; var j = 0
+            val dn = math.min(v.length, cv.length)
+            while (j < dn) {
+              val d = v(j) - cv(j)
+              s += d * d
+              j += 1
+            }
+            val dist = math.sqrt(s)
+            // strict < : ties and NaN both keep the earlier (lower-id)
+            // centroid — (dist asc, centroid_id asc) with NaN last
+            if (dist < best) { best = dist; bestId = cid }
+            ci += 1
+          }
+          (id, v, bestId)
+        }
+      }
+      .toDF("vec_id", "v", "centroid_id")
+  }
+
+  /** IVF approximate top-k under EUCLIDEAN distance — the scale path
+    * for the X47 exact-L2 baseline, and the metric the IVF literature
+    * is native to. Same one-shuffle bucket-join layout as [[ivfTopK]]:
+    * every vector indexed under its [[ivfAssignL2]] bucket, searched
+    * within the bucket, ranked (distance ASC, neighbor id asc); NaN
+    * distances are unrankable and dropped (under asc ordering a NaN
+    * would only surface when a bucket has fewer than k clean
+    * candidates — filtered for parity with the oracle). Output:
+    * (vec_id, centroid_id, rk, neighbor_id, distance). */
+  def ivfTopKL2(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, dim: Int): DataFrame = {
+    ensureNative(df)
+    val assigned = graft.util.Caches.persistTracked(
+      ivfAssignL2(df, idCol, vecCol, centroids, dim))
+    val cands = assigned.select(col("centroid_id"),
+      col("vec_id").as("neighbor_id"), col("v").as("w"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    assigned.join(cands, "centroid_id")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", nativeL2(col("v"), col("w")))
+      .filter(!isnan(col("dist")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("centroid_id"), col("rk"),
+        col("neighbor_id"), round(col("dist"), 6).as("distance"))
   }
 
   /** Embedding-cosine near-duplicate pairs WITHOUT metadata blocking:

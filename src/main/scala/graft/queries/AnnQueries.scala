@@ -68,6 +68,15 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X49: IVF top-3 under EUCLIDEAN distance — the scale path for
+    // q_x47's exact-L2 baseline; same deterministic centroid fixture.
+    "q_x49_ann_ivf_l2" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 40 === 0)
+      Similarity.ivfTopKL2(emb, "vec_id", "embedding", centroids, 3, Dim)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X47: exact EUCLIDEAN top-5 — the L2 metric variant (checked
     // against DuckDB's native list_distance).
     "q_x47_ann_l2" -> { (s, dir) =>
@@ -269,6 +278,34 @@ object AnnQueries {
     "q_x8_ann_bruteforce" -> bruteForceOracle,
     // streamed-index form computes the SAME exact function — one oracle
     "q_x29_bruteforce_streamed" -> bruteForceOracle,
+    // IVF-L2: argmin assignment (dist asc, centroid id — NaN last in
+    // asc order on both engines), in-bucket ranking by the same key
+    "q_x49_ann_ivf_l2" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv
+        |  FROM nn WHERE vec_id % 40 = 0),
+        |asg AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT n.vec_id, n.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_distance(n.v, c.cv), c.centroid_id) AS rn
+        |    FROM nn n, cent c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, a.centroid_id, b.vec_id AS neighbor_id,
+        |    list_distance(a.v, b.v) AS dist
+        |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+        |    AND a.vec_id <> b.vec_id
+        |  WHERE NOT isnan(list_distance(a.v, b.v))),
+        |rk AS (
+        |  SELECT vec_id, centroid_id, neighbor_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, centroid_id, rk, neighbor_id,
+        |  round(dist, 6) AS distance
+        |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     // L2 variant: DuckDB's native list_distance IS sqrt(Σ(a-b)²) with
     // the same left-to-right accumulation as the Spark kernel
     "q_x47_ann_l2" ->

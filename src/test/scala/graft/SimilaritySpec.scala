@@ -370,6 +370,32 @@ class SimilaritySpec extends SparkSpec {
     hr.foreach(_._3.isPosInfinity shouldBe true)
   }
 
+  it should "assign and search IVF buckets under the L2 metric" in {
+    // (6,0,0) is cosine-identical to centroid (1,0,0) but L2-nearer to
+    // centroid (8,0,0): the two metrics MUST disagree here
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(8.0f, 0.0f, 0.0f)),
+      (3L, Array(6.0f, 0.0f, 0.0f)),
+      (4L, Array(1.2f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = pts.filter(col("vec_id").isin(1, 2))
+    val l2 = Similarity.ivfAssignL2(pts, "vec_id", "embedding", cents, 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    l2 shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val cos = Similarity.ivfAssign(pts, "vec_id", "embedding", cents, 3)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    cos(3L) shouldBe 1L // cosine puts 3 with centroid 1 — metrics differ
+    // search stays in the bucket, ranked by distance asc
+    val r = Similarity.ivfTopKL2(pts, "vec_id", "embedding", cents, 2, 3)
+      .select("vec_id", "rk", "neighbor_id", "distance")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    r((3L, 1L)) shouldBe ((2L, 2.0))
+    r((1L, 1L))._1 shouldBe 4L // bucket-mate, not the L2-nearer 3
+    r.keySet.map(_._1) shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
   it should "prune semantic duplicates greedily by id within clusters" in {
     graft.functions.DotProductExpr.register(spark)
     // cluster A (centroid 1): 1, 2≈1, 5≈1; cluster B (centroid 3): 3, 4
