@@ -79,6 +79,26 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // ORC round trip: lineitem numerics through the native ORC
+    // writer/reader (typed columns survive, unlike JSON), partitioned
+    // by returnflag to exercise the partition_by path.
+    "q_s3_orc_roundtrip" -> { (s, dir) =>
+      val ctx = new TransformationContext
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      ctx.update("out_path", path)
+      ctx.update("in_path", path)
+      ctx.update("partition_by", Seq("l_returnflag"))
+      val orig = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      graft.sources.OrcSink.write(orig, ctx)
+      graft.sources.OrcSource(s, ctx)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // F10: linear model scoring with enum re-coding.
     "q_f10_scoring" -> { (s, dir) =>
       val scored = Scoring.score(
@@ -161,6 +181,11 @@ object PipelineQueries {
       """SELECT lang, count(1) AS n, min(doc_id) AS min_key,
         |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS texts_md5
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_s3_orc_roundtrip" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_orderkey) AS min_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_f10_scoring" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  round(0.5 * l_quantity + 2.0 * l_discount +

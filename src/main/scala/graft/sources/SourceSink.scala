@@ -134,6 +134,26 @@ object JsonlSink extends Sink {
   }
 }
 
+/** ORC source (beyond the reference): the other columnar lake format —
+  * Spark's native ORC reader gives the same predicate pushdown / column
+  * pruning path as parquet, so Hive-era lakes read at full scan speed
+  * without conversion. */
+object OrcSource extends Source {
+  def apply(spark: SparkSession, ctx: TransformationContext): DataFrame =
+    spark.read.orc(ctx[String]("in_path"))
+}
+
+/** ORC sink: overwrite mode, optional `partition_by` (the ParquetSink
+  * contract on the ORC writer). */
+object OrcSink extends Sink {
+  def write(df: DataFrame, ctx: TransformationContext): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    ctx.get[Seq[String]]("partition_by")
+      .map(p => w.partitionBy(p: _*)).getOrElse(w)
+      .orc(ctx[String]("out_path"))
+  }
+}
+
 /** S8/O8-style sample writer (reference: star/io/ParquetWriter.scala:20-32). */
 object SampleParquetSink extends Sink {
   def write(df: DataFrame, ctx: TransformationContext): Unit =
