@@ -1,0 +1,99 @@
+package graft.ml
+
+import graft.text.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive-Bayes text classification — the fastText-shaped
+  * model CCNet-style pipelines use for language ID and quality
+  * filtering (train on a trusted slice, score the open crawl, keep the
+  * confident rows). Public-knowledge algorithm (McCallum & Nigam 1998);
+  * the reference has no trainable classifier — this is north-star
+  * surface next to the XGBoost-JSON scorer (`ml/Scoring.scala`).
+  *
+  * The model is NOT a driver-side object: it is two DataFrames (per-class
+  * priors + per-(class, token) counts) consulted by key-partitioned
+  * joins, so a vocabulary of hundreds of millions of tokens never has to
+  * fit anywhere. Tokenization is the corpus-wide whitespace convention
+  * ([[graft.text.Dedup.words]]) shared with the LM-perplexity and dedup
+  * operators, so one tokenized pass can feed all of them.
+  */
+object TextClassifier {
+
+  /** Trained model: `priors` is one row per class
+    * `(label, log_prior, tok_total)` — broadcastable, classes are few;
+    * `tokenCounts` is `(label, tok, cnt)` — token-partitioned, arbitrary
+    * size; `vocab` is the single-row distinct-token count used by
+    * add-alpha smoothing (kept as a DataFrame so nothing is collected). */
+  final case class NbModel(priors: DataFrame, tokenCounts: DataFrame,
+      vocab: DataFrame)
+
+  /** Train add-alpha multinomial NB: one explode over the training slice,
+    * two map-side-combined aggregates (per-(class, token) and per-class),
+    * one tiny per-class doc count for the priors. At 100 TB the only
+    * shuffles are hash-partitioned aggregates; nothing returns to the
+    * driver. */
+  def train(corpus: DataFrame, textCol: String, labelCol: String)
+      : NbModel = {
+    val toks = corpus.select(col(labelCol).as("label"),
+      explode(Dedup.words(col(textCol))).as("tok"))
+    val tokenCounts = toks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy(col("label"))
+      .agg(count(lit(1)).as("tok_total"))
+    val docTotal = corpus.agg(count(lit(1)).as("__n"))
+    val priors = corpus.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nc"))
+      .crossJoin(broadcast(docTotal))
+      .select(col("label"), log(col("__nc") / col("__n")).as("log_prior"))
+      .join(totals, "label")
+    val vocab = toks.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    NbModel(priors, tokenCounts, vocab)
+  }
+
+  /** Score a corpus: per-document log-posterior under every class, the
+    * argmax prediction, and the margin over the runner-up (the
+    * confidence signal quality filters threshold on).
+    *
+    * Plan shape: documents explode to (doc, tok, n_t) — aggregated
+    * BEFORE the model join so the join fans out per distinct token, not
+    * per occurrence — then cross the (few, broadcast) classes, left-join
+    * the token-partitioned counts (absent (class, token) pairs fall back
+    * to the alpha floor), and one (doc, class)-keyed aggregate. The only
+    * per-document sort is the C-row argmax window. Log-posteriors are
+    * rounded to 3 decimals (double sums are order-sensitive at ~1e-12;
+    * class gaps are O(1)).
+    *
+    * Output: (doc_id, label, log_prob, margin) — one row per document,
+    * `label` the predicted class. */
+  def score(model: NbModel, corpus: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val docToks = corpus.select(col(idCol).as("doc_id"),
+      explode(Dedup.words(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__nt"))
+    val scored = docToks
+      .crossJoin(broadcast(model.priors))
+      .join(model.tokenCounts, Seq("label", "tok"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("__ll", col("__nt") *
+        log((coalesce(col("cnt"), lit(0L)) + alpha) /
+          (col("tok_total") + col("__v") * alpha)))
+      .groupBy(col("doc_id"), col("label"), col("log_prior"))
+      .agg(sum(col("__ll")).as("__sll"))
+      .select(col("doc_id"), col("label"),
+        (col("log_prior") + col("__sll")).as("__logp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__logp").desc, col("label"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__logp"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label"),
+        round(col("__logp"), 3).as("log_prob"),
+        round(col("__logp") - col("__next"), 3).as("margin"))
+  }
+}

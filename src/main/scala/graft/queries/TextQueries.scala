@@ -20,6 +20,18 @@ object TextQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), Seq[(String, String)]]
 
+  /** q_x51's query batch — shared verbatim with the oracle's VALUES list. */
+  private val bm25Queries = Seq(
+    "qa" -> "spark join fast",
+    "qb" -> "hash window agg",
+    "qc" -> "customer query value table")
+
+  private def bm25QueryValues: String = bm25Queries
+    .flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").toSeq.distinct
+        .map(tok => s"('$qid', '$tok')") }
+    .mkString(", ")
+
   /** Corpus with planted exact duplicates: every doc_id ≡ 0 (mod 5) is
     * repeated under doc_id+100000 (the raw table has near-dups but no
     * byte-identical ones). */
@@ -248,6 +260,29 @@ object TextQueries {
       TextStats.perplexityBuckets(t(s, dir, "documents"),
         "doc_id", "text", "lang")
         .orderBy(col("doc_id"))
+    },
+
+    // X50: multinomial Naive-Bayes classifier (the fastText-shaped
+    // CCNet filter) — train on even doc_ids labelled by lang, score the
+    // odd half; prediction + confidence margin + accuracy flag.
+    "q_x50_nb_classifier" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      graft.ml.TextClassifier.score(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("label"), col("log_prob"),
+          col("margin"), (col("label") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X51: BM25 top-5 retrieval for a three-query batch — the
+    // targeted-data-selection / retrieval-decontamination primitive.
+    "q_x51_bm25_topk" -> { (s, dir) =>
+      graft.text.Retrieval.bm25TopK(s, t(s, dir, "documents"),
+        "doc_id", "text", bm25Queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
@@ -844,6 +879,77 @@ object TextQueries {
          |  CAST(NULL AS DOUBLE) AS ppl_rank, 'unscored' AS bucket
          |FROM ppl WHERE perplexity IS NULL
          |ORDER BY doc_id""".stripMargin,
+    // NB classifier: identical count tables, add-one smoothing,
+    // argmax tie-broken by label; logp rounded only at the end.
+    "q_x50_nb_classifier" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |ttoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM train),
+        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
+        |stoks AS (
+        |  SELECT doc_id, tok, count(*) AS n_t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.doc_id, p.label,
+        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+        |      (tot.tok_total + v.vv * 1.0))) AS logp
+        |  FROM stoks s
+        |  CROSS JOIN pri p
+        |  JOIN tot ON tot.label = p.label
+        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
+        |  CROSS JOIN v
+        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+        |ranked AS (
+        |  SELECT doc_id, label, logp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS rn,
+        |    lead(logp) OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS nxt
+        |  FROM scored)
+        |SELECT r.doc_id, r.label, round(r.logp, 3) AS log_prob,
+        |  round(r.logp - r.nxt, 3) AS margin,
+        |  (r.label = d.lang) AS correct
+        |FROM ranked r JOIN documents d USING (doc_id)
+        |WHERE r.rn = 1
+        |ORDER BY r.doc_id""".stripMargin,
+    // BM25: same tf/dl/df/avgdl tables, Lucene idf, scores rounded to
+    // 4 decimals BEFORE ranking so the tie-break matches Spark's.
+    "q_x51_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |q(query_id, tok) AS (VALUES ${bm25QueryValues}),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      (tf.tf * 2.2) /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+         |  FROM tf JOIN q USING (tok) JOIN dfreq d USING (tok)
+         |  JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, rank, score FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies

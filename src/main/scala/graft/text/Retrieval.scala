@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval (Robertson & Zaragoza 2009, public
+  * knowledge) — the ranking function behind targeted training-data
+  * selection and retrieval-based decontamination: score every corpus
+  * document against a query set, keep the top-k per query. The
+  * reference has no retrieval operator; north-star surface.
+  *
+  * The "inverted index" is relational: the per-(doc, token) term
+  * frequency table IS the postings list, partitioned by token — a query
+  * probes it with a broadcast semi-join instead of a data structure, so
+  * the same plan serves one query or a million (queries just stop being
+  * the broadcast side).
+  */
+object Retrieval {
+
+  /** Lucene-flavoured BM25 (the `+1` inside the log keeps IDF positive
+    * for terms in over half the corpus). Repeated query terms count
+    * once — queries are term SETS, the standard web-query treatment.
+    *
+    * Plan shape, bottom-up: one explode + map-side-combined aggregate
+    * builds tf(doc, tok); doc lengths reduce from tf (no second corpus
+    * pass); document frequency reduces from tf per token; corpus size N
+    * and avgdl are one scalar row cross-joined broadcast. Query terms
+    * broadcast-semi-join tf on token — the corpus is scanned once and
+    * only postings for query terms survive. Scores sum per (query, doc),
+    * then a per-query top-k window. Scores are ROUNDED to 4 decimals
+    * before ranking so the (score desc, doc_id asc) tie-break is
+    * identical across engines (1-ulp `ln` differences cannot reorder).
+    *
+    * At 100 TB: every aggregate is key-hashed and combinable; the only
+    * per-query sort is over rows that matched a query term. The top-k
+    * window partitions by query — fine for query sets that fit a task;
+    * a million-query batch would swap the window for a grouped
+    * bounded-heap aggregate, same upstream plan.
+    *
+    * Output: (query_id, doc_id, rank, score), rank 1..k per query. */
+  def bm25TopK(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, queries: Seq[(String, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.split("\\s+").toSeq.distinct.map((qid, _)) }
+      .toDF("query_id", "tok")
+    val tf = corpus.select(col(idCol).as("doc_id"),
+      explode(Dedup.words(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("__tf")).as("__dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "tok")
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s", col("__idf") * (col("__tf") * (k1 + 1)) /
+        (col("__tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__s")), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+}

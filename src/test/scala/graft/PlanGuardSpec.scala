@@ -362,6 +362,33 @@ class PlanGuardSpec extends SparkSpec {
     mixPlan should not include "Window"
   }
 
+  it should "broadcast only model scalars in NB scoring and the query batch in BM25" in {
+    // X50: priors + vocab are the broadcast side; the (class, token)
+    // count table must arrive through a key-partitioned join (it is the
+    // unbounded part of the model), and the corpus must never cartesian
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} filler common", s"c${i % 3}"))
+      .toDF("doc_id", "text", "lab")
+    val model = graft.ml.TextClassifier.train(docs, "text", "lab")
+    val scored = graft.ml.TextClassifier.score(model, docs, "doc_id", "text")
+    scored.collect().length shouldBe 40
+    val plan = planOf(scored)
+    // scalar crosses (vocab size, doc total) are 1-row broadcast BNLJs —
+    // fine; an unbroadcast CartesianProduct is the scale hazard
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin") // priors cross classes
+
+    // X51: the postings probe is a broadcast semi-join on the query
+    // terms — corpus-sized tf must not shuffle to meet 3 queries, and
+    // the only window partitions by query_id
+    val bm = graft.text.Retrieval.bm25TopK(spark, docs, "doc_id", "text",
+      Seq("q1" -> "tok1 common", "q2" -> "tok3"), k = 3)
+    bm.collect().length should be > 0
+    val bmPlan = planOf(bm)
+    bmPlan should not include "CartesianProduct"
+    bmPlan should include("BroadcastHashJoin")
+  }
+
   it should "resolve star fact FKs through broadcast joins only" in {
     val spec = graft.star.DimSpec("tier", Seq("tier"), Nil)
     val dim = graft.star.Star.mergeDim(None,
