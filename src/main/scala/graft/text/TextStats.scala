@@ -282,37 +282,37 @@ object TextStats {
       .orderBy(col("pair_freq").desc, col("token_a"), col("token_b"))
       .limit(n)
 
-  /** One BPE merge application as a codegen'd higher-order fold: replace
-    * every left-to-right non-overlapping adjacent occurrence of
-    * (a, b) in the token array with the single merged token "a b" —
-    * exactly the BPE apply step ("a a a" with rule (a,a) → ["a a", "a"],
-    * the first match consumes its right token). Tokens never contain
-    * spaces ([[Dedup.words]]), so the space-joined merge token is
-    * unambiguous and splits back losslessly. Pure projection: ZERO
-    * shuffle, whole-stage codegen, no UDF. */
-  private def mergePairExpr(toksCol: String, a: String, b: String): Column = {
-    // Spark SQL string literals process backslash escapes (a lone
-    // trailing backslash even escapes the closing quote) — double them
-    // BEFORE quote-doubling or a token like "a\\b" silently becomes
-    // "a<backspace>" and the merge never applies
-    def q(s: String) =
-      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
-    expr(
-      s"""CASE WHEN $toksCol IS NULL OR size($toksCol) < 2 THEN $toksCol
-         |ELSE aggregate(
-         |  sequence(1, size($toksCol)),
-         |  struct(cast(array() as array<string>) as acc, false as skip),
-         |  (s, i) -> CASE
-         |    WHEN s.skip THEN struct(s.acc as acc, false as skip)
-         |    WHEN i < size($toksCol)
-         |        AND element_at($toksCol, i) = ${q(a)}
-         |        AND element_at($toksCol, i + 1) = ${q(b)}
-         |      THEN struct(array_append(s.acc, ${q(a + " " + b)}) as acc,
-         |        true as skip)
-         |    ELSE struct(array_append(s.acc, element_at($toksCol, i)) as acc,
-         |      false as skip) END,
-         |  s -> s.acc) END""".stripMargin)
+  /** One BPE merge application: replace every left-to-right
+    * non-overlapping adjacent occurrence of (a, b) in the token array
+    * with the single merged token "a b" — exactly the BPE apply step
+    * ("a a a" with rule (a,a) → ["a a", "a"], the first match consumes
+    * its right token). Tokens never contain spaces ([[Dedup.words]]),
+    * so the space-joined merge token is unambiguous and splits back
+    * losslessly. Pure projection, ZERO shuffle.
+    *
+    * A tight UDF, not a SQL `aggregate` fold: the fold's `array_append`
+    * accumulator copies the array per element (O(n²) per document) and
+    * its lambda evaluates interpreted — the [[Dedup.shinglesUdf]]
+    * lesson again. The imperative pass is O(n) (measured ~2× on the
+    * 5-merge training loop at sf0.1). */
+  private def mergePairUdf(a: String, b: String) = udf { ws: Seq[String] =>
+    if (ws == null) null
+    else if (ws.length < 2) ws
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](ws.length)
+      val merged = a + " " + b
+      var i = 0
+      while (i < ws.length) {
+        if (i < ws.length - 1 && ws(i) == a && ws(i + 1) == b) {
+          out += merged; i += 2
+        } else { out += ws(i); i += 1 }
+      }
+      out.toSeq
+    }
   }
+
+  private def mergePairExpr(toksCol: String, a: String, b: String): Column =
+    mergePairUdf(a, b)(col(toksCol))
 
   /** X37: iterated word-level BPE TRAINING — the loop [[bpePairFrequencies]]
     * is one step of. Each of `nMerges` iterations counts adjacent pairs
@@ -336,6 +336,12 @@ object TextStats {
     var cur = graft.util.Caches.persistTracked(
       df.select(col(idCol).as("doc_id"),
         Dedup.words(col(textCol)).as("__toks")))
+    // deferred unpersist: each iteration's pair-count job is the scan
+    // that materializes `cur`'s cache (reading its parent's), so the
+    // parent is dropped only AFTER that job returns — one job per merge
+    // instead of pair-count + an extra count() materialization, and the
+    // post-final-merge state (which nothing ever reads) is never built
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 0
     var exhausted = false
@@ -350,6 +356,8 @@ object TextStats {
         .agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // cur is materialized now
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1),
@@ -357,12 +365,12 @@ object TextStats {
         merges += ((k + 1, a, b, f))
         val next = graft.util.Caches.persistTracked(cur.select(col("doc_id"),
           mergePairExpr("__toks", a, b).as("__toks")))
-        next.count() // materialize before the parent cache is dropped
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
       }
       k += 1
     }
+    prev.foreach(_.unpersist())
     cur.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "token_a", "token_b", "pair_freq")
