@@ -277,6 +277,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X52: stupid-backoff trigram LM — the distributed-count LM signal
+    // (Brants et al. 2007); train even doc_ids, score the odd half.
+    "q_x52_stupid_backoff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextStats.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X51: BM25 top-5 retrieval for a three-query batch — the
     // targeted-data-selection / retrieval-decontamination primitive.
     "q_x51_bm25_topk" -> { (s, dir) =>
@@ -922,6 +932,56 @@ object TextQueries {
         |FROM ranked r JOIN documents d USING (doc_id)
         |WHERE r.rn = 1
         |ORDER BY r.doc_id""".stripMargin,
+    // Stupid backoff: same count tables and CASE chain; λ² is written
+    // 0.4 * 0.4 (the literal 0.16 is a DIFFERENT double), divisions
+    // stay in Spark's (λ·c)/d association.
+    "q_x52_stupid_backoff" ->
+      """WITH tw AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tri AS (
+        |  SELECT array_to_string(w[i:i+2], ' ') AS g, count(*) AS c3
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tw)
+        |  GROUP BY 1),
+        |bi AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS g, count(*) AS c2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tw)
+        |  GROUP BY 1),
+        |uni AS (SELECT unnest(w) AS g FROM tw),
+        |uc AS (SELECT g, count(*) AS c1 FROM uni GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM uni),
+        |sw AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |pos AS (
+        |  SELECT doc_id, w[i+1] AS w2, w[i+2] AS w3,
+        |    array_to_string(w[i:i+2], ' ') AS tri_g,
+        |    array_to_string(w[i:i+1], ' ') AS ctx2,
+        |    array_to_string(w[i+1:i+2], ' ') AS lo2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM sw)),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN t.c3 IS NOT NULL THEN t.c3 / bc.c2
+        |      WHEN bl.c2 IS NOT NULL THEN 0.4 * bl.c2 / u2.c1
+        |      WHEN u3.c1 IS NOT NULL THEN 0.4 * 0.4 * u3.c1 / n.nn
+        |      ELSE 0.4 * 0.4 / n.nn END AS s
+        |  FROM pos p
+        |  LEFT JOIN tri t ON t.g = p.tri_g
+        |  LEFT JOIN bi bc ON bc.g = p.ctx2
+        |  LEFT JOIN bi bl ON bl.g = p.lo2
+        |  LEFT JOIN uc u2 ON u2.g = p.w2
+        |  LEFT JOIN uc u3 ON u3.g = p.w3
+        |  CROSS JOIN n),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    round(avg(-ln(s)), 3) AS sb_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_trigrams, 0) AS n_trigrams,
+        |  agg.sb_nll
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // BM25: same tf/dl/df/avgdl tables, Lucene idf, scores rounded to
     // 4 decimals BEFORE ranking so the tie-break matches Spark's.
     "q_x51_bm25_topk" ->

@@ -441,6 +441,73 @@ object TextStats {
         col("perplexity"))
   }
 
+  /** X52: stupid-backoff trigram LM scoring (Brants et al. 2007, public
+    * knowledge — the backoff designed FOR distributed count tables: no
+    * discount normalization, so every model artifact is a plain count
+    * aggregate). Score S of token w3 after context (w1, w2):
+    * `f(w1w2w3)/f(w1w2)`, backing off to `λ·f(w2w3)/f(w2)`, then to
+    * `λ²·f(w3)/N`, with `λ²/N` as the floor for words the training
+    * slice never saw (keeps -ln finite; documented, mirrored by the
+    * oracle). The chain is a CASE over LEFT-join hits — a trigram seen
+    * in training implies its context bigram was seen, so no branch can
+    * divide by zero or NULL.
+    *
+    * The model is three count DataFrames + one scalar, never collected:
+    * scoring is three key-partitioned joins (trigram, two bigram
+    * probes share one table, two unigram probes share one) and a
+    * per-doc aggregate. Docs under 3 tokens score NULL (kept).
+    *
+    * Output: (doc_id, n_trigrams, sb_nll) — mean -ln S, rounded to 3
+    * decimals (lower = more fluent under the training slice). */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.4): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    val tri = train.select(explode(Dedup.shingles(col(textCol), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__c3"))
+    val bi = train.select(explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__c2"))
+    val uni = train.select(explode(Dedup.words(col(textCol))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__c1"))
+    val total = train.select(explode(Dedup.words(col(textCol))).as("g"))
+      .agg(count(lit(1)).as("__n"))
+    val pos = score.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), 3)).as("__tri"))
+      .withColumn("__w", split(col("__tri"), " "))
+      .withColumn("__ctx2", concat_ws(" ", col("__w").getItem(0),
+        col("__w").getItem(1)))
+      .withColumn("__lo2", concat_ws(" ", col("__w").getItem(1),
+        col("__w").getItem(2)))
+      .withColumn("__w2", col("__w").getItem(1))
+      .withColumn("__w3", col("__w").getItem(2))
+      .drop("__w")
+    val scored = pos
+      .join(tri.withColumnRenamed("g", "__tri"), Seq("__tri"), "left")
+      .join(bi.select(col("g").as("__ctx2"), col("__c2").as("__cctx2")),
+        Seq("__ctx2"), "left")
+      .join(bi.select(col("g").as("__lo2"), col("__c2").as("__clo2")),
+        Seq("__lo2"), "left")
+      .join(uni.select(col("g").as("__w2"), col("__c1").as("__cw2")),
+        Seq("__w2"), "left")
+      .join(uni.select(col("g").as("__w3"), col("__c1").as("__cw3")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("__c3").isNotNull, col("__c3") / col("__cctx2"))
+          .when(col("__clo2").isNotNull,
+            lit(lambda) * col("__clo2") / col("__cw2"))
+          .when(col("__cw3").isNotNull,
+            lit(lambda) * lit(lambda) * col("__cw3") / col("__n"))
+          .otherwise(lit(lambda * lambda) / col("__n")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(col("__s"))), 3).as("sb_nll"))
+    score.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("sb_nll"))
+  }
+
   /** X48: CCNet head/middle/tail bucketing (Wenzek et al. 2020, public
     * knowledge) — the SELECTION step the X42 perplexity signal feeds:
     * per language, documents sort by perplexity and split into equal

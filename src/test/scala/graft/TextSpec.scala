@@ -872,4 +872,27 @@ class TextSpec extends SparkSpec {
     // NULL text behaves as empty — one blank line, kept
     r(4L) shouldBe ((1L, 1L, ""))
   }
+
+  it should "hit every stupid-backoff branch with hand-computed scores" in {
+    // train "a b c a b d": tri counts {abc,bca,cab,abd}=1; bi "a b"=2,
+    // {"b c","c a","b d"}=1; uni a=2 b=2 c=1 d=1, N=6
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),   // trigram branch: S = 1/2
+      (2L, "b c d"),   // unigram branch: S = 0.4² · 1/6
+      (3L, "d a b"),   // bigram branch: S = 0.4 · 2/2
+      (4L, "z z z"),   // floor branch: S = 0.4²/6 (same value as doc 2)
+      (5L, "a b"))     // too short: 0 trigrams, NULL score
+      .toDF("doc_id", "text")
+    val r = TextStats.stupidBackoffScore(train, score, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    r(1L)._1 shouldBe 1L
+    r(1L)._2.get shouldBe -math.log(0.5) +- 5e-4
+    r(2L)._2.get shouldBe -math.log(0.4 * 0.4 * 1.0 / 6) +- 5e-4
+    r(3L)._2.get shouldBe -math.log(0.4) +- 5e-4
+    r(4L)._2.get shouldBe r(2L)._2.get
+    r(5L) shouldBe ((0L, None))
+  }
 }
