@@ -70,6 +70,12 @@ object ScaleUp {
       df.withColumn("vec_id", col("vec_id") + lit(k * Off))
         .withColumn("embedding", rotated)
     }
+    replicate("lineitem") { (df, k) =>
+      // key shift only — the relational heavies (pricing summary, ORC
+      // round trip, top-k) care about row volume and key cardinality,
+      // not line content
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off))
+    }
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$dst/region.parquet")
     println(s"[scaleup] done -> $dst")
