@@ -1,0 +1,68 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier calibration utilities — the step between a trained filter
+  * ([[TextClassifier]]) and a production keep/drop threshold: how much
+  * of the corpus survives each candidate cutoff, and how accurate the
+  * kept slice is.
+  */
+object Eval {
+
+  /** Precision / keep-volume sweep over `nBuckets` equal-width score
+    * cutoffs. For each cutoff t (bucket lower edge): how many rows
+    * score >= t, and what fraction of those are correct.
+    *
+    * Deliberately NOT a window over distinct scores: the distinct-score
+    * sweep sorts the full relation through one task at 100 TB. The grid
+    * form is one map-side-combined aggregate into `nBuckets` cells plus
+    * a suffix-sum window over the GRID (nBuckets rows, constant) — the
+    * same cutoff-table shape as `perplexityBucketsByCutoff`. Bucketing
+    * uses only exactly-rounded IEEE ops (subtract, divide, floor), so
+    * both engines place every row identically — no rounding-at-the-
+    * boundary hazard, unlike ln/exp-derived keys.
+    *
+    * Rows with a NULL score are excluded (a one-class corpus has no
+    * margin). Degenerate spread (max == min) collapses to bucket 0.
+    *
+    * Output: (bucket, threshold, n_kept, n_correct_kept, precision),
+    * one row per bucket 0..nBuckets-1, precision NULL where nothing is
+    * kept. */
+  def thresholdSweep(spark: SparkSession, scored: DataFrame,
+      scoreCol: String, correctCol: String, nBuckets: Int = 20)
+      : DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val rows = scored.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(correctCol).cast("boolean").as("__ok"))
+    val stats = rows.agg(min(col("__s")).as("__mn"),
+      max(col("__s")).as("__mx"))
+    val bucketed = rows.crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("bucket",
+        when(col("__step") === 0, lit(0L)).otherwise(
+          least(floor((col("__s") - col("__mn")) / col("__step")),
+            lit(nBuckets - 1L))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__ok").cast("long")).as("__c"))
+    val grid = spark.range(nBuckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("threshold",
+        round(col("__mn") + col("bucket") * col("__step"), 6))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq("bucket"), "left")
+      .withColumn("n_kept",
+        sum(coalesce(col("__n"), lit(0L))).over(w))
+      .withColumn("n_correct_kept",
+        sum(coalesce(col("__c"), lit(0L))).over(w))
+      .select(col("bucket"), col("threshold"), col("n_kept"),
+        col("n_correct_kept"),
+        when(col("n_kept") > 0,
+          round(col("n_correct_kept") / col("n_kept"), 4)).as("precision"))
+  }
+}

@@ -277,6 +277,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X53: calibration sweep over X50's confidence margin — keep-volume
+    // and precision at 20 equal-width cutoffs; the grid form (one
+    // aggregate + a 20-row suffix sum), never a full-relation sort.
+    "q_x53_threshold_sweep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      val scored = graft.ml.TextClassifier.score(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("correct", col("label") === col("lang"))
+      graft.ml.Eval.thresholdSweep(s, scored, "margin", "correct", 20)
+        .orderBy(col("bucket"))
+    },
+
     // X52: stupid-backoff trigram LM — the distributed-count LM signal
     // (Brants et al. 2007); train even doc_ids, score the odd half.
     "q_x52_stupid_backoff" -> { (s, dir) =>
@@ -932,6 +947,76 @@ object TextQueries {
         |FROM ranked r JOIN documents d USING (doc_id)
         |WHERE r.rn = 1
         |ORDER BY r.doc_id""".stripMargin,
+    // Threshold sweep: the X50 chain, then the same exactly-rounded
+    // IEEE bucket arithmetic (subtract/divide/floor — no ln/exp, so
+    // bucket placement is engine-identical); window sums cast back to
+    // BIGINT (DuckDB widens to HUGEINT); "precision" quoted (type
+    // keyword).
+    "q_x53_threshold_sweep" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |ttoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM train),
+        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
+        |stoks AS (
+        |  SELECT doc_id, tok, count(*) AS n_t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.doc_id, p.label,
+        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+        |      (tot.tok_total + v.vv * 1.0))) AS logp
+        |  FROM stoks s
+        |  CROSS JOIN pri p
+        |  JOIN tot ON tot.label = p.label
+        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
+        |  CROSS JOIN v
+        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+        |ranked AS (
+        |  SELECT doc_id, label, logp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS rn,
+        |    lead(logp) OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS nxt
+        |  FROM scored),
+        |fin AS (
+        |  SELECT r.doc_id, round(r.logp - r.nxt, 3) AS margin,
+        |    (r.label = d.lang) AS ok
+        |  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rn = 1),
+        |vals AS (SELECT margin AS s, ok FROM fin WHERE margin IS NOT NULL),
+        |st AS (SELECT min(s) AS mn, max(s) AS mx FROM vals),
+        |bk AS (
+        |  SELECT CASE WHEN (st.mx - st.mn) / 20 = 0 THEN 0
+        |      ELSE least(CAST(floor((v2.s - st.mn) /
+        |        ((st.mx - st.mn) / 20)) AS BIGINT), 19) END AS bucket,
+        |    count(*) AS n, sum(CASE WHEN v2.ok THEN 1 ELSE 0 END) AS c
+        |  FROM vals v2 CROSS JOIN st GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 20)) AS bucket),
+        |g2 AS (
+        |  SELECT g.bucket,
+        |    round(st.mn + g.bucket * ((st.mx - st.mn) / 20), 6) AS threshold
+        |  FROM grid g CROSS JOIN st),
+        |cum AS (
+        |  SELECT g2.bucket, g2.threshold,
+        |    CAST(sum(coalesce(bk.n, 0)) OVER (ORDER BY g2.bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_kept,
+        |    CAST(sum(coalesce(bk.c, 0)) OVER (ORDER BY g2.bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_correct_kept
+        |  FROM g2 LEFT JOIN bk USING (bucket))
+        |SELECT bucket, threshold, n_kept, n_correct_kept,
+        |  CASE WHEN n_kept > 0
+        |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
+        |FROM cum ORDER BY bucket""".stripMargin,
     // Stupid backoff: same count tables and CASE chain; λ² is written
     // 0.4 * 0.4 (the literal 0.16 is a DIFFERENT double), divisions
     // stay in Spark's (λ·c)/d association.

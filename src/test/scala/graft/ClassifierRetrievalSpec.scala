@@ -38,6 +38,32 @@ class ClassifierRetrievalSpec extends SparkSpec {
     out(0).getString(1) shouldBe "X" // the seen token decides
   }
 
+  behavior of "Eval.thresholdSweep"
+
+  it should "compute exact cumulative keep counts and precision per cutoff" in {
+    val scored = Seq(
+      (Some(0.0), true), (Some(0.25), false), (Some(0.5), true),
+      (Some(1.0), true), (None, true)) // NULL score excluded
+      .toDF("m", "ok")
+    val r = graft.ml.Eval.thresholdSweep(spark, scored, "m", "ok", 2)
+      .orderBy("bucket").collect()
+    r.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L)
+    r.map(_.getDouble(1)).toSeq shouldBe Seq(0.0, 0.5)       // thresholds
+    r.map(_.getLong(2)).toSeq shouldBe Seq(4L, 2L)           // n_kept
+    r.map(_.getLong(3)).toSeq shouldBe Seq(3L, 2L)           // correct kept
+    r(0).getDouble(4) shouldBe 0.75 +- 1e-12
+    r(1).getDouble(4) shouldBe 1.0 +- 1e-12
+  }
+
+  it should "collapse a zero-spread score column into bucket 0" in {
+    val scored = Seq((0.7, true), (0.7, false)).toDF("m", "ok")
+    val r = graft.ml.Eval.thresholdSweep(spark, scored, "m", "ok", 4)
+      .orderBy("bucket").collect()
+    r.length shouldBe 4
+    r(0).getLong(2) shouldBe 2L  // everything in bucket 0
+    r(1).getLong(2) shouldBe 0L
+  }
+
   behavior of "Retrieval.bm25TopK"
 
   it should "rank by hand-computed BM25 and drop non-matching docs" in {
