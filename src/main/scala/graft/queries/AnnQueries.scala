@@ -173,6 +173,14 @@ object AnnQueries {
         .orderBy(col("vec_id"))
     },
 
+    // X54: seeded sign-matrix random projection 64→16 (Achlioptas/JL) —
+    // the ANN pre-shrink; long-form output (vec_id, dim, value).
+    "q_x54_random_projection" -> { (s, dir) =>
+      graft.ann.Embeddings.randomProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dIn = 64, dOut = 16)
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
     // X10: embedding-cosine near-duplicate pairs (threshold 0.99),
     // label-blocked: candidates must share the label metadata column.
     "q_x10_embedding_neardup" -> { (s, dir) =>
@@ -488,6 +496,26 @@ object AnnQueries {
         |      i -> abs(v[i] - qv[i] * scale)))
         |    ELSE 0.0 END, 6) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // Random projection: identical md5-parity sign matrix (0-based i, j),
+    // multiply by the exact reciprocal 1/sqrt(16) = 0.25 on both engines.
+    "q_x54_random_projection" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mat AS (
+        |  SELECT ti.i, tj.dim,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('rp|' || tj.dim || '|' || ti.i), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(64) ti(i), range(16) tj(dim)),
+        |ev AS (
+        |  SELECT vec_id, r.i - 1 AS i, v[r.i] AS x
+        |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r)
+        |SELECT e.vec_id, m.dim,
+        |  round(sum(e.x * m.s) * (1.0 / sqrt(16.0)), 4) AS value
+        |FROM ev e JOIN mat m ON m.i = e.i
+        |GROUP BY 1, 2
+        |ORDER BY e.vec_id, m.dim""".stripMargin,
     "q_x10_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

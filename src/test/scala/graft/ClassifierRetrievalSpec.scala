@@ -38,6 +38,40 @@ class ClassifierRetrievalSpec extends SparkSpec {
     out(0).getString(1) shouldBe "X" // the seen token decides
   }
 
+  behavior of "Embeddings.randomProject"
+
+  it should "be deterministic and preserve cluster separation (JL)" in {
+    // 3 clusters at mutually distant 64-d centers, ±0.1 deterministic
+    // noise; after 64→16 the worst JL distortion at this dOut cannot
+    // bring a ~28-unit cross-cluster gap under a ~0.4-unit within gap
+    val pts = for (c <- 0 until 3; p <- 0 until 4) yield {
+      val id = (c * 4 + p).toLong
+      val v = Array.tabulate(64) { i =>
+        val center = if (i / 8 == c * 2) 20.0 else 0.0
+        center + (if ((i + p) % 2 == 0) 0.1 else -0.1)
+      }
+      (id, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    def proj(): Map[Long, Array[Double]] =
+      graft.ann.Embeddings.randomProject(df, "vec_id", "embedding", 64, 16)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    val p1 = proj()
+    proj().map { case (k, v) => k -> v.toSeq } shouldBe
+      p1.map { case (k, v) => k -> v.toSeq } // same matrix every run
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = pts.map(_._1)
+    val within = for (a <- ids; b <- ids if a < b && a / 4 == b / 4)
+      yield d(p1(a), p1(b))
+    val cross = for (a <- ids; b <- ids if a < b && a / 4 != b / 4)
+      yield d(p1(a), p1(b))
+    within.max should be < cross.min
+  }
+
   behavior of "Eval.thresholdSweep"
 
   it should "compute exact cumulative keep counts and precision per cutoff" in {
