@@ -257,6 +257,49 @@ object Similarity {
       .toDF("vec_id", "rk", "neighbor_id", "distance")
   }
 
+  /** Two-stage ANN: candidate search in a random-PROJECTED space, exact
+    * re-rank in the original — the standard retrieval shape once vectors
+    * are wide (FAISS's refine step; public knowledge). Stage 1 runs
+    * [[bruteForceTopKL2]] over the [[graft.ann.Embeddings.randomProject]]
+    * dOut-dim projections (dIn/dOut× fewer FLOPs and index bytes — the
+    * broadcast index that stopped fitting at dIn may fit at dOut), keeping
+    * `overfetch` candidates per query; stage 2 joins the raw vectors back
+    * for only queries × overfetch rows and re-ranks by exact L2
+    * ([[nativeL2]], codegen). Both stages deterministic: the projection
+    * is seeded, stage-1 distances are computed from its ROUNDED values
+    * (bit-identical across engines), ties break on neighbor id.
+    *
+    * Output: (vec_id, rk, neighbor_id, distance(6dp)), rk 1..k by
+    * (exact distance asc, neighbor id asc). */
+  def projectedRerankTopKL2(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dIn: Int, dOut: Int, k: Int,
+      overfetch: Int): DataFrame = {
+    require(overfetch >= k, s"overfetch ($overfetch) must be >= k ($k)")
+    ensureNative(corpus)
+    def projected(df: DataFrame): DataFrame =
+      graft.ann.Embeddings.randomProject(df, idCol, vecCol, dIn, dOut)
+        .groupBy(col(idCol))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("value")))), x => x.getField("value")).as(vecCol))
+    val cand = bruteForceTopKL2(projected(queries), projected(corpus),
+      idCol, vecCol, overfetch, dOut)
+      .select(col("vec_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val nv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    cand.join(qv, "vec_id").join(nv, "neighbor_id")
+      .withColumn("__d", nativeL2(col("__qv"), col("__nv")))
+      .filter(!isnan(col("__d")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("__d"), 6).as("distance"))
+  }
+
   /** Exact cosine top-k, STREAMED-INDEX form. [[bruteForceTopK]]
     * broadcasts the candidate INDEX — at 100 TB that is the wrong side:
     * its ceiling binds the corpus. This form flips the roles: the

@@ -181,6 +181,16 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("dim"))
     },
 
+    // X55: two-stage ANN — top-20 candidates in the 16-d projected
+    // space, exact 64-d L2 re-rank to top-5 (the FAISS refine shape).
+    "q_x55_projected_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.projectedRerankTopKL2(emb.filter(col("vec_id") % 4 === 0),
+        emb, "vec_id", "embedding", dIn = 64, dOut = 16, k = 5,
+        overfetch = 20)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X10: embedding-cosine near-duplicate pairs (threshold 0.99),
     // label-blocked: candidates must share the label metadata column.
     "q_x10_embedding_neardup" -> { (s, dir) =>
@@ -516,6 +526,48 @@ object AnnQueries {
         |FROM ev e JOIN mat m ON m.i = e.i
         |GROUP BY 1, 2
         |ORDER BY e.vec_id, m.dim""".stripMargin,
+    // Projected re-rank: the X54 projection chain (stage-1 distances
+    // from the same ROUNDED projected values, so candidate sets are
+    // bit-identical), then exact re-rank on the raw vectors.
+    "q_x55_projected_rerank" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mat AS (
+        |  SELECT ti.i, tj.dim,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('rp|' || tj.dim || '|' || ti.i), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(64) ti(i), range(16) tj(dim)),
+        |ev AS (
+        |  SELECT vec_id, r.i - 1 AS i, v[r.i] AS x
+        |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+        |sc AS (
+        |  SELECT e.vec_id, m.dim,
+        |    round(sum(e.x * m.s) * (1.0 / sqrt(16.0)), 4) AS value
+        |  FROM ev e JOIN mat m ON m.i = e.i GROUP BY 1, 2),
+        |parr AS (
+        |  SELECT vec_id, list(value ORDER BY dim) AS pv FROM sc GROUP BY 1),
+        |cand AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_distance(q.pv, c.pv), c.vec_id) AS prk
+        |  FROM parr q JOIN parr c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 4 = 0
+        |    AND NOT isnan(list_distance(q.pv, c.pv))),
+        |rr AS (
+        |  SELECT t.vec_id, t.neighbor_id, list_distance(a.v, b.v) AS dist
+        |  FROM (SELECT vec_id, neighbor_id FROM cand WHERE prk <= 20) t
+        |  JOIN base a ON a.vec_id = t.vec_id
+        |  JOIN base b ON b.vec_id = t.neighbor_id
+        |  WHERE NOT isnan(list_distance(a.v, b.v))),
+        |rk AS (
+        |  SELECT vec_id, neighbor_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+        |  FROM rr)
+        |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
+        |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     "q_x10_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

@@ -162,4 +162,25 @@ class RecallGateSpec extends SparkSpec {
     r2 should be >= r1
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "hold the projected-rerank recall floor against exact L2" in {
+    // L2 truth (this gate's others are cosine); 16→8 projection with
+    // 4·K overfetch — stage 2 re-ranks exactly, so any loss is purely
+    // stage-1 candidate misses
+    val truthL2 = Similarity.bruteForceTopKL2(queries, corpus,
+        "vec_id", "embedding", K, Dim)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.projectedRerankTopKL2(queries, corpus,
+        "vec_id", "embedding", dIn = Dim, dOut = 8, k = K,
+        overfetch = 4 * K)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qs = truthL2.keySet.toSeq
+    val recall = qs.map(q =>
+      (got.getOrElse(q, Set.empty[Long]) & truthL2(q)).size.toDouble /
+        truthL2(q).size).sum / qs.size
+    info(f"projected-rerank recall@$K = $recall%.3f")
+    recall should be >= 0.9
+  }
 }
