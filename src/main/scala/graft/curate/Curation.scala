@@ -213,4 +213,37 @@ object Curation {
         (col("__cum") - col(tokenCountCol)) % tokenBudget)
       .drop("__cum")
   }
+
+  /** X56: deterministic sharded export — the trainer-facing
+    * materialization step at the end of a curation pipeline: every doc
+    * lands in shard `md5int(seed, id) mod nShards` (the engine-neutral
+    * hex arithmetic [[uniformHash]] uses, so ANY engine — or a later
+    * rerun over a grown corpus — reproduces the same placement; docs
+    * never migrate between runs, which is what makes incremental
+    * re-export and per-shard caching sound). Balance is hash-uniform,
+    * ~Poisson per shard.
+    *
+    * One shuffle-free projection + a `partitionBy` write (each task
+    * writes its rows' shard directories directly). The returned
+    * manifest is computed by READING BACK the written files — (shard,
+    * n_docs, n_tokens, texts_md5 content digest) — so a green manifest
+    * proves the round trip, not just the intent. */
+  def shardedExport(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String, seed: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = df.sparkSession
+    df.select(col(idCol), col(textCol))
+      .withColumn("shard",
+        conv(substring(md5(concat_ws(":", lit(seed),
+          col(idCol).cast("string"))), 1, 8), 16, 10)
+          .cast("long") % nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.text.Dedup.words(col(textCol))).cast("long"))
+          .as("n_tokens"),
+        md5(concat_ws("", array_sort(collect_list(md5(col(textCol))))))
+          .as("texts_md5"))
+  }
 }

@@ -292,6 +292,16 @@ object TextQueries {
         .orderBy(col("bucket"))
     },
 
+    // X56: deterministic sharded export — md5-hash shard placement,
+    // partitioned write, manifest computed from the read-back files.
+    "q_x56_sharded_export" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_shard_export"
+      graft.curate.Curation.shardedExport(t(s, dir, "documents"),
+        "doc_id", "text", nShards = 8, path)
+        .orderBy(col("shard"))
+    },
+
     // X52: stupid-backoff trigram LM — the distributed-count LM signal
     // (Brants et al. 2007); train even doc_ids, score the odd half.
     "q_x52_stupid_backoff" -> { (s, dir) =>
@@ -1017,6 +1027,23 @@ object TextQueries {
         |  CASE WHEN n_kept > 0
         |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
         |FROM cum ORDER BY bucket""".stripMargin,
+    // Sharded export: same md5 shard arithmetic over the SOURCE table —
+    // matching the Spark read-back manifest proves the written files
+    // carry exactly the source content.
+    "q_x56_sharded_export" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, text,
+         |    CAST((${hexDigitSum(1, 8)}) % 8 AS BIGINT) AS shard
+         |  FROM s)
+         |SELECT shard, count(1) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(lower(text), '\\s+')))
+         |    AS BIGINT) AS n_tokens,
+         |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS texts_md5
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // Stupid backoff: same count tables and CASE chain; λ² is written
     // 0.4 * 0.4 (the literal 0.16 is a DIFFERENT double), divisions
     // stay in Spark's (λ·c)/d association.

@@ -103,4 +103,28 @@ class CurationSpec extends SparkSpec {
     z(3L) shouldBe ((0.0, 0L))
     z(1L)._1 shouldBe 0.833333 // null text -> 0 tokens -> shares unchanged
   }
+
+  it should "export shards with stable placement and hash-uniform balance" in {
+    val docs = (1L to 400L).map(i => (i, s"tok$i word common")).toDF("doc_id", "text")
+    val full = s"${System.getProperty("java.io.tmpdir")}/graft_shard_spec_full"
+    val half = s"${System.getProperty("java.io.tmpdir")}/graft_shard_spec_half"
+    val manifest = Curation.shardedExport(docs, "doc_id", "text", 8, full)
+      .collect()
+    manifest.map(_.getLong(1)).sum shouldBe 400L
+    // hash-uniform: 400/8 = 50 per shard, Poisson σ ≈ 7 — loose 4σ walls
+    manifest.map(_.getLong(1)).min should be > 20L
+    manifest.map(_.getLong(1)).max should be < 90L
+    // stability: a doc's shard is a pure function of (seed, id) — the
+    // half-corpus export must place every common doc identically
+    Curation.shardedExport(docs.filter(col("doc_id") <= 200), "doc_id",
+      "text", 8, half).collect()
+    val fullAsg = spark.read.parquet(full)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val halfAsg = spark.read.parquet(half)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    halfAsg.foreach { case (id, s) => fullAsg(id) shouldBe s }
+    halfAsg.size shouldBe 200
+  }
 }
