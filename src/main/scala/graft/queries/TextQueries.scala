@@ -292,6 +292,17 @@ object TextQueries {
         .orderBy(col("bucket"))
     },
 
+    // X57: mergeable HLL distinct-token report per language — estimate
+    // audited against the exact count, split-merge consistency proven.
+    "q_x57_approx_distinct" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(Dedup.words(col("text"))).as("tok"))
+      graft.sketch.Sketches.mergeableDistinct(toks, "lang", "tok",
+        col("doc_id") % 2)
+        .orderBy(col("lang"))
+    },
+
     // X56: deterministic sharded export — md5-hash shard placement,
     // partitioned write, manifest computed from the read-back files.
     "q_x56_sharded_export" -> { (s, dir) =>
@@ -1027,6 +1038,18 @@ object TextQueries {
         |  CASE WHEN n_kept > 0
         |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
         |FROM cum ORDER BY bucket""".stripMargin,
+    // Approx distinct: the oracle pins the EXACT count and asserts the
+    // sketch audits pass (the booleans are the checkable contract —
+    // DuckDB's approx_count_distinct is a different algorithm, so the
+    // estimates themselves are not comparable).
+    "q_x57_approx_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT tok) AS exact_distinct,
+        |  true AS approx_ok, true AS merge_ok
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
     // Sharded export: same md5 shard arithmetic over the SOURCE table —
     // matching the Spark read-back manifest proves the written files
     // carry exactly the source content.

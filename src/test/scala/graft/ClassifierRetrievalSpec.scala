@@ -38,6 +38,36 @@ class ClassifierRetrievalSpec extends SparkSpec {
     out(0).getString(1) shouldBe "X" // the seen token decides
   }
 
+  behavior of "Sketches.mergeableDistinct"
+
+  it should "audit HLL estimates and survive the persisted-sketch round trip" in {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+    val rows = (1L to 60000L).map(i => (i % 3, s"v${i % 20011}"))
+      .toDF("g", "tok")
+    val rep = graft.sketch.Sketches.mergeableDistinct(rows, "g", "tok",
+        col("tok").substr(2, 1).cast("long") % 2)
+      .collect()
+    rep.length shouldBe 3
+    all(rep.map(_.getBoolean(2))) shouldBe true // estimate within 5%
+    all(rep.map(_.getBoolean(3))) shouldBe true // split-merge consistent
+    // the production pattern: per-batch sketch tables PERSISTED as
+    // binary, merged later without the raw data
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_tbl"
+    rows.filter(col("g") =!= 2).groupBy("g")
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    rows.filter(col("g") === 2).groupBy("g")
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val onePass = rows
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+      .head().getLong(0)
+    merged shouldBe onePass // register maxes commute through storage
+  }
+
   behavior of "Embeddings.randomProject"
 
   it should "be deterministic and preserve cluster separation (JL)" in {
