@@ -314,6 +314,47 @@ object StreamingEvents {
     ()
   }
 
+  /** Streaming quality gate: score each micro-batch of documents with a
+    * STATIC pre-trained Naive-Bayes model
+    * ([[graft.ml.TextClassifier]]) and route rows to `keep/` or
+    * `quarantine/` partitions by the (prediction, margin) rule — the
+    * online form of the batch filter a curation pipeline trains
+    * offline. The model DataFrames are resolved once at sink
+    * construction; each micro-batch joins against them exactly as the
+    * batch scorer does (same code path — parity is by construction,
+    * and the spec drives [[classifierBatch]] directly to prove it).
+    * Batch-id-partitioned writes keep replays idempotent (a redelivered
+    * micro-batch overwrites its own directory, the dedup-sink
+    * convention here). */
+  def classifierSink(docs: DataFrame, model: graft.ml.TextClassifier.NbModel,
+      idCol: String, textCol: String, acceptLabel: String,
+      minMargin: Double, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) classifierBatch(batch.toDF(), batchId, model,
+          idCol, textCol, acceptLabel, minMargin, outDir)
+      }
+      .start()
+
+  /** One micro-batch of [[classifierSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def classifierBatch(batch: DataFrame, batchId: Long,
+      model: graft.ml.TextClassifier.NbModel, idCol: String,
+      textCol: String, acceptLabel: String, minMargin: Double,
+      outDir: String): Unit = {
+    val scored = graft.ml.TextClassifier.score(model, batch, idCol, textCol)
+      .withColumn("verdict",
+        when(col("label") === acceptLabel &&
+          coalesce(col("margin"), lit(0.0)) >= minMargin, "keep")
+          .otherwise("quarantine"))
+    scored.write.mode("overwrite")
+      .partitionBy("verdict")
+      .parquet(s"$outDir/batch_id=$batchId")
+    ()
+  }
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

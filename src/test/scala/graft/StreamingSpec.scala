@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingEvents
 import graft.streaming.StreamingEvents.{EventIn, Latest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -256,6 +256,43 @@ class StreamingSpec extends SparkSpec {
     StreamingEvents.vocabularyBatch(b2.toDF("doc_id", "text"), 1L,
       "doc_id", "text", s"$tmp/stats")
     rows(StreamingEvents.vocabularyView(spark, s"$tmp/stats")) shouldBe batch
+  }
+
+  it should "score and route micro-batches identically to the batch classifier" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sclf").toString
+    val model = graft.ml.TextClassifier.train(
+      Seq(("good clean text words", "good"), ("bad noisy junk spam", "bad"))
+        .toDF("text", "lab"), "text", "lab")
+    val b1 = Seq((1L, "clean text words here"), (2L, "noisy junk spam"))
+    val b2 = Seq((3L, "good clean words"), (4L, "junk junk spam"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.classifierSink(
+      in.toDF().toDF("doc_id", "text"), model, "doc_id", "text",
+      acceptLabel = "good", minMargin = 0.0,
+      s"$tmp/out", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    val streamed = verdicts(spark.read.parquet(s"$tmp/out"))
+    // batch equivalent: same scorer, same routing rule, all rows at once
+    val batch = graft.ml.TextClassifier.score(model,
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("verdict",
+        when(col("label") === "good" &&
+          coalesce(col("margin"), lit(0.0)) >= 0.0, "keep")
+          .otherwise("quarantine"))
+    streamed shouldBe verdicts(batch)
+    streamed(1L) shouldBe "keep"
+    streamed(2L) shouldBe "quarantine"
+    // replay: a redelivered micro-batch overwrites its own directory —
+    // verdicts unchanged
+    StreamingEvents.classifierBatch(b2.toDF("doc_id", "text"), 1L, model,
+      "doc_id", "text", "good", 0.0, s"$tmp/out")
+    verdicts(spark.read.parquet(s"$tmp/out")) shouldBe streamed
   }
 
   it should "suppress exact duplicates within the watermark on ingest" in {
