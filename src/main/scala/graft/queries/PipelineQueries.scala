@@ -99,6 +99,14 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // X58: quantile-sketch report — exact interpolated median plus
+    // GK percentile_approx audited against its rank guarantee.
+    "q_x58_quantile_sketch" -> { (s, dir) =>
+      graft.sketch.Sketches.quantileReport(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    },
+
     // F10: linear model scoring with enum re-coding.
     "q_f10_scoring" -> { (s, dir) =>
       val scored = Scoring.score(
@@ -186,6 +194,16 @@ object PipelineQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  min(l_orderkey) AS min_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Quantile sketch: the oracle pins the exact type-7 median and the
+    // rank-guarantee audit booleans (GK summaries aren't cross-engine
+    // comparable value-for-value).
+    "q_x58_quantile_sketch" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+        |    AS exact_p50,
+        |  true AS ok_p25, true AS ok_p50, true AS ok_p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_f10_scoring" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  round(0.5 * l_quantity + 2.0 * l_discount +

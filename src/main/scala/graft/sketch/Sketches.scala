@@ -43,4 +43,44 @@ object Sketches {
         (abs(col("__mest") - col("__est")) /
           greatest(col("__est"), lit(1.0)) <= 0.01).as("merge_ok"))
   }
+
+  /** Per-group quantile report with its own audit: the exact
+    * interpolated median (cross-engine comparable — both engines use
+    * type-7 linear interpolation), plus `percentile_approx` (the
+    * Greenwald–Khanna mergeable summary, the sketch a 100 TB scan
+    * actually runs) audited against its rank guarantee: the returned
+    * element's exact rank must sit within ±n/accuracy of the target
+    * rank. One corpus aggregate builds counts + sketch + exact check
+    * values; a second pass ranks the (broadcast, per-group) approx
+    * answers against the raw rows. The exact median is audit
+    * scaffolding — production keeps only the sketch column. */
+  def quantileReport(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.9), accuracy: Int = 100)
+      : DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must lie in (0,1), got $ps")
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol), v.as("__v"))
+    val agg = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile(__v, 0.5)"), 4).as("exact_p50"),
+        percentile_approx(col("__v"),
+          array(ps.map(lit): _*), lit(accuracy)).as("__ap"))
+    val eps = 1.0 / accuracy
+    val rankCols = ps.indices.flatMap { i =>
+      val a = col("__ap").getItem(i)
+      Seq(sum(when(col("__v") <= a, 1L).otherwise(0L)).as(s"__le$i"),
+        sum(when(col("__v") < a, 1L).otherwise(0L)).as(s"__lt$i"))
+    }
+    val audited = base.join(broadcast(agg), Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("exact_p50"))
+      .agg(rankCols.head, rankCols.tail: _*)
+    ps.indices.foldLeft(audited) { (d, i) =>
+      val p = ps(i)
+      d.withColumn(s"ok_p${(p * 100).round}",
+        col(s"__le$i") >= lit(p) * col("n") - lit(eps) * col("n") - 1 &&
+          col(s"__lt$i") <= lit(p) * col("n") + lit(eps) * col("n") + 1)
+    }.select(col(groupCol) +: col("n") +: col("exact_p50") +:
+      ps.map(p => col(s"ok_p${(p * 100).round}")): _*)
+  }
 }

@@ -68,6 +68,16 @@ class ClassifierRetrievalSpec extends SparkSpec {
     merged shouldBe onePass // register maxes commute through storage
   }
 
+  it should "report the exact interpolated median and pass GK rank audits" in {
+    val rows = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = graft.sketch.Sketches.quantileReport(rows, "grp", "v").head()
+    r.getLong(1) shouldBe 100L
+    r.getDouble(2) shouldBe 50.5 +- 1e-9 // type-7 median of 1..100
+    r.getBoolean(3) shouldBe true
+    r.getBoolean(4) shouldBe true
+    r.getBoolean(5) shouldBe true
+  }
+
   behavior of "Embeddings.randomProject"
 
   it should "be deterministic and preserve cluster separation (JL)" in {
