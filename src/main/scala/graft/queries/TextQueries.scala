@@ -292,6 +292,29 @@ object TextQueries {
         .orderBy(col("bucket"))
     },
 
+    // X59: corpus health report — the per-source dashboard a curation
+    // team watches: volume, language spread, exact-dup incidence (x1's
+    // planted-dup convention so the column is live), token volume and
+    // mean quality, all in one composed pass over existing primitives.
+    "q_x59_corpus_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val per = TextStats.qualityScore(corpus, "text")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("quality"), md5(col("text")).as("__h"))
+      val dup = per.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      per.join(dup, "__h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+
     // X57: mergeable HLL distinct-token report per language — estimate
     // audited against the exact count, split-merge consistency proven.
     "q_x57_approx_distinct" -> { (s, dir) =>
@@ -1038,6 +1061,36 @@ object TextQueries {
         |  CASE WHEN n_kept > 0
         |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
         |FROM cum ORDER BY bucket""".stripMargin,
+    // Corpus report: the x1 plant + x5 quality formula composed per
+    // source.
+    "q_x59_corpus_report" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, lang, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |base AS (
+        |  SELECT doc_id, source, lang, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM corpus),
+        |q AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |      (CAST(len(list_filter(w, x ->
+        |        list_contains(['the','a','of','and','is'], x)))
+        |        AS DOUBLE) / len(w)) * 5.0 * 0.5, 4) AS quality,
+        |    md5(text) AS h
+        |  FROM base),
+        |dup AS (SELECT h, count(*) AS c FROM q GROUP BY 1)
+        |SELECT source, count(1) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM q JOIN dup USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Approx distinct: the oracle pins the EXACT count and asserts the
     // sketch audits pass (the booleans are the checkable contract —
     // DuckDB's approx_count_distinct is a different algorithm, so the
