@@ -246,4 +246,84 @@ object Curation {
         md5(concat_ws("", array_sort(collect_list(md5(col(textCol))))))
           .as("texts_md5"))
   }
+
+  /** X62: data-constrained token-budget allocation (the Muennighoff et
+    * al. 2022 "Scaling Data-Constrained Language Models" regime, public
+    * knowledge): split `budgetTokens` training tokens across domains in
+    * proportion to temperature-α mixture weights, but cap every domain
+    * at `maxEpochs` passes over its available tokens and re-distribute
+    * the freed budget over the uncapped domains — exact water-filling,
+    * computed in CLOSED FORM with window functions (no driver loop, no
+    * iteration):
+    *
+    * sort domains by cap-to-weight ratio `r_i = c_i/w_i` ascending; a
+    * domain is capped iff its own cap binds under the λ that prefix
+    * implies, `r_i ≤ (B − Σ_{j≤i} c_j) / Σ_{j>i} w_j`; then
+    * `λ* = (B − Σ_capped c) / Σ_uncapped w` and the allocation is
+    * `min(c_i, λ*·w_i)` — `Σ alloc = B` by construction (the spec
+    * asserts it).
+    *
+    * Scale shape: the only corpus-sized work is the domain token count
+    * (one map-side-combined aggregate); everything after runs on the
+    * |domains|-row table, and the windows are driver-scale by nature.
+    * Domains with zero tokens are excluded from the plan (zero weight,
+    * zero capacity — nothing to allocate).
+    *
+    * Output per domain: tokens_available, weight, capacity
+    * (= maxEpochs·tokens), allocated_tokens, epochs (= alloc/tokens),
+    * capped. */
+  def epochPlan(df: DataFrame, textCol: String, domainCol: String,
+      budgetTokens: Long, maxEpochs: Double, alpha: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val dom = df
+      .select(col(domainCol).as("domain"),
+        coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
+          .cast("long").as("__nt"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__nt")).as("tokens_available"))
+      .filter(col("tokens_available") > 0)
+    val tot = dom.agg(
+      sum(col("tokens_available")).cast("double").as("__t"))
+    val wtd = dom.crossJoin(broadcast(tot))
+      .withColumn("__wraw", pow(col("tokens_available") / col("__t"),
+        lit(alpha)))
+    val wnorm = wtd.agg(sum(col("__wraw")).as("__wsum"),
+      sum(col("tokens_available")).cast("double").as("__cap_sum"))
+    // B: the budget actually placeable — everything if capacity allows
+    val staged = wtd.crossJoin(broadcast(wnorm))
+      .withColumn("w", col("__wraw") / col("__wsum"))
+      .withColumn("capacity", col("tokens_available") * maxEpochs)
+      .withColumn("__b",
+        least(lit(budgetTokens.toDouble), col("__cap_sum") * maxEpochs))
+      .withColumn("__r", col("capacity") / col("w"))
+    val run = Window.orderBy(col("__r"), col("domain"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = staged
+      .withColumn("__cum_c", sum(col("capacity")).over(run))
+      .withColumn("__cum_w", sum(col("w")).over(run))
+      .withColumn("__sfx_w", lit(1.0) - col("__cum_w"))
+      .withColumn("capped",
+        when(col("__sfx_w") > 1e-12,
+          col("__r") <= (col("__b") - col("__cum_c")) / col("__sfx_w"))
+          .otherwise(col("__b") >= col("__cum_c") - 1e-6))
+    val lam = flagged.agg(
+      sum(when(col("capped"), col("capacity")).otherwise(0.0)).as("__cc"),
+      sum(when(col("capped"), lit(0.0)).otherwise(col("w"))).as("__uw"))
+    flagged.crossJoin(broadcast(lam))
+      .withColumn("__lam",
+        when(col("__uw") > 1e-12,
+          (col("__b") - col("__cc")) / col("__uw")).otherwise(lit(0.0)))
+      .select(col("domain"), col("tokens_available"),
+        round(col("w"), 6).as("weight"),
+        col("capacity"),
+        round(when(col("capped"), col("capacity"))
+          .otherwise(col("__lam") * col("w")), 2).as("allocated_tokens"),
+        round(when(col("capped"), col("capacity"))
+          .otherwise(col("__lam") * col("w")) / col("tokens_available"),
+          4).as("epochs"),
+        col("capped"))
+  }
 }

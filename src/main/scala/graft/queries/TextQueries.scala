@@ -245,6 +245,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X62: data-constrained epoch planning — skewed synthetic domains
+    // (rare ≈ 2% of tokens) so the maxEpochs cap binds for one domain
+    // and water-filling redistributes its budget; budget = half the
+    // corpus tokens, computed exactly (integer division) by BOTH
+    // engines.
+    "q_x62_epoch_plan" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("domain",
+        when(col("doc_id") % 50 === 0, lit("rare"))
+          .when(col("doc_id") % 5 === 0, lit("mid"))
+          .otherwise(lit("common")))
+      val total = docs.agg(
+        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
+        .head().getLong(0)
+      graft.curate.Curation.epochPlan(docs, "text", "domain",
+        budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
+        .orderBy(col("domain"))
+    },
+
     // X42: bigram-LM perplexity scoring (the CCNet quality signal) —
     // self-trained add-alpha model; the model is two count tables
     // consulted by key joins, never broadcast.
@@ -313,6 +331,16 @@ object TextQueries {
           round(avg(col("n_tokens")), 2).as("avg_tokens"),
           round(avg(col("quality")), 4).as("avg_quality"))
         .orderBy(col("source"))
+    },
+
+    // X60: Misra–Gries heavy-hitter tokens per language — bounded-state
+    // mergeable candidates, then an exact broadcast re-count; the n/k
+    // threshold is integer arithmetic so the output is engine-exact.
+    "q_x60_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("tok"))
+      graft.sketch.HeavyHitters.heavyHitters(toks, "lang", "tok", k = 40)
+        .orderBy(col("lang"), col("tok"))
     },
 
     // X57: mergeable HLL distinct-token report per language — estimate
@@ -496,6 +524,19 @@ object TextQueries {
       Dedup.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text",
         shingleN = 8, minShared = 1)
+        .orderBy(col("doc_id"))
+    },
+
+    // X61: Bloom-prefiltered decontamination — same contract as X14
+    // (the oracle is the exact computation: bloom false positives are
+    // killed by the verify join, so the filter never changes the
+    // answer), sized for eval sets too big to broadcast as strings.
+    "q_x61_bloom_decontamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 89 === 0), "text",
+        shingleN = 8, minShared = 1,
+        expectedItems = 200000, fpp = 0.01)
         .orderBy(col("doc_id"))
     },
 
@@ -849,6 +890,59 @@ object TextQueries {
          |    < f - floor(f) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
          |FROM tok k JOIN fac USING (source) JOIN u USING (doc_id)
          |ORDER BY k.doc_id""".stripMargin,
+    // Epoch plan: the same closed-form water-filling — sort by
+    // cap-to-weight ratio, prefix-sum windows decide the capped set,
+    // λ places the remaining budget over the uncapped weights.
+    "q_x62_epoch_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN 'rare'
+        |         WHEN doc_id % 5 = 0 THEN 'mid'
+        |         ELSE 'common' END AS domain,
+        |    CAST(coalesce(len(regexp_split_to_array(lower(text), '\s+')),
+        |      0) AS BIGINT) AS nt
+        |  FROM documents),
+        |dom AS (SELECT domain, sum(nt) AS tokens_available FROM d
+        |        GROUP BY 1 HAVING sum(nt) > 0),
+        |tot AS (SELECT CAST(sum(tokens_available) AS DOUBLE) AS t,
+        |               sum(tokens_available) // 2 AS bud FROM dom),
+        |wtd AS (SELECT domain, tokens_available,
+        |          pow(tokens_available / t, 0.5) AS wraw, t, bud
+        |        FROM dom, tot),
+        |wn AS (SELECT sum(wraw) AS wsum FROM wtd),
+        |st AS (SELECT domain, tokens_available, wraw / wsum AS w,
+        |         tokens_available * 2.0 AS capacity,
+        |         least(CAST(bud AS DOUBLE), t * 2.0) AS b
+        |       FROM wtd, wn),
+        |r AS (SELECT *, capacity / w AS rr FROM st),
+        |fl AS (SELECT *,
+        |         sum(capacity) OVER (ORDER BY rr, domain
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_c,
+        |         sum(w) OVER (ORDER BY rr, domain
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_w
+        |       FROM r),
+        |fg AS (SELECT *,
+        |         CASE WHEN 1.0 - cum_w > 1e-12
+        |              THEN rr <= (b - cum_c) / (1.0 - cum_w)
+        |              ELSE b >= cum_c - 1e-6 END AS capped
+        |       FROM fl),
+        |lam AS (SELECT
+        |          sum(CASE WHEN capped THEN capacity ELSE 0.0 END) AS cc,
+        |          sum(CASE WHEN capped THEN 0.0 ELSE w END) AS uw
+        |        FROM fg),
+        |fin AS (SELECT fg.*,
+        |          CASE WHEN uw > 1e-12 THEN (b - cc) / uw
+        |               ELSE 0.0 END AS lamv
+        |        FROM fg, lam)
+        |SELECT domain, tokens_available, round(w, 6) AS weight, capacity,
+        |  round(CASE WHEN capped THEN capacity ELSE lamv * w END, 2)
+        |    AS allocated_tokens,
+        |  round((CASE WHEN capped THEN capacity ELSE lamv * w END)
+        |    / tokens_available, 4) AS epochs,
+        |  capped
+        |FROM fin ORDER BY domain""".stripMargin,
     // DSIR: hashed unigram+bigram features -> 1024-bucket distributions
     // (target = lang 'en'), per-doc sum of smoothed log-ratios.
     "q_x43_dsir_importance" ->
@@ -1091,6 +1185,22 @@ object TextQueries {
         |  round(avg(quality), 4) AS avg_quality
         |FROM q JOIN dup USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Heavy hitters: the oracle computes the exact answer directly —
+    // the MG pass only proposes candidates, so both engines agree on
+    // every row; the threshold stays in integer arithmetic (c*k > n).
+    "q_x60_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT lang, count(*) AS n_group FROM toks GROUP BY 1),
+        |cnt AS (SELECT lang, tok, count(*) AS tok_count
+        |        FROM toks GROUP BY 1, 2)
+        |SELECT lang, tok, tok_count, n_group,
+        |  round(CAST(tok_count AS DOUBLE) / n_group, 6) AS share
+        |FROM cnt JOIN tot USING (lang)
+        |WHERE tok_count * 40 > n_group
+        |ORDER BY lang, tok""".stripMargin,
     // Approx distinct: the oracle pins the EXACT count and asserts the
     // sketch audits pass (the booleans are the checkable contract —
     // DuckDB's approx_count_distinct is a different algorithm, so the
@@ -1753,6 +1863,26 @@ object TextQueries {
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
         |        FROM words)),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |shared AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh JOIN ev USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(shared.n, 0) AS n_shared_ngrams,
+        |  coalesce(shared.n, 0) >= 1 AS is_contaminated
+        |FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Bloom decontamination: the oracle is the EXACT overlap — the
+    // bloom pass is a prefilter whose false positives are removed by
+    // the verify join, so both engines compute the identical relation.
+    "q_x61_bloom_decontamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM words)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
         |shared AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
         |  FROM sh JOIN ev USING (shingle) GROUP BY doc_id)

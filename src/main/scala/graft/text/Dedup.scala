@@ -735,6 +735,50 @@ object Dedup {
           .as("is_contaminated"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the form that
+    * scales past eval sets too large to broadcast as a hash relation.
+    * A `BloomFilter` over the distinct eval shingles is a few MB of bits
+    * at 1% FPP even for tens of millions of shingles (vs GBs of strings
+    * for the broadcast hash table), so the corpus-side scan drops
+    * ~99% of its shingles against broadcast BITS before anything joins.
+    * Bloom positives are then verified EXACTLY against the real eval
+    * shingle set — false positives die there, so the output is
+    * row-identical to [[decontaminate]] (same schema, same values; the
+    * spec proves it), and the verify join's left side is only the rare
+    * survivors, safe to shuffle instead of broadcast.
+    *
+    * `expectedItems`/`fpp` size the filter; defaults hold the filter
+    * under ~15 MB at 10M eval shingles. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String,
+      shingleN: Int = 8, minShared: Int = 1,
+      expectedItems: Long = 10L * 1000 * 1000,
+      fpp: Double = 0.01): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    require(fpp > 0 && fpp < 1, s"fpp must lie in (0,1), got $fpp")
+    val evalShingles = evalSet
+      .select(explode(array_distinct(
+        shingles(col(evalTextCol), shingleN))).as("shingle"))
+      .distinct()
+    val bloom = evalShingles.stat
+      .bloomFilter("shingle", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val shared = corpus
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(evalShingles, "shingle") // exact verify: bloom FPs die here
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+    corpus.select(col(idCol))
+      .join(shared, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) >= minShared)
+          .as("is_contaminated"))
+  }
+
   /** Exact n-gram Jaccard similarity join with prefix filtering (the
     * AllPairs/PPJoin candidate rule — public knowledge, Bayardo et al. /
     * Xiao et al.): under a global document-frequency-ascending shingle

@@ -27,6 +27,54 @@ class CurationSpec extends SparkSpec {
     other should not equal again
   }
 
+  behavior of "epochPlan"
+
+  it should "cap the scarce domain at maxEpochs and place the rest by weight" in {
+    // tokens: rare 100, big 900 (one doc per token-count via word repeat)
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(("rare", doc(100)), ("big", doc(900)))
+      .toDF("domain", "text")
+    // α=0.5: wraw = (.1^.5, .9^.5) = (.3162, .9487); w = (.25, .75)
+    // B = 500, cap = 2·tokens: rare wants .25·500=125 > 200? no —
+    // use maxEpochs=1: cap_rare=100 < 125 → capped; λ=(500-100)/.75
+    val out = Curation.epochPlan(df, "text", "domain",
+      budgetTokens = 500, maxEpochs = 1.0, alpha = 0.5)
+      .orderBy("domain").collect()
+    val big = out(0); val rare = out(1)
+    rare.getString(0) shouldBe "rare"
+    rare.getBoolean(6) shouldBe true
+    rare.getDouble(4) shouldBe 100.0 +- 1e-6 // pinned at capacity
+    rare.getDouble(5) shouldBe 1.0 +- 1e-9   // = maxEpochs
+    big.getBoolean(6) shouldBe false
+    // λ·w_big = (500-100)/w_big·w_big = 400
+    big.getDouble(4) shouldBe 400.0 +- 1e-6
+    // allocations exhaust the budget exactly
+    out.map(_.getDouble(4)).sum shouldBe 500.0 +- 1e-6
+  }
+
+  it should "allocate full capacity when the budget exceeds it" in {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(("a", doc(50)), ("b", doc(150))).toDF("domain", "text")
+    val out = Curation.epochPlan(df, "text", "domain",
+      budgetTokens = 10000, maxEpochs = 3.0, alpha = 0.5)
+      .orderBy("domain").collect()
+    out.map(_.getBoolean(6)).toSeq shouldBe Seq(true, true)
+    out.map(_.getDouble(4)).toSeq shouldBe Seq(150.0, 450.0)
+    out.map(_.getDouble(5)).toSeq shouldBe Seq(3.0, 3.0)
+  }
+
+  it should "reduce to pure temperature weighting when no cap binds" in {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(("a", doc(400)), ("b", doc(600))).toDF("domain", "text")
+    val out = Curation.epochPlan(df, "text", "domain",
+      budgetTokens = 100, maxEpochs = 5.0, alpha = 1.0)
+      .orderBy("domain").collect()
+    out.map(_.getBoolean(6)).toSeq shouldBe Seq(false, false)
+    // α=1 keeps raw shares: 40/60 split of 100
+    out(0).getDouble(4) shouldBe 40.0 +- 1e-6
+    out(1).getDouble(4) shouldBe 60.0 +- 1e-6
+  }
+
   behavior of "packSequences"
 
   it should "cut packs at the token budget with per-shard streams" in {

@@ -232,6 +232,30 @@ class TextSpec extends SparkSpec {
     r(2) shouldBe ((3L, 0L, false))
   }
 
+  it should "produce identical rows through the bloom-prefiltered path" in {
+    // larger generated corpus: docs 0 mod 7 embed an eval 8-gram; the
+    // bloom prefilter + exact verify must reproduce decontaminate
+    // row-for-row even at a high-FP bloom sizing (tiny filter, 30% fpp)
+    val corpus = (0L until 120L).map { i =>
+      val base = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      val planted = if (i % 7 == 0)
+        " alpha beta gamma delta epsilon zeta eta theta" else ""
+      (i, base + planted)
+    }.toDF("doc_id", "text")
+    val evalSet = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta tail words"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text",
+        evalSet, "text", shingleN = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val bloomed = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        evalSet, "text", shingleN = 8,
+        expectedItems = 100, fpp = 0.3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    bloomed shouldBe exact
+    bloomed.count(_._3) shouldBe 18 // ceil(120/7) planted docs flagged
+  }
+
   it should "normalize markup, urls, control bytes and whitespace" in {
     import graft.text.TextStats
     val rows = TextStats.normalizeText(Seq(
