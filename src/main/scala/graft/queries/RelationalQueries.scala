@@ -47,6 +47,20 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // X63: z-order layout audit — Morton codes over (custkey, order
+    // day), 32 equal-size z-range buckets, per-bucket (x, y) bounding
+    // boxes; the integer/bit arithmetic is recomputed bit-for-bit by
+    // the oracle.
+    "q_x63_zorder_layout" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("o_day"))
+      graft.relational.Layout
+        .zOrderReport(o, "o_custkey", "o_day", "o_orderkey", buckets = 32)
+        .orderBy(col("bucket"))
+    },
+
     // J1: left-anti "new records" — customers with no orders.
     "q_j1_anti_join" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -238,6 +252,44 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // Z-order audit: the same Morton magic-mask cascade in SQL bit
+    // arithmetic; quantization stays IEEE-exact (products < 2^53), so
+    // both engines derive identical codes, buckets and boxes.
+    "q_x63_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS o_day
+        |  FROM orders),
+        |mm AS (SELECT min(o_custkey) AS xmin, max(o_custkey) AS xmax,
+        |              min(o_day) AS ymin, max(o_day) AS ymax FROM o),
+        |q AS (SELECT o_orderkey, o_custkey, o_day,
+        |    CASE WHEN xmax > xmin THEN CAST(floor(
+        |      CAST(o_custkey - xmin AS DOUBLE) * 65535.0 /
+        |      CAST(xmax - xmin AS DOUBLE)) AS BIGINT) ELSE 0 END AS qx,
+        |    CASE WHEN ymax > ymin THEN CAST(floor(
+        |      CAST(o_day - ymin AS DOUBLE) * 65535.0 /
+        |      CAST(ymax - ymin AS DOUBLE)) AS BIGINT) ELSE 0 END AS qy
+        |  FROM o, mm),
+        |s1 AS (SELECT *, qx & 65535 AS ax, qy & 65535 AS ay FROM q),
+        |s2 AS (SELECT *, (ax | (ax << 8)) & 16711935 AS bx,
+        |                 (ay | (ay << 8)) & 16711935 AS by FROM s1),
+        |s3 AS (SELECT *, (bx | (bx << 4)) & 252645135 AS dx,
+        |                 (by | (by << 4)) & 252645135 AS dy FROM s2),
+        |s4 AS (SELECT *, (dx | (dx << 2)) & 858993459 AS ex,
+        |                 (dy | (dy << 2)) & 858993459 AS ey FROM s3),
+        |s5 AS (SELECT *, (ex | (ex << 1)) & 1431655765 AS fx,
+        |                 (ey | (ey << 1)) & 1431655765 AS fy FROM s4),
+        |z AS (SELECT o_orderkey, o_custkey, o_day,
+        |        fx | (fy << 1) AS zv FROM s5),
+        |nt AS (SELECT o_custkey, o_day,
+        |         CAST(ntile(32) OVER (ORDER BY zv, o_orderkey) AS BIGINT)
+        |           AS bucket
+        |       FROM z)
+        |SELECT bucket, count(1) AS n_rows,
+        |  min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+        |  min(o_day) AS y_min, max(o_day) AS y_max
+        |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_j2_changed_detection" ->
       """WITH inc AS (
         |  SELECT c_custkey, c_name,
