@@ -61,6 +61,16 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // X64: pre-join cardinality/skew audit — exact per-key fan-out of
+    // the events self-join on user_id (the worst-case quadratic shape),
+    // top contributors by Σ f_A·f_B; the audit a pipeline runs before
+    // paying for an unpredictable join.
+    "q_x64_join_audit" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.relational.Joins
+        .joinCardinalityAudit(ev, ev, "user_id", "user_id", topK = 15)
+    },
+
     // J1: left-anti "new records" — customers with no orders.
     "q_j1_anti_join" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -252,6 +262,19 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // Join audit: exact Σ f_A·f_B per key over the two count tables —
+    // all-integer arithmetic, ties ranked by key.
+    "q_x64_join_audit" ->
+      """WITH f AS (
+        |  SELECT user_id AS key, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |per AS (SELECT key, n AS n_left, n AS n_right,
+        |               n * n AS join_rows FROM f),
+        |tot AS (SELECT sum(join_rows) AS t FROM per)
+        |SELECT key, n_left, n_right, join_rows,
+        |  round(CAST(join_rows AS DOUBLE) / t, 6) AS share
+        |FROM per, tot
+        |ORDER BY join_rows DESC, key LIMIT 15""".stripMargin,
     // Z-order audit: the same Morton magic-mask cascade in SQL bit
     // arithmetic; quantization stays IEEE-exact (products < 2^53), so
     // both engines derive identical codes, buckets and boxes.

@@ -160,4 +160,33 @@ object Joins {
       .saveAsTable(table)
     table
   }
+
+  /** Pre-join cardinality/skew audit: the exact output size an equi-join
+    * WOULD produce, per key — `|A ⋈ B| = Σ_k f_A(k)·f_B(k)` — plus each
+    * key's share of the total, for the top `topK` contributors. This is
+    * the check a 100 TB pipeline runs BEFORE paying for a join whose
+    * fan-out it cannot predict: two map-side-combined key-count
+    * aggregates and a join of the two count tables (distinct-key-sized,
+    * orders of magnitude smaller than the data join), never the join
+    * itself. A key with share ≳ 1/shufflePartitions is the straggler
+    * [[saltedJoin]] exists for.
+    *
+    * All-integer arithmetic; ties rank by key so output is total-ordered
+    * and engine-exact. */
+  def joinCardinalityAudit(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fa = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val fb = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val per = fa.join(fb, "key")
+      .withColumn("join_rows", col("n_left") * col("n_right"))
+    val tot = per.agg(sum(col("join_rows")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_left"), col("n_right"), col("join_rows"),
+        round(col("join_rows").cast("double") / col("__t"), 6).as("share"))
+      .orderBy(col("join_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

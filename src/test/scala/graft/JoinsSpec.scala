@@ -102,6 +102,22 @@ class JoinsSpec extends SparkSpec {
       .select("px").as[Option[Double]].head() shouldBe Some(1.0)
   }
 
+  it should "predict the exact join cardinality and rank skew keys" in {
+    // left: key 1 ×3, key 2 ×1, key 3 ×2, NULL ×2; right: 1 ×4, 2 ×5
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L),
+      Some(3L), None, None).toDF("k")
+    val right = (Seq.fill(4)(Some(1L)) ++ Seq.fill(5)(Some(2L)))
+      .toDF("j")
+    val audit = Joins.joinCardinalityAudit(left, right, "k", "j")
+      .collect()
+    // keys 1 (3·4=12) and 2 (1·5=5); key 3 and NULLs never join
+    audit.map(r => (r.getLong(0), r.getLong(3))).toSeq shouldBe
+      Seq((1L, 12L), (2L, 5L))
+    audit.map(_.getLong(3)).sum shouldBe
+      left.join(right, col("k") === col("j")).count()
+    audit(0).getDouble(4) shouldBe (12.0 / 17) +- 1e-6
+  }
+
   it should "produce identical results salted and unsalted" in {
     // heavily skewed probe side: 900 of 1000 rows share key 1
     val probe = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (i, i)))
