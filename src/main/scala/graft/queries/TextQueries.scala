@@ -263,6 +263,25 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // X65: URL-domain blocklist filtering (the C4 curation step) —
+    // deterministic per-doc URLs covering plain/blocked/subdomain/
+    // cc-TLD/relative shapes; registrable-domain reduction decides the
+    // verdict so subdomains of a blocked domain are caught.
+    "q_x65_domain_filter" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("url",
+        when(col("doc_id") % 7 === 0, lit("https://spam.biz/p"))
+          .when(col("doc_id") % 7 === 1, lit("https://www.example.com/a"))
+          .when(col("doc_id") % 7 === 2, lit("https://news.site.co.uk/x"))
+          .when(col("doc_id") % 7 === 3, lit("https://sub.spam.biz/y"))
+          .when(col("doc_id") % 7 === 4, lit("https://ok.org/z"))
+          .when(col("doc_id") % 7 === 5, lit("not a url"))
+          .otherwise(lit("https://ftp.deep.example.com/w")))
+      TextStats.domainVerdict(docs, "url", Seq("spam.biz", "bad.net"))
+        .select(col("doc_id"), col("url"), col("host"),
+          col("registered_domain"), col("is_blocked"))
+        .orderBy(col("doc_id"))
+    },
+
     // X42: bigram-LM perplexity scoring (the CCNet quality signal) —
     // self-trained add-alpha model; the model is two count tables
     // consulted by key joins, never broadcast.
@@ -890,6 +909,45 @@ object TextQueries {
          |    < f - floor(f) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
          |FROM tok k JOIN fac USING (source) JOIN u USING (doc_id)
          |ORDER BY k.doc_id""".stripMargin,
+    // Domain filter: same regex host extraction + registrable-domain
+    // reduction (last 2 labels, 3 under co.uk-style suffixes).
+    "q_x65_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'https://spam.biz/p'
+        |      WHEN 1 THEN 'https://www.example.com/a'
+        |      WHEN 2 THEN 'https://news.site.co.uk/x'
+        |      WHEN 3 THEN 'https://sub.spam.biz/y'
+        |      WHEN 4 THEN 'https://ok.org/z'
+        |      WHEN 5 THEN 'not a url'
+        |      ELSE 'https://ftp.deep.example.com/w' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN regexp_extract(url, '^https?://([^/:?#]+)', 1) = ''
+        |         THEN NULL
+        |         ELSE lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+        |    END AS host
+        |  FROM u),
+        |p AS (
+        |  SELECT doc_id, url, host, string_split(host, '.') AS parts,
+        |    len(string_split(host, '.')) AS n
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, url, host,
+        |    CASE WHEN host IS NULL THEN NULL
+        |         WHEN n <= 2 THEN host
+        |         WHEN parts[n-1] IN
+        |           ('co','com','org','net','ac','gov','edu')
+        |         THEN array_to_string(parts[n-2:n], '.')
+        |         ELSE array_to_string(parts[n-1:n], '.') END
+        |      AS registered_domain
+        |  FROM p)
+        |SELECT doc_id, url, host, registered_domain,
+        |  coalesce(registered_domain IN ('spam.biz', 'bad.net'), false)
+        |    AS is_blocked
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Epoch plan: the same closed-form water-filling — sort by
     // cap-to-weight ratio, prefix-sum windows decide the capped set,
     // λ places the remaining budget over the uncapped weights.

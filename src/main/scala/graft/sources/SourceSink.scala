@@ -154,6 +154,34 @@ object OrcSink extends Sink {
   }
 }
 
+/** Binary-file source (beyond the reference): raw media ingestion for
+  * the multimodal pipeline — each matched file becomes one row of
+  * (path, modificationTime, length, content), the schema
+  * [[graft.multimodal.Multimodal]] decoders consume. Context keys:
+  * `in_path` (directory or glob), optional `glob` (pathGlobFilter,
+  * e.g. `*.png`), optional `recursive` (recursiveFileLookup).
+  *
+  * Scale notes: Spark's `binaryFile` format lists and assigns files to
+  * tasks like any file source (driver listing parallelizes past
+  * `spark.sql.sources.parallelPartitionDiscovery.threshold`), so 10⁸
+  * images shard across executors with no custom code; but each CONTENT
+  * cell is one in-memory byte array — raw media should flow straight
+  * into a decode `mapPartitions` (M3) or be re-packed into parquet
+  * blob tables, never collected. Filter on `length` BEFORE touching
+  * `content` — the reader prunes columns, so a metadata-only pass
+  * never reads file bytes. */
+object BinaryFileSource extends Source {
+  def apply(spark: SparkSession, ctx: TransformationContext): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    val withGlob = ctx.get[String]("glob")
+      .map(g => r.option("pathGlobFilter", g)).getOrElse(r)
+    ctx.get[Boolean]("recursive")
+      .map(b => withGlob.option("recursiveFileLookup", b.toString))
+      .getOrElse(withGlob)
+      .load(ctx[String]("in_path"))
+  }
+}
+
 /** S8/O8-style sample writer (reference: star/io/ParquetWriter.scala:20-32). */
 object SampleParquetSink extends Sink {
   def write(df: DataFrame, ctx: TransformationContext): Unit =

@@ -596,4 +596,38 @@ object TextStats {
       .withColumn("has_pii",
         patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
   }
+
+  /** Second-level labels under which the registrable domain keeps THREE
+    * labels (a public-suffix-list-lite heuristic — the full PSL is a
+    * data file, not an algorithm; this covers the common cc-TLD shapes
+    * like `co.uk` / `com.au` / `ac.jp`). */
+  private val SecondLevelSuffixes =
+    Seq("co", "com", "org", "net", "ac", "gov", "edu")
+
+  /** X65: URL-domain filtering (the C4 / RefinedWeb curation step:
+    * drop documents from blocklisted domains, Raffel et al. 2020):
+    * extract the host from a URL column, reduce it to its registrable
+    * domain (last two labels, or three under `co.uk`-style suffixes),
+    * and flag rows whose registrable domain is in `blocked` — subdomains
+    * included by construction, since matching happens on the reduced
+    * domain. One projection; the blocklist is a literal `isin` filter
+    * (at a realistic million-domain blocklist: swap the isin for a
+    * broadcast left-semi join on the same column — no other change).
+    * Bad/relative URLs yield NULL host and are never blocked. */
+  def domainVerdict(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val host0 = regexp_extract(col(urlCol), "^https?://([^/:?#]+)", 1)
+    val host = when(length(host0) > 0, lower(host0))
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val reg = when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(element_at(parts, -2).isin(SecondLevelSuffixes: _*),
+        concat_ws(".", slice(parts, -3, 3)))
+      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+    df.withColumn("host", host)
+      .withColumn("registered_domain", reg)
+      .withColumn("is_blocked",
+        coalesce(col("registered_domain").isin(blocked: _*), lit(false)))
+  }
 }

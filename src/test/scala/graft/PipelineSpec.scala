@@ -111,6 +111,32 @@ class PipelineSpec extends SparkSpec {
     ctx.steps.map(_.name) shouldBe Vector("only_a")
   }
 
+  it should "ingest raw media files through the binaryFile source" in {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("red.png", graft.multimodal.Multimodal.solidPng(4, 3, 255, 0, 0))
+    put("blue.png", graft.multimodal.Multimodal.solidPng(2, 2, 0, 0, 255))
+    put("notes.txt", "not an image".getBytes("UTF-8"))
+    val ctx = new TransformationContext
+    ctx.update("in_path", dir.toString)
+    ctx.update("glob", "*.png")
+    val files = graft.sources.BinaryFileSource(spark, ctx)
+    files.count() shouldBe 2 // the txt is glob-filtered out
+    // metadata-only pass prunes the content column entirely
+    files.select("path", "length").collect()
+      .map(_.getLong(1)) should contain theSameElementsAs
+      Seq(dir.resolve("red.png").toFile.length,
+        dir.resolve("blue.png").toFile.length)
+    // and the bytes feed the M3 decoder unchanged
+    val feats = graft.multimodal.Multimodal.decodeImageFeatures(
+      files.select(col("path").as("media_id"), col("content")),
+      "media_id")
+      .orderBy("media_id").collect()
+    feats.length shouldBe 2
+    feats.map(_.getAs[Int]("width")).toSeq shouldBe Seq(2, 4) // blue, red
+  }
+
   it should "render the dependency DAG" in {
     val ts = Seq(
       Transformation("b", deps = Seq("a")) { (df, _) => df },

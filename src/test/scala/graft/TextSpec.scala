@@ -256,6 +256,24 @@ class TextSpec extends SparkSpec {
     bloomed.count(_._3) shouldBe 18 // ceil(120/7) planted docs flagged
   }
 
+  it should "reduce hosts to registrable domains and block subdomains" in {
+    import graft.text.TextStats
+    val rows = TextStats.domainVerdict(Seq(
+      (1L, "https://spam.biz/p"),          // blocked exactly
+      (2L, "https://sub.spam.biz/x"),      // subdomain of blocked
+      (3L, "https://news.site.co.uk/y"),   // cc-TLD: 3-label domain
+      (4L, "http://WWW.Example.COM/z"),    // case-folded, www stripped
+      (5L, "relative/path"),               // no host -> never blocked
+      (6L, "https://ok.org"))              // bare host, no path
+      .toDF("doc_id", "url"), "url", Seq("spam.biz"))
+      .select("doc_id", "host", "registered_domain", "is_blocked")
+      .collect().sortBy(_.getLong(0))
+    rows.map(r => (Option(r.getString(2)), r.getBoolean(3))).toSeq shouldBe
+      Seq((Some("spam.biz"), true), (Some("spam.biz"), true),
+        (Some("site.co.uk"), false), (Some("example.com"), false),
+        (None, false), (Some("ok.org"), false))
+  }
+
   it should "normalize markup, urls, control bytes and whitespace" in {
     import graft.text.TextStats
     val rows = TextStats.normalizeText(Seq(
