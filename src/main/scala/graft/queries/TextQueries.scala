@@ -263,6 +263,16 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // X66: unigram-LM tokenizer training (SentencePiece hard-EM) — no
+    // SQL oracle (iterated Viterbi DP is not SQL-expressible; the
+    // driver records the weaker rows-only check) — exactness is carried
+    // by UnigramSpec's hand-computed EM and partitioning-invariance.
+    "q_x66_unigram_train" -> { (s, dir) =>
+      graft.text.Unigram.train(t(s, dir, "documents"), "text",
+        vocabSize = 200, maxPieceLen = 3, iterations = 3)
+        .orderBy(col("piece"))
+    },
+
     // X65: URL-domain blocklist filtering (the C4 curation step) —
     // deterministic per-doc URLs covering plain/blocked/subdomain/
     // cc-TLD/relative shapes; registrable-domain reduction decides the
