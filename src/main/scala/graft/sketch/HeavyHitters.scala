@@ -40,19 +40,46 @@ class MisraGries(k: Int)
       case None => b.collect { case (t, c) if c > 1 => t -> (c - 1) }
     }
 
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeSummaries(a, b, k)
+
+  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object MisraGries {
+  /** Combine two MG summaries at capacity `k` (Agarwal et al. 2012):
+    * counter-wise sum, then subtract the (k+1)-th largest count and
+    * drop non-positive — preserves the n/k no-false-negative guarantee
+    * across arbitrary merge trees, INCLUDING summaries persisted to
+    * storage and merged later. */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
     val m = b.foldLeft(a) { case (acc, (t, c)) =>
       acc.updated(t, acc.getOrElse(t, 0L) + c)
     }
     if (m.size <= k) m
     else {
-      // Subtract the (k+1)-th largest count from all, drop non-positive —
-      // the mergeable-summaries combine that preserves the n/k guarantee.
       val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
       m.collect { case (t, c) if c > cut => t -> (c - cut) }
     }
   }
+}
 
+/** Aggregator over ALREADY-BUILT MG summaries (map rows read back from
+  * a sketch table) — the merge half of the persisted-summary pattern. */
+class MisraGriesMerge(k: Int)
+    extends Aggregator[Map[String, Long], Map[String, Long],
+      Map[String, Long]] {
+  require(k >= 1, s"k must be at least 1, got $k")
+  def zero: Map[String, Long] = Map.empty
+  def reduce(b: Map[String, Long], in: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeSummaries(b, if (in == null) Map.empty else in, k)
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeSummaries(a, b, k)
   def finish(b: Map[String, Long]): Map[String, Long] = b
   def bufferEncoder: Encoder[Map[String, Long]] =
     Encoders.kryo[Map[String, Long]]
@@ -94,5 +121,36 @@ object HeavyHitters {
         col("n_group"),
         round(col("tok_count").cast("double") / col("n_group"), 6)
           .as("share"))
+  }
+
+  /** Per-group MG summary TABLE — the persistable form (one map column
+    * of ≤ k counters per group, plus the group's token total). Sketch
+    * tables written per batch/day merge later via
+    * [[mergedCandidates]] without touching raw data. */
+  def summaries(df: DataFrame, groupCol: String, tokenCol: String,
+      k: Int): DataFrame = {
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    df.groupBy(col(groupCol))
+      .agg(mg(col(tokenCol)).as("mg_summary"),
+        count(col(tokenCol)).as("n_tokens"))
+  }
+
+  /** Merge persisted summary rows back into per-group candidates:
+    * (group, token, lb_count, n_tokens) where `lb_count` is the merged
+    * MG counter (a LOWER bound on the true count; true count ≤
+    * lb_count + Σn/k). The guarantee that survives storage: any token
+    * with true frequency > Σn/k appears here. */
+  def mergedCandidates(summaryRows: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val mgm = udaf(new MisraGriesMerge(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]())
+    val merged = summaryRows.groupBy(col(groupCol))
+      .agg(mgm(col("mg_summary")).as("__m"),
+        sum(col("n_tokens")).as("n_tokens"))
+    merged.select(col(groupCol), explode(col("__m"))
+        .as(Seq("token", "lb_count")), col("n_tokens"))
+      .select(col(groupCol), col("token"), col("lb_count"),
+        col("n_tokens"))
   }
 }

@@ -355,6 +355,46 @@ object StreamingEvents {
     ()
   }
 
+  /** Streaming heavy-hitter monitor: each micro-batch writes its
+    * per-group Misra–Gries summary TABLE (≤ k counters per group — a
+    * few KB regardless of batch size) under `batch_id=N`; the published
+    * view merges the persisted summaries into candidates without ever
+    * re-reading raw data — the mergeable-summaries pattern
+    * ([[graft.sketch.MisraGries]]) end-to-end through storage. Replays
+    * overwrite their own batch directory, so redelivery is idempotent.
+    * The MG guarantee survives the merge tree: any token above Σn/k of
+    * the WHOLE stream appears in [[heavyHitterView]] (spec-proven);
+    * re-counting candidates exactly is one corpus pass with a
+    * broadcast semi-join when exact counts are needed. */
+  def heavyHitterSink(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) heavyHitterBatch(batch.toDF(), batchId,
+          groupCol, textCol, k, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[heavyHitterSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def heavyHitterBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, textCol: String, k: Int, statsDir: String): Unit = {
+    val toks = batch.select(col(groupCol),
+      explode(graft.text.Dedup.words(col(textCol))).as("__tok"))
+    graft.sketch.HeavyHitters.summaries(toks, groupCol, "__tok", k)
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[heavyHitterSink]] directory: merged
+    * per-group candidates (token, lb_count, n_tokens). */
+  def heavyHitterView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, groupCol: String, k: Int): DataFrame =
+    graft.sketch.HeavyHitters.mergedCandidates(
+      spark.read.parquet(statsDir), groupCol, k)
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

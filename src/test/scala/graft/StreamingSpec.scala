@@ -258,6 +258,43 @@ class StreamingSpec extends SparkSpec {
     rows(StreamingEvents.vocabularyView(spark, s"$tmp/stats")) shouldBe batch
   }
 
+  it should "keep every true heavy hitter in the merged sketch view" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shh").toString
+    // skewed stream: 'hot' dominates across batches, tail words rotate
+    def batchRows(seed: Int): Seq[(String, String)] =
+      (1 to 30).map(i => ("en",
+        if (i % 3 == 0) "hot hot common" else s"w${seed}_$i rare$i"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.heavyHitterSink(
+      in.toDF().toDF("lang", "text"), "lang", "text", k = 8,
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+      in.addData(batchRows(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val view = StreamingEvents.heavyHitterView(spark, s"$tmp/stats",
+      "lang", k = 8).collect()
+    val all = (1 to 3).flatMap(batchRows)
+    val toks = all.flatMap(_._2.split("\\s+"))
+    val n = toks.size
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val mustKeep = exact.collect { case (t, c) if c.toLong * 8 > n => t }
+    mustKeep should not be empty // 'hot' and 'common' qualify
+    val candidates = view.map(_.getString(1)).toSet
+    mustKeep.foreach(t => candidates should contain(t))
+    view.length should be <= 8
+    view.map(_.getLong(3)).toSet shouldBe Set(n.toLong) // Σ n_tokens survives
+    // replay safety: rewriting batch 1's partition leaves the view's
+    // guarantee intact (same summary overwrites the same directory)
+    StreamingEvents.heavyHitterBatch(batchRows(2).toDF("lang", "text"),
+      1L, "lang", "text", 8, s"$tmp/stats")
+    val again = StreamingEvents.heavyHitterView(spark, s"$tmp/stats",
+      "lang", k = 8).collect().map(_.getString(1)).toSet
+    mustKeep.foreach(t => again should contain(t))
+  }
+
   it should "score and route micro-batches identically to the batch classifier" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sclf").toString
