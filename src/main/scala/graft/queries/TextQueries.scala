@@ -263,6 +263,21 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // X67: Aho–Corasick phrase tagging — planted blocklist phrases
+    // (single and repeated) plus whatever the corpus contains
+    // naturally; every (doc, phrase) hit count oracle-checked.
+    "q_x67_phrase_tags" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(" free money now click here"))
+            .when(col("doc_id") % 11 === 5,
+              lit(" free money twice free money"))
+            .otherwise(lit(""))))
+      graft.text.PhraseMatch.tagPhrases(docs, "doc_id", "text",
+        Seq("free money", "click here", "badword"))
+        .orderBy(col("doc_id"), col("phrase"))
+    },
+
     // X66: unigram-LM tokenizer training (SentencePiece hard-EM) — no
     // SQL oracle (iterated Viterbi DP is not SQL-expressible; the
     // driver records the weaker rows-only check) — exactness is carried
@@ -919,6 +934,30 @@ object TextQueries {
          |    < f - floor(f) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
          |FROM tok k JOIN fac USING (source) JOIN u USING (doc_id)
          |ORDER BY k.doc_id""".stripMargin,
+    // Phrase tags: per-phrase regexp_extract_all counts (the fixture
+    // phrases cannot self-overlap, so non-overlapping regex counts
+    // equal the automaton's all-occurrence counts).
+    "q_x67_phrase_tags" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' free money now click here'
+        |         WHEN doc_id % 11 = 5 THEN ' free money twice free money'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, 'free money' AS phrase,
+        |    CAST(len(regexp_extract_all(t, 'free money')) AS BIGINT)
+        |      AS n_hits FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id, 'click here',
+        |    CAST(len(regexp_extract_all(t, 'click here')) AS BIGINT)
+        |    FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id, 'badword',
+        |    CAST(len(regexp_extract_all(t, 'badword')) AS BIGINT)
+        |    FROM corpus)
+        |SELECT doc_id, phrase, n_hits FROM hits WHERE n_hits > 0
+        |ORDER BY doc_id, phrase""".stripMargin,
     // Domain filter: same regex host extraction + registrable-domain
     // reduction (last 2 labels, 3 under co.uk-style suffixes).
     "q_x65_domain_filter" ->
