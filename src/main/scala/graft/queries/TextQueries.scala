@@ -387,6 +387,18 @@ object TextQueries {
         .orderBy(col("lang"), col("tok"))
     },
 
+    // X68: Count-Min point-frequency audit — every token with exact
+    // count >= 60 probed against a depth-4 width-512 sketch; the
+    // md5-derived cells are recomputed bit-for-bit by the oracle, so
+    // est_n itself is pinned (not just audit booleans).
+    "q_x68_count_min" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("tok"))
+      graft.sketch.Sketches.countMinReport(toks, "lang", "tok",
+        depth = 4, width = 512, minExact = 60L)
+        .orderBy(col("lang"), col("key"))
+    },
+
     // X57: mergeable HLL distinct-token report per language — estimate
     // audited against the exact count, split-merge consistency proven.
     "q_x57_approx_distinct" -> { (s, dir) =>
@@ -1308,6 +1320,43 @@ object TextQueries {
         |FROM cnt JOIN tot USING (lang)
         |WHERE tok_count * 40 > n_group
         |ORDER BY lang, tok""".stripMargin,
+    // Count-Min: the oracle rebuilds the exact md5-derived cell table
+    // (same "cm|r|token" hashing) and reproduces est_n itself; the
+    // width bound is compared in all-integer form so no float
+    // tolerance is involved.
+    "q_x68_count_min" ->
+      s"""WITH toks AS (
+         |  SELECT lang,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tot AS (SELECT lang, count(*) AS n_tot FROM toks GROUP BY 1),
+         |tc AS (
+         |  SELECT lang, tok AS key, count(*) AS exact_n
+         |  FROM toks GROUP BY 1, 2 HAVING count(*) >= 60),
+         |hr AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (
+         |  SELECT lang, r, CAST((${hexDigitSum(1, 8)}) % 512 AS BIGINT)
+         |      AS c, count(*) AS n
+         |  FROM (SELECT lang, r, md5('cm|' || r || '|' || tok) AS m
+         |        FROM toks CROSS JOIN hr)
+         |  GROUP BY 1, 2, 3),
+         |pc AS (
+         |  SELECT lang, key, exact_n, r,
+         |    CAST((${hexDigitSum(1, 8)}) % 512 AS BIGINT) AS c
+         |  FROM (SELECT lang, key, exact_n, r,
+         |          md5('cm|' || r || '|' || key) AS m
+         |        FROM tc CROSS JOIN hr)),
+         |est AS (
+         |  SELECT p.lang, p.key, p.exact_n,
+         |    min(coalesce(cl.n, 0)) AS est_n
+         |  FROM pc p LEFT JOIN cells cl
+         |    ON p.lang = cl.lang AND p.r = cl.r AND p.c = cl.c
+         |  GROUP BY 1, 2, 3)
+         |SELECT e.lang, e.key, e.exact_n, e.est_n,
+         |  e.est_n >= e.exact_n AS ge_ok,
+         |  (e.est_n - e.exact_n) * 512 <= 3 * t.n_tot AS bound_ok
+         |FROM est e JOIN tot t ON e.lang = t.lang
+         |ORDER BY e.lang, e.key""".stripMargin,
     // Approx distinct: the oracle pins the EXACT count and asserts the
     // sketch audits pass (the booleans are the checkable contract —
     // DuckDB's approx_count_distinct is a different algorithm, so the

@@ -83,4 +83,88 @@ object Sketches {
     }.select(col(groupCol) +: col("n") +: col("exact_p50") +:
       ps.map(p => col(s"ok_p${(p * 100).round}")): _*)
   }
+
+  /** Hash row `r` of the Count–Min sketch: token → column index in
+    * [0, width) via the first 8 md5 hex digits of `"cm|r|token"` — the
+    * engine-neutral hash idiom (X12/X54/X56), so any engine recomputes
+    * the exact cell placement. */
+  private def cmCell(token: Column, r: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cm|$r|"), token)), 1, 8),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) as a SPARSE
+    * relational cell table — the mergeable point-FREQUENCY summary that
+    * completes the sketch family (X57 distincts, X58 quantiles, X60
+    * heavy hitters): `(group, r, c, n)` with `n` = number of tokens
+    * hashing to column `c` under hash row `r`.
+    *
+    * Everything is relational: the build is ONE map-side-combined
+    * aggregate (after a depth-way posexplode), merging persisted
+    * per-batch sketches is `groupBy(group, r, c).sum(n)` (cell-wise
+    * addition — the CM merge), and a point query probes `depth` cells
+    * and takes the min. The cell table never exceeds
+    * `min(depth·width, depth·distinct_tokens)` rows per group — KBs at
+    * any corpus scale — so "how often did token t appear this quarter"
+    * is a lookup over stored sketches, not a raw re-scan. */
+  def countMinCells(df: DataFrame, groupCol: String, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(col(groupCol), col(tokenCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .select(col(groupCol),
+        posexplode(array((0 until depth).map(r =>
+          cmCell(col("__t"), r, width)): _*)).as(Seq("r", "c")))
+      .groupBy(col(groupCol), col("r"), col("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-frequency estimates from a Count–Min cell table:
+    * `est_n(key) = min over r of cells(r, h_r(key))`, with absent cells
+    * counting 0. The probe side is broadcast (a probe set is small by
+    * design); the cell table is never shuffled. Estimates can only
+    * OVERcount — `est_n >= exact_n` is a theorem, not a tendency. */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame,
+      groupCol: String, keyCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    val pc = probes
+      .select(col(groupCol), col(keyCol).cast("string").as("key"))
+      .distinct()
+      .select(col(groupCol), col("key"),
+        posexplode(array((0 until depth).map(r =>
+          cmCell(col("key"), r, width)): _*)).as(Seq("r", "c")))
+    broadcast(pc).join(cells, Seq(groupCol, "r", "c"), "left")
+      .groupBy(col(groupCol), col("key"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+
+  /** Count–Min audit report: every token with exact count >= `minExact`
+    * probed against the sketch. `ge_ok` pins the overestimate-only
+    * theorem; `bound_ok` checks the width guarantee in ALL-INTEGER form
+    * — `(est_n - exact_n) * width <= 3 * n_tot` (a token's overcount is
+    * collision mass, expected n_tot/width per hash row; the factor-3
+    * Markov bound fails a given row with prob < 1/3, all `depth` rows
+    * with prob < 3^-depth) — so both engines compare exact integers,
+    * no float tolerance. The exact counts exist to audit the sketch;
+    * production reads keep only the cells. */
+  def countMinReport(df: DataFrame, groupCol: String, tokenCol: String,
+      depth: Int, width: Int, minExact: Long): DataFrame = {
+    val toks = df.select(col(groupCol),
+      col(tokenCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+    val exact = toks.groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") >= minExact)
+      .withColumnRenamed("__t", "key")
+    val tot = toks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tot"))
+    val cells = countMinCells(df, groupCol, tokenCol, depth, width)
+    countMinEstimate(cells, exact, groupCol, "key", depth, width)
+      .join(exact, Seq(groupCol, "key"))
+      .join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("key"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("ge_ok"),
+        ((col("est_n") - col("exact_n")) * width <=
+          lit(3L) * col("n_tot")).as("bound_ok"))
+  }
 }

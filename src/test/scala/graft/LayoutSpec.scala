@@ -49,7 +49,11 @@ class LayoutSpec extends SparkSpec {
     val zFiles = touched(zDir)
     val linFiles = touched(linDir)
     linFiles shouldBe 16L // every x-stripe spans all y
-    zFiles should be <= 4L // z-ranges stay in the low-y band
+    // Ideal quadrant alignment gives 4; repartitionByRange draws its
+    // boundaries from a reservoir sample seeded by rdd.id (a JVM-global
+    // counter), so a boundary can slip mid-block depending on what ran
+    // before in the JVM. Allow two slips — still 16/16 vs <= 6/16.
+    zFiles should be <= 6L // z-ranges stay in the low-y band
     // and the written data is intact
     spark.read.parquet(zDir).count() shouldBe 128L * 128
   }
