@@ -387,6 +387,23 @@ object TextQueries {
         .orderBy(col("lang"), col("tok"))
     },
 
+    // X69: content-defined chunking dedup (LBFS/FastCDC modality) —
+    // boundaries from k-gram content, so shared text re-aligns to the
+    // same chunk identities regardless of position. Plants: doc_id % 6
+    // = 0 docs are re-added under +400000 with a licence paragraph
+    // appended; copies share nearly all chunks with their source, and
+    // the paragraph's interior chunks are shared across every plant.
+    "q_x69_cdc_chunks" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" " + bpCdc)).as("text")))
+      graft.text.CdcChunk.chunkDedupReport(corpus, "doc_id", "text",
+        k = 3, divisor = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // X68: Count-Min point-frequency audit — every token with exact
     // count >= 60 probed against a depth-4 width-512 sketch; the
     // md5-derived cells are recomputed bit-for-bit by the oracle, so
@@ -799,6 +816,15 @@ object TextQueries {
        |    md5(array_to_string(tw[i:i+${w - 1}], ' ')) AS fp
        |  FROM (SELECT doc_id, tw, unnest(range(1, len(tw) - ${w - 2})) AS i
        |        FROM toks$sfx WHERE len(tw) >= $w))""".stripMargin
+
+  /** q_x69 planted licence paragraph (36 tokens, 4 content-interior CDC
+    * boundaries at k=3, divisor=8 — so every plant shares its interior
+    * chunks). */
+  private val bpCdc =
+    "this software is provided by the copyright holders and contributors " +
+      "as is and any express or implied warranties including but not " +
+      "limited to the implied warranties of merchantability and fitness " +
+      "for a particular purpose are disclaimed"
 
   /** q_x36 planted licence/boilerplate lines (>= 8 tokens each so every
     * copy contains full fingerprint windows). */
@@ -1320,6 +1346,55 @@ object TextQueries {
         |FROM cnt JOIN tot USING (lang)
         |WHERE tok_count * 40 > n_group
         |ORDER BY lang, tok""".stripMargin,
+    // CDC chunking: the oracle recomputes every boundary (same md5
+    // k-gram hash mod divisor), rebuilds chunk texts via an ordered
+    // string_agg, and mirrors the shared-key verdicts; all-integer
+    // output, no float tolerance.
+    "q_x69_cdc_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, text || ' $bpCdc' AS text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |w AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+') AS ws
+         |  FROM corpus),
+         |tok AS (
+         |  SELECT doc_id, p, tok,
+         |    CASE WHEN m IS NOT NULL
+         |        AND (${hexDigitSum(1, 8)}) % 8 = 0
+         |      THEN 1 ELSE 0 END AS is_end
+         |  FROM (
+         |    SELECT doc_id, p, ws[p] AS tok,
+         |      CASE WHEN p >= 3
+         |        THEN md5(array_to_string(ws[p-2:p], ' ')) END AS m
+         |    FROM (SELECT doc_id, ws,
+         |            unnest(range(1, len(ws) + 1)) AS p
+         |          FROM w))),
+         |cid AS (
+         |  SELECT doc_id, p, tok,
+         |    coalesce(sum(is_end) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS ci
+         |  FROM tok),
+         |chunks AS (
+         |  SELECT doc_id, ci, count(*) AS n_toks,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS ck
+         |  FROM cid GROUP BY 1, 2),
+         |shared AS (
+         |  SELECT ck FROM chunks
+         |  GROUP BY ck HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN s.ck IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(c.n_toks) AS BIGINT) AS n_toks,
+         |  CAST(sum(CASE WHEN s.ck IS NOT NULL THEN c.n_toks ELSE 0 END)
+         |    AS BIGINT) AS n_dup_toks,
+         |  CAST(sum(CASE WHEN s.ck IS NOT NULL THEN c.n_toks ELSE 0 END)
+         |    AS BIGINT) * 2 >= CAST(sum(c.n_toks) AS BIGINT)
+         |    AS mostly_dup
+         |FROM chunks c LEFT JOIN shared s ON c.ck = s.ck
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // Count-Min: the oracle rebuilds the exact md5-derived cell table
     // (same "cm|r|token" hashing) and reproduces est_n itself; the
     // width bound is compared in all-integer form so no float
