@@ -326,4 +326,41 @@ object Curation {
           4).as("epochs"),
         col("capped"))
   }
+
+  /** Materialize an [[epochPlan]] into the training corpus it
+    * prescribes: every document in a domain with `epochs = e` yields
+    * `floor(e)` full copies plus one more iff its md5-derived uniform
+    * draw falls below `frac(e)` — so per-domain token volume matches
+    * the plan's allocation in expectation, and EXACTLY which documents
+    * carry the fractional epoch is a pure function of (seed, doc id):
+    * rerun-stable, partitioning-independent, reproducible by any
+    * engine (the Bernoulli threshold is integer-compared against the
+    * 32-bit hash, no float randomness).
+    *
+    * Output is the exploded copy table `(domain, id, copy_idx,
+    * n_toks)` — what X56's sharded export consumes. Scale shape: ONE
+    * broadcast join against the |domains|-row plan and a bounded
+    * explode (`<= ceil(maxEpochs)` copies per row); no shuffle of the
+    * corpus at all. */
+  def materializePlan(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, plan: DataFrame, seed: Long): DataFrame = {
+    require(seed >= 0 && seed <= Int.MaxValue,
+      s"seed must fit in [0, 2^31), got $seed")
+    val docs = df.select(col(idCol), col(domainCol).as("domain"),
+      coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
+        .cast("long").as("n_toks"))
+    val p = plan.select(col("domain"), col("epochs"))
+    val h = conv(substring(md5(concat(lit(s"ep|$seed|"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val frac = col("epochs") - floor(col("epochs"))
+    val nCopies = floor(col("epochs")).cast("long") +
+      when(h < floor(frac * lit(4294967296.0)).cast("long"), 1L)
+        .otherwise(0L)
+    docs.join(broadcast(p), Seq("domain"))
+      .withColumn("__nc", nCopies)
+      .filter(col("__nc") > 0)
+      .select(col("domain"), col(idCol),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("copy_idx"),
+        col("n_toks"))
+  }
 }

@@ -263,6 +263,24 @@ object TextQueries {
         .orderBy(col("domain"))
     },
 
+    // X70: epoch-plan materialization — the X62 plan executed: floor(e)
+    // copies per doc plus a seeded md5 Bernoulli for the fractional
+    // epoch; output is the exploded copy table X56's export consumes.
+    "q_x70_epoch_materialize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("domain",
+        when(col("doc_id") % 50 === 0, lit("rare"))
+          .when(col("doc_id") % 5 === 0, lit("mid"))
+          .otherwise(lit("common")))
+      val total = docs.agg(
+        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
+        .head().getLong(0)
+      val plan = graft.curate.Curation.epochPlan(docs, "text", "domain",
+        budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
+      graft.curate.Curation.materializePlan(docs, "doc_id", "text",
+        "domain", plan, seed = 7L)
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // X67: Aho–Corasick phrase tagging — planted blocklist phrases
     // (single and repeated) plus whatever the corpus contains
     // naturally; every (doc, phrase) hit count oracle-checked.
@@ -817,6 +835,53 @@ object TextQueries {
        |  FROM (SELECT doc_id, tw, unnest(range(1, len(tw) - ${w - 2})) AS i
        |        FROM toks$sfx WHERE len(tw) >= $w))""".stripMargin
 
+  /** Shared q_x62/q_x70 oracle chain: documents → domain assignment →
+    * the water-filling epoch plan, ending at `fin` (per-domain epochs
+    * computable). Mirrors [[graft.curate.Curation.epochPlan]] exactly. */
+  private val epochPlanCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 0 THEN 'rare'
+      |         WHEN doc_id % 5 = 0 THEN 'mid'
+      |         ELSE 'common' END AS domain,
+      |    CAST(coalesce(len(regexp_split_to_array(lower(text), '\s+')),
+      |      0) AS BIGINT) AS nt
+      |  FROM documents),
+      |dom AS (SELECT domain, sum(nt) AS tokens_available FROM d
+      |        GROUP BY 1 HAVING sum(nt) > 0),
+      |tot AS (SELECT CAST(sum(tokens_available) AS DOUBLE) AS t,
+      |               sum(tokens_available) // 2 AS bud FROM dom),
+      |wtd AS (SELECT domain, tokens_available,
+      |          pow(tokens_available / t, 0.5) AS wraw, t, bud
+      |        FROM dom, tot),
+      |wn AS (SELECT sum(wraw) AS wsum FROM wtd),
+      |st AS (SELECT domain, tokens_available, wraw / wsum AS w,
+      |         tokens_available * 2.0 AS capacity,
+      |         least(CAST(bud AS DOUBLE), t * 2.0) AS b
+      |       FROM wtd, wn),
+      |r AS (SELECT *, capacity / w AS rr FROM st),
+      |fl AS (SELECT *,
+      |         sum(capacity) OVER (ORDER BY rr, domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_c,
+      |         sum(w) OVER (ORDER BY rr, domain
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_w
+      |       FROM r),
+      |fg AS (SELECT *,
+      |         CASE WHEN 1.0 - cum_w > 1e-12
+      |              THEN rr <= (b - cum_c) / (1.0 - cum_w)
+      |              ELSE b >= cum_c - 1e-6 END AS capped
+      |       FROM fl),
+      |lam AS (SELECT
+      |          sum(CASE WHEN capped THEN capacity ELSE 0.0 END) AS cc,
+      |          sum(CASE WHEN capped THEN 0.0 ELSE w END) AS uw
+      |        FROM fg),
+      |fin AS (SELECT fg.*,
+      |          CASE WHEN uw > 1e-12 THEN (b - cc) / uw
+      |               ELSE 0.0 END AS lamv
+      |        FROM fg, lam)""".stripMargin
+
   /** q_x69 planted licence paragraph (36 tokens, 4 content-interior CDC
     * boundaries at k=3, divisor=8 — so every plant shares its interior
     * chunks). */
@@ -1039,55 +1104,40 @@ object TextQueries {
     // cap-to-weight ratio, prefix-sum windows decide the capped set,
     // λ places the remaining budget over the uncapped weights.
     "q_x62_epoch_plan" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 50 = 0 THEN 'rare'
-        |         WHEN doc_id % 5 = 0 THEN 'mid'
-        |         ELSE 'common' END AS domain,
-        |    CAST(coalesce(len(regexp_split_to_array(lower(text), '\s+')),
-        |      0) AS BIGINT) AS nt
-        |  FROM documents),
-        |dom AS (SELECT domain, sum(nt) AS tokens_available FROM d
-        |        GROUP BY 1 HAVING sum(nt) > 0),
-        |tot AS (SELECT CAST(sum(tokens_available) AS DOUBLE) AS t,
-        |               sum(tokens_available) // 2 AS bud FROM dom),
-        |wtd AS (SELECT domain, tokens_available,
-        |          pow(tokens_available / t, 0.5) AS wraw, t, bud
-        |        FROM dom, tot),
-        |wn AS (SELECT sum(wraw) AS wsum FROM wtd),
-        |st AS (SELECT domain, tokens_available, wraw / wsum AS w,
-        |         tokens_available * 2.0 AS capacity,
-        |         least(CAST(bud AS DOUBLE), t * 2.0) AS b
-        |       FROM wtd, wn),
-        |r AS (SELECT *, capacity / w AS rr FROM st),
-        |fl AS (SELECT *,
-        |         sum(capacity) OVER (ORDER BY rr, domain
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cum_c,
-        |         sum(w) OVER (ORDER BY rr, domain
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cum_w
-        |       FROM r),
-        |fg AS (SELECT *,
-        |         CASE WHEN 1.0 - cum_w > 1e-12
-        |              THEN rr <= (b - cum_c) / (1.0 - cum_w)
-        |              ELSE b >= cum_c - 1e-6 END AS capped
-        |       FROM fl),
-        |lam AS (SELECT
-        |          sum(CASE WHEN capped THEN capacity ELSE 0.0 END) AS cc,
-        |          sum(CASE WHEN capped THEN 0.0 ELSE w END) AS uw
-        |        FROM fg),
-        |fin AS (SELECT fg.*,
-        |          CASE WHEN uw > 1e-12 THEN (b - cc) / uw
-        |               ELSE 0.0 END AS lamv
-        |        FROM fg, lam)
-        |SELECT domain, tokens_available, round(w, 6) AS weight, capacity,
-        |  round(CASE WHEN capped THEN capacity ELSE lamv * w END, 2)
-        |    AS allocated_tokens,
-        |  round((CASE WHEN capped THEN capacity ELSE lamv * w END)
-        |    / tokens_available, 4) AS epochs,
-        |  capped
-        |FROM fin ORDER BY domain""".stripMargin,
+      s"""WITH $epochPlanCtes
+         |SELECT domain, tokens_available, round(w, 6) AS weight, capacity,
+         |  round(CASE WHEN capped THEN capacity ELSE lamv * w END, 2)
+         |    AS allocated_tokens,
+         |  round((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |    / tokens_available, 4) AS epochs,
+         |  capped
+         |FROM fin ORDER BY domain""".stripMargin,
+    // Epoch-plan materialization: the same plan CTE chain, reduced to
+    // per-domain epochs, then floor(e) copies per doc + a seeded md5
+    // Bernoulli for the fractional epoch — integer-compared against
+    // the 32-bit hash, so copy placement is engine-exact.
+    "q_x70_epoch_materialize" ->
+      s"""WITH $epochPlanCtes,
+         |plan AS (
+         |  SELECT domain,
+         |    round((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |      / tokens_available, 4) AS epochs
+         |  FROM fin),
+         |jj AS (
+         |  SELECT dd.doc_id, dd.domain, dd.nt,
+         |    CAST(floor(p.epochs) AS BIGINT) +
+         |    CASE WHEN (${hexDigitSum(1, 8)}) <
+         |        CAST(floor((p.epochs - floor(p.epochs)) * 4294967296)
+         |          AS BIGINT)
+         |      THEN 1 ELSE 0 END AS n_copies
+         |  FROM (SELECT doc_id, domain, nt,
+         |          md5('ep|7|' || CAST(doc_id AS VARCHAR)) AS m
+         |        FROM d) dd
+         |  JOIN plan p ON dd.domain = p.domain)
+         |SELECT domain, doc_id,
+         |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+         |  nt AS n_toks
+         |FROM jj ORDER BY doc_id, copy_idx""".stripMargin,
     // DSIR: hashed unigram+bigram features -> 1024-bucket distributions
     // (target = lang 'en'), per-doc sum of smoothed log-ratios.
     "q_x43_dsir_importance" ->

@@ -175,4 +175,67 @@ class CurationSpec extends SparkSpec {
     halfAsg.foreach { case (id, s) => fullAsg(id) shouldBe s }
     halfAsg.size shouldBe 200
   }
+
+  behavior of "materializePlan"
+
+  /** Driver-side mirror of the op's md5 Bernoulli, for exact-expectation
+    * checks. */
+  private def expectedCopies(id: Long, seed: Long, epochs: Double): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ep|$seed|$id".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    val frac = epochs - math.floor(epochs)
+    math.floor(epochs).toLong +
+      (if (h < math.floor(frac * 4294967296.0).toLong) 1L else 0L)
+  }
+
+  it should "emit exactly floor(e) copies for whole-number epochs" in {
+    val docs = (1L to 30L).map(i => (i, "alpha beta gamma", "d"))
+      .toDF("doc_id", "text", "domain")
+    val plan = Seq(("d", 2.0)).toDF("domain", "epochs")
+    val out = Curation.materializePlan(docs, "doc_id", "text",
+      "domain", plan, seed = 7L)
+    out.count() shouldBe 60L
+    out.groupBy("doc_id").count().select("count").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
+  it should "place fractional-epoch copies exactly per the md5 draw" in {
+    val docs = (1L to 200L).map(i => (i, ("tok " * 5).trim, "d"))
+      .toDF("doc_id", "text", "domain")
+    val plan = Seq(("d", 1.3)).toDF("domain", "epochs")
+    val got = Curation.materializePlan(docs, "doc_id", "text",
+      "domain", plan, seed = 7L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    (1L to 200L).foreach { id =>
+      got.getOrElse(id, 0L) shouldBe expectedCopies(id, 7L, 1.3)
+    }
+    // and the fractional draw actually splits the corpus both ways
+    got.values.toSet shouldBe Set(1L, 2L)
+  }
+
+  it should "be partitioning-invariant and compose with epochPlan" in {
+    val docs = (1L to 120L).map { i =>
+      val dom = if (i % 10 == 0) "rare" else "common"
+      (i, ("w " * (10 + (i % 7).toInt)).trim, dom)
+    }.toDF("doc_id", "text", "domain")
+    val plan = Curation.epochPlan(docs, "text", "domain",
+      budgetTokens = 600L, maxEpochs = 3.0, alpha = 0.5)
+    val a = Curation.materializePlan(docs, "doc_id", "text",
+      "domain", plan, seed = 11L)
+      .orderBy("doc_id", "copy_idx").collect().toSeq
+    val b = Curation.materializePlan(docs.repartition(7), "doc_id",
+      "text", "domain", plan, seed = 11L)
+      .orderBy("doc_id", "copy_idx").collect().toSeq
+    a shouldBe b
+    // no domain exceeds its capacity ceiling of maxEpochs passes
+    val perDom = a.groupBy(_.getString(0)).map { case (d, rows) =>
+      d -> rows.map(_.getLong(3)).sum }
+    val caps = plan.select("domain", "capacity")
+      .as[(String, Double)].collect().toMap
+    perDom.foreach { case (d, toks) =>
+      toks.toDouble should be <= caps(d) + 40.0 // one doc of slack
+    }
+  }
 }
