@@ -395,6 +395,53 @@ object StreamingEvents {
     graft.sketch.HeavyHitters.mergedCandidates(
       spark.read.parquet(statsDir), groupCol, k)
 
+  /** Streaming point-frequency monitor: each micro-batch writes its
+    * Count–Min cell table ([[graft.sketch.Sketches.countMinCells]],
+    * ≤ depth·width rows per group — KBs regardless of batch size)
+    * under `batch_id=N`; the published view merges the persisted
+    * sketches by cell-wise sum (the CM merge), so "how often has token
+    * t appeared across the whole stream" is a lookup over stored
+    * sketches, never a raw re-scan. Complements [[heavyHitterSink]]:
+    * MG answers "which tokens are frequent", CM answers "how frequent
+    * is THIS token" for any key, overestimate-only guarantee intact
+    * under merging (cell-wise sums commute with the min-over-rows
+    * query — spec-proven equal to the one-pass sketch of the union).
+    * Replays overwrite their own batch directory, so redelivery is
+    * idempotent. */
+  def countMinSink(docs: DataFrame, groupCol: String, textCol: String,
+      depth: Int, width: Int, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) countMinBatch(batch.toDF(), batchId,
+          groupCol, textCol, depth, width, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[countMinSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def countMinBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, textCol: String, depth: Int, width: Int,
+      cellsDir: String): Unit = {
+    val toks = batch.select(col(groupCol),
+      explode(graft.text.Dedup.words(col(textCol))).as("__tok"))
+    graft.sketch.Sketches.countMinCells(toks, groupCol, "__tok",
+      depth, width)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[countMinSink]] directory: the merged
+    * cell table — cell-wise sums over every ingested batch, exactly the
+    * sketch a one-pass build over the union would produce. Feed it to
+    * [[graft.sketch.Sketches.countMinEstimate]] for point queries. */
+  def countMinView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, groupCol: String): DataFrame =
+    spark.read.parquet(cellsDir)
+      .groupBy(col(groupCol), col("r"), col("c"))
+      .agg(sum(col("n")).as("n"))
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingEvents
 import graft.streaming.StreamingEvents.{EventIn, Latest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, explode, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -293,6 +293,50 @@ class StreamingSpec extends SparkSpec {
     val again = StreamingEvents.heavyHitterView(spark, s"$tmp/stats",
       "lang", k = 8).collect().map(_.getString(1)).toSet
     mustKeep.foreach(t => again should contain(t))
+  }
+
+  it should "merge streamed Count-Min cells into the one-pass sketch of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scm").toString
+    def batchRows(seed: Int): Seq[(String, String)] =
+      (1 to 20).map(i => ("en",
+        if (i % 4 == 0) "hot hot stable" else s"w${seed}_$i filler"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.countMinSink(
+      in.toDF().toDF("lang", "text"), "lang", "text",
+      depth = 3, width = 64, s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (1 to 2).flatMap(batchRows).toDF("lang", "text")
+    val toks = all.select(col("lang"),
+      explode(graft.text.Dedup.words(col("text"))).as("tok"))
+    val onePass = graft.sketch.Sketches.countMinCells(
+      toks, "lang", "tok", 3, 64)
+      .orderBy("lang", "r", "c").collect().toSeq
+    def viewRows() = StreamingEvents.countMinView(spark,
+      s"$tmp/cells", "lang")
+      .orderBy("lang", "r", "c").collect().toSeq
+    viewRows() shouldBe onePass
+    // point queries over the merged view behave like the batch sketch:
+    // overestimate-only vs the exact stream-wide counts
+    val probes = Seq(("en", "hot"), ("en", "stable"), ("en", "filler"))
+      .toDF("lang", "tok")
+    val est = graft.sketch.Sketches.countMinEstimate(
+      StreamingEvents.countMinView(spark, s"$tmp/cells", "lang"),
+      probes, "lang", "tok", 3, 64)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = (1 to 2).flatMap(batchRows).flatMap(_._2.split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    Seq("hot", "stable", "filler").foreach { t =>
+      est(t) should be >= exact(t)
+    }
+    // replay safety: rewriting batch 1's partition in place leaves the
+    // merged view identical
+    StreamingEvents.countMinBatch(batchRows(2).toDF("lang", "text"), 1L,
+      "lang", "text", 3, 64, s"$tmp/cells")
+    viewRows() shouldBe onePass
   }
 
   it should "score and route micro-batches identically to the batch classifier" in {
