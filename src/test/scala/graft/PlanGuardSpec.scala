@@ -404,4 +404,60 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  it should "build Count-Min cells in exactly one map-side-combined exchange" in {
+    // X68's contract: the depth-way expansion happens BEFORE the single
+    // aggregate exchange, so the shuffle carries partially-combined
+    // (group, r, c, n) rows — bounded by min(depth*width, depth*distinct)
+    // per group — never the raw token stream.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticShufflePlans {
+      val toks = (1L to 100L).map(i => ("g", s"tok${i % 13}"))
+        .toDF("grp", "tok")
+      val plan = graft.sketch.Sketches.countMinCells(toks, "grp", "tok",
+        4, 64).queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e } should have size 1
+      planOf(graft.sketch.Sketches.countMinCells(toks, "grp", "tok",
+        4, 64)) should include("partial_count")
+    }
+  }
+
+  it should "materialize an epoch plan with zero shuffles of the corpus" in {
+    // X70's contract: one broadcast join against the |domains|-row plan
+    // plus a bounded explode — the corpus never moves.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticShufflePlans {
+      val docs = (1L to 50L).map(i => (i, "a b c", "d"))
+        .toDF("doc_id", "text", "domain")
+      val plan = Seq(("d", 1.5)).toDF("domain", "epochs")
+      val out = graft.curate.Curation.materializePlan(docs, "doc_id",
+        "text", "domain", plan, seed = 3L)
+      out.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      planOf(out) should include("BroadcastHashJoin")
+    }
+  }
+
+  it should "never shuffle chunk text in the CDC dedup report" in {
+    // X69's contract: chunking itself is exchange-free (one UDF pass),
+    // and every downstream exchange carries keys/counters only — the
+    // chunk_text column is pruned before any shuffle, so the bytes that
+    // cross the wire are a fixed multiple of the chunk COUNT, not the
+    // corpus size.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticShufflePlans {
+      val docs = (1L to 30L).map(i => (i, "alpha beta gamma delta " * 3))
+        .toDF("doc_id", "text")
+      graft.text.CdcChunk.chunks(docs, "doc_id", "text")
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      val rep = graft.text.CdcChunk.chunkDedupReport(docs, "doc_id", "text")
+      val exchanges = rep.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      exchanges should not be empty
+      exchanges.foreach { e =>
+        e.child.schema.fieldNames should not contain "chunk_text"
+      }
+    }
+  }
 }
