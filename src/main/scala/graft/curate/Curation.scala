@@ -148,6 +148,28 @@ object Curation {
     df.filter(uniformHash(col(idCol), seed) < frac)
   }
 
+  /** Deterministic fixed-k carve per stratum (the eval-set / inspection
+    * sampler X12's rate-based form cannot express): EXACTLY
+    * `min(k, |stratum|)` rows per stratum, chosen by md5-hash rank with
+    * id tie-break — rerun-stable, engine-reproducible, and stable under
+    * corpus growth in the hash-prefix sense (a kept doc is only ever
+    * displaced by a new doc hashing ahead of it, never by reordering).
+    *
+    * Scale shape: one exchange on the stratum key for the rank window.
+    * For a pathologically large stratum, pre-thin with
+    * [[stratifiedSample]] at rate ~2k/n first — the hash ORDER is shared
+    * by both operators, so pre-thinning at any rate that keeps ≥ k rows
+    * leaves the final carve IDENTICAL (same hash prefix wins). */
+  def carveTopK(df: DataFrame, idCol: String, strataCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(uniformHash(col(idCol), seed), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** X34: the COMPOSED curation pipeline — normalize → quality-rule
     * verdict → exact dedup (canonical = min id over the NORMALIZED text,
     * so documents differing only in markup/whitespace dedup together —

@@ -587,6 +587,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X71: fixed-k eval-set carve — exactly min(k, |stratum|) docs per
+    // language by md5-hash rank with id tie-break; the rank itself is
+    // pinned cross-engine.
+    "q_x71_carve_topk" -> { (s, dir) =>
+      graft.curate.Curation.carveTopK(t(s, dir, "documents"),
+        "doc_id", "lang", k = 25, seed = "ev1")
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // X13: token-budget sequence packing — concatenate-then-chunk per
     // shard; a doc's pack is where its first token lands.
     "q_x13_sequence_packing" -> { (s, dir) =>
@@ -2218,6 +2228,22 @@ object TextQueries {
          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
          |    WHEN 'fr' THEN 0.25 ELSE 0.0 END
          |ORDER BY doc_id""".stripMargin,
+    // Fixed-k carve: same (seed, id) hash as X12, ranked per stratum;
+    // ordering by the integer digit-sum is monotone-equal to Spark's
+    // hash/2^32 double (32-bit ints are exact in double).
+    "q_x71_carve_topk" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, md5('ev1:' || CAST(doc_id AS VARCHAR))
+         |    AS m
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY (${hexDigitSum(1, 8)}), doc_id) AS BIGINT)
+         |      AS sample_rank
+         |  FROM u)
+         |SELECT doc_id, lang, sample_rank FROM r
+         |WHERE sample_rank <= 25 ORDER BY doc_id""".stripMargin,
     "q_x13_sequence_packing" ->
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 4 AS shard,

@@ -176,6 +176,40 @@ class CurationSpec extends SparkSpec {
     halfAsg.size shouldBe 200
   }
 
+  behavior of "carveTopK"
+
+  it should "keep exactly min(k, stratum size) rows per stratum" in {
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 103L).map(i => (i, "small")))
+      .toDF("doc_id", "stratum")
+    val out = Curation.carveTopK(docs, "doc_id", "stratum", 10, "ev")
+    val sizes = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    sizes("big") shouldBe 10L
+    sizes("small") shouldBe 3L
+    // ranks are 1..k dense per stratum
+    out.filter(col("stratum") === "big").select("sample_rank")
+      .as[Long].collect().sorted.toSeq shouldBe (1L to 10L)
+  }
+
+  it should "survive hash-order pre-thinning unchanged and ignore partitioning" in {
+    val docs = (1L to 400L).map(i => (i, "s")).toDF("doc_id", "stratum")
+    val direct = Curation.carveTopK(docs, "doc_id", "stratum", 15, "ev")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // pre-thin at a rate that keeps >= k rows: same hash order, so the
+    // lowest-k prefix is identical
+    val thinned = Curation.stratifiedSample(docs, "doc_id", "stratum",
+      Map("s" -> 0.25), "ev")
+    thinned.count() should be >= 15L
+    val composed = Curation.carveTopK(thinned, "doc_id", "stratum", 15, "ev")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    composed shouldBe direct
+    val repart = Curation.carveTopK(docs.repartition(7), "doc_id",
+      "stratum", 15, "ev")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    repart shouldBe direct
+  }
+
   behavior of "materializePlan"
 
   /** Driver-side mirror of the op's md5 Bernoulli, for exact-expectation
