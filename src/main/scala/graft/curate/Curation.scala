@@ -360,17 +360,20 @@ object Curation {
     * 32-bit hash, no float randomness).
     *
     * Output is the exploded copy table `(domain, id, copy_idx,
-    * n_toks)` — what X56's sharded export consumes. Scale shape: ONE
+    * n_toks[, carryCols…])` — what X56's sharded export consumes
+    * (`carryCols` lets the payload ride along so the export needs no
+    * corpus-sized join back). Scale shape: ONE
     * broadcast join against the |domains|-row plan and a bounded
     * explode (`<= ceil(maxEpochs)` copies per row); no shuffle of the
     * corpus at all. */
   def materializePlan(df: DataFrame, idCol: String, textCol: String,
-      domainCol: String, plan: DataFrame, seed: Long): DataFrame = {
+      domainCol: String, plan: DataFrame, seed: Long,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(seed >= 0 && seed <= Int.MaxValue,
       s"seed must fit in [0, 2^31), got $seed")
-    val docs = df.select(col(idCol), col(domainCol).as("domain"),
+    val docs = df.select(col(idCol) +: col(domainCol).as("domain") +:
       coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
-        .cast("long").as("n_toks"))
+        .cast("long").as("n_toks") +: carryCols.map(col): _*)
     val p = plan.select(col("domain"), col("epochs"))
     val h = conv(substring(md5(concat(lit(s"ep|$seed|"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
@@ -381,8 +384,8 @@ object Curation {
     docs.join(broadcast(p), Seq("domain"))
       .withColumn("__nc", nCopies)
       .filter(col("__nc") > 0)
-      .select(col("domain"), col(idCol),
-        explode(sequence(lit(0L), col("__nc") - 1)).as("copy_idx"),
-        col("n_toks"))
+      .select(col("domain") +: col(idCol) +:
+        explode(sequence(lit(0L), col("__nc") - 1)).as("copy_idx") +:
+        col("n_toks") +: carryCols.map(col): _*)
   }
 }

@@ -281,6 +281,31 @@ object TextQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
+    // X72: the COMPOSED plan-to-shards pipeline — X62 budget plan →
+    // X70 copy materialization (text riding along, no corpus re-join)
+    // → X56 sharded export with a read-back manifest; green proves the
+    // written shards carry exactly the planned copies.
+    "q_x72_plan_export" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("domain",
+        when(col("doc_id") % 50 === 0, lit("rare"))
+          .when(col("doc_id") % 5 === 0, lit("mid"))
+          .otherwise(lit("common")))
+      val total = docs.agg(
+        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
+        .head().getLong(0)
+      val plan = graft.curate.Curation.epochPlan(docs, "text", "domain",
+        budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
+      val copies = graft.curate.Curation.materializePlan(docs, "doc_id",
+        "text", "domain", plan, seed = 7L, carryCols = Seq("text"))
+        .withColumn("copy_key",
+          concat_ws("#", col("doc_id"), col("copy_idx")))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_plan_export"
+      graft.curate.Curation.shardedExport(copies, "copy_key", "text",
+        nShards = 8, path)
+        .orderBy(col("shard"))
+    },
+
     // X67: Aho–Corasick phrase tagging — planted blocklist phrases
     // (single and repeated) plus whatever the corpus contains
     // naturally; every (doc, phrase) hit count oracle-checked.
@@ -1406,6 +1431,48 @@ object TextQueries {
         |FROM cnt JOIN tot USING (lang)
         |WHERE tok_count * 40 > n_group
         |ORDER BY lang, tok""".stripMargin,
+    // Plan-to-shards: the plan chain + copy explosion + the q_x56
+    // shard/digest arithmetic over the SOURCE rows — matching the
+    // Spark read-back manifest proves the written shards carry exactly
+    // the planned copies.
+    "q_x72_plan_export" ->
+      s"""WITH $epochPlanCtes,
+         |plan AS (
+         |  SELECT domain,
+         |    round((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |      / tokens_available, 4) AS epochs
+         |  FROM fin),
+         |txt AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 50 = 0 THEN 'rare'
+         |         WHEN doc_id % 5 = 0 THEN 'mid'
+         |         ELSE 'common' END AS domain
+         |  FROM documents),
+         |jj AS (
+         |  SELECT dd.doc_id, dd.text,
+         |    CAST(floor(p.epochs) AS BIGINT) +
+         |    CASE WHEN (${hexDigitSum(1, 8)}) <
+         |        CAST(floor((p.epochs - floor(p.epochs)) * 4294967296)
+         |          AS BIGINT)
+         |      THEN 1 ELSE 0 END AS n_copies
+         |  FROM (SELECT doc_id, text, domain,
+         |          md5('ep|7|' || CAST(doc_id AS VARCHAR)) AS m
+         |        FROM txt) dd
+         |  JOIN plan p ON dd.domain = p.domain),
+         |cp AS (
+         |  SELECT doc_id, text,
+         |    CAST(doc_id AS VARCHAR) || '#' ||
+         |      CAST(unnest(range(0, n_copies)) AS VARCHAR) AS copy_key
+         |  FROM jj),
+         |sh AS (
+         |  SELECT text,
+         |    CAST((${hexDigitSum(1, 8)}) % 8 AS BIGINT) AS shard
+         |  FROM (SELECT text, md5('shard:' || copy_key) AS m FROM cp))
+         |SELECT shard, count(1) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(lower(text), '\\s+')))
+         |    AS BIGINT) AS n_tokens,
+         |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS texts_md5
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // CDC chunking: the oracle recomputes every boundary (same md5
     // k-gram hash mod divisor), rebuilds chunk texts via an ordered
     // string_agg, and mirrors the shared-key verdicts; all-integer

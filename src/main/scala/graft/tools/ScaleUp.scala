@@ -70,6 +70,13 @@ object ScaleUp {
       df.withColumn("vec_id", col("vec_id") + lit(k * Off))
         .withColumn("embedding", rotated)
     }
+    replicate("orders") { (df, k) =>
+      // key shift both keys: o_orderkey stays unique, o_custkey keeps
+      // the same per-customer fan-out at 10x the key cardinality (what
+      // the z-order and join-audit probes care about)
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * Off))
+    }
     replicate("lineitem") { (df, k) =>
       // key shift only — the relational heavies (pricing summary, ORC
       // round trip, top-k) care about row volume and key cardinality,

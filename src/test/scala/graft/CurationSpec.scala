@@ -249,6 +249,29 @@ class CurationSpec extends SparkSpec {
     got.values.toSet shouldBe Set(1L, 2L)
   }
 
+  it should "carry payload columns through to every copy" in {
+    val docs = (1L to 20L).map(i => (i, s"text of $i", "d"))
+      .toDF("doc_id", "text", "domain")
+    val plan = Seq(("d", 2.0)).toDF("domain", "epochs")
+    val out = Curation.materializePlan(docs, "doc_id", "text",
+      "domain", plan, seed = 7L, carryCols = Seq("text"))
+    out.columns should contain("text")
+    out.count() shouldBe 40L
+    // each copy carries ITS doc's text verbatim
+    out.select(col("doc_id"), col("text")).distinct().count() shouldBe 20L
+    out.filter(col("text") =!= concat(lit("text of "), col("doc_id")))
+      .count() shouldBe 0L
+    // composed with the sharded export: every copy lands in a shard and
+    // the read-back manifest accounts for all of them
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_plan_exp").toString
+    val keyed = out.withColumn("copy_key",
+      concat_ws("#", col("doc_id"), col("copy_idx")))
+    val manifest = Curation.shardedExport(keyed, "copy_key", "text",
+      nShards = 4, path).collect()
+    manifest.map(_.getLong(1)).sum shouldBe 40L
+  }
+
   it should "be partitioning-invariant and compose with epochPlan" in {
     val docs = (1L to 120L).map { i =>
       val dom = if (i % 10 == 0) "rare" else "common"
