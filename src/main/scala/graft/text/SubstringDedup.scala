@@ -173,4 +173,42 @@ object SubstringDedup {
                |  (acc, s) -> acc + (s.span_end - s.span_start))"""
           .stripMargin).as("n_dup_tokens"))
   }
+
+  /** Train→eval LEAKAGE report — the overlap audit decontamination
+    * decisions are made on (Lee et al. 2021; the 13-gram overlap rule
+    * of the GPT-3 analysis): for every EVAL document, the maximal token
+    * spans it shares verbatim with ANY train document, rolled up to
+    * `(n_toks, n_leak_spans, max_span_tokens, leaked_tokens,
+    * contaminated)`. X14/X61 answer "drop this train doc?"; this
+    * answers the reverse audit — "how compromised is each eval item,
+    * and is it above the flag line?".
+    *
+    * Pure composition of shipped kernels: the train [[buildSpanIndex]]
+    * probes the eval batch through [[incrementalDuplicatedSpans]], so
+    * the train side is scanned once and NEVER shuffled, and every
+    * exchange is eval-sized — the right asymmetry, since eval sets are
+    * tiny against a 100 TB train corpus. */
+  def leakageReport(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, flagTokens: Int): DataFrame = {
+    require(flagTokens >= windowTokens,
+      s"flagTokens ($flagTokens) below windowTokens ($windowTokens) " +
+        "cannot fire: no detected span is shorter than one window")
+    val idx = buildSpanIndex(train, idCol, textCol, windowTokens)
+    val spans = incrementalDuplicatedSpans(idx, evalSet, idCol, textCol,
+      windowTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leak_spans"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        sum(col("span_tokens")).as("leaked_tokens"))
+    evalSet
+      .select(col(idCol).as("doc_id"),
+        coalesce(size(Dedup.words(col(textCol))), lit(0)).cast("long")
+          .as("n_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_leak_spans"), lit(0L)).as("n_leak_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("leaked_tokens"), lit(0L)).as("leaked_tokens"))
+      .withColumn("contaminated", col("max_span_tokens") >= flagTokens)
+  }
 }
