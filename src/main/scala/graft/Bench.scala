@@ -68,10 +68,22 @@ object Bench {
       val times = (1 to repeats).map(_ => once(fn)).sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of output; a full
+    // ~120-query map (~4.4 KB) truncates and the JSON line never parses
+    // (BENCH_r6..r8 all landed "parsed: null"). So: full-precision
+    // per-query map goes to BENCH_FULL.json in the working directory,
+    // and the stdout line carries the headline (heavy) subset at 3
+    // decimals — small enough to fit the tail window whole.
+    def fmt(entries: Seq[(String, Double)], dec: Boolean): String =
+      entries.map { case (k, v) =>
+        "\"" + k + "\":" + (if (dec) f"$v%.3f" else v.toString)
+      }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+    val headline = results.filter { case (n, _) => heavy.contains(n) }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -882,16 +882,17 @@ object TextQueries {
       |    CAST(coalesce(len(regexp_split_to_array(lower(text), '\s+')),
       |      0) AS BIGINT) AS nt
       |  FROM documents),
-      |dom AS (SELECT domain, sum(nt) AS tokens_available FROM d
-      |        GROUP BY 1 HAVING sum(nt) > 0),
+      |dom AS (SELECT domain, CAST(sum(nt) AS BIGINT) AS tokens_available
+      |        FROM d GROUP BY 1 HAVING sum(nt) > 0),
       |tot AS (SELECT CAST(sum(tokens_available) AS DOUBLE) AS t,
-      |               sum(tokens_available) // 2 AS bud FROM dom),
+      |               CAST(sum(tokens_available) AS BIGINT) // 2 AS bud
+      |        FROM dom),
       |wtd AS (SELECT domain, tokens_available,
       |          pow(tokens_available / t, 0.5) AS wraw, t, bud
       |        FROM dom, tot),
       |wn AS (SELECT sum(wraw) AS wsum FROM wtd),
       |st AS (SELECT domain, tokens_available, wraw / wsum AS w,
-      |         tokens_available * 2.0 AS capacity,
+      |         CAST(tokens_available AS DOUBLE) * 2.0 AS capacity,
       |         least(CAST(bud AS DOUBLE), t * 2.0) AS b
       |       FROM wtd, wn),
       |r AS (SELECT *, capacity / w AS rr FROM st),
