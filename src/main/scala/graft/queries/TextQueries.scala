@@ -321,10 +321,13 @@ object TextQueries {
         .orderBy(col("doc_id"), col("phrase"))
     },
 
-    // X66: unigram-LM tokenizer training (SentencePiece hard-EM) — no
-    // SQL oracle (iterated Viterbi DP is not SQL-expressible; the
-    // driver records the weaker rows-only check) — exactness is carried
-    // by UnigramSpec's hand-computed EM and partitioning-invariance.
+    // X66: unigram-LM tokenizer training (SentencePiece hard-EM) —
+    // oracle-checked bit-for-bit: the iterated Viterbi DP unrolls into
+    // recursive CTEs (forward 3-register sliding state + backward
+    // argmax reconstruction), and Java Math.log matches DuckDB ln on
+    // every emitted double (probe-verified), so even the logprobs hash
+    // identically. UnigramSpec additionally carries hand-computed EM
+    // and partitioning-invariance.
     "q_x66_unigram_train" -> { (s, dir) =>
       graft.text.Unigram.train(t(s, dir, "documents"), "text",
         vocabSize = 200, maxPieceLen = 3, iterations = 3)
@@ -918,6 +921,118 @@ object TextQueries {
       |               ELSE 0.0 END AS lamv
       |        FROM fg, lam)""".stripMargin
 
+  /** DuckDB mirror of [[graft.text.Unigram.train]] at q_x66's settings
+    * (vocabSize 200, maxPieceLen 3, iterations 3, seedMultiplier 4).
+    * The Viterbi E-step is a forward DP carried as a 3-register sliding
+    * state in a recursive CTE (`b0=best(i), b1=best(i-1), b2=best(i-2)`
+    * — a recursive CTE only sees the previous iteration, so the window
+    * rides along as columns), then a backward pass re-derives the
+    * argmax piece at each position; the double-equality test against
+    * the stored best is exact because both sides compute the identical
+    * IEEE sum, and the ascending-j CASE mirrors the Scala tie-break
+    * (first strictly-better extension wins). One fwd/back/count/prune
+    * block per EM iteration, unrolled. `MATERIALIZED` hints keep DuckDB
+    * from re-running scan-rooted CTEs inside each recursion step. Java
+    * `Math.log` and DuckDB `ln` agree bitwise on these inputs
+    * (probe-verified), so `logprob` needs no rounding. */
+  private val unigramOracle: String = {
+    val unk = "-23.025850929940457" // ln(1e-10), Unigram.UnkLogProb
+    val ninf = "CAST('-infinity' AS DOUBLE)"
+    def em(it: Int): String = {
+      val p = if (it == 1) "v0" else s"v${it - 1}"
+      s"""fwd$it(w, wc, n, i, b0, b1, b2) AS (
+         |  SELECT w, wc, len(w), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+         |    $ninf, $ninf FROM wc
+         |  UNION ALL
+         |  SELECT f.w, f.wc, f.n, f.i + 1,
+         |    greatest(
+         |      f.b0 + coalesce(v1.lp, $unk),
+         |      f.b1 + coalesce(v2.lp, $ninf),
+         |      f.b2 + coalesce(v3.lp, $ninf)),
+         |    f.b0, f.b1
+         |  FROM fwd$it f
+         |  LEFT JOIN $p v1 ON v1.piece = substr(f.w, f.i + 1, 1)
+         |  LEFT JOIN $p v2 ON f.i >= 1 AND len(v2.piece) = 2
+         |    AND v2.piece = substr(f.w, f.i, 2)
+         |  LEFT JOIN $p v3 ON f.i >= 2 AND len(v3.piece) = 3
+         |    AND v3.piece = substr(f.w, f.i - 1, 3)
+         |  WHERE f.i < f.n),
+         |dp$it AS MATERIALIZED (SELECT w, i, b0 AS best FROM fwd$it),
+         |back$it(w, wc, pos, piece) AS (
+         |  SELECT w, wc, len(w), CAST(NULL AS VARCHAR) FROM wc
+         |  UNION ALL
+         |  SELECT w, wc, pos - jj, substr(w, pos - jj + 1, jj)
+         |  FROM (
+         |    SELECT b.w, b.wc, b.pos,
+         |      CASE
+         |        WHEN d1.best + coalesce(v1.lp, $unk) = d0.best THEN 1
+         |        WHEN d2.best + coalesce(v2.lp, $ninf) = d0.best THEN 2
+         |        ELSE 3 END AS jj
+         |    FROM back$it b
+         |    JOIN dp$it d0 ON d0.w = b.w AND d0.i = b.pos
+         |    LEFT JOIN dp$it d1 ON d1.w = b.w AND d1.i = b.pos - 1
+         |    LEFT JOIN dp$it d2 ON d2.w = b.w AND d2.i = b.pos - 2
+         |    LEFT JOIN $p v1 ON v1.piece = substr(b.w, b.pos, 1)
+         |    LEFT JOIN $p v2 ON b.pos >= 2 AND len(v2.piece) = 2
+         |      AND v2.piece = substr(b.w, b.pos - 1, 2)
+         |    WHERE b.pos > 0) t),
+         |ec$it AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wc) AS BIGINT) AS piece_count
+         |  FROM back$it WHERE piece IS NOT NULL GROUP BY piece),
+         |multi$it AS MATERIALIZED (
+         |  SELECT piece, piece_count FROM (
+         |    SELECT piece, piece_count,
+         |      row_number() OVER (ORDER BY piece_count DESC, piece) AS rn
+         |    FROM ec$it WHERE len(piece) > 1) t
+         |  WHERE rn <= 200 - (SELECT count(*) FROM chars)),
+         |vocab$it AS MATERIALIZED (
+         |  SELECT piece, piece_count FROM multi$it
+         |  UNION ALL
+         |  SELECT c.piece,
+         |    CAST(greatest(coalesce(e.piece_count, 0), 1) AS BIGINT)
+         |      AS piece_count
+         |  FROM chars c LEFT JOIN ec$it e ON e.piece = c.piece),
+         |v$it AS MATERIALIZED (
+         |  SELECT piece, ln(CAST(piece_count AS DOUBLE) /
+         |    (SELECT CAST(CAST(sum(piece_count) AS BIGINT) AS DOUBLE)
+         |     FROM vocab$it)) AS lp
+         |  FROM vocab$it)""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |wrds AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wrds
+       |  WHERE len(w) > 0 GROUP BY w),
+       |subs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), CAST(j AS INTEGER)) AS piece,
+       |    wc
+       |  FROM (SELECT w, wc, unnest(range(1, len(w) + 1)) AS i FROM wc) t,
+       |       range(1, 4) AS rj(j)
+       |  WHERE i + j - 1 <= len(w)),
+       |subc AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(wc) AS BIGINT) AS c FROM subs
+       |  GROUP BY piece),
+       |chars AS MATERIALIZED (
+       |  SELECT piece, c FROM subc WHERE len(piece) = 1),
+       |seed AS MATERIALIZED (
+       |  SELECT DISTINCT piece, c FROM (
+       |    (SELECT piece, c FROM subc ORDER BY c DESC, piece LIMIT 800)
+       |    UNION ALL
+       |    SELECT piece, c FROM chars) u),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(c AS DOUBLE) /
+       |    (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) FROM seed)) AS lp
+       |  FROM seed),
+       |${em(1)},
+       |${em(2)},
+       |${em(3)}
+       |SELECT vb.piece, vb.piece_count, v.lp AS logprob
+       |FROM vocab3 vb JOIN v3 v ON v.piece = vb.piece
+       |ORDER BY vb.piece""".stripMargin
+  }
+
   /** q_x69 planted licence paragraph (36 tokens, 4 content-interior CDC
     * boundaries at k=3, divisor=8 — so every plant shares its interior
     * chunks). */
@@ -1098,6 +1213,10 @@ object TextQueries {
         |SELECT doc_id, phrase, n_hits FROM hits WHERE n_hits > 0
         |ORDER BY doc_id, phrase""".stripMargin,
     // Domain filter: same regex host extraction + registrable-domain
+    // Unigram-LM tokenizer training: unrolled recursive-CTE Viterbi EM
+    // (see unigramOracle's scaladoc) — bit-exact including the logprob
+    // doubles.
+    "q_x66_unigram_train" -> unigramOracle,
     // reduction (last 2 labels, 3 under co.uk-style suffixes).
     "q_x65_domain_filter" ->
       """WITH u AS (
