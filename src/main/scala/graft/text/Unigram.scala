@@ -29,6 +29,25 @@ import org.apache.spark.sql.functions._
 object Unigram {
   private val UnkLogProb = -23.025850929940457 // ln(1e-10): always beaten
 
+  /** Unsigned UTF-8 byte order — Spark's UTF8String (and DuckDB's
+    * binary collation) string order, which JVM String.compareTo
+    * (UTF-16 code units) diverges from on supplementary characters.
+    * Driver-side tie-breaks must rank exactly like the engine sorts. */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (r != 0) r else x.length - y.length
+  }
+
+  /** (count desc, piece asc-utf8) — the engine-identical prune order. */
+  private def pruneOrder: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](-_._2)
+      .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order))
+
   /** Viterbi-best segmentation of `word` under `logp`; unknown single
     * characters survive at [[UnkLogProb]] so segmentation never fails. */
   private[text] def viterbi(word: String, logp: Map[String, Double],
@@ -93,23 +112,25 @@ object Unigram {
       } yield w.substring(i, j)): Seq[String]
     }
     // seed: substring occurrences weighted by word frequency, top
-    // seedMultiplier·vocabSize by (count desc, piece) + all single chars
+    // seedMultiplier·vocabSize by (count desc, piece) + all single chars.
+    // The count table is vocab-candidate-sized (distinct substrings of
+    // DISTINCT words, Zipf-bounded), so one collect and driver-side
+    // prune/floor replaces what was previously a re-computed aggregate
+    // per DAG branch — each EM iteration now segments the word table
+    // exactly once.
     val subCounts = words
       .select(explode(subUdf(col("w"))).as("piece"), col("wc"))
       .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
-    val chars = subCounts.filter(length(col("piece")) === 1)
-    val seed = subCounts
-      .orderBy(col("c").desc, col("piece")).limit(vocabSize * seedMultiplier)
-      .unionByName(chars).distinct()
-    def toLogProbs(counts: DataFrame): Map[String, Double] = {
-      val rows = counts.collect()
-        .map(r => r.getString(0) -> r.getLong(1).toDouble)
-      val total = rows.map(_._2).sum
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val charPieces = subCounts.filter(_._1.length == 1)
+    val seed = (subCounts.sorted(pruneOrder)
+      .take(vocabSize * seedMultiplier) ++ charPieces).distinct
+    def toLogProbs(rows: Array[(String, Long)]): Map[String, Double] = {
+      val total = rows.map(_._2.toDouble).sum
       rows.map { case (p, c) => p -> math.log(c / total) }.toMap
     }
-    var logp = toLogProbs(seed.select(col("piece"), col("c")))
-    val nChars = chars.count().toInt
-    val multiBudget = math.max(0, vocabSize - nChars)
+    var logp = toLogProbs(seed)
+    val multiBudget = math.max(0, vocabSize - charPieces.length)
 
     var vocab: Array[(String, Long)] = Array.empty
     for (_ <- 1 to iterations) {
@@ -118,18 +139,16 @@ object Unigram {
       val eCounts = words
         .select(explode(segUdf(col("w"))).as("piece"), col("wc"))
         .groupBy(col("piece")).agg(sum(col("wc")).as("piece_count"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val ecMap = eCounts.toMap
       // prune to budget; seen single chars are ALWAYS retained (full
       // character coverage) with their count floored at 1
-      val multi = eCounts.filter(length(col("piece")) > 1)
-        .orderBy(col("piece_count").desc, col("piece"))
-        .limit(multiBudget)
-      val charRows = chars.select(col("piece"))
-        .join(eCounts, Seq("piece"), "left")
-        .select(col("piece"),
-          greatest(coalesce(col("piece_count"), lit(0L)), lit(1L))
-            .as("piece_count"))
-      vocab = multi.unionByName(charRows).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+      val multi = eCounts.filter(_._1.length > 1)
+        .sorted(pruneOrder).take(multiBudget)
+      val charRows = charPieces.map { case (p, _) =>
+        (p, math.max(ecMap.getOrElse(p, 0L), 1L))
+      }
+      vocab = multi ++ charRows
       val total = vocab.map(_._2).sum.toDouble
       logp = vocab.map { case (p, c) => p -> math.log(c / total) }.toMap
     }
