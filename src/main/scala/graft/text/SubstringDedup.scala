@@ -128,7 +128,14 @@ object SubstringDedup {
     require(windowTokens >= 2,
       s"windowTokens must be >= 2, got $windowTokens — 1-token windows " +
         "would mark every repeated word a duplicated span")
-    val wins = windows(corpus, idCol, textCol, windowTokens)
+    // Persist-tracked: the aggregate side and the probe side of the
+    // self-join would otherwise EACH scan the corpus and md5 every token
+    // window (the aggregate exchanges partial min/max rows, the probe
+    // exchanges full rows — different subplans, so Catalyst cannot
+    // ReusedExchange them). One cached pass halves the dominant cost;
+    // released by the caller via Caches.releaseAll.
+    val wins = graft.util.Caches.persistTracked(
+      windows(corpus, idCol, textCol, windowTokens))
     // cross-doc test without countDistinct: a fingerprint is shared by
     // >= 2 distinct docs iff its min and max doc_id differ. Partial
     // aggregation keeps a hot fingerprint (one boilerplate in millions
@@ -137,8 +144,6 @@ object SubstringDedup {
       .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select(col("__fp"))
-    // wins is re-shuffled on __fp for the probe side — the same exchange
-    // the aggregate consumed, so Catalyst reuses it (ReusedExchange)
     mergeSpans(wins.join(dupFp, "__fp"), windowTokens)
   }
 
