@@ -646,6 +646,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X73: HTML → text extraction — every doc wrapped in a deterministic
+    // HTML template planting the hostile cases: script body with a bare
+    // `<` and a quoted string, a style block, a comment, entities
+    // (including `&amp;copy;`, which must decode ONCE to `&copy;`) and
+    // a non-breaking-space-glued tail.
+    "q_x73_html_extract" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { margin: 0; }</style>"),
+        lit("<script>if (1 < 2 && x > 0) { go(\"now\"); }</script>"),
+        lit("</head><body><!-- meta "), col("doc_id").cast("string"),
+        lit(" --><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>&amp;copy; &lt;b&gt; &quot;q&quot;" +
+          " &#39;s&#39;&nbsp;end</div></body></html>")).as("html"))
+      graft.text.HtmlExtract.extractText(html, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    },
+
+    // X75: token-window chunking, 64-token chunks at stride 48 (16-token
+    // overlap) — covers the single-chunk (short doc), overlap, and
+    // tail-window cases across the corpus's length distribution.
+    "q_x75_token_chunks" -> { (s, dir) =>
+      TextStats.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // X74: quality-based cluster representative selection — the X17
+    // clusters re-policied to keep the LONGEST member (argmax token
+    // count, tie min doc_id) instead of the min-id canonical.
+    "q_x74_cluster_reps" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDuplicateClusters(docs, "doc_id", "text")
+      val scored = docs.select(col("doc_id"),
+        coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n_toks"))
+      Dedup.selectRepresentatives(clusters, scored, "doc_id", "n_toks")
+        .orderBy(col("doc_id"))
+    },
+
     // X14: eval-set decontamination — corpus docs sharing any 8-gram with
     // the planted "eval set" (doc_id % 97 == 0) are flagged.
     "q_x14_decontamination" -> { (s, dir) =>
@@ -1032,6 +1074,38 @@ object TextQueries {
        |FROM vocab3 vb JOIN v3 v ON v.piece = vb.piece
        |ORDER BY vb.piece""".stripMargin
   }
+
+  /** SQL-string single-quote escape for literal fragments. */
+  private def sqlq(s: String): String = s.replace("'", "''")
+
+  /** DuckDB mirror of [[graft.text.HtmlExtract.extractedText]]: the
+    * SAME pattern strings (interpolated from the operator's stage
+    * lists, so the two engines cannot drift), applied with the 'g'
+    * flag (Spark's regexp_replace is global by default; inline (?is)
+    * flags carry case/dotall on both engines). */
+  private def htmlExtractSql(input: String): String = {
+    val stripped = graft.text.HtmlExtract.regexStages.foldLeft(input) {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${sqlq(pat)}', '${sqlq(rep)}', 'g')"
+    }
+    val decoded = graft.text.HtmlExtract.entityStages.foldLeft(stripped) {
+      case (acc, (ent, ch)) =>
+        s"replace($acc, '${sqlq(ent)}', '${sqlq(ch)}')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** The q_x73 HTML template as a DuckDB concat expression — kept
+    * adjacent to the Spark-side template in `queries` ("q_x73"). */
+  private val htmlTemplateSql: String =
+    """'<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style type="text/css">p { margin: 0; }</style>' ||
+      |'<script>if (1 < 2 && x > 0) { go("now"); }</script>' ||
+      |'</head><body><!-- meta ' || CAST(doc_id AS VARCHAR) ||
+      |' --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</h1><p>' || text ||
+      |'</p><div>&amp;copy; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'"""
+      .stripMargin
 
   /** q_x69 planted licence paragraph (36 tokens, 4 content-interior CDC
     * boundaries at k=3, divisor=8 — so every plant shares its interior
@@ -2030,6 +2104,72 @@ object TextQueries {
          |LEFT JOIN ex ON b.doc_id = ex.doc_id
          |LEFT JOIN near ON b.doc_id = near.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+    // HTML extraction: the same regex/entity stage lists interpolated
+    // into DuckDB syntax — extraction is engine-identical by construction.
+    "q_x73_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $htmlTemplateSql AS html
+         |  FROM documents),
+         |e AS (SELECT doc_id, ${htmlExtractSql("html")} AS text FROM h)
+         |SELECT doc_id, text,
+         |  CAST(CASE WHEN len(text) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(lower(text), '\\s+')) END
+         |    AS BIGINT) AS n_tokens
+         |FROM e ORDER BY doc_id""".stripMargin,
+    // Token chunking: same start-set formula (last window = first one
+    // reaching the end; s < n guards stride-gap sampling).
+    "q_x75_token_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |nn AS (SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 0),
+        |mm AS (
+        |  SELECT doc_id, w, n,
+        |    CASE WHEN n <= 64 THEN 0
+        |         ELSE (n - 64 + 47) // 48 END AS m
+        |  FROM nn),
+        |st AS (
+        |  SELECT doc_id, w, n, CAST(k AS BIGINT) AS chunk_idx,
+        |    CAST(k * 48 AS BIGINT) AS s
+        |  FROM (SELECT doc_id, w, n, unnest(range(0, m + 1)) AS k
+        |        FROM mm)
+        |  WHERE k * 48 < n)
+        |SELECT doc_id, chunk_idx, s AS start_tok,
+        |  CAST(least(s + 64, n) AS BIGINT) AS end_tok,
+        |  CAST(least(s + 64, n) - s AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(w[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')
+        |    AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Representative selection: the X17 reach-closure clusters joined to
+    // token counts, argmax(score, tie min doc_id) per cluster.
+    "q_x74_cluster_reps" ->
+      s"""WITH RECURSIVE ${minhashNmCte()},
+         |prs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY v),
+         |tc AS (SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+         |           AS BIGINT) AS score
+         |       FROM documents),
+         |j AS (SELECT c.doc_id, c.cluster_id, t.score
+         |      FROM cl c JOIN tc t USING (doc_id)),
+         |rep AS (
+         |  SELECT cluster_id, doc_id AS representative_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score DESC, doc_id) AS rn
+         |    FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster_id, j.score,
+         |  j.doc_id = r.representative_id AS is_representative,
+         |  r.representative_id
+         |FROM j JOIN rep r USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
     "q_x17_neardup_clusters" ->
       s"""WITH RECURSIVE ${minhashNmCte()},
          |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),

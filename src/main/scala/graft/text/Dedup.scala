@@ -657,6 +657,36 @@ object Dedup {
     * document: (doc_id, cluster_id, is_canonical); keep the canonicals and
     * drop the rest. Documents in no near-dup pair are not emitted (they
     * are their own trivial cluster). */
+  /** X74: cluster REPRESENTATIVE selection by QUALITY — the keep-policy
+    * refinement of [[nearDuplicateClusters]]' min-id canonical: real
+    * pipelines keep the BEST member of each near-dup cluster (longest,
+    * highest quality score, lowest perplexity — the SemDeDup/NeMo
+    * Curator policy), not the smallest id. `clusters` is any
+    * (doc_id, cluster_id) table; `scored` carries one quality row per
+    * doc. The representative is argmax(score, tie → min doc_id) —
+    * deterministic, engine-reproducible. ONE cluster-keyed exchange
+    * over the CLUSTERED docs only (cluster tables are orders of
+    * magnitude below corpus size — only near-dup members appear);
+    * output one row per clustered doc:
+    * (doc_id, cluster_id, score, is_representative, representative_id)
+    * — `keep = is_representative` is the downstream filter. */
+  def selectRepresentatives(clusters: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(scored.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).as("score")), "doc_id")
+      .withColumn("representative_id",
+        first(col("doc_id")).over(byCluster.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("is_representative",
+        col("doc_id") === col("representative_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("is_representative"), col("representative_id"))
+  }
+
   def nearDuplicateClusters(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minMatch: Int = 8): DataFrame = {

@@ -395,6 +395,52 @@ object TextStats {
       coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
   }
 
+  /** X75: fixed-size token-window CHUNKING with stride — the context
+    * windowing both RAG indexing (overlapping retrieval chunks) and
+    * fixed-context pretraining (max_seq_len splits) run on every
+    * document. Windows start at multiples of `strideTokens`; the last
+    * window is the FIRST one whose end reaches the document's end
+    * (full coverage, no redundant sub-windows of the final chunk — a
+    * doc of `n <= chunkTokens` tokens yields exactly one chunk).
+    * Pure projection + bounded posexplode (≤ ceil(n/stride) rows/doc),
+    * ZERO shuffle; token coordinates are [[Dedup.words]], so chunk
+    * spans compose with X36 span excision and X13 packing directly.
+    * Output: (doc_id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
+    * chunk_text); empty docs yield no chunks. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1,
+      s"strideTokens must be >= 1, got $strideTokens")
+    df.select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__w"))
+      .withColumn("__n", coalesce(size(col("__w")), lit(0)))
+      .filter(col("__n") > 0)
+      // last start index m·stride: m = ceil((n - chunk)/stride), kept
+      // integral (positive operands, so DIV is exact floor); the s < n
+      // guard covers stride > chunk gap-sampling where m·stride can
+      // land past the end
+      .withColumn("__m",
+        when(col("__n") <= chunkTokens, lit(0)).otherwise(
+          expr(s"(__n - $chunkTokens + $strideTokens - 1) DIV " +
+            s"$strideTokens").cast("int")))
+      .select(col("doc_id"), col("__w"), col("__n"),
+        posexplode(filter(
+          transform(sequence(lit(0), col("__m")),
+            k => k * strideTokens),
+          s => s < col("__n"))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        least(col("col") + chunkTokens, col("__n")).cast("long")
+          .as("end_tok"),
+        col("__w"), col("col"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("col") + 1,
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** X42: n-gram language-model PERPLEXITY scoring — the CCNet quality
     * signal (Wenzek et al. 2020, public knowledge: docs scored by an
     * n-gram LM's perplexity; low = fluent, high = noise/boilerplate
