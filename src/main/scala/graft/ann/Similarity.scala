@@ -637,6 +637,62 @@ object Similarity {
     cents
   }
 
+  /** X76: the PERSISTED IVF index projection — (vec_id, centroid_id,
+    * embedding), each row's bucket from the zero-shuffle broadcast-
+    * centroid argmax ([[ivfAssign]]). The production contract mirrors
+    * the X22 dedup index: write this once (partitioned by
+    * `centroid_id`, see [[writeIvfIndex]]), then index NEW embedding
+    * batches by calling this same function on the batch and APPENDING —
+    * assignment is per-row against the FROZEN centroid table
+    * ([[trainCentroids]]' persist-once contract), so increments never
+    * retrain, never re-read history, and a two-batch build is
+    * row-identical to one-shot (spec-proven). */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int): DataFrame =
+    ivfAssign(df, idCol, vecCol, centroids, dim)
+      .select(col("vec_id"), col("centroid_id"),
+        col("v").as("embedding"))
+
+  /** Write (or append) an X76 index, `partitionBy(centroid_id)` — the
+    * layout that lets a query batch's bucket join dynamically prune
+    * index files: with the probe side broadcast, Spark's dynamic
+    * partition pruning reads ONLY the probed buckets' files, so query
+    * cost scales with buckets touched, not index size. */
+  def writeIvfIndex(index: DataFrame, path: String,
+      mode: String = "append"): Unit =
+    index.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+  /** Top-k over a PERSISTED index for a (bounded) query batch: queries
+    * are probe-assigned row-locally (same broadcast-centroid scan —
+    * zero shuffle), then BROADCAST into the bucket join so the index is
+    * scanned once and NEVER shuffled, with partition-pruned file reads
+    * under the [[writeIvfIndex]] layout. Candidate norms are computed
+    * in the scan projection (norms are derivable, so the index stays
+    * minimal and append cheap). Output matches [[ivfTopK]]:
+    * (vec_id, centroid_id, rk, neighbor_id, cosine); self-matches (a
+    * query id also present in the index) are excluded by id. */
+  def ivfTopKFromIndex(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    ensureNative(queries)
+    val q = ivfAssign(queries, idCol, vecCol, centroids, dim)
+    val cands = index.select(col("centroid_id").cast("long"),
+        col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("w"))
+      .withColumn("nrm_b", nNorm(col("w")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(cands, "centroid_id")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        nCosine(col("v"), col("w"), col("nrm"), col("nrm_b")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      // partition-column read-back may narrow centroid_id to int; pin long
+      .select(col("vec_id"), col("centroid_id").cast("long"), col("rk"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF approximate top-k: search only the query's own centroid bucket.
     * The bucket join shuffles both sides by `centroid_id` once; within a
     * bucket the pair count is bounded by bucket size. */

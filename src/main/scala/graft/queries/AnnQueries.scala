@@ -96,6 +96,32 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X76: persisted incremental IVF index — the corpus (vec_id % 4 != 0)
+    // is indexed in TWO appended batches (a fresh overwrite then an
+    // append: the production maintenance cycle), written partitioned by
+    // centroid_id, read back, and queried by the % 4 == 0 batch. Green
+    // proves assignment-only increments + the partitioned round-trip
+    // preserve exact bucket search.
+    "q_x76_ivf_index_query" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 40 === 0)
+      val b1 = emb.filter(col("vec_id") % 4 === 1 ||
+        col("vec_id") % 4 === 2)
+      val b2 = emb.filter(col("vec_id") % 4 === 3)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(b1, "vec_id", "embedding", centroids,
+          Dim), path, mode = "overwrite")
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(b2, "vec_id", "embedding", centroids,
+          Dim), path)
+      Similarity.ivfTopKFromIndex(s.read.parquet(path),
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        centroids, 3, Dim)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -342,6 +368,39 @@ object AnnQueries {
         |  FROM pairs)
         |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // Index form: corpus buckets from the same argmax assignment (the
+    // two-batch append is invisible to the result — set semantics),
+    // query batch probe-1 assigned, in-bucket exact cosine.
+    "q_x76_ivf_index_query" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |corp AS (
+         |  SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |          c.centroid_id) AS rn
+         |    FROM nn n, cent c WHERE n.vec_id % 4 <> 0) WHERE rn = 1),
+         |qry AS (
+         |  SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |          c.centroid_id) AS rn
+         |    FROM nn n, cent c WHERE n.vec_id % 4 = 0) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id, a.centroid_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM qry a JOIN corp b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, centroid_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q_x9_ann_ivf" ->
       s"""WITH $nnCte,
          |cent AS (

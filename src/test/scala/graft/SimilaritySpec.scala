@@ -439,4 +439,43 @@ class SimilaritySpec extends SparkSpec {
       }
     viol shouldBe empty
   }
+
+  it should "build an IVF index incrementally and query it equivalently (X76)" in {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString + "/idx"
+    // two-batch append vs one-shot: row-identical index contents
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2),
+      "vec_id", "embedding", cents, 64), path, mode = "overwrite")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", cents, 64), path)
+    val oneShot = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      cents, 64)
+    val readBack = spark.read.parquet(path)
+    readBack.select(col("vec_id"), col("centroid_id").cast("long"))
+      .exceptAll(oneShot.select(col("vec_id"), col("centroid_id")))
+      .count() shouldBe 0L
+    oneShot.count() shouldBe readBack.count()
+    // parquet round-trip changes nothing about the query answer
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val fromDisk = Similarity.ivfTopKFromIndex(readBack, queries,
+      "vec_id", "embedding", cents, 3, 64).collect().toSet
+    val fromMem = Similarity.ivfTopKFromIndex(oneShot, queries,
+      "vec_id", "embedding", cents, 3, 64).collect().toSet
+    fromDisk shouldBe fromMem
+    fromDisk should not be empty
+    // the partitioned layout exposes centroid_id partition filters to
+    // the scan: a single-bucket read prunes to that bucket's files
+    val someBucket = readBack.select("centroid_id").head().getInt(0)
+    val pruned = spark.read.parquet(path)
+      .filter(col("centroid_id") === someBucket)
+    pruned.queryExecution.executedPlan.toString should include(
+      "PartitionFilters: [isnotnull(centroid_id")
+    graft.util.Caches.releaseAll(spark)
+  }
 }
