@@ -236,6 +236,68 @@ object Curation {
       .drop("__cum")
   }
 
+  /** X77: cross-document fixed-context packing MANIFEST — the GPT-style
+    * "concatenate everything, split every `contextTokens`" pretraining
+    * layout (docs cross sequence boundaries; `sepTokens` EOS slots sit
+    * between docs), as the manifest that maps each training sequence to
+    * the doc slices composing it: one row per (doc, sequence) overlap —
+    * `(seq_id, doc_id, doc_start_tok, seq_start_pos, n_toks)`. X13
+    * packs whole docs into per-shard budgets; THIS is the
+    * boundary-crossing global layout an autoregressive trainer actually
+    * consumes.
+    *
+    * The global token offset of each doc is a TWO-PHASE PREFIX SUM, not
+    * a global-order window (`Window.orderBy` with no partition moves
+    * the corpus to ONE partition — the classic scale-killer):
+    * `repartitionByRange(doc_id)` gives range-ordered partitions,
+    * within-partition cumsums run in parallel, and only the
+    * per-partition TOTALS (rows = partitions, not docs) are collected,
+    * prefix-summed on the driver, and broadcast-joined back. Offsets
+    * are partition-boundary-invariant (each doc's offset is the sum
+    * over all smaller doc_ids however they are split), so the manifest
+    * is deterministic under any partitioning (spec-proven). The seq
+    * explode is bounded: ≤ n/contextTokens + 1 rows per doc. */
+  def contextManifest(df: DataFrame, idCol: String, tokenCountCol: String,
+      contextTokens: Long, sepTokens: Long = 1L): DataFrame = {
+    require(contextTokens >= 1,
+      s"contextTokens must be >= 1, got $contextTokens")
+    require(sepTokens >= 0, s"sepTokens must be >= 0, got $sepTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byPart = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokenCountCol).cast("long").as("__n"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.util.Caches.persistTracked(
+      byPart.withColumn("__cum", sum(col("__n") + sepTokens).over(inPart)))
+    // partition totals: rows = #partitions — driver prefix sum is bounded
+    val totals = cum.groupBy(col("__pid"))
+      .agg(max(col("__cum")).as("__t"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val prefix = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val prefixDf = prefix.toSeq.toDF("__pid", "__prefix")
+    val L = contextTokens
+    cum.join(broadcast(prefixDf), "__pid")
+      .withColumn("__off", col("__prefix") + col("__cum")
+        - col("__n") - sepTokens)
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__n"), col("__off"),
+        explode(sequence(expr(s"__off DIV $L"),
+          expr(s"(__off + __n - 1) DIV $L"))).as("seq_id"))
+      .select(col("seq_id"),
+        col("doc_id"),
+        (greatest(col("__off"), col("seq_id") * L) - col("__off"))
+          .as("doc_start_tok"),
+        (greatest(col("__off"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_start_pos"),
+        (least(col("__off") + col("__n"), (col("seq_id") + 1) * L)
+          - greatest(col("__off"), col("seq_id") * L)).as("n_toks"))
+  }
+
   /** X56: deterministic sharded export — the trainer-facing
     * materialization step at the end of a curation pipeline: every doc
     * lands in shard `md5int(seed, id) mod nShards` (the engine-neutral

@@ -688,6 +688,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X77: cross-document fixed-context packing manifest — 128-token
+    // sequences over the doc_id-ordered corpus with one EOS slot between
+    // docs; every (doc, sequence) overlap row oracle-checked, so the
+    // two-phase distributed prefix sum must agree with the oracle's
+    // global window cumsum exactly.
+    "q_x77_context_manifest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n_toks"))
+      graft.curate.Curation.contextManifest(docs, "doc_id", "n_toks",
+        contextTokens = 128L, sepTokens = 1L)
+        .orderBy(col("seq_id"), col("doc_id"))
+    },
+
     // X14: eval-set decontamination — corpus docs sharing any 8-gram with
     // the planted "eval set" (doc_id % 97 == 0) are flagged.
     "q_x14_decontamination" -> { (s, dir) =>
@@ -2140,6 +2154,31 @@ object TextQueries {
         |  array_to_string(w[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')
         |    AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Context manifest: the oracle's offset is a plain global window
+    // cumsum (fine at oracle scale); segment arithmetic identical.
+    "q_x77_context_manifest" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM tk),
+        |e AS (
+        |  SELECT doc_id, n, off,
+        |    CAST(unnest(range(off // 128, (off + n - 1) // 128 + 1))
+        |      AS BIGINT) AS seq_id
+        |  FROM o WHERE n > 0)
+        |SELECT seq_id, doc_id,
+        |  greatest(off, seq_id * 128) - off AS doc_start_tok,
+        |  greatest(off, seq_id * 128) - seq_id * 128 AS seq_start_pos,
+        |  least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128)
+        |    AS n_toks
+        |FROM e ORDER BY seq_id, doc_id""".stripMargin,
     // Representative selection: the X17 reach-closure clusters joined to
     // token counts, argmax(score, tie min doc_id) per cluster.
     "q_x74_cluster_reps" ->

@@ -295,4 +295,56 @@ class CurationSpec extends SparkSpec {
       toks.toDouble should be <= caps(d) + 40.0 // one doc of slack
     }
   }
+
+  behavior of "Curation.contextManifest (X77)"
+
+  it should "tile docs across fixed sequences with EOS gaps" in {
+    // docs: 5, 3, 130 tokens; L=64, sep=1
+    // offsets: d1 [0,5) sep 5; d2 [6,9) sep 9; d3 [10,140) sep 140
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 130L)).toDF("doc_id", "n")
+    val m = Curation.contextManifest(docs, "doc_id", "n", 64L, 1L)
+      .orderBy("seq_id", "doc_id")
+      .select("seq_id", "doc_id", "doc_start_tok", "seq_start_pos",
+        "n_toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    m shouldBe Array(
+      (0L, 1L, 0L, 0L, 5L),
+      (0L, 2L, 0L, 6L, 3L),
+      (0L, 3L, 0L, 10L, 54L),   // doc3 [10,64) of seq 0
+      (1L, 3L, 54L, 0L, 64L),   // doc3 fills seq 1
+      (2L, 3L, 118L, 0L, 12L))  // doc3 tail [128,140)
+  }
+
+  it should "reassemble every doc exactly and never cross a boundary" in {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        coalesce(org.apache.spark.sql.functions.size(
+          graft.text.Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n"))
+    val m = Curation.contextManifest(docs, "doc_id", "n", 128L, 1L)
+    // segments stay inside their sequence
+    m.filter(col("seq_start_pos") + col("n_toks") > 128L)
+      .count() shouldBe 0L
+    m.filter(col("n_toks") <= 0L).count() shouldBe 0L
+    // per-doc: segments contiguous from 0 and summing to the doc length
+    val perDoc = m.groupBy("doc_id").agg(
+      sum("n_toks").as("tot"), min("doc_start_tok").as("mn"),
+      max(col("doc_start_tok") + col("n_toks")).as("mx"))
+    perDoc.join(docs.filter(col("n") > 0), "doc_id")
+      .filter(col("tot") =!= col("n") || col("mn") =!= 0L ||
+        col("mx") =!= col("n"))
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "be invariant under input partitioning" in {
+    val docs = (1L to 257L).map(i => (i, i % 7)).toDF("doc_id", "n")
+    def run(parts: Int) = Curation.contextManifest(
+      docs.repartition(parts), "doc_id", "n", 32L, 1L)
+      .collect().map(r => r.toSeq).toSet
+    run(1) shouldBe run(13)
+    graft.util.Caches.releaseAll(spark)
+  }
 }
