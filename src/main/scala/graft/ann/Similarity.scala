@@ -657,10 +657,15 @@ object Similarity {
     * layout that lets a query batch's bucket join dynamically prune
     * index files: with the probe side broadcast, Spark's dynamic
     * partition pruning reads ONLY the probed buckets' files, so query
-    * cost scales with buckets touched, not index size. */
+    * cost scales with buckets touched, not index size. The write
+    * repartitions on `centroid_id` first: without it every task writes
+    * a file into every bucket directory (tasks × buckets files — 64k
+    * tiny files at sf1 with 2k buckets, and the measured dominant cost),
+    * with it each bucket gets ONE file per append. */
   def writeIvfIndex(index: DataFrame, path: String,
       mode: String = "append"): Unit =
-    index.write.mode(mode).partitionBy("centroid_id").parquet(path)
+    index.repartition(col("centroid_id"))
+      .write.mode(mode).partitionBy("centroid_id").parquet(path)
 
   /** Top-k over a PERSISTED index for a (bounded) query batch: queries
     * are probe-assigned row-locally (same broadcast-centroid scan —
