@@ -460,4 +460,56 @@ class PlanGuardSpec extends SparkSpec {
       }
     }
   }
+
+  it should "keep the round-9 operators shuffle-minimal" in {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticShufflePlans {
+      // X73 HTML extraction and X75 chunking: pure projections, ZERO
+      // exchanges — a shuffle appearing here means someone turned a
+      // per-row transform into a keyed operation
+      val docs = (1L to 20L)
+        .map(i => (i, s"<p>alpha beta gamma delta epsilon $i</p>"))
+        .toDF("doc_id", "html")
+      graft.text.HtmlExtract.extractText(docs, "doc_id", "html")
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      val texts = docs.withColumnRenamed("html", "text")
+      graft.text.TextStats.chunkTokens(texts, "doc_id", "text", 4, 3)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+
+      // X77 context manifest: the two-phase prefix sum may exchange the
+      // doc-id table (range repartition + pid window + totals agg) but
+      // must NEVER plan a single-partition global-order window — that is
+      // the exact scale-killer the operator exists to avoid
+      val counts = (1L to 50L).map(i => (i, i % 9)).toDF("doc_id", "n")
+      val m = graft.curate.Curation.contextManifest(counts, "doc_id",
+        "n", 16L, 1L)
+      m.collect().length should be > 0
+      val mPlan = planOf(m)
+      mPlan should not include "SinglePartition"
+      mPlan should include("BroadcastHashJoin") // the prefix join
+
+      // X76 index query: the index side streams through the broadcast
+      // bucket join — candidate-side exchanges would re-shuffle the
+      // (unbounded) index by bucket
+      val emb = (1L to 40L)
+        .map(i => (i, Array.tabulate(8)(j => (i % 7 + j).toDouble)))
+        .toDF("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") % 10 === 0)
+      val idx = Similarity.buildIvfIndex(emb.filter(col("vec_id") % 4
+        =!= 0), "vec_id", "embedding", cents, 8)
+      val q = Similarity.ivfTopKFromIndex(idx,
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        cents, 2, 8)
+      q.collect().length should be > 0
+      val qPlan = planOf(q)
+      qPlan should include("BroadcastHashJoin")
+      // the only exchange is the per-query rank window over join output
+      val qEx = q.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      qEx.size should be <= 1
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
 }
