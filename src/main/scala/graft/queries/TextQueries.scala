@@ -702,6 +702,20 @@ object TextQueries {
         .orderBy(col("seq_id"), col("doc_id"))
     },
 
+    // X78: line-level quality signals — every third doc gets planted
+    // lines exercising each rule (bullet, short, terminal-punctuation,
+    // exact-duplicate line); fractions oracle-checked as raw doubles
+    // (both engines divide the same exact integers).
+    "q_x78_line_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit("\n- bullet item one\nShort\nA good sentence ends here." +
+            "\nA good sentence ends here.")))
+          .otherwise(col("text")))
+      TextStats.lineQuality(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X14: eval-set decontamination — corpus docs sharing any 8-gram with
     // the planted "eval set" (doc_id % 97 == 0) are flagged.
     "q_x14_decontamination" -> { (s, dir) =>
@@ -2154,6 +2168,37 @@ object TextQueries {
         |  array_to_string(w[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')
         |    AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Line quality: same trimmed-nonempty line set, same anchored
+    // regexes, divisions of identical exact integers.
+    "q_x78_line_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      '- bullet item one' || chr(10) || 'Short' || chr(10) ||
+        |      'A good sentence ends here.' || chr(10) ||
+        |      'A good sentence ends here.'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '\n'), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls
+        |  FROM d),
+        |m AS (SELECT doc_id, ls, len(ls) AS n FROM l)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+        |  len(list_filter(ls, x -> regexp_matches(x, '[.!?"'']$')))
+        |    / nullif(n, 0) AS frac_end_punct,
+        |  len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+        |    / nullif(n, 0) AS frac_bullet,
+        |  len(list_filter(ls,
+        |    x -> len(regexp_split_to_array(x, '\s+')) < 3))
+        |    / nullif(n, 0) AS frac_short,
+        |  (n - len(list_distinct(ls))) / nullif(n, 0) AS dup_line_frac,
+        |  list_sum(list_transform(ls,
+        |    x -> len(regexp_split_to_array(x, '\s+'))))
+        |    / nullif(n, 0) AS mean_line_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Context manifest: the oracle's offset is a plain global window
     // cumsum (fine at oracle scale); segment arithmetic identical.
     "q_x77_context_manifest" ->

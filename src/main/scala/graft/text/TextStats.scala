@@ -441,6 +441,43 @@ object TextStats {
           lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** X78: LINE-level quality signals — the C4/FineWeb rule family that
+    * operates on lines where X32's Gopher rules operate on tokens
+    * (Raffel et al. 2020 §2.2 keeps lines ending in terminal
+    * punctuation and drops short/bullet/boilerplate lines; FineWeb
+    * publishes the same shapes — public knowledge). One projection of
+    * array HOFs over the newline-split doc (lines per doc are few, so
+    * interpreted lambdas are immaterial here), ZERO shuffle; emits the
+    * signals, not a verdict — thresholds belong to the caller's policy
+    * (compose with X32's composite keep or the X34 pipeline). Output:
+    * (doc_id, n_lines, frac_end_punct, frac_bullet, frac_short,
+    * dup_line_frac, mean_line_tokens); empty/whitespace-only docs get
+    * n_lines = 0 and NULL fractions (0/0 — honest, not fake zeros). */
+  def lineQuality(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val toks = (l: Column) => size(split(l, "\\s+"))
+    // NULL denominator for empty docs: ANSI mode (the Spark 4 default)
+    // throws on literal zero division; a NULL divisor yields the NULL
+    // fraction the contract wants (and the oracle's nullif computes)
+    val denom = when(size(lines) > 0, size(lines))
+    df.select(col(idCol).as("doc_id"), lines.as("__l"), denom.as("__d"))
+      .select(col("doc_id"),
+        size(col("__l")).cast("long").as("n_lines"),
+        (size(filter(col("__l"), l => l.rlike("[.!?\"']$")))
+          / col("__d")).as("frac_end_punct"),
+        (size(filter(col("__l"), l => l.rlike("^[-*•]")))
+          / col("__d")).as("frac_bullet"),
+        (size(filter(col("__l"), l => toks(l) < 3))
+          / col("__d")).as("frac_short"),
+        ((size(col("__l")) - size(array_distinct(col("__l"))))
+          / col("__d")).as("dup_line_frac"),
+        (aggregate(col("__l"), lit(0L), (acc, l) => acc + toks(l))
+          / col("__d")).as("mean_line_tokens"))
+  }
+
   /** X42: n-gram language-model PERPLEXITY scoring — the CCNet quality
     * signal (Wenzek et al. 2020, public knowledge: docs scored by an
     * n-gram LM's perplexity; low = fluent, high = noise/boilerplate

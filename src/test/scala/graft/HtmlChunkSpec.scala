@@ -78,6 +78,31 @@ class HtmlChunkSpec extends SparkSpec {
     parts.map(p => p._2 - p._1).sum shouldBe 23L
   }
 
+  behavior of "TextStats.lineQuality (X78)"
+
+  it should "score each line rule on a crafted doc" in {
+    val text = "A good sentence ends here.\n- bullet\nShort\n" +
+      "A good sentence ends here.\n   \nlonger line without ending"
+    val out = TextStats.lineQuality(Seq((1L, text)).toDF("id", "text"),
+      "id", "text").collect()(0)
+    out.getLong(1) shouldBe 5L // whitespace-only line dropped
+    out.getDouble(2) shouldBe 2.0 / 5 // ends-with-punct
+    out.getDouble(3) shouldBe 1.0 / 5 // bullet
+    out.getDouble(4) shouldBe 2.0 / 5 // "- bullet" and "Short" are < 3 toks
+    out.getDouble(5) shouldBe 1.0 / 5 // one duplicated line
+  }
+
+  it should "report NULL fractions, not fake zeros, for empty docs" in {
+    val out = TextStats.lineQuality(
+      Seq((1L, ""), (2L, " \n  \n")).toDF("id", "text"), "id", "text")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      r.getLong(1) shouldBe 0L
+      r.isNullAt(2) shouldBe true
+      r.isNullAt(6) shouldBe true
+    }
+  }
+
   behavior of "Dedup.selectRepresentatives (X74)"
 
   it should "keep the argmax-score member, tie-breaking on min doc_id" in {
