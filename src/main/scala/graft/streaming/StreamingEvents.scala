@@ -228,6 +228,44 @@ object StreamingEvents {
     ()
   }
 
+  /** X76 streaming: IVF embedding-index maintenance over micro-batches —
+    * each batch is bucket-assigned against the FROZEN centroid table
+    * (the [[graft.ann.Similarity.trainCentroids]] persist-once contract)
+    * and written to `indexDir/batch_id=<id>/centroid_id=<c>/` — the
+    * [[graft.ann.Similarity.writeIvfIndex]] layout nested one level, so
+    * `spark.read.parquet(indexDir)` is directly consumable by
+    * [[graft.ann.Similarity.ivfTopKFromIndex]] (the extra batch_id
+    * partition column rides along harmlessly) and per-bucket files grow
+    * by ONE per batch. REPLAY-SAFE trivially: assignment is a
+    * deterministic per-row function, and a replayed batch overwrites its
+    * own partition directory with identical rows (spec-proven). The
+    * streaming arm of the X76 lifecycle: seed with a batch build, stream
+    * appends, query any time. */
+  def ivfIndexSink(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          ivfIndexBatch(batch.toDF(), batchId, idCol, vecCol, centroids,
+            dim, indexDir)
+      }
+      .start()
+
+  /** One micro-batch of [[ivfIndexSink]] — package-private for the
+    * parity/replay spec. */
+  private[graft] def ivfIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, centroids: DataFrame, dim: Int,
+      indexDir: String): Unit = {
+    graft.ann.Similarity
+      .buildIvfIndex(batch, idCol, vecCol, centroids, dim)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/batch_id=$batchId")
+    ()
+  }
+
   /** X45 streaming: CCNet line dedup maintained over micro-batches —
     * each batch's lines are deduplicated against every line hash claimed
     * by EARLIER batches ([[graft.text.Dedup.lineDeduplicateIndexed]]),

@@ -126,6 +126,42 @@ class StreamingSpec extends SparkSpec {
     spans() shouldBe before
   }
 
+  it should "stream IVF index appends query-identical to a batch build" in {
+    import graft.ann.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfs").toString
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    // two streamed batches
+    StreamingEvents.ivfIndexBatch(
+      emb.filter(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2)
+        .toDF(), 0L, "vec_id", "embedding", cents, 64, s"$tmp/idx")
+    StreamingEvents.ivfIndexBatch(
+      emb.filter(col("vec_id") % 4 === 3).toDF(), 1L, "vec_id",
+      "embedding", cents, 64, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val streamed = Similarity.ivfTopKFromIndex(
+      spark.read.parquet(s"$tmp/idx"), queries, "vec_id", "embedding",
+      cents, 3, 64).collect().toSet
+    val batchIdx = Similarity.buildIvfIndex(corpus, "vec_id",
+      "embedding", cents, 64)
+    val direct = Similarity.ivfTopKFromIndex(batchIdx, queries, "vec_id",
+      "embedding", cents, 3, 64).collect().toSet
+    streamed shouldBe direct
+    streamed should not be empty
+    // at-least-once replay of batch 1 overwrites with identical rows
+    val before = spark.read.parquet(s"$tmp/idx")
+      .select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    StreamingEvents.ivfIndexBatch(
+      emb.filter(col("vec_id") % 4 === 3).toDF(), 1L, "vec_id",
+      "embedding", cents, 64, s"$tmp/idx")
+    spark.read.parquet(s"$tmp/idx")
+      .select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().sorted.toSeq shouldBe before
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "dedup lines across batches replay-idempotently in the line sink" in {
     import graft.text.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft_lines").toString
