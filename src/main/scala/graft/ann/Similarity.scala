@@ -667,6 +667,42 @@ object Similarity {
     index.repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(path)
 
+  /** Compact a `batch_id=`-partitioned streamed IVF index
+    * ([[graft.streaming.StreamingEvents.ivfIndexSink]]'s layout) back to
+    * ONE batch directory with one file per bucket —
+    * [[graft.text.Dedup.compactDedupIndex]]'s sibling: a long-running
+    * sink grows one file per bucket per batch, and listing cost
+    * eventually dominates queries. Crash-safe the same way: the
+    * consolidated partition (`batch_id = min - 1`, counting DOWN so it
+    * can never collide with stream-assigned ids) is fully written
+    * before old directories are deleted; a crash between the two leaves
+    * duplicate rows that the next compaction's `distinct()` absorbs and
+    * that query results are insensitive to (duplicate candidates rank
+    * identically; row_number keeps one). Returns the consolidated
+    * batch id. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"compactIvfIndex: no index at $indexDir")
+    val batchDirs = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    require(batchDirs.nonEmpty,
+      s"compactIvfIndex: $indexDir has no batch_id=* partitions — not a " +
+        "streamed IVF index (write batches via ivfIndexSink)")
+    val ids = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
+    if (batchDirs.length == 1) return ids.head // already compact
+    val compactTo = ids.min - 1
+    spark.read.parquet(indexDir)
+      .drop("batch_id") // re-materialized by the target directory name
+      .distinct()       // absorb crash-window leftovers (see scaladoc)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/batch_id=$compactTo")
+    batchDirs.foreach(d => fs.delete(d, true))
+    compactTo
+  }
+
   /** Top-k over a PERSISTED index for a (bounded) query batch: queries
     * are probe-assigned row-locally (same broadcast-centroid scan —
     * zero shuffle), then BROADCAST into the bucket join so the index is

@@ -162,6 +162,40 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "preserve IVF query answers and bound files across index compaction" in {
+    import graft.ann.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfc").toString
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    for (b <- 0L to 3L)
+      StreamingEvents.ivfIndexBatch(
+        emb.filter(col("vec_id") % 4 === (b + 1) % 4).toDF(), b,
+        "vec_id", "embedding", cents, 64, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    def answer() = Similarity.ivfTopKFromIndex(
+      spark.read.parquet(s"$tmp/idx"), queries, "vec_id", "embedding",
+      cents, 3, 64).collect().toSet
+    val before = answer()
+    before should not be empty
+    val cid = Similarity.compactIvfIndex(spark, s"$tmp/idx")
+    cid shouldBe -1L // counts DOWN from min stream id (0)
+    answer() shouldBe before
+    // one batch dir left, one file per bucket inside it
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx"))
+      .filter(_.isDirectory).map(_.getPath)
+    dirs.map(_.getName) shouldBe Array("batch_id=-1")
+    fs.listStatus(dirs.head).filter(_.isDirectory).foreach { bucket =>
+      fs.listStatus(bucket.getPath)
+        .count(_.getPath.getName.startsWith("part-")) shouldBe 1
+    }
+    // idempotent: a second compaction is a no-op on a compact index
+    Similarity.compactIvfIndex(spark, s"$tmp/idx") shouldBe -1L
+    answer() shouldBe before
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "dedup lines across batches replay-idempotently in the line sink" in {
     import graft.text.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft_lines").toString
