@@ -81,4 +81,33 @@ object Embeddings {
       .agg(round(sum(col("col") * col("s")) * lit(1.0 / math.sqrt(dOut)), 4)
         .as("value"))
   }
+
+  /** X79: MEAN-POOL a group of vectors into one (chunk embeddings →
+    * document embedding — the standard RAG roll-up once X75 chunks are
+    * embedded; also label/domain centroids for analysis). Distributed
+    * shape: posexplode → ONE map-side-combined (group, pos) aggregate →
+    * per-group array re-assembly (array_sort on the bounded dim
+    * struct) — the [[Similarity.trainCentroids]] mean-update pattern,
+    * shuffle rows O(groups × dim), never O(vectors × dim). Per-dim
+    * means and the norm are rounded to 6 so the result is
+    * engine-reproducible (the norm is computed FROM the rounded means
+    * on both engines). Output: (group_id, n_vecs, mean_embedding,
+    * l2_norm). Null/ragged vectors: positions contribute only where
+    * present (mean per position over vectors that HAVE it). */
+  def meanPool(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val pooled = df
+      .select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__c"))
+      .groupBy(col("group_id"))
+      .agg(max(col("__c")).cast("long").as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"),
+            round(col("__s") / col("__c"), 6).as("m")))),
+          x => x.getField("m")).as("mean_embedding"))
+    pooled.withColumn("l2_norm",
+      round(sqrt(aggregate(col("mean_embedding"), lit(0.0),
+        (acc, x) => acc + x * x)), 6))
+  }
 }

@@ -122,6 +122,20 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X79: chunk → document embedding mean-pool — 8-chunk groups
+    // (vec_id DIV 8), per-dim means and the norm rounded to 6 on both
+    // engines (norm computed FROM the rounded means).
+    "q_x79_mean_pool" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 8").as("grp"), col("embedding"))
+      graft.ann.Embeddings.meanPool(emb, "grp", "embedding")
+        // exploded scalar rows: the hash compare cannot digest arrays
+        .select(col("group_id"), col("n_vecs"), col("l2_norm"),
+          posexplode(col("mean_embedding")))
+        .withColumnRenamed("col", "mean_val")
+        .orderBy(col("group_id"), col("pos"))
+    },
+
     // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -368,6 +382,35 @@ object AnnQueries {
         |  FROM pairs)
         |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // Mean-pool: per-(group, pos) sum/count, means rounded before the
+    // norm fold so both engines square identical doubles.
+    "q_x79_mean_pool" ->
+      """WITH v AS (
+        |  SELECT vec_id // 8 AS group_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT group_id, CAST(i AS INT) - 1 AS pos,
+        |    v[CAST(i AS INT)] AS val
+        |  FROM (SELECT group_id, v, unnest(range(1, len(v) + 1)) AS i
+        |        FROM v)),
+        |m AS (
+        |  SELECT group_id, pos, round(sum(val) / count(*), 6) AS m,
+        |    count(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |g AS (
+        |  SELECT group_id, CAST(max(c) AS BIGINT) AS n_vecs,
+        |    list(m ORDER BY pos) AS mean_embedding
+        |  FROM m GROUP BY 1),
+        |n AS (
+        |  SELECT group_id, n_vecs,
+        |    round(sqrt(list_sum(list_transform(mean_embedding,
+        |      x -> x * x))), 6) AS l2_norm
+        |  FROM g)
+        |SELECT n.group_id, n.n_vecs, n.l2_norm,
+        |  CAST(m.pos AS INT) AS pos, m.m AS mean_val
+        |FROM n JOIN m ON m.group_id = n.group_id
+        |ORDER BY n.group_id, pos""".stripMargin,
     // Index form: corpus buckets from the same argmax assignment (the
     // two-batch append is invisible to the result — set semantics),
     // query batch probe-1 assigned, in-bucket exact cosine.

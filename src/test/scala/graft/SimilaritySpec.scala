@@ -440,6 +440,23 @@ class SimilaritySpec extends SparkSpec {
     viol shouldBe empty
   }
 
+  it should "mean-pool chunk embeddings with ragged-position honesty (X79)" in {
+    val df = Seq(
+      (1L, Array(1.0, 3.0)),
+      (1L, Array(3.0, 5.0)),
+      (2L, Array(2.0, 4.0, 6.0)),
+      (2L, Array(4.0)) // ragged: contributes only to pos 0
+    ).toDF("grp", "v")
+    val out = graft.ann.Embeddings.meanPool(df, "grp", "v")
+      .orderBy("group_id")
+      .collect()
+    out(0).getLong(1) shouldBe 2L
+    out(0).getSeq[Double](2) shouldBe Seq(2.0, 4.0)
+    out(0).getDouble(3) shouldBe math.sqrt(20.0) +- 1e-6
+    out(1).getLong(1) shouldBe 2L
+    out(1).getSeq[Double](2) shouldBe Seq(3.0, 4.0, 6.0)
+  }
+
   it should "build an IVF index incrementally and query it equivalently (X76)" in {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.t(spark, dir, "embeddings")
