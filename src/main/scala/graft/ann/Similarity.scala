@@ -667,6 +667,102 @@ object Similarity {
     index.repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(path)
 
+  /** X80: MAXIMAL-MARGINAL-RELEVANCE diversified top-k (Carbonell &
+    * Goldstein 1998 — public knowledge): re-rank each query's `topN`
+    * exact candidates so every next pick balances relevance against
+    * redundancy with what is already picked —
+    * `score(i) = λ·rel(i) − (1−λ)·max_{j∈S} cos(i, j)` — the standard
+    * fix for near-duplicate result lists in RAG retrieval (without it,
+    * an X10-grade near-dup cluster fills all k slots with one
+    * document).
+    *
+    * Scale shape: relevance + candidate set come from
+    * [[bruteForceTopK]] (swap in [[ivfTopK]] candidates upstream at
+    * index scale); the greedy loop runs per query over its BOUNDED
+    * topN list (one collect_list exchange, then a pure projection —
+    * the k·topN² pairwise work is a few hundred flops per query, the
+    * textbook case for a tight per-row UDF, not a k-deep self-join
+    * cascade). Deterministic: candidates scan in neighbor-id order
+    * with strict-superiority argmax (ties → smaller id — the
+    * `row_number (score DESC, id)` order the oracle uses), relevance
+    * is the round-6 cosine both engines share, pairwise cosines are
+    * left-to-right dot products. Output: (vec_id, rank, neighbor_id,
+    * mmr_score round-6); rank 1's score is λ·rel (empty-set penalty
+    * is zero). */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int, lambdaRel: Double,
+      dim: Int): DataFrame = {
+    require(k >= 1 && topN >= k,
+      s"need 1 <= k <= topN, got k=$k topN=$topN")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0,
+      s"lambdaRel must be in [0,1], got $lambdaRel")
+    val top = bruteForceTopK(queries, candidates, idCol, vecCol, topN, dim)
+    val cvecs = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val qvecs = queries.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val lam = lambdaRel
+    // relevance is recomputed RAW inside the greedy (not the round-6
+    // topK cosine): λ·rel on a 6-decimal rel lands exactly on decimal
+    // half-way points, where the engines' rounding implementations
+    // legitimately disagree — raw doubles keep the final round-6 off
+    // the boundary almost surely, like every other cosine query
+    val mmrUdf = udf { (qv: Seq[Double],
+        cands: Seq[org.apache.spark.sql.Row]) =>
+      val q = qv.toArray
+      val arr = cands.map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1).toArray
+      val n = arr.length
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        val m = math.min(a.length, b.length)
+        while (i < m) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val nrm = arr.map(c => math.sqrt(dot(c._2, c._2)))
+      val qn = math.sqrt(dot(q, q))
+      val rel = arr.indices.map(i => dot(q, arr(i)._2) / (qn * nrm(i)))
+      val maxSim = new Array[Double](n)
+      val taken = new Array[Boolean](n)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var t = 1
+      while (t <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) { // id-ascending scan: strict > keeps smaller id
+          if (!taken(i)) {
+            val s = lam * rel(i) - (1 - lam) * maxSim(i)
+            if (s > bestScore) { bestScore = s; best = i }
+          }
+          i += 1
+        }
+        out += ((t.toLong, arr(best)._1, bestScore))
+        taken(best) = true
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val c = dot(arr(j)._2, arr(best)._2) / (nrm(j) * nrm(best))
+            if (c > maxSim(j)) maxSim(j) = c
+          }
+          j += 1
+        }
+        t += 1
+      }
+      out.result()
+    }
+    top.join(cvecs, "neighbor_id")
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("neighbor_id"),
+        col("__cv"))).as("__c"))
+      .join(broadcast(qvecs), "vec_id")
+      .select(col("vec_id"),
+        explode(mmrUdf(col("__qv"), col("__c"))).as("s"))
+      .select(col("vec_id"), col("s._1").as("rank"),
+        col("s._2").as("neighbor_id"),
+        round(col("s._3"), 6).as("mmr_score"))
+  }
+
   /** Compact a `batch_id=`-partitioned streamed IVF index
     * ([[graft.streaming.StreamingEvents.ivfIndexSink]]'s layout) back to
     * ONE batch directory with one file per bucket —

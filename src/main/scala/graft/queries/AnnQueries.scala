@@ -136,6 +136,17 @@ object AnnQueries {
         .orderBy(col("group_id"), col("pos"))
     },
 
+    // X80: MMR diversified top-3 over each query's exact top-10
+    // candidates, λ = 0.7 — the greedy is unrolled step-by-step in the
+    // oracle, so every pick and every score is cross-engine-checked.
+    "q_x80_mmr_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb.filter(col("vec_id") % 4 === 0), emb,
+        "vec_id", "embedding", k = 3, topN = 10, lambdaRel = 0.7,
+        dim = Dim)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
     // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -382,6 +393,80 @@ object AnnQueries {
         |  FROM pairs)
         |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
+    // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
+    // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side
+    // computes (a DECIMAL literal would give exactly 0.3 and drift every
+    // score); the penalty floor at zero mirrors the operator's
+    // "negative similarity never rewards" convention.
+    "q_x80_mmr_topk" -> {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      s"""WITH $nnCte,
+         |p0 AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+         |    b.v AS cv, b.nrm AS cn
+         |  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 4 = 0
+         |    AND NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |cand AS (
+         |  SELECT vec_id, neighbor_id, cos AS rel, cv, cn
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, neighbor_id) AS rk FROM p0)
+         |  WHERE rk <= 10),
+         |pw AS (
+         |  SELECT a.vec_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         |    list_dot_product(a.cv, b.cv) / (a.cn * b.cn) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id = b.vec_id
+         |    AND a.neighbor_id <> b.neighbor_id),
+         |s1 AS (
+         |  SELECT vec_id, neighbor_id, $lam * rel AS score
+         |  FROM (SELECT vec_id, neighbor_id, rel,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |r2 AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    $lam * c.rel - (1 - $lam) *
+         |      greatest(CAST(0 AS DOUBLE), p.s) AS score
+         |  FROM cand c
+         |  JOIN s1 ON s1.vec_id = c.vec_id
+         |    AND c.neighbor_id <> s1.neighbor_id
+         |  JOIN pw p ON p.vec_id = c.vec_id AND p.i = c.neighbor_id
+         |    AND p.j = s1.neighbor_id),
+         |s2 AS (
+         |  SELECT vec_id, neighbor_id, score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY score DESC, neighbor_id) AS rn FROM r2)
+         |  WHERE rn = 1),
+         |r3 AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    $lam * c.rel - (1 - $lam) *
+         |      greatest(CAST(0 AS DOUBLE), p1.s, p2.s) AS score
+         |  FROM cand c
+         |  JOIN s1 ON s1.vec_id = c.vec_id
+         |    AND c.neighbor_id <> s1.neighbor_id
+         |  JOIN s2 ON s2.vec_id = c.vec_id
+         |    AND c.neighbor_id <> s2.neighbor_id
+         |  JOIN pw p1 ON p1.vec_id = c.vec_id AND p1.i = c.neighbor_id
+         |    AND p1.j = s1.neighbor_id
+         |  JOIN pw p2 ON p2.vec_id = c.vec_id AND p2.i = c.neighbor_id
+         |    AND p2.j = s2.neighbor_id),
+         |s3 AS (
+         |  SELECT vec_id, neighbor_id, score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY score DESC, neighbor_id) AS rn FROM r3)
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(1 AS BIGINT) AS rank, neighbor_id,
+         |  round(score, 6) AS mmr_score FROM s1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT), neighbor_id, round(score, 6)
+         |FROM s2
+         |UNION ALL
+         |SELECT vec_id, CAST(3 AS BIGINT), neighbor_id, round(score, 6)
+         |FROM s3
+         |ORDER BY vec_id, rank""".stripMargin
+    },
     // Mean-pool: per-(group, pos) sum/count, means rounded before the
     // norm fold so both engines square identical doubles.
     "q_x79_mean_pool" ->

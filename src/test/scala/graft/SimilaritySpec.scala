@@ -440,6 +440,30 @@ class SimilaritySpec extends SparkSpec {
     viol shouldBe empty
   }
 
+  it should "demote redundant near-duplicates in MMR re-ranking (X80)" in {
+    // query q: candidates a (rel ~1), a2 (a near-dup of a, rel ~1), and
+    // b (orthogonal-ish, lower rel). Plain top-2 = {a, a2}; MMR must
+    // pick {a, b}: a2's redundancy penalty sinks it below b.
+    val qs = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(1.0, 0.01, 0.0)),   // a
+      (2L, Array(2.0, 0.02, 0.0)),   // a2 = 2·a: exact duplicate, cos 1
+      (3L, Array(0.1, 0.995, 0.0)))  // b: low rel but diverse
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(qs, cands, "vec_id", "embedding",
+        k = 3, topN = 3, lambdaRel = 0.3, dim = 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "mmr_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(_._2) shouldBe Array(1L, 3L, 2L)
+    // rank-1 score is λ·rel with no penalty
+    out(0)._3 shouldBe 0.3 * (1.0 / math.sqrt(1.0 + 0.01 * 0.01)) +- 1e-6
+    // the exact duplicate's final score carries the full cos=1 penalty
+    out(2)._3 shouldBe 0.3 * (1.0 / math.sqrt(1.0 + 0.01 * 0.01)) -
+      0.7 +- 1e-6
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "mean-pool chunk embeddings with ragged-position honesty (X79)" in {
     val df = Seq(
       (1L, Array(1.0, 3.0)),
