@@ -763,6 +763,50 @@ object Similarity {
         round(col("s._3"), 6).as("mmr_score"))
   }
 
+  /** X82: SEMI-HARD TRIPLET MINING for contrastive embedding training
+    * (the FaceNet §3.2 negative-selection rule, Schroff et al. 2015 —
+    * public knowledge): per anchor (query), the positive is its
+    * most-similar SAME-label candidate, and negatives are the top
+    * `mNeg` DIFFERENT-label candidates STRICTLY less similar than the
+    * positive — "hard enough to matter, not so hard they're label
+    * noise". Candidates come from the exact topN list (swap in IVF
+    * candidates upstream at index scale); anchors with no same-label
+    * candidate in topN yield no rows (no positive ⇒ no triplet).
+    * All ranking and the semi-hard cut use the SHARED round-6 cosine,
+    * with neighbor-id tie-breaks — deterministic on both engines.
+    * Output: (vec_id, role 'pos'|'neg', rank — 1 for the positive,
+    * 1..mNeg across negatives — neighbor_id, cosine). */
+  def tripletMine(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, topN: Int,
+      mNeg: Int, dim: Int): DataFrame = {
+    require(topN >= 2 && mNeg >= 1,
+      s"need topN >= 2 and mNeg >= 1, got $topN/$mNeg")
+    val top = bruteForceTopK(queries, candidates, idCol, vecCol, topN, dim)
+    val qLab = queries.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("__ql"))
+    val cLab = candidates.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("__cl"))
+    val joined = top.join(qLab, "vec_id").join(cLab, "neighbor_id")
+    val byQuery = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val pos = joined.filter(col("__ql") === col("__cl"))
+      .withColumn("__rn", row_number().over(byQuery))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("__pid"),
+        col("cosine").as("__pcos"))
+    val negs = joined.filter(col("__ql") =!= col("__cl"))
+      .join(pos.select(col("vec_id"), col("__pcos")), "vec_id")
+      .filter(col("cosine") < col("__pcos"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= mNeg)
+      .select(col("vec_id"), lit("neg").as("role"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+    pos.select(col("vec_id"), lit("pos").as("role"),
+        lit(1L).as("rank"), col("__pid").as("neighbor_id"),
+        col("__pcos").as("cosine"))
+      .unionByName(negs)
+  }
+
   /** Compact a `batch_id=`-partitioned streamed IVF index
     * ([[graft.streaming.StreamingEvents.ivfIndexSink]]'s layout) back to
     * ONE batch directory with one file per bucket —

@@ -298,6 +298,32 @@ object Curation {
           - greatest(col("__off"), col("seq_id") * L)).as("n_toks"))
   }
 
+  /** X81: per-domain QUALITY-QUANTILE pruning — keep the top
+    * `keepNum/keepDen` fraction of each domain by quality score (the
+    * FineWeb-edu-style per-source cut: a global threshold would empty
+    * low-scoring domains entirely; per-domain ranking keeps the mixture
+    * while dropping each source's worst). EXACT rank arithmetic: row k
+    * of an n-row domain survives iff `(k − 1) · keepDen < n · keepNum`
+    * (⇔ k ≤ ceil(n·frac) without ever touching a float — a double
+    * `ceil(0.2 · n)` can land either side of an integer depending on
+    * the engine's literal type, so the fraction is a RATIONAL by
+    * contract). Ranking is (score desc, id asc): deterministic,
+    * engine-reproducible. ONE domain-keyed exchange. Output: one row
+    * per doc — (doc_id, domain, score, rank, n_domain, keep). */
+  def qualityPrune(df: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
+      s"need 0 <= keepNum <= keepDen, got $keepNum/$keepDen")
+    val byDomain = Window.partitionBy(col("domain"))
+    val ranked = df.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).as("domain"), col(scoreCol).as("score"))
+      .withColumn("rank", row_number().over(
+        byDomain.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_domain", count(lit(1)).over(byDomain).cast("long"))
+    ranked.withColumn("keep",
+      (col("rank") - 1) * keepDen < col("n_domain") * keepNum)
+  }
+
   /** X56: deterministic sharded export — the trainer-facing
     * materialization step at the end of a curation pipeline: every doc
     * lands in shard `md5int(seed, id) mod nShards` (the engine-neutral

@@ -147,6 +147,17 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rank"))
     },
 
+    // X82: semi-hard triplet mining — per anchor (every 4th vector):
+    // positive = best same-label candidate in the exact top-20,
+    // negatives = top-3 cross-label candidates strictly below the
+    // positive's cosine.
+    "q_x82_triplet_mine" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.tripletMine(emb.filter(col("vec_id") % 4 === 0), emb,
+        "vec_id", "embedding", "label", topN = 20, mNeg = 3, dim = Dim)
+        .orderBy(col("vec_id"), col("role"), col("rank"))
+    },
+
     // X9: IVF approximate top-3 — nearest-centroid buckets, in-bucket search.
     "q_x9_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -467,6 +478,48 @@ object AnnQueries {
          |FROM s3
          |ORDER BY vec_id, rank""".stripMargin
     },
+    // Triplet mining: the same top-20 chain with labels; positive/
+    // semi-hard-negative windows on the shared round-6 cosine.
+    "q_x82_triplet_mine" ->
+      s"""WITH $nnCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |p0 AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 4 = 0
+         |    AND NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |cand AS (
+         |  SELECT vec_id, neighbor_id, round(cos, 6) AS cosine
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, neighbor_id) AS rk FROM p0)
+         |  WHERE rk <= 20),
+         |lc AS (
+         |  SELECT c.vec_id, c.neighbor_id, c.cosine,
+         |    ql.label AS ql, cl.label AS cl
+         |  FROM cand c
+         |  JOIN lab ql ON ql.vec_id = c.vec_id
+         |  JOIN lab cl ON cl.vec_id = c.neighbor_id),
+         |pos AS (
+         |  SELECT vec_id, neighbor_id, cosine
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosine DESC, neighbor_id) AS rn
+         |        FROM lc WHERE ql = cl)
+         |  WHERE rn = 1),
+         |negs AS (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM (SELECT l.* FROM lc l
+         |        JOIN pos p ON p.vec_id = l.vec_id
+         |        WHERE l.ql <> l.cl AND l.cosine < p.cosine) t)
+         |SELECT vec_id, 'pos' AS role, CAST(1 AS BIGINT) AS rank,
+         |  neighbor_id, cosine
+         |FROM pos
+         |UNION ALL
+         |SELECT vec_id, 'neg', rank, neighbor_id, cosine
+         |FROM negs WHERE rank <= 3
+         |ORDER BY vec_id, role, rank""".stripMargin,
     // Mean-pool: per-(group, pos) sum/count, means rounded before the
     // norm fold so both engines square identical doubles.
     "q_x79_mean_pool" ->

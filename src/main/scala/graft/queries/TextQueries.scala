@@ -716,6 +716,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X81: per-domain quality-quantile pruning — keep the top 1/4 of
+    // each source by token count; the threshold is rational arithmetic
+    // ((rank-1)·4 < n·1), never a float ceil.
+    "q_x81_quality_prune" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n_toks"))
+      graft.curate.Curation.qualityPrune(docs, "doc_id", "source",
+        "n_toks", keepNum = 1, keepDen = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // X14: eval-set decontamination — corpus docs sharing any 8-gram with
     // the planted "eval set" (doc_id % 97 == 0) are flagged.
     "q_x14_decontamination" -> { (s, dir) =>
@@ -2168,6 +2181,23 @@ object TextQueries {
         |  array_to_string(w[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')
         |    AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Quality pruning: per-source exact rank, rational keep test.
+    "q_x81_quality_prune" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source AS domain, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS n_domain
+        |  FROM d)
+        |SELECT doc_id, domain, score, rank, n_domain,
+        |  (rank - 1) * 4 < n_domain * 1 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Line quality: same trimmed-nonempty line set, same anchored
     // regexes, divisions of identical exact integers.
     "q_x78_line_quality" ->

@@ -296,6 +296,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  behavior of "Curation.qualityPrune (X81)"
+
+  it should "keep exactly ceil(n/4) per domain with rational arithmetic" in {
+    // domains of size 1..9: ceil(n/4) = 1,1,1,1,2,2,2,2,3
+    val rows = for {
+      d <- 1 to 9; i <- 1 to d
+    } yield (d.toLong * 100 + i, s"dom$d", i.toLong)
+    val df = rows.toDF("doc_id", "dom", "score")
+    val out = Curation.qualityPrune(df, "doc_id", "dom", "score", 1, 4)
+    val kept = out.filter(col("keep")).groupBy("domain").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (1 to 9).foreach { d =>
+      kept(s"dom$d") shouldBe ((d + 3) / 4).toLong
+    }
+    // the kept rows are the TOP scores, ties to lower id
+    out.filter(col("domain") === "dom8" && col("keep"))
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      Array(807L, 808L) // scores 7 and 8 of dom8
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Curation.contextManifest (X77)"
 
   it should "tile docs across fixed sequences with EOS gaps" in {

@@ -440,6 +440,34 @@ class SimilaritySpec extends SparkSpec {
     viol shouldBe empty
   }
 
+  it should "mine semi-hard triplets and skip anchors without positives (X82)" in {
+    // anchor 100 (label A): positive 1 (A, cos ~1); candidate 2 (B) is
+    // MORE similar than the positive -> excluded (too hard); 3 (B) is
+    // semi-hard; anchor 200 (label C) has no same-label candidate -> no
+    // rows at all.
+    val qs = Seq(
+      (100L, Array(1.0, 0.0, 0.0), "A"),
+      (200L, Array(0.0, 1.0, 0.0), "C"))
+      .toDF("vec_id", "embedding", "label")
+    val cands = Seq(
+      (1L, Array(1.0, 0.1, 0.0), "A"),
+      (2L, Array(1.0, 0.05, 0.0), "B"),  // harder than the positive
+      (3L, Array(0.7, 0.7, 0.0), "B"),
+      (4L, Array(0.0, 0.9, 0.4), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMine(qs, cands, "vec_id", "embedding",
+        "label", topN = 10, mNeg = 2, dim = 3)
+      .orderBy("vec_id", "role", "rank")
+      .select("vec_id", "role", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    out shouldBe Array(
+      (100L, "neg", 1L, 3L),
+      (100L, "neg", 2L, 4L),
+      (100L, "pos", 1L, 1L))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "demote redundant near-duplicates in MMR re-ranking (X80)" in {
     // query q: candidates a (rel ~1), a2 (a near-dup of a, rel ~1), and
     // b (orthogonal-ish, lower rel). Plain top-2 = {a, a2}; MMR must
