@@ -786,7 +786,11 @@ object Similarity {
       col(labelCol).as("__ql"))
     val cLab = candidates.select(col(idCol).cast("long").as("neighbor_id"),
       col(labelCol).as("__cl"))
-    val joined = top.join(qLab, "vec_id").join(cLab, "neighbor_id")
+    // the top list is query-batch-bounded: broadcast it so the
+    // corpus-sized candidate-label table streams through a hash join
+    // instead of shuffling for a sort-merge
+    val joined = broadcast(top.join(broadcast(qLab), "vec_id"))
+      .join(cLab, "neighbor_id")
     val byQuery = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val pos = joined.filter(col("__ql") === col("__cl"))
@@ -795,7 +799,7 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id").as("__pid"),
         col("cosine").as("__pcos"))
     val negs = joined.filter(col("__ql") =!= col("__cl"))
-      .join(pos.select(col("vec_id"), col("__pcos")), "vec_id")
+      .join(broadcast(pos.select(col("vec_id"), col("__pcos"))), "vec_id")
       .filter(col("cosine") < col("__pcos"))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= mNeg)
