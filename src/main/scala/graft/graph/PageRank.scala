@@ -1,0 +1,80 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X83: PAGERANK over a directed edge set (Page et al. 1998 — public
+  * knowledge) — the classic quality-centrality signal web-crawl
+  * curation weights documents and hosts by (Common Crawl publishes
+  * host-level ranks for exactly this use).
+  *
+  * Fixed-iteration power method with uniform teleport and dangling-mass
+  * redistribution:
+  * `pr'(v) = (1−d)/n + d·(Σ_{u→v} pr(u)/deg(u) + dangling/n)`.
+  *
+  * Distributed shape (the [[EntityResolution]] loop discipline): the
+  * edge table is degree-joined, partitioned by `src` and checkpointed
+  * ONCE — every iteration's contribution join re-exchanges only the
+  * node-sized rank table onto that static partitioning, then one
+  * `groupBy(dst)` aggregate (map-side combined) re-keys contributions;
+  * so per-iteration shuffle volume is O(nodes), never O(edges). The
+  * dangling mass is ONE driver scalar per iteration (an anti-join
+  * aggregate over the node-sized rank table). Ranks are persisted per
+  * iteration and the previous iteration is released only after the next
+  * materializes ([[graft.text.TextStats.bpeTrain]]'s deferred-unpersist
+  * pattern), so iteration k never recomputes a k-deep lineage.
+  *
+  * Determinism: same float-accumulation caveat as every distributed sum
+  * — values are stable to ulps under partitioning; consumers round
+  * (the oracle checks round-6 ranks after 5 iterations). */
+object PageRank {
+
+  /** Ranks after `iterations` power steps. Nodes = src ∪ dst of the
+    * edge set. Output: (node, pagerank) — raw doubles; callers round.
+    * Σ pagerank = 1 up to float error (spec-checked). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = graft.util.Caches.persistTracked(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    // static per-iteration join input: edges with degree, partitioned by
+    // src and checkpointed — the rank join never re-exchanges this side
+    val ed = graft.util.Caches.trackCheckpointed(
+      e.join(outdeg, "src").repartition(col("src")).localCheckpoint(true))
+    val danglingNodes = graft.util.Caches.persistTracked(
+      nodes.join(outdeg.select(col("src").as("node")), Seq("node"),
+        "left_anti"))
+    var pr = graft.util.Caches.persistTracked(
+      nodes.withColumn("pr", lit(1.0 / n)))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val dang = danglingNodes.join(pr, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contribs = ed
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("__c"))
+      val next = graft.util.Caches.persistTracked(
+        nodes.join(contribs.withColumnRenamed("dst", "node"),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("__c"), lit(0.0)) + lit(dang / n)))
+              .as("pr")))
+      next.count() // materialize before releasing the parent
+      prev.foreach(_.unpersist())
+      prev = Some(pr)
+      pr = next
+    }
+    prev.foreach(_.unpersist())
+    pr.select(col("node"), col("pr").as("pagerank"))
+  }
+}

@@ -38,6 +38,24 @@ object GraphQueries {
       EntityResolution.resolve(edges(s, dir), "src", "dst",
         "confidence", minConfidence = 0.5, fromType = "e", toType = "p")
         .orderBy(col("from_id"))
+    },
+
+    // X83: PageRank quality centrality over a deterministic synthetic
+    // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
+    // self-links dropped — a scrambled, hub-forming shape both engines
+    // construct identically); 5 power iterations, damping 0.85,
+    // dangling mass redistributed, round-6 ranks oracle-checked.
+    "q_x83_pagerank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.PageRank.pageRank(es, "src", "dst",
+        damping = 0.85, iterations = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("node"))
     })
 
   private val edgeCte =
@@ -53,7 +71,50 @@ object GraphQueries {
       |  SELECT src AS a, dst AS b FROM base
       |  UNION SELECT dst, src FROM base)""".stripMargin
 
+  /** DuckDB mirror of [[graft.graph.PageRank.pageRank]] at q_x83's
+    * settings: 5 power iterations unrolled, damping CAST to DOUBLE so
+    * `1 − d` is the same IEEE 0.15000000000000002 the Scala side
+    * computes, dangling mass via the same anti-join aggregate. */
+  private val pageRankOracle: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(k: Int): String = {
+      val p = s"pr${k - 1}"
+      s"""dang$k AS (
+         |  SELECT coalesce(sum(p.pr), CAST(0 AS DOUBLE)) AS dang
+         |  FROM $p p LEFT JOIN od ON od.src = p.v
+         |  WHERE od.src IS NULL),
+         |pr$k AS (
+         |  SELECT nodes.v,
+         |    (1 - $d) / (SELECT n FROM nn) + $d *
+         |      (coalesce(s.c, CAST(0 AS DOUBLE)) +
+         |        (SELECT dang FROM dang$k) / (SELECT n FROM nn)) AS pr
+         |  FROM nodes
+         |  LEFT JOIN (
+         |    SELECT ed.dst, sum(p.pr / od.deg) AS c
+         |    FROM ed JOIN $p p ON p.v = ed.src
+         |    JOIN od ON od.src = ed.src
+         |    GROUP BY ed.dst) s ON s.dst = nodes.v)""".stripMargin
+    }
+    s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+       |    FROM documents, n0, range(1, 4) AS r(j))
+       |  WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM ed
+       |       GROUP BY src),
+       |pr0 AS (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+       |        FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v AS node, round(pr, 6) AS pagerank
+       |FROM pr5 ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x83_pagerank" -> pageRankOracle,
     "q_g1_connected_components" ->
       s"""WITH RECURSIVE $edgeCte,
          |reach(v, m) AS (

@@ -71,4 +71,44 @@ class GraphSpec extends SparkSpec {
     r("e:3") shouldBe Some("p:7")
     r.get("e:2").flatten shouldBe None
   }
+
+  behavior of "PageRank (X83)"
+
+  it should "give a uniform rank on a cycle and conserve total mass" in {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val pr = graft.graph.PageRank.pageRank(cyc, "s", "d", 0.85, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pr.values.foreach(_ shouldBe (1.0 / 3) +- 1e-12)
+    pr.values.sum shouldBe 1.0 +- 1e-9
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "rank a star's center above its leaves and absorb dangling mass" in {
+    import spark.implicits._
+    // leaves 1..5 -> center 99; the center has NO out-edges (dangling)
+    val star = (1L to 5L).map(i => (i, 99L)).toDF("s", "d")
+    val pr = graft.graph.PageRank.pageRank(star, "s", "d", 0.85, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val leaves = (1L to 5L).map(pr)
+    leaves.foreach(l => pr(99L) should be > l * 2)
+    // dangling redistribution keeps the distribution normalized
+    pr.values.sum shouldBe 1.0 +- 1e-9
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "be invariant under input partitioning at round-6" in {
+    import spark.implicits._
+    val edges = (0L until 120L).flatMap(i =>
+      Seq((i, (i * 31 + 7) % 120), (i, (i * 17 + 3) % 120)))
+      .filter(e => e._1 != e._2).toDF("s", "d")
+    def run(parts: Int) = graft.graph.PageRank.pageRank(
+      edges.repartition(parts), "s", "d", 0.85, 5)
+      .select(org.apache.spark.sql.functions.col("node"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("pagerank"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    run(1) shouldBe run(7)
+    graft.util.Caches.releaseAll(spark)
+  }
 }
