@@ -77,4 +77,71 @@ object PageRank {
     prev.foreach(_.unpersist())
     pr.select(col("node"), col("pr").as("pagerank"))
   }
+
+  /** X84: PERSONALIZED PageRank — teleport concentrated on a SEED set
+    * instead of uniform (Haveliwala 2002 — public knowledge): the
+    * "trust flows out from a curated whitelist" form quality-propagation
+    * curation actually uses (seed a few known-good domains, rank
+    * everything by how reachable it is from them; RefinedWeb-style
+    * pipelines weight URLs this way). `pr'(v) = (1−d)·t(v) +
+    * d·(Σ contribs + dangling·t(v))` with `t = 1/|seeds∩nodes|` on
+    * seeds, 0 elsewhere — dangling mass also returns to the seeds, so
+    * total mass stays 1 and unreachable nodes rank exactly 0·(1−d)
+    * (spec-checked: a node with no path from the seeds scores 0).
+    * Same loop discipline as [[pageRank]]: static degree-joined edge
+    * checkpoint, node-sized per-iteration shuffles, deferred
+    * unpersist. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedCol: String,
+      damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+    val ns = nodes.join(seedSet, "node").count()
+    require(ns > 0, "personalizedPageRank: no seed is a graph node")
+    // static teleport column: 1/|seeds ∩ nodes| on seeds, 0 elsewhere
+    val nodesT = graft.util.Caches.persistTracked(
+      nodes.join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0))
+            .as("t")))
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val ed = graft.util.Caches.trackCheckpointed(
+      e.join(outdeg, "src").repartition(col("src")).localCheckpoint(true))
+    val danglingNodes = graft.util.Caches.persistTracked(
+      nodesT.select(col("node"))
+        .join(outdeg.select(col("src").as("node")), Seq("node"),
+          "left_anti"))
+    var pr = graft.util.Caches.persistTracked(
+      nodesT.select(col("node"), col("t").as("pr")))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val dang = danglingNodes.join(pr, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contribs = ed
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("__c"))
+      val next = graft.util.Caches.persistTracked(
+        nodesT.join(contribs.withColumnRenamed("dst", "node"),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(1 - damping) * col("t") + lit(damping) *
+              (coalesce(col("__c"), lit(0.0)) + lit(dang) * col("t")))
+              .as("pr")))
+      next.count()
+      prev.foreach(_.unpersist())
+      prev = Some(pr)
+      pr = next
+    }
+    prev.foreach(_.unpersist())
+    pr.select(col("node"), col("pr").as("pagerank"))
+  }
 }

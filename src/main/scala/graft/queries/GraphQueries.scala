@@ -40,6 +40,23 @@ object GraphQueries {
         .orderBy(col("from_id"))
     },
 
+    // X84: personalized PageRank from a curated seed set (doc_id % 25
+    // == 0) over the same synthetic link graph — trust flows out of the
+    // seeds; unreachable nodes rank exactly 0.
+    "q_x84_personalized_pagerank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.PageRank.personalizedPageRank(es,
+        docs.filter(col("doc_id") % 25 === 0), "src", "dst", "doc_id",
+        damping = 0.85, iterations = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("node"))
+    },
+
     // X83: PageRank quality centrality over a deterministic synthetic
     // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
     // self-links dropped — a scrambled, hub-forming shape both engines
@@ -113,7 +130,58 @@ object GraphQueries {
        |FROM pr5 ORDER BY v""".stripMargin
   }
 
+  /** DuckDB mirror of
+    * [[graft.graph.PageRank.personalizedPageRank]] at q_x84's settings:
+    * teleport `t(v) = 1/|seeds ∩ nodes|` on seeds, 0 elsewhere; same
+    * IEEE-parity literal handling as the uniform oracle. */
+  private val personalizedPageRankOracle: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(k: Int): String = {
+      val p = s"pr${k - 1}"
+      s"""dang$k AS (
+         |  SELECT coalesce(sum(p.pr), CAST(0 AS DOUBLE)) AS dang
+         |  FROM $p p LEFT JOIN od ON od.src = p.v
+         |  WHERE od.src IS NULL),
+         |pr$k AS (
+         |  SELECT tv.v,
+         |    (1 - $d) * tv.t + $d *
+         |      (coalesce(s.c, CAST(0 AS DOUBLE)) +
+         |        (SELECT dang FROM dang$k) * tv.t) AS pr
+         |  FROM tv
+         |  LEFT JOIN (
+         |    SELECT ed.dst, sum(p.pr / od.deg) AS c
+         |    FROM ed JOIN $p p ON p.v = ed.src
+         |    JOIN od ON od.src = ed.src
+         |    GROUP BY ed.dst) s ON s.dst = tv.v)""".stripMargin
+    }
+    s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+       |    FROM documents, n0, range(1, 4) AS r(j))
+       |  WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |sd AS (SELECT DISTINCT doc_id FROM documents
+       |       WHERE doc_id % 25 = 0),
+       |ns AS (SELECT count(*) AS c FROM nodes JOIN sd
+       |       ON sd.doc_id = nodes.v),
+       |tv AS (
+       |  SELECT nodes.v,
+       |    CASE WHEN sd.doc_id IS NOT NULL
+       |      THEN CAST(1 AS DOUBLE) / (SELECT CAST(c AS DOUBLE) FROM ns)
+       |      ELSE CAST(0 AS DOUBLE) END AS t
+       |  FROM nodes LEFT JOIN sd ON sd.doc_id = nodes.v),
+       |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM ed
+       |       GROUP BY src),
+       |pr0 AS (SELECT v, t AS pr FROM tv),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v AS node, round(pr, 6) AS pagerank
+       |FROM pr5 ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x84_personalized_pagerank" -> personalizedPageRankOracle,
     "q_x83_pagerank" -> pageRankOracle,
     "q_g1_connected_components" ->
       s"""WITH RECURSIVE $edgeCte,

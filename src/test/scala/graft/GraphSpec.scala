@@ -97,6 +97,24 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "score seed-unreachable nodes exactly zero in personalized PageRank" in {
+    import spark.implicits._
+    // two disconnected chains: 1->2->3 (seeded at 1) and 10->11 (no seed)
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val pr = graft.graph.PageRank.personalizedPageRank(e, seeds, "s", "d",
+        "seed", 0.85, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pr(10L) shouldBe 0.0
+    pr(11L) shouldBe 0.0
+    pr(1L) should be > 0.0
+    pr(2L) should be > 0.0
+    pr(3L) should be > 0.0
+    // mass conserved: the dangling end (3) returns to the seed
+    pr.values.sum shouldBe 1.0 +- 1e-9
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "be invariant under input partitioning at round-6" in {
     import spark.implicits._
     val edges = (0L until 120L).flatMap(i =>
