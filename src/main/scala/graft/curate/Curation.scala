@@ -170,6 +170,42 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** X87: PRIORITY SAMPLING — weight-proportional k-sample without
+    * replacement (Duffield, Lund & Thorup 2007, public knowledge): each
+    * row draws priority `q = w / u` with `u` uniform in (0,1], and the
+    * k highest-priority rows form the sample. Heavier rows (longer
+    * docs, higher quality scores) are proportionally likelier to be
+    * kept, but every row has a chance — the estimator behind
+    * weight-aware corpus subsampling.
+    *
+    * Engine-exact by construction: `u = (x+1)/2^32` with `x` the first
+    * 8 md5 hex digits of (seed, id), so
+    * `q = w·2^32 / (x+1)` is ONE IEEE division of two exactly
+    * representable integers (w·2^32 stays < 2^53 for any weight
+    * < 2^21) — correctly rounded, hence BIT-IDENTICAL in any IEEE-754
+    * engine; the oracle needs no float tolerance and the k-th/k+1-th
+    * boundary can never flip between engines. The +1 shifts `u` off 0
+    * (no infinite priority) at a 2^-32 distribution cost.
+    *
+    * Scale shape: priorities are a pure projection and the top-k is
+    * `orderBy(q desc).limit(k)` — TakeOrdered, which prunes every
+    * partition to its local k before the single-reducer merge; the
+    * rank window then runs over only k rows.
+    * Returns the sampled rows with `priority` and `sample_rank`. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val x = conv(substring(md5(concat_ws(":", lit(seed),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val q = (col(weightCol).cast("double") * lit(4294967296.0)) /
+      (x + lit(1.0))
+    val w = Window.orderBy(col("priority").desc, col(idCol))
+    df.withColumn("priority", q)
+      .orderBy(col("priority").desc, col(idCol)).limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+  }
+
   /** X34: the COMPOSED curation pipeline — normalize → quality-rule
     * verdict → exact dedup (canonical = min id over the NORMALIZED text,
     * so documents differing only in markup/whitespace dedup together —

@@ -57,6 +57,37 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X85: label-propagation communities over a planted block graph
+    // (each doc links to 2 scrambled positions inside its 16-doc block)
+    // — 4 synchronous iterations, ties to the smallest label; the
+    // DuckDB oracle replays the same iterations with a window pick.
+    "q_x85_label_propagation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      graft.graph.Communities.labelPropagation(es, "src", "dst",
+        iterations = 4)
+        .orderBy(col("node"))
+    },
+
+    // X86: HITS hubs/authorities over the same scrambled link graph as
+    // q_x83 — 5 L1-normalized mutual-recursion iterations, round-6
+    // scores oracle-checked.
+    "q_x86_hits" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Communities.hits(es, "src", "dst", iterations = 5)
+        .select(col("node"), round(col("authority"), 6).as("authority"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy(col("node"))
+    },
+
     // X83: PageRank quality centrality over a deterministic synthetic
     // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
     // self-links dropped — a scrambled, hub-forming shape both engines
@@ -180,7 +211,83 @@ object GraphQueries {
        |FROM pr5 ORDER BY v""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.graph.Communities.labelPropagation]] at
+    * q_x85's settings: 4 synchronous iterations unrolled; each picks
+    * the most frequent neighbour label with a (count DESC, label ASC)
+    * window — exactly the Scala side's `max_by(lab, (c, -lab))`. */
+  private val labelPropagationOracle: String = {
+    def iter(k: Int): String = {
+      val p = s"lbl${k - 1}"
+      s"""cnt$k AS (
+         |  SELECT u.a AS v, l.lab, count(*) AS c
+         |  FROM und u JOIN $p l ON l.v = u.b
+         |  GROUP BY u.a, l.lab),
+         |lbl$k AS (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab, row_number() OVER (PARTITION BY v
+         |      ORDER BY c DESC, lab) AS rn
+         |    FROM cnt$k) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ed0 AS (
+       |  SELECT doc_id AS a,
+       |    (doc_id - doc_id % 16) + ((doc_id % 16) * 3 + j) % 16 AS b
+       |  FROM documents, range(1, 3) AS r(j)),
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ed0 WHERE a <> b
+       |    UNION ALL
+       |    SELECT b, a FROM ed0 WHERE a <> b)),
+       |lbl0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT v AS node, lab AS community FROM lbl4 ORDER BY v""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.graph.Communities.hits]] at q_x86's
+    * settings: 5 L1-normalized iterations unrolled — authority half
+    * then hub half per step, normalization as a scalar-subquery sum,
+    * same coalesce-to-0 handling of nodes missing in/out edges. */
+  private val hitsOracle: String = {
+    def iter(k: Int): String = {
+      val p = s"h${k - 1}"
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT ed.dst AS v, sum(p.h) AS ar
+         |  FROM ed JOIN $p p ON p.v = ed.src GROUP BY ed.dst),
+         |asum$k AS MATERIALIZED (SELECT sum(ar) AS s FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT nodes.v,
+         |    coalesce(ar.ar, CAST(0 AS DOUBLE)) / (SELECT s FROM asum$k)
+         |      AS a
+         |  FROM nodes LEFT JOIN ar$k ar ON ar.v = nodes.v),
+         |hr$k AS MATERIALIZED (
+         |  SELECT ed.src AS v, sum(a.a) AS hr
+         |  FROM ed JOIN a$k a ON a.v = ed.dst GROUP BY ed.src),
+         |hsum$k AS MATERIALIZED (SELECT sum(hr) AS s FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT nodes.v,
+         |    coalesce(hr.hr, CAST(0 AS DOUBLE)) / (SELECT s FROM hsum$k)
+         |      AS h
+         |  FROM nodes LEFT JOIN hr$k hr ON hr.v = nodes.v)""".stripMargin
+    }
+    s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+       |    FROM documents, n0, range(1, 4) AS r(j))
+       |  WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS h
+       |       FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT a5.v AS node, round(a5.a, 6) AS authority,
+       |  round(h5.h, 6) AS hub
+       |FROM a5 JOIN h5 ON h5.v = a5.v ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x85_label_propagation" -> labelPropagationOracle,
+    "q_x86_hits" -> hitsOracle,
     "q_x84_personalized_pagerank" -> personalizedPageRankOracle,
     "q_x83_pagerank" -> pageRankOracle,
     "q_g1_connected_components" ->

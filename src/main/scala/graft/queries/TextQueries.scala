@@ -615,6 +615,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X87: priority sampling — weight-proportional (by n_chars) top-k
+    // without replacement; the priority w·2^32/(x+1) is one IEEE
+    // division of exact integers, so the sampled SET is pinned
+    // cross-engine with no float tolerance.
+    "q_x87_priority_sample" -> { (s, dir) =>
+      graft.curate.Curation.prioritySample(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100, seed = "ps1")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X88: PMI collocations — adjacent-pair association mining; the
+    // lift ranking key is bit-identical cross-engine (exact-integer
+    // IEEE arithmetic), pmi = ln(lift) rounded to 6.
+    "q_x88_pmi_collocations" -> { (s, dir) =>
+      graft.text.TextStats.pmiCollocations(t(s, dir, "documents"),
+        "text", minCount = 5, topK = 50)
+        .orderBy(col("x"), col("y"))
+    },
+
     // X71: fixed-k eval-set carve — exactly min(k, |stratum|) docs per
     // language by md5-hash rank with id tie-break; the rank itself is
     // pinned cross-engine.
@@ -2660,6 +2681,62 @@ object TextQueries {
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |LEFT JOIN tw ON d.doc_id = tw.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Priority sampling: q = w·2^32/(x+1) is one correctly-rounded IEEE
+    // division of exactly-representable integers (n_chars·2^32 < 2^53),
+    // so priorities — and hence the top-100 set — are bit-identical to
+    // the Spark side with no float tolerance.
+    "q_x87_priority_sample" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5('ps1:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+         |      (CAST((${hexDigitSum(1, 8)}) AS DOUBLE) + 1.0) AS priority
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, lang, n_chars, priority,
+         |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+         |      AS BIGINT) AS sample_rank
+         |  FROM p)
+         |SELECT doc_id, lang, n_chars, priority, sample_rank
+         |FROM r WHERE sample_rank <= 100 ORDER BY doc_id""".stripMargin,
+    // PMI collocations: the lift key mirrors the Scala expression tree
+    // op-for-op (same association order, every operand an exact-integer
+    // double), so ranking and the lift column itself are bit-identical;
+    // only pmi = ln(lift) is rounded.
+    "q_x88_pmi_collocations" ->
+      """WITH words AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |toks AS (SELECT unnest(w) AS token FROM words),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM toks GROUP BY token),
+        |nu AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+        |pairs AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS pair
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words)),
+        |bi AS (SELECT pair, CAST(count(*) AS BIGINT) AS pair_freq
+        |       FROM pairs GROUP BY pair),
+        |nb AS (SELECT CAST(sum(pair_freq) AS DOUBLE) AS n FROM bi),
+        |cand AS (
+        |  SELECT pair, pair_freq,
+        |    split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+        |  FROM bi WHERE pair_freq >= 5),
+        |j AS (
+        |  SELECT c.x, c.y, c.pair_freq,
+        |    ((CAST(c.pair_freq AS DOUBLE) / CAST(ux.cnt AS DOUBLE)) *
+        |      ((SELECT n FROM nu) / CAST(uy.cnt AS DOUBLE))) *
+        |      ((SELECT n FROM nu) / (SELECT n FROM nb)) AS lift
+        |  FROM cand c
+        |  JOIN uni ux ON ux.token = c.x
+        |  JOIN uni uy ON uy.token = c.y),
+        |t AS (
+        |  SELECT x, y, pair_freq, lift, round(ln(lift), 6) AS pmi
+        |  FROM j ORDER BY lift DESC, x, y LIMIT 50)
+        |SELECT x, y, pair_freq, lift, pmi FROM t
+        |ORDER BY x, y""".stripMargin,
     "q_x12_stratified_sample" ->
       s"""WITH u AS (
          |  SELECT doc_id, lang, md5('s1:' || CAST(doc_id AS VARCHAR)) AS m

@@ -274,6 +274,59 @@ object TextStats {
         split(col("pair"), " ").getItem(1).as("token_b"),
         col("pair_freq"), col("pair_doc_freq"))
 
+  /** X88: PMI COLLOCATIONS (Church & Hanks 1990, public knowledge) —
+    * adjacent token pairs whose co-occurrence beats chance:
+    * `pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )`, with p from corpus
+    * unigram/bigram occurrence counts. High-PMI pairs are the
+    * multi-word expressions ("new york", "machine learning") that
+    * vocabulary induction and phrase-aware tokenization mine from raw
+    * corpora; `minCount` drops the unstable low-frequency tail.
+    *
+    * Engine parity: the ranking key is `lift = p(x,y)/(p(x)p(y))`
+    * computed as `((c_xy/c_x) · (N_u/c_y)) · (N_u/N_b)` — every operand
+    * is an exact-integer double and every step one correctly-rounded
+    * IEEE op with a pinned association order, so lift is BIT-IDENTICAL
+    * across engines and the top-k boundary cannot flip; only the
+    * reported `pmi = ln(lift)` needs rounding (ln is ≤1-ulp, not
+    * correctly-rounded, in both engines).
+    *
+    * Scale shape: unigram and bigram tables are one hash-aggregate
+    * each over the [[Dedup.words]]/[[Dedup.shingles]] kernels; the two
+    * count lookups join the minCount-filtered candidate set (bounded by
+    * distinct frequent pairs, not corpus size) against the vocab table;
+    * the top-k is TakeOrdered. Corpus totals are two driver scalars. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val uni = graft.util.Caches.persistTracked(
+      df.select(explode(Dedup.words(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+    val nUni = uni.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    val bi = graft.util.Caches.persistTracked(
+      df.select(explode(Dedup.shingles(col(textCol), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("pair_freq")))
+    val nBi = bi.agg(coalesce(sum(col("pair_freq")), lit(0L)))
+      .head().getLong(0)
+    require(nUni > 0 && nBi > 0, "pmiCollocations: empty corpus")
+    val sp = split(col("pair"), " ", 2)
+    val lift = ((col("pair_freq").cast("double") /
+        col("cx").cast("double")) *
+      (lit(nUni.toDouble) / col("cy").cast("double"))) *
+      (lit(nUni.toDouble) / lit(nBi.toDouble))
+    bi.filter(col("pair_freq") >= minCount)
+      .withColumn("x", sp.getItem(0))
+      .withColumn("y", sp.getItem(1))
+      .join(uni.select(col("token").as("x"), col("cnt").as("cx")), "x")
+      .join(uni.select(col("token").as("y"), col("cnt").as("cy")), "y")
+      .withColumn("lift", lift)
+      .select(col("x"), col("y"), col("pair_freq"), col("lift"),
+        round(log(col("lift")), 6).as("pmi"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** The `n` most frequent adjacent pairs (freq desc, then tokens asc) —
     * the next BPE merge candidates; TakeOrdered, no global sort. */
   def topPairs(df: DataFrame, idCol: String, textCol: String,

@@ -1,0 +1,84 @@
+package graft
+
+import graft.graph.Communities
+import org.apache.spark.sql.functions._
+
+class CommunitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "labelPropagation"
+
+  it should "separate two triangles joined by a bridge" in {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = Communities.labelPropagation(edges, "src", "dst",
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 10L, 11L, 12L)
+    // each triangle converges to one label; the bridge doesn't merge them
+    got(1L) shouldBe got(2L)
+    got(2L) shouldBe got(3L)
+    got(10L) shouldBe got(11L)
+    got(11L) shouldBe got(12L)
+    got(1L) should not be got(10L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "break frequency ties by the smallest label" in {
+    // star: center 0 sees labels {1,2,3} all once -> adopts 1
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Communities.labelPropagation(edges, "src", "dst",
+        iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    got(0L) shouldBe 1L
+    // every leaf's only neighbour is the center
+    got(1L) shouldBe 0L
+    got(2L) shouldBe 0L
+    got(3L) shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "treat the graph as undirected and ignore self-loops and parallel edges" in {
+    // direction, duplicates, and a self-loop must not change the result
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val noisy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val a = Communities.labelPropagation(base, "src", "dst", 3)
+      .as[(Long, Long)].collect().toSet
+    val b = Communities.labelPropagation(noisy, "src", "dst", 3)
+      .as[(Long, Long)].collect().toSet
+    a shouldBe b
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  behavior of "hits"
+
+  it should "converge to the uniform split on a complete bipartite hub/authority graph" in {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val got = Communities.hits(edges, "src", "dst", iterations = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got(10L)._1 shouldBe 0.5 +- 1e-12 // authorities
+    got(11L)._1 shouldBe 0.5 +- 1e-12
+    got(1L)._2 shouldBe 0.5 +- 1e-12 // hubs
+    got(2L)._2 shouldBe 0.5 +- 1e-12
+    got(1L)._1 shouldBe 0.0 // hubs have no in-links
+    got(10L)._2 shouldBe 0.0 // authorities have no out-links
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "keep both scores L1-normalized and rank the better-cited authority higher" in {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L)).toDF("src", "dst")
+    val rows = Communities.hits(edges, "src", "dst", iterations = 5)
+      .as[(Long, Double, Double)].collect()
+    rows.map(_._2).sum shouldBe 1.0 +- 1e-9
+    rows.map(_._3).sum shouldBe 1.0 +- 1e-9
+    val m = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    m(10L)._1 should be > m(11L)._1 // 10 has the extra citation
+    m(1L)._2 should be > m(3L)._2 // 1 points at both; 3 only at 10
+    graft.util.Caches.releaseAll(spark)
+  }
+}

@@ -368,4 +368,53 @@ class CurationSpec extends SparkSpec {
     run(1) shouldBe run(13)
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "prioritySample"
+
+  it should "return exactly k rows with contiguous ranks, deterministically" in {
+    val df = (1L to 500L).map(i => (i, 1L + i % 17)).toDF("id", "w")
+    val s1 = Curation.prioritySample(df, "id", "w", k = 50, "sd")
+      .select(col("id"), col("sample_rank")).as[(Long, Long)]
+      .collect().sortBy(_._2)
+    s1.length shouldBe 50
+    s1.map(_._2).toSeq shouldBe (1L to 50L)
+    val s2 = Curation.prioritySample(df, "id", "w", k = 50, "sd")
+      .select(col("id"), col("sample_rank")).as[(Long, Long)]
+      .collect().sortBy(_._2)
+    s2.toSeq shouldBe s1.toSeq
+  }
+
+  it should "be invariant under uniform weight scaling" in {
+    // q = w/u: multiplying every weight by a constant rescales every
+    // priority equally, so the sampled SET and order are unchanged
+    val df = (1L to 300L).map(i => (i, 1L + i % 13)).toDF("id", "w")
+    val a = Curation.prioritySample(df, "id", "w", 40, "sc")
+      .select(col("id")).as[Long].collect().toSeq
+    val b = Curation.prioritySample(
+        df.withColumn("w", col("w") * 1000L), "id", "w", 40, "sc")
+      .select(col("id")).as[Long].collect().toSeq
+    b shouldBe a
+  }
+
+  it should "always keep a row whose weight dominates the u range" in {
+    // max priority of a weight-1 row is 2^32/1; a weight-2^33 row's
+    // MINIMUM priority is 2·2^32 — it can never lose
+    val df = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 8589934592L))
+      .toDF("id", "w")
+    Curation.prioritySample(df, "id", "w", 1, "dom")
+      .select(col("id")).as[Long].collect().toSeq shouldBe Seq(999L)
+  }
+
+  it should "reduce to pure hash order under equal weights" in {
+    // equal w: q = C/(x+1) is strictly decreasing in the hash x, so the
+    // sample is the k smallest uniformHash values
+    val df = (1L to 400L).map(i => (i, 7L)).toDF("id", "w")
+    val got = Curation.prioritySample(df, "id", "w", 25, "eq")
+      .select(col("id")).as[Long].collect().toSet
+    val expected = df
+      .withColumn("u", Curation.uniformHash(col("id"), "eq"))
+      .orderBy(col("u"), col("id")).limit(25)
+      .select(col("id")).as[Long].collect().toSet
+    got shouldBe expected
+  }
 }

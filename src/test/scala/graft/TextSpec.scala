@@ -937,4 +937,45 @@ class TextSpec extends SparkSpec {
     r(4L)._2.get shouldBe r(2L)._2.get
     r(5L) shouldBe ((0L, None))
   }
+
+  behavior of "pmiCollocations"
+
+  it should "compute hand-checked lift and pmi" in {
+    // unigrams: a=3 b=2 c=1, N_u=6; bigrams: "a b"=2 "a c"=1, N_b=3
+    // lift(a,b) = (2/3)(6/2)(6/3) = 4; lift(a,c) = (1/3)(6/1)(6/3) = 4
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.pmiCollocations(docs, "text", minCount = 1,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got.keySet shouldBe Set(("a", "b"), ("a", "c"))
+    got(("a", "b"))._1 shouldBe 2L
+    got(("a", "b"))._2 shouldBe 4.0 +- 1e-12
+    got(("a", "c"))._2 shouldBe 4.0 +- 1e-12
+    got(("a", "b"))._3 shouldBe
+      BigDecimal(math.log(4.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "drop pairs below minCount and rank by lift with topK" in {
+    val docs = Seq((1L, "x y x y q r"), (2L, "x y s t"),
+      (3L, "u v u v u v")).toDF("doc_id", "text")
+    val all = TextStats.pmiCollocations(docs, "text", minCount = 3,
+        topK = 10)
+      .select(col("x"), col("y")).as[(String, String)].collect().toSet
+    // "x y" occurs 3x (2 in doc1 + 1 in doc2), "u v" 3x; others < 3
+    all shouldBe Set(("x", "y"), ("u", "v"))
+    val top1 = TextStats.pmiCollocations(docs, "text", minCount = 1,
+        topK = 1)
+      .select(col("lift")).as[Double].collect()
+    top1.length shouldBe 1
+    // the returned lift is the global maximum over all pairs
+    val lifts = TextStats.pmiCollocations(docs, "text", minCount = 1,
+        topK = 100)
+      .select(col("lift")).as[Double].collect()
+    top1.head shouldBe lifts.max
+    graft.util.Caches.releaseAll(spark)
+  }
 }
