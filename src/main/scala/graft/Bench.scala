@@ -33,7 +33,8 @@ object Bench {
       "q_x58_quantile_sketch", "q_x66_unigram_train", "q_x69_cdc_chunks",
       "q_x70_epoch_materialize", "q_x72_plan_export",
       "q_x74_cluster_reps", "q_x76_ivf_index_query", "q_x83_pagerank",
-      "q_x84_personalized_pagerank")
+      "q_x84_personalized_pagerank", "q_x85_label_propagation",
+      "q_x86_hits")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -81,4 +81,22 @@ class CommunitiesSpec extends SparkSpec {
     m(1L)._2 should be > m(3L)._2 // 1 points at both; 3 only at 10
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "be invariant under input partitioning (both operators)" in {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def lpa(parts: Int) = Communities.labelPropagation(
+      edges.repartition(parts), "src", "dst", 3)
+      .as[(Long, Long)].collect().toSet
+    lpa(1) shouldBe lpa(13)
+    def hit(parts: Int) = Communities.hits(
+        edges.repartition(parts), "src", "dst", 3)
+      .select(col("node"), round(col("authority"), 9),
+        round(col("hub"), 9))
+      .as[(Long, Double, Double)].collect().toSet
+    hit(1) shouldBe hit(13)
+    graft.util.Caches.releaseAll(spark)
+  }
 }

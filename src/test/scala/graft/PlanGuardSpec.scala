@@ -512,4 +512,29 @@ class PlanGuardSpec extends SparkSpec {
       graft.util.Caches.releaseAll(spark)
     }
   }
+
+  it should "keep priority sampling TakeOrdered and PMI free of cartesian joins" in {
+    withStaticShufflePlans {
+      // X87: the top-k must plan as TakeOrderedAndProject (per-partition
+      // prune to k before the merge) — a global Sort+Exchange here means
+      // the whole corpus is sorted for a k-row sample
+      val docs = (1L to 200L).map(i => (i, 1L + i % 11)).toDF("id", "w")
+      val s = graft.curate.Curation.prioritySample(docs, "id", "w", 10,
+        "pg")
+      planOf(s) should include("TakeOrderedAndProject")
+
+      // X88: both count lookups are equi-joins on the token key and the
+      // final top-k is TakeOrdered — no cartesian/broadcast-nested-loop
+      // stage may appear
+      val texts = (1L to 30L)
+        .map(i => (i, s"alpha beta gamma delta tok$i alpha beta"))
+        .toDF("doc_id", "text")
+      val p = graft.text.TextStats.pmiCollocations(texts, "text", 2, 5)
+      val plan = planOf(p)
+      plan should include("TakeOrderedAndProject")
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
 }
