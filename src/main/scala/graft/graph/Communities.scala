@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Both follow the [[PageRank]] loop discipline: the edge table is
   * partitioned on its join key and checkpointed ONCE, so every
   * iteration re-exchanges only the node-sized state table; per-iteration
-  * state is persisted and the previous iteration released only after the
-  * next materializes (no k-deep lineage recompute).
+  * state is eagerly localCheckpoint'ed — materialized AND
+  * lineage-truncated, keeping every iteration's analyzed plan
+  * constant-sized (a persist chain grows Catalyst re-analysis
+  * super-linearly with depth; measured 9x on iteration 5 of the HITS
+  * loop).
   */
 object Communities {
 
@@ -44,11 +47,14 @@ object Communities {
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .repartition(col("b")).localCheckpoint(true))
-    // und holds both orientations, so src alone already covers all nodes
-    var lbl = graft.util.Caches.persistTracked(
+    // und holds both orientations, so src alone already covers all
+    // nodes; eager localCheckpoint per iteration materializes AND
+    // truncates lineage — constant per-iteration plan size (see
+    // [[PageRank]]: a persist chain grows Catalyst re-analysis
+    // super-linearly with iteration depth)
+    var lbl = graft.util.Caches.trackCheckpointed(
       und.select(col("a").as("node")).distinct()
-        .withColumn("lab", col("node")))
-    var prev: Option[DataFrame] = None
+        .withColumn("lab", col("node")).localCheckpoint(true))
     for (_ <- 1 to iterations) {
       val cnt = und
         .join(lbl.withColumnRenamed("node", "b"), "b")
@@ -56,17 +62,12 @@ object Communities {
         .agg(count(lit(1)).as("c"))
       // most frequent neighbour label, tie -> smallest label: max_by on
       // (count, -label) — a struct max, deterministic
-      val next = graft.util.Caches.persistTracked(
+      lbl = graft.util.Caches.trackCheckpointed(
         cnt.groupBy(col("a"))
           .agg(max_by(col("lab"),
             struct(col("c"), (-col("lab")).as("nl"))).as("lab"))
-          .withColumnRenamed("a", "node"))
-      next.count() // materialize before releasing the parent
-      prev.foreach(_.unpersist())
-      prev = Some(lbl)
-      lbl = next
+          .withColumnRenamed("a", "node").localCheckpoint(true))
     }
-    prev.foreach(_.unpersist())
     lbl.select(col("node"), col("lab").as("community"))
   }
 
@@ -81,8 +82,12 @@ object Communities {
     * Scale shape: TWO static edge checkpoints — one partitioned by dst
     * (authority half joins hubs on src, aggregates to dst), one by src
     * (hub half joins authorities on dst, aggregates to src) — so both
-    * half-steps re-exchange only the node-sized score table. The two
-    * normalization sums are one driver scalar each per iteration.
+    * half-steps re-exchange only the node-sized score table. Each
+    * normalization sum rides its half-step's job as a broadcast 1-row
+    * aggregate over a node-sized score-degree join (`Σ raw = Σ
+    * score·deg` — every edge hands its source's score to one target),
+    * so iterations make NO driver round-trips and never scan edges
+    * twice.
     *
     * Output: (node, authority, hub) — raw doubles; callers round. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
@@ -94,48 +99,59 @@ object Communities {
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
+    require(n > 0, "hits: empty edge set")
     val edForAuth = graft.util.Caches.trackCheckpointed(
       e.repartition(col("src")).localCheckpoint(true))
     val edForHub = graft.util.Caches.trackCheckpointed(
       e.repartition(col("dst")).localCheckpoint(true))
-    var h = graft.util.Caches.persistTracked(
-      nodes.withColumn("h", lit(1.0 / n)))
+    // degree tables: the normalization scalars never scan edges —
+    // Σ_v raw_a(v) = Σ_u h(u)·outdeg(u) (every edge hands its source's
+    // score to exactly one target), so each sum is a node-sized join
+    val outdeg = graft.util.Caches.persistTracked(
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("double").as("deg")))
+    val indeg = graft.util.Caches.persistTracked(
+      e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).cast("double").as("deg")))
+    var h = graft.util.Caches.trackCheckpointed(
+      nodes.withColumn("h", lit(1.0 / n)).localCheckpoint(true))
     var a: DataFrame = null
-    var prevH: Option[DataFrame] = None
-    var prevA: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
+      // normalization WITHOUT an edge scan or a driver round-trip: the
+      // L1 sum rides the half-step's own job as a broadcast 1-row
+      // aggregate over the node-sized (score ⋈ degree) join — with >= 1
+      // edge both sums are strictly positive by induction (a score is
+      // positive exactly where its degree is), so no 0-division guard
+      // is needed beyond the non-empty check above
+      val aSum = h.join(outdeg, "node")
+        .agg(coalesce(sum(col("h") * col("deg")), lit(0.0)).as("asum"))
       val aRaw = edForAuth
         .join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-      val aSum = aRaw.agg(coalesce(sum(col("ar")), lit(0.0)))
-        .head().getDouble(0)
-      require(aSum > 0.0, "hits: authority mass vanished (no edges?)")
-      val aNext = graft.util.Caches.persistTracked(
+      // eager localCheckpoint: materializes AND truncates lineage — the
+      // a/h mutual recursion otherwise embeds 2 plan levels per
+      // iteration and Catalyst re-analysis grows super-linearly
+      // (measured: iteration 5 ran 9x iteration 1 under plain persist)
+      a = graft.util.Caches.trackCheckpointed(
         nodes.join(aRaw.withColumnRenamed("dst", "node"), Seq("node"),
             "left")
+          .crossJoin(broadcast(aSum))
           .select(col("node"),
-            (coalesce(col("ar"), lit(0.0)) / lit(aSum)).as("a")))
-      aNext.count()
-      prevA.foreach(_.unpersist())
-      prevA = Some(aNext)
-      a = aNext
+            (coalesce(col("ar"), lit(0.0)) / col("asum")).as("a"))
+          .localCheckpoint(true))
+      val hSum = a.join(indeg, "node")
+        .agg(coalesce(sum(col("a") * col("deg")), lit(0.0)).as("hsum"))
       val hRaw = edForHub
         .join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-      val hSum = hRaw.agg(coalesce(sum(col("hr")), lit(0.0)))
-        .head().getDouble(0)
-      require(hSum > 0.0, "hits: hub mass vanished (no edges?)")
-      val hNext = graft.util.Caches.persistTracked(
+      h = graft.util.Caches.trackCheckpointed(
         nodes.join(hRaw.withColumnRenamed("src", "node"), Seq("node"),
             "left")
+          .crossJoin(broadcast(hSum))
           .select(col("node"),
-            (coalesce(col("hr"), lit(0.0)) / lit(hSum)).as("h")))
-      hNext.count()
-      prevH.foreach(_.unpersist())
-      prevH = Some(h)
-      h = hNext
+            (coalesce(col("hr"), lit(0.0)) / col("hsum")).as("h"))
+          .localCheckpoint(true))
     }
-    prevH.foreach(_.unpersist())
     nodes.join(a, "node").join(h.withColumnRenamed("h", "hub"), "node")
       .select(col("node"), col("a").as("authority"), col("hub"))
   }

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * node-sized rank table onto that static partitioning, then one
   * `groupBy(dst)` aggregate (map-side combined) re-keys contributions;
   * so per-iteration shuffle volume is O(nodes), never O(edges). The
-  * dangling mass is ONE driver scalar per iteration (an anti-join
-  * aggregate over the node-sized rank table). Ranks are persisted per
-  * iteration and the previous iteration is released only after the next
-  * materializes ([[graft.text.TextStats.bpeTrain]]'s deferred-unpersist
-  * pattern), so iteration k never recomputes a k-deep lineage.
+  * dangling mass is a broadcast 1-row aggregate riding the iteration's
+  * own job (an anti-join aggregate over the node-sized rank table — no
+  * driver round-trip). Ranks are eagerly localCheckpoint'ed per
+  * iteration: materialized AND lineage-truncated, so every iteration
+  * analyzes a constant-size plan (a persist chain instead grows
+  * Catalyst re-analysis super-linearly with depth).
   *
   * Determinism: same float-accumulation caveat as every distributed sum
   * — values are stable to ulps under partitioning; consumers round
@@ -52,29 +53,33 @@ object PageRank {
     val danglingNodes = graft.util.Caches.persistTracked(
       nodes.join(outdeg.select(col("src").as("node")), Seq("node"),
         "left_anti"))
-    var pr = graft.util.Caches.persistTracked(
-      nodes.withColumn("pr", lit(1.0 / n)))
-    var prev: Option[DataFrame] = None
+    // eager localCheckpoint per iteration: materializes AND truncates
+    // lineage, keeping the per-iteration plan CONSTANT-sized — a plain
+    // persist chain embeds one more plan level per iteration and Catalyst
+    // re-analysis grows super-linearly with depth (measured on the HITS
+    // twin loop: iteration 5 ran 9x iteration 1 under persist)
+    var pr = graft.util.Caches.trackCheckpointed(
+      nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true))
     for (_ <- 1 to iterations) {
+      // dangling mass rides the iteration's own job as a broadcast
+      // 1-row aggregate — no driver round-trip per iteration
       val dang = danglingNodes.join(pr, "node")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dang"))
       val contribs = ed
         .join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("__c"))
-      val next = graft.util.Caches.persistTracked(
+      pr = graft.util.Caches.trackCheckpointed(
         nodes.join(contribs.withColumnRenamed("dst", "node"),
             Seq("node"), "left")
+          .crossJoin(broadcast(dang))
           .select(col("node"),
             (lit((1 - damping) / n) + lit(damping) *
-              (coalesce(col("__c"), lit(0.0)) + lit(dang / n)))
-              .as("pr")))
-      next.count() // materialize before releasing the parent
-      prev.foreach(_.unpersist())
-      prev = Some(pr)
-      pr = next
+              (coalesce(col("__c"), lit(0.0)) +
+                col("__dang") / lit(n.toDouble)))
+              .as("pr"))
+          .localCheckpoint(true))
     }
-    prev.foreach(_.unpersist())
     pr.select(col("node"), col("pr").as("pagerank"))
   }
 
@@ -119,29 +124,26 @@ object PageRank {
       nodesT.select(col("node"))
         .join(outdeg.select(col("src").as("node")), Seq("node"),
           "left_anti"))
-    var pr = graft.util.Caches.persistTracked(
-      nodesT.select(col("node"), col("t").as("pr")))
-    var prev: Option[DataFrame] = None
+    // same constant-plan loop discipline as [[pageRank]]
+    var pr = graft.util.Caches.trackCheckpointed(
+      nodesT.select(col("node"), col("t").as("pr")).localCheckpoint(true))
     for (_ <- 1 to iterations) {
       val dang = danglingNodes.join(pr, "node")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dang"))
       val contribs = ed
         .join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("__c"))
-      val next = graft.util.Caches.persistTracked(
+      pr = graft.util.Caches.trackCheckpointed(
         nodesT.join(contribs.withColumnRenamed("dst", "node"),
             Seq("node"), "left")
+          .crossJoin(broadcast(dang))
           .select(col("node"),
             (lit(1 - damping) * col("t") + lit(damping) *
-              (coalesce(col("__c"), lit(0.0)) + lit(dang) * col("t")))
-              .as("pr")))
-      next.count()
-      prev.foreach(_.unpersist())
-      prev = Some(pr)
-      pr = next
+              (coalesce(col("__c"), lit(0.0)) + col("__dang") * col("t")))
+              .as("pr"))
+          .localCheckpoint(true))
     }
-    prev.foreach(_.unpersist())
     pr.select(col("node"), col("pr").as("pagerank"))
   }
 }

@@ -501,6 +501,27 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // X89: reciprocal rank fusion — hybrid retrieval combining the X51
+    // BM25 lexical ranking with an X8-style embedding-cosine ranking
+    // (query vectors 11/22/33 mapped onto qa/qb/qc); rrf terms are
+    // exact-integer IEEE divisions, so the fused ranking is pinned.
+    "q_x89_rrf_fusion" -> { (s, dir) =>
+      val lex = graft.text.Retrieval.bm25TopK(s, t(s, dir, "documents"),
+          "doc_id", "text", bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.ann.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id").isin(11L, 22L, 33L)), emb,
+          "vec_id", "embedding", 20, 64)
+        .select(
+          when(col("vec_id") === 11L, "qa")
+            .when(col("vec_id") === 22L, "qb")
+            .otherwise("qc").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rk").as("rank"))
+      graft.text.Retrieval.rrfFuse(lex, sem, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -1922,6 +1943,70 @@ object TextQueries {
          |SELECT query_id, doc_id, rank, score FROM ranked
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // RRF: lexical CTE chain = the x51 oracle at k=20; semantic chain =
+    // the x8 cosine ranking restricted to the three query vectors; the
+    // fusion itself mirrors the Scala coalesce-sum expression tree
+    // exactly (two correctly-rounded divisions + one commutative add).
+    "q_x89_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |q(query_id, tok) AS (VALUES ${bm25QueryValues}),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      (tf.tf * 2.2) /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+         |  FROM tf JOIN q USING (tok) JOIN dfreq d USING (tok)
+         |  JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |lexk AS (
+         |  SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |    FROM scored) WHERE lex_rank <= 20),
+         |nn AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT CASE a.vec_id WHEN 11 THEN 'qa' WHEN 22 THEN 'qb'
+         |      ELSE 'qc' END AS query_id,
+         |    b.vec_id AS doc_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM nn a, nn b
+         |  WHERE a.vec_id IN (11, 22, 33) AND a.vec_id <> b.vec_id
+         |    AND NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |semk AS (
+         |  SELECT query_id, doc_id, sem_rank FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+         |    FROM pairs) WHERE sem_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.lex_rank, s.sem_rank,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank),
+         |      CAST(0 AS DOUBLE)) +
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + s.sem_rank),
+         |      CAST(0 AS DOUBLE)) AS rrf_score
+         |  FROM lexk l FULL JOIN semk s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies

@@ -73,4 +73,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
+
+  /** X89: RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009,
+    * public knowledge) — the standard hybrid-retrieval combiner:
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, here over exactly a
+    * LEXICAL ranking (BM25) and a SEMANTIC one (embedding cosine).
+    * Rank-based fusion needs no score calibration between the two
+    * systems, which is why it wins over score interpolation in
+    * practice; `c = 60` is the paper's constant.
+    *
+    * Engine-exact: each term `1/(c+r)` is one correctly-rounded IEEE
+    * division of exact integers, and the two-term sum is a PINNED
+    * expression (coalesce(lex,0) + coalesce(sem,0)) — addition of two
+    * doubles is commutative and single-rounded, so `rrf_score` is
+    * bit-identical cross-engine and the fused ranking cannot flip.
+    * (A Seq-of-N generalization would need a canonical summation
+    * order to keep this property — two named lists keep it free.)
+    *
+    * Scale shape: ONE full-outer equi-join on (query, doc) between two
+    * already-top-k'd inputs (each bounded by queries×k rows), then the
+    * per-query rank window. The heavy lifting — corpus scans, postings,
+    * vector scans — happens inside the input rankers; fusion itself is
+    * rank-table-sized no matter the corpus.
+    *
+    * Inputs must carry (query_id, doc_id, rank). Output:
+    * (query_id, doc_id, lex_rank, sem_rank, rrf_score, rank). */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, k: Int = 10,
+      c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0, s"c must be >= 0, got $c")
+    val lex = lexical.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val sem = semantic.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("sem_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("sem_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("sem_rank"), col("rrf_score"), col("rank"))
+  }
 }

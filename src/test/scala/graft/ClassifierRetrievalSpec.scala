@@ -163,4 +163,38 @@ class ClassifierRetrievalSpec extends SparkSpec {
     once.map(r => (r.getLong(1), r.getDouble(3))).toSeq shouldBe
       twice.map(r => (r.getLong(1), r.getDouble(3))).toSeq
   }
+
+  behavior of "rrfFuse (X89)"
+
+  it should "fuse hand-computed reciprocal ranks with single-list docs scored once" in {
+    val lex = Seq(("q", 1L, 1L), ("q", 2L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq(("q", 2L, 1L), ("q", 3L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, sem, k = 10)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // d2 in both lists: 1/62 + 1/61; d1 lex-only 1/61; d3 sem-only 1/62
+    got(2L)._3 shouldBe (1.0 / 62 + 1.0 / 61) +- 1e-15
+    got(1L)._3 shouldBe 1.0 / 61 +- 1e-15
+    got(3L)._3 shouldBe 1.0 / 62 +- 1e-15
+    got(2L)._4 shouldBe 1L // fused winner appears in both rankings
+    got(1L)._4 shouldBe 2L
+    got(3L)._4 shouldBe 3L
+    got(1L)._2 shouldBe None // absent from the semantic list
+    got(3L)._1 shouldBe None // absent from the lexical list
+  }
+
+  it should "tie-break equal fused scores by doc_id and honour k" in {
+    // d5 lex-rank 1 only, d4 sem-rank 1 only: identical scores
+    val lex = Seq(("q", 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq(("q", 4L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rows = Retrieval.rrfFuse(lex, sem, k = 10)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)]
+      .collect().toMap
+    rows(4L) shouldBe 1L
+    rows(5L) shouldBe 2L
+    Retrieval.rrfFuse(lex, sem, k = 1).count() shouldBe 1L
+  }
 }
