@@ -522,6 +522,28 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // X90: URL canonicalization + canonical-URL dedup over a
+    // deterministic URL fixture exercising every rule: scheme/host
+    // case, www., default :443 port, trailing slash, tracking params,
+    // unsorted query params, fragments.
+    "q_x90_url_canonical" -> { (s, dir) =>
+      val withUrl = t(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (col("doc_id") % 7).cast("string"),
+        lit("&a="), (col("doc_id") % 3).cast("string"),
+        lit("#s"), col("doc_id").cast("string")).as("url"))
+      graft.text.Urls.urlDedup(withUrl, "doc_id", "url")
+        .select(col("doc_id"), col("canonical_url"), col("rep_id"),
+          col("n_variants"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -2007,6 +2029,68 @@ object TextQueries {
          |  FROM fused)
          |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // URL canonicalization: the oracle mirrors Urls.canonicalizeUrl
+    // rule-for-rule (identical regexes and group indices; list_filter/
+    // list_sort == Spark's interpreted filter/array_sort — both sort
+    // UTF-8 binary), then the same min-id/count roll-up.
+    "q_x90_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.com'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '#s' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+        |       FROM u),
+        |p1 AS (SELECT doc_id, nf,
+        |    lower(regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS hostport,
+        |    regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2)
+        |      AS rawpath,
+        |    regexp_extract(nf, '\?([^#]*)', 1) AS rawq
+        |  FROM n1),
+        |p2 AS (SELECT *,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        |  FROM p1),
+        |p3 AS (SELECT *,
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443')
+        |      THEN '' ELSE ':' || port END AS portpart,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+        |      THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END
+        |      AS path,
+        |    list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'fbclid=')
+        |        AND NOT starts_with(p, 'gclid=')
+        |        AND NOT starts_with(p, 'ref='))) AS params
+        |  FROM p2),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN nf
+        |      ELSE scheme || '://' || host || portpart || path ||
+        |        CASE WHEN len(params) = 0 THEN ''
+        |          ELSE '?' || array_to_string(params, '&') END END
+        |      AS canonical_url
+        |  FROM p3),
+        |g AS (SELECT canonical_url, min(doc_id) AS rep_id,
+        |    CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_url, g.rep_id, g.n_variants,
+        |  c.doc_id = g.rep_id AS is_canonical
+        |FROM c JOIN g USING (canonical_url)
+        |ORDER BY c.doc_id""".stripMargin,
     "q_x39_bpe_tokenize" -> bpeTokenizeOracle(5),
     // Paragraph near-dup: paragraphs get synthetic ids doc_id*1000+idx
     // (paras-per-doc << 1000) so the shared minhash CTE chain applies
