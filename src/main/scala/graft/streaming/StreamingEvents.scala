@@ -480,6 +480,51 @@ object StreamingEvents {
       .groupBy(col(groupCol), col("r"), col("c"))
       .agg(sum(col("n")).as("n"))
 
+  /** Streaming weighted-sample maintenance: each micro-batch keeps its
+    * own X87 priority-sample top-k (k rows max, whatever the batch
+    * size) under `batch_id=N`; the published view re-ranks the union of
+    * the persisted batch winners. Priority sampling is MERGEABLE by
+    * construction — the priority is a pure row function of (seed, id,
+    * weight), so every global winner is also a winner within its own
+    * batch, and top-k over the stored per-batch top-ks equals the batch
+    * operator over the union of everything ingested (spec-proven).
+    * Replays overwrite their own batch directory: idempotent. */
+  def prioritySampleSink(rows: DataFrame, idCol: String,
+      weightCol: String, k: Int, seed: String, sampleDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) prioritySampleBatch(batch.toDF(), batchId,
+          idCol, weightCol, k, seed, sampleDir)
+      }
+      .start()
+
+  /** One micro-batch of [[prioritySampleSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def prioritySampleBatch(batch: DataFrame, batchId: Long,
+      idCol: String, weightCol: String, k: Int, seed: String,
+      sampleDir: String): Unit = {
+    graft.curate.Curation.prioritySample(batch, idCol, weightCol, k, seed)
+      .drop("sample_rank")
+      .write.mode("overwrite").parquet(s"$sampleDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[prioritySampleSink]] directory: the
+    * stream-wide k highest-priority rows with fresh ranks — identical
+    * to [[graft.curate.Curation.prioritySample]] over the union of
+    * every ingested batch. */
+  def prioritySampleView(spark: org.apache.spark.sql.SparkSession,
+      sampleDir: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("priority").desc, col(idCol))
+    spark.read.parquet(sampleDir)
+      .orderBy(col("priority").desc, col(idCol)).limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+  }
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

@@ -409,6 +409,37 @@ class StreamingSpec extends SparkSpec {
     viewRows() shouldBe onePass
   }
 
+  it should "maintain a stream-wide priority sample identical to the batch sampler" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sps").toString
+    val b1 = (1L to 40L).map(i => (i, 1L + i % 9))
+    val b2 = (41L to 90L).map(i => (i, 1L + i % 9))
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingEvents.prioritySampleSink(
+      in.toDF().toDF("id", "w"), "id", "w", k = 12, "sps",
+      s"$tmp/sample", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("id", "sample_rank").as[(Long, Long)]
+        .collect().sortBy(_._2).toSeq
+    val streamed = rows(StreamingEvents.prioritySampleView(spark,
+      s"$tmp/sample", "id", k = 12))
+    // mergeability: top-k of the stored per-batch top-ks == the batch
+    // operator over everything ingested
+    val batch = rows(graft.curate.Curation.prioritySample(
+      (b1 ++ b2).toDF("id", "w"), "id", "w", k = 12, "sps"))
+    streamed shouldBe batch
+    streamed.map(_._2) shouldBe (1L to 12L)
+    // replay safety: re-running batch 1 rewrites its partition in place
+    StreamingEvents.prioritySampleBatch(b2.toDF("id", "w"), 1L,
+      "id", "w", 12, "sps", s"$tmp/sample")
+    rows(StreamingEvents.prioritySampleView(spark,
+      s"$tmp/sample", "id", k = 12)) shouldBe batch
+  }
+
   it should "score and route micro-batches identically to the batch classifier" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sclf").toString
