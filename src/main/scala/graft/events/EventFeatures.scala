@@ -180,4 +180,84 @@ object EventFeatures {
         round(sum(col("__gap")).cast("double") / count(lit(1)), 4)
           .as("mean_gap_s"))
   }
+
+  /** E11: COHORT RETENTION — the standard activation/retention matrix:
+    * users are grouped by the Monday-aligned week of their FIRST
+    * activity (the cohort) and counted in every later week they return,
+    * giving (cohort_week, week_offset) → distinct actives. The
+    * retention rate divides by cohort size — one correctly-rounded IEEE
+    * division of exact counts, bit-identical cross-engine.
+    *
+    * Scale shape: one user-keyed aggregate for first-activity, one
+    * distinct (user, week) projection joined back on user (the join
+    * re-uses the user hash partitioning), then a (cohort, offset)
+    * aggregate whose cardinality is weeks² — tiny no matter the event
+    * volume. Week offsets divide exactly by 7 because both ends are
+    * date_trunc'd to Mondays. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).cast("date").as("__w"))
+    val firstW = weeks.groupBy(col("__u"))
+      .agg(min(col("__w")).as("cohort_week"))
+    val sizes = firstW.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.distinct()
+      .join(firstW, "__u")
+      .withColumn("week_offset",
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("__u")).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention_rate",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("cohort_size"),
+        col("n_active"), col("retention_rate"))
+  }
+
+  /** E12: RFM SCORING (recency / frequency / monetary quintiles) — the
+    * classic customer-value feature vector: per user, days since last
+    * activity as of `asOfDate`, event count, and value sum, each
+    * quintile-bucketed 1..5 with 5 best (most recent, most frequent,
+    * highest spend), composed into the 3-digit `rfm_segment`.
+    *
+    * Engine parity: the monetary sum goes through DECIMAL(18,6) — an
+    * EXACT integer-scaled aggregation, immune to the float
+    * summation-order divergence a double sum has across engines — and
+    * is cast to double only for output; ntile is the SQL-standard
+    * equal-height bucketing in both engines, with (metric, user) total
+    * orders so ties can never flip buckets.
+    *
+    * Scale shape: one user-keyed aggregate, then three rank windows
+    * over the USER-level table (one row per user — orders of magnitude
+    * smaller than events); at extreme user counts swap ntile for a
+    * 2-pass percentile cut, same contract. */
+  def rfmScores(events: DataFrame, asOfDate: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.groupBy(col(userCol))
+      .agg(
+        datediff(lit(asOfDate).cast("date"),
+          max(col(tsCol)).cast("date")).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        // all-null value users sum to NULL; pin to 0 so the m-ranking
+        // never depends on engine NULL placement (Spark NULLS FIRST
+        // asc vs DuckDB NULLS LAST)
+        coalesce(sum(col(valueCol).cast("decimal(18,6)")).cast("double"),
+          lit(0.0)).as("monetary"))
+    val r = ntile(5).over(
+      Window.orderBy(col("recency_days").desc, col(userCol)))
+    val f = ntile(5).over(
+      Window.orderBy(col("frequency"), col(userCol)))
+    val m = ntile(5).over(
+      Window.orderBy(col("monetary"), col(userCol)))
+    base
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("rfm_segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
 }

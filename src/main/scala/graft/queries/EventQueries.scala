@@ -47,6 +47,20 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // E11: weekly cohort retention matrix — users grouped by
+    // first-activity week, counted in every week they return.
+    "q_e11_cohort_retention" -> { (s, dir) =>
+      EventFeatures.cohortRetention(t(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // E12: RFM quintile scoring as of 2024-02-01 — exact decimal
+    // monetary sums so quintile boundaries can't flip cross-engine.
+    "q_e12_rfm" -> { (s, dir) =>
+      EventFeatures.rfmScores(t(s, dir, "events"), "2024-02-01")
+        .orderBy(col("user_id"))
+    },
+
     // A3/A4/A5: interval count / distinct / sum per entity.
     "q_a3_event_interval_agg" -> { (s, dir) =>
       t(s, dir, "events")
@@ -161,6 +175,56 @@ object EventQueries {
     s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Cohort retention: Monday-aligned date_trunc both engines; the
+    // offset division is exact (both ends are Mondays).
+    "q_e11_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events),
+        |firstw AS (SELECT u, min(w) AS cohort_week FROM weeks GROUP BY u),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+        |    AS cohort_size
+        |  FROM firstw GROUP BY 1),
+        |act AS (SELECT DISTINCT u, w FROM weeks),
+        |m AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+        |  FROM act a JOIN firstw f ON f.u = a.u
+        |  GROUP BY 1, 2)
+        |SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+        |  m.week_offset, s.cohort_size, m.n_active,
+        |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention_rate
+        |FROM m JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // RFM: DECIMAL(18,6) monetary sums are exact integer-scaled
+    // aggregation — no float summation-order divergence — and ntile is
+    // SQL-standard equal-height bucketing in both engines with total
+    // (metric, user) orders.
+    "q_e12_rfm" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+        |      DATE '2024-02-01') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+        |      CAST(0 AS DOUBLE)) AS monetary
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id)
+        |      AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_segment
+        |FROM s ORDER BY user_id""".stripMargin,
     // Rolling frame over floor-epoch-seconds on both engines; ties share
     // one frame so the values are order-independent.
     "q_e10_trailing_window" ->

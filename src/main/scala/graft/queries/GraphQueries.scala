@@ -88,6 +88,19 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X91: per-node triangle counts + clustering coefficient over the
+    // same planted block graph as q_x85 (dense 16-doc blocks are
+    // triangle-rich; the coefficient is an exact-integer division).
+    "q_x91_triangle_count" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      graft.graph.Communities.triangleCounts(es, "src", "dst")
+        .orderBy(col("node"))
+    },
+
     // X83: PageRank quality centrality over a deterministic synthetic
     // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
     // self-links dropped — a scrambled, hub-forming shape both engines
@@ -285,7 +298,43 @@ object GraphQueries {
        |FROM a5 JOIN h5 ON h5.v = a5.v ORDER BY node""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.graph.Communities.triangleCounts]]: with
+    * id-canonical edges (lo < hi), every triangle x<y<z is found once
+    * via (x,y),(y,z),(x,z) — the Spark side's degree orientation is a
+    * work bound, not a semantic change, so the simple canonical join
+    * chain is the exact oracle. */
+  private val triangleOracle: String =
+    """WITH ed0 AS (
+      |  SELECT doc_id AS a,
+      |    (doc_id - doc_id % 16) + ((doc_id % 16) * 3 + j) % 16 AS b
+      |  FROM documents, range(1, 3) AS r(j)),
+      |und AS (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      |  FROM ed0 WHERE a <> b),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY v),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pern AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY v)
+      |SELECT d.v AS node,
+      |  coalesce(p.n_triangles, 0) AS n_triangles,
+      |  CASE WHEN d.deg < 2 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE) /
+      |      CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustering_coef
+      |FROM deg d LEFT JOIN pern p ON p.v = d.v
+      |ORDER BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_x91_triangle_count" -> triangleOracle,
     "q_x85_label_propagation" -> labelPropagationOracle,
     "q_x86_hits" -> hitsOracle,
     "q_x84_personalized_pagerank" -> personalizedPageRankOracle,

@@ -82,6 +82,47 @@ class CommunitiesSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "triangleCounts"
+
+  it should "count hand-checked triangles and coefficients" in {
+    // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles, coef 1;
+    // pendant 5-1: node 5 has deg 1 -> 0 triangles, coef 0 by
+    // convention; node 1's deg rises to 4 -> coef 2*3/(4*3) = 0.5
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ ((1L, 5L))).toDF("src", "dst")
+    val got = Communities.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L) shouldBe ((3L, 0.5))
+    got(2L) shouldBe ((3L, 1.0))
+    got(3L) shouldBe ((3L, 1.0))
+    got(4L) shouldBe ((3L, 1.0))
+    got(5L) shouldBe ((0L, 0.0))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "count each triangle once regardless of edge direction and duplication" in {
+    // one triangle fed as mixed directions + duplicates + a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L),
+      (1L, 2L)).toDF("src", "dst")
+    val got = Communities.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "find no triangles in a tree or cycle of length 4" in {
+    val tree = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    Communities.triangleCounts(tree, "src", "dst")
+      .agg(sum(col("n_triangles"))).as[Long].head() shouldBe 0L
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    Communities.triangleCounts(c4, "src", "dst")
+      .agg(sum(col("n_triangles"))).as[Long].head() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "be invariant under input partitioning (both operators)" in {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 300).map(_ =>

@@ -73,4 +73,62 @@ class EventFunctionsSpec extends SparkSpec {
     cur.count() shouldBe 6
     cur.agg(min("event_id")).as[Long].head() shouldBe 101L
   }
+
+  behavior of "cohortRetention (E11)"
+
+  it should "build the hand-computed weekly retention matrix" in {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // weeks: W0 = Mon 2024-01-01, W1 = 01-08, W3 = 01-22
+    // u1: cohort W0, returns W1; u2: cohort W0 only (twice, same week);
+    // u3: cohort W1, returns W3
+    val events = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-09 10:00:00")),
+      (2L, t("2024-01-03 10:00:00")), (2L, t("2024-01-05 10:00:00")),
+      (3L, t("2024-01-10 10:00:00")), (3L, t("2024-01-24 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = graft.events.EventFeatures.cohortRetention(events)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    got(("2024-01-01", 0L)) shouldBe ((2L, 2L, 1.0))
+    got(("2024-01-01", 1L)) shouldBe ((2L, 1L, 0.5))
+    got(("2024-01-08", 0L)) shouldBe ((1L, 1L, 1.0))
+    got(("2024-01-08", 2L)) shouldBe ((1L, 1L, 1.0))
+    got.size shouldBe 4 // no empty-offset rows invented
+  }
+
+  behavior of "rfmScores (E12)"
+
+  it should "score hand-computed recency/frequency/monetary quintiles" in {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: recent, frequent, rich; u2: middling; u3: stale, sparse, poor
+    val events = Seq(
+      (1L, t("2024-01-28 10:00:00"), 50.0),
+      (1L, t("2024-01-29 10:00:00"), 50.0),
+      (1L, t("2024-01-30 10:00:00"), 50.0),
+      (2L, t("2024-01-20 10:00:00"), 20.0),
+      (2L, t("2024-01-21 10:00:00"), 20.0),
+      (3L, t("2024-01-05 10:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.events.EventFeatures.rfmScores(events, "2024-02-01")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("rfm_segment"))
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    got(1L) shouldBe ((2L, 3L, 150.0, 333L))
+    got(2L) shouldBe ((11L, 2L, 40.0, 222L))
+    got(3L) shouldBe ((27L, 1L, 1.0, 111L))
+  }
+
+  it should "pin all-null monetary to zero instead of engine-dependent NULL order" in {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-28 10:00:00"), Some(5.0)),
+      (2L, t("2024-01-20 10:00:00"), None))
+      .toDF("user_id", "ts", "value")
+    val m = graft.events.EventFeatures.rfmScores(events, "2024-02-01")
+      .select(col("user_id"), col("monetary")).as[(Long, Double)]
+      .collect().toMap
+    m(2L) shouldBe 0.0
+    m(1L) shouldBe 5.0
+  }
 }
