@@ -22,6 +22,16 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // X92: pair-level market-basket rules over order baskets — parts
+    // co-purchased in >= 3 orders, both directed rules with exact
+    // support/confidence/lift (pinned IEEE expression trees, no
+    // rounding needed).
+    "q_x92_basket_rules" -> { (s, dir) =>
+      graft.relational.Associations.basketRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3)
+        .orderBy(col("antecedent"), col("consequent"))
+    },
+
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
     "q_a1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -242,6 +252,34 @@ object RelationalQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // Basket rules: same distinct-items / pair-count / both-directions
+    // chain; measure expressions mirror the Scala trees op-for-op.
+    "q_x92_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM items),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+        |        FROM items GROUP BY i),
+        |co AS (
+        |  SELECT a.i AS x, z.i AS y, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items a JOIN items z ON a.b = z.b AND a.i < z.i
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3),
+        |dir AS (
+        |  SELECT x AS antecedent, y AS consequent, n_both FROM co
+        |  UNION ALL
+        |  SELECT y, x, n_both FROM co)
+        |SELECT d.antecedent, d.consequent, d.n_both,
+        |  ca.c AS n_ante, cc.c AS n_cons,
+        |  CAST(d.n_both AS DOUBLE) / (SELECT n FROM nb) AS support,
+        |  CAST(d.n_both AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+        |  (CAST(d.n_both AS DOUBLE) / CAST(ca.c AS DOUBLE)) *
+        |    ((SELECT n FROM nb) / CAST(cc.c AS DOUBLE)) AS lift
+        |FROM dir d
+        |JOIN cnt ca ON ca.i = d.antecedent
+        |JOIN cnt cc ON cc.i = d.consequent
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,64 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X92: MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994,
+  * public knowledge) at the pair level: for items co-occurring in at
+  * least `minCount` baskets, emit both directed rules A→B with
+  * `support = n_both/N`, `confidence = n_both/n_ante` and
+  * `lift = (n_both·N)/(n_ante·n_cons)` — the co-purchase /
+  * co-occurrence signal recommendation and curation pipelines mine
+  * from order or session logs.
+  *
+  * Engine parity: all three measures are built from exact integer
+  * counts with PINNED IEEE expression trees (the [[graft.text.TextStats.pmiCollocations]]
+  * discipline — one correctly-rounded division per factor, fixed
+  * association order), so every value is bit-identical cross-engine
+  * and the output needs no rounding or float tolerance; output order
+  * is by the integer rule key, never by a float.
+  *
+  * Scale shape: one distinct (basket, item) projection; item counts
+  * are one hash aggregate; the pair join is keyed on the basket id
+  * (co-partitioned self-join — the classic shape) and explodes only
+  * within baskets: cost Σ_b |b|², the inherent pair-counting work.
+  * A pathological mega-basket should be capped upstream (standard
+  * practice); TPC-H-shaped baskets are single-digit. The rule table
+  * joins counts at candidate-set size, not corpus size.
+  */
+object Associations {
+
+  def basketRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val items = graft.util.Caches.persistTracked(
+      baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .distinct())
+    val n = items.select(col("__b")).distinct().count()
+    require(n > 0, "basketRules: no baskets")
+    val cnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val co = items.select(col("__b"), col("__i").as("__a"))
+      .join(items.select(col("__b"), col("__i").as("__z")), "__b")
+      .filter(col("__a") < col("__z"))
+      .groupBy(col("__a"), col("__z"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    // both directions of each surviving unordered pair
+    val directed = co.select(col("__a").as("antecedent"),
+        col("__z").as("consequent"), col("n_both"))
+      .unionByName(co.select(col("__z").as("antecedent"),
+        col("__a").as("consequent"), col("n_both")))
+    directed
+      .join(cnt.select(col("__i").as("antecedent"),
+        col("__c").as("n_ante")), "antecedent")
+      .join(cnt.select(col("__i").as("consequent"),
+        col("__c").as("n_cons")), "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        (col("n_both").cast("double") / lit(n.toDouble)).as("support"),
+        (col("n_both").cast("double") / col("n_ante").cast("double"))
+          .as("confidence"),
+        ((col("n_both").cast("double") / col("n_ante").cast("double")) *
+          (lit(n.toDouble) / col("n_cons").cast("double"))).as("lift"))
+  }
+}

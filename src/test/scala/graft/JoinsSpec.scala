@@ -155,4 +155,41 @@ class JoinsSpec extends SparkSpec {
       plan should not include "Exchange"
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  behavior of "Associations.basketRules (X92)"
+
+  it should "emit hand-computed support/confidence/lift both ways" in {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3}; only (1,2) reaches co >= 2
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 2L), (40L, 3L))
+      .toDF("basket", "item")
+    val got = graft.relational.Associations
+      .basketRules(b, "basket", "item", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    got.keySet shouldBe Set((1L, 2L), (2L, 1L))
+    // n_both=3, n_ante=n_cons=3, N=4: support .75, conf 1, lift 4/3
+    got((1L, 2L)) shouldBe ((3L, 3L, 3L, 0.75, 1.0, 4.0 / 3))
+    got((2L, 1L)) shouldBe ((3L, 3L, 3L, 0.75, 1.0, 4.0 / 3))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "respect minCount and dedupe repeated items in a basket" in {
+    import spark.implicits._
+    val b = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (2L, 9L))
+      .toDF("basket", "item")
+    val rules = graft.relational.Associations
+      .basketRules(b, "basket", "item", minCount = 2)
+    rules.count() shouldBe 0 // no pair reaches 2 baskets
+    val all = graft.relational.Associations
+      .basketRules(b, "basket", "item", minCount = 1)
+      .select(col("antecedent"), col("consequent"), col("n_both"))
+      .as[(Long, Long, Long)].collect().toSet
+    // repeated (1,7) counts once: pair (7,8) co=1, (7,9) co=1
+    all shouldBe Set((7L, 8L, 1L), (8L, 7L, 1L), (7L, 9L, 1L),
+      (9L, 7L, 1L))
+    graft.util.Caches.releaseAll(spark)
+  }
 }
