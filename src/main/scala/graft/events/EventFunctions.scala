@@ -256,4 +256,57 @@ object EventFunctions {
       .agg(max_by(col(c.value), struct(col(c.ts), col(c.id))))
       .withColumnRenamed("anchor_ts", "sync_time")
   }
+
+  /** W12: TIME-BOUNDED N-STEP FUNNEL — per entity, does an ordered
+    * chain step₁ < step₂ < … < stepₙ of event types exist with the
+    * WHOLE chain inside `windowSec` seconds, and when does it first
+    * complete? The product-analytics conversion primitive ("view →
+    * click → purchase within 24 h") that session-scoped funnels (W10)
+    * can't express — a chain may span sessions, and a window bounds it
+    * in TIME, not by gaps.
+    *
+    * Existence is decided by a LATEST-start chain sweep: for the k-th
+    * step row, `start_k = max over preceding step_{k-1} rows of their
+    * start_{k-1}` (step-1 rows start themselves). Each `start_k` is
+    * monotone non-decreasing in event order, so the max over preceding
+    * step rows is just the latest one — and maximizing the chain START
+    * is optimal for a window anchored at the start, so a chain exists
+    * within the window iff the sweep's final-step start satisfies
+    * `ts − start ≤ windowSec`. One pass, N window expressions over ONE
+    * entity-keyed sort — no per-step self-joins, no pair explosion.
+    *
+    * Rows: one per entity — n of final-step events, n converted (their
+    * chain completed in-window), the first completion timestamp, and
+    * the converted flag. Ordering ties (same ts) break by the id
+    * column in both engines. */
+  def timeBoundedFunnel(events: DataFrame, steps: Seq[String],
+      windowSec: Long, c: EventCols = EventCols()): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.ts), col(c.id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsSec = col(c.ts).cast("long")
+    // start_k for the row IF it were a step-k event, built inductively
+    // as real columns (window expressions can't nest); all N windows
+    // share one (entity, ts, id) sort
+    var chain = events.withColumn("__s1",
+      when(col(c.eventType) === steps.head, tsSec))
+    for ((step, k) <- steps.tail.zipWithIndex) {
+      chain = chain.withColumn(s"__s${k + 2}",
+        when(col(c.eventType) === step,
+          max(col(s"__s${k + 1}")).over(w)))
+    }
+    val last = chain
+      .withColumn("__start", col(s"__s${steps.size}"))
+      .filter(col(c.eventType) === steps.last)
+      .withColumn("__conv",
+        col("__start").isNotNull &&
+          tsSec - col("__start") <= windowSec)
+    last.groupBy(col(c.entity))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_final"),
+        sum(when(col("__conv"), 1L).otherwise(0L)).as("n_converted"),
+        min(when(col("__conv"), col(c.ts))).as("first_conversion_ts"))
+      .withColumn("converted", col("n_converted") > 0)
+  }
 }

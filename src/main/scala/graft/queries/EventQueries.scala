@@ -61,6 +61,14 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W12: time-bounded 3-step funnel — view -> click -> purchase with
+    // the whole chain inside 24h, latest-start sweep semantics.
+    "q_w12_time_funnel" -> { (s, dir) =>
+      EventFunctions.timeBoundedFunnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), windowSec = 86400L)
+        .orderBy(col("user_id"))
+    },
+
     // A3/A4/A5: interval count / distinct / sum per entity.
     "q_a3_event_interval_agg" -> { (s, dir) =>
       t(s, dir, "events")
@@ -175,6 +183,43 @@ object EventQueries {
     s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Time funnel: the same latest-start sweep — start_k over strictly
+    // preceding rows in (ts, event_id) order, mirrored window-for-
+    // window; step columns built in two CTE layers because window
+    // expressions can't nest in either engine.
+    "q_w12_time_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN tsec END AS st1
+        |  FROM base),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN
+        |      max(st1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    END AS st2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' THEN
+        |      max(st2) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    END AS st3
+        |  FROM s2),
+        |fin AS (
+        |  SELECT user_id, ts,
+        |    (st3 IS NOT NULL AND tsec - st3 <= 86400) AS conv
+        |  FROM s3 WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(coalesce(sum(CASE WHEN conv THEN 1 END), 0) AS BIGINT)
+        |    AS n_converted,
+        |  min(CASE WHEN conv THEN ts END) AS first_conversion_ts,
+        |  coalesce(sum(CASE WHEN conv THEN 1 END), 0) > 0 AS converted
+        |FROM fin GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Cohort retention: Monday-aligned date_trunc both engines; the
     // offset division is exact (both ends are Mondays).
     "q_e11_cohort_retention" ->

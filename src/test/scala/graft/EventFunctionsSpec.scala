@@ -74,6 +74,69 @@ class EventFunctionsSpec extends SparkSpec {
     cur.agg(min("event_id")).as[Long].head() shouldBe 101L
   }
 
+  behavior of "timeBoundedFunnel (W12)"
+
+  private def fev(rows: (Long, Long, String, Long)*) =
+    rows.map { case (u, sec, ty, id) =>
+      (u, new java.sql.Timestamp(sec * 1000L), ty, id, 1.0) }
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+
+  it should "convert hand-checked chains with whole-chain window semantics" in {
+    val events = fev(
+      // u1: clean chain inside window
+      (1L, 0L, "view", 1L), (1L, 10L, "click", 2L),
+      (1L, 20L, "purchase", 3L),
+      // u2: purchase without a click -> not converted
+      (2L, 0L, "view", 4L), (2L, 10L, "purchase", 5L),
+      // u3: click BEFORE any view must not count; later chain works
+      (3L, 0L, "click", 6L), (3L, 10L, "view", 7L),
+      (3L, 20L, "click", 8L), (3L, 30L, "purchase", 9L),
+      // u4: every gap < window but the WHOLE chain exceeds it
+      (4L, 0L, "view", 10L), (4L, 90L, "click", 11L),
+      (4L, 110L, "purchase", 12L))
+    val got = graft.events.EventFunctions.timeBoundedFunnel(
+        events, Seq("view", "click", "purchase"), windowSec = 100L)
+      .select(col("user_id"), col("n_final"), col("n_converted"),
+        col("converted"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(1L) shouldBe ((1L, 1L, true))
+    got(2L) shouldBe ((1L, 0L, false))
+    got(3L) shouldBe ((1L, 1L, true))
+    got(4L) shouldBe ((1L, 0L, false))
+  }
+
+  it should "prefer the latest restart and report the first completion" in {
+    // stale first chain fails, a restart succeeds; first_conversion_ts
+    // is the succeeding purchase
+    val events = fev(
+      (1L, 0L, "view", 1L), (1L, 5L, "click", 2L),
+      (1L, 200L, "purchase", 3L), // start 0 -> 200 > 100: fails
+      (1L, 250L, "view", 4L), (1L, 260L, "click", 5L),
+      (1L, 300L, "purchase", 6L)) // start 250 -> 50 <= 100: converts
+    val r = graft.events.EventFunctions.timeBoundedFunnel(
+        events, Seq("view", "click", "purchase"), windowSec = 100L)
+      .select(col("n_final"), col("n_converted"),
+        col("first_conversion_ts").cast("long"))
+      .as[(Long, Long, Long)].head()
+    r shouldBe ((2L, 1L, 300L))
+  }
+
+  it should "handle funnels with more than three steps" in {
+    val events = fev(
+      (1L, 0L, "view", 1L), (1L, 10L, "click", 2L),
+      (1L, 20L, "signup", 3L), (1L, 30L, "purchase", 4L),
+      // u2 misses the signup step
+      (2L, 0L, "view", 5L), (2L, 10L, "click", 6L),
+      (2L, 30L, "purchase", 7L))
+    val got = graft.events.EventFunctions.timeBoundedFunnel(
+        events, Seq("view", "click", "signup", "purchase"), 100L)
+      .select(col("user_id"), col("converted"))
+      .as[(Long, Boolean)].collect().toMap
+    got(1L) shouldBe true
+    got(2L) shouldBe false
+  }
+
   behavior of "cohortRetention (E11)"
 
   it should "build the hand-computed weekly retention matrix" in {
