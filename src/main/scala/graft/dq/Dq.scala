@@ -66,6 +66,81 @@ object Dq {
   /** D3: named SQL over previously registered temp views. */
   def view(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /** D5: PSI FEATURE-DRIFT DETECTION (Population Stability Index — the
+    * standard model-monitoring drift score, public knowledge):
+    * `psi = Σ_bins (p_i − q_i)·ln(p_i/q_i)` where p/q are the
+    * reference/current share of each reference-quantile bin; > 0.25 is
+    * the conventional "significant drift" alarm. Bin EDGES come from
+    * the reference distribution as exact type-1 quantiles (the value at
+    * rank ⌈i·n/bins⌉ in (value, id) order — integer rank arithmetic,
+    * no interpolation), so both populations are binned against
+    * identical, engine-exact cut points; shares are clipped at
+    * `minShare` (the standard guard against ln(0) on empty bins).
+    *
+    * Engine parity: edges are data values (bit-exact), bin assignment
+    * is pure comparisons, shares are single correctly-rounded
+    * divisions; only the ln-bearing contribution and the psi total are
+    * rounded (ln is ≤1-ulp in both engines).
+    *
+    * Scale shape: ONE rank window over the reference builds the edges
+    * (bins−1 driver-collected doubles — the centroid pattern); binning
+    * is a when-chain projection; counts are two bins-sized aggregates.
+    * The global rank sort is the exact-quantile cost — at extreme
+    * reference sizes substitute sampled/sketched edges upstream, same
+    * contract. Output: one row per bin + the repeated psi total. */
+  def psiDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String, idCol: String, bins: Int = 10,
+      minShare: Double = 1e-4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val spark = reference.sparkSession
+    def clean(df: DataFrame) = df
+      .select(col(valueCol).cast("double").as("__v"), col(idCol).as("__i"))
+      .filter(col("__v").isNotNull)
+    val refV = graft.util.Caches.persistTracked(clean(reference))
+    val curV = clean(current)
+    val nRef = refV.count()
+    val nCur = curV.count()
+    require(nRef >= bins, s"psiDrift: reference has $nRef rows < $bins bins")
+    require(nCur > 0, "psiDrift: empty current population")
+    val edgeRanks = (1 until bins).map(i => (i * nRef + bins - 1) / bins)
+    val edges = refV
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__v"), col("__i"))))
+      .filter(col("__r").isin(edgeRanks: _*))
+      .select(col("__v")).collect().map(_.getDouble(0)).sorted
+    def binOf(v: org.apache.spark.sql.Column) =
+      edges.foldLeft(lit(1)) { (acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0)
+      }
+    def binCounts(df: DataFrame, out: String) = df
+      .groupBy(binOf(col("__v")).as("bin"))
+      .agg(count(lit(1)).as(out))
+    val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
+    val perBin = spine
+      .join(binCounts(refV, "n_ref"), Seq("bin"), "left")
+      .join(binCounts(curV, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("share_ref",
+        greatest(col("n_ref").cast("double") / lit(nRef.toDouble),
+          lit(minShare)))
+      .withColumn("share_cur",
+        greatest(col("n_cur").cast("double") / lit(nCur.toDouble),
+          lit(minShare)))
+      .withColumn("__contrib",
+        (col("share_ref") - col("share_cur")) *
+          log(col("share_ref") / col("share_cur")))
+    perBin
+      .withColumn("contribution", round(col("__contrib"), 6))
+      .withColumn("psi",
+        round(sum(col("__contrib")).over(
+          Window.partitionBy(lit(1))), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("share_ref"),
+        col("share_cur"), col("contribution"), col("psi"))
+  }
+
   /** D4 plan commands. `input`/`output` keys address the plan context. */
   sealed trait Command { def output: String }
   case class AssertCmd(input: String, validWhere: String, threshold: Double,

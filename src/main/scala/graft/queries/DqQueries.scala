@@ -10,6 +10,18 @@ object DqQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // D5: PSI drift between the first and second half of January's
+    // event values — reference-decile bins, exact edges, clipped
+    // shares; only ln-bearing outputs rounded.
+    "q_d5_psi_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.psiDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value", "event_id", bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -48,6 +60,63 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // PSI: identical edge ranks (integer ceil arithmetic), identical
+    // strict-greater binning against data-exact edges, clipped shares
+    // as single divisions; only ln-bearing outputs rounded.
+    "q_d5_psi_drift" ->
+      """WITH refv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, event_id AS i FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |curv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM refv),
+        |ncur AS (SELECT CAST(count(*) AS BIGINT) AS n FROM curv),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, i) AS r
+        |       FROM refv),
+        |edges AS (
+        |  SELECT rk.v AS e
+        |  FROM range(1, 10) t(i) JOIN rk
+        |    ON rk.r = (t.i * (SELECT n FROM nref) + 9) // 10),
+        |spine AS (SELECT CAST(i AS INTEGER) AS bin
+        |          FROM range(1, 11) t(i)),
+        |rbins AS (
+        |  SELECT CAST(1 + (SELECT count(*) FROM edges e
+        |    WHERE r.v > e.e) AS INTEGER) AS bin
+        |  FROM refv r),
+        |rcnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+        |         FROM rbins GROUP BY 1),
+        |cbins AS (
+        |  SELECT CAST(1 + (SELECT count(*) FROM edges e
+        |    WHERE c.v > e.e) AS INTEGER) AS bin
+        |  FROM curv c),
+        |ccnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur
+        |         FROM cbins GROUP BY 1),
+        |j AS (
+        |  SELECT s.bin, coalesce(r.n_ref, 0) AS n_ref,
+        |    coalesce(c.n_cur, 0) AS n_cur
+        |  FROM spine s
+        |  LEFT JOIN rcnt r ON r.bin = s.bin
+        |  LEFT JOIN ccnt c ON c.bin = s.bin),
+        |sh AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    greatest(CAST(n_ref AS DOUBLE) /
+        |      (SELECT CAST(n AS DOUBLE) FROM nref),
+        |      CAST(0.0001 AS DOUBLE)) AS share_ref,
+        |    greatest(CAST(n_cur AS DOUBLE) /
+        |      (SELECT CAST(n AS DOUBLE) FROM ncur),
+        |      CAST(0.0001 AS DOUBLE)) AS share_cur
+        |  FROM j),
+        |co AS (
+        |  SELECT *, (share_ref - share_cur) *
+        |    ln(share_ref / share_cur) AS contrib
+        |  FROM sh)
+        |SELECT bin, n_ref, n_cur, share_ref, share_cur,
+        |  round(contrib, 6) AS contribution,
+        |  round(sum(contrib) OVER (), 6) AS psi
+        |FROM co ORDER BY bin""".stripMargin,
     // invalid = total - valid, so NULL-predicate rows count as invalid
     // (mirrors Dq.assertion's semantics).
     "q_d1_assertion" ->

@@ -91,4 +91,53 @@ class DqSpec extends SparkSpec {
     // outputPath wrote the report
     spark.read.parquet(s"$base/report.parquet").count() shouldBe 2L
   }
+
+  behavior of "psiDrift (D5)"
+
+  private def pop(vs: Seq[Double]) =
+    vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+
+  it should "score identical populations exactly zero" in {
+    val p = pop((1 to 200).map(_.toDouble))
+    val r = Dq.psiDrift(p, p, "v", "id", bins = 10)
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi"))
+      .as[(Int, Long, Long, Double)].collect()
+    r.length shouldBe 10
+    r.foreach { case (_, nr, nc, psi) =>
+      nr shouldBe 20L
+      nc shouldBe 20L
+      psi shouldBe 0.0 // p == q in every bin: each term is exactly 0
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "alarm on a shifted distribution and stay finite on empty bins" in {
+    val ref = pop((1 to 200).map(_.toDouble))
+    // current mass entirely above the reference's top decile edge
+    val cur = pop((1 to 100).map(i => 1000.0 + i))
+    val rows = Dq.psiDrift(ref, cur, "v", "id", bins = 10)
+      .select(col("bin"), col("n_cur"), col("psi"))
+      .as[(Int, Long, Double)].collect()
+    val psi = rows.head._3
+    psi should be > 0.25 // the conventional "significant drift" alarm
+    psi.isNaN shouldBe false
+    psi.isInfinite shouldBe false // clipping kept ln finite
+    // all current mass landed in the last bin
+    rows.filter(_._1 == 10).map(_._2).head shouldBe 100L
+    rows.filter(_._1 < 10).map(_._2).sum shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "bin against reference edges with deterministic rank ties" in {
+    // many ties: edges land on repeated values; both populations must
+    // bin identically and counts must cover everything
+    val ref = pop(Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0))
+    val cur = pop(Seq.fill(30)(1.0) ++ Seq.fill(70)(2.0))
+    val rows = Dq.psiDrift(ref, cur, "v", "id", bins = 4)
+      .select(col("n_ref"), col("n_cur"))
+      .as[(Long, Long)].collect()
+    rows.map(_._1).sum shouldBe 100L
+    rows.map(_._2).sum shouldBe 100L
+    graft.util.Caches.releaseAll(spark)
+  }
 }
