@@ -88,6 +88,90 @@ object Dq {
     * The global rank sort is the exact-quantile cost — at extreme
     * reference sizes substitute sampled/sketched edges upstream, same
     * contract. Output: one row per bin + the repeated psi total. */
+  /** D6: CHI-SQUARE CATEGORICAL DRIFT — the PSI complement for
+    * categorical features (language mix, source mix, event-type mix):
+    * `chi2 = Σ_cats (o_i − e_i)²/e_i` with observed = current counts
+    * and expected = current total × smoothed reference share
+    * `(n_ref_i + ½) / (n_ref + ½·K)` (add-half smoothing keeps e > 0
+    * for categories the reference never saw — the classic unseen-
+    * category failure of the raw statistic). Everything is exact
+    * integers and half-integers through correctly-rounded IEEE ops —
+    * per-category outputs are BIT-IDENTICAL cross-engine with no
+    * rounding; only the K-term total is rounded (distributed sum
+    * order). Output: one row per category + dof + the repeated total.
+    *
+    * Scale shape: two category-sized aggregates and a category-spine
+    * join — corpus-size-independent beyond the scans. */
+  def chiSquareDrift(reference: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cnts(df: DataFrame, out: String) = df
+      .select(coalesce(col(catCol).cast("string"), lit("__null"))
+        .as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as(out))
+    val ref = cnts(reference, "n_ref")
+    val cur = cnts(current, "n_cur")
+    val spine = graft.util.Caches.persistTracked(
+      ref.join(cur, Seq("category"), "full_outer")
+        .select(col("category"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+    val row = spine.agg(sum(col("n_ref")), sum(col("n_cur")),
+      count(lit(1))).head()
+    val (nRef, nCur, k) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(nRef > 0 && nCur > 0, "chiSquareDrift: empty population")
+    val expected = ((col("n_ref").cast("double") + lit(0.5)) /
+      lit(nRef.toDouble + 0.5 * k)) * lit(nCur.toDouble)
+    spine
+      .withColumn("expected", expected)
+      .withColumn("contribution",
+        ((col("n_cur").cast("double") - col("expected")) *
+          (col("n_cur").cast("double") - col("expected"))) /
+          col("expected"))
+      .withColumn("dof", lit(k - 1))
+      .withColumn("chi2",
+        round(sum(col("contribution")).over(
+          Window.partitionBy(lit(1))), 6))
+  }
+
+  /** D7: KOLMOGOROV–SMIRNOV DRIFT — the nonparametric numeric-drift
+    * statistic: `ks = max_x |F_ref(x) − F_cur(x)|` over the pooled
+    * sample, where F is the empirical CDF (share of values ≤ x).
+    * Pure exact arithmetic end to end — cumulative integer counts,
+    * one correctly-rounded division per side, exact |·| and max — so
+    * the statistic is BIT-IDENTICAL cross-engine with no rounding or
+    * tolerance anywhere.
+    *
+    * Scale shape: one (value)-keyed aggregate then a cumulative window
+    * over DISTINCT pooled values. The window is a global order — for
+    * extreme distinct-value cardinality substitute the two-phase
+    * prefix-sum pattern ([[graft.curate.Curation.contextManifest]]),
+    * same contract. Output: one row (n_ref, n_cur, ks_stat). */
+  def ksDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = graft.util.Caches.persistTracked(
+      clean(reference, 1L, 0L).unionByName(clean(current, 0L, 1L))
+        .groupBy(col("__v"))
+        .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc")))
+    val tot = pooled.agg(sum(col("nr")), sum(col("nc"))).head()
+    val (nRef, nCur) = (tot.getLong(0), tot.getLong(1))
+    require(nRef > 0 && nCur > 0, "ksDrift: empty population")
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled
+      .withColumn("__gap", abs(
+        sum(col("nr")).over(w).cast("double") / lit(nRef.toDouble) -
+          sum(col("nc")).over(w).cast("double") / lit(nCur.toDouble)))
+      .agg(max(col("__gap")).as("ks_stat"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        col("ks_stat"))
+  }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {

@@ -22,6 +22,28 @@ object DqQueries {
         .orderBy(col("bin"))
     },
 
+    // D6: chi-square categorical drift of the event-type mix between
+    // January's halves — add-half smoothing, bit-identical per-category
+    // arithmetic, only the total rounded.
+    "q_d6_chi2_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.chiSquareDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "event_type")
+        .orderBy(col("category"))
+    },
+
+    // D7: Kolmogorov-Smirnov drift of event values between January's
+    // halves — exact empirical-CDF gap, no rounding anywhere.
+    "q_d7_ks_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.ksDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value")
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -60,6 +82,84 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // Chi-square: same add-half smoothed expectation, every operand
+    // exact (integers/half-integers), CAST(0.5 AS DOUBLE) so DuckDB's
+    // decimal literal can't change the arithmetic.
+    "q_d6_chi2_drift" ->
+      """WITH r AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '__null')
+        |    AS category
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |c AS (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '__null')
+        |    AS category
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |rc AS (SELECT category, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM r GROUP BY 1),
+        |cc AS (SELECT category, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM c GROUP BY 1),
+        |spine AS (
+        |  SELECT coalesce(rc.category, cc.category) AS category,
+        |    coalesce(rc.n_ref, 0) AS n_ref,
+        |    coalesce(cc.n_cur, 0) AS n_cur
+        |  FROM rc FULL JOIN cc ON rc.category = cc.category),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS nref,
+        |    CAST(sum(n_cur) AS DOUBLE) AS ncur,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM spine),
+        |e AS (
+        |  SELECT s.category, s.n_ref, s.n_cur,
+        |    ((CAST(s.n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |      ((SELECT nref FROM t) +
+        |        CAST(0.5 AS DOUBLE) * (SELECT k FROM t))) *
+        |      (SELECT ncur FROM t) AS expected
+        |  FROM spine s),
+        |co AS (
+        |  SELECT *,
+        |    ((CAST(n_cur AS DOUBLE) - expected) *
+        |      (CAST(n_cur AS DOUBLE) - expected)) / expected
+        |      AS contribution
+        |  FROM e)
+        |SELECT category, n_ref, n_cur, expected, contribution,
+        |  (SELECT k FROM t) - 1 AS dof,
+        |  round(sum(contribution) OVER (), 6) AS chi2
+        |FROM co ORDER BY category""".stripMargin,
+    // KS: exact pooled empirical-CDF gap — cumulative integer counts,
+    // one division per side, exact abs/max; zero tolerance needed.
+    "q_d7_ks_drift" ->
+      """WITH rv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |cv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |pooled AS (
+        |  SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc
+        |  FROM (
+        |    SELECT v, 1 AS r, 0 AS c FROM rv
+        |    UNION ALL
+        |    SELECT v, 0, 1 FROM cv)
+        |  GROUP BY v),
+        |t AS (SELECT CAST(sum(nr) AS DOUBLE) AS nref,
+        |    CAST(sum(nc) AS DOUBLE) AS ncur,
+        |    CAST(sum(nr) AS BIGINT) AS nrl,
+        |    CAST(sum(nc) AS BIGINT) AS ncl
+        |  FROM pooled),
+        |g AS (
+        |  SELECT abs(
+        |    CAST(sum(nr) OVER w AS DOUBLE) / (SELECT nref FROM t) -
+        |    CAST(sum(nc) OVER w AS DOUBLE) / (SELECT ncur FROM t))
+        |    AS gap
+        |  FROM pooled
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT (SELECT nrl FROM t) AS n_ref,
+        |  (SELECT ncl FROM t) AS n_cur,
+        |  max(gap) AS ks_stat
+        |FROM g""".stripMargin,
     // PSI: identical edge ranks (integer ceil arithmetic), identical
     // strict-greater binning against data-exact edges, clipped shares
     // as single divisions; only ln-bearing outputs rounded.

@@ -92,6 +92,57 @@ class DqSpec extends SparkSpec {
     spark.read.parquet(s"$base/report.parquet").count() shouldBe 2L
   }
 
+  behavior of "chiSquareDrift (D6)"
+
+  it should "match the hand-computed smoothed statistic" in {
+    val ref = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("cat")
+    val cur = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("cat")
+    val rows = Dq.chiSquareDrift(ref, cur, "cat")
+      .select(col("category"), col("expected"), col("contribution"),
+        col("dof"), col("chi2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val ea = 8.5 / 11.0 * 10.0
+    val eb = 2.5 / 11.0 * 10.0
+    rows("a")._1 shouldBe ea
+    rows("b")._1 shouldBe eb
+    rows("a")._2 shouldBe ((5 - ea) * (5 - ea) / ea) +- 1e-12
+    rows("a")._3 shouldBe 1L
+    rows("a")._4 shouldBe
+      BigDecimal((5 - ea) * (5 - ea) / ea + (5 - eb) * (5 - eb) / eb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "stay finite on categories the reference never saw" in {
+    val ref = Seq.fill(10)("a").toDF("cat")
+    val cur = (Seq.fill(5)("a") ++ Seq.fill(5)("z")).toDF("cat")
+    val chi2 = Dq.chiSquareDrift(ref, cur, "cat")
+      .select(col("chi2")).as[Double].head()
+    chi2.isNaN shouldBe false
+    chi2.isInfinite shouldBe false
+    chi2 should be > 0.0
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  behavior of "ksDrift (D7)"
+
+  it should "compute exact hand-checked CDF gaps" in {
+    def pop2(vs: Double*) = vs.toSeq.toDF("v")
+    // identical -> exactly 0
+    Dq.ksDrift(pop2(1, 2, 3), pop2(1, 2, 3), "v")
+      .select(col("ks_stat")).as[Double].head() shouldBe 0.0
+    // ref {1,2,3,4} vs cur {3,4,5,6}: max gap at v in {2,3,4} = 0.5
+    Dq.ksDrift(pop2(1, 2, 3, 4), pop2(3, 4, 5, 6), "v")
+      .select(col("n_ref"), col("n_cur"), col("ks_stat"))
+      .as[(Long, Long, Double)].head() shouldBe ((4L, 4L, 0.5))
+    // fully disjoint -> exactly 1
+    Dq.ksDrift(pop2(1, 2), pop2(10, 11), "v")
+      .select(col("ks_stat")).as[Double].head() shouldBe 1.0
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "psiDrift (D5)"
 
   private def pop(vs: Seq[Double]) =
