@@ -142,6 +142,57 @@ object Communities {
           .as("clustering_coef"))
   }
 
+  /** X93: K-CORE extraction (Seidman 1983, public knowledge) — the
+    * maximal subgraph where every node keeps >= k neighbours INSIDE the
+    * subgraph: the standard "structurally engaged" cut that degree
+    * alone can't make (a degree-k node whose neighbours all peel away
+    * is not in the core). Web-graph curation uses it to separate
+    * densely interlinked content from chains of pointers.
+    *
+    * Synchronous peeling to the FIXPOINT: each round recomputes
+    * within-subgraph degrees and drops every node below k at once —
+    * deterministic (no peel order), and over-iterating past
+    * convergence is a no-op, which is what lets a fixed-unroll SQL
+    * oracle mirror a converged run exactly.
+    *
+    * Scale shape: the undirected edge set is checkpointed ONCE; each
+    * round is two semi-joins of edges against the (shrinking)
+    * member table + one degree aggregate; membership is eagerly
+    * localCheckpoint'ed per round (constant-size plans, the
+    * [[PageRank]] discipline). The driver sees one count per round —
+    * peeling rounds, not nodes. Returns the member nodes. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = graft.util.Caches.trackCheckpointed(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .repartition(col("a")).localCheckpoint(true))
+    var members = graft.util.Caches.trackCheckpointed(
+      und.select(col("a").as("node")).distinct().localCheckpoint(true))
+    var n = members.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val next = graft.util.Caches.trackCheckpointed(
+        und
+          .join(members.withColumnRenamed("node", "a"), "a")
+          .join(members.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k)
+          .select(col("a").as("node")).localCheckpoint(true))
+      val nn = next.count()
+      converged = nn == n
+      n = nn
+      members = next
+    }
+    members
+  }
+
   /** X86: HITS hubs & authorities (Kleinberg 1999, public knowledge) by
     * fixed-iteration mutual recursion with L1 normalization:
     * `a'(v) = Σ_{u→v} h(u) / Σa'`, then `h'(v) = Σ_{v→u} a'(u) / Σh'`

@@ -101,6 +101,19 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X93: 3-core of the planted block graph — synchronous peeling to
+    // the fixpoint; the oracle unrolls 6 rounds (converges in 2 at
+    // sf0.01; over-unrolling past the fixpoint is a no-op).
+    "q_x93_kcore" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      graft.graph.Communities.kCore(es, "src", "dst", k = 3)
+        .orderBy(col("node"))
+    },
+
     // X83: PageRank quality centrality over a deterministic synthetic
     // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
     // self-links dropped — a scrambled, hub-forming shape both engines
@@ -333,7 +346,33 @@ object GraphQueries {
       |FROM deg d LEFT JOIN pern p ON p.v = d.v
       |ORDER BY node""".stripMargin
 
+  /** DuckDB mirror of [[graft.graph.Communities.kCore]] at q_x93's
+    * settings: 6 unrolled synchronous peels (fixture converges in 2;
+    * extra rounds are no-ops at the fixpoint). */
+  private val kCoreOracle: String = {
+    def iter(i: Int): String =
+      s"""d$i AS (
+         |  SELECT u.a, count(*) AS c FROM und u
+         |  JOIN rem${i - 1} ra ON ra.v = u.a
+         |  JOIN rem${i - 1} rb ON rb.v = u.b
+         |  GROUP BY u.a),
+         |rem$i AS (SELECT a AS v FROM d$i WHERE c >= 3)""".stripMargin
+    s"""WITH ed0 AS (
+       |  SELECT doc_id AS a,
+       |    (doc_id - doc_id % 16) + ((doc_id % 16) * 3 + j) % 16 AS b
+       |  FROM documents, range(1, 3) AS r(j)),
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ed0 WHERE a <> b
+       |    UNION ALL
+       |    SELECT b, a FROM ed0 WHERE a <> b)),
+       |rem0 AS (SELECT DISTINCT a AS v FROM und),
+       |${(1 to 6).map(iter).mkString(",\n")}
+       |SELECT v AS node FROM rem6 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x93_kcore" -> kCoreOracle,
     "q_x91_triangle_count" -> triangleOracle,
     "q_x85_label_propagation" -> labelPropagationOracle,
     "q_x86_hits" -> hitsOracle,

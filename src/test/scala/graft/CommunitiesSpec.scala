@@ -82,6 +82,28 @@ class CommunitiesSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "kCore"
+
+  it should "peel a tail off a K4 and keep the core" in {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    Communities.kCore(edges, "src", "dst", k = 3)
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "cascade a path graph to an empty 2-core across rounds" in {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    Communities.kCore(path, "src", "dst", k = 2).count() shouldBe 0L
+    // the cycle closes the path: every node keeps 2 neighbours
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 1L)).toDF("src", "dst")
+    Communities.kCore(cycle, "src", "dst", k = 2)
+      .count() shouldBe 5L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "triangleCounts"
 
   it should "count hand-checked triangles and coefficients" in {
