@@ -13,6 +13,33 @@ object FeatureQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // F14: point-in-time training matrix — purchase labels pick up the
+    // latest view value and the cumulative click count visible at each
+    // label's own timestamp (no leakage); oracle = two native DuckDB
+    // ASOF LEFT JOINs.
+    "q_f14_training_matrix" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("label"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("last_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("n_cum",
+          sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)).cast("long"))
+        .drop("__c")
+      graft.ml.FeaturePrep.pointInTimeMatrix(labels, Seq("user_id"),
+          "ts", Seq(("view", views, "ts"), ("clicks", clicks, "ts")))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
     // E1: weekly activity buckets (count + value sum per entity-week).
     "q_e1_weekly_activity" -> { (s, dir) =>
       EventFeatures.weeklyActivity(t(s, dir, "events"), "view")
@@ -71,6 +98,35 @@ object FeatureQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // Training matrix: two completely independent formulations — the
+    // union+window Spark fold vs DuckDB's NATIVE ASOF LEFT JOIN chain.
+    "q_f14_training_matrix" ->
+      """WITH labels AS (
+        |  SELECT user_id, ts, event_id, value AS label
+        |  FROM events WHERE event_type = 'purchase'),
+        |fv AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_last_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |ck0 AS (
+        |  SELECT user_id, ts, count(*) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |ck AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS clicks_n_cum
+        |  FROM ck0),
+        |j1 AS (
+        |  SELECT l.user_id, l.ts, l.event_id, l.label,
+        |    f.view_last_value, f.ts AS view_asof_ts
+        |  FROM labels l ASOF LEFT JOIN fv f
+        |    ON l.user_id = f.user_id AND l.ts >= f.ts),
+        |j2 AS (
+        |  SELECT j1.*, c.clicks_n_cum, c.ts AS clicks_asof_ts
+        |  FROM j1 ASOF LEFT JOIN ck c
+        |    ON j1.user_id = c.user_id AND j1.ts >= c.ts)
+        |SELECT user_id, ts, event_id, label, view_last_value,
+        |  view_asof_ts, clicks_n_cum, clicks_asof_ts
+        |FROM j2 ORDER BY user_id, ts, event_id""".stripMargin,
     "q_e1_weekly_activity" ->
       """SELECT user_id,
         |  CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,

@@ -156,6 +156,45 @@ class JoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  behavior of "FeaturePrep.pointInTimeMatrix (F14)"
+
+  it should "assemble leakage-free features from multiple tables" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val labels = Seq((1L, ts("2024-01-10 00:00:00"), 100L, 1.0))
+      .toDF("user_id", "ts", "event_id", "label")
+    val fa = Seq(
+      (1L, ts("2024-01-09 00:00:00"), 7.0), // visible
+      (1L, ts("2024-01-11 00:00:00"), 9.0)) // AFTER the label: unseen
+      .toDF("user_id", "ts", "v")
+    val fb = Seq((1L, ts("2024-01-05 00:00:00"), 3L))
+      .toDF("user_id", "ts", "n")
+    val m = graft.ml.FeaturePrep.pointInTimeMatrix(labels,
+      Seq("user_id"), "ts", Seq(("a", fa, "ts"), ("b", fb, "ts")))
+    val r = m.select(col("a_v"), col("b_n"),
+      col("a_asof_ts").cast("string"), col("b_asof_ts").cast("string"))
+      .as[(Double, Long, String, String)].head()
+    r._1 shouldBe 7.0 // not the future 9.0
+    r._2 shouldBe 3L
+    r._3 shouldBe "2024-01-09 00:00:00"
+    r._4 shouldBe "2024-01-05 00:00:00"
+  }
+
+  it should "reject duplicate feature prefixes and keep missing features NULL" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val labels = Seq((1L, ts("2024-01-10 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "label")
+    val f = Seq((2L, ts("2024-01-09 00:00:00"), 7.0)) // other user only
+      .toDF("user_id", "ts", "v")
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.FeaturePrep.pointInTimeMatrix(labels, Seq("user_id"),
+        "ts", Seq(("x", f, "ts"), ("x", f, "ts")))
+    val m = graft.ml.FeaturePrep.pointInTimeMatrix(labels,
+      Seq("user_id"), "ts", Seq(("x", f, "ts")))
+    m.select(col("x_v")).collect().head.isNullAt(0) shouldBe true
+  }
+
   behavior of "Associations.basketRules (X92)"
 
   it should "emit hand-computed support/confidence/lift both ways" in {
