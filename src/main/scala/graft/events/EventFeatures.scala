@@ -216,6 +216,40 @@ object EventFeatures {
         col("n_active"), col("retention_rate"))
   }
 
+  /** E13: ROLLING ACTIVE USERS (DAU / trailing-window WAU /
+    * stickiness) — the standard engagement triple: per calendar day,
+    * distinct actives that day, distinct actives over the trailing
+    * `windowDays`, and their ratio (DAU/WAU "stickiness").
+    *
+    * Distinct-over-sliding-window has no direct window-function form;
+    * the scalable shape is CONTRIBUTION EXPLOSION: each distinct
+    * (user, day) pair contributes to the `windowDays` window-ends it
+    * falls inside (a fixed ×W row fan-out — never a per-day rescan of
+    * history), then one distinct + one count per window-end. Days are
+    * kept only where the corpus has activity (inner join to DAU).
+    * All counts exact; stickiness is one correctly-rounded division —
+    * bit-identical cross-engine, no rounding. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = graft.util.Caches.persistTracked(
+      events.select(col(userCol).as("__u"),
+        col(tsCol).cast("date").as("__d")).distinct())
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("__u"), col("__d"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__o"))
+      .select(col("__u"), date_add(col("__d"), col("__o")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** E12: RFM SCORING (recency / frequency / monetary quintiles) — the
     * classic customer-value feature vector: per user, days since last
     * activity as of `asOfDate`, event count, and value sum, each

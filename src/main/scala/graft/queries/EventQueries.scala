@@ -69,6 +69,13 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E13: rolling DAU/WAU/stickiness with a 7-day trailing window —
+    // contribution-explosion form, exact counts, one division.
+    "q_e13_stickiness" -> { (s, dir) =>
+      EventFeatures.rollingActiveUsers(t(s, dir, "events"), 7)
+        .orderBy(col("day"))
+    },
+
     // A3/A4/A5: interval count / distinct / sum per entity.
     "q_a3_event_interval_agg" -> { (s, dir) =>
       t(s, dir, "events")
@@ -183,6 +190,24 @@ object EventQueries {
     s"  max(CASE WHEN event_type = '$f' THEN value END) AS $f").mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Stickiness: same contribution explosion (range 0..6, date + int
+    // days), distinct per window-end, inner join to active days.
+    "q_e13_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT u, d + CAST(o AS INTEGER) AS day
+        |  FROM ud, range(0, 7) AS r(o)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |        FROM contrib GROUP BY 1)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |    AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY day""".stripMargin,
     // Time funnel: the same latest-start sweep — start_k over strictly
     // preceding rows in (ts, event_id) order, mirrored window-for-
     // window; step columns built in two CTE layers because window

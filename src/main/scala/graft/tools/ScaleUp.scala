@@ -83,6 +83,18 @@ object ScaleUp {
       // not line content
       df.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off))
     }
+    // events: user/event key shift, timestamps unchanged — 10x the
+    // users over the same month (read through Tables.t so NANOS/NTZ
+    // driver generations normalize; written back as plain TIMESTAMP)
+    locally {
+      val base = graft.Tables.t(spark, src, "events")
+      (0 until copies).map { k =>
+        base.withColumn("user_id", col("user_id") + lit(k * Off))
+          .withColumn("event_id", col("event_id") + lit(k * Off))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      println(s"[scaleup] events x$copies written")
+    }
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$dst/region.parquet")
     println(s"[scaleup] done -> $dst")

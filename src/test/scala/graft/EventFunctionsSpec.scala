@@ -159,6 +159,24 @@ class EventFunctionsSpec extends SparkSpec {
     got.size shouldBe 4 // no empty-offset rows invented
   }
 
+  behavior of "rollingActiveUsers (E13)"
+
+  it should "compute hand-checked DAU/WAU with a trailing window" in {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-02 10:00:00")),
+      (2L, t("2024-01-02 11:00:00"))) // same user+day counted once
+      .toDF("user_id", "ts")
+    val got = graft.events.EventFeatures.rollingActiveUsers(events, 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got("2024-01-01") shouldBe ((1L, 1L, 1.0))
+    // day 2: u2 active today, u1 still inside the trailing-2 window
+    got("2024-01-02") shouldBe ((1L, 2L, 0.5))
+    got.size shouldBe 2 // no rows invented for inactive days
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "rfmScores (E12)"
 
   it should "score hand-computed recency/frequency/monetary quintiles" in {
