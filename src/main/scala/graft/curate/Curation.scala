@@ -206,6 +206,38 @@ object Curation {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
   }
 
+  /** X94: LEAKAGE-SAFE train/test SPLIT — the dedup-aware split that
+    * hash-splitting by document id cannot give: near-duplicate
+    * documents must land on the SAME side, or the test set leaks into
+    * training through paraphrase-level copies (the classic eval
+    * contamination the Lee et al. 2021 line of work measures). Groups
+    * are the X17 MinHash+LSH near-dup clusters (singletons group as
+    * themselves); the split decision hashes the GROUP id, so every
+    * member inherits one verdict.
+    *
+    * Scale shape: prices one X2/X17 clustering pass (banded LSH, never
+    * O(n²)) plus one left join of the corpus against the cluster table
+    * and a pure hash projection — rerun-stable, engine-reproducible,
+    * and growing the corpus never flips an existing group's side
+    * (the [[stratifiedSample]] determinism contract, at group level).
+    * Output: (id, group_id, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      testFraction: Double, seed: String, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 4, minMatch: Int = 8): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0, 1], got $testFraction")
+    val clusters = graft.text.Dedup.nearDuplicateClusters(df, idCol,
+        textCol, shingleN, k, bands, minMatch)
+      .select(col("doc_id").as("__cd"), col("cluster_id"))
+    df.select(col(idCol))
+      .join(clusters, col(idCol) === col("__cd"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(uniformHash(col("group_id"), seed) < testFraction,
+          lit("test")).otherwise(lit("train")))
+      .select(col(idCol), col("group_id"), col("split"))
+  }
+
   /** X34: the COMPOSED curation pipeline — normalize → quality-rule
     * verdict → exact dedup (canonical = min id over the NORMALIZED text,
     * so documents differing only in markup/whitespace dedup together —

@@ -679,6 +679,15 @@ object TextQueries {
         .orderBy(col("x"), col("y"))
     },
 
+    // X94: leakage-safe split — near-dup clusters (X17 kernel) decide
+    // as GROUPS which side of the train/test cut they land on, so
+    // paraphrase copies can never straddle the split.
+    "q_x94_leakage_split" -> { (s, dir) =>
+      graft.curate.Curation.leakageSafeSplit(t(s, dir, "documents"),
+        "doc_id", "text", testFraction = 0.2, seed = "sp1")
+        .orderBy(col("doc_id"))
+    },
+
     // X71: fixed-k eval-set carve — exactly min(k, |stratum|) docs per
     // language by md5-hash rank with id tie-break; the rank itself is
     // pinned cross-engine.
@@ -2850,6 +2859,31 @@ object TextQueries {
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |LEFT JOIN tw ON d.doc_id = tw.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Leakage-safe split: the x17 cluster chain (recursive CTE), then
+    // the group id — not the doc id — goes through the x12 hash-split.
+    "q_x94_leakage_split" ->
+      s"""WITH RECURSIVE ${minhashNmCte()},
+         |prs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a),
+         |cc AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT)
+         |    AS cluster_id
+         |  FROM reach GROUP BY v),
+         |g AS (
+         |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id)
+         |    AS group_id
+         |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+         |sm AS (SELECT doc_id, group_id,
+         |    md5('sp1:' || CAST(group_id AS VARCHAR)) AS m
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN (${hexDigitSum(1, 8)}) / 4294967296.0 < 0.2
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM sm ORDER BY doc_id""".stripMargin,
     // Priority sampling: q = w·2^32/(x+1) is one correctly-rounded IEEE
     // division of exactly-representable integers (n_chars·2^32 < 2^53),
     // so priorities — and hence the top-100 set — are bit-identical to

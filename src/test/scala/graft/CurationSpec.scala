@@ -369,6 +369,46 @@ class CurationSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "leakageSafeSplit (X94)"
+
+  it should "keep near-duplicate documents on the same side" in {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1
+      (3L, "completely different text about spark shuffles and " +
+        "partitions and exchanges and codegen stages everywhere")) ++
+      (10L to 49L).map(i => (i, s"unique filler document number $i " +
+        s"with its own words token$i alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i")))
+      .toDF("doc_id", "text")
+    val s = Curation.leakageSafeSplit(docs, "doc_id", "text", 0.5, "t1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    s(1L)._1 shouldBe s(2L)._1 // same near-dup group
+    s(1L)._2 shouldBe s(2L)._2 // hence same split side
+    s(3L)._1 shouldBe 3L // singleton groups as itself
+    // both sides populated at fraction 0.5 over ~43 groups
+    val sides = s.values.map(_._2).toSet
+    sides shouldBe Set("train", "test")
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "be invariant per group under corpus growth" in {
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"solo doc $i words token$i alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i iota$i")).toDF("doc_id", "text")
+    val small = Curation.leakageSafeSplit(mk(1L to 30L), "doc_id",
+      "text", 0.3, "g1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grown = Curation.leakageSafeSplit(mk(1L to 60L), "doc_id",
+      "text", 0.3, "g1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L to 30L).foreach { i => grown(i) shouldBe small(i) }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "prioritySample"
 
   it should "return exactly k rows with contiguous ranks, deterministically" in {
