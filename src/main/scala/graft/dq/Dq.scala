@@ -88,6 +88,61 @@ object Dq {
     * The global rank sort is the exact-quantile cost — at extreme
     * reference sizes substitute sampled/sketched edges upstream, same
     * contract. Output: one row per bin + the repeated psi total. */
+  /** D8: COLUMN PROFILING (the Deequ/TopNotch-profile shape, public
+    * knowledge) — per column, exact row/null/distinct counts plus
+    * min/max/mean for numeric columns and min/max for strings: the
+    * first pass every data-quality onboarding runs.
+    *
+    * ONE aggregate pass over the table computes every statistic (the
+    * per-column expressions all ride the same job); the result is a
+    * columns-sized table built from that single row. Exact-count
+    * distincts are the honest default — at extreme cardinality swap in
+    * `approx_count_distinct`, same contract. The numeric mean goes
+    * through DECIMAL(38,10) (exact integer-scaled sum) and divides
+    * once — bit-identical cross-engine, no tolerance. Non-numeric,
+    * non-string columns profile counts only. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    require(cols.nonEmpty, "profile needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def kind(c: String) = df.schema(c).dataType match {
+      case _: NumericType => "numeric"
+      case StringType => "string"
+      case _ => "other"
+    }
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+      kind(c) match {
+        case "numeric" => base ++ Seq(
+          min(col(c).cast("double")).as(s"__mn_$c"),
+          max(col(c).cast("double")).as(s"__mx_$c"),
+          sum(col(c).cast("decimal(38,10)")).cast("double")
+            .as(s"__sm_$c"))
+        case "string" => base ++ Seq(
+          min(col(c)).as(s"__mns_$c"), max(col(c)).as(s"__mxs_$c"))
+        case _ => base
+      }
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val n = row.getAs[Long]("__n")
+    def opt[T](name: String): Option[T] =
+      if (row.schema.fieldNames.contains(name) && !row.isNullAt(
+        row.fieldIndex(name))) Some(row.getAs[T](name)) else None
+    cols.map { c =>
+      val nn = row.getAs[Long](s"__nn_$c")
+      val mean = opt[Double](s"__sm_$c").map(_ / nn)
+      (c, kind(c), n, n - nn, row.getAs[Long](s"__nd_$c"),
+        opt[Double](s"__mn_$c"), opt[Double](s"__mx_$c"),
+        mean.map(m => BigDecimal(m).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble),
+        opt[String](s"__mns_$c"), opt[String](s"__mxs_$c"))
+    }.toDF("column", "kind", "n_rows", "n_nulls", "n_distinct",
+      "num_min", "num_max", "num_mean", "str_min", "str_max")
+  }
+
   /** D6: CHI-SQUARE CATEGORICAL DRIFT — the PSI complement for
     * categorical features (language mix, source mix, event-type mix):
     * `chi2 = Σ_cats (o_i − e_i)²/e_i` with observed = current counts

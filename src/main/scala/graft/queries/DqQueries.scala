@@ -44,6 +44,15 @@ object DqQueries {
         "value")
     },
 
+    // D8: one-pass column profiling of lineitem — exact counts and
+    // distincts, decimal-exact numeric means, string min/max.
+    "q_d8_profile" -> { (s, dir) =>
+      Dq.profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag",
+          "l_shipdate"))
+        .orderBy(col("column"))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -82,6 +91,53 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // Profiler: one row per column, numeric means through the same
+    // DECIMAL(38,10)-exact sum and single division.
+    "q_d8_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", 'numeric' AS kind,
+           |  CAST((SELECT n FROM t) AS BIGINT) AS n_rows,
+           |  CAST((SELECT n FROM t) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS num_min,
+           |  CAST(max($c) AS DOUBLE) AS num_max,
+           |  round(CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE) /
+           |    count($c), 6) AS num_mean,
+           |  CAST(NULL AS VARCHAR) AS str_min,
+           |  CAST(NULL AS VARCHAR) AS str_max
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", 'string' AS kind,
+           |  CAST((SELECT n FROM t) AS BIGINT) AS n_rows,
+           |  CAST((SELECT n FROM t) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS num_min,
+           |  CAST(NULL AS DOUBLE) AS num_max,
+           |  CAST(NULL AS DOUBLE) AS num_mean,
+           |  min($c) AS str_min, max($c) AS str_max
+           |FROM lineitem""".stripMargin
+      def other(c: String) =
+        s"""SELECT '$c' AS "column", 'other' AS kind,
+           |  CAST((SELECT n FROM t) AS BIGINT) AS n_rows,
+           |  CAST((SELECT n FROM t) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS num_min,
+           |  CAST(NULL AS DOUBLE) AS num_max,
+           |  CAST(NULL AS DOUBLE) AS num_mean,
+           |  CAST(NULL AS VARCHAR) AS str_min,
+           |  CAST(NULL AS VARCHAR) AS str_max
+           |FROM lineitem""".stripMargin
+      s"""WITH t AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT * FROM (
+         |${num("l_quantity")}
+         |UNION ALL
+         |${num("l_extendedprice")}
+         |UNION ALL
+         |${str("l_returnflag")}
+         |UNION ALL
+         |${other("l_shipdate")})
+         |ORDER BY "column"""".stripMargin
+    },
     // Chi-square: same add-half smoothed expectation, every operand
     // exact (integers/half-integers), CAST(0.5 AS DOUBLE) so DuckDB's
     // decimal literal can't change the arithmetic.

@@ -92,6 +92,42 @@ class DqSpec extends SparkSpec {
     spark.read.parquet(s"$base/report.parquet").count() shouldBe 2L
   }
 
+  behavior of "profile (D8)"
+
+  it should "profile mixed columns in one pass with exact stats" in {
+    val df = Seq(
+      (Some(1.0), Some("a"), 1L), (Some(3.0), Some("b"), 2L),
+      (None, None, 3L), (Some(2.0), Some("a"), 4L))
+      .toDF("x", "s", "k")
+    val got = Dq.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    x.getString(1) shouldBe "numeric"
+    x.getLong(2) shouldBe 4L // n_rows
+    x.getLong(3) shouldBe 1L // n_nulls
+    x.getLong(4) shouldBe 3L // n_distinct
+    x.getDouble(5) shouldBe 1.0
+    x.getDouble(6) shouldBe 3.0
+    x.getDouble(7) shouldBe 2.0 // exact decimal mean of {1,2,3}
+    val s = got("s")
+    s.getString(1) shouldBe "string"
+    s.getString(8) shouldBe "a"
+    s.getString(9) shouldBe "b"
+    s.isNullAt(5) shouldBe true // no numeric stats for strings
+  }
+
+  it should "leave stats NULL for all-null and non-profilable columns" in {
+    val df = Seq((Option.empty[Double], java.sql.Timestamp.valueOf(
+      "2024-01-01 00:00:00"))).toDF("x", "ts")
+    val got = Dq.profile(df, Seq("x", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("x").getLong(3) shouldBe 1L
+    got("x").isNullAt(7) shouldBe true // no mean of nothing
+    got("ts").getString(1) shouldBe "other"
+    got("ts").getLong(4) shouldBe 1L
+    got("ts").isNullAt(5) shouldBe true
+  }
+
   behavior of "chiSquareDrift (D6)"
 
   it should "match the hand-computed smoothed statistic" in {
