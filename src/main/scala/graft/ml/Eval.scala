@@ -65,4 +65,64 @@ object Eval {
         when(col("n_kept") > 0,
           round(col("n_correct_kept") / col("n_kept"), 4)).as("precision"))
   }
+
+  /** F15: CALIBRATION CURVE + ECE (reliability diagram, public
+    * knowledge — Guo et al. 2017 popularized ECE): equal-width
+    * confidence bins over the observed score range; per bin the
+    * observed accuracy vs the mean predicted score, and the
+    * bin-weighted |gap| sum `ece = Σ nᵢ/N·|accᵢ − confᵢ|` — the
+    * standard "is the classifier's confidence honest" diagnostic run
+    * before using scores as keep-thresholds in curation.
+    *
+    * Same scale discipline as [[thresholdSweep]]: bucketing uses only
+    * exactly-rounded IEEE ops (both engines place every row
+    * identically), ONE map-side-combined aggregate into nBuckets
+    * cells, grid-sized everything after. Counts and accuracy are
+    * exact; mean confidence and the gap/ECE carry a distributed score
+    * sum, so those three are rounded to 6.
+    *
+    * Output: (bucket, threshold, n, n_correct, observed_acc,
+    * mean_score, gap, ece) — one row per non-empty-range bucket. */
+  def calibrationCurve(spark: SparkSession, scored: DataFrame,
+      scoreCol: String, correctCol: String, nBuckets: Int = 10)
+      : DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val rows = scored.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(correctCol).cast("boolean").as("__ok"))
+    val stats = rows.agg(min(col("__s")).as("__mn"),
+      max(col("__s")).as("__mx"))
+    val bucketed = rows.crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("bucket",
+        when(col("__step") === 0, lit(0L)).otherwise(
+          least(floor((col("__s") - col("__mn")) / col("__step")),
+            lit(nBuckets - 1L))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ok").cast("long")).as("n_correct"),
+        sum(col("__s")).as("__ssum"))
+    val total = bucketed.agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
+    val grid = spark.range(nBuckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("threshold",
+        round(col("__mn") + col("bucket") * col("__step"), 6))
+      .select(col("bucket"), col("threshold"))
+    grid.join(bucketed, Seq("bucket"), "inner")
+      .crossJoin(broadcast(total))
+      .withColumn("observed_acc",
+        round(col("n_correct").cast("double") / col("n"), 6))
+      .withColumn("__conf", col("__ssum") / col("n"))
+      .withColumn("mean_score", round(col("__conf"), 6))
+      .withColumn("__g",
+        col("n_correct").cast("double") / col("n") - col("__conf"))
+      .withColumn("gap", round(col("__g"), 6))
+      .withColumn("ece",
+        round(sum(abs(col("__g")) * col("n") / col("__nt")).over(
+          Window.partitionBy(lit(1))), 6))
+      .select(col("bucket"), col("threshold"), col("n"),
+        col("n_correct"), col("observed_acc"), col("mean_score"),
+        col("gap"), col("ece"))
+  }
 }

@@ -400,6 +400,20 @@ object TextQueries {
         .orderBy(col("bucket"))
     },
 
+    // F15: calibration curve + ECE over the X50 NB margins — is the
+    // classifier's confidence honest enough to use as a keep-threshold?
+    "q_f15_calibration" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      val scored = graft.ml.TextClassifier.score(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("correct", col("label") === col("lang"))
+      graft.ml.Eval.calibrationCurve(s, scored, "margin", "correct", 10)
+        .orderBy(col("bucket"))
+    },
+
     // X59: corpus health report — the per-source dashboard a curation
     // team watches: volume, language spread, exact-dup incidence (x1's
     // planted-dup convention so the column is live), token volume and
@@ -1253,6 +1267,50 @@ object TextQueries {
   /** DuckDB mirror of "md5 hex digits [lo..hi] as an integer" (Spark side:
     * `conv(substring(md5(t),lo,hi-lo+1),16,10)` / the minhash UDF's byte
     * extraction): digit-weight sum over strpos. */
+  /** Shared X50 NB scored-margin chain (train → margin/ok per doc →
+    * `vals(s, ok)`), used by the q_x53 sweep and the q_f15 calibration
+    * oracles. */
+  private val nbMarginValsCte: String =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |ttoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM train),
+        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
+        |stoks AS (
+        |  SELECT doc_id, tok, count(*) AS n_t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.doc_id, p.label,
+        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+        |      (tot.tok_total + v.vv * 1.0))) AS logp
+        |  FROM stoks s
+        |  CROSS JOIN pri p
+        |  JOIN tot ON tot.label = p.label
+        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
+        |  CROSS JOIN v
+        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+        |ranked AS (
+        |  SELECT doc_id, label, logp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS rn,
+        |    lead(logp) OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS nxt
+        |  FROM scored),
+        |fin AS (
+        |  SELECT r.doc_id, round(r.logp - r.nxt, 3) AS margin,
+        |    (r.label = d.lang) AS ok
+        |  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rn = 1),
+        |vals AS (SELECT margin AS s, ok FROM fin WHERE margin IS NOT NULL)""".stripMargin
+
   private def hexDigitSum(lo: Int, hi: Int): String = (lo to hi).map(j =>
     s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${BigInt(16).pow(hi - j)}")
     .mkString(" + ")
@@ -1629,45 +1687,7 @@ object TextQueries {
     // BIGINT (DuckDB widens to HUGEINT); "precision" quoted (type
     // keyword).
     "q_x53_threshold_sweep" ->
-      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        |ttoks AS (
-        |  SELECT lang AS label,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-        |  FROM train),
-        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
-        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
-        |pri AS (
-        |  SELECT lang AS label,
-        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
-        |  FROM train GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
-        |stoks AS (
-        |  SELECT doc_id, tok, count(*) AS n_t FROM (
-        |    SELECT doc_id,
-        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT s.doc_id, p.label,
-        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
-        |      (tot.tok_total + v.vv * 1.0))) AS logp
-        |  FROM stoks s
-        |  CROSS JOIN pri p
-        |  JOIN tot ON tot.label = p.label
-        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
-        |  CROSS JOIN v
-        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
-        |ranked AS (
-        |  SELECT doc_id, label, logp,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY logp DESC, label) AS rn,
-        |    lead(logp) OVER (PARTITION BY doc_id
-        |      ORDER BY logp DESC, label) AS nxt
-        |  FROM scored),
-        |fin AS (
-        |  SELECT r.doc_id, round(r.logp - r.nxt, 3) AS margin,
-        |    (r.label = d.lang) AS ok
-        |  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rn = 1),
-        |vals AS (SELECT margin AS s, ok FROM fin WHERE margin IS NOT NULL),
+      s"""$nbMarginValsCte,
         |st AS (SELECT min(s) AS mn, max(s) AS mx FROM vals),
         |bk AS (
         |  SELECT CASE WHEN (st.mx - st.mn) / 20 = 0 THEN 0
@@ -1693,6 +1713,39 @@ object TextQueries {
         |  CASE WHEN n_kept > 0
         |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
         |FROM cum ORDER BY bucket""".stripMargin,
+    // Calibration: the shared NB margin chain, the same exactly-rounded
+    // bucket arithmetic as the sweep, then per-bucket accuracy vs mean
+    // confidence and the bin-weighted ECE (score-sum-bearing outputs
+    // rounded to 6).
+    "q_f15_calibration" ->
+      s"""$nbMarginValsCte,
+         |st AS (SELECT min(s) AS mn, max(s) AS mx FROM vals),
+         |bk AS (
+         |  SELECT CASE WHEN (st.mx - st.mn) / 10 = 0 THEN 0
+         |      ELSE least(CAST(floor((v2.s - st.mn) /
+         |        ((st.mx - st.mn) / 10)) AS BIGINT), 9) END AS bucket,
+         |    count(*) AS n, sum(CASE WHEN v2.ok THEN 1 ELSE 0 END) AS c,
+         |    sum(v2.s) AS ssum
+         |  FROM vals v2 CROSS JOIN st GROUP BY 1),
+         |cal_tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM bk),
+         |g2 AS (
+         |  SELECT bk.bucket,
+         |    round(st.mn + bk.bucket * ((st.mx - st.mn) / 10), 6)
+         |      AS threshold,
+         |    CAST(bk.n AS BIGINT) AS n, CAST(bk.c AS BIGINT)
+         |      AS n_correct, bk.ssum
+         |  FROM bk CROSS JOIN st),
+         |fin2 AS (
+         |  SELECT bucket, threshold, n, n_correct,
+         |    round(CAST(n_correct AS DOUBLE) / n, 6) AS observed_acc,
+         |    round(ssum / n, 6) AS mean_score,
+         |    round(CAST(n_correct AS DOUBLE) / n - ssum / n, 6) AS gap,
+         |    abs(CAST(n_correct AS DOUBLE) / n - ssum / n) * n /
+         |      (SELECT nt FROM cal_tot) AS ew
+         |  FROM g2)
+         |SELECT bucket, threshold, n, n_correct, observed_acc,
+         |  mean_score, gap, round(sum(ew) OVER (), 6) AS ece
+         |FROM fin2 ORDER BY bucket""".stripMargin,
     // Corpus report: the x1 plant + x5 quality formula composed per
     // source.
     "q_x59_corpus_report" ->

@@ -164,6 +164,35 @@ class ClassifierRetrievalSpec extends SparkSpec {
       twice.map(r => (r.getLong(1), r.getDouble(3))).toSeq
   }
 
+  behavior of "Eval.calibrationCurve (F15)"
+
+  it should "match a hand-computed reliability diagram and ECE" in {
+    val scored = Seq((0.1, false), (0.2, true), (0.8, true),
+      (0.9, true)).toDF("m", "ok")
+    val rows = graft.ml.Eval.calibrationCurve(spark, scored, "m", "ok",
+        nBuckets = 2)
+      .select(col("bucket"), col("n"), col("n_correct"),
+        col("observed_acc"), col("mean_score"), col("gap"), col("ece"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // bucket 0 = [0.1, 0.5): {0.1 wrong, 0.2 right}; bucket 1: both ok
+    rows(0L) shouldBe ((0L, 2L, 1L, 0.5, 0.15, 0.35, 0.25))
+    rows(1L)._4 shouldBe 1.0
+    rows(1L)._5 shouldBe 0.85
+    rows(1L)._6 shouldBe 0.15
+    rows(1L)._7 shouldBe 0.25 // ece = .5*.35 + .5*.15
+  }
+
+  it should "report zero ECE for a perfectly calibrated degenerate score" in {
+    val scored = Seq((0.5, true), (0.5, false)).toDF("m", "ok")
+    val r = graft.ml.Eval.calibrationCurve(spark, scored, "m", "ok", 5)
+      .select(col("n"), col("observed_acc"), col("mean_score"),
+        col("ece"))
+      .as[(Long, Double, Double, Double)].collect()
+    r.length shouldBe 1 // step 0 collapses to one bucket
+    r.head shouldBe ((2L, 0.5, 0.5, 0.0))
+  }
+
   behavior of "rrfFuse (X89)"
 
   it should "fuse hand-computed reciprocal ranks with single-list docs scored once" in {
