@@ -93,14 +93,16 @@ object Dq {
     * min/max/mean for numeric columns and min/max for strings: the
     * first pass every data-quality onboarding runs.
     *
-    * ONE aggregate pass over the table computes every statistic (the
-    * per-column expressions all ride the same job); the result is a
-    * columns-sized table built from that single row. Exact-count
-    * distincts are the honest default — at extreme cardinality swap in
-    * `approx_count_distinct`, same contract. The numeric mean goes
-    * through DECIMAL(38,10) (exact integer-scaled sum) and divides
-    * once — bit-identical cross-engine, no tolerance. Non-numeric,
-    * non-string columns profile counts only. */
+    * TWO aggregate passes: one for every plain statistic, one for the
+    * exact distinct counts — mixing multi-column DISTINCT aggregates
+    * with plain ones in a single agg makes Catalyst evaluate EVERY
+    * aggregate over the (columns+1)x Expand of the table (measured 5x
+    * the split cost at sf0.1); split, the plain pass stays
+    * Expand-free. Exact distincts are the honest default — at extreme
+    * cardinality swap in `approx_count_distinct`, same contract. The
+    * numeric mean goes through DECIMAL(38,10) (exact integer-scaled
+    * sum) and divides once — bit-identical cross-engine, no tolerance.
+    * Non-numeric, non-string columns profile counts only. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{NumericType, StringType}
     require(cols.nonEmpty, "profile needs at least one column")
@@ -112,9 +114,7 @@ object Dq {
       case _ => "other"
     }
     val aggs = cols.flatMap { c =>
-      val base = Seq(
-        count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"))
+      val base = Seq(count(col(c)).as(s"__nn_$c"))
       kind(c) match {
         case "numeric" => base ++ Seq(
           min(col(c).cast("double")).as(s"__mn_$c"),
@@ -127,6 +127,10 @@ object Dq {
       }
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val dRow = df.agg(
+      count_distinct(col(cols.head)).as(s"__nd_${cols.head}"),
+      cols.tail.map(c => count_distinct(col(c)).as(s"__nd_$c")): _*)
+      .head()
     val n = row.getAs[Long]("__n")
     def opt[T](name: String): Option[T] =
       if (row.schema.fieldNames.contains(name) && !row.isNullAt(
@@ -134,7 +138,7 @@ object Dq {
     cols.map { c =>
       val nn = row.getAs[Long](s"__nn_$c")
       val mean = opt[Double](s"__sm_$c").map(_ / nn)
-      (c, kind(c), n, n - nn, row.getAs[Long](s"__nd_$c"),
+      (c, kind(c), n, n - nn, dRow.getAs[Long](s"__nd_$c"),
         opt[Double](s"__mn_$c"), opt[Double](s"__mx_$c"),
         mean.map(m => BigDecimal(m).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble),
