@@ -110,4 +110,60 @@ object Embeddings {
       round(sqrt(aggregate(col("mean_embedding"), lit(0.0),
         (acc, x) => acc + x * x)), 6))
   }
+  /** X95: EMBEDDING DIMENSION ABLATION — the "how many dimensions do I
+    * actually need" report (popularized as matryoshka-representation
+    * evaluation, Kusupati et al. 2022, public knowledge): over a
+    * deterministic stride-paired sample of the corpus, the cosine at
+    * each truncated prefix length vs the full-dimension cosine —
+    * mean cosine and mean |Δ| per dimension budget. Run before
+    * choosing an index dimension: if mad_vs_full at 16 dims is already
+    * ~0, the IVF/PQ index can store a quarter of the floats.
+    *
+    * Engine parity: per-pair cosines are sequential left-fold sums
+    * (zip-multiply fold == DuckDB's list_dot_product accumulation
+    * order) over identical slices, so every per-pair value is
+    * bit-identical; only the per-dim averages carry a distributed sum
+    * and are rounded to 6. NaN cosines (zero-norm prefix or full
+    * vector) drop pairwise — both engines filter identically.
+    *
+    * Scale shape: ONE self-equi-join on the strided id (no similarity
+    * search), a projection of |dims| fold expressions, and a dims-sized
+    * aggregate. */
+  def dimAblation(df: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int], stride: Long): DataFrame = {
+    require(dims.nonEmpty, "dimAblation needs at least one dim")
+    require(dims.forall(_ >= 1), s"dims must be >= 1: $dims")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val fullDim = dims.max
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = df.select((col(idCol).cast("long") - stride).as("id_a"),
+      col(vecCol).cast("array<double>").as("vb"))
+    def cosAt(d: Int): Column = {
+      val x = slice(col("va"), 1, d)
+      val y = slice(col("vb"), 1, d)
+      val dot = aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0),
+        (acc, t) => acc + t)
+      val nx = sqrt(aggregate(x, lit(0.0), (acc, p) => acc + p * p))
+      val ny = sqrt(aggregate(y, lit(0.0), (acc, q) => acc + q * q))
+      // explicit zero-norm guard (NULL, filtered below): ANSI Spark
+      // throws on 0/0 where DuckDB yields NaN — a guarded NULL is the
+      // one form both engines express identically
+      when(nx * ny > 0.0, dot / (nx * ny))
+    }
+    a.join(b, "id_a")
+      .select(
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          cosAt(d).as("cos"))): _*)).as("c"),
+        cosAt(fullDim).as("__cfull"))
+      .select(col("c.dim").as("dim"), col("c.cos").as("cos"),
+        col("__cfull"))
+      .filter(col("cos").isNotNull && col("__cfull").isNotNull)
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cos")), 6).as("mean_cosine"),
+        round(avg(abs(col("cos") - col("__cfull"))), 6)
+          .as("mad_vs_full"))
+  }
+
 }

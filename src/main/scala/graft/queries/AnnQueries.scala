@@ -223,6 +223,15 @@ object AnnQueries {
     // X16: int8 embedding quantization — per-vector scale, quantized
     // cells (summarized as exact integer sums for the scalar compare) and
     // max reconstruction error.
+    // X95: dimension-ablation report — cosine fidelity of truncated
+    // embedding prefixes (8/16/32 dims) vs the full 64 over a strided
+    // pair sample; run before sizing an index.
+    "q_x95_dim_ablation" -> { (s, dir) =>
+      graft.ann.Embeddings.dimAblation(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = Seq(8, 16, 32, 64), stride = 17L)
+        .orderBy(col("dim"))
+    },
+
     "q_x16_int8_quantization" -> { (s, dir) =>
       graft.ann.Embeddings.quantizeInt8(t(s, dir, "embeddings"),
         "vec_id", "embedding")
@@ -725,6 +734,36 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, rk, neighbor_id, round(sq_dist, 6) AS sq_dist
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // Dim ablation: same slices, same sequential dot-product
+    // accumulation order; only the per-dim averages rounded.
+    "q_x95_dim_ablation" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.v AS va, b.v AS vb
+        |  FROM nn a JOIN nn b ON b.vec_id = a.vec_id + 17),
+        |c AS (
+        |  SELECT d.d AS dim,
+        |    CASE WHEN sqrt(list_dot_product(p.va[1:d.d], p.va[1:d.d])) *
+        |        sqrt(list_dot_product(p.vb[1:d.d], p.vb[1:d.d])) > 0
+        |      THEN list_dot_product(p.va[1:d.d], p.vb[1:d.d]) /
+        |        (sqrt(list_dot_product(p.va[1:d.d], p.va[1:d.d])) *
+        |         sqrt(list_dot_product(p.vb[1:d.d], p.vb[1:d.d]))) END
+        |      AS cos,
+        |    CASE WHEN sqrt(list_dot_product(p.va[1:64], p.va[1:64])) *
+        |        sqrt(list_dot_product(p.vb[1:64], p.vb[1:64])) > 0
+        |      THEN list_dot_product(p.va[1:64], p.vb[1:64]) /
+        |        (sqrt(list_dot_product(p.va[1:64], p.va[1:64])) *
+        |         sqrt(list_dot_product(p.vb[1:64], p.vb[1:64]))) END
+        |      AS cfull
+        |  FROM p, (VALUES (8), (16), (32), (64)) AS d(d)),
+        |f AS (SELECT * FROM c
+        |      WHERE cos IS NOT NULL AND cfull IS NOT NULL)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(cos), 6) AS mean_cosine,
+        |  round(avg(abs(cos - cfull)), 6) AS mad_vs_full
+        |FROM f GROUP BY dim ORDER BY dim""".stripMargin,
     "q_x16_int8_quantization" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -547,4 +547,36 @@ class SimilaritySpec extends SparkSpec {
       "PartitionFilters: [isnotnull(centroid_id")
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Embeddings.dimAblation (X95)"
+
+  it should "expose cosine loss hidden in truncated dimensions" in {
+    import spark.implicits._
+    // prefix-identical, suffix-opposed: cos = 1 at 2 dims, 0 at 4
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, -1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ann.Embeddings.dimAblation(df, "vec_id", "embedding",
+        dims = Seq(2, 4), stride = 1L)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(2) shouldBe ((1L, 1.0, 1.0)) // cos 1 but off the full cos by 1
+    got(4) shouldBe ((1L, 0.0, 0.0)) // full dim: faithful by definition
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "drop NaN prefixes pairwise, keeping valid dims" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0, 0.0, 1.0)), (2L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ann.Embeddings.dimAblation(df, "vec_id", "embedding",
+        dims = Seq(2, 3), stride = 1L)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    got.get(2) shouldBe None // zero-norm prefix: the pair drops
+    got(3) shouldBe 1L
+    graft.util.Caches.releaseAll(spark)
+  }
 }
