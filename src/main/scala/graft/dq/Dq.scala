@@ -231,6 +231,31 @@ object Dq {
         col("ks_stat"))
   }
 
+  /** Exact type-1 quantile edges of `valueCol` (bins−1 cut points at
+    * ranks ⌈i·n/bins⌉ in (value, id) order) — the frozen reference
+    * contract [[psiDrift]] and the streaming drift monitor share. */
+  def quantileEdges(df: DataFrame, valueCol: String, idCol: String,
+      bins: Int): Array[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val n = df.count()
+    require(n >= bins, s"quantileEdges: $n rows < $bins bins")
+    val edgeRanks = (1 until bins).map(i => (i * n + bins - 1) / bins)
+    df.withColumn("__r", row_number().over(
+        Window.orderBy(col(valueCol), col(idCol))))
+      .filter(col("__r").isin(edgeRanks: _*))
+      .select(col(valueCol).cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+  }
+
+  /** 1-based bin index of `v` against frozen `edges` — pure
+    * comparisons, engine-exact. */
+  def binOf(v: org.apache.spark.sql.Column,
+      edges: Array[Double]): org.apache.spark.sql.Column =
+    edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(v > lit(e), 1).otherwise(0)
+    }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {
@@ -246,18 +271,9 @@ object Dq {
     val nCur = curV.count()
     require(nRef >= bins, s"psiDrift: reference has $nRef rows < $bins bins")
     require(nCur > 0, "psiDrift: empty current population")
-    val edgeRanks = (1 until bins).map(i => (i * nRef + bins - 1) / bins)
-    val edges = refV
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("__v"), col("__i"))))
-      .filter(col("__r").isin(edgeRanks: _*))
-      .select(col("__v")).collect().map(_.getDouble(0)).sorted
-    def binOf(v: org.apache.spark.sql.Column) =
-      edges.foldLeft(lit(1)) { (acc, e) =>
-        acc + when(v > lit(e), 1).otherwise(0)
-      }
+    val edges = quantileEdges(refV, "__v", "__i", bins)
     def binCounts(df: DataFrame, out: String) = df
-      .groupBy(binOf(col("__v")).as("bin"))
+      .groupBy(binOf(col("__v"), edges).as("bin"))
       .agg(count(lit(1)).as(out))
     val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
     val perBin = spine

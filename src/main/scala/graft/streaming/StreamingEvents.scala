@@ -525,6 +525,77 @@ object StreamingEvents {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
   }
 
+  /** Streaming DRIFT MONITOR: each micro-batch bins its values against
+    * the FROZEN reference quantile edges ([[graft.dq.Dq.quantileEdges]]
+    * — computed once, offline, from the reference population) and
+    * persists its bins-sized count table under `batch_id=N`; the
+    * published view scores every batch's PSI against the reference —
+    * "did the feature distribution drift THIS batch" as a lookup over
+    * stored summaries, no raw re-scan. Edges must stay frozen across
+    * the stream (that is the point: drift is measured against a fixed
+    * yardstick). Replays overwrite their own batch directory:
+    * idempotent. */
+  def driftMonitorSink(rows: DataFrame, valueCol: String,
+      edges: Array[Double], statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) driftMonitorBatch(batch.toDF(), batchId,
+          valueCol, edges, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[driftMonitorSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def driftMonitorBatch(batch: DataFrame, batchId: Long,
+      valueCol: String, edges: Array[Double], statsDir: String): Unit = {
+    batch.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(graft.dq.Dq.binOf(col("__v"), edges).as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[driftMonitorSink]] directory: one row
+    * per ingested batch with its PSI against the reference bin counts
+    * — the same clipped-share formula as [[graft.dq.Dq.psiDrift]], so
+    * each batch's score is identical to running the batch operator on
+    * that micro-batch (spec-proven). `refCounts` is the bins-sized
+    * (bin, n_ref) table of the frozen reference. */
+  def driftMonitorView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, refCounts: DataFrame, bins: Int,
+      minShare: Double = 1e-4): DataFrame = {
+    val nRef = refCounts.agg(coalesce(sum(col("n_ref")), lit(0L)))
+      .head().getLong(0)
+    require(nRef > 0, "driftMonitorView: empty reference")
+    // partition discovery types batch_id as INT; pin the contract
+    val cur = spark.read.parquet(statsDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val spine = spark.range(1, bins + 1)
+      .select(col("id").cast("int").as("bin"))
+      .crossJoin(cur.select(col("batch_id")).distinct())
+    val nCur = cur.groupBy(col("batch_id"))
+      .agg(sum(col("n_cur")).as("__nc"))
+    spine
+      .join(refCounts, Seq("bin"), "left")
+      .join(cur, Seq("batch_id", "bin"), "left")
+      .join(nCur, "batch_id")
+      .select(col("batch_id"), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"), col("__nc"))
+      .withColumn("__p",
+        greatest(col("n_ref").cast("double") / lit(nRef.toDouble),
+          lit(minShare)))
+      .withColumn("__q",
+        greatest(col("n_cur").cast("double") / col("__nc").cast("double"),
+          lit(minShare)))
+      .groupBy(col("batch_id"))
+      .agg(round(sum((col("__p") - col("__q")) *
+        log(col("__p") / col("__q"))), 6).as("psi"))
+  }
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

@@ -440,6 +440,41 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/sample", "id", k = 12)) shouldBe batch
   }
 
+  it should "score per-batch drift identically to the batch PSI operator" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    val ref = (1 to 200).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val edges = graft.dq.Dq.quantileEdges(ref, "v", "id", bins = 10)
+    val refCounts = ref
+      .groupBy(graft.dq.Dq.binOf(col("v"), edges).as("bin"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_ref"))
+    val b1 = (1 to 200).map(i => (i.toLong, i.toDouble)) // in-dist
+    val b2 = (1 to 100).map(i => (i.toLong, 500.0 + i)) // shifted
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingEvents.driftMonitorSink(
+      in.toDF().toDF("id", "v"), "v", edges, s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def view() = StreamingEvents.driftMonitorView(spark, s"$tmp/stats",
+        refCounts, bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = view()
+    def batchPsi(rows: Seq[(Long, Double)]): Double =
+      graft.dq.Dq.psiDrift(ref,
+        rows.toDF("id", "v").select(col("v"), col("id")), "v", "id", 10)
+        .select(col("psi")).head().getDouble(0)
+    got(0L) shouldBe batchPsi(b1) +- 1e-6
+    got(1L) shouldBe batchPsi(b2) +- 1e-6
+    got(1L) should be > 0.25 // the shifted batch alarms
+    got(0L) should be < 0.05 // the in-distribution batch does not
+    // replay safety: re-running batch 1 rewrites its partition
+    StreamingEvents.driftMonitorBatch(b2.toDF("id", "v"), 1L, "v",
+      edges, s"$tmp/stats")
+    view() shouldBe got
+  }
+
   it should "score and route micro-batches identically to the batch classifier" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sclf").toString
