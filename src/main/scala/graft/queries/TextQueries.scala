@@ -558,6 +558,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X96: containment join — planted 30-token fragments (doc_id % 9
+    // == 0, re-ided +200000) score containment 1.0 in their source
+    // articles while symmetric Jaccard would miss them entirely.
+    "q_x96_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val frags = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 30))
+            .as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(frags)
+      graft.text.Dedup.containmentJoin(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X36: exact-substring cross-document dedup (Lee et al. 2021) —
     // maximal token spans occurring verbatim in >= 2 docs, at 8-token
     // window resolution. Plants: doc_id % 7 = 0 docs are fully copied
@@ -2912,6 +2928,37 @@ object TextQueries {
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |LEFT JOIN tw ON d.doc_id = tw.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Containment: the oracle computes EXACT overlaps for all sharing
+    // pairs through the inverted index (the prefix filter is a work
+    // bound, not a semantic change) and thresholds on the raw ratio.
+    "q_x96_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string((regexp_split_to_array(text, '\s+'))[1:30],
+        |      ' ')
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ')
+        |    AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM sh GROUP BY 1),
+        |ov AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT o.doc_a, o.doc_b, o.n_shared,
+        |  round(CAST(o.n_shared AS DOUBLE) / sa.n, 4) AS containment
+        |FROM ov o JOIN sz sa ON sa.doc_id = o.doc_a
+        |WHERE CAST(o.n_shared AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Leakage-safe split: the x17 cluster chain (recursive CTE), then
     // the group id — not the doc id — goes through the x12 hash-split.
     "q_x94_leakage_split" ->

@@ -830,6 +830,62 @@ object Dedup {
     * part that grew with document length at 100 TB. The final
     * (doc_a, doc_b, n_shared, jaccard) rows are identical to the
     * unfiltered join's. */
+  /** X96: CONTAINMENT join — the ASYMMETRIC overlap
+    * `|A∩B| / |A| >= t` (directed: A's shingles mostly inside B) that
+    * symmetric Jaccard cannot see: a 30-token fragment pasted into a
+    * 500-token article scores Jaccard ≈ 0.06 but containment 1.0 —
+    * the quote-expansion / excerpt-republication dedup modality.
+    *
+    * Candidate pruning is A-side-only (the asymmetry is fundamental:
+    * the needed overlap `t·|A|` is invisible from B, so B cannot
+    * prune): A keeps its `|A| − ⌈t·|A|⌉ + 1` globally-rarest shingles
+    * (the [[jaccardSimilarityJoin]] rare-first AllPairs order — rare
+    * shingles keep postings short) and probes the FULL inverted index;
+    * any A with containment >= t must share a prefix shingle with its
+    * container, so no pair is lost. The verify is the same
+    * overlap-count join, thresholded on the raw ratio.
+    *
+    * Output: directed (doc_a, doc_b, n_shared, containment) rows with
+    * doc_a's shingles contained in doc_b — each direction judged on
+    * its own denominator. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val eps = 1e-9
+    val sh = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN)))
+          .as("shingle")))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefixA = sh.join(dfreq, "shingle")
+      .withColumn("__p", (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__p") <
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+      .select(col("doc_id").as("doc_a"), col("shingle"),
+        col("__n").as("__na"))
+    val cand = prefixA
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__na")).distinct()
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("__c", col("n_shared") / col("__na"))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("__c"), 4).as("containment"))
+  }
+
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val (sh, cand) = jaccardCandidateStage(df, idCol, textCol, shingleN,

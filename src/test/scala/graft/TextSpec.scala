@@ -938,6 +938,40 @@ class TextSpec extends SparkSpec {
     r(5L) shouldBe ((0L, None))
   }
 
+  behavior of "containmentJoin (X96)"
+
+  it should "find a fragment inside its article in the direction Jaccard misses" in {
+    val article = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val fragment = (11 to 25).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, article), (2L, fragment), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(df, "doc_id", "text", 3, 0.8)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .as[(Long, Long, Double)].collect()
+    got.map(r => (r._1, r._2)).toSet shouldBe Set((2L, 1L))
+    got.head._3 shouldBe 1.0 // every fragment shingle is in the article
+    // symmetric Jaccard at a workable threshold can't see the pair:
+    // 13 shared shingles over 58+13-13 = 58 -> ~0.22
+    Dedup.jaccardSimilarityJoin(df, "doc_id", "text", 3, 0.5)
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "respect the containment threshold per direction" in {
+    // half of doc 5's shingles appear in doc 4
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = ((7 to 12) ++ (50 to 55)).map(i => s"w$i").mkString(" ")
+    val df = Seq((4L, a), (5L, b)).toDF("doc_id", "text")
+    Dedup.containmentJoin(df, "doc_id", "text", 3, 0.8)
+      .count() shouldBe 0L // ~0.4 containment both ways: below 0.8
+    val loose = Dedup.containmentJoin(df, "doc_id", "text", 3, 0.3)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .collect().toSet
+    loose should contain((5L, 4L))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "pmiCollocations"
 
   it should "compute hand-checked lift and pmi" in {
