@@ -83,6 +83,72 @@ object PageRank {
     pr.select(col("node"), col("pr").as("pagerank"))
   }
 
+  /** X97: WEIGHTED PageRank — rank mass splits along out-edges in
+    * proportion to EDGE WEIGHTS instead of uniformly
+    * (`pr'(v) = (1−d)/n + d·(Σ_{u→v} pr(u)·w(u,v)/W(u) + dang/n)`,
+    * `W(u) = Σ out-weights`): the form link graphs with
+    * anchor-text/click counts actually use — a host linked once from a
+    * nav bar and a host linked from every article should not receive
+    * equal trust. Non-positive-weight edges are dropped up front (they
+    * would corrupt W(u) and can make contributions negative); a node
+    * whose every out-edge is dropped becomes dangling, exactly like a
+    * node with no out-edges.
+    *
+    * Same loop discipline as [[pageRank]]: the weight-share-annotated
+    * edge table (`w/W(u)` precomputed — one join at build time, never
+    * per iteration) is partitioned by src and checkpointed once;
+    * per-iteration shuffles stay node-sized; dangling mass rides the
+    * iteration's job as a broadcast 1-row aggregate; ranks are eagerly
+    * localCheckpoint'ed (constant-size plans). */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, damping: Double = 0.85,
+      iterations: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("double").as("w"))
+    // nodes come from ALL edges (a zero-weight out-edge still names its
+    // endpoints); only the propagation drops non-positive weights
+    val nodes = graft.util.Caches.persistTracked(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val live = e.filter(col("w") > 0.0)
+    val outw = live.groupBy(col("src"))
+      .agg(sum(col("w")).as("__wsum"))
+    val ed = graft.util.Caches.trackCheckpointed(
+      live.join(outw, "src")
+        .select(col("src"), col("dst"),
+          (col("w") / col("__wsum")).as("__share"))
+        .repartition(col("src")).localCheckpoint(true))
+    val danglingNodes = graft.util.Caches.persistTracked(
+      nodes.join(outw.select(col("src").as("node")), Seq("node"),
+        "left_anti"))
+    var pr = graft.util.Caches.trackCheckpointed(
+      nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true))
+    for (_ <- 1 to iterations) {
+      val dang = danglingNodes.join(pr, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dang"))
+      val contribs = ed
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("__share")).as("__c"))
+      pr = graft.util.Caches.trackCheckpointed(
+        nodes.join(contribs.withColumnRenamed("dst", "node"),
+            Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("__c"), lit(0.0)) +
+                col("__dang") / lit(n.toDouble)))
+              .as("pr"))
+          .localCheckpoint(true))
+    }
+    pr.select(col("node"), col("pr").as("pagerank"))
+  }
+
   /** X84: PERSONALIZED PageRank — teleport concentrated on a SEED set
     * instead of uniform (Haveliwala 2002 — public knowledge): the
     * "trust flows out from a curated whitelist" form quality-propagation

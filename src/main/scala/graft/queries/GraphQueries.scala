@@ -114,6 +114,24 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X97: WEIGHTED PageRank over the same scrambled graph with
+    // deterministic integer edge weights ((src·7+dst) mod 5 + 1) —
+    // rank mass splits by weight share instead of uniformly.
+    "q_x97_weighted_pagerank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w",
+          ((col("src") * 7 + col("dst")) % 5 + 1).cast("double"))
+      graft.graph.PageRank.weightedPageRank(es, "src", "dst", "w",
+        damping = 0.85, iterations = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("node"))
+    },
+
     // X83: PageRank quality centrality over a deterministic synthetic
     // link graph (each doc links to (id·31 + 7j) mod N for j = 1..3,
     // self-links dropped — a scrambled, hub-forming shape both engines
@@ -371,7 +389,54 @@ object GraphQueries {
        |SELECT v AS node FROM rem6 ORDER BY node""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.graph.PageRank.weightedPageRank]] at
+    * q_x97's settings: integer-valued weight sums are exact under any
+    * addition order, so the precomputed `w/W(u)` share is bit-identical
+    * cross-engine; 5 unrolled iterations otherwise follow the uniform
+    * oracle. */
+  private val weightedPageRankOracle: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(k: Int): String = {
+      val p = s"pr${k - 1}"
+      s"""dang$k AS (
+         |  SELECT coalesce(sum(p.pr), CAST(0 AS DOUBLE)) AS dang
+         |  FROM $p p LEFT JOIN od ON od.src = p.v
+         |  WHERE od.src IS NULL),
+         |pr$k AS (
+         |  SELECT nodes.v,
+         |    (1 - $d) / (SELECT n FROM nn) + $d *
+         |      (coalesce(s.c, CAST(0 AS DOUBLE)) +
+         |        (SELECT dang FROM dang$k) / (SELECT n FROM nn)) AS pr
+         |  FROM nodes
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr * e.share) AS c
+         |    FROM eds e JOIN $p p ON p.v = e.src
+         |    GROUP BY e.dst) s ON s.dst = nodes.v)""".stripMargin
+    }
+    s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |ed AS (
+       |  SELECT src, dst,
+       |    CAST((src * 7 + dst) % 5 + 1 AS DOUBLE) AS w
+       |  FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+       |    FROM documents, n0, range(1, 4) AS r(j))
+       |  WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |od AS (SELECT src, sum(w) AS wsum FROM ed WHERE w > 0
+       |       GROUP BY src),
+       |eds AS (SELECT ed.src, ed.dst, ed.w / od.wsum AS share
+       |        FROM ed JOIN od ON od.src = ed.src WHERE ed.w > 0),
+       |pr0 AS (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+       |        FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v AS node, round(pr, 6) AS pagerank
+       |FROM pr5 ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x97_weighted_pagerank" -> weightedPageRankOracle,
     "q_x93_kcore" -> kCoreOracle,
     "q_x91_triangle_count" -> triangleOracle,
     "q_x85_label_propagation" -> labelPropagationOracle,

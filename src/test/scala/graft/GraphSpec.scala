@@ -97,6 +97,45 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "weightedPageRank (X97)"
+
+  it should "reduce to uniform PageRank under equal weights" in {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val ew = e.withColumn("w",
+      org.apache.spark.sql.functions.lit(7.0))
+    val a = graft.graph.PageRank.pageRank(e, "s", "d", 0.85, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = graft.graph.PageRank
+      .weightedPageRank(ew, "s", "d", "w", 0.85, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    a.keySet shouldBe b.keySet
+    a.foreach { case (k, v) => b(k) shouldBe v +- 1e-12 }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "route mass along heavy edges and drop non-positive ones" in {
+    import spark.implicits._
+    // 1 splits 99:1 between 2 and 3; both sink back to 1
+    val e = Seq((1L, 2L, 99.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 1.0)).toDF("s", "d", "w")
+    val pr = graft.graph.PageRank
+      .weightedPageRank(e, "s", "d", "w", 0.85, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pr(2L) should be > pr(3L) * 5
+    pr.values.sum shouldBe 1.0 +- 1e-9
+    // a zero-weight edge behaves as if absent (its target keeps only
+    // teleport + dangling inflow); node 4 still appears in the output
+    val ez = e.unionByName(Seq((1L, 4L, 0.0)).toDF("s", "d", "w"))
+    val przM = graft.graph.PageRank
+      .weightedPageRank(ez, "s", "d", "w", 0.85, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    przM.keySet should contain(4L)
+    przM(2L) should be > przM(4L)
+    przM.values.sum shouldBe 1.0 +- 1e-9
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "score seed-unreachable nodes exactly zero in personalized PageRank" in {
     import spark.implicits._
     // two disconnected chains: 1->2->3 (seeded at 1) and 10->11 (no seed)
