@@ -34,7 +34,8 @@ object Bench {
       "q_x70_epoch_materialize", "q_x72_plan_export",
       "q_x74_cluster_reps", "q_x76_ivf_index_query", "q_x83_pagerank",
       "q_x84_personalized_pagerank", "q_x85_label_propagation",
-      "q_x86_hits", "q_x91_triangle_count", "q_x92_basket_rules",
+      "q_x86_hits", "q_x97_weighted_pagerank", "q_x91_triangle_count",
+      "q_x92_basket_rules",
       "q_x93_kcore", "q_x94_leakage_split", "q_x96_containment",
       "q_f15_calibration", "q_d8_profile")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
