@@ -1,0 +1,92 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exploratory statistics over wide fact tables: a one-pass pairwise
+  * correlation matrix and a two-proportion A/B significance test.
+  *
+  * Both are single-aggregate shapes: k columns need k(k+3)/2 + 1 moment
+  * sums, computed in ONE partial-aggregated pass over the data — the
+  * k²-pass naive encoding (one `corr` call per pair re-scanning the
+  * input) is the thing to avoid at 100 TB, not the arithmetic. */
+object Stats {
+
+  /** Pairwise Pearson correlations of `cols` in one scan. Emits one row
+    * per unordered pair (col_x < col_y lexicographically) with `n` and
+    * `pearson` = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)).
+    *
+    * The moment sums are plain `sum` aggregates — map-side combined, a
+    * single 1-row result — and the matrix assembly is a driver-free
+    * `explode` over literal-indexed structs, so the plan is scan →
+    * partial agg → final agg regardless of k. Pairs with zero variance
+    * on either side come out NULL (0/0), matching SQL `corr`. NULL cells
+    * are excluded per-pair the way two-argument aggregates do it:
+    * rows where EITHER side is NULL drop from that pair's sums. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    // Per-pair moment sums over rows where both sides are non-NULL —
+    // 5 sums + 1 count per pair, all in one Aggregate node.
+    def pm(a: String, b: String, e: Column) =
+      sum(when(col(a).isNotNull && col(b).isNotNull, e))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(
+        count(when(col(a).isNotNull && col(b).isNotNull, lit(1)))
+          .cast("double").as(s"__n_${a}_$b"),
+        pm(a, b, col(a)).as(s"__sx_${a}_$b"),
+        pm(a, b, col(b)).as(s"__sy_${a}_$b"),
+        pm(a, b, col(a) * col(a)).as(s"__sxx_${a}_$b"),
+        pm(a, b, col(b) * col(b)).as(s"__syy_${a}_$b"),
+        pm(a, b, col(a) * col(b)).as(s"__sxy_${a}_$b"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val (n, sx, sy, sxx, syy, sxy) = (col(s"__n_${a}_$b"),
+        col(s"__sx_${a}_$b"), col(s"__sy_${a}_$b"), col(s"__sxx_${a}_$b"),
+        col(s"__syy_${a}_$b"), col(s"__sxy_${a}_$b"))
+      val r = (n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        n.cast("long").as("n"), r.as("pearson"))
+    }
+    m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
+  }
+
+  /** Two-proportion A/B z-test: one row with per-variant exposure and
+    * conversion counts, rates, absolute lift, the pooled-variance
+    * z-statistic z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁)), and a
+    * `significant` flag at the given |z| threshold (1.96 ≙ two-sided
+    * α = 0.05).
+    *
+    * `unit` rows must be pre-deduplicated to one row per experimental
+    * unit with a 0/1 `converted` column and a 0/1 `variant` column (the
+    * assignment should derive from a hash of the unit id, never from
+    * `rand()` — re-runs must assign identically). Counts are exact
+    * integers; everything after is a fixed IEEE expression tree, so two
+    * engines computing this agree bit-for-bit. One aggregate, 1-row
+    * result. */
+  def abTest(units: DataFrame, variant: Column, converted: Column,
+      zThreshold: Double = 1.96): DataFrame = {
+    val agg = units.agg(
+      sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(variant === 0, converted.cast("long")).otherwise(0L)).as("c0"),
+      sum(when(variant === 1, converted.cast("long")).otherwise(0L)).as("c1"))
+    // Degenerate experiments (an empty arm, or 0% / 100% pooled
+    // conversion) have no sampling variance to test against: rate and z
+    // come out NULL, not an ANSI division-by-zero error mid-pipeline.
+    val p0 = when(col("n0") > 0, col("c0") / col("n0"))
+    val p1 = when(col("n1") > 0, col("c1") / col("n1"))
+    val pooled = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    val se = when(col("n0") > 0 && col("n1") > 0,
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+    val z = when(se > 0, (p1 - p0) / se)
+    agg.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      p0.as("p0"), p1.as("p1"), (p1 - p0).as("lift"), z.as("z"),
+      (abs(z) > zThreshold).cast("int").as("significant"))
+  }
+}

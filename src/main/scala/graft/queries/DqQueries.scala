@@ -53,6 +53,27 @@ object DqQueries {
         .orderBy(col("column"))
     },
 
+    // D9: one-pass pairwise correlation matrix of the lineitem measures
+    // — 6 pairs from a single Aggregate node; the oracle recomputes the
+    // same explicit-moment formula so both engines divide the same sums.
+    "q_d9_correlation" -> { (s, dir) =>
+      graft.dq.Stats.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+
+    // D10: two-proportion A/B z-test — hash-parity assignment on
+    // user_id, conversion = any purchase event; exact counts then one
+    // fixed IEEE expression tree, identical in both engines.
+    "q_d10_ab_test" -> { (s, dir) =>
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("converted"))
+      graft.dq.Stats.abTest(units, pmod(col("user_id"), lit(2L)),
+        col("converted"))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -91,6 +112,67 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // Same explicit-moment Pearson formula, one aggregate pass.
+    "q_d9_correlation" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  sum(l_discount) AS s_d, sum(l_discount * l_discount) AS ss_d,
+        |  sum(l_extendedprice) AS s_e,
+        |  sum(l_extendedprice * l_extendedprice) AS ss_e,
+        |  sum(l_quantity) AS s_q, sum(l_quantity * l_quantity) AS ss_q,
+        |  sum(l_tax) AS s_t, sum(l_tax * l_tax) AS ss_t,
+        |  sum(l_discount * l_extendedprice) AS sp_de,
+        |  sum(l_discount * l_quantity) AS sp_dq,
+        |  sum(l_discount * l_tax) AS sp_dt,
+        |  sum(l_extendedprice * l_quantity) AS sp_eq,
+        |  sum(l_extendedprice * l_tax) AS sp_et,
+        |  sum(l_quantity * l_tax) AS sp_qt
+        |  FROM lineitem)
+        |SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+        |  (n * sp - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson
+        |FROM (
+        |  SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
+        |    n, s_d AS sx, ss_d AS sxx, s_e AS sy, ss_e AS syy, sp_de AS sp
+        |  FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_quantity',
+        |    n, s_d, ss_d, s_q, ss_q, sp_dq FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    n, s_d, ss_d, s_t, ss_t, sp_dt FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+        |    n, s_e, ss_e, s_q, ss_q, sp_eq FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    n, s_e, ss_e, s_t, ss_t, sp_et FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    n, s_q, ss_q, s_t, ss_t, sp_qt FROM m)
+        |ORDER BY col_x, col_y""".stripMargin,
+    // Identical exact-count arithmetic; % on BIGINT matches pmod for
+    // non-negative ids.
+    "q_d10_ab_test" ->
+      """WITH units AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM units)
+        |SELECT n0, n1, c0, c1,
+        |  CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+        |  CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift,
+        |  (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+        |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |      (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |      (1.0 / n0 + 1.0 / n1)) AS z,
+        |  CAST(abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+        |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |      (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |      (1.0 / n0 + 1.0 / n1))) > 1.96 AS INTEGER) AS significant
+        |FROM agg""".stripMargin,
     // Profiler: one row per column, numeric means through the same
     // DECIMAL(38,10)-exact sum and single division.
     "q_d8_profile" -> {

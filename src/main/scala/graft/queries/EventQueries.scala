@@ -69,6 +69,17 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E14: per-user daily calendar-spine resample of purchase value with
+    // forward fill — the segment-explode form (lead + sequence), no
+    // spine join, no ignoreNulls scan.
+    "q_e14_resample_ffill" -> { (s, dir) =>
+      graft.events.Resample.dailyResampleFfill(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // E13: rolling DAU/WAU/stickiness with a 7-day trailing window —
     // contribution-explosion form, exact counts, one division.
     "q_e13_stickiness" -> { (s, dir) =>
@@ -192,6 +203,23 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     // Stickiness: same contribution explosion (range 0..6, date + int
     // days), distinct per window-end, inner join to active days.
+    // Segment-explode resample mirrored with DuckDB's range() lateral:
+    // each observed day emits its gap days, filled = o > 0.
+    "q_e14_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT *, lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+        |  FROM daily)
+        |SELECT user_id,
+        |  strftime(d + CAST(o AS INTEGER), '%Y-%m-%d') AS day,
+        |  value, CAST(o > 0 AS INTEGER) AS filled
+        |FROM (
+        |  SELECT *, unnest(range(0, CASE WHEN nd IS NULL THEN 1
+        |    ELSE date_diff('day', d, nd) END)) AS o
+        |  FROM seg)
+        |ORDER BY user_id, day""".stripMargin,
     "q_e13_stickiness" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -40,6 +40,28 @@ object FeatureQueries {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
+    // F16: grouped OLS — native regr_slope/intercept/r2 aggregates
+    // cross-checked against DuckDB's own regr_* family (one
+    // moment-state exchange per group; raw doubles, the driver's
+    // relative tolerance absorbs the last-ulp Welford-merge delta).
+    "q_f16_grouped_ols" -> { (s, dir) =>
+      graft.ml.Stats.groupedOls(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .withColumn("n", col("n").cast("long"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // F17: leave-one-out target encoding of order priority against the
+    // is-fulfilled label — exact 0/1 sums, one final division, encoding
+    // computed over ALL rows, output sampled deterministically.
+    "q_f17_target_encode" -> { (s, dir) =>
+      graft.ml.Stats.targetEncodeLoo(t(s, dir, "orders"),
+          col("o_orderpriority"), (col("o_orderstatus") === "F").cast("double"))
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("encoded"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // E1: weekly activity buckets (count + value sum per entity-week).
     "q_e1_weekly_activity" -> { (s, dir) =>
       EventFeatures.weeklyActivity(t(s, dir, "events"), "view")
@@ -98,6 +120,32 @@ object FeatureQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native regr_* family against Spark's — same ANSI
+    // semantics, independent implementations.
+    "q_f16_grouped_ols" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  regr_slope(l_extendedprice, l_quantity) AS slope,
+        |  regr_intercept(l_extendedprice, l_quantity) AS intercept,
+        |  regr_r2(l_extendedprice, l_quantity) AS r2,
+        |  corr(l_extendedprice, l_quantity) AS pearson
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // LOO target encoding: identical exact-sum formula, sampled output.
+    "q_f17_target_encode" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_orderstatus = 'F' AS DOUBLE) AS y
+        |  FROM orders),
+        |pc AS (SELECT o_orderpriority, sum(y) AS sc, count(*) AS nc
+        |       FROM base GROUP BY 1),
+        |g AS (SELECT sum(y) AS sg, count(*) AS ng FROM base)
+        |SELECT b.o_orderkey, b.o_orderpriority,
+        |  CASE WHEN nc > 1 THEN (sc - y) / (nc - 1)
+        |       ELSE (sg - y) / (ng - 1) END AS encoded
+        |FROM base b JOIN pc ON pc.o_orderpriority = b.o_orderpriority, g
+        |WHERE b.o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // Training matrix: two completely independent formulations — the
     // union+window Spark fold vs DuckDB's NATIVE ASOF LEFT JOIN chain.
     "q_f14_training_matrix" ->

@@ -22,6 +22,21 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // J14: per-supplier overlapping-shipment pair counts via the
+    // sweep-line form (one key shuffle, zero joins) — the oracle is the
+    // O(n²) self-join it replaces. Intervals: [shipdate, shipdate +
+    // quantity days) as epoch seconds.
+    "q_j14_interval_overlap" -> { (s, dir) =>
+      val iv = t(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        unix_timestamp(col("l_shipdate")).as("s"),
+        (unix_timestamp(col("l_shipdate")) +
+          col("l_quantity").cast("long") * 86400L).as("e"))
+      graft.relational.Intervals
+        .overlapPairCount(iv, Seq("l_suppkey"), col("s"), col("e"))
+        .orderBy(col("l_suppkey"))
+    },
+
     // X92: pair-level market-basket rules over order baskets — parts
     // co-purchased in >= 3 orders, both directed rules with exact
     // support/confidence/lift (pinned IEEE expression trees, no
@@ -412,6 +427,27 @@ object RelationalQueries {
     "q_f9_surrogate_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
         |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin,
+    // The oracle IS the quadratic self-join the sweep replaces; pair
+    // identity is a synthetic row_number ((orderkey, linenumber) is NOT
+    // unique in the driver data), overlap half-open on epoch seconds.
+    "q_j14_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) * 86400 AS e,
+        |    row_number() OVER () AS rid
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.k, count(*) AS p
+        |  FROM iv a JOIN iv b ON a.k = b.k
+        |    AND a.rid < b.rid
+        |    AND a.s < b.e AND b.s < a.e
+        |  GROUP BY a.k)
+        |SELECT ks.k AS l_suppkey, coalesce(pairs.p, 0) AS overlap_pairs
+        |FROM (SELECT DISTINCT k FROM iv WHERE s < e) ks
+        |LEFT JOIN pairs ON pairs.k = ks.k
+        |ORDER BY l_suppkey""".stripMargin,
     "q_j12_salted_join" ->
       """SELECT c_mktsegment, count(1) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue

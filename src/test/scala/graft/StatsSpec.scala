@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "ml.Stats"
+
+  it should "recover a planted linear relationship per group" in {
+    // y = 3x + 2 exactly in group a (r2 = 1); pure noise-free constant in
+    // group b has zero x-variance -> NULL slope
+    val a = (1 to 50).map(i => ("a", i.toDouble, 3.0 * i + 2.0))
+    val b = (1 to 10).map(_ => ("b", 5.0, 7.0))
+    val df = (a ++ b).toDF("g", "x", "y")
+    val r = graft.ml.Stats.groupedOls(df, Seq("g"), col("y"), col("x"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().map(t => t._1 -> t).toMap
+    val (_, n, slope, intercept, r2, _) = r("a")
+    n shouldBe 50L
+    slope.get shouldBe 3.0 +- 1e-12
+    intercept.get shouldBe 2.0 +- 1e-12
+    r2.get shouldBe 1.0 +- 1e-12
+    r("b")._3 shouldBe None // zero x-variance: undefined slope
+  }
+
+  it should "target-encode leave-one-out with singleton fallback to the LOO global mean" in {
+    val df = Seq(
+      ("a", 1.0), ("a", 0.0), ("a", 1.0), // cat a: sum 2, n 3
+      ("b", 1.0))                         // singleton
+      .toDF("cat", "y")
+    val enc = graft.ml.Stats.targetEncodeLoo(df, col("cat"), col("y"))
+      .select(col("cat"), col("y"), col("encoded"))
+      .as[(String, Double, Double)].collect()
+    enc.filter(r => r._1 == "a" && r._2 == 1.0)
+      .foreach(_._3 shouldBe 0.5 +- 1e-15)  // (2-1)/2
+    enc.filter(r => r._1 == "a" && r._2 == 0.0)
+      .foreach(_._3 shouldBe 1.0 +- 1e-15)  // (2-0)/2
+    // singleton: global (3-1)/(4-1)
+    enc.filter(_._1 == "b").foreach(_._3 shouldBe (2.0 / 3.0) +- 1e-15)
+  }
+
+  it should "never leak a row's own label into its encoding" in {
+    // two rows with identical category but opposite labels must get
+    // DIFFERENT encodings (each sees only the other's label)
+    val df = Seq(("c", 1.0), ("c", 0.0)).toDF("cat", "y")
+    val e = graft.ml.Stats.targetEncodeLoo(df, col("cat"), col("y"))
+      .select(col("y"), col("encoded")).as[(Double, Double)]
+      .collect().toMap
+    e(1.0) shouldBe 0.0
+    e(0.0) shouldBe 1.0
+  }
+
+  behavior of "dq.Stats"
+
+  it should "compute the pairwise correlation matrix in one aggregate pass" in {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      val x = rnd.nextDouble()
+      (x, 2.0 * x + 1.0, rnd.nextDouble(), -x)
+    }
+    val df = rows.toDF("a", "b", "c", "d")
+    val m = graft.dq.Stats.correlationMatrix(df, Seq("a", "b", "c", "d"))
+    // one pass: the only exchange is the single-row partial-agg gather
+    "Exchange".r.findAllIn(m.queryExecution.executedPlan.toString)
+      .size shouldBe 1
+    val r = m.select(col("col_x"), col("col_y"), col("pearson"))
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r.size shouldBe 6
+    r(("a", "b")) shouldBe 1.0 +- 1e-9   // exact linear
+    r(("a", "d")) shouldBe -1.0 +- 1e-9  // exact inverse
+    math.abs(r(("a", "c"))) should be < 0.2 // independent
+    // cross-check one pair against Spark's native corr
+    val native = df.agg(corr(col("a"), col("c"))).as[Double].head()
+    r(("a", "c")) shouldBe native +- 1e-9
+  }
+
+  it should "flag a significant conversion lift and stay NULL-safe on degenerate inputs" in {
+    // variant 1 converts 80/100, variant 0 converts 20/100: hugely significant
+    val units = ((1 to 100).map(i => (0L, if (i <= 20) 1L else 0L)) ++
+      (1 to 100).map(i => (1L, if (i <= 80) 1L else 0L)))
+      .toDF("variant", "converted")
+    val r = graft.dq.Stats.abTest(units, col("variant"), col("converted"))
+      .select(col("p0"), col("p1"), col("z"), col("significant"))
+      .as[(Double, Double, Double, Int)].head()
+    r._1 shouldBe 0.2 +- 1e-15
+    r._2 shouldBe 0.8 +- 1e-15
+    r._3 should be > 5.0
+    r._4 shouldBe 1
+    // degenerate: everyone converts -> zero pooled variance -> NULL z
+    val all = Seq((0L, 1L), (1L, 1L)).toDF("variant", "converted")
+    val d = graft.dq.Stats.abTest(all, col("variant"), col("converted"))
+      .select(col("z"), col("significant"))
+      .as[(Option[Double], Option[Int])].head()
+    d._1 shouldBe None
+    d._2 shouldBe None
+    // empty arm: NULL rate on the empty side, no ANSI error
+    val one = Seq((1L, 1L), (1L, 0L)).toDF("variant", "converted")
+    val o = graft.dq.Stats.abTest(one, col("variant"), col("converted"))
+      .select(col("p0"), col("z")).as[(Option[Double], Option[Double])]
+      .head()
+    o._1 shouldBe None
+    o._2 shouldBe None
+  }
+}
