@@ -57,6 +57,34 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X98: multi-source BFS hop distance from the curated seed set
+    // (doc_id % 25 == 0) over the scrambled link graph, 6 hops —
+    // reached nodes only; oracle = recursive-CTE min path length.
+    "q_x98_bfs_hops" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Paths.bfsHops(es, "src", "dst",
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", maxHops = 6)
+        .orderBy(col("node"))
+    },
+
+    // X99: Adamic-Adar link prediction over the planted block graph —
+    // non-adjacent pairs scored by sum(1/ln(deg)) over shared
+    // neighbors; one wedge join, existing edges anti-joined away.
+    "q_x99_adamic_adar" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      graft.graph.LinkPrediction.adamicAdar(es, "src", "dst")
+        .orderBy(col("node_a"), col("node_b"))
+    },
+
     // X85: label-propagation communities over a planted block graph
     // (each doc links to 2 scrambled positions inside its 16-doc block)
     // — 4 synchronous iterations, ties to the smallest label; the
@@ -436,6 +464,48 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Recursive path enumeration bounded at 6 hops; min path length
+    // per node IS the BFS distance.
+    "q_x98_bfs_hops" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+        |    FROM documents, n0, range(1, 4) AS r(j))
+        |  WHERE src <> dst),
+        |walk(node, hops) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT ed.dst, w.hops + 1 FROM walk w
+        |  JOIN ed ON ed.src = w.node WHERE w.hops < 6)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // Same wedge construction: undirected block-graph adjacency with
+    // 1/ln(deg) center weights, existing edges removed.
+    "q_x99_adamic_adar" ->
+      """WITH base AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id - doc_id % 16) + ((doc_id % 16) * 3 + j) % 16 AS dst
+        |  FROM documents, range(1, 3) AS r(j)),
+        |e AS (SELECT src, dst FROM base WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |        greatest(src, dst) AS b FROM e),
+        |adj AS (SELECT a AS z, b AS nbr FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+        |wadj AS (SELECT adj.z, adj.nbr, 1.0 / ln(CAST(d AS DOUBLE)) AS w
+        |         FROM adj JOIN deg ON deg.z = adj.z),
+        |sc AS (
+        |  SELECT l.nbr AS node_a, r.nbr AS node_b,
+        |    CAST(count(*) AS BIGINT) AS common, sum(l.w) AS score
+        |  FROM wadj l JOIN wadj r ON l.z = r.z AND l.nbr < r.nbr
+        |  GROUP BY 1, 2)
+        |SELECT sc.node_a, sc.node_b, sc.common, sc.score
+        |FROM sc LEFT JOIN und
+        |  ON und.a = sc.node_a AND und.b = sc.node_b
+        |WHERE und.a IS NULL
+        |ORDER BY node_a, node_b""".stripMargin,
     "q_x97_weighted_pagerank" -> weightedPageRankOracle,
     "q_x93_kcore" -> kCoreOracle,
     "q_x91_triangle_count" -> triangleOracle,

@@ -154,6 +154,53 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "compute multi-source BFS hop distances, omitting unreachable nodes" in {
+    import spark.implicits._
+    // chain 1->2->3->4, cycle back 4->1, plus isolated pair 10->11
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (10L, 11L))
+      .toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val r = graft.graph.Paths.bfsHops(e, "s", "d", seeds, "seed", 10)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    // two seeds: distances take the minimum over sources
+    val r2 = graft.graph.Paths.bfsHops(e, "s", "d",
+      Seq(Tuple1(1L), Tuple1(3L)).toDF("seed"), "seed", 10)
+      .as[(Long, Long)].collect().toMap
+    r2 shouldBe Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L)
+    // maxHops truncates
+    val r3 = graft.graph.Paths.bfsHops(e, "s", "d", seeds, "seed", 1)
+      .as[(Long, Long)].collect().toMap
+    r3 shouldBe Map(1L -> 0L, 2L -> 1L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "score Adamic-Adar pairs exactly on a known wedge graph" in {
+    import spark.implicits._
+    // star: z=0 adjacent to 1,2,3 (deg 3); plus edge 1-2 (existing).
+    // candidate pairs through z: (1,2) existing -> dropped; (1,3), (2,3)
+    // get 1/ln(3) from z. Node 1 and 2 have deg 2 -> their wedge (0,?)..
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("s", "d")
+    val r = graft.graph.LinkPrediction.adamicAdar(e, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // (1,3) and (2,3): one shared neighbor z=0, weight 1/ln(3)
+    r((1L, 3L))._1 shouldBe 1L
+    r((1L, 3L))._2 shouldBe (1.0 / math.log(3.0)) +- 1e-12
+    r((2L, 3L))._2 shouldBe (1.0 / math.log(3.0)) +- 1e-12
+    // (0,?) pairs: 0-1 wedge through 2 exists but 0-1 is an edge -> gone
+    r.keySet should not contain ((0L, 1L))
+    r.keySet should not contain ((1L, 2L))
+    // hub cap: with maxDegree=2 node 0 (deg 3) cannot center wedges;
+    // only deg-2 centers 1 and 2 remain, predicting 0-? pairs are edges
+    // already, so everything vanishes
+    val capped = graft.graph.LinkPrediction.adamicAdar(e, "s", "d",
+      maxDegree = Some(2L))
+      .as[(Long, Long, Long, Double)].collect()
+    capped.length shouldBe 0
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "be invariant under input partitioning at round-6" in {
     import spark.implicits._
     val edges = (0L until 120L).flatMap(i =>
