@@ -507,6 +507,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X100: interpolated Kneser-Ney bigram scoring — absolute discount
+    // 0.75 with continuation-count unigrams, same even/odd train/score
+    // split as q_x52; all model quantities exact integer counts.
+    "q_x100_kneser_ney" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextStats.kneserNeyScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X51: BM25 top-5 retrieval for a three-query batch — the
     // targeted-data-selection / retrieval-decontamination primitive.
     "q_x51_bm25_topk" -> { (s, dir) =>
@@ -1968,6 +1979,50 @@ object TextQueries {
     // Stupid backoff: same count tables and CASE chain; λ² is written
     // 0.4 * 0.4 (the literal 0.16 is a DIFFERENT double), divisions
     // stay in Spark's (λ·c)/d association.
+    // Same KN formula over the same count tables, mirrored expression
+    // tree (left-assoc multiplications) so both engines divide and
+    // multiply identical IEEE operands.
+    "q_x100_kneser_ney" ->
+      """WITH tw AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |big AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS g, count(*) AS c12
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tw)
+        |  GROUP BY 1),
+        |ctx AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1,
+        |    count(*) AS nfwd
+        |  FROM big GROUP BY 1),
+        |cont AS (
+        |  SELECT split_part(g, ' ', 2) AS w2, count(*) AS nback
+        |  FROM big GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS types FROM big),
+        |sd AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |pos AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+        |    w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM sd)),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |    round(avg(-ln(
+        |      CASE WHEN c1 IS NOT NULL THEN
+        |        greatest(coalesce(c12, 0) - 0.75, 0) / c1
+        |          + 0.75 * nfwd / c1 *
+        |            (CAST(greatest(coalesce(nback, 0), 1) AS DOUBLE) / types)
+        |      ELSE CAST(greatest(coalesce(nback, 0), 1) AS DOUBLE) / types
+        |      END)), 3) AS kn_nll
+        |  FROM pos
+        |  LEFT JOIN big USING (g)
+        |  LEFT JOIN ctx ON ctx.w1 = pos.w1
+        |  LEFT JOIN cont ON cont.w2 = pos.w2, ty
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams, kn_nll
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_x52_stupid_backoff" ->
       """WITH tw AS (
         |  SELECT regexp_split_to_array(lower(text), '\s+') AS w

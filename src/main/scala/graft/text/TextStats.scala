@@ -644,6 +644,70 @@ object TextStats {
         col("sb_nll"))
   }
 
+  /** X100: interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998 §2.7 — public knowledge), the smoothing that
+    * actually ships in n-gram LMs (KenLM): absolute discounting plus a
+    * CONTINUATION-count unigram — "how many distinct contexts does w
+    * follow" rather than "how often does w occur" ("San Francisco"
+    * makes `Francisco` frequent but a terrible novel-context guess).
+    *
+    * `P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁) + D·N₁₊(w₁·)/c(w₁) · P_cont(w₂)`
+    * with `P_cont(w₂) = N₁₊(·w₂)/|bigram types|`. Unseen context w₁
+    * backs off to P_cont(w₂) alone; a w₂ never seen as a continuation
+    * floors at one type (keeps −ln finite; documented, oracle-mirrored).
+    * Every quantity is an exact integer count, so cross-engine scores
+    * agree to IEEE division determinism.
+    *
+    * Model = ONE aggregated bigram-count table; context totals,
+    * distinct-forward and distinct-backward counts all derive from it
+    * by re-aggregation (types-sized, not corpus-sized), and the type
+    * count is a broadcast scalar. The training corpus is scanned once.
+    * Scoring is key-partitioned joins + a per-doc aggregate — the same
+    * 100 TB shape as [[stupidBackoffScore]]. Docs under 2 tokens score
+    * NULL (kept). Output: (doc_id, n_bigrams, kn_nll). */
+  def kneserNeyScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val big = graft.util.Caches.persistTracked(
+      train.select(explode(Dedup.shingles(col(textCol), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("__c12")))
+    val ctx = big
+      .withColumn("__w1", split(col("g"), " ").getItem(0))
+      .groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__nfwd"))
+    val cont = big
+      .withColumn("__w2", split(col("g"), " ").getItem(1))
+      .groupBy(col("__w2")).agg(count(lit(1)).as("__nback"))
+    val types = big.agg(count(lit(1)).cast("double").as("__types"))
+    val pos = score.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      .withColumn("__w1", split(col("g"), " ").getItem(0))
+      .withColumn("__w2", split(col("g"), " ").getItem(1))
+    val d = lit(discount)
+    val scored = pos
+      .join(big, Seq("g"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("__pcont",
+        greatest(col("__nback"), lit(1L)).cast("double") / col("__types"))
+      .withColumn("__p",
+        when(col("__c1").isNotNull,
+          greatest(coalesce(col("__c12"), lit(0L)) - d, lit(0.0)) /
+            col("__c1") +
+            d * col("__nfwd") / col("__c1") * col("__pcont"))
+          .otherwise(col("__pcont")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("__p"))), 3).as("kn_nll"))
+    score.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_nll"))
+  }
+
   /** X48: CCNet head/middle/tail bucketing (Wenzek et al. 2020, public
     * knowledge) — the SELECTION step the X42 perplexity signal feeds:
     * per language, documents sort by perplexity and split into equal

@@ -938,6 +938,43 @@ class TextSpec extends SparkSpec {
     r(5L) shouldBe ((0L, None))
   }
 
+  "kneserNeyScore (X100)" should "match the hand-computed interpolated KN model" in {
+    // train "a b a b a c": bigrams (a,b)=2 (b,a)=2 (a,c)=1; 3 types.
+    // ctx a: c1=3 nfwd=2; ctx b: c1=2 nfwd=1. cont a/b/c: nback=1 each.
+    // P(b|a) = 1.25/3 + .75·2/3·(1/3) = 0.583333…
+    // P(a|a) = 0 + .5·(1/3) = 1/6 (unseen bigram, seen context)
+    // P(z|z) = 1/3 floor (unseen context AND continuation)
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), (2L, "a a"), (3L, "z z"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val r = TextStats.kneserNeyScore(train, score, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    r(1L)._1 shouldBe 1L
+    r(1L)._2.get shouldBe -math.log(1.25 / 3 + 0.75 * 2 / 3.0 / 3) +- 5e-4
+    r(2L)._2.get shouldBe -math.log(1.0 / 6) +- 5e-4
+    r(3L)._2.get shouldBe -math.log(1.0 / 3) +- 5e-4
+    r(4L) shouldBe ((0L, None)) // under 2 tokens
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "define a probability distribution: P(·|seen ctx) sums to 1 over seen continuations" in {
+    val train = Seq((0L, "a b c a b d b a c c a")).toDF("doc_id", "text")
+    // vocabulary of continuations observed in training
+    val vocab = Seq("a", "b", "c", "d")
+    val probes = vocab.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"a $w") } // context 'a' is seen
+    val r = TextStats.kneserNeyScore(train, probes.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(x => Option(x.get(2)).map(_.asInstanceOf[Double]).get)
+    // each probe doc has exactly one bigram: nll = -ln P (round-3)
+    val total = r.map(nll => math.exp(-nll)).sum
+    total shouldBe 1.0 +- 0.01 // round-3 nll quantization only
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "containmentJoin (X96)"
 
   it should "find a fragment inside its article in the direction Jaccard misses" in {
