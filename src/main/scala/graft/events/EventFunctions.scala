@@ -309,4 +309,52 @@ object EventFunctions {
         min(when(col("__conv"), col(c.ts))).as("first_conversion_ts"))
       .withColumn("converted", col("n_converted") > 0)
   }
+
+  /** W14: SEQUENTIAL association rules — "sessions that do A later do B"
+    * with direction (the ordered counterpart of X92's market-basket
+    * rules; 2-item sequential patterns à la GSP/PrefixSpan, public
+    * knowledge). A session supports a → b iff SOME a-event strictly
+    * precedes SOME b-event (a ≠ b): equivalently
+    * `min_ts(a) < max_ts(b)` — so the whole pattern check needs only
+    * the per-(session, type) min/max aggregate, never an event-level
+    * self-join. Support / confidence / lift over session counts:
+    * `conf = n(a→b)/n(a)`, `lift = conf / (n(b)/n_sessions)`.
+    *
+    * At 100 TB: sessionize is one entity-keyed window; the aggregate
+    * collapses events to ≤ |types| rows per session BEFORE the pair
+    * join, so the self-join is |types|²-bounded per session — with a
+    * 5-type event taxonomy that is ≤ 20 ordered pairs per session
+    * regardless of session length. Counts are exact; the two divisions
+    * are the only doubles. */
+  def sequentialRules(events: DataFrame, timeoutSec: Long,
+      minSupport: Long = 1L, c: EventCols = EventCols()): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val st = graft.util.Caches.persistTracked(
+      sessionize(events, timeoutSec, c)
+        .groupBy(col(c.entity), col("session_id"), col(c.eventType))
+        .agg(min(col(c.ts)).as("__min_ts"), max(col(c.ts)).as("__max_ts")))
+    val nSessions = st.select(col(c.entity), col("session_id")).distinct()
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n_sess"))
+    val typeCounts = st.groupBy(col(c.eventType).as("__t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n_t"))
+    val pairs = st.as("a").join(st.as("b"),
+        col(s"a.${c.entity}") === col(s"b.${c.entity}") &&
+          col("a.session_id") === col("b.session_id") &&
+          col(s"a.${c.eventType}") =!= col(s"b.${c.eventType}") &&
+          col("a.__min_ts") < col("b.__max_ts"))
+      .groupBy(col(s"a.${c.eventType}").as("antecedent"),
+        col(s"b.${c.eventType}").as("consequent"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(broadcast(typeCounts.withColumnRenamed("__t", "antecedent")
+        .withColumnRenamed("__n_t", "__n_a")), "antecedent")
+      .join(broadcast(typeCounts.withColumnRenamed("__t", "consequent")
+        .withColumnRenamed("__n_t", "__n_b")), "consequent")
+      .crossJoin(broadcast(nSessions))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        (col("support").cast("double") / col("__n_a")).as("confidence"),
+        (col("support").cast("double") / col("__n_a") /
+          (col("__n_b").cast("double") / col("__n_sess"))).as("lift"))
+  }
 }

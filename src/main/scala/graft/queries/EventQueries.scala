@@ -80,6 +80,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // W14: sequential association rules over 1h sessions — session
+    // supports a -> b iff some a strictly precedes some b; the pattern
+    // check needs only per-(session, type) min/max.
+    "q_w14_sequential_rules" -> { (s, dir) =>
+      EventFunctions.sequentialRules(t(s, dir, "events"), 3600)
+        .orderBy(col("antecedent"), col("consequent"))
+    },
+
     // E13: rolling DAU/WAU/stickiness with a 7-day trailing window —
     // contribution-explosion form, exact counts, one division.
     "q_e13_stickiness" -> { (s, dir) =>
@@ -383,6 +391,41 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same session construction as q_w1, collapsed to per-(session,
+    // type) min/max before the |types|^2-bounded pair join.
+    "q_w14_sequential_rules" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |st AS (
+        |  SELECT user_id, session_id, event_type,
+        |    min(ts) AS mn, max(ts) AS mx
+        |  FROM sess GROUP BY 1, 2, 3),
+        |nsc AS (SELECT CAST(count(*) AS BIGINT) AS n_sess
+        |        FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |tc AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM st GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_id = b.session_id
+        |    AND a.event_type <> b.event_type AND a.mn < b.mx
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, support,
+        |  CAST(support AS DOUBLE) / ta.n_t AS confidence,
+        |  CAST(support AS DOUBLE) / ta.n_t /
+        |    (CAST(tb.n_t AS DOUBLE) / n_sess) AS lift
+        |FROM pr JOIN tc ta ON ta.t = antecedent
+        |JOIN tc tb ON tb.t = consequent, nsc
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q_w11_transition_matrix" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

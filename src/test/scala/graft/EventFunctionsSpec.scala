@@ -200,6 +200,47 @@ class EventFunctionsSpec extends SparkSpec {
     got(3L) shouldBe ((27L, 1L, 1.0, 111L))
   }
 
+  "sequentialRules (W14)" should "count directed in-session patterns with exact support/confidence/lift" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 session 1: view@10:00, click@10:10  -> supports view->click
+    // user 1 session 2 (4h later): click@14:30, view@14:40 -> click->view
+    // user 2 session 1: view@09:00, view@09:05 (view only)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:10:00"), "click", 2L),
+      (1L, ts("2024-01-01 14:30:00"), "click", 3L),
+      (1L, ts("2024-01-01 14:40:00"), "view", 4L),
+      (2L, ts("2024-01-01 09:00:00"), "view", 5L),
+      (2L, ts("2024-01-01 09:05:00"), "view", 6L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("value", lit(1.0))
+    val r = graft.events.EventFunctions.sequentialRules(events, 3600)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    // 3 sessions; view in 3, click in 2
+    val (s1, conf1, lift1) = r(("view", "click"))
+    s1 shouldBe 1L
+    conf1 shouldBe (1.0 / 3) +- 1e-15
+    lift1 shouldBe ((1.0 / 3) / (2.0 / 3)) +- 1e-15
+    r(("click", "view"))._1 shouldBe 1L // direction matters: other session
+    r(("click", "view"))._2 shouldBe 0.5 +- 1e-15
+    // no same-type rule, no cross-session pattern leakage
+    r.keySet shouldBe Set(("view", "click"), ("click", "view"))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "require strict precedence: simultaneous a and b support neither direction" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:00:00"), "click", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("value", lit(1.0))
+    graft.events.EventFunctions.sequentialRules(events, 3600)
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "pin all-null monetary to zero instead of engine-dependent NULL order" in {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
