@@ -507,6 +507,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X101: sorted-neighborhood fuzzy join — normalized 24-char key
+    // prefixes, window 10, Levenshtein <= 3 verify; the global sort
+    // rank is the two-phase (range-partition + driver prefix) form.
+    "q_x101_fuzzy_join" -> { (s, dir) =>
+      graft.text.Fuzzy.sortedNeighborhoodJoin(
+        t(s, dir, "documents"), "doc_id",
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          1, 24), window = 10, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // X100: interpolated Kneser-Ney bigram scoring — absolute discount
     // 0.75 with continuation-count unigrams, same even/odd train/score
     // split as q_x52; all model quantities exact integer counts.
@@ -1979,6 +1990,23 @@ object TextQueries {
     // Stupid backoff: same count tables and CASE chain; λ² is written
     // 0.4 * 0.4 (the literal 0.16 is a DIFFERENT double), divisions
     // stay in Spark's (λ·c)/d association.
+    // Direct mirror of the sorted-neighborhood semantics: one global
+    // row_number over (key, id), neighbors within 10 ranks, edit
+    // distance <= 3.
+    "q_x101_fuzzy_join" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      1, 24) AS key
+        |  FROM documents),
+        |r AS (SELECT id, key,
+        |      row_number() OVER (ORDER BY key, id) AS rnk FROM k)
+        |SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
+        |WHERE levenshtein(a.key, b.key) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Same KN formula over the same count tables, mirrored expression
     // tree (left-assoc multiplications) so both engines divide and
     // multiply identical IEEE operands.

@@ -1,0 +1,58 @@
+package graft
+
+import graft.text.Fuzzy
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, w: Int, k: Int) = {
+    // reference: single-partition row_number + range self-join
+    val r = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("key"), col("id"))))
+    r.as("a").join(r.as("b"),
+        col("b.rnk") > col("a.rnk") && col("b.rnk") <= col("a.rnk") + w &&
+          levenshtein(col("a.key"), col("b.key")) <= k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  it should "match the single-window reference on seeded noisy keys, at any partitioning" in {
+    val rnd = new scala.util.Random(13)
+    val base = Seq("alpha bravo", "charlie delta", "echo foxtrot",
+      "golf hotel", "india juliet")
+    val rows = (0 until 120).map { i =>
+      val s = base(rnd.nextInt(base.size)).toCharArray
+      // sprinkle up to 2 typos
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        s(rnd.nextInt(s.length)) = ('a' + rnd.nextInt(26)).toChar }
+      (i.toLong, new String(s))
+    }
+    val df = rows.toDF("id", "key")
+    val expected = naive(df, 6, 2)
+    for (parts <- Seq(1, 7)) {
+      val got = Fuzzy.sortedNeighborhoodJoin(
+        df.repartition(parts), "id", col("key"), window = 6, maxDist = 2)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      got.length shouldBe got.toSet.size // no duplicate pairs
+      got.toSet shouldBe expected
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "catch adjacent typo variants and respect the window bound" in {
+    // identical keys sort adjacently: all caught; the window cuts pairs
+    // further apart than `window` ranks even when within edit distance
+    val df = (0L until 12L).map(i => (i, "samekey")).toDF("id", "key")
+    val got = Fuzzy.sortedNeighborhoodJoin(df, "id", col("key"),
+      window = 3, maxDist = 0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // ranks follow id order (equal keys tie-break by id): pairs with
+    // id_b - id_a <= 3 only
+    got shouldBe (for {
+      a <- 0L until 12L; b <- a + 1 to math.min(a + 3, 11L)
+    } yield (a, b)).toSet
+    graft.util.Caches.releaseAll(spark)
+  }
+}
