@@ -96,4 +96,38 @@ object TextClassifier {
         round(col("__logp"), 3).as("log_prob"),
         round(col("__logp") - col("__next"), 3).as("margin"))
   }
+
+  /** X103: K-FOLD CROSS-VALIDATION of the NB classifier — the honest
+    * generalization estimate (a single train/test split's accuracy has
+    * split-lottery variance; k folds use every document exactly once as
+    * a test item). Folds assign by `id mod k` — deterministic and
+    * engine-reproducible, never `rand()`. Each fold trains on the other
+    * k−1 folds and scores its own; per-fold accuracy and mean margin
+    * come back in one k-row frame.
+    *
+    * Plan shape: the k fold pipelines are INDEPENDENT branches of one
+    * DAG (k count-aggregate model builds + k scoring joins — all
+    * partial-aggregated, nothing collected); at 100 TB each branch
+    * scans the corpus once, so the whole CV costs k× one training pass,
+    * the textbook lower bound. Output: (fold, n_docs, n_correct,
+    * accuracy, mean_margin). */
+  def crossValidate(corpus: DataFrame, idCol: String, textCol: String,
+      labelCol: String, folds: Int, alpha: Double = 1.0): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val perFold = (0 until folds).map { f =>
+      val isFold = pmod(col(idCol), lit(folds.toLong)) === f
+      val model = train(corpus.filter(!isFold), textCol, labelCol)
+      score(model, corpus.filter(isFold), idCol, textCol, alpha)
+        .join(corpus.select(col(idCol).as("doc_id"),
+          col(labelCol).as("__true")), "doc_id")
+        .select(lit(f).as("fold"),
+          (col("label") === col("__true")).cast("long").as("__ok"),
+          col("margin"))
+    }.reduce(_ unionByName _)
+    perFold.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ok")).as("n_correct"),
+        (sum(col("__ok")).cast("double") / count(lit(1))).as("accuracy"),
+        round(avg(col("margin")), 4).as("mean_margin"))
+  }
 }

@@ -59,6 +59,16 @@ object AnnQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // X102: population covariance of the embedding corpus — the PCA
+    // moment pass (one custom typed aggregate, matrix-sized state);
+    // upper-triangular (i, j, cov) rows, raw doubles under the
+    // driver's relative tolerance.
+    "q_x102_embedding_covariance" -> { (s, dir) =>
+      graft.ml.Pca.covarianceMatrix(t(s, dir, "embeddings"),
+          "embedding", Dim)
+        .orderBy(col("i"), col("j"))
+    },
+
     // X8: exact cosine top-5 over the index for a query batch (every 4th
     // vector — the realistic query-set-vs-index shape).
     "q_x8_ann_bruteforce" -> { (s, dir) =>
@@ -364,6 +374,23 @@ object AnnQueries {
       |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same population-covariance formula from the same moment sums;
+    // parallel unnest aligns value and index positionally.
+    "q_x102_embedding_covariance" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    unnest(range(0, len(embedding))) AS i
+        |  FROM embeddings),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |s AS (SELECT i, sum(x) AS sx FROM ex GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i AS i, p.j AS j,
+        |  sp / n - (si.sx / n) * (sj.sx / n) AS cov
+        |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j, n0
+        |ORDER BY p.i, p.j""".stripMargin,
     "q_x8_ann_bruteforce" -> bruteForceOracle,
     // streamed-index form computes the SAME exact function — one oracle
     "q_x29_bruteforce_streamed" -> bruteForceOracle,

@@ -385,6 +385,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X103: 3-fold cross-validated NB — fold = doc_id mod 3, each fold
+    // scored by a model trained on the other two; per-fold accuracy and
+    // mean margin (all count-exact, divisions mirrored).
+    "q_x103_cv_folds" -> { (s, dir) =>
+      graft.ml.TextClassifier.crossValidate(t(s, dir, "documents"),
+        "doc_id", "text", "lang", folds = 3)
+        .orderBy(col("fold"))
+    },
+
     // X53: calibration sweep over X50's confidence margin — keep-volume
     // and precision at 20 equal-width cutoffs; the grid form (one
     // aggregate + a 20-row suffix sum), never a full-relation sort.
@@ -1308,6 +1317,64 @@ object TextQueries {
   /** Shared X50 NB scored-margin chain (train → margin/ok per doc →
     * `vals(s, ok)`), used by the q_x53 sweep and the q_f15 calibration
     * oracles. */
+  /** q_x103 oracle: the q_x50 NB chain instantiated once per fold
+    * (train = other folds, score = own fold), rolled up to per-fold
+    * accuracy + mean round-3 margin. */
+  private val cvFoldsOracle: String = {
+    def fold(f: Int): String =
+      s"""train$f AS (SELECT * FROM documents WHERE doc_id % 3 <> $f),
+         |ttoks$f AS (
+         |  SELECT lang AS label,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM train$f),
+         |tc$f AS (SELECT label, tok, count(*) AS cnt FROM ttoks$f
+         |         GROUP BY 1, 2),
+         |tot$f AS (SELECT label, count(*) AS tok_total FROM ttoks$f
+         |          GROUP BY 1),
+         |pri$f AS (
+         |  SELECT lang AS label,
+         |    ln(count(*) / (SELECT count(*) * 1.0 FROM train$f))
+         |      AS log_prior
+         |  FROM train$f GROUP BY 1),
+         |v$f AS (SELECT count(DISTINCT tok) AS vv FROM ttoks$f),
+         |stoks$f AS (
+         |  SELECT doc_id, tok, count(*) AS n_t FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |    FROM documents WHERE doc_id % 3 = $f) GROUP BY 1, 2),
+         |scored$f AS (
+         |  SELECT s.doc_id, p.label,
+         |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+         |      (tot.tok_total + v.vv * 1.0))) AS logp
+         |  FROM stoks$f s
+         |  CROSS JOIN pri$f p
+         |  JOIN tot$f tot ON tot.label = p.label
+         |  LEFT JOIN tc$f tc ON tc.label = p.label AND tc.tok = s.tok
+         |  CROSS JOIN v$f v
+         |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+         |ranked$f AS (
+         |  SELECT doc_id, label, logp,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY logp DESC, label) AS rn,
+         |    lead(logp) OVER (PARTITION BY doc_id
+         |      ORDER BY logp DESC, label) AS nxt
+         |  FROM scored$f),
+         |res$f AS (
+         |  SELECT $f AS fold, (r.label = d.lang) AS ok,
+         |    round(r.logp - r.nxt, 3) AS margin
+         |  FROM ranked$f r JOIN documents d USING (doc_id)
+         |  WHERE r.rn = 1)""".stripMargin
+    s"""WITH ${(0 until 3).map(fold).mkString(",\n")},
+       |allr AS (SELECT * FROM res0 UNION ALL SELECT * FROM res1
+       |         UNION ALL SELECT * FROM res2)
+       |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS accuracy,
+       |  round(avg(margin), 4) AS mean_margin
+       |FROM allr GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   private val nbMarginValsCte: String =
     """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |ttoks AS (
@@ -1678,6 +1745,7 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
     // NB classifier: identical count tables, add-one smoothing,
     // argmax tie-broken by label; logp rounded only at the end.
+    "q_x103_cv_folds" -> cvFoldsOracle,
     "q_x50_nb_classifier" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |ttoks AS (

@@ -215,6 +215,21 @@ class ClassifierRetrievalSpec extends SparkSpec {
     got(3L)._1 shouldBe None // absent from the lexical list
   }
 
+  "crossValidate (X103)" should "partition docs into disjoint exhaustive folds and separate easy classes" in {
+    // two trivially separable vocabularies
+    val docs = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "apple banana cherry fruit", "f")
+      else (i.toLong, "iron copper zinc metal", "m")
+    }.toDF("doc_id", "text", "lang")
+    val cv = graft.ml.TextClassifier
+      .crossValidate(docs, "doc_id", "text", "lang", folds = 3)
+      .select(col("fold"), col("n_docs"), col("accuracy"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    cv.map(_._1).toSeq shouldBe Seq(0, 1, 2)
+    cv.map(_._2).sum shouldBe 30L // every doc tested exactly once
+    cv.foreach(_._3 shouldBe 1.0) // separable -> perfect per fold
+  }
+
   it should "tie-break equal fused scores by doc_id and honour k" in {
     // d5 lex-rank 1 only, d4 sem-rank 1 only: identical scores
     val lex = Seq(("q", 5L, 1L)).toDF("query_id", "doc_id", "rank")
