@@ -342,4 +342,74 @@ object Dq {
       ctx ++ extra + (cmd.output -> out)
     }
   }
+
+  /** D11: declarative CHECK definitions (the Deequ-style constraint
+    * suite the reference's single assertion generalizes to). Each check
+    * defines a per-row violation; `Unique` is table-level (duplicate
+    * rows beyond the first are the violations). `threshold` is the
+    * tolerated violation fraction (0 = strict). */
+  sealed trait Check { def threshold: Double; def target: String }
+  /** Column must be non-NULL. */
+  final case class Complete(column: String, threshold: Double = 0.0)
+      extends Check { def target: String = column }
+  /** Column must fall in [lo, hi]; NULL violates. */
+  final case class Between(column: String, lo: Double, hi: Double,
+      threshold: Double = 0.0) extends Check { def target: String = column }
+  /** Column must be one of `values`; NULL violates. */
+  final case class InSet(column: String, values: Seq[String],
+      threshold: Double = 0.0) extends Check { def target: String = column }
+  /** Column must rlike `pattern`; NULL violates. */
+  final case class MatchesRegex(column: String, pattern: String,
+      threshold: Double = 0.0) extends Check { def target: String = column }
+  /** Arbitrary SQL predicate must hold; NULL violates (D1 semantics). */
+  final case class Satisfies(sql: String, threshold: Double = 0.0)
+      extends Check { def target: String = sql }
+  /** `columns` must uniquely identify rows; each surplus copy violates. */
+  final case class Unique(columns: Seq[String], threshold: Double = 0.0)
+      extends Check { def target: String = columns.mkString(",") }
+
+  /** D11: run a whole check suite in ONE aggregate pass — total row
+    * count plus one `count(when(violation))` per row-level check, and
+    * `count − countDistinct` for each Unique check, all in the same
+    * Aggregate node (each distinct adds an Expand duplicate of the
+    * scan, like D8's profile; keep Unique checks few on huge tables or
+    * split them out). Output: one row per check —
+    * (check_id, check_type, target, n_violations, violation_ratio,
+    * passed) — ordered by check_id, nothing collected except the 1-row
+    * aggregate that the literal-struct explode unpacks. */
+  def checkSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    def violation(c: Check): org.apache.spark.sql.Column = c match {
+      case Complete(column, _) => col(column).isNull
+      case Between(column, lo, hi, _) =>
+        !coalesce(col(column) >= lo && col(column) <= hi, lit(false))
+      case InSet(column, values, _) =>
+        !coalesce(col(column).isin(values: _*), lit(false))
+      case MatchesRegex(column, pattern, _) =>
+        !coalesce(col(column).rlike(pattern), lit(false))
+      case Satisfies(sql, _) => !coalesce(expr(sql), lit(false))
+      case _: Unique => lit(false) // handled as an aggregate below
+    }
+    val aggs = count(lit(1)).cast("double").as("__total") +:
+      checks.zipWithIndex.map {
+        case (Unique(cols, _), i) =>
+          (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+            .cast("long").as(s"__v$i")
+        case (c, i) =>
+          count(when(violation(c), 1)).as(s"__v$i")
+      }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val ratio = when(col("__total") > 0,
+        col(s"__v$i") / col("__total")).otherwise(lit(0.0))
+      struct(lit(i).as("check_id"),
+        lit(c.getClass.getSimpleName).as("check_type"),
+        lit(c.target).as("target"),
+        col(s"__v$i").as("n_violations"),
+        ratio.as("violation_ratio"),
+        (ratio <= c.threshold).cast("int").as("passed"))
+    }
+    m.select(explode(array(rows: _*)).as("__c")).select(col("__c.*"))
+      .orderBy(col("check_id"))
+  }
 }

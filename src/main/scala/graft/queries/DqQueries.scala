@@ -74,6 +74,20 @@ object DqQueries {
         col("converted"))
     },
 
+    // D11: declarative check suite over orders — completeness, range,
+    // set-membership, regex, SQL predicate and uniqueness verdicts in
+    // one aggregate pass (the Between check legitimately fails: 40% of
+    // totalprices exceed its bound at threshold 0).
+    "q_d11_check_suite" -> { (s, dir) =>
+      Dq.checkSuite(t(s, dir, "orders"), Seq(
+        Dq.Complete("o_custkey"),
+        Dq.Between("o_totalprice", 0, 300000),
+        Dq.InSet("o_orderstatus", Seq("F", "O", "P")),
+        Dq.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        Dq.Satisfies("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"),
+        Dq.Unique(Seq("o_orderkey"))))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -112,6 +126,44 @@ object DqQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // One violation-count branch per check, identical NULL semantics
+    // (violation = NOT coalesce(pred, FALSE)).
+    "q_d11_check_suite" ->
+      """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders),
+        |v AS (
+        |  SELECT 0 AS check_id, 'Complete' AS check_type,
+        |    'o_custkey' AS target,
+        |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n
+        |  FROM orders
+        |  UNION ALL SELECT 1, 'Between', 'o_totalprice',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(
+        |      o_totalprice >= 0 AND o_totalprice <= 300000, FALSE))
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 2, 'InSet', 'o_orderstatus',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(
+        |      o_orderstatus IN ('F', 'O', 'P'), FALSE)) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 3, 'MatchesRegex', 'o_orderpriority',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(
+        |      regexp_matches(o_orderpriority, '^[1-5]-'), FALSE))
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 4, 'Satisfies',
+        |    'o_orderdate >= TIMESTAMP ''1995-01-01 00:00:00''',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(
+        |      o_orderdate >= TIMESTAMP '1995-01-01 00:00:00', FALSE))
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 5, 'Unique', 'o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders)
+        |SELECT check_id, check_type, target, n AS n_violations,
+        |  CASE WHEN total > 0 THEN n / total ELSE 0.0 END
+        |    AS violation_ratio,
+        |  CAST((CASE WHEN total > 0 THEN n / total ELSE 0.0 END) <= 0.0
+        |    AS INTEGER) AS passed
+        |FROM v, t ORDER BY check_id""".stripMargin,
     // Same explicit-moment Pearson formula, one aggregate pass.
     "q_d9_correlation" ->
       """WITH m AS (SELECT

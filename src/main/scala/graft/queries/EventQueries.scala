@@ -80,6 +80,17 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E15: trailing 14-day EWMA (alpha 0.3) of daily purchase value —
+    // contribution-explosion closed form, weights renormalized over
+    // observed lags.
+    "q_e15_ewma" -> { (s, dir) =>
+      graft.events.Resample.ewmaDaily(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // W14: sequential association rules over 1h sessions — session
     // supports a -> b iff some a strictly precedes some b; the pattern
     // check needs only per-(session, type) min/max.
@@ -391,6 +402,22 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same contribution-explosion closed form, pow(0.7, o) weights.
+    "q_e15_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |con AS (
+        |  SELECT user_id, d + CAST(o AS INTEGER) AS td,
+        |    pow(0.7, o) * x AS wx, pow(0.7, o) AS w
+        |  FROM daily, range(0, 14) AS r(o)),
+        |sm AS (
+        |  SELECT user_id, td, sum(wx) AS num, sum(w) AS den
+        |  FROM con GROUP BY 1, 2)
+        |SELECT d.user_id AS user_id, strftime(d.d, '%Y-%m-%d') AS day,
+        |  round(d.x, 2) AS value, num / den AS ewma
+        |FROM daily d JOIN sm ON sm.user_id = d.user_id AND sm.td = d.d
+        |ORDER BY 1, 2""".stripMargin,
     // Same session construction as q_w1, collapsed to per-(session,
     // type) min/max before the |types|^2-bounded pair join.
     "q_w14_sequential_rules" ->

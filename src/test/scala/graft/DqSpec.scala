@@ -215,6 +215,33 @@ class DqSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "checkSuite (D11)" should "judge every check kind in one pass with NULL-as-violation semantics" in {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(5.0), "A", "1-URGENT"),
+      (Some(2L), Some(50.0), "B", "9-BOGUS"),   // regex + set violations
+      (None, None, "A", "2-HIGH"),              // null key + null range
+      (Some(2L), Some(500.0), "A", "3-MEDIUM")) // range violation + dup key
+      .toDF("k", "x", "s", "p")
+    val r = Dq.checkSuite(df, Seq(
+      Dq.Complete("k"),
+      Dq.Between("x", 0, 100, threshold = 0.5),
+      Dq.InSet("s", Seq("A")),
+      Dq.MatchesRegex("p", "^[1-5]-"),
+      Dq.Satisfies("x > 0", threshold = 0.25),
+      Dq.Unique(Seq("k"))))
+      .select(col("check_id"), col("n_violations"), col("passed"))
+      .as[(Int, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    r(0) shouldBe ((1L, 0)) // one NULL key, strict -> fail
+    r(1) shouldBe ((2L, 1)) // NULL x + 500 out of range, but 0.5 tolerated
+    r(2) shouldBe ((1L, 0)) // 'B'
+    r(3) shouldBe ((1L, 0)) // '9-BOGUS'
+    r(4) shouldBe ((1L, 1)) // NULL x violates, 25% tolerated
+    r(5) shouldBe ((1L, 0)) // k=2 twice (NULL groups count as one value)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "bin against reference edges with deterministic rank ties" in {
     // many ties: edges land on repeated values; both populations must
     // bin identically and counts must cover everything

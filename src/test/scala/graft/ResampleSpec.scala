@@ -26,6 +26,44 @@ class ResampleSpec extends SparkSpec {
       (2L, "2024-01-02", 1.0, 0))
   }
 
+  "ewmaDaily (E15)" should "decay by day lag and renormalize over observed days" in {
+    // observed days 1, 2, 4 (gap at 3), alpha 0.3 -> beta 0.7
+    val df = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 10.0),
+      (1L, ts("2024-01-02 08:00:00"), 20.0),
+      (1L, ts("2024-01-04 08:00:00"), 40.0))
+      .toDF("user_id", "ts", "value")
+    val r = Resample.ewmaDaily(df, "user_id", col("ts"), col("value"),
+        alpha = 0.3, window = 14)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select(col("day"), col("ewma")).as[(String, Double)]
+      .collect().toMap
+    val b = 0.7
+    r("2024-01-01") shouldBe 10.0 +- 1e-12
+    r("2024-01-02") shouldBe
+      ((20.0 + b * 10.0) / (1 + b)) +- 1e-12
+    // day 4: lags 0 (x=40), 2 (x=20), 3 (x=10) — day 3 contributes no
+    // weight to the denominator (renormalization over OBSERVED lags)
+    r("2024-01-04") shouldBe
+      ((40.0 + b * b * 20.0 + b * b * b * 10.0) /
+        (1 + b * b + b * b * b)) +- 1e-12
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "truncate influence beyond the window horizon" in {
+    val df = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1000.0),
+      (1L, ts("2024-03-01 08:00:00"), 1.0)) // 60 days later
+      .toDF("user_id", "ts", "value")
+    val r = Resample.ewmaDaily(df, "user_id", col("ts"), col("value"),
+        alpha = 0.3, window = 14)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select(col("day"), col("ewma")).as[(String, Double)]
+      .collect().toMap
+    r("2024-03-01") shouldBe 1.0 +- 1e-12 // the old spike is out of horizon
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "produce a contiguous daily series per key (no holes, no duplicates)" in {
     val rnd = new scala.util.Random(7)
     val df = (0 until 300).map { _ =>
