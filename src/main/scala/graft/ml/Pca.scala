@@ -60,11 +60,17 @@ object Pca {
   /** Population covariance matrix of a fixed-`dim` vector column, as
     * upper-triangular rows (i ≤ j): (i, j, cov). One corpus scan. */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int)
-      : DataFrame = {
-    val spark = df.sparkSession
-    val buf = momentBuffer(df, vecCol, dim)
-    val n = buf(0)
-    require(n > 0, "covarianceMatrix needs at least one valid vector")
+      : DataFrame =
+    covarianceFromBuffer(df.sparkSession,
+      momentBuffer(df, vecCol, dim), dim)
+
+  /** Covariance rows from a (possibly merged) moment buffer — the
+    * moment sums are associative, so buffers from independent batches
+    * sum elementwise into exactly the one-pass buffer of their union
+    * (what the streaming moment sink relies on). */
+  private[graft] def covarianceFromBuffer(spark: SparkSession,
+      buf: Array[Double], dim: Int): DataFrame = {
+    require(buf(0) > 0, "covariance needs at least one valid vector")
     val rows = for {
       i <- 0 until dim; j <- i until dim
     } yield (i.toLong, j.toLong, cov(buf, dim, i, j))
@@ -72,7 +78,7 @@ object Pca {
     rows.toDF("i", "j", "cov")
   }
 
-  private def momentBuffer(df: DataFrame, vecCol: String,
+  private[graft] def momentBuffer(df: DataFrame, vecCol: String,
       dim: Int): Array[Double] = {
     val spark = df.sparkSession
     implicit val enc: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()

@@ -470,6 +470,54 @@ object StreamingEvents {
     ()
   }
 
+  /** Streaming PCA-MOMENT maintenance: each micro-batch of embedding
+    * vectors writes its X102 moment buffer (n, per-dim sums, upper-
+    * triangular products — `1 + d + d(d+1)/2` doubles, KBs regardless
+    * of batch size) as (idx, v) rows under `batch_id=N`. Moment sums
+    * are ASSOCIATIVE, so the published covariance view merges buffers
+    * elementwise and equals a one-pass covariance of everything
+    * ingested (spec-proven) — the stream never re-scans vectors to
+    * refresh the PCA model, and a refit is a matrix-sized read.
+    * Replays overwrite their own batch directory: idempotent. */
+  def momentSink(vectors: DataFrame, vecCol: String, dim: Int,
+      momentsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) momentBatch(batch.toDF(), batchId, vecCol,
+          dim, momentsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[momentSink]] — package-private so the parity
+    * spec can drive the identical code path directly. */
+  private[graft] def momentBatch(batch: DataFrame, batchId: Long,
+      vecCol: String, dim: Int, momentsDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val buf = graft.ml.Pca.momentBuffer(batch, vecCol, dim)
+    buf.zipWithIndex.map { case (v, k) => (k.toLong, v) }.toSeq
+      .toDF("idx", "v")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$momentsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[momentSink]] directory: covariance of
+    * every vector ingested so far, from the elementwise-summed moment
+    * buffers (matrix-sized read; identical to a batch
+    * [[graft.ml.Pca.covarianceMatrix]] over the union). */
+  def covarianceView(spark: org.apache.spark.sql.SparkSession,
+      momentsDir: String, dim: Int): DataFrame = {
+    val merged = spark.read.parquet(momentsDir)
+      .groupBy(col("idx")).agg(sum(col("v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val buf = Array.tabulate(1 + dim + dim * (dim + 1) / 2)(k =>
+      merged.getOrElse(k.toLong, 0.0))
+    graft.ml.Pca.covarianceFromBuffer(spark, buf, dim)
+  }
+
   /** The published view over a [[countMinSink]] directory: the merged
     * cell table — cell-wise sums over every ingested batch, exactly the
     * sketch a one-pass build over the union would produce. Feed it to

@@ -409,6 +409,40 @@ class StreamingSpec extends SparkSpec {
     viewRows() shouldBe onePass
   }
 
+  it should "maintain PCA moments whose covariance view equals the one-pass batch covariance" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smo").toString
+    val d = 6
+    val rnd = new scala.util.Random(3)
+    def vecs(n: Int): Seq[(Long, Seq[Float])] =
+      (1 to n).map(i => (i.toLong,
+        Seq.tabulate(d)(_ => rnd.nextGaussian().toFloat)))
+    val (b1, b2) = (vecs(30), vecs(25))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEvents.momentSink(
+      in.toDF().toDF("id", "vec"), "vec", d,
+      s"$tmp/moments", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("id", "vec")
+    val batchCov = graft.ml.Pca.covarianceMatrix(union, "vec", d)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3)
+      .toMap
+    def viewCov() = StreamingEvents.covarianceView(spark,
+      s"$tmp/moments", d)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3)
+      .toMap
+    val got = viewCov()
+    got.keySet shouldBe batchCov.keySet
+    got.foreach { case (k, v) => v shouldBe batchCov(k) +- 1e-12 }
+    // replay: rewriting batch 1's partition in place changes nothing
+    StreamingEvents.momentBatch(b2.toDF("id", "vec"), 1L, "vec", d,
+      s"$tmp/moments")
+    viewCov().foreach { case (k, v) => v shouldBe batchCov(k) +- 1e-12 }
+  }
+
   it should "maintain a stream-wide priority sample identical to the batch sampler" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sps").toString
