@@ -129,6 +129,50 @@ object Embeddings {
     * Scale shape: ONE self-equi-join on the strided id (no similarity
     * search), a projection of |dims| fold expressions, and a dims-sized
     * aggregate. */
+  /** X104: EMBEDDING-SPACE HEALTH HISTOGRAM — the distribution of
+    * pairwise cosines over a strided pair sample, binned on fixed
+    * [−1, 1] edges. The isotropy check run before trusting cosine
+    * retrieval at all: anisotropic embedding spaces (all cosines
+    * piled near +1 — the well-known representation-degeneration
+    * pathology) make cosine top-k meaningless, and a histogram shows
+    * it where a single mean hides it.
+    *
+    * Same strided self-equi-join as [[dimAblation]] (deterministic
+    * O(n) pair sample, one equi-join, never all-pairs); cosines are
+    * identical sequential folds in both engines, and the bucket
+    * arithmetic is the exactly-rounded subtract/divide/floor
+    * discipline (no ln/exp — bucket placement engine-identical).
+    * Empty buckets surface as explicit zero rows (a hole in a
+    * histogram is data, not absence). Output: (bucket, lo, hi, n). */
+  def cosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+      stride: Long, bins: Int = 20): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = df.select((col(idCol).cast("long") - stride).as("id_a"),
+      col(vecCol).cast("array<double>").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
+      lit(0.0), (acc, t) => acc + t)
+    val nx = sqrt(aggregate(col("va"), lit(0.0), (acc, p) => acc + p * p))
+    val ny = sqrt(aggregate(col("vb"), lit(0.0), (acc, q) => acc + q * q))
+    val cos = when(nx * ny > 0.0, dot / (nx * ny))
+    val width = 2.0 / bins
+    val counts = a.join(b, "id_a")
+      .select(cos.as("__cos"))
+      .filter(col("__cos").isNotNull)
+      .select(least(floor((col("__cos") + 1.0) / width),
+        lit(bins - 1.0)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(0, bins)
+      .select(col("id").as("bucket"))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(lit(-1.0) + col("bucket") * width, 6).as("lo"),
+        round(lit(-1.0) + (col("bucket") + 1) * width, 6).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def dimAblation(df: DataFrame, idCol: String, vecCol: String,
       dims: Seq[Int], stride: Long): DataFrame = {
     require(dims.nonEmpty, "dimAblation needs at least one dim")

@@ -130,4 +130,47 @@ object TextClassifier {
         (sum(col("__ok")).cast("double") / count(lit(1))).as("accuracy"),
         round(avg(col("margin")), 4).as("mean_margin"))
   }
+
+  /** F18: per-class evaluation — confusion counts rolled up to
+    * precision / recall / F1 per class (the report a quality-filter
+    * owner actually reads; accuracy alone hides which class the
+    * classifier sacrifices). `predictions` must carry one row per item
+    * with a true column and a predicted column. Classes = every label
+    * observed on either side; a class never predicted has NULL
+    * precision (0/0 is not 0), a class never true has NULL recall, and
+    * F1 is NULL unless both parts exist and P+R > 0.
+    *
+    * One aggregate over the predictions (true, predicted) pairs +
+    * class-sized joins — at 100 TB the pair aggregate is the only pass
+    * over the data. Exact counts, guarded divisions. Output: (label,
+    * n_true, n_pred, tp, precision, recall, f1). */
+  def classReport(predictions: DataFrame, trueCol: String,
+      predCol: String): DataFrame = {
+    val pairs = graft.util.Caches.persistTracked(
+      predictions.groupBy(col(trueCol).as("__t"), col(predCol).as("__p"))
+        .agg(count(lit(1)).as("__n")))
+    val classes = pairs.select(col("__t").as("label"))
+      .unionByName(pairs.select(col("__p").as("label"))).distinct()
+    val trueCounts = pairs.groupBy(col("__t").as("label"))
+      .agg(sum(col("__n")).as("n_true"))
+    val predCounts = pairs.groupBy(col("__p").as("label"))
+      .agg(sum(col("__n")).as("n_pred"))
+    val tp = pairs.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("__n").as("tp"))
+    val base = classes
+      .join(trueCounts, Seq("label"), "left")
+      .join(predCounts, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred"))
+    val r = when(col("n_true") > 0, col("tp").cast("double") / col("n_true"))
+    base.withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(p.isNotNull && r.isNotNull && (p + r) > 0,
+          lit(2.0) * p * r / (p + r)))
+  }
 }

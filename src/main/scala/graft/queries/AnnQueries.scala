@@ -242,6 +242,14 @@ object AnnQueries {
         .orderBy(col("dim"))
     },
 
+    // X104: pairwise-cosine isotropy histogram — strided pair sample,
+    // fixed [-1,1] 20-bin exact bucket arithmetic, empty bins explicit.
+    "q_x104_cosine_histogram" -> { (s, dir) =>
+      graft.ann.Embeddings.cosineHistogram(t(s, dir, "embeddings"),
+        "vec_id", "embedding", stride = 7L)
+        .orderBy(col("bucket"))
+    },
+
     "q_x16_int8_quantization" -> { (s, dir) =>
       graft.ann.Embeddings.quantizeInt8(t(s, dir, "embeddings"),
         "vec_id", "embedding")
@@ -763,6 +771,32 @@ object AnnQueries {
          |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     // Dim ablation: same slices, same sequential dot-product
     // accumulation order; only the per-dim averages rounded.
+    // Identical fold cosines, identical subtract/divide/floor buckets.
+    "q_x104_cosine_histogram" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.v AS va, b.v AS vb
+        |  FROM nn a JOIN nn b ON b.vec_id = a.vec_id + 7),
+        |c AS (
+        |  SELECT CASE WHEN sqrt(list_dot_product(va, va)) *
+        |      sqrt(list_dot_product(vb, vb)) > 0
+        |    THEN list_dot_product(va, vb) /
+        |      (sqrt(list_dot_product(va, va)) *
+        |       sqrt(list_dot_product(vb, vb))) END AS cos
+        |  FROM p),
+        |bk AS (
+        |  SELECT CAST(least(floor((cos + 1.0) / 0.1), 19.0) AS BIGINT)
+        |    AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cos IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 20)) AS bucket)
+        |SELECT g.bucket AS bucket,
+        |  round(-1.0 + g.bucket * 0.1, 6) AS lo,
+        |  round(-1.0 + (g.bucket + 1) * 0.1, 6) AS hi,
+        |  coalesce(bk.n, 0) AS n
+        |FROM grid g LEFT JOIN bk USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q_x95_dim_ablation" ->
       """WITH nn AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

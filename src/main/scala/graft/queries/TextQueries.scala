@@ -394,6 +394,20 @@ object TextQueries {
         .orderBy(col("fold"))
     },
 
+    // F18: per-class precision/recall/F1 for the X50 classifier —
+    // confusion-pair aggregate + class-sized joins, guarded divisions
+    // (never-predicted class: NULL precision, not 0).
+    "q_f18_class_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      val preds = graft.ml.TextClassifier.score(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      graft.ml.TextClassifier.classReport(preds, "lang", "label")
+        .orderBy(col("label"))
+    },
+
     // X53: calibration sweep over X50's confidence margin — keep-volume
     // and precision at 20 equal-width cutoffs; the grid form (one
     // aggregate + a 20-row suffix sum), never a full-relation sort.
@@ -1746,6 +1760,70 @@ object TextQueries {
     // NB classifier: identical count tables, add-one smoothing,
     // argmax tie-broken by label; logp rounded only at the end.
     "q_x103_cv_folds" -> cvFoldsOracle,
+    // The X50 chain rolled up to confusion counts + guarded per-class
+    // metrics ("precision" quoted — DuckDB type keyword).
+    "q_f18_class_report" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |ttoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM train),
+        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
+        |stoks AS (
+        |  SELECT doc_id, tok, count(*) AS n_t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.doc_id, p.label,
+        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+        |      (tot.tok_total + v.vv * 1.0))) AS logp
+        |  FROM stoks s
+        |  CROSS JOIN pri p
+        |  JOIN tot ON tot.label = p.label
+        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
+        |  CROSS JOIN v
+        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+        |ranked AS (
+        |  SELECT doc_id, label,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY logp DESC, label) AS rn
+        |  FROM scored),
+        |pairs AS (
+        |  SELECT d.lang AS t, r.label AS p, CAST(count(*) AS BIGINT) AS n
+        |  FROM ranked r JOIN documents d USING (doc_id)
+        |  WHERE r.rn = 1 GROUP BY 1, 2),
+        |cls AS (SELECT t AS label FROM pairs
+        |        UNION SELECT p FROM pairs),
+        |tcl AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS n_true
+        |        FROM pairs GROUP BY 1),
+        |pcl AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+        |        FROM pairs GROUP BY 1),
+        |tpx AS (SELECT t AS label, n AS tp FROM pairs WHERE t = p),
+        |base AS (
+        |  SELECT cls.label, coalesce(n_true, 0) AS n_true,
+        |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+        |  FROM cls LEFT JOIN tcl USING (label)
+        |  LEFT JOIN pcl USING (label) LEFT JOIN tpx USING (label))
+        |SELECT label, n_true, n_pred, tp,
+        |  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END
+        |    AS "precision",
+        |  CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END
+        |    AS recall,
+        |  CASE WHEN n_pred > 0 AND n_true > 0
+        |      AND CAST(tp AS DOUBLE) / n_pred
+        |        + CAST(tp AS DOUBLE) / n_true > 0
+        |    THEN 2.0 * (CAST(tp AS DOUBLE) / n_pred)
+        |      * (CAST(tp AS DOUBLE) / n_true)
+        |      / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true)
+        |    END AS f1
+        |FROM base ORDER BY label""".stripMargin,
     "q_x50_nb_classifier" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |ttoks AS (

@@ -230,6 +230,27 @@ class ClassifierRetrievalSpec extends SparkSpec {
     cv.foreach(_._3 shouldBe 1.0) // separable -> perfect per fold
   }
 
+  "classReport (F18)" should "compute guarded per-class precision/recall/F1 from a known confusion" in {
+    val preds = Seq(
+      ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"),
+      ("a", "d"))
+      .toDF("truth", "pred")
+    val r = graft.ml.TextClassifier.classReport(preds, "truth", "pred")
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().map(t => t._1 -> t).toMap
+    r("a") shouldBe (("a", 3L, 2L, 1L, Some(0.5), Some(1.0 / 3),
+      Some(2.0 * 0.5 * (1.0 / 3) / (0.5 + 1.0 / 3))))
+    r("b") shouldBe (("b", 2L, 3L, 2L, Some(2.0 / 3), Some(1.0),
+      Some(2.0 * (2.0 / 3) * 1.0 / (2.0 / 3 + 1.0))))
+    // never predicted: precision undefined, recall 0, f1 undefined
+    r("c") shouldBe (("c", 1L, 0L, 0L, None, Some(0.0), None))
+    // never true: recall undefined
+    r("d") shouldBe (("d", 0L, 1L, 0L, Some(0.0), None, None))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "tie-break equal fused scores by doc_id and honour k" in {
     // d5 lex-rank 1 only, d4 sem-rank 1 only: identical scores
     val lex = Seq(("q", 5L, 1L)).toDF("query_id", "doc_id", "rank")

@@ -579,4 +579,28 @@ class SimilaritySpec extends SparkSpec {
     got(3) shouldBe 1L
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Embeddings.cosineHistogram (X104)"
+
+  it should "bin known cosines on fixed edges with explicit zero bins" in {
+    import spark.implicits._
+    // stride-1 pairs: (1,2) cos=1 -> clamped top bucket 19;
+    // (2,3) cos=0 -> bucket 10; (3,4) involves a zero vector -> dropped
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.ann.Embeddings.cosineHistogram(df, "vec_id",
+        "embedding", stride = 1L)
+      .select(col("bucket"), col("lo"), col("hi"), col("n"))
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    rows.length shouldBe 20 // full grid, empty bins as zero rows
+    rows.map(_._4).sum shouldBe 2L
+    val byBucket = rows.map(r => r._1 -> r._4).toMap
+    byBucket(19L) shouldBe 1L // cos = 1 clamps into the last bin
+    byBucket(10L) shouldBe 1L // cos = 0
+    rows.head._2 shouldBe -1.0
+    rows.last._3 shouldBe 1.0
+    graft.util.Caches.releaseAll(spark)
+  }
 }
