@@ -533,11 +533,15 @@ object TextQueries {
     // X101: sorted-neighborhood fuzzy join — normalized 24-char key
     // prefixes, window 10, Levenshtein <= 3 verify; the global sort
     // rank is the two-phase (range-partition + driver prefix) form.
+    // The normalizing regex runs over a bounded 96-char RAW prefix, not
+    // the whole document — the key derivation is evaluated several
+    // times (range-partitioner sampling + materialization) and an
+    // unbounded regex made it the dominant, corpus-linear cost.
     "q_x101_fuzzy_join" -> { (s, dir) =>
       graft.text.Fuzzy.sortedNeighborhoodJoin(
         t(s, dir, "documents"), "doc_id",
-        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-          1, 24), window = 10, maxDist = 3)
+        substring(regexp_replace(lower(substring(col("text"), 1, 96)),
+          "[^a-z0-9 ]", ""), 1, 24), window = 10, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -2142,8 +2146,8 @@ object TextQueries {
     "q_x101_fuzzy_join" ->
       """WITH k AS (
         |  SELECT doc_id AS id,
-        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |      1, 24) AS key
+        |    substr(regexp_replace(lower(substr(text, 1, 96)),
+        |      '[^a-z0-9 ]', '', 'g'), 1, 24) AS key
         |  FROM documents),
         |r AS (SELECT id, key,
         |      row_number() OVER (ORDER BY key, id) AS rnk FROM k)
