@@ -37,6 +37,16 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     },
 
+    // X105: item-item cosine kNN from order baskets — the symmetric
+    // one-mode bipartite projection behind "also bought" recommenders;
+    // exact counts, IEEE sqrt, deterministic per-item ranking.
+    "q_x105_item_cf" -> { (s, dir) =>
+      graft.relational.Associations.itemCosineTopK(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minCount = 3, k = 5)
+        .orderBy(col("item"), col("rank"))
+    },
+
     // X92: pair-level market-basket rules over order baskets — parts
     // co-purchased in >= 3 orders, both directed rules with exact
     // support/confidence/lift (pinned IEEE expression trees, no
@@ -45,6 +55,23 @@ object RelationalQueries {
       graft.relational.Associations.basketRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3)
         .orderBy(col("antecedent"), col("consequent"))
+    },
+
+    // A12: ROLLUP hierarchy totals — subtotal and grand-total rows with
+    // GROUPING ids, the reporting shape single-level groupBy can't
+    // express (Catalyst expands once; no per-level re-scan).
+    "q_a12_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("revenue"), col("g_rf"), col("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
     },
 
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
@@ -427,6 +454,46 @@ object RelationalQueries {
     "q_f9_surrogate_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
         |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin,
+    // Same basket-pair counts + IEEE sqrt cosine + (cosine DESC, id)
+    // ranking.
+    "q_x105_item_cf" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM bi
+        |        GROUP BY i),
+        |co AS (
+        |  SELECT a.i AS x, z.i AS y, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM bi a JOIN bi z ON a.b = z.b AND a.i < z.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (
+        |  SELECT x AS item, y AS neighbor, n_both FROM co
+        |  UNION ALL SELECT y, x, n_both FROM co),
+        |scored AS (
+        |  SELECT d.item, d.neighbor, d.n_both,
+        |    CAST(d.n_both AS DOUBLE) /
+        |      sqrt(CAST(ci.c AS DOUBLE) * CAST(cn.c AS DOUBLE)) AS cosine
+        |  FROM directed d
+        |  JOIN cnt ci ON ci.i = d.item
+        |  JOIN cnt cn ON cn.i = d.neighbor),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT item, neighbor, n_both, cosine, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY item, rank""".stripMargin,
+    // Same ROLLUP + GROUPING() semantics; NULL group keys coalesced to
+    // 'ALL' on both sides (a NULL subtotal key is indistinguishable
+    // from a NULL data value otherwise).
+    "q_a12_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(1) AS n, round(sum(l_extendedprice), 2) AS revenue,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     // The oracle IS the quadratic self-join the sweep replaces; pair
     // identity is a synthetic row_number ((orderkey, linenumber) is NOT
     // unique in the driver data), overlap half-open on epoch seconds.

@@ -545,6 +545,13 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X106: Flesch reading ease — vowel-group syllables, [.!?]+ runs
+    // as sentences, token-for-token mirrored arithmetic.
+    "q_x106_readability" -> { (s, dir) =>
+      TextStats.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // X100: interpolated Kneser-Ney bigram scoring — absolute discount
     // 0.75 with continuation-count unigrams, same even/odd train/score
     // split as q_x52; all model quantities exact integer counts.
@@ -2156,6 +2163,32 @@ object TextQueries {
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
         |WHERE levenshtein(a.key, b.key) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same counts: words = \s+ split of lower(text), sentences =
+    // [.!?]+ runs floored at 1, syllables = per-word [aeiouy]+ runs
+    // floored at 1; identical left-assoc Flesch expression tree.
+    "q_x106_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(list_sum(list_transform(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+        |    AS BIGINT) AS n_syllables,
+        |  CASE WHEN len(regexp_split_to_array(lower(text), '\s+')) > 0
+        |    THEN round(206.835
+        |      - 1.015 * (CAST(len(regexp_split_to_array(lower(text),
+        |          '\s+')) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |      - 84.6 * (CAST(list_sum(list_transform(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+        |            1))) AS DOUBLE)
+        |        / len(regexp_split_to_array(lower(text), '\s+'))), 3)
+        |    END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Same KN formula over the same count tables, mirrored expression
     // tree (left-assoc multiplications) so both engines divide and

@@ -61,4 +61,56 @@ object Associations {
         ((col("n_both").cast("double") / col("n_ante").cast("double")) *
           (lit(n.toDouble) / col("n_cons").cast("double"))).as("lift"))
   }
+
+  /** X105: ITEM-ITEM COSINE similarity from the bipartite
+    * basket-item incidence — the weighted one-mode projection behind
+    * memory-based collaborative filtering ("customers who bought i
+    * also bought", Sarwar et al. 2001, public knowledge):
+    * `cos(i, j) = n_{ij} / √(n_i · n_j)` over binary basket vectors,
+    * top-`k` neighbors per item. Complements [[basketRules]]: rules
+    * rank by directional confidence/lift, the cosine is the symmetric
+    * magnitude-normalized strength a kNN recommender consumes.
+    *
+    * Engine parity: counts are exact integers; `√` is IEEE
+    * correctly-rounded, so the cosine is bit-identical cross-engine
+    * and the per-item ranking (cosine DESC, neighbor id ASC) is
+    * deterministic.
+    *
+    * Scale shape: same basket-keyed pair join as the rules (Σ|b|²,
+    * the inherent work), then one item-keyed rank window over the
+    * candidate-pair table (pair-sized, not corpus-sized). */
+  def itemCosineTopK(baskets: DataFrame, basketCol: String,
+      itemCol: String, minCount: Long = 2, k: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = graft.util.Caches.persistTracked(
+      baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .distinct())
+    val cnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val co = items.select(col("__b"), col("__i").as("__a"))
+      .join(items.select(col("__b"), col("__i").as("__z")), "__b")
+      .filter(col("__a") < col("__z"))
+      .groupBy(col("__a"), col("__z"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    val directed = co.select(col("__a").as("item"),
+        col("__z").as("neighbor"), col("n_both"))
+      .unionByName(co.select(col("__z").as("item"),
+        col("__a").as("neighbor"), col("n_both")))
+    val scored = directed
+      .join(cnt.select(col("__i").as("item"), col("__c").as("n_item")),
+        "item")
+      .join(cnt.select(col("__i").as("neighbor"),
+        col("__c").as("n_neighbor")), "neighbor")
+      .withColumn("cosine", col("n_both").cast("double") /
+        sqrt(col("n_item").cast("double") * col("n_neighbor")
+          .cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_both"),
+        col("cosine"), col("rank"))
+  }
 }

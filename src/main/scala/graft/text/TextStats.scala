@@ -644,6 +644,37 @@ object TextStats {
         col("sb_nll"))
   }
 
+  /** X106: FLESCH READING EASE (Flesch 1948, public knowledge) — the
+    * classic readability signal curation stacks use alongside the
+    * Gopher rules: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`. Sentences count as `[.!?]+` runs
+    * (floored at 1 — a fragment is one sentence); syllables per word
+    * as `[aeiouy]+` vowel groups floored at 1 (the standard
+    * dictionary-free approximation — silent-e refinements are
+    * deliberately omitted so the oracle mirrors the arithmetic
+    * token-for-token). All counts exact integers; two divisions; one
+    * projection over the corpus, zero shuffles. The per-word floor
+    * runs in an `aggregate` HOF lambda (interpreted per element —
+    * acceptable for one projection; the regex dominates anyway).
+    * Docs with no words score NULL. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = Dedup.words(col(textCol))
+    val nWords = size(words)
+    val nSentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+    val nSyllables = aggregate(words, lit(0),
+      (acc, w) => acc + greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)))
+    val flesch = lit(206.835) -
+      lit(1.015) * (nWords.cast("double") / nSentences) -
+      lit(84.6) * (nSyllables.cast("double") / nWords)
+    df.select(col(idCol).as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nSentences.cast("long").as("n_sentences"),
+      nSyllables.cast("long").as("n_syllables"),
+      when(nWords > 0, round(flesch, 3)).as("flesch"))
+  }
+
   /** X100: interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
     * Chen & Goodman 1998 §2.7 — public knowledge), the smoothing that
     * actually ships in n-gram LMs (KenLM): absolute discounting plus a

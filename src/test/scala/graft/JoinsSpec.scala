@@ -215,6 +215,30 @@ class JoinsSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "Associations.itemCosineTopK (X105)" should "rank neighbors by hand-computed cosine with deterministic ties" in {
+    import spark.implicits._
+    // item 1 in baskets {10,20,30}; item 2 in {10,20,30}; item 3 in {10}
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L))
+      .toDF("basket", "item")
+    val got = graft.relational.Associations
+      .itemCosineTopK(b, "basket", "item", minCount = 1, k = 5)
+      .select(col("item"), col("neighbor"), col("n_both"), col("cosine"),
+        col("rank"))
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // cos(1,2) = 3/sqrt(9) = 1; cos(1,3) = 1/sqrt(3); cos(2,3) same
+    got((1L, 2L))._2 shouldBe 1.0 +- 1e-15
+    got((1L, 2L))._3 shouldBe 1L
+    got((1L, 3L))._2 shouldBe (1.0 / math.sqrt(3.0)) +- 1e-15
+    got((1L, 3L))._3 shouldBe 2L
+    got((3L, 1L))._3 shouldBe 1L // equal cosines tie-break by id
+    got((3L, 2L))._3 shouldBe 2L
+    // symmetric pairs present both ways
+    got.keySet should contain allOf ((2L, 1L), (2L, 3L))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "respect minCount and dedupe repeated items in a basket" in {
     import spark.implicits._
     val b = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (2L, 9L))

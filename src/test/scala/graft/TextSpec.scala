@@ -938,6 +938,26 @@ class TextSpec extends SparkSpec {
     r(5L) shouldBe ((0L, None))
   }
 
+  "readability (X106)" should "match the hand-computed Flesch score" in {
+    // "the cat sat. it ran!" -> 5 words, 2 sentences,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran!(1) = 5
+    val df = Seq((1L, "the cat sat. it ran!"), (2L, "xyz qrt"))
+      .toDF("doc_id", "text")
+    val r = TextStats.readability(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    r(1L)._2 shouldBe 5L
+    r(1L)._3 shouldBe 2L
+    r(1L)._4 shouldBe 5L
+    val expected = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)
+    r(1L)._5.get shouldBe (math.rint(expected * 1000) / 1000) +- 1e-9
+    // vowel-less words floor at one syllable; no terminator -> 1 sentence
+    r(2L)._2 shouldBe 2L
+    r(2L)._3 shouldBe 1L
+    r(2L)._4 shouldBe 2L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "kneserNeyScore (X100)" should "match the hand-computed interpolated KN model" in {
     // train "a b a b a c": bigrams (a,b)=2 (b,a)=2 (a,c)=1; 3 types.
     // ctx a: c1=3 nfwd=2; ctx b: c1=2 nfwd=1. cont a/b/c: nback=1 each.
