@@ -72,6 +72,37 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X108: deterministic random-walk corpus — 8-step hash-indexed
+    // walks from the seed set over the scrambled link graph (the
+    // DeepWalk data-generation stage, re-runnable bit-for-bit).
+    "q_x108_random_walks" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Paths.randomWalks(es, "src", "dst",
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", length = 8)
+        .orderBy(col("walk_id"), col("step"))
+    },
+
+    // X107: weighted shortest distances from the seed set over the
+    // scrambled link graph with x97's integer weights — 6 Bellman-Ford
+    // relaxation rounds, exact long distances.
+    "q_x107_weighted_paths" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", (col("src") * 7 + col("dst")) % 5 + 1)
+      graft.graph.Paths.weightedDistances(es, "src", "dst", "w",
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", rounds = 6)
+        .orderBy(col("node"))
+    },
+
     // X99: Adamic-Adar link prediction over the planted block graph —
     // non-adjacent pairs scored by sum(1/ln(deg)) over shared
     // neighbors; one wedge join, existing edges anti-joined away.
@@ -480,6 +511,50 @@ object GraphQueries {
         |  SELECT ed.dst, w.hops + 1 FROM walk w
         |  JOIN ed ON ed.src = w.node WHERE w.hops < 6)
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // Each walk row has exactly one successor under the hash-indexed
+    // pick, so the recursive CTE is linear, not exponential.
+    "q_x108_random_walks" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |ed AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+        |    FROM documents, n0, range(1, 4) AS r(j))
+        |  WHERE src <> dst),
+        |adj AS (
+        |  SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+        |      AS BIGINT) - 1 AS idx,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM ed),
+        |walk(walk_id, step, node) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), doc_id
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT w.walk_id, w.step + 1, a.dst FROM walk w
+        |  JOIN adj a ON a.src = w.node
+        |    AND a.idx = (w.node * 13 + w.step * 17) % a.deg
+        |  WHERE w.step < 8)
+        |SELECT walk_id, step, node FROM walk
+        |ORDER BY walk_id, step""".stripMargin,
+    // Weighted-path enumeration bounded at 6 edges; min cumulative
+    // weight per node IS the bounded Bellman-Ford distance.
+    "q_x107_weighted_paths" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |ed AS (
+        |  SELECT src, dst, (src * 7 + dst) % 5 + 1 AS w FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+        |    FROM documents, n0, range(1, 4) AS r(j))
+        |  WHERE src <> dst),
+        |walk(node, d, steps) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), 0
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT ed.dst, w.d + ed.w, w.steps + 1 FROM walk w
+        |  JOIN ed ON ed.src = w.node WHERE w.steps < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     // Same wedge construction: undirected block-graph adjacency with
     // 1/ln(deg) center weights, existing edges removed.

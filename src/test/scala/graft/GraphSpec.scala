@@ -175,6 +175,41 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "relax weighted paths: a lighter longer-hop route beats the direct edge" in {
+    import spark.implicits._
+    // 1->4 direct costs 10; 1->2->3->4 costs 1+1+1 = 3
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val r = graft.graph.Paths.weightedDistances(e, "s", "d", "w",
+      seeds, "seed", rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    // bounded rounds: with 1 round only the direct relaxations exist
+    val r1 = graft.graph.Paths.weightedDistances(e, "s", "d", "w",
+      seeds, "seed", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    r1 shouldBe Map(1L -> 0L, 2L -> 1L, 4L -> 10L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "generate deterministic walks that follow the hash-indexed pick and stop at sinks" in {
+    import spark.implicits._
+    // node 1 -> {2, 3}; node 2 -> {4}; 3 and 4 are sinks
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    def run() = graft.graph.Paths.randomWalks(e, "s", "d", seeds,
+      "seed", length = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val walk = run()
+    // step 0: at 1. pick = (1*13 + 0*17) % 2 = 1 -> neighbor idx 1 = 3
+    walk(0) shouldBe ((1L, 0L, 1L))
+    walk(1) shouldBe ((1L, 1L, 3L))
+    walk.length shouldBe 2 // 3 is a sink: the walk ends early
+    run() shouldBe walk // re-run: bit-identical corpus
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "score Adamic-Adar pairs exactly on a known wedge graph" in {
     import spark.implicits._
     // star: z=0 adjacent to 1,2,3 (deg 3); plus edge 1-2 (existing).
