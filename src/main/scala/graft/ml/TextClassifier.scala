@@ -131,6 +131,44 @@ object TextClassifier {
         round(avg(col("margin")), 4).as("mean_margin"))
   }
 
+  /** F19: LEARNING CURVE — held-out accuracy as a function of training
+    * volume, the sample-efficiency report that answers "is more labeled
+    * data still buying accuracy?" before anyone pays for labels.
+    * Training subsets are NESTED deterministic slices of the train pool
+    * (`(id div 2) mod totalSlots < k` — slice k=2 contains slice k=1,
+    * so the curve is monotone in DATA, never re-shuffled), each
+    * evaluated against the SAME held-out split; never `rand()`.
+    *
+    * Plan: one independent train+score branch per requested slice (all
+    * count aggregates, nothing collected) — the X103 CV shape with
+    * growing slices instead of rotating folds. Output: (train_slots,
+    * n_train, n_test, n_correct, accuracy). */
+  def learningCurve(corpus: DataFrame, idCol: String, textCol: String,
+      labelCol: String, slots: Seq[Int] = Seq(1, 2, 4, 8),
+      totalSlots: Int = 8, alpha: Double = 1.0): DataFrame = {
+    require(slots.nonEmpty && slots.forall(s => s >= 1 && s <= totalSlots),
+      s"slots must be in [1, $totalSlots]: $slots")
+    val pool = corpus.filter(pmod(col(idCol), lit(2L)) === 0)
+    val test = corpus.filter(pmod(col(idCol), lit(2L)) === 1)
+    slots.map { k =>
+      val tr = pool.filter(
+        pmod(expr(s"$idCol div 2"), lit(totalSlots.toLong)) < k)
+      val model = train(tr, textCol, labelCol)
+      val nTrain = tr.agg(count(lit(1)).as("n_train"))
+      score(model, test, idCol, textCol, alpha)
+        .join(corpus.select(col(idCol).as("doc_id"),
+          col(labelCol).as("__true")), "doc_id")
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("label") === col("__true")).cast("long"))
+            .as("n_correct"))
+        .crossJoin(broadcast(nTrain))
+        .select(lit(k).as("train_slots"), col("n_train"), col("n_test"),
+          col("n_correct"),
+          (col("n_correct").cast("double") / col("n_test"))
+            .as("accuracy"))
+    }.reduce(_ unionByName _)
+  }
+
   /** F18: per-class evaluation — confusion counts rolled up to
     * precision / recall / F1 per class (the report a quality-filter
     * owner actually reads; accuracy alone hides which class the

@@ -394,6 +394,14 @@ object TextQueries {
         .orderBy(col("fold"))
     },
 
+    // F19: learning curve — nested 1/8..8/8 training slices of the
+    // even-doc pool, all scored on the odd-doc held-out split.
+    "q_f19_learning_curve" -> { (s, dir) =>
+      graft.ml.TextClassifier.learningCurve(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+        .orderBy(col("train_slots"))
+    },
+
     // F18: per-class precision/recall/F1 for the X50 classifier —
     // confusion-pair aggregate + class-sized joins, guarded divisions
     // (never-predicted class: NULL precision, not 0).
@@ -1400,6 +1408,63 @@ object TextQueries {
        |FROM allr GROUP BY fold ORDER BY fold""".stripMargin
   }
 
+  /** q_f19 oracle: the q_x50 NB chain instantiated once per nested
+    * training slice ((doc_id // 2) % 8 < k of the even pool), all
+    * scored on the odd held-out split. */
+  private val learningCurveOracle: String = {
+    def slice(k: Int): String =
+      s"""train$k AS (SELECT * FROM documents
+         |  WHERE doc_id % 2 = 0 AND (doc_id // 2) % 8 < $k),
+         |ttoks$k AS (
+         |  SELECT lang AS label,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM train$k),
+         |tc$k AS (SELECT label, tok, count(*) AS cnt FROM ttoks$k
+         |         GROUP BY 1, 2),
+         |tot$k AS (SELECT label, count(*) AS tok_total FROM ttoks$k
+         |          GROUP BY 1),
+         |pri$k AS (
+         |  SELECT lang AS label,
+         |    ln(count(*) / (SELECT count(*) * 1.0 FROM train$k))
+         |      AS log_prior
+         |  FROM train$k GROUP BY 1),
+         |v$k AS (SELECT count(DISTINCT tok) AS vv FROM ttoks$k),
+         |scored$k AS (
+         |  SELECT s.doc_id, p.label,
+         |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+         |      (tot.tok_total + v.vv * 1.0))) AS logp
+         |  FROM stoks s
+         |  CROSS JOIN pri$k p
+         |  JOIN tot$k tot ON tot.label = p.label
+         |  LEFT JOIN tc$k tc ON tc.label = p.label AND tc.tok = s.tok
+         |  CROSS JOIN v$k v
+         |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+         |res$k AS (
+         |  SELECT $k AS train_slots,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM train$k) AS n_train,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN q.label = d.lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM (
+         |    SELECT doc_id, label,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY logp DESC, label) AS rn
+         |    FROM scored$k) q
+         |  JOIN documents d USING (doc_id)
+         |  WHERE q.rn = 1)""".stripMargin
+    s"""WITH stoks AS (
+       |  SELECT doc_id, tok, count(*) AS n_t FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+       |${Seq(1, 2, 4, 8).map(slice).mkString(",\n")},
+       |allr AS (${Seq(1, 2, 4, 8)
+        .map(k => s"SELECT * FROM res$k").mkString(" UNION ALL ")})
+       |SELECT train_slots, n_train, n_test, n_correct,
+       |  CAST(n_correct AS DOUBLE) / n_test AS accuracy
+       |FROM allr ORDER BY train_slots""".stripMargin
+  }
+
   private val nbMarginValsCte: String =
     """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |ttoks AS (
@@ -1771,6 +1836,7 @@ object TextQueries {
     // NB classifier: identical count tables, add-one smoothing,
     // argmax tie-broken by label; logp rounded only at the end.
     "q_x103_cv_folds" -> cvFoldsOracle,
+    "q_f19_learning_curve" -> learningCurveOracle,
     // The X50 chain rolled up to confusion counts + guarded per-class
     // metrics ("precision" quoted — DuckDB type keyword).
     "q_f18_class_report" ->

@@ -215,6 +215,29 @@ class ClassifierRetrievalSpec extends SparkSpec {
     got(3L)._1 shouldBe None // absent from the lexical list
   }
 
+  "learningCurve (F19)" should "use nested slices of the train pool against one fixed test split" in {
+    // classes alternate in 16-blocks: both appear in every nested
+    // slice (k=1 selects ids {0,16,32,48} -> f,m,f,m) and in the
+    // held-out odd split
+    val docs = (0 until 64).map { i =>
+      if ((i / 16) % 2 == 0) (i.toLong, "apple banana cherry", "f")
+      else (i.toLong, "iron copper zinc", "m")
+    }.toDF("doc_id", "text", "lang")
+    val r = graft.ml.TextClassifier
+      .learningCurve(docs, "doc_id", "text", "lang")
+      .select(col("train_slots"), col("n_train"), col("n_test"),
+        col("accuracy"))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    r.map(_._1).toSeq shouldBe Seq(1, 2, 4, 8)
+    // nested slices grow monotonically; full slice = the whole pool
+    r.map(_._2).toSeq shouldBe r.map(_._2).toSeq.sorted
+    r.last._2 shouldBe 32L
+    // same held-out split every time
+    r.map(_._3).distinct.toSeq shouldBe Seq(32L)
+    // separable vocab: perfect already at the smallest slice
+    r.foreach(_._4 shouldBe 1.0)
+  }
+
   "crossValidate (X103)" should "partition docs into disjoint exhaustive folds and separate easy classes" in {
     // two trivially separable vocabularies
     val docs = (0 until 30).map { i =>
