@@ -513,6 +513,47 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  it should "keep the ninth-wave operators free of cartesian products and unbounded shuffles" in {
+    withStaticShufflePlans {
+      // F17: the category stats must BROADCAST back onto rows — a
+      // shuffled row-side join here re-exchanges the whole fact table
+      val orders = (1L to 100L).map(i => (i, s"p${i % 5}", i % 2 == 0))
+        .toDF("id", "cat", "y")
+      val te = graft.ml.Stats.targetEncodeLoo(orders, col("cat"),
+        col("y").cast("double"))
+      planOf(te) should include("BroadcastHashJoin")
+
+      // X99: wedge join + anti-join only — never a cartesian
+      val e = (1L to 60L).map(i => (i, (i * 7) % 60 + 1)).toDF("s", "d")
+      val aa = graft.graph.LinkPrediction.adamicAdar(e, "s", "d")
+      planOf(aa) should not include "CartesianProduct"
+      planOf(aa) should not include "BroadcastNestedLoopJoin"
+
+      // X105: basket-keyed pair join + item-keyed window — no cartesian
+      val b = (1L to 80L).map(i => (i % 20, i % 13)).toDF("bk", "it")
+      val cf = graft.relational.Associations.itemCosineTopK(b, "bk", "it",
+        minCount = 1, k = 3)
+      planOf(cf) should not include "CartesianProduct"
+      planOf(cf) should not include "BroadcastNestedLoopJoin"
+
+      // D11: every check verdict must ride ONE aggregate over the scan
+      // (plus the Unique Expand) — never one job per check
+      val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("k", "s")
+      val suite = graft.dq.Dq.checkSuite(df, Seq(
+        graft.dq.Dq.Complete("k"), graft.dq.Dq.InSet("s", Seq("s0", "s1")),
+        graft.dq.Dq.Unique(Seq("k"))))
+      "HashAggregate".r.findAllIn(planOf(suite)).size should be <= 4
+
+      // X101: band equi-join, no range cross product
+      val keys = (1L to 60L).map(i => (i, s"key${i % 9}x")).toDF("id", "k")
+      val fz = graft.text.Fuzzy.sortedNeighborhoodJoin(keys, "id",
+        col("k"), window = 4, maxDist = 2)
+      planOf(fz) should not include "CartesianProduct"
+      planOf(fz) should not include "BroadcastNestedLoopJoin"
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
+
   it should "keep priority sampling TakeOrdered and PMI free of cartesian joins" in {
     withStaticShufflePlans {
       // X87: the top-k must plan as TakeOrderedAndProject (per-partition
