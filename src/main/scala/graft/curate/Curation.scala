@@ -79,6 +79,48 @@ object Curation {
         coalesce(col("importance") > 0, lit(false)).as("keep"))
   }
 
+  /** X109: LARGEST-REMAINDER (Hamilton) apportionment — turn a fixed
+    * sample budget into EXACT integer per-domain counts that sum to the
+    * budget. The gap X12/X46 leave open: hash-threshold sampling
+    * realizes a fraction in expectation (budget drift ±√n), while a
+    * training-data order for "exactly N docs, proportionally by
+    * domain" needs the apportionment to be exact, deterministic and
+    * fair (each domain gets ⌊quota⌋, the leftover goes to the largest
+    * fractional remainders — the standard seat-allocation method,
+    * public knowledge; ties break by domain name, never float order).
+    *
+    * Scale: domains are FEW by construction — everything after the
+    * one corpus-sized count aggregate runs on a domains-sized table
+    * (the remainder-rank window is a single partition OF THAT TABLE,
+    * documented constant-size). Quota arithmetic is one multiply one
+    * divide on exact integers — bit-identical cross-engine, so ⌊·⌋
+    * and the remainder ranking agree. Output: (domain, n_docs, quota,
+    * base, extra, alloc) with Σ alloc = budget exactly. */
+  def apportion(df: DataFrame, domainCol: String, budget: Long)
+      : DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val dom = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = dom.agg(sum(col("n_docs")).as("__t"))
+    val q = graft.util.Caches.persistTracked(
+      dom.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          lit(budget.toDouble) * col("n_docs") / col("__t"))
+        .withColumn("base", floor(col("quota")).cast("long"))
+        .withColumn("__rem", col("quota") - col("base")))
+    val sb = q.agg(sum(col("base")).as("__sb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("domain"))
+    q.withColumn("__rrank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(sb))
+      .withColumn("extra",
+        when(col("__rrank") <= lit(budget) - col("__sb"), 1L)
+          .otherwise(0L))
+      .select(col("domain"), col("n_docs"), round(col("quota"), 6)
+        .as("quota"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"))
+  }
+
   /** X46: temperature-scaled domain mixing (the GLaM/Gopher mixture rule,
     * public knowledge): per-domain token shares `s_d` are flattened to
     * `w_d ∝ s_d^α` (α ∈ (0,1]; α = 1 is the natural mix, α → 0

@@ -47,6 +47,22 @@ object RelationalQueries {
         .orderBy(col("item"), col("rank"))
     },
 
+    // J15: stabbing count — per-supplier in-flight shipment coverage at
+    // probe instants (shipdate + 3 days), sweep form; the oracle is
+    // the O(n*m) point-in-interval range join it replaces.
+    "q_j15_stabbing_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val iv = li.select(col("l_suppkey"),
+        unix_timestamp(col("l_shipdate")).as("s"),
+        (unix_timestamp(col("l_shipdate")) +
+          col("l_quantity").cast("long") * 86400L).as("e"))
+      val probes = li.select(col("l_suppkey"),
+        (unix_timestamp(col("l_shipdate")) + 3L * 86400L).as("p"))
+      graft.relational.Intervals.stabbingCount(iv, Seq("l_suppkey"),
+        col("s"), col("e"), probes, col("p"))
+        .orderBy(col("l_suppkey"), col("t"))
+    },
+
     // X92: pair-level market-basket rules over order baskets — parts
     // co-purchased in >= 3 orders, both directed rules with exact
     // support/confidence/lift (pinned IEEE expression trees, no
@@ -454,6 +470,25 @@ object RelationalQueries {
     "q_f9_surrogate_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS sk
         |FROM (SELECT DISTINCT p_brand FROM part) ORDER BY sk""".stripMargin,
+    // The oracle IS the range join: distinct probes counted against
+    // s <= p < e intervals of the same key.
+    "q_j15_stabbing_count" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) * 86400 AS e
+        |  FROM lineitem),
+        |pts AS (
+        |  SELECT DISTINCT l_suppkey AS k,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) + 3 * 86400 AS p
+        |  FROM lineitem)
+        |SELECT pts.k AS l_suppkey, pts.p AS t,
+        |  CAST(coalesce(sum(CASE WHEN iv.s <= pts.p AND pts.p < iv.e
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS coverage
+        |FROM pts LEFT JOIN iv ON iv.k = pts.k AND iv.s < iv.e
+        |GROUP BY pts.k, pts.p
+        |ORDER BY l_suppkey, t""".stripMargin,
     // Same basket-pair counts + IEEE sqrt cosine + (cosine DESC, id)
     // ranking.
     "q_x105_item_cf" ->

@@ -245,6 +245,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X109: Hamilton apportionment of a 1000-doc budget across sources
+    // — exact integer allocation, largest-remainder leftovers,
+    // name-deterministic ties; sum(alloc) = 1000 exactly.
+    "q_x109_apportion" -> { (s, dir) =>
+      graft.curate.Curation.apportion(t(s, dir, "documents"),
+        "source", budget = 1000L)
+        .orderBy(col("domain"))
+    },
+
     // X62: data-constrained epoch planning — skewed synthetic domains
     // (rare ≈ 2% of tokens) so the maxEpochs cap binds for one domain
     // and water-filling redistributes its budget; budget = half the
@@ -1607,6 +1616,27 @@ object TextQueries {
     // Temperature mixing: domain token shares flattened by pow(s, 0.5),
     // epoch factor f = flattened/raw share, per-doc copies via floor +
     // hash-Bernoulli on the fractional part.
+    // Same quota arithmetic (one multiply, one divide on exact
+    // integers), same remainder ranking.
+    "q_x109_apportion" ->
+      """WITH dom AS (
+        |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM dom),
+        |q AS (
+        |  SELECT domain, n_docs, 1000.0 * n_docs / t AS quota,
+        |    CAST(floor(1000.0 * n_docs / t) AS BIGINT) AS base
+        |  FROM dom, tt),
+        |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sbv FROM q),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY quota - base DESC, domain) AS BIGINT) AS rrank
+        |  FROM q)
+        |SELECT domain, n_docs, round(quota, 6) AS quota, base,
+        |  CAST(CASE WHEN rrank <= 1000 - sbv THEN 1 ELSE 0 END
+        |    AS BIGINT) AS extra,
+        |  base + CAST(CASE WHEN rrank <= 1000 - sbv THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r, sb ORDER BY domain""".stripMargin,
     "q_x46_domain_mixture" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source,

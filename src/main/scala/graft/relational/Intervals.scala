@@ -64,6 +64,46 @@ object Intervals {
         .otherwise(0L)).as(resultCol))
   }
 
+  /** J15: STABBING COUNT — for each probe instant, how many of the
+    * key's intervals cover it (`s ≤ p < e`, the half-open convention).
+    * "How many shipments were in flight at this moment", the coverage
+    * companion of [[overlapPairCount]] — and the same anti-join-shaped
+    * trap: the naive encoding is a per-key range join (every point ×
+    * every interval), O(n·m) pair space.
+    *
+    * Sweep form: starts (+1), ends (−1) and probes (0) merge into one
+    * endpoint stream; a running sum ordered by (t, kind) with kind
+    * start < end < probe reads the live coverage AT each probe — at an
+    * equal timestamp a start counts (s ≤ p), an end has already
+    * retired its interval (p < e fails at p = e). ONE key exchange,
+    * zero joins; probes at the same (key, t) are deduplicated (they
+    * read identical coverage by construction). Output: (keys..., t,
+    * coverage). */
+  def stabbingCount(intervals: DataFrame, keys: Seq[String],
+      start: Column, end: Column, probes: DataFrame,
+      probeT: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = intervals
+      .filter(start.isNotNull && end.isNotNull && start < end)
+    val points = probes.filter(probeT.isNotNull)
+      .select(keyCols :+ probeT.as("__t"): _*).distinct()
+      .withColumn("__kind", lit(2)).withColumn("__delta", lit(0L))
+    val stream = base
+      .select(keyCols :+ start.as("__t") :+ lit(0).as("__kind") :+
+        lit(1L).as("__delta"): _*)
+      .unionByName(base.select(keyCols :+ end.as("__t") :+
+        lit(1).as("__kind") :+ lit(-1L).as("__delta"): _*))
+      .unionByName(points)
+    val sweep = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stream
+      .withColumn("__open", sum(col("__delta")).over(sweep))
+      .filter(col("__kind") === 2)
+      .select(keyCols :+ col("__t").as("t") :+
+        col("__open").as("coverage"): _*)
+  }
+
   /** Reference implementation for specs: the O(n²) per-key self-join the
     * sweep replaces. `idCols` must uniquely identify a row. */
   def overlapPairCountNaive(df: DataFrame, keys: Seq[String],

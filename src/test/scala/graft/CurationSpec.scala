@@ -445,6 +445,33 @@ class CurationSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().toSeq shouldBe Seq(999L)
   }
 
+  "apportion (X109)" should "allocate exactly the budget by largest remainder with name-deterministic ties" in {
+    import org.apache.spark.sql.functions.col
+    // counts 5, 3, 2 over budget 7: quotas 3.5, 2.1, 1.4 ->
+    // bases 3, 2, 1 (sum 6), one leftover -> largest remainder .5 wins
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "dom")
+    val r = Curation.apportion(df, "dom", budget = 7L)
+      .select(col("domain"), col("base"), col("extra"), col("alloc"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    r("a") shouldBe (("a", 3L, 1L, 4L))
+    r("b") shouldBe (("b", 2L, 0L, 2L))
+    r("c") shouldBe (("c", 1L, 0L, 1L))
+    r.values.map(_._4).sum shouldBe 7L
+    // exact ties: equal counts -> equal remainders -> name order wins
+    val tied = (Seq.fill(3)("x") ++ Seq.fill(3)("y")).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("id", "dom")
+    val t2 = Curation.apportion(tied, "dom", budget = 3L)
+      .select(col("domain"), col("alloc")).as[(String, Long)]
+      .collect().toMap
+    t2("x") shouldBe 2L // 1.5 quota each; x takes the leftover seat
+    t2("y") shouldBe 1L
+    t2.values.sum shouldBe 3L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "reduce to pure hash order under equal weights" in {
     // equal w: q = C/(x+1) is strictly decreasing in the hash x, so the
     // sample is the k smallest uniformHash values

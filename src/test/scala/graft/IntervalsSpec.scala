@@ -42,6 +42,32 @@ class IntervalsSpec extends SparkSpec {
     r(2L) shouldBe 0L // the surviving singleton still reports its key
   }
 
+  "stabbingCount (J15)" should "read live coverage at each probe with half-open boundary semantics" in {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 10L, 20L),
+      (2L, 0L, 1L))
+      .toDF("k", "s", "e")
+    val probes = Seq(
+      (1L, 0L),  // start of first: covered by it (s <= p)
+      (1L, 7L),  // inside first two
+      (1L, 10L), // first ENDS here (p < e fails), third starts: 2 cover
+      (1L, 25L), // beyond everything
+      (1L, 7L),  // duplicate probe: deduplicated
+      (3L, 5L))  // key with no intervals
+      .toDF("k", "p")
+    val r = Intervals.stabbingCount(iv.toDF("k", "s", "e"), Seq("k"),
+        col("s"), col("e"), probes, col("p"))
+      .as[(Long, Long, Long)].collect()
+    r.length shouldBe 5 // (1,7) once only
+    val m = r.map(t => (t._1, t._2) -> t._3).toMap
+    m((1L, 0L)) shouldBe 1L
+    m((1L, 7L)) shouldBe 2L
+    m((1L, 10L)) shouldBe 2L // {5,15} and {10,20}; {0,10} retired
+    m((1L, 25L)) shouldBe 0L
+    m((3L, 5L)) shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "plan the sweep with a single exchange (window partitioning reused by the aggregate)" in {
     val df = Seq((1L, 0L, 5L), (1L, 3L, 9L)).toDF("k", "s", "e")
     val plan = Intervals.overlapPairCount(df, Seq("k"), col("s"), col("e"))
