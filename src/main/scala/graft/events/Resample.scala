@@ -46,6 +46,38 @@ object Resample {
         (col("day") =!= col("__d")).cast("int").as("filled"))
   }
 
+  /** E16: CUSUM CHANGEPOINT detection per entity (Page 1954, public
+    * knowledge) — the "did this series shift level, and when" monitor:
+    * `S_t = Σ_{i≤t} (x_i − x̄)` over the entity's daily series; the
+    * day maximizing |S| is the estimated changepoint (the classic
+    * at-most-one-changepoint estimator; a flat series has |S| ≈ 0
+    * everywhere). One (entity, day) aggregate + one entity-keyed
+    * cumulative window — no per-candidate re-scan of the series.
+    *
+    * Determinism: the argmax ranks on ROUND-6 |S| (cross-engine
+    * cumulative float sums differ in ulps; two genuinely tied days
+    * resolve by earliest day, not float noise). Output: one row per
+    * (entity, day) — (key, day, value, cusum, is_changepoint). */
+  def cusumChangepoint(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(ts).as("day"))
+      .agg(sum(valueCol).as("__x"))
+    val withMean = daily
+      .withColumn("__mean",
+        avg(col("__x")).over(Window.partitionBy(col(key))))
+    val cum = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = withMean
+      .withColumn("cusum", sum(col("__x") - col("__mean")).over(cum))
+    val rank = Window.partitionBy(col(key))
+      .orderBy(round(abs(col("cusum")), 6).desc, col("day"))
+    scored
+      .withColumn("is_changepoint",
+        (row_number().over(rank) === 1).cast("int"))
+      .select(col(key), col("day"), round(col("__x"), 2).as("value"),
+        round(col("cusum"), 6).as("cusum"), col("is_changepoint"))
+  }
+
   /** E15: trailing EXPONENTIALLY-WEIGHTED moving average of a daily
     * series, per entity — the smoothed velocity feature a plain
     * trailing mean over-reacts on. The EWMA recursion

@@ -80,6 +80,16 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E16: per-user CUSUM changepoint over daily purchase value — the
+    // max-|S| day flagged, argmax on ROUND-6 |S| with day tiebreak.
+    "q_e16_cusum" -> { (s, dir) =>
+      graft.events.Resample.cusumChangepoint(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // E15: trailing 14-day EWMA (alpha 0.3) of daily purchase value —
     // contribution-explosion closed form, weights renormalized over
     // observed lags.
@@ -402,6 +412,24 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same per-user mean + cumulative deviation + round-6 argmax.
+    "q_e16_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |wm AS (SELECT *, avg(x) OVER (PARTITION BY user_id) AS mean
+        |       FROM daily),
+        |cs AS (
+        |  SELECT user_id, d, x,
+        |    sum(x - mean) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM wm),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY round(abs(cusum), 6) DESC, d) AS rn FROM cs)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  round(x, 2) AS value, round(cusum, 6) AS cusum,
+        |  CAST(rn = 1 AS INTEGER) AS is_changepoint
+        |FROM rk ORDER BY user_id, day""".stripMargin,
     // Same contribution-explosion closed form, pow(0.7, o) weights.
     "q_e15_ewma" ->
       """WITH daily AS (

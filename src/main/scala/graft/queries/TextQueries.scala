@@ -562,6 +562,16 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X110: 5-gram novelty of odd docs vs the even-doc reference —
+    // distinct-shingle anti-probe, exact counts.
+    "q_x110_ngram_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextStats.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // X106: Flesch reading ease — vowel-group syllables, [.!?]+ runs
     // as sentences, token-for-token mirrored arithmetic.
     "q_x106_readability" -> { (s, dir) =>
@@ -2260,6 +2270,35 @@ object TextQueries {
         |WHERE levenshtein(a.key, b.key) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Same 5-gram shingles (slice w[i:i+4]), distinct per doc, LEFT
+    // JOIN NULL as the anti-probe.
+    "q_x110_ngram_novelty" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+        |  FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i
+        |    FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |          FROM documents WHERE doc_id % 2 = 0))),
+        |sd AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ds AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM sd)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+        |        FROM ds GROUP BY 1),
+        |uns AS (
+        |  SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS n_unseen
+        |  FROM ds LEFT JOIN ref ON ref.g = ds.g
+        |  WHERE ref.g IS NULL GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_distinct, 0) AS n_distinct,
+        |  coalesce(n_unseen, 0) AS n_unseen,
+        |  CASE WHEN coalesce(n_distinct, 0) > 0
+        |    THEN CAST(coalesce(n_unseen, 0) AS DOUBLE) / n_distinct
+        |    END AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN uns USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Same counts: words = \s+ split of lower(text), sentences =
     // [.!?]+ runs floored at 1, syllables = per-word [aeiouy]+ runs
     // floored at 1; identical left-assoc Flesch expression tree.

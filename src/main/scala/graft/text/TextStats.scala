@@ -644,6 +644,42 @@ object TextStats {
         col("sb_nll"))
   }
 
+  /** X110: N-GRAM NOVELTY vs a reference corpus — the fraction of a
+    * document's distinct n-gram shingles NEVER seen in the reference
+    * (the memorization/novelty metric generation-quality audits run,
+    * and the corpus-side complement of X14's eval-set decontamination:
+    * X14 asks "is eval text in train", this asks "how much of this text
+    * is new relative to train"). Exact counts by construction.
+    *
+    * Shape: the reference reduces to its DISTINCT shingle set once
+    * (types-sized); scoring docs left-anti-probe it keyed on the
+    * shingle — one key-partitioned join, no broadcast requirement (the
+    * reference may be corpus-sized; X61's Bloom prefilter is the
+    * documented cheapening when it is). Output: (doc_id, n_distinct,
+    * n_unseen, novelty) — docs under n words have 0 shingles and NULL
+    * novelty. */
+  def ngramNovelty(reference: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val refSet = reference
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val docShingles = score.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val unseen = docShingles.join(refSet, Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unseen"))
+    val totals = docShingles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"))
+    score.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(unseen, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        when(col("n_distinct") > 0,
+          coalesce(col("n_unseen"), lit(0L)).cast("double") /
+            col("n_distinct")).as("novelty"))
+  }
+
   /** X106: FLESCH READING EASE (Flesch 1948, public knowledge) — the
     * classic readability signal curation stacks use alongside the
     * Gopher rules: `206.835 − 1.015·(words/sentences) −

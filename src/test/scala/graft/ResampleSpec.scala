@@ -26,6 +26,24 @@ class ResampleSpec extends SparkSpec {
       (2L, "2024-01-02", 1.0, 0))
   }
 
+  "cusumChangepoint (E16)" should "flag the level-shift day at the cumulative-deviation peak" in {
+    // 4 days at 10 then 4 days at 50: mean 30, |S| peaks at the last
+    // low day (day 4, S = -80), the classic AMOC estimate
+    val rows = (1 to 8).map { d =>
+      (1L, ts(f"2024-01-0$d%d 09:00:00"), if (d <= 4) 10.0 else 50.0)
+    }
+    val r = Resample.cusumChangepoint(rows.toDF("user_id", "ts", "value"),
+        "user_id", col("ts"), col("value"))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select(col("day"), col("cusum"), col("is_changepoint"))
+      .as[(String, Double, Int)].collect().sortBy(_._1)
+    r.map(_._3).sum shouldBe 1 // exactly one changepoint per key
+    r.find(_._3 == 1).get._1 shouldBe "2024-01-04"
+    r.find(_._1 == "2024-01-04").get._2 shouldBe -80.0 +- 1e-9
+    r.last._2 shouldBe 0.0 +- 1e-9 // S returns to zero at the end
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "ewmaDaily (E15)" should "decay by day lag and renormalize over observed days" in {
     // observed days 1, 2, 4 (gap at 3), alpha 0.3 -> beta 0.7
     val df = Seq(

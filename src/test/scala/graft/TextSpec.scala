@@ -938,6 +938,23 @@ class TextSpec extends SparkSpec {
     r(5L) shouldBe ((0L, None))
   }
 
+  "ngramNovelty (X110)" should "count unseen distinct shingles against the reference" in {
+    val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d e"),       // its single 5-gram IS in the reference
+      (2L, "a b c d e x y z"), // 4 shingles: 1 seen, 3 unseen
+      (3L, "q r s"))           // under 5 words: no shingles
+      .toDF("doc_id", "text")
+    val r = graft.text.TextStats.ngramNovelty(ref, score, "doc_id",
+        "text", n = 5)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, 1L, 0L, Some(0.0)))
+    r(2L) shouldBe ((2L, 4L, 3L, Some(0.75)))
+    r(3L) shouldBe ((3L, 0L, 0L, None))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "readability (X106)" should "match the hand-computed Flesch score" in {
     // "the cat sat. it ran!" -> 5 words, 2 sentences,
     // syllables: the(1) cat(1) sat.(1) it(1) ran!(1) = 5
