@@ -55,6 +55,93 @@ object Stats {
     m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** F20: POISSON-BOOTSTRAP confidence interval for a mean (the
+    * distributed bootstrap — Chamandy et al. / Kleiner et al., public
+    * knowledge: resampling n-out-of-n needs global coordination, but
+    * multinomial(n, 1/n) counts converge to independent Poisson(1)
+    * weights, which are a pure per-(unit, replica) function). Replica
+    * weights come from the inverse Poisson CDF applied to the SAME
+    * seeded md5 uniform every sampler here uses — deterministic,
+    * engine-reproducible, mirrored literal-for-literal by the oracle.
+    *
+    * Shape: units × `replicas` contribution explosion (fixed ×B rows)
+    * → one (replica) aggregate of weighted sums → a B-row sort for the
+    * percentile cut (B is a constant ~100; the sort is replica-sized,
+    * never data-sized). Output: one row — (n_units, replicas,
+    * point_est, ci_lo, ci_hi) at the type-1 percentile ranks
+    * ⌈α/2·B⌉ and ⌈(1−α/2)·B⌉. */
+  def bootstrapMeanCi(units: DataFrame, valueCol: Column,
+      unitId: Column, replicas: Int = 100, alphaPct: Int = 5,
+      seed: String = "boot"): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2, got $replicas")
+    require(alphaPct >= 1 && alphaPct < 100,
+      s"alphaPct must be in [1, 100), got $alphaPct")
+    // inverse Poisson(1) CDF thresholds, truncated at 5 (P > 5 ≈ 1e-4)
+    val t = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    val contrib = units
+      .select(valueCol.cast("double").as("__x"),
+        unitId.cast("string").as("__u"))
+      .select(col("__x"), col("__u"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__b"))
+      .withColumn("__h", graft.curate.Curation.uniformHash(
+        concat_ws("#", col("__u"), col("__b")), seed))
+      .withColumn("__w",
+        when(col("__h") < t(0), 0L).when(col("__h") < t(1), 1L)
+          .when(col("__h") < t(2), 2L).when(col("__h") < t(3), 3L)
+          .when(col("__h") < t(4), 4L).otherwise(5L))
+    val means = contrib.groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__x")).as("__sx"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__b"),
+        when(col("__sw") > 0, col("__sx") / col("__sw")).as("__m"))
+      .filter(col("__m").isNotNull)
+    val ranked = means.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__m"), col("__b"))).cast("long"))
+    // type-1 percentile ranks, computed in exact integer arithmetic
+    val loRank = (alphaPct.toLong * replicas + 199L) / 200L
+    val hiRank = ((200L - alphaPct) * replicas + 199L) / 200L
+    val point = units.agg(avg(valueCol.cast("double")).as("point_est"),
+      count(lit(1)).as("n_units"))
+    point.crossJoin(broadcast(
+        ranked.filter(col("__r") === loRank)
+          .select(col("__m").as("ci_lo"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("__r") === hiRank)
+          .select(col("__m").as("ci_hi"))))
+      .select(col("n_units"), lit(replicas).as("replicas"),
+        col("point_est"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** X111: exact per-group TYPE-1 quantiles — value at rank
+    * ⌈p·n⌉ under (value, id) order, the X81 integer-rank discipline
+    * (p is a RATIONAL num/den; `⌈num·n/den⌉ = (num·n + den − 1) div
+    * den` never touches a float, so a 0.9·n that lands at
+    * 135.00000000000003 in doubles cannot shift the rank). One
+    * group-keyed sort window; output rows = groups × quantiles. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+      idCol: Column, quantiles: Seq[(Int, Int, String)] =
+        Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90")))
+      : DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("value"), col("__id"))
+    val ranked = df
+      .select(col(groupCol), valueCol.as("value"), idCol.as("__id"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))
+        .cast("long"))
+    val picks = quantiles.map { case (num, den, label) =>
+      ranked.filter(col("__r") ===
+          expr(s"($num * __n + ${den - 1}) div $den"))
+        .select(col(groupCol), lit(label).as("quantile"),
+          col("__n").as("n"), col("__r").as("rank"), col("value"))
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   /** Two-proportion A/B z-test: one row with per-variant exposure and
     * conversion counts, rates, absolute lift, the pooled-variance
     * z-statistic z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁)), and a

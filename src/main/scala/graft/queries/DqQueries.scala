@@ -88,6 +88,24 @@ object DqQueries {
         Dq.Unique(Seq("o_orderkey"))))
     },
 
+    // F20: Poisson-bootstrap 95% CI for mean per-user purchase value —
+    // deterministic md5-uniform weights through the literal inverse
+    // Poisson CDF, replica-sized percentile cut.
+    "q_f20_bootstrap_ci" -> { (s, dir) =>
+      val units = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
+      graft.dq.Stats.bootstrapMeanCi(units, col("x"), col("user_id"))
+    },
+
+    // X111: exact type-1 per-source quantiles of document length —
+    // integer rank arithmetic, one group-keyed sort window.
+    "q_x111_group_quantiles" -> { (s, dir) =>
+      graft.dq.Stats.groupQuantiles(t(s, dir, "documents"),
+        "source", col("n_chars"), col("doc_id"))
+        .orderBy(col("source"), col("quantile"))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -125,7 +143,63 @@ object DqQueries {
       out("v1").orderBy(col("l_returnflag"))
     })
 
+  /** md5-hex digits lo..hi as a base-10 integer — the SQL mirror of
+    * Curation.uniformHash's 8-hex-digit prefix. */
+  private def hexDigitSum(lo: Int, hi: Int): String = (lo to hi).map(j =>
+    s"(strpos('0123456789abcdef', substr(m,$j,1)) - 1) * ${BigInt(16).pow(hi - j)}")
+    .mkString(" + ")
+
+  private val poissonW: String =
+    """CASE WHEN h < 0.36787944117144233 THEN 0
+      |     WHEN h < 0.7357588823428847 THEN 1
+      |     WHEN h < 0.9196986029286058 THEN 2
+      |     WHEN h < 0.9810118431238462 THEN 3
+      |     WHEN h < 0.9963401531726563 THEN 4
+      |     ELSE 5 END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Same md5-uniform, same Poisson thresholds, same (mean, replica)
+    // rank order, ranks 3 and 98 of 100.
+    "q_f20_bootstrap_ci" ->
+      s"""WITH units AS (
+         |  SELECT user_id, sum(value) AS x FROM events
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |con AS (
+         |  SELECT x, o AS b,
+         |    md5('boot' || ':' || (CAST(user_id AS VARCHAR) || '#' ||
+         |      CAST(o AS VARCHAR))) AS m
+         |  FROM units, range(0, 100) AS r(o)),
+         |hw AS (
+         |  SELECT x, b,
+         |    (${hexDigitSum(1, 8)}) / 4294967296.0 AS h
+         |  FROM con),
+         |wts AS (SELECT x, b, $poissonW AS w FROM hw),
+         |means AS (
+         |  SELECT b, sum(w * x) / sum(w) AS mn FROM wts GROUP BY b
+         |  HAVING sum(w) > 0),
+         |ranked AS (
+         |  SELECT mn, CAST(row_number() OVER (ORDER BY mn, b)
+         |    AS BIGINT) AS rnk
+         |  FROM means),
+         |pt AS (SELECT avg(x) AS point_est,
+         |  CAST(count(*) AS BIGINT) AS n_units FROM units)
+         |SELECT n_units, 100 AS replicas, point_est,
+         |  (SELECT mn FROM ranked WHERE rnk = 3) AS ci_lo,
+         |  (SELECT mn FROM ranked WHERE rnk = 98) AS ci_hi
+         |FROM pt""".stripMargin,
+    // Same integer rank arithmetic: r = (num*n + den - 1) // den.
+    "q_x111_group_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars AS value, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT * FROM (VALUES (1, 4, 'p25'), (1, 2, 'p50'),
+        |      (3, 4, 'p75'), (9, 10, 'p90')) AS q(num, den, label))
+        |SELECT source, label AS quantile, n, rank, value
+        |FROM ranked JOIN g ON rank = (num * n + den - 1) // den
+        |ORDER BY source, quantile""".stripMargin,
     // One violation-count branch per check, identical NULL semantics
     // (violation = NOT coalesce(pred, FALSE)).
     "q_d11_check_suite" ->

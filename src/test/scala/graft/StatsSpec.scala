@@ -76,6 +76,44 @@ class StatsSpec extends SparkSpec {
     r(("a", "c")) shouldBe native +- 1e-9
   }
 
+  it should "bracket the true mean with a deterministic bootstrap CI" in {
+    val rnd = new scala.util.Random(19)
+    val units = (1 to 500).map(i => (i.toLong, 50.0 + rnd.nextGaussian() * 10))
+      .toDF("uid", "x")
+    def ci() = graft.dq.Stats.bootstrapMeanCi(units, col("x"), col("uid"))
+      .select(col("n_units"), col("point_est"), col("ci_lo"), col("ci_hi"))
+      .as[(Long, Double, Double, Double)].head()
+    val (n, point, lo, hi) = ci()
+    n shouldBe 500L
+    lo should be < point
+    hi should be > point
+    // CI width ~ 4·sigma/sqrt(n) ≈ 1.8; sane bounds
+    (hi - lo) should be > 0.5
+    (hi - lo) should be < 5.0
+    point shouldBe 50.0 +- 2.0
+    // deterministic: identical on re-run and under repartitioning
+    val again = graft.dq.Stats.bootstrapMeanCi(units.repartition(7),
+        col("x"), col("uid"))
+      .select(col("ci_lo"), col("ci_hi")).as[(Double, Double)].head()
+    again._1 shouldBe lo +- 1e-9
+    again._2 shouldBe hi +- 1e-9
+  }
+
+  it should "pick exact type-1 group quantiles with integer rank arithmetic" in {
+    // group g: values 1..10 -> p25 at rank ceil(2.5)=3, p50 rank 5,
+    // p75 rank 8, p90 rank 9
+    val df = (1 to 10).map(i => ("g", i.toLong, i.toLong))
+      .toDF("grp", "v", "id")
+    val r = graft.dq.Stats.groupQuantiles(df, "grp", col("v"), col("id"))
+      .select(col("quantile"), col("rank"), col("value"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    r("p25") shouldBe ((3L, 3L))
+    r("p50") shouldBe ((5L, 5L))
+    r("p75") shouldBe ((8L, 8L))
+    r("p90") shouldBe ((9L, 9L))
+  }
+
   it should "flag a significant conversion lift and stay NULL-safe on degenerate inputs" in {
     // variant 1 converts 80/100, variant 0 converts 20/100: hugely significant
     val units = ((1 to 100).map(i => (0L, if (i <= 20) 1L else 0L)) ++
