@@ -169,6 +169,34 @@ object TextClassifier {
     }.reduce(_ unionByName _)
   }
 
+  /** X112: LABEL-NOISE SUSPECTS via cross-validated disagreement (the
+    * confident-learning intuition, Northcutt et al. 2021, public
+    * knowledge): a document whose OUT-OF-FOLD prediction contradicts
+    * its given label with high confidence is a candidate mislabel —
+    * the triage list a labeling pipeline re-reviews. Out-of-fold is
+    * the load-bearing part: an in-sample model has seen the label it
+    * is supposed to audit. Fold mechanics identical to
+    * [[crossValidate]] (id mod k, deterministic). Output: (doc_id,
+    * given, predicted, margin) for disagreements with margin ≥
+    * `minMargin`, strongest first consumers sort by margin. */
+  def suspectLabels(corpus: DataFrame, idCol: String, textCol: String,
+      labelCol: String, folds: Int, minMargin: Double,
+      alpha: Double = 1.0): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    (0 until folds).map { f =>
+      val isFold = pmod(col(idCol), lit(folds.toLong)) === f
+      val model = train(corpus.filter(!isFold), textCol, labelCol)
+      score(model, corpus.filter(isFold), idCol, textCol, alpha)
+    }.reduce(_ unionByName _)
+      .join(corpus.select(col(idCol).as("doc_id"),
+        col(labelCol).as("given")), "doc_id")
+      .filter(col("label") =!= col("given") &&
+        col("margin") >= minMargin)
+      .select(col("doc_id"), col("given"), col("label").as("predicted"),
+        col("margin"))
+  }
+
   /** F18: per-class evaluation — confusion counts rolled up to
     * precision / recall / F1 per class (the report a quality-filter
     * owner actually reads; accuracy alone hides which class the

@@ -394,6 +394,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X112: out-of-fold label-noise suspects — docs whose CV-predicted
+    // class contradicts the given label at margin >= 2 (the labeling
+    // re-review triage list).
+    "q_x112_label_suspects" -> { (s, dir) =>
+      graft.ml.TextClassifier.suspectLabels(t(s, dir, "documents"),
+        "doc_id", "text", "lang", folds = 3, minMargin = 2.0)
+        .orderBy(col("doc_id"))
+    },
+
     // X103: 3-fold cross-validated NB — fold = doc_id mod 3, each fold
     // scored by a model trained on the other two; per-fold accuracy and
     // mean margin (all count-exact, divisions mirrored).
@@ -1372,9 +1381,10 @@ object TextQueries {
   /** q_x103 oracle: the q_x50 NB chain instantiated once per fold
     * (train = other folds, score = own fold), rolled up to per-fold
     * accuracy + mean round-3 margin. */
-  private val cvFoldsOracle: String = {
-    def fold(f: Int): String =
-      s"""train$f AS (SELECT * FROM documents WHERE doc_id % 3 <> $f),
+  /** Shared q_x103/q_x112 per-fold chain: train on the other folds,
+    * score fold f, rank classes per doc (rn + runner-up margin). */
+  private def nbFoldCtes(f: Int): String =
+    s"""train$f AS (SELECT * FROM documents WHERE doc_id % 3 <> $f),
          |ttoks$f AS (
          |  SELECT lang AS label,
          |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -1410,7 +1420,11 @@ object TextQueries {
          |      ORDER BY logp DESC, label) AS rn,
          |    lead(logp) OVER (PARTITION BY doc_id
          |      ORDER BY logp DESC, label) AS nxt
-         |  FROM scored$f),
+         |  FROM scored$f)""".stripMargin
+
+  private val cvFoldsOracle: String = {
+    def fold(f: Int): String =
+      s"""${nbFoldCtes(f)},
          |res$f AS (
          |  SELECT $f AS fold, (r.label = d.lang) AS ok,
          |    round(r.logp - r.nxt, 3) AS margin
@@ -1425,6 +1439,24 @@ object TextQueries {
        |    AS accuracy,
        |  round(avg(margin), 4) AS mean_margin
        |FROM allr GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
+  /** q_x112 oracle: the shared CV fold chains, kept at doc grain —
+    * out-of-fold disagreements with margin >= 2. */
+  private val suspectLabelsOracle: String = {
+    def fold(f: Int): String =
+      s"""${nbFoldCtes(f)},
+         |res$f AS (
+         |  SELECT r.doc_id, d.lang AS given, r.label AS predicted,
+         |    round(r.logp - r.nxt, 3) AS margin
+         |  FROM ranked$f r JOIN documents d USING (doc_id)
+         |  WHERE r.rn = 1)""".stripMargin
+    s"""WITH ${(0 until 3).map(fold).mkString(",\n")},
+       |allr AS (SELECT * FROM res0 UNION ALL SELECT * FROM res1
+       |         UNION ALL SELECT * FROM res2)
+       |SELECT doc_id, given, predicted, margin FROM allr
+       |WHERE predicted <> given AND margin >= 2.0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q_f19 oracle: the q_x50 NB chain instantiated once per nested
@@ -1876,6 +1908,7 @@ object TextQueries {
     // NB classifier: identical count tables, add-one smoothing,
     // argmax tie-broken by label; logp rounded only at the end.
     "q_x103_cv_folds" -> cvFoldsOracle,
+    "q_x112_label_suspects" -> suspectLabelsOracle,
     "q_f19_learning_curve" -> learningCurveOracle,
     // The X50 chain rolled up to confusion counts + guarded per-class
     // metrics ("precision" quoted — DuckDB type keyword).

@@ -238,6 +238,23 @@ class ClassifierRetrievalSpec extends SparkSpec {
     r.foreach(_._4 shouldBe 1.0)
   }
 
+  "suspectLabels (X112)" should "flag a planted mislabel out-of-fold and nothing else" in {
+    val clean = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "apple banana cherry fruit", "f")
+      else (i.toLong, "iron copper zinc metal", "m")
+    }
+    // doc 100: metal text labeled 'f' — the planted mislabel
+    val docs = (clean :+ ((100L, "iron copper zinc metal", "f")))
+      .toDF("doc_id", "text", "lang")
+    val sus = graft.ml.TextClassifier.suspectLabels(docs, "doc_id",
+        "text", "lang", folds = 3, minMargin = 0.5)
+      .select(col("doc_id"), col("given"), col("predicted"))
+      .as[(Long, String, String)].collect()
+    sus.map(_._1).toSet shouldBe Set(100L)
+    sus.head._2 shouldBe "f"
+    sus.head._3 shouldBe "m"
+  }
+
   "crossValidate (X103)" should "partition docs into disjoint exhaustive folds and separate easy classes" in {
     // two trivially separable vocabularies
     val docs = (0 until 30).map { i =>
