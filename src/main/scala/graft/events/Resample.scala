@@ -46,6 +46,43 @@ object Resample {
         (col("day") =!= col("__d")).cast("int").as("filled"))
   }
 
+  /** E17: DAY-OF-WEEK SEASONALITY STRENGTH per entity — how much of a
+    * daily series' variance the weekly profile explains:
+    * `strength = 1 − Var(residual)/Var(total)` where the residual is
+    * the series minus its per-weekday mean (the R² of the constant
+    * day-of-week model — the test run before shipping any
+    * day-of-week feature). All variances from exact population moment
+    * sums (`Σx²/n − (Σx/n)²` per weekday, summed), mirrored
+    * operand-for-operand by the oracle; flat series (zero total
+    * variance) yield NULL strength, not a division error. Two
+    * aggregates — (entity, dow) then entity — nothing else. Output:
+    * (key, n_days, total_var, resid_var, strength), round-6. */
+  def dowSeasonalityStrength(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(ts).as("__d"))
+      .agg(sum(valueCol).as("__x"))
+    val byDow = daily
+      .groupBy(col(key), dayofweek(col("__d")).as("__dow"))
+      .agg(count(lit(1)).cast("double").as("__nd"),
+        sum(col("__x")).as("__sd"),
+        sum(col("__x") * col("__x")).as("__ssd"))
+    byDow.groupBy(col(key))
+      .agg(sum(col("__nd")).as("__n"),
+        sum(col("__sd")).as("__s"),
+        sum(col("__ssd")).as("__ss"),
+        sum(col("__ssd") - col("__sd") * col("__sd") / col("__nd"))
+          .as("__sse"))
+      .select(col(key), col("__n").cast("long").as("n_days"),
+        round((col("__ss") - col("__s") * col("__s") / col("__n")) /
+          col("__n"), 6).as("total_var"),
+        round(col("__sse") / col("__n"), 6).as("resid_var"),
+        round(when(
+          (col("__ss") - col("__s") * col("__s") / col("__n")) > 0,
+          lit(1.0) - col("__sse") /
+            (col("__ss") - col("__s") * col("__s") / col("__n"))), 6)
+          .as("strength"))
+  }
+
   /** E16: CUSUM CHANGEPOINT detection per entity (Page 1954, public
     * knowledge) — the "did this series shift level, and when" monitor:
     * `S_t = Σ_{i≤t} (x_i − x̄)` over the entity's daily series; the
@@ -59,9 +96,17 @@ object Resample {
     * resolve by earliest day, not float noise). Output: one row per
     * (entity, day) — (key, day, value, cusum, is_changepoint). */
   def cusumChangepoint(df: DataFrame, key: String, ts: Column,
-      valueCol: Column): DataFrame = {
-    val daily = df.groupBy(col(key), to_date(ts).as("day"))
-      .agg(sum(valueCol).as("__x"))
+      valueCol: Column): DataFrame =
+    cusumFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol).as("__x")), key)
+
+  /** [[cusumChangepoint]] over an already-aggregated (key, day, __x)
+    * daily table — daily sums are associative, which is what lets the
+    * streaming daily-aggregate sink's merged view reuse this body
+    * verbatim (batch-parity spec-proven). */
+  private[graft] def cusumFromDaily(daily: DataFrame, key: String)
+      : DataFrame = {
     val withMean = daily
       .withColumn("__mean",
         avg(col("__x")).over(Window.partitionBy(col(key))))

@@ -80,6 +80,15 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E17: day-of-week seasonality strength of daily purchase value —
+    // 1 - SSE/SST of the weekday-mean model, exact moment sums.
+    "q_e17_dow_seasonality" -> { (s, dir) =>
+      graft.events.Resample.dowSeasonalityStrength(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // E16: per-user CUSUM changepoint over daily purchase value — the
     // max-|S| day flagged, argmax on ROUND-6 |S| with day tiebreak.
     "q_e16_cusum" -> { (s, dir) =>
@@ -412,6 +421,26 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same two-stage moment sums; DuckDB dayofweek() is 0-6 vs
+    // Spark's 1-7 but only GROUPING on it, so the offset is harmless.
+    "q_e17_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bydow AS (
+        |  SELECT user_id, dayofweek(d) AS dow,
+        |    CAST(count(*) AS DOUBLE) AS nd, sum(x) AS sd,
+        |    sum(x * x) AS ssd
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(nd) AS BIGINT) AS n_days,
+        |  round((sum(ssd) - sum(sd) * sum(sd) / sum(nd)) / sum(nd), 6)
+        |    AS total_var,
+        |  round(sum(ssd - sd * sd / nd) / sum(nd), 6) AS resid_var,
+        |  round(CASE WHEN sum(ssd) - sum(sd) * sum(sd) / sum(nd) > 0
+        |    THEN 1.0 - sum(ssd - sd * sd / nd) /
+        |      (sum(ssd) - sum(sd) * sum(sd) / sum(nd)) END, 6)
+        |    AS strength
+        |FROM bydow GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same per-user mean + cumulative deviation + round-6 argmax.
     "q_e16_cusum" ->
       """WITH daily AS (

@@ -518,6 +518,47 @@ object StreamingEvents {
     graft.ml.Pca.covarianceFromBuffer(spark, buf, dim)
   }
 
+  /** Streaming DAILY-AGGREGATE sink for series monitors: each
+    * micro-batch persists its per-(key, day) value sums — rows bounded
+    * by keys × days touched in the batch, never event volume — under
+    * `batch_id=N`. Daily sums are ASSOCIATIVE, so the merged view
+    * re-aggregates to exactly the one-pass daily table of everything
+    * ingested, and the E16 CUSUM changepoint over the view equals the
+    * batch operator over the union (spec-proven): the stream gets a
+    * "did this series shift level" monitor without ever re-scanning
+    * raw events. Replays overwrite their own batch directory:
+    * idempotent. */
+  def dailyAggSink(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, dailyDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) dailyAggBatch(batch.toDF(), batchId, keyCol,
+          tsCol, valueCol, dailyDir)
+      }
+      .start()
+
+  /** One micro-batch of [[dailyAggSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def dailyAggBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, tsCol: String, valueCol: String,
+      dailyDir: String): Unit = {
+    batch.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol)).as("x"))
+      .write.mode("overwrite").parquet(s"$dailyDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[dailyAggSink]] directory: the E16
+    * CUSUM changepoint table over the merged daily sums. */
+  def cusumView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    graft.events.Resample.cusumFromDaily(
+      spark.read.parquet(dailyDir)
+        .groupBy(col(keyCol), col("day"))
+        .agg(sum(col("x")).as("__x")), keyCol)
+
   /** The published view over a [[countMinSink]] directory: the merged
     * cell table — cell-wise sums over every ingested batch, exactly the
     * sketch a one-pass build over the union would produce. Feed it to

@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingEvents
 import graft.streaming.StreamingEvents.{EventIn, Latest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, explode, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, date_format, explode, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -407,6 +407,42 @@ class StreamingSpec extends SparkSpec {
     StreamingEvents.countMinBatch(batchRows(2).toDF("lang", "text"), 1L,
       "lang", "text", 3, 64, s"$tmp/cells")
     viewRows() shouldBe onePass
+  }
+
+  it should "maintain daily aggregates whose CUSUM view equals the batch changepoint operator" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sda").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 shifts level mid-month; events split across two batches
+    val all = (1 to 20).map { d =>
+      (1L, ts(f"2024-01-$d%02d 10:00:00"), if (d <= 10) 5.0 else 40.0)
+    }
+    val (b1, b2) = all.splitAt(12)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingEvents.dailyAggSink(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts",
+      "value", s"$tmp/daily", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select(col("user_id"), col("day"), col("cusum"),
+        col("is_changepoint"))
+      .as[(Long, String, Double, Int)].collect().sortBy(_._2).toSeq
+    val batch = rows(graft.events.Resample.cusumChangepoint(
+      all.toDF("user_id", "ts", "value"), "user_id", col("ts"),
+      col("value")))
+    rows(StreamingEvents.cusumView(spark, s"$tmp/daily",
+      "user_id")) shouldBe batch
+    // the shift day is flagged
+    batch.find(_._4 == 1).get._2 shouldBe "2024-01-10"
+    // replay: rewriting batch 1's partition leaves the view identical
+    StreamingEvents.dailyAggBatch(b1.toDF("user_id", "ts", "value"), 0L,
+      "user_id", "ts", "value", s"$tmp/daily")
+    rows(StreamingEvents.cusumView(spark, s"$tmp/daily",
+      "user_id")) shouldBe batch
   }
 
   it should "maintain PCA moments whose covariance view equals the one-pass batch covariance" in {
