@@ -69,7 +69,13 @@ object Stats {
     * percentile cut (B is a constant ~100; the sort is replica-sized,
     * never data-sized). Output: one row — (n_units, replicas,
     * point_est, ci_lo, ci_hi) at the type-1 percentile ranks
-    * ⌈α/2·B⌉ and ⌈(1−α/2)·B⌉. */
+    * ⌈α/2·B⌉ and ⌈(1−α/2)·B⌉.
+    *
+    * Contract: needs enough units that no replica draws all-zero
+    * weights (P ≈ e^{−0.37n} per replica — astronomically small past a
+    * few dozen units). Under that contract all B replica means exist
+    * and the rank cut is total; a handful of units is not a population
+    * a bootstrap CI is meaningful for anyway. */
   def bootstrapMeanCi(units: DataFrame, valueCol: Column,
       unitId: Column, replicas: Int = 100, alphaPct: Int = 5,
       seed: String = "boot"): DataFrame = {
