@@ -37,7 +37,12 @@ object Fuzzy {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(col(idCol).cast("long").as("id"), key.as("key"))
+    // materialize the derived key ONCE: repartitionByRange SAMPLES its
+    // input to pick range bounds, so an uncached key expression (often
+    // a regex over text) would run in the sampling pass, the partition
+    // pass and the window materialization
+    val keyed = graft.util.Caches.persistTracked(
+      df.select(col(idCol).cast("long").as("id"), key.as("key")))
     val byPart = keyed
       .repartitionByRange(col("key"), col("id"))
       .withColumn("__pid", spark_partition_id())
