@@ -95,6 +95,58 @@ object Communities {
     * cross-engine; degree-0/1 nodes score 0 by convention.
     *
     * Output: (node, n_triangles, clustering_coef), every graph node. */
+  /** X113: NEWMAN MODULARITY of a community assignment (Newman &
+    * Girvan 2004, public knowledge) — the standard "are these
+    * communities better than chance" score the X85 labels need before
+    * anyone acts on them: `Q = Σ_c (e_c/m − (d_c/2m)²)` over the
+    * undirected simple graph (m unordered edges, e_c intra-community
+    * edges, d_c summed degrees). Every term is an exact integer count
+    * through two fixed IEEE divisions — bit-identical cross-engine, no
+    * rounding.
+    *
+    * Shape: one unordered-distinct edge projection, two label joins on
+    * edge endpoints (node-keyed), communities-sized aggregates. A
+    * node missing from `assignment` contributes degree to no
+    * community and its edges count inside none (strict-join
+    * semantics, documented). Output: one row per community —
+    * (community, n_nodes, e_in, d_tot, q_c); Σ q_c is the graph's
+    * modularity. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, nodeCol: String, communityCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = graft.util.Caches.persistTracked(
+      e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    val m = und.count()
+    require(m > 0, "modularity needs at least one edge")
+    val labels = assignment.select(
+      col(nodeCol).cast("long").as("__n"),
+      col(communityCol).as("community"))
+    val deg = und.select(col("a").as("__n"))
+      .unionByName(und.select(col("b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val dTot = deg.join(labels, "__n")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("d_tot"))
+    val eIn = und
+      .join(labels.select(col("__n").as("a"),
+        col("community").as("__ca")), "a")
+      .join(labels.select(col("__n").as("b"),
+        col("community").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    dTot.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        (coalesce(col("e_in"), lit(0L)).cast("double") / m -
+          (col("d_tot").cast("double") / (2.0 * m)) *
+            (col("d_tot").cast("double") / (2.0 * m))).as("q_c"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("a"),

@@ -131,6 +131,22 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X113: Newman modularity of the X85 LPA communities over the same
+    // block graph — per-community e_c/m - (d_c/2m)^2, exact counts
+    // through two fixed IEEE divisions.
+    "q_x113_modularity" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      val labels = graft.graph.Communities.labelPropagation(
+        es, "src", "dst", iterations = 4)
+      graft.graph.Communities.modularity(es, "src", "dst",
+        labels, "node", "community")
+        .orderBy(col("community"))
+    },
+
     // X86: HITS hubs/authorities over the same scrambled link graph as
     // q_x83 — 5 L1-normalized mutual-recursion iterations, round-6
     // scores oracle-checked.
@@ -343,6 +359,37 @@ object GraphQueries {
        |lbl0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
        |${(1 to 4).map(iter).mkString(",\n")}
        |SELECT v AS node, lab AS community FROM lbl4 ORDER BY v""".stripMargin
+  }
+
+  /** q_x113 oracle: the LPA chain above, then Newman modularity over
+    * the unordered simple edge set — identical IEEE expression tree. */
+  private val modularityOracle: String = {
+    val chain = labelPropagationOracle
+      .stripSuffix("\nSELECT v AS node, lab AS community FROM lbl4 ORDER BY v")
+    s"""$chain,
+       |umod AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |         FROM und),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM umod),
+       |degm AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS n FROM umod UNION ALL SELECT b FROM umod)
+       |  GROUP BY n),
+       |lab AS (SELECT v AS n, lab AS community FROM lbl4),
+       |dt AS (
+       |  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS d_tot
+       |  FROM degm JOIN lab USING (n) GROUP BY 1),
+       |ei AS (
+       |  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM umod u JOIN lab la ON la.n = u.a JOIN lab lb ON lb.n = u.b
+       |  WHERE la.community = lb.community GROUP BY 1)
+       |SELECT dt.community AS community, n_nodes,
+       |  coalesce(e_in, 0) AS e_in, d_tot,
+       |  CAST(coalesce(e_in, 0) AS DOUBLE) / m
+       |    - (CAST(d_tot AS DOUBLE) / (2.0 * m))
+       |      * (CAST(d_tot AS DOUBLE) / (2.0 * m)) AS q_c
+       |FROM dt LEFT JOIN ei USING (community), mm
+       |ORDER BY community""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.graph.Communities.hits]] at q_x86's
@@ -581,6 +628,7 @@ object GraphQueries {
         |  ON und.a = sc.node_a AND und.b = sc.node_b
         |WHERE und.a IS NULL
         |ORDER BY node_a, node_b""".stripMargin,
+    "q_x113_modularity" -> modularityOracle,
     "q_x97_weighted_pagerank" -> weightedPageRankOracle,
     "q_x93_kcore" -> kCoreOracle,
     "q_x91_triangle_count" -> triangleOracle,

@@ -162,4 +162,32 @@ class CommunitiesSpec extends SparkSpec {
     hit(1) shouldBe hit(13)
     graft.util.Caches.releaseAll(spark)
   }
+
+  "modularity (X113)" should "score a two-triangle bridge graph exactly and zero a single community" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val twoCommunities = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "community")
+    val q = graft.graph.Communities.modularity(e, "s", "d",
+        twoCommunities, "node", "community")
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("d_tot"), col("q_c"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    q("A")._2 shouldBe 3L
+    q("A")._3 shouldBe 3L
+    q("A")._4 shouldBe 7L
+    q("A")._5 shouldBe (3.0 / 7 - 0.25) +- 1e-15
+    q("B")._5 shouldBe (3.0 / 7 - 0.25) +- 1e-15
+    // everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    val one = twoCommunities.withColumn("community",
+      org.apache.spark.sql.functions.lit("all"))
+    val q1 = graft.graph.Communities.modularity(e, "s", "d", one,
+      "node", "community").select(col("q_c")).as[Double].head()
+    q1 shouldBe 0.0
+    graft.util.Caches.releaseAll(spark)
+  }
 }
