@@ -310,6 +310,52 @@ object EventFunctions {
       .withColumn("converted", col("n_converted") > 0)
   }
 
+  /** W15: 3-ITEM SEQUENTIAL patterns — "sessions that do A, then B,
+    * then C" (the GSP/PrefixSpan length-3 step [[sequentialRules]]'s
+    * min/max trick cannot decide: the middle element must fall
+    * strictly BETWEEN the ends). A session supports a→b→c iff the
+    * EARLIEST b after its first a precedes some c:
+    * `min{t_b : t_b > min(a)} < max(c)` — greedily taking the first a
+    * and earliest following b is optimal for existence (any witness
+    * can be left-shifted onto them), so one conditional-min aggregate
+    * replaces a three-way event join.
+    *
+    * Shape: b-candidates = each session's events joined to its
+    * |types|-sized per-type min table (×|types| fan-out of the event
+    * stream, never event×event), aggregated back to |types|² rows per
+    * session before the final |types|³-bounded C-join. Exact counts.
+    * Output: (first, second, third, support) for distinct type
+    * triples with support ≥ `minSupport`. */
+  def sequentialTriples(events: DataFrame, timeoutSec: Long,
+      minSupport: Long = 1L, c: EventCols = EventCols()): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val sess = graft.util.Caches.persistTracked(
+      sessionize(events, timeoutSec, c)
+        .select(col(c.entity).as("__e"), col("session_id").as("__s"),
+          col(c.eventType).as("__t"), col(c.ts).as("__ts")))
+    val st = graft.util.Caches.persistTracked(
+      sess.groupBy(col("__e"), col("__s"), col("__t"))
+        .agg(min(col("__ts")).as("__min"), max(col("__ts")).as("__max")))
+    // earliest B strictly after the first A, per (session, A, B), A != B
+    val firstAfter = sess.as("b")
+      .join(st.as("a"),
+        col("b.__e") === col("a.__e") && col("b.__s") === col("a.__s") &&
+          col("b.__t") =!= col("a.__t") && col("b.__ts") > col("a.__min"))
+      .groupBy(col("a.__e").as("__e"), col("a.__s").as("__s"),
+        col("a.__t").as("first"), col("b.__t").as("second"))
+      .agg(min(col("b.__ts")).as("__mab"))
+    firstAfter.as("fa")
+      .join(st.as("cc"),
+        col("cc.__e") === col("fa.__e") && col("cc.__s") === col("fa.__s") &&
+          col("cc.__t") =!= col("fa.first") &&
+          col("cc.__t") =!= col("fa.second") &&
+          col("fa.__mab") < col("cc.__max"))
+      .groupBy(col("fa.first").as("first"), col("fa.second").as("second"),
+        col("cc.__t").as("third"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** W14: SEQUENTIAL association rules — "sessions that do A later do B"
     * with direction (the ordered counterpart of X92's market-basket
     * rules; 2-item sequential patterns à la GSP/PrefixSpan, public

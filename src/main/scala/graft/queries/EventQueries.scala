@@ -110,6 +110,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // W15: 3-item sequential patterns over 1h sessions — a-then-b-
+    // then-c via the earliest-B-after-first-A composition.
+    "q_w15_sequential_triples" -> { (s, dir) =>
+      EventFunctions.sequentialTriples(t(s, dir, "events"), 3600,
+        minSupport = 2)
+        .orderBy(col("first"), col("second"), col("third"))
+    },
+
     // W14: sequential association rules over 1h sessions — session
     // supports a -> b iff some a strictly precedes some b; the pattern
     // check needs only per-(session, type) min/max.
@@ -475,6 +483,37 @@ object EventQueries {
         |  round(d.x, 2) AS value, num / den AS ewma
         |FROM daily d JOIN sm ON sm.user_id = d.user_id AND sm.td = d.d
         |ORDER BY 1, 2""".stripMargin,
+    // Same session construction; existence check mirrored:
+    // min{t_b > min(a)} < max(c), pairwise-distinct types.
+    "q_w15_sequential_triples" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |st AS (
+        |  SELECT user_id, session_id, event_type,
+        |    min(ts) AS mn, max(ts) AS mx
+        |  FROM sess GROUP BY 1, 2, 3),
+        |fa AS (
+        |  SELECT a.user_id, a.session_id, a.event_type AS f,
+        |    b.event_type AS s2, min(b.ts) AS mab
+        |  FROM sess b JOIN st a ON b.user_id = a.user_id
+        |    AND b.session_id = a.session_id
+        |    AND b.event_type <> a.event_type AND b.ts > a.mn
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT f AS first, s2 AS second, c.event_type AS third,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM fa JOIN st c ON c.user_id = fa.user_id
+        |  AND c.session_id = fa.session_id
+        |  AND c.event_type <> f AND c.event_type <> s2 AND fa.mab < c.mx
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY first, second, third""".stripMargin,
     // Same session construction as q_w1, collapsed to per-(session,
     // type) min/max before the |types|^2-bounded pair join.
     "q_w14_sequential_rules" ->

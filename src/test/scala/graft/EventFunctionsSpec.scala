@@ -229,6 +229,34 @@ class EventFunctionsSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "sequentialTriples (W15)" should "detect a-then-b-then-c including the greedy middle-witness case" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // session 1: b@2, c@3, a@5, b@6, c@7 — supports a->b->c via the
+    // LATER b and c (the early b/c are decoys the greedy must skip)
+    // session 2 (user 2): c@1, b@2, a@3 — reverse order only
+    val events = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "b", 1L),
+      (1L, ts("2024-01-01 10:03:00"), "c", 2L),
+      (1L, ts("2024-01-01 10:05:00"), "a", 3L),
+      (1L, ts("2024-01-01 10:06:00"), "b", 4L),
+      (1L, ts("2024-01-01 10:07:00"), "c", 5L),
+      (2L, ts("2024-01-01 10:01:00"), "c", 6L),
+      (2L, ts("2024-01-01 10:02:00"), "b", 7L),
+      (2L, ts("2024-01-01 10:03:00"), "a", 8L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("value", lit(1.0))
+    val got = graft.events.EventFunctions
+      .sequentialTriples(events, 3600, minSupport = 1)
+      .as[(String, String, String, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    got(("a", "b", "c")) shouldBe 1L // session 1 only
+    got(("c", "b", "a")) shouldBe 1L // session 2 only (1's b@6 > a@5)
+    got.get(("a", "c", "b")) shouldBe None // no b after session 1's last c
+    // session 1 also has b->c->... etc; spot-check one more
+    got(("b", "c", "a")) shouldBe 1L // b@2 < c@3 < a@5 in session 1
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "require strict precedence: simultaneous a and b support neither direction" in {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
