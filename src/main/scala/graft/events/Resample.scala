@@ -83,6 +83,43 @@ object Resample {
           .as("strength"))
   }
 
+  /** E18: STL-LITE DECOMPOSITION per entity — the classical
+    * moving-average decomposition (the additive classical form, public
+    * knowledge; full STL's loess loops are driver-sequential and buy
+    * little for a monitor): `trend` = centered 7-observation moving
+    * average over the daily series, `seasonal` = per-weekday mean of
+    * the detrended series, `remainder` = value − trend − seasonal (the
+    * anomaly signal alerts threshold on). Row-frame windows (ROWS
+    * BETWEEN 3 PRECEDING AND 3 FOLLOWING) — partial frames at series
+    * edges average over the rows that exist, identically in both
+    * engines. One (entity, day) aggregate + one entity-keyed window +
+    * one (entity, dow)-keyed join (the seasonal table is entities×7
+    * rows — NOT broadcast: entities are unbounded at scale, and the
+    * join shares the window's entity partitioning); round-6. */
+  def stlDecompose(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df.groupBy(col(key), to_date(ts).as("day"))
+      .agg(sum(valueCol).as("__x"))
+    val ma = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__trend", avg(col("__x")).over(ma))
+      .withColumn("__det", col("__x") - col("__trend"))
+    val seasonal = trended
+      .groupBy(col(key).as("__k"), dayofweek(col("day")).as("__dow"))
+      .agg(avg(col("__det")).as("__seas"))
+    trended
+      .join(seasonal,
+        trended(key) === col("__k") &&
+          dayofweek(col("day")) === col("__dow"))
+      .select(trended(key), col("day"),
+        round(col("__x"), 2).as("value"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("__x") - col("__trend") - col("__seas"), 6)
+          .as("remainder"))
+  }
+
   /** E16: CUSUM CHANGEPOINT detection per entity (Page 1954, public
     * knowledge) — the "did this series shift level, and when" monitor:
     * `S_t = Σ_{i≤t} (x_i − x̄)` over the entity's daily series; the

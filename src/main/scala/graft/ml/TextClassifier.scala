@@ -68,14 +68,16 @@ object TextClassifier {
     *
     * Output: (doc_id, label, log_prob, margin) — one row per document,
     * `label` the predicted class. */
-  def score(model: NbModel, corpus: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 1.0): DataFrame = {
+  /** Per-(doc, class) log-posterior table — the pre-argmax state
+    * [[score]] ranks and [[brierLogLoss]] normalizes. */
+  private[ml] def scoreAll(model: NbModel, corpus: DataFrame,
+      idCol: String, textCol: String, alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val docToks = corpus.select(col(idCol).as("doc_id"),
       explode(Dedup.words(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("__nt"))
-    val scored = docToks
+    docToks
       .crossJoin(broadcast(model.priors))
       .join(model.tokenCounts, Seq("label", "tok"), "left")
       .crossJoin(broadcast(model.vocab))
@@ -86,6 +88,11 @@ object TextClassifier {
       .agg(sum(col("__ll")).as("__sll"))
       .select(col("doc_id"), col("label"),
         (col("log_prior") + col("__sll")).as("__logp"))
+  }
+
+  def score(model: NbModel, corpus: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 1.0): DataFrame = {
+    val scored = scoreAll(model, corpus, idCol, textCol, alpha)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__logp").desc, col("label"))
     scored
@@ -167,6 +174,45 @@ object TextClassifier {
           (col("n_correct").cast("double") / col("n_test"))
             .as("accuracy"))
     }.reduce(_ unionByName _)
+  }
+
+  /** F21: PROPER-SCORING-RULE evaluation — multiclass BRIER score
+    * `mean_d Σ_c (p_c − y_c)²` and LOG-LOSS `mean_d −ln p_true` from
+    * the softmax-normalized NB posteriors (log-sum-exp with the
+    * per-doc max subtracted — the standard overflow-safe form,
+    * mirrored expression-for-expression). Accuracy says whether the
+    * argmax was right; these say whether the PROBABILITIES are honest
+    * — the metrics a threshold picker (X53) and calibrator (F15)
+    * should optimize. Docs whose true class is outside the model's
+    * class set have no defined p_true and are counted out
+    * (`n_unscored`), not given an infinite loss. One |C|-sized window
+    * per doc, one aggregate. Output: (n_docs, n_unscored, brier,
+    * log_loss), round-6. */
+  def brierLogLoss(model: NbModel, corpus: DataFrame, idCol: String,
+      textCol: String, labelCol: String, alpha: Double = 1.0)
+      : DataFrame = {
+    val scored = scoreAll(model, corpus, idCol, textCol, alpha)
+    val w = Window.partitionBy(col("doc_id"))
+    val probs = scored
+      .withColumn("__mx", max(col("__logp")).over(w))
+      .withColumn("__e", exp(col("__logp") - col("__mx")))
+      .withColumn("__z", sum(col("__e")).over(w))
+      .withColumn("__p", col("__e") / col("__z"))
+      .join(corpus.select(col(idCol).as("doc_id"),
+        col(labelCol).as("__true")), "doc_id")
+      .withColumn("__y",
+        when(col("label") === col("__true"), 1.0).otherwise(0.0))
+    val perDoc = probs.groupBy(col("doc_id"))
+      .agg(sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .as("__brier"),
+        // p_true present iff the true class is in the model's classes
+        max(when(col("__y") === 1.0, col("__p"))).as("__ptrue"))
+    perDoc.agg(
+      count(when(col("__ptrue").isNotNull, 1)).as("n_docs"),
+      count(when(col("__ptrue").isNull, 1)).as("n_unscored"),
+      round(avg(when(col("__ptrue").isNotNull, col("__brier"))), 6)
+        .as("brier"),
+      round(avg(-log(col("__ptrue"))), 6).as("log_loss"))
   }
 
   /** X112: LABEL-NOISE SUSPECTS via cross-validated disagreement (the

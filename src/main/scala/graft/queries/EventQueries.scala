@@ -89,6 +89,17 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E18: classical additive decomposition of daily purchase value —
+    // centered MA-7 trend, per-weekday seasonal of the detrended
+    // series, remainder (the anomaly signal).
+    "q_e18_stl_decompose" -> { (s, dir) =>
+      graft.events.Resample.stlDecompose(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // E16: per-user CUSUM changepoint over daily purchase value — the
     // max-|S| day flagged, argmax on ROUND-6 |S| with day tiebreak.
     "q_e16_cusum" -> { (s, dir) =>
@@ -449,6 +460,26 @@ object EventQueries {
         |      (sum(ssd) - sum(sd) * sum(sd) / sum(nd)) END, 6)
         |    AS strength
         |FROM bydow GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same row-frame MA, same detrended weekday means.
+    "q_e18_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT user_id, d, x,
+        |    avg(x) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM daily),
+        |se AS (
+        |  SELECT user_id AS k, dayofweek(d) AS dow,
+        |    avg(x - trend) AS seas
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT tr.user_id AS user_id, strftime(tr.d, '%Y-%m-%d') AS day,
+        |  round(tr.x, 2) AS value, round(tr.trend, 6) AS trend,
+        |  round(se.seas, 6) AS seasonal,
+        |  round(tr.x - tr.trend - se.seas, 6) AS remainder
+        |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
+        |ORDER BY 1, 2""".stripMargin,
     // Same per-user mean + cumulative deviation + round-6 argmax.
     "q_e16_cusum" ->
       """WITH daily AS (

@@ -420,6 +420,16 @@ object TextQueries {
         .orderBy(col("train_slots"))
     },
 
+    // F21: Brier score + log-loss of the X50 classifier's softmax
+    // posteriors — proper scoring rules over the same split.
+    "q_f21_brier_logloss" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      graft.ml.TextClassifier.brierLogLoss(model,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "lang")
+    },
+
     // F18: per-class precision/recall/F1 for the X50 classifier —
     // confusion-pair aggregate + class-sized joins, guarded divisions
     // (never-predicted class: NULL precision, not 0).
@@ -1910,6 +1920,58 @@ object TextQueries {
     "q_x103_cv_folds" -> cvFoldsOracle,
     "q_x112_label_suspects" -> suspectLabelsOracle,
     "q_f19_learning_curve" -> learningCurveOracle,
+    // The X50 chain through the same max-subtracted softmax and the
+    // same per-doc Brier / -ln(p_true) aggregates.
+    "q_f21_brier_logloss" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |ttoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM train),
+        |tc AS (SELECT label, tok, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS tok_total FROM ttoks GROUP BY 1),
+        |pri AS (
+        |  SELECT lang AS label,
+        |    ln(count(*) / (SELECT count(*) * 1.0 FROM train)) AS log_prior
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv FROM ttoks),
+        |stoks AS (
+        |  SELECT doc_id, tok, count(*) AS n_t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.doc_id, p.label,
+        |    p.log_prior + sum(s.n_t * ln((coalesce(tc.cnt, 0) + 1.0) /
+        |      (tot.tok_total + v.vv * 1.0))) AS logp
+        |  FROM stoks s
+        |  CROSS JOIN pri p
+        |  JOIN tot ON tot.label = p.label
+        |  LEFT JOIN tc ON tc.label = p.label AND tc.tok = s.tok
+        |  CROSS JOIN v
+        |  GROUP BY s.doc_id, p.label, p.log_prior, tot.tok_total, v.vv),
+        |pe AS (
+        |  SELECT doc_id, label,
+        |    exp(logp - max(logp) OVER (PARTITION BY doc_id)) AS e
+        |  FROM scored),
+        |pp AS (
+        |  SELECT pe.doc_id, pe.label,
+        |    pe.e / sum(pe.e) OVER (PARTITION BY pe.doc_id) AS p,
+        |    CASE WHEN pe.label = d.lang THEN 1.0 ELSE 0.0 END AS y
+        |  FROM pe JOIN documents d ON d.doc_id = pe.doc_id),
+        |pd AS (
+        |  SELECT doc_id, sum((p - y) * (p - y)) AS brier,
+        |    max(CASE WHEN y = 1.0 THEN p END) AS ptrue
+        |  FROM pp GROUP BY doc_id)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE ptrue IS NOT NULL) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(count(*) FILTER (WHERE ptrue IS NULL) AS BIGINT)
+        |    AS n_unscored,
+        |  round(avg(brier) FILTER (WHERE ptrue IS NOT NULL), 6) AS brier,
+        |  round(avg(-ln(ptrue)), 6) AS log_loss
+        |FROM pd""".stripMargin,
+
     // The X50 chain rolled up to confusion counts + guarded per-class
     // metrics ("precision" quoted — DuckDB type keyword).
     "q_f18_class_report" ->

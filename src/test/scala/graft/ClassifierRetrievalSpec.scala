@@ -238,6 +238,28 @@ class ClassifierRetrievalSpec extends SparkSpec {
     r.foreach(_._4 shouldBe 1.0)
   }
 
+  "brierLogLoss (F21)" should "score near-zero on separable classes and count unseen-class docs out" in {
+    val train = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "apple banana cherry", "f")
+      else (i.toLong, "iron copper zinc", "m")
+    }.toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (100L, "apple banana", "f"),
+      (101L, "iron zinc", "m"),
+      (102L, "apple banana", "x")) // class never trained: unscored
+      .toDF("doc_id", "text", "lang")
+    val model = graft.ml.TextClassifier.train(train, "text", "lang")
+    val r = graft.ml.TextClassifier.brierLogLoss(model, test,
+        "doc_id", "text", "lang")
+      .as[(Long, Long, Double, Double)].head()
+    r._1 shouldBe 2L
+    r._2 shouldBe 1L
+    r._3 should be < 0.05 // confident and correct
+    r._4 should be < 0.05
+    r._3 should be >= 0.0
+    r._4 should be >= 0.0
+  }
+
   "suspectLabels (X112)" should "flag a planted mislabel out-of-fold and nothing else" in {
     val clean = (0 until 30).map { i =>
       if (i % 2 == 0) (i.toLong, "apple banana cherry fruit", "f")

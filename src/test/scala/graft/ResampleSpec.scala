@@ -26,6 +26,35 @@ class ResampleSpec extends SparkSpec {
       (2L, "2024-01-02", 1.0, 0))
   }
 
+  "stlDecompose (E18)" should "decompose a constant series to trend-only and stay additive" in {
+    val flat = (1 to 14).map(d =>
+      (1L, ts(f"2024-01-$d%02d 09:00:00"), 10.0))
+      .toDF("user_id", "ts", "value")
+    val r = Resample.stlDecompose(flat, "user_id", col("ts"),
+        col("value"))
+      .select(col("value"), col("trend"), col("seasonal"),
+        col("remainder"))
+      .as[(Double, Double, Double, Double)].collect()
+    r.length shouldBe 14
+    r.foreach { case (v, t, s, rem) =>
+      t shouldBe 10.0 +- 1e-9
+      s shouldBe 0.0 +- 1e-9
+      rem shouldBe 0.0 +- 1e-9
+      (t + s + rem) shouldBe v +- 1e-5 // additivity (round-6 outputs)
+    }
+    // a varying series still reconstructs additively
+    val vary = (1 to 21).map(d =>
+      (1L, ts(f"2024-01-$d%02d 09:00:00"), 10.0 + (d % 7) * 3.0))
+      .toDF("user_id", "ts", "value")
+    Resample.stlDecompose(vary, "user_id", col("ts"), col("value"))
+      .select(col("value"), col("trend"), col("seasonal"),
+        col("remainder"))
+      .as[(Double, Double, Double, Double)].collect()
+      .foreach { case (v, t, s, rem) =>
+        (t + s + rem) shouldBe v +- 1e-5 }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "cusumChangepoint (E16)" should "flag the level-shift day at the cumulative-deviation peak" in {
     // 4 days at 10 then 4 days at 50: mean 30, |S| peaks at the last
     // low day (day 4, S = -80), the classic AMOC estimate
