@@ -54,6 +54,13 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X114: minhash estimator calibration — every LSH candidate pair's
+    // n_match/16 estimate vs the exact shingle-set Jaccard.
+    "q_x114_minhash_calibration" -> { (s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X35: hybrid dedup — the q_x2 lexical pairs re-verified by
     // embedding cosine (documents and embeddings share the id space).
     "q_x35_semantic_neardup" -> { (s, dir) =>
@@ -2820,6 +2827,28 @@ object TextQueries {
          |SELECT doc_a, doc_b, n_match,
          |  round(n_match / 16.0, 4) AS est_jaccard
          |FROM nm WHERE n_match >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same candidate chain; exact Jaccard from distinct shingle sets,
+    // n/16 exact in binary.
+    "q_x114_minhash_calibration" ->
+      s"""WITH ${minhashNmCte()},
+         |dsx AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |szx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |        FROM dsx GROUP BY 1),
+         |ovx AS (
+         |  SELECT nm.doc_a, nm.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM nm JOIN dsx a ON a.doc_id = nm.doc_a
+         |  JOIN dsx b ON b.doc_id = nm.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT nm.doc_a AS doc_a, nm.doc_b AS doc_b, nm.n_match,
+         |  nm.n_match / 16.0 AS est_jaccard,
+         |  CAST(coalesce(inter, 0) AS DOUBLE) /
+         |    (sa.n + sb.n - coalesce(inter, 0)) AS jaccard,
+         |  abs(nm.n_match / 16.0 - CAST(coalesce(inter, 0) AS DOUBLE) /
+         |    (sa.n + sb.n - coalesce(inter, 0))) AS abs_err
+         |FROM nm JOIN szx sa ON sa.doc_id = nm.doc_a
+         |JOIN szx sb ON sb.doc_id = nm.doc_b
+         |LEFT JOIN ovx ON ovx.doc_a = nm.doc_a AND ovx.doc_b = nm.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Hybrid verify: the q_x2 pair chain, cosine-scored against the
     // embeddings table (list_dot_product matches graft_dot bit-for-bit).

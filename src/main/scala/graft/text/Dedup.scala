@@ -426,6 +426,51 @@ object Dedup {
         round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
   }
 
+  /** X114: MINHASH ESTIMATOR CALIBRATION — for every LSH candidate
+    * pair, the signature-agreement estimate (`n_match/k`, the unbiased
+    * MinHash Jaccard estimator) side by side with the EXACT shingle-set
+    * Jaccard and the absolute error. The "trust your sketch" audit run
+    * before anyone tunes a dedup threshold on estimated similarities:
+    * with k = 16 permutations the estimator's σ ≈ √(J(1−J)/16) ≈ 0.12
+    * at J = 0.5, and this report is how that materializes on the
+    * actual corpus instead of in a formula.
+    *
+    * Cost discipline: the exact verify runs ONLY on LSH candidates
+    * (candidates × doc shingles, never corpus²) — the same bound the
+    * dedup join itself obeys, so auditing costs what deduping costs.
+    * `n/16` is exact in binary, set sizes and overlaps are integers:
+    * every output is reproducible cross-engine. Output: (doc_a, doc_b,
+    * n_match, est_jaccard, jaccard, abs_err). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashNearDuplicates(df, idCol, textCol, shingleN, k,
+      bands, minMatch = 1)
+      .select(col("doc_a"), col("doc_b"), col("n_match"))
+    val ds = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleN)).as("__sh")).distinct())
+    val sz = ds.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(ds.select(col("__id").as("doc_a"), col("__sh")), "doc_a")
+      .join(ds.select(col("__id").as("doc_b"), col("__sh")),
+        Seq("doc_b", "__sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val est = col("n_match").cast("double") / k
+    cand
+      .join(sz.select(col("__id").as("doc_a"), col("__n").as("__na")),
+        "doc_a")
+      .join(sz.select(col("__id").as("doc_b"), col("__n").as("__nb")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jaccard",
+        coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L))))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        est.as("est_jaccard"), col("jaccard"),
+        abs(est - col("jaccard")).as("abs_err"))
+  }
+
   /** Banded LSH projection of a signature column: one row per (input row,
     * band) with `band` (0-based) and `band_hash` = md5 of the band's
     * `rows` signature values joined with '|'. All input columns ride

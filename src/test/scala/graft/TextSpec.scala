@@ -938,6 +938,25 @@ class TextSpec extends SparkSpec {
     r(5L) shouldBe ((0L, None))
   }
 
+  "minhashCalibration (X114)" should "report exact Jaccard 1 with zero error for identical docs" in {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 130).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, other))
+      .toDF("doc_id", "text")
+    val r = graft.text.Dedup.minhashCalibration(df, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("jaccard"), col("abs_err"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // identical docs: every permutation agrees AND exact J = 1
+    val pair = r.find(p => p._1 == 1L && p._2 == 2L).get
+    pair._3 shouldBe 1.0
+    pair._4 shouldBe 1.0
+    pair._5 shouldBe 0.0
+    // disjoint doc 3 shares no band with either: not a candidate
+    r.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "ngramNovelty (X110)" should "count unseen distinct shingles against the reference" in {
     val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
     val score = Seq(
