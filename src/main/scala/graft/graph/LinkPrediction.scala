@@ -26,6 +26,49 @@ import org.apache.spark.sql.functions._
   * distribution and one 10⁹-follower account exploding the join. */
 object LinkPrediction {
 
+  /** X115: NEGATIVE-EDGE SAMPLING — the labeled pair set a link-
+    * prediction / graph-embedding trainer consumes (the graph analog
+    * of word2vec's negative sampling, public knowledge): every
+    * unordered edge as a positive (label 1), plus `perNode`
+    * hash-proposed non-edges per node as negatives (label 0). The
+    * proposal is ARITHMETIC (`(u·17 + s·23) mod nNodes`), never
+    * `rand()` — epochs are re-runnable bit-for-bit and a SQL oracle
+    * reproduces the draw; proposals that collide with a real edge or
+    * self-loop are dropped by an anti-join (proposal sampling: a node
+    * may yield fewer than `perNode` negatives — resample with a
+    * larger `perNode` upstream if exact counts matter; documented).
+    *
+    * Shape: positives are the distinct unordered projection;
+    * negatives are a ×perNode fan-out anti-joined against it on the
+    * normalized pair key — node-keyed, no pair explosion. Output:
+    * (src, dst, label). */
+  def negativeSampledPairs(edges: DataFrame, srcCol: String,
+      dstCol: String, nNodes: Long, perNode: Int = 2): DataFrame = {
+    require(nNodes >= 2, s"nNodes must be >= 2, got $nNodes")
+    require(perNode >= 1, s"perNode must be >= 1, got $perNode")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = graft.util.Caches.persistTracked(
+      e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    val nodes = und.select(col("a").as("u"))
+      .unionByName(und.select(col("b").as("u"))).distinct()
+    val proposals = nodes
+      .select(col("u"), explode(sequence(lit(1), lit(perNode))).as("s"))
+      .withColumn("v", pmod(col("u") * 17L + col("s") * 23L,
+        lit(nNodes)))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val negatives = proposals.join(und, Seq("a", "b"), "left_anti")
+    und.select(col("a").as("src"), col("b").as("dst"),
+        lit(1).as("label"))
+      .unionByName(negatives.select(col("a").as("src"),
+        col("b").as("dst"), lit(0).as("label")))
+  }
+
   /** Adamic–Adar scores for non-adjacent pairs sharing ≥ `minCommon`
     * neighbors in the UNDIRECTED view of `edges`. Output:
     * (node_a, node_b, common, score) with node_a < node_b.

@@ -131,6 +131,21 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X115: labeled link-prediction training pairs over the block
+    // graph — positives = undirected edges, negatives = 2 hash-
+    // proposed non-edges per node, collisions anti-joined away.
+    "q_x115_negative_sampling" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+        explode(array((1 to 2).map(j =>
+          (col("doc_id") - col("doc_id") % 16) +
+            ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
+      graft.graph.LinkPrediction.negativeSampledPairs(
+        es, "src", "dst", nNodes = n, perNode = 2)
+        .orderBy(col("src"), col("dst"), col("label"))
+    },
+
     // X113: Newman modularity of the X85 LPA communities over the same
     // block graph — per-community e_c/m - (d_c/2m)^2, exact counts
     // through two fixed IEEE divisions.
@@ -542,6 +557,32 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same arithmetic proposal and anti-join over the normalized pair.
+    "q_x115_negative_sampling" ->
+      """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd
+        |           FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS a,
+        |    (doc_id - doc_id % 16) + ((doc_id % 16) * 3 + j) % 16 AS b
+        |  FROM documents, range(1, 3) AS r(j)),
+        |und AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM ed0 WHERE a <> b),
+        |nodes AS (SELECT DISTINCT u FROM (
+        |  SELECT a AS u FROM und UNION ALL SELECT b FROM und)),
+        |prop AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+        |    SELECT u, (u * 17 + s * 23) % nd AS v
+        |    FROM nodes, range(1, 3) AS rs(s), n0)
+        |  WHERE u <> v),
+        |neg AS (
+        |  SELECT p.a, p.b FROM prop p
+        |  LEFT JOIN und ON und.a = p.a AND und.b = p.b
+        |  WHERE und.a IS NULL)
+        |SELECT a AS src, b AS dst, 1 AS label FROM und
+        |UNION ALL
+        |SELECT a, b, 0 FROM neg
+        |ORDER BY src, dst, label""".stripMargin,
     // Recursive path enumeration bounded at 6 hops; min path length
     // per node IS the BFS distance.
     "q_x98_bfs_hops" ->

@@ -193,6 +193,24 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "label positives and hash-proposed negatives with no edge leaking into the negatives" in {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = graft.graph.LinkPrediction.negativeSampledPairs(
+      e, "s", "d", nNodes = 4L, perNode = 3)
+      .as[(Long, Long, Int)].collect()
+    val pos = r.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    val neg = r.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    pos shouldBe Set((0L, 1L), (1L, 2L), (2L, 3L))
+    neg.intersect(pos) shouldBe Set.empty // no edge mislabeled negative
+    neg.foreach { case (a, b) => a should be < b } // normalized pairs
+    neg should not be empty
+    // deterministic: same draw twice
+    graft.graph.LinkPrediction.negativeSampledPairs(e, "s", "d", 4L, 3)
+      .as[(Long, Long, Int)].collect().toSet shouldBe r.toSet
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "generate deterministic walks that follow the hash-indexed pick and stop at sinks" in {
     import spark.implicits._
     // node 1 -> {2, 3}; node 2 -> {4}; 3 and 4 are sinks
