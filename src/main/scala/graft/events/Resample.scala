@@ -46,6 +46,64 @@ object Resample {
         (col("day") =!= col("__d")).cast("int").as("filled"))
   }
 
+  /** E19: KAPLAN–MEIER survival of inter-event gaps (Kaplan & Meier
+    * 1958, public knowledge) — "what fraction of users go t days
+    * without another purchase", WITH censoring done right: each user's
+    * final gap (last event → observation end) has not finished and
+    * must leave the risk set at its censoring time, not count as an
+    * event (dropping censored spans biases survival down — the classic
+    * churn-analysis mistake).
+    *
+    * `S(t) = Π_{u ≤ t} (1 − d_u/n_u)` over distinct gap lengths, with
+    * `d_u` completed gaps of length u, `n_u` the risk set (all spans,
+    * complete or censored, of length ≥ u). The product is
+    * `exp(Σ ln(1 − d/n))` over an ORDERED cumulative window — the
+    * addition order is the window order, identical in both engines, so
+    * the curve is reproducible to ln/exp ulps (round-6 output).
+    *
+    * Shape: one entity-keyed lag window for gaps, two durations-sized
+    * aggregates and windows (distinct gap lengths, not events).
+    * Output: (duration_days, n_risk, n_events, n_censored, survival).
+    * Entities with a single event contribute one censored span. */
+  def kaplanMeier(df: DataFrame, key: String, ts: Column,
+      observationEnd: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"))
+    val spans = df.select(col(key), ts.as("__ts"))
+      .withColumn("__next", lead(col("__ts"), 1).over(w))
+      .select(col(key),
+        when(col("__next").isNotNull,
+          datediff(to_date(col("__next")), to_date(col("__ts"))))
+          .otherwise(datediff(lit(observationEnd).cast("date"),
+            to_date(col("__ts")))).cast("long").as("t"),
+        col("__next").isNull.as("__censored"))
+      .filter(col("t") >= 0)
+    val byT = spans.groupBy(col("t"))
+      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
+    val riskW = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(riskW))
+      // d = n can only happen at the longest duration (its risk set is
+      // itself): survival hits exactly 0 there — handled as a flag, not
+      // as ln(0) (Spark's log(0) is NULL, DuckDB's is -inf: the one
+      // place the two engines disagree on the same expression)
+      .withColumn("__hit_zero",
+        max(when(col("n_events") >= col("n_risk"), 1).otherwise(0))
+          .over(survW))
+      .withColumn("survival",
+        when(col("__hit_zero") === 1, 0.0)
+          .otherwise(round(exp(sum(
+            when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+              log(lit(1.0) - col("n_events").cast("double") /
+                col("n_risk"))).otherwise(lit(0.0))).over(survW)), 6)))
+      .select(col("t").as("duration_days"), col("n_risk"),
+        col("n_events"), col("n_censored"), col("survival"))
+  }
+
   /** E17: DAY-OF-WEEK SEASONALITY STRENGTH per entity — how much of a
     * daily series' variance the weekly profile explains:
     * `strength = 1 − Var(residual)/Var(total)` where the residual is

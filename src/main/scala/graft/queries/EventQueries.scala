@@ -89,6 +89,15 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E19: Kaplan-Meier survival of inter-purchase gaps with proper
+    // censoring of each user's final open span at 2024-02-01.
+    "q_e19_survival" -> { (s, dir) =>
+      graft.events.Resample.kaplanMeier(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), "2024-02-01")
+        .orderBy(col("duration_days"))
+    },
+
     // E18: classical additive decomposition of daily purchase value —
     // centered MA-7 trend, per-weekday seasonal of the detrended
     // series, remainder (the anomaly signal).
@@ -460,6 +469,45 @@ object EventQueries {
         |      (sum(ssd) - sum(sd) * sum(sd) / sum(nd)) END, 6)
         |    AS strength
         |FROM bydow GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same spans, same ordered cumulative ln-sum; the d = n zero case
+    // flagged, never ln(0) (NULL in Spark, -inf in DuckDB).
+    "q_e19_survival" ->
+      """WITH sp AS (
+        |  SELECT user_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |  FROM events WHERE event_type = 'purchase'),
+        |spans AS (
+        |  SELECT CASE WHEN nxt IS NOT NULL
+        |      THEN date_diff('day', CAST(ts AS DATE), CAST(nxt AS DATE))
+        |      ELSE date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+        |    END AS t,
+        |    (nxt IS NULL) AS censored
+        |  FROM sp),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM spans WHERE t >= 0 GROUP BY t),
+        |rk AS (
+        |  SELECT *, CAST(sum(n_events + n_censored) OVER (
+        |    ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_risk
+        |  FROM byt),
+        |sv AS (
+        |  SELECT *,
+        |    max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero,
+        |    sum(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+        |      ELSE 0.0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS lnsum
+        |  FROM rk)
+        |SELECT t AS duration_days, n_risk, n_events, n_censored,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |       ELSE round(exp(lnsum), 6) END AS survival
+        |FROM sv ORDER BY duration_days""".stripMargin,
     // Same row-frame MA, same detrended weekday means.
     "q_e18_stl_decompose" ->
       """WITH daily AS (

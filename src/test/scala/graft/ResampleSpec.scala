@@ -26,6 +26,24 @@ class ResampleSpec extends SparkSpec {
       (2L, "2024-01-02", 1.0, 0))
   }
 
+  "kaplanMeier (E19)" should "match the hand-computed curve with censoring and the exact-zero tail" in {
+    // user 1: events day 1, 3, 5 -> complete gaps 2, 2; censored 3
+    // user 2: events day 1, 6 -> complete gap 5; censored 2
+    // observation end day 8. Spans: {2,2,5 complete; 3,2 censored}
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-05 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-06 10:00:00")))
+      .toDF("user_id", "ts")
+    val r = Resample.kaplanMeier(ev, "user_id", col("ts"), "2024-01-08")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    r(2L) shouldBe ((2L, 5L, 2L, 1L, 0.6))  // S(2) = 1 - 2/5
+    r(3L) shouldBe ((3L, 2L, 0L, 1L, 0.6))  // censoring shrinks risk only
+    r(5L) shouldBe ((5L, 1L, 1L, 0L, 0.0))  // d = n: exact zero, no ln(0)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "stlDecompose (E18)" should "decompose a constant series to trend-only and stay additive" in {
     val flat = (1 to 14).map(d =>
       (1L, ts(f"2024-01-$d%02d 09:00:00"), 10.0))
