@@ -28,14 +28,16 @@ object Resample {
 
   /** Daily resample of `valueCol` aggregated by `aggFn` per (key, day),
     * gaps forward-filled from the previous observed day. Output: key,
-    * `day` (date), `value`, `filled` (0 = observed, 1 = carried). The
-    * series spans each key's first to last observed day — leading gaps
-    * have nothing to carry and trailing fill would never terminate. */
+    * `day` (date), `value` (the EXACT aggregate — callers that want
+    * display rounding apply it themselves), `filled` (0 = observed,
+    * 1 = carried). The series spans each key's first to last observed
+    * day — leading gaps have nothing to carry and trailing fill would
+    * never terminate. */
   def dailyResampleFfill(df: DataFrame, key: String, ts: Column,
       valueCol: Column, aggFn: Column => Column = sum): DataFrame = {
     val daily = df
       .groupBy(col(key), to_date(ts).as("__d"))
-      .agg(round(aggFn(valueCol), 2).as("value"))
+      .agg(aggFn(valueCol).as("value"))
     val w = Window.partitionBy(col(key)).orderBy(col("__d"))
     daily
       .withColumn("__next", lead(col("__d"), 1).over(w))
@@ -114,30 +116,47 @@ object Resample {
     * operand-for-operand by the oracle; flat series (zero total
     * variance) yield NULL strength, not a division error. Two
     * aggregates — (entity, dow) then entity — nothing else. Output:
-    * (key, n_days, total_var, resid_var, strength), round-6. */
+    * (key, n_days, total_var, resid_var, strength), round-6.
+    *
+    * REPRODUCIBILITY (the r9 hash-parity lesson): every float sum
+    * whose accumulation order an engine may choose is carried as
+    * DECIMAL instead — `value` is 2-decimal, so the daily sum is
+    * exact in DECIMAL(18,6) and the moment sums `Σx`/`Σx²` are exact
+    * in DECIMAL(28,6)/DECIMAL(38,12). The one remaining float sum —
+    * SSE over the ≤7 weekday terms — is pivoted into a FIXED-ORDER
+    * dow=1..7 addition (each `sum(when(dow=d))` has at most one
+    * operand, so it is exact; the adds happen in expression order).
+    * Doubles appear only in per-row arithmetic over those exact
+    * operands, which IEEE 754 makes bit-identical across engines. */
   def dowSeasonalityStrength(df: DataFrame, key: String, ts: Column,
       valueCol: Column): DataFrame = {
     val daily = df.groupBy(col(key), to_date(ts).as("__d"))
-      .agg(sum(valueCol).as("__x"))
+      .agg(sum(valueCol.cast("decimal(18,2)")).cast("decimal(18,6)")
+        .as("__x"))
     val byDow = daily
       .groupBy(col(key), dayofweek(col("__d")).as("__dow"))
-      .agg(count(lit(1)).cast("double").as("__nd"),
+      .agg(count(lit(1)).as("__nd"),
         sum(col("__x")).as("__sd"),
         sum(col("__x") * col("__x")).as("__ssd"))
+      .withColumn("__td",
+        col("__ssd").cast("double") -
+          col("__sd").cast("double") * col("__sd").cast("double") /
+            col("__nd").cast("double"))
+    val sseFixedOrder = (1 to 7)
+      .map(d => coalesce(sum(when(col("__dow") === d, col("__td"))),
+        lit(0.0)))
+      .reduce(_ + _)
+    val nD = col("__n").cast("double")
+    val sst = col("__ss") - col("__s") * col("__s") / nD
     byDow.groupBy(col(key))
       .agg(sum(col("__nd")).as("__n"),
-        sum(col("__sd")).as("__s"),
-        sum(col("__ssd")).as("__ss"),
-        sum(col("__ssd") - col("__sd") * col("__sd") / col("__nd"))
-          .as("__sse"))
-      .select(col(key), col("__n").cast("long").as("n_days"),
-        round((col("__ss") - col("__s") * col("__s") / col("__n")) /
-          col("__n"), 6).as("total_var"),
-        round(col("__sse") / col("__n"), 6).as("resid_var"),
-        round(when(
-          (col("__ss") - col("__s") * col("__s") / col("__n")) > 0,
-          lit(1.0) - col("__sse") /
-            (col("__ss") - col("__s") * col("__s") / col("__n"))), 6)
+        sum(col("__sd")).cast("double").as("__s"),
+        sum(col("__ssd")).cast("double").as("__ss"),
+        sseFixedOrder.as("__sse"))
+      .select(col(key), col("__n").as("n_days"),
+        round(sst / nD, 6).as("total_var"),
+        round(col("__sse") / nD, 6).as("resid_var"),
+        round(when(sst > 0, lit(1.0) - col("__sse") / sst), 6)
           .as("strength"))
   }
 
@@ -194,27 +213,46 @@ object Resample {
       valueCol: Column): DataFrame =
     cusumFromDaily(
       df.groupBy(col(key), to_date(ts).as("day"))
-        .agg(sum(valueCol).as("__x")), key)
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key)
 
   /** [[cusumChangepoint]] over an already-aggregated (key, day, __x)
     * daily table — daily sums are associative, which is what lets the
     * streaming daily-aggregate sink's merged view reuse this body
-    * verbatim (batch-parity spec-proven). */
-  private[graft] def cusumFromDaily(daily: DataFrame, key: String)
+    * verbatim (batch-parity spec-proven).
+    *
+    * REPRODUCIBILITY (the r9 hash-parity lesson): `S_t = Σ_{i≤t}
+    * (x_i − x̄)` is computed as `C_t − t·(S/n)` where the cumulative
+    * sum `C_t`, the total `S`, and the count are DECIMAL aggregates —
+    * decimal addition is exact and ASSOCIATIVE, so partition order
+    * and an engine's window-accumulation strategy (sequential vs
+    * segment tree) cannot change them. The only doubles are the final
+    * per-row expression over those exact operands — bit-identical
+    * across engines under IEEE 754. `__x` of any numeric type is
+    * normalized to DECIMAL(18,6) on entry. */
+  private[graft] def cusumFromDaily(daily0: DataFrame, key: String)
       : DataFrame = {
-    val withMean = daily
-      .withColumn("__mean",
-        avg(col("__x")).over(Window.partitionBy(col(key))))
-    val cum = Window.partitionBy(col(key)).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = withMean
-      .withColumn("cusum", sum(col("__x") - col("__mean")).over(cum))
+    val daily = daily0
+      .withColumn("__x", col("__x").cast("decimal(18,6)"))
+    val wp = Window.partitionBy(col(key))
+    val ord = Window.partitionBy(col(key)).orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val scored = daily
+      .withColumn("__s", sum(col("__x")).over(wp))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .withColumn("__c", sum(col("__x")).over(cum))
+      .withColumn("__t", row_number().over(ord))
+      .withColumn("cusum",
+        col("__c").cast("double") -
+          col("__t").cast("double") * col("__s").cast("double") /
+            col("__n").cast("double"))
     val rank = Window.partitionBy(col(key))
       .orderBy(round(abs(col("cusum")), 6).desc, col("day"))
     scored
       .withColumn("is_changepoint",
         (row_number().over(rank) === 1).cast("int"))
-      .select(col(key), col("day"), round(col("__x"), 2).as("value"),
+      .select(col(key), col("day"),
+        round(col("__x").cast("double"), 2).as("value"),
         round(col("cusum"), 6).as("cusum"), col("is_changepoint"))
   }
 

@@ -76,6 +76,7 @@ object EventQueries {
       graft.events.Resample.dailyResampleFfill(
         t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", col("ts"), col("value"))
+        .withColumn("value", round(col("value"), 2))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy(col("user_id"), col("day"))
     },
@@ -449,26 +450,45 @@ object EventQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
-    // Same two-stage moment sums; DuckDB dayofweek() is 0-6 vs
-    // Spark's 1-7 but only GROUPING on it, so the offset is harmless.
+    // Same DECIMAL moment sums (exact, order-immune) and the same
+    // fixed-order weekday SSE addition; DuckDB dayofweek() is 0-6 vs
+    // Spark's 1-7 with the SAME Sunday-first day order, so the pivot
+    // adds in the identical sequence. Doubles only in per-row
+    // arithmetic over exact operands.
     "q_e17_dow_seasonality" ->
       """WITH daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |bydow AS (
         |  SELECT user_id, dayofweek(d) AS dow,
-        |    CAST(count(*) AS DOUBLE) AS nd, sum(x) AS sd,
+        |    CAST(count(*) AS BIGINT) AS nd, sum(x) AS sd,
         |    sum(x * x) AS ssd
-        |  FROM daily GROUP BY 1, 2)
-        |SELECT user_id, CAST(sum(nd) AS BIGINT) AS n_days,
-        |  round((sum(ssd) - sum(sd) * sum(sd) / sum(nd)) / sum(nd), 6)
+        |  FROM daily GROUP BY 1, 2),
+        |term AS (
+        |  SELECT *, CAST(ssd AS DOUBLE)
+        |    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / CAST(nd AS DOUBLE) AS td
+        |  FROM bydow),
+        |ent AS (
+        |  SELECT user_id, CAST(sum(nd) AS BIGINT) AS n,
+        |    CAST(sum(sd) AS DOUBLE) AS s, CAST(sum(ssd) AS DOUBLE) AS ss,
+        |    coalesce(sum(CASE WHEN dow = 0 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 1 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 2 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 3 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 4 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 5 THEN td END), 0.0)
+        |      + coalesce(sum(CASE WHEN dow = 6 THEN td END), 0.0) AS sse
+        |  FROM term GROUP BY user_id)
+        |SELECT user_id, n AS n_days,
+        |  round((ss - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
         |    AS total_var,
-        |  round(sum(ssd - sd * sd / nd) / sum(nd), 6) AS resid_var,
-        |  round(CASE WHEN sum(ssd) - sum(sd) * sum(sd) / sum(nd) > 0
-        |    THEN 1.0 - sum(ssd - sd * sd / nd) /
-        |      (sum(ssd) - sum(sd) * sum(sd) / sum(nd)) END, 6)
+        |  round(sse / CAST(n AS DOUBLE), 6) AS resid_var,
+        |  round(CASE WHEN ss - s * s / CAST(n AS DOUBLE) > 0
+        |    THEN 1.0 - sse / (ss - s * s / CAST(n AS DOUBLE)) END, 6)
         |    AS strength
-        |FROM bydow GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM ent ORDER BY user_id""".stripMargin,
     // Same spans, same ordered cumulative ln-sum; the d = n zero case
     // flagged, never ln(0) (NULL in Spark, -inf in DuckDB).
     "q_e19_survival" ->
@@ -528,22 +548,31 @@ object EventQueries {
         |  round(tr.x - tr.trend - se.seas, 6) AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
-    // Same per-user mean + cumulative deviation + round-6 argmax.
+    // Same DECIMAL daily/cumulative/total sums (exact, order-immune)
+    // and the same `C_t - t*(S/n)` double expression over them +
+    // round-6 argmax. No float accumulation anywhere.
     "q_e16_cusum" ->
       """WITH daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |wm AS (SELECT *, avg(x) OVER (PARTITION BY user_id) AS mean
-        |       FROM daily),
+        |agg AS (
+        |  SELECT *,
+        |    sum(x) OVER (PARTITION BY user_id) AS s,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(x) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS t
+        |  FROM daily),
         |cs AS (
         |  SELECT user_id, d, x,
-        |    sum(x - mean) OVER (PARTITION BY user_id ORDER BY d
-        |      ROWS UNBOUNDED PRECEDING) AS cusum
-        |  FROM wm),
+        |    CAST(c AS DOUBLE) - CAST(t AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cusum
+        |  FROM agg),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY round(abs(cusum), 6) DESC, d) AS rn FROM cs)
         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
-        |  round(x, 2) AS value, round(cusum, 6) AS cusum,
+        |  round(CAST(x AS DOUBLE), 2) AS value, round(cusum, 6) AS cusum,
         |  CAST(rn = 1 AS INTEGER) AS is_changepoint
         |FROM rk ORDER BY user_id, day""".stripMargin,
     // Same contribution-explosion closed form, pow(0.7, o) weights.

@@ -544,8 +544,11 @@ object StreamingEvents {
   private[graft] def dailyAggBatch(batch: DataFrame, batchId: Long,
       keyCol: String, tsCol: String, valueCol: String,
       dailyDir: String): Unit = {
+    // DECIMAL sums (exact, associative): the merged view's re-aggregate
+    // is then bit-identical to the one-pass batch daily table, keeping
+    // E16 parity exact regardless of batch boundaries (r9 lesson).
     batch.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(sum(col(valueCol)).as("x"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("x"))
       .write.mode("overwrite").parquet(s"$dailyDir/batch_id=$batchId")
     ()
   }

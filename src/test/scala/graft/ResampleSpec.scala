@@ -91,6 +91,38 @@ class ResampleSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "produce bit-identical output under any input partitioning (decimal-exact sums)" in {
+    // The r9 hash-parity failure mode: float daily/moment sums
+    // accumulate in partition-dependent order. With DECIMAL carries,
+    // every permutation of the input must collect the SAME rows.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      (rnd.nextInt(20).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        // 2-decimal values, like the events table
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cu = Resample.cusumChangepoint(df, "user_id", col("ts"),
+          col("value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .as[(Long, String, Double, Double, Int)]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+      val dw = Resample.dowSeasonalityStrength(df, "user_id", col("ts"),
+          col("value"))
+        .as[(Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+      (cu, dw)
+    }
+    val base = rows.toDF("user_id", "ts", "value")
+    val a = canon(base.repartition(1))
+    val b = canon(base.repartition(17, col("value")))
+    val c = canon(base.orderBy(col("value").desc).repartition(5))
+    a shouldBe b
+    a shouldBe c
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "ewmaDaily (E15)" should "decay by day lag and renormalize over observed days" in {
     // observed days 1, 2, 4 (gap at 3), alpha 0.3 -> beta 0.7
     val df = Seq(
