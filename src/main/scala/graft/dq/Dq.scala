@@ -163,7 +163,6 @@ object Dq {
     * join — corpus-size-independent beyond the scans. */
   def chiSquareDrift(reference: DataFrame, current: DataFrame,
       catCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def cnts(df: DataFrame, out: String) = df
       .select(coalesce(col(catCol).cast("string"), lit("__null"))
         .as("category"))
@@ -181,16 +180,18 @@ object Dq {
     require(nRef > 0 && nCur > 0, "chiSquareDrift: empty population")
     val expected = ((col("n_ref").cast("double") + lit(0.5)) /
       lit(nRef.toDouble + 0.5 * k)) * lit(nCur.toDouble)
-    spine
+    val scored = spine
       .withColumn("expected", expected)
       .withColumn("contribution",
         ((col("n_cur").cast("double") - col("expected")) *
           (col("n_cur").cast("double") - col("expected"))) /
           col("expected"))
       .withColumn("dof", lit(k - 1))
-      .withColumn("chi2",
-        round(sum(col("contribution")).over(
-          Window.partitionBy(lit(1))), 6))
+    // the K-term total as a broadcast one-row aggregate, not a window
+    // over a literal partition (Catalyst folds the literal away and
+    // leaves a partition-less WindowExec)
+    scored.crossJoin(broadcast(
+      scored.agg(round(sum(col("contribution")), 6).as("chi2"))))
   }
 
   /** D7: KOLMOGOROV–SMIRNOV DRIFT — the nonparametric numeric-drift
@@ -201,14 +202,14 @@ object Dq {
     * the statistic is BIT-IDENTICAL cross-engine with no rounding or
     * tolerance anywhere.
     *
-    * Scale shape: one (value)-keyed aggregate then a cumulative window
-    * over DISTINCT pooled values. The window is a global order — for
-    * extreme distinct-value cardinality substitute the two-phase
-    * prefix-sum pattern ([[graft.curate.Curation.contextManifest]]),
-    * same contract. Output: one row (n_ref, n_cur, ks_stat). */
+    * Scale shape: one (value)-keyed aggregate then the TWO-PHASE
+    * prefix-sum rank ([[graft.relational.Ranks.prefixSums]]) over
+    * distinct pooled values — within-partition cumulative counts in
+    * parallel, only per-partition totals on the driver, no
+    * single-partition window at any cardinality. Output: one row
+    * (n_ref, n_cur, ks_stat). */
   def ksDrift(reference: DataFrame, current: DataFrame,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def clean(df: DataFrame, r: Long, c: Long) = df
       .select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
@@ -220,12 +221,11 @@ object Dq {
     val tot = pooled.agg(sum(col("nr")), sum(col("nc"))).head()
     val (nRef, nCur) = (tot.getLong(0), tot.getLong(1))
     require(nRef > 0 && nCur > 0, "ksDrift: empty population")
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pooled
+    graft.relational.Ranks.prefixSums(pooled, Seq(col("__v")),
+        Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
       .withColumn("__gap", abs(
-        sum(col("nr")).over(w).cast("double") / lit(nRef.toDouble) -
-          sum(col("nc")).over(w).cast("double") / lit(nCur.toDouble)))
+        col("__cnr").cast("double") / lit(nRef.toDouble) -
+          col("__cnc").cast("double") / lit(nCur.toDouble)))
       .agg(max(col("__gap")).as("ks_stat"))
       .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
         col("ks_stat"))
@@ -233,17 +233,20 @@ object Dq {
 
   /** Exact type-1 quantile edges of `valueCol` (bins−1 cut points at
     * ranks ⌈i·n/bins⌉ in (value, id) order) — the frozen reference
-    * contract [[psiDrift]] and the streaming drift monitor share. */
+    * contract [[psiDrift]] and the streaming drift monitor share.
+    * Ranks come from the two-phase prefix-sum pattern
+    * ([[graft.relational.Ranks.globalRank]]), never a global-order
+    * window: exact at any reference cardinality. */
   def quantileEdges(df: DataFrame, valueCol: String, idCol: String,
       bins: Int): Array[Double] = {
-    import org.apache.spark.sql.expressions.Window
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val n = df.count()
+    val ranked = graft.util.Caches.persistTracked(
+      graft.relational.Ranks.globalRank(df,
+        Seq(col(valueCol), col(idCol)), "__r"))
+    val n = ranked.count()
     require(n >= bins, s"quantileEdges: $n rows < $bins bins")
     val edgeRanks = (1 until bins).map(i => (i * n + bins - 1) / bins)
-    df.withColumn("__r", row_number().over(
-        Window.orderBy(col(valueCol), col(idCol))))
-      .filter(col("__r").isin(edgeRanks: _*))
+    ranked.filter(col("__r").isin(edgeRanks: _*))
       .select(col(valueCol).cast("double")).collect()
       .map(_.getDouble(0)).sorted
   }
@@ -260,7 +263,6 @@ object Dq {
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    import org.apache.spark.sql.expressions.Window
     val spark = reference.sparkSession
     def clean(df: DataFrame) = df
       .select(col(valueCol).cast("double").as("__v"), col(idCol).as("__i"))
@@ -276,7 +278,7 @@ object Dq {
       .groupBy(binOf(col("__v"), edges).as("bin"))
       .agg(count(lit(1)).as(out))
     val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
-    val perBin = spine
+    val perBin = graft.util.Caches.persistTracked(spine
       .join(binCounts(refV, "n_ref"), Seq("bin"), "left")
       .join(binCounts(curV, "n_cur"), Seq("bin"), "left")
       .select(col("bin"),
@@ -290,12 +292,14 @@ object Dq {
           lit(minShare)))
       .withColumn("__contrib",
         (col("share_ref") - col("share_cur")) *
-          log(col("share_ref") / col("share_cur")))
+          log(col("share_ref") / col("share_cur"))))
+    // the bins-term total as a broadcast one-row aggregate, not a
+    // window over a literal partition (Catalyst folds the literal
+    // away and leaves a partition-less WindowExec)
     perBin
       .withColumn("contribution", round(col("__contrib"), 6))
-      .withColumn("psi",
-        round(sum(col("__contrib")).over(
-          Window.partitionBy(lit(1))), 6))
+      .crossJoin(broadcast(
+        perBin.agg(round(sum(col("__contrib")), 6).as("psi"))))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("share_ref"),
         col("share_cur"), col("contribution"), col("psi"))
   }

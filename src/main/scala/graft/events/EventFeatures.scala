@@ -263,35 +263,41 @@ object EventFeatures {
     * equal-height bucketing in both engines, with (metric, user) total
     * orders so ties can never flip buckets.
     *
-    * Scale shape: one user-keyed aggregate, then three rank windows
-    * over the USER-level table (one row per user — orders of magnitude
-    * smaller than events); at extreme user counts swap ntile for a
-    * 2-pass percentile cut, same contract. */
+    * Scale shape: one user-keyed aggregate, then three TWO-PHASE
+    * global ranks ([[graft.relational.Ranks.globalRank]]) over the
+    * USER-level table with the SQL-standard ntile assignment computed
+    * from (rank, n) — equal-height quintiles with no global-order
+    * window anywhere, exact at billions of users. */
   def rfmScores(events: DataFrame, asOfDate: String,
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = events.groupBy(col(userCol))
-      .agg(
-        datediff(lit(asOfDate).cast("date"),
-          max(col(tsCol)).cast("date")).cast("long").as("recency_days"),
-        count(lit(1)).as("frequency"),
-        // all-null value users sum to NULL; pin to 0 so the m-ranking
-        // never depends on engine NULL placement (Spark NULLS FIRST
-        // asc vs DuckDB NULLS LAST)
-        coalesce(sum(col(valueCol).cast("decimal(18,6)")).cast("double"),
-          lit(0.0)).as("monetary"))
-    val r = ntile(5).over(
-      Window.orderBy(col("recency_days").desc, col(userCol)))
-    val f = ntile(5).over(
-      Window.orderBy(col("frequency"), col(userCol)))
-    val m = ntile(5).over(
-      Window.orderBy(col("monetary"), col(userCol)))
-    base
-      .withColumn("r_score", r.cast("long"))
-      .withColumn("f_score", f.cast("long"))
-      .withColumn("m_score", m.cast("long"))
+    import graft.relational.Ranks
+    val base = graft.util.Caches.persistTracked(
+      events.groupBy(col(userCol))
+        .agg(
+          datediff(lit(asOfDate).cast("date"),
+            max(col(tsCol)).cast("date")).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          // all-null value users sum to NULL; pin to 0 so the m-ranking
+          // never depends on engine NULL placement (Spark NULLS FIRST
+          // asc vs DuckDB NULLS LAST)
+          coalesce(sum(col(valueCol).cast("decimal(18,6)")).cast("double"),
+            lit(0.0)).as("monetary")))
+    // empty input yields an empty frame either way; max(n,1) keeps the
+    // (never-evaluated) bucket expression well-defined
+    val n = math.max(base.count(), 1L)
+    val ranked = Seq(
+      ("__rr", Seq(col("recency_days").desc, col(userCol))),
+      ("__fr", Seq(col("frequency").asc, col(userCol))),
+      ("__mr", Seq(col("monetary").asc, col(userCol))))
+      .foldLeft(base) { case (d, (name, ord)) =>
+        Ranks.globalRank(d, ord, name) }
+    ranked
+      .withColumn("r_score", Ranks.ntileOf(col("__rr"), n, 5).cast("long"))
+      .withColumn("f_score", Ranks.ntileOf(col("__fr"), n, 5).cast("long"))
+      .withColumn("m_score", Ranks.ntileOf(col("__mr"), n, 5).cast("long"))
       .withColumn("rfm_segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .drop("__rr", "__fr", "__mr")
   }
 }

@@ -102,14 +102,15 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         sum(col("__ok").cast("long")).as("n_correct"),
         sum(col("__s")).as("__ssum"))
-    val total = bucketed.agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
+    val bucketedC = graft.util.Caches.persistTracked(bucketed)
+    val total = bucketedC.agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
     val grid = spark.range(nBuckets).select(col("id").as("bucket"))
       .crossJoin(broadcast(stats))
       .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
       .withColumn("threshold",
         round(col("__mn") + col("bucket") * col("__step"), 6))
       .select(col("bucket"), col("threshold"))
-    grid.join(bucketed, Seq("bucket"), "inner")
+    val perBucket = grid.join(bucketedC, Seq("bucket"), "inner")
       .crossJoin(broadcast(total))
       .withColumn("observed_acc",
         round(col("n_correct").cast("double") / col("n"), 6))
@@ -118,9 +119,13 @@ object Eval {
       .withColumn("__g",
         col("n_correct").cast("double") / col("n") - col("__conf"))
       .withColumn("gap", round(col("__g"), 6))
-      .withColumn("ece",
-        round(sum(abs(col("__g")) * col("n") / col("__nt")).over(
-          Window.partitionBy(lit(1))), 6))
+    // the buckets-term ECE total as a broadcast one-row aggregate, not
+    // a window over a literal partition (Catalyst folds the literal
+    // away and leaves a partition-less WindowExec)
+    perBucket
+      .crossJoin(broadcast(perBucket.agg(
+        round(sum(abs(col("__g")) * col("n") / col("__nt")), 6)
+          .as("ece"))))
       .select(col("bucket"), col("threshold"), col("n"),
         col("n_correct"), col("observed_acc"), col("mean_score"),
         col("gap"), col("ece"))
