@@ -72,10 +72,11 @@ object Stats {
     * ⌈α/2·B⌉ and ⌈(1−α/2)·B⌉.
     *
     * Contract: needs enough units that no replica draws all-zero
-    * weights (P ≈ e^{−0.37n} per replica — astronomically small past a
-    * few dozen units). Under that contract all B replica means exist
-    * and the rank cut is total; a handful of units is not a population
-    * a bootstrap CI is meaningful for anyway. */
+    * weights (P(all n weights zero) = e^{−n} per replica —
+    * astronomically small past a few dozen units). The contract is
+    * ENFORCED: the replica means are counted and the call fails loud
+    * if the percentile ranks would fall off the end, instead of
+    * silently emitting a 0-row frame. */
   def bootstrapMeanCi(units: DataFrame, valueCol: Column,
       unitId: Column, replicas: Int = 100, alphaPct: Int = 5,
       seed: String = "boot"): DataFrame = {
@@ -96,18 +97,27 @@ object Stats {
         when(col("__h") < t(0), 0L).when(col("__h") < t(1), 1L)
           .when(col("__h") < t(2), 2L).when(col("__h") < t(3), 3L)
           .when(col("__h") < t(4), 4L).otherwise(5L))
-    val means = contrib.groupBy(col("__b"))
-      .agg(sum(col("__w") * col("__x")).as("__sx"),
-        sum(col("__w")).as("__sw"))
-      .select(col("__b"),
-        when(col("__sw") > 0, col("__sx") / col("__sw")).as("__m"))
-      .filter(col("__m").isNotNull)
+    val means = graft.util.Caches.persistTracked(
+      contrib.groupBy(col("__b"))
+        .agg(sum(col("__w") * col("__x")).as("__sx"),
+          sum(col("__w")).as("__sw"))
+        .select(col("__b"),
+          when(col("__sw") > 0, col("__sx") / col("__sw")).as("__m"))
+        .filter(col("__m").isNotNull))
     val ranked = means.withColumn("__r",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("__m"), col("__b"))).cast("long"))
     // type-1 percentile ranks, computed in exact integer arithmetic
     val loRank = (alphaPct.toLong * replicas + 199L) / 200L
     val hiRank = ((200L - alphaPct) * replicas + 199L) / 200L
+    // fail loud, never a vanished row: a degenerate population (too
+    // few units -> all-zero-weight replicas) must not silently drop
+    // the rank rows the percentile cut addresses
+    val nMeans = means.count()
+    require(nMeans >= hiRank,
+      s"bootstrapMeanCi: only $nMeans of $replicas replica means " +
+        s"exist (need rank $hiRank) — population too small for a " +
+        "bootstrap CI")
     val point = units.agg(avg(valueCol.cast("double")).as("point_est"),
       count(lit(1)).as("n_units"))
     point.crossJoin(broadcast(
@@ -131,6 +141,10 @@ object Stats {
         Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90")))
       : DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den, label) =>
+      require(num >= 1 && num <= den,
+        s"quantile '$label': need 1 <= num <= den, got $num/$den")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("value"), col("__id"))
     val ranked = df

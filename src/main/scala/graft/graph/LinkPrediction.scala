@@ -38,6 +38,13 @@ object LinkPrediction {
     * may yield fewer than `perNode` negatives — resample with a
     * larger `perNode` upstream if exact counts matter; documented).
     *
+    * CONTRACT: node ids must live in the DENSE range 0..nNodes−1 —
+    * the modular proposal draws `v` from exactly that space, so a
+    * sparse or offset id space would emit "negatives" touching ids
+    * that are not graph nodes at all. Remap ids first (the
+    * [[graft.star.Star]] dense surrogate-id pass is the scale-safe
+    * way) before sampling a non-contiguous graph.
+    *
     * Shape: positives are the distinct unordered projection;
     * negatives are a ×perNode fan-out anti-joined against it on the
     * normalized pair key — node-keyed, no pair explosion. Output:

@@ -21,19 +21,39 @@ import org.apache.spark.sql.functions._
   * Scale shape: one distinct (basket, item) projection; item counts
   * are one hash aggregate; the pair join is keyed on the basket id
   * (co-partitioned self-join — the classic shape) and explodes only
-  * within baskets: cost Σ_b |b|², the inherent pair-counting work.
-  * A pathological mega-basket should be capped upstream (standard
-  * practice); TPC-H-shaped baskets are single-digit. The rule table
-  * joins counts at candidate-set size, not corpus size.
+  * within baskets: cost Σ_b |b|², the inherent pair-counting work —
+  * BOUNDED by the enforced `maxBasketSize` cap (below). The rule
+  * table joins counts at candidate-set size, not corpus size.
   */
 object Associations {
 
-  def basketRules(baskets: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long = 2): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val items = graft.util.Caches.persistTracked(
+  /** The (basket, item) incidence with every basket capped to its
+    * `maxBasketSize` SMALLEST item ids — deterministic, so the capped
+    * mining result is a pure function of the input, never of
+    * partition order. One pathological mega-basket (a crawler session,
+    * a bot account) would otherwise contribute |b|² pairs and take the
+    * stage down at 100 TB; the cap bounds Σ|b|² by N·maxBasketSize²
+    * with a basket-keyed (never global) rank window. Counts are
+    * computed AFTER the cap, so support/confidence/cosine stay
+    * internally consistent over the capped incidence. */
+  private def cappedItems(baskets: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__i"))
+    graft.util.Caches.persistTracked(
       baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        .distinct())
+        .distinct()
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxBasketSize)
+        .drop("__r"))
+  }
+
+  def basketRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val items = cappedItems(baskets, basketCol, itemCol, maxBasketSize)
     val n = items.select(col("__b")).distinct().count()
     require(n > 0, "basketRules: no baskets")
     val cnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
@@ -80,12 +100,11 @@ object Associations {
     * the inherent work), then one item-keyed rank window over the
     * candidate-pair table (pair-sized, not corpus-sized). */
   def itemCosineTopK(baskets: DataFrame, basketCol: String,
-      itemCol: String, minCount: Long = 2, k: Int = 5): DataFrame = {
+      itemCol: String, minCount: Long = 2, k: Int = 5,
+      maxBasketSize: Int = 1000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
-    val items = graft.util.Caches.persistTracked(
-      baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        .distinct())
+    val items = cappedItems(baskets, basketCol, itemCol, maxBasketSize)
     val cnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     val co = items.select(col("__b"), col("__i").as("__a"))
       .join(items.select(col("__b"), col("__i").as("__z")), "__b")

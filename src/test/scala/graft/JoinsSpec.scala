@@ -255,4 +255,28 @@ class JoinsSpec extends SparkSpec {
       (9L, 7L, 1L))
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "cap a planted mega-basket to maxBasketSize smallest ids (bounded pair fan-out)" in {
+    import spark.implicits._
+    // a 10k-item bot basket + one normal basket; cap 50 bounds the
+    // mega-basket to C(50,2) = 1225 unordered pairs instead of ~50M
+    val mega = (1L to 10000L).map(i => (1L, i))
+    val normal = Seq((2L, 1L), (2L, 2L), (2L, 3L))
+    val b = (mega ++ normal).toDF("basket", "item")
+    val rules = graft.relational.Associations
+      .basketRules(b, "basket", "item", minCount = 1, maxBasketSize = 50)
+      .select(col("antecedent"), col("consequent"))
+      .as[(Long, Long)].collect()
+    // only the 50 smallest ids survive the cap
+    rules.flatMap(t => Seq(t._1, t._2)).max should be <= 50L
+    // both directions of <= 1225 unordered pairs
+    rules.length should be <= 2450
+    rules.length shouldBe 2450 // cap keeps exactly ids 1..50
+    val cf = graft.relational.Associations
+      .itemCosineTopK(b, "basket", "item", minCount = 1, k = 3,
+        maxBasketSize = 50)
+      .select(col("item")).as[Long].collect()
+    cf.max should be <= 50L
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -141,4 +141,29 @@ class StatsSpec extends SparkSpec {
     o._1 shouldBe None
     o._2 shouldBe None
   }
+
+  it should "fail loud on a degenerate bootstrap population instead of vanishing the row" in {
+    import spark.implicits._
+    // 1 unit: most replicas draw weight 0 -> means missing -> the
+    // percentile ranks cannot exist; must throw, not emit 0 rows
+    val one = Seq((1.0, "u1")).toDF("x", "uid")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dq.Stats.bootstrapMeanCi(one, col("x"), col("uid"))
+    }
+    ex.getMessage should include("replica means")
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "reject quantile rationals outside (0, 1]" in {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1L)).toDF("grp", "v", "id")
+    intercept[IllegalArgumentException] {
+      graft.dq.Stats.groupQuantiles(df, "grp", col("v"), col("id"),
+        Seq((5, 4, "p125")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.dq.Stats.groupQuantiles(df, "grp", col("v"), col("id"),
+        Seq((0, 4, "p0")))
+    }
+  }
 }
