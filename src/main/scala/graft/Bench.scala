@@ -74,6 +74,27 @@ object Bench {
       System.gc() // untimed: stop one query's garbage from taxing the next
       elapsed
     }
+    // CODE-FROZEN machine-drift canary — DO NOT CHANGE: cross-round
+    // normalization divides totals by this. A fixed shuffle+codegen
+    // workload with no graft code and no sf-dir dependence, so its
+    // round-over-round ratio isolates machine speed from code changes
+    // (the r9 postmortem: ~20% uniform drift on untouched queries made
+    // absolute totals mushy).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 9973 AS k", "id % 1009 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.avg("v").as("a"))
+        .filter("s > 0").count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      elapsed
+    }
+    canaryOnce() // warm-up, untimed
+    val canary = (1 to repeats).map(_ => canaryOnce()).sorted
+      .apply(repeats / 2)
     val results = ordered.map { case (name, fn) =>
       once(fn) // per-query warm-up, untimed
       val times = (1 to repeats).map(_ => once(fn)).sorted
@@ -92,9 +113,9 @@ object Bench {
       }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
     val headline = results.filter { case (n, _) => heavy.contains(n) }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary_sec":${f"$canary%.3f"},"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
