@@ -247,21 +247,27 @@ object Communities {
 
   /** X86: HITS hubs & authorities (Kleinberg 1999, public knowledge) by
     * fixed-iteration mutual recursion with L1 normalization:
-    * `a'(v) = Σ_{u→v} h(u) / Σa'`, then `h'(v) = Σ_{v→u} a'(u) / Σh'`
-    * — each half-step sums the OTHER score over in/out edges and
-    * renormalizes to total mass 1, so scores are directly comparable
+    * `a'(v) = Σ_{u→v} h(u)`, then `h'(v) = Σ_{v→u} a'(u)`, output
+    * scaled to total mass 1 — so scores are directly comparable
     * across graphs and iterations (the eigenvector direction is the
     * same as the classic L2 form; only the scale differs).
+    *
+    * The iteration is LINEAR in the score vector, so per-step L1
+    * scalars propagate multiplicatively: normalizing ONCE at the end
+    * yields the same direction as normalizing every half-step, and
+    * the loop needs no normalization joins, no node-completion
+    * left-joins (a node absent from a half-step's aggregate IS its
+    * zero contribution to the next join) and no broadcasts — each
+    * iteration is exactly 2 edge joins + 2 node-sized aggregates,
+    * the information-flow minimum. Magnitudes stay bounded:
+    * (1/n)·(max deg)^(2·iters) sits comfortably inside double range
+    * for any real graph at the default 5 iterations.
     *
     * Scale shape: TWO static edge checkpoints — one partitioned by dst
     * (authority half joins hubs on src, aggregates to dst), one by src
     * (hub half joins authorities on dst, aggregates to src) — so both
-    * half-steps re-exchange only the node-sized score table. Each
-    * normalization sum rides its half-step's job as a broadcast 1-row
-    * aggregate over a node-sized score-degree join (`Σ raw = Σ
-    * score·deg` — every edge hands its source's score to one target),
-    * so iterations make NO driver round-trips and never scan edges
-    * twice.
+    * half-steps re-exchange only the node-sized score table.
+    * Iterations make NO driver round-trips and never scan edges twice.
     *
     * Output: (node, authority, hub) — raw doubles; callers round. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
@@ -278,55 +284,41 @@ object Communities {
       e.repartition(col("src")).localCheckpoint(true))
     val edForHub = graft.util.Caches.trackCheckpointed(
       e.repartition(col("dst")).localCheckpoint(true))
-    // degree tables: the normalization scalars never scan edges —
-    // Σ_v raw_a(v) = Σ_u h(u)·outdeg(u) (every edge hands its source's
-    // score to exactly one target), so each sum is a node-sized join
-    val outdeg = graft.util.Caches.persistTracked(
-      e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).cast("double").as("deg")))
-    val indeg = graft.util.Caches.persistTracked(
-      e.groupBy(col("dst").as("node"))
-        .agg(count(lit(1)).cast("double").as("deg")))
     var h = graft.util.Caches.trackCheckpointed(
-      nodes.withColumn("h", lit(1.0 / n)).localCheckpoint(true))
+      nodes.withColumn("s", lit(1.0 / n)).localCheckpoint(true))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
-      // normalization WITHOUT an edge scan or a driver round-trip: the
-      // L1 sum rides the half-step's own job as a broadcast 1-row
-      // aggregate over the node-sized (score ⋈ degree) join — with >= 1
-      // edge both sums are strictly positive by induction (a score is
-      // positive exactly where its degree is), so no 0-division guard
-      // is needed beyond the non-empty check above
-      val aSum = h.join(outdeg, "node")
-        .agg(coalesce(sum(col("h") * col("deg")), lit(0.0)).as("asum"))
-      val aRaw = edForAuth
-        .join(h.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
       // eager localCheckpoint: materializes AND truncates lineage — the
       // a/h mutual recursion otherwise embeds 2 plan levels per
       // iteration and Catalyst re-analysis grows super-linearly
       // (measured: iteration 5 ran 9x iteration 1 under plain persist)
       a = graft.util.Caches.trackCheckpointed(
-        nodes.join(aRaw.withColumnRenamed("dst", "node"), Seq("node"),
-            "left")
-          .crossJoin(broadcast(aSum))
-          .select(col("node"),
-            (coalesce(col("ar"), lit(0.0)) / col("asum")).as("a"))
+        edForAuth
+          .join(h.withColumnRenamed("node", "src")
+            .withColumnRenamed("s", "__hs"), "src")
+          .groupBy(col("dst")).agg(sum(col("__hs")).as("s"))
+          .withColumnRenamed("dst", "node")
           .localCheckpoint(true))
-      val hSum = a.join(indeg, "node")
-        .agg(coalesce(sum(col("a") * col("deg")), lit(0.0)).as("hsum"))
-      val hRaw = edForHub
-        .join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       h = graft.util.Caches.trackCheckpointed(
-        nodes.join(hRaw.withColumnRenamed("src", "node"), Seq("node"),
-            "left")
-          .crossJoin(broadcast(hSum))
-          .select(col("node"),
-            (coalesce(col("hr"), lit(0.0)) / col("hsum")).as("h"))
+        edForHub
+          .join(a.withColumnRenamed("node", "dst")
+            .withColumnRenamed("s", "__as"), "dst")
+          .groupBy(col("src")).agg(sum(col("__as")).as("s"))
+          .withColumnRenamed("src", "node")
           .localCheckpoint(true))
     }
-    nodes.join(a, "node").join(h.withColumnRenamed("h", "hub"), "node")
-      .select(col("node"), col("a").as("authority"), col("hub"))
+    // the single L1 normalization: with >= 1 edge both sums are
+    // strictly positive by induction (every out-neighbor has an
+    // in-edge, so positivity flows through each half-step)
+    val aSum = a.agg(sum(col("s")).as("__asum"))
+    val hSum = h.agg(sum(col("s")).as("__hsum"))
+    nodes
+      .join(a.withColumnRenamed("s", "__ar"), Seq("node"), "left")
+      .join(h.withColumnRenamed("s", "__hr"), Seq("node"), "left")
+      .crossJoin(broadcast(aSum))
+      .crossJoin(broadcast(hSum))
+      .select(col("node"),
+        (coalesce(col("__ar"), lit(0.0)) / col("__asum")).as("authority"),
+        (coalesce(col("__hr"), lit(0.0)) / col("__hsum")).as("hub"))
   }
 }

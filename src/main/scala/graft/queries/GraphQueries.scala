@@ -408,30 +408,19 @@ object GraphQueries {
   }
 
   /** DuckDB mirror of [[graft.graph.Communities.hits]] at q_x86's
-    * settings: 5 L1-normalized iterations unrolled — authority half
-    * then hub half per step, normalization as a scalar-subquery sum,
-    * same coalesce-to-0 handling of nodes missing in/out edges. */
+    * settings: 5 UNNORMALIZED iterations unrolled (the recursion is
+    * linear, so the per-step L1 scalars factor out) — authority half
+    * then hub half per step, one L1 normalization at the end, same
+    * coalesce-to-0 handling of nodes missing in/out edges. */
   private val hitsOracle: String = {
     def iter(k: Int): String = {
       val p = s"h${k - 1}"
-      s"""ar$k AS MATERIALIZED (
-         |  SELECT ed.dst AS v, sum(p.h) AS ar
+      s"""a$k AS MATERIALIZED (
+         |  SELECT ed.dst AS v, sum(p.s) AS s
          |  FROM ed JOIN $p p ON p.v = ed.src GROUP BY ed.dst),
-         |asum$k AS MATERIALIZED (SELECT sum(ar) AS s FROM ar$k),
-         |a$k AS MATERIALIZED (
-         |  SELECT nodes.v,
-         |    coalesce(ar.ar, CAST(0 AS DOUBLE)) / (SELECT s FROM asum$k)
-         |      AS a
-         |  FROM nodes LEFT JOIN ar$k ar ON ar.v = nodes.v),
-         |hr$k AS MATERIALIZED (
-         |  SELECT ed.src AS v, sum(a.a) AS hr
-         |  FROM ed JOIN a$k a ON a.v = ed.dst GROUP BY ed.src),
-         |hsum$k AS MATERIALIZED (SELECT sum(hr) AS s FROM hr$k),
          |h$k AS MATERIALIZED (
-         |  SELECT nodes.v,
-         |    coalesce(hr.hr, CAST(0 AS DOUBLE)) / (SELECT s FROM hsum$k)
-         |      AS h
-         |  FROM nodes LEFT JOIN hr$k hr ON hr.v = nodes.v)""".stripMargin
+         |  SELECT ed.src AS v, sum(a.s) AS s
+         |  FROM ed JOIN a$k a ON a.v = ed.dst GROUP BY ed.src)""".stripMargin
     }
     s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
        |ed AS MATERIALIZED (
@@ -442,12 +431,16 @@ object GraphQueries {
        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM (
        |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |h0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS h
+       |h0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS s
        |       FROM nodes),
        |${(1 to 5).map(iter).mkString(",\n")}
-       |SELECT a5.v AS node, round(a5.a, 6) AS authority,
-       |  round(h5.h, 6) AS hub
-       |FROM a5 JOIN h5 ON h5.v = a5.v ORDER BY node""".stripMargin
+       |SELECT nodes.v AS node,
+       |  round(coalesce(a5.s, CAST(0 AS DOUBLE))
+       |    / (SELECT sum(s) FROM a5), 6) AS authority,
+       |  round(coalesce(h5.s, CAST(0 AS DOUBLE))
+       |    / (SELECT sum(s) FROM h5), 6) AS hub
+       |FROM nodes LEFT JOIN a5 ON a5.v = nodes.v
+       |LEFT JOIN h5 ON h5.v = nodes.v ORDER BY node""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.graph.Communities.triangleCounts]]: with
