@@ -858,6 +858,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X116: exact-Jaccard refinement of the X17 clusters — within each
+    // cluster, member pairs re-verified at J >= 0.5 over distinct
+    // 3-shingles; the verified edge graph re-closed so LSH-glued
+    // clusters split and unverified members become singletons.
+    "q_x116_cluster_refine" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDuplicateClusters(docs, "doc_id", "text")
+      Dedup.refineClusters(docs, "doc_id", "text", clusters)
+        .orderBy(col("doc_id"))
+    },
+
     // X73: HTML → text extraction — every doc wrapped in a deterministic
     // HTML template planting the hostile cases: script body with a bare
     // `<` and a quoted string, a style block, a comment, entities
@@ -3089,6 +3100,55 @@ object TextQueries {
          |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
          |  v = min(r) AS is_canonical
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // X116: the X17 closure, then exact distinct-3-shingle Jaccard on
+    // within-cluster pairs (sharing >= 1 shingle), the verified edges
+    // re-closed by a second recursive reach; unverified members fall
+    // back to themselves.
+    "q_x116_cluster_refine" ->
+      s"""WITH RECURSIVE ${minhashNmCte()},
+         |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY v),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |msh AS (SELECT c.cluster_id, s.doc_id, s.shingle
+         |        FROM shd s JOIN cl c USING (doc_id)),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |        FROM msh GROUP BY doc_id),
+         |ovl AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS ov
+         |  FROM msh a JOIN msh b
+         |    ON a.cluster_id = b.cluster_id AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM ovl
+         |  JOIN cnt ca ON ca.doc_id = ovl.doc_a
+         |  JOIN cnt cb ON cb.doc_id = ovl.doc_b
+         |  WHERE CAST(ov AS DOUBLE)
+         |    / CAST(ca.nsh + cb.nsh - ov AS DOUBLE) >= 0.5),
+         |vedges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |           UNION SELECT doc_b, doc_a FROM ver),
+         |vreach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM vedges)
+         |  UNION
+         |  SELECT e.b, vreach.r FROM vreach JOIN vedges e
+         |    ON vreach.v = e.a),
+         |vcl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS refined
+         |        FROM vreach GROUP BY v)
+         |SELECT cl.doc_id, cl.cluster_id,
+         |  CAST(coalesce(vcl.refined, cl.doc_id) AS BIGINT)
+         |    AS refined_cluster_id,
+         |  cl.doc_id = coalesce(vcl.refined, cl.doc_id)
+         |    AS is_refined_canonical
+         |FROM cl LEFT JOIN vcl USING (doc_id)
+         |ORDER BY cl.doc_id""".stripMargin,
     "q_x3_simhash" ->
       s"""WITH ${simhashCte()}
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,

@@ -743,6 +743,84 @@ object Dedup {
         (col("v") === col("component")).as("is_canonical"))
   }
 
+  /** X116: per-cluster AGGLOMERATIVE REFINEMENT of LSH near-dup
+    * clusters by EXACT Jaccard — the false-positive audit of the X17
+    * transitive closure. Banded MinHash admits pairs below the real
+    * similarity bar (the left tail of the LSH S-curve), and ONE such
+    * pair glues two genuinely distinct groups into a single cluster
+    * where a min-id canonical then silently drops half the corpus's
+    * real content. Within each cluster (never across — the candidate
+    * set stays LSH-bounded), every member pair is re-verified by
+    * exact word-shingle Jaccard; edges under `threshold` are dropped
+    * and the VERIFIED edge graph is re-closed, so a glued cluster
+    * splits into its exactly-similar components and members with no
+    * verified neighbor fall out as singletons.
+    *
+    * Scale shape: pair generation is an inverted-index join on
+    * (cluster_id, shingle) — only pairs SHARING a shingle ever meet
+    * (a pair with no shared shingle has Jaccard 0 and cannot verify).
+    * Clusters are near-dup groups, orders of magnitude below corpus
+    * size; `maxClusterSize` fails loud on a pathological glued
+    * mega-cluster instead of letting the within-cluster Σ|c|² run
+    * away. The re-closure is the same distributed min-label CC as
+    * X17, over verified edges only. Jaccard is exact-integer counts
+    * and one correctly-rounded division — the threshold compare is
+    * bit-identical cross-engine.
+    *
+    * Output: one row per clustered doc — (doc_id, cluster_id,
+    * refined_cluster_id, is_refined_canonical). */
+  def refineClusters(df: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxClusterSize >= 2,
+      s"maxClusterSize must be >= 2, got $maxClusterSize")
+    val members = graft.util.Caches.persistTracked(
+      clusters.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id")))
+    val biggest = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxClusterSize,
+      s"refineClusters: a cluster has $biggest members " +
+        s"(> maxClusterSize=$maxClusterSize) — a glued mega-cluster; " +
+        "raise the cap explicitly or tighten the LSH stage")
+    val sh = graft.util.Caches.persistTracked(
+      df.select(col(idCol).cast("long").as("doc_id"),
+          explode(array_distinct(shingles(col(textCol), shingleN)))
+            .as("__sh"))
+        .join(members, "doc_id"))
+    val cnt = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nsh"))
+    val overlap = sh.select(col("cluster_id"), col("__sh"),
+        col("doc_id").as("doc_a"))
+      .join(sh.select(col("cluster_id"), col("__sh"),
+        col("doc_id").as("doc_b")), Seq("cluster_id", "__sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__ov"))
+    val verified = overlap
+      .join(cnt.select(col("doc_id").as("doc_a"),
+        col("__nsh").as("__na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"),
+        col("__nsh").as("__nb")), "doc_b")
+      .filter(col("__ov").cast("double") /
+        (col("__na") + col("__nb") - col("__ov")).cast("double")
+        >= threshold)
+    val cc = graft.graph.EntityResolution
+      .connectedComponents(verified.select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+    members
+      .join(cc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("component"), col("doc_id"))
+          .as("refined_cluster_id"),
+        (col("doc_id") ===
+          coalesce(col("component"), col("doc_id")))
+          .as("is_refined_canonical"))
+  }
+
   /** X18: the COMPOSED production dedup pipeline — exact dedup, then
     * MinHash+LSH near-dup clustering over the exact survivors, then one
     * keep/drop decision per input document:

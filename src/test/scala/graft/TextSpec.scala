@@ -1105,4 +1105,67 @@ class TextSpec extends SparkSpec {
     top1.head shouldBe lifts.max
     graft.util.Caches.releaseAll(spark)
   }
+
+  "refineClusters (X116)" should "split a planted borderline member off its LSH cluster" in {
+    // cluster {1, 2, 3}: 1-2 are true near-dups (J = 6/8 over
+    // 3-shingles), 3 shares only a short prefix (J = 2/14 vs doc 1)
+    // — the LSH-glued tail member the refinement must shed
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "alpha beta gamma delta nu xi omicron pi rho sigma tau"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val r = graft.text.Dedup.refineClusters(docs, "doc_id", "text",
+        clusters, threshold = 0.5)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    r(1L) shouldBe ((1L, true))  // 1-2 verified: component min = 1
+    r(2L) shouldBe ((1L, false))
+    r(3L) shouldBe ((3L, true))  // split out as its own singleton
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "verify within clusters only and fail loud on a glued mega-cluster" in {
+    // identical texts in DIFFERENT clusters must not merge: the
+    // refinement never adds edges across the LSH candidate structure
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val r = graft.text.Dedup.refineClusters(docs, "doc_id", "text",
+        clusters)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t._3).toMap
+    r(1L) shouldBe 1L
+    r(2L) shouldBe 1L
+    r(3L) shouldBe 3L // identical text, but out of candidate scope
+    val mega = (1L to 20L).map(i => (i, 5L)).toDF("doc_id", "cluster_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.text.Dedup.refineClusters(docs, "doc_id", "text", mega,
+        maxClusterSize = 10)
+    }
+    ex.getMessage should include("mega-cluster")
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "keep exact X17 duplicates together through refinement (identity on true clusters)" in {
+    // every member is a genuine near-dup: refinement must be a no-op
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val clusters = graft.text.Dedup.nearDuplicateClusters(docs,
+      "doc_id", "text")
+    val refined = graft.text.Dedup.refineClusters(docs, "doc_id",
+        "text", clusters, threshold = 0.5)
+      .as[(Long, Long, Long, Boolean)].collect()
+    refined.foreach { t => t._3 shouldBe t._2 } // refined == original
+    graft.util.Caches.releaseAll(spark)
+  }
 }
