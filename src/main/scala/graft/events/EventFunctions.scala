@@ -379,6 +379,18 @@ object EventFunctions {
       sessionize(events, timeoutSec, c)
         .groupBy(col(c.entity), col("session_id"), col(c.eventType))
         .agg(min(col(c.ts)).as("__min_ts"), max(col(c.ts)).as("__max_ts")))
+    rulesFromSessionTypeStats(st, minSupport, c)
+  }
+
+  /** The W14 rule kernel over an already-built per-(entity, session,
+    * type) ts-min/max table — shared verbatim by [[sequentialRules]]
+    * and the streaming session-fragment view
+    * ([[graft.streaming.StreamingEvents.sequentialRulesView]]), which
+    * is what makes the streaming monitor's batch-parity exact. `st`
+    * must carry (entity, session_id, type, __min_ts, __max_ts) and be
+    * persisted by the caller (it feeds three aggregates). */
+  private[graft] def rulesFromSessionTypeStats(st: DataFrame,
+      minSupport: Long, c: EventCols): DataFrame = {
     val nSessions = st.select(col(c.entity), col("session_id")).distinct()
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n_sess"))
     val typeCounts = st.groupBy(col(c.eventType).as("__t"))

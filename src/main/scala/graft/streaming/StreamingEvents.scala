@@ -562,6 +562,86 @@ object StreamingEvents {
         .groupBy(col(keyCol), col("day"))
         .agg(sum(col("x")).as("__x")), keyCol)
 
+  /** Streaming SESSION-SPANNING sequential-rule monitor (the W14 rule
+    * table over a stream): each micro-batch sessionizes ITS OWN events
+    * and persists per-(entity, batch-session, type) ts-min/max
+    * FRAGMENTS — rows bounded by sessions × types touched in the
+    * batch, never event volume — under `batch_id=N`. Fragments are
+    * exactly mergeable: within a batch-session, consecutive events are
+    * gap-bounded by construction, and interleaving events from other
+    * batches only telescope gaps (u(b)−u(a) = (u(b)−u(c)) +
+    * (u(c)−u(a))), so two fragments belong to one true session of the
+    * UNION iff the next hull start is within the timeout of the
+    * latest preceding hull end — which is what the view's entity-keyed
+    * sweep checks. The reconstructed sessions therefore EQUAL a batch
+    * sessionize over everything ingested (spec-proven), and the rule
+    * table is the identical [[graft.events.EventFunctions]] W14 kernel
+    * over the merged stats. Replays overwrite their own batch
+    * directory: idempotent. */
+  def sequentialRuleSink(events: DataFrame, timeoutSec: Long,
+      fragDir: String, checkpointDir: String,
+      c: graft.events.EventCols = graft.events.EventCols())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) sequentialRuleBatch(batch.toDF(), batchId,
+          timeoutSec, fragDir, c)
+      }
+      .start()
+
+  /** One micro-batch of [[sequentialRuleSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def sequentialRuleBatch(batch: DataFrame, batchId: Long,
+      timeoutSec: Long, fragDir: String,
+      c: graft.events.EventCols): Unit = {
+    graft.events.EventFunctions.sessionize(batch, timeoutSec, c)
+      .groupBy(col(c.entity), col("session_id"), col(c.eventType))
+      .agg(min(col(c.ts)).as("min_ts"), max(col(c.ts)).as("max_ts"))
+      .write.mode("overwrite").parquet(s"$fragDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[sequentialRuleSink]] directory: the
+    * W14 sequential-rule table over the merged session fragments —
+    * fragment hulls swept per entity (gap > timeout on truncated
+    * seconds, exactly [[graft.events.EventFunctions.sessionize]]'s
+    * rule) into true sessions, per-type stats re-merged by min/max,
+    * then the shared rule kernel. */
+  def sequentialRulesView(spark: org.apache.spark.sql.SparkSession,
+      fragDir: String, timeoutSec: Long, minSupport: Long = 1L,
+      c: graft.events.EventCols = graft.events.EventCols()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(fragDir)
+    val frag = rows
+      .groupBy(col(c.entity), col("batch_id"), col("session_id"))
+      .agg(min(col("min_ts")).as("__fs"), max(col("max_ts")).as("__fe"))
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col("__fs"), col("__fe"), col("batch_id"),
+        col("session_id"))
+    val prevEnd = max(unix_timestamp(col("__fe")))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = frag
+      .withColumn("__new", when(prevEnd.isNull ||
+        unix_timestamp(col("__fs")) - prevEnd > timeoutSec, 1)
+        .otherwise(0))
+      .withColumn("__ms", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(c.entity).as("__me"), col("batch_id").as("__mb"),
+        col("session_id").as("__msid"), col("__ms"))
+    val st = graft.util.Caches.persistTracked(
+      rows.join(merged,
+          col(c.entity) === col("__me") &&
+            col("batch_id") === col("__mb") &&
+            col("session_id") === col("__msid"))
+        .groupBy(col(c.entity), col("__ms").as("session_id"),
+          col(c.eventType))
+        .agg(min(col("min_ts")).as("__min_ts"),
+          max(col("max_ts")).as("__max_ts")))
+    graft.events.EventFunctions.rulesFromSessionTypeStats(st, minSupport,
+      c)
+  }
+
   /** The published view over a [[countMinSink]] directory: the merged
     * cell table — cell-wise sums over every ingested batch, exactly the
     * sketch a one-pass build over the union would produce. Feed it to

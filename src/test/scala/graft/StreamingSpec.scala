@@ -445,6 +445,56 @@ class StreamingSpec extends SparkSpec {
       "user_id")) shouldBe batch
   }
 
+  it should "reconstruct session-spanning sequential rules equal to the batch W14 operator" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val timeout = 1800L
+    // user 1: one session SPANNING the batch boundary (10:20 -> 10:40 =
+    // 1200s <= timeout), then a separate late session; user 2: batch 1
+    // alone sees TWO fragments (09:00, 09:40 - gap 2400 > timeout) that
+    // batch 2's out-of-order 09:20 event GLUES into one true session -
+    // the interleaving/telescoping case a naive per-batch union breaks
+    val b1 = Seq(
+      (1L, "view", ts("2024-01-05 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-05 10:20:00"), 2L),
+      (2L, "view", ts("2024-01-05 09:00:00"), 3L),
+      (2L, "purchase", ts("2024-01-05 09:40:00"), 4L))
+    val b2 = Seq(
+      (1L, "purchase", ts("2024-01-05 10:40:00"), 5L),
+      (1L, "view", ts("2024-01-05 12:00:00"), 6L),
+      (2L, "click", ts("2024-01-05 09:20:00"), 7L))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingEvents.sequentialRuleSink(
+      in.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      timeout, s"$tmp/frags", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("confidence"), col("lift"))
+      .as[(String, String, Long, Double, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(graft.events.EventFunctions.sequentialRules(
+      (b1 ++ b2).toDF("user_id", "event_type", "ts", "event_id"),
+      timeout))
+    val view = rows(StreamingEvents.sequentialRulesView(spark,
+      s"$tmp/frags", timeout))
+    view shouldBe batch
+    // the glued user-2 session must support view -> purchase (09:00 <
+    // 09:40 in ONE session only after the out-of-order merge)
+    view.map(t => (t._1, t._2)) should contain(("view", "purchase"))
+    // replay: rewriting batch 0's partition leaves the view identical
+    StreamingEvents.sequentialRuleBatch(
+      b1.toDF("user_id", "event_type", "ts", "event_id"), 0L, timeout,
+      s"$tmp/frags", graft.events.EventCols())
+    rows(StreamingEvents.sequentialRulesView(spark, s"$tmp/frags",
+      timeout)) shouldBe batch
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "maintain PCA moments whose covariance view equals the one-pass batch covariance" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_smo").toString
