@@ -196,4 +196,94 @@ object Stats {
       p0.as("p0"), p1.as("p1"), (p1 - p0).as("lift"), z.as("z"),
       (abs(z) > zThreshold).cast("int").as("significant"))
   }
+
+  /** X117: GINI CONCENTRATION of a nonnegative integer weight — the
+    * one-number corpus-skew report ("how unevenly are tokens spread
+    * over domains / chars over documents"), the quantity mixture
+    * designers look at before setting per-domain caps. Classic rank
+    * formula `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over the ascending
+    * (weight) order; tied weights occupy a fixed rank SET, so Σ i·xᵢ
+    * is order-invariant and the statistic is deterministic without a
+    * tiebreak column.
+    *
+    * Exactness + scale: weights aggregate per DISTINCT value, ranks
+    * come from the two-phase prefix sum
+    * ([[graft.relational.Ranks.prefixSums]] — no global-order window),
+    * and the doubled rank-weight sum `Σ x·(2·c·cum_before + c·(c+1))`
+    * is carried as DECIMAL(38,0) (exact far past BIGINT at 100 TB).
+    * One correctly-rounded division at the end — bit-identical
+    * cross-engine, no rounding. Negative weights fail loud. Output:
+    * one row (n, total, gini); gini NULL when total = 0 or n < 2. */
+  def giniConcentration(df: DataFrame, weightCol: Column): DataFrame = {
+    val g = graft.util.Caches.persistTracked(
+      df.select(weightCol.cast("long").as("__x"))
+        .filter(col("__x").isNotNull)
+        .groupBy(col("__x")).agg(count(lit(1)).as("__c")))
+    require(g.filter(col("__x") < 0).limit(1).count() == 0L,
+      "giniConcentration: negative weights are not a concentration")
+    val ranked = graft.relational.Ranks.prefixSums(g, Seq(col("__x")),
+      Seq("__cum" -> col("__c")))
+    val agg = ranked.agg(
+      sum(col("__c")).as("__n"),
+      sum((col("__x") * col("__c")).cast("decimal(38,0)")).as("__t"),
+      sum((col("__x") *
+        (lit(2L) * col("__c") * (col("__cum") - col("__c")) +
+          col("__c") * (col("__c") + lit(1L)))).cast("decimal(38,0)"))
+        .as("__twos"))
+    agg.select(col("__n").as("n"), col("__t").cast("long").as("total"),
+      when(col("__t") > 0 && col("__n") >= 2,
+        (col("__twos") - (col("__n") + lit(1L)) * col("__t"))
+          .cast("double") /
+          (col("__n").cast("double") * col("__t").cast("double")))
+        .as("gini"))
+  }
+
+  /** D12: ROBUST OUTLIER flags per group via MAD (median absolute
+    * deviation) — the monitor that survives the outliers it hunts:
+    * mean/stddev z-scores are dragged by the very anomalies they
+    * should flag, while the median/MAD pair has a 50% breakdown point
+    * (Hampel; public knowledge). Per group: `med` = type-1 median
+    * (value at rank ⌈n/2⌉ under the (value, id) total order — the
+    * X81/X111 integer-rank discipline, never a float percentile),
+    * `mad` = type-1 median of |x − med| under the (deviation, id)
+    * order, flag = |x − med| > k·MAD.
+    *
+    * Exactness: medians are data values picked by integer ranks;
+    * |x − med| and the k·MAD compare are single correctly-rounded IEEE
+    * ops — bit-identical cross-engine with no rounding or tolerance.
+    * A degenerate group (> half identical values) has MAD 0 and flags
+    * every deviating row — the standard convention, documented. Scale:
+    * two group-keyed rank windows (group-partitioned, never global).
+    * Output: one row per input row — (group, id, value, med, mad,
+    * is_outlier). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+      idCol: Column, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), valueCol.cast("double")
+      .as("value"), idCol.as("__id"))
+    val wv = Window.partitionBy(col(groupCol))
+      .orderBy(col("value"), col("__id"))
+    val wn = Window.partitionBy(col(groupCol))
+    val medOf = base
+      .withColumn("__r", row_number().over(wv).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn).cast("long"))
+      .filter(col("__r") === floor((col("__n") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col(groupCol).as("__g"), col("value").as("med"))
+    val dev = base
+      .join(medOf, col(groupCol) === col("__g")).drop("__g")
+      .withColumn("__dev", abs(col("value") - col("med")))
+    val wd = Window.partitionBy(col(groupCol))
+      .orderBy(col("__dev"), col("__id"))
+    val madOf = dev
+      .withColumn("__r", row_number().over(wd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn).cast("long"))
+      .filter(col("__r") === floor((col("__n") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col(groupCol).as("__g"), col("__dev").as("mad"))
+    dev.join(madOf, col(groupCol) === col("__g")).drop("__g")
+      .select(col(groupCol), col("__id").as("id"), col("value"),
+        col("med"), col("mad"),
+        (col("__dev") > lit(k) * col("mad")).cast("int")
+          .as("is_outlier"))
+  }
 }

@@ -382,6 +382,46 @@ object EventFunctions {
     rulesFromSessionTypeStats(st, minSupport, c)
   }
 
+  /** W16: session LANDING → EXIT report — where sessions start, where
+    * they end, and how often they bounce: per session the first event
+    * type (landing) and last event type (exit) under the (ts, id)
+    * total order, aggregated to one row per (landing, exit) pair with
+    * session/bounce counts and the landing pair's share of all
+    * sessions. The classic web-analytics entry/exit matrix, and the
+    * first diagnostic for "which entry points lose users immediately"
+    * (bounce = single-event session, so landing = exit by
+    * construction).
+    *
+    * Scale: sessionize's entity window, then ONE session-keyed
+    * `min_by`/`max_by` aggregate (no second window), then a
+    * |types|²-bounded aggregate + a broadcast 1-row total. Counts
+    * exact; `share` is one correctly-rounded division — bit-identical
+    * cross-engine, no rounding. */
+  def landingExitReport(events: DataFrame, timeoutSec: Long,
+      c: EventCols = EventCols()): DataFrame = {
+    val per = sessionize(events, timeoutSec, c)
+      .groupBy(col(c.entity), col("session_id"))
+      .agg(
+        min_by(col(c.eventType), struct(col(c.ts), col(c.id)))
+          .as("__landing"),
+        max_by(col(c.eventType), struct(col(c.ts), col(c.id)))
+          .as("__exit"),
+        org.apache.spark.sql.functions.count(lit(1)).as("__ne"))
+    val perC = graft.util.Caches.persistTracked(per)
+    val total = perC.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("__tot"))
+    perC
+      .groupBy(col("__landing").as("landing"), col("__exit").as("exit"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_sessions"),
+        sum(when(col("__ne") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("__ne")).as("n_events"))
+      .crossJoin(broadcast(total))
+      .select(col("landing"), col("exit"), col("n_sessions"),
+        col("n_bounces"), col("n_events"),
+        (col("n_sessions").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+  }
+
   /** The W14 rule kernel over an already-built per-(entity, session,
     * type) ts-min/max table — shared verbatim by [[sequentialRules]]
     * and the streaming session-fragment view

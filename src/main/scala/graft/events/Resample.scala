@@ -256,6 +256,58 @@ object Resample {
         round(col("cusum"), 6).as("cusum"), col("is_changepoint"))
   }
 
+  /** E20: AUTOCORRELATION FUNCTION of a daily series per entity at
+    * calendar lags 1..`maxLag` — the seasonality / persistence
+    * detector run before committing to any lag feature (a weekly
+    * rhythm shows as a spike at lag 7): `acf_k = Σ(x_t − x̄)(x_{t+k} −
+    * x̄) / Σ(x_t − x̄)²` with the numerator over day-pairs exactly k
+    * calendar days apart (gap days contribute no pair — documented;
+    * resample first for the contiguous-series reading).
+    *
+    * REPRODUCIBILITY (the E16/E17 discipline): every engine-ordered
+    * sum is DECIMAL-exact — the daily sums, the per-(entity, lag) pair
+    * moments `Σx_t`, `Σx_{t+k}`, `Σx_t·x_{t+k}` and the per-entity
+    * moments — and the mean and the final ratio are a fixed IEEE
+    * expression tree over those exact operands. Flat series (zero
+    * variance) yield NULL acf, not a division error.
+    *
+    * Scale: one (entity, day) aggregate, a ×maxLag contribution
+    * explode, one entity-keyed equi-join on (key, day+k) — all
+    * entity-partitioned; no windows. Output: (key, lag, n_pairs, acf)
+    * for lags with ≥ 1 pair, round-6. */
+  def autocorrelation(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = graft.util.Caches.persistTracked(
+      df.groupBy(col(key), to_date(ts).as("__d"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).cast("decimal(18,6)")
+          .as("__x")))
+    val mom = daily.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val base = daily.select(col(key), col("__d"), col("__x"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val ahead = daily.select(col(key).as("__k2"),
+      col("__d").as("__d2"), col("__x").as("__x2"))
+    val pairs = base.join(ahead,
+        col(key) === col("__k2") &&
+          expr("date_add(__d, lag)") === col("__d2"))
+      .groupBy(col(key), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sa"), sum(col("__x2")).as("__sb"),
+        sum(col("__x") * col("__x2")).as("__sab"))
+    val m = col("__sx").cast("double") / col("__n").cast("double")
+    val den = col("__sxx").cast("double") -
+      col("__n").cast("double") * m * m
+    val num = col("__sab").cast("double") -
+      m * col("__sa").cast("double") - m * col("__sb").cast("double") +
+      col("n_pairs").cast("double") * m * m
+    pairs.join(mom, key)
+      .select(col(key), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        round(when(den > 0, num / den), 6).as("acf"))
+  }
+
   /** E15: trailing EXPONENTIALLY-WEIGHTED moving average of a daily
     * series, per entity — the smoothed velocity feature a plain
     * trailing mean over-reacts on. The EWMA recursion

@@ -130,4 +130,47 @@ object Eval {
         col("n_correct"), col("observed_acc"), col("mean_score"),
         col("gap"), col("ece"))
   }
+
+  /** F22: EXACT ROC AUC via the Mann–Whitney rank-sum (public
+    * knowledge: AUC = U/(n⁺n⁻) with U from the rank sum of the
+    * positives, average ranks over ties) — the threshold-free
+    * counterpart of [[thresholdSweep]]: one number for "does this
+    * score order positives above negatives", computed EXACTLY rather
+    * than by trapezoid over a bucketed curve.
+    *
+    * Everything is integer until the single final division: per
+    * distinct score the positive/negative counts, the cumulative
+    * pooled count via the two-phase prefix sum
+    * ([[graft.relational.Ranks.prefixSums]] — no global-order window
+    * at any score cardinality), and the doubled rank-sum numerator
+    * `Σ n⁺_g·(2·cum_before + g + 1)` (ties share the average rank
+    * `cum_before + (g+1)/2`; doubling keeps it integral). AUC =
+    * (num − n⁺(n⁺+1)) / (2·n⁺·n⁻) — one correctly-rounded division,
+    * bit-identical cross-engine, no rounding needed.
+    *
+    * Output: one row (n_pos, n_neg, auc); auc NULL when either class
+    * is empty. */
+  def rocAuc(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val grouped = df
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y") =!= 1, 1L).otherwise(0L)).as("__nn"))
+    val ranked = graft.relational.Ranks.prefixSums(grouped,
+      Seq(col("__s")), Seq("__cum" -> (col("__np") + col("__nn"))))
+    ranked
+      .agg(sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
+        sum(col("__np") *
+          (lit(2L) * (col("__cum") - col("__np") - col("__nn")) +
+            col("__np") + col("__nn") + lit(1L))).as("__num"))
+      .select(col("__tp").as("n_pos"), col("__tn").as("n_neg"),
+        when(col("__tp") > 0 && col("__tn") > 0,
+          (col("__num") - col("__tp") * (col("__tp") + lit(1L)))
+            .cast("double") /
+            (lit(2.0) * col("__tp").cast("double") *
+              col("__tn").cast("double"))).as("auc"))
+  }
 }

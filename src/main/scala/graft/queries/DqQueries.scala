@@ -106,6 +106,31 @@ object DqQueries {
         .orderBy(col("source"), col("quantile"))
     },
 
+    // F22: exact ROC AUC of "does document length order English above
+    // the rest" — Mann-Whitney rank-sum over distinct-score groups
+    // with average-rank ties, two-phase prefix-sum ranks, integer
+    // arithmetic to one final division.
+    "q_f22_auc" -> { (s, dir) =>
+      graft.ml.Eval.rocAuc(t(s, dir, "documents"), col("n_chars"),
+        (col("lang") === "en").cast("int"))
+    },
+
+    // X117: Gini concentration of characters over documents — the
+    // corpus-skew one-number report; DECIMAL(38,0) rank-weight sums,
+    // single final division, no rounding.
+    "q_x117_gini" -> { (s, dir) =>
+      graft.dq.Stats.giniConcentration(t(s, dir, "documents"),
+        col("n_chars"))
+    },
+
+    // D12: robust MAD outlier flags for document length per source —
+    // type-1 medians by integer rank, k = 3 deviations.
+    "q_d12_mad_outliers" -> { (s, dir) =>
+      graft.dq.Stats.madOutliers(t(s, dir, "documents"), "source",
+        col("n_chars"), col("doc_id"))
+        .orderBy(col("source"), col("id"))
+    },
+
     // D1: assertion summary — one aggregate pass over lineitem.
     "q_d1_assertion" -> { (s, dir) =>
       val r = Dq.assertion(t(s, dir, "lineitem"),
@@ -200,6 +225,83 @@ object DqQueries {
         |SELECT source, label AS quantile, n, rank, value
         |FROM ranked JOIN g ON rank = (num * n + den - 1) // den
         |ORDER BY source, quantile""".stripMargin,
+    // Same distinct-score groups, same doubled rank-sum numerator
+    // (avg ranks over ties), same single division.
+    "q_f22_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM s GROUP BY sc),
+        |c AS (
+        |  SELECT *, CAST(sum(np + nn) OVER (ORDER BY sc
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn,
+        |    CAST(sum(np * (2 * (cum - np - nn) + np + nn + 1))
+        |      AS BIGINT) AS num
+        |  FROM c)
+        |SELECT tp AS n_pos, tn AS n_neg,
+        |  CASE WHEN tp > 0 AND tn > 0
+        |    THEN CAST(num - tp * (tp + 1) AS DOUBLE)
+        |      / (2.0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END
+        |    AS auc
+        |FROM a""".stripMargin,
+    // Same distinct-weight groups, same rank-set invariant doubled
+    // rank-weight sum, HUGEINT mirror of the DECIMAL(38,0) carries.
+    "q_x117_gini" ->
+      """WITH g AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY x
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(x * c AS HUGEINT)) AS t,
+        |    sum(CAST(x * (2 * c * (cum - c) + c * (c + 1))
+        |      AS HUGEINT)) AS twos
+        |  FROM r)
+        |SELECT n, CAST(t AS BIGINT) AS total,
+        |  CASE WHEN t > 0 AND n >= 2
+        |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
+        |FROM a""".stripMargin,
+    // Same type-1 integer-rank medians (rank = (n+1) // 2 under the
+    // (value, id) / (dev, id) total orders), same k*MAD compare.
+    "q_d12_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS value, doc_id
+        |  FROM documents),
+        |rv AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY value, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM base),
+        |med AS (SELECT source AS g, value AS med FROM rv
+        |        WHERE r = (n + 1) // 2),
+        |dev AS (
+        |  SELECT b.source, b.doc_id, b.value, m.med,
+        |    abs(b.value - m.med) AS d
+        |  FROM base b JOIN med m ON m.g = b.source),
+        |rd AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY d, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM dev),
+        |mad AS (SELECT source AS g, d AS mad FROM rd
+        |        WHERE r = (n + 1) // 2)
+        |SELECT dev.source, dev.doc_id AS id, dev.value, dev.med,
+        |  mad.mad, CAST(dev.d > 3.0 * mad.mad AS INTEGER) AS is_outlier
+        |FROM dev JOIN mad ON mad.g = dev.source
+        |ORDER BY dev.source, id""".stripMargin,
     // One violation-count branch per check, identical NULL semantics
     // (violation = NOT coalesce(pred, FALSE)).
     "q_d11_check_suite" ->

@@ -120,6 +120,25 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E20: autocorrelation of daily purchase value per user at
+    // calendar lags 1..7 — decimal-exact pair/series moments, fixed
+    // IEEE ratio, flat series NULL.
+    "q_e20_acf" -> { (s, dir) =>
+      graft.events.Resample.autocorrelation(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"), maxLag = 7)
+        .orderBy(col("user_id"), col("lag"))
+    },
+
+    // W16: session landing -> exit matrix over 1h sessions — first and
+    // last event type per session under the (ts, id) order, bounce =
+    // single-event session, share of all sessions.
+    "q_w16_landing_exit" -> { (s, dir) =>
+      graft.events.EventFunctions.landingExitReport(
+        t(s, dir, "events"), 3600)
+        .orderBy(col("landing"), col("exit"))
+    },
+
     // E15: trailing 14-day EWMA (alpha 0.3) of daily purchase value —
     // contribution-explosion closed form, weights renormalized over
     // observed lags.
@@ -575,6 +594,86 @@ object EventQueries {
         |  round(CAST(x AS DOUBLE), 2) AS value, round(cusum, 6) AS cusum,
         |  CAST(rn = 1 AS INTEGER) AS is_changepoint
         |FROM rk ORDER BY user_id, day""".stripMargin,
+    // Same DECIMAL daily sums and pair/series moments, same fixed
+    // ratio m = sx/n; num = sab - m*sa - m*sb + c*m*m; den = sxx -
+    // n*m*m — operand-mirrored.
+    "q_e20_acf" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |base AS (
+        |  SELECT user_id, d, x, CAST(k AS BIGINT) AS lag
+        |  FROM daily, range(1, 8) AS r(k)),
+        |pairs AS (
+        |  SELECT b.user_id, b.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(b.x) AS sa, sum(a.x) AS sb, sum(b.x * a.x) AS sab
+        |  FROM base b JOIN daily a
+        |    ON a.user_id = b.user_id
+        |    AND a.d = b.d + CAST(b.lag AS INTEGER)
+        |  GROUP BY 1, 2)
+        |SELECT p.user_id, p.lag, p.n_pairs,
+        |  round(CASE WHEN CAST(m.sxx AS DOUBLE)
+        |      - CAST(m.n AS DOUBLE)
+        |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) > 0
+        |    THEN (CAST(p.sab AS DOUBLE)
+        |      - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |        * CAST(p.sa AS DOUBLE)
+        |      - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |        * CAST(p.sb AS DOUBLE)
+        |      + CAST(p.n_pairs AS DOUBLE)
+        |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+        |      / (CAST(m.sxx AS DOUBLE)
+        |        - CAST(m.n AS DOUBLE)
+        |          * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |          * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+        |    END, 6) AS acf
+        |FROM pairs p JOIN mom m USING (user_id)
+        |ORDER BY p.user_id, p.lag""".stripMargin,
+    // Same session construction as q_w1; first/last by (ts, event_id)
+    // via window rank; bounce = 1-event session; one total division.
+    "q_w16_landing_exit" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 3600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts DESC, event_id DESC) AS rl,
+        |    CAST(count(*) OVER (PARTITION BY user_id, session_id)
+        |      AS BIGINT) AS ne
+        |  FROM sess),
+        |per AS (
+        |  SELECT user_id, session_id,
+        |    max(CASE WHEN rf = 1 THEN event_type END) AS landing,
+        |    max(CASE WHEN rl = 1 THEN event_type END) AS exit,
+        |    max(ne) AS ne
+        |  FROM rk GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM per)
+        |SELECT landing, exit, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(sum(ne) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+        |    AS share
+        |FROM per GROUP BY 1, 2
+        |ORDER BY landing, exit""".stripMargin,
     // Same contribution-explosion closed form, pow(0.7, o) weights.
     "q_e15_ewma" ->
       """WITH daily AS (

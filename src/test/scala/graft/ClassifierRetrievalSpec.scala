@@ -324,4 +324,50 @@ class ClassifierRetrievalSpec extends SparkSpec {
     rows(5L) shouldBe 2L
     Retrieval.rrfFuse(lex, sem, k = 1).count() shouldBe 1L
   }
+
+  behavior of "Eval.rocAuc (F22)"
+
+  it should "hit the exact endpoints and a hand-computed tied case" in {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Int)]): Option[Double] =
+      graft.ml.Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .select(col("auc")).as[Option[Double]].head()
+    // perfectly separable
+    auc(Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))) shouldBe Some(1.0)
+    // perfectly inverted
+    auc(Seq((4.0, 0), (3.0, 0), (1.0, 1), (2.0, 1))).get shouldBe 0.0
+    // all scores tied -> exactly chance
+    auc(Seq((5.0, 1), (5.0, 1), (5.0, 0), (5.0, 0))) shouldBe Some(0.5)
+    // ties across classes: scores (1-,2+,2-,3+): ranks 1, 2.5, 2.5, 4
+    // U = (2.5 + 4) - 2*3/2 = 3.5 -> AUC = 3.5/4
+    auc(Seq((1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1)))
+      .get shouldBe 0.875 +- 1e-15
+    // one-class input -> NULL, not a division error
+    auc(Seq((1.0, 1), (2.0, 1))) shouldBe None
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "match a driver-side reference AUC on random scores under any partitioning" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 600).map(_ =>
+      (rnd.nextInt(40) / 4.0, if (rnd.nextBoolean()) 1 else 0))
+    // reference: average ranks, Mann-Whitney
+    val sorted = rows.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    sorted.zipWithIndex.groupBy(_._1._1).foreach { case (s, xs) =>
+      ranks(s) = xs.map(_._2 + 1).sum.toDouble / xs.size
+    }
+    val np = rows.count(_._2 == 1)
+    val nn = rows.size - np
+    val expected = (rows.filter(_._2 == 1).map(r => ranks(r._1)).sum -
+      np.toDouble * (np + 1) / 2) / (np.toDouble * nn)
+    Seq(1, 7, 13).foreach { parts =>
+      graft.ml.Eval.rocAuc(rows.toDF("s", "y").repartition(parts),
+          col("s"), col("y"))
+        .select(col("auc")).as[Double].head() shouldBe
+        expected +- 1e-12
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }

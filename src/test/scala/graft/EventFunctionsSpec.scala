@@ -281,4 +281,43 @@ class EventFunctionsSpec extends SparkSpec {
     m(2L) shouldBe 0.0
     m(1L) shouldBe 5.0
   }
+
+  behavior of "landingExitReport (W16)"
+
+  it should "build the hand-computed landing/exit matrix with bounces and shares" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: [view, click, purchase] then a lone [view] bounce;
+    // user 2: a lone [click] bounce -> 3 sessions total
+    val ev = Seq(
+      (1L, "view", ts("2024-01-05 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-05 10:10:00"), 2L),
+      (1L, "purchase", ts("2024-01-05 10:20:00"), 3L),
+      (1L, "view", ts("2024-01-05 15:00:00"), 4L),
+      (2L, "click", ts("2024-01-05 09:00:00"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.events.EventFunctions.landingExitReport(ev, 3600)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    r(("view", "purchase")) shouldBe ((1L, 0L, 3L, 1.0 / 3))
+    r(("view", "view")) shouldBe ((1L, 1L, 1L, 1.0 / 3))
+    r(("click", "click")) shouldBe ((1L, 1L, 1L, 1.0 / 3))
+    r.size shouldBe 3
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "break first/last ties at the same timestamp by event id" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "b_click", ts("2024-01-05 10:00:00"), 2L),
+      (1L, "a_view", ts("2024-01-05 10:00:00"), 1L),
+      (1L, "c_buy", ts("2024-01-05 10:00:00"), 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.events.EventFunctions.landingExitReport(ev, 3600)
+      .select(col("landing"), col("exit")).as[(String, String)]
+      .collect()
+    r shouldBe Array(("a_view", "c_buy"))
+    graft.util.Caches.releaseAll(spark)
+  }
 }

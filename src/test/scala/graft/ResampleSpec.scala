@@ -123,6 +123,41 @@ class ResampleSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "autocorrelation (E20)" should "recover the alternating-series signature and drop gap pairs" in {
+    // days 1-4 alternating 10,20,10,20: mean 15, devs -5,5,-5,5
+    // lag1: 3 pairs, num -75, den 100 -> -0.75; lag2: 2 pairs -> 0.5
+    val alt = (1 to 4).map(d =>
+      (1L, ts(f"2024-01-0$d%d 09:00:00"), if (d % 2 == 1) 10.0 else 20.0))
+      .toDF("user_id", "ts", "value")
+    val r = Resample.autocorrelation(alt, "user_id", col("ts"),
+        col("value"), maxLag = 3)
+      .select(col("lag"), col("n_pairs"), col("acf"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, 3L, -0.75))
+    r(2L) shouldBe ((2L, 2L, 0.5))
+    r(3L) shouldBe ((3L, 1L, -0.25)) // (-5)(5) / 100
+    // a calendar gap drops the missing pair instead of shifting it
+    val gap = Seq(
+      (2L, ts("2024-01-01 09:00:00"), 10.0),
+      (2L, ts("2024-01-02 09:00:00"), 20.0),
+      (2L, ts("2024-01-04 09:00:00"), 30.0))
+      .toDF("user_id", "ts", "value")
+    val g = Resample.autocorrelation(gap, "user_id", col("ts"),
+        col("value"), maxLag = 3)
+      .select(col("lag"), col("n_pairs"))
+      .as[(Long, Long)].collect().toMap
+    g shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // flat series: zero variance -> NULL acf, no division error
+    val flat = (1 to 5).map(d =>
+      (3L, ts(f"2024-01-0$d%d 09:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+    Resample.autocorrelation(flat, "user_id", col("ts"), col("value"),
+        maxLag = 2)
+      .select(col("acf")).as[Option[Double]].collect()
+      .foreach(_ shouldBe None)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "ewmaDaily (E15)" should "decay by day lag and renormalize over observed days" in {
     // observed days 1, 2, 4 (gap at 3), alpha 0.3 -> beta 0.7
     val df = Seq(

@@ -154,6 +154,64 @@ class StatsSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "giniConcentration (X117)" should "score equality 0, full concentration (n-1)/n, and a hand case" in {
+    import spark.implicits._
+    def gini(xs: Seq[Long]): Option[Double] =
+      graft.dq.Stats.giniConcentration(xs.map(Tuple1(_)).toDF("w"),
+          col("w"))
+        .select(col("gini")).as[Option[Double]].head()
+    gini(Seq(5L, 5L, 5L, 5L)) shouldBe Some(0.0)
+    gini(Seq(0L, 0L, 0L, 12L)).get shouldBe 0.75 +- 1e-15 // (n-1)/n
+    // {1,2,3,4}: S = 1+4+9+16 = 30, T = 10, n = 4:
+    // G = (60 - 5*10)/(4*10) = 0.25
+    gini(Seq(3L, 1L, 4L, 2L)).get shouldBe 0.25 +- 1e-15
+    gini(Seq(7L)) shouldBe None // n < 2
+    intercept[IllegalArgumentException] { gini(Seq(-1L, 3L)) }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "be invariant to the order among tied weights (rank-set invariance)" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val xs = (1 to 400).map(_ => rnd.nextInt(20).toLong) // heavy ties
+    def g(df: org.apache.spark.sql.DataFrame) = graft.dq.Stats
+      .giniConcentration(df, col("w")).select(col("gini"))
+      .as[Double].head()
+    g(xs.map(Tuple1(_)).toDF("w").repartition(1)) shouldBe
+      g(xs.reverse.map(Tuple1(_)).toDF("w").repartition(13))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  "madOutliers (D12)" should "flag only the planted spike via hand-computed median/MAD" in {
+    import spark.implicits._
+    // group a: {10,11,12,13,14, 100}: n=6, median rank (7)//2=3 -> 12;
+    // devs {2,1,0,1,2,88} -> sorted {0,1,1,2,2,88} rank 3 -> MAD 1;
+    // outlier iff dev > 3: only the 100 (dev 88)
+    val df = Seq(("a", 10.0, 1L), ("a", 11.0, 2L), ("a", 12.0, 3L),
+      ("a", 13.0, 4L), ("a", 14.0, 5L), ("a", 100.0, 6L))
+      .toDF("g", "v", "id")
+    val r = graft.dq.Stats.madOutliers(df, "g", col("v"), col("id"))
+      .select(col("id"), col("med"), col("mad"), col("is_outlier"))
+      .as[(Long, Double, Double, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    r.values.foreach { t => t._2 shouldBe 12.0; t._3 shouldBe 1.0 }
+    r(6L)._4 shouldBe 1
+    (1L to 5L).foreach(i => r(i)._4 shouldBe 0)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "flag every deviating row when over half the group is identical (MAD 0)" in {
+    import spark.implicits._
+    val df = (Seq.fill(5)(7.0) :+ 7.5).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val flags = graft.dq.Stats.madOutliers(df, "g", col("v"), col("id"))
+      .select(col("value"), col("is_outlier"))
+      .as[(Double, Int)].collect().toMap
+    flags(7.0) shouldBe 0
+    flags(7.5) shouldBe 1 // dev 0.5 > 3 * MAD(0)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "reject quantile rationals outside (0, 1]" in {
     import spark.implicits._
     val df = Seq(("a", 1.0, 1L)).toDF("grp", "v", "id")
