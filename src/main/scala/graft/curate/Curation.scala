@@ -248,6 +248,49 @@ object Curation {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
   }
 
+  /** X119: EXACT-PROPORTION STRATIFIED SPLIT — train/val/test with
+    * the split sizes exact PER STRATUM (source, language, label),
+    * not Bernoulli-approximate: hash-splitting (the X94 shape) gives
+    * each stratum binomial jitter, which at small strata mis-sizes
+    * the very eval sets stratification exists to protect. Each
+    * stratum's rows are ordered by (seeded md5 uniform, id) — a
+    * deterministic shuffle, re-runnable bit-for-bit — and cut at
+    * integer rank boundaries `⌊cumweight·n / W⌋`, so sizes are the
+    * exact floor apportionment of the requested weights and every
+    * row's split is a pure function of (id, seed).
+    *
+    * Scale: one stratum-keyed rank window (never global). Output:
+    * input row → (id, stratum, split). */
+  def exactStratifiedSplit(df: DataFrame, idCol: String,
+      stratumCol: String,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 8), ("val", 1), ("test", 1)),
+      seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "exactStratifiedSplit: no splits")
+    splits.foreach { case (name, wgt) =>
+      require(wgt >= 1, s"split '$name': weight must be >= 1, got $wgt")
+    }
+    val total = splits.map(_._2.toLong).sum
+    val cum = splits.map(_._2.toLong).scanLeft(0L)(_ + _).drop(1)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    val wn = Window.partitionBy(col(stratumCol))
+    val ranked = df
+      .select(col(idCol), col(stratumCol))
+      .withColumn("__h", uniformHash(col(idCol), seed))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn).cast("long"))
+    // split of rank r: the first k with r <= floor(cum_k * n / W) —
+    // exact floor apportionment, last boundary = n always
+    val assigned = splits.map(_._1).zip(cum).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, cw)) =>
+        when(col("__r") * lit(total) <= lit(cw) * col("__n"), name)
+          .otherwise(acc)
+      }
+    ranked.select(col(idCol), col(stratumCol).as("stratum"),
+      assigned.as("split"))
+  }
+
   /** X94: LEAKAGE-SAFE train/test SPLIT — the dedup-aware split that
     * hash-splitting by document id cannot give: near-duplicate
     * documents must land on the SAME side, or the test set leaks into

@@ -214,15 +214,16 @@ object Dq {
       .select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .select(col("__v"), lit(r).as("__r"), lit(c).as("__c"))
-    val pooled = graft.util.Caches.persistTracked(
-      clean(reference, 1L, 0L).unionByName(clean(current, 0L, 1L))
-        .groupBy(col("__v"))
-        .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc")))
-    val tot = pooled.agg(sum(col("nr")), sum(col("nc"))).head()
-    val (nRef, nCur) = (tot.getLong(0), tot.getLong(1))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      pooled, Seq(col("__v")),
+      Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
+    val (nRef, nCur) = (totals(0), totals(1))
     require(nRef > 0 && nCur > 0, "ksDrift: empty population")
-    graft.relational.Ranks.prefixSums(pooled, Seq(col("__v")),
-        Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
+    cum
       .withColumn("__gap", abs(
         col("__cnr").cast("double") / lit(nRef.toDouble) -
           col("__cnc").cast("double") / lit(nCur.toDouble)))
@@ -240,10 +241,8 @@ object Dq {
   def quantileEdges(df: DataFrame, valueCol: String, idCol: String,
       bins: Int): Array[Double] = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val ranked = graft.util.Caches.persistTracked(
-      graft.relational.Ranks.globalRank(df,
-        Seq(col(valueCol), col(idCol)), "__r"))
-    val n = ranked.count()
+    val (ranked, n) = graft.relational.Ranks.globalRankAndCount(df,
+      Seq(col(valueCol), col(idCol)), "__r")
     require(n >= bins, s"quantileEdges: $n rows < $bins bins")
     val edgeRanks = (1 until bins).map(i => (i * n + bins - 1) / bins)
     ranked.filter(col("__r").isin(edgeRanks: _*))

@@ -272,25 +272,26 @@ object EventFeatures {
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     import graft.relational.Ranks
-    val base = graft.util.Caches.persistTracked(
-      events.groupBy(col(userCol))
-        .agg(
-          datediff(lit(asOfDate).cast("date"),
-            max(col(tsCol)).cast("date")).cast("long").as("recency_days"),
-          count(lit(1)).as("frequency"),
-          // all-null value users sum to NULL; pin to 0 so the m-ranking
-          // never depends on engine NULL placement (Spark NULLS FIRST
-          // asc vs DuckDB NULLS LAST)
-          coalesce(sum(col(valueCol).cast("decimal(18,6)")).cast("double"),
-            lit(0.0)).as("monetary")))
-    // empty input yields an empty frame either way; max(n,1) keeps the
+    val base = events.groupBy(col(userCol))
+      .agg(
+        datediff(lit(asOfDate).cast("date"),
+          max(col(tsCol)).cast("date")).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        // all-null value users sum to NULL; pin to 0 so the m-ranking
+        // never depends on engine NULL placement (Spark NULLS FIRST
+        // asc vs DuckDB NULLS LAST)
+        coalesce(sum(col(valueCol).cast("decimal(18,6)")).cast("double"),
+          lit(0.0)).as("monetary"))
+    // the first rank pass hands back the user count for free; empty
+    // input yields an empty frame either way — max(n,1) keeps the
     // (never-evaluated) bucket expression well-defined
-    val n = math.max(base.count(), 1L)
+    val (r1, n0) = Ranks.globalRankAndCount(base,
+      Seq(col("recency_days").desc, col(userCol)), "__rr")
+    val n = math.max(n0, 1L)
     val ranked = Seq(
-      ("__rr", Seq(col("recency_days").desc, col(userCol))),
       ("__fr", Seq(col("frequency").asc, col(userCol))),
       ("__mr", Seq(col("monetary").asc, col(userCol))))
-      .foldLeft(base) { case (d, (name, ord)) =>
+      .foldLeft(r1) { case (d, (name, ord)) =>
         Ranks.globalRank(d, ord, name) }
     ranked
       .withColumn("r_score", Ranks.ntileOf(col("__rr"), n, 5).cast("long"))

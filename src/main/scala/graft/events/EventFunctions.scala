@@ -382,6 +382,56 @@ object EventFunctions {
     rulesFromSessionTypeStats(st, minSupport, c)
   }
 
+  /** W17: CONVERSION TOUCH ATTRIBUTION — first-touch and last-touch
+    * credit for each conversion event: which touch type (view, click,
+    * email, …) within the `windowSec` lookback strictly before the
+    * conversion gets the credit, per the two classic single-touch
+    * models. Conversions with no in-window touch attribute to
+    * `(none)` — dropped conversions would silently understate
+    * organic volume.
+    *
+    * Shape: O(n) — no conversion×touch join: both candidate touches
+    * ride ONE entity-keyed RANGE window over unix seconds
+    * (`[-windowSec, -1]` — strictly-earlier-second semantics,
+    * mirrored by the oracle), as `min`/`max` of a (ts, id, type)
+    * struct, so each model is a running aggregate, not a pair
+    * enumeration. Value sums are DECIMAL-exact (E16 discipline).
+    * Output: (model, touch_type, n_conversions, attributed_value
+    * round-2) for model ∈ {first, last}. */
+  def touchAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], windowSec: Long,
+      c: EventCols = EventCols()): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    require(touchTypes.nonEmpty, "touchAttribution: no touch types")
+    require(!touchTypes.contains(conversionType),
+      "touchAttribution: the conversion type cannot also be a touch")
+    val w = Window.partitionBy(col(c.entity)).orderBy(col("__uts"))
+      .rangeBetween(-windowSec, -1)
+    val touch = when(col(c.eventType).isin(touchTypes: _*),
+      struct(col(c.ts), col(c.id), col(c.eventType).as("__tt")))
+    val conv = graft.util.Caches.persistTracked(events
+      .withColumn("__uts", unix_timestamp(col(c.ts)))
+      .withColumn("__first", min(touch).over(w))
+      .withColumn("__last", max(touch).over(w))
+      .filter(col(c.eventType) === conversionType)
+      .select(
+        col(c.value).cast("decimal(18,2)").as("__v"),
+        coalesce(col("__first").getField("__tt"), lit("(none)"))
+          .as("__ft"),
+        coalesce(col("__last").getField("__tt"), lit("(none)"))
+          .as("__lt")))
+    def model(m: String, t: Column) = conv
+      .groupBy(t.as("touch_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .as("n_conversions"),
+        sum(col("__v")).as("__av"))
+      .select(lit(m).as("model"), col("touch_type"),
+        col("n_conversions"),
+        round(coalesce(col("__av").cast("double"), lit(0.0)), 2)
+          .as("attributed_value"))
+    model("first", col("__ft")).unionByName(model("last", col("__lt")))
+  }
+
   /** W16: session LANDING → EXIT report — where sessions start, where
     * they end, and how often they bounce: per session the first event
     * type (landing) and last event type (exit) under the (ts, id)

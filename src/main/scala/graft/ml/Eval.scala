@@ -34,9 +34,12 @@ object Eval {
       scoreCol: String, correctCol: String, nBuckets: Int = 20)
       : DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val rows = scored.filter(col(scoreCol).isNotNull)
-      .select(col(scoreCol).cast("double").as("__s"),
-        col(correctCol).cast("boolean").as("__ok"))
+    // one materialization of the (possibly expensive) scoring lineage:
+    // stats, the bucket aggregate and the grid all re-read the cache
+    val rows = graft.util.Caches.persistTracked(
+      scored.filter(col(scoreCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("__s"),
+          col(correctCol).cast("boolean").as("__ok")))
     val stats = rows.agg(min(col("__s")).as("__mn"),
       max(col("__s")).as("__mx"))
     val bucketed = rows.crossJoin(broadcast(stats))
@@ -87,9 +90,12 @@ object Eval {
       scoreCol: String, correctCol: String, nBuckets: Int = 10)
       : DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val rows = scored.filter(col(scoreCol).isNotNull)
-      .select(col(scoreCol).cast("double").as("__s"),
-        col(correctCol).cast("boolean").as("__ok"))
+    // one materialization of the (possibly expensive) scoring lineage:
+    // stats, the bucket aggregate and both grid consumers re-read it
+    val rows = graft.util.Caches.persistTracked(
+      scored.filter(col(scoreCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("__s"),
+          col(correctCol).cast("boolean").as("__ok")))
     val stats = rows.agg(min(col("__s")).as("__mn"),
       max(col("__s")).as("__mx"))
     val bucketed = rows.crossJoin(broadcast(stats))

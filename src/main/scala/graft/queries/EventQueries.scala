@@ -130,6 +130,15 @@ object EventQueries {
         .orderBy(col("user_id"), col("lag"))
     },
 
+    // W17: first/last-touch conversion attribution — view/click within
+    // 24h strictly before each purchase (same-second excluded), O(n)
+    // range-window candidates, unattributed -> '(none)'.
+    "q_w17_attribution" -> { (s, dir) =>
+      graft.events.EventFunctions.touchAttribution(
+        t(s, dir, "events"), "purchase", Seq("view", "click"), 86400)
+        .orderBy(col("model"), col("touch_type"))
+    },
+
     // W16: session landing -> exit matrix over 1h sessions — first and
     // last event type per session under the (ts, id) order, bounce =
     // single-event session, share of all sessions.
@@ -636,6 +645,50 @@ object EventQueries {
         |    END, 6) AS acf
         |FROM pairs p JOIN mom m USING (user_id)
         |ORDER BY p.user_id, p.lag""".stripMargin,
+    // Same strictly-earlier-second window (floor(epoch) mirrors
+    // unix_timestamp truncation), same (ts, id) first/last pick,
+    // DECIMAL value sums.
+    "q_w17_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS uts
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS uts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, t.event_type AS tt,
+        |    t.ts AS tts, t.event_id AS tid
+        |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |    AND t.uts BETWEEN c.uts - 86400 AND c.uts - 1),
+        |fl AS (
+        |  SELECT user_id, event_id,
+        |    max(CASE WHEN rf = 1 THEN tt END) AS ft,
+        |    max(CASE WHEN rl = 1 THEN tt END) AS lt
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY user_id, event_id
+        |        ORDER BY tts, tid) AS rf,
+        |      row_number() OVER (PARTITION BY user_id, event_id
+        |        ORDER BY tts DESC, tid DESC) AS rl
+        |    FROM j)
+        |  GROUP BY 1, 2),
+        |att AS (
+        |  SELECT c.v, coalesce(fl.ft, '(none)') AS ft,
+        |    coalesce(fl.lt, '(none)') AS lt
+        |  FROM conv c LEFT JOIN fl ON fl.user_id = c.user_id
+        |    AND fl.event_id = c.event_id)
+        |SELECT * FROM (
+        |  SELECT 'first' AS model, ft AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_conversions,
+        |    round(coalesce(CAST(sum(v) AS DOUBLE), 0.0), 2)
+        |      AS attributed_value
+        |  FROM att GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last', lt, CAST(count(*) AS BIGINT),
+        |    round(coalesce(CAST(sum(v) AS DOUBLE), 0.0), 2)
+        |  FROM att GROUP BY 2)
+        |ORDER BY model, touch_type""".stripMargin,
     // Same session construction as q_w1; first/last by (ts, event_id)
     // via window rank; bounce = 1-event session; one total division.
     "q_w16_landing_exit" ->

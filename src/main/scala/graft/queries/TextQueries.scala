@@ -818,6 +818,26 @@ object TextQueries {
         .orderBy(col("x"), col("y"))
     },
 
+    // X119: exact-proportion stratified 8/1/1 split per source —
+    // deterministic md5 shuffle order, integer floor-apportionment
+    // rank cuts; sizes exact per stratum, not Bernoulli.
+    "q_x119_exact_split" -> { (s, dir) =>
+      graft.curate.Curation.exactStratifiedSplit(
+        t(s, dir, "documents"), "doc_id", "source")
+        .orderBy(col("doc_id"))
+    },
+
+    // X118: unigram KL/JS divergence contributors — English vs the
+    // rest of the corpus; top-20 tokens by |KL contribution| over
+    // add-half smoothed joint-vocabulary probabilities.
+    "q_x118_unigram_divergence" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.text.TextStats.unigramDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", topK = 20)
+        .orderBy(col("token"))
+    },
+
     // X94: leakage-safe split — near-dup clusters (X17 kernel) decide
     // as GROUPS which side of the train/test cut they land on, so
     // paraphrase copies can never straddle the split.
@@ -3625,6 +3645,66 @@ object TextQueries {
         |  FROM j ORDER BY lift DESC, x, y LIMIT 50)
         |SELECT x, y, pair_freq, lift, pmi FROM t
         |ORDER BY x, y""".stripMargin,
+    // Same md5 shuffle order (integer digit-sum is monotone-equal to
+    // the /2^32 double), same floor-apportionment rank cuts.
+    "q_x119_exact_split" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY (${hexDigitSum(1, 8)}), doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM u)
+         |SELECT doc_id, source AS stratum,
+         |  CASE WHEN r * 10 <= 8 * n THEN 'train'
+         |       WHEN r * 10 <= 9 * n THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // Same add-half smoothing over the joint vocab, same fixed IEEE
+    // expressions, same round-6 |kl| desc / token ranking.
+    "q_x118_unigram_divergence" ->
+      """WITH ca AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+        |      AS token
+        |    FROM documents WHERE lang = 'en')
+        |  WHERE len(token) > 0 GROUP BY 1),
+        |cb AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+        |      AS token
+        |    FROM documents WHERE lang <> 'en')
+        |  WHERE len(token) > 0 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |    coalesce(ca.c, 0) AS na, coalesce(cb.c, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON cb.token = ca.token),
+        |tt AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |         CAST(sum(nb) AS BIGINT) AS tb,
+        |         CAST(count(*) AS BIGINT) AS v FROM j),
+        |p AS (
+        |  SELECT token, na, nb,
+        |    (CAST(na AS DOUBLE) + 0.5) /
+        |      (CAST((SELECT ta FROM tt) AS DOUBLE)
+        |        + 0.5 * (SELECT v FROM tt)) AS pa,
+        |    (CAST(nb AS DOUBLE) + 0.5) /
+        |      (CAST((SELECT tb FROM tt) AS DOUBLE)
+        |        + 0.5 * (SELECT v FROM tt)) AS pb
+        |  FROM j),
+        |k AS (
+        |  SELECT *, pa * ln(pa / pb) AS kl,
+        |    0.5 * (pa * ln(pa / ((pa + pb) / 2.0))
+        |      + pb * ln(pb / ((pa + pb) / 2.0))) AS js
+        |  FROM p),
+        |top AS (SELECT * FROM k
+        |        ORDER BY round(abs(kl), 6) DESC, token LIMIT 20)
+        |SELECT token, na AS n_a, nb AS n_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round(kl, 6) AS kl_contrib, round(js, 6) AS js_contrib
+        |FROM top ORDER BY token""".stripMargin,
     "q_x12_stratified_sample" ->
       s"""WITH u AS (
          |  SELECT doc_id, lang, md5('s1:' || CAST(doc_id AS VARCHAR)) AS m

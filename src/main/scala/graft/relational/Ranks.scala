@@ -35,7 +35,16 @@ object Ranks {
     * use `.desc`. Input columns are preserved; the relation is
     * returned range-partitioned by `orderCols`. */
   def prefixSums(df: DataFrame, orderCols: Seq[Column],
-      sums: Seq[(String, Column)]): DataFrame = {
+      sums: Seq[(String, Column)]): DataFrame =
+    prefixSumsWithTotals(df, orderCols, sums)._1
+
+  /** [[prefixSums]] that also returns the GRAND TOTAL of each sum
+    * column — the driver already holds the per-partition totals for
+    * the prefix broadcast, so callers that need n / ΣnX (quantile
+    * edges, ntile cuts, KS totals) get them for free instead of
+    * paying a separate count/agg job. */
+  def prefixSumsWithTotals(df: DataFrame, orderCols: Seq[Column],
+      sums: Seq[(String, Column)]): (DataFrame, Seq[Long]) = {
     require(sums.nonEmpty, "prefixSums: no sum columns requested")
     val spark = df.sparkSession
     val part = df.repartitionByRange(orderCols: _*)
@@ -76,7 +85,8 @@ object Ranks {
     }
     val temps = "__pid" +: sums.flatMap { case (name, _) =>
       Seq(s"__loc_$name", s"__pre_$name") }
-    withOut.drop(temps: _*)
+    val grand = sums.indices.map(j => totals.map(_._2(j)).sum)
+    (withOut.drop(temps: _*), grand)
   }
 
   /** Adds `rankName`: the 1-based global rank of each row in the total
@@ -85,6 +95,14 @@ object Ranks {
   def globalRank(df: DataFrame, orderCols: Seq[Column],
       rankName: String): DataFrame =
     prefixSums(df, orderCols, Seq(rankName -> lit(1L)))
+
+  /** [[globalRank]] plus the row count, with no extra job. */
+  def globalRankAndCount(df: DataFrame, orderCols: Seq[Column],
+      rankName: String): (DataFrame, Long) = {
+    val (d, totals) =
+      prefixSumsWithTotals(df, orderCols, Seq(rankName -> lit(1L)))
+    (d, totals.head)
+  }
 
   /** SQL-standard `ntile(k)` bucket of a 1-based `rank` among `n` rows:
     * the first `n % k` buckets hold `n/k + 1` rows, the rest `n/k` —

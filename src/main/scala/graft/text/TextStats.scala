@@ -897,4 +897,62 @@ object TextStats {
       .withColumn("is_blocked",
         coalesce(col("registered_domain").isin(blocked: _*), lit(false)))
   }
+
+  /** X118: UNIGRAM DIVERGENCE between two corpora — the vocabulary-
+    * drift monitor mixture designers run when a new source lands:
+    * which tokens are most over/under-represented in corpus A vs
+    * corpus B, by per-token KL contribution `p_a·ln(p_a/p_b)` (and
+    * the symmetric JS contribution), over add-half-smoothed
+    * probabilities on the JOINT vocabulary (the chi²-drift smoothing
+    * discipline: unseen tokens get mass, never a ln(0)).
+    *
+    * Deliberately emits the top-`topK` CONTRIBUTOR TABLE, not a
+    * summed scalar: the table is what an operator acts on, and it
+    * sidesteps the distributed-double-sum reproducibility hazard
+    * entirely — every output value is exact counts through a fixed
+    * IEEE expression (one division per probability, ln on identical
+    * operands). Ranking is round-6 |kl| desc then token asc — total,
+    * deterministic.
+    *
+    * Scale: two map-side-combined token aggregates, one vocab-sized
+    * full-outer join, TakeOrdered top-k (per-partition k then one
+    * k-sized merge — never a global sort). Output: (token, n_a, n_b,
+    * p_a, p_b, kl_contrib, js_contrib), round-6. */
+  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def counts(df: DataFrame) = df
+      .select(explode(graft.text.Dedup.words(col(textCol)))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val joint = graft.util.Caches.persistTracked(
+      counts(a).withColumnRenamed("c", "n_a")
+        .join(counts(b).withColumnRenamed("c", "n_b"),
+          Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b")))
+    val tot = joint.agg(sum(col("n_a")), sum(col("n_b")),
+      count(lit(1))).head()
+    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(na > 0 && nb > 0, "unigramDivergence: an empty corpus")
+    val pa = (col("n_a").cast("double") + lit(0.5)) /
+      lit(na.toDouble + 0.5 * v)
+    val pb = (col("n_b").cast("double") + lit(0.5)) /
+      lit(nb.toDouble + 0.5 * v)
+    val m = (pa + pb) / lit(2.0)
+    joint
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("__kl", col("p_a") * log(col("p_a") / col("p_b")))
+      .withColumn("__js", lit(0.5) *
+        (col("p_a") * log(col("p_a") / m) +
+          col("p_b") * log(col("p_b") / m)))
+      .orderBy(round(abs(col("__kl")), 6).desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("__kl"), 6).as("kl_contrib"),
+        round(col("__js"), 6).as("js_contrib"))
+  }
 }

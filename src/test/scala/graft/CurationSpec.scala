@@ -484,4 +484,41 @@ class CurationSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().toSet
     got shouldBe expected
   }
+
+  "exactStratifiedSplit (X119)" should "hit exact floor-apportioned sizes per stratum" in {
+    // stratum a: 10 rows -> 8/1/1 exactly; stratum b: 7 rows -> 5/1/1
+    // (floor cuts at 5.6 -> 5, 6.3 -> 6, 7)
+    val df = ((1L to 10L).map(i => (i, "a")) ++
+      (11L to 17L).map(i => (i, "b"))).toDF("id", "src")
+    val r = Curation.exactStratifiedSplit(df, "id", "src")
+      .as[(Long, String, String)].collect()
+    r.length shouldBe 17
+    val sizes = r.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    sizes(("a", "train")) shouldBe 8
+    sizes(("a", "val")) shouldBe 1
+    sizes(("a", "test")) shouldBe 1
+    sizes(("b", "train")) shouldBe 5
+    sizes(("b", "val")) shouldBe 1
+    sizes(("b", "test")) shouldBe 1
+    // deterministic: rerun with permuted partitioning is identical
+    val again = Curation.exactStratifiedSplit(df.repartition(7), "id",
+      "src").as[(Long, String, String)].collect()
+    again.sortBy(_._1) shouldBe r.sortBy(_._1)
+    // a different seed moves rows between splits but keeps sizes
+    val other = Curation.exactStratifiedSplit(df, "id", "src",
+      seed = "other").as[(Long, String, String)].collect()
+    other.groupBy(t => (t._2, t._3)).view.mapValues(_.length)
+      .toMap shouldBe sizes
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "honor custom split weights" in {
+    val df = (1L to 100L).map(i => (i, "s")).toDF("id", "src")
+    val r = Curation.exactStratifiedSplit(df, "id", "src",
+        splits = Seq(("fit", 3), ("holdout", 1)))
+      .as[(Long, String, String)].collect()
+    r.count(_._3 == "fit") shouldBe 75
+    r.count(_._3 == "holdout") shouldBe 25
+    graft.util.Caches.releaseAll(spark)
+  }
 }

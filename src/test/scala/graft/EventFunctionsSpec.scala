@@ -282,6 +282,46 @@ class EventFunctionsSpec extends SparkSpec {
     m(1L) shouldBe 5.0
   }
 
+  behavior of "touchAttribution (W17)"
+
+  it should "credit hand-computed first/last touches, window them, and bucket organic as (none)" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // conversion 1: view -> click -> purchase(10): first view, last click
+      (1L, "view", ts("2024-01-05 10:00:00"), 1L, 0.0),
+      (1L, "click", ts("2024-01-05 10:05:00"), 2L, 0.0),
+      (1L, "purchase", ts("2024-01-05 10:10:00"), 3L, 10.0),
+      // conversion 2: the only touch is 2 days earlier -> out of window
+      (2L, "view", ts("2024-01-01 09:00:00"), 4L, 0.0),
+      (2L, "purchase", ts("2024-01-03 10:00:00"), 5L, 7.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val r = graft.events.EventFunctions.touchAttribution(ev, "purchase",
+        Seq("view", "click"), windowSec = 86400)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    r(("first", "view")) shouldBe ((1L, 10.0))
+    r(("last", "click")) shouldBe ((1L, 10.0))
+    r(("first", "(none)")) shouldBe ((1L, 7.0))
+    r(("last", "(none)")) shouldBe ((1L, 7.0))
+    r.size shouldBe 4
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "exclude touches in the conversion's own second (strictly-earlier semantics)" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "click", ts("2024-01-05 10:00:00"), 1L, 0.0),
+      (1L, "purchase", ts("2024-01-05 10:00:00"), 2L, 5.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val r = graft.events.EventFunctions.touchAttribution(ev, "purchase",
+        Seq("view", "click"), windowSec = 3600)
+      .select(col("touch_type")).as[String].collect().toSet
+    r shouldBe Set("(none)")
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "landingExitReport (W16)"
 
   it should "build the hand-computed landing/exit matrix with bounces and shares" in {

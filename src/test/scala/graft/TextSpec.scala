@@ -1106,6 +1106,45 @@ class TextSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "unigramDivergence (X118)" should "rank over/under-represented tokens with hand-checked smoothed probabilities" in {
+    // A tokens: a,a,b (Na=3); B tokens: a,c (Nb=2); joint V=3
+    // pa(b) = 1.5/4.5, pb(b) = 0.5/3.5 -> strong positive KL (over-rep
+    // in A); pa(c) = 0.5/4.5, pb(c) = 1.5/3.5 -> negative KL
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a c")).toDF("doc_id", "text")
+    val r = graft.text.TextStats.unigramDivergence(a, b, "text", topK = 3)
+      .select(col("token"), col("n_a"), col("n_b"), col("p_a"),
+        col("kl_contrib"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    r.keySet shouldBe Set("a", "b", "c")
+    r("b")._2 shouldBe 1L
+    r("b")._3 shouldBe 0L
+    r("b")._4 shouldBe (1.5 / 4.5) +- 1e-6
+    r("b")._5 should be > 0.0
+    r("c")._5 should be < 0.0
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "keep only topK contributors, deterministically under any partitioning" in {
+    val rnd = new scala.util.Random(13)
+    val a = (1L to 60L).map(i =>
+      (i, (1 to 12).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = (1L to 60L).map(i =>
+      (i, (1 to 12).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(pa: Int, pb: Int) = graft.text.TextStats
+      .unigramDivergence(a.repartition(pa), b.repartition(pb), "text",
+        topK = 10)
+      .select(col("token"), col("kl_contrib"))
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    val one = run(1, 1)
+    one.length shouldBe 10
+    run(7, 3) shouldBe one
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "refineClusters (X116)" should "split a planted borderline member off its LSH cluster" in {
     // cluster {1, 2, 3}: 1-2 are true near-dups (J = 6/8 over
     // 3-shingles), 3 shares only a short prefix (J = 2/14 vs doc 1)
