@@ -250,6 +250,35 @@ object EventFeatures {
           .as("stickiness"))
   }
 
+  /** E22: INTER-EVENT GAP QUANTILES per event type — the cadence
+    * profile ("median seconds between purchases, p90 between views")
+    * that sets session timeouts, churn-risk horizons and the E15 EWMA
+    * window with data instead of folklore. Gaps are consecutive
+    * same-(entity, type) deltas in truncated epoch seconds (exact
+    * integers); the per-type quantiles are the X111 type-1
+    * integer-rank picks under the (gap, id) total order — no floats
+    * anywhere.
+    *
+    * Scale: one (entity, type)-keyed lag window, then
+    * [[graft.dq.Stats.groupQuantiles]]'s type-keyed rank window.
+    * Output: (event_type, quantile, n, rank, value). */
+  def gapQuantiles(events: DataFrame,
+      quantiles: Seq[(Int, Int, String)] =
+        Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90")),
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity), col(c.eventType))
+      .orderBy(col(c.ts), col(c.id))
+    val gaps = events
+      .withColumn("__prev", lag(col(c.ts), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(c.eventType),
+        (unix_timestamp(col(c.ts)) - unix_timestamp(col("__prev")))
+          .as("__gap"),
+        col(c.id))
+    graft.dq.Stats.groupQuantiles(gaps, c.eventType, col("__gap"),
+      col(c.id), quantiles)
+  }
+
   /** E12: RFM SCORING (recency / frequency / monetary quintiles) — the
     * classic customer-value feature vector: per user, days since last
     * activity as of `asOfDate`, event count, and value sum, each

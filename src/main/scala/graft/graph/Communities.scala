@@ -21,6 +21,57 @@ import org.apache.spark.sql.functions._
   */
 object Communities {
 
+  /** X121: DEGREE DISTRIBUTION + POWER-LAW MLE — the first structural
+    * report run on a link graph before tuning any degree cap (the X99
+    * `maxDegree`, the crawl frontier's hub cutoff): one row per
+    * distinct undirected degree with its node count, share, and
+    * complementary CDF, plus the continuous-approximation maximum-
+    * likelihood exponent `α = 1 + n_tail / Σ_{d≥dMin} c_d·ln(d/dMin)`
+    * (Clauset–Shalizi–Newman 2009, public knowledge) repeated on
+    * every row.
+    *
+    * Scale: degrees are one edge aggregate; everything after is
+    * distinct-degree-sized. The CCDF rides the two-phase prefix sum
+    * over (degree desc) — no global-order window even at extreme
+    * degree cardinality. Counts/shares exact; α carries one
+    * distributed ln-sum over distinct degrees, so α alone is
+    * rounded to 6 (the D6 chi² convention). α is NULL when every
+    * tail degree equals dMin (zero ln-mass). */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+      dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("__d"))
+    val byDeg = deg.groupBy(col("__d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val (ranked, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      byDeg, Seq(col("degree").desc), Seq("__cum" -> col("n_nodes")))
+    val n = totals.head
+    require(n > 0, "degreePowerLaw: empty edge set")
+    val fit = ranked
+      .filter(col("degree") >= dMin)
+      .agg(sum(col("n_nodes")).as("__nt"),
+        sum(col("n_nodes").cast("double") *
+          log(col("degree").cast("double") / lit(dMin.toDouble)))
+          .as("__lnsum"))
+      .select(col("__nt"),
+        round(when(col("__lnsum") > 0,
+          lit(1.0) + col("__nt").cast("double") / col("__lnsum")), 6)
+          .as("alpha"))
+    ranked
+      .crossJoin(broadcast(fit))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / lit(n.toDouble)).as("share"),
+        (col("__cum").cast("double") / lit(n.toDouble)).as("ccdf"),
+        lit(dMin).as("d_min"), col("__nt").as("n_tail"), col("alpha"))
+  }
+
   /** X85: synchronous LABEL PROPAGATION (Raghavan et al. 2007, public
     * knowledge). Undirected view of the edge set; every node starts
     * labelled with its own id; each iteration every node adopts the most

@@ -130,6 +130,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("lag"))
     },
 
+    // E22: inter-event gap quantiles per event type — consecutive
+    // same-(user, type) deltas in truncated epoch seconds, X111
+    // integer-rank type-1 quantiles.
+    "q_e22_gap_quantiles" -> { (s, dir) =>
+      graft.events.EventFeatures.gapQuantiles(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("quantile"))
+    },
+
     // W17: first/last-touch conversion attribution — view/click within
     // 24h strictly before each purchase (same-second excluded), O(n)
     // range-window candidates, unattributed -> '(none)'.
@@ -645,6 +653,29 @@ object EventQueries {
         |    END, 6) AS acf
         |FROM pairs p JOIN mom m USING (user_id)
         |ORDER BY p.user_id, p.lag""".stripMargin,
+    // Same truncated-epoch gap deltas, same X111 integer rank picks.
+    "q_e22_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY ts, event_id))) AS BIGINT) AS gap
+        |  FROM events),
+        |v AS (SELECT event_type, gap AS value, event_id FROM g
+        |      WHERE gap IS NOT NULL),
+        |ranked AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM v),
+        |q AS (SELECT * FROM (VALUES (1, 4, 'p25'), (1, 2, 'p50'),
+        |      (3, 4, 'p75'), (9, 10, 'p90')) AS q(num, den, label))
+        |SELECT event_type, label AS quantile, n, rank, value
+        |FROM ranked JOIN q ON rank = (num * n + den - 1) // den
+        |ORDER BY event_type, quantile""".stripMargin,
     // Same strictly-earlier-second window (floor(epoch) mirrors
     // unix_timestamp truncation), same (ts, id) first/last pick,
     // DECIMAL value sums.

@@ -178,6 +178,22 @@ object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // X121: degree distribution + CSN power-law MLE over a hub-heavy
+    // planted graph (each doc links to hubs drawn from moduli 4/16/64,
+    // so in-degree varies across orders of magnitude) — per-degree
+    // counts/share/ccdf (two-phase suffix-counts), alpha at dMin = 2
+    // round-6.
+    "q_x121_degree_powerlaw" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 7 + j) % math.pow(4, j).toLong): _*))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.Communities.degreePowerLaw(es, "src", "dst", dMin = 2)
+        .orderBy(col("degree"))
+    },
+
     // X91: per-node triangle counts + clustering coefficient over the
     // same planted block graph as q_x85 (dense 16-doc blocks are
     // triangle-rich; the coefficient is an exact-integer division).
@@ -666,6 +682,40 @@ object GraphQueries {
     "q_x97_weighted_pagerank" -> weightedPageRankOracle,
     "q_x93_kcore" -> kCoreOracle,
     "q_x91_triangle_count" -> triangleOracle,
+    // Same undirected degree table; suffix-count ccdf mirrors the
+    // two-phase prefix sums; alpha = 1 + nt/Σ c·ln(d/2) round-6.
+    "q_x121_degree_powerlaw" ->
+      """WITH ed0 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id * 7 + j) % CAST(pow(4, j) AS BIGINT) AS dst
+        |    FROM documents, range(1, 4) AS r(j))
+        |  WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b FROM ed0),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY v),
+        |byd AS (SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |        FROM deg GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byd),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM byd),
+        |fit AS (
+        |  SELECT CAST(sum(n_nodes) AS BIGINT) AS nt,
+        |    sum(CAST(n_nodes AS DOUBLE)
+        |      * ln(CAST(degree AS DOUBLE) / 2.0)) AS lnsum
+        |  FROM byd WHERE degree >= 2)
+        |SELECT degree, n_nodes,
+        |  CAST(n_nodes AS DOUBLE) / CAST((SELECT n FROM t) AS DOUBLE)
+        |    AS share,
+        |  CAST(cum AS DOUBLE) / CAST((SELECT n FROM t) AS DOUBLE)
+        |    AS ccdf,
+        |  CAST(2 AS BIGINT) AS d_min, (SELECT nt FROM fit) AS n_tail,
+        |  round(CASE WHEN (SELECT lnsum FROM fit) > 0
+        |    THEN 1.0 + CAST((SELECT nt FROM fit) AS DOUBLE)
+        |      / (SELECT lnsum FROM fit) END, 6) AS alpha
+        |FROM r ORDER BY degree""".stripMargin,
     "q_x85_label_propagation" -> labelPropagationOracle,
     "q_x86_hits" -> hitsOracle,
     "q_x84_personalized_pagerank" -> personalizedPageRankOracle,

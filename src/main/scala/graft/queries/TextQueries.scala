@@ -827,6 +827,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X120: vocabulary coverage curve — corpus token share covered by
+    // the top-{5,10,20,30} types under (count desc, token) order (the
+    // synthetic corpus has 31 types); two-phase prefix sums, exact
+    // counts, one division.
+    "q_x120_vocab_coverage" -> { (s, dir) =>
+      graft.text.TextStats.vocabCoverage(t(s, dir, "documents"),
+        "text", ks = Seq(5L, 10L, 20L, 30L))
+        .orderBy(col("k"))
+    },
+
     // X118: unigram KL/JS divergence contributors — English vs the
     // rest of the corpus; top-20 tokens by |KL contribution| over
     // add-half smoothed joint-vocabulary probabilities.
@@ -3663,6 +3673,28 @@ object TextQueries {
          |       WHEN r * 10 <= 9 * n THEN 'val'
          |       ELSE 'test' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Same (count desc, token) total order, window cumsum mirror of
+    // the two-phase prefix sums.
+    "q_x120_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+        |      AS token
+        |    FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY c DESC, token)
+        |      AS BIGINT) AS rank,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)
+        |SELECT rank AS k, cum AS covered_tokens,
+        |  (SELECT total FROM t) AS total_tokens,
+        |  CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+        |    AS coverage
+        |FROM r WHERE rank IN (5, 10, 20, 30) ORDER BY k""".stripMargin,
     // Same add-half smoothing over the joint vocab, same fixed IEEE
     // expressions, same round-6 |kl| desc / token ranking.
     "q_x118_unigram_divergence" ->

@@ -898,6 +898,41 @@ object TextStats {
         coalesce(col("registered_domain").isin(blocked: _*), lit(false)))
   }
 
+  /** X120: VOCABULARY COVERAGE CURVE — "what fraction of corpus
+    * tokens does a top-k vocabulary cover": the first number a
+    * tokenizer design fixes (the k where coverage crosses 99.x%
+    * decides the vocab budget; everything past it lands on <unk> or
+    * byte fallbacks). For each requested k (with k ≤ #types), the
+    * cumulative token count of the k most frequent types under the
+    * total (count desc, token) order, as an exact share.
+    *
+    * Scale: one map-side-combined token aggregate, then the two-phase
+    * prefix sum ([[graft.relational.Ranks.prefixSums]]) carrying BOTH
+    * the rank and the cumulative count — no global-order window at
+    * any vocabulary size; the output is |ks| rows picked by rank.
+    * Counts exact; coverage is one correctly-rounded division.
+    * Output: (k, covered_tokens, total_tokens, coverage), one row per
+    * requested k that exists (k > #types emits nothing — documented). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      ks: Seq[Long] = Seq(100L, 1000L, 10000L, 50000L)): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage: no k values")
+    ks.foreach(k => require(k >= 1, s"k must be >= 1, got $k"))
+    val counts = df
+      .select(explode(graft.text.Dedup.words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val (ranked, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      counts, Seq(col("__c").desc, col("token")),
+      Seq("__rank" -> lit(1L), "__cum" -> col("__c")))
+    val total = totals(1)
+    require(total > 0, "vocabCoverage: empty corpus")
+    ranked.filter(col("__rank").isin(ks: _*))
+      .select(col("__rank").as("k"), col("__cum").as("covered_tokens"),
+        lit(total).as("total_tokens"),
+        (col("__cum").cast("double") / lit(total.toDouble))
+          .as("coverage"))
+  }
+
   /** X118: UNIGRAM DIVERGENCE between two corpora — the vocabulary-
     * drift monitor mixture designers run when a new source lands:
     * which tokens are most over/under-represented in corpus A vs

@@ -82,6 +82,35 @@ class CommunitiesSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "degreePowerLaw (X121)"
+
+  it should "report the exact star-graph distribution and the CSN alpha" in {
+    // K1,5: hub degree 5 (1 node), leaves degree 1 (5 nodes)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    val rows = Communities.degreePowerLaw(star, "src", "dst", dMin = 2)
+      .as[(Long, Long, Double, Double, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    rows(1L)._2 shouldBe 5L
+    rows(1L)._3 shouldBe 5.0 / 6 // share
+    rows(1L)._4 shouldBe 1.0     // ccdf: all nodes have degree >= 1
+    rows(5L)._2 shouldBe 1L
+    rows(5L)._4 shouldBe 1.0 / 6
+    // tail = the hub alone: alpha = 1 + 1/ln(5/2)
+    val alpha = 1.0 + 1.0 / math.log(2.5)
+    rows(1L)._7.get shouldBe alpha +- 1e-6
+    rows(1L)._6 shouldBe 1L // n_tail
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "yield NULL alpha when the tail has zero ln-mass" in {
+    // triangle: every degree = 2 = dMin -> Σ c·ln(d/dMin) = 0
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Communities.degreePowerLaw(tri, "src", "dst", dMin = 2)
+      .select(col("alpha")).as[Option[Double]].collect()
+    r.foreach(_ shouldBe None)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "kCore"
 
   it should "peel a tail off a K4 and keep the core" in {

@@ -282,6 +282,29 @@ class EventFunctionsSpec extends SparkSpec {
     m(1L) shouldBe 5.0
   }
 
+  behavior of "gapQuantiles (E22)"
+
+  it should "pick type-1 quantiles of hand-computed same-type gaps" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 type A at +0/+10/+30/+100s -> gaps {10, 20, 70};
+    // a type-B event in between must NOT split the A-gaps
+    val ev = Seq(
+      (1L, "A", ts("2024-01-05 10:00:00"), 1L),
+      (1L, "B", ts("2024-01-05 10:00:05"), 2L),
+      (1L, "A", ts("2024-01-05 10:00:10"), 3L),
+      (1L, "A", ts("2024-01-05 10:00:30"), 4L),
+      (1L, "A", ts("2024-01-05 10:01:40"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.events.EventFeatures.gapQuantiles(ev)
+      .filter(col("event_type") === "A")
+      .select(col("quantile"), col("value"))
+      .as[(String, Long)].collect().toMap
+    r shouldBe Map("p25" -> 10L, "p50" -> 20L, "p75" -> 70L,
+      "p90" -> 70L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "touchAttribution (W17)"
 
   it should "credit hand-computed first/last touches, window them, and bucket organic as (none)" in {

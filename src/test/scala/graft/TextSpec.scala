@@ -1106,6 +1106,20 @@ class TextSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "vocabCoverage (X120)" should "report exact cumulative shares under the (count desc, token) order" in {
+    // counts: a=3, b=2, c=1 -> k=1: 3/6, k=2: 5/6, k=3: 6/6
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = graft.text.TextStats.vocabCoverage(docs, "text",
+        ks = Seq(1L, 2L, 3L, 10L))
+      .select(col("k"), col("covered_tokens"), col("coverage"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    r.length shouldBe 3 // k=10 > #types: no row, never a wrong row
+    r(0) shouldBe ((1L, 3L, 0.5))
+    r(1) shouldBe ((2L, 5L, 5.0 / 6))
+    r(2) shouldBe ((3L, 6L, 1.0))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "unigramDivergence (X118)" should "rank over/under-represented tokens with hand-checked smoothed probabilities" in {
     // A tokens: a,a,b (Na=3); B tokens: a,c (Nb=2); joint V=3
     // pa(b) = 1.5/4.5, pb(b) = 0.5/3.5 -> strong positive KL (over-rep
