@@ -448,15 +448,23 @@ object EventFunctions {
     * exact; `share` is one correctly-rounded division — bit-identical
     * cross-engine, no rounding. */
   def landingExitReport(events: DataFrame, timeoutSec: Long,
-      c: EventCols = EventCols()): DataFrame = {
-    val per = sessionize(events, timeoutSec, c)
+      c: EventCols = EventCols()): DataFrame =
+    landingExitFromSessions(sessionize(events, timeoutSec, c)
       .groupBy(col(c.entity), col("session_id"))
       .agg(
         min_by(col(c.eventType), struct(col(c.ts), col(c.id)))
           .as("__landing"),
         max_by(col(c.eventType), struct(col(c.ts), col(c.id)))
           .as("__exit"),
-        org.apache.spark.sql.functions.count(lit(1)).as("__ne"))
+        org.apache.spark.sql.functions.count(lit(1)).as("__ne")))
+
+  /** The W16 report kernel over an already-built per-session
+    * (__landing, __exit, __ne) table — shared verbatim by
+    * [[landingExitReport]] and the streaming session-fragment view
+    * ([[graft.streaming.StreamingEvents.landingExitView]]), which is
+    * what makes the streaming monitor's batch-parity exact. */
+  private[graft] def landingExitFromSessions(per: DataFrame)
+      : DataFrame = {
     val perC = graft.util.Caches.persistTracked(per)
     val total = perC.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("__tot"))

@@ -888,6 +888,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X122: dedup yield report — X17 cluster-size histogram + corpus
+    // headline numbers (clustered docs, keep-one-per-cluster yield,
+    // dup rate).
+    "q_x122_dedup_yield" -> { (s, dir) =>
+      Dedup.dedupYieldReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("cluster_size"))
+    },
+
+    // F23: retrieval ranking metrics — per-language "query" over docs
+    // ranked by (n_chars desc, doc_id) top-10, relevance = language
+    // match; exact p@k/recall/RR ratios, round-6 DCG/NDCG.
+    "q_f23_retrieval_metrics" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val langs = docs.select(col("lang").as("query_id")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val results = broadcast(langs).crossJoin(
+          docs.select(col("doc_id"), col("n_chars")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val labels = docs.select(col("lang").as("query_id"),
+        col("doc_id"))
+      graft.text.Retrieval.retrievalMetrics(results, labels, k = 10)
+        .orderBy(col("query_id"))
+    },
+
     // X116: exact-Jaccard refinement of the X17 clusters — within each
     // cluster, member pairs re-verified at J >= 0.5 over distinct
     // 3-shingles; the verified edge graph re-closed so LSH-glued
@@ -3130,6 +3157,79 @@ object TextQueries {
          |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
          |  v = min(r) AS is_canonical
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // Same X17 closure, rolled up to cluster sizes + scalar summary.
+    "q_x122_dedup_yield" ->
+      s"""WITH RECURSIVE ${minhashNmCte()},
+         |pairs AS (SELECT doc_a, doc_b FROM nm WHERE n_match >= 8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a),
+         |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY v),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+         |       FROM cl GROUP BY 1),
+         |su AS (SELECT CAST(count(*) AS BIGINT) AS ncl,
+         |         CAST(coalesce(sum(s), 0) AS BIGINT) AS ndocs FROM sz),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(s) AS BIGINT) AS n_docs,
+         |  (SELECT n FROM tot) AS corpus_docs,
+         |  (SELECT ndocs FROM su) AS clustered_docs,
+         |  (SELECT n FROM tot) - (SELECT ndocs FROM su)
+         |    + (SELECT ncl FROM su) AS docs_kept,
+         |  CAST((SELECT ndocs FROM su) - (SELECT ncl FROM su) AS DOUBLE)
+         |    / CAST((SELECT n FROM tot) AS DOUBLE) AS dup_rate
+         |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin,
+    // Same per-lang ranking fixture, same exact ratios and k-bounded
+    // log2 sums.
+    "q_f23_retrieval_metrics" ->
+      """WITH langs AS (SELECT DISTINCT lang AS query_id FROM documents),
+        |res AS (
+        |  SELECT l.query_id, d.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY l.query_id
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT) AS r
+        |  FROM langs l CROSS JOIN documents d),
+        |topk AS (SELECT * FROM res WHERE r <= 10),
+        |rel AS (SELECT lang AS query_id, doc_id FROM documents),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |         FROM rel GROUP BY 1),
+        |j AS (
+        |  SELECT t.query_id, t.r, (rel.doc_id IS NOT NULL) AS hit
+        |  FROM topk t LEFT JOIN rel ON rel.query_id = t.query_id
+        |    AND rel.doc_id = t.doc_id),
+        |perq AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits,
+        |    min(CASE WHEN hit THEN r END) AS minr,
+        |    sum(CASE WHEN hit
+        |      THEN 1.0 / log2(CAST(r AS DOUBLE) + 1.0) END) AS dcg
+        |  FROM j GROUP BY 1),
+        |wn AS (
+        |  SELECT p.query_id, p.hits, p.minr, p.dcg,
+        |    coalesce(n.n_rel, 0) AS n_rel
+        |  FROM perq p LEFT JOIN nrel n USING (query_id)),
+        |idcg AS (
+        |  SELECT query_id,
+        |    sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS idcg
+        |  FROM (SELECT query_id,
+        |          unnest(range(1, least(10, n_rel) + 1)) AS i
+        |        FROM wn WHERE n_rel > 0)
+        |  GROUP BY 1)
+        |SELECT wn.query_id, wn.n_rel, wn.hits AS hits_at_k,
+        |  CAST(wn.hits AS DOUBLE) / 10.0 AS p_at_k,
+        |  CASE WHEN wn.n_rel > 0 THEN CAST(wn.hits AS DOUBLE)
+        |    / CAST(wn.n_rel AS DOUBLE) END AS recall_at_k,
+        |  coalesce(1.0 / CAST(wn.minr AS DOUBLE), 0.0)
+        |    AS reciprocal_rank,
+        |  round(coalesce(wn.dcg, 0.0), 6) AS dcg,
+        |  round(CASE WHEN idcg.idcg > 0
+        |    THEN coalesce(wn.dcg, 0.0) / idcg.idcg END, 6) AS ndcg
+        |FROM wn LEFT JOIN idcg USING (query_id)
+        |ORDER BY wn.query_id""".stripMargin,
     // X116: the X17 closure, then exact distinct-3-shingle Jaccard on
     // within-cluster pairs (sharing >= 1 shingle), the verified edges
     // re-closed by a second recursive reach; unverified members fall

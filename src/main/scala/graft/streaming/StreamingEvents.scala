@@ -562,6 +562,81 @@ object StreamingEvents {
         .groupBy(col(keyCol), col("day"))
         .agg(sum(col("x")).as("__x")), keyCol)
 
+  /** Streaming LANDING/EXIT monitor (the W16 matrix over a stream):
+    * the same session-fragment discipline as [[sequentialRuleSink]],
+    * with richer fragments — each micro-batch persists per
+    * (entity, batch-session) the event count and the FIRST/LAST
+    * (ts, id, type) triples. First/last compose under fragment merge
+    * (the merged session's landing is the min-(ts, id) fragment
+    * first, exit the max-(ts, id) fragment last — even when an
+    * out-of-order batch PREPENDS earlier events to a seen session),
+    * so the view rebuilds exactly the batch W16 report over the
+    * union (spec-proven). Replays overwrite their batch directory:
+    * idempotent. */
+  def sessionStatsSink(events: DataFrame, timeoutSec: Long,
+      fragDir: String, checkpointDir: String,
+      c: graft.events.EventCols = graft.events.EventCols())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) sessionStatsBatch(batch.toDF(), batchId,
+          timeoutSec, fragDir, c)
+      }
+      .start()
+
+  /** One micro-batch of [[sessionStatsSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def sessionStatsBatch(batch: DataFrame, batchId: Long,
+      timeoutSec: Long, fragDir: String,
+      c: graft.events.EventCols): Unit = {
+    graft.events.EventFunctions.sessionize(batch, timeoutSec, c)
+      .groupBy(col(c.entity), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col(c.ts), col(c.id), col(c.eventType))).as("__f"),
+        max(struct(col(c.ts), col(c.id), col(c.eventType))).as("__l"))
+      .select(col(c.entity), col("session_id"), col("n_events"),
+        col("__f").getField(c.ts).as("first_ts"),
+        col("__f").getField(c.id).as("first_id"),
+        col("__f").getField(c.eventType).as("first_type"),
+        col("__l").getField(c.ts).as("last_ts"),
+        col("__l").getField(c.id).as("last_id"),
+        col("__l").getField(c.eventType).as("last_type"))
+      .write.mode("overwrite").parquet(s"$fragDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[sessionStatsSink]] directory: the
+    * W16 landing/exit matrix over the merged fragments — the same
+    * entity-keyed hull sweep as [[sequentialRulesView]], then
+    * min/max-(ts, id) composition of first/last, then the shared W16
+    * kernel. */
+  def landingExitView(spark: org.apache.spark.sql.SparkSession,
+      fragDir: String, timeoutSec: Long,
+      c: graft.events.EventCols = graft.events.EventCols()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(fragDir)
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col("first_ts"), col("first_id"), col("batch_id"),
+        col("session_id"))
+    val prevEnd = max(unix_timestamp(col("last_ts")))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = rows
+      .withColumn("__new", when(prevEnd.isNull ||
+        unix_timestamp(col("first_ts")) - prevEnd > timeoutSec, 1)
+        .otherwise(0))
+      .withColumn("__ms", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val per = merged.groupBy(col(c.entity), col("__ms"))
+      .agg(
+        min_by(col("first_type"), struct(col("first_ts"),
+          col("first_id"))).as("__landing"),
+        max_by(col("last_type"), struct(col("last_ts"),
+          col("last_id"))).as("__exit"),
+        sum(col("n_events")).as("__ne"))
+    graft.events.EventFunctions.landingExitFromSessions(per)
+  }
+
   /** Streaming SESSION-SPANNING sequential-rule monitor (the W14 rule
     * table over a stream): each micro-batch sessionizes ITS OWN events
     * and persists per-(entity, batch-session, type) ts-min/max

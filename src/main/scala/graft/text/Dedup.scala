@@ -743,6 +743,40 @@ object Dedup {
         (col("v") === col("component")).as("is_canonical"))
   }
 
+  /** X122: DEDUP YIELD REPORT — the corpus-level summary a dedup run
+    * is judged by before anyone looks at pairs: the X17 cluster-size
+    * histogram (how many 2-doc near-dup pairs vs 1000-doc boilerplate
+    * families) plus the headline numbers — clustered docs, docs kept
+    * under keep-one-per-cluster, and the duplicate rate. The size
+    * histogram is what catches a too-loose LSH threshold (a giant
+    * glued cluster) at a glance.
+    *
+    * Scale: prices the X17 chain; everything after is cluster-sized
+    * aggregates. Counts exact; `dup_rate` is one division. Output:
+    * one row per distinct cluster size — (cluster_size, n_clusters,
+    * n_docs, corpus_docs, clustered_docs, docs_kept, dup_rate). */
+  def dedupYieldReport(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8): DataFrame = {
+    val total = df.count()
+    require(total > 0, "dedupYieldReport: empty corpus")
+    val sizes = graft.util.Caches.persistTracked(
+      nearDuplicateClusters(df, idCol, textCol, shingleN, k, bands,
+        minMatch)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz")))
+    val summary = sizes.agg(count(lit(1)).as("__ncl"),
+      coalesce(sum(col("__sz")), lit(0L)).as("__ndocs"))
+    sizes.groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+      .crossJoin(broadcast(summary))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        lit(total).as("corpus_docs"),
+        col("__ndocs").as("clustered_docs"),
+        (lit(total) - col("__ndocs") + col("__ncl")).as("docs_kept"),
+        ((col("__ndocs") - col("__ncl")).cast("double") /
+          lit(total.toDouble)).as("dup_rate"))
+  }
+
   /** X116: per-cluster AGGLOMERATIVE REFINEMENT of LSH near-dup
     * clusters by EXACT Jaccard — the false-positive audit of the X17
     * transitive closure. Banded MinHash admits pairs below the real

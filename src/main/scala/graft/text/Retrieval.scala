@@ -117,4 +117,67 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("lex_rank"),
         col("sem_rank"), col("rrf_score"), col("rank"))
   }
+
+  /** F23: RETRIEVAL RANKING METRICS — precision@k, recall@k,
+    * reciprocal rank, DCG@k and NDCG@k per query (standard IR eval,
+    * public knowledge) over any ranked result table ([[bm25Search]],
+    * [[rrfFuse]], the ANN top-k operators) joined to a relevance
+    * label set. The per-query TABLE, not just the means — a mean
+    * hides exactly the failing queries an operator tunes on.
+    *
+    * Exactness: hits, precision, recall and reciprocal rank are exact
+    * integer ratios (one correctly-rounded division each — no
+    * tolerance); DCG/IDCG/NDCG carry ≤ k-term 1/log2 sums and are
+    * rounded to 6 (the D6 convention). IDCG's ideal ranks come from a
+    * bounded `sequence(1, min(k, n_rel))` explode — never a
+    * cross-join. Queries with no relevant documents get NULL
+    * recall/NDCG rather than a division error.
+    *
+    * Scale: results pre-filtered to rank ≤ k (k-bounded per query),
+    * one equi-join to labels, query-keyed aggregates throughout.
+    * Output: (query_id, n_rel, hits_at_k, p_at_k, recall_at_k,
+    * reciprocal_rank, dcg, ndcg). */
+  def retrievalMetrics(results: DataFrame, labels: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = labels.select(col("query_id"), col("doc_id"),
+      lit(1).as("__rel"))
+    val nrel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val topk = results
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("__r"))
+      .filter(col("__r") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+    val perQ = topk.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L))
+          .as("hits_at_k"),
+        min(when(col("__rel").isNotNull, col("__r"))).as("__minr"),
+        sum(when(col("__rel").isNotNull,
+          lit(1.0) / log2(col("__r").cast("double") + lit(1.0))))
+          .as("__dcg"))
+    val withN = graft.util.Caches.persistTracked(
+      perQ.join(nrel, Seq("query_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L))))
+    val idcg = withN.filter(col("n_rel") > 0)
+      .select(col("query_id"),
+        explode(sequence(lit(1L), least(lit(k.toLong), col("n_rel"))))
+          .as("__i"))
+      .groupBy(col("query_id"))
+      .agg(sum(lit(1.0) / log2(col("__i").cast("double") + lit(1.0)))
+        .as("__idcg"))
+    withN.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"), col("hits_at_k"),
+        (col("hits_at_k").cast("double") / lit(k.toDouble))
+          .as("p_at_k"),
+        when(col("n_rel") > 0, col("hits_at_k").cast("double") /
+          col("n_rel").cast("double")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("__minr").cast("double"), lit(0.0))
+          .as("reciprocal_rank"),
+        round(coalesce(col("__dcg"), lit(0.0)), 6).as("dcg"),
+        round(when(col("__idcg") > 0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg")), 6)
+          .as("ndcg"))
+  }
 }

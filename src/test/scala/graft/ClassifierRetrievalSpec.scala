@@ -325,6 +325,40 @@ class ClassifierRetrievalSpec extends SparkSpec {
     Retrieval.rrfFuse(lex, sem, k = 1).count() shouldBe 1L
   }
 
+  behavior of "Retrieval.retrievalMetrics (F23)"
+
+  it should "compute hand-checked p@k, recall, RR, DCG and NDCG incl. the no-relevant query" in {
+    import spark.implicits._
+    // q1: retrieved [1,2,3], relevant {2, 9} -> hits 1, p 1/3,
+    // recall 1/2, rr 1/2, dcg = 1/log2(3), idcg = 1 + 1/log2(3)
+    // q2: retrieved [4], relevant {4} -> perfect
+    // q3: retrieved [5], nothing relevant anywhere
+    val results = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L),
+      ("q2", 4L, 1L), ("q3", 5L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val labels = Seq(("q1", 2L), ("q1", 9L), ("q2", 4L))
+      .toDF("query_id", "doc_id")
+    val r = graft.text.Retrieval.retrievalMetrics(results, labels,
+        k = 3)
+      .as[(String, Long, Long, Double, Option[Double], Double,
+        Double, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    val dcg1 = 1.0 / (math.log(3.0) / math.log(2.0))
+    r("q1")._2 shouldBe 2L
+    r("q1")._3 shouldBe 1L
+    r("q1")._4 shouldBe (1.0 / 3) +- 1e-15
+    r("q1")._5.get shouldBe 0.5 +- 1e-15
+    r("q1")._6 shouldBe 0.5 +- 1e-15
+    r("q1")._7 shouldBe dcg1 +- 1e-6
+    r("q1")._8.get shouldBe (dcg1 / (1.0 + dcg1)) +- 1e-6
+    r("q2")._8.get shouldBe 1.0
+    r("q2")._6 shouldBe 1.0
+    r("q3")._5 shouldBe None // no relevant docs: NULL, not an error
+    r("q3")._6 shouldBe 0.0
+    r("q3")._8 shouldBe None
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Eval.rocAuc (F22)"
 
   it should "hit the exact endpoints and a hand-computed tied case" in {

@@ -495,6 +495,50 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "rebuild the landing/exit matrix from session fragments, incl. an out-of-order prepend" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssx").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val timeout = 1800L
+    // user 1: session spans batches (landing view, exit purchase);
+    // user 2: batch 1 sees only [09:40 purchase]; batch 2 PREPENDS
+    // [09:15 view] (gap 1500 <= timeout) -> the merged session's
+    // landing must flip to view (first/last compose under merge)
+    val b1 = Seq(
+      (1L, "view", ts("2024-01-05 10:00:00"), 1L),
+      (2L, "purchase", ts("2024-01-05 09:40:00"), 2L))
+    val b2 = Seq(
+      (1L, "purchase", ts("2024-01-05 10:20:00"), 3L),
+      (2L, "view", ts("2024-01-05 09:15:00"), 4L))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingEvents.sessionStatsSink(
+      in.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      timeout, s"$tmp/frags", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(graft.events.EventFunctions.landingExitReport(
+      (b1 ++ b2).toDF("user_id", "event_type", "ts", "event_id"),
+      timeout))
+    val view = rows(StreamingEvents.landingExitView(spark,
+      s"$tmp/frags", timeout))
+    view shouldBe batch
+    // both users: landing view, exit purchase, no bounces
+    view.map(t => (t._1, t._2, t._3)) shouldBe
+      Seq(("view", "purchase", 2L))
+    // replay: rewriting batch 0's partition leaves the view identical
+    StreamingEvents.sessionStatsBatch(
+      b1.toDF("user_id", "event_type", "ts", "event_id"), 0L, timeout,
+      s"$tmp/frags", graft.events.EventCols())
+    rows(StreamingEvents.landingExitView(spark, s"$tmp/frags",
+      timeout)) shouldBe batch
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "maintain PCA moments whose covariance view equals the one-pass batch covariance" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_smo").toString

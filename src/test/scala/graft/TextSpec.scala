@@ -1106,6 +1106,21 @@ class TextSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "dedupYieldReport (X122)" should "report the hand-computed size histogram and yield" in {
+    // 2 identical docs (one cluster of 2) + 2 unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "red orange yellow green blue indigo"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Dedup.dedupYieldReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    r.length shouldBe 1
+    r.head shouldBe ((2L, 1L, 2L, 4L, 2L, 3L, 0.25))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "vocabCoverage (X120)" should "report exact cumulative shares under the (count desc, token) order" in {
     // counts: a=3, b=2, c=1 -> k=1: 3/6, k=2: 5/6, k=3: 6/6
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
