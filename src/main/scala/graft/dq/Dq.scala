@@ -147,6 +147,38 @@ object Dq {
       "num_min", "num_max", "num_mean", "str_min", "str_max")
   }
 
+  /** D13: REFERENTIAL-INTEGRITY sweep — orphan-FK rates for a set of
+    * (child.fk → parent.pk) relationships in one report: row count,
+    * NULL-FK count (NULL is "no reference", not an orphan — the SQL
+    * convention), orphan count (non-NULL fk with no parent), orphan
+    * rate. The first data-quality gate on any star/vault load: a
+    * nonzero orphan rate after a load means the dimension arrived
+    * late or the extractor dropped rows.
+    *
+    * Scale: per check, one aggregate scan of the child plus one
+    * LEFT ANTI join against the DISTINCT parent keys (shuffle or
+    * broadcast per Catalyst's choice) — never a row-level diff.
+    * Counts exact; the rate is one division. Output: one row per
+    * check — (check, n_rows, n_null_fk, n_orphans, orphan_rate). */
+  def referentialIntegrity(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(checks.nonEmpty, "referentialIntegrity: no checks")
+    checks.map { case (name, child, fk, parent, pk) =>
+      val base = child.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
+        .join(parent.select(col(pk)).distinct(),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(broadcast(orphans))
+        .select(lit(name).as("check"), col("n_rows"), col("n_null_fk"),
+          col("n_orphans"),
+          when(col("n_rows") > 0, col("n_orphans").cast("double") /
+            col("n_rows").cast("double")).as("orphan_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** D6: CHI-SQUARE CATEGORICAL DRIFT — the PSI complement for
     * categorical features (language mix, source mix, event-type mix):
     * `chi2 = Σ_cats (o_i − e_i)²/e_i` with observed = current counts

@@ -123,6 +123,19 @@ object DqQueries {
         col("n_chars"))
     },
 
+    // D13: referential-integrity sweep — orphan-FK rates for the star
+    // relationships in one report; exact counts, one division each.
+    "q_d13_referential" -> { (s, dir) =>
+      graft.dq.Dq.referentialIntegrity(Seq(
+        ("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        ("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey")))
+        .orderBy(col("check"))
+    },
+
     // D12: robust MAD outlier flags for document length per source —
     // type-1 medians by integer rank, k = 3 deviations.
     "q_d12_mad_outliers" -> { (s, dir) =>
@@ -274,6 +287,51 @@ object DqQueries {
         |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
         |FROM a""".stripMargin,
+    // Same per-check count aggregate + NOT EXISTS orphan count.
+    "q_d13_referential" ->
+      """WITH b1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_fk FROM orders),
+        |x1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)),
+        |b2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_fk FROM lineitem),
+        |x2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM lineitem li
+        |  WHERE li.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)),
+        |b3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_fk FROM lineitem),
+        |x3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM lineitem li
+        |  WHERE li.l_partkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM part WHERE p_partkey = li.l_partkey))
+        |SELECT * FROM (
+        |  SELECT 'orders.o_custkey->customer' AS "check", b1.n_rows,
+        |    b1.n_null_fk, x1.n_orphans,
+        |    CASE WHEN b1.n_rows > 0 THEN CAST(x1.n_orphans AS DOUBLE)
+        |      / CAST(b1.n_rows AS DOUBLE) END AS orphan_rate
+        |  FROM b1, x1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', b2.n_rows,
+        |    b2.n_null_fk, x2.n_orphans,
+        |    CASE WHEN b2.n_rows > 0 THEN CAST(x2.n_orphans AS DOUBLE)
+        |      / CAST(b2.n_rows AS DOUBLE) END
+        |  FROM b2, x2
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', b3.n_rows, b3.n_null_fk,
+        |    x3.n_orphans,
+        |    CASE WHEN b3.n_rows > 0 THEN CAST(x3.n_orphans AS DOUBLE)
+        |      / CAST(b3.n_rows AS DOUBLE) END
+        |  FROM b3, x3)
+        |ORDER BY "check"""".stripMargin,
     // Same type-1 integer-rank medians (rank = (n+1) // 2 under the
     // (value, id) / (dev, id) total orders), same k*MAD compare.
     "q_d12_mad_outliers" ->

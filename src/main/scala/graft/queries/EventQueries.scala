@@ -35,6 +35,27 @@ object EventQueries {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     },
 
+    // F24: point-in-time training set — each purchase label picks up
+    // the latest view and click feature rows at or before its own ts
+    // (7-day staleness horizon voids older features); leakage-free by
+    // construction, per-table prefixed columns.
+    "q_f24_pt_training_set" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("v"),
+          count(lit(1)).as("n"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n"))
+      graft.relational.Joins.pointInTimeTrainingSet(labels,
+        Seq("view" -> views, "click" -> clicks), Seq("user_id"),
+        "ts", "ts", toleranceSec = Some(7L * 86400))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
     // E10: per-event trailing rolling features (1-day window) over
     // purchases — the leakage-safe velocity-feature shape.
     "q_e10_trailing_window" -> { (s, dir) =>
@@ -456,6 +477,40 @@ object EventQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.ts, l.event_id""".stripMargin,
+    // Two chained native ASOF LEFT JOINs; the 7-day tolerance voids
+    // the ENTIRE matched payload (values and asof_ts together), same
+    // as the operator's struct-carry semantics.
+    "q_f24_pt_training_set" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_v,
+        |    CAST(count(*) AS BIGINT) AS view_n
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, ts, CAST(count(*) AS BIGINT) AS click_n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j1 AS (
+        |  SELECT l.user_id, l.ts, l.event_id,
+        |    CASE WHEN v.ts >= l.ts - INTERVAL 604800 SECOND
+        |      THEN v.view_v END AS view_v,
+        |    CASE WHEN v.ts >= l.ts - INTERVAL 604800 SECOND
+        |      THEN v.view_n END AS view_n,
+        |    CASE WHEN v.ts >= l.ts - INTERVAL 604800 SECOND
+        |      THEN v.ts END AS view_asof_ts
+        |  FROM l ASOF LEFT JOIN v
+        |    ON l.user_id = v.user_id AND l.ts >= v.ts),
+        |j2 AS (
+        |  SELECT j1.user_id, j1.ts, j1.event_id, j1.view_v, j1.view_n,
+        |    j1.view_asof_ts,
+        |    CASE WHEN c.ts >= j1.ts - INTERVAL 604800 SECOND
+        |      THEN c.click_n END AS click_n,
+        |    CASE WHEN c.ts >= j1.ts - INTERVAL 604800 SECOND
+        |      THEN c.ts END AS click_asof_ts
+        |  FROM j1 ASOF LEFT JOIN c
+        |    ON j1.user_id = c.user_id AND j1.ts >= c.ts)
+        |SELECT * FROM j2 ORDER BY user_id, ts, event_id""".stripMargin,
     "q_a3_event_interval_agg" ->
       s"""SELECT user_id, count(1) AS n, count(DISTINCT value) AS n_unique,
          |  round(sum(value), 2) AS sum_value

@@ -140,6 +140,47 @@ object Joins {
         keep.getField("__rts").as("asof_ts"): _*)
   }
 
+  /** F24: POINT-IN-TIME TRAINING SET — the feature-store flagship: a
+    * label table (entity, label ts) picks up, from EVERY feature
+    * table, the latest feature row at or before the label timestamp —
+    * one [[asOfJoin]] per feature table, folded left. This is the
+    * operation that makes offline training sets leakage-free by
+    * construction: a feature row with ts AFTER the label can never be
+    * selected (the as-of window only looks backward), and
+    * `toleranceSec` additionally voids features staler than the
+    * horizon, so silently-dead feature pipelines surface as NULLs
+    * instead of stale values.
+    *
+    * Column hygiene: every feature table's value columns (and its
+    * `asof_ts`) are prefixed `<name>_`, so any number of single-column
+    * or wide feature tables compose without collisions; duplicate
+    * prefixes fail loud.
+    *
+    * Scale: k as-of joins, each ONE entity-keyed exchange of
+    * labels ∪ that feature table (the [[asOfJoin]] union-window shape
+    * — never a per-label range probe); feature tables are touched
+    * once each. */
+  def pointInTimeTrainingSet(labels: DataFrame,
+      features: Seq[(String, DataFrame)], keys: Seq[String],
+      labelTs: String, featureTs: String,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(features.nonEmpty, "pointInTimeTrainingSet: no feature tables")
+    val names = features.map(_._1)
+    require(names.distinct.size == names.size,
+      s"pointInTimeTrainingSet: duplicate feature prefixes " +
+        s"${names.diff(names.distinct).distinct.mkString(", ")}")
+    names.foreach(n => require(n.nonEmpty,
+      "pointInTimeTrainingSet: empty feature prefix"))
+    features.foldLeft(labels) { case (acc, (prefix, ft)) =>
+      val renamed = ft.columns.foldLeft(ft) { (d, c) =>
+        if (keys.contains(c) || c == featureTs) d
+        else d.withColumnRenamed(c, s"${prefix}_$c")
+      }
+      asOfJoin(acc, renamed, keys, labelTs, featureTs, toleranceSec)
+        .withColumnRenamed("asof_ts", s"${prefix}_asof_ts")
+    }
+  }
+
   /** Write both sides bucketed on the join key so subsequent joins are
     * exchange-free: `bucketBy` hashes rows into `buckets` files per
     * partition at WRITE time; a later join of two tables bucketed on the

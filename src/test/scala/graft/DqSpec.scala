@@ -254,4 +254,18 @@ class DqSpec extends SparkSpec {
     rows.map(_._2).sum shouldBe 100L
     graft.util.Caches.releaseAll(spark)
   }
+
+  "referentialIntegrity (D13)" should "count orphans and NULL FKs per relationship" in {
+    import spark.implicits._
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val child = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(7L)), // 7: orphan
+      (13L, Option.empty[Long]))                         // NULL: not one
+      .toDF("id", "fk")
+    val r = graft.dq.Dq.referentialIntegrity(Seq(
+        ("c->p", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    r shouldBe (("c->p", 4L, 1L, 1L, Some(0.25)))
+    graft.util.Caches.releaseAll(spark)
+  }
 }

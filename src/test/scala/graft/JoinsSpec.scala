@@ -67,6 +67,38 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  "pointInTimeTrainingSet (F24)" should "compose prefixed as-of features and never leak the future" in {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val labels = Seq(
+      (1L, ts("2024-01-10 12:00:00"), 100L),
+      (1L, ts("2024-01-02 12:00:00"), 101L))
+      .toDF("user", "ts", "label_id")
+    val fa = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 5.0),
+      // FUTURE feature relative to both labels: must never be picked
+      (1L, ts("2024-02-01 00:00:00"), 99.0))
+      .toDF("user", "ts", "score")
+    val fb = Seq((1L, ts("2024-01-09 00:00:00"), 7L))
+      .toDF("user", "ts", "cnt")
+    val out = Joins.pointInTimeTrainingSet(labels,
+        Seq("a" -> fa, "b" -> fb), Seq("user"), "ts", "ts",
+        toleranceSec = Some(5L * 86400))
+      .select(col("label_id"), col("a_score"), col("b_cnt"))
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // label 101 (Jan 2): a is 1.5 days old (fresh), b doesn't exist yet
+    out(101L) shouldBe ((Some(5.0), None))
+    // label 100 (Jan 10): a is 9.5 days old -> voided by the 5-day
+    // horizon; b is 1.5 days old
+    out(100L) shouldBe ((None, Some(7L)))
+    // duplicate prefixes fail loud
+    intercept[IllegalArgumentException] {
+      Joins.pointInTimeTrainingSet(labels, Seq("a" -> fa, "a" -> fb),
+        Seq("user"), "ts", "ts")
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "never manufacture a match from a NULL right timestamp" in {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // a right row with a NULL ts sorts FIRST in the ascending window; if
