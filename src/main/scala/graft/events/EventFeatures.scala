@@ -216,6 +216,100 @@ object EventFeatures {
         col("n_active"), col("retention_rate"))
   }
 
+  /** E23: COHORT LTV CURVES — cumulative value per user by cohort age
+    * (the "how much is a January user worth after 4 weeks" table that
+    * prices acquisition): users cohort by FIRST-activity week (the
+    * E11 convention), weekly value sums per (cohort, week_offset)
+    * accumulate along the offset axis, and `ltv` divides by the FIXED
+    * cohort size — so the curve is monotone and comparable across
+    * cohorts regardless of later churn.
+    *
+    * Exactness: value sums are DECIMAL (E16 discipline) and the
+    * cumulative runs over DECIMALs in a cohort-keyed ordered window
+    * (exact + associative — engine window strategy immaterial);
+    * `ltv_per_user` is one division, cast to double at output.
+    * Scale: one user aggregate, one (cohort, week) aggregate, one
+    * cohort-keyed window. Output: (cohort_week, week_offset,
+    * cohort_size, week_value, cum_value, ltv_per_user) round-2/6. */
+  def ltvCurves(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val weekly = events.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+    val firstW = weekly.groupBy(col("__u"))
+      .agg(min(col("__w")).as("cohort_week"))
+    val sizes = firstW.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val byOffset = weekly
+      .join(firstW, "__u")
+      .groupBy(col("cohort_week"),
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(coalesce(sum(col("__v")),
+        lit(0).cast("decimal(18,2)")).as("__wv"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset
+      .withColumn("__cum", sum(col("__wv")).over(cum))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("cohort_size"),
+        round(col("__wv").cast("double"), 2).as("week_value"),
+        round(col("__cum").cast("double"), 2).as("cum_value"),
+        round(col("__cum").cast("double") /
+          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+  }
+
+  /** W18: GROWTH ACCOUNTING — the weekly new / retained / resurrected
+    * / churned user ledger (the standard growth decomposition:
+    * active(w) = new + retained + resurrected; churned(w) = active in
+    * w−1, absent in w). Per distinct (user, week): first week ⇒ NEW;
+    * previous active week = w−1 ⇒ RETAINED; previous < w−1 ⇒
+    * RESURRECTED. Churn counts at the week AFTER the last sighting
+    * via `lead` — every classification is one user-keyed lag/lead
+    * window over the distinct (user, week) table, exact counts only.
+    *
+    * Output: one row per active week — (week, n_active, n_new,
+    * n_retained, n_resurrected, n_churned) where n_churned is users
+    * active the PREVIOUS week who did not return this week (reported
+    * on the week they went missing). */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val uw = events.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .distinct()
+    val lagw = Window.partitionBy(col("__u")).orderBy(col("__w"))
+    val classified = uw
+      .withColumn("__prev", lag(col("__w"), 1).over(lagw))
+      .withColumn("__cls",
+        when(col("__prev").isNull, "new")
+          .when(datediff(col("__w"), col("__prev")) === 7, "retained")
+          .otherwise("resurrected"))
+    val active = classified.groupBy(col("__w").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned at week w: active in w-7, absent in w — count at the
+    // week they went missing (lead over the same user window)
+    val churned = classified
+      .withColumn("__next", lead(col("__w"), 1).over(lagw))
+      .filter(col("__next").isNull ||
+        datediff(col("__next"), col("__w")) > 7)
+      .groupBy(expr("date_add(__w, 7)").as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("week"), "full_outer")
+      .select(col("week").cast("string").as("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** E13: ROLLING ACTIVE USERS (DAU / trailing-window WAU /
     * stickiness) — the standard engagement triple: per calendar day,
     * distinct actives that day, distinct actives over the trailing

@@ -68,6 +68,21 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // E23: cohort LTV curves — cumulative per-user value by cohort
+    // age week; DECIMAL sums + decimal cumulative window, fixed
+    // cohort-size denominator.
+    "q_e23_ltv_curves" -> { (s, dir) =>
+      graft.events.EventFeatures.ltvCurves(t(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // W18: weekly growth accounting — new/retained/resurrected per
+    // active week plus churn counted at the week users went missing.
+    "q_w18_growth_accounting" -> { (s, dir) =>
+      graft.events.EventFeatures.growthAccounting(t(s, dir, "events"))
+        .orderBy(col("week"))
+    },
+
     // E11: weekly cohort retention matrix — users grouped by
     // first-activity week, counted in every week they return.
     "q_e11_cohort_retention" -> { (s, dir) =>
@@ -399,6 +414,65 @@ object EventQueries {
         |FROM fin GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Cohort retention: Monday-aligned date_trunc both engines; the
     // offset division is exact (both ends are Mondays).
+    // Same first-activity-week cohorts, DECIMAL weekly sums + decimal
+    // cumulative window, same fixed-denominator division.
+    "q_e23_ltv_curves" ->
+      """WITH weekly AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |fw AS (SELECT u, min(w) AS cw FROM weekly GROUP BY 1),
+        |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM fw GROUP BY 1),
+        |bo AS (
+        |  SELECT f.cw,
+        |    CAST(date_diff('day', f.cw, w.w) // 7 AS BIGINT) AS off,
+        |    coalesce(sum(w.v), CAST(0 AS DECIMAL(18,2))) AS wv
+        |  FROM weekly w JOIN fw f ON f.u = w.u
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT *, sum(wv) OVER (PARTITION BY cw ORDER BY off
+        |         ROWS UNBOUNDED PRECEDING) AS cv FROM bo)
+        |SELECT CAST(cm.cw AS VARCHAR) AS cohort_week,
+        |  cm.off AS week_offset, sz.cohort_size,
+        |  round(CAST(cm.wv AS DOUBLE), 2) AS week_value,
+        |  round(CAST(cm.cv AS DOUBLE), 2) AS cum_value,
+        |  round(CAST(cm.cv AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE),
+        |    6) AS ltv_per_user
+        |FROM cm JOIN sz ON sz.cw = cm.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same distinct (user, week) lag/lead classification; churn lands
+    // on the week after the last sighting.
+    "q_w18_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events),
+        |cls AS (
+        |  SELECT u, w,
+        |    lag(w) OVER (PARTITION BY u ORDER BY w) AS prev,
+        |    lead(w) OVER (PARTITION BY u ORDER BY w) AS nxt
+        |  FROM uw),
+        |act AS (
+        |  SELECT w AS week, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev = w - 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < w - 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1),
+        |ch AS (
+        |  SELECT w + 7 AS week, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM cls WHERE nxt IS NULL OR nxt > w + 7
+        |  GROUP BY 1)
+        |SELECT CAST(coalesce(act.week, ch.week) AS VARCHAR) AS week,
+        |  coalesce(n_active, CAST(0 AS BIGINT)) AS n_active,
+        |  coalesce(n_new, CAST(0 AS BIGINT)) AS n_new,
+        |  coalesce(n_retained, CAST(0 AS BIGINT)) AS n_retained,
+        |  coalesce(n_resurrected, CAST(0 AS BIGINT)) AS n_resurrected,
+        |  coalesce(n_churned, CAST(0 AS BIGINT)) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON ch.week = act.week
+        |ORDER BY week""".stripMargin,
     "q_e11_cohort_retention" ->
       """WITH weeks AS (
         |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w

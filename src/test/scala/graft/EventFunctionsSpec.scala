@@ -282,6 +282,54 @@ class EventFunctionsSpec extends SparkSpec {
     m(1L) shouldBe 5.0
   }
 
+  behavior of "ltvCurves (E23)"
+
+  it should "accumulate hand-computed per-user value along cohort age" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cohort of Mon 2024-01-01: users 1,2 (size 2).
+    // week 0: u1 10 + u2 20 = 30; week 1: u1 6 -> cum 36
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 10.0),
+      (2L, ts("2024-01-03 10:00:00"), 20.0),
+      (1L, ts("2024-01-09 10:00:00"), 6.0))
+      .toDF("user_id", "ts", "value")
+    val r = graft.events.EventFeatures.ltvCurves(ev)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._2)
+    r shouldBe Array(
+      ("2024-01-01", 0L, 2L, 30.0, 30.0, 15.0),
+      ("2024-01-01", 1L, 2L, 6.0, 36.0, 18.0))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  behavior of "growthAccounting (W18)"
+
+  it should "classify new/retained/resurrected and land churn on the missing week" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: weeks 1,2,4 (retained w2, absent w3 -> churn on w3,
+    //     resurrected w4, churn again after w4 -> w5)
+    // u2: week 2 only (new w2, churn w3)
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-08 09:00:00")),
+      (1L, ts("2024-01-22 09:00:00")),
+      (2L, ts("2024-01-10 09:00:00")))
+      .toDF("user_id", "ts")
+    val r = graft.events.EventFeatures.growthAccounting(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    r("2024-01-01") shouldBe (("2024-01-01", 1L, 1L, 0L, 0L, 0L))
+    r("2024-01-08") shouldBe (("2024-01-08", 2L, 1L, 1L, 0L, 0L))
+    // w3 (Jan 15): nobody active, u1 AND u2 churned
+    r("2024-01-15") shouldBe (("2024-01-15", 0L, 0L, 0L, 0L, 2L))
+    r("2024-01-22") shouldBe (("2024-01-22", 1L, 0L, 0L, 1L, 0L))
+    // trailing churn week after the data ends
+    r("2024-01-29") shouldBe (("2024-01-29", 0L, 0L, 0L, 0L, 1L))
+    r.size shouldBe 5
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "gapQuantiles (E22)"
 
   it should "pick type-1 quantiles of hand-computed same-type gaps" in {
