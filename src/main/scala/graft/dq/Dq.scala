@@ -147,6 +147,43 @@ object Dq {
       "num_min", "num_max", "num_mean", "str_min", "str_max")
   }
 
+  /** D14: K-ANONYMITY RISK report — the re-identification audit run
+    * on a training corpus before release (Sweeney 2002, public
+    * knowledge): for each candidate k, how many quasi-identifier
+    * groups have FEWER than k members and how many rows sit in them —
+    * a row in a size-1 (lang, source, …) group is one odd document
+    * away from being linkable. Exact counts from ONE pass over the
+    * group-size table (per-k sums in a single aggregate, assembled by
+    * literal-indexed struct explode — the D9 pattern), one division
+    * per row.
+    *
+    * Scale: one map-side-combined groupBy over the quasi columns,
+    * then everything is group-table-sized. Output: one row per k —
+    * (k, n_rows, n_groups, n_small_groups, n_rows_at_risk,
+    * risk_rate). */
+  def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String],
+      ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityRisk: no quasi-identifiers")
+    require(ks.nonEmpty, "kAnonymityRisk: no k values")
+    ks.foreach(k => require(k >= 2, s"k must be >= 2, got $k"))
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val aggs = Seq(count(lit(1)).as("__ng"),
+      coalesce(sum(col("__c")), lit(0L)).as("__n")) ++
+      ks.flatMap(k => Seq(
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as(s"__sg_$k"),
+        sum(when(col("__c") < k, col("__c")).otherwise(0L))
+          .as(s"__sr_$k")))
+    val m = sizes.agg(aggs.head, aggs.tail: _*)
+    val rows = ks.map(k => struct(lit(k).as("k"),
+      col("__n").as("n_rows"), col("__ng").as("n_groups"),
+      col(s"__sg_$k").as("n_small_groups"),
+      col(s"__sr_$k").as("n_rows_at_risk"),
+      when(col("__n") > 0, col(s"__sr_$k").cast("double") /
+        col("__n").cast("double")).as("risk_rate")))
+    m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** D13: REFERENTIAL-INTEGRITY sweep — orphan-FK rates for a set of
     * (child.fk → parent.pk) relationships in one report: row count,
     * NULL-FK count (NULL is "no reference", not an orphan — the SQL

@@ -123,6 +123,14 @@ object DqQueries {
         col("n_chars"))
     },
 
+    // D14: k-anonymity risk — quasi-identifier (lang, source) group
+    // sizes vs k in {2,5,10}; exact counts, one pass.
+    "q_d14_k_anonymity" -> { (s, dir) =>
+      graft.dq.Dq.kAnonymityRisk(t(s, dir, "documents"),
+        Seq("lang", "source"))
+        .orderBy(col("k"))
+    },
+
     // D13: referential-integrity sweep — orphan-FK rates for the star
     // relationships in one report; exact counts, one division each.
     "q_d13_referential" -> { (s, dir) =>
@@ -287,6 +295,24 @@ object DqQueries {
         |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
         |FROM a""".stripMargin,
+    // Same one-pass group-size sums per k.
+    "q_d14_k_anonymity" ->
+      """WITH s AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |per AS (
+        |  SELECT k.k, CAST(sum(s.c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN s.c < k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_small_groups,
+        |    CAST(sum(CASE WHEN s.c < k.k THEN s.c ELSE 0 END)
+        |      AS BIGINT) AS n_rows_at_risk
+        |  FROM (VALUES (2), (5), (10)) AS k(k), s
+        |  GROUP BY k.k)
+        |SELECT k, n_rows, n_groups, n_small_groups, n_rows_at_risk,
+        |  CASE WHEN n_rows > 0 THEN CAST(n_rows_at_risk AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) END AS risk_rate
+        |FROM per ORDER BY k""".stripMargin,
     // Same per-check count aggregate + NOT EXISTS orphan count.
     "q_d13_referential" ->
       """WITH b1 AS (

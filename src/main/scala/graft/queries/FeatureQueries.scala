@@ -51,6 +51,30 @@ object FeatureQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // E24: purchase-cadence trend — per-user OLS slope of the inter-
+    // purchase gap (seconds) against its 1-based index; negative
+    // slope = accelerating cadence. Composes the gap window with the
+    // F16 regression aggregates.
+    "q_e24_cadence_trend" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("gap_sec",
+          (unix_timestamp(col("ts")) - unix_timestamp(col("__prev")))
+            .cast("double"))
+        .withColumn("idx", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).cast("double"))
+      graft.ml.Stats.groupedOls(gaps, Seq("user_id"), col("gap_sec"),
+          col("idx"))
+        .withColumn("n", col("n").cast("long"))
+        .orderBy(col("user_id"))
+    },
+
     // F17: leave-one-out target encoding of order priority against the
     // is-fulfilled label — exact 0/1 sums, one final division, encoding
     // computed over ALL rows, output sampled deterministically.
@@ -122,6 +146,27 @@ object FeatureQueries {
   val oracles: Map[String, String] = Map(
     // DuckDB's native regr_* family against Spark's — same ANSI
     // semantics, independent implementations.
+    // Same gap construction (floor(epoch) truncation), same native
+    // regr_* family as F16.
+    "q_e24_cadence_trend" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(prev)) AS BIGINT) AS DOUBLE) AS gap_sec,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS DOUBLE) AS idx
+        |  FROM g WHERE prev IS NOT NULL)
+        |SELECT user_id, CAST(regr_count(gap_sec, idx) AS BIGINT) AS n,
+        |  regr_slope(gap_sec, idx) AS slope,
+        |  regr_intercept(gap_sec, idx) AS intercept,
+        |  regr_r2(gap_sec, idx) AS r2,
+        |  corr(gap_sec, idx) AS pearson
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_f16_grouped_ols" ->
       """SELECT l_returnflag,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,

@@ -18,6 +18,14 @@ object StarQueries {
   private val custDim = DimSpec("dim_customer", Seq("c_custkey"), Seq("c_mktsegment"))
 
   val queries: Map[String, Q] = Map(
+    // T5: date dimension generator — one row per day over an
+    // ISO-week-boundary-crossing range; pure range arithmetic, no
+    // data scan.
+    "q_t5_date_dimension" -> { (s, dir) =>
+      Star.dateDimension(s, "2023-12-25", "2024-03-31")
+        .orderBy(col("date"))
+    },
+
     // T2: dimension build from a denormalized source — first-wins attr
     // tuples per key, unknown member, dense surrogate ids.
     "q_t2_dim_load" -> { (s, dir) =>
@@ -68,6 +76,22 @@ object StarQueries {
     s"md5('$name' || chr(31) || $key)"
 
   val oracles: Map[String, String] = Map(
+    // Same calendar arithmetic; DuckDB dayofweek is Sunday=0 vs
+    // Spark's Sunday=1, shifted; both weekofyear are ISO.
+    "q_t5_date_dimension" ->
+      """SELECT CAST(d AS VARCHAR) AS date,
+        |  CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT)
+        |    AS date_key,
+        |  CAST(year(d) AS BIGINT) AS year,
+        |  CAST(quarter(d) AS BIGINT) AS quarter,
+        |  CAST(month(d) AS BIGINT) AS month,
+        |  CAST(weekofyear(d) AS BIGINT) AS week_iso,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,
+        |  CAST(dayofweek(d) IN (0, 6) AS INTEGER) AS is_weekend,
+        |  strftime(d, '%Y-%m') AS year_month
+        |FROM (SELECT CAST(unnest(generate_series(DATE '2023-12-25',
+        |  DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |ORDER BY date""".stripMargin,
     "q_t2_dim_load" ->
       s"""WITH src AS (
          |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_mktsegment,

@@ -40,6 +40,35 @@ object Star {
 
   private val openEnd = lit(OpenEndDate).cast("timestamp")
 
+  /** T5: DATE DIMENSION generator — the one role-playing dimension
+    * every star schema needs and no source system provides: one row
+    * per calendar day in [start, end] with the integer `date_key`
+    * facts join on plus the standard calendar attributes (ISO week,
+    * Sunday-first day-of-week, weekend flag, year-month bucket). Pure
+    * `spark.range` arithmetic — deterministic, engine-mirrorable,
+    * no data scan; at any scale the dimension is days-sized and
+    * broadcast-joins to facts. */
+  def dateDimension(spark: org.apache.spark.sql.SparkSession,
+      start: String, end: String): DataFrame = {
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(end)
+    require(!e.isBefore(s), s"dateDimension: end $end before start $start")
+    val days = java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1
+    spark.range(days)
+      .select(expr(s"date_add(DATE '$start', CAST(id AS INT))")
+        .as("__d"))
+      .select(col("__d").cast("string").as("date"),
+        (year(col("__d")) * 10000 + month(col("__d")) * 100 +
+          dayofmonth(col("__d"))).cast("long").as("date_key"),
+        year(col("__d")).cast("long").as("year"),
+        quarter(col("__d")).cast("long").as("quarter"),
+        month(col("__d")).cast("long").as("month"),
+        weekofyear(col("__d")).cast("long").as("week_iso"),
+        dayofweek(col("__d")).cast("long").as("day_of_week"),
+        dayofweek(col("__d")).isin(1, 7).cast("int").as("is_weekend"),
+        date_format(col("__d"), "yyyy-MM").as("year_month"))
+  }
+
   /** T2 `loadDim`: deterministic first-wins distinct dim tuples + metadata.
     * "First" = lexicographic min of the attribute tuple per key
     * (the reference's `reduceByKey((a, b) => a)` kept an arbitrary one,

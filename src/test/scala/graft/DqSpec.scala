@@ -255,6 +255,23 @@ class DqSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "kAnonymityRisk (D14)" should "count hand-computed at-risk groups and rows per k" in {
+    import spark.implicits._
+    // quasi-groups of sizes 1, 3, 6 -> n = 10
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("q", "id")
+    val r = graft.dq.Dq.kAnonymityRisk(df, Seq("q"), ks = Seq(2, 5, 10))
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    r(2) shouldBe ((2, 10L, 3L, 1L, 1L, 0.1))
+    r(5) shouldBe ((5, 10L, 3L, 2L, 4L, 0.4))
+    r(10) shouldBe ((10, 10L, 3L, 3L, 10L, 1.0))
+    intercept[IllegalArgumentException] {
+      graft.dq.Dq.kAnonymityRisk(df, Seq("q"), ks = Seq(1))
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "referentialIntegrity (D13)" should "count orphans and NULL FKs per relationship" in {
     import spark.implicits._
     val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")

@@ -176,4 +176,21 @@ class StarSpec extends SparkSpec {
     val ny = run.dims("dim_city").filter(col("city") === "NY" && col("rectype") === "U")
     ny.select("id").as[Long].head() shouldBe nyId // id stable across the seed
   }
+
+  "dateDimension (T5)" should "generate correct calendar attributes across an ISO-year boundary" in {
+    val d = Star.dateDimension(spark, "2023-12-30", "2024-01-02")
+      .as[(String, Long, Long, Long, Long, Long, Long, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    d.size shouldBe 4
+    // Sat 2023-12-30: ISO week 52, weekend, dow 7 (Sunday-first)
+    d("2023-12-30") shouldBe (("2023-12-30", 20231230L, 2023L, 4L, 12L,
+      52L, 7L, 1, "2023-12"))
+    // Sun 2023-12-31: still ISO week 52 of 2023
+    d("2023-12-31")._6 shouldBe 52L
+    d("2023-12-31")._8 shouldBe 1
+    // Mon 2024-01-01: ISO week 1, weekday
+    d("2024-01-01") shouldBe (("2024-01-01", 20240101L, 2024L, 1L, 1L,
+      1L, 2L, 0, "2024-01"))
+    d("2024-01-02")._7 shouldBe 3L
+  }
 }
