@@ -275,10 +275,18 @@ object EventFeatures {
     * active the PREVIOUS week who did not return this week (reported
     * on the week they went missing). */
   def growthAccounting(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
-    val uw = events.select(col(userCol).as("__u"),
+      tsCol: String = "ts"): DataFrame =
+    growthFromUserWeeks(events.select(col(userCol).as("__u"),
         date_trunc("week", col(tsCol)).cast("date").as("__w"))
-      .distinct()
+      .distinct())
+
+  /** The W18 ledger kernel over an already-distinct (__u, __w) table —
+    * shared verbatim by [[growthAccounting]] and the streaming
+    * user-week sink view
+    * ([[graft.streaming.StreamingEvents.growthView]]): distinct
+    * (user, week) pairs are a SET, so per-batch pairs union exactly
+    * and streaming parity is structural. */
+  private[graft] def growthFromUserWeeks(uw: DataFrame): DataFrame = {
     val lagw = Window.partitionBy(col("__u")).orderBy(col("__w"))
     val classified = uw
       .withColumn("__prev", lag(col("__w"), 1).over(lagw))

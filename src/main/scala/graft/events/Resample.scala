@@ -79,6 +79,40 @@ object Resample {
             to_date(col("__ts")))).cast("long").as("t"),
         col("__next").isNull.as("__censored"))
       .filter(col("t") >= 0)
+    kmFromSpans(spans)
+  }
+
+  /** E25: ACTIVATION SURVIVAL — "what fraction of users go t days from
+    * their first touch without reaching `targetType`" (time-to-first-
+    * purchase, time-to-first-session-of-depth-k — the activation
+    * funnel's denominator-honest form): per user ONE span, first
+    * event → first target event, CENSORED at `observationEnd` for
+    * users who never converted (dropping them biases activation up —
+    * the same mistake E19 guards against for gaps). Same Kaplan–Meier
+    * curve kernel, same ordered-window reproducibility argument.
+    * Output: (duration_days, n_risk, n_events, n_censored, survival);
+    * day-0 conversions (first event IS the target) are a t = 0 row. */
+  def activationSurvival(events: DataFrame, targetType: String,
+      observationEnd: String,
+      c: graft.events.EventCols = graft.events.EventCols()): DataFrame = {
+    val spans = events.groupBy(col(c.entity))
+      .agg(min(col(c.ts)).as("__first"),
+        min(when(col(c.eventType) === targetType, col(c.ts)))
+          .as("__target"))
+      .select(
+        when(col("__target").isNotNull,
+          datediff(to_date(col("__target")), to_date(col("__first"))))
+          .otherwise(datediff(lit(observationEnd).cast("date"),
+            to_date(col("__first")))).cast("long").as("t"),
+        col("__target").isNull.as("__censored"))
+      .filter(col("t") >= 0)
+    kmFromSpans(spans)
+  }
+
+  /** The E19/E25 curve kernel over a spans table (`t` long,
+    * `__censored` bool) — risk sets and the ordered cumulative ln-sum
+    * over DISTINCT durations. */
+  private[graft] def kmFromSpans(spans: DataFrame): DataFrame = {
     val byT = spans.groupBy(col("t"))
       .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("n_events"),
         sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))

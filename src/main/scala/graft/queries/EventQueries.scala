@@ -126,6 +126,15 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E25: activation survival — days from each user's FIRST touch to
+    // their FIRST purchase, censored at 2024-02-01 for non-converters;
+    // the E19 Kaplan-Meier kernel over one span per user.
+    "q_e25_activation" -> { (s, dir) =>
+      graft.events.Resample.activationSurvival(t(s, dir, "events"),
+        "purchase", "2024-02-01")
+        .orderBy(col("duration_days"))
+    },
+
     // E19: Kaplan-Meier survival of inter-purchase gaps with proper
     // censoring of each user's final open span at 2024-02-01.
     "q_e19_survival" -> { (s, dir) =>
@@ -654,6 +663,46 @@ object EventQueries {
         |    THEN 1.0 - sse / (ss - s * s / CAST(n AS DOUBLE)) END, 6)
         |    AS strength
         |FROM ent ORDER BY user_id""".stripMargin,
+    // Same one-span-per-user construction, same E19 curve CTEs.
+    "q_e25_activation" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(ts) AS first_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS target_ts
+        |  FROM events GROUP BY 1),
+        |spans AS (
+        |  SELECT CASE WHEN target_ts IS NOT NULL
+        |      THEN date_diff('day', CAST(first_ts AS DATE),
+        |        CAST(target_ts AS DATE))
+        |      ELSE date_diff('day', CAST(first_ts AS DATE),
+        |        DATE '2024-02-01') END AS t,
+        |    (target_ts IS NULL) AS censored
+        |  FROM pu),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM spans WHERE t >= 0 GROUP BY t),
+        |rk AS (
+        |  SELECT *, CAST(sum(n_events + n_censored) OVER (
+        |    ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_risk
+        |  FROM byt),
+        |sv AS (
+        |  SELECT *,
+        |    max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero,
+        |    sum(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+        |      ELSE 0.0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS lnsum
+        |  FROM rk)
+        |SELECT t AS duration_days, n_risk, n_events, n_censored,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |       ELSE round(exp(lnsum), 6) END AS survival
+        |FROM sv ORDER BY duration_days""".stripMargin,
     // Same spans, same ordered cumulative ln-sum; the d = n zero case
     // flagged, never ln(0) (NULL in Spark, -inf in DuckDB).
     "q_e19_survival" ->

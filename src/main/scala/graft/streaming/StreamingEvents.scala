@@ -562,6 +562,45 @@ object StreamingEvents {
         .groupBy(col(keyCol), col("day"))
         .agg(sum(col("x")).as("__x")), keyCol)
 
+  /** Streaming GROWTH-ACCOUNTING sink (the W18 ledger over a stream):
+    * each micro-batch persists its DISTINCT (entity, activity-week)
+    * pairs — rows bounded by users × weeks touched, never event
+    * volume — under `batch_id=N`. Distinct pairs are a SET, so the
+    * merged view's re-distinct is EXACTLY the one-pass pair table of
+    * everything ingested and the W18 kernel over it equals the batch
+    * operator over the union (spec-proven); replays overwrite their
+    * own batch directory: idempotent. */
+  def userWeekSink(events: DataFrame, weeksDir: String,
+      checkpointDir: String,
+      c: graft.events.EventCols = graft.events.EventCols())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) userWeekBatch(batch.toDF(), batchId,
+          weeksDir, c)
+      }
+      .start()
+
+  /** One micro-batch of [[userWeekSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def userWeekBatch(batch: DataFrame, batchId: Long,
+      weeksDir: String, c: graft.events.EventCols): Unit = {
+    batch.select(col(c.entity).as("u"),
+        date_trunc("week", col(c.ts)).cast("date").as("w"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$weeksDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[userWeekSink]] directory: the W18
+    * growth ledger over the merged distinct pairs. */
+  def growthView(spark: org.apache.spark.sql.SparkSession,
+      weeksDir: String): DataFrame =
+    graft.events.EventFeatures.growthFromUserWeeks(
+      spark.read.parquet(weeksDir)
+        .select(col("u").as("__u"), col("w").as("__w")).distinct())
+
   /** Streaming LANDING/EXIT monitor (the W16 matrix over a stream):
     * the same session-fragment discipline as [[sequentialRuleSink]],
     * with richer fragments — each micro-batch persists per

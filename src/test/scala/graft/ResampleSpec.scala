@@ -44,6 +44,29 @@ class ResampleSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "activationSurvival (E25)" should "curve hand-computed conversion spans with censoring and day-0" in {
+    // u1: first touch day 1, purchase day 3 -> t=2 complete
+    // u2: first touch day 1 IS a purchase -> t=0 complete
+    // u3: first touch day 2, never converts -> censored at day 6 (t=4)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-03 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 09:00:00")),
+      (3L, "view", ts("2024-01-02 12:00:00")))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", col("user_id"))
+    val r = Resample.activationSurvival(ev, "purchase", "2024-01-06")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // t=0: risk 3, 1 event -> S(0) = 2/3
+    r(0L) shouldBe ((0L, 3L, 1L, 0L, 0.666667))
+    // t=2: risk 2, 1 event -> S(2) = 2/3 * 1/2 = 1/3
+    r(2L) shouldBe ((2L, 2L, 1L, 0L, 0.333333))
+    // t=4: censored only -> survival unchanged
+    r(4L) shouldBe ((4L, 1L, 0L, 1L, 0.333333))
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "stlDecompose (E18)" should "decompose a constant series to trend-only and stay additive" in {
     val flat = (1 to 14).map(d =>
       (1L, ts(f"2024-01-$d%02d 09:00:00"), 10.0))

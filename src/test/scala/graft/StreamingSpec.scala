@@ -495,6 +495,39 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "rebuild the growth ledger from distinct user-week pairs" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgw").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 weeks 1,2 split across batches (retained); u2 in both batches
+    // within the SAME week (set semantics must dedupe); u2 churns
+    val b1 = Seq((1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-02 09:00:00")))
+    val b2 = Seq((1L, ts("2024-01-08 09:00:00")),
+      (2L, ts("2024-01-03 18:00:00")))
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingEvents.userWeekSink(
+      in.toDF().toDF("user_id", "ts"), s"$tmp/weeks", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val batch = rows(graft.events.EventFeatures.growthAccounting(
+      (b1 ++ b2).toDF("user_id", "ts")))
+    rows(StreamingEvents.growthView(spark, s"$tmp/weeks")) shouldBe batch
+    // week 1: both new; week 2: u1 retained, u2 churned
+    batch.find(_._1 == "2024-01-08").get shouldBe
+      (("2024-01-08", 1L, 0L, 1L, 0L, 1L))
+    // replay: rewriting batch 0's partition leaves the view identical
+    StreamingEvents.userWeekBatch(b1.toDF("user_id", "ts"), 0L,
+      s"$tmp/weeks", graft.events.EventCols())
+    rows(StreamingEvents.growthView(spark, s"$tmp/weeks")) shouldBe batch
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "rebuild the landing/exit matrix from session fragments, incl. an out-of-order prepend" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssx").toString
