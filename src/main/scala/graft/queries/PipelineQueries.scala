@@ -43,6 +43,23 @@ object PipelineQueries {
       out.select(col("c_custkey"), col("name_len")).orderBy(col("c_custkey"))
     },
 
+    // S20: fixed-width format -> parse round trip over customer —
+    // positional substring projections (no UDF, no regex), trim+cast;
+    // proves the copybook-layout ingest path end to end in SQL.
+    "q_s20_fixed_width" -> { (s, dir) =>
+      import graft.sources.{FixedWidth, FixedWidthField}
+      val layout = Seq(
+        FixedWidthField("c_custkey", 1, 10, "long"),
+        FixedWidthField("c_name", 11, 25),
+        FixedWidthField("c_mktsegment", 36, 12))
+      val lines = FixedWidth.format(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        layout)
+      FixedWidth.parse(lines, "line", layout)
+        .orderBy(col("c_custkey"))
+    },
+
     // S1+S4: CSV sink then source roundtrip preserves the data.
     "q_s1_csv_roundtrip" -> { (s, dir) =>
       val ctx = new TransformationContext
@@ -182,6 +199,17 @@ object PipelineQueries {
     "q_r3_row_pipeline" ->
       """SELECT c_custkey, CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Same rpad-concat then substr/trim/cast arithmetic.
+    "q_s20_fixed_width" ->
+      """WITH lines AS (
+        |  SELECT rpad(CAST(c_custkey AS VARCHAR), 10, ' ')
+        |    || rpad(c_name, 25, ' ')
+        |    || rpad(c_mktsegment, 12, ' ') AS line
+        |  FROM customer)
+        |SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS c_custkey,
+        |  trim(substr(line, 11, 25)) AS c_name,
+        |  trim(substr(line, 36, 12)) AS c_mktsegment
+        |FROM lines ORDER BY c_custkey""".stripMargin,
     "q_s1_csv_roundtrip" ->
       """SELECT c_mktsegment, count(1) AS n, min(c_custkey) AS min_key
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -189,3 +189,48 @@ object SampleParquetSink extends Sink {
         ctx.get[Double]("fraction").getOrElse(0.1), seed = 42)
       .write.mode(SaveMode.Overwrite).parquet(ctx[String]("out_path"))
 }
+
+/** One column of a fixed-width record layout: 1-based `start`, byte
+  * `len`, target Spark `typ` (cast after an optional trim — numeric
+  * mainframe extracts are space-padded). */
+case class FixedWidthField(name: String, start: Int, len: Int,
+    typ: String = "string", trimPad: Boolean = true)
+
+/** S20: FIXED-WIDTH record parsing — the companion of the S16 EBCDIC
+  * decode on mainframe-extract ingest paths: COBOL copybook layouts
+  * are positional, not delimited, so each field is one `substring`
+  * projection (codegen'd, no UDF, no regex) with an optional trim and
+  * cast. [[format]] is the inverse (right-pad to each width) so
+  * round-trip contracts are testable; [[parse]] is embarrassingly
+  * parallel — one scan, zero shuffles at any scale. */
+object FixedWidth {
+  import org.apache.spark.sql.functions._
+
+  def parse(df: DataFrame, lineCol: String,
+      fields: Seq[FixedWidthField]): DataFrame = {
+    require(fields.nonEmpty, "FixedWidth.parse: no fields")
+    fields.foreach { f =>
+      require(f.start >= 1 && f.len >= 1,
+        s"field '${f.name}': 1-based start and positive len required")
+    }
+    df.select(fields.map { f =>
+      val raw = substring(col(lineCol), f.start, f.len)
+      val v = if (f.trimPad) trim(raw) else raw
+      (if (f.typ == "string") v else v.cast(f.typ)).as(f.name)
+    }: _*)
+  }
+
+  /** Right-pad each column to its field width and concatenate in
+    * layout order. Values longer than their width fail loud (a silent
+    * truncation corrupts every downstream offset). */
+  def format(df: DataFrame, fields: Seq[FixedWidthField]): DataFrame = {
+    require(fields.nonEmpty, "FixedWidth.format: no fields")
+    val checked = fields.map { f =>
+      val s = col(f.name).cast("string")
+      when(length(s) > f.len,
+        raise_error(concat(lit(s"FixedWidth.format: value of '${f.name}' exceeds width ${f.len}: "), s)))
+        .otherwise(rpad(s, f.len, " "))
+    }
+    df.select(concat(checked: _*).as("line"))
+  }
+}

@@ -330,4 +330,28 @@ class PipelineSpec extends SparkSpec {
     errs.head.errorType shouldBe "parse"
     errs.head.row shouldBe Seq("42", "x,y")
   }
+
+  "FixedWidth (S20)" should "round-trip a copybook layout and fail loud on overflow" in {
+    import graft.sources.{FixedWidth, FixedWidthField}
+    import spark.implicits._
+    val layout = Seq(
+      FixedWidthField("id", 1, 6, "long"),
+      FixedWidthField("name", 7, 10),
+      FixedWidthField("amt", 17, 8, "double"))
+    val orig = Seq((42L, "alice", 12.5), (7L, "bob jr", 0.25))
+      .toDF("id", "name", "amt")
+    val lines = FixedWidth.format(orig, layout)
+    // positional layout: every line is exactly the summed width
+    lines.select(org.apache.spark.sql.functions.length(lines("line")))
+      .as[Int].collect().foreach(_ shouldBe 24)
+    val back = FixedWidth.parse(lines, "line", layout)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    back shouldBe Array((7L, "bob jr", 0.25), (42L, "alice", 12.5))
+    // an over-width value must fail loud, not silently shift offsets
+    val bad = Seq((1L, "a name far too long for ten", 1.0))
+      .toDF("id", "name", "amt")
+    intercept[Exception] {
+      FixedWidth.format(bad, layout).collect()
+    }.getMessage should include("exceeds width")
+  }
 }
