@@ -232,10 +232,17 @@ object EventFeatures {
     * cohort-keyed window. Output: (cohort_week, week_offset,
     * cohort_size, week_value, cum_value, ltv_per_user) round-2/6. */
   def ltvCurves(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    val weekly = events.select(col(userCol).as("__u"),
-        date_trunc("week", col(tsCol)).cast("date").as("__w"),
-        col(valueCol).cast("decimal(18,2)").as("__v"))
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    ltvFromUserWeeks(events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).cast("date").as("__w"),
+      col(valueCol).cast("decimal(18,2)").as("__v")))
+
+  /** The E23 curve kernel over a (__u, __w, __v) table (__v DECIMAL;
+    * rows may be event-level or pre-aggregated — weekly sums are
+    * associative) — shared verbatim by [[ltvCurves]] and the
+    * streaming cohort-value sink view
+    * ([[graft.streaming.StreamingEvents.ltvView]]). */
+  private[graft] def ltvFromUserWeeks(weekly: DataFrame): DataFrame = {
     val firstW = weekly.groupBy(col("__u"))
       .agg(min(col("__w")).as("cohort_week"))
     val sizes = firstW.groupBy(col("cohort_week"))

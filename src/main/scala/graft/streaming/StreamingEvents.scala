@@ -601,6 +601,46 @@ object StreamingEvents {
       spark.read.parquet(weeksDir)
         .select(col("u").as("__u"), col("w").as("__w")).distinct())
 
+  /** Streaming COHORT-VALUE sink (the E23 LTV curves over a stream):
+    * each micro-batch persists its per-(entity, week) DECIMAL value
+    * sums — bounded by users × weeks touched, never event volume —
+    * under `batch_id=N`. Weekly decimal sums are exact and
+    * associative, so the merged view's re-aggregate equals the
+    * one-pass weekly table of everything ingested and the E23 kernel
+    * over it equals the batch operator over the union (spec-proven);
+    * replay-idempotent. */
+  def cohortValueSink(events: DataFrame, valsDir: String,
+      checkpointDir: String,
+      c: graft.events.EventCols = graft.events.EventCols())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) cohortValueBatch(batch.toDF(), batchId,
+          valsDir, c)
+      }
+      .start()
+
+  /** One micro-batch of [[cohortValueSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def cohortValueBatch(batch: DataFrame, batchId: Long,
+      valsDir: String, c: graft.events.EventCols): Unit = {
+    batch.groupBy(col(c.entity).as("u"),
+        date_trunc("week", col(c.ts)).cast("date").as("w"))
+      .agg(sum(col(c.value).cast("decimal(18,2)")).as("v"))
+      .write.mode("overwrite").parquet(s"$valsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[cohortValueSink]] directory: the E23
+    * LTV curve table over the merged weekly value sums. */
+  def ltvView(spark: org.apache.spark.sql.SparkSession,
+      valsDir: String): DataFrame =
+    graft.events.EventFeatures.ltvFromUserWeeks(
+      spark.read.parquet(valsDir)
+        .groupBy(col("u").as("__u"), col("w").as("__w"))
+        .agg(sum(col("v")).cast("decimal(18,2)").as("__v")))
+
   /** Streaming LANDING/EXIT monitor (the W16 matrix over a stream):
     * the same session-fragment discipline as [[sequentialRuleSink]],
     * with richer fragments — each micro-batch persists per

@@ -495,6 +495,41 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "rebuild LTV curves from merged weekly value sums" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sltv").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1's week-1 spend is SPLIT across batches (sums must merge);
+    // u2 joins in week 2 (second cohort)
+    val b1 = Seq((1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-08 09:00:00"), 4.0))
+    val b2 = Seq((1L, ts("2024-01-02 18:00:00"), 2.5),
+      (2L, ts("2024-01-09 12:00:00"), 7.0))
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingEvents.cohortValueSink(
+      in.toDF().toDF("user_id", "ts", "value"), s"$tmp/vals",
+      s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(graft.events.EventFeatures.ltvCurves(
+      (b1 ++ b2).toDF("user_id", "ts", "value")))
+    rows(StreamingEvents.ltvView(spark, s"$tmp/vals")) shouldBe batch
+    // u1 cohort week 0 merged across batches: 10 + 2.5
+    batch.find(t => t._1 == "2024-01-01" && t._2 == 0L).get._4 shouldBe
+      12.5
+    // replay: rewriting batch 0's partition leaves the view identical
+    StreamingEvents.cohortValueBatch(
+      b1.toDF("user_id", "ts", "value"), 0L, s"$tmp/vals",
+      graft.events.EventCols())
+    rows(StreamingEvents.ltvView(spark, s"$tmp/vals")) shouldBe batch
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "rebuild the growth ledger from distinct user-week pairs" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sgw").toString
