@@ -70,4 +70,40 @@ class CacheHygieneSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
     (cachedIds -- before) shouldBe empty
   }
+
+  it should "leave zero cached blocks after released round-10 rank/eval/refine runs" in {
+    // the two-phase Ranks machinery + X116/X122/F22/E12/D5 all persist
+    // internally; a monitor calling them in a loop must be able to
+    // release everything
+    val rnd = new scala.util.Random(3)
+    val vals = (1 to 300).map(i => (i.toLong, rnd.nextGaussian()))
+      .toDF("id", "v")
+    val ev = (1 to 300).map { _ =>
+      (rnd.nextInt(30).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + rnd.nextInt(28)}%02d 09:00:00"),
+        rnd.nextInt(1000) / 100.0)
+    }.toDF("user_id", "ts", "value")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val before = cachedIds
+    graft.dq.Dq.psiDrift(vals, vals, "v", "id", bins = 5).collect()
+    graft.dq.Dq.ksDrift(vals, vals, "v").collect()
+    graft.ml.Eval.rocAuc(vals, col("v"),
+      (col("id") % 2).cast("int")).collect()
+    graft.dq.Stats.giniConcentration(
+      vals.select((col("id") % 17).as("w")), col("w")).collect()
+    graft.events.EventFeatures.rfmScores(ev, "2024-02-01").collect()
+    graft.events.EventFeatures.ltvCurves(ev).collect()
+    graft.text.Dedup.refineClusters(docs, "doc_id", "text",
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id"))
+      .collect()
+    graft.text.Dedup.dedupYieldReport(docs, "doc_id", "text").collect()
+    (cachedIds -- before) should not be empty
+    graft.util.Caches.releaseAll(spark)
+    (cachedIds -- before) shouldBe empty
+  }
 }
