@@ -1,7 +1,6 @@
 package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) data layout — the multi-column data-skipping
@@ -45,12 +44,14 @@ object Layout {
     spread16(x16).bitwiseOR(shiftleft(spread16(y16), 1))
 
   /** Layout audit: bucket rows into `buckets` equal-size z-ranges
-    * (`ntile` under the total (z, tiebreak) order) and report each
-    * bucket's (x, y) bounding box. Tight per-bucket boxes are the
-    * data-skipping property itself — this is the report the write path
-    * is judged by, computed identically by the oracle. The min/max
-    * scan is one map-side-combined aggregate; the ntile is over the
-    * audited sample, not a production corpus. */
+    * (the SQL-standard ntile assignment under the total (z, tiebreak)
+    * order) and report each bucket's (x, y) bounding box. Tight
+    * per-bucket boxes are the data-skipping property itself — this is
+    * the report the write path is judged by, computed identically by
+    * the oracle. The min/max scan is one map-side-combined aggregate;
+    * the ntile is COMPUTED from the two-phase prefix-sum rank
+    * ([[Ranks.globalRank]]) — no global-order window, so the audit
+    * runs on a production corpus, not just a sample. */
   def zOrderReport(df: DataFrame, xCol: String, yCol: String,
       tieCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -60,8 +61,11 @@ object Layout {
       .withColumn("__z", zValue(
         quantize16(col(xCol), col("__xmin"), col("__xmax")),
         quantize16(col(yCol), col("__ymin"), col("__ymax"))))
-    z.withColumn("bucket",
-        ntile(buckets).over(Window.orderBy(col("__z"), col(tieCol))))
+    val (ranked, n) = Ranks.globalRankAndCount(z,
+      Seq(col("__z"), col(tieCol)), "__r")
+    ranked
+      .withColumn("bucket",
+        Ranks.ntileOf(col("__r"), math.max(n, 1L), buckets))
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
