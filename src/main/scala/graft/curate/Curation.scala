@@ -248,6 +248,32 @@ object Curation {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
   }
 
+  /** X123: GROUPED PRIORITY SAMPLE — [[prioritySample]]'s
+    * weight-proportional without-replacement draw, k PER GROUP (the
+    * per-domain / per-language cap a mixture materialization applies:
+    * "keep up to 10k docs per domain, longest-favored"): the identical
+    * engine-exact priority `q = w·2^32/(x+1)` ranked inside a
+    * GROUP-KEYED window — no global sort, no TakeOrdered bottleneck;
+    * every group's sample is independent and deterministic in
+    * (seed, id).
+    *
+    * Returns the sampled rows with `priority` and `sample_rank`
+    * (1..≤k within each group). */
+  def groupedPrioritySample(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = conv(substring(md5(concat_ws(":", lit(seed),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val q = (col(weightCol).cast("double") * lit(4294967296.0)) /
+      (x + lit(1.0))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("priority", q)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** X119: EXACT-PROPORTION STRATIFIED SPLIT — train/val/test with
     * the split sizes exact PER STRATUM (source, language, label),
     * not Bernoulli-approximate: hash-splitting (the X94 shape) gives

@@ -123,6 +123,19 @@ object DqQueries {
         col("n_chars"))
     },
 
+    // D15: ingest-volume anomaly monitor — robust MAD flags over the
+    // per-(type, day) event counts (a dead or runaway pipeline day
+    // shows up as an outlier); D12 composed over the daily-count table.
+    "q_d15_volume_anomaly" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.dq.Stats.madOutliers(daily, "event_type", col("n"),
+          col("day"))
+        .withColumn("id", date_format(col("id"), "yyyy-MM-dd"))
+        .orderBy(col("event_type"), col("id"))
+    },
+
     // D14: k-anonymity risk — quasi-identifier (lang, source) group
     // sizes vs k in {2,5,10}; exact counts, one pass.
     "q_d14_k_anonymity" -> { (s, dir) =>
@@ -295,6 +308,37 @@ object DqQueries {
         |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
         |FROM a""".stripMargin,
+    // Same daily counts through the D12 integer-rank median/MAD chain.
+    "q_d15_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(n AS DOUBLE) AS value, day
+        |         FROM daily),
+        |rv AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, day) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM base),
+        |med AS (SELECT event_type AS g, value AS med FROM rv
+        |        WHERE r = (nn + 1) // 2),
+        |dev AS (
+        |  SELECT b.event_type, b.day, b.value, m.med,
+        |    abs(b.value - m.med) AS d
+        |  FROM base b JOIN med m ON m.g = b.event_type),
+        |rd AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY d, day) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM dev),
+        |mad AS (SELECT event_type AS g, d AS mad FROM rd
+        |        WHERE r = (nn + 1) // 2)
+        |SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS id,
+        |  dev.value, dev.med, mad.mad,
+        |  CAST(dev.d > 3.0 * mad.mad AS INTEGER) AS is_outlier
+        |FROM dev JOIN mad ON mad.g = dev.event_type
+        |ORDER BY dev.event_type, id""".stripMargin,
     // Same one-pass group-size sums per k.
     "q_d14_k_anonymity" ->
       """WITH s AS (

@@ -809,6 +809,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // X123: grouped priority sample — up to 15 docs per language,
+    // n_chars-weighted; the X87 engine-exact priority ranked in a
+    // language-keyed window (no global sort).
+    "q_x123_grouped_priority_sample" -> { (s, dir) =>
+      graft.curate.Curation.groupedPrioritySample(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 15,
+        seed = "gps1")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // X88: PMI collocations — adjacent-pair association mining; the
     // lift ranking key is bit-identical cross-engine (exact-integer
     // IEEE arithmetic), pmi = ln(lift) rounded to 6.
@@ -3703,6 +3715,23 @@ object TextQueries {
     // division of exactly-representable integers (n_chars·2^32 < 2^53),
     // so priorities — and hence the top-100 set — are bit-identical to
     // the Spark side with no float tolerance.
+    // Same engine-exact priority as X87, ranked per language.
+    "q_x123_grouped_priority_sample" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5('gps1:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+         |      (CAST((${hexDigitSum(1, 8)}) AS DOUBLE) + 1.0) AS priority
+         |  FROM u),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority DESC, doc_id) AS BIGINT) AS sample_rank
+         |  FROM p)
+         |SELECT doc_id, lang, n_chars, priority, sample_rank
+         |FROM r WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
     "q_x87_priority_sample" ->
       s"""WITH u AS (
          |  SELECT doc_id, lang, n_chars,

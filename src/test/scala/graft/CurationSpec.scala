@@ -485,6 +485,33 @@ class CurationSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "groupedPrioritySample (X123)" should "draw each group's k winners independently" in {
+    // equal weights: within each group the sample is its k smallest
+    // uniformHash values (the X87 argument, per group); a group
+    // smaller than k returns whole
+    val df = ((1L to 200L).map(i => ("a", i, 5L)) ++
+      (201L to 400L).map(i => ("b", i, 5L)) ++
+      (401L to 403L).map(i => ("c", i, 5L)))
+      .toDF("g", "id", "w")
+    val got = Curation.groupedPrioritySample(df, "g", "id", "w", 10, "eq")
+      .select(col("g"), col("id")).as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got("a").size shouldBe 10
+    got("b").size shouldBe 10
+    got("c") shouldBe Set(401L, 402L, 403L) // whole undersized group
+    val expectedA = df.filter(col("g") === "a")
+      .withColumn("u", Curation.uniformHash(col("id"), "eq"))
+      .orderBy(col("u"), col("id")).limit(10)
+      .select(col("id")).as[Long].collect().toSet
+    got("a") shouldBe expectedA
+    // weight-proportional: an overwhelming weight always wins its group
+    val wdf = (1L to 50L).map(i =>
+      ("g", i, if (i == 7L) 1000000L else 1L)).toDF("g", "id", "w")
+    Curation.groupedPrioritySample(wdf, "g", "id", "w", 1, "s")
+      .select(col("id")).as[Long].head() shouldBe 7L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "exactStratifiedSplit (X119)" should "hit exact floor-apportioned sizes per stratum" in {
     // stratum a: 10 rows -> 8/1/1 exactly; stratum b: 7 rows -> 5/1/1
     // (floor cuts at 5.6 -> 5, 6.3 -> 6, 7)
