@@ -137,6 +137,36 @@ object Eval {
         col("gap"), col("ece"))
   }
 
+  /** F27: McNEMAR PAIRED TEST — "is classifier B actually better than
+    * A, or did the same eval set just get re-scored" (McNemar 1947,
+    * public knowledge): only the DISCORDANT pairs carry information —
+    * `z = (b − c)/√(b + c)` over b = A-only-correct, c =
+    * B-only-correct (χ² = z²); rows both got right or both got wrong
+    * cancel out, which is why a paired test detects differences an
+    * unpaired accuracy comparison buries in shared variance.
+    *
+    * One aggregate pass, exact integer counts, a fixed IEEE
+    * expression tree — bit-identical cross-engine, no rounding. Zero
+    * discordant pairs ⇒ NULL z/significance (no evidence either
+    * way), never a division error. Output: one row — (n_both,
+    * n_a_only, n_b_only, n_neither, z, chi2, significant). */
+  def mcnemarTest(df: DataFrame, okA: org.apache.spark.sql.Column,
+      okB: org.apache.spark.sql.Column,
+      zThreshold: Double = 1.96): DataFrame = {
+    val agg = df.agg(
+      sum(when(okA && okB, 1L).otherwise(0L)).as("n_both"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!okA && !okB, 1L).otherwise(0L)).as("n_neither"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    val z = when(b + c > 0, (b - c) / sqrt(b + c))
+    agg.select(col("n_both"), col("n_a_only"), col("n_b_only"),
+      col("n_neither"), z.as("z"),
+      when(b + c > 0, (b - c) * (b - c) / (b + c)).as("chi2"),
+      (abs(z) > zThreshold).cast("int").as("significant"))
+  }
+
   /** F22: EXACT ROC AUC via the Mann–Whitney rank-sum (public
     * knowledge: AUC = U/(n⁺n⁻) with U from the rank sum of the
     * positives, average ranks over ties) — the threshold-free

@@ -809,6 +809,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // F27: McNemar paired test — stopword lang-ID (model B) vs the
+    // predict-'en' majority baseline (model A) on the same documents;
+    // only discordant pairs carry information.
+    "q_f27_mcnemar" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.TextStats.languageId(docs, "text")
+      graft.ml.Eval.mcnemarTest(scored,
+        col("lang") === "en", col("pred_lang") === col("lang"))
+    },
+
+    // E26: seasonality-adjusted anomaly flags — robust MAD outliers
+    // over the E18 STL remainder per user (anomalies on the
+    // DESEASONALIZED purchase series, so a strong weekday rhythm
+    // doesn't mask or fake spikes); D12 composed over E18.
+    "q_e26_seasonal_anomaly" -> { (s, dir) =>
+      val stl = graft.events.Resample.stlDecompose(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+      graft.dq.Stats.madOutliers(stl, "user_id", col("remainder"),
+          col("day"))
+        .withColumn("id", date_format(col("id"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("id"))
+    },
+
     // X123: grouped priority sample — up to 15 docs per language,
     // n_chars-weighted; the X87 engine-exact priority ranked in a
     // language-keyed window (no global sort).
@@ -3715,6 +3739,97 @@ object TextQueries {
     // division of exactly-representable integers (n_chars·2^32 < 2^53),
     // so priorities — and hence the top-100 set — are bit-identical to
     // the Spark side with no float tolerance.
+    // Same langid argmax CASE as q_x6; only discordant pairs feed the
+    // fixed IEEE z/chi2 expressions.
+    "q_f27_mcnemar" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','los','las','y','es'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['的','是','在','了','和'], x))) AS BIGINT) AS hits_zh
+        |  FROM base),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN hits_en > hits_de AND hits_es <= hits_en AND hits_fr <= hits_en AND hits_zh <= hits_en THEN 'en'
+        |      WHEN hits_es > hits_de AND hits_es > hits_en AND hits_fr <= hits_es AND hits_zh <= hits_es THEN 'es'
+        |      WHEN hits_fr > hits_de AND hits_fr > hits_en AND hits_fr > hits_es AND hits_zh <= hits_fr THEN 'fr'
+        |      WHEN hits_zh > hits_de AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+        |      ELSE 'de' END AS pred_lang
+        |  FROM hits),
+        |ok AS (SELECT (lang = 'en') AS oka,
+        |         (pred_lang = lang) AS okb FROM pred),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN oka AND okb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |    CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+        |    CAST(sum(CASE WHEN NOT oka AND NOT okb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |  FROM ok)
+        |SELECT n_both, n_a_only, n_b_only, n_neither,
+        |  CASE WHEN CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE) > 0
+        |    THEN (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |      / sqrt(CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+        |    END AS z,
+        |  CASE WHEN CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE) > 0
+        |    THEN (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |      * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |      / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+        |    END AS chi2,
+        |  CAST(abs(CASE WHEN CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE) > 0
+        |    THEN (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+        |      / sqrt(CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+        |    END) > 1.96 AS INTEGER) AS significant
+        |FROM a""".stripMargin,
+    // The E18 remainder chained through the D12 integer-rank
+    // median/MAD flags.
+    "q_e26_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT user_id, d, x,
+        |    avg(x) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM daily),
+        |se AS (
+        |  SELECT user_id AS k, dayofweek(d) AS dow,
+        |    avg(x - trend) AS seas
+        |  FROM tr GROUP BY 1, 2),
+        |rem AS (
+        |  SELECT tr.user_id, tr.d AS day,
+        |    round(tr.x - tr.trend - se.seas, 6) AS value
+        |  FROM tr JOIN se ON se.k = tr.user_id
+        |    AND se.dow = dayofweek(tr.d)),
+        |rv AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value, day) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn
+        |  FROM rem),
+        |med AS (SELECT user_id AS g, value AS med FROM rv
+        |        WHERE r = (nn + 1) // 2),
+        |dev AS (
+        |  SELECT b.user_id, b.day, b.value, m.med,
+        |    abs(b.value - m.med) AS dv
+        |  FROM rem b JOIN med m ON m.g = b.user_id),
+        |rd AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY dv, day) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn
+        |  FROM dev),
+        |mad AS (SELECT user_id AS g, dv AS mad FROM rd
+        |        WHERE r = (nn + 1) // 2)
+        |SELECT dev.user_id, strftime(dev.day, '%Y-%m-%d') AS id,
+        |  dev.value, dev.med, mad.mad,
+        |  CAST(dev.dv > 3.0 * mad.mad AS INTEGER) AS is_outlier
+        |FROM dev JOIN mad ON mad.g = dev.user_id
+        |ORDER BY dev.user_id, id""".stripMargin,
     // Same engine-exact priority as X87, ranked per language.
     "q_x123_grouped_priority_sample" ->
       s"""WITH u AS (

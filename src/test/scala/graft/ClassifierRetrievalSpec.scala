@@ -325,6 +325,35 @@ class ClassifierRetrievalSpec extends SparkSpec {
     Retrieval.rrfFuse(lex, sem, k = 1).count() shouldBe 1L
   }
 
+  behavior of "Eval.mcnemarTest (F27)"
+
+  it should "compute the hand-checked discordant-pair statistic and NULL on no evidence" in {
+    import spark.implicits._
+    // contingency: both 4, a-only 3, b-only 1, neither 2
+    // z = (3-1)/sqrt(4) = 1.0, chi2 = 1.0, not significant
+    val rows = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((true, false))
+      ++ Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false)))
+      .toDF("oka", "okb")
+    val r = graft.ml.Eval.mcnemarTest(rows, col("oka"), col("okb"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Int])].head()
+    r._1 shouldBe 4L
+    r._2 shouldBe 3L
+    r._3 shouldBe 1L
+    r._4 shouldBe 2L
+    r._5.get shouldBe 1.0 +- 1e-15
+    r._6.get shouldBe 1.0 +- 1e-15
+    r._7 shouldBe Some(0)
+    // perfectly concordant classifiers: no discordant pairs -> NULLs
+    val same = Seq((true, true), (false, false)).toDF("oka", "okb")
+    val s = graft.ml.Eval.mcnemarTest(same, col("oka"), col("okb"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Int])].head()
+    s._5 shouldBe None
+    s._7 shouldBe None
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Retrieval.retrievalMetrics (F23)"
 
   it should "compute hand-checked p@k, recall, RR, DCG and NDCG incl. the no-relevant query" in {
