@@ -162,6 +162,51 @@ object Stats {
     picks.reduce(_ unionByName _)
   }
 
+  /** X124: per-group WINSORIZATION — clamp a feature to its group's
+    * [lo, hi] type-1 quantile cut values (the standard heavy-tail
+    * treatment before scaling/regression: trimming DELETES tail rows,
+    * winsorizing keeps them at the boundary, so group sizes and join
+    * keys survive). Cuts are the X111 integer-rank picks under the
+    * (value, id) total order — data values, never interpolated
+    * floats — and the clamp is two exact comparisons, so output is
+    * bit-identical cross-engine with no rounding.
+    *
+    * Scale: one group-keyed rank window + two group-keyed joins of
+    * the groups-sized cut tables. Output: one row per input row —
+    * (group, id, value, lo_cut, hi_cut, winsorized). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
+      idCol: Column, lo: (Int, Int) = (1, 10), hi: (Int, Int) = (9, 10))
+      : DataFrame = {
+    Seq(("lo", lo), ("hi", hi)).foreach { case (name, (num, den)) =>
+      require(num >= 1 && num <= den,
+        s"$name quantile: need 1 <= num <= den, got $num/$den")
+    }
+    require(lo._1.toLong * hi._2 <= hi._1.toLong * lo._2,
+      s"winsorize: lo $lo above hi $hi")
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col(groupCol))
+      .orderBy(col("value"), col("__id"))
+    val wn = Window.partitionBy(col(groupCol))
+    val ranked = graft.util.Caches.persistTracked(df
+      .select(col(groupCol), valueCol.cast("double").as("value"),
+        idCol.as("__id"))
+      .withColumn("__r", row_number().over(wv).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn).cast("long")))
+    def cut(name: String, num: Int, den: Int) = ranked
+      .filter(col("__r") ===
+        expr(s"($num * __n + ${den - 1}) div $den"))
+      .select(col(groupCol).as(s"__g_$name"), col("value").as(name))
+    ranked
+      .join(cut("lo_cut", lo._1, lo._2),
+        col(groupCol) === col("__g_lo_cut")).drop("__g_lo_cut")
+      .join(cut("hi_cut", hi._1, hi._2),
+        col(groupCol) === col("__g_hi_cut")).drop("__g_hi_cut")
+      .select(col(groupCol), col("__id").as("id"), col("value"),
+        col("lo_cut"), col("hi_cut"),
+        least(greatest(col("value"), col("lo_cut")), col("hi_cut"))
+          .as("winsorized"))
+  }
+
   /** Two-proportion A/B z-test: one row with per-variant exposure and
     * conversion counts, rates, absolute lift, the pooled-variance
     * z-statistic z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁)), and a

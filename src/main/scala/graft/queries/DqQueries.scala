@@ -123,6 +123,15 @@ object DqQueries {
         col("n_chars"))
     },
 
+    // X124: per-source winsorization of document length at the
+    // [p10, p90] integer-rank cuts — heavy-tail clamp that keeps
+    // every row; exact data-value cuts, exact comparisons.
+    "q_x124_winsorize" -> { (s, dir) =>
+      graft.dq.Stats.winsorize(t(s, dir, "documents"), "source",
+        col("n_chars"), col("doc_id"))
+        .orderBy(col("source"), col("id"))
+    },
+
     // D15: ingest-volume anomaly monitor — robust MAD flags over the
     // per-(type, day) event counts (a dead or runaway pipeline day
     // shows up as an outlier); D12 composed over the daily-count table.
@@ -308,6 +317,26 @@ object DqQueries {
         |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
         |FROM a""".stripMargin,
+    // Same X111 integer-rank cuts, same exact clamp.
+    "q_x124_winsorize" ->
+      """WITH base AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS value, doc_id
+        |  FROM documents),
+        |rv AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY value, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM base),
+        |lo AS (SELECT source AS g, value AS lo_cut FROM rv
+        |       WHERE r = (1 * n + 9) // 10),
+        |hi AS (SELECT source AS g, value AS hi_cut FROM rv
+        |       WHERE r = (9 * n + 9) // 10)
+        |SELECT b.source, b.doc_id AS id, b.value, lo.lo_cut, hi.hi_cut,
+        |  least(greatest(b.value, lo.lo_cut), hi.hi_cut) AS winsorized
+        |FROM base b
+        |JOIN lo ON lo.g = b.source
+        |JOIN hi ON hi.g = b.source
+        |ORDER BY b.source, id""".stripMargin,
     // Same daily counts through the D12 integer-rank median/MAD chain.
     "q_d15_volume_anomaly" ->
       """WITH daily AS (

@@ -182,6 +182,28 @@ class StatsSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "winsorize (X124)" should "clamp to hand-computed per-group rank cuts and keep every row" in {
+    import spark.implicits._
+    // group g: values 1..10 -> p10 cut = rank ceil(10/10)=1 -> 1.0;
+    // p90 cut = rank ceil(90/10)=9 -> 9.0; so 10 clamps to 9, 1 stays
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("src", "v", "id")
+    val r = graft.dq.Stats.winsorize(df, "src", col("v"), col("id"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    r.length shouldBe 10
+    val m = r.map(t => t._2 -> t._6).toMap
+    m(10L) shouldBe 9.0
+    m(9L) shouldBe 9.0
+    m(1L) shouldBe 1.0 // exactly AT the lo cut: unchanged
+    m(5L) shouldBe 5.0
+    r.foreach { t => t._4 shouldBe 1.0; t._5 shouldBe 9.0 }
+    intercept[IllegalArgumentException] {
+      graft.dq.Stats.winsorize(df, "src", col("v"), col("id"),
+        lo = (9, 10), hi = (1, 10)) // lo above hi
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "madOutliers (D12)" should "flag only the planted spike via hand-computed median/MAD" in {
     import spark.implicits._
     // group a: {10,11,12,13,14, 100}: n=6, median rank (7)//2=3 -> 12;
