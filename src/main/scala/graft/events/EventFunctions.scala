@@ -310,6 +310,58 @@ object EventFunctions {
       .withColumn("converted", col("n_converted") > 0)
   }
 
+  /** W19: FUNNEL STEP TIMING — per converted 3-step chain, the
+    * seconds spent in EACH leg (step1 → step2, step2 → step3), not
+    * just the conversion count: "users convert, but the click →
+    * purchase leg takes p90 40 minutes" is the actionable funnel
+    * finding W12's counts can't show.
+    *
+    * Same latest-start sweep as [[timeBoundedFunnel]], with the chain
+    * STATE carried as one packed BIGINT `s1·2³² + t2` (epoch seconds
+    * < 2³¹ each, so the pack fits a signed 64-bit and lexicographic
+    * order = numeric order): `max` of the packed state over the
+    * entity window picks the latest-s1 chain (ties → latest t2 — a
+    * deterministic refinement, mirrored by the oracle), and the final
+    * step decodes both timestamps back with div/mod. All N windows
+    * share one (entity, ts, id) sort; exact integer seconds
+    * throughout, no floats.
+    *
+    * Output: one row per CONVERTED final-step event — (entity, id,
+    * step1_ts_sec, step2_ts_sec, step3_ts_sec, leg1_sec, leg2_sec,
+    * total_sec). */
+  def funnelStepTiming(events: DataFrame, step1: String, step2: String,
+      step3: String, windowSec: Long,
+      c: EventCols = EventCols()): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(Seq(step1, step2, step3).distinct.size == 3,
+      "funnelStepTiming: steps must be distinct")
+    val w = Window.partitionBy(col(c.entity))
+      .orderBy(col(c.ts), col(c.id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsSec = unix_timestamp(col(c.ts))
+    val pack = lit(4294967296L)
+    val chained = events
+      .withColumn("__p1", when(col(c.eventType) === step1, tsSec))
+      .withColumn("__p2", when(col(c.eventType) === step2,
+        max(col("__p1")).over(w) * pack + tsSec))
+      .withColumn("__p3", when(col(c.eventType) === step3,
+        max(col("__p2")).over(w)))
+      .filter(col(c.eventType) === step3 && col("__p3").isNotNull)
+      .select(col(c.entity), col(c.id),
+        // integral div/mod: the pack exceeds double's exact range, so
+        // `/` (double division) would corrupt the decoded seconds
+        expr("__p3 DIV 4294967296").as("step1_ts_sec"),
+        pmod(col("__p3"), pack).as("step2_ts_sec"),
+        tsSec.as("step3_ts_sec"))
+    chained
+      .filter(col("step3_ts_sec") - col("step1_ts_sec") <= windowSec)
+      .select(col(c.entity), col(c.id), col("step1_ts_sec"),
+        col("step2_ts_sec"), col("step3_ts_sec"),
+        (col("step2_ts_sec") - col("step1_ts_sec")).as("leg1_sec"),
+        (col("step3_ts_sec") - col("step2_ts_sec")).as("leg2_sec"),
+        (col("step3_ts_sec") - col("step1_ts_sec")).as("total_sec"))
+  }
+
   /** W15: 3-ITEM SEQUENTIAL patterns — "sessions that do A, then B,
     * then C" (the GSP/PrefixSpan length-3 step [[sequentialRules]]'s
     * min/max trick cannot decide: the middle element must fall

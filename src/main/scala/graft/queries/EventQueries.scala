@@ -97,6 +97,15 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W19: funnel step timing — per converted view -> click ->
+    // purchase chain inside 24h, exact integer leg durations via the
+    // packed latest-start sweep.
+    "q_w19_funnel_timing" -> { (s, dir) =>
+      graft.events.EventFunctions.funnelStepTiming(
+        t(s, dir, "events"), "view", "click", "purchase", 86400)
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // W12: time-bounded 3-step funnel — view -> click -> purchase with
     // the whole chain inside 24h, latest-start sweep semantics.
     "q_w12_time_funnel" -> { (s, dir) =>
@@ -831,6 +840,39 @@ object EventQueries {
         |    END, 6) AS acf
         |FROM pairs p JOIN mom m USING (user_id)
         |ORDER BY p.user_id, p.lag""".stripMargin,
+    // Same packed latest-start sweep (s1*2^32 + t2 under BIGINT max),
+    // same integral div/mod decode, same truncated-epoch seconds.
+    "q_w19_funnel_timing" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |p1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN t END AS c1
+        |  FROM ev),
+        |p2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN
+        |      max(c1) OVER w * 4294967296 + t END AS c2
+        |  FROM p1 WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' THEN
+        |      max(c2) OVER w END AS c3
+        |  FROM p2 WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  c3 // 4294967296 AS step1_ts_sec,
+        |  c3 % 4294967296 AS step2_ts_sec,
+        |  t AS step3_ts_sec,
+        |  (c3 % 4294967296) - (c3 // 4294967296) AS leg1_sec,
+        |  t - (c3 % 4294967296) AS leg2_sec,
+        |  t - (c3 // 4294967296) AS total_sec
+        |FROM p3
+        |WHERE event_type = 'purchase' AND c3 IS NOT NULL
+        |  AND t - (c3 // 4294967296) <= 86400
+        |ORDER BY user_id, event_id""".stripMargin,
     // Same truncated-epoch gap deltas, same X111 integer rank picks.
     "q_e22_gap_quantiles" ->
       """WITH g AS (

@@ -282,6 +282,51 @@ class EventFunctionsSpec extends SparkSpec {
     m(1L) shouldBe 5.0
   }
 
+  behavior of "funnelStepTiming (W19)"
+
+  it should "time each leg of the LATEST-start chain and window out stale chains" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // an early chain start that must LOSE to the later one
+      (1L, "view", ts("2024-01-05 09:00:00"), 1L),
+      (1L, "click", ts("2024-01-05 09:30:00"), 2L),
+      // the latest-start chain: view 10:00, click 10:05
+      (1L, "view", ts("2024-01-05 10:00:00"), 3L),
+      (1L, "click", ts("2024-01-05 10:05:00"), 4L),
+      // a view AFTER the click must not disturb the chain
+      (1L, "view", ts("2024-01-05 10:10:00"), 5L),
+      (1L, "purchase", ts("2024-01-05 10:20:00"), 6L),
+      // user 2: chain exceeds the 1h window -> dropped
+      (2L, "view", ts("2024-01-05 08:00:00"), 7L),
+      (2L, "click", ts("2024-01-05 08:10:00"), 8L),
+      (2L, "purchase", ts("2024-01-05 09:30:00"), 9L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.events.EventFunctions.funnelStepTiming(ev, "view",
+        "click", "purchase", windowSec = 3600)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    r.length shouldBe 1
+    val row = r.head
+    row._1 shouldBe 1L
+    row._2 shouldBe 6L
+    row._6 shouldBe 300L  // leg1: view 10:00 -> click 10:05
+    row._7 shouldBe 900L  // leg2: click 10:05 -> purchase 10:20
+    row._8 shouldBe 1200L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "require a full chain: click-then-purchase with no view emits nothing" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "click", ts("2024-01-05 10:00:00"), 1L),
+      (1L, "purchase", ts("2024-01-05 10:10:00"), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    graft.events.EventFunctions.funnelStepTiming(ev, "view", "click",
+      "purchase", 3600).count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "ltvCurves (E23)"
 
   it should "accumulate hand-computed per-user value along cohort age" in {
