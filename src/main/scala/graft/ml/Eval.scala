@@ -137,6 +137,57 @@ object Eval {
         col("gap"), col("ece"))
   }
 
+  /** F28: DECILE LIFT / GAINS TABLE — the campaign-targeting view of a
+    * score (public knowledge): rank the population by score
+    * descending, cut into `buckets` equal-height bins, and per bin
+    * report positives, rates, the CUMULATIVE capture of all
+    * positives ("top 2 deciles catch 45%") and lift vs the base rate.
+    * This is the table a budget decision reads; AUC compresses it to
+    * one number.
+    *
+    * Exactness + scale: ranks come from the two-phase prefix sum
+    * ([[graft.relational.Ranks.globalRankAndCount]] over (score desc,
+    * id) — no global-order window), bins from the computed
+    * SQL-standard ntile; counts are exact and every rate/lift is a
+    * fixed IEEE expression over them (cumulative counts ride an
+    * ordered window over the BUCKETS-sized table). Output: one row
+    * per bucket — (bucket, n, n_pos, pos_rate, cum_pos, capture,
+    * lift); lift NULL when there are no positives. */
+  def liftTable(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column, idCol: org.apache.spark.sql.Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"), idCol.as("__id"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val (ranked, n) = graft.relational.Ranks.globalRankAndCount(base,
+      Seq(col("__s").desc, col("__id")), "__r")
+    require(n >= buckets, s"liftTable: $n rows < $buckets buckets")
+    val perBucket = ranked
+      .withColumn("bucket",
+        graft.relational.Ranks.ntileOf(col("__r"), n, buckets))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"))
+    val totals = perBucket.agg(sum(col("n_pos")).as("__tp"))
+    // bucket-sized ordered cumulative window: `buckets` rows, bounded
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        col("cum_pos"),
+        when(col("__tp") > 0, col("cum_pos").cast("double") /
+          col("__tp").cast("double")).as("capture"),
+        when(col("__tp") > 0,
+          (col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("__tp").cast("double") / lit(n.toDouble))).as("lift"))
+  }
+
   /** F27: McNEMAR PAIRED TEST — "is classifier B actually better than
     * A, or did the same eval set just get re-scored" (McNemar 1947,
     * public knowledge): only the DISCORDANT pairs carry information —

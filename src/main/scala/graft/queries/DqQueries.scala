@@ -123,6 +123,32 @@ object DqQueries {
         col("n_chars"))
     },
 
+    // F28: decile lift/gains table — "length predicts English" scored
+    // by n_chars desc; exact counts, two-phase ranks, computed ntile,
+    // cumulative capture + lift per decile.
+    "q_f28_lift_table" -> { (s, dir) =>
+      graft.ml.Eval.liftTable(t(s, dir, "documents"), col("n_chars"),
+        (col("lang") === "en").cast("int"), col("doc_id"))
+        .orderBy(col("bucket"))
+    },
+
+    // X125: split-balance audit — per (split, stratum) counts and the
+    // within-split share after the X119 exact split; the governance
+    // check that splits preserve the stratum mix.
+    "q_x125_split_balance" -> { (s, dir) =>
+      val split = graft.curate.Curation.exactStratifiedSplit(
+        t(s, dir, "documents"), "doc_id", "source")
+      val per = split.groupBy(col("split"), col("stratum"))
+        .agg(count(lit(1)).as("n"))
+      val tot = split.groupBy(col("split"))
+        .agg(count(lit(1)).as("__t"))
+      per.join(tot, "split")
+        .select(col("split"), col("stratum"), col("n"),
+          (col("n").cast("double") / col("__t").cast("double"))
+            .as("share"))
+        .orderBy(col("split"), col("stratum"))
+    },
+
     // X124: per-source winsorization of document length at the
     // [p10, p90] integer-rank cuts — heavy-tail clamp that keeps
     // every row; exact data-value cuts, exact comparisons.
@@ -317,6 +343,65 @@ object DqQueries {
         |    THEN CAST(twos - (n + 1) * t AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
         |FROM a""".stripMargin,
+    // Native ntile over the same (score desc, id) order (the computed
+    // ntileOf is spec-proven equal), exact counts, same rate/lift
+    // expressions.
+    "q_f28_lift_table" ->
+      """WITH base AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, doc_id
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY s DESC, doc_id)
+        |    AS BIGINT) AS bucket, y
+        |  FROM base),
+        |per AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |        CAST(sum(n) AS BIGINT) AS nn FROM per),
+        |c AS (
+        |  SELECT *, CAST(sum(n_pos) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM per)
+        |SELECT bucket, n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |  cum_pos,
+        |  CASE WHEN (SELECT tp FROM t) > 0
+        |    THEN CAST(cum_pos AS DOUBLE)
+        |      / CAST((SELECT tp FROM t) AS DOUBLE) END AS capture,
+        |  CASE WHEN (SELECT tp FROM t) > 0
+        |    THEN (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST((SELECT tp FROM t) AS DOUBLE)
+        |        / CAST((SELECT nn FROM t) AS DOUBLE)) END AS lift
+        |FROM c ORDER BY bucket""".stripMargin,
+    // The X119 split CTE rolled up to per-(split, stratum) shares.
+    "q_x125_split_balance" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY (${hexDigitSum(1, 8)}), doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM u),
+         |sp AS (
+         |  SELECT doc_id, source AS stratum,
+         |    CASE WHEN r * 10 <= 8 * n THEN 'train'
+         |         WHEN r * 10 <= 9 * n THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM r),
+         |per AS (SELECT split, stratum, CAST(count(*) AS BIGINT) AS n
+         |        FROM sp GROUP BY 1, 2),
+         |t AS (SELECT split, CAST(count(*) AS BIGINT) AS tt
+         |      FROM sp GROUP BY 1)
+         |SELECT per.split, per.stratum, per.n,
+         |  CAST(per.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
+         |FROM per JOIN t ON t.split = per.split
+         |ORDER BY per.split, per.stratum""".stripMargin,
     // Same X111 integer-rank cuts, same exact clamp.
     "q_x124_winsorize" ->
       """WITH base AS (

@@ -325,6 +325,38 @@ class ClassifierRetrievalSpec extends SparkSpec {
     Retrieval.rrfFuse(lex, sem, k = 1).count() shouldBe 1L
   }
 
+  behavior of "Eval.liftTable (F28)"
+
+  it should "compute hand-checked decile capture and lift on a separable score" in {
+    import spark.implicits._
+    // 20 rows, top-scored 5 are ALL the positives: with 4 buckets,
+    // bucket 1 (rows 1-5) holds every positive
+    val rows = (1 to 20).map(i =>
+      (21.0 - i, if (i <= 5) 1 else 0, i.toLong))
+      .toDF("s", "y", "id")
+    val r = graft.ml.Eval.liftTable(rows, col("s"), col("y"), col("id"),
+        buckets = 4)
+      .as[(Long, Long, Long, Double, Long, Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    r.length shouldBe 4
+    r(0)._2 shouldBe 5L
+    r(0)._3 shouldBe 5L
+    r(0)._4 shouldBe 1.0
+    r(0)._6 shouldBe Some(1.0)          // bucket 1 captures 100%
+    r(0)._7.get shouldBe 4.0 +- 1e-12   // rate 1.0 vs base 0.25
+    r(1)._3 shouldBe 0L
+    r(1)._6 shouldBe Some(1.0)          // capture stays at 100%
+    r(3)._7 shouldBe Some(0.0)
+    // no positives at all: capture/lift NULL, never a division error
+    val none = (1 to 8).map(i => (i.toDouble, 0, i.toLong))
+      .toDF("s", "y", "id")
+    graft.ml.Eval.liftTable(none, col("s"), col("y"), col("id"),
+        buckets = 2)
+      .select(col("capture")).as[Option[Double]].collect()
+      .foreach(_ shouldBe None)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Eval.mcnemarTest (F27)"
 
   it should "compute the hand-checked discordant-pair statistic and NULL on no evidence" in {
