@@ -150,7 +150,9 @@ object Resample {
     * operand-for-operand by the oracle; flat series (zero total
     * variance) yield NULL strength, not a division error. Two
     * aggregates — (entity, dow) then entity — nothing else. Output:
-    * (key, n_days, total_var, resid_var, strength), round-6.
+    * (key, n_days, total_var, resid_var, strength), quantized-6 via
+    * [[graft.functions.q6]] (engine `round` builtins disagree on
+    * half-boundary doubles — see the quantizer's scaladoc).
     *
     * REPRODUCIBILITY (the r9 hash-parity lesson): every float sum
     * whose accumulation order an engine may choose is carried as
@@ -188,9 +190,9 @@ object Resample {
         sum(col("__ssd")).cast("double").as("__ss"),
         sseFixedOrder.as("__sse"))
       .select(col(key), col("__n").as("n_days"),
-        round(sst / nD, 6).as("total_var"),
-        round(col("__sse") / nD, 6).as("resid_var"),
-        round(when(sst > 0, lit(1.0) - col("__sse") / sst), 6)
+        graft.functions.q6(sst / nD).as("total_var"),
+        graft.functions.q6(col("__sse") / nD).as("resid_var"),
+        graft.functions.q6(when(sst > 0, lit(1.0) - col("__sse") / sst))
           .as("strength"))
   }
 
@@ -239,9 +241,10 @@ object Resample {
     * everywhere). One (entity, day) aggregate + one entity-keyed
     * cumulative window — no per-candidate re-scan of the series.
     *
-    * Determinism: the argmax ranks on ROUND-6 |S| (cross-engine
-    * cumulative float sums differ in ulps; two genuinely tied days
-    * resolve by earliest day, not float noise). Output: one row per
+    * Determinism: the argmax ranks on QUANTIZED-6 |S| — quantized via
+    * [[graft.functions.q6]], not `round` (engine `round` builtins
+    * disagree on half-boundary doubles; two genuinely tied days resolve
+    * by earliest day, not float noise). Output: one row per
     * (entity, day) — (key, day, value, cusum, is_changepoint). */
   def cusumChangepoint(df: DataFrame, key: String, ts: Column,
       valueCol: Column): DataFrame =
@@ -281,13 +284,13 @@ object Resample {
           col("__t").cast("double") * col("__s").cast("double") /
             col("__n").cast("double"))
     val rank = Window.partitionBy(col(key))
-      .orderBy(round(abs(col("cusum")), 6).desc, col("day"))
+      .orderBy(graft.functions.q6(abs(col("cusum"))).desc, col("day"))
     scored
       .withColumn("is_changepoint",
         (row_number().over(rank) === 1).cast("int"))
       .select(col(key), col("day"),
-        round(col("__x").cast("double"), 2).as("value"),
-        round(col("cusum"), 6).as("cusum"), col("is_changepoint"))
+        graft.functions.quantize(col("__x").cast("double"), 2).as("value"),
+        graft.functions.q6(col("cusum")).as("cusum"), col("is_changepoint"))
   }
 
   /** E20: AUTOCORRELATION FUNCTION of a daily series per entity at

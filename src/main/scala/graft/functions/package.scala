@@ -37,6 +37,36 @@ package object functions {
     * change to the encoding. */
   val HashEncodingVersion = 2
 
+  /** Cross-engine decimal quantizer: `floor(x * 10^p + 0.5) / 10^p`,
+    * round-half-toward-+inf at `p` decimals (so −0.0000005 → 0, a
+    * documented convention, NOT banker's or half-away rounding).
+    *
+    * WHY NOT `round(x, p)`: each engine's `round` builtin on DOUBLE uses a
+    * different algorithm — Spark HALF_UP-rounds the SHORTEST DECIMAL
+    * REPRESENTATION of the double (`BigDecimal.valueOf`), DuckDB rounds the
+    * BINARY value via a ×10^p path — and the two disagree on doubles whose
+    * shortest repr ends in `…5` at decimal p+1 (≈1.2% of that boundary
+    * class; e.g. at p=6, `262.0005495` → DuckDB `262.000549`, Spark
+    * `262.00055`). Small-denominator rationals (rates k/n, means over small
+    * counts, `C − t·S/n` cumulative residues) land on those boundaries
+    * routinely. This expression instead uses only IEEE-754
+    * correctly-rounded primitives (`*`, `+`, `floor`, `/`), so ANY engine
+    * executing the same literal expression produces bit-identical doubles.
+    * SQL mirror (write it literally in the oracle): for p=6,
+    * `floor(x * 1000000.0 + 0.5) / 1000000.0`.
+    *
+    * Contract: |x·10^p| < 2^53 (Spark's `floor` emits LONG, DuckDB's emits
+    * DOUBLE; below 2^53 the long→double conversion is exact so the engines
+    * cannot diverge). Metric-scale values — rates, variances, cumulative
+    * sums of business values — sit far inside that. NULL passes through. */
+  def quantize(c: Column, p: Int): Column = {
+    val s = math.pow(10, p) // exact power of ten for p <= 22
+    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+  }
+
+  /** [[quantize]] at 6 decimals — the library's standard metric precision. */
+  def q6(c: Column): Column = quantize(c, 6)
+
   /** Fields joined with [[HashSep]], NULLs replaced by [[HashNull]] — the
     * canonical pre-hash encoding shared by every hash below and by the
     * DuckDB oracles. */

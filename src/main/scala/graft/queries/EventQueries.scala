@@ -665,12 +665,13 @@ object EventQueries {
         |      + coalesce(sum(CASE WHEN dow = 6 THEN td END), 0.0) AS sse
         |  FROM term GROUP BY user_id)
         |SELECT user_id, n AS n_days,
-        |  round((ss - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
-        |    AS total_var,
-        |  round(sse / CAST(n AS DOUBLE), 6) AS resid_var,
-        |  round(CASE WHEN ss - s * s / CAST(n AS DOUBLE) > 0
-        |    THEN 1.0 - sse / (ss - s * s / CAST(n AS DOUBLE)) END, 6)
-        |    AS strength
+        |  floor((ss - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS total_var,
+        |  floor(sse / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS resid_var,
+        |  floor((CASE WHEN ss - s * s / CAST(n AS DOUBLE) > 0
+        |    THEN 1.0 - sse / (ss - s * s / CAST(n AS DOUBLE)) END)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS strength
         |FROM ent ORDER BY user_id""".stripMargin,
     // Same one-span-per-user construction, same E19 curve CTEs.
     "q_e25_activation" ->
@@ -793,9 +794,11 @@ object EventQueries {
         |      / CAST(n AS DOUBLE) AS cusum
         |  FROM agg),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY round(abs(cusum), 6) DESC, d) AS rn FROM cs)
+        |    ORDER BY floor(abs(cusum) * 1000000.0 + 0.5) / 1000000.0
+        |      DESC, d) AS rn FROM cs)
         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
-        |  round(CAST(x AS DOUBLE), 2) AS value, round(cusum, 6) AS cusum,
+        |  floor(CAST(x AS DOUBLE) * 100.0 + 0.5) / 100.0 AS value,
+        |  floor(cusum * 1000000.0 + 0.5) / 1000000.0 AS cusum,
         |  CAST(rn = 1 AS INTEGER) AS is_changepoint
         |FROM rk ORDER BY user_id, day""".stripMargin,
     // Same DECIMAL daily sums and pair/series moments, same fixed
