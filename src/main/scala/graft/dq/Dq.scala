@@ -140,8 +140,10 @@ object Dq {
       val mean = opt[Double](s"__sm_$c").map(_ / nn)
       (c, kind(c), n, n - nn, dRow.getAs[Long](s"__nd_$c"),
         opt[Double](s"__mn_$c"), opt[Double](s"__mx_$c"),
-        mean.map(m => BigDecimal(m).setScale(6,
-          BigDecimal.RoundingMode.HALF_UP).toDouble),
+        // driver-side mirror of graft.functions.q6 — NOT BigDecimal
+        // HALF_UP (that is Spark round()'s shortest-repr semantics,
+        // which diverges from DuckDB on half-boundary doubles)
+        mean.map(m => math.floor(m * 1e6 + 0.5) / 1e6),
         opt[String](s"__mns_$c"), opt[String](s"__mxs_$c"))
     }.toDF("column", "kind", "n_rows", "n_nulls", "n_distinct",
       "num_min", "num_max", "num_mean", "str_min", "str_max")
@@ -260,7 +262,8 @@ object Dq {
     // over a literal partition (Catalyst folds the literal away and
     // leaves a partition-less WindowExec)
     scored.crossJoin(broadcast(
-      scored.agg(round(sum(col("contribution")), 6).as("chi2"))))
+      scored.agg(graft.functions.q6(sum(col("contribution")))
+        .as("chi2"))))
   }
 
   /** D7: KOLMOGOROV–SMIRNOV DRIFT — the nonparametric numeric-drift
@@ -397,7 +400,8 @@ object Dq {
           val r = assertion(ctx(in), where, thr)
           ctx(in).sparkSession.range(1).select(
             lit(r.total).as("total"), lit(r.invalid).as("invalid"),
-            round(lit(r.ratio), 6).as("ratio"), lit(r.passed).as("passed"))
+            graft.functions.q6(lit(r.ratio)).as("ratio"),
+            lit(r.passed).as("passed"))
         case DiffCmd(li, ri, jc, cc, _) => diff(ctx(li), ctx(ri), jc, cc)
         case ViewCmd(sql, _) => view(spark, sql)
       }

@@ -70,8 +70,9 @@ object EventFeatures {
         sum(col("x") * col("x")).as("sxx"))
       .filter(col("n") > 1)
       .select(col(c.entity),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        graft.functions.q6(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("gradient"))
   }
 
@@ -106,7 +107,8 @@ object EventFeatures {
       .agg(max(col(c.value)).as("__dmax"))
     daily.groupBy(col(c.entity), col("week"))
       .agg(count(lit(1)).as("n_days"),
-        round(sum(col("__dmax")) / count(lit(1)), 4).as("avg_daily_max"))
+        graft.functions.quantize(sum(col("__dmax")) / count(lit(1)), 4)
+          .as("avg_daily_max"))
   }
 
   /** Event-type proportion per entity: share of `attribute` events among
@@ -117,7 +119,7 @@ object EventFeatures {
       .agg(count(lit(1)).as("n_total"),
         count(when(col(c.eventType) === attribute, 1)).as("n_attr"))
       .select(col(c.entity), col("n_total"), col("n_attr"),
-        round(col("n_attr").cast("double") / col("n_total"), 6)
+        graft.functions.q6(col("n_attr").cast("double") / col("n_total"))
           .as("proportion"))
 
   /** Hour-of-day band predicate (`startHour` inclusive, `endHour`
@@ -147,7 +149,8 @@ object EventFeatures {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col(c.ts).cast("date")).as("n_days"))
       .select(col(c.entity), col("n_events"), col("n_days"),
-        round(col("n_events").cast("double") / col("n_days"), 4)
+        graft.functions.quantize(
+          col("n_events").cast("double") / col("n_days"), 4)
           .as("avg_daily"))
 
   /** "Average duration of sessions" (docs/feature_examples.md): session
@@ -161,7 +164,8 @@ object EventFeatures {
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
       .groupBy(col(c.entity))
       .agg(count(lit(1)).as("n_sessions"),
-        round(sum(col("__dur")).cast("double") / count(lit(1)), 4)
+        graft.functions.quantize(
+          sum(col("__dur")).cast("double") / count(lit(1)), 4)
           .as("avg_session_s"))
 
   /** Inter-event intervals per entity (seconds between consecutive events
@@ -177,7 +181,8 @@ object EventFeatures {
       .groupBy(col(c.entity))
       .agg(count(lit(1)).as("n_gaps"),
         max(col("__gap")).as("max_gap_s"),
-        round(sum(col("__gap")).cast("double") / count(lit(1)), 4)
+        graft.functions.quantize(
+          sum(col("__gap")).cast("double") / count(lit(1)), 4)
           .as("mean_gap_s"))
   }
 
@@ -264,8 +269,8 @@ object EventFeatures {
         col("week_offset"), col("cohort_size"),
         round(col("__wv").cast("double"), 2).as("week_value"),
         round(col("__cum").cast("double"), 2).as("cum_value"),
-        round(col("__cum").cast("double") /
-          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+        graft.functions.q6(col("__cum").cast("double") /
+          col("cohort_size").cast("double")).as("ltv_per_user"))
   }
 
   /** W18: GROWTH ACCOUNTING — the weekly new / retained / resurrected

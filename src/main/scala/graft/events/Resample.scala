@@ -342,7 +342,7 @@ object Resample {
     pairs.join(mom, key)
       .select(col(key), col("lag").cast("long").as("lag"),
         col("n_pairs"),
-        round(when(den > 0, num / den), 6).as("acf"))
+        graft.functions.q6(when(den > 0, num / den)).as("acf"))
   }
 
   /** E15: trailing EXPONENTIALLY-WEIGHTED moving average of a daily

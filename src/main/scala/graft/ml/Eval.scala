@@ -55,7 +55,7 @@ object Eval {
       .crossJoin(broadcast(stats))
       .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
       .withColumn("threshold",
-        round(col("__mn") + col("bucket") * col("__step"), 6))
+        graft.functions.q6(col("__mn") + col("bucket") * col("__step")))
     val w = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(bucketed, Seq("bucket"), "left")
@@ -66,7 +66,8 @@ object Eval {
       .select(col("bucket"), col("threshold"), col("n_kept"),
         col("n_correct_kept"),
         when(col("n_kept") > 0,
-          round(col("n_correct_kept") / col("n_kept"), 4)).as("precision"))
+          graft.functions.quantize(
+            col("n_correct_kept") / col("n_kept"), 4)).as("precision"))
   }
 
   /** F15: CALIBRATION CURVE + ECE (reliability diagram, public
@@ -114,23 +115,23 @@ object Eval {
       .crossJoin(broadcast(stats))
       .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
       .withColumn("threshold",
-        round(col("__mn") + col("bucket") * col("__step"), 6))
+        graft.functions.q6(col("__mn") + col("bucket") * col("__step")))
       .select(col("bucket"), col("threshold"))
     val perBucket = grid.join(bucketedC, Seq("bucket"), "inner")
       .crossJoin(broadcast(total))
       .withColumn("observed_acc",
-        round(col("n_correct").cast("double") / col("n"), 6))
+        graft.functions.q6(col("n_correct").cast("double") / col("n")))
       .withColumn("__conf", col("__ssum") / col("n"))
-      .withColumn("mean_score", round(col("__conf"), 6))
+      .withColumn("mean_score", graft.functions.q6(col("__conf")))
       .withColumn("__g",
         col("n_correct").cast("double") / col("n") - col("__conf"))
-      .withColumn("gap", round(col("__g"), 6))
+      .withColumn("gap", graft.functions.q6(col("__g")))
     // the buckets-term ECE total as a broadcast one-row aggregate, not
     // a window over a literal partition (Catalyst folds the literal
     // away and leaves a partition-less WindowExec)
     perBucket
       .crossJoin(broadcast(perBucket.agg(
-        round(sum(abs(col("__g")) * col("n") / col("__nt")), 6)
+        graft.functions.q6(sum(abs(col("__g")) * col("n") / col("__nt")))
           .as("ece"))))
       .select(col("bucket"), col("threshold"), col("n"),
         col("n_correct"), col("observed_acc"), col("mean_score"),

@@ -29,7 +29,7 @@ object FeaturePrep {
       val hi = col(s"__max_$c")
       d.withColumn(s"${c}_scaled",
         when(hi > lo,
-          round((col(c).cast("double") - lo) / (hi - lo), 6))
+          graft.functions.q6((col(c).cast("double") - lo) / (hi - lo)))
           .otherwise(lit(0.0)))
     }
     scaled.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)

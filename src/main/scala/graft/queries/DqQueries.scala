@@ -206,7 +206,8 @@ object DqQueries {
         "l_discount <= 0.08 AND l_quantity > 0", threshold = 0.25)
       s.range(1).select(
         lit(r.total).as("total"), lit(r.invalid).as("invalid"),
-        round(lit(r.ratio), 6).as("ratio"), lit(r.passed).as("passed"))
+        graft.functions.q6(lit(r.ratio)).as("ratio"),
+        lit(r.passed).as("passed"))
     },
 
     // D2: row diff between a table and a mutated copy.
@@ -653,8 +654,8 @@ object DqQueries {
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS num_min,
            |  CAST(max($c) AS DOUBLE) AS num_max,
-           |  round(CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE) /
-           |    count($c), 6) AS num_mean,
+           |  floor(CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE) /
+           |    count($c) * 1000000.0 + 0.5) / 1000000.0 AS num_mean,
            |  CAST(NULL AS VARCHAR) AS str_min,
            |  CAST(NULL AS VARCHAR) AS str_max
            |FROM lineitem""".stripMargin
@@ -730,7 +731,8 @@ object DqQueries {
         |  FROM e)
         |SELECT category, n_ref, n_cur, expected, contribution,
         |  (SELECT k FROM t) - 1 AS dof,
-        |  round(sum(contribution) OVER (), 6) AS chi2
+        |  floor(sum(contribution) OVER () * 1000000.0 + 0.5)
+        |    / 1000000.0 AS chi2
         |FROM co ORDER BY category""".stripMargin,
     // KS: exact pooled empirical-CDF gap — cumulative integer counts,
     // one division per side, exact abs/max; zero tolerance needed.
@@ -831,8 +833,9 @@ object DqQueries {
       """SELECT count(1) AS total,
         |  count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
         |    THEN 1 END) AS invalid,
-        |  round((count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
-        |    THEN 1 END)) / CAST(count(1) AS DOUBLE), 6) AS ratio,
+        |  floor((count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
+        |    THEN 1 END)) / CAST(count(1) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ratio,
         |  (count(1) - count(CASE WHEN l_discount <= 0.08 AND l_quantity > 0
         |    THEN 1 END)) / CAST(count(1) AS DOUBLE) <= 0.25 AS passed
         |FROM lineitem""".stripMargin,

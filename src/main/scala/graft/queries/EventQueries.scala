@@ -349,7 +349,7 @@ object EventQueries {
           sum(col("__v")).cast("long").as("n_view_sessions"),
           sum(col("__v") * col("__p")).cast("long").as("n_converted"))
         .withColumn("conversion_rate",
-          round(col("n_converted").cast("double") /
+          graft.functions.quantize(col("n_converted").cast("double") /
             greatest(col("n_view_sessions"), lit(1L)), 4))
         .orderBy(col("user_id"))
     })
@@ -454,8 +454,8 @@ object EventQueries {
         |  cm.off AS week_offset, sz.cohort_size,
         |  round(CAST(cm.wv AS DOUBLE), 2) AS week_value,
         |  round(CAST(cm.cv AS DOUBLE), 2) AS cum_value,
-        |  round(CAST(cm.cv AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE),
-        |    6) AS ltv_per_user
+        |  floor(CAST(cm.cv AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
         |FROM cm JOIN sz ON sz.cw = cm.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // Same distinct (user, week) lag/lead classification; churn lands
@@ -824,7 +824,7 @@ object EventQueries {
         |    AND a.d = b.d + CAST(b.lag AS INTEGER)
         |  GROUP BY 1, 2)
         |SELECT p.user_id, p.lag, p.n_pairs,
-        |  round(CASE WHEN CAST(m.sxx AS DOUBLE)
+        |  floor((CASE WHEN CAST(m.sxx AS DOUBLE)
         |      - CAST(m.n AS DOUBLE)
         |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
         |        * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) > 0
@@ -840,7 +840,7 @@ object EventQueries {
         |        - CAST(m.n AS DOUBLE)
         |          * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
         |          * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
-        |    END, 6) AS acf
+        |    END) * 1000000.0 + 0.5) / 1000000.0 AS acf
         |FROM pairs p JOIN mom m USING (user_id)
         |ORDER BY p.user_id, p.lag""".stripMargin,
     // Same packed latest-start sweep (s1*2^32 + t2 under BIGINT max),
@@ -1091,8 +1091,9 @@ object EventQueries {
         |SELECT user_id, count(1) AS n_sessions,
         |  CAST(sum(v) AS BIGINT) AS n_view_sessions,
         |  CAST(sum(v * p) AS BIGINT) AS n_converted,
-        |  round(CAST(sum(v * p) AS DOUBLE) /
-        |    greatest(CAST(sum(v) AS BIGINT), 1), 4) AS conversion_rate
+        |  floor(CAST(sum(v * p) AS DOUBLE) /
+        |    greatest(CAST(sum(v) AS BIGINT), 1) * 10000.0 + 0.5)
+        |    / 10000.0 AS conversion_rate
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_w2_prev_interactions" ->
       s"""SELECT user_id, rk AS recency, event_id, event_type FROM (

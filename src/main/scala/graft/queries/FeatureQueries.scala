@@ -239,8 +239,9 @@ object FeatureQueries {
         |    CAST(sum(x * x) AS BIGINT) AS sxx
         |  FROM weekly GROUP BY 1)
         |SELECT user_id,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS gradient
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS gradient
         |FROM sums WHERE n > 1 ORDER BY user_id""".stripMargin,
     "q_e3_value_quantile" ->
       """WITH ranked AS (
@@ -260,14 +261,16 @@ object FeatureQueries {
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY 1, 2, 3)
         |SELECT user_id, week, count(1) AS n_days,
-        |  round(sum(dmax) / count(1), 4) AS avg_daily_max
+        |  floor(sum(dmax) / count(1) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_daily_max
         |FROM daily GROUP BY user_id, week
         |ORDER BY user_id, week""".stripMargin,
     "q_e6_event_proportion" ->
       """SELECT user_id, count(1) AS n_total,
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_attr,
-        |  round(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
-        |    AS DOUBLE) / count(1), 6) AS proportion
+        |  floor(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS DOUBLE) / count(1) * 1000000.0 + 0.5) / 1000000.0
+        |    AS proportion
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e7_band_daily_avg" ->
       """WITH band AS (
@@ -275,7 +278,8 @@ object FeatureQueries {
         |  WHERE extract(hour FROM ts) >= 11 AND extract(hour FROM ts) < 15)
         |SELECT user_id, count(1) AS n_events,
         |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
-        |  round(CAST(count(1) AS DOUBLE) / count(DISTINCT day), 4) AS avg_daily
+        |  floor(CAST(count(1) AS DOUBLE) / count(DISTINCT day)
+        |    * 10000.0 + 0.5) / 10000.0 AS avg_daily
         |FROM band GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e8_weekend_daily_avg" ->
       """WITH wk AS (
@@ -283,7 +287,8 @@ object FeatureQueries {
         |  WHERE (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 IN (0, 6))
         |SELECT user_id, count(1) AS n_events,
         |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
-        |  round(CAST(count(1) AS DOUBLE) / count(DISTINCT day), 4) AS avg_daily
+        |  floor(CAST(count(1) AS DOUBLE) / count(DISTINCT day)
+        |    * 10000.0 + 0.5) / 10000.0 AS avg_daily
         |FROM wk GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e9_session_duration" ->
       """WITH g AS (
@@ -301,7 +306,8 @@ object FeatureQueries {
         |    date_diff('second', min(ts), max(ts)) AS dur
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, count(1) AS n_sessions,
-        |  round(CAST(sum(dur) AS DOUBLE) / count(1), 4) AS avg_session_s
+        |  floor(CAST(sum(dur) AS DOUBLE) / count(1) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_session_s
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_e4_purchase_intervals" ->
       """WITH gaps AS (
@@ -311,7 +317,8 @@ object FeatureQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, count(1) AS n_gaps,
         |  CAST(max(gap) AS BIGINT) AS max_gap_s,
-        |  round(CAST(sum(gap) AS DOUBLE) / count(1), 4) AS mean_gap_s
+        |  floor(CAST(sum(gap) AS DOUBLE) / count(1) * 10000.0 + 0.5)
+        |    / 10000.0 AS mean_gap_s
         |FROM gaps WHERE gap IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

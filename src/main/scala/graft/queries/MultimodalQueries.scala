@@ -120,8 +120,9 @@ object MultimodalQueries {
           .as("content"))
       Multimodal.decodeWavFeatures(payloads, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("channels"),
-          col("n_frames"), round(col("mean_amp"), 6).as("mean_amp"),
-          round(col("rms"), 6).as("rms"))
+          col("n_frames"), graft.functions.q6(col("mean_amp"))
+            .as("mean_amp"),
+          graft.functions.q6(col("rms")).as("rms"))
         .orderBy(col("doc_id"))
     })
 
@@ -295,8 +296,10 @@ object MultimodalQueries {
         |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f))
         |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
         |  CAST(max(n) AS BIGINT) AS n_frames,
-        |  round(CAST(sum(v) AS DOUBLE) / max(n), 6) AS mean_amp,
-        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 6) AS rms
+        |  floor(CAST(sum(v) AS DOUBLE) / max(n) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_amp,
+        |  floor(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rms
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Ground truth for the decode round-trip is pure arithmetic: solid
     // color (r,g,b) over w×h pixels means every channel mean IS the

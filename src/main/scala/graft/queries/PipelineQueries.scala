@@ -134,7 +134,7 @@ object PipelineQueries {
           Map("R" -> 1.0, "A" -> 0.5, "N" -> 0.0)))
       scored.select(col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
-        round(col("score"), 4).as("score"))
+        graft.functions.quantize(col("score"), 4).as("score"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -227,16 +227,17 @@ object PipelineQueries {
     // comparable value-for-value).
     "q_x58_quantile_sketch" ->
       """SELECT l_returnflag, count(1) AS n,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
-        |    AS exact_p50,
+        |  floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+        |    * 10000.0 + 0.5) / 10000.0 AS exact_p50,
         |  true AS ok_p25, true AS ok_p50, true AS ok_p90
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_f10_scoring" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  round(0.5 * l_quantity + 2.0 * l_discount +
+        |  floor((0.5 * l_quantity + 2.0 * l_discount +
         |    3.0 * (CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 0.5
-        |      WHEN 'N' THEN 0.0 END) + 1.0, 4) AS score
+        |      WHEN 'N' THEN 0.0 END) + 1.0) * 10000.0 + 0.5) / 10000.0
+        |    AS score
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_f13_minmax_scale" ->
       """WITH s AS (
@@ -246,10 +247,10 @@ object PipelineQueries {
         |    max(CAST(l_extendedprice AS DOUBLE)) AS ehi
         |  FROM lineitem)
         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  round((CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo), 6)
-        |    AS l_quantity_scaled,
-        |  round((CAST(l_extendedprice AS DOUBLE) - elo) / (ehi - elo), 6)
-        |    AS l_extendedprice_scaled
+        |  floor((CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS l_quantity_scaled,
+        |  floor((CAST(l_extendedprice AS DOUBLE) - elo) / (ehi - elo)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS l_extendedprice_scaled
         |FROM lineitem, s
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_f12_tree_ensemble" ->

@@ -439,7 +439,8 @@ object RelationalQueries {
         |               n * n AS join_rows FROM f),
         |tot AS (SELECT sum(join_rows) AS t FROM per)
         |SELECT key, n_left, n_right, join_rows,
-        |  round(CAST(join_rows AS DOUBLE) / t, 6) AS share
+        |  floor(CAST(join_rows AS DOUBLE) / t * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share
         |FROM per, tot
         |ORDER BY join_rows DESC, key LIMIT 15""".stripMargin,
     // Z-order audit: the same Morton magic-mask cascade in SQL bit

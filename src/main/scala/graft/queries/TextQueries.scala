@@ -2205,7 +2205,8 @@ object TextQueries {
         |grid AS (SELECT unnest(range(0, 20)) AS bucket),
         |g2 AS (
         |  SELECT g.bucket,
-        |    round(st.mn + g.bucket * ((st.mx - st.mn) / 20), 6) AS threshold
+        |    floor((st.mn + g.bucket * ((st.mx - st.mn) / 20))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS threshold
         |  FROM grid g CROSS JOIN st),
         |cum AS (
         |  SELECT g2.bucket, g2.threshold,
@@ -2218,7 +2219,8 @@ object TextQueries {
         |  FROM g2 LEFT JOIN bk USING (bucket))
         |SELECT bucket, threshold, n_kept, n_correct_kept,
         |  CASE WHEN n_kept > 0
-        |    THEN round(n_correct_kept * 1.0 / n_kept, 4) END AS "precision"
+        |    THEN floor(n_correct_kept * 1.0 / n_kept * 10000.0 + 0.5)
+        |      / 10000.0 END AS "precision"
         |FROM cum ORDER BY bucket""".stripMargin,
     // Calibration: the shared NB margin chain, the same exactly-rounded
     // bucket arithmetic as the sweep, then per-bucket accuracy vs mean
@@ -2237,21 +2239,24 @@ object TextQueries {
          |cal_tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM bk),
          |g2 AS (
          |  SELECT bk.bucket,
-         |    round(st.mn + bk.bucket * ((st.mx - st.mn) / 10), 6)
-         |      AS threshold,
+         |    floor((st.mn + bk.bucket * ((st.mx - st.mn) / 10))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS threshold,
          |    CAST(bk.n AS BIGINT) AS n, CAST(bk.c AS BIGINT)
          |      AS n_correct, bk.ssum
          |  FROM bk CROSS JOIN st),
          |fin2 AS (
          |  SELECT bucket, threshold, n, n_correct,
-         |    round(CAST(n_correct AS DOUBLE) / n, 6) AS observed_acc,
-         |    round(ssum / n, 6) AS mean_score,
-         |    round(CAST(n_correct AS DOUBLE) / n - ssum / n, 6) AS gap,
+         |    floor(CAST(n_correct AS DOUBLE) / n * 1000000.0 + 0.5)
+         |      / 1000000.0 AS observed_acc,
+         |    floor(ssum / n * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+         |    floor((CAST(n_correct AS DOUBLE) / n - ssum / n)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS gap,
          |    abs(CAST(n_correct AS DOUBLE) / n - ssum / n) * n /
          |      (SELECT nt FROM cal_tot) AS ew
          |  FROM g2)
          |SELECT bucket, threshold, n, n_correct, observed_acc,
-         |  mean_score, gap, round(sum(ew) OVER (), 6) AS ece
+         |  mean_score, gap,
+         |  floor(sum(ew) OVER () * 1000000.0 + 0.5) / 1000000.0 AS ece
          |FROM fin2 ORDER BY bucket""".stripMargin,
     // Corpus report: the x1 plant + x5 quality formula composed per
     // source.

@@ -226,7 +226,8 @@ object Joins {
     val tot = per.agg(sum(col("join_rows")).as("__t"))
     per.crossJoin(broadcast(tot))
       .select(col("key"), col("n_left"), col("n_right"), col("join_rows"),
-        round(col("join_rows").cast("double") / col("__t"), 6).as("share"))
+        graft.functions.q6(col("join_rows").cast("double") / col("__t"))
+          .as("share"))
       .orderBy(col("join_rows").desc, col("key"))
       .limit(topK)
   }

@@ -63,7 +63,8 @@ object Sketches {
     val base = df.select(col(groupCol), v.as("__v"))
     val agg = base.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        round(expr(s"percentile(__v, 0.5)"), 4).as("exact_p50"),
+        graft.functions.quantize(expr(s"percentile(__v, 0.5)"), 4)
+          .as("exact_p50"),
         percentile_approx(col("__v"),
           array(ps.map(lit): _*), lit(accuracy)).as("__ap"))
     val eps = 1.0 / accuracy
