@@ -116,8 +116,9 @@ object Curation {
       .withColumn("extra",
         when(col("__rrank") <= lit(budget) - col("__sb"), 1L)
           .otherwise(0L))
-      .select(col("domain"), col("n_docs"), round(col("quota"), 6)
-        .as("quota"), col("base"), col("extra"),
+      .select(col("domain"), col("n_docs"),
+        graft.functions.q6(col("quota")).as("quota"),
+        col("base"), col("extra"),
         (col("base") + col("extra")).as("alloc"))
   }
 
@@ -167,7 +168,7 @@ object Curation {
       .select(col(domainCol), col("__f"))
     toks.join(broadcast(fac), Seq(domainCol))
       .select(col("doc_id"), col(domainCol), col("n_tokens"),
-        round(col("__f"), 6).as("mix_factor"),
+        graft.functions.q6(col("__f")).as("mix_factor"),
         (floor(col("__f")) +
           when(uniformHash(col("doc_id"), seed) <
             col("__f") - floor(col("__f")), 1L).otherwise(0L))
@@ -606,11 +607,11 @@ object Curation {
         when(col("__uw") > 1e-12,
           (col("__b") - col("__cc")) / col("__uw")).otherwise(lit(0.0)))
       .select(col("domain"), col("tokens_available"),
-        round(col("w"), 6).as("weight"),
+        graft.functions.q6(col("w")).as("weight"),
         col("capacity"),
-        round(when(col("capped"), col("capacity"))
+        graft.functions.quantize(when(col("capped"), col("capacity"))
           .otherwise(col("__lam") * col("w")), 2).as("allocated_tokens"),
-        round(when(col("capped"), col("capacity"))
+        graft.functions.quantize(when(col("capped"), col("capacity"))
           .otherwise(col("__lam") * col("w")) / col("tokens_available"),
           4).as("epochs"),
         col("capped"))

@@ -227,9 +227,9 @@ object Resample {
           dayofweek(col("day")) === col("__dow"))
       .select(trended(key), col("day"),
         round(col("__x"), 2).as("value"),
-        round(col("__trend"), 6).as("trend"),
-        round(col("__seas"), 6).as("seasonal"),
-        round(col("__x") - col("__trend") - col("__seas"), 6)
+        graft.functions.q6(col("__trend")).as("trend"),
+        graft.functions.q6(col("__seas")).as("seasonal"),
+        graft.functions.q6(col("__x") - col("__trend") - col("__seas"))
           .as("remainder"))
   }
 

@@ -767,9 +767,11 @@ object EventQueries {
         |    avg(x - trend) AS seas
         |  FROM tr GROUP BY 1, 2)
         |SELECT tr.user_id AS user_id, strftime(tr.d, '%Y-%m-%d') AS day,
-        |  round(tr.x, 2) AS value, round(tr.trend, 6) AS trend,
-        |  round(se.seas, 6) AS seasonal,
-        |  round(tr.x - tr.trend - se.seas, 6) AS remainder
+        |  round(tr.x, 2) AS value,
+        |  floor(tr.trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |  floor(se.seas * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+        |  floor((tr.x - tr.trend - se.seas) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
     // Same DECIMAL daily/cumulative/total sums (exact, order-immune)

@@ -498,8 +498,10 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(col("lang")).as("n_langs"),
           sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-          round(avg(col("n_tokens")), 2).as("avg_tokens"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          graft.functions.quantize(avg(col("n_tokens")), 2)
+            .as("avg_tokens"),
+          graft.functions.quantize(avg(col("quality")), 4)
+            .as("avg_quality"))
         .orderBy(col("source"))
     },
 
@@ -1794,7 +1796,8 @@ object TextQueries {
         |r AS (SELECT *, CAST(row_number() OVER (
         |    ORDER BY quota - base DESC, domain) AS BIGINT) AS rrank
         |  FROM q)
-        |SELECT domain, n_docs, round(quota, 6) AS quota, base,
+        |SELECT domain, n_docs,
+        |  floor(quota * 1000000.0 + 0.5) / 1000000.0 AS quota, base,
         |  CAST(CASE WHEN rrank <= 1000 - sbv THEN 1 ELSE 0 END
         |    AS BIGINT) AS extra,
         |  base + CAST(CASE WHEN rrank <= 1000 - sbv THEN 1 ELSE 0 END
@@ -1817,7 +1820,7 @@ object TextQueries {
          |u AS (SELECT doc_id,
          |  md5('m1:' || CAST(doc_id AS VARCHAR)) AS m FROM documents)
          |SELECT k.doc_id, k.source, k.n_tokens,
-         |  round(f, 6) AS mix_factor,
+         |  floor(f * 1000000.0 + 0.5) / 1000000.0 AS mix_factor,
          |  CAST(floor(f) + (CASE WHEN (${hexDigitSum(1, 8)}) / 4294967296.0
          |    < f - floor(f) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
          |FROM tok k JOIN fac USING (source) JOIN u USING (doc_id)
@@ -1894,11 +1897,12 @@ object TextQueries {
     // λ places the remaining budget over the uncapped weights.
     "q_x62_epoch_plan" ->
       s"""WITH $epochPlanCtes
-         |SELECT domain, tokens_available, round(w, 6) AS weight, capacity,
-         |  round(CASE WHEN capped THEN capacity ELSE lamv * w END, 2)
-         |    AS allocated_tokens,
-         |  round((CASE WHEN capped THEN capacity ELSE lamv * w END)
-         |    / tokens_available, 4) AS epochs,
+         |SELECT domain, tokens_available,
+         |  floor(w * 1000000.0 + 0.5) / 1000000.0 AS weight, capacity,
+         |  floor((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |    * 100.0 + 0.5) / 100.0 AS allocated_tokens,
+         |  floor((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |    / tokens_available * 10000.0 + 0.5) / 10000.0 AS epochs,
          |  capped
          |FROM fin ORDER BY domain""".stripMargin,
     // Epoch-plan materialization: the same plan CTE chain, reduced to
@@ -1909,8 +1913,8 @@ object TextQueries {
       s"""WITH $epochPlanCtes,
          |plan AS (
          |  SELECT domain,
-         |    round((CASE WHEN capped THEN capacity ELSE lamv * w END)
-         |      / tokens_available, 4) AS epochs
+         |    floor((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |      / tokens_available * 10000.0 + 0.5) / 10000.0 AS epochs
          |  FROM fin),
          |jj AS (
          |  SELECT dd.doc_id, dd.domain, dd.nt,
@@ -2013,8 +2017,9 @@ object TextQueries {
          |  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
          |scored AS (
          |  SELECT doc_id, lang, perplexity,
-         |    round(percent_rank() OVER (PARTITION BY lang
-         |      ORDER BY perplexity, doc_id), 6) AS ppl_rank
+         |    floor(percent_rank() OVER (PARTITION BY lang
+         |      ORDER BY perplexity, doc_id) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS ppl_rank
          |  FROM ppl WHERE perplexity IS NOT NULL)
          |SELECT doc_id, lang, perplexity, ppl_rank,
          |  CASE WHEN ppl_rank < 1.0 / 3 THEN 'head'
@@ -2273,10 +2278,11 @@ object TextQueries {
         |q AS (
         |  SELECT doc_id, source, lang,
         |    CAST(len(w) AS BIGINT) AS n_tokens,
-        |    round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5 +
         |      (CAST(len(list_filter(w, x ->
         |        list_contains(['the','a','of','and','is'], x)))
-        |        AS DOUBLE) / len(w)) * 5.0 * 0.5, 4) AS quality,
+        |        AS DOUBLE) / len(w)) * 5.0 * 0.5) * 10000.0 + 0.5)
+        |      / 10000.0 AS quality,
         |    md5(text) AS h
         |  FROM base),
         |dup AS (SELECT h, count(*) AS c FROM q GROUP BY 1)
@@ -2284,8 +2290,8 @@ object TextQueries {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_docs,
-        |  round(avg(n_tokens), 2) AS avg_tokens,
-        |  round(avg(quality), 4) AS avg_quality
+        |  floor(avg(n_tokens) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+        |  floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
         |FROM q JOIN dup USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
     // Heavy hitters: the oracle computes the exact answer directly —
@@ -2300,7 +2306,8 @@ object TextQueries {
         |cnt AS (SELECT lang, tok, count(*) AS tok_count
         |        FROM toks GROUP BY 1, 2)
         |SELECT lang, tok, tok_count, n_group,
-        |  round(CAST(tok_count AS DOUBLE) / n_group, 6) AS share
+        |  floor(CAST(tok_count AS DOUBLE) / n_group * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share
         |FROM cnt JOIN tot USING (lang)
         |WHERE tok_count * 40 > n_group
         |ORDER BY lang, tok""".stripMargin,
@@ -2312,8 +2319,8 @@ object TextQueries {
       s"""WITH $epochPlanCtes,
          |plan AS (
          |  SELECT domain,
-         |    round((CASE WHEN capped THEN capacity ELSE lamv * w END)
-         |      / tokens_available, 4) AS epochs
+         |    floor((CASE WHEN capped THEN capacity ELSE lamv * w END)
+         |      / tokens_available * 10000.0 + 0.5) / 10000.0 AS epochs
          |  FROM fin),
          |txt AS (
          |  SELECT doc_id, text,
@@ -2524,7 +2531,7 @@ object TextQueries {
         |    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
         |    AS BIGINT) AS n_syllables,
         |  CASE WHEN len(regexp_split_to_array(lower(text), '\s+')) > 0
-        |    THEN round(206.835
+        |    THEN floor((206.835
         |      - 1.015 * (CAST(len(regexp_split_to_array(lower(text),
         |          '\s+')) AS DOUBLE)
         |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
@@ -2532,7 +2539,8 @@ object TextQueries {
         |          regexp_split_to_array(lower(text), '\s+'),
         |          w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
         |            1))) AS DOUBLE)
-        |        / len(regexp_split_to_array(lower(text), '\s+'))), 3)
+        |        / len(regexp_split_to_array(lower(text), '\s+'))))
+        |      * 1000.0 + 0.5) / 1000.0
         |    END AS flesch
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2793,8 +2801,8 @@ object TextQueries {
          |  FROM nmp WHERE n_match >= 8 GROUP BY 1)
          |SELECT p.doc_id, p.n_paras,
          |  coalesce(d.n_dup_paras, 0) AS n_dup_paras,
-         |  round(coalesce(d.n_dup_paras, 0) / CAST(p.n_paras AS DOUBLE), 4)
-         |    AS dup_para_fraction
+         |  floor(coalesce(d.n_dup_paras, 0) / CAST(p.n_paras AS DOUBLE)
+         |    * 10000.0 + 0.5) / 10000.0 AS dup_para_fraction
          |FROM pcount p LEFT JOIN dup d USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
     // Paragraph excision: q_x38's dup verdicts applied — surviving
@@ -3358,7 +3366,8 @@ object TextQueries {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+         |  floor(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+         |    * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM shared
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
@@ -3376,8 +3385,8 @@ object TextQueries {
          |  FROM sh_a a JOIN sh_b b ON a.shingle = b.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
-         |    AS jaccard
+         |  floor(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+         |    * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM shared
          |JOIN sza sa ON sa.doc_id = doc_a
          |JOIN szb sb ON sb.doc_id = doc_b
@@ -3446,9 +3455,10 @@ object TextQueries {
          |        AS DOUBLE) / len(ws.w) <= 0.1)
          |    AND len(list_filter(ws.w,
          |      x -> list_contains(['the','a','of','and','is'], x))) >= 2
-         |    AND coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
-         |      / g.n_ngrams, 4), 0.0) <= 0.3
-         |    AND round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) <= 0.2
+         |    AND coalesce(floor(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+         |      / g.n_ngrams * 10000.0 + 0.5) / 10000.0, 0.0) <= 0.3
+         |    AND floor(CAST(tw.maxc AS DOUBLE) / tw.total * 10000.0 + 0.5)
+         |      / 10000.0 <= 0.2
          |      AS keep_quality
          |  FROM words ws
          |  LEFT JOIN g ON ws.doc_id = g.doc_id
@@ -3526,9 +3536,10 @@ object TextQueries {
         |    CAST(len(list_filter(ws.w,
         |      x -> list_contains(['the','a','of','and','is'], x)))
         |      AS BIGINT) AS stop_hits,
-        |    coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
-        |      / g.n_ngrams, 4), 0.0) AS dup_ratio,
-        |    round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) AS top_ratio
+        |    coalesce(floor(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+        |      / g.n_ngrams * 10000.0 + 0.5) / 10000.0, 0.0) AS dup_ratio,
+        |    floor(CAST(tw.maxc AS DOUBLE) / tw.total * 10000.0 + 0.5)
+        |      / 10000.0 AS top_ratio
         |  FROM words ws
         |  LEFT JOIN g ON ws.doc_id = g.doc_id
         |  LEFT JOIN tw ON ws.doc_id = tw.doc_id)
@@ -3563,9 +3574,11 @@ object TextQueries {
         |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS sh
         |  FROM base)
         |SELECT doc_id, n_tokens, n_bpe_tokens, n_punct,
-        |  round(CAST(sh AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-        |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-        |    (CAST(sh AS DOUBLE) / n_tokens) * 5.0 * 0.5, 4) AS quality
+        |  floor(CAST(sh AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0
+        |    AS stopword_ratio,
+        |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (CAST(sh AS DOUBLE) / n_tokens) * 5.0 * 0.5) * 10000.0 + 0.5)
+        |    / 10000.0 AS quality
         |FROM stats ORDER BY doc_id""".stripMargin,
     "q_x6_lang_id" ->
       """WITH base AS (
@@ -3677,9 +3690,11 @@ object TextQueries {
         |  GROUP BY doc_id)
         |SELECT d.doc_id,
         |  coalesce(g.n_ngrams, 0) AS n_ngrams,
-        |  coalesce(round(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
-        |    / g.n_ngrams, 4), 0.0) AS dup_ngram_ratio,
-        |  round(CAST(tw.maxc AS DOUBLE) / tw.total, 4) AS top_word_ratio
+        |  coalesce(floor(CAST(g.n_ngrams - g.n_distinct AS DOUBLE)
+        |    / g.n_ngrams * 10000.0 + 0.5) / 10000.0, 0.0)
+        |    AS dup_ngram_ratio,
+        |  floor(CAST(tw.maxc AS DOUBLE) / tw.total * 10000.0 + 0.5)
+        |    / 10000.0 AS top_word_ratio
         |FROM documents d
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |LEFT JOIN tw ON d.doc_id = tw.doc_id
@@ -3711,7 +3726,8 @@ object TextQueries {
         |  FROM sh a JOIN sh b USING (shingle)
         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
         |SELECT o.doc_a, o.doc_b, o.n_shared,
-        |  round(CAST(o.n_shared AS DOUBLE) / sa.n, 4) AS containment
+        |  floor(CAST(o.n_shared AS DOUBLE) / sa.n * 10000.0 + 0.5)
+        |    / 10000.0 AS containment
         |FROM ov o JOIN sz sa ON sa.doc_id = o.doc_a
         |WHERE CAST(o.n_shared AS DOUBLE) / sa.n >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -3809,7 +3825,8 @@ object TextQueries {
         |  FROM tr GROUP BY 1, 2),
         |rem AS (
         |  SELECT tr.user_id, tr.d AS day,
-        |    round(tr.x - tr.trend - se.seas, 6) AS value
+        |    floor((tr.x - tr.trend - se.seas) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS value
         |  FROM tr JOIN se ON se.k = tr.user_id
         |    AND se.dow = dayofweek(tr.d)),
         |rv AS (
@@ -3983,7 +4000,8 @@ object TextQueries {
         |top AS (SELECT * FROM k
         |        ORDER BY round(abs(kl), 6) DESC, token LIMIT 20)
         |SELECT token, na AS n_a, nb AS n_b,
-        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  floor(pa * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+        |  floor(pb * 1000000.0 + 0.5) / 1000000.0 AS p_b,
         |  round(kl, 6) AS kl_contrib, round(js, 6) AS js_contrib
         |FROM top ORDER BY token""".stripMargin,
     "q_x12_stratified_sample" ->

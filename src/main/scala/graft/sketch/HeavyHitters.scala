@@ -119,7 +119,7 @@ object HeavyHitters {
     exact.filter(col("tok_count") * k > col("n_group"))
       .select(col(groupCol), col(tokenCol), col("tok_count"),
         col("n_group"),
-        round(col("tok_count").cast("double") / col("n_group"), 6)
+        graft.functions.q6(col("tok_count").cast("double") / col("n_group"))
           .as("share"))
   }
 

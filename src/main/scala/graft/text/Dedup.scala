@@ -1040,7 +1040,7 @@ object Dedup {
       .withColumn("__c", col("n_shared") / col("__na"))
       .filter(col("__c") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("__c"), 4).as("containment"))
+        graft.functions.quantize(col("__c"), 4).as("containment"))
   }
 
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
@@ -1067,7 +1067,7 @@ object Dedup {
         col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
       .filter(col("__j") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("__j"), 4).as("jaccard"))
+        graft.functions.quantize(col("__j"), 4).as("jaccard"))
   }
 
   /** The shingle index + PPJoin candidate stage of [[jaccardSimilarityJoin]],
@@ -1208,7 +1208,7 @@ object Dedup {
         col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
       .filter(col("__j") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        round(col("__j"), 4).as("jaccard"))
+        graft.functions.quantize(col("__j"), 4).as("jaccard"))
   }
 
   /** X38: PARAGRAPH-granularity near-duplicate statistics — the fuzzy
@@ -1239,7 +1239,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"))
       .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
-        round(col("n_dup_paras") / col("n_paras"), 4)
+        graft.functions.quantize(col("n_dup_paras") / col("n_paras"), 4)
           .as("dup_para_fraction"))
 
   /** X38 (excision): drop every paragraph that near-duplicates a

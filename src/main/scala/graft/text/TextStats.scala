@@ -63,10 +63,13 @@ object TextStats {
     val stopHits = hits(toks, Stopwords.toMap.apply("en")).cast("long")
     df.withColumn("n_tokens", nTok)
       .withColumn("n_punct", punct)
-      .withColumn("punct_ratio", round(punct / length(text).cast("double"), 4))
-      .withColumn("stopword_ratio", round(stopHits / nTok.cast("double"), 4))
+      .withColumn("punct_ratio",
+        graft.functions.quantize(punct / length(text).cast("double"), 4))
+      .withColumn("stopword_ratio",
+        graft.functions.quantize(stopHits / nTok.cast("double"), 4))
       .withColumn("quality",
-        round(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        graft.functions.quantize(
+          least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
           (stopHits / nTok.cast("double")) * lit(5.0) * 0.5, 4))
   }
 
@@ -171,10 +174,11 @@ object TextStats {
     df.withColumn("n_ngrams", nGrams)
       .withColumn("dup_ngram_ratio",
         when(nGrams > 0,
-          round((nGrams - nDistinct) / nGrams.cast("double"), 4))
+          graft.functions.quantize(
+            (nGrams - nDistinct) / nGrams.cast("double"), 4))
           .otherwise(lit(0.0)))
       .withColumn("top_word_ratio",
-        round(topFreqUdf(Dedup.words(col(textCol))), 4))
+        graft.functions.quantize(topFreqUdf(Dedup.words(col(textCol))), 4))
   }
 
   /** Share of the most frequent element; 0 for empty input. */
@@ -708,7 +712,7 @@ object TextStats {
       nWords.cast("long").as("n_words"),
       nSentences.cast("long").as("n_sentences"),
       nSyllables.cast("long").as("n_syllables"),
-      when(nWords > 0, round(flesch, 3)).as("flesch"))
+      when(nWords > 0, graft.functions.quantize(flesch, 3)).as("flesch"))
   }
 
   /** X100: interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
@@ -800,7 +804,7 @@ object TextStats {
     val ppl = bigramPerplexity(df, idCol, textCol, alpha)
       .join(df.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
     val scored = ppl.filter(col("perplexity").isNotNull)
-      .withColumn("ppl_rank", round(percent_rank().over(w), 6))
+      .withColumn("ppl_rank", graft.functions.q6(percent_rank().over(w)))
       .withColumn("bucket",
         when(col("ppl_rank") < lit(1.0 / 3), "head")
           .when(col("ppl_rank") < lit(2.0 / 3), "middle")
@@ -986,7 +990,8 @@ object TextStats {
       .orderBy(round(abs(col("__kl")), 6).desc, col("token"))
       .limit(topK)
       .select(col("token"), col("n_a"), col("n_b"),
-        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        graft.functions.q6(col("p_a")).as("p_a"),
+        graft.functions.q6(col("p_b")).as("p_b"),
         round(col("__kl"), 6).as("kl_contrib"),
         round(col("__js"), 6).as("js_contrib"))
   }
