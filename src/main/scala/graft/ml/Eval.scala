@@ -109,16 +109,23 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         sum(col("__ok").cast("long")).as("n_correct"),
         sum(col("__s")).as("__ssum"))
-    val bucketedC = graft.util.Caches.persistTracked(bucketed)
-    val total = bucketedC.agg(coalesce(sum(col("n")), lit(0L)).as("__nt"))
     val grid = spark.range(nBuckets).select(col("id").as("bucket"))
       .crossJoin(broadcast(stats))
       .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
       .withColumn("threshold",
         graft.functions.q6(col("__mn") + col("bucket") * col("__step")))
       .select(col("bucket"), col("threshold"))
-    val perBucket = grid.join(bucketedC, Seq("bucket"), "inner")
-      .crossJoin(broadcast(total))
+    // BOUNDED global windows, by construction: perBucket is the grid
+    // join — at most nBuckets (constant, default 10) rows — so the
+    // partition-less window is a 10-row sort, not a scale hazard. The
+    // r10 form computed __nt and ece as two extra broadcast one-row
+    // aggregates instead; each broadcast is its own job and the ECE one
+    // re-evaluated the whole perBucket lineage, tripling q_f15's wall
+    // time (1.17 -> 3.36 s) for zero scale benefit.
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid.join(bucketed, Seq("bucket"), "inner")
+      .withColumn("__nt", sum(col("n")).over(tot).cast("double"))
       .withColumn("observed_acc",
         graft.functions.q6(col("n_correct").cast("double") / col("n")))
       .withColumn("__conf", col("__ssum") / col("n"))
@@ -126,13 +133,9 @@ object Eval {
       .withColumn("__g",
         col("n_correct").cast("double") / col("n") - col("__conf"))
       .withColumn("gap", graft.functions.q6(col("__g")))
-    // the buckets-term ECE total as a broadcast one-row aggregate, not
-    // a window over a literal partition (Catalyst folds the literal
-    // away and leaves a partition-less WindowExec)
-    perBucket
-      .crossJoin(broadcast(perBucket.agg(
-        graft.functions.q6(sum(abs(col("__g")) * col("n") / col("__nt")))
-          .as("ece"))))
+      .withColumn("ece",
+        graft.functions.q6(
+          sum(abs(col("__g")) * col("n") / col("__nt")).over(tot)))
       .select(col("bucket"), col("threshold"), col("n"),
         col("n_correct"), col("observed_acc"), col("mean_score"),
         col("gap"), col("ece"))
