@@ -243,6 +243,8 @@ object Curation {
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
     val q = (col(weightCol).cast("double") * lit(4294967296.0)) /
       (x + lit(1.0))
+    // BOUNDED global window: ranks run AFTER limit(k) — a k-row
+    // relation by construction (PlanGuardSpec census).
     val w = Window.orderBy(col("priority").desc, col(idCol))
     df.withColumn("priority", q)
       .orderBy(col("priority").desc, col(idCol)).limit(k)
@@ -589,12 +591,26 @@ object Curation {
       .withColumn("__b",
         least(lit(budgetTokens.toDouble), col("__cap_sum") * maxEpochs))
       .withColumn("__r", col("capacity") / col("w"))
-    val run = Window.orderBy(col("__r"), col("domain"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = staged
-      .withColumn("__cum_c", sum(col("capacity")).over(run))
-      .withColumn("__cum_w", sum(col("w")).over(run))
-      .withColumn("__sfx_w", lit(1.0) - col("__cum_w"))
+    // Two-phase exact cumulatives over the (__r, domain) order — a web
+    // corpus has millions of registrable domains, so the former
+    // partition-less window here was the repo's last unbounded global
+    // sort. Both running sums are carried as LONGs (exact, associative,
+    // partition-boundary-immune, engine-identical): Σcapacity is
+    // recovered as maxEpochs · Σtokens (one multiply over the exact
+    // token prefix), and the weight prefix rides a floor(w·1e15 + 0.5)
+    // integer proxy (w sums to 1, so the proxy total is ~1e15 — no
+    // overflow at any domain count; resolution 1e-15 ≈ double ulp at 1).
+    // The oracle mirrors the proxy literally.
+    val quant = staged.withColumn("__wq",
+      floor(col("w") * lit(1e15) + lit(0.5)).cast("long"))
+    val (ranked, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      quant, Seq(col("__r"), col("domain")),
+      Seq("__cum_t" -> col("tokens_available"), "__cum_wq" -> col("__wq")))
+    val totWq = totals(1)
+    val flagged = ranked
+      .withColumn("__cum_c", col("__cum_t").cast("double") * maxEpochs)
+      .withColumn("__sfx_w",
+        (lit(totWq) - col("__cum_wq")).cast("double") / lit(1e15))
       .withColumn("capped",
         when(col("__sfx_w") > 1e-12,
           col("__r") <= (col("__b") - col("__cum_c")) / col("__sfx_w"))

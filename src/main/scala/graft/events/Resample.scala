@@ -116,6 +116,9 @@ object Resample {
     val byT = spans.groupBy(col("t"))
       .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("n_events"),
         sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
+    // BOUNDED global windows: byT has one row per DISTINCT span
+    // duration — bounded by the observation span in days, not event
+    // volume (PlanGuardSpec census).
     val riskW = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val survW = Window.orderBy(col("t"))

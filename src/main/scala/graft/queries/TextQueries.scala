@@ -1299,20 +1299,26 @@ object TextQueries {
       |         CAST(tokens_available AS DOUBLE) * 2.0 AS capacity,
       |         least(CAST(bud AS DOUBLE), t * 2.0) AS b
       |       FROM wtd, wn),
-      |r AS (SELECT *, capacity / w AS rr FROM st),
+      |r AS (SELECT *, capacity / w AS rr,
+      |        CAST(floor(w * 1000000000000000.0 + 0.5) AS BIGINT) AS wq
+      |      FROM st),
+      |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS totwq FROM r),
       |fl AS (SELECT *,
-      |         sum(capacity) OVER (ORDER BY rr, domain
+      |         CAST(sum(tokens_available) OVER (ORDER BY rr, domain
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS cum_c,
-      |         sum(w) OVER (ORDER BY rr, domain
+      |           AS DOUBLE) * 2.0 AS cum_c,
+      |         CAST(sum(wq) OVER (ORDER BY rr, domain
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS cum_w
+      |           AS BIGINT) AS cum_wq
       |       FROM r),
-      |fg AS (SELECT *,
-      |         CASE WHEN 1.0 - cum_w > 1e-12
-      |              THEN rr <= (b - cum_c) / (1.0 - cum_w)
+      |fg AS (SELECT fl.*,
+      |         CASE WHEN CAST(wt.totwq - fl.cum_wq AS DOUBLE)
+      |                / 1000000000000000.0 > 1e-12
+      |              THEN rr <= (b - cum_c) /
+      |                (CAST(wt.totwq - fl.cum_wq AS DOUBLE)
+      |                  / 1000000000000000.0)
       |              ELSE b >= cum_c - 1e-6 END AS capped
-      |       FROM fl),
+      |       FROM fl, wt),
       |lam AS (SELECT
       |          sum(CASE WHEN capped THEN capacity ELSE 0.0 END) AS cc,
       |          sum(CASE WHEN capped THEN 0.0 ELSE w END) AS uw

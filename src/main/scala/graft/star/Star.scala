@@ -131,6 +131,8 @@ object Star {
     val bucket = (conv(substring(col("hashed_key"), 1, 4), 16, 10)
       .cast("long") * IdBuckets / 65536).cast("int")
     val withB = dim.withColumn("__b", bucket)
+    // BOUNDED global window: input is the bucket table — IdBuckets
+    // (constant) rows, never dimension rows (PlanGuardSpec census).
     val offs = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         coalesce(sum(col("__c")).over(

@@ -578,4 +578,80 @@ class PlanGuardSpec extends SparkSpec {
       graft.util.Caches.releaseAll(spark)
     }
   }
+
+  // ---- global-window census -------------------------------------------
+
+  /** Count of partition-less Window nodes in the optimized plan — each
+    * one funnels its whole input through a single task, which is the
+    * canonical 100 TB scale-killer UNLESS the input relation is bounded
+    * by construction (a k-row top, a bucket grid, distinct day
+    * durations). */
+  private def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
+
+  /** The CI tripwire for operators whose input an adversary can grow
+    * without bound: fails if ANY partition-less window survives
+    * optimization. */
+  private def assertNoUnboundedGlobalWindow(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    withClue("partition-less Window over an unbounded relation:\n" +
+      planOf(df)) { globalWindows(df) shouldBe 0 }
+
+  it should "plan epochPlan with no partition-less window at any domain count" in {
+    // millions of registrable web domains -> the water-filling order must
+    // ride the two-phase Ranks prefix sums, never a global-order window
+    val docs = (1L to 60L)
+      .map(i => (i, s"dom${i % 7}", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "domain", "text")
+    val plan = graft.curate.Curation.epochPlan(docs, "text", "domain",
+      budgetTokens = 100L, maxEpochs = 2.0, alpha = 0.5)
+    assertNoUnboundedGlobalWindow(plan)
+    plan.collect().length should be > 0
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "keep every remaining global window on a relation bounded by construction" in {
+    // CENSUS of the production call sites that legitimately window a
+    // bounded table. Each entry asserts the op plans EXACTLY the
+    // expected number of partition-less windows and records WHY the
+    // window input is bounded. A new unbounded window in these operators
+    // (or a new operator sneaking one in via epochPlan-like shapes above)
+    // moves a count and fails here.
+    val docs = (1L to 80L)
+      .map(i => (i, 1L + i % 11, i % 2 == 0)).toDF("id", "w", "ok")
+
+    // Eval.thresholdSweep / calibrationCurve: windows run over the
+    // nBuckets-row grid join (constant 10-20 rows), never the scored rows
+    val scored = docs.select(col("id"),
+      (col("w") / 11.0).as("s"), col("ok"))
+    // (2 nodes: precision consumes the suffix sums, so the same
+    // grid-row spec plans twice rather than merging)
+    globalWindows(graft.ml.Eval.thresholdSweep(spark, scored, "s", "ok",
+      nBuckets = 20)) shouldBe 2
+    // (2 nodes: the ECE window consumes __nt from the total window, so
+    // the same 10-row spec plans twice rather than merging)
+    globalWindows(graft.ml.Eval.calibrationCurve(spark, scored, "s", "ok",
+      nBuckets = 10)) shouldBe 2
+    // Eval.liftTable: the cumulative-capture window rides the
+    // buckets-row aggregate (constant k), ranks come from two-phase sums
+    globalWindows(graft.ml.Eval.liftTable(docs, col("w"),
+      col("ok").cast("int"), col("id"), buckets = 4)) shouldBe 1
+    // Resample.kmFromSpans (E19/E25): risk-set + survival windows run
+    // over DISTINCT span durations — bounded by the observation span in
+    // days, not by event volume
+    val ev = (1L to 40L).map(i => (i % 5, new java.sql.Timestamp(
+      86400000L * (19700 + i % 13)))).toDF("user_id", "ts")
+    // (3 nodes: t-desc risk window, then the t-asc hit-zero and
+    // ln-sum windows, the latter consuming the former)
+    globalWindows(graft.events.Resample.kaplanMeier(ev, "user_id",
+      col("ts"), "2024-02-01")) shouldBe 3
+    // Curation.prioritySample: the rank window runs AFTER limit(k) — a
+    // k-row relation by construction
+    globalWindows(graft.curate.Curation.prioritySample(docs, "id", "w",
+      10, "pg")) shouldBe 1
+    graft.util.Caches.releaseAll(spark)
+  }
 }
