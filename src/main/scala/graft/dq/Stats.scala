@@ -147,8 +147,10 @@ object Stats {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("value"), col("__id"))
+    // same NULL-order discipline as winsorize: exclude before ranking
     val ranked = df
       .select(col(groupCol), valueCol.as("value"), idCol.as("__id"))
+      .filter(col("value").isNotNull)
       .withColumn("__r", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))
@@ -187,9 +189,13 @@ object Stats {
     val wv = Window.partitionBy(col(groupCol))
       .orderBy(col("value"), col("__id"))
     val wn = Window.partitionBy(col(groupCol))
+    // NULL values are excluded BEFORE ranking (and from the output):
+    // Spark sorts NULLS FIRST but DuckDB NULLS LAST, so a null entering
+    // the rank silently shifts every integer-rank cut cross-engine.
     val ranked = graft.util.Caches.persistTracked(df
       .select(col(groupCol), valueCol.cast("double").as("value"),
         idCol.as("__id"))
+      .filter(col("value").isNotNull)
       .withColumn("__r", row_number().over(wv).cast("long"))
       .withColumn("__n", count(lit(1)).over(wn).cast("long")))
     def cut(name: String, num: Int, den: Int) = ranked
@@ -305,8 +311,11 @@ object Stats {
       idCol: Column, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
+    // NULLs excluded before ranking — same cross-engine NULL-order
+    // hazard as winsorize (Spark NULLS FIRST vs DuckDB NULLS LAST).
     val base = df.select(col(groupCol), valueCol.cast("double")
       .as("value"), idCol.as("__id"))
+      .filter(col("value").isNotNull)
     val wv = Window.partitionBy(col(groupCol))
       .orderBy(col("value"), col("__id"))
     val wn = Window.partitionBy(col(groupCol))

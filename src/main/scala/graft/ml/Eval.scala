@@ -254,12 +254,17 @@ object Eval {
       Seq(col("__s")), Seq("__cum" -> (col("__np") + col("__nn"))))
     ranked
       .agg(sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
-        sum(col("__np") *
+        // DECIMAL(38,0): the doubled rank-sum grows ~n² and overflows
+        // BIGINT near n ≈ 3e9 rows (DuckDB widens to HUGEINT; matching
+        // exactness keeps the 'exact at any cardinality' contract)
+        sum(col("__np").cast("decimal(19,0)") *
           (lit(2L) * (col("__cum") - col("__np") - col("__nn")) +
-            col("__np") + col("__nn") + lit(1L))).as("__num"))
+            col("__np") + col("__nn") + lit(1L)).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__num"))
       .select(col("__tp").as("n_pos"), col("__tn").as("n_neg"),
         when(col("__tp") > 0 && col("__tn") > 0,
-          (col("__num") - col("__tp") * (col("__tp") + lit(1L)))
+          (col("__num") - (col("__tp") * (col("__tp") + lit(1L)))
+            .cast("decimal(38,0)"))
             .cast("double") /
             (lit(2.0) * col("__tp").cast("double") *
               col("__tn").cast("double"))).as("auc"))

@@ -3263,10 +3263,13 @@ object TextQueries {
         |    sum(CASE WHEN hit
         |      THEN 1.0 / log2(CAST(r AS DOUBLE) + 1.0) END) AS dcg
         |  FROM j GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM res
+        |       UNION SELECT DISTINCT query_id FROM rel),
         |wn AS (
-        |  SELECT p.query_id, p.hits, p.minr, p.dcg,
+        |  SELECT q.query_id, coalesce(p.hits, 0) AS hits, p.minr, p.dcg,
         |    coalesce(n.n_rel, 0) AS n_rel
-        |  FROM perq p LEFT JOIN nrel n USING (query_id)),
+        |  FROM qs q LEFT JOIN perq p USING (query_id)
+        |  LEFT JOIN nrel n USING (query_id)),
         |idcg AS (
         |  SELECT query_id,
         |    sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS idcg

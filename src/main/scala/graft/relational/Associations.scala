@@ -27,31 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object Associations {
 
-  /** The (basket, item) incidence with every basket capped to its
+  /** The (basket, item) incidence, optionally capped to each basket's
     * `maxBasketSize` SMALLEST item ids — deterministic, so the capped
     * mining result is a pure function of the input, never of
     * partition order. One pathological mega-basket (a crawler session,
-    * a bot account) would otherwise contribute |b|² pairs and take the
-    * stage down at 100 TB; the cap bounds Σ|b|² by N·maxBasketSize²
-    * with a basket-keyed (never global) rank window. Counts are
-    * computed AFTER the cap, so support/confidence/cosine stay
-    * internally consistent over the capped incidence. */
+    * a bot account) contributes |b|² pairs and can take the stage down
+    * at 100 TB; an explicit cap bounds Σ|b|² by N·maxBasketSize² with
+    * a basket-keyed (never global) rank window. Counts are computed
+    * AFTER the cap, so support/confidence/cosine stay internally
+    * consistent over the capped incidence.
+    *
+    * The DEFAULT is uncapped (`Int.MaxValue`): truncation changes
+    * support/confidence/cosine values, so it must be an explicit
+    * caller opt-in, never a silent default divergence from the
+    * uncapped association-mining semantics. */
   private def cappedItems(baskets: DataFrame, basketCol: String,
       itemCol: String, maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("__i"))
-    graft.util.Caches.persistTracked(
-      baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-        .distinct()
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= maxBasketSize)
-        .drop("__r"))
+    val dedup = baskets
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val capped =
+      if (maxBasketSize == Int.MaxValue) dedup // uncapped: no window
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__b")).orderBy(col("__i"))
+        dedup.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= maxBasketSize)
+          .drop("__r")
+      }
+    graft.util.Caches.persistTracked(capped)
   }
 
   def basketRules(baskets: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+      minCount: Long = 2, maxBasketSize: Int = Int.MaxValue): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val items = cappedItems(baskets, basketCol, itemCol, maxBasketSize)
     val n = items.select(col("__b")).distinct().count()
@@ -101,7 +111,7 @@ object Associations {
     * candidate-pair table (pair-sized, not corpus-sized). */
   def itemCosineTopK(baskets: DataFrame, basketCol: String,
       itemCol: String, minCount: Long = 2, k: Int = 5,
-      maxBasketSize: Int = 1000): DataFrame = {
+      maxBasketSize: Int = Int.MaxValue): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
     val items = cappedItems(baskets, basketCol, itemCol, maxBasketSize)

@@ -222,13 +222,19 @@ object FixedWidth {
 
   /** Right-pad each column to its field width and concatenate in
     * layout order. Values longer than their width fail loud (a silent
-    * truncation corrupts every downstream offset). */
+    * truncation corrupts every downstream offset), and so do NULLs:
+    * a NULL would otherwise make the whole concat NULL and the record
+    * silently vanish from the extract — encode absence explicitly
+    * (empty string, a sentinel) before formatting. */
   def format(df: DataFrame, fields: Seq[FixedWidthField]): DataFrame = {
     require(fields.nonEmpty, "FixedWidth.format: no fields")
     val checked = fields.map { f =>
       val s = col(f.name).cast("string")
-      when(length(s) > f.len,
-        raise_error(concat(lit(s"FixedWidth.format: value of '${f.name}' exceeds width ${f.len}: "), s)))
+      when(s.isNull,
+        raise_error(lit(s"FixedWidth.format: NULL value in '${f.name}'" +
+          " — records must encode absence explicitly, not vanish")))
+        .when(length(s) > f.len,
+          raise_error(concat(lit(s"FixedWidth.format: value of '${f.name}' exceeds width ${f.len}: "), s)))
         .otherwise(rpad(s, f.len, " "))
     }
     df.select(concat(checked: _*).as("line"))

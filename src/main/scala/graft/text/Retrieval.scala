@@ -157,9 +157,17 @@ object Retrieval {
         sum(when(col("__rel").isNotNull,
           lit(1.0) / log2(col("__r").cast("double") + lit(1.0))))
           .as("__dcg"))
+    // The output is driven from the DISTINCT query universe (results ∪
+    // labels), not from the top-k side: a query whose every result
+    // ranks > k is the worst failure mode and must surface as a
+    // zero-metric row, not silently vanish from the table.
+    val queries = results.select(col("query_id"))
+      .unionByName(labels.select(col("query_id"))).distinct()
     val withN = graft.util.Caches.persistTracked(
-      perQ.join(nrel, Seq("query_id"), "left")
-        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L))))
+      queries.join(perQ, Seq("query_id"), "left")
+        .join(nrel, Seq("query_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+        .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L))))
     val idcg = withN.filter(col("n_rel") > 0)
       .select(col("query_id"),
         explode(sequence(lit(1L), least(lit(k.toLong), col("n_rel"))))

@@ -420,6 +420,27 @@ class ClassifierRetrievalSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "emit a zero-metric row for a query with no results at rank <= k" in {
+    import spark.implicits._
+    // q4 has relevant docs but its only result ranks beyond k: the
+    // worst-failing query must appear with zeros, not vanish
+    val results = Seq(("q1", 1L, 1L), ("q4", 9L, 7L))
+      .toDF("query_id", "doc_id", "rank")
+    val labels = Seq(("q1", 1L), ("q4", 9L)).toDF("query_id", "doc_id")
+    val r = graft.text.Retrieval.retrievalMetrics(results, labels, k = 3)
+      .as[(String, Long, Long, Double, Option[Double], Double,
+        Double, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    r.keySet should contain("q4")
+    r("q4")._2 shouldBe 1L   // n_rel survives
+    r("q4")._3 shouldBe 0L   // zero hits
+    r("q4")._4 shouldBe 0.0  // p@k
+    r("q4")._5.get shouldBe 0.0 // recall
+    r("q4")._6 shouldBe 0.0  // reciprocal rank
+    r("q4")._7 shouldBe 0.0  // dcg
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Eval.rocAuc (F22)"
 
   it should "hit the exact endpoints and a hand-computed tied case" in {

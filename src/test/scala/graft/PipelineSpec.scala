@@ -353,5 +353,12 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception] {
       FixedWidth.format(bad, layout).collect()
     }.getMessage should include("exceeds width")
+    // a NULL must also fail loud: concat would otherwise NULL the whole
+    // line and the record silently vanishes from the extract
+    val withNull = Seq((Some(1L), Option.empty[String], Some(1.0)))
+      .toDF("id", "name", "amt")
+    intercept[Exception] {
+      FixedWidth.format(withNull, layout).collect()
+    }.getMessage should include("NULL value in 'name'")
   }
 }

@@ -201,6 +201,17 @@ class StatsSpec extends SparkSpec {
       graft.dq.Stats.winsorize(df, "src", col("v"), col("id"),
         lo = (9, 10), hi = (1, 10)) // lo above hi
     }
+    // NULL values are excluded BEFORE ranking (Spark sorts them FIRST,
+    // DuckDB LAST — inside the rank they silently shift every cut) and
+    // from the output
+    val withNulls = ((1 to 10).map(i => ("g", Some(i.toDouble),
+      i.toLong)) ++ Seq(("g", Option.empty[Double], 99L)))
+      .toDF("src", "v", "id")
+    val rn = graft.dq.Stats.winsorize(withNulls, "src", col("v"),
+      col("id")).as[(String, Long, Double, Double, Double, Double)]
+      .collect()
+    rn.length shouldBe 10 // the NULL row is not ranked and not emitted
+    rn.map(t => t._2 -> t._6).toMap.apply(10L) shouldBe 9.0 // cuts unshifted
     graft.util.Caches.releaseAll(spark)
   }
 
