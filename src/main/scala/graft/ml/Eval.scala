@@ -174,7 +174,19 @@ object Eval {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"))
-    val totals = perBucket.agg(sum(col("n_pos")).as("__tp"))
+    liftFromCounts(perBucket)
+  }
+
+  /** The lift/gains arithmetic over any (bucket, n, n_pos) count table
+    * — shared by [[liftTable]] and the streaming lift-monitor view
+    * ([[graft.streaming.StreamingEvents.liftMonitorView]]): the counts
+    * are exact integers and MERGEABLE (plain sums), so a table built
+    * from per-batch persisted counts equals the batch table over the
+    * union by construction. Input is bounded by the bucket count. */
+  private[graft] def liftFromCounts(perBucket: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = perBucket.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n")).as("__tn"))
     // bucket-sized ordered cumulative window: `buckets` rows, bounded
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -189,7 +201,8 @@ object Eval {
           col("__tp").cast("double")).as("capture"),
         when(col("__tp") > 0,
           (col("n_pos").cast("double") / col("n").cast("double")) /
-            (col("__tp").cast("double") / lit(n.toDouble))).as("lift"))
+            (col("__tp").cast("double") / col("__tn").cast("double")))
+          .as("lift"))
   }
 
   /** F27: McNEMAR PAIRED TEST — "is classifier B actually better than

@@ -922,6 +922,102 @@ object StreamingEvents {
         log(col("__p") / col("__q"))), 6).as("psi"))
   }
 
+  /** Streaming LIFT/GAINS monitor (F28 streaming): each micro-batch of
+    * (score, label) rows is binned against FROZEN score edges (computed
+    * once, offline — the fixed yardstick, same discipline as
+    * [[driftMonitorSink]]) and persists its (bucket, n, n_pos) integer
+    * count table — bins-sized, KBs regardless of batch volume — under
+    * `batch_id=N`. The counts are exact and mergeable, so the published
+    * view's decile table over the whole stream equals the batch kernel
+    * over the union (spec-proven). Bucket 1 holds the TOP scores (the
+    * gains-table convention). Replays overwrite their own batch
+    * directory: idempotent. */
+  def liftMonitorSink(rows: DataFrame, scoreCol: String, labelCol: String,
+      edges: Array[Double], statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) liftMonitorBatch(batch.toDF(), batchId,
+          scoreCol, labelCol, edges, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[liftMonitorSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def liftMonitorBatch(batch: DataFrame, batchId: Long,
+      scoreCol: String, labelCol: String, edges: Array[Double],
+      statsDir: String): Unit = {
+    // binOf counts ascending; flip so bucket 1 = highest scores
+    val bucket = lit(edges.length + 2) -
+      graft.dq.Dq.binOf(col("__s"), edges)
+    batch
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[liftMonitorSink]] directory: the
+    * merged per-bucket counts through the SAME lift/gains kernel as
+    * the batch operator ([[graft.ml.Eval.liftFromCounts]]) — (bucket,
+    * n, n_pos, pos_rate, cum_pos, capture, lift). */
+  def liftMonitorView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Eval.liftFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos")))
+
+  /** Streaming SPLIT-BALANCE audit (X125 streaming): each micro-batch
+    * of already-split rows persists its (split, stratum) count table —
+    * splits×strata rows, KBs — under `batch_id=N`; the published view
+    * merges the counts and reports each stratum's within-split share,
+    * the governance check that the upstream split keeps preserving the
+    * stratum mix as data flows. Counts are exact and mergeable, so the
+    * view equals the batch audit over the union (spec-proven). Replays
+    * overwrite their own batch directory: idempotent. */
+  def splitBalanceSink(rows: DataFrame, splitCol: String,
+      stratumCol: String, statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) splitBalanceBatch(batch.toDF(), batchId,
+          splitCol, stratumCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[splitBalanceSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def splitBalanceBatch(batch: DataFrame, batchId: Long,
+      splitCol: String, stratumCol: String, statsDir: String): Unit = {
+    batch
+      .groupBy(col(splitCol).as("split"), col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[splitBalanceSink]] directory: merged
+    * (split, stratum, n, share) with share = n / Σ_split n — the same
+    * expression as the q_x125 batch audit. */
+  def splitBalanceView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame = {
+    val per = spark.read.parquet(statsDir)
+      .groupBy(col("split"), col("stratum"))
+      .agg(sum(col("n")).as("n"))
+    val tot = per.groupBy(col("split")).agg(sum(col("n")).as("__t"))
+    per.join(tot, "split")
+      .select(col("split"), col("stratum"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("share"))
+  }
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

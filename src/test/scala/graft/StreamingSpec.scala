@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingEvents
 import graft.streaming.StreamingEvents.{EventIn, Latest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, col, date_format, explode, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, date_format, explode, lit, sum, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -813,5 +813,95 @@ class StreamingSpec extends SparkSpec {
         .find(_.updates == 2L).get
       afterOld.value shouldBe 5.0 // stale event ignored
     } finally q.stop()
+  }
+
+  it should "report stream-wide lift/gains identically to the batch kernel over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slift").toString
+    // scores 1..40 with positives concentrated at the top (score > 30)
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, i.toDouble, if (i > 30) 1 else 0))
+    val b1 = mk(1 to 20)
+    val b2 = mk(21 to 40)
+    val edges = Array(10.0, 20.0, 30.0) // frozen quartile yardstick
+    val in = MemoryStream[(Long, Double, Int)]
+    val q = StreamingEvents.liftMonitorSink(
+      in.toDF().toDF("id", "score", "label"), "score", "label", edges,
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.liftMonitorView(spark, s"$tmp/stats"))
+    // mergeability: the view == the same kernel over the one-pass
+    // binned counts of everything ingested
+    val union = (b1 ++ b2).toDF("id", "score", "label")
+    val bucket = lit(edges.length + 2) -
+      graft.dq.Dq.binOf(col("score"), edges)
+    val batchCounts = union
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"))
+    streamed shouldBe rows(graft.ml.Eval.liftFromCounts(batchCounts))
+    // hand-check: bucket 1 = scores 31..40, all 10 positives of 40 rows
+    val top = streamed.head
+    top._1 shouldBe 1L
+    top._2 shouldBe 10L
+    top._3 shouldBe 10L
+    top._4 shouldBe 1.0  // pos_rate
+    top._6.get shouldBe 1.0 // capture: top bucket catches ALL positives
+    top._7.get shouldBe 4.0 // lift: 100% vs 25% base rate
+    // replay safety: re-running batch 1 rewrites its partition in place
+    StreamingEvents.liftMonitorBatch(b2.toDF("id", "score", "label"),
+      1L, "score", "label", edges, s"$tmp/stats")
+    rows(StreamingEvents.liftMonitorView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "audit stream-wide split balance identically to the batch audit over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssplit").toString
+    val b1 = Seq(("train", "en"), ("train", "en"), ("train", "de"),
+      ("test", "en"))
+    val b2 = Seq(("train", "en"), ("test", "de"), ("test", "de"),
+      ("val", "en"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.splitBalanceSink(
+      in.toDF().toDF("split", "stratum"), "split", "stratum",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("split"), col("stratum"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    val streamed = rows(StreamingEvents.splitBalanceView(spark,
+      s"$tmp/stats"))
+    // parity: the q_x125 batch audit expression over the union
+    val union = (b1 ++ b2).toDF("split", "stratum")
+    val per = union.groupBy(col("split"), col("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val tot = union.groupBy(col("split"))
+      .agg(count(lit(1)).as("__t"))
+    val batch = rows(per.join(tot, "split")
+      .select(col("split"), col("stratum"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("share")))
+    streamed shouldBe batch
+    // hand-check: train = 3 en + 1 de -> shares 0.75 / 0.25
+    streamed.find(t => t._1 == "train" && t._2 == "en").get._4 shouldBe 0.75
+    streamed.find(t => t._1 == "train" && t._2 == "de").get._4 shouldBe 0.25
+    // replay safety: re-running batch 0 rewrites its partition in place
+    StreamingEvents.splitBalanceBatch(b1.toDF("split", "stratum"), 0L,
+      "split", "stratum", s"$tmp/stats")
+    rows(StreamingEvents.splitBalanceView(spark,
+      s"$tmp/stats")) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
   }
 }
