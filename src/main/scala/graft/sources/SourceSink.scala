@@ -60,9 +60,9 @@ object ParquetSink extends Sink {
   * them the whole table arrives through ONE connection on one task; any
   * table worth reading at scale should set them).
   *
-  * The sandbox ships no database, so this surface is exercised by a
-  * plumbing-level spec (option wiring), not an end-to-end read — the read
-  * itself is Spark's built-in JDBC relation. */
+  * Exercised END-TO-END against an embedded Derby database (shipped in
+  * Spark's own jars): write -> read round-trip, pushdown subquery, and a
+  * partitioned parallel read split into stride queries (PipelineSpec). */
 object JdbcSource extends Source {
   def apply(spark: SparkSession, ctx: TransformationContext): DataFrame =
     reader(spark, ctx).load()
