@@ -672,4 +672,37 @@ object Curation {
         explode(sequence(lit(0L), col("__nc") - 1)).as("copy_idx") +:
         col("n_toks") +: carryCols.map(col): _*)
   }
+
+  /** X127: PACKING-EFFICIENCY REPORT over an X77 [[contextManifest]] —
+    * how much of every fixed context window is actual document tokens
+    * vs separators/tail padding: per sequence the doc count, packed
+    * doc tokens and fill ratio, plus corpus headline columns
+    * (total_seqs, utilization = Σ doc_tokens / (total_seqs · L))
+    * broadcast onto every row. The number a packing configuration is
+    * tuned on — a low utilization means the context length or the
+    * separator policy is wasting paid-for FLOPs.
+    *
+    * Exactness + scale: the manifest already carries exact integer
+    * (seq_id, n_toks); this is one seq-keyed aggregate (rows = corpus
+    * tokens / L) + a broadcast 1-row total — fixed IEEE divisions, no
+    * rounding. Output: one row per sequence — (seq_id, n_docs,
+    * doc_tokens, fill_ratio, total_seqs, utilization). */
+  def packingEfficiency(manifest: DataFrame, contextTokens: Long)
+      : DataFrame = {
+    require(contextTokens >= 1,
+      s"contextTokens must be >= 1, got $contextTokens")
+    val perSeq = manifest.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("doc_tokens"))
+    val summary = perSeq.agg(count(lit(1)).as("total_seqs"),
+      coalesce(sum(col("doc_tokens")), lit(0L)).as("__tot"))
+    perSeq.crossJoin(broadcast(summary))
+      .select(col("seq_id"), col("n_docs"), col("doc_tokens"),
+        (col("doc_tokens").cast("double") / lit(contextTokens.toDouble))
+          .as("fill_ratio"),
+        col("total_seqs"),
+        (col("__tot").cast("double") /
+          (col("total_seqs").cast("double") *
+            lit(contextTokens.toDouble))).as("utilization"))
+  }
 }

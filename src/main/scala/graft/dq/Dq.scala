@@ -488,4 +488,27 @@ object Dq {
     m.select(explode(array(rows: _*)).as("__c")).select(col("__c.*"))
       .orderBy(col("check_id"))
   }
+
+  /** D16: PARTITION-GAP REPORT — the backfill planner's input: every
+    * calendar day MISSING from a date column between its observed min
+    * and max (a date-partitioned table with a hole is the classic
+    * silently-wrong training window; "no rows that day" and "pipeline
+    * never ran that day" look identical until someone checks).
+    *
+    * Scale: one distinct-days aggregate (bounded by the CALENDAR SPAN,
+    * never row volume), the spine exploded from a broadcast 1-row
+    * min/max — no driver loop, no row-sized anything — and one
+    * days-sized LEFT ANTI. Output: (missing_day), ordered upstream by
+    * the caller. Empty when the span is dense. */
+  def missingPartitions(df: DataFrame,
+      dateCol: org.apache.spark.sql.Column): DataFrame = {
+    val days = graft.util.Caches.persistTracked(
+      df.select(to_date(dateCol).as("day"))
+        .filter(col("day").isNotNull).distinct())
+    val mm = days.agg(min(col("day")).as("__mn"),
+      max(col("day")).as("__mx"))
+    mm.select(explode(sequence(col("__mn"), col("__mx"))).as("day"))
+      .join(days, Seq("day"), "left_anti")
+      .select(col("day").as("missing_day"))
+  }
 }

@@ -340,4 +340,47 @@ object Stats {
         (col("__dev") > lit(k) * col("mad")).cast("int")
           .as("is_outlier"))
   }
+
+  /** X126: KEY-SKEW REPORT — the pre-join / pre-aggregate diagnostic
+    * that predicts whether a shuffle on `keyCol` will straggle: per-key
+    * counts, the top-`k` hottest keys under the (count desc, key) total
+    * order, each with its share of all rows and its multiple of the
+    * mean key size, plus corpus headline columns (n_keys, n_rows,
+    * skew_factor = max/mean) broadcast onto every row. A skew_factor in
+    * the hundreds is the cue to reach for the salted join (J12) or AQE
+    * skew handling BEFORE the 100 TB run straggles.
+    *
+    * Exactness + scale: everything is exact integer counts with fixed
+    * IEEE divisions (no rounding needed); the top-k is TakeOrdered
+    * (never a global sort), the rank window runs AFTER limit(k) — a
+    * k-row relation by construction — and the headline is a broadcast
+    * 1-row aggregate. NULL keys are excluded (they hash to one lane in
+    * a real join and deserve their own null-handling decision, not a
+    * silent share of this report). Output: k rows —
+    * (rank, key, n, share, x_mean, n_keys, n_rows, skew_factor). */
+  def keySkewReport(df: DataFrame, keyCol: Column, k: Int = 10)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = graft.util.Caches.persistTracked(
+      df.select(keyCol.cast("string").as("key"))
+        .filter(col("key").isNotNull)
+        .groupBy(col("key")).agg(count(lit(1)).as("n")))
+    val stats = cnt.agg(count(lit(1)).as("n_keys"),
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      max(col("n")).as("__mx"))
+    // BOUNDED global window: ranks run AFTER limit(k) — k rows.
+    val w = Window.orderBy(col("n").desc, col("key"))
+    cnt.orderBy(col("n").desc, col("key")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n"),
+        (col("n").cast("double") / col("n_rows").cast("double"))
+          .as("share"),
+        (col("n").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("x_mean"),
+        col("n_keys"), col("n_rows"),
+        (col("__mx").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+  }
 }

@@ -282,4 +282,52 @@ object Eval {
             (lit(2.0) * col("__tp").cast("double") *
               col("__tn").cast("double"))).as("auc"))
   }
+
+  /** F29: SPLIT-CONFORMAL PREDICTION INTERVALS (inductive conformal —
+    * Papadopoulos et al. 2002, Lei et al. 2018; public knowledge): on a
+    * held-out calibration set compute q̂ = the ⌈(1−α)(n+1)⌉-th smallest
+    * absolute residual |y − ŷ|; every scored prediction then carries
+    * [ŷ − q̂, ŷ + q̂], which covers the true label with probability
+    * ≥ 1 − α in finite samples under exchangeability — the
+    * distribution-free error bar a filtering threshold or SLA reads.
+    *
+    * Exactness: α stays a RATIONAL `alphaNum/alphaDen` — the rank is
+    * `((aD−aN)·(n+1) + aD − 1) div aD`, never a float ceil (a double
+    * `ceil(0.9·(n+1))` lands either side of an integer by engine).
+    * Residual ties can swap rank order freely: equal values yield the
+    * same q̂, so the pick is deterministic cross-engine.
+    *
+    * Scale: the residual rank rides the two-phase
+    * [[graft.relational.Ranks.globalRankAndCount]] (no global-order
+    * window at any calibration size); q̂ joins the scored side as a
+    * broadcast 1-row table. A calibration set too small for the
+    * requested coverage (rank > n ⇒ q̂ = ∞) fails loud. Output: one
+    * row per scored row — (id, pred, qhat, lo, hi). */
+  def conformalInterval(calibration: DataFrame,
+      predCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      scored: DataFrame, scoredPredCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen >= 2 && alphaNum >= 1 && alphaNum < alphaDen,
+      s"need 1 <= alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val res = calibration.select(
+      abs(labelCol.cast("double") - predCol.cast("double")).as("__res"))
+      .filter(col("__res").isNotNull)
+    val (ranked, n) = graft.relational.Ranks.globalRankAndCount(res,
+      Seq(col("__res")), "__r")
+    val rank = ((alphaDen - alphaNum).toLong * (n + 1) + alphaDen - 1) /
+      alphaDen
+    require(rank <= n, s"conformalInterval: calibration n=$n cannot " +
+      s"support alpha=$alphaNum/$alphaDen (rank $rank > n; q-hat " +
+      "would be infinite)")
+    val qhat = ranked.filter(col("__r") === rank)
+      .select(col("__res").as("qhat"))
+    scored
+      .select(idCol.as("id"), scoredPredCol.cast("double").as("pred"))
+      .crossJoin(broadcast(qhat))
+      .select(col("id"), col("pred"), col("qhat"),
+        (col("pred") - col("qhat")).as("lo"),
+        (col("pred") + col("qhat")).as("hi"))
+  }
 }

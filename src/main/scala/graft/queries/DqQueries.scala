@@ -10,6 +10,42 @@ object DqQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // F29: split-conformal prediction intervals — q-hat is the exact
+    // integer-rank calibration residual (two-phase ranks, rational
+    // ceil), every scored prediction gets [pred - q, pred + q].
+    "q_f29_conformal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("__pred",
+          size(split(col("text"), "\\s+")).cast("double") * 6.0)
+      graft.ml.Eval.conformalInterval(
+        docs.filter(col("doc_id") % 2 === 0), col("__pred"),
+        col("n_chars"),
+        docs.filter(col("doc_id") % 2 === 1), col("__pred"),
+        col("doc_id"), alphaNum = 1, alphaDen = 10)
+        .orderBy(col("id"))
+    },
+
+    // X126: key-skew report over event user_ids — top-10 hottest keys
+    // with shares and the corpus skew factor; the pre-join straggler
+    // diagnostic.
+    "q_x126_key_skew" -> { (s, dir) =>
+      graft.dq.Stats.keySkewReport(t(s, dir, "events"), col("user_id"),
+        k = 10)
+        .orderBy(col("rank"))
+    },
+
+    // D16: partition-gap report — days divisible by 5 are deleted from
+    // January's events, and the report must name exactly the missing
+    // days inside the surviving span.
+    "q_d16_missing_partitions" -> { (s, dir) =>
+      graft.dq.Dq.missingPartitions(
+        t(s, dir, "events").filter(dayofmonth(col("ts")) % 5 =!= 0),
+        col("ts"))
+        .withColumn("missing_day",
+          date_format(col("missing_day"), "yyyy-MM-dd"))
+        .orderBy(col("missing_day"))
+    },
+
     // D5: PSI drift between the first and second half of January's
     // event values — reference-decile bins, exact edges, clipped
     // shares; only ln-bearing outputs rounded.
@@ -253,6 +289,62 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same rational rank ((10-1)*(n+1)+9) div 10 over the ordered
+    // calibration residuals, same fixed IEEE interval arithmetic.
+    "q_f29_conformal" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+        |      * 6.0 AS pred
+        |  FROM documents),
+        |res AS (
+        |  SELECT abs(CAST(n_chars AS DOUBLE) - pred) AS r FROM d
+        |  WHERE doc_id % 2 = 0),
+        |rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn,
+        |              count(*) OVER () AS n
+        |       FROM res),
+        |q AS (SELECT r AS qhat FROM rk
+        |      WHERE rn = (9 * (n + 1) + 9) // 10)
+        |SELECT d.doc_id AS id, d.pred AS pred, q.qhat,
+        |  d.pred - q.qhat AS lo, d.pred + q.qhat AS hi
+        |FROM d, q WHERE d.doc_id % 2 = 1
+        |ORDER BY id""".stripMargin,
+    // Exact integer counts, fixed IEEE divisions, (count desc, key)
+    // total order for the top-k.
+    "q_x126_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |              CAST(sum(n) AS BIGINT) AS n_rows,
+        |              CAST(max(n) AS BIGINT) AS mx
+        |       FROM c),
+        |top AS (SELECT key, CAST(n AS BIGINT) AS n,
+        |          CAST(row_number() OVER (ORDER BY n DESC, key)
+        |            AS BIGINT) AS rank
+        |        FROM c ORDER BY n DESC, key LIMIT 10)
+        |SELECT t.rank, t.key, t.n,
+        |  CAST(t.n AS DOUBLE) / CAST(st.n_rows AS DOUBLE) AS share,
+        |  CAST(t.n AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+        |    / CAST(st.n_rows AS DOUBLE) AS x_mean,
+        |  st.n_keys, st.n_rows,
+        |  CAST(st.mx AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+        |    / CAST(st.n_rows AS DOUBLE) AS skew_factor
+        |FROM top t, st ORDER BY t.rank""".stripMargin,
+    // generate_series spine between observed min/max, anti-joined
+    // against observed distinct days.
+    "q_d16_missing_partitions" ->
+      """WITH obs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE ts IS NOT NULL AND day(ts) % 5 <> 0),
+        |mm AS (SELECT min(day) AS mn, max(day) AS mx FROM obs),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
+        |FROM spine s LEFT JOIN obs o ON o.day = s.day
+        |WHERE o.day IS NULL
+        |ORDER BY missing_day""".stripMargin,
     // Same md5-uniform, same Poisson thresholds, same (mean, replica)
     // rank order, ranks 3 and 98 of 100.
     "q_f20_bootstrap_ci" ->

@@ -1020,6 +1020,26 @@ object TextQueries {
         .orderBy(col("seq_id"), col("doc_id"))
     },
 
+    // X127: packing-efficiency report over the X77 manifest — per-seq
+    // fill + corpus utilization; the number the packing config tunes.
+    "q_x127_packing_efficiency" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n_toks"))
+      val manifest = graft.curate.Curation.contextManifest(docs,
+        "doc_id", "n_toks", contextTokens = 128L, sepTokens = 1L)
+      graft.curate.Curation.packingEfficiency(manifest, 128L)
+        .orderBy(col("seq_id"))
+    },
+
+    // X128: smoothed TF-IDF top-5 terms per document — exact tf/df/N
+    // counts, one fixed ln expression, (w desc, token) tie order.
+    "q_x128_tfidf_terms" -> { (s, dir) =>
+      graft.text.TextStats.tfidfTopTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // X78: line-level quality signals — every third doc gets planted
     // lines exercising each rule (bullet, short, terminal-punctuation,
     // exact-duplicate line); fractions oracle-checked as raw doubles
@@ -3170,6 +3190,68 @@ object TextQueries {
         |  least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128)
         |    AS n_toks
         |FROM e ORDER BY seq_id, doc_id""".stripMargin,
+    // The x77 manifest chain, aggregated per sequence + the corpus
+    // utilization headline; exact counts, fixed IEEE divisions.
+    "q_x127_packing_efficiency" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM tk),
+        |e AS (
+        |  SELECT doc_id, n, off,
+        |    CAST(unnest(range(off // 128, (off + n - 1) // 128 + 1))
+        |      AS BIGINT) AS seq_id
+        |  FROM o WHERE n > 0),
+        |m AS (
+        |  SELECT seq_id, doc_id,
+        |    least(off + n, (seq_id + 1) * 128)
+        |      - greatest(off, seq_id * 128) AS n_toks
+        |  FROM e),
+        |per AS (
+        |  SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS doc_tokens
+        |  FROM m GROUP BY 1),
+        |su AS (SELECT CAST(count(*) AS BIGINT) AS total_seqs,
+        |              CAST(sum(doc_tokens) AS BIGINT) AS tot
+        |       FROM per)
+        |SELECT p.seq_id, p.n_docs, p.doc_tokens,
+        |  CAST(p.doc_tokens AS DOUBLE) / 128.0 AS fill_ratio,
+        |  su.total_seqs,
+        |  CAST(su.tot AS DOUBLE)
+        |    / (CAST(su.total_seqs AS DOUBLE) * 128.0) AS utilization
+        |FROM per p, su ORDER BY p.seq_id""".stripMargin,
+    // Same tf/df/N integer counts, the same (1 + ln tf)·ln((N+1)/(df+1))
+    // expression (ln engine-bitwise on these rationals, q_x51-pinned),
+    // same (w desc, token) tie order.
+    "q_x128_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |       FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    (1.0 + ln(CAST(tf.tf AS DOUBLE)))
+        |      * ln((CAST(nd.n AS DOUBLE) + 1.0)
+        |        / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM w)
+        |SELECT doc_id, token, tf, df, tfidf, rank
+        |FROM rk WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     // Representative selection: the X17 reach-closure clusters joined to
     // token counts, argmax(score, tie min doc_id) per cluster.
     "q_x74_cluster_reps" ->

@@ -995,4 +995,45 @@ object TextStats {
         round(col("__kl"), 6).as("kl_contrib"),
         round(col("__js"), 6).as("js_contrib"))
   }
+
+  /** X128: TF-IDF TOP TERMS per document (the classic smoothed
+    * log-weighting, public knowledge — Salton & Buckley 1988):
+    * `w = (1 + ln tf) · ln((N + 1)/(df + 1))`, top-`k` terms per doc
+    * under the (w desc, token) total order — the per-document keyword
+    * profile BM25 retrieval (X51) and DSIR targeting (X43) read, and
+    * the cheap doc summary a curation dashboard shows.
+    *
+    * Determinism: tf/df/N are exact integers and the weight is one
+    * fixed IEEE ln/multiply expression over them — bit-identical
+    * cross-engine (the q_x51 BM25 oracle already pins engine-bitwise
+    * `ln` on this input class); equal weights tie-break by token.
+    *
+    * Scale: one explode + two token aggregates (map-side combined),
+    * the doc count a broadcast 1-row aggregate, and a doc-keyed rank
+    * window (never global). Output: (doc_id, token, tf, df, tfidf,
+    * rank), ≤ k rows per doc. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.words(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (lit(1.0) + log(col("tf").cast("double"))) *
+          log((col("__n").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
 }

@@ -548,4 +548,21 @@ class CurationSpec extends SparkSpec {
     r.count(_._3 == "holdout") shouldBe 25
     graft.util.Caches.releaseAll(spark)
   }
+
+  "packingEfficiency (X127)" should "report hand-computed fill ratios and utilization" in {
+    import spark.implicits._
+    // L=10, sep=1: doc1 n=7 at off 0 -> seq0 toks 7; doc2 n=8 at off 8
+    // -> seq0 gets 2, seq1 gets 6. Per-seq doc_tokens: seq0=9, seq1=6.
+    // utilization = 15 / (2*10) = 0.75
+    val docs = Seq((1L, 7L), (2L, 8L)).toDF("doc_id", "n_toks")
+    val manifest = graft.curate.Curation.contextManifest(docs,
+      "doc_id", "n_toks", contextTokens = 10L, sepTokens = 1L)
+    val r = graft.curate.Curation.packingEfficiency(manifest, 10L)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+      .sortBy(_._1)
+    r shouldBe Array(
+      (0L, 2L, 9L, 0.9, 2L, 0.75),
+      (1L, 1L, 6L, 0.6, 2L, 0.75))
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -285,4 +285,23 @@ class DqSpec extends SparkSpec {
     r shouldBe (("c->p", 4L, 1L, 1L, Some(0.25)))
     graft.util.Caches.releaseAll(spark)
   }
+
+  "missingPartitions (D16)" should "name exactly the calendar holes inside the observed span" in {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // observed: 1st, 2nd, 5th, 8th -> holes: 3,4,6,7
+    val df = Seq("2024-01-01", "2024-01-02", "2024-01-05", "2024-01-08",
+      "2024-01-01") // duplicate day: must not matter
+      .map(x => Tuple1(d(x))).toDF("day")
+    val r = graft.dq.Dq.missingPartitions(df, col("day"))
+      .orderBy(col("missing_day"))
+      .as[java.sql.Date].collect().map(_.toString)
+    r shouldBe Array("2024-01-03", "2024-01-04", "2024-01-06",
+      "2024-01-07")
+    // dense span: empty result, not an error
+    val dense = Seq("2024-01-01", "2024-01-02").map(x => Tuple1(d(x)))
+      .toDF("day")
+    graft.dq.Dq.missingPartitions(dense, col("day")).count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
 }

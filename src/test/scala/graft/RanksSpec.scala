@@ -89,9 +89,11 @@ class RanksSpec extends SparkSpec {
     noGlobalWindow(graft.dq.Dq.chiSquareDrift(
       ref.withColumn("c", (col("id") % 3).cast("string")),
       cur.withColumn("c", (col("id") % 3).cast("string")), "c"))
-    noGlobalWindow(graft.ml.Eval.calibrationCurve(spark,
-      (1 to 200).map(i => (i / 200.0, i % 3 == 0))
-        .toDF("score", "correct"), "score", "correct", 10))
+    // calibrationCurve is NOT asserted window-free: its two windows run
+    // over the nBuckets-row grid join (bounded by construction) — the
+    // r10 broadcast-aggregate alternative re-evaluated the perBucket
+    // lineage and tripled q_f15. PlanGuardSpec's global-window census
+    // pins its exact count (2) with the boundedness justification.
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = (1 to 300).map { i =>
       (rnd.nextInt(40).toLong,

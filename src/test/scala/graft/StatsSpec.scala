@@ -257,4 +257,51 @@ class StatsSpec extends SparkSpec {
         Seq((0, 4, "p0")))
     }
   }
+
+  "keySkewReport (X126)" should "rank hand-computed hot keys and exclude NULLs" in {
+    import spark.implicits._
+    // key a: 6 rows, b: 3, c: 1 (+2 NULL rows excluded)
+    // n_keys=3, n_rows=10, mean=10/3, skew = 6/(10/3) = 1.8
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq(Some("c"), None, None)).toDF("k")
+    val r = graft.dq.Stats.keySkewReport(df, col("k"), k = 2)
+      .as[(Long, String, Long, Double, Double, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    r.length shouldBe 2 // top-2 of 3 keys
+    r(0) shouldBe ((1L, "a", 6L, 0.6, 1.8, 3L, 10L, 1.8))
+    r(1)._2 shouldBe "b"
+    r(1)._4 shouldBe 0.3
+    // tie-break: equal counts rank by key ascending
+    val tied = Seq("x", "x", "y", "y").toDF("k")
+    val rt = graft.dq.Stats.keySkewReport(tied, col("k"), k = 2)
+      .as[(Long, String, Long, Double, Double, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    rt.map(_._2).toSeq shouldBe Seq("x", "y")
+    rt.foreach(_._8 shouldBe 1.0) // perfectly even: skew factor 1
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  "conformalInterval (F29)" should "pick the hand-computed rank residual and fail loud when starved" in {
+    import spark.implicits._
+    // calibration residuals |y - pred|: pred = 0 so residual = |y|
+    // values 1..9 -> n=9; alpha=1/10 -> rank = ceil(0.9*10) = 9 -> q=9
+    val cal = (1 to 9).map(i => (i.toLong, 0.0, i.toDouble))
+      .toDF("id", "pred", "y")
+    val sc = Seq((100L, 50.0)).toDF("id", "pred")
+    val r = graft.ml.Eval.conformalInterval(cal, col("pred"), col("y"),
+        sc, col("pred"), col("id"), 1, 10)
+      .as[(Long, Double, Double, Double, Double)].head()
+    r shouldBe ((100L, 50.0, 9.0, 41.0, 59.0))
+    // alpha=1/2 -> rank = ceil(0.5*10) = 5 -> q=5
+    val r2 = graft.ml.Eval.conformalInterval(cal, col("pred"), col("y"),
+        sc, col("pred"), col("id"), 1, 2)
+      .as[(Long, Double, Double, Double, Double)].head()
+    r2._3 shouldBe 5.0
+    // n=3 at alpha=1/10: rank ceil(0.9*4)=4 > 3 -> q-hat infinite
+    intercept[IllegalArgumentException] {
+      graft.ml.Eval.conformalInterval(cal.limit(3), col("pred"),
+        col("y"), sc, col("pred"), col("id"), 1, 10)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -1236,4 +1236,26 @@ class TextSpec extends SparkSpec {
     refined.foreach { t => t._3 shouldBe t._2 } // refined == original
     graft.util.Caches.releaseAll(spark)
   }
+
+  "tfidfTopTerms (X128)" should "rank hand-computed weights with a token tie-break" in {
+    import spark.implicits._
+    // N=2. doc1: "rare rare common", doc2: "common other"
+    // df: rare=1, common=2, other=1
+    // doc1 rare: (1+ln2)*ln(3/2); doc1 common: (1+ln1)*ln(3/3)=0
+    val docs = Seq((1L, "rare rare common"), (2L, "common other"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextStats.tfidfTopTerms(docs, "doc_id", "text",
+        k = 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+      .map(t => (t._1, t._6) -> t).toMap
+    val w1 = (1.0 + math.log(2.0)) * math.log(3.0 / 2.0)
+    r((1L, 1L))._2 shouldBe "rare"
+    r((1L, 1L))._5 shouldBe w1 +- 1e-12
+    r((1L, 2L))._2 shouldBe "common"
+    r((1L, 2L))._5 shouldBe 0.0
+    // doc2: common (w=0) and other (w=ln(3/2)) -> other ranks first
+    r((2L, 1L))._2 shouldBe "other"
+    r((2L, 2L))._2 shouldBe "common"
+    graft.util.Caches.releaseAll(spark)
+  }
 }
