@@ -41,7 +41,8 @@ object Bench {
       "q_x98_bfs_hops", "q_x100_kneser_ney", "q_x101_fuzzy_join",
       "q_x103_cv_folds", "q_x105_item_cf", "q_f19_learning_curve",
       "q_j15_stabbing_count", "q_x112_label_suspects",
-      "q_x116_cluster_refine", "q_x122_dedup_yield")
+      "q_x116_cluster_refine", "q_x122_dedup_yield",
+      "q_x129_packed_leakage", "q_x132_source_overlap")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

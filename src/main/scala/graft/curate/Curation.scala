@@ -705,4 +705,34 @@ object Curation {
           (col("total_seqs").cast("double") *
             lit(contextTokens.toDouble))).as("utilization"))
   }
+
+  /** X129: PACKED-SEQUENCE SPLIT-LEAKAGE AUDIT — the governance check
+    * X77 packing makes necessary: when documents from different
+    * train/val/test splits land in the SAME fixed-context sequence,
+    * the held-out text is literally inside a training context — a
+    * leak no doc-level split audit (X125) can see. Joins a context
+    * manifest to a (doc_id, split) assignment and reports every
+    * sequence whose members span more than one split, with the sorted
+    * distinct split list and the token count each split contributes.
+    *
+    * Exactness + scale: one manifest-sized join on doc_id + one
+    * seq-keyed aggregate; `splits` is the comma-joined SORTED distinct
+    * split set (set semantics + an explicit sort — engine-order-
+    * immune, hashable cross-engine as a plain string). Output: one
+    * row per LEAKY sequence — (seq_id, n_docs, n_splits, splits,
+    * leaked_tokens = tokens NOT from the sequence's majority split);
+    * empty means the packing respected the split. */
+  def packedSplitLeakage(manifest: DataFrame, splits: DataFrame)
+      : DataFrame = {
+    val joined = manifest.join(splits, "doc_id")
+    val perSeqSplit = joined.groupBy(col("seq_id"), col("split"))
+      .agg(count(lit(1)).as("__nd"), sum(col("n_toks")).as("__nt"))
+    perSeqSplit.groupBy(col("seq_id"))
+      .agg(sum(col("__nd")).as("n_docs"),
+        count(lit(1)).as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("split"))))
+          .as("splits"),
+        (sum(col("__nt")) - max(col("__nt"))).as("leaked_tokens"))
+      .filter(col("n_splits") > 1)
+  }
 }

@@ -359,13 +359,22 @@ object Stats {
     * silent share of this report). Output: k rows —
     * (rank, key, n, share, x_mean, n_keys, n_rows, skew_factor). */
   def keySkewReport(df: DataFrame, keyCol: Column, k: Int = 10)
+      : DataFrame =
+    keySkewFromCounts(graft.util.Caches.persistTracked(
+      df.select(keyCol.cast("string").as("key"))
+        .filter(col("key").isNotNull)
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))), k)
+
+  /** The skew arithmetic over any (key, n) count table — shared by
+    * [[keySkewReport]] and the streaming key-skew monitor view
+    * ([[graft.streaming.StreamingEvents.keySkewView]]): counts are
+    * exact integers and MERGEABLE, so the stream-wide report over
+    * per-batch persisted counts equals the batch report over the
+    * union by construction. */
+  private[graft] def keySkewFromCounts(cnt: DataFrame, k: Int)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val cnt = graft.util.Caches.persistTracked(
-      df.select(keyCol.cast("string").as("key"))
-        .filter(col("key").isNotNull)
-        .groupBy(col("key")).agg(count(lit(1)).as("n")))
     val stats = cnt.agg(count(lit(1)).as("n_keys"),
       coalesce(sum(col("n")), lit(0L)).as("n_rows"),
       max(col("n")).as("__mx"))

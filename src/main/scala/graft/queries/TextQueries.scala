@@ -1040,6 +1040,39 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // X129: packed-sequence split-leakage audit — X77 packing ⋈ X119
+    // split assignment; every sequence mixing splits is a literal
+    // train/test leak inside one context window.
+    "q_x129_packed_leakage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("doc_id"),
+        coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+          .as("n_toks"))
+      val manifest = graft.curate.Curation.contextManifest(counts,
+        "doc_id", "n_toks", contextTokens = 128L, sepTokens = 1L)
+      val splits = graft.curate.Curation.exactStratifiedSplit(
+        docs, "doc_id", "source").select(col("doc_id"), col("split"))
+      graft.curate.Curation.packedSplitLeakage(manifest, splits)
+        .orderBy(col("seq_id"))
+    },
+
+    // X131: distinct-n diversity per source at n = 1..3 — the
+    // template/mode-collapse detector; exact gram counts.
+    "q_x131_distinct_ngrams" -> { (s, dir) =>
+      graft.text.TextStats.distinctNgramReport(t(s, dir, "documents"),
+        "source", "text", ns = Seq(1, 2, 3))
+        .orderBy(col("group"), col("n"))
+    },
+
+    // X132: pairwise source 5-gram overlap matrix — corpus-vs-corpus
+    // contamination due diligence; distinct grams per source first,
+    // join on the gram key only.
+    "q_x132_source_overlap" -> { (s, dir) =>
+      graft.text.TextStats.sourceOverlapMatrix(t(s, dir, "documents"),
+        "source", "text", shingleN = 5)
+        .orderBy(col("group_a"), col("group_b"))
+    },
+
     // X78: line-level quality signals — every third doc gets planted
     // lines exercising each rule (bullet, short, terminal-punctuation,
     // exact-duplicate line); fractions oracle-checked as raw doubles
@@ -3252,6 +3285,108 @@ object TextQueries {
         |SELECT doc_id, token, tf, df, tfidf, rank
         |FROM rk WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // The x77 manifest chain joined to the x125 split chain; leaked
+    // tokens = sequence tokens minus its majority-split tokens.
+    "q_x129_packed_leakage" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM tk),
+        |e AS (
+        |  SELECT doc_id, n, off,
+        |    CAST(unnest(range(off // 128, (off + n - 1) // 128 + 1))
+        |      AS BIGINT) AS seq_id
+        |  FROM o WHERE n > 0),
+        |m AS (
+        |  SELECT seq_id, doc_id,
+        |    least(off + n, (seq_id + 1) * 128)
+        |      - greatest(off, seq_id * 128) AS n_toks
+        |  FROM e),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY (${hexDigitSum(1, 8)}), doc_id)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+        |  FROM u),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN r * 10 <= 8 * nn THEN 'train'
+        |         WHEN r * 10 <= 9 * nn THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r),
+        |pss AS (
+        |  SELECT m.seq_id, sp.split,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(m.n_toks) AS BIGINT) AS nt
+        |  FROM m JOIN sp USING (doc_id) GROUP BY 1, 2)
+        |SELECT seq_id, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_splits,
+        |  string_agg(split, ',' ORDER BY split) AS splits,
+        |  CAST(sum(nt) - max(nt) AS BIGINT) AS leaked_tokens
+        |FROM pss GROUP BY seq_id HAVING count(*) > 1
+        |ORDER BY seq_id""".stripMargin,
+    // Per (source, n): exact total/distinct gram counts; shingles are
+    // the same space-joined word windows as every dedup oracle.
+    "q_x131_distinct_ngrams" ->
+      """WITH words AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g1 AS (SELECT source, unnest(w) AS g FROM words),
+        |g2 AS (SELECT source, array_to_string(w[i:i+1], ' ') AS g
+        |       FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+        |             FROM words WHERE len(w) >= 2)),
+        |g3 AS (SELECT source, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT source, w, unnest(range(1, len(w) - 1)) AS i
+        |             FROM words WHERE len(w) >= 3)),
+        |pern AS (
+        |  SELECT source AS "group", 1 AS n, count(*) AS t,
+        |    count(DISTINCT g) AS d FROM g1 GROUP BY 1
+        |  UNION ALL
+        |  SELECT source, 2, count(*), count(DISTINCT g) FROM g2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT source, 3, count(*), count(DISTINCT g) FROM g3 GROUP BY 1)
+        |SELECT "group", CAST(n AS INTEGER) AS n,
+        |  CAST(t AS BIGINT) AS total_ngrams,
+        |  CAST(d AS BIGINT) AS distinct_ngrams,
+        |  CAST(d AS DOUBLE) / CAST(t AS DOUBLE) AS distinct_ratio
+        |FROM pern ORDER BY "group", n""".stripMargin,
+    // Distinct 5-grams per source, self-joined on the gram; Jaccard
+    // over distinct-gram set sizes.
+    "q_x132_source_overlap" ->
+      """WITH words AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+        |  FROM (SELECT source, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM words WHERE len(w) >= 5)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.group_a, sh.group_b, sa.n AS n_a, sb.n AS n_b,
+        |  sh.n_shared,
+        |  CAST(sh.n_shared AS DOUBLE)
+        |    / CAST(sa.n + sb.n - sh.n_shared AS DOUBLE) AS jaccard
+        |FROM sh
+        |JOIN sz sa ON sa.source = sh.group_a
+        |JOIN sz sb ON sb.source = sh.group_b
+        |ORDER BY sh.group_a, sh.group_b""".stripMargin,
     // Representative selection: the X17 reach-closure clusters joined to
     // token counts, argmax(score, tie min doc_id) per cluster.
     "q_x74_cluster_reps" ->

@@ -1018,6 +1018,45 @@ object StreamingEvents {
           .as("share"))
   }
 
+  /** Streaming KEY-SKEW monitor (X126 streaming): each micro-batch
+    * persists its per-key row counts under `batch_id=N` (bounded by
+    * the batch's key cardinality); counts are exact and mergeable, so
+    * the published view — the shared
+    * [[graft.dq.Stats.keySkewFromCounts]] kernel over the summed
+    * counts — equals the batch report over everything ingested
+    * (spec-proven). The "is this join key developing a hot lane"
+    * dashboard for a continuously-ingested table. Replays overwrite
+    * their own batch directory: idempotent. */
+  def keySkewSink(rows: DataFrame, keyCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) keySkewBatch(batch.toDF(), batchId, keyCol,
+          statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[keySkewSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def keySkewBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, statsDir: String): Unit = {
+    batch.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[keySkewSink]] directory: the merged
+    * per-key counts through the same skew kernel as the batch report. */
+  def keySkewView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, k: Int = 10): DataFrame =
+    graft.dq.Stats.keySkewFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(col("key")).agg(sum(col("n")).as("n")), k)
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

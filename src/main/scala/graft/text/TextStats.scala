@@ -1036,4 +1036,76 @@ object TextStats {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** X131: DISTINCT-N DIVERSITY REPORT per group — `distinct-n` =
+    * distinct n-grams / total n-grams (Li et al. 2016, public
+    * knowledge): the standard template/mode-collapse detector for
+    * synthetic or over-deduplicated corpora (a distinct-2 collapsing
+    * toward 0 means the corpus is repeating itself). One row per
+    * (group, n) with exact total/distinct counts and the ratio.
+    *
+    * Scale: per n one explode + one map-side-combined aggregate over
+    * (group, gram) then (group) — the exact-distinct is the honest
+    * default (swap approx_count_distinct at extreme gram cardinality,
+    * same contract). Groups with no n-grams at order n (all docs
+    * shorter than n) emit no row rather than 0/0. */
+  def distinctNgramReport(df: DataFrame, groupCol: String,
+      textCol: String, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    val perN = ns.map { n =>
+      val grams =
+        if (n == 1) df.select(col(groupCol).as("group"),
+          explode(Dedup.words(col(textCol))).as("__g"))
+        else df.select(col(groupCol).as("group"),
+          explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      grams.groupBy(col("group"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          count_distinct(col("__g")).as("distinct_ngrams"))
+        .select(col("group"), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double")).as("distinct_ratio"))
+    }
+    perN.reduce(_ unionByName _)
+  }
+
+  /** X132: SOURCE OVERLAP MATRIX — pairwise n-gram contamination
+    * between corpus groups (sources, snapshots, vendors): for every
+    * group pair the count of SHARED distinct `shingleN`-grams and the
+    * Jaccard over distinct grams — the due-diligence table read before
+    * mixing a new data source ("vendor B is 40% n-gram-identical to
+    * what we already have"). Complements X14 decontamination (doc vs
+    * eval-set) with a corpus-vs-corpus view.
+    *
+    * Scale: grams are DISTINCT per group first (bounds the join input
+    * by vocabulary, not token volume), the self-join meets only on
+    * equal grams (shuffle on the gram key — the inherent work), and
+    * the output is |groups|²-bounded. Pairs sharing nothing emit no
+    * row. Output: (group_a, group_b, n_a, n_b, n_shared, jaccard)
+    * with group_a < group_b. */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String,
+      textCol: String, shingleN: Int = 8): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val grams = graft.util.Caches.persistTracked(
+      df.select(col(groupCol).as("group"),
+        explode(Dedup.shingles(col(textCol), shingleN)).as("__g"))
+        .distinct())
+    val sizes = grams.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"))
+    val shared = grams.select(col("group").as("group_a"), col("__g"))
+      .join(grams.select(col("group").as("group_b"), col("__g")), "__g")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("group").as("group_a"),
+        col("n").as("n_a")), "group_a")
+      .join(sizes.select(col("group").as("group_b"),
+        col("n").as("n_b")), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

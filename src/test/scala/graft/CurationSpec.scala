@@ -565,4 +565,28 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 6L, 0.6, 2L, 0.75))
     graft.util.Caches.releaseAll(spark)
   }
+
+  "packedSplitLeakage (X129)" should "flag only sequences mixing splits, with majority-split leak counts" in {
+    import spark.implicits._
+    // L=10, sep=1: doc1 n=7 (off 0, seq0), doc2 n=8 (off 8: seq0 2
+    // toks + seq1 6 toks), doc3 n=3 (off 17: seq1). Splits: doc1,doc3
+    // train; doc2 test -> seq0 mixes (7 train, 2 test -> leak 2),
+    // seq1 mixes (6 test, 3 train -> leak 3).
+    val docs = Seq((1L, 7L), (2L, 8L), (3L, 3L)).toDF("doc_id", "n_toks")
+    val manifest = graft.curate.Curation.contextManifest(docs,
+      "doc_id", "n_toks", contextTokens = 10L, sepTokens = 1L)
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"))
+      .toDF("doc_id", "split")
+    val r = graft.curate.Curation.packedSplitLeakage(manifest, splits)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._1)
+    r shouldBe Array(
+      (0L, 2L, 2L, "test,train", 2L),
+      (1L, 2L, 2L, "test,train", 3L))
+    // a clean split (everything train) flags nothing
+    val clean = Seq((1L, "train"), (2L, "train"), (3L, "train"))
+      .toDF("doc_id", "split")
+    graft.curate.Curation.packedSplitLeakage(manifest, clean)
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
 }

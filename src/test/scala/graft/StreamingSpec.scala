@@ -904,4 +904,36 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/stats")) shouldBe streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "monitor stream-wide key skew identically to the batch report over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sskew").toString
+    val b1 = Seq.fill(6)("a") ++ Seq.fill(2)("b")
+    val b2 = Seq.fill(1)("b") ++ Seq.fill(1)("c")
+    val in = MemoryStream[String]
+    val q = StreamingEvents.keySkewSink(
+      in.toDF().toDF("k"), "k", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("rank"))
+      .as[(Long, String, Long, Double, Double, Long, Long, Double)]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.keySkewView(spark,
+      s"$tmp/stats", k = 3))
+    val batch = rows(graft.dq.Stats.keySkewReport(
+      (b1 ++ b2).map(Tuple1(_)).toDF("k"), col("k"), k = 3))
+    streamed shouldBe batch
+    // hand-check: a=6 of 10 rows over 3 keys -> skew 6/(10/3) = 1.8
+    streamed.head._2 shouldBe "a"
+    streamed.head._8 shouldBe 1.8
+    // replay safety: re-running batch 1 rewrites its partition
+    StreamingEvents.keySkewBatch(b2.map(Tuple1(_)).toDF("k"), 1L, "k",
+      s"$tmp/stats")
+    rows(StreamingEvents.keySkewView(spark, s"$tmp/stats", k = 3)) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -1258,4 +1258,36 @@ class TextSpec extends SparkSpec {
     r((2L, 2L))._2 shouldBe "common"
     graft.util.Caches.releaseAll(spark)
   }
+
+  "distinctNgramReport (X131)" should "count hand-checked totals, distincts and drop short-doc orders" in {
+    import spark.implicits._
+    // src a: "x x x" -> 1-grams 3 total 1 distinct; 2-grams "x x" x2
+    // -> 2 total 1 distinct; 3-grams 1 total 1 distinct
+    // src b: "p q" -> 1-grams 2/2; 2-grams 1/1; NO 3-grams (short doc)
+    val docs = Seq(("a", "x x x"), ("b", "p q")).toDF("source", "text")
+    val r = graft.text.TextStats.distinctNgramReport(docs, "source",
+        "text", Seq(1, 2, 3))
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    r(("a", 1)) shouldBe (("a", 1, 3L, 1L, 1.0 / 3))
+    r(("a", 2)) shouldBe (("a", 2, 2L, 1L, 0.5))
+    r(("a", 3)) shouldBe (("a", 3, 1L, 1L, 1.0))
+    r(("b", 1)) shouldBe (("b", 1, 2L, 2L, 1.0))
+    r.contains(("b", 3)) shouldBe false // no row, not 0/0
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  "sourceOverlapMatrix (X132)" should "compute hand-checked pairwise distinct-gram Jaccard" in {
+    import spark.implicits._
+    // 2-grams: a = {p q, q r}, b = {q r, r s}, c = {z z}
+    // a∩b = {q r} -> jaccard 1/3; c shares nothing -> no rows
+    val docs = Seq(("a", "p q r"), ("b", "q r s"), ("c", "z z"))
+      .toDF("source", "text")
+    val r = graft.text.TextStats.sourceOverlapMatrix(docs, "source",
+        "text", shingleN = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    r.length shouldBe 1
+    r.head shouldBe (("a", "b", 2L, 2L, 1L, 1.0 / 3))
+    graft.util.Caches.releaseAll(spark)
+  }
 }
