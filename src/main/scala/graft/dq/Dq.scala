@@ -511,4 +511,70 @@ object Dq {
       .join(days, Seq("day"), "left_anti")
       .select(col("day").as("missing_day"))
   }
+
+  /** D17: SCHEMA-DRIFT REPORT between two versions of a table — the
+    * first thing to check when a downstream job breaks after an
+    * upstream "harmless" change: per column, whether it was added /
+    * removed / type-changed / kept, the type on each side, and the
+    * NULL-rate on each side with its delta (a column that silently
+    * went 40% NULL drifts without any schema change at all).
+    *
+    * Shape: the column census is driver-side METADATA (schemas are
+    * KB-scale whatever the data volume); null rates are ONE aggregate
+    * pass per side (count + per-column counts, map-side combined).
+    * Exact counts, one division each. Output: one row per column in
+    * either schema — (column, status, type_old, type_new,
+    * null_rate_old, null_rate_new, null_rate_delta), sorted by
+    * column; rates NULL for the absent side. */
+  def schemaDrift(oldDf: DataFrame, curDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    def types(df: DataFrame): Map[String, String] =
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    def nullRates(df: DataFrame): Map[String, Double] = {
+      val cols = df.columns.toSeq
+      val row = df.agg(count(lit(1)).as("__n"),
+        cols.map(c => count(col(c)).as(s"__c_$c")): _*).head()
+      val n = row.getAs[Long]("__n")
+      cols.map(c => c -> (if (n == 0) 0.0
+        else (n - row.getAs[Long](s"__c_$c")).toDouble / n)).toMap
+    }
+    val (to, tc) = (types(oldDf), types(curDf))
+    val (ro, rc) = (nullRates(oldDf), nullRates(curDf))
+    val all = (to.keySet ++ tc.keySet).toSeq.sorted
+    all.map { c =>
+      val status = (to.get(c), tc.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "kept"
+      }
+      (c, status, to.get(c), tc.get(c), ro.get(c), rc.get(c),
+        for { a <- ro.get(c); b <- rc.get(c) } yield b - a)
+    }.toDF("column", "status", "type_old", "type_new",
+      "null_rate_old", "null_rate_new", "null_rate_delta")
+  }
+
+  /** D18: KEY-UNIQUENESS REPORT — "is this really a primary key": one
+    * row with exact row/key counts, how many key values repeat, how
+    * many rows sit in repeated keys, and the worst multiplicity. The
+    * check every SCD2/star load assumes and almost nobody runs; a
+    * single duplicated entity id fans out through every downstream
+    * join. One groupBy + one aggregate (map-side combined); NULL key
+    * components count as a key value (they collide in joins too —
+    * that is the point of surfacing them). */
+  def uniquenessReport(df: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    require(keyCols.nonEmpty, "uniquenessReport: no key columns")
+    val perKey = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    perKey.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+      coalesce(sum(when(col("__n") > 1, col("__n")).otherwise(0L)),
+        lit(0L)).as("n_dup_rows"),
+      coalesce(max(col("__n")), lit(0L)).as("max_multiplicity"))
+      .withColumn("is_unique", col("n_dup_keys") === 0)
+  }
 }

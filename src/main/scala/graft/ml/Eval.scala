@@ -330,4 +330,48 @@ object Eval {
         (col("pred") - col("qhat")).as("lo"),
         (col("pred") + col("qhat")).as("hi"))
   }
+
+  /** F30: PRECISION–RECALL CURVE + AVERAGE PRECISION — the imbalanced-
+    * class companion to F22's ROC (on a 0.1%-positive corpus filter,
+    * ROC AUC can look superb while precision is unusable; the PR view
+    * is what a curation threshold is actually set from). One row per
+    * DISTINCT score (threshold = "keep everything scoring ≥ s"):
+    * cumulative TP/FP via the two-phase prefix sum over (score desc)
+    * groups, precision = TP/(TP+FP), recall = TP/P, plus the
+    * step-interpolated average precision `AP = Σ_s (ΔTP_s/P)·prec_s`
+    * — a PLAIN aggregate over the per-score rows (ΔTP is the group's
+    * own positive count), broadcast onto every row.
+    *
+    * Exactness + scale: counts are exact integers, each ratio one
+    * correctly-rounded division — no rounding needed; no global-order
+    * window at any score cardinality (same discipline as [[rocAuc]]).
+    * Ties share one row (a threshold admits the whole tie group).
+    * Output: (score, n_pos_at, n_at, tp, fp, precision, recall, ap). */
+  def prCurve(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val grouped = df
+      .select(scoreCol.cast("double").as("score"),
+        labelCol.cast("int").as("__y"))
+      .filter(col("score").isNotNull && col("__y").isNotNull)
+      .groupBy(col("score"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos_at"),
+        count(lit(1)).as("n_at"))
+    val (ranked0, totals) =
+      graft.relational.Ranks.prefixSumsWithTotals(grouped,
+        Seq(col("score").desc),
+        Seq("tp" -> col("n_pos_at"), "__cum" -> col("n_at")))
+    val p = totals.head
+    require(p > 0, "prCurve: no positive labels")
+    val ranked = graft.util.Caches.persistTracked(ranked0
+      .withColumn("fp", col("__cum") - col("tp"))
+      .withColumn("precision",
+        col("tp").cast("double") / col("__cum").cast("double"))
+      .withColumn("recall", col("tp").cast("double") / lit(p.toDouble)))
+    val ap = ranked.agg(
+      sum(col("n_pos_at").cast("double") / lit(p.toDouble) *
+        col("precision")).as("ap"))
+    ranked.crossJoin(broadcast(ap))
+      .select(col("score"), col("n_pos_at"), col("n_at"), col("tp"),
+        col("fp"), col("precision"), col("recall"), col("ap"))
+  }
 }

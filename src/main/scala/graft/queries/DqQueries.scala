@@ -46,6 +46,36 @@ object DqQueries {
         .orderBy(col("missing_day"))
     },
 
+    // F30: precision-recall curve + AP over "n_chars predicts English"
+    // — one row per distinct score threshold, exact cumulative counts
+    // via two-phase prefix sums, AP as a plain aggregate.
+    "q_f30_pr_curve" -> { (s, dir) =>
+      graft.ml.Eval.prCurve(t(s, dir, "documents"), col("n_chars"),
+        (col("lang") === "en").cast("int"))
+        .orderBy(col("score").desc)
+    },
+
+    // D17: schema-drift report — orders vs a mutated copy planting all
+    // four statuses plus a NULL-rate drift on a kept column.
+    "q_d17_schema_drift" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val old = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val cur = o.select(col("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_orderstatus"))
+          .as("o_orderstatus"),
+        lit(1L).as("o_flag"))
+      graft.dq.Dq.schemaDrift(old, cur).orderBy(col("column"))
+    },
+
+    // D18: key-uniqueness report — l_orderkey alone is NOT unique in
+    // lineitem (multi-line orders); exact dup-key census.
+    "q_d18_uniqueness" -> { (s, dir) =>
+      graft.dq.Dq.uniquenessReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey"))
+    },
+
     // D5: PSI drift between the first and second half of January's
     // event values — reference-decile bins, exact edges, clipped
     // shares; only ln-bearing outputs rounded.
@@ -289,6 +319,81 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Distinct-score cumulative TP/FP with the same tie-grouping; AP
+    // as the step sum over per-score rows.
+    "q_f30_pr_curve" ->
+      """WITH g AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS score,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos_at,
+        |    CAST(count(*) AS BIGINT) AS n_at
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n_pos_at) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(n_at) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(n_pos_at) AS BIGINT) AS p FROM g),
+        |r AS (
+        |  SELECT c.score, c.n_pos_at, c.n_at, c.tp,
+        |    c.cum - c.tp AS fp,
+        |    CAST(c.tp AS DOUBLE) / CAST(c.cum AS DOUBLE) AS "precision",
+        |    CAST(c.tp AS DOUBLE) / CAST(tot.p AS DOUBLE) AS recall,
+        |    CAST(c.n_pos_at AS DOUBLE) / CAST(tot.p AS DOUBLE)
+        |      * (CAST(c.tp AS DOUBLE) / CAST(c.cum AS DOUBLE)) AS apw
+        |  FROM c, tot),
+        |ap AS (SELECT sum(apw) AS ap FROM r)
+        |SELECT r.score, r.n_pos_at, r.n_at, r.tp, r.fp, r."precision",
+        |  r.recall, ap.ap
+        |FROM r, ap ORDER BY r.score DESC""".stripMargin,
+    // The same column census and null-rate arithmetic, written as one
+    // literal row per column.
+    "q_d17_schema_drift" ->
+      """WITH st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(o_orderkey) AS DOUBLE) AS c_ok,
+        |    CAST(count(o_custkey) AS DOUBLE) AS c_ck,
+        |    CAST(count(o_orderstatus) AS DOUBLE) AS c_os,
+        |    CAST(count(o_totalprice) AS DOUBLE) AS c_tp,
+        |    CAST(count(CASE WHEN o_orderkey % 3 <> 0
+        |      THEN o_orderstatus END) AS DOUBLE) AS c_os_new
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", 'type_changed' AS status,
+        |    'bigint' AS type_old, 'string' AS type_new,
+        |    (n - c_ck) / n AS null_rate_old,
+        |    (n - c_ck) / n AS null_rate_new,
+        |    0.0 AS null_rate_delta
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'o_flag', 'added', NULL, 'bigint',
+        |    NULL, 0.0, NULL FROM st
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'kept', 'bigint', 'bigint',
+        |    (n - c_ok) / n, (n - c_ok) / n, 0.0 FROM st
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'kept', 'string', 'string',
+        |    (n - c_os) / n, (n - c_os_new) / n,
+        |    (n - c_os_new) / n - (n - c_os) / n FROM st
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'removed', 'double', NULL,
+        |    (n - c_tp) / n, NULL, NULL FROM st)
+        |ORDER BY "column"""".stripMargin,
+    // One group + one aggregate; NULL keys count as key values.
+    "q_d18_uniqueness" ->
+      """WITH k AS (
+        |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_keys,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_dup_rows,
+        |  CAST(max(n) AS BIGINT) AS max_multiplicity,
+        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS is_unique
+        |FROM k""".stripMargin,
     // Same rational rank ((10-1)*(n+1)+9) div 10 over the ordered
     // calibration residuals, same fixed IEEE interval arithmetic.
     "q_f29_conformal" ->

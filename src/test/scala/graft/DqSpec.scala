@@ -304,4 +304,46 @@ class DqSpec extends SparkSpec {
     graft.dq.Dq.missingPartitions(dense, col("day")).count() shouldBe 0L
     graft.util.Caches.releaseAll(spark)
   }
+
+  "schemaDrift (D17)" should "classify added/removed/type-changed/kept and measure null-rate drift" in {
+    import spark.implicits._
+    val old = Seq((1L, 10L, Some("a")), (2L, 20L, Some("b")),
+      (3L, 30L, Some("c")), (4L, 40L, Some("d")))
+      .toDF("id", "gone", "s")
+    val cur = Seq((1L, "x", Some("a")), (2L, "y", None),
+      (3L, "z", None), (4L, "w", Some("d")))
+      .toDF("id", "s2", "s")
+      .select(col("id"), col("s"), col("s2").as("added_col"))
+      .withColumn("id", col("id").cast("int")) // type change
+    val r = graft.dq.Dq.schemaDrift(old, cur)
+      .as[(String, String, Option[String], Option[String],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    r("gone")._2 shouldBe "removed"
+    r("gone")._4 shouldBe None
+    r("added_col")._2 shouldBe "added"
+    r("added_col")._5 shouldBe None
+    r("id")._2 shouldBe "type_changed"
+    r("id")._3 shouldBe Some("bigint")
+    r("id")._4 shouldBe Some("int")
+    r("s")._2 shouldBe "kept"
+    r("s")._5 shouldBe Some(0.0)
+    r("s")._6 shouldBe Some(0.5) // 2 of 4 went NULL
+    r("s")._7 shouldBe Some(0.5) // the drift the report exists for
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  "uniquenessReport (D18)" should "census duplicate keys incl. NULL key values" in {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("k")
+    val r = graft.dq.Dq.uniquenessReport(df, Seq("k"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    // keys: 1 (x3), 2 (x1), NULL (x2) -> 3 keys, 2 dup keys, 5 dup rows
+    r shouldBe ((6L, 3L, 2L, 5L, 3L, false))
+    val uniq = Seq(1L, 2L, 3L).toDF("k")
+    graft.dq.Dq.uniquenessReport(uniq, Seq("k"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()._6 shouldBe true
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -304,4 +304,34 @@ class StatsSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  "prCurve (F30)" should "match a hand-computed curve with ties and the step AP" in {
+    import spark.implicits._
+    // scores desc: 0.9 (pos), 0.8 (neg, pos tie group), 0.7 (neg)
+    // rows: (0.9,1), (0.8,1), (0.8,0), (0.7,0)
+    // s=0.9: tp=1 cum=1 -> prec 1, rec 1/2
+    // s=0.8: tp=2 cum=3 -> prec 2/3, rec 1
+    // s=0.7: tp=2 cum=4 -> prec 1/2, rec 1
+    // AP = 1/2*1 + 1/2*(2/3) + 0*(1/2) = 5/6
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0))
+      .toDF("s", "y")
+    val r = graft.ml.Eval.prCurve(df, col("s"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(-_._1)
+    r.map(_._1).toSeq shouldBe Seq(0.9, 0.8, 0.7)
+    r(0)._6 shouldBe 1.0
+    r(0)._7 shouldBe 0.5
+    r(1)._4 shouldBe 2L // tp
+    r(1)._5 shouldBe 1L // fp
+    r(1)._6 shouldBe 2.0 / 3 +- 1e-15
+    r(1)._7 shouldBe 1.0
+    r(2)._6 shouldBe 0.5
+    r.foreach(_._8 shouldBe 5.0 / 6 +- 1e-15)
+    // no positives anywhere: fail loud, not NaN curves
+    intercept[IllegalArgumentException] {
+      graft.ml.Eval.prCurve(df.withColumn("y", lit(0)), col("s"),
+        col("y"))
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }
