@@ -577,4 +577,37 @@ object Dq {
       coalesce(max(col("__n")), lit(0L)).as("max_multiplicity"))
       .withColumn("is_unique", col("n_dup_keys") === 0)
   }
+
+  /** D19: LOAD RECONCILIATION — per-partition row counts of a source
+    * vs its loaded target, with the pass decision in EXACT integer
+    * cross-multiplication: |n_dst − n_src| · den ≤ n_src · num (a
+    * float relative-diff threshold flaps at the boundary; integers
+    * cannot). The "did the load lose a partition" check that catches
+    * both a missing day (n_dst = 0) and a double-load (n_dst = 2×).
+    *
+    * Shape: one count aggregate per side + a keys-sized FULL OUTER
+    * join — absent keys coalesce to 0 on the missing side so a
+    * partition present in only one table is a reported row, never a
+    * dropped one. Output per key: (key, n_src, n_dst, diff,
+    * rel_diff, passed). */
+  def reconcileCounts(src: DataFrame, dst: DataFrame,
+      keyCol: org.apache.spark.sql.Column, tolNum: Int = 0,
+      tolDen: Int = 1): DataFrame = {
+    require(tolDen >= 1 && tolNum >= 0,
+      s"need tolNum >= 0 and tolDen >= 1, got $tolNum/$tolDen")
+    def cnt(df: DataFrame, as: String) =
+      df.select(keyCol.cast("string").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as(as))
+    cnt(src, "__ns").join(cnt(dst, "__nd"), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("__ns"), lit(0L)).as("n_src"),
+        coalesce(col("__nd"), lit(0L)).as("n_dst"))
+      .withColumn("diff", col("n_dst") - col("n_src"))
+      .withColumn("rel_diff",
+        when(col("n_src") > 0,
+          abs(col("diff")).cast("double") / col("n_src").cast("double")))
+      .withColumn("passed",
+        abs(col("diff")) * tolDen <= col("n_src") * tolNum ||
+          col("diff") === 0)
+  }
 }

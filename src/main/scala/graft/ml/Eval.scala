@@ -374,4 +374,46 @@ object Eval {
       .select(col("score"), col("n_pos_at"), col("n_at"), col("tp"),
         col("fp"), col("precision"), col("recall"), col("ap"))
   }
+
+  /** F31: OPERATING-POINT PICKER — turn the F30 curve into the single
+    * threshold a pipeline actually deploys. Two modes:
+    * `maxF1Point` takes the distinct-score row maximizing
+    * F1 = 2PR/(P+R) (tie → higher threshold: prefer precision at
+    * equal F1); `precisionFloorPoint` takes the LOWEST threshold
+    * (highest recall) whose precision still meets `num/den` — the
+    * "keep everything we can while staying ≥ 99% clean" rule, with
+    * the precision test in EXACT integer cross-multiplication
+    * (tp·den ≥ cum·num — no float at the decision boundary).
+    *
+    * Both are one TakeOrdered over the distinct-score curve rows —
+    * never a global sort. `precisionFloorPoint` fails loud when no
+    * threshold meets the floor (deploying nothing is a decision the
+    * caller must see, not an empty frame). Output: one row —
+    * (score, tp, fp, precision, recall, f1). */
+  def maxF1Point(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame =
+    withF1(prCurve(df, scoreCol, labelCol))
+      .orderBy(col("f1").desc, col("score").desc).limit(1)
+
+  /** See [[maxF1Point]]. */
+  def precisionFloorPoint(df: DataFrame,
+      scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      num: Int, den: Int): DataFrame = {
+    require(den >= 1 && num >= 0 && num <= den,
+      s"need 0 <= num <= den, got $num/$den")
+    val ok = withF1(prCurve(df, scoreCol, labelCol))
+      .filter(col("tp") * den >= (col("tp") + col("fp")) * num)
+    val picked = ok.orderBy(col("score")).limit(1)
+    require(picked.count() == 1,
+      s"precisionFloorPoint: no threshold reaches precision $num/$den")
+    picked
+  }
+
+  private def withF1(curve: DataFrame): DataFrame =
+    curve.select(col("score"), col("tp"), col("fp"), col("precision"),
+      col("recall"),
+      when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))).otherwise(0.0).as("f1"))
 }

@@ -76,6 +76,23 @@ object DqQueries {
         Seq("l_orderkey"))
     },
 
+    // F31: deployed operating point — the max-F1 distinct-score row of
+    // the n_chars->English curve (tie -> higher threshold).
+    "q_f31_operating_point" -> { (s, dir) =>
+      graft.ml.Eval.maxF1Point(t(s, dir, "documents"), col("n_chars"),
+        (col("lang") === "en").cast("int"))
+    },
+
+    // D19: load reconciliation per ship-day — the target copy planted
+    // to lose l_orderkey % 97 rows; exact integer tolerance 1/100.
+    "q_d19_reconcile" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.dq.Dq.reconcileCounts(li,
+        li.filter(col("l_orderkey") % 97 =!= 0),
+        to_date(col("l_shipdate")), tolNum = 1, tolDen = 100)
+        .orderBy(col("key"))
+    },
+
     // D5: PSI drift between the first and second half of January's
     // event values — reference-decile bins, exact edges, clipped
     // shares; only ln-bearing outputs rounded.
@@ -381,6 +398,57 @@ object DqQueries {
         |  SELECT 'o_totalprice', 'removed', 'double', NULL,
         |    (n - c_tp) / n, NULL, NULL FROM st)
         |ORDER BY "column"""".stripMargin,
+    // Same curve CTEs as f30 + F1; ties prefer the higher threshold.
+    "q_f31_operating_point" ->
+      """WITH g AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS score,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(count(*) AS BIGINT) AS na
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT score,
+        |    CAST(sum(np) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(na) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS p FROM g),
+        |r AS (
+        |  SELECT c.score, c.tp, c.cum - c.tp AS fp,
+        |    CAST(c.tp AS DOUBLE) / CAST(c.cum AS DOUBLE) AS "precision",
+        |    CAST(c.tp AS DOUBLE) / CAST(tot.p AS DOUBLE) AS recall
+        |  FROM c, tot),
+        |f AS (
+        |  SELECT *, CASE WHEN "precision" + recall > 0
+        |    THEN 2.0 * "precision" * recall / ("precision" + recall)
+        |    ELSE 0.0 END AS f1
+        |  FROM r)
+        |SELECT score, tp, fp, "precision", recall, f1
+        |FROM f ORDER BY f1 DESC, score DESC LIMIT 1""".stripMargin,
+    // Per-day counts both sides, FULL OUTER with zero coalesce, exact
+    // integer tolerance cross-multiplication.
+    "q_d19_reconcile" ->
+      """WITH s AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS key,
+        |    CAST(count(*) AS BIGINT) AS n_src
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS key,
+        |    CAST(count(*) AS BIGINT) AS n_dst
+        |  FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1)
+        |SELECT coalesce(s.key, d.key) AS key,
+        |  coalesce(s.n_src, 0) AS n_src,
+        |  coalesce(d.n_dst, 0) AS n_dst,
+        |  coalesce(d.n_dst, 0) - coalesce(s.n_src, 0) AS diff,
+        |  CASE WHEN coalesce(s.n_src, 0) > 0
+        |    THEN CAST(abs(coalesce(d.n_dst, 0) - coalesce(s.n_src, 0))
+        |      AS DOUBLE) / CAST(s.n_src AS DOUBLE) END AS rel_diff,
+        |  abs(coalesce(d.n_dst, 0) - coalesce(s.n_src, 0)) * 100
+        |      <= coalesce(s.n_src, 0) * 1
+        |    OR coalesce(d.n_dst, 0) = coalesce(s.n_src, 0) AS passed
+        |FROM s FULL OUTER JOIN d ON d.key = s.key
+        |ORDER BY key""".stripMargin,
     // One group + one aggregate; NULL keys count as key values.
     "q_d18_uniqueness" ->
       """WITH k AS (

@@ -1057,6 +1057,54 @@ object StreamingEvents {
       spark.read.parquet(statsDir)
         .groupBy(col("key")).agg(sum(col("n")).as("n")), k)
 
+  /** Streaming NULL-RATE drift monitor (D17 streaming): each
+    * micro-batch persists per-column (n, n_nonnull) counts — a
+    * columns-sized table, mergeable — under `batch_id=N`; the
+    * published view compares the stream-wide null rate per column
+    * against a FROZEN reference rate table (the D5 frozen-yardstick
+    * discipline) and reports the delta. Catches the upstream change
+    * that silently started writing NULLs without any schema change.
+    * Replays overwrite their own batch directory: idempotent. */
+  def nullRateSink(rows: DataFrame, cols: Seq[String], statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cols.nonEmpty, "nullRateSink: no columns")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) nullRateBatch(batch.toDF(), batchId, cols,
+          statsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[nullRateSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def nullRateBatch(batch: DataFrame, batchId: Long,
+      cols: Seq[String], statsDir: String): Unit = {
+    val agg = batch.agg(count(lit(1)).as("__n"),
+      cols.map(c => count(col(c)).as(s"__c_$c")): _*)
+    val rows = cols.map(c => struct(lit(c).as("column"),
+      col("__n").as("n"), col(s"__c_$c").as("n_nonnull")))
+    agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[nullRateSink]] directory: stream-wide
+    * per-column null rates vs the frozen `refRates` (column, ref_rate)
+    * table — (column, n, null_rate, ref_rate, delta). */
+  def nullRateView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, refRates: DataFrame): DataFrame =
+    spark.read.parquet(statsDir)
+      .groupBy(col("column"))
+      .agg(sum(col("n")).as("n"), sum(col("n_nonnull")).as("__nn"))
+      .withColumn("null_rate",
+        (col("n") - col("__nn")).cast("double") / col("n").cast("double"))
+      .join(refRates, Seq("column"), "left")
+      .select(col("column"), col("n"), col("null_rate"), col("ref_rate"),
+        (col("null_rate") - col("ref_rate")).as("delta"))
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

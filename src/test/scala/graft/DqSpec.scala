@@ -346,4 +346,27 @@ class DqSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Boolean)].head()._6 shouldBe true
     graft.util.Caches.releaseAll(spark)
   }
+
+  "reconcileCounts (D19)" should "report both-side partitions with exact integer tolerance" in {
+    import spark.implicits._
+    val src = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("c", 1))
+      .toDF("k", "v")
+    val dst = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2),
+      ("d", 1)).toDF("k", "v")
+    val r = graft.dq.Dq.reconcileCounts(src, dst, col("k"),
+        tolNum = 0, tolDen = 1)
+      .as[(String, Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    r("a") shouldBe (("a", 3L, 3L, 0L, Some(0.0), true))
+    r("b") shouldBe (("b", 1L, 2L, 1L, Some(1.0), false)) // double-load
+    r("c") shouldBe (("c", 1L, 0L, -1L, Some(1.0), false)) // lost
+    r("d") shouldBe (("d", 0L, 1L, 1L, None, false)) // unexpected
+    // 40% tolerance: b's +1 of 1 still fails, a passes
+    val tol = graft.dq.Dq.reconcileCounts(src, dst, col("k"), 2, 5)
+      .as[(String, Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(t => t._1 -> t._6).toMap
+    tol("a") shouldBe true
+    tol("b") shouldBe false
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -334,4 +334,32 @@ class StatsSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  "maxF1Point / precisionFloorPoint (F31)" should "pick hand-computed operating points" in {
+    import spark.implicits._
+    // curve (from the F30 spec): s=0.9 P=1 R=1/2 F1=2/3;
+    // s=0.8 P=2/3 R=1 F1=4/5; s=0.7 P=1/2 R=1 F1=2/3
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0))
+      .toDF("s", "y")
+    val m = graft.ml.Eval.maxF1Point(df, col("s"), col("y"))
+      .as[(Double, Long, Long, Double, Double, Double)].head()
+    m._1 shouldBe 0.8
+    m._6 shouldBe 0.8 +- 1e-15
+    // precision floor 1/1 (100%): only s=0.9 qualifies
+    val p = graft.ml.Eval.precisionFloorPoint(df, col("s"), col("y"),
+        1, 1)
+      .as[(Double, Long, Long, Double, Double, Double)].head()
+    p._1 shouldBe 0.9
+    // floor 3/5 (60%): s=0.8 (P=2/3) qualifies and is the LOWEST such
+    // threshold (max recall)
+    graft.ml.Eval.precisionFloorPoint(df, col("s"), col("y"), 3, 5)
+      .as[(Double, Long, Long, Double, Double, Double)]
+      .head()._1 shouldBe 0.8
+    // unreachable floor fails loud
+    intercept[IllegalArgumentException] {
+      graft.ml.Eval.precisionFloorPoint(
+        Seq((0.9, 0), (0.8, 1)).toDF("s", "y"), col("s"), col("y"), 1, 1)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }

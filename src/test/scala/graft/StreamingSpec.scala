@@ -936,4 +936,35 @@ class StreamingSpec extends SparkSpec {
       streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "track stream-wide null rates against a frozen reference" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snull").toString
+    // reference: a is never null, b is 50% null
+    val ref = Seq(("a", 0.0), ("b", 0.5)).toDF("column", "ref_rate")
+    val b1: Seq[(Option[Long], Option[String])] =
+      Seq((Some(1L), Some("x")), (Some(2L), None))
+    val b2: Seq[(Option[Long], Option[String])] =
+      Seq((Some(3L), None), (None, None))
+    val in = MemoryStream[(Option[Long], Option[String])]
+    val q = StreamingEvents.nullRateSink(
+      in.toDF().toDF("a", "b"), Seq("a", "b"), s"$tmp/stats",
+      s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def view() = StreamingEvents.nullRateView(spark, s"$tmp/stats", ref)
+      .orderBy(col("column"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val got = view()
+    // union: 4 rows; a null 1/4, b null 3/4
+    got shouldBe Seq(("a", 4L, 0.25, 0.0, 0.25),
+      ("b", 4L, 0.75, 0.5, 0.25))
+    // replay safety: re-running batch 1 rewrites its partition
+    StreamingEvents.nullRateBatch(b2.toDF("a", "b"), 1L, Seq("a", "b"),
+      s"$tmp/stats")
+    view() shouldBe got
+    graft.util.Caches.releaseAll(spark)
+  }
 }
