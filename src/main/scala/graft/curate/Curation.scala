@@ -735,4 +735,35 @@ object Curation {
         (sum(col("__nt")) - max(col("__nt"))).as("leaked_tokens"))
       .filter(col("n_splits") > 1)
   }
+
+  /** X134: IMPORTANCE-WEIGHT DIAGNOSTICS — the health check run before
+    * trusting any weighted sample (DSIR keeps, mixture factors, X87
+    * priorities): `ESS = (Σw)²/Σw²` (Kong 1992, public knowledge) — the
+    * effective number of rows the weighting actually uses — plus the
+    * ESS ratio and the single heaviest weight's share. An ESS ratio
+    * near 0 means a handful of rows dominate and the "weighted corpus"
+    * is really a tiny corpus; max_w_share ≈ 1 means ONE row is the
+    * corpus. One aggregate pass, exact moment sums in doubles over the
+    * given weights, fixed IEEE expression tree. Negative weights fail
+    * loud (ESS is defined for nonnegative importance weights).
+    * Output: one row — (n, sum_w, ess, ess_ratio, max_w_share). */
+  def importanceDiagnostics(df: DataFrame, weightCol: Column)
+      : DataFrame = {
+    val w = weightCol.cast("double")
+    val agg = df.filter(w.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(w).as("__sw"),
+        sum(w * w).as("__sww"), max(w).as("__mx"),
+        min(w).as("__mn"))
+    val row = agg.head()
+    require(row.getLong(0) == 0 || row.getDouble(4) >= 0,
+      s"importanceDiagnostics: negative weight ${row.getDouble(4)}")
+    agg.select(col("n"), col("__sw").as("sum_w"),
+      when(col("__sww") > 0, col("__sw") * col("__sw") / col("__sww"))
+        .as("ess"),
+      when(col("__sww") > 0 && col("n") > 0,
+        col("__sw") * col("__sw") / col("__sww") /
+          col("n").cast("double")).as("ess_ratio"),
+      when(col("__sw") > 0, col("__mx") / col("__sw"))
+        .as("max_w_share"))
+  }
 }

@@ -385,4 +385,52 @@ object Resample {
       .select(daily(key), col("day"), round(col("__x"), 2).as("value"),
         (col("__num") / col("__den")).as("ewma"))
   }
+  /** E28: SEASONAL-NAIVE FORECAST BAND — the monitoring baseline that
+    * respects the weekly rhythm: each (entity, day)'s expected value is
+    * the mean of the SAME WEEKDAY's values over the trailing
+    * `trailingWeeks` weeks (the seasonal-naive forecast, public
+    * knowledge — the baseline every fancier forecaster must beat), and
+    * a day is anomalous when its residual leaves the entity's robust
+    * MAD band (D12 composed over residuals). Catches "this Monday is
+    * wrong" where a plain trailing mean is blinded by the weekend dip.
+    *
+    * Exactness: daily sums and the trailing same-weekday sum are
+    * DECIMAL (exact, order-immune); the forecast is one double
+    * division of exact operands; the MAD band reuses the D12
+    * integer-rank medians. Days with no prior same-weekday history
+    * keep a NULL forecast and are excluded from scoring. Shape: one
+    * (entity, day) aggregate + one (entity, weekday)-keyed window +
+    * the D12 rank windows — all entity-keyed, no global sorts.
+    * Output: (key, day, value, forecast, residual, med, mad,
+    * is_anomaly). */
+  def seasonalNaiveAnomaly(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, trailingWeeks: Int = 4, k: Double = 3.0)
+      : DataFrame = {
+    require(trailingWeeks >= 1,
+      s"trailingWeeks must be >= 1, got $trailingWeeks")
+    val daily = df.groupBy(col(key), to_date(ts).as("day"))
+      .agg(sum(valueCol.cast("decimal(18,2)")).as("__x"))
+    val w = Window.partitionBy(col(key), dayofweek(col("day")))
+      .orderBy(col("day")).rowsBetween(-trailingWeeks, -1)
+    val scored = daily
+      .withColumn("__fs", sum(col("__x")).over(w))
+      .withColumn("__fn", count(col("__x")).over(w))
+      .withColumn("forecast",
+        when(col("__fn") > 0,
+          col("__fs").cast("double") / col("__fn").cast("double")))
+      .withColumn("residual",
+        col("__x").cast("double") - col("forecast"))
+    val flagged = graft.dq.Stats.madOutliers(
+      scored.filter(col("residual").isNotNull), key, col("residual"),
+      col("day"), k)
+      .select(col(key).as("__k"), col("id").as("__d"), col("med"),
+        col("mad"), col("is_outlier"))
+    scored.join(flagged,
+        scored(key) === col("__k") && col("day") === col("__d"), "left")
+      .select(scored(key), col("day"),
+        col("__x").cast("double").as("value"), col("forecast"),
+        col("residual"), col("med"), col("mad"),
+        col("is_outlier").as("is_anomaly"))
+  }
+
 }

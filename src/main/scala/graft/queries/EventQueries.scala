@@ -174,6 +174,17 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E28: seasonal-naive forecast band — same-weekday trailing-4-week
+    // mean as the expected value, D12 MAD band over residuals; the
+    // weekly-rhythm-aware volume monitor.
+    "q_e28_seasonal_band" -> { (s, dir) =>
+      graft.events.Resample.seasonalNaiveAnomaly(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"), trailingWeeks = 4, k = 3.0)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // E20: autocorrelation of daily purchase value per user at
     // calendar lags 1..7 — decimal-exact pair/series moments, fixed
     // IEEE ratio, flat series NULL.
@@ -774,6 +785,57 @@ object EventQueries {
         |    / 1000000.0 AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
+    // Same DECIMAL daily sums, same same-weekday trailing window
+    // (exact DECIMAL sum / BIGINT count -> one double division), same
+    // D12 integer-rank median/MAD over residuals.
+    "q_e28_seasonal_band" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *, sum(x) OVER w AS fs, count(x) OVER w AS fn
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id, dayofweek(d) ORDER BY d
+        |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+        |sc AS (
+        |  SELECT user_id, d, x,
+        |    CASE WHEN fn > 0 THEN CAST(fs AS DOUBLE) / fn END
+        |      AS forecast,
+        |    CAST(x AS DOUBLE)
+        |      - CASE WHEN fn > 0 THEN CAST(fs AS DOUBLE) / fn END
+        |      AS residual
+        |  FROM f),
+        |r AS (SELECT user_id, d, residual FROM sc
+        |      WHERE residual IS NOT NULL),
+        |m1 AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY residual, d) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM r),
+        |med AS (SELECT user_id AS g, residual AS med FROM m1
+        |        WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT r.user_id, r.d, r.residual, m.med,
+        |    abs(r.residual - m.med) AS dv
+        |  FROM r JOIN med m ON m.g = r.user_id),
+        |m2 AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY dv, d) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM dev),
+        |mad AS (SELECT user_id AS g, dv AS mad FROM m2
+        |        WHERE rn = (n + 1) // 2),
+        |fl AS (
+        |  SELECT dev.user_id, dev.d, dev.med, mad.mad,
+        |    CAST(dev.dv > 3.0 * mad.mad AS INTEGER) AS is_anomaly
+        |  FROM dev JOIN mad ON mad.g = dev.user_id)
+        |SELECT sc.user_id, strftime(sc.d, '%Y-%m-%d') AS day,
+        |  CAST(sc.x AS DOUBLE) AS value, sc.forecast, sc.residual,
+        |  fl.med, fl.mad, fl.is_anomaly
+        |FROM sc LEFT JOIN fl ON fl.user_id = sc.user_id
+        |  AND fl.d = sc.d
+        |ORDER BY sc.user_id, day""".stripMargin,
     // Same DECIMAL daily/cumulative/total sums (exact, order-immune)
     // and the same `C_t - t*(S/n)` double expression over them +
     // round-6 argmax. No float accumulation anywhere.

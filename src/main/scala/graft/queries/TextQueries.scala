@@ -1073,6 +1073,30 @@ object TextQueries {
         .orderBy(col("group_a"), col("group_b"))
     },
 
+    // X133: corpus data card — the headline (metric, value) table a
+    // training run publishes; exact counts, single divisions.
+    "q_x133_data_card" -> { (s, dir) =>
+      graft.text.TextStats.dataCard(t(s, dir, "documents"), "doc_id",
+        "text", "source", "lang")
+        .orderBy(col("metric"))
+    },
+
+    // X134: importance-weight ESS diagnostics over the X87 sampling
+    // weights (n_chars) — how many documents the weighting actually
+    // uses.
+    "q_x134_importance_ess" -> { (s, dir) =>
+      graft.curate.Curation.importanceDiagnostics(
+        t(s, dir, "documents"), col("n_chars"))
+    },
+
+    // X135: tokenizer fertility per language — BPE-per-word and
+    // chars-per-BPE exact corpus ratios.
+    "q_x135_fertility" -> { (s, dir) =>
+      graft.text.TextStats.tokenizerFertility(t(s, dir, "documents"),
+        "lang", "text")
+        .orderBy(col("lang"))
+    },
+
     // X78: line-level quality signals — every third doc gets planted
     // lines exercising each rule (bullet, short, terminal-punctuation,
     // exact-duplicate line); fractions oracle-checked as raw doubles
@@ -3362,6 +3386,66 @@ object TextQueries {
         |  CAST(d AS BIGINT) AS distinct_ngrams,
         |  CAST(d AS DOUBLE) / CAST(t AS DOUBLE) AS distinct_ratio
         |FROM pern ORDER BY "group", n""".stripMargin,
+    // Same two exact aggregate passes (corpus stats + md5 dup census).
+    "q_x133_data_card" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |    CAST(sum(coalesce(len(regexp_split_to_array(lower(text),
+        |      '\s+')), 0)) AS DOUBLE) AS total_tokens,
+        |    CAST(sum(length(text)) AS DOUBLE) AS total_chars
+        |  FROM documents),
+        |dup AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END),
+        |      0) AS DOUBLE) AS dup_docs,
+        |    CAST(coalesce(sum(c), 0) AS DOUBLE) AS nn
+        |  FROM (SELECT md5(text) AS h, count(*) AS c
+        |        FROM documents GROUP BY 1))
+        |SELECT * FROM (
+        |  SELECT 'exact_dup_docs' AS metric, dup_docs AS value
+        |    FROM dup
+        |  UNION ALL SELECT 'exact_dup_rate', dup_docs / nn FROM dup
+        |  UNION ALL SELECT 'n_docs', n_docs FROM base
+        |  UNION ALL SELECT 'n_langs', n_langs FROM base
+        |  UNION ALL SELECT 'n_sources', n_sources FROM base
+        |  UNION ALL SELECT 'total_chars', total_chars FROM base
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM base)
+        |ORDER BY metric""".stripMargin,
+    // One aggregate pass; the same Kong-ESS expression tree.
+    "q_x134_importance_ess" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(n_chars AS DOUBLE)) AS sum_w,
+        |  sum(CAST(n_chars AS DOUBLE)) * sum(CAST(n_chars AS DOUBLE))
+        |    / sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+        |    AS ess,
+        |  sum(CAST(n_chars AS DOUBLE)) * sum(CAST(n_chars AS DOUBLE))
+        |    / sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+        |    / CAST(count(*) AS DOUBLE) AS ess_ratio,
+        |  max(CAST(n_chars AS DOUBLE)) / sum(CAST(n_chars AS DOUBLE))
+        |    AS max_w_share
+        |FROM documents WHERE n_chars IS NOT NULL""".stripMargin,
+    // Same X5 token counters, exact corpus sums, one division each.
+    "q_x135_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(text), '\s+')))
+        |    AS BIGINT) AS words,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CASE WHEN sum(len(regexp_split_to_array(lower(text),
+        |      '\s+'))) > 0
+        |    THEN CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |      / CAST(sum(len(regexp_split_to_array(lower(text),
+        |        '\s+'))) AS DOUBLE) END AS bpe_per_word,
+        |  CASE WHEN sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) > 0
+        |    THEN CAST(sum(length(text)) AS DOUBLE)
+        |      / CAST(sum(len(regexp_extract_all(lower(text),
+        |        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |    END AS chars_per_bpe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Distinct 5-grams per source, self-joined on the gram; Jaccard
     // over distinct-gram set sizes.
     "q_x132_source_overlap" ->

@@ -1108,4 +1108,64 @@ object TextStats {
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
           .as("jaccard"))
   }
+
+  /** X133: CORPUS DATA CARD — the one-table headline summary a
+    * training run publishes alongside its weights (the "datasheet"
+    * practice, Gebru et al. 2018, public knowledge): document /
+    * source / language counts, token and char volume, and the exact
+    * duplicate incidence, as (metric, value) rows. Every number is a
+    * plain exact aggregate — two passes (corpus stats + the md5 dup
+    * census), both map-side combined; rates are single divisions.
+    * Output: (metric, value) sorted by metric. */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      count_distinct(col(sourceCol)).cast("double").as("n_sources"),
+      count_distinct(col(langCol)).cast("double").as("n_langs"),
+      sum(coalesce(size(Dedup.words(col(textCol))), lit(0)))
+        .cast("double").as("total_tokens"),
+      sum(length(col(textCol))).cast("double").as("total_chars"))
+    val dup = df.select(md5(col(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)),
+        lit(0L)).cast("double").as("dup_docs"),
+        coalesce(sum(col("__c")), lit(0L)).cast("double").as("__n"))
+    val joined = base.crossJoin(broadcast(dup))
+    val metrics = Seq("n_docs" -> col("n_docs"),
+      "n_sources" -> col("n_sources"), "n_langs" -> col("n_langs"),
+      "total_tokens" -> col("total_tokens"),
+      "total_chars" -> col("total_chars"),
+      "exact_dup_docs" -> col("dup_docs"),
+      "exact_dup_rate" -> col("dup_docs") / col("__n"))
+    joined.select(explode(array(metrics.map { case (name, c) =>
+      struct(lit(name).as("metric"), c.as("value")) }: _*)).as("__m"))
+      .select(col("__m.*"))
+  }
+
+  /** X135: TOKENIZER FERTILITY REPORT per language — the
+    * chars-per-token and subword-per-word ratios a tokenizer budget is
+    * planned from (a high-fertility language pays more context per
+    * sentence): exact corpus sums of whitespace words, BPE-ish regex
+    * tokens (the X5 counter) and characters, with one exact division
+    * per ratio. One aggregate; languages with zero words emit NULL
+    * ratios. Output: (lang, n_docs, words, bpe_tokens, chars,
+    * bpe_per_word, chars_per_bpe). */
+  def tokenizerFertility(df: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val (nTok, nBpe) = tokenCounts(col(textCol))
+    df.select(col(langCol).as("lang"), nTok.as("__w"), nBpe.as("__b"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("words"),
+        sum(col("__b")).as("bpe_tokens"), sum(col("__c")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("bpe_tokens"), col("chars"),
+        when(col("words") > 0, col("bpe_tokens").cast("double") /
+          col("words").cast("double")).as("bpe_per_word"),
+        when(col("bpe_tokens") > 0, col("chars").cast("double") /
+          col("bpe_tokens").cast("double")).as("chars_per_bpe"))
+  }
 }

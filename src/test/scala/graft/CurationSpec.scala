@@ -589,4 +589,29 @@ class CurationSpec extends SparkSpec {
       .count() shouldBe 0L
     graft.util.Caches.releaseAll(spark)
   }
+
+  "importanceDiagnostics (X134)" should "compute hand-checked ESS and fail loud on negatives" in {
+    import spark.implicits._
+    // equal weights: ESS = n (ratio 1)
+    val eq = Seq(2.0, 2.0, 2.0, 2.0).toDF("w")
+    val r1 = graft.curate.Curation.importanceDiagnostics(eq, col("w"))
+      .as[(Long, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    r1._1 shouldBe 4L
+    r1._3.get shouldBe 4.0 +- 1e-12
+    r1._4.get shouldBe 1.0 +- 1e-12
+    r1._5.get shouldBe 0.25 +- 1e-12
+    // one dominant weight: {9, 1, 1, 1} -> ESS = 144/84
+    val skew = Seq(9.0, 1.0, 1.0, 1.0).toDF("w")
+    val r2 = graft.curate.Curation.importanceDiagnostics(skew, col("w"))
+      .as[(Long, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    r2._3.get shouldBe 144.0 / 84.0 +- 1e-12
+    r2._5.get shouldBe 0.75
+    intercept[IllegalArgumentException] {
+      graft.curate.Curation.importanceDiagnostics(
+        Seq(1.0, -0.5).toDF("w"), col("w"))
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }

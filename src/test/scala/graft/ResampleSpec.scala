@@ -236,4 +236,37 @@ class ResampleSpec extends SparkSpec {
       n shouldBe span + 1L  // no holes: first..last inclusive
     }
   }
+
+  "seasonalNaiveAnomaly (E28)" should "forecast the same-weekday trailing mean and flag the planted spike" in {
+    import spark.implicits._
+    // user 1: five consecutive Mondays at 10.0, the sixth at 100.0 —
+    // the sixth's forecast is the prior-4 mean 10.0, residual 90 (the
+    // only big residual -> MAD flags it); plus interleaved Tuesdays at
+    // 5.0 that must NOT pollute Monday's forecast.
+    def onDay(base: String, plusDays: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse(base).plusDays(plusDays)
+        .atTime(9, 0, 0))
+    val mondays = (0 to 5).map(i =>
+      (1L, onDay("2024-01-01", 7 * i), if (i == 5) 100.0 else 10.0))
+    val tuesdays = (0 to 5).map(i =>
+      (1L, onDay("2024-01-02", 7 * i), 5.0))
+    val ev = (mondays ++ tuesdays).toDF("user_id", "ts", "value")
+    val r = graft.events.Resample.seasonalNaiveAnomaly(ev, "user_id",
+        col("ts"), col("value"), trailingWeeks = 4, k = 3.0)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .as[(Long, String, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Int])]
+      .collect().map(t => t._2 -> t).toMap
+    r("2024-01-01")._4 shouldBe None // first Monday: no history
+    r("2024-01-08")._4 shouldBe Some(10.0) // one prior Monday
+    r("2024-01-29")._4 shouldBe Some(10.0)
+    val spike = r("2024-02-05")
+    spike._3 shouldBe 100.0
+    spike._4 shouldBe Some(10.0) // trailing-4 Monday mean, Tuesdays out
+    spike._5 shouldBe Some(90.0)
+    spike._8 shouldBe Some(1) // flagged
+    // the in-rhythm days are not flagged
+    r("2024-01-29")._8 shouldBe Some(0)
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -1290,4 +1290,36 @@ class TextSpec extends SparkSpec {
     r.head shouldBe (("a", "b", 2L, 2L, 1L, 1.0 / 3))
     graft.util.Caches.releaseAll(spark)
   }
+
+  "dataCard (X133)" should "publish hand-checked headline metrics" in {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s1", "en"), (2L, "a b c", "s1", "de"),
+      (3L, "x y", "s2", "en")).toDF("doc_id", "text", "source", "lang")
+    val m = graft.text.TextStats.dataCard(docs, "doc_id", "text",
+        "source", "lang")
+      .as[(String, Double)].collect().toMap
+    m("n_docs") shouldBe 3.0
+    m("n_sources") shouldBe 2.0
+    m("n_langs") shouldBe 2.0
+    m("total_tokens") shouldBe 8.0
+    m("total_chars") shouldBe 13.0
+    m("exact_dup_docs") shouldBe 2.0 // the two identical texts
+    m("exact_dup_rate") shouldBe 2.0 / 3 +- 1e-15
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  "tokenizerFertility (X135)" should "compute exact per-language ratios" in {
+    import spark.implicits._
+    // en: "ab cd" -> 2 words, 2 bpe tokens, 5 chars
+    // de: "a-b" -> 1 word, 3 bpe tokens (a, -, b), 3 chars
+    val docs = Seq(("en", "ab cd"), ("de", "a-b")).toDF("lang", "text")
+    val r = graft.text.TextStats.tokenizerFertility(docs, "lang",
+        "text")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double])].collect().map(t => t._1 -> t).toMap
+    r("en") shouldBe (("en", 1L, 2L, 2L, 5L, Some(1.0), Some(2.5)))
+    r("de")._4 shouldBe 3L
+    r("de")._6 shouldBe Some(3.0)
+    graft.util.Caches.releaseAll(spark)
+  }
 }
