@@ -610,4 +610,30 @@ object Dq {
         abs(col("diff")) * tolDen <= col("n_src") * tolNum ||
           col("diff") === 0)
   }
+
+  /** D20: FRESHNESS REPORT — per-group staleness of a timestamped
+    * feed against an explicit `asOf` instant (PASSED IN, never
+    * `now()` — reruns must reproduce): latest event time, hours since,
+    * and the stale flag at `maxLagHours`. The "which sources stopped
+    * writing" dashboard; one aggregate, exact epoch-second integer
+    * arithmetic. Output: (group, n_rows, latest_ts, lag_hours,
+    * is_stale). */
+  def freshnessReport(df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column, asOf: String,
+      maxLagHours: Long): DataFrame = {
+    require(maxLagHours >= 0, s"maxLagHours must be >= 0, got $maxLagHours")
+    // Exact epoch-MICROsecond arithmetic (timestamps carry micros;
+    // second truncation mis-floors boundary rows). `(d - pmod(d,u))/u`
+    // is exact integer FLOOR division — floor, not truncate-toward-
+    // zero, so future-dated rows get a negative lag, not 0.
+    val us = lit(3600000000L) // micros per hour
+    val diff = unix_micros(lit(asOf).cast("timestamp")) -
+      unix_micros(col("latest_ts"))
+    df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n_rows"), max(tsCol).as("latest_ts"))
+      .withColumn("lag_hours",
+        ((diff - pmod(diff, us)) / us).cast("long"))
+      .withColumn("is_stale", col("lag_hours") > maxLagHours)
+  }
 }

@@ -444,4 +444,40 @@ object EventFeatures {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .drop("__rr", "__fr", "__mr")
   }
+  /** E29: INTER-EVENT BURSTINESS per entity — the Goh–Barabási
+    * burstiness parameter `B = (σ − μ)/(σ + μ)` over the entity's
+    * inter-event gaps (B → −1 periodic, 0 Poisson, → +1 bursty), plus
+    * the coefficient of variation — which behavioral regime an
+    * entity's cadence is in, read before trusting any mean-gap
+    * feature. Gaps are exact BIGINT epoch-second deltas; σ from the
+    * population moment identity over exact integer sums
+    * (Σg, Σg², n), one sqrt (correctly rounded) — a fixed IEEE tree.
+    * Entities with < 2 gaps emit NULL B (σ undefined at n = 1 is a
+    * convention: population σ of one gap is 0, B = −1; requiring two
+    * keeps the report honest). Output: (key, n_gaps, mean_gap_s,
+    * cv, burstiness). */
+  def burstiness(events: DataFrame, attribute: String,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = Window.partitionBy(col(c.entity)).orderBy(col(c.ts), col(c.id))
+    events.filter(col(c.eventType) === attribute)
+      .withColumn("__gap",
+        unix_timestamp(col(c.ts)) - unix_timestamp(lag(col(c.ts), 1).over(w)))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(c.entity))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__sg"),
+        sum(col("__gap") * col("__gap")).as("__sgg"))
+      .withColumn("__mu",
+        col("__sg").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("__sigma",
+        sqrt(col("__sgg").cast("double") / col("n_gaps").cast("double") -
+          col("__mu") * col("__mu")))
+      .select(col(c.entity), col("n_gaps"),
+        col("__mu").as("mean_gap_s"),
+        when(col("n_gaps") >= 2 && col("__mu") > 0,
+          col("__sigma") / col("__mu")).as("cv"),
+        when(col("n_gaps") >= 2 && col("__sigma") + col("__mu") > 0,
+          (col("__sigma") - col("__mu")) / (col("__sigma") + col("__mu")))
+          .as("burstiness"))
+  }
+
 }

@@ -416,4 +416,39 @@ object Eval {
       when(col("precision") + col("recall") > 0,
         lit(2.0) * col("precision") * col("recall") /
           (col("precision") + col("recall"))).otherwise(0.0).as("f1"))
+
+  /** F32: REGRESSION METRICS SUITE — the numeric-label counterpart of
+    * the classification tier: MAE, RMSE, R² (1 − SSE/SST over the
+    * label mean) and a GUARDED MAPE (rows with label 0 are excluded
+    * from the MAPE mean and counted, instead of dividing by zero —
+    * the standard footgun). One aggregate pass; every metric is a
+    * fixed IEEE expression over plain sums; sqrt is correctly
+    * rounded. R² NULL on a constant label (SST = 0). Output: one row
+    * — (n, mae, rmse, r2, mape, n_mape_excluded). */
+  def regressionMetrics(df: DataFrame,
+      predCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(predCol.cast("double").as("__p"),
+        labelCol.cast("double").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    base.agg(
+      count(lit(1)).as("n"),
+      sum(abs(col("__p") - col("__y"))).as("__sae"),
+      sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .as("__sse"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(when(col("__y") =!= 0,
+        abs((col("__p") - col("__y")) / col("__y")))).as("__sape"),
+      sum(when(col("__y") =!= 0, 1L).otherwise(0L)).as("__nm"))
+      .select(col("n"),
+        (col("__sae") / col("n")).as("mae"),
+        sqrt(col("__sse") / col("n")).as("rmse"),
+        when(col("__syy") - col("__sy") * col("__sy") / col("n") > 0,
+          lit(1.0) - col("__sse") /
+            (col("__syy") - col("__sy") * col("__sy") / col("n")))
+          .as("r2"),
+        when(col("__nm") > 0, col("__sape") / col("__nm")).as("mape"),
+        (col("n") - col("__nm")).as("n_mape_excluded"))
+  }
 }

@@ -76,6 +76,27 @@ object DqQueries {
         Seq("l_orderkey"))
     },
 
+    // F32: regression metrics — the 6-chars-per-token proxy model
+    // scored against n_chars: MAE/RMSE/R²/guarded MAPE in one pass.
+    "q_f32_regression_metrics" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("__pred",
+          size(split(col("text"), "\\s+")).cast("double") * 6.0)
+      graft.ml.Eval.regressionMetrics(docs, col("__pred"),
+        col("n_chars"))
+    },
+
+    // D20: freshness report per event type at an explicit as-of —
+    // exact integer lag hours, stale beyond 36h.
+    "q_d20_freshness" -> { (s, dir) =>
+      graft.dq.Dq.freshnessReport(t(s, dir, "events"),
+        col("event_type"), col("ts"), "2024-02-01 00:00:00",
+        maxLagHours = 36)
+        .withColumn("latest_ts",
+          date_format(col("latest_ts"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("group"))
+    },
+
     // F31: deployed operating point — the max-F1 distinct-score row of
     // the n_chars->English curve (tie -> higher threshold).
     "q_f31_operating_point" -> { (s, dir) =>
@@ -398,6 +419,38 @@ object DqQueries {
         |  SELECT 'o_totalprice', 'removed', 'double', NULL,
         |    (n - c_tp) / n, NULL, NULL FROM st)
         |ORDER BY "column"""".stripMargin,
+    // Same plain sums, same fixed IEEE metric tree; MAPE excludes
+    // zero labels and counts them.
+    "q_f32_regression_metrics" ->
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_split_to_array(text, '\s+'))
+        |      AS DOUBLE) * 6.0 AS p,
+        |    CAST(n_chars AS DOUBLE) AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(abs(p - y)) / count(*) AS mae,
+        |  sqrt(sum((p - y) * (p - y)) / count(*)) AS rmse,
+        |  CASE WHEN sum(y * y) - sum(y) * sum(y) / count(*) > 0
+        |    THEN 1.0 - sum((p - y) * (p - y))
+        |      / (sum(y * y) - sum(y) * sum(y) / count(*)) END AS r2,
+        |  CASE WHEN sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) > 0
+        |    THEN sum(CASE WHEN y <> 0 THEN abs((p - y) / y) END)
+        |      / sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) END AS mape,
+        |  CAST(count(*) - sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mape_excluded
+        |FROM d""".stripMargin,
+    // One aggregate; exact epoch-MICROsecond BIGINT lag (epoch() is a
+    // fractional DOUBLE and double// does not floor), integer // hours.
+    "q_d20_freshness" ->
+      """SELECT event_type AS "group",
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+        |  CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+        |    - epoch_us(max(ts))) // 3600000000 AS BIGINT) AS lag_hours,
+        |  (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(max(ts)))
+        |    // 3600000000 > 36 AS is_stale
+        |FROM events GROUP BY event_type ORDER BY "group"""".stripMargin,
     // Same curve CTEs as f30 + F1; ties prefer the higher threshold.
     "q_f31_operating_point" ->
       """WITH g AS (

@@ -174,6 +174,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E29: Goh–Barabási burstiness of inter-purchase gaps — exact
+    // integer moment sums, one sqrt; <2 gaps -> NULL B.
+    "q_e29_burstiness" -> { (s, dir) =>
+      graft.events.EventFeatures.burstiness(t(s, dir, "events"),
+        "purchase")
+        .orderBy(col("user_id"))
+    },
+
     // E28: seasonal-naive forecast band — same-weekday trailing-4-week
     // mean as the expected value, D12 MAD band over residuals; the
     // weekly-rhythm-aware volume monitor.
@@ -785,6 +793,31 @@ object EventQueries {
         |    / 1000000.0 AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
+    // Same (ts, id)-ordered gaps in truncated epoch seconds, same
+    // exact moment identity and IEEE B ratio.
+    "q_e29_burstiness" ->
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    date_diff('second', lag(ts) OVER w, ts) AS g
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sgg
+        |  FROM gaps WHERE g IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT *, CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |      AS sigma
+        |  FROM agg)
+        |SELECT user_id, n_gaps, mu AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 2 AND mu > 0 THEN sigma / mu END AS cv,
+        |  CASE WHEN n_gaps >= 2 AND sigma + mu > 0
+        |    THEN (sigma - mu) / (sigma + mu) END AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin,
     // Same DECIMAL daily sums, same same-weekday trailing window
     // (exact DECIMAL sum / BIGINT count -> one double division), same
     // D12 integer-rank median/MAD over residuals.

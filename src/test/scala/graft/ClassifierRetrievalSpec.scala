@@ -486,4 +486,47 @@ class ClassifierRetrievalSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Eval.regressionMetrics (F32)"
+
+  it should "match hand-computed MAE/RMSE/R2 and guard the MAPE zero labels" in {
+    import spark.implicits._
+    // (pred, label): errors 0,-1,1,4 -> mae 1.5, rmse sqrt(4.5);
+    // sst = 14 - 36/4 = 5 -> r2 = 1 - 18/5 = -2.6;
+    // mape over y!=0: (0 + 1/3 + 1/2)/3, one excluded zero label
+    val df = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 0.0))
+      .toDF("p", "y")
+    val r = graft.ml.Eval.regressionMetrics(df, col("p"), col("y"))
+      .as[(Long, Double, Double, Option[Double], Option[Double], Long)]
+      .head()
+    r._1 shouldBe 4L
+    r._2 shouldBe 1.5
+    r._3 shouldBe math.sqrt(4.5) +- 1e-15
+    r._4.get shouldBe -2.6 +- 1e-12
+    r._5.get shouldBe (0.0 + 1.0 / 3 + 0.5) / 3 +- 1e-15
+    r._6 shouldBe 1L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "NULL r2 on a constant label and mape when every label is zero" in {
+    import spark.implicits._
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("p", "y")
+    val rc = graft.ml.Eval.regressionMetrics(const, col("p"), col("y"))
+      .as[(Long, Double, Double, Option[Double], Option[Double], Long)]
+      .head()
+    rc._4 shouldBe None // SST = 0
+    val zeros = Seq((1.0, 0.0), (2.0, 0.0)).toDF("p", "y")
+    val rz = graft.ml.Eval.regressionMetrics(zeros, col("p"), col("y"))
+      .as[(Long, Double, Double, Option[Double], Option[Double], Long)]
+      .head()
+    rz._5 shouldBe None
+    rz._6 shouldBe 2L
+    // null rows are dropped before every metric, not zero-filled
+    val withNull = Seq((Some(1.0), Some(1.0)), (None, Some(9.0)),
+      (Some(9.0), None)).toDF("p", "y")
+    graft.ml.Eval.regressionMetrics(withNull, col("p"), col("y"))
+      .select(col("n"), col("mae")).as[(Long, Double)]
+      .head() shouldBe ((1L, 0.0))
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -369,4 +369,30 @@ class DqSpec extends SparkSpec {
     tol("b") shouldBe false
     graft.util.Caches.releaseAll(spark)
   }
+
+  "freshnessReport (D20)" should "compute exact floor-hour lags and the stale flag" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 12:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("b", ts("2024-01-02 11:30:01")),
+      ("c", ts("2024-01-02 12:30:00"))) // exactly as-of -> lag 0
+      .toDF("g", "ts")
+    val r = graft.dq.Dq.freshnessReport(df, col("g"), col("ts"),
+        "2024-01-02 12:30:00", maxLagHours = 24)
+      .as[(String, Long, java.sql.Timestamp, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    // a: 24.5h since latest -> floor 24, NOT stale at >24
+    r("a") shouldBe (("a", 2L, ts("2024-01-01 12:00:00"), 24L, false))
+    // 0h59m59s -> floor 0
+    r("b")._4 shouldBe 0L
+    r("b")._5 shouldBe false
+    r("c")._4 shouldBe 0L
+    // tighter threshold flips a to stale
+    graft.dq.Dq.freshnessReport(df, col("g"), col("ts"),
+        "2024-01-02 12:30:00", maxLagHours = 23)
+      .filter(col("group") === "a").select(col("is_stale"))
+      .as[Boolean].head() shouldBe true
+    graft.util.Caches.releaseAll(spark)
+  }
 }

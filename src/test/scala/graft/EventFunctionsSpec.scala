@@ -476,4 +476,54 @@ class EventFunctionsSpec extends SparkSpec {
     r shouldBe Array(("a_view", "c_buy"))
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "burstiness (E29)"
+
+  it should "match the hand-computed Goh-Barabasi parameter and NULL the n<2 rows" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: purchases at +0s, +10s, +30s -> gaps (10, 20):
+      // mu=15, sigma=sqrt((100+400)/2 - 225)=5, cv=1/3, B=-0.5
+      (1L, "purchase", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "purchase", ts("2024-01-01 00:00:10"), 2L),
+      (1L, "purchase", ts("2024-01-01 00:00:30"), 3L),
+      // user 2: one gap -> mean only, cv/B NULL
+      (2L, "purchase", ts("2024-01-01 00:00:00"), 4L),
+      (2L, "purchase", ts("2024-01-01 00:01:40"), 5L),
+      // user 3: single purchase -> no gap rows, absent
+      (3L, "purchase", ts("2024-01-01 00:00:00"), 6L),
+      // other event types never counted
+      (1L, "view", ts("2024-01-01 00:00:05"), 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.events.EventFeatures.burstiness(ev, "purchase")
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    r.keySet shouldBe Set(1L, 2L)
+    r(1L)._2 shouldBe 2L
+    r(1L)._3 shouldBe 15.0
+    r(1L)._4.get shouldBe (1.0 / 3) +- 1e-15
+    r(1L)._5.get shouldBe -0.5 +- 1e-15
+    r(2L) shouldBe ((2L, 1L, 100.0, None, None))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "be invariant to input partitioning" in {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong, "purchase",
+        ts(f"2024-01-${1 + rnd.nextInt(27)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        i.toLong)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val a = graft.events.EventFeatures.burstiness(ev.coalesce(1), "purchase")
+      .orderBy("user_id").collect()
+    val b = graft.events.EventFeatures
+      .burstiness(ev.repartition(13), "purchase")
+      .orderBy("user_id").collect()
+    a shouldBe b
+    graft.util.Caches.releaseAll(spark)
+  }
 }
