@@ -69,4 +69,58 @@ object FeaturePrep {
         .withColumnRenamed("asof_ts", s"${prefix}_asof_ts")
     }
   }
+
+  /** F34: WEIGHT-OF-EVIDENCE / INFORMATION-VALUE table (Siddiqi 2006,
+    * the credit-scoring standard) for one categorical feature against a
+    * binary label: per value, `woe = ln(((g+0.5)/G) / ((b+0.5)/B))` —
+    * the +0.5 adjusted-WOE convention applied UNIFORMLY so zero cells
+    * never reach ln(0) and every value is computed by the same tree —
+    * and `iv_term = (g/G - b/B) * woe`, plus the feature-level
+    * `iv_total` on every row.
+    *
+    * Determinism: counts are exact BIGINTs; each woe/iv_term is a fixed
+    * IEEE tree; `iv_total` is the sum of the QUANTIZED-6 terms carried
+    * as scaled LONGs (order-free integer addition — a raw double sum
+    * over values would drift in the last ulp with aggregation order).
+    *
+    * 100 TB: one map-side-combined groupBy on the feature value; totals
+    * are a second aggregate over the VALUE table (cardinality-sized)
+    * broadcast back. NULL feature values group as their own row (they
+    * carry signal too); NULL labels are rejected loudly — silently
+    * counting them as "bad" would corrupt both shares. */
+  def woeTable(df: DataFrame, category: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(category.as("value"),
+      label.cast("int").as("__y"))
+    val counted = base.groupBy(col("value")).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("__y") === 1, 1L)), lit(0L)).as("n_good"),
+      coalesce(sum(when(col("__y") === 0, 1L)), lit(0L)).as("n_bad"),
+      coalesce(sum(when(col("__y").isNull, 1L)), lit(0L)).as("__n_null"))
+    val g = col("n_good").cast("double")
+    val b = col("n_bad").cast("double")
+    val totals = counted.agg(sum(col("n_good")).as("__g_tot"),
+      sum(col("n_bad")).as("__b_tot"),
+      sum(col("__n_null")).as("__null_tot"))
+    val gt = col("__g_tot").cast("double")
+    val bt = col("__b_tot").cast("double")
+    val woe = log(((g + lit(0.5)) / gt) / ((b + lit(0.5)) / bt))
+    val ivTerm = (g / gt - b / bt) * woe
+    val terms = counted.crossJoin(broadcast(totals))
+      // the NULL-label guard lives INSIDE a kept column so Catalyst
+      // cannot prune it away: any NULL label anywhere fails every row
+      .withColumn("woe",
+        when(col("__null_tot") > 0,
+          raise_error(concat(lit("woeTable: NULL labels present: "),
+            col("__null_tot")))).otherwise(graft.functions.q6(woe)))
+      .withColumn("__iv_scaled",
+        floor(ivTerm * lit(1e6) + lit(0.5)).cast("long"))
+    val ivTotal = terms
+      .agg(sum(col("__iv_scaled")).as("__iv_tot_scaled"))
+    terms.crossJoin(broadcast(ivTotal))
+      .select(col("value"), col("n"), col("n_good"), col("n_bad"),
+        col("woe"),
+        (col("__iv_scaled").cast("double") / lit(1e6)).as("iv_term"),
+        (col("__iv_tot_scaled").cast("double") / lit(1e6)).as("iv_total"))
+  }
 }

@@ -100,4 +100,48 @@ object Scoring {
     }
     df.withColumn("score", model.score(feats))
   }
+
+  /** F33: PER-FEATURE LINEAR ATTRIBUTION — exact SHAP values for a
+    * linear model (Lundberg & Lee 2017, Corollary 1: under a linear f
+    * with independent features, `phi_i = w_i * (x_i - E[x_i])`), the
+    * per-row "why did THIS row score high" table: the raw score, one
+    * `contrib_<f>` column per feature, and the population baseline
+    * `E[score]` (contributions sum to score - baseline by construction).
+    *
+    * Feature means are DECIMAL(28,10)-exact sums over per-feature
+    * non-null counts (engine/partition-order-proof) cast to double ONCE
+    * before a single division; the per-row attribution is then a fixed
+    * IEEE expression tree. All emitted doubles quantized-6.
+    *
+    * 100 TB: one map-side-combined aggregate for the means, broadcast
+    * back as a 1-row cross join — the scored relation itself is never
+    * shuffled. */
+  def linearContributions(df: DataFrame,
+      weights: Seq[(String, Double)], bias: Double): DataFrame = {
+    require(weights.nonEmpty, "need at least one weighted feature")
+    val aggs = weights.flatMap { case (c, _) =>
+      Seq(sum(col(c).cast("decimal(28,10)")).as(s"__s_$c"),
+        count(col(c)).as(s"__n_$c"))
+    }
+    val means = df.agg(aggs.head, aggs.tail: _*)
+    val withMeans = df.crossJoin(broadcast(means))
+    val mu = weights.map { case (c, _) =>
+      c -> (col(s"__s_$c").cast("double") / col(s"__n_$c"))
+    }.toMap
+    val score = weights.map { case (c, w) =>
+      col(c).cast("double") * lit(w)
+    }.reduce(_ + _) + lit(bias)
+    val baseline = weights.map { case (c, w) =>
+      mu(c) * lit(w)
+    }.reduce(_ + _) + lit(bias)
+    val contribs = weights.map { case (c, w) =>
+      graft.functions.q6((col(c).cast("double") - mu(c)) * lit(w))
+        .as(s"contrib_$c")
+    }
+    withMeans
+      .withColumn("score", graft.functions.q6(score))
+      .withColumn("baseline", graft.functions.q6(baseline))
+      .select(df.columns.map(col) ++
+        Seq(col("score"), col("baseline")) ++ contribs: _*)
+  }
 }

@@ -75,4 +75,66 @@ object Stats {
             (col("__sum_g") - col("__y")) / (col("__n_g") - 1)))
       .drop("__cat", "__y", "__sum_c", "__n_c", "__sum_g", "__n_g")
   }
+
+  /** F35: MUTUAL INFORMATION between two categoricals (Cover & Thomas
+    * 2006 §2.3) — the model-free dependence screen run before any
+    * feature is admitted: per contingency cell, the joint probability,
+    * pointwise MI `ln(n·c_xy / (c_x·c_y))` and the cell's MI term
+    * `p_xy · pmi`; plus three broadcast summary columns on every row —
+    * `mi_total`, the marginal entropies' product-root and the
+    * normalized `nmi = MI / sqrt(H(x)·H(y))` (1 = deterministic
+    * bijection, 0 = independent; NULL when either variable is
+    * constant, H = 0).
+    *
+    * Determinism: all counts exact BIGINT from ONE groupBy of the data;
+    * marginals and the grand total are re-aggregated from the CELL
+    * table (cardinality², not data, sized); pmi/terms are fixed IEEE
+    * trees (counts cast to double BEFORE multiplying — BIGINT products
+    * of 100 TB-scale counts would overflow); `mi_total` and both
+    * entropies sum QUANTIZED-6 terms as scaled LONGs, so no
+    * aggregation-order ulp drift. NULL category values group as their
+    * own level. */
+  def mutualInformation(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
+    val cells = df.groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val margX = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("__n_x"))
+    val margY = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("__n_y"))
+    def entScaled(marg: DataFrame, cnt: String): DataFrame = {
+      // H = -sum p ln p, each term quantized-6 then LONG-summed
+      val tot = marg.agg(sum(col(cnt)).as("__t"))
+      marg.crossJoin(broadcast(tot))
+        .withColumn("__p", col(cnt).cast("double") / col("__t"))
+        .agg(sum(floor(-col("__p") * log(col("__p")) * lit(1e6) +
+          lit(0.5)).cast("long")).as("__h_scaled"))
+    }
+    val hX = entScaled(margX, "__n_x")
+      .withColumnRenamed("__h_scaled", "__hx_scaled")
+    val hY = entScaled(margY, "__n_y")
+      .withColumnRenamed("__h_scaled", "__hy_scaled")
+    val total = cells.agg(sum(col("n_xy")).as("__n"))
+    val joined = cells
+      .join(broadcast(margX), Seq("x"))
+      .join(broadcast(margY), Seq("y"))
+      .crossJoin(broadcast(total))
+    val pXy = col("n_xy").cast("double") / col("__n").cast("double")
+    val pmi = log((col("n_xy").cast("double") * col("__n").cast("double")) /
+      (col("__n_x").cast("double") * col("__n_y").cast("double")))
+    val terms = joined
+      .withColumn("p_xy", graft.functions.q6(pXy))
+      .withColumn("pmi", graft.functions.q6(pmi))
+      .withColumn("__mi_scaled",
+        floor(pXy * pmi * lit(1e6) + lit(0.5)).cast("long"))
+    val miTotal = terms.agg(sum(col("__mi_scaled")).as("__mi_tot_scaled"))
+    val hx = col("__hx_scaled").cast("double") / lit(1e6)
+    val hy = col("__hy_scaled").cast("double") / lit(1e6)
+    val mi = col("__mi_tot_scaled").cast("double") / lit(1e6)
+    terms.crossJoin(broadcast(miTotal))
+      .crossJoin(broadcast(hX)).crossJoin(broadcast(hY))
+      .select(col("x"), col("y"), col("n_xy"), col("p_xy"), col("pmi"),
+        (col("__mi_scaled").cast("double") / lit(1e6)).as("mi_term"),
+        mi.as("mi_total"),
+        when(col("__hx_scaled") > 0 && col("__hy_scaled") > 0,
+          graft.functions.q6(mi / sqrt(hx * hy))).as("nmi"))
+  }
 }

@@ -10,6 +10,36 @@ object DqQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // F33: exact linear-SHAP attribution — per-row contributions
+    // w_i * (x_i - mean(x_i)) over a 2-feature chars/tokens model;
+    // DECIMAL-exact means, fixed IEEE trees, quantized-6 outputs.
+    "q_f33_linear_contrib" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.ml.Scoring.linearContributions(docs,
+        Seq("n_chars" -> 0.01, "n_tokens" -> 0.5), bias = 2.0)
+        .orderBy(col("doc_id"))
+    },
+
+    // F34: weight-of-evidence / information-value table for
+    // o_orderpriority against the finished-order label; +0.5 adjusted
+    // WOE, IV terms summed as scaled LONGs.
+    "q_f34_woe_iv" -> { (s, dir) =>
+      graft.ml.FeaturePrep.woeTable(t(s, dir, "orders"),
+        col("o_orderpriority"), (col("o_orderstatus") === "F").cast("int"))
+        .orderBy(col("value"))
+    },
+
+    // F35: mutual information between document language and source —
+    // exact BIGINT contingency cells, scaled-LONG entropy/MI sums,
+    // normalized MI on every row.
+    "q_f35_mutual_info" -> { (s, dir) =>
+      graft.ml.Stats.mutualInformation(t(s, dir, "documents"),
+        col("lang"), col("source"))
+        .orderBy(col("x"), col("y"))
+    },
+
     // F29: split-conformal prediction intervals — q-hat is the exact
     // integer-rank calibration residual (two-phase ranks, rational
     // ceil), every scored prediction gets [pred - q, pred + q].
@@ -357,6 +387,112 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DECIMAL(28,10)-exact means cast to double once; the same
+    // left-associated IEEE score/contribution trees, quantized-6.
+    "q_f33_linear_contrib" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(n_chars) AS mu_c,
+        |    CAST(sum(CAST(n_tokens AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(n_tokens) AS mu_t
+        |  FROM d)
+        |SELECT d.doc_id, d.n_chars, d.n_tokens,
+        |  floor((CAST(d.n_chars AS DOUBLE) * 0.01
+        |      + CAST(d.n_tokens AS DOUBLE) * 0.5 + 2.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  floor((m.mu_c * 0.01 + m.mu_t * 0.5 + 2.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS baseline,
+        |  floor(((CAST(d.n_chars AS DOUBLE) - m.mu_c) * 0.01)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS contrib_n_chars,
+        |  floor(((CAST(d.n_tokens AS DOUBLE) - m.mu_t) * 0.5)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS contrib_n_tokens
+        |FROM d, m ORDER BY d.doc_id""".stripMargin,
+    // Same +0.5-adjusted WOE tree; IV terms floor-scaled to LONGs and
+    // integer-summed so the total is aggregation-order-free.
+    "q_f34_woe_iv" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS value,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_good) AS DOUBLE) AS g,
+        |               CAST(sum(n_bad) AS DOUBLE) AS b FROM c),
+        |w AS (
+        |  SELECT c.value, c.n, c.n_good, c.n_bad,
+        |    ln(((CAST(c.n_good AS DOUBLE) + 0.5) / tot.g)
+        |      / ((CAST(c.n_bad AS DOUBLE) + 0.5) / tot.b)) AS woe_raw,
+        |    CAST(floor((CAST(c.n_good AS DOUBLE) / tot.g
+        |        - CAST(c.n_bad AS DOUBLE) / tot.b)
+        |      * ln(((CAST(c.n_good AS DOUBLE) + 0.5) / tot.g)
+        |        / ((CAST(c.n_bad AS DOUBLE) + 0.5) / tot.b))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS iv_scaled
+        |  FROM c, tot)
+        |SELECT value, n, n_good, n_bad,
+        |  floor(woe_raw * 1000000.0 + 0.5) / 1000000.0 AS woe,
+        |  CAST(iv_scaled AS DOUBLE) / 1000000.0 AS iv_term,
+        |  CAST((SELECT sum(iv_scaled) FROM w) AS DOUBLE) / 1000000.0
+        |    AS iv_total
+        |FROM w ORDER BY value""".stripMargin,
+    // Exact BIGINT cells re-aggregated to marginals; entropies and MI
+    // summed as floor-scaled LONGs; identical pmi/nmi IEEE trees.
+    "q_f35_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+        |hx AS (SELECT CAST(sum(CAST(floor(
+        |    -(CAST(n_x AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * ln(CAST(n_x AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hx_scaled
+        |  FROM mx, tot),
+        |hy AS (SELECT CAST(sum(CAST(floor(
+        |    -(CAST(n_y AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * ln(CAST(n_y AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hy_scaled
+        |  FROM my, tot),
+        |terms AS (
+        |  SELECT cells.x, cells.y, cells.n_xy,
+        |    CAST(cells.n_xy AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p_raw,
+        |    ln((CAST(cells.n_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |      / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+        |      AS pmi_raw,
+        |    CAST(floor(
+        |      (CAST(cells.n_xy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * ln((CAST(cells.n_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |        / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS mi_scaled
+        |  FROM cells
+        |  JOIN mx ON cells.x = mx.x
+        |  JOIN my ON cells.y = my.y
+        |  CROSS JOIN tot),
+        |mt AS (SELECT CAST(sum(mi_scaled) AS BIGINT) AS mi_tot_scaled
+        |       FROM terms)
+        |SELECT t.x, t.y, t.n_xy,
+        |  floor(t.p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_xy,
+        |  floor(t.pmi_raw * 1000000.0 + 0.5) / 1000000.0 AS pmi,
+        |  CAST(t.mi_scaled AS DOUBLE) / 1000000.0 AS mi_term,
+        |  CAST(mt.mi_tot_scaled AS DOUBLE) / 1000000.0 AS mi_total,
+        |  CASE WHEN hx.hx_scaled > 0 AND hy.hy_scaled > 0 THEN
+        |    floor(((CAST(mt.mi_tot_scaled AS DOUBLE) / 1000000.0)
+        |      / sqrt((CAST(hx.hx_scaled AS DOUBLE) / 1000000.0)
+        |        * (CAST(hy.hy_scaled AS DOUBLE) / 1000000.0)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS nmi
+        |FROM terms t, mt, hx, hy
+        |ORDER BY t.x, t.y""".stripMargin,
     // Distinct-score cumulative TP/FP with the same tie-grouping; AP
     // as the step sum over per-score rows.
     "q_f30_pr_curve" ->

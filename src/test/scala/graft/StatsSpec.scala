@@ -362,4 +362,70 @@ class StatsSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "ml.Scoring.linearContributions"
+
+  it should "attribute exactly w_i * (x_i - mean) and sum to score - baseline" in {
+    // x1 in {1,3} mean 2; x2 in {10,30} mean 20; w = (2, 0.1), bias 5
+    val df = Seq((1L, 1.0, 10.0), (2L, 3.0, 30.0)).toDF("id", "x1", "x2")
+    val r = graft.ml.Scoring.linearContributions(df,
+      Seq("x1" -> 2.0, "x2" -> 0.1), bias = 5.0)
+      .orderBy(col("id"))
+      .select("score", "baseline", "contrib_x1", "contrib_x2")
+      .as[(Double, Double, Double, Double)].collect()
+    r(0) shouldBe ((8.0, 11.0, -2.0, -1.0)) // 2*1+0.1*10+5, 2*2+0.1*20+5
+    r(1) shouldBe ((14.0, 11.0, 2.0, 1.0))
+    // additivity: contribs sum to score - baseline (exact here)
+    r.foreach { case (s, b, c1, c2) => (c1 + c2) shouldBe (s - b) +- 1e-9 }
+  }
+
+  behavior of "ml.FeaturePrep.woeTable"
+
+  it should "compute adjusted WOE and IV for a hand contingency" in {
+    // value a: 3 good / 1 bad; value b: 1 good / 3 bad; G = B = 4
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("v", "y")
+    val r = graft.ml.FeaturePrep.woeTable(df, col("v"), col("y"))
+      .orderBy(col("value"))
+      .select("value", "n", "n_good", "n_bad", "woe", "iv_term", "iv_total")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    val woeA = math.log((3.5 / 4.0) / (1.5 / 4.0)) // ln(7/3)
+    r(0)._5 shouldBe math.floor(woeA * 1e6 + 0.5) / 1e6
+    val ivA = (3.0 / 4 - 1.0 / 4) * woeA
+    r(0)._6 shouldBe math.floor(ivA * 1e6 + 0.5) / 1e6
+    // symmetric contingency: iv_b = iv_a, total = 2 * term
+    r(0)._7 shouldBe (r(0)._6 + r(1)._6) +- 1e-12
+    r(1)._5 shouldBe -r(0)._5 +- 1e-12
+  }
+
+  it should "fail loud on NULL labels" in {
+    val df = Seq(("a", Some(1)), ("a", None)).toDF("v", "y")
+    an[Exception] should be thrownBy {
+      graft.ml.FeaturePrep.woeTable(df, col("v"), col("y")).collect()
+    }
+  }
+
+  behavior of "ml.Stats.mutualInformation"
+
+  it should "report nmi = 1 for a bijection and ~0 for independence" in {
+    // bijection: x determines y exactly
+    val bij = Seq(("a", "u"), ("b", "v"), ("a", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r1 = graft.ml.Stats.mutualInformation(bij, col("x"), col("y"))
+      .select("nmi").as[Option[Double]].collect()
+    r1.foreach(_.get shouldBe 1.0 +- 1e-5)
+    // independent uniform 2x2: every cell count equal -> MI = 0
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("u", "v") } yield (x, y))
+      .toDF("x", "y")
+    val r2 = graft.ml.Stats.mutualInformation(ind, col("x"), col("y"))
+      .select("mi_total").as[Double].collect()
+    r2.foreach(_ shouldBe 0.0 +- 1e-5)
+  }
+
+  it should "emit NULL nmi when a variable is constant" in {
+    val df = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    val r = graft.ml.Stats.mutualInformation(df, col("x"), col("y"))
+      .select("nmi").as[Option[Double]].collect()
+    r.foreach(_ shouldBe None)
+  }
 }
