@@ -636,4 +636,107 @@ object Dq {
         ((diff - pmod(diff, us)) / us).cast("long"))
       .withColumn("is_stale", col("lag_hours") > maxLagHours)
   }
+
+  /** D21: BENFORD FIRST-DIGIT TEST (Benford 1938; Nigrini 2012 — the
+    * standard forensic-accounting screen): the observed share of each
+    * leading significant digit 1–9 against `log10(1 + 1/d)`, with the
+    * Pearson χ² statistic over counts and Nigrini's MAD broadcast on
+    * every row. Natural multi-scale amounts follow Benford; invented
+    * or capped numbers don't.
+    *
+    * Digit extraction is DETERMINISTIC across engines: the value is
+    * fixed to cents by `floor(|x|·100 + 0.5)` (exact IEEE ops) and the
+    * leading digit read from the BIGINT's decimal string — no
+    * log10/pow on doubles, whose 1-ulp disagreements flip digits at
+    * power-of-ten boundaries. Rows whose scaled value is 0 (|x| <
+    * 0.005) or NULL are excluded and reported in `n_skipped`.
+    *
+    * Determinism: digit counts are exact BIGINTs joined onto a
+    * literal 1–9 spine (zero-count digits still emit rows); χ² and
+    * MAD sum 9 quantized-6 terms as scaled LONGs (order-free);
+    * shares/expectations are fixed IEEE trees quantized-6.
+    *
+    * 100 TB: one map-side-combined groupBy on 9 keys; the spine and
+    * the 1-row totals are broadcast. Output: (digit, n, share,
+    * expected, chi2, mad, n_used, n_skipped), one row per digit. */
+  def benfordTest(df: DataFrame,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val scaled = df.select(
+      floor(abs(valueCol.cast("double")) * lit(100.0) + lit(0.5))
+        .cast("long").as("__cents"))
+    val digits = scaled.select(
+      when(col("__cents") > 0,
+        substring(col("__cents").cast("string"), 1, 1).cast("int"))
+        .as("digit"))
+    val counted = digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("__n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val perDigit = spine.join(counted.filter(col("digit").isNotNull),
+        Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__n"), lit(0L)).as("n"))
+    val totals = counted.agg(
+      coalesce(sum(when(col("digit").isNotNull, col("__n"))), lit(0L))
+        .as("__n_used"),
+      coalesce(sum(when(col("digit").isNull, col("__n"))), lit(0L))
+        .as("__n_skipped"))
+    val nUsed = col("__n_used").cast("double")
+    val share = col("n").cast("double") / nUsed
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    // χ² term over counts: (n_d − N·e_d)² / (N·e_d); MAD term over
+    // shares — each quantized-6 into a LONG so the 9-term sums are
+    // aggregation-order-free.
+    val chiTerm = (col("n").cast("double") - nUsed * expected) *
+      (col("n").cast("double") - nUsed * expected) / (nUsed * expected)
+    val terms = perDigit.crossJoin(broadcast(totals))
+      .withColumn("share", graft.functions.q6(share))
+      .withColumn("expected", graft.functions.q6(expected))
+      .withColumn("__chi_scaled",
+        floor(chiTerm * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("__mad_scaled",
+        floor(abs(share - expected) * lit(1e6) + lit(0.5)).cast("long"))
+    val stats = terms.agg(
+      sum(col("__chi_scaled")).as("__chi_tot"),
+      sum(col("__mad_scaled")).as("__mad_tot"))
+    terms.crossJoin(broadcast(stats))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        (col("__chi_tot").cast("double") / lit(1e6)).as("chi2"),
+        (col("__mad_tot").cast("double") / lit(1e6) / lit(9.0)).as("mad"),
+        col("__n_used").as("n_used"), col("__n_skipped").as("n_skipped"))
+  }
+
+  /** D22: FUNCTIONAL-DEPENDENCY VIOLATION REPORT — does `determinant →
+    * dependent` hold, and how badly not (Huhtala et al. 1999, TANE's
+    * g3 error: the minimum number of rows to delete so the FD holds =
+    * `Σ_groups (n_group − max single-dependent count)`). The schema-
+    * design / upstream-join-fanout audit: "is order status really a
+    * function of order key?".
+    *
+    * Exact integers end to end: one groupBy on (determinant,
+    * dependent), re-aggregated per determinant (max/sum/count over the
+    * CELL table — never a second data pass), one final 1-row
+    * aggregate. NULL determinant/dependent values group as values.
+    * Output (1 row): n_rows, n_groups, n_violating_groups, g3_rows,
+    * g3_rate (quantized-6), fd_holds. */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+      dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "need at least one determinant column")
+    val cells = df.groupBy((determinant :+ dependent).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val groups = cells.groupBy(determinant.map(col): _*)
+      .agg(sum(col("__n")).as("__rows"), max(col("__n")).as("__max"),
+        count(lit(1)).as("__vals"))
+    groups.agg(
+      sum(col("__rows")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("__vals") > 1, 1L)), lit(0L))
+        .as("n_violating_groups"),
+      sum(col("__rows") - col("__max")).as("g3_rows"))
+      .select(col("n_rows"), col("n_groups"), col("n_violating_groups"),
+        col("g3_rows"),
+        graft.functions.q6(col("g3_rows").cast("double") /
+          col("n_rows").cast("double")).as("g3_rate"),
+        (col("g3_rows") === 0).as("fd_holds"))
+  }
 }

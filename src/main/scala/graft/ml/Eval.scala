@@ -451,4 +451,62 @@ object Eval {
         when(col("__nm") > 0, col("__sape") / col("__nm")).as("mape"),
         (col("n") - col("__nm")).as("n_mape_excluded"))
   }
+
+  /** F36: CONFUSION-MATRIX SUITE — the full binary-classification
+    * scorecard in ONE aggregate pass: exact BIGINT tp/fp/tn/fn plus
+    * accuracy, precision, recall, specificity, F1 (as the single
+    * division `2tp/(2tp+fp+fn)` — never the p·r composition, whose
+    * intermediate rounding differs cross-engine), Matthews correlation
+    * (Matthews 1975) and Cohen's κ (Cohen 1960, chance-corrected
+    * agreement via the marginal products).
+    *
+    * Determinism: every ratio divides once from exact integer counts;
+    * MCC factors are cast to double BEFORE multiplying — the BIGINT
+    * product `(tp+fp)(tp+fn)(tn+fp)(tn+fn)` overflows at ~50k rows,
+    * long before 100 TB; κ's pe uses the same double-first products
+    * over n². Zero-denominator cases (one-class predictions or
+    * labels) emit NULL, never a division error. All doubles
+    * quantized-6. NULL preds/labels are rejected loudly — silently
+    * dropping them would misreport accuracy.
+    *
+    * 100 TB: one map-side-combined aggregate; nothing shuffles but
+    * four partial counters per partition. Output: 1 row. */
+  def confusionSuite(df: DataFrame,
+      predCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val p = predCol.cast("int")
+    val y = labelCol.cast("int")
+    val agg = df.agg(
+      coalesce(sum(when(p === 1 && y === 1, 1L)), lit(0L)).as("tp"),
+      coalesce(sum(when(p === 1 && y === 0, 1L)), lit(0L)).as("fp"),
+      coalesce(sum(when(p === 0 && y === 0, 1L)), lit(0L)).as("tn"),
+      coalesce(sum(when(p === 0 && y === 1, 1L)), lit(0L)).as("fn"),
+      coalesce(sum(when(p.isNull || y.isNull, 1L)), lit(0L))
+        .as("__n_null"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val tn = col("tn").cast("double"); val fn = col("fn").cast("double")
+    val n = tp + fp + tn + fn
+    val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)) / (n * n)
+    import graft.functions.q6
+    agg.select(
+      // prune-proof NULL guard: the error lives inside a kept column
+      when(col("__n_null") > 0,
+        raise_error(concat(lit("confusionSuite: NULL pred/label rows: "),
+          col("__n_null")))).otherwise(col("tp")).as("tp"),
+      col("fp"), col("tn"), col("fn"),
+      q6((tp + tn) / n).as("accuracy"),
+      q6(when(col("tp") + col("fp") > 0, tp / (tp + fp))).as("precision"),
+      q6(when(col("tp") + col("fn") > 0, tp / (tp + fn))).as("recall"),
+      q6(when(col("tn") + col("fp") > 0, tn / (tn + fp)))
+        .as("specificity"),
+      q6(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2.0) * tp) / (lit(2.0) * tp + fp + fn))).as("f1"),
+      q6(when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        (tp * tn - fp * fn) / mccDen)).as("mcc"),
+      q6(when(abs(lit(1.0) - pe) > 0, (po - pe) / (lit(1.0) - pe)))
+        .as("kappa"))
+  }
 }

@@ -40,6 +40,28 @@ object DqQueries {
         .orderBy(col("x"), col("y"))
     },
 
+    // D21: Benford first-digit screen over order totals — exact
+    // cents-scaled digit extraction (no log10 on doubles), χ² + MAD
+    // from scaled-LONG sums.
+    "q_d21_benford" -> { (s, dir) =>
+      graft.dq.Dq.benfordTest(t(s, dir, "orders"), col("o_totalprice"))
+        .orderBy(col("digit"))
+    },
+
+    // D22: functional-dependency audit — does custkey determine order
+    // priority (it should not), with TANE's g3 deletion count.
+    "q_d22_fd_violations" -> { (s, dir) =>
+      graft.dq.Dq.fdViolations(t(s, dir, "orders"), Seq("o_custkey"),
+        "o_orderpriority")
+    },
+
+    // F36: full confusion scorecard for the chars>=300 -> English
+    // rule: exact counts, MCC with double-first factors, Cohen's κ.
+    "q_f36_confusion" -> { (s, dir) =>
+      graft.ml.Eval.confusionSuite(t(s, dir, "documents"),
+        col("n_chars") >= 300, col("lang") === "en")
+    },
+
     // F29: split-conformal prediction intervals — q-hat is the exact
     // integer-rank calibration residual (two-phase ranks, rational
     // ceil), every scored prediction gets [pred - q, pred + q].
@@ -387,6 +409,151 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same cents-scaled BIGINT digit extraction, same raw-share χ²/MAD
+    // terms floor-scaled to LONGs before summing.
+    "q_d21_benford" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0
+        |    + 0.5) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT CASE WHEN cents > 0 THEN
+        |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |  END AS digit FROM s),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN digit IS NOT NULL THEN n END), 0)
+        |    AS BIGINT) AS n_used,
+        |  CAST(coalesce(sum(CASE WHEN digit IS NULL THEN n END), 0)
+        |    AS BIGINT) AS n_skipped
+        |  FROM c),
+        |p AS (SELECT sp.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |      FROM (SELECT CAST(unnest(range(1, 10)) AS INTEGER)
+        |              AS digit) sp
+        |      LEFT JOIN c ON c.digit = sp.digit),
+        |terms AS (
+        |  SELECT p.digit, p.n, tot.n_used, tot.n_skipped,
+        |    CAST(p.n AS DOUBLE) / CAST(tot.n_used AS DOUBLE) AS share_r,
+        |    ln(1.0 + 1.0 / CAST(p.digit AS DOUBLE)) / ln(10.0) AS exp_r,
+        |    CAST(floor((CAST(p.n AS DOUBLE)
+        |        - CAST(tot.n_used AS DOUBLE)
+        |          * (ln(1.0 + 1.0 / CAST(p.digit AS DOUBLE)) / ln(10.0)))
+        |      * (CAST(p.n AS DOUBLE)
+        |        - CAST(tot.n_used AS DOUBLE)
+        |          * (ln(1.0 + 1.0 / CAST(p.digit AS DOUBLE)) / ln(10.0)))
+        |      / (CAST(tot.n_used AS DOUBLE)
+        |        * (ln(1.0 + 1.0 / CAST(p.digit AS DOUBLE)) / ln(10.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS chi_scaled,
+        |    CAST(floor(abs(
+        |      CAST(p.n AS DOUBLE) / CAST(tot.n_used AS DOUBLE)
+        |      - ln(1.0 + 1.0 / CAST(p.digit AS DOUBLE)) / ln(10.0))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS mad_scaled
+        |  FROM p, tot),
+        |st AS (SELECT CAST(sum(chi_scaled) AS BIGINT) AS chi_tot,
+        |              CAST(sum(mad_scaled) AS BIGINT) AS mad_tot
+        |       FROM terms)
+        |SELECT t.digit, t.n,
+        |  floor(t.share_r * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  floor(t.exp_r * 1000000.0 + 0.5) / 1000000.0 AS expected,
+        |  CAST(st.chi_tot AS DOUBLE) / 1000000.0 AS chi2,
+        |  CAST(st.mad_tot AS DOUBLE) / 1000000.0 / 9.0 AS mad,
+        |  t.n_used, t.n_skipped
+        |FROM terms t, st ORDER BY t.digit""".stripMargin,
+    // Exact BIGINT cell/group re-aggregation; g3 = Σ(rows − max).
+    "q_d22_fd_violations" ->
+      """WITH cells AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT o_custkey, CAST(sum(n) AS BIGINT) AS rows_,
+        |        CAST(max(n) AS BIGINT) AS mx,
+        |        CAST(count(*) AS BIGINT) AS vals
+        |      FROM cells GROUP BY 1)
+        |SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(rows_ - mx) AS BIGINT) AS g3_rows,
+        |  floor(CAST(sum(rows_ - mx) AS DOUBLE)
+        |    / CAST(sum(rows_) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS g3_rate,
+        |  sum(rows_ - mx) = 0 AS fd_holds
+        |FROM g""".stripMargin,
+    // Same one-pass counts; every ratio divides once; MCC/κ factors
+    // cast to double before multiplying; identical guard structure.
+    "q_f36_confusion" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN n_chars >= 300 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN n_chars < 300 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN n_chars < 300 AND lang = 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM documents)
+        |SELECT tp, fp, tn, fn,
+        |  floor((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+        |    / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |      + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    floor(CAST(tp AS DOUBLE)
+        |      / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    floor(CAST(tp AS DOUBLE)
+        |      / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS recall,
+        |  CASE WHEN tn + fp > 0 THEN
+        |    floor(CAST(tn AS DOUBLE)
+        |      / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS specificity,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    floor((2.0 * CAST(tp AS DOUBLE))
+        |      / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |        + CAST(fn AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS f1,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0 THEN
+        |    floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mcc,
+        |  CASE WHEN abs(1.0
+        |      - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |          * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        + (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |          * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+        |        / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |          + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |          * (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |            + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))) > 0
+        |  THEN
+        |    floor((((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+        |        / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |          + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+        |      - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |          * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        + (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |          * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+        |        / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |          + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |          * (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |            + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))))
+        |      / (1.0
+        |        - ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |            * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |          + (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |            * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+        |          / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |            + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+        |            * (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |              + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS kappa
+        |FROM a""".stripMargin,
     // DECIMAL(28,10)-exact means cast to double once; the same
     // left-associated IEEE score/contribution trees, quantized-6.
     "q_f33_linear_contrib" ->

@@ -395,4 +395,48 @@ class DqSpec extends SparkSpec {
       .as[Boolean].head() shouldBe true
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Dq.benfordTest"
+
+  it should "extract digits exactly and emit all nine rows with hand stats" in {
+    // 1xx values x4, 2xx x2, 9xx x1; plus a sub-cent and a NULL (skipped)
+    val df = Seq(Some(123.45), Some(150.0), Some(199.99), Some(100.0),
+      Some(250.0), Some(275.5), Some(950.0), Some(0.004), None)
+      .toDF("v")
+    val r = graft.dq.Dq.benfordTest(df, col("v")).orderBy(col("digit"))
+      .select("digit", "n", "n_used", "n_skipped")
+      .as[(Int, Long, Long, Long)].collect()
+    r.map(_._1) shouldBe (1 to 9)          // full spine, zero rows kept
+    r.map(_._2).sum shouldBe 7L
+    r(0)._2 shouldBe 4L; r(1)._2 shouldBe 2L; r(8)._2 shouldBe 1L
+    r(2)._2 shouldBe 0L
+    r(0)._3 shouldBe 7L; r(0)._4 shouldBe 2L
+    // expected share of digit 1 is log10(2)
+    val e1 = graft.dq.Dq.benfordTest(df, col("v"))
+      .filter(col("digit") === 1).select("expected").as[Double].head()
+    e1 shouldBe math.floor(math.log10(2.0) * 1e6 + 0.5) / 1e6
+  }
+
+  it should "not flip the leading digit at a power-of-ten boundary" in {
+    // 999.999 rounds to 100000 cents -> digit 1 by the cents contract
+    val df = Seq(1000.0, 999.999, 0.01).toDF("v")
+    val got = graft.dq.Dq.benfordTest(df, col("v"))
+      .filter(col("n") > 0).select("digit").as[Int].collect().sorted
+    got shouldBe Array(1) // all three land on digit 1
+  }
+
+  behavior of "Dq.fdViolations"
+
+  it should "compute TANE's g3 on a hand case and certify a real FD" in {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), // group 1: 3 rows, max 2
+      (2, "c"), (2, "c"),                      // group 2: holds
+      (3, "d")).toDF("k", "v")
+    val r = graft.dq.Dq.fdViolations(df, Seq("k"), "v")
+      .select("n_rows", "n_groups", "n_violating_groups", "g3_rows",
+        "fd_holds")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    r shouldBe ((6L, 3L, 1L, 1L, false))
+    graft.dq.Dq.fdViolations(df.filter(col("k") =!= 1), Seq("k"), "v")
+      .select("fd_holds").as[Boolean].head() shouldBe true
+  }
 }

@@ -422,6 +422,46 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "ml.Eval.confusionSuite"
+
+  it should "match a hand-computed confusion scorecard" in {
+    // tp=4 fp=1 tn=3 fn=2 (n=10)
+    val df = (Seq.fill(4)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(3)((0, 0)) ++ Seq.fill(2)((0, 1))).toDF("p", "y")
+    val r = graft.ml.Eval.confusionSuite(df, col("p") === 1,
+      col("y") === 1)
+      .select("tp", "fp", "tn", "fn", "accuracy", "precision", "recall",
+        "f1", "mcc", "kappa")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double,
+        Double, Double)].head()
+    r._1 shouldBe 4L; r._2 shouldBe 1L; r._3 shouldBe 3L; r._4 shouldBe 2L
+    r._5 shouldBe 0.7 +- 1e-9
+    r._6 shouldBe 0.8 +- 1e-9
+    r._7 shouldBe (2.0 / 3.0) +- 1e-6
+    r._8 shouldBe (8.0 / 11.0) +- 1e-6
+    val mcc = (4.0 * 3 - 1.0 * 2) / math.sqrt(5.0 * 6 * 4 * 5)
+    r._9 shouldBe mcc +- 1e-6
+    val pe = (5.0 * 6 + 5.0 * 4) / 100.0
+    r._10 shouldBe (0.7 - pe) / (1.0 - pe) +- 1e-6
+  }
+
+  it should "emit NULLs on one-class degenerate inputs, never divide by zero" in {
+    val df = Seq((1, 1), (1, 1)).toDF("p", "y") // all positive
+    val r = graft.ml.Eval.confusionSuite(df, col("p") === 1,
+      col("y") === 1)
+      .select("specificity", "mcc", "kappa")
+      .as[(Option[Double], Option[Double], Option[Double])].head()
+    r shouldBe ((None, None, None))
+  }
+
+  it should "fail loud on NULL predictions or labels" in {
+    val df = Seq((Some(1), 1), (None, 0)).toDF("p", "y")
+    an[Exception] should be thrownBy {
+      graft.ml.Eval.confusionSuite(df, col("p") === 1, col("y") === 1)
+        .collect()
+    }
+  }
+
   it should "emit NULL nmi when a variable is constant" in {
     val df = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
     val r = graft.ml.Stats.mutualInformation(df, col("x"), col("y"))
