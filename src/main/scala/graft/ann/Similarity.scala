@@ -1118,4 +1118,83 @@ object Similarity {
       .join(evidence, Seq("vec_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
+
+  /** X136: SIGNED-RANDOM-PROJECTION (random-hyperplane) cosine LSH
+    * near-duplicate pairs (Charikar 2002, STOC — `P[sign agree] = 1 −
+    * θ/π`): each vector gets `bands` signatures of `bitsPerBand` sign
+    * bits from FIXED ±1 hyperplanes; pairs sharing any band signature
+    * are candidates; candidates are verified by exact cosine. The
+    * cosine-metric sibling of the MinHash/Jaccard banding (X2) and the
+    * metadata-free alternative to label-blocked X10 — no centroids to
+    * train (unlike X30's IVF), no O(n²) scan.
+    *
+    * Determinism: the hyperplanes are CALLER-SUPPLIED literal ±1
+    * matrices (derive them from a seeded PRNG and inline the SAME
+    * literals in any oracle); each projection is the codegen'd
+    * left-to-right [[nativeDot]] against a constant array — bit-equal
+    * to DuckDB `list_dot_product` against the same literal list — so
+    * both engines compute identical sign bits and identical buckets.
+    *
+    * 100 TB: signatures are one narrow map-side pass (bands·bits
+    * constant-array dots inside whole-stage codegen); per band, pair
+    * generation self-joins ONLY (vec_id, sig) — vectors are not
+    * shuffled per band; verification joins vectors back by id. Bucket
+    * skew fails loud at `maxBucketSize` (a glued bucket means the
+    * planes don't separate the corpus — quadratic verify would follow;
+    * raise bitsPerBand). Output: (vec_a, vec_b, cosine round-6), one
+    * row per verified pair (band-deduplicated). */
+  def srpNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signs: Array[Array[Double]], bitsPerBand: Int,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 30,
+      s"bitsPerBand must be in [1, 30], got $bitsPerBand")
+    require(signs.nonEmpty && signs.length % bitsPerBand == 0,
+      s"need a multiple of bitsPerBand=$bitsPerBand hyperplanes, " +
+        s"got ${signs.length}")
+    val bands = signs.length / bitsPerBand
+    val n = withNorm(df, idCol, vecCol, signs.head.length)
+    val sigCols = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val plane = signs(b * bitsPerBand + i)
+        when(nativeDot(col("v"), typedlit(plane)) >= 0, 1 << i)
+          .otherwise(0)
+      }.reduce(_ + _).as(s"__s$b")
+    }
+    val sig = n.select(col("vec_id") +: col("v") +: col("nrm") +:
+      sigCols: _*)
+    val ids = sig.select(col("vec_id") +: (0 until bands)
+      .map(b => col(s"__s$b")): _*)
+    val pairs = (0 until bands).map { b =>
+      val left = ids.select(col("vec_id").as("vec_a"),
+        col(s"__s$b").as("__k"))
+      val right = ids.select(col("vec_id").as("vec_b"),
+        col(s"__s$b").as("__k"))
+      // guarded by an aggregate, not a per-row window: count per sig
+      left.join(right, Seq("__k")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_ unionByName _).distinct()
+    // fail loud on glued buckets: the census is bands 1-row aggregates,
+    // broadcast onto the verified pairs inside a kept column so the
+    // guard cannot be pruned away
+    val bucketCensus = (0 until bands).map { b =>
+      ids.groupBy(col(s"__s$b")).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")).as("__mx"))
+    }.reduce(_ unionByName _).agg(max(col("__mx")).as("__worst"))
+    val a = sig.select(col("vec_id").as("vec_a"), col("v").as("__va"),
+      col("nrm").as("__na"))
+    val bSide = sig.select(col("vec_id").as("vec_b"),
+      col("v").as("__vb"), col("nrm").as("__nb"))
+    pairs.join(a, Seq("vec_a")).join(bSide, Seq("vec_b"))
+      .crossJoin(broadcast(bucketCensus))
+      .withColumn("cos", nCosine(col("__va"), col("__vb"), col("__na"),
+        col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(
+        when(col("__worst") > maxBucketSize,
+          raise_error(concat(lit("srpNearDuplicates: bucket of "),
+            col("__worst"),
+            lit(s" vectors exceeds maxBucketSize=$maxBucketSize — " +
+              "raise bitsPerBand")))).otherwise(col("vec_a")).as("vec_a"),
+        col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
 }

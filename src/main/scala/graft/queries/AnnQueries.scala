@@ -33,6 +33,53 @@ object AnnQueries {
 
   private val Dim = 64
 
+  /** Fixed ±1 SRP hyperplanes (6 bands × 10 bits × Dim), from a seeded
+    * PRNG so the SAME literals are inlined in the Spark expression tree
+    * and the generated DuckDB oracle — both engines compute identical
+    * sign bits. */
+  private val SrpBits = 10
+  private val SrpSigns: Array[Array[Double]] = {
+    val r = new scala.util.Random(20260814L)
+    Array.fill(6 * SrpBits, Dim)(if (r.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** The generated DuckDB mirror of [[Similarity.srpNearDuplicates]]
+    * over the planted corpus: same literal hyperplanes, same CASE-sum
+    * signatures, same band-UNION candidates, same verify tree. */
+  private def srpOracle: String = {
+    def lst(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val sigExprs = (0 until 6).map { b =>
+      (0 until SrpBits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${lst(SrpSigns(b * SrpBits + i))}) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS s$b"
+    }.mkString(",\n  ")
+    val cands = (0 until 6).map { b =>
+      s"SELECT a.vec_id AS va, b.vec_id AS vb FROM sg a JOIN sg b ON a.s$b = b.s$b AND a.vec_id < b.vec_id"
+    }.mkString("\n  UNION\n  ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_prepend(v[1] + 0.05, v[2:]) AS v
+       |  FROM base WHERE vec_id % 10 = 0),
+       |nn AS (SELECT vec_id, v,
+       |  sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+       |sg AS (SELECT vec_id, v, nrm,
+       |  $sigExprs
+       |  FROM nn),
+       |cand AS (
+       |  $cands)
+       |SELECT c.va AS vec_a, c.vb AS vec_b,
+       |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+       |FROM cand c JOIN sg x ON x.vec_id = c.va
+       |  JOIN sg y ON y.vec_id = c.vb
+       |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Shared IVFADC fixture: deterministic centroids (every 40th
     * embedding) + sliced codebooks, queries = every 4th vector, k=3,
     * probes=2 — one body behind q_x26/q_x27/q_x28. */
@@ -297,6 +344,16 @@ object AnnQueries {
       val corpus = corpusWithNearDups(t(s, dir, "embeddings"))
       Similarity.ivfCosineNearDuplicates(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") % 40 === 0), 0.99, Dim, probes = 2)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // X136: signed-random-projection LSH near-dup pairs over the same
+    // planted corpus — no blocking metadata, no trained centroids;
+    // fixed ±1 hyperplanes shared bit-for-bit with the oracle.
+    "q_x136_srp_neardup" -> { (s, dir) =>
+      Similarity.srpNearDuplicates(
+        corpusWithNearDups(t(s, dir, "embeddings")).drop("label"),
+        "vec_id", "embedding", 0.99, SrpSigns, SrpBits)
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
@@ -931,6 +988,7 @@ object AnnQueries {
     // the planted corpus; both orientations generated, then normalized
     // with least/greatest and deduplicated — the rounded cosine is
     // orientation-independent, so DISTINCT collapses the two rows.
+    "q_x136_srp_neardup" -> srpOracle,
     "q_x30_ivf_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -163,6 +163,42 @@ class RecallGateSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "hold the SRP-LSH near-dup pair recall floor and fail loud on glued buckets" in {
+    val copies = corpus.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x + (j % 3).cast("double") * 0.001).as("embedding"))
+    val dupCorpus = corpus.unionByName(copies)
+    val thr = 0.99
+    val vecs = dupCorpus.select("vec_id", "embedding")
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truthPairs = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    truthPairs.size should be >= 15
+    val r = new scala.util.Random(7L)
+    val signs = Array.fill(6 * 8, Dim)(if (r.nextBoolean()) 1.0 else -1.0)
+    val got = Similarity.srpNearDuplicates(dupCorpus, "vec_id",
+      "embedding", thr, signs, bitsPerBand = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val recall = (got & truthPairs).size.toDouble / truthPairs.size
+    info(f"srp near-dup pair recall = $recall%.3f")
+    recall should be >= 0.8
+    got.subsetOf(truthPairs) shouldBe true // verify step: no false accepts
+    // 1 bit per band -> every bucket glues half the corpus -> loud
+    an[Exception] should be thrownBy {
+      Similarity.srpNearDuplicates(dupCorpus, "vec_id", "embedding", thr,
+        signs.take(6), bitsPerBand = 1, maxBucketSize = 10).collect()
+    }
+  }
+
   it should "hold the projected-rerank recall floor against exact L2" in {
     // L2 truth (this gate's others are cosine); 16→8 projection with
     // 4·K overfetch — stage 2 re-ranks exactly, so any loss is purely
