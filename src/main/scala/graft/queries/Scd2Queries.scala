@@ -27,6 +27,17 @@ object Scd2Queries {
       processId = "p1", userId = "tester", processTime = PT,
       isDelta = delta)
 
+  /** Bitemporal assertion log derived from orders: entity = customer,
+    * valid_from = order month, value = total price, tx = order date,
+    * tie = order key (unique — makes the correction order total). */
+  private def bitemporalFixture(s: SparkSession, dir: String): DataFrame =
+    graft.load.Bitemporal.fromAssertions(
+      t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice").as("value")),
+      col("o_custkey"), date_trunc("month", col("o_orderdate")),
+      col("o_orderdate"), col("o_orderkey"), Seq("value"))
+
   /** The derived "incoming" batch used by the merge queries: drops every
     * custkey ≡ 3 (mod 5) (→ deletes on a full load), rewrites the segment of
     * custkey ≡ 0 (mod 7) (→ updates), and appends 5 brand-new entities
@@ -108,6 +119,37 @@ object Scd2Queries {
         col("dst_entity_id"), col("o_orderkey"), col("o_custkey"),
         col("confidence"), col("rectype"), col("version"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // C10: bitemporal point read — each order asserts the customer's
+    // plan price for its month (valid time) at its order date (tx
+    // time); "what did we believe on 1998-06-30 about the price in
+    // force on 1997-03-31".
+    "q_c10_bitemporal_asof" -> { (s, dir) =>
+      graft.load.Bitemporal.asOf(bitemporalFixture(s, dir),
+        "1998-06-30 00:00:00", "1997-03-31 00:00:00")
+        .select(col("entity"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          col("value"),
+          date_format(col("tx_from"), "yyyy-MM-dd").as("tx_from"))
+        .orderBy(col("entity"))
+    },
+
+    // C11: retroactive-correction audit — how the believed
+    // 1997-03-31 state moved between the 1996-12-31 and 1998-06-30
+    // knowledge instants (late arrivals => added/revised rows).
+    "q_c11_retro_diff" -> { (s, dir) =>
+      graft.load.Bitemporal.retroDiff(bitemporalFixture(s, dir),
+        "1996-12-31 00:00:00", "1998-06-30 00:00:00",
+        "1997-03-31 00:00:00")
+        .select(col("entity"), col("change"),
+          date_format(col("valid_from_a"), "yyyy-MM-dd")
+            .as("valid_from_a"),
+          col("value_a"),
+          date_format(col("valid_from_b"), "yyyy-MM-dd")
+            .as("valid_from_b"),
+          col("value_b"))
+        .orderBy(col("entity"))
     },
 
     // C7 time travel: snapshot as-of an instant BETWEEN two loads — must
@@ -200,6 +242,68 @@ object Scd2Queries {
     "q_c9_snapshot_asof" ->
       """SELECT c_custkey, c_mktsegment, 'I' AS rectype, 1 AS version
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Same assertion log, lead()-closed tx intervals, live filter at
+    // (tx, valid) instants, greatest-valid_from row per entity.
+    "q_c10_bitemporal_asof" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS entity,
+        |    date_trunc('month', o_orderdate) AS valid_from,
+        |    o_totalprice AS value, o_orderdate AS tx_from,
+        |    o_orderkey AS tie
+        |  FROM orders),
+        |w AS (SELECT *, lead(tx_from) OVER (
+        |    PARTITION BY entity, valid_from ORDER BY tx_from, tie)
+        |    AS tx_to FROM a),
+        |live AS (SELECT * FROM w
+        |  WHERE tx_from <= TIMESTAMP '1998-06-30 00:00:00'
+        |    AND (tx_to IS NULL OR tx_to > TIMESTAMP '1998-06-30 00:00:00')
+        |    AND valid_from <= TIMESTAMP '1997-03-31 00:00:00'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY entity
+        |    ORDER BY valid_from DESC, tx_from DESC) AS rn FROM live)
+        |SELECT entity, strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        |  value, strftime(tx_from, '%Y-%m-%d') AS tx_from
+        |FROM r WHERE rn = 1 ORDER BY entity""".stripMargin,
+    // Two live snapshots full-outer-joined; IS DISTINCT FROM mirrors
+    // Spark's null-safe <=> negation.
+    "q_c11_retro_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS entity,
+        |    date_trunc('month', o_orderdate) AS valid_from,
+        |    o_totalprice AS value, o_orderdate AS tx_from,
+        |    o_orderkey AS tie
+        |  FROM orders),
+        |w AS (SELECT *, lead(tx_from) OVER (
+        |    PARTITION BY entity, valid_from ORDER BY tx_from, tie)
+        |    AS tx_to FROM a),
+        |sa AS (SELECT entity, valid_from, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY entity
+        |      ORDER BY valid_from DESC, tx_from DESC) AS rn
+        |  FROM w
+        |  WHERE tx_from <= TIMESTAMP '1996-12-31 00:00:00'
+        |    AND (tx_to IS NULL OR tx_to > TIMESTAMP '1996-12-31 00:00:00')
+        |    AND valid_from <= TIMESTAMP '1997-03-31 00:00:00')
+        |  WHERE rn = 1),
+        |sb AS (SELECT entity, valid_from, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY entity
+        |      ORDER BY valid_from DESC, tx_from DESC) AS rn
+        |  FROM w
+        |  WHERE tx_from <= TIMESTAMP '1998-06-30 00:00:00'
+        |    AND (tx_to IS NULL OR tx_to > TIMESTAMP '1998-06-30 00:00:00')
+        |    AND valid_from <= TIMESTAMP '1997-03-31 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(sa.entity, sb.entity) AS entity,
+        |  CASE WHEN sa.entity IS NULL THEN 'added'
+        |       WHEN sb.entity IS NULL THEN 'removed'
+        |       ELSE 'revised' END AS change,
+        |  strftime(sa.valid_from, '%Y-%m-%d') AS valid_from_a,
+        |  sa.value AS value_a,
+        |  strftime(sb.valid_from, '%Y-%m-%d') AS valid_from_b,
+        |  sb.value AS value_b
+        |FROM sa FULL OUTER JOIN sb ON sa.entity = sb.entity
+        |WHERE sa.entity IS NULL OR sb.entity IS NULL
+        |   OR sa.value IS DISTINCT FROM sb.value
+        |   OR sa.valid_from IS DISTINCT FROM sb.valid_from
+        |ORDER BY entity""".stripMargin,
     "q_c4_mapping_load" ->
       """SELECT
         |  md5('cust_order_map'
