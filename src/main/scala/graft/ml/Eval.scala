@@ -452,6 +452,67 @@ object Eval {
         (col("n") - col("__nm")).as("n_mape_excluded"))
   }
 
+  /** F37: ISOTONIC CALIBRATION (pool-adjacent-violators fit) over
+    * score buckets — the non-parametric monotone score→probability
+    * map (Zadrozny & Elkan 2002; Robertson et al. 1988). PAV is
+    * sequential, which doesn't distribute; instead we compute the
+    * SAME fit from its closed-form minimax characterization
+    * (Robertson–Wright–Dykstra Thm 1.4.4):
+    * `fitted_i = max_{k≤i} min_{j≥i} mean(y[k..j])` — pure joins and
+    * min/max aggregates, no ordered scan anywhere.
+    *
+    * Determinism: bucket counts and positive sums are exact BIGINTs;
+    * every interval mean is ONE division of integer diffs (exact
+    * rational → the same double on every engine); min/max over
+    * identical doubles are order-free. No quantization needed.
+    *
+    * 100 TB: ONE map-side-combined pass buckets the data (equal-width
+    * bins from a broadcast min/max — same scheme as
+    * [[calibrationCurve]]); everything after runs on the ≤ nBuckets
+    * bucket table (interval/minimax joins are ≤ B³ rows, B capped at
+    * 100 by contract — the data relation is never touched again).
+    * Output: (bucket, n, pos, rate, fitted), fitted non-decreasing in
+    * bucket. */
+  def isotonicCalibration(df: DataFrame,
+      scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 100,
+      s"nBuckets must be in [1, 100], got $nBuckets")
+    val rows = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+    val stats = rows.agg(min(col("__s")).as("__mn"),
+      max(col("__s")).as("__mx"))
+    val g = rows.crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("bucket",
+        when(col("__step") === 0, lit(0L)).otherwise(
+          least(floor((col("__s") - col("__mn")) / col("__step")),
+            lit(nBuckets - 1L))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("pos"))
+    val ivals = g.select(col("bucket").as("__k"))
+      .join(broadcast(g.select(col("bucket").as("__j"))),
+        col("__k") <= col("__j"))
+      .join(broadcast(g.select(col("bucket").as("__b"),
+        col("n").as("__n"), col("pos").as("__p"))),
+        col("__b") >= col("__k") && col("__b") <= col("__j"))
+      .groupBy(col("__k"), col("__j"))
+      .agg(sum(col("__n")).as("__in"), sum(col("__p")).as("__ip"))
+      .withColumn("__mean",
+        col("__ip").cast("double") / col("__in").cast("double"))
+    val fitted = g.select(col("bucket").as("__i"))
+      .join(broadcast(ivals),
+        col("__k") <= col("__i") && col("__j") >= col("__i"))
+      .groupBy(col("__i"), col("__k")).agg(min(col("__mean")).as("__lo"))
+      .groupBy(col("__i")).agg(max(col("__lo")).as("fitted"))
+    g.join(broadcast(fitted), col("bucket") === col("__i"))
+      .select(col("bucket"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        col("fitted"))
+  }
+
   /** F36: CONFUSION-MATRIX SUITE — the full binary-classification
     * scorecard in ONE aggregate pass: exact BIGINT tp/fp/tn/fn plus
     * accuracy, precision, recall, specificity, F1 (as the single

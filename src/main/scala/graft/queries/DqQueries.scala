@@ -55,6 +55,15 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F37: isotonic (PAV) calibration of n_chars as an English-ness
+    // score — distributed via the minimax closed form over 20 exact
+    // buckets; fitted must be monotone.
+    "q_f37_isotonic" -> { (s, dir) =>
+      graft.ml.Eval.isotonicCalibration(t(s, dir, "documents"),
+        col("n_chars"), (col("lang") === "en").cast("int"), nBuckets = 20)
+        .orderBy(col("bucket"))
+    },
+
     // F36: full confusion scorecard for the chars>=300 -> English
     // rule: exact counts, MCC with double-first factors, Cohen's κ.
     "q_f36_confusion" -> { (s, dir) =>
@@ -409,6 +418,36 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact bucket table; the same minimax (max over k<=i of min
+    // over j>=i of exact-rational interval means) via joins.
+    "q_f37_isotonic" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (SELECT min(x) AS lo, max(x) AS hi FROM s),
+        |b AS (SELECT CASE WHEN (hi - lo) / 20 = 0 THEN 0
+        |    ELSE LEAST(CAST(floor((x - lo) / ((hi - lo) / 20))
+        |      AS BIGINT), 19) END AS bucket, y
+        |  FROM s, st),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |iv AS (SELECT k.bucket AS k, j.bucket AS j,
+        |    CAST(sum(m.n) AS BIGINT) AS sn,
+        |    CAST(sum(m.pos) AS BIGINT) AS sp
+        |  FROM g k JOIN g j ON k.bucket <= j.bucket
+        |  JOIN g m ON m.bucket BETWEEN k.bucket AND j.bucket
+        |  GROUP BY 1, 2),
+        |inn AS (SELECT i.bucket AS i, iv.k,
+        |    min(CAST(iv.sp AS DOUBLE) / CAST(iv.sn AS DOUBLE)) AS lo_m
+        |  FROM g i JOIN iv ON iv.k <= i.bucket AND iv.j >= i.bucket
+        |  GROUP BY 1, 2),
+        |f AS (SELECT i, max(lo_m) AS fitted FROM inn GROUP BY 1)
+        |SELECT g.bucket, g.n, g.pos,
+        |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS rate,
+        |  f.fitted
+        |FROM g JOIN f ON f.i = g.bucket ORDER BY g.bucket""".stripMargin,
     // Same cents-scaled BIGINT digit extraction, same raw-share χ²/MAD
     // terms floor-scaled to LONGs before summing.
     "q_d21_benford" ->

@@ -422,6 +422,61 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "ml.Eval.isotonicCalibration"
+
+  it should "match the sequential PAV fit on a hand case" in {
+    // 4 buckets, 2 rows each, rates [1, 0, 0, 1] -> PAV pools the first
+    // three blocks to 1/3 and leaves the last at 1
+    val df = Seq((0.0, 1), (0.0, 1), (1.0, 0), (1.0, 0),
+      (2.0, 0), (2.0, 0), (3.0, 1), (3.0, 1)).toDF("s", "y")
+    val r = graft.ml.Eval.isotonicCalibration(df, col("s"), col("y"),
+      nBuckets = 4).orderBy(col("bucket"))
+      .select("bucket", "n", "pos", "fitted")
+      .as[(Long, Long, Long, Double)].collect()
+    r.map(_._1) shouldBe Array(0L, 1L, 2L, 3L)
+    r.map(_._4) shouldBe Array(1.0 / 3, 1.0 / 3, 1.0 / 3, 1.0)
+  }
+
+  it should "agree with reference PAV on an uneven-weight sequence and stay monotone" in {
+    // rates [0.8(5), 0.2(5), 0.6(10), 0.5(2), 0.9(10)] with weights in
+    // parens; reference PAV computed by the classic stack algorithm below
+    val spec = Seq((0.0, 5, 4), (1.0, 5, 1), (2.0, 10, 6), (3.0, 2, 1),
+      (4.0, 10, 9))
+    val rows = spec.flatMap { case (s, n, pos) =>
+      Seq.fill(pos)((s, 1)) ++ Seq.fill(n - pos)((s, 0))
+    }
+    val df = rows.toDF("s", "y")
+    val got = graft.ml.Eval.isotonicCalibration(df, col("s"), col("y"),
+      nBuckets = 5).orderBy(col("bucket"))
+      .select("fitted").as[Double].collect()
+    // sequential PAV oracle
+    val stack = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    spec.foreach { case (_, n, pos) =>
+      var blk = (pos.toDouble, n.toDouble)
+      while (stack.nonEmpty &&
+        stack.last._1 / stack.last._2 >= blk._1 / blk._2) {
+        val t = stack.remove(stack.size - 1)
+        blk = (blk._1 + t._1, blk._2 + t._2)
+      }
+      stack += blk
+    }
+    // expand per-bucket: block sizes are in rows, map back to buckets
+    val perBucket = {
+      val out = scala.collection.mutable.ArrayBuffer[Double]()
+      var bi = 0
+      stack.foreach { case (p, n) =>
+        var left = n
+        while (left > 0 && bi < spec.length) {
+          out += p / n; left -= spec(bi)._2; bi += 1
+        }
+      }
+      out.toArray
+    }
+    got.length shouldBe 5
+    got.zip(perBucket).foreach { case (a, b) => a shouldBe b +- 1e-12 }
+    got.sliding(2).foreach(w => w(0) should be <= w(1) + 1e-12)
+  }
+
   behavior of "ml.Eval.confusionSuite"
 
   it should "match a hand-computed confusion scorecard" in {
