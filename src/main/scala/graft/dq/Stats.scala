@@ -248,6 +248,79 @@ object Stats {
       (abs(z) > zThreshold).cast("int").as("significant"))
   }
 
+  /** F38: BENJAMINI–HOCHBERG FDR CONTROL over MANY simultaneous A/B
+    * tests (Benjamini & Hochberg 1995) — the metric-dashboard reality:
+    * hundreds of (segment, metric) z-tests at once, where per-test
+    * α = 0.05 would flag 5% of nulls. Per group: the [[abTest]]
+    * two-proportion z, its two-sided p-value via the Abramowitz–Stegun
+    * 26.2.17 normal-CDF polynomial (max abs error 7.5e-8 — far inside
+    * any decision margin at these scales), and the BH step-up: rank
+    * p ascending, k* = max{i : p(i) ≤ i·q/m}, reject ranks ≤ k*.
+    *
+    * Determinism: p-values quantize to scaled-1e12 LONGs; ranks come
+    * from the two-phase [[graft.relational.Ranks.globalRank]] under
+    * the total order (p_scaled, group) — no global-order window; the
+    * step-up inequality `p·m·qDen ≤ i·qNum·1e12` is EXACT DECIMAL(38,0)
+    * integer arithmetic (a float compare at the boundary would flip
+    * between engines; LONG products overflow past ~1e6 groups).
+    * Degenerate groups (empty arm, 0%/100% pooled rate — no sampling
+    * variance) are EXCLUDED from the table and from m, by exact
+    * integer conditions.
+    *
+    * 100 TB: one map-side-combined groupBy over the data; everything
+    * after runs on the GROUPS table (two-phase rank shuffles only it;
+    * k* is a broadcast 1-row aggregate). Output per kept group:
+    * counts, z, p, rank, m, bh_cutoff_rank, significant. */
+  def bhFdr(units: DataFrame, groupCols: Seq[String], variant: Column,
+      converted: Column, qNum: Int = 1, qDen: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qNum >= 1 && qDen > qNum,
+      s"need 0 < qNum/qDen < 1, got $qNum/$qDen")
+    val counts = units.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(variant === 0, converted.cast("long")).otherwise(0L))
+          .as("c0"),
+        sum(when(variant === 1, converted.cast("long")).otherwise(0L))
+          .as("c1"))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("c0") + col("c1") > 0 &&
+        col("c0") + col("c1") < col("n0") + col("n1"))
+    val p0 = col("c0") / col("n0")
+    val p1 = col("c1") / col("n1")
+    val pp = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val z = (p1 - p0) / se
+    val az = abs(col("__z"))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val scored = counts
+      .withColumn("__z", z)
+      .withColumn("__pl", floor(pTwo * lit(1e12) + lit(0.5)).cast("long"))
+    val (ranked, m) = graft.relational.Ranks.globalRankAndCount(scored,
+      col("__pl") +: groupCols.map(col), "rank")
+    val lhs = col("__pl").cast("decimal(38,0)") * lit(m) * lit(qDen)
+    val rhs = col("rank").cast("decimal(38,0)") * lit(qNum) *
+      lit(1000000000000L)
+    val kStar = ranked
+      .agg(coalesce(max(when(lhs <= rhs, col("rank"))), lit(0L))
+        .as("__kstar"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(groupCols.map(col) ++ Seq(
+        col("n0"), col("n1"), col("c0"), col("c1"),
+        graft.functions.q6(col("__z")).as("z"),
+        (col("__pl").cast("double") / lit(1e12)).as("p"),
+        col("rank"), lit(m).as("m"),
+        col("__kstar").as("bh_cutoff_rank"),
+        (col("rank") <= col("__kstar")).cast("int").as("significant")): _*)
+  }
+
   /** X117: GINI CONCENTRATION of a nonnegative integer weight — the
     * one-number corpus-skew report ("how unevenly are tokens spread
     * over domains / chars over documents"), the quantity mixture

@@ -55,6 +55,17 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F38: BH false-discovery control across the 5x24 (event_type,
+    // hour) A/B grid — hash-derived variant, exact integer step-up.
+    "q_f38_bh_fdr" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+      graft.dq.Stats.bhFdr(ev, Seq("event_type", "hr"),
+        pmod(col("user_id"), lit(2)), (col("value") > 60).cast("int"))
+        .orderBy(col("rank"))
+    },
+
     // F37: isotonic (PAV) calibration of n_chars as an English-ness
     // score — distributed via the minimax closed form over 20 exact
     // buckets; fitted must be monotone.
@@ -418,6 +429,56 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact counts/filters, same A&S 26.2.17 p-value tree
+    // scaled to 1e12 LONGs, same HUGEINT-exact BH step-up.
+    "q_f38_bh_fdr" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (SELECT * FROM g
+        |  WHERE n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+        |    AND c0 + c1 < n0 + n1),
+        |zt AS (SELECT *,
+        |    (c1 / n1 - c0 / n0)
+        |      / sqrt(((c0 + c1) / (n0 + n1))
+        |        * (1.0 - (c0 + c1) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)) AS z
+        |  FROM v),
+        |pt AS (SELECT *,
+        |    CAST(floor(2.0
+        |      * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS pl
+        |  FROM zt),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY pl, event_type, hr)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt),
+        |ks AS (SELECT coalesce(max(CASE
+        |    WHEN CAST(pl AS HUGEINT) * m * 20
+        |      <= CAST(rank AS HUGEINT) * 1 * 1000000000000
+        |    THEN rank END), 0) AS kstar FROM rk)
+        |SELECT rk.event_type, rk.hr, rk.n0, rk.n1, rk.c0, rk.c1,
+        |  floor(rk.z * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  CAST(rk.pl AS DOUBLE) / 1000000000000.0 AS p,
+        |  rk.rank, rk.m, ks.kstar AS bh_cutoff_rank,
+        |  CASE WHEN rk.rank <= ks.kstar THEN 1 ELSE 0 END AS significant
+        |FROM rk, ks ORDER BY rk.rank""".stripMargin,
     // Same exact bucket table; the same minimax (max over k<=i of min
     // over j>=i of exact-rational interval means) via joins.
     "q_f37_isotonic" ->

@@ -422,6 +422,46 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "dq.Stats.bhFdr"
+
+  it should "reject only the strong arm and exclude degenerate groups from m" in {
+    def arm(g: String, v: Int, n: Int, c: Int) =
+      Seq.fill(c)((g, v, 1)) ++ Seq.fill(n - c)((g, v, 0))
+    val rows =
+      arm("A", 0, 1000, 100) ++ arm("A", 1, 1000, 200) ++ // z ~ 6.1
+        arm("B", 0, 1000, 100) ++ arm("B", 1, 1000, 110) ++ // null-ish
+        arm("C", 0, 1000, 100) ++ arm("C", 1, 1000, 100) ++ // exactly null
+        arm("D", 0, 50, 50) ++ arm("D", 1, 50, 50) // degenerate: pp = 1
+    val df = rows.toDF("g", "v", "y")
+    val r = graft.dq.Stats.bhFdr(df, Seq("g"), col("v"), col("y"))
+      .orderBy(col("rank"))
+      .select("g", "p", "rank", "m", "significant")
+      .as[(String, Double, Long, Long, Int)].collect()
+    r.map(_._1) shouldBe Array("A", "B", "C") // D excluded entirely
+    r.foreach(_._4 shouldBe 3L)               // m counts only testable groups
+    r(0)._2 should be < 1e-8                  // the planted effect
+    r(0)._5 shouldBe 1
+    r(1)._5 shouldBe 0
+    r(2)._5 shouldBe 0
+    // z = 0 exactly for C -> two-sided p = 2(1 - Phi(0)) ~ 1 under A&S
+    r(2)._2 shouldBe 1.0 +- 1e-7
+  }
+
+  it should "step up: a borderline p is rescued by a stronger one below it" in {
+    // m = 2, q = 1/2 (50% FDR to make the hand arithmetic visible):
+    // BH accepts rank 2 iff p(2) <= 2/2 * q = 0.5
+    def arm(g: String, v: Int, n: Int, c: Int) =
+      Seq.fill(c)((g, v, 1)) ++ Seq.fill(n - c)((g, v, 0))
+    val rows = arm("A", 0, 1000, 100) ++ arm("A", 1, 1000, 200) ++
+      arm("B", 0, 1000, 100) ++ arm("B", 1, 1000, 115) // p ~ 0.30
+    val r = graft.dq.Stats.bhFdr(rows.toDF("g", "v", "y"), Seq("g"),
+      col("v"), col("y"), qNum = 1, qDen = 2)
+      .orderBy(col("rank")).select("g", "p", "significant")
+      .as[(String, Double, Int)].collect()
+    r(1)._2 should (be > 0.05 and be < 0.5) // genuinely borderline
+    r(1)._3 shouldBe 1 // rescued by the step-up at rank 2
+  }
+
   behavior of "ml.Eval.isotonicCalibration"
 
   it should "match the sequential PAV fit on a hand case" in {
