@@ -661,7 +661,6 @@ object Dq {
     * expected, chi2, mad, n_used, n_skipped), one row per digit. */
   def benfordTest(df: DataFrame,
       valueCol: org.apache.spark.sql.Column): DataFrame = {
-    val spark = df.sparkSession
     val scaled = df.select(
       floor(abs(valueCol.cast("double")) * lit(100.0) + lit(0.5))
         .cast("long").as("__cents"))
@@ -669,8 +668,17 @@ object Dq {
       when(col("__cents") > 0,
         substring(col("__cents").cast("string"), 1, 1).cast("int"))
         .as("digit"))
-    val counted = digits.groupBy(col("digit"))
-      .agg(count(lit(1)).as("__n"))
+    benfordFromCounts(digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("__n")))
+  }
+
+  /** The [[benfordTest]] kernel over an already-counted digit table
+    * (`digit` nullable INT — NULL rows are the skipped census — and a
+    * `__n` BIGINT). Digit counts are exact and mergeable, which is what
+    * lets the streaming monitor sum per-batch tables and publish the
+    * identical statistic. */
+  def benfordFromCounts(counted: DataFrame): DataFrame = {
+    val spark = counted.sparkSession
     val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
     val perDigit = spine.join(counted.filter(col("digit").isNotNull),
         Seq("digit"), "left")

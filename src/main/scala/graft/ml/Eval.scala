@@ -537,13 +537,20 @@ object Eval {
       labelCol: org.apache.spark.sql.Column): DataFrame = {
     val p = predCol.cast("int")
     val y = labelCol.cast("int")
-    val agg = df.agg(
+    confusionFromCounts(df.agg(
       coalesce(sum(when(p === 1 && y === 1, 1L)), lit(0L)).as("tp"),
       coalesce(sum(when(p === 1 && y === 0, 1L)), lit(0L)).as("fp"),
       coalesce(sum(when(p === 0 && y === 0, 1L)), lit(0L)).as("tn"),
       coalesce(sum(when(p === 0 && y === 1, 1L)), lit(0L)).as("fn"),
       coalesce(sum(when(p.isNull || y.isNull, 1L)), lit(0L))
-        .as("__n_null"))
+        .as("__n_null")))
+  }
+
+  /** The [[confusionSuite]] derivation over an already-counted 1-row
+    * (tp, fp, tn, fn, __n_null) table. The four counters are exact and
+    * mergeable — the streaming monitor sums per-batch count rows and
+    * publishes the identical scorecard. */
+  def confusionFromCounts(agg: DataFrame): DataFrame = {
     val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
     val tn = col("tn").cast("double"); val fn = col("fn").cast("double")
     val n = tp + fp + tn + fn

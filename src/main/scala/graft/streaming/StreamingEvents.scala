@@ -1105,6 +1105,96 @@ object StreamingEvents {
       .select(col("column"), col("n"), col("null_rate"), col("ref_rate"),
         (col("null_rate") - col("ref_rate")).as("delta"))
 
+  /** Streaming BENFORD monitor (D21 streaming): each micro-batch
+    * persists its first-digit count table (≤ 10 rows — digits 1–9 plus
+    * the NULL skipped-row census) under `batch_id=N`; digit counts are
+    * exact and mergeable, so the published view — the shared
+    * [[graft.dq.Dq.benfordFromCounts]] kernel over the summed counts —
+    * equals the batch test over everything ingested (spec-proven).
+    * The "did the amounts feed start emitting invented numbers"
+    * dashboard. Replays overwrite their own batch directory:
+    * idempotent. */
+  def benfordSink(rows: DataFrame, valueCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) benfordBatch(batch.toDF(), batchId, valueCol,
+          statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[benfordSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def benfordBatch(batch: DataFrame, batchId: Long,
+      valueCol: String, statsDir: String): Unit = {
+    batch
+      .select(floor(abs(col(valueCol).cast("double")) * lit(100.0) +
+        lit(0.5)).cast("long").as("__cents"))
+      .select(when(col("__cents") > 0,
+        substring(col("__cents").cast("string"), 1, 1).cast("int"))
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__n"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[benfordSink]] directory: merged digit
+    * counts through the same χ²/MAD kernel as the batch test. */
+  def benfordView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.dq.Dq.benfordFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(col("digit")).agg(sum(col("__n")).as("__n")))
+
+  /** Streaming CONFUSION monitor (F36 streaming): each micro-batch
+    * persists ONE (tp, fp, tn, fn, null-count) row under `batch_id=N`;
+    * the four counters are exact and mergeable, so the published view
+    * — the shared [[graft.ml.Eval.confusionFromCounts]] scorecard over
+    * the summed row — equals the batch suite over everything ingested
+    * (spec-proven). The live model-health dashboard as labeled
+    * feedback trickles in. Replays overwrite their own batch
+    * directory: idempotent. */
+  def confusionSink(rows: DataFrame, predCol: String, labelCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) confusionBatch(batch.toDF(), batchId,
+          predCol, labelCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[confusionSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def confusionBatch(batch: DataFrame, batchId: Long,
+      predCol: String, labelCol: String, statsDir: String): Unit = {
+    val p = col(predCol).cast("int")
+    val y = col(labelCol).cast("int")
+    batch.agg(
+      coalesce(sum(when(p === 1 && y === 1, 1L)), lit(0L)).as("tp"),
+      coalesce(sum(when(p === 1 && y === 0, 1L)), lit(0L)).as("fp"),
+      coalesce(sum(when(p === 0 && y === 0, 1L)), lit(0L)).as("tn"),
+      coalesce(sum(when(p === 0 && y === 1, 1L)), lit(0L)).as("fn"),
+      coalesce(sum(when(p.isNull || y.isNull, 1L)), lit(0L))
+        .as("__n_null"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[confusionSink]] directory: the merged
+    * counters through the same scorecard derivation as the batch
+    * suite. */
+  def confusionView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Eval.confusionFromCounts(
+      spark.read.parquet(statsDir).agg(
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("tn")).as("tn"), sum(col("fn")).as("fn"),
+        sum(col("__n_null")).as("__n_null")))
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

@@ -967,4 +967,64 @@ class StreamingSpec extends SparkSpec {
     view() shouldBe got
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "monitor stream-wide Benford digits identically to the batch test over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbenford").toString
+    val b1 = Seq(123.45, 150.0, 199.99, 950.0)
+    val b2 = Seq(100.0, 250.0, 275.5, 0.004)
+    val in = MemoryStream[Double]
+    val q = StreamingEvents.benfordSink(
+      in.toDF().toDF("v"), "v", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("digit"))
+      .as[(Int, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.benfordView(spark, s"$tmp/stats"))
+    val batch = rows(graft.dq.Dq.benfordTest(
+      (b1 ++ b2).map(Tuple1(_)).toDF("v"), col("v")))
+    streamed shouldBe batch
+    streamed.map(_._2).sum shouldBe 7L // the sub-cent row is skipped
+    streamed.head._8 shouldBe 1L       // and censused
+    // replay safety: re-running batch 0 rewrites its partition
+    StreamingEvents.benfordBatch(b1.map(Tuple1(_)).toDF("v"), 0L, "v",
+      s"$tmp/stats")
+    rows(StreamingEvents.benfordView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "publish a stream-wide confusion scorecard identical to the batch suite over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sconf").toString
+    val b1 = Seq((1, 1), (1, 1), (1, 0), (0, 0))
+    val b2 = Seq((1, 1), (0, 0), (0, 1), (0, 1))
+    val in = MemoryStream[(Int, Int)]
+    val q = StreamingEvents.confusionSink(
+      in.toDF().toDF("p", "y"), "p", "y", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double,
+        Double, Double, Double)].collect().toSeq
+    val streamed = rows(StreamingEvents.confusionView(spark,
+      s"$tmp/stats"))
+    val batch = rows(graft.ml.Eval.confusionSuite(
+      (b1 ++ b2).toDF("p", "y"), col("p") === 1, col("y") === 1))
+    streamed shouldBe batch
+    streamed.head._1 shouldBe 3L // tp
+    streamed.head._4 shouldBe 2L // fn
+    // replay safety: re-running batch 1 rewrites its partition
+    StreamingEvents.confusionBatch(b2.toDF("p", "y"), 1L, "p", "y",
+      s"$tmp/stats")
+    rows(StreamingEvents.confusionView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
