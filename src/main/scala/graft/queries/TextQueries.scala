@@ -1056,6 +1056,22 @@ object TextQueries {
         .orderBy(col("seq_id"))
     },
 
+    // F39: BLEU-2 of every document against its decade-representative
+    // (doc_id - doc_id % 10) — exact clipped-gram precisions, brevity
+    // penalty, zero-precision pairs score 0.
+    "q_f39_bleu_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val reps = docs.select(col("doc_id").as("__rid"),
+        col("text").as("__reftext"))
+      val paired = docs
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") - pmod(col("doc_id"), lit(10))).as("__rid"))
+        .join(reps, "__rid")
+      graft.text.TextStats.bleuPairs(paired, col("doc_id"), col("text"),
+        col("__reftext"), maxN = 2)
+        .orderBy(col("key"))
+    },
+
     // X131: distinct-n diversity per source at n = 1..3 — the
     // template/mode-collapse detector; exact gram counts.
     "q_x131_distinct_ngrams" -> { (s, dir) =>
@@ -3361,6 +3377,74 @@ object TextQueries {
         |  CAST(sum(nt) - max(nt) AS BIGINT) AS leaked_tokens
         |FROM pss GROUP BY seq_id HAVING count(*) > 1
         |ORDER BY seq_id""".stripMargin,
+    // Same word/shingle strings as every dedup oracle; clip under the
+    // same per-(pair, gram) left join; identical ln/exp trees.
+    "q_f39_bleu_pairs" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id AS key, d.text AS cand, r.text AS ref
+        |  FROM documents d
+        |  JOIN documents r ON r.doc_id = d.doc_id - (d.doc_id % 10)),
+        |tok AS (SELECT key,
+        |    regexp_split_to_array(lower(cand), '\s+') AS cw,
+        |    regexp_split_to_array(lower(ref), '\s+') AS rw
+        |  FROM pairs),
+        |cg1 AS (SELECT key, g, count(*) AS c FROM (
+        |    SELECT key, unnest(cw) AS g FROM tok) GROUP BY 1, 2),
+        |rg1 AS (SELECT key, g, count(*) AS r FROM (
+        |    SELECT key, unnest(rw) AS g FROM tok) GROUP BY 1, 2),
+        |cg2 AS (SELECT key, g, count(*) AS c FROM (
+        |    SELECT key, array_to_string(cw[i:i+1], ' ') AS g
+        |    FROM (SELECT key, cw, unnest(range(1, len(cw))) AS i
+        |          FROM tok WHERE len(cw) >= 2)) GROUP BY 1, 2),
+        |rg2 AS (SELECT key, g, count(*) AS r FROM (
+        |    SELECT key, array_to_string(rw[i:i+1], ' ') AS g
+        |    FROM (SELECT key, rw, unnest(range(1, len(rw))) AS i
+        |          FROM tok WHERE len(rw) >= 2)) GROUP BY 1, 2),
+        |m1 AS (SELECT cg1.key,
+        |    CAST(sum(least(cg1.c, coalesce(rg1.r, 0))) AS BIGINT)
+        |      AS clip1,
+        |    CAST(sum(cg1.c) AS BIGINT) AS tot1
+        |  FROM cg1 LEFT JOIN rg1
+        |    ON rg1.key = cg1.key AND rg1.g = cg1.g
+        |  GROUP BY 1),
+        |m2 AS (SELECT cg2.key,
+        |    CAST(sum(least(cg2.c, coalesce(rg2.r, 0))) AS BIGINT)
+        |      AS clip2,
+        |    CAST(sum(cg2.c) AS BIGINT) AS tot2
+        |  FROM cg2 LEFT JOIN rg2
+        |    ON rg2.key = cg2.key AND rg2.g = cg2.g
+        |  GROUP BY 1),
+        |b AS (SELECT t.key,
+        |    CAST(len(t.cw) AS BIGINT) AS c_len,
+        |    CAST(len(t.rw) AS BIGINT) AS r_len,
+        |    coalesce(m1.clip1, 0) AS clip1, coalesce(m1.tot1, 0) AS tot1,
+        |    coalesce(m2.clip2, 0) AS clip2, coalesce(m2.tot2, 0) AS tot2
+        |  FROM tok t
+        |  LEFT JOIN m1 ON m1.key = t.key
+        |  LEFT JOIN m2 ON m2.key = t.key)
+        |SELECT key, c_len, r_len,
+        |  CASE WHEN tot1 > 0 THEN
+        |    floor((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS p_1,
+        |  CASE WHEN tot2 > 0 THEN
+        |    floor((CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS p_2,
+        |  CASE WHEN c_len > 0 THEN
+        |    floor((CASE WHEN c_len >= r_len THEN 1.0
+        |      ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+        |        / CAST(c_len AS DOUBLE)) END)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS bp,
+        |  CASE WHEN c_len > 0 AND clip1 > 0 AND tot1 > 0
+        |      AND clip2 > 0 AND tot2 > 0 THEN
+        |    floor(((CASE WHEN c_len >= r_len THEN 1.0
+        |      ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+        |        / CAST(c_len AS DOUBLE)) END)
+        |      * exp((ln(CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
+        |        + ln(CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))
+        |        / 2.0))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS bleu
+        |FROM b ORDER BY key""".stripMargin,
     // Per (source, n): exact total/distinct gram counts; shingles are
     // the same space-joined word windows as every dedup oracle.
     "q_x131_distinct_ngrams" ->

@@ -1168,4 +1168,74 @@ object TextStats {
         when(col("bpe_tokens") > 0, col("chars").cast("double") /
           col("bpe_tokens").cast("double")).as("chars_per_bpe"))
   }
+
+  /** F39: BLEU pair scorer (Papineni et al. 2002, ACL) — the n-gram
+    * overlap metric for generated-vs-reference text, run as a relation:
+    * one row per (candidate, reference) pair with the modified n-gram
+    * precisions p_1..p_maxN (reference counts CLIP each candidate
+    * gram's credit — the "the the the" defense), the brevity penalty
+    * `min(1, e^{1−r/c})`, and BLEU = BP·exp(Σ ln p_n / N). A pair with
+    * any zero precision (or an empty candidate) scores 0, the standard
+    * unsmoothed convention — deterministic, no ln(0).
+    *
+    * Tokens/grams are the corpus-wide [[graft.text.Dedup.words]]/
+    * [[Dedup.shingles]] used by every dedup operator (same strings,
+    * same oracle mirror). Counts are exact BIGINTs; clip is
+    * `least(c, r)` under a per-(pair, gram) left join; each precision
+    * divides once; only ln/exp-bearing outputs are quantized-6.
+    *
+    * 100 TB: gram counting is groupBy (pair, gram) with map-side
+    * combine; the clip join is an equi-join on the same key; per-order
+    * results reduce onto the pair table by key — no windows, no
+    * driver state. Output: (key, c_len, r_len, p_1..p_maxN, bp,
+    * bleu). */
+  def bleuPairs(pairs: DataFrame, keyCol: Column, candCol: Column,
+      refCol: Column, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN must be in [1, 4], got $maxN")
+    val base = pairs.select(keyCol.as("key"), candCol.as("__cand"),
+      refCol.as("__ref"))
+      .withColumn("c_len", size(Dedup.words(col("__cand"))).cast("long"))
+      .withColumn("r_len", size(Dedup.words(col("__ref"))).cast("long"))
+    def grams(c: Column, n: Int): Column =
+      if (n == 1) Dedup.words(c) else Dedup.shingles(c, n)
+    val perOrder = (1 to maxN).map { n =>
+      val cg = base.select(col("key"),
+        explode(grams(col("__cand"), n)).as("__g"))
+        .groupBy(col("key"), col("__g")).agg(count(lit(1)).as("__c"))
+      val rg = base.select(col("key"),
+        explode(grams(col("__ref"), n)).as("__g"))
+        .groupBy(col("key"), col("__g")).agg(count(lit(1)).as("__r"))
+      cg.join(rg, Seq("key", "__g"), "left")
+        .groupBy(col("key"))
+        .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L))))
+          .as(s"__clip_$n"),
+          sum(col("__c")).as(s"__tot_$n"))
+    }
+    val joined = perOrder.foldLeft(
+      base.select(col("key"), col("c_len"), col("r_len"))) {
+      (acc, o) => acc.join(o, Seq("key"), "left")
+    }
+    val withZeros = (1 to maxN).foldLeft(joined) { (d, n) =>
+      d.withColumn(s"__clip_$n", coalesce(col(s"__clip_$n"), lit(0L)))
+        .withColumn(s"__tot_$n", coalesce(col(s"__tot_$n"), lit(0L)))
+    }
+    val allPositive = (1 to maxN).map(n =>
+      col(s"__clip_$n") > 0 && col(s"__tot_$n") > 0).reduce(_ && _)
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"__clip_$n").cast("double") /
+        col(s"__tot_$n").cast("double"))).reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    val precisions = (1 to maxN).map(n =>
+      graft.functions.q6(when(col(s"__tot_$n") > 0,
+        col(s"__clip_$n").cast("double") /
+          col(s"__tot_$n").cast("double"))).as(s"p_$n"))
+    withZeros.select(Seq(col("key"), col("c_len"), col("r_len")) ++
+      precisions ++ Seq(
+      graft.functions.q6(when(col("c_len") > 0, bp)).as("bp"),
+      graft.functions.q6(when(col("c_len") > 0 && allPositive,
+        bp * exp(logSum / lit(maxN.toDouble))).otherwise(lit(0.0)))
+        .as("bleu")): _*)
+  }
 }

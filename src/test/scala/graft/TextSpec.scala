@@ -1322,4 +1322,43 @@ class TextSpec extends SparkSpec {
     r("de")._6 shouldBe Some(3.0)
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "TextStats.bleuPairs"
+
+  it should "clip repeated grams (the Papineni 'the the the' case) and score identity as 1" in {
+    val df = Seq(
+      (1L, "the the the the the the the", "the cat is on the mat"),
+      (2L, "the cat is on the mat", "the cat is on the mat"),
+      (3L, "completely different words here", "the cat is on the mat"))
+      .toDF("id", "cand", "ref")
+    val r = graft.text.TextStats.bleuPairs(df, col("id"), col("cand"),
+      col("ref"), maxN = 2).orderBy(col("key"))
+      .select("key", "c_len", "r_len", "p_1", "p_2", "bp", "bleu")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Double)].collect()
+    // pair 1: 'the' appears 2x in the reference -> clipped p1 = 2/7;
+    // no candidate bigram matches -> p2 = 0 -> bleu 0
+    r(0)._4.get shouldBe math.floor(2.0 / 7 * 1e6 + 0.5) / 1e6
+    r(0)._5.get shouldBe 0.0
+    r(0)._7 shouldBe 0.0
+    // pair 2: identical -> p1 = p2 = bp = bleu = 1
+    r(1)._4.get shouldBe 1.0
+    r(1)._5.get shouldBe 1.0
+    r(1)._6.get shouldBe 1.0
+    r(1)._7 shouldBe 1.0
+    // pair 3: zero overlap -> bleu 0 but lengths still reported
+    r(2)._2 shouldBe 4L; r(2)._3 shouldBe 6L; r(2)._7 shouldBe 0.0
+  }
+
+  it should "apply the brevity penalty exactly" in {
+    // cand = first 3 words of the 6-word ref: p1 = 1, p2 = 1,
+    // bp = e^(1 - 6/3) = e^-1
+    val df = Seq((1L, "the cat is", "the cat is on the mat"))
+      .toDF("id", "cand", "ref")
+    val r = graft.text.TextStats.bleuPairs(df, col("id"), col("cand"),
+      col("ref"), maxN = 2)
+      .select("bp", "bleu").as[(Double, Double)].head()
+    r._1 shouldBe math.floor(math.exp(-1.0) * 1e6 + 0.5) / 1e6
+    r._2 shouldBe math.floor(math.exp(-1.0) * 1e6 + 0.5) / 1e6
+  }
 }
