@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{DotProductExpr, L2DistanceExpr}
+import graft.functions.{DotProductExpr, JaroWinklerExpr, L2DistanceExpr}
 
 /** SparkSessionExtensions entry point: launch any session with
   * `--conf spark.sql.extensions=graft.GraftExtensions` and the library's
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(L2DistanceExpr.Name),
       L2DistanceExpr.info,
       L2DistanceExpr.builder))
+    extensions.injectFunction((
+      FunctionIdentifier(JaroWinklerExpr.Name),
+      JaroWinklerExpr.info,
+      JaroWinklerExpr.builder))
   }
 }

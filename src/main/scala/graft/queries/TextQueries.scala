@@ -590,6 +590,24 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X137: Jaro-Winkler record linkage over customer names with
+    // planted digit transpositions — sorted-neighborhood blocking,
+    // native codegen graft_jw verify, DuckDB's own
+    // jaro_winkler_similarity as the oracle comparator.
+    "q_x137_jw_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val base = c.select(col("c_custkey").as("cid"),
+        col("c_name").as("name"))
+      val mutated = c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 100000).as("cid"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("name"))
+      graft.text.Fuzzy.jwNeighborhoodJoin(base.unionByName(mutated),
+        "cid", col("name"), window = 4, minSim = 0.985)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // X110: 5-gram novelty of odd docs vs the even-doc reference —
     // distinct-shingle anti-probe, exact counts.
     "q_x110_ngram_novelty" -> { (s, dir) =>
@@ -3377,6 +3395,26 @@ object TextQueries {
         |  CAST(sum(nt) - max(nt) AS BIGINT) AS leaked_tokens
         |FROM pss GROUP BY seq_id HAVING count(*) > 1
         |ORDER BY seq_id""".stripMargin,
+    // Neighborhood semantics replayed with a window rank (fine at
+    // oracle scale); DuckDB's native jaro_winkler_similarity IS the
+    // independent check of the codegen kernel.
+    "q_x137_jw_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS key FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000,
+        |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+        |      || substr(c_name, 17, 1)
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |r AS (SELECT id, key,
+        |    row_number() OVER (ORDER BY key, id) AS rk
+        |  FROM base),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    a.key AS key_a, b.key AS key_b,
+        |    jaro_winkler_similarity(a.key, b.key) AS jw
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4)
+        |SELECT id_a, id_b, key_a, key_b, jw FROM p
+        |WHERE jw >= 0.985 ORDER BY id_a, id_b""".stripMargin,
     // Same word/shingle strings as every dedup oracle; clip under the
     // same per-(pair, gram) left join; identical ln/exp trees.
     "q_f39_bleu_pairs" ->

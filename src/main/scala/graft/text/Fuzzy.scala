@@ -33,8 +33,44 @@ object Fuzzy {
     * (key, id) — total and engine-reproducible. */
   def sortedNeighborhoodJoin(df: DataFrame, idCol: String, key: Column,
       window: Int, maxDist: Int): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    neighborhoodCandidates(df, idCol, key, window)
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("dist"))
+  }
+
+  /** X137: the same sorted-neighborhood blocking with a JARO–WINKLER
+    * verify — the record-linkage comparator for NAME-typo variants
+    * (transposed letters cost Levenshtein 2 but barely dent JW, and
+    * JW's prefix boost matches how real name data corrupts). The
+    * verify is the native codegen'd `graft_jw`
+    * ([[graft.functions.JaroWinklerExpr]]) — the per-candidate hot
+    * loop stays inside whole-stage codegen. Output: (id_a, id_b,
+    * key_a, key_b, jw) with jw ≥ minSim, raw doubles (single IEEE
+    * tree, no rounding needed — DuckDB's `jaro_winkler_similarity`
+    * computes the identical value). */
+  def jwNeighborhoodJoin(df: DataFrame, idCol: String, key: Column,
+      window: Int, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    graft.functions.JaroWinklerExpr.register(df.sparkSession)
+    neighborhoodCandidates(df, idCol, key, window)
+      .withColumn("jw", call_function(graft.functions.JaroWinklerExpr.Name,
+        col("key_a"), col("key_b")))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("jw"))
+  }
+
+  /** The shared banded candidate generator: every |Δrank| ≤ window
+    * pair under the total (key, id) sort order, via the two-phase rank
+    * + rank-bucket band join described above. */
+  private def neighborhoodCandidates(df: DataFrame, idCol: String,
+      key: Column, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val spark = df.sparkSession
     import spark.implicits._
     // materialize the derived key ONCE: repartitionByRange SAMPLES its
@@ -70,10 +106,5 @@ object Fuzzy {
     a.join(b, Seq("__b"))
       .filter(col("rank_b") > col("rank_a") &&
         col("rank_b") <= col("rank_a") + w)
-      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        col("dist"))
   }
 }
