@@ -766,4 +766,39 @@ object Curation {
       when(col("__sw") > 0, col("__mx") / col("__sw"))
         .as("max_w_share"))
   }
+
+  /** X138: CURRICULUM ORDER — the deterministic easy→hard training
+    * schedule (Bengio et al. 2009): rank the corpus by a difficulty
+    * score, cut into `stages` equal-height ntile stages, and within
+    * each stage order by a content hash so consecutive documents are
+    * UNCORRELATED (difficulty-sorted order inside a stage would feed
+    * near-identical batches; the hash shuffle is the standard fix and
+    * reproducible, unlike `rand()`).
+    *
+    * Two-phase everywhere: the stage cut is the exact SQL-ntile over
+    * [[graft.relational.Ranks.globalRankAndCount]] under the total
+    * order (difficulty, id); the within-stage sequence is a SECOND
+    * global rank under (stage, md5(id)) minus the stage's minimum rank
+    * — a stages-sized broadcast aggregate — so no window ever sees an
+    * unbounded partition. Output: (id, difficulty, stage, seq) with
+    * seq = 1..stage-size in hash order. */
+  def curriculumOrder(df: DataFrame, idCol: String,
+      difficultyCol: Column, stages: Int): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1, got $stages")
+    val base = df.select(col(idCol).as("id"),
+      difficultyCol.as("difficulty"))
+    val (ranked, n) = graft.relational.Ranks.globalRankAndCount(base,
+      Seq(col("difficulty"), col("id")), "__rank")
+    val staged = ranked.withColumn("stage",
+      graft.relational.Ranks.ntileOf(col("__rank"), n, stages))
+    val hashed = staged.withColumn("__h",
+      md5(col("id").cast("string")))
+    val seqRanked = graft.relational.Ranks.globalRank(hashed,
+      Seq(col("stage"), col("__h"), col("id")), "__seq_g")
+    val stageMin = seqRanked.groupBy(col("stage").as("__st"))
+      .agg(min(col("__seq_g")).as("__min_g"))
+    seqRanked.join(broadcast(stageMin), col("stage") === col("__st"))
+      .select(col("id"), col("difficulty"), col("stage"),
+        (col("__seq_g") - col("__min_g") + 1L).as("seq"))
+  }
 }

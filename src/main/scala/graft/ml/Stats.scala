@@ -76,6 +76,56 @@ object Stats {
       .drop("__cat", "__y", "__sum_c", "__n_c", "__sum_g", "__n_g")
   }
 
+  /** F40: χ² INDEPENDENCE TEST + CRAMÉR'S V between two categoricals
+    * (Cramér 1946) — the bounded-[0,1] companion to [[mutualInformation]]
+    * (V is comparable across tables of different size/cardinality,
+    * which raw MI and raw χ² are not): `χ² = Σ (o − e)²/e` with
+    * `e = n_x·n_y/n`, `V = √(χ²/(n·(min(R,C) − 1)))`.
+    *
+    * Determinism: cells/marginals are the same one-pass exact-BIGINT
+    * re-aggregation as F35; expected counts multiply DOUBLES (BIGINT
+    * products of 100 TB-scale marginals overflow); χ² sums quantized-6
+    * scaled LONGs (order-free). Both-constant tables (min(R,C) = 1)
+    * emit NULL V — there is no association to measure. Output: 1 row
+    * (n, r_levels, c_levels, dof, chi2, cramers_v).
+    *
+    * 100 TB: one map-side-combined groupBy of the data; every later
+    * aggregate runs on the cardinality²-sized cell table. */
+  def cramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val margX = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("__n_x"))
+    val margY = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("__n_y"))
+    val shape = cells.agg(sum(col("n_xy")).as("__n"),
+      count_distinct(col("x")).as("__r"), count_distinct(col("y")).as("__c"))
+    // χ² runs over the FULL R×C grid — zero cells carry (0−e)²/e mass
+    // (dropping them under-reports association; a perfect bijection
+    // would score V = 1/√2 instead of 1). The grid is the marginal
+    // cross join: cardinality²-sized, never the data.
+    val joined = margX.crossJoin(broadcast(margY))
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+      .crossJoin(broadcast(shape))
+    val o = col("n_xy").cast("double")
+    val e = col("__n_x").cast("double") * col("__n_y").cast("double") /
+      col("__n").cast("double")
+    val chiTot = joined
+      .withColumn("__chi_scaled",
+        floor((o - e) * (o - e) / e * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(sum(col("__chi_scaled")).as("__chi_tot"))
+    val chi2 = col("__chi_tot").cast("double") / lit(1e6)
+    val minDim = least(col("__r"), col("__c")).cast("double") - lit(1.0)
+    shape.crossJoin(broadcast(chiTot))
+      .select(col("__n").as("n"), col("__r").as("r_levels"),
+        col("__c").as("c_levels"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        chi2.as("chi2"),
+        when(col("__r") > 1 && col("__c") > 1,
+          graft.functions.q6(
+            sqrt(chi2 / (col("__n").cast("double") * minDim))))
+          .as("cramers_v"))
+  }
+
   /** F35: MUTUAL INFORMATION between two categoricals (Cover & Thomas
     * 2006 §2.3) — the model-free dependence screen run before any
     * feature is admitted: per contingency cell, the joint probability,

@@ -55,6 +55,13 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F40: chi-square independence + Cramér's V between language and
+    // source — the bounded companion of q_f35's mutual information.
+    "q_f40_cramers_v" -> { (s, dir) =>
+      graft.ml.Stats.cramersV(t(s, dir, "documents"),
+        col("lang"), col("source"))
+    },
+
     // F38: BH false-discovery control across the 5x24 (event_type,
     // hour) A/B grid — hash-derived variant, exact integer step-up.
     "q_f38_bh_fdr" -> { (s, dir) =>
@@ -429,6 +436,46 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact cell/marginal re-aggregation as f35; chi-square terms
+    // floor-scaled to LONGs, identical V tree.
+    "q_f40_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM cells GROUP BY 1),
+        |sh AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT x) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS c
+        |  FROM cells),
+        |grid AS (SELECT mx.x, my.y, mx.n_x, my.n_y,
+        |    coalesce(cells.n_xy, 0) AS n_xy
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+        |ct AS (SELECT CAST(sum(CAST(floor(
+        |    (CAST(grid.n_xy AS DOUBLE)
+        |      - CAST(grid.n_x AS DOUBLE) * CAST(grid.n_y AS DOUBLE)
+        |        / CAST(sh.n AS DOUBLE))
+        |    * (CAST(grid.n_xy AS DOUBLE)
+        |      - CAST(grid.n_x AS DOUBLE) * CAST(grid.n_y AS DOUBLE)
+        |        / CAST(sh.n AS DOUBLE))
+        |    / (CAST(grid.n_x AS DOUBLE) * CAST(grid.n_y AS DOUBLE)
+        |        / CAST(sh.n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi_tot
+        |  FROM grid CROSS JOIN sh),
+        |f AS (SELECT sh.n, sh.r, sh.c,
+        |    CAST(ct.chi_tot AS DOUBLE) / 1000000.0 AS chi2
+        |  FROM sh, ct)
+        |SELECT n, r AS r_levels, c AS c_levels,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2,
+        |  CASE WHEN r > 1 AND c > 1 THEN
+        |    floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |      * (CAST(LEAST(r, c) AS DOUBLE) - 1.0)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v
+        |FROM f""".stripMargin,
     // Same exact counts/filters, same A&S 26.2.17 p-value tree
     // scaled to 1e12 LONGs, same HUGEINT-exact BH step-up.
     "q_f38_bh_fdr" ->

@@ -246,6 +246,16 @@ object TextQueries {
     // X46: temperature-scaled domain mixing at α = 0.5 over the source
     // column — under-represented domains get epoch factors > 1
     // (replication), over-represented < 1 (thinning).
+    // X138: deterministic easy->hard curriculum over documents by
+    // n_chars in 4 ntile stages, hash-shuffled within each stage.
+    "q_x138_curriculum" -> { (s, dir) =>
+      graft.curate.Curation.curriculumOrder(t(s, dir, "documents"),
+        "doc_id", col("n_chars"), stages = 4)
+        .select(col("id"), col("difficulty"),
+          col("stage").cast("int").as("stage"), col("seq"))
+        .orderBy(col("stage"), col("seq"))
+    },
+
     "q_x46_domain_mixture" -> { (s, dir) =>
       graft.curate.Curation.temperatureMixture(t(s, dir, "documents"),
         "doc_id", "text", "source", 0.5, "m1")
@@ -1920,6 +1930,20 @@ object TextQueries {
         |  base + CAST(CASE WHEN rrank <= 1000 - sbv THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
         |FROM r, sb ORDER BY domain""".stripMargin,
+    // SQL-standard ntile equals Ranks.ntileOf by construction; the
+    // within-stage order is the same md5-of-id total order.
+    "q_x138_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id, n_chars AS difficulty,
+        |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+        |      AS stage
+        |  FROM documents),
+        |s AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY stage
+        |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS seq
+        |  FROM r)
+        |SELECT id, difficulty, stage, seq FROM s
+        |ORDER BY stage, seq""".stripMargin,
     "q_x46_domain_mixture" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source,

@@ -614,4 +614,35 @@ class CurationSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Curation.curriculumOrder"
+
+  it should "cut equal-height ntile stages with hash-shuffled contiguous sequences" in {
+    // 10 rows, 4 stages -> SQL ntile sizes 3,3,2,2; difficulty = id
+    val df = (1L to 10L).map(i => (i, i * 10.0)).toDF("doc", "score")
+    val r = graft.curate.Curation.curriculumOrder(df, "doc",
+      col("score"), stages = 4)
+      .as[(Long, Double, Long, Long)].collect()
+    val byStage = r.groupBy(_._3).view.mapValues(_.sortBy(_._4)).toMap
+    byStage(1L).map(_._1).toSet shouldBe Set(1L, 2L, 3L)
+    byStage(2L).map(_._1).toSet shouldBe Set(4L, 5L, 6L)
+    byStage(3L).map(_._1).toSet shouldBe Set(7L, 8L)
+    byStage(4L).map(_._1).toSet shouldBe Set(9L, 10L)
+    // seq runs 1..size within every stage, in md5-of-id order
+    byStage.foreach { case (_, rows) =>
+      rows.map(_._4) shouldBe (1L to rows.length).toArray
+      val hashes = rows.map(t => (md5Hex(t._1.toString), t._1))
+      hashes.map(_._1) shouldBe hashes.map(_._1).sorted
+    }
+    // determinism under a different partitioning
+    val r2 = graft.curate.Curation.curriculumOrder(df.repartition(7),
+      "doc", col("score"), stages = 4)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    r2 shouldBe r.toSet
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -422,6 +422,26 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "ml.Stats.cramersV"
+
+  it should "score a bijection 1, independence 0, and a constant NULL" in {
+    import org.apache.spark.sql.DataFrame
+    def v(df: DataFrame): (Long, Long, Option[Double]) =
+      graft.ml.Stats.cramersV(df, col("x"), col("y"))
+        .select("dof", "n", "cramers_v")
+        .as[(Long, Long, Option[Double])].head()
+    val bij = Seq(("a", "u"), ("b", "v"), ("a", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val (dof1, _, v1) = v(bij)
+    dof1 shouldBe 1L
+    v1.get shouldBe 1.0 +- 1e-6
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("u", "v") }
+      yield (x, y)).toDF("x", "y")
+    v(ind)._3.get shouldBe 0.0 +- 1e-6
+    val const = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    v(const)._3 shouldBe None // min(R,C) = 1: no association to measure
+  }
+
   behavior of "dq.Stats.bhFdr"
 
   it should "reject only the strong arm and exclude degenerate groups from m" in {
