@@ -42,7 +42,8 @@ object Bench {
       "q_x103_cv_folds", "q_x105_item_cf", "q_f19_learning_curve",
       "q_j15_stabbing_count", "q_x112_label_suspects",
       "q_x116_cluster_refine", "q_x122_dedup_yield",
-      "q_x129_packed_leakage", "q_x132_source_overlap")
+      "q_x129_packed_leakage", "q_x132_source_overlap",
+      "q_x136_srp_neardup")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

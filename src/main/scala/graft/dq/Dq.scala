@@ -637,6 +637,55 @@ object Dq {
       .withColumn("is_stale", col("lag_hours") > maxLagHours)
   }
 
+  /** D23: JOIN-FANOUT ESTIMATOR — the EXACT output cardinality of an
+    * equi-join computed WITHOUT running it: `|A ⋈ B| = Σ_k c_A(k)·c_B(k)`
+    * over per-key counts. The pre-flight check before any 100 TB join —
+    * a duplicated key on both sides multiplies, and this report names
+    * the key that would explode the job before the shuffle is paid.
+    *
+    * Exactness: per-key counts are one groupBy each; products and the
+    * total are DECIMAL(38,0) (two billion-row hot keys multiply to
+    * 10¹⁸·10¹⁸ — LONGs overflow); the hottest key is `max(struct(rows,
+    * key))` — deterministic under ties, unlike max_by. NULL keys never
+    * match in SQL equi-joins and are censused separately, not counted
+    * into the output estimate. Output: 1 row (left_rows, right_rows,
+    * left_null_keys, right_null_keys, matched_keys, output_rows,
+    * max_key, max_rows, amplification = output/max(left,right)). */
+  def joinFanout(left: DataFrame, right: DataFrame,
+      leftKey: org.apache.spark.sql.Column,
+      rightKey: org.apache.spark.sql.Column): DataFrame = {
+    def cnt(df: DataFrame, k: org.apache.spark.sql.Column, as: String) =
+      df.select(k.cast("string").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as(as))
+    val l = cnt(left, leftKey, "__cl")
+    val r = cnt(right, rightKey, "__cr")
+    val joined = l.filter(col("key").isNotNull)
+      .join(r.filter(col("key").isNotNull), Seq("key"), "inner")
+      .withColumn("__prod",
+        col("__cl").cast("decimal(38,0)") * col("__cr").cast("decimal(38,0)"))
+    val nulls = l.filter(col("key").isNull)
+      .agg(coalesce(sum(col("__cl")), lit(0L)).as("left_null_keys"))
+      .crossJoin(r.filter(col("key").isNull)
+        .agg(coalesce(sum(col("__cr")), lit(0L)).as("right_null_keys")))
+    val sides = left.agg(count(lit(1)).as("left_rows"))
+      .crossJoin(right.agg(count(lit(1)).as("right_rows")))
+    val agg = joined.agg(
+      count(lit(1)).as("matched_keys"),
+      coalesce(sum(col("__prod")), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")).as("output_rows"),
+      max(struct(col("__prod").as("rows"), col("key"))).as("__mx"))
+    sides.crossJoin(broadcast(nulls)).crossJoin(broadcast(agg))
+      .select(col("left_rows"), col("right_rows"),
+        col("left_null_keys"), col("right_null_keys"),
+        col("matched_keys"),
+        col("output_rows"),
+        col("__mx.key").as("max_key"),
+        col("__mx.rows").as("max_rows"),
+        graft.functions.q6(col("output_rows").cast("double") /
+          greatest(col("left_rows"), col("right_rows")).cast("double"))
+          .as("amplification"))
+  }
+
   /** D21: BENFORD FIRST-DIGIT TEST (Benford 1938; Nigrini 2012 — the
     * standard forensic-accounting screen): the observed share of each
     * leading significant digit 1–9 against `log10(1 + 1/d)`, with the

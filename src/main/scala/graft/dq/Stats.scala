@@ -248,6 +248,54 @@ object Stats {
       (abs(z) > zThreshold).cast("int").as("significant"))
   }
 
+  /** F42: WELCH'S UNEQUAL-VARIANCE t-TEST (Welch 1947) for a CONTINUOUS
+    * metric between two variants — the revenue/latency companion of the
+    * proportion [[abTest]] (Student's pooled t silently assumes equal
+    * variances; treatment usually changes the variance too). One
+    * aggregate pass: per-arm n, DECIMAL(18,6)-exact Σx and Σx²
+    * (order-immune — a double running sum would drift with partition
+    * order), then means, sample variances via the moment identity
+    * `(Σx² − (Σx)²/n)/(n−1)`, `t = (m₁−m₀)/√(v₁/n₁+v₀/n₀)` and the
+    * Welch–Satterthwaite dof — each a fixed IEEE tree over exact
+    * operands, cast to double once. Degenerate arms (< 2 rows, or both
+    * variances 0) emit NULL t/dof. Output: 1 row. */
+  def welchT(units: DataFrame, variant: Column, value: Column)
+      : DataFrame = {
+    val x = value.cast("decimal(18,6)")
+    val agg = units.agg(
+      sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(variant === 0, x)).as("__s0"),
+      sum(when(variant === 1, x)).as("__s1"),
+      sum(when(variant === 0, x * x)).as("__q0"),
+      sum(when(variant === 1, x * x)).as("__q1"))
+    def stats(i: Int) = {
+      val n = col(s"n$i").cast("double")
+      val s = col(s"__s$i").cast("double")
+      val q = col(s"__q$i").cast("double")
+      val mean = when(col(s"n$i") > 0, s / n)
+      val variance = when(col(s"n$i") > 1,
+        (q - s * s / n) / (n - lit(1.0)))
+      (mean, variance)
+    }
+    val (m0, v0) = stats(0)
+    val (m1, v1) = stats(1)
+    val se2 = v1 / col("n1").cast("double") + v0 / col("n0").cast("double")
+    val t = when(col("n0") > 1 && col("n1") > 1 && se2 > 0,
+      (m1 - m0) / sqrt(se2))
+    val dof = when(col("n0") > 1 && col("n1") > 1 && se2 > 0,
+      se2 * se2 /
+        ((v1 / col("n1").cast("double")) * (v1 / col("n1").cast("double")) /
+          (col("n1").cast("double") - lit(1.0)) +
+          (v0 / col("n0").cast("double")) * (v0 / col("n0").cast("double")) /
+            (col("n0").cast("double") - lit(1.0))))
+    import graft.functions.q6
+    agg.select(col("n0"), col("n1"),
+      q6(m0).as("mean0"), q6(m1).as("mean1"),
+      q6(v0).as("var0"), q6(v1).as("var1"),
+      q6(t).as("t"), q6(dof).as("dof"))
+  }
+
   /** F38: BENJAMINI–HOCHBERG FDR CONTROL over MANY simultaneous A/B
     * tests (Benjamini & Hochberg 1995) — the metric-dashboard reality:
     * hundreds of (segment, metric) z-tests at once, where per-test

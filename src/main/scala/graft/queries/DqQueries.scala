@@ -55,6 +55,21 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // D23: exact join-fanout pre-flight for the events-on-user_id
+    // self-join — the classic accidental O(n²) explosion, priced
+    // before any shuffle is paid.
+    "q_d23_join_fanout" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.dq.Dq.joinFanout(ev, ev, col("user_id"), col("user_id"))
+    },
+
+    // F42: Welch's t between even/odd order totals — exact DECIMAL
+    // moment sums, fixed IEEE t and Welch-Satterthwaite dof.
+    "q_f42_welch_t" -> { (s, dir) =>
+      graft.dq.Stats.welchT(t(s, dir, "orders"),
+        col("o_orderkey") % 2, col("o_totalprice"))
+    },
+
     // F40: chi-square independence + Cramér's V between language and
     // source — the bounded companion of q_f35's mutual information.
     "q_f40_cramers_v" -> { (s, dir) =>
@@ -436,6 +451,89 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same per-key counts; products and the total in exact
+    // DECIMAL(38,0)/HUGEINT; hottest key via (rows, key) max ordering.
+    "q_d23_join_fanout" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS cl
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS cr
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT l.key,
+        |    CAST(l.cl AS HUGEINT) * CAST(r.cr AS HUGEINT) AS prod
+        |  FROM l JOIN r ON r.key = l.key
+        |  WHERE l.key IS NOT NULL),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+        |    CAST(coalesce(sum(prod), 0) AS DECIMAL(38,0))
+        |      AS output_rows
+        |  FROM m),
+        |mx AS (SELECT key AS max_key,
+        |    CAST(prod AS DECIMAL(38,0)) AS max_rows
+        |  FROM m ORDER BY prod DESC, key DESC LIMIT 1),
+        |sides AS (SELECT CAST(count(*) AS BIGINT) AS left_rows,
+        |    CAST(count(*) AS BIGINT) AS right_rows,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS left_null_keys,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS right_null_keys
+        |  FROM events)
+        |SELECT s.left_rows, s.right_rows, s.left_null_keys,
+        |  s.right_null_keys, a.matched_keys, a.output_rows,
+        |  mx.max_key, mx.max_rows,
+        |  floor(CAST(a.output_rows AS DOUBLE)
+        |    / CAST(GREATEST(s.left_rows, s.right_rows) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS amplification
+        |FROM sides s, agg a, mx""".stripMargin,
+    // Same DECIMAL moment sums cast to double once; identical t /
+    // Welch-Satterthwaite trees, quantized-6. The squares cast to
+    // (19,6): width 18 keeps DuckDB's multiply in int64 and overflows
+    // — 19 forces INT128; the exact VALUES equal Spark's (18,6)².
+    "q_f42_welch_t" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q1
+        |  FROM orders),
+        |d AS (SELECT n0, n1,
+        |    CAST(s0 AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(q0 AS DOUBLE) AS q0, CAST(q1 AS DOUBLE) AS q1,
+        |    CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1
+        |  FROM a),
+        |e AS (SELECT *,
+        |    CASE WHEN n0 > 0 THEN s0 / dn0 END AS m0,
+        |    CASE WHEN n1 > 0 THEN s1 / dn1 END AS m1,
+        |    CASE WHEN n0 > 1 THEN (q0 - s0 * s0 / dn0) / (dn0 - 1.0)
+        |      END AS v0,
+        |    CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / dn1) / (dn1 - 1.0)
+        |      END AS v1
+        |  FROM d),
+        |f AS (SELECT *, v1 / dn1 + v0 / dn0 AS se2 FROM e)
+        |SELECT n0, n1,
+        |  floor(m0 * 1000000.0 + 0.5) / 1000000.0 AS mean0,
+        |  floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean1,
+        |  floor(v0 * 1000000.0 + 0.5) / 1000000.0 AS var0,
+        |  floor(v1 * 1000000.0 + 0.5) / 1000000.0 AS var1,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0 THEN
+        |    floor((m1 - m0) / sqrt(se2) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS t,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0 THEN
+        |    floor(se2 * se2
+        |      / ((v1 / dn1) * (v1 / dn1) / (dn1 - 1.0)
+        |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
+        |FROM f""".stripMargin,
     // Same exact cell/marginal re-aggregation as f35; chi-square terms
     // floor-scaled to LONGs, identical V tree.
     "q_f40_cramers_v" ->

@@ -1100,6 +1100,22 @@ object TextQueries {
         .orderBy(col("key"))
     },
 
+    // F41: ROUGE-1/2 of every document against its decade
+    // representative — the recall-oriented complement of q_f39;
+    // reference-driven clip, single-division F1.
+    "q_f41_rouge_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val reps = docs.select(col("doc_id").as("__rid"),
+        col("text").as("__reftext"))
+      val paired = docs
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") - pmod(col("doc_id"), lit(10))).as("__rid"))
+        .join(reps, "__rid")
+      graft.text.TextStats.rougePairs(paired, col("doc_id"), col("text"),
+        col("__reftext"))
+        .orderBy(col("key"))
+    },
+
     // X131: distinct-n diversity per source at n = 1..3 — the
     // template/mode-collapse detector; exact gram counts.
     "q_x131_distinct_ngrams" -> { (s, dir) =>
@@ -3419,6 +3435,73 @@ object TextQueries {
         |  CAST(sum(nt) - max(nt) AS BIGINT) AS leaked_tokens
         |FROM pss GROUP BY seq_id HAVING count(*) > 1
         |ORDER BY seq_id""".stripMargin,
+    // Same grams as the BLEU oracle; reference-driven clip join;
+    // ratios divide exact BIGINTs once (no rounding anywhere).
+    "q_f41_rouge_pairs" ->
+      """WITH pairs AS (
+        |  SELECT d.doc_id AS key, d.text AS cand, r.text AS ref
+        |  FROM documents d
+        |  JOIN documents r ON r.doc_id = d.doc_id - (d.doc_id % 10)),
+        |tok AS (SELECT key,
+        |    regexp_split_to_array(lower(cand), '\s+') AS cw,
+        |    regexp_split_to_array(lower(ref), '\s+') AS rw
+        |  FROM pairs),
+        |cg1 AS (SELECT key, g, count(*) AS c FROM (
+        |    SELECT key, unnest(cw) AS g FROM tok) GROUP BY 1, 2),
+        |rg1 AS (SELECT key, g, count(*) AS r FROM (
+        |    SELECT key, unnest(rw) AS g FROM tok) GROUP BY 1, 2),
+        |cg2 AS (SELECT key, g, count(*) AS c FROM (
+        |    SELECT key, array_to_string(cw[i:i+1], ' ') AS g
+        |    FROM (SELECT key, cw, unnest(range(1, len(cw))) AS i
+        |          FROM tok WHERE len(cw) >= 2)) GROUP BY 1, 2),
+        |rg2 AS (SELECT key, g, count(*) AS r FROM (
+        |    SELECT key, array_to_string(rw[i:i+1], ' ') AS g
+        |    FROM (SELECT key, rw, unnest(range(1, len(rw))) AS i
+        |          FROM tok WHERE len(rw) >= 2)) GROUP BY 1, 2),
+        |o1 AS (SELECT rg1.key,
+        |    CAST(sum(least(coalesce(cg1.c, 0), rg1.r)) AS BIGINT) AS ov,
+        |    CAST(sum(rg1.r) AS BIGINT) AS rt
+        |  FROM rg1 LEFT JOIN cg1
+        |    ON cg1.key = rg1.key AND cg1.g = rg1.g GROUP BY 1),
+        |o2 AS (SELECT rg2.key,
+        |    CAST(sum(least(coalesce(cg2.c, 0), rg2.r)) AS BIGINT) AS ov,
+        |    CAST(sum(rg2.r) AS BIGINT) AS rt
+        |  FROM rg2 LEFT JOIN cg2
+        |    ON cg2.key = rg2.key AND cg2.g = rg2.g GROUP BY 1),
+        |t1 AS (SELECT key, CAST(sum(c) AS BIGINT) AS ct
+        |       FROM cg1 GROUP BY 1),
+        |t2 AS (SELECT key, CAST(sum(c) AS BIGINT) AS ct
+        |       FROM cg2 GROUP BY 1),
+        |b AS (SELECT tok.key,
+        |    CAST(len(tok.cw) AS BIGINT) AS c_len,
+        |    CAST(len(tok.rw) AS BIGINT) AS r_len,
+        |    coalesce(o1.ov, 0) AS ov1, coalesce(o1.rt, 0) AS rt1,
+        |    coalesce(t1.ct, 0) AS ct1,
+        |    coalesce(o2.ov, 0) AS ov2, coalesce(o2.rt, 0) AS rt2,
+        |    coalesce(t2.ct, 0) AS ct2
+        |  FROM tok
+        |  LEFT JOIN o1 ON o1.key = tok.key
+        |  LEFT JOIN t1 ON t1.key = tok.key
+        |  LEFT JOIN o2 ON o2.key = tok.key
+        |  LEFT JOIN t2 ON t2.key = tok.key)
+        |SELECT key, c_len, r_len,
+        |  ov1 AS rouge1_overlap,
+        |  CASE WHEN rt1 > 0 THEN CAST(ov1 AS DOUBLE) / CAST(rt1 AS DOUBLE)
+        |    END AS rouge1_r,
+        |  CASE WHEN ct1 > 0 THEN CAST(ov1 AS DOUBLE) / CAST(ct1 AS DOUBLE)
+        |    END AS rouge1_p,
+        |  CASE WHEN ct1 + rt1 > 0 THEN
+        |    (2.0 * CAST(ov1 AS DOUBLE)) / CAST(ct1 + rt1 AS DOUBLE)
+        |    END AS rouge1_f,
+        |  ov2 AS rouge2_overlap,
+        |  CASE WHEN rt2 > 0 THEN CAST(ov2 AS DOUBLE) / CAST(rt2 AS DOUBLE)
+        |    END AS rouge2_r,
+        |  CASE WHEN ct2 > 0 THEN CAST(ov2 AS DOUBLE) / CAST(ct2 AS DOUBLE)
+        |    END AS rouge2_p,
+        |  CASE WHEN ct2 + rt2 > 0 THEN
+        |    (2.0 * CAST(ov2 AS DOUBLE)) / CAST(ct2 + rt2 AS DOUBLE)
+        |    END AS rouge2_f
+        |FROM b ORDER BY key""".stripMargin,
     // Neighborhood semantics replayed with a window rank (fine at
     // oracle scale); DuckDB's native jaro_winkler_similarity IS the
     // independent check of the codegen kernel.

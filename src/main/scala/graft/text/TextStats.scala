@@ -1189,6 +1189,69 @@ object TextStats {
     * results reduce onto the pair table by key — no windows, no
     * driver state. Output: (key, c_len, r_len, p_1..p_maxN, bp,
     * bleu). */
+  /** F41: ROUGE-N pair scorer (Lin 2004) — the RECALL-oriented
+    * complement of [[bleuPairs]] ("how much of the reference did the
+    * candidate cover"), the summarization-eval standard. Per pair and
+    * per order n ∈ {1, 2}: clipped overlap `Σ min(c_cand, c_ref)`,
+    * recall = overlap/ref_total, precision = overlap/cand_total, and
+    * F1 in its SINGLE-DIVISION form `2·overlap/(cand_total+ref_total)`
+    * (the p·r composition would round twice and drift cross-engine).
+    * Zero-gram sides emit NULL metrics, never a division error.
+    *
+    * Same exact-count/left-join clip shape and the same corpus-wide
+    * word/shingle strings as BLEU; every ratio divides once from exact
+    * BIGINTs — no quantization needed. Output: (key, c_len, r_len,
+    * rouge1_overlap, rouge1_r, rouge1_p, rouge1_f, rouge2_overlap,
+    * rouge2_r, rouge2_p, rouge2_f). */
+  def rougePairs(pairs: DataFrame, keyCol: Column, candCol: Column,
+      refCol: Column): DataFrame = {
+    val base = pairs.select(keyCol.as("key"), candCol.as("__cand"),
+      refCol.as("__ref"))
+      .withColumn("c_len", size(Dedup.words(col("__cand"))).cast("long"))
+      .withColumn("r_len", size(Dedup.words(col("__ref"))).cast("long"))
+    def grams(c: Column, n: Int): Column =
+      if (n == 1) Dedup.words(c) else Dedup.shingles(c, n)
+    val perOrder = Seq(1, 2).map { n =>
+      val cg = base.select(col("key"),
+        explode(grams(col("__cand"), n)).as("__g"))
+        .groupBy(col("key"), col("__g")).agg(count(lit(1)).as("__c"))
+      val rg = base.select(col("key"),
+        explode(grams(col("__ref"), n)).as("__g"))
+        .groupBy(col("key"), col("__g")).agg(count(lit(1)).as("__r"))
+      // drive from the REFERENCE side: recall's denominator must count
+      // every reference gram even when the candidate lacks it
+      rg.join(cg, Seq("key", "__g"), "left")
+        .groupBy(col("key"))
+        .agg(sum(least(coalesce(col("__c"), lit(0L)), col("__r")))
+          .as(s"__ov_$n"),
+          sum(col("__r")).as(s"__rt_$n"))
+    }
+    val candTotals = Seq(1, 2).map { n =>
+      base.select(col("key"),
+        explode(grams(col("__cand"), n)).as("__g"))
+        .groupBy(col("key")).agg(count(lit(1)).as(s"__ct_$n"))
+    }
+    val joined = (perOrder ++ candTotals).foldLeft(
+      base.select(col("key"), col("c_len"), col("r_len"))) {
+      (acc, o) => acc.join(o, Seq("key"), "left")
+    }
+    def metrics(n: Int) = {
+      val ov = coalesce(col(s"__ov_$n"), lit(0L))
+      val rt = coalesce(col(s"__rt_$n"), lit(0L))
+      val ct = coalesce(col(s"__ct_$n"), lit(0L))
+      Seq(ov.as(s"rouge${n}_overlap"),
+        when(rt > 0, ov.cast("double") / rt.cast("double"))
+          .as(s"rouge${n}_r"),
+        when(ct > 0, ov.cast("double") / ct.cast("double"))
+          .as(s"rouge${n}_p"),
+        when(ct + rt > 0,
+          (lit(2.0) * ov.cast("double")) / (ct + rt).cast("double"))
+          .as(s"rouge${n}_f"))
+    }
+    joined.select(Seq(col("key"), col("c_len"), col("r_len")) ++
+      metrics(1) ++ metrics(2): _*)
+  }
+
   def bleuPairs(pairs: DataFrame, keyCol: Column, candCol: Column,
       refCol: Column, maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"maxN must be in [1, 4], got $maxN")

@@ -425,6 +425,28 @@ class DqSpec extends SparkSpec {
     got shouldBe Array(1) // all three land on digit 1
   }
 
+  behavior of "Dq.joinFanout"
+
+  it should "price the join exactly and name the hottest key" in {
+    val l = Seq(Some("a"), Some("a"), Some("b"), None).toDF("k")
+    val r = Seq("a", "b", "b", "b").toDF("k")
+    val got = graft.dq.Dq.joinFanout(l, r, col("k"), col("k"))
+      .select("left_rows", "right_rows", "left_null_keys",
+        "right_null_keys", "matched_keys", "max_key", "max_rows",
+        "amplification")
+      .as[(Long, Long, Long, Long, Long, String, java.math.BigDecimal,
+        Double)].head()
+    got._1 shouldBe 4L; got._2 shouldBe 4L
+    got._3 shouldBe 1L; got._4 shouldBe 0L
+    got._5 shouldBe 2L
+    got._6 shouldBe "b"                      // 1x3 beats 2x1
+    got._7.longValueExact() shouldBe 3L
+    got._8 shouldBe 1.25 +- 1e-9             // (2 + 3) / 4
+    // the estimate equals the join actually run
+    l.join(r.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .count() shouldBe 5L
+  }
+
   behavior of "Dq.fdViolations"
 
   it should "compute TANE's g3 on a hand case and certify a real FD" in {

@@ -422,6 +422,33 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "dq.Stats.welchT"
+
+  it should "match the hand-computed Welch t and Satterthwaite dof" in {
+    // arm0 = [1,2,3]: mean 2, var 1; arm1 = [2,4,6,8]: mean 5, var 20/3
+    // se2 = (20/3)/4 + 1/3 = 2 -> t = 3/sqrt(2); dof = 4.075472
+    val df = (Seq(1.0, 2.0, 3.0).map((0, _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map((1, _))).toDF("v", "x")
+    val r = graft.dq.Stats.welchT(df, col("v"), col("x"))
+      .select("n0", "n1", "mean0", "mean1", "var0", "var1", "t", "dof")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .head()
+    r._1 shouldBe 3L; r._2 shouldBe 4L
+    r._3 shouldBe 2.0; r._4 shouldBe 5.0
+    r._5 shouldBe 1.0; r._6 shouldBe math.floor(20.0 / 3 * 1e6 + 0.5) / 1e6
+    r._7 shouldBe math.floor(3.0 / math.sqrt(2.0) * 1e6 + 0.5) / 1e6
+    val se2 = 20.0 / 3 / 4 + 1.0 / 3
+    val dof = se2 * se2 / (math.pow(20.0 / 3 / 4, 2) / 3 +
+      math.pow(1.0 / 3, 2) / 2)
+    r._8 shouldBe math.floor(dof * 1e6 + 0.5) / 1e6 +- 1e-6
+  }
+
+  it should "emit NULL t on degenerate arms" in {
+    val df = Seq((0, 1.0), (1, 2.0), (1, 3.0)).toDF("v", "x")
+    graft.dq.Stats.welchT(df, col("v"), col("x"))
+      .select("t").as[Option[Double]].head() shouldBe None // n0 = 1
+  }
+
   behavior of "ml.Stats.cramersV"
 
   it should "score a bijection 1, independence 0, and a constant NULL" in {

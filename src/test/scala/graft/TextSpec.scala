@@ -1350,6 +1350,33 @@ class TextSpec extends SparkSpec {
     r(2)._2 shouldBe 4L; r(2)._3 shouldBe 6L; r(2)._7 shouldBe 0.0
   }
 
+  behavior of "TextStats.rougePairs"
+
+  it should "score hand-computed recall/precision/F1 at both orders" in {
+    val df = Seq(
+      (1L, "the cat sat", "the cat is on the mat"),
+      (2L, "the cat is on the mat", "the cat is on the mat"))
+      .toDF("id", "cand", "ref")
+    val r = graft.text.TextStats.rougePairs(df, col("id"), col("cand"),
+      col("ref")).orderBy(col("key"))
+      .select("rouge1_overlap", "rouge1_r", "rouge1_p", "rouge1_f",
+        "rouge2_overlap", "rouge2_r", "rouge2_p", "rouge2_f")
+      .as[(Long, Double, Double, Double, Long, Double, Double, Double)]
+      .collect()
+    // pair 1 unigrams: overlap {the:1, cat:1} = 2 of ref-6 / cand-3
+    r(0)._1 shouldBe 2L
+    r(0)._2 shouldBe 2.0 / 6 +- 1e-15
+    r(0)._3 shouldBe 2.0 / 3 +- 1e-15
+    r(0)._4 shouldBe 4.0 / 9 +- 1e-15
+    // pair 1 bigrams: only 'the cat' matches, ref has 5, cand has 2
+    r(0)._5 shouldBe 1L
+    r(0)._6 shouldBe 0.2 +- 1e-15
+    r(0)._7 shouldBe 0.5 +- 1e-15
+    r(0)._8 shouldBe 2.0 / 7 +- 1e-15
+    // identity scores 1 everywhere
+    r(1) shouldBe ((6L, 1.0, 1.0, 1.0, 5L, 1.0, 1.0, 1.0))
+  }
+
   it should "apply the brevity penalty exactly" in {
     // cand = first 3 words of the 6-word ref: p1 = 1, p2 = 1,
     // bp = e^(1 - 6/3) = e^-1
