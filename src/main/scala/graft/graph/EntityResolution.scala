@@ -162,4 +162,88 @@ object EntityResolution {
     from.join(to, Seq("component"), "left")
       .select(col("from_id"), col("to_id"))
   }
+
+  /** G3: FELLEGI–SUNTER record-linkage scoring (Fellegi & Sunter 1969,
+    * JASA — the probabilistic-linkage standard): per comparison field,
+    * estimate `m = P(agree | match)` and `u = P(agree | non-match)`
+    * from the LABELED pairs with the +0.5/+1 adjusted shares (a field
+    * that always/never agrees would put ln(0) into every score), turn
+    * them into agreement/disagreement log-weights `ln(m/u)` /
+    * `ln((1−m)/(1−u))`, and score EVERY pair — labeled or not — by the
+    * summed field weights. The score is the log-likelihood ratio of
+    * match vs non-match under field independence; `classified` applies
+    * the caller's threshold.
+    *
+    * Determinism: m/u come from one exact-BIGINT aggregate over the
+    * labeled pairs (broadcast back as a 1-row cross join); the per-pair
+    * score is a FIXED left-associated sum of per-field ln trees —
+    * column arithmetic, not an aggregation, so no ordering anywhere.
+    * Agreement columns must be 0/1 ints; NULL labels mean "unlabeled,
+    * score only". Output: the input pair columns + score (quantized-6)
+    * + classified. 100 TB: the scored relation never shuffles — one
+    * labeled-pair aggregate, broadcast, map. */
+  def fellegiSunter(pairs: DataFrame, agreementCols: Seq[String],
+      labelCol: String, threshold: Double): DataFrame = {
+    require(agreementCols.nonEmpty, "need at least one comparison field")
+    val y = col(labelCol)
+    val aggs =
+      Seq(coalesce(sum(when(y === 1, 1L)), lit(0L)).as("__nm"),
+        coalesce(sum(when(y === 0, 1L)), lit(0L)).as("__nu")) ++
+        agreementCols.flatMap { c =>
+          Seq(coalesce(sum(when(y === 1 && col(c) === 1, 1L)), lit(0L))
+            .as(s"__ma_$c"),
+            coalesce(sum(when(y === 0 && col(c) === 1, 1L)), lit(0L))
+              .as(s"__ua_$c"))
+        }
+    val est = pairs.agg(aggs.head, aggs.tail: _*)
+    val scored = pairs.crossJoin(broadcast(est))
+    val fieldScores = agreementCols.map { c =>
+      val m = (col(s"__ma_$c").cast("double") + lit(0.5)) /
+        (col("__nm").cast("double") + lit(1.0))
+      val u = (col(s"__ua_$c").cast("double") + lit(0.5)) /
+        (col("__nu").cast("double") + lit(1.0))
+      when(col(c) === 1, log(m / u))
+        .otherwise(log((lit(1.0) - m) / (lit(1.0) - u)))
+    }
+    val score = fieldScores.reduce(_ + _)
+    scored
+      .withColumn("score", graft.functions.q6(score))
+      .withColumn("classified", (col("score") >= threshold).cast("int"))
+      .select(pairs.columns.map(col) :+ col("score") :+
+        col("classified"): _*)
+  }
+
+  /** G4: BLOCKING-QUALITY REPORT — the two numbers every candidate
+    * generator (sorted neighborhood, LSH bands, IVF buckets) is judged
+    * by (Christen 2012): REDUCTION RATIO `1 − |cand| / (n·(n−1)/2)`
+    * (how much of the all-pairs space the blocker skipped) and PAIR
+    * COMPLETENESS `|cand ∩ truth| / |truth|` (how many true matches
+    * survived blocking). Exact integers; n(n−1)/2 in DECIMAL(38,0)
+    * (n² overflows LONG past ~4.3e9 rows); pairs are normalized to
+    * (least, greatest) before the intersection so orientation never
+    * splits a match. Output: 1 row. */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame,
+      aCol: String, bCol: String, nRecords: Long): DataFrame = {
+    require(nRecords >= 2, s"need nRecords >= 2, got $nRecords")
+    def norm(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("__a"),
+      greatest(col(aCol), col(bCol)).as("__b")).distinct()
+    val c = norm(candidates)
+    val t = norm(truth)
+    val hit = c.join(t, Seq("__a", "__b"), "inner")
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = c.agg(count(lit(1)).as("n_candidates"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val allPairs = lit(nRecords).cast("decimal(38,0)") *
+      lit(nRecords - 1).cast("decimal(38,0)") / lit(2).cast("decimal(38,0)")
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(hit))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        allPairs.cast("decimal(38,0)").as("n_all_pairs"),
+        graft.functions.q6(lit(1.0) -
+          col("n_candidates").cast("double") / allPairs.cast("double"))
+          .as("reduction_ratio"),
+        graft.functions.q6(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double")))
+          .as("pair_completeness"))
+  }
 }

@@ -26,7 +26,75 @@ object GraphQueries {
         lit(0.9).as("confidence")))
   }
 
+  /** Shared G3/G4 fixture: labeled customer pairs — planted
+    * transposed-name matches, adjacent-id non-matches, and a few
+    * unlabeled probes — with 0/1 field agreements (JW-name at 0.985,
+    * nation, segment). */
+  private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinklerExpr.register(s)
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("cid"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    val b = c.select(col("cid").as("cid_b"), col("name").as("name_b"),
+      col("nat").as("nat_b"), col("seg").as("seg_b"))
+    val matches = c.filter(col("cid") % 7 === 0).select(
+      col("cid").as("id_a"), (col("cid") + 100000).as("id_b"),
+      col("name").as("name_a"),
+      concat(substring(col("name"), 1, 16), substring(col("name"), 18, 1),
+        substring(col("name"), 17, 1)).as("name_b"),
+      col("nat").as("nat_a"), col("nat").as("nat_b"),
+      col("seg").as("seg_a"), col("seg").as("seg_b"),
+      lit(1).as("label"))
+    def shifted(offset: Int, modFilter: Int, label: Option[Int]) = c
+      .filter(col("cid") % modFilter === 0)
+      .join(b, col("cid_b") === col("cid") + offset)
+      .select(col("cid").as("id_a"), col("cid_b").as("id_b"),
+        col("name").as("name_a"), col("name_b"),
+        col("nat").as("nat_a"), col("nat_b"),
+        col("seg").as("seg_a"), col("seg_b"),
+        label.map(lit(_)).getOrElse(lit(null).cast("int")).as("label"))
+    matches.unionByName(shifted(1, 5, Some(0)))
+      .unionByName(shifted(2, 11, None))
+      .select(col("id_a"), col("id_b"), col("label"),
+        (call_function("graft_jw", col("name_a"), col("name_b")) >= 0.985)
+          .cast("int").as("name_agree"),
+        (col("nat_a") === col("nat_b")).cast("int").as("nation_agree"),
+        (col("seg_a") === col("seg_b")).cast("int").as("seg_agree"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // G3: Fellegi-Sunter probabilistic linkage — m/u weights from the
+    // labeled pairs, every pair scored by summed field log-weights.
+    "q_g3_fellegi_sunter" -> { (s, dir) =>
+      graft.graph.EntityResolution.fellegiSunter(linkagePairs(s, dir),
+        Seq("name_agree", "nation_agree", "seg_agree"), "label",
+        threshold = 2.0)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // G4: blocking quality of the X137 JW neighborhood join against
+    // the planted transposed-name truth pairs.
+    "q_g4_blocking_quality" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val base = c.select(col("c_custkey").as("cid"),
+        col("c_name").as("name"))
+      val mutated = c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 100000).as("cid"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("name"))
+      val corpus = base.unionByName(mutated)
+      val n = corpus.count()
+      val cands = graft.text.Fuzzy.jwNeighborhoodJoin(corpus, "cid",
+        col("name"), window = 4, minSim = 0.985)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val truth = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("a"),
+          (col("c_custkey") + 100000).as("b"))
+      graft.graph.EntityResolution.blockingQuality(cands, truth,
+        "a", "b", n)
+    },
+
     // G1: connected components by iterative min-label propagation.
     "q_g1_connected_components" -> { (s, dir) =>
       EntityResolution.connectedComponents(edges(s, dir), "src", "dst")
@@ -566,6 +634,118 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same pair fixture (DuckDB's jaro_winkler_similarity = graft_jw),
+    // same +0.5/+1 adjusted m/u shares, same left-associated ln sum.
+    "q_g3_fellegi_sunter" ->
+      """WITH c AS (SELECT c_custkey AS cid, c_name AS name,
+        |    c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+        |p AS (
+        |  SELECT cid AS id_a, cid + 100000 AS id_b, name AS name_a,
+        |    substr(name, 1, 16) || substr(name, 18, 1)
+        |      || substr(name, 17, 1) AS name_b,
+        |    nat AS nat_a, nat AS nat_b, seg AS seg_a, seg AS seg_b,
+        |    1 AS label
+        |  FROM c WHERE cid % 7 = 0
+        |  UNION ALL
+        |  SELECT a.cid, b.cid, a.name, b.name, a.nat, b.nat, a.seg,
+        |    b.seg, 0
+        |  FROM c a JOIN c b ON b.cid = a.cid + 1 WHERE a.cid % 5 = 0
+        |  UNION ALL
+        |  SELECT a.cid, b.cid, a.name, b.name, a.nat, b.nat, a.seg,
+        |    b.seg, NULL
+        |  FROM c a JOIN c b ON b.cid = a.cid + 2 WHERE a.cid % 11 = 0),
+        |g AS (SELECT id_a, id_b, label,
+        |    CASE WHEN jaro_winkler_similarity(name_a, name_b) >= 0.985
+        |      THEN 1 ELSE 0 END AS name_agree,
+        |    CASE WHEN nat_a = nat_b THEN 1 ELSE 0 END AS nation_agree,
+        |    CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS seg_agree
+        |  FROM p),
+        |est AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS nm,
+        |    CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS nu,
+        |    CAST(coalesce(sum(CASE WHEN label = 1 AND name_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ma_name,
+        |    CAST(coalesce(sum(CASE WHEN label = 0 AND name_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ua_name,
+        |    CAST(coalesce(sum(CASE WHEN label = 1 AND nation_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ma_nat,
+        |    CAST(coalesce(sum(CASE WHEN label = 0 AND nation_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ua_nat,
+        |    CAST(coalesce(sum(CASE WHEN label = 1 AND seg_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ma_seg,
+        |    CAST(coalesce(sum(CASE WHEN label = 0 AND seg_agree = 1
+        |      THEN 1 END), 0) AS BIGINT) AS ua_seg
+        |  FROM g),
+        |sc AS (SELECT g.id_a, g.id_b, g.label, g.name_agree,
+        |    g.nation_agree, g.seg_agree,
+        |    floor((
+        |      (CASE WHEN g.name_agree = 1 THEN
+        |        ln(((est.ma_name + 0.5) / (est.nm + 1.0))
+        |          / ((est.ua_name + 0.5) / (est.nu + 1.0)))
+        |      ELSE
+        |        ln((1.0 - (est.ma_name + 0.5) / (est.nm + 1.0))
+        |          / (1.0 - (est.ua_name + 0.5) / (est.nu + 1.0)))
+        |      END
+        |      + CASE WHEN g.nation_agree = 1 THEN
+        |        ln(((est.ma_nat + 0.5) / (est.nm + 1.0))
+        |          / ((est.ua_nat + 0.5) / (est.nu + 1.0)))
+        |      ELSE
+        |        ln((1.0 - (est.ma_nat + 0.5) / (est.nm + 1.0))
+        |          / (1.0 - (est.ua_nat + 0.5) / (est.nu + 1.0)))
+        |      END)
+        |      + CASE WHEN g.seg_agree = 1 THEN
+        |        ln(((est.ma_seg + 0.5) / (est.nm + 1.0))
+        |          / ((est.ua_seg + 0.5) / (est.nu + 1.0)))
+        |      ELSE
+        |        ln((1.0 - (est.ma_seg + 0.5) / (est.nm + 1.0))
+        |          / (1.0 - (est.ua_seg + 0.5) / (est.nu + 1.0)))
+        |      END) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM g, est)
+        |SELECT id_a, id_b, label, name_agree, nation_agree, seg_agree,
+        |  score, CASE WHEN score >= 2.0 THEN 1 ELSE 0 END AS classified
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    // X137's candidate pipeline feeding the Christen reduction-ratio /
+    // pair-completeness formulas; HUGEINT all-pairs denominator.
+    "q_g4_blocking_quality" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS key FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000,
+        |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+        |      || substr(c_name, 17, 1)
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |r AS (SELECT id, key,
+        |    row_number() OVER (ORDER BY key, id) AS rk
+        |  FROM base),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    jaro_winkler_similarity(a.key, b.key) AS jw
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4),
+        |cand AS (SELECT DISTINCT LEAST(id_a, id_b) AS a,
+        |    GREATEST(id_a, id_b) AS b
+        |  FROM p WHERE jw >= 0.985),
+        |truth AS (SELECT DISTINCT c_custkey AS a,
+        |    c_custkey + 100000 AS b
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |nrec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |stats AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand)
+        |      AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |     FROM cand JOIN truth ON truth.a = cand.a
+        |       AND truth.b = cand.b) AS n_hit,
+        |    (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) / 2
+        |      AS DECIMAL(38,0)) FROM nrec) AS n_all_pairs)
+        |SELECT n_candidates, n_truth, n_hit, n_all_pairs,
+        |  floor((1.0 - CAST(n_candidates AS DOUBLE)
+        |    / CAST(n_all_pairs AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS reduction_ratio,
+        |  CASE WHEN n_truth > 0 THEN
+        |    floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS pair_completeness
+        |FROM stats""".stripMargin,
     // Same arithmetic proposal and anti-join over the normalized pair.
     "q_x115_negative_sampling" ->
       """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd

@@ -268,4 +268,48 @@ class GraphSpec extends SparkSpec {
     run(1) shouldBe run(7)
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "EntityResolution.fellegiSunter"
+
+  it should "recover hand-computed m/u log-weights and score unlabeled pairs" in {
+    import spark.implicits._
+    // one field: 3 of 4 matches agree, 1 of 4 non-matches agrees
+    // m = 3.5/5 = 0.7, u = 1.5/5 = 0.3
+    val pairs = Seq(
+      (1L, Some(1), 1), (2L, Some(1), 1), (3L, Some(1), 1),
+      (4L, Some(1), 0),
+      (5L, Some(0), 1), (6L, Some(0), 0), (7L, Some(0), 0),
+      (8L, Some(0), 0),
+      (9L, None, 1), (10L, None, 0)) // unlabeled, still scored
+      .toDF("pid", "label", "f_agree")
+    val r = graft.graph.EntityResolution.fellegiSunter(pairs,
+      Seq("f_agree"), "label", threshold = 0.5)
+      .select("pid", "score", "classified")
+      .as[(Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val wAgree = math.log(0.7 / 0.3)
+    val wDis = math.log(0.3 / 0.7)
+    r(1L)._2 shouldBe math.floor(wAgree * 1e6 + 0.5) / 1e6
+    r(6L)._2 shouldBe math.floor(wDis * 1e6 + 0.5) / 1e6 +- 1e-12
+    r(9L)._2 shouldBe r(1L)._2 // unlabeled pairs get the same weights
+    r(1L)._3 shouldBe 1        // ln(7/3) = 0.847 >= 0.5
+    r(6L)._3 shouldBe 0
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  behavior of "EntityResolution.blockingQuality"
+
+  it should "compute hand reduction ratio and pair completeness, orientation-proof" in {
+    import spark.implicits._
+    // 5 records -> 10 possible pairs; candidates {1-2, 3-4} (with a
+    // reversed duplicate), truth {1-2, 4-5}
+    val cand = Seq((1L, 2L), (3L, 4L), (2L, 1L)).toDF("a", "b")
+    val truth = Seq((2L, 1L), (4L, 5L)).toDF("a", "b")
+    val r = graft.graph.EntityResolution.blockingQuality(cand, truth,
+      "a", "b", nRecords = 5)
+      .select("n_candidates", "n_truth", "n_hit", "reduction_ratio",
+        "pair_completeness")
+      .as[(Long, Long, Long, Double, Double)].head()
+    r shouldBe ((2L, 2L, 1L, 0.8, 0.5))
+    graft.util.Caches.releaseAll(spark)
+  }
 }
