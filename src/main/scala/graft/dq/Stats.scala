@@ -248,6 +248,92 @@ object Stats {
       (abs(z) > zThreshold).cast("int").as("significant"))
   }
 
+  /** F43: UCB1 ALLOCATION SNAPSHOT (Auer et al. 2002) — the
+    * deterministic bandit dashboard: per arm, exact pull/reward
+    * counts, the mean reward, the UCB1 index `mean + √(2·ln N / n)`,
+    * and which arm a UCB policy would pull next. Thompson sampling
+    * needs randomness; UCB1 is the deterministic-index policy, which
+    * is what makes it reproducible as a QUERY — re-running the
+    * snapshot on the same log yields the same decision.
+    *
+    * Determinism: counts exact BIGINT; mean is one division; the index
+    * is a fixed ln/sqrt tree quantized-6; the chosen arm is the max of
+    * (ucb_q6, arm) struct — deterministic under index ties. (Arms the
+    * log has never pulled don't appear — UCB1's play-each-arm-once
+    * bootstrap happens before a log exists to query.) One groupBy +
+    * two broadcast 1-row aggregates. Output: one row per arm. */
+  def ucbSnapshot(pulls: DataFrame, armCol: Column, rewardCol: Column)
+      : DataFrame = {
+    val arms = pulls.groupBy(armCol.as("arm"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(rewardCol.cast("decimal(18,6)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          .as("__r"))
+    val tot = arms.agg(sum(col("n")).as("__N"))
+    val withIdx = arms.crossJoin(broadcast(tot))
+      .withColumn("mean_reward",
+        graft.functions.q6(col("__r").cast("double") /
+          col("n").cast("double")))
+      .withColumn("ucb", graft.functions.q6(
+        col("__r").cast("double") / col("n").cast("double") +
+          sqrt(lit(2.0) * log(col("__N").cast("double")) /
+            col("n").cast("double"))))
+    val best = withIdx.agg(max(struct(col("ucb"), col("arm")))
+      .as("__best"))
+    withIdx.crossJoin(broadcast(best))
+      .select(col("arm"), col("n"), col("mean_reward"), col("ucb"),
+        (col("ucb") === col("__best.ucb") &&
+          col("arm") === col("__best.arm")).cast("int").as("is_chosen"))
+  }
+
+  /** F44: DIFFERENCE-IN-DIFFERENCES estimator (Card & Krueger 1994
+    * canon; public knowledge) — the quasi-experimental workhorse when
+    * assignment isn't randomized: `DiD = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre)`, with a large-sample SE from the four cell
+    * variances `√(Σ v_g,p / n_g,p)` and z = DiD/SE. Identifies the
+    * effect under parallel trends — which this REPORTS, it cannot
+    * test; pair with the E-tier trend operators for that.
+    *
+    * One aggregate pass: per-cell n, DECIMAL-exact Σy and Σy² (the
+    * same order-immune moment discipline as [[welchT]]); means,
+    * variances, DiD, SE, z are fixed trees cast to double once,
+    * quantized-6. Any cell with < 2 rows ⇒ NULL SE/z (the DiD point
+    * estimate still reports when all four cells have ≥ 1 row). */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+      valueCol: Column): DataFrame = {
+    val g = treatedCol.cast("int")
+    val p = postCol.cast("int")
+    val x = valueCol.cast("decimal(18,6)")
+    def cell(gi: Int, pi: Int, suffix: String) = Seq(
+      coalesce(sum(when(g === gi && p === pi, 1L)), lit(0L))
+        .as(s"n_$suffix"),
+      sum(when(g === gi && p === pi, x)).as(s"__s_$suffix"),
+      sum(when(g === gi && p === pi, x * x)).as(s"__q_$suffix"))
+    val aggs = cell(1, 0, "t_pre") ++ cell(1, 1, "t_post") ++
+      cell(0, 0, "c_pre") ++ cell(0, 1, "c_post")
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    def m(s: String) = when(col(s"n_$s") > 0,
+      col(s"__s_$s").cast("double") / col(s"n_$s").cast("double"))
+    def v(s: String) = when(col(s"n_$s") > 1,
+      (col(s"__q_$s").cast("double") -
+        col(s"__s_$s").cast("double") * col(s"__s_$s").cast("double") /
+          col(s"n_$s").cast("double")) /
+        (col(s"n_$s").cast("double") - lit(1.0)))
+    val did = (m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre"))
+    val se2 = v("t_post") / col("n_t_post").cast("double") +
+      v("t_pre") / col("n_t_pre").cast("double") +
+      v("c_post") / col("n_c_post").cast("double") +
+      v("c_pre") / col("n_c_pre").cast("double")
+    import graft.functions.q6
+    agg.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      q6(m("t_pre")).as("mean_t_pre"), q6(m("t_post")).as("mean_t_post"),
+      q6(m("c_pre")).as("mean_c_pre"), q6(m("c_post")).as("mean_c_post"),
+      q6(did).as("did"),
+      q6(when(se2 > 0, sqrt(se2))).as("se"),
+      q6(when(se2 > 0, did / sqrt(se2))).as("z"))
+  }
+
   /** F42: WELCH'S UNEQUAL-VARIANCE t-TEST (Welch 1947) for a CONTINUOUS
     * metric between two variants — the revenue/latency companion of the
     * proportion [[abTest]] (Student's pooled t silently assumes equal

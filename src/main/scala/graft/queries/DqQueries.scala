@@ -55,6 +55,25 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F43: UCB1 bandit snapshot over event types as arms, conversion
+    // (value > 60) as reward — which arm a deterministic-index policy
+    // pulls next.
+    "q_f43_ucb_allocation" -> { (s, dir) =>
+      graft.dq.Stats.ucbSnapshot(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"), (col("value") > 60).cast("int"))
+        .orderBy(col("arm"))
+    },
+
+    // F44: difference-in-differences on order totals — odd customers
+    // "treated", 1998+ "post"; the quasi-experimental baseline.
+    "q_f44_diff_in_diff" -> { (s, dir) =>
+      graft.dq.Stats.diffInDiff(t(s, dir, "orders"),
+        col("o_custkey") % 2,
+        (col("o_orderdate") >= "1998-01-01").cast("int"),
+        col("o_totalprice"))
+    },
+
     // D23: exact join-fanout pre-flight for the events-on-user_id
     // self-join — the classic accidental O(n²) explosion, priced
     // before any shuffle is paid.
@@ -451,6 +470,119 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same exact counts; identical mean/UCB1 trees; the chosen arm via
+    // the same (ucb, arm) descending order.
+    "q_f43_ucb_allocation" ->
+      """WITH arms AS (
+        |  SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 60 THEN 1 ELSE 0 END)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM arms),
+        |w AS (SELECT arm, n,
+        |    floor(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS mean_reward,
+        |    floor((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + sqrt(2.0 * ln(CAST(tot.nn AS DOUBLE))
+        |        / CAST(n AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS ucb
+        |  FROM arms, tot),
+        |b AS (SELECT ucb AS bucb, arm AS barm FROM w
+        |      ORDER BY ucb DESC, arm DESC LIMIT 1)
+        |SELECT w.arm, w.n, w.mean_reward, w.ucb,
+        |  CASE WHEN w.ucb = b.bucb AND w.arm = b.barm
+        |    THEN 1 ELSE 0 END AS is_chosen
+        |FROM w, b ORDER BY w.arm""".stripMargin,
+    // Same DECIMAL cell moments ((19,6) squares — the F42 overflow
+    // lesson), identical DiD/SE/z trees, quantized-6.
+    "q_f44_diff_in_diff" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |  sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s_t_pre,
+        |  sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q_t_pre,
+        |  CAST(sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |  sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s_t_post,
+        |  sum(CASE WHEN o_custkey % 2 = 1
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q_t_post,
+        |  CAST(sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |  sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s_c_pre,
+        |  sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q_c_pre,
+        |  CAST(sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |  sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s_c_post,
+        |  sum(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q_c_post
+        |  FROM orders),
+        |d AS (SELECT *,
+        |    CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)
+        |      / CAST(n_t_pre AS DOUBLE) END AS m_t_pre,
+        |    CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)
+        |      / CAST(n_t_post AS DOUBLE) END AS m_t_post,
+        |    CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)
+        |      / CAST(n_c_pre AS DOUBLE) END AS m_c_pre,
+        |    CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)
+        |      / CAST(n_c_post AS DOUBLE) END AS m_c_post,
+        |    CASE WHEN n_t_pre > 1 THEN (CAST(q_t_pre AS DOUBLE)
+        |      - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE)
+        |        / CAST(n_t_pre AS DOUBLE))
+        |      / (CAST(n_t_pre AS DOUBLE) - 1.0) END AS v_t_pre,
+        |    CASE WHEN n_t_post > 1 THEN (CAST(q_t_post AS DOUBLE)
+        |      - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE)
+        |        / CAST(n_t_post AS DOUBLE))
+        |      / (CAST(n_t_post AS DOUBLE) - 1.0) END AS v_t_post,
+        |    CASE WHEN n_c_pre > 1 THEN (CAST(q_c_pre AS DOUBLE)
+        |      - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE)
+        |        / CAST(n_c_pre AS DOUBLE))
+        |      / (CAST(n_c_pre AS DOUBLE) - 1.0) END AS v_c_pre,
+        |    CASE WHEN n_c_post > 1 THEN (CAST(q_c_post AS DOUBLE)
+        |      - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE)
+        |        / CAST(n_c_post AS DOUBLE))
+        |      / (CAST(n_c_post AS DOUBLE) - 1.0) END AS v_c_post
+        |  FROM a),
+        |e AS (SELECT *,
+        |    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_r,
+        |    v_t_post / CAST(n_t_post AS DOUBLE)
+        |      + v_t_pre / CAST(n_t_pre AS DOUBLE)
+        |      + v_c_post / CAST(n_c_post AS DOUBLE)
+        |      + v_c_pre / CAST(n_c_pre AS DOUBLE) AS se2
+        |  FROM d)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  floor(m_t_pre * 1000000.0 + 0.5) / 1000000.0 AS mean_t_pre,
+        |  floor(m_t_post * 1000000.0 + 0.5) / 1000000.0 AS mean_t_post,
+        |  floor(m_c_pre * 1000000.0 + 0.5) / 1000000.0 AS mean_c_pre,
+        |  floor(m_c_post * 1000000.0 + 0.5) / 1000000.0 AS mean_c_post,
+        |  floor(did_r * 1000000.0 + 0.5) / 1000000.0 AS did,
+        |  CASE WHEN se2 > 0 THEN
+        |    floor(sqrt(se2) * 1000000.0 + 0.5) / 1000000.0 END AS se,
+        |  CASE WHEN se2 > 0 THEN
+        |    floor(did_r / sqrt(se2) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS z
+        |FROM e""".stripMargin,
     // Same per-key counts; products and the total in exact
     // DECIMAL(38,0)/HUGEINT; hottest key via (rows, key) max ordering.
     "q_d23_join_fanout" ->

@@ -422,6 +422,45 @@ class StatsSpec extends SparkSpec {
     r2.foreach(_ shouldBe 0.0 +- 1e-5)
   }
 
+  behavior of "dq.Stats.ucbSnapshot"
+
+  it should "rank arms by the hand-computed UCB1 index" in {
+    // arm a: 8 pulls 6 wins (0.75); arm b: 2 pulls 1 win (0.5); N = 10
+    // ucb_a = 0.75 + sqrt(2 ln 10 / 8); ucb_b = 0.5 + sqrt(2 ln 10 / 2)
+    // -> b's exploration bonus wins despite the lower mean
+    val df = (Seq.fill(6)(("a", 1)) ++ Seq.fill(2)(("a", 0)) ++
+      Seq(("b", 1), ("b", 0))).toDF("arm", "r")
+    val r = graft.dq.Stats.ucbSnapshot(df, col("arm"), col("r"))
+      .orderBy(col("arm"))
+      .select("arm", "n", "mean_reward", "ucb", "is_chosen")
+      .as[(String, Long, Double, Double, Int)].collect()
+    r(0)._3 shouldBe 0.75
+    r(1)._3 shouldBe 0.5
+    r(0)._4 shouldBe math.floor(
+      (0.75 + math.sqrt(2 * math.log(10.0) / 8)) * 1e6 + 0.5) / 1e6
+    r(1)._4 shouldBe math.floor(
+      (0.5 + math.sqrt(2 * math.log(10.0) / 2)) * 1e6 + 0.5) / 1e6
+    r.map(t => t._1 -> t._5).toMap shouldBe Map("a" -> 0, "b" -> 1)
+  }
+
+  behavior of "dq.Stats.diffInDiff"
+
+  it should "recover a planted treatment effect exactly" in {
+    // control: 10 -> 12 (+2 trend); treated: 20 -> 27 (+2 trend +5
+    // effect); two rows per cell with ±1 spread so variances exist
+    def cell(g: Int, p: Int, m: Double) =
+      Seq((g, p, m - 1.0), (g, p, m + 1.0))
+    val df = (cell(0, 0, 10) ++ cell(0, 1, 12) ++ cell(1, 0, 20) ++
+      cell(1, 1, 27)).toDF("g", "p", "y")
+    val r = graft.dq.Stats.diffInDiff(df, col("g"), col("p"), col("y"))
+      .select("did", "se", "z")
+      .as[(Double, Double, Double)].head()
+    r._1 shouldBe 5.0
+    // each cell: n=2, var=2 -> se = sqrt(4 * 2/2) = 2
+    r._2 shouldBe 2.0
+    r._3 shouldBe 2.5
+  }
+
   behavior of "dq.Stats.welchT"
 
   it should "match the hand-computed Welch t and Satterthwaite dof" in {
