@@ -348,13 +348,20 @@ object Stats {
   def welchT(units: DataFrame, variant: Column, value: Column)
       : DataFrame = {
     val x = value.cast("decimal(18,6)")
-    val agg = units.agg(
+    welchFromMoments(units.agg(
       sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(variant === 0, x)).as("__s0"),
       sum(when(variant === 1, x)).as("__s1"),
       sum(when(variant === 0, x * x)).as("__q0"),
-      sum(when(variant === 1, x * x)).as("__q1"))
+      sum(when(variant === 1, x * x)).as("__q1")))
+  }
+
+  /** The [[welchT]] derivation over an already-aggregated 1-row moment
+    * table (n0, n1, __s0, __s1, __q0, __q1). The DECIMAL moments are
+    * exact and ASSOCIATIVE — the streaming monitor sums per-batch
+    * moment rows and publishes the identical test. */
+  def welchFromMoments(agg: DataFrame): DataFrame = {
     def stats(i: Int) = {
       val n = col(s"n$i").cast("double")
       val s = col(s"__s$i").cast("double")
@@ -408,16 +415,28 @@ object Stats {
   def bhFdr(units: DataFrame, groupCols: Seq[String], variant: Column,
       converted: Column, qNum: Int = 1, qDen: Int = 20): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    require(qNum >= 1 && qDen > qNum,
-      s"need 0 < qNum/qDen < 1, got $qNum/$qDen")
-    val counts = units.groupBy(groupCols.map(col): _*)
+    bhFdrFromCounts(units.groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(variant === 0, converted.cast("long")).otherwise(0L))
           .as("c0"),
         sum(when(variant === 1, converted.cast("long")).otherwise(0L))
-          .as("c1"))
+          .as("c1")), groupCols, qNum, qDen)
+  }
+
+  /** The [[bhFdr]] step-up over an already-counted per-group
+    * (n0, n1, c0, c1) table. The four counters are exact and mergeable
+    * — the streaming monitor sums per-batch group tables and publishes
+    * the identical FDR decision. The degeneracy filter runs here, so
+    * a group that becomes testable only after several batches merge is
+    * admitted exactly when the batch operator would admit it. */
+  def bhFdrFromCounts(counts0: DataFrame, groupCols: Seq[String],
+      qNum: Int = 1, qDen: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qNum >= 1 && qDen > qNum,
+      s"need 0 < qNum/qDen < 1, got $qNum/$qDen")
+    val counts = counts0
       .filter(col("n0") > 0 && col("n1") > 0 &&
         col("c0") + col("c1") > 0 &&
         col("c0") + col("c1") < col("n0") + col("n1"))

@@ -1195,6 +1195,105 @@ object StreamingEvents {
         sum(col("tn")).as("tn"), sum(col("fn")).as("fn"),
         sum(col("__n_null")).as("__n_null")))
 
+  /** Streaming WELCH A/B monitor (F42 streaming): each micro-batch
+    * persists ONE row of per-variant DECIMAL moment sums (n, Σx, Σx²)
+    * under `batch_id=N`; decimal addition is exact and associative, so
+    * the published view — [[graft.dq.Stats.welchFromMoments]] over the
+    * summed row — equals the batch test over everything ingested
+    * (spec-proven). The continuously-updating experiment readout.
+    * Replays overwrite their own batch directory: idempotent. */
+  def welchSink(rows: DataFrame, variantCol: String, valueCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) welchBatch(batch.toDF(), batchId, variantCol,
+          valueCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[welchSink]] — package-private so the parity
+    * spec can drive the identical code path directly. */
+  private[graft] def welchBatch(batch: DataFrame, batchId: Long,
+      variantCol: String, valueCol: String, statsDir: String): Unit = {
+    val variant = col(variantCol)
+    val x = col(valueCol).cast("decimal(18,6)")
+    batch.agg(
+      coalesce(sum(when(variant === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n0"),
+      coalesce(sum(when(variant === 1, 1L).otherwise(0L)), lit(0L))
+        .as("n1"),
+      sum(when(variant === 0, x)).as("__s0"),
+      sum(when(variant === 1, x)).as("__s1"),
+      sum(when(variant === 0, x * x)).as("__q0"),
+      sum(when(variant === 1, x * x)).as("__q1"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[welchSink]] directory: the merged
+    * moments through the same Welch derivation as the batch test. */
+  def welchView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.dq.Stats.welchFromMoments(
+      spark.read.parquet(statsDir).agg(
+        sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
+        sum(col("__s0")).as("__s0"), sum(col("__s1")).as("__s1"),
+        sum(col("__q0")).as("__q0"), sum(col("__q1")).as("__q1")))
+
+  /** Streaming BH-FDR dashboard (F38 streaming): each micro-batch
+    * persists its per-group (n0, n1, c0, c1) count table under
+    * `batch_id=N`; counts merge exactly, so the published view —
+    * [[graft.dq.Stats.bhFdrFromCounts]] over the summed groups —
+    * equals the batch step-up over everything ingested (spec-proven),
+    * INCLUDING the degeneracy filter: a group only becomes a test once
+    * enough batches give both arms exposure. Replays overwrite their
+    * own batch directory: idempotent. */
+  def bhFdrSink(rows: DataFrame, groupCols: Seq[String],
+      variantCol: String, convertedCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) bhFdrBatch(batch.toDF(), batchId, groupCols,
+          variantCol, convertedCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[bhFdrSink]] — package-private so the parity
+    * spec can drive the identical code path directly. */
+  private[graft] def bhFdrBatch(batch: DataFrame, batchId: Long,
+      groupCols: Seq[String], variantCol: String, convertedCol: String,
+      statsDir: String): Unit = {
+    val variant = col(variantCol)
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(when(variant === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n0"),
+        coalesce(sum(when(variant === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(variant === 0, col(convertedCol).cast("long"))
+          .otherwise(0L)), lit(0L)).as("c0"),
+        coalesce(sum(when(variant === 1, col(convertedCol).cast("long"))
+          .otherwise(0L)), lit(0L)).as("c1"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[bhFdrSink]] directory: merged group
+    * counts through the same step-up as the batch operator. */
+  def bhFdrView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, groupCols: Seq[String], qNum: Int = 1,
+      qDen: Int = 20): DataFrame =
+    graft.dq.Stats.bhFdrFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
+          sum(col("c0")).as("c0"), sum(col("c1")).as("c1")),
+      groupCols, qNum, qDen)
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

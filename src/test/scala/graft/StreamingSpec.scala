@@ -968,6 +968,76 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "publish a stream-wide Welch test identical to the batch test over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swelch").toString
+    val b1 = Seq((0, 1.0), (0, 2.0), (1, 2.0), (1, 4.0))
+    val b2 = Seq((0, 3.0), (1, 6.0), (1, 8.0))
+    val in = MemoryStream[(Int, Double)]
+    val q = StreamingEvents.welchSink(
+      in.toDF().toDF("v", "x"), "v", "x", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.welchView(spark, s"$tmp/stats"))
+    val batch = rows(graft.dq.Stats.welchT((b1 ++ b2).toDF("v", "x"),
+      col("v"), col("x")))
+    streamed shouldBe batch
+    streamed.head._1 shouldBe 3L // arm0 = [1,2,3]
+    streamed.head._3 shouldBe 2.0 // its mean
+    // replay safety
+    StreamingEvents.welchBatch(b2.toDF("v", "x"), 1L, "v", "x",
+      s"$tmp/stats")
+    rows(StreamingEvents.welchView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "publish a stream-wide BH-FDR board identical to the batch step-up, admitting groups as they become testable" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbh").toString
+    def arm(g: String, v: Int, n: Int, c: Int) =
+      Seq.fill(c)((g, v, 1)) ++ Seq.fill(n - c)((g, v, 0))
+    // batch 1 gives group B only arm 0 — untestable until batch 2
+    val b1 = arm("A", 0, 200, 20) ++ arm("A", 1, 200, 60) ++
+      arm("B", 0, 100, 10)
+    val b2 = arm("B", 1, 100, 12)
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingEvents.bhFdrSink(
+      in.toDF().toDF("g", "v", "y"), Seq("g"), "v", "y",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // with only batch 1 ingested, group B has one arm -> untestable
+    StreamingEvents.bhFdrBatch(b1.toDF("g", "v", "y"), 0L, Seq("g"),
+      "v", "y", s"$tmp/stats_b1only")
+    StreamingEvents.bhFdrView(spark, s"$tmp/stats_b1only", Seq("g"))
+      .select("g").as[String].collect() shouldBe Array("A")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("rank"))
+      .select("g", "p", "rank", "m", "significant")
+      .as[(String, Double, Long, Long, Int)].collect().toSeq
+    val streamed = rows(StreamingEvents.bhFdrView(spark,
+      s"$tmp/stats", Seq("g")))
+    val batch = rows(graft.dq.Stats.bhFdr((b1 ++ b2).toDF("g", "v", "y"),
+      Seq("g"), col("v"), col("y")))
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe Seq("A", "B") // B admitted after merge
+    streamed.head._5 shouldBe 1               // the planted A effect
+    // replay safety
+    StreamingEvents.bhFdrBatch(b2.toDF("g", "v", "y"), 1L, Seq("g"),
+      "v", "y", s"$tmp/stats")
+    rows(StreamingEvents.bhFdrView(spark, s"$tmp/stats",
+      Seq("g"))) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "monitor stream-wide Benford digits identically to the batch test over the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sbenford").toString
