@@ -654,4 +654,75 @@ class PlanGuardSpec extends SparkSpec {
       10, "pg")) shouldBe 1
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "keep the round-11 session-2 operators free of unbounded windows and cartesian data joins" in {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"w${i % 9} x${i % 7} y${i % 5} z", i % 3 == 0))
+      .toDF("doc_id", "text", "en")
+
+    // two-phase everywhere: curriculum, isotonic, BH-FDR plan NO
+    // partition-less window at any input size
+    assertNoUnboundedGlobalWindow(graft.curate.Curation.curriculumOrder(
+      docs, "doc_id", org.apache.spark.sql.functions.length(col("text")), stages = 3))
+    assertNoUnboundedGlobalWindow(graft.ml.Eval.isotonicCalibration(
+      docs, org.apache.spark.sql.functions.length(col("text")), col("en").cast("int"), nBuckets = 5))
+    assertNoUnboundedGlobalWindow(graft.dq.Stats.bhFdr(
+      docs.select((col("doc_id") % 4).as("g"),
+        (col("doc_id") % 2).cast("int").as("v"),
+        col("en").cast("int").as("y")),
+      Seq("g"), col("v"), col("y")))
+
+    // pure-aggregate/join shapes: no window nodes at all
+    assertNoUnboundedGlobalWindow(graft.dq.Dq.benfordTest(
+      docs.select((col("doc_id") * 7).cast("double").as("v")), col("v")))
+    assertNoUnboundedGlobalWindow(graft.dq.Dq.joinFanout(docs, docs,
+      col("doc_id") % 5, col("doc_id") % 5))
+    val pairs = docs.select(col("doc_id").as("k"), col("text").as("a"),
+      reverse(col("text")).as("b"))
+    assertNoUnboundedGlobalWindow(graft.text.TextStats.bleuPairs(pairs,
+      col("k"), col("a"), col("b")))
+    assertNoUnboundedGlobalWindow(graft.text.TextStats.rougePairs(pairs,
+      col("k"), col("a"), col("b")))
+
+    // bitemporal: the ONLY window is keyed by (entity, valid_from) —
+    // one fact's correction chain
+    val bt = graft.load.Bitemporal.fromAssertions(
+      docs.select((col("doc_id") % 5).as("e"),
+        lit("2024-01-01 00:00:00").as("vf"),
+        lit("2024-01-02 00:00:00").as("tx"), col("doc_id").as("tie"),
+        col("en").as("value")),
+      col("e"), col("vf"), col("tx"), col("tie"), Seq("value"))
+    assertNoUnboundedGlobalWindow(bt)
+
+    // SRP LSH: band joins are equi-joins on signatures — no cartesian
+    // product over DATA relations (the only nested-loop joins are
+    // broadcast 1-row census/stat attachments)
+    val emb = (1L to 30L).map(i =>
+      (i, Array.fill(8)((i % 5).toDouble + 1.0))).toDF("vec_id", "v")
+    val signs = {
+      val r = new scala.util.Random(3L)
+      Array.fill(8, 8)(if (r.nextBoolean()) 1.0 else -1.0)
+    }
+    val srp = graft.ann.Similarity.srpNearDuplicates(emb, "vec_id", "v",
+      0.99, signs, bitsPerBand = 4)
+    assertNoUnboundedGlobalWindow(srp)
+    val cartesians = srp.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty &&
+            j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty => j
+    }
+    // condition-free joins must all be the broadcast-hinted 1-row
+    // attachments; a data-vs-data cross join would appear here
+    cartesians.foreach { j =>
+      val oneRowSide = Seq(j.left, j.right).exists(_.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.nonEmpty)
+      withClue(s"condition-free join without a 1-row aggregate side:\n$j") {
+        oneRowSide shouldBe true
+      }
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }
