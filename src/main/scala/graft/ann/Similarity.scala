@@ -1119,6 +1119,62 @@ object Similarity {
       .withColumn("keep", col("dup_of").isNull)
   }
 
+  /** X139: EMBEDDING-CENTROID DRIFT — the embedding-space
+    * distribution-shift monitor (the D5/D7 siblings watch scalars;
+    * re-embedding a corpus with a new model or a shifted upstream
+    * encoder moves the CENTROID first): per period-pair, the cosine
+    * and L2 distance between mean vectors, with period row counts.
+    * Centroid cosine ≈ 1 and L2 ≈ 0 under stability; a drop says the
+    * embedding space moved and every ANN index/threshold downstream is
+    * suspect.
+    *
+    * Determinism: elements are floor-scaled to 1e9 LONGs (exact,
+    * order-free sums — a double Σx over 10⁹ rows drifts with partition
+    * order); centroid components divide once; the cross-period dot/
+    * norm/L2 sums are quantized-12 scaled LONGs over the DIM-bounded
+    * component table.
+    *
+    * 100 TB: ONE pass explodes vectors to (period, pos) partial sums
+    * (map-side combined, `periods × dim` result rows); every later
+    * join/aggregate is bounded by periods²·dim. Output: one row per
+    * unordered period pair. */
+  def embeddingDrift(df: DataFrame, periodCol: Column, vecCol: Column)
+      : DataFrame = {
+    val el = df.select(periodCol.as("period"),
+        posexplode(vecCol.cast("array<double>")).as(Seq("pos", "__x")))
+      .withColumn("__sx",
+        floor(col("__x") * lit(1e9) + lit(0.5)).cast("long"))
+    val n = df.groupBy(periodCol.as("period"))
+      .agg(count(lit(1)).as("n"))
+    val comp = el.groupBy(col("period"), col("pos"))
+      .agg(sum(col("__sx")).as("__ssum"))
+      .join(broadcast(n), "period")
+      .withColumn("__c",
+        col("__ssum").cast("double") / lit(1e9) / col("n").cast("double"))
+    val a = comp.select(col("period").as("period_a"), col("pos"),
+      col("__c").as("__ca"), col("n").as("n_a"))
+    val b = comp.select(col("period").as("period_b"), col("pos"),
+      col("__c").as("__cb"), col("n").as("n_b"))
+    val dotS = sum(floor(col("__ca") * col("__cb") * lit(1e12) +
+      lit(0.5)).cast("long"))
+    val naS = sum(floor(col("__ca") * col("__ca") * lit(1e12) +
+      lit(0.5)).cast("long"))
+    val nbS = sum(floor(col("__cb") * col("__cb") * lit(1e12) +
+      lit(0.5)).cast("long"))
+    val l2S = sum(floor((col("__ca") - col("__cb")) *
+      (col("__ca") - col("__cb")) * lit(1e12) + lit(0.5)).cast("long"))
+    val agg = a.join(b, Seq("pos")).filter(col("period_a") < col("period_b"))
+      .groupBy(col("period_a"), col("period_b"), col("n_a"), col("n_b"))
+      .agg(dotS.as("__dot"), naS.as("__na"), nbS.as("__nb"),
+        l2S.as("__l2"))
+    agg.select(col("period_a"), col("period_b"), col("n_a"), col("n_b"),
+      graft.functions.q6((col("__dot").cast("double") / lit(1e12)) /
+        (sqrt(col("__na").cast("double") / lit(1e12)) *
+          sqrt(col("__nb").cast("double") / lit(1e12)))).as("cosine"),
+      graft.functions.q6(sqrt(col("__l2").cast("double") / lit(1e12)))
+        .as("l2"))
+  }
+
   /** X136: SIGNED-RANDOM-PROJECTION (random-hyperplane) cosine LSH
     * near-duplicate pairs (Charikar 2002, STOC — `P[sign agree] = 1 −
     * θ/π`): each vector gets `bands` signatures of `bitsPerBand` sign

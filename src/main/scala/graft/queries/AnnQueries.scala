@@ -347,6 +347,14 @@ object AnnQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // X139: embedding-centroid drift across the label "periods" —
+    // centroid cosine/L2 per period pair, scaled-LONG exact sums.
+    "q_x139_embedding_drift" -> { (s, dir) =>
+      Similarity.embeddingDrift(t(s, dir, "embeddings")
+        .filter(col("label") < 4), col("label"), col("embedding"))
+        .orderBy(col("period_a"), col("period_b"))
+    },
+
     // X136: signed-random-projection LSH near-dup pairs over the same
     // planted corpus — no blocking metadata, no trained centroids;
     // fixed ±1 hyperplanes shared bit-for-bit with the oracle.
@@ -989,6 +997,44 @@ object AnnQueries {
     // with least/greatest and deduplicated — the rounded cosine is
     // orientation-independent, so DISTINCT collapses the two rows.
     "q_x136_srp_neardup" -> srpOracle,
+    // Same 1e9-scaled element sums, same centroid/dot/L2 trees over
+    // quantized-12 scaled LONGs.
+    "q_x139_embedding_drift" ->
+      """WITH base AS (
+        |  SELECT label AS period, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label < 4),
+        |n AS (SELECT period, CAST(count(*) AS BIGINT) AS n
+        |      FROM base GROUP BY 1),
+        |el AS (SELECT period, i AS pos,
+        |    CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT) AS sx
+        |  FROM (SELECT period, v,
+        |          unnest(range(1, len(v) + 1)) AS i FROM base)),
+        |comp AS (SELECT el.period, el.pos,
+        |    CAST(CAST(sum(el.sx) AS DOUBLE) / 1000000000.0
+        |      / CAST(n.n AS DOUBLE) AS DOUBLE) AS c, n.n
+        |  FROM el JOIN n ON n.period = el.period
+        |  GROUP BY el.period, el.pos, n.n),
+        |pr AS (SELECT a.period AS period_a, b.period AS period_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    CAST(sum(CAST(floor(a.c * b.c * 1000000000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS dot_s,
+        |    CAST(sum(CAST(floor(a.c * a.c * 1000000000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS na_s,
+        |    CAST(sum(CAST(floor(b.c * b.c * 1000000000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS nb_s,
+        |    CAST(sum(CAST(floor((a.c - b.c) * (a.c - b.c)
+        |      * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS l2_s
+        |  FROM comp a JOIN comp b
+        |    ON b.pos = a.pos AND a.period < b.period
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT period_a, period_b, n_a, n_b,
+        |  floor((CAST(dot_s AS DOUBLE) / 1000000000000.0)
+        |    / (sqrt(CAST(na_s AS DOUBLE) / 1000000000000.0)
+        |      * sqrt(CAST(nb_s AS DOUBLE) / 1000000000000.0))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+        |  floor(sqrt(CAST(l2_s AS DOUBLE) / 1000000000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS l2
+        |FROM pr ORDER BY period_a, period_b""".stripMargin,
     "q_x30_ivf_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

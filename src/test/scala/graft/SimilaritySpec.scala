@@ -603,4 +603,28 @@ class SimilaritySpec extends SparkSpec {
     rows.last._3 shouldBe 1.0
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Similarity.embeddingDrift"
+
+  it should "score identical centroids 1/0 and orthogonal drift 0" in {
+    import spark.implicits._
+    // periods 0 and 1 share the e1-axis centroid (period 1's spread
+    // cancels pairwise); period 2 sits on e2 — orthogonal
+    val df = Seq(
+      (0, Array(1.0, 0.0)), (0, Array(1.0, 0.0)),
+      (1, Array(2.0, 0.5)), (1, Array(0.0, -0.5)),
+      (2, Array(0.0, 3.0)), (2, Array(0.0, 1.0)))
+      .toDF("p", "v")
+    val r = graft.ann.Similarity.embeddingDrift(df, col("p"), col("v"))
+      .orderBy(col("period_a"), col("period_b"))
+      .select("period_a", "period_b", "n_a", "n_b", "cosine", "l2")
+      .as[(Int, Int, Long, Long, Double, Double)].collect()
+    // (0,1): both centroids (1, 0) -> cosine 1, l2 0
+    r(0) shouldBe ((0, 1, 2L, 2L, 1.0, 0.0))
+    // (0,2): (1,0) vs (0,2) -> cosine 0, l2 sqrt(5)
+    r(1)._5 shouldBe 0.0
+    r(1)._6 shouldBe math.floor(math.sqrt(5.0) * 1e6 + 0.5) / 1e6
+    r(2)._5 shouldBe 0.0 // (1,2) same
+    graft.util.Caches.releaseAll(spark)
+  }
 }
