@@ -433,4 +433,73 @@ object Resample {
         col("is_outlier").as("is_anomaly"))
   }
 
+  /** E31: FORECAST-EVAL SUITE — MAE / RMSE / sMAPE / MASE of the
+    * seasonal-naive lag-`season` forecast per entity (Hyndman &
+    * Koehler 2006: MASE scales by the in-sample lag-1 naive MAE, so
+    * it's unit-free, symmetric, and defined on zero-valued series
+    * where MAPE explodes; MASE < 1 ⇔ the forecast beats the naive
+    * one-step baseline). The yardstick every fancier forecaster must
+    * report before being believed.
+    *
+    * Determinism: daily sums, forecast lags and |error| sums are
+    * DECIMAL-exact (order-immune); RMSE and sMAPE accumulate
+    * quantized-6 scaled-LONG per-row terms (their per-row doubles —
+    * a square, a guarded ratio — can't sum exactly in decimal without
+    * precision-cap loss); each output divides once, quantized-6. Rows
+    * with |x|+|f| = 0 are EXCLUDED from sMAPE and counted — 0/0 is a
+    * convention war, not a number. NULL mase when the series has no
+    * lag-1 variation (scale 0).
+    *
+    * Scale: one (key, day) aggregate, two lags on ONE entity-keyed
+    * ordered window, one final per-key aggregate. Output: one row per
+    * key — (key, n_days, n_eval, mae, rmse, scale, mase, smape,
+    * n_smape_excluded). */
+  def forecastEval(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val daily = df.groupBy(col(key), to_date(ts).as("day"))
+      .agg(sum(valueCol.cast("decimal(18,6)")).as("__x"))
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("__f", lag(col("__x"), season).over(w))
+      .withColumn("__n1", lag(col("__x"), 1).over(w))
+    val err = abs(col("__x") - col("__f"))
+    val errD = err.cast("double")
+    val absSum = abs(col("__x").cast("double")) +
+      abs(col("__f").cast("double"))
+    val terms = lagged
+      .withColumn("__abs_err", when(col("__f").isNotNull, err))
+      .withColumn("__sq_scaled", when(col("__f").isNotNull,
+        floor(errD * errD * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("__smape_scaled",
+        when(col("__f").isNotNull && absSum > 0,
+          floor(lit(2.0) * errD / absSum * lit(1e6) + lit(0.5))
+            .cast("long")))
+      .withColumn("__scale_err",
+        when(col("__n1").isNotNull, abs(col("__x") - col("__n1"))))
+    val agg = terms.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("__abs_err")).as("n_eval"),
+        sum(col("__abs_err")).as("__ae_sum"),
+        sum(col("__sq_scaled")).as("__sq_sum"),
+        sum(col("__smape_scaled")).as("__sm_sum"),
+        count(col("__smape_scaled")).as("__n_sm"),
+        sum(col("__scale_err")).as("__sc_sum"),
+        count(col("__scale_err")).as("__n_sc"))
+    import graft.functions.q6
+    val mae = col("__ae_sum").cast("double") / col("n_eval").cast("double")
+    val scale = col("__sc_sum").cast("double") / col("__n_sc").cast("double")
+    agg.select(col(key), col("n_days"), col("n_eval"),
+      q6(when(col("n_eval") > 0, mae)).as("mae"),
+      q6(when(col("n_eval") > 0,
+        sqrt(col("__sq_sum").cast("double") / lit(1e6) /
+          col("n_eval").cast("double")))).as("rmse"),
+      q6(when(col("__n_sc") > 0, scale)).as("scale"),
+      q6(when(col("n_eval") > 0 && col("__n_sc") > 0 &&
+        col("__sc_sum") > 0, mae / scale)).as("mase"),
+      q6(when(col("__n_sm") > 0,
+        col("__sm_sum").cast("double") / lit(1e6) /
+          col("__n_sm").cast("double"))).as("smape"),
+      (col("n_eval") - col("__n_sm")).as("n_smape_excluded"))
+  }
 }

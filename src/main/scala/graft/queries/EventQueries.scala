@@ -174,6 +174,15 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E31: forecast-eval suite per event type — MAE/RMSE/sMAPE/MASE
+    // of the lag-7 seasonal-naive forecast, MASE scaled by the lag-1
+    // naive MAE (Hyndman-Koehler).
+    "q_e31_forecast_eval" -> { (s, dir) =>
+      graft.events.Resample.forecastEval(t(s, dir, "events"),
+        "event_type", col("ts"), col("value"), season = 7)
+        .orderBy(col("event_type"))
+    },
+
     // E29: Goh–Barabási burstiness of inter-purchase gaps — exact
     // integer moment sums, one sqrt; <2 gaps -> NULL B.
     "q_e29_burstiness" -> { (s, dir) =>
@@ -793,6 +802,58 @@ object EventQueries {
         |    / 1000000.0 AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
+    // Same DECIMAL daily sums and keyed lags; RMSE/sMAPE terms
+    // floor-scaled to LONGs; identical guarded ratio trees.
+    "q_e31_forecast_eval" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS n1
+        |  FROM d),
+        |t AS (SELECT event_type,
+        |    CASE WHEN f IS NOT NULL THEN abs(x - f) END AS abs_err,
+        |    CASE WHEN f IS NOT NULL THEN
+        |      CAST(floor(CAST(abs(x - f) AS DOUBLE)
+        |        * CAST(abs(x - f) AS DOUBLE) * 1000000.0 + 0.5)
+        |        AS BIGINT) END AS sq_s,
+        |    CASE WHEN f IS NOT NULL
+        |      AND abs(CAST(x AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0
+        |    THEN CAST(floor(2.0 * CAST(abs(x - f) AS DOUBLE)
+        |        / (abs(CAST(x AS DOUBLE)) + abs(CAST(f AS DOUBLE)))
+        |        * 1000000.0 + 0.5) AS BIGINT) END AS sm_s,
+        |    CASE WHEN n1 IS NOT NULL THEN abs(x - n1) END AS sc_err
+        |  FROM l),
+        |a AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(count(abs_err) AS BIGINT) AS n_eval,
+        |    sum(abs_err) AS ae, CAST(sum(sq_s) AS BIGINT) AS sq,
+        |    CAST(sum(sm_s) AS BIGINT) AS sm,
+        |    CAST(count(sm_s) AS BIGINT) AS nsm,
+        |    sum(sc_err) AS sc, CAST(count(sc_err) AS BIGINT) AS nsc
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n_days, n_eval,
+        |  CASE WHEN n_eval > 0 THEN
+        |    floor(CAST(ae AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mae,
+        |  CASE WHEN n_eval > 0 THEN
+        |    floor(sqrt(CAST(sq AS DOUBLE) / 1000000.0
+        |      / CAST(n_eval AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS rmse,
+        |  CASE WHEN nsc > 0 THEN
+        |    floor(CAST(sc AS DOUBLE) / CAST(nsc AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS scale,
+        |  CASE WHEN n_eval > 0 AND nsc > 0 AND sc > 0 THEN
+        |    floor((CAST(ae AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |      / (CAST(sc AS DOUBLE) / CAST(nsc AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mase,
+        |  CASE WHEN nsm > 0 THEN
+        |    floor(CAST(sm AS DOUBLE) / 1000000.0 / CAST(nsm AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS smape,
+        |  n_eval - nsm AS n_smape_excluded
+        |FROM a ORDER BY event_type""".stripMargin,
     // Same (ts, id)-ordered gaps in truncated epoch seconds, same
     // exact moment identity and IEEE B ratio.
     "q_e29_burstiness" ->

@@ -269,4 +269,40 @@ class ResampleSpec extends SparkSpec {
     r("2024-01-29")._8 shouldBe Some(0)
     graft.util.Caches.releaseAll(spark)
   }
+
+  "forecastEval (E31)" should "score a linear ramp MASE 7 and NULL a flat series' MASE" in {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // linear ramp x_t = t over 10 days: |x_t - x_{t-7}| = 7,
+    // lag-1 scale = 1 -> MASE exactly 7
+    val ramp = (1 to 10).map(i =>
+      ("ramp", s"2024-01-${"%02d".format(i)} 00:00:00", i.toDouble))
+    // flat series: every error 0 AND scale 0 -> mae 0, mase NULL
+    val flat = (1 to 10).map(i =>
+      ("flat", s"2024-01-${"%02d".format(i)} 00:00:00", 5.0))
+    val df = (ramp ++ flat).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = graft.events.Resample.forecastEval(df, "k", col("ts"),
+      col("v"), season = 7)
+      .select("k", "n_days", "n_eval", "mae", "rmse", "scale", "mase",
+        "smape")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    val (_, nd, ne, mae, rmse, scale, mase, smape) = r("ramp")
+    nd shouldBe 10L; ne shouldBe 3L // days 8..10 have a lag-7 value
+    mae.get shouldBe 7.0
+    rmse.get shouldBe 7.0
+    scale.get shouldBe 1.0
+    mase.get shouldBe 7.0
+    // smape terms: day8 2*7/(8+1), day9 2*7/(9+2), day10 2*7/(10+3)
+    val sm = Seq(14.0 / 9, 14.0 / 11, 14.0 / 13)
+      .map(x => math.floor(x * 1e6 + 0.5)).sum / 1e6 / 3
+    smape.get shouldBe math.floor(sm * 1e6 + 0.5) / 1e6 +- 1e-9
+    val f = r("flat")
+    f._4.get shouldBe 0.0 // mae
+    f._6.get shouldBe 0.0 // scale
+    f._7 shouldBe None    // mase undefined on a no-variation series
+    graft.util.Caches.releaseAll(spark)
+  }
 }
