@@ -70,6 +70,43 @@ object FeaturePrep {
     }
   }
 
+  /** X140: SIGNED FEATURE HASHING (the hashing trick — Weinberger et
+    * al. 2009, ICML): map arbitrary-cardinality categorical features
+    * into a FIXED `dims`-bucket space with a ±1 sign hash, so
+    * collision bias cancels in expectation (unsigned hashing
+    * systematically inflates colliding buckets). The way a 100 TB
+    * pipeline one-hot-encodes URLs/domains/user-agents without ever
+    * materializing (or even counting) the vocabulary — no fit step,
+    * no dictionary broadcast, new values at inference hash to the
+    * same space.
+    *
+    * Hashes are the engine-neutral md5 idiom over the canonical
+    * `hashInput(feature-name, value)` encoding (NULL values hash as
+    * the [[graft.functions.HashNull]] sentinel — they carry signal):
+    * bucket = first-8-hex-digits mod dims, sign from hex digit 9.
+    * Output SPARSE: one row per (id, bucket) with the summed signed
+    * weight (same-bucket collisions within a row pre-combine here) —
+    * exact integers end to end. One narrow map pass + one (id,
+    * bucket) aggregate. */
+  def hashFeatures(df: DataFrame, idCol: String, cols: Seq[String],
+      dims: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val features = cols.map { c =>
+      val h = md5(graft.functions.hashInput(Seq(lit(c), col(c))))
+      struct(
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dims)
+          .as("bucket"),
+        when(substring(h, 9, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+          .otherwise(-1L).as("w"))
+    }
+    df.select(col(idCol).as("id"),
+        explode(array(features: _*)).as("__f"))
+      .groupBy(col("id"), col("__f.bucket").as("bucket"))
+      .agg(sum(col("__f.w")).as("weight"))
+  }
+
   /** F34: WEIGHT-OF-EVIDENCE / INFORMATION-VALUE table (Siddiqi 2006,
     * the credit-scoring standard) for one categorical feature against a
     * binary label: per value, `woe = ln(((g+0.5)/G) / ((b+0.5)/B))` —

@@ -55,6 +55,15 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // X140: signed feature hashing of three order categoricals into a
+    // 32-bucket space — sparse (id, bucket, weight) rows.
+    "q_x140_hash_features" -> { (s, dir) =>
+      graft.ml.FeaturePrep.hashFeatures(t(s, dir, "orders"),
+        "o_orderkey", Seq("o_orderpriority", "o_orderstatus", "o_custkey"),
+        dims = 32)
+        .orderBy(col("id"), col("bucket"))
+    },
+
     // F43: UCB1 bandit snapshot over event types as arms, conversion
     // (value > 60) as reward — which arm a deterministic-index policy
     // pulls next.
@@ -470,6 +479,32 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same md5-over-hashInput buckets/signs (chr(31)/chr(1) are the
+    // canonical separator/NULL sentinel), exact integer weights.
+    "q_x140_hash_features" ->
+      s"""WITH f AS (
+         |  SELECT o_orderkey AS id,
+         |    md5('o_orderpriority' || chr(31)
+         |      || coalesce(CAST(o_orderpriority AS VARCHAR), chr(1)))
+         |      AS m
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey,
+         |    md5('o_orderstatus' || chr(31)
+         |      || coalesce(CAST(o_orderstatus AS VARCHAR), chr(1)))
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey,
+         |    md5('o_custkey' || chr(31)
+         |      || coalesce(CAST(o_custkey AS VARCHAR), chr(1)))
+         |  FROM orders),
+         |g AS (SELECT id,
+         |    CAST((${hexDigitSum(1, 8)}) % 32 AS BIGINT) AS bucket,
+         |    CASE WHEN substr(m, 9, 1) IN
+         |      ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS w
+         |  FROM f)
+         |SELECT id, bucket, CAST(sum(w) AS BIGINT) AS weight
+         |FROM g GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin,
     // Same exact counts; identical mean/UCB1 trees; the chosen arm via
     // the same (ucb, arm) descending order.
     "q_f43_ucb_allocation" ->

@@ -405,6 +405,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  behavior of "ml.FeaturePrep.hashFeatures"
+
+  it should "hash deterministically, keep NULLs as signal, and pre-combine collisions" in {
+    val df = Seq((1L, Some("a"), "x"), (2L, Some("a"), "x"),
+      (3L, None, "x")).toDF("id", "c1", "c2")
+    val r = graft.ml.FeaturePrep.hashFeatures(df, "id",
+      Seq("c1", "c2"), dims = 16)
+      .as[(Long, Long, Long)].collect()
+    val byId = r.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).toSet).toMap
+    byId(1L) shouldBe byId(2L)          // identical rows hash identically
+    byId(3L) should not be byId(1L)     // NULL c1 is its own feature
+    // every bucket is in range and weights are ±1 or a combined sum
+    r.foreach { case (_, b, w) =>
+      b should (be >= 0L and be < 16L)
+      math.abs(w) should (be >= 1L and be <= 2L)
+    }
+    // each row emits at most 2 buckets (2 features, maybe colliding)
+    byId.values.foreach(_.size should be <= 2)
+    // the same value under DIFFERENT feature names hashes differently
+    // (the name is part of the hash input): c1='x' vs c2='x'
+    val single = graft.ml.FeaturePrep.hashFeatures(
+      Seq((9L, "x", "x")).toDF("id", "c1", "c2"), "id",
+      Seq("c1", "c2"), dims = 1024)
+      .as[(Long, Long, Long)].collect()
+    single.length shouldBe 2 // no collision at dims=1024 for these two
+  }
+
   behavior of "ml.Stats.mutualInformation"
 
   it should "report nmi = 1 for a bijection and ~0 for independence" in {
