@@ -263,12 +263,18 @@ object Stats {
     * bootstrap happens before a log exists to query.) One groupBy +
     * two broadcast 1-row aggregates. Output: one row per arm. */
   def ucbSnapshot(pulls: DataFrame, armCol: Column, rewardCol: Column)
-      : DataFrame = {
-    val arms = pulls.groupBy(armCol.as("arm"))
+      : DataFrame =
+    ucbFromCounts(pulls.groupBy(armCol.as("arm"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(rewardCol.cast("decimal(18,6)")),
           lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
-          .as("__r"))
+          .as("__r")))
+
+  /** The [[ucbSnapshot]] derivation over an already-counted per-arm
+    * (n, __r) table. Pull counts and DECIMAL reward sums merge
+    * exactly — the streaming monitor sums per-batch arm tables and
+    * publishes the identical allocation decision. */
+  def ucbFromCounts(arms: DataFrame): DataFrame = {
     val tot = arms.agg(sum(col("n")).as("__N"))
     val withIdx = arms.crossJoin(broadcast(tot))
       .withColumn("mean_reward",

@@ -452,6 +452,58 @@ object Eval {
         (col("n") - col("__nm")).as("n_mape_excluded"))
   }
 
+  /** E32: ROLLING-ORIGIN BACKTEST FOLDS (time-series cross-validation
+    * — Tashman 2000; Hyndman's "evaluation on a rolling forecasting
+    * origin"): fold i trains on everything before cutoff_i and tests
+    * on the NEXT `horizonDays` — the temporal-discipline counterpart
+    * of the hash-based X103 folds, which would leak the future into
+    * training on any time-ordered target. Cutoffs advance by the
+    * horizon so test windows tile without overlap; the initial train
+    * span absorbs the remainder.
+    *
+    * Deterministic: pure date arithmetic from the observed min/max
+    * (broadcast 1-row bounds); every row lands in fold i's train or
+    * test by exact date comparison — re-runs reproduce, and the
+    * assignment is derivable at any later time (no RNG, no state).
+    * Output: one row per (row, fold) membership — (id, day, fold,
+    * role) with role ∈ train|test; rows after fold i's test window
+    * simply don't appear in fold i. Fails loud when the span can't
+    * fit `folds` horizons. Scale: a ×folds fan-out of row-ids only
+    * (id + date, not payloads), one broadcast of the bounds. */
+  def rollingOriginFolds(df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column, folds: Int,
+      horizonDays: Int): DataFrame = {
+    require(folds >= 1, s"folds must be >= 1, got $folds")
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val days = df.select(idCol.as("id"), tsCol.cast("date").as("day"))
+    val bounds = days.agg(min(col("day")).as("__mn"),
+      max(col("day")).as("__mx"))
+    val spine = days.sparkSession.range(1, folds + 1)
+      .select(col("id").cast("int").as("fold"))
+    val withBounds = days.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(spine))
+      .withColumn("__span", datediff(col("__mx"), col("__mn")) + 1)
+      .withColumn("__initial", col("__span") - lit(folds * horizonDays))
+      .withColumn("__cutoff", date_add(col("__mn"),
+        col("__initial") + (col("fold") - 1) * horizonDays))
+    // the guard rides a kept column: a span too short for the fold
+    // grid must fail loud, not emit folds with empty train sets
+    val guarded = withBounds.withColumn("__cutoff",
+      when(col("__initial") < 1,
+        raise_error(concat(lit("rollingOriginFolds: span of "),
+          col("__span"), lit(" days cannot fit "),
+          lit(s"$folds folds x $horizonDays-day horizons"))))
+        .otherwise(col("__cutoff")))
+    guarded
+      .withColumn("role",
+        when(col("day") < col("__cutoff"), lit("train"))
+          .when(col("day") < date_add(col("__cutoff"), horizonDays),
+            lit("test")))
+      .filter(col("role").isNotNull)
+      .select(col("id"), col("day"), col("fold"), col("role"))
+  }
+
   /** F37: ISOTONIC CALIBRATION (pool-adjacent-violators fit) over
     * score buckets — the non-parametric monotone score→probability
     * map (Zadrozny & Elkan 2002; Robertson et al. 1988). PAV is

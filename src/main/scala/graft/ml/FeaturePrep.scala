@@ -70,6 +70,59 @@ object FeaturePrep {
     }
   }
 
+  /** F45: STANDARD SCALER — the fit/transform pair done as honest
+    * relational operators: [[standardScalerFit]] computes per-feature
+    * (n, mean, sample std) from DECIMAL-exact Σx/Σx² in ONE pass (the
+    * moment identity over order-immune sums — a double running mean
+    * drifts with partition order); [[standardScalerTransform]]
+    * broadcast-joins the params back and emits `(x − mean)/std`
+    * quantized-6. Persist the fit output and transform at inference
+    * with the SAME table — train/serve skew becomes a diffable
+    * artifact instead of a re-fit.
+    *
+    * Zero-variance features transform to NULL (not 0 — a constant
+    * carries no scale; silently zeroing hides the degenerate feature).
+    * NULL inputs stay NULL. */
+  def standardScalerFit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("decimal(18,6)")
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(x).as(s"__s_$c"), sum(x * x).as(s"__q_$c"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val n = col(s"__n_$c").cast("double")
+      val s = col(s"__s_$c").cast("double")
+      val q = col(s"__q_$c").cast("double")
+      struct(lit(c).as("feature"), col(s"__n_$c").as("n"),
+        graft.functions.q6(when(col(s"__n_$c") > 0, s / n)).as("mean"),
+        graft.functions.q6(when(col(s"__n_$c") > 1,
+          sqrt((q - s * s / n) / (n - lit(1.0))))).as("std"))
+    }
+    m.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Transform side of [[standardScalerFit]]: appends `<c>_scaled` for
+    * every feature in `params`. The params table is feature-count-
+    * bounded by construction (one row per fitted column), so it folds
+    * into LITERAL expressions — whole-stage codegen, zero joins, the
+    * data relation never shuffles. */
+  def standardScalerTransform(df: DataFrame, params: DataFrame)
+      : DataFrame = {
+    val p = params.select(col("feature"), col("mean"), col("std"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    p.foldLeft(df) { case (acc, (c, (mean, std))) =>
+      val scaled =
+        if (mean == null || std == null) lit(null).cast("double")
+        else if (std.asInstanceOf[Double] == 0.0) lit(null).cast("double")
+        else graft.functions.q6(
+          (col(c).cast("double") - lit(mean.asInstanceOf[Double])) /
+            lit(std.asInstanceOf[Double]))
+      acc.withColumn(s"${c}_scaled", scaled)
+    }
+  }
+
   /** X140: SIGNED FEATURE HASHING (the hashing trick — Weinberger et
     * al. 2009, ICML): map arbitrary-cardinality categorical features
     * into a FIXED `dims`-bucket space with a ±1 sign hash, so

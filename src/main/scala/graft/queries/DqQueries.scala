@@ -55,6 +55,18 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F45: standard-scaler fit/transform round trip — DECIMAL-exact
+    // moments, quantized params folded into literal expressions.
+    "q_f45_standard_scaler" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val params = graft.ml.FeaturePrep.standardScalerFit(orders,
+        Seq("o_totalprice", "o_custkey"))
+      graft.ml.FeaturePrep.standardScalerTransform(orders, params)
+        .select(col("o_orderkey"), col("o_totalprice_scaled"),
+          col("o_custkey_scaled"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // X140: signed feature hashing of three order categoricals into a
     // 32-bucket space — sparse (id, bucket, weight) rows.
     "q_x140_hash_features" -> { (s, dir) =>
@@ -479,6 +491,38 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same DECIMAL moments ((19,6) squares); the transform uses the
+    // QUANTIZED params exactly as the fit publishes them.
+    "q_f45_standard_scaler" ->
+      """WITH m AS (SELECT
+        |  CAST(count(o_totalprice) AS BIGINT) AS n1,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS s1,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |    * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS q1,
+        |  CAST(count(o_custkey) AS BIGINT) AS n2,
+        |  CAST(sum(CAST(o_custkey AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(o_custkey AS DECIMAL(19,6))
+        |    * CAST(o_custkey AS DECIMAL(19,6))) AS DOUBLE) AS q2
+        |  FROM orders),
+        |p AS (SELECT
+        |  floor(s1 / CAST(n1 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS m1,
+        |  floor(sqrt((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) - 1.0)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS sd1,
+        |  floor(s2 / CAST(n2 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS m2,
+        |  floor(sqrt((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS sd2
+        |  FROM m)
+        |SELECT o.o_orderkey,
+        |  floor((CAST(o.o_totalprice AS DOUBLE) - p.m1) / p.sd1
+        |    * 1000000.0 + 0.5) / 1000000.0 AS o_totalprice_scaled,
+        |  floor((CAST(o.o_custkey AS DOUBLE) - p.m2) / p.sd2
+        |    * 1000000.0 + 0.5) / 1000000.0 AS o_custkey_scaled
+        |FROM orders o, p ORDER BY o.o_orderkey""".stripMargin,
     // Same md5-over-hashInput buckets/signs (chr(31)/chr(1) are the
     // canonical separator/NULL sentinel), exact integer weights.
     "q_x140_hash_features" ->

@@ -174,6 +174,27 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E32: rolling-origin backtest manifest — 3 folds x 7-day test
+    // horizons tiling the end of the event span; per-fold counts and
+    // boundary dates.
+    "q_e32_backtest_folds" -> { (s, dir) =>
+      graft.ml.Eval.rollingOriginFolds(t(s, dir, "events"),
+        col("event_id"), col("ts"), folds = 3, horizonDays = 7)
+        .groupBy(col("fold"))
+        .agg(
+          sum(when(col("role") === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("role") === "test", 1L).otherwise(0L))
+            .as("n_test"),
+          date_format(max(when(col("role") === "train", col("day"))),
+            "yyyy-MM-dd").as("train_end"),
+          date_format(min(when(col("role") === "test", col("day"))),
+            "yyyy-MM-dd").as("test_start"),
+          date_format(max(when(col("role") === "test", col("day"))),
+            "yyyy-MM-dd").as("test_end"))
+        .orderBy(col("fold"))
+    },
+
     // E31: forecast-eval suite per event type — MAE/RMSE/sMAPE/MASE
     // of the lag-7 seasonal-naive forecast, MASE scaled by the lag-1
     // naive MAE (Hyndman-Koehler).
@@ -802,6 +823,34 @@ object EventQueries {
         |    / 1000000.0 AS remainder
         |FROM tr JOIN se ON se.k = tr.user_id AND se.dow = dayofweek(tr.d)
         |ORDER BY 1, 2""".stripMargin,
+    // Same exact date grid: cutoff_i = min + (span - folds*H) +
+    // (i-1)*H; train < cutoff <= test < cutoff + H.
+    "q_e32_backtest_folds" ->
+      """WITH d AS (SELECT event_id AS id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |sp AS (SELECT CAST(unnest(range(1, 4)) AS INTEGER) AS fold),
+        |a AS (SELECT d.id, d.day, sp.fold,
+        |    b.mn + CAST(date_diff('day', b.mn, b.mx) + 1 - 21
+        |      + (sp.fold - 1) * 7 AS INTEGER) AS cutoff
+        |  FROM d, b, sp),
+        |r AS (SELECT id, day, fold,
+        |    CASE WHEN day < cutoff THEN 'train'
+        |         WHEN day < cutoff + 7 THEN 'test' END AS role
+        |  FROM a)
+        |SELECT fold,
+        |  CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  strftime(max(CASE WHEN role = 'train' THEN day END),
+        |    '%Y-%m-%d') AS train_end,
+        |  strftime(min(CASE WHEN role = 'test' THEN day END),
+        |    '%Y-%m-%d') AS test_start,
+        |  strftime(max(CASE WHEN role = 'test' THEN day END),
+        |    '%Y-%m-%d') AS test_end
+        |FROM r WHERE role IS NOT NULL
+        |GROUP BY fold ORDER BY fold""".stripMargin,
     // Same DECIMAL daily sums and keyed lags; RMSE/sMAPE terms
     // floor-scaled to LONGs; identical guarded ratio trees.
     "q_e31_forecast_eval" ->

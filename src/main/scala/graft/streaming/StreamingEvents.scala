@@ -1242,6 +1242,46 @@ object StreamingEvents {
         sum(col("__s0")).as("__s0"), sum(col("__s1")).as("__s1"),
         sum(col("__q0")).as("__q0"), sum(col("__q1")).as("__q1")))
 
+  /** Streaming UCB1 dashboard (F43 streaming): each micro-batch
+    * persists its per-arm (pulls, DECIMAL reward sum) table under
+    * `batch_id=N`; both merge exactly, so the published view —
+    * [[graft.dq.Stats.ucbFromCounts]] over the summed arms — equals
+    * the batch snapshot over every pull ingested (spec-proven). The
+    * live "which arm next" readout. Replays overwrite their own batch
+    * directory: idempotent. */
+  def ucbSink(rows: DataFrame, armCol: String, rewardCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) ucbBatch(batch.toDF(), batchId, armCol,
+          rewardCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[ucbSink]] — package-private so the parity
+    * spec can drive the identical code path directly. */
+  private[graft] def ucbBatch(batch: DataFrame, batchId: Long,
+      armCol: String, rewardCol: String, statsDir: String): Unit = {
+    batch.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(rewardCol).cast("decimal(18,6)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          .as("__r"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[ucbSink]] directory: merged arm
+    * counts through the same UCB1 derivation as the batch snapshot. */
+  def ucbView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.dq.Stats.ucbFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(col("arm"))
+        .agg(sum(col("n")).as("n"), sum(col("__r")).as("__r")))
+
   /** Streaming BH-FDR dashboard (F38 streaming): each micro-batch
     * persists its per-group (n0, n1, c0, c1) count table under
     * `batch_id=N`; counts merge exactly, so the published view —

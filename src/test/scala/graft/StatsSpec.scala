@@ -405,6 +405,49 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  behavior of "ml.FeaturePrep.standardScaler"
+
+  it should "fit hand moments and transform with the published quantized params" in {
+    val df = Seq((1L, 2.0, 7.0), (2L, 4.0, 7.0), (3L, 6.0, 7.0))
+      .toDF("id", "a", "b")
+    val params = graft.ml.FeaturePrep.standardScalerFit(df, Seq("a", "b"))
+      .orderBy(col("feature"))
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    params(0) shouldBe (("a", 3L, Some(4.0), Some(2.0)))
+    params(0)._4.get shouldBe 2.0 // sample std of {2,4,6}
+    params(1)._1 shouldBe "b"
+    params(1)._4.get shouldBe 0.0 // constant feature
+    val out = graft.ml.FeaturePrep.standardScalerTransform(df,
+      graft.ml.FeaturePrep.standardScalerFit(df, Seq("a", "b")))
+      .orderBy(col("id"))
+      .select("a_scaled", "b_scaled")
+      .as[(Option[Double], Option[Double])].collect()
+    out.map(_._1.get) shouldBe Array(-1.0, 0.0, 1.0)
+    out.foreach(_._2 shouldBe None) // zero-variance -> NULL, not 0
+  }
+
+  behavior of "ml.Eval.rollingOriginFolds"
+
+  it should "tile the hand date grid and fail loud on a short span" in {
+    import org.apache.spark.sql.functions.to_timestamp
+    // 10 days, 2 folds x 3-day horizons -> initial train = 4 days;
+    // fold 1 trains d1-4 tests d5-7; fold 2 trains d1-7 tests d8-10
+    val df = (1 to 10).map(i =>
+      (i.toLong, s"2024-01-${"%02d".format(i)} 12:00:00"))
+      .toDF("id", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val r = graft.ml.Eval.rollingOriginFolds(df, col("id"), col("ts"),
+      folds = 2, horizonDays = 3)
+      .groupBy("fold", "role").count()
+      .as[(Int, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r shouldBe Map((1, "train") -> 4L, (1, "test") -> 3L,
+      (2, "train") -> 7L, (2, "test") -> 3L)
+    an[Exception] should be thrownBy {
+      graft.ml.Eval.rollingOriginFolds(df, col("id"), col("ts"),
+        folds = 4, horizonDays = 3).collect() // needs 12 + initial > 10
+    }
+  }
+
   behavior of "ml.FeaturePrep.hashFeatures"
 
   it should "hash deterministically, keep NULLs as signal, and pre-combine collisions" in {

@@ -968,6 +968,33 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "publish a stream-wide UCB1 board identical to the batch snapshot over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sucb").toString
+    val b1 = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 1))
+    val b2 = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0), ("b", 0))
+    val in = MemoryStream[(String, Int)]
+    val q = StreamingEvents.ucbSink(
+      in.toDF().toDF("arm", "r"), "arm", "r", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("arm"))
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    val streamed = rows(StreamingEvents.ucbView(spark, s"$tmp/stats"))
+    val batch = rows(graft.dq.Stats.ucbSnapshot(
+      (b1 ++ b2).toDF("arm", "r"), col("arm"), col("r")))
+    streamed shouldBe batch
+    streamed.head._2 shouldBe 7L // arm a: 7 pulls over both batches
+    // replay safety
+    StreamingEvents.ucbBatch(b2.toDF("arm", "r"), 1L, "arm", "r",
+      s"$tmp/stats")
+    rows(StreamingEvents.ucbView(spark, s"$tmp/stats")) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "publish a stream-wide Welch test identical to the batch test over the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_swelch").toString
