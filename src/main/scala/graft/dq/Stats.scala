@@ -248,6 +248,68 @@ object Stats {
       (abs(z) > zThreshold).cast("int").as("significant"))
   }
 
+  /** F46: CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker 2013,
+    * WSDM) — the industry-standard experiment accelerator: adjust the
+    * post-period metric by the pre-period covariate, `y* = y −
+    * θ(x − x̄)` with `θ = cov(x, y)/var(x)` fit on the POOLED arms
+    * (fitting per-arm would bias the contrast), cutting metric
+    * variance by the squared pre-post correlation without touching
+    * the treatment effect's expectation.
+    *
+    * Everything derives from ONE aggregate of DECIMAL-exact moments
+    * (Σx, Σy, Σxy, Σx², Σy² pooled + per-arm counts/sums): θ, raw and
+    * CUPED lifts, before/after variances and the reduction share are
+    * closed forms over those sums — no second pass over the data, no
+    * per-row adjusted column ever materializes. Fixed IEEE trees cast
+    * to double once, quantized-6; zero pre-period variance NULLs the
+    * adjustment (nothing to regress on) and leaves the raw lift
+    * reported. Input: ONE ROW PER UNIT (pre-aggregate first — row-level
+    * CUPED on repeated-measure units double-counts). Output: 1 row. */
+  def cuped(units: DataFrame, variant: Column, preCol: Column,
+      postCol: Column): DataFrame = {
+    val x = preCol.cast("decimal(18,6)")
+    val y = postCol.cast("decimal(18,6)")
+    val agg = units.agg(
+      count(lit(1)).as("n"),
+      sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"),
+      sum(when(variant === 0, x)).as("__sx0"),
+      sum(when(variant === 1, x)).as("__sx1"),
+      sum(when(variant === 0, y)).as("__sy0"),
+      sum(when(variant === 1, y)).as("__sy1"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val covN = sxy - sx * sy / n   // (n-1)·cov — the n-1 cancels in θ
+    val varXN = sxx - sx * sx / n
+    val varYN = syy - sy * sy / n
+    val theta = covN / varXN
+    val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+    val liftRaw = col("__sy1").cast("double") / n1 -
+      col("__sy0").cast("double") / n0
+    val liftCuped = liftRaw - theta *
+      (col("__sx1").cast("double") / n1 - col("__sx0").cast("double") / n0)
+    val varY = varYN / (n - lit(1.0))
+    val varYAdj = (varYN - lit(2.0) * theta * covN +
+      theta * theta * varXN) / (n - lit(1.0))
+    val ok = col("n0") > 0 && col("n1") > 0 && col("n") > 1
+    val okX = ok && varXN > 0
+    import graft.functions.q6
+    agg.select(col("n"), col("n0"), col("n1"),
+      q6(when(okX, theta)).as("theta"),
+      q6(when(ok, liftRaw)).as("lift_raw"),
+      q6(when(okX, liftCuped)).as("lift_cuped"),
+      q6(when(ok, varY)).as("var_y"),
+      q6(when(okX, varYAdj)).as("var_y_cuped"),
+      q6(when(okX && varYN > 0, lit(1.0) - varYAdj / varY))
+        .as("variance_reduction"))
+  }
+
   /** F43: UCB1 ALLOCATION SNAPSHOT (Auer et al. 2002) — the
     * deterministic bandit dashboard: per arm, exact pull/reward
     * counts, the mean reward, the UCB1 index `mean + √(2·ln N / n)`,

@@ -55,6 +55,20 @@ object DqQueries {
         "o_orderpriority")
     },
 
+    // F46: CUPED variance reduction — customer pre-1998 spend as the
+    // covariate for post-1998 spend; pooled theta, one moment pass.
+    "q_f46_cuped" -> { (s, dir) =>
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(
+          coalesce(sum(when(col("o_orderdate") < "1998-01-01",
+            col("o_totalprice").cast("decimal(18,6)"))), zero).as("pre"),
+          coalesce(sum(when(col("o_orderdate") >= "1998-01-01",
+            col("o_totalprice").cast("decimal(18,6)"))), zero).as("post"))
+      graft.dq.Stats.cuped(per, pmod(col("o_custkey"), lit(2)),
+        col("pre"), col("post"))
+    },
+
     // F45: standard-scaler fit/transform round trip — DECIMAL-exact
     // moments, quantized params folded into literal expressions.
     "q_f45_standard_scaler" -> { (s, dir) =>
@@ -491,6 +505,75 @@ object DqQueries {
       |     ELSE 5 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same per-unit DECIMAL sums, same pooled moment pass ((19,6)
+    // products), identical theta/lift/variance trees.
+    "q_f46_cuped" ->
+      """WITH per AS (SELECT o_custkey AS cid,
+        |    coalesce(sum(CASE WHEN o_orderdate
+        |        < TIMESTAMP '1998-01-01 00:00:00'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS pre,
+        |    coalesce(sum(CASE WHEN o_orderdate
+        |        >= TIMESTAMP '1998-01-01 00:00:00'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END),
+        |      CAST(0 AS DECIMAL(18,6))) AS post
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cid % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN cid % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CAST(pre AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(post AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(pre AS DECIMAL(19,6))
+        |      * CAST(post AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(pre AS DECIMAL(19,6))
+        |      * CAST(pre AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(post AS DECIMAL(19,6))
+        |      * CAST(post AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CASE WHEN cid % 2 = 0
+        |      THEN CAST(pre AS DECIMAL(18,6)) END) AS DOUBLE) AS sx0,
+        |    CAST(sum(CASE WHEN cid % 2 = 1
+        |      THEN CAST(pre AS DECIMAL(18,6)) END) AS DOUBLE) AS sx1,
+        |    CAST(sum(CASE WHEN cid % 2 = 0
+        |      THEN CAST(post AS DECIMAL(18,6)) END) AS DOUBLE) AS sy0,
+        |    CAST(sum(CASE WHEN cid % 2 = 1
+        |      THEN CAST(post AS DECIMAL(18,6)) END) AS DOUBLE) AS sy1
+        |  FROM per),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n0 AS DOUBLE) AS nd0, CAST(n1 AS DOUBLE) AS nd1
+        |  FROM a),
+        |e AS (SELECT *,
+        |    sxy - sx * sy / nd AS covn,
+        |    sxx - sx * sx / nd AS varxn,
+        |    syy - sy * sy / nd AS varyn
+        |  FROM d),
+        |f AS (SELECT *, covn / varxn AS theta,
+        |    sy1 / nd1 - sy0 / nd0 AS lift_raw_r
+        |  FROM e)
+        |SELECT n, n0, n1,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 AND varxn > 0 THEN
+        |    floor(theta * 1000000.0 + 0.5) / 1000000.0 END AS theta,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 THEN
+        |    floor(lift_raw_r * 1000000.0 + 0.5) / 1000000.0
+        |    END AS lift_raw,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 AND varxn > 0 THEN
+        |    floor((lift_raw_r - theta * (sx1 / nd1 - sx0 / nd0))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS lift_cuped,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 THEN
+        |    floor(varyn / (nd - 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS var_y,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 AND varxn > 0 THEN
+        |    floor((varyn - 2.0 * theta * covn + theta * theta * varxn)
+        |      / (nd - 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS var_y_cuped,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 AND varxn > 0
+        |      AND varyn > 0 THEN
+        |    floor((1.0 - ((varyn - 2.0 * theta * covn
+        |        + theta * theta * varxn) / (nd - 1.0))
+        |      / (varyn / (nd - 1.0))) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS variance_reduction
+        |FROM f""".stripMargin,
     // Same DECIMAL moments ((19,6) squares); the transform uses the
     // QUANTIZED params exactly as the fit publishes them.
     "q_f45_standard_scaler" ->

@@ -405,6 +405,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  behavior of "dq.Stats.cuped"
+
+  it should "remove covariate-explained variance and keep the planted lift" in {
+    // y = 2x + effect·variant + tiny noise pattern: theta -> ~2,
+    // CUPED lift stays ~the planted 5, variance reduction is large
+    val rows = (1 to 40).map { i =>
+      val x = ((i + 1) / 2 % 10).toDouble // same x in both arms —
+      val v = i % 2                       // covariate ⫫ treatment
+      (v, x, 2.0 * x + 5.0 * v + (if (i % 4 == 0) 0.5 else 0.0))
+    }
+    val df = rows.toDF("v", "x", "y")
+    val r = graft.dq.Stats.cuped(df, col("v"), col("x"), col("y"))
+      .select("theta", "lift_raw", "lift_cuped", "variance_reduction")
+      .as[(Double, Double, Double, Double)].head()
+    r._1 shouldBe 2.0 +- 0.1
+    r._3 shouldBe 5.0 +- 0.3
+    r._4 should be > 0.8 // x explains most variance (the treatment
+    // effect itself contributes ~6/39 that CUPED must NOT remove)
+    // balanced arms: raw lift close to the planted effect too
+    r._2 shouldBe 5.0 +- 0.3
+  }
+
+  it should "NULL the adjustment when the covariate is constant" in {
+    val df = Seq((0, 1.0, 2.0), (0, 1.0, 3.0), (1, 1.0, 9.0),
+      (1, 1.0, 8.0)).toDF("v", "x", "y")
+    val r = graft.dq.Stats.cuped(df, col("v"), col("x"), col("y"))
+      .select("theta", "lift_raw", "lift_cuped")
+      .as[(Option[Double], Option[Double], Option[Double])].head()
+    r._1 shouldBe None
+    r._2.get shouldBe 6.0 // raw lift still reports
+    r._3 shouldBe None
+  }
+
   behavior of "ml.FeaturePrep.standardScaler"
 
   it should "fit hand moments and transform with the published quantized params" in {
