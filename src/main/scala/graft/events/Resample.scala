@@ -68,9 +68,16 @@ object Resample {
     * Output: (duration_days, n_risk, n_events, n_censored, survival).
     * Entities with a single event contribute one censored span. */
   def kaplanMeier(df: DataFrame, key: String, ts: Column,
+      observationEnd: String): DataFrame =
+    kmFromSpans(gapSpans(df, key, ts, observationEnd))
+
+  /** The E19 span derivation: per entity, each event→next-event gap is
+    * a completed span; the final open gap is censored at
+    * `observationEnd`. Entity-keyed lag window only. */
+  private[graft] def gapSpans(df: DataFrame, key: String, ts: Column,
       observationEnd: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"))
-    val spans = df.select(col(key), ts.as("__ts"))
+    df.select(col(key), ts.as("__ts"))
       .withColumn("__next", lead(col("__ts"), 1).over(w))
       .select(col(key),
         when(col("__next").isNotNull,
@@ -79,7 +86,140 @@ object Resample {
             to_date(col("__ts")))).cast("long").as("t"),
         col("__next").isNull.as("__censored"))
       .filter(col("t") >= 0)
-    kmFromSpans(spans)
+  }
+
+  /** E33: NELSON–AALEN CUMULATIVE HAZARD over the same censored gap
+    * spans as [[kaplanMeier]] (Nelson 1972, Aalen 1978, public
+    * knowledge) — `H(t) = Σ_{u ≤ t} d_u/n_u` with the standard
+    * variance `Σ d_u/n_u²`. Where the KM curve multiplies survival
+    * fractions, NA sums hazard increments: it is the estimator whose
+    * increments are unbiased under independent censoring, and
+    * `exp(−H)` is the Fleming–Harrington survival alternative.
+    *
+    * Same reproducibility argument as KM: both cumulative sums run
+    * over an ORDERED window whose addition order is the window order,
+    * identical in both engines; the per-term doubles are fixed IEEE
+    * trees over exact LONG counts. The window is global but BOUNDED —
+    * one row per DISTINCT span duration (PlanGuardSpec census).
+    * Output: (duration_days, n_risk, n_events, n_censored, cum_hazard,
+    * cum_hazard_var) — hazard quantized-6, variance quantized-9 (the
+    * d/n² increments sit at the 1e-7 scale already at modest n). */
+  def nelsonAalen(df: DataFrame, key: String, ts: Column,
+      observationEnd: String): DataFrame = {
+    val byT = gapSpans(df, key, ts, observationEnd).groupBy(col("t"))
+      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
+    val riskW = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(riskW))
+      .withColumn("__h",
+        sum(col("n_events").cast("double") /
+          col("n_risk").cast("double")).over(cumW))
+      .withColumn("__hv",
+        sum(col("n_events").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+          .over(cumW))
+      .select(col("t").as("duration_days"), col("n_risk"),
+        col("n_events"), col("n_censored"),
+        graft.functions.q6(col("__h")).as("cum_hazard"),
+        graft.functions.quantize(col("__hv"), 9).as("cum_hazard_var"))
+  }
+
+  /** F50: TWO-GROUP LOG-RANK TEST (Mantel 1966, Peto & Peto 1972,
+    * public knowledge) — are two activation/survival curves the same?
+    * Per distinct event time `t_j`: observed arm-1 deaths `d_1j`,
+    * expectation under H₀ `E_1j = d_j·n_1j/n_j` from the at-risk
+    * sets, hypergeometric variance
+    * `V_j = d_j·(n_1j/n_j)·(1−n_1j/n_j)·(n_j−d_j)/(n_j−1)`;
+    * `z = (O₁−E₁)/√ΣV`, `χ² = z²`, two-sided p via the
+    * Abramowitz–Stegun 26.2.17 polynomial.
+    *
+    * At-risk sets come from per-group cumulative span counts over the
+    * DISTINCT-duration table (global window, bounded by the
+    * observation span in days — the KM/NA boundedness). The Σ over
+    * event times of the E and V doubles is floor-scaled to 1e6 LONGs
+    * first (a double Σ would re-order between engines). Output 1 row:
+    * (n0, n1, n_times, o1, e1, v, z, chi2, p). */
+  private[graft] def logRankFromSpans(spans: DataFrame): DataFrame = {
+    val byT = spans.groupBy(col("t")).agg(
+      sum(when(col("grp") === 1 && !col("__censored"), 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(col("grp") === 0 && !col("__censored"), 1L).otherwise(0L))
+        .as("d0"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c0"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byT.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("__N1"),
+      coalesce(sum(col("c0")), lit(0L)).as("__N0"))
+    val at = byT
+      .withColumn("__cum1", sum(col("c1")).over(w))
+      .withColumn("__cum0", sum(col("c0")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("n1", col("__N1") - (col("__cum1") - col("c1")))
+      .withColumn("n0", col("__N0") - (col("__cum0") - col("c0")))
+      .withColumn("nj", col("n0") + col("n1"))
+      .withColumn("dj", col("d0") + col("d1"))
+      .filter(col("dj") > 0)
+    val n1d = col("n1").cast("double")
+    val njd = col("nj").cast("double")
+    val djd = col("dj").cast("double")
+    val e1 = djd * n1d / njd
+    val v = when(col("nj") > 1,
+      djd * (n1d / njd) * (lit(1.0) - n1d / njd) *
+        (njd - djd) / (njd - lit(1.0))).otherwise(lit(0.0))
+    val agg = at.agg(
+      first(col("__N0")).as("n0"), first(col("__N1")).as("n1"),
+      count(lit(1)).as("n_times"),
+      coalesce(sum(col("d1")), lit(0L)).as("o1"),
+      coalesce(sum(floor(e1 * lit(1e6) + lit(0.5)).cast("long")),
+        lit(0L)).as("__se1"),
+      coalesce(sum(floor(v * lit(1e6) + lit(0.5)).cast("long")),
+        lit(0L)).as("__sv"))
+    val e1d = col("__se1").cast("double") / lit(1e6)
+    val vd = col("__sv").cast("double") / lit(1e6)
+    val z = (col("o1").cast("double") - e1d) / sqrt(vd)
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("__sv") > 0
+    import graft.functions.q6
+    agg.select(col("n0"), col("n1"), col("n_times"), col("o1"),
+      q6(e1d).as("e1"), q6(vd).as("v"),
+      q6(when(ok, z)).as("z"),
+      q6(when(ok, z * z)).as("chi2"),
+      q6(when(ok, least(pTwo, lit(1.0)))).as("p"))
+  }
+
+  /** [[logRankFromSpans]] over E25-style ACTIVATION spans: per entity
+    * one span, first event → first `targetType` event, censored at
+    * `observationEnd`, with the entity's arm from `arm` (must be
+    * 0/1-valued and constant per entity — `max` is taken). */
+  def activationLogRank(events: DataFrame, arm: Column,
+      targetType: String, observationEnd: String,
+      c: graft.events.EventCols = graft.events.EventCols()): DataFrame = {
+    val spans = events.groupBy(col(c.entity))
+      .agg(max(arm.cast("int")).as("grp"),
+        min(col(c.ts)).as("__first"),
+        min(when(col(c.eventType) === targetType, col(c.ts)))
+          .as("__target"))
+      .select(col("grp"),
+        when(col("__target").isNotNull,
+          datediff(to_date(col("__target")), to_date(col("__first"))))
+          .otherwise(datediff(lit(observationEnd).cast("date"),
+            to_date(col("__first")))).cast("long").as("t"),
+        col("__target").isNull.as("__censored"))
+      .filter(col("t") >= 0)
+    logRankFromSpans(spans)
   }
 
   /** E25: ACTIVATION SURVIVAL — "what fraction of users go t days from

@@ -1,0 +1,208 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed RANK-BASED statistics — Spearman's ρ, Kruskal–Wallis H,
+  * Mann–Whitney U — computed without ever ranking the data rows.
+  *
+  * The classic implementations sort the raw relation (a global-order
+  * window: the scale-killer). Every statistic here needs only RANK
+  * SUMS, and the average rank of a tied value is a function of the
+  * counts of smaller values alone — so all three operators aggregate
+  * to the DISTINCT-VALUE grid first (one map-side-combined groupBy of
+  * the data), then rank the grid:
+  *
+  *   - grouped marginals rank under `Window.partitionBy(group)` whose
+  *     partitions are sized by VALUE CARDINALITY, not row count;
+  *   - pooled (global) ranks use the two-phase
+  *     [[graft.relational.Ranks.prefixSums]] (never a partition-less
+  *     window).
+  *
+  * Doubled average ranks `r2 = 2·(#smaller) + (#ties) + 1` keep every
+  * rank an INTEGER (the ½s of midranks never appear), so all rank
+  * sums are exact DECIMAL(38,0)/LONG arithmetic; the final statistic
+  * is one fixed IEEE double tree over exact operands, quantized-6 —
+  * reproducible bit-for-bit across engines.
+  *
+  * 100 TB: cost is one shuffle to the distinct grid plus grid-sized
+  * joins; the data relation is touched once. Public formulas:
+  * Spearman 1904; Kruskal & Wallis 1952; Mann & Whitney 1947; normal
+  * approximation with tie correction per Lehmann, "Nonparametrics". */
+object RankTests {
+
+  private val D = "decimal(38,0)"
+
+  /** F47: SPEARMAN RANK CORRELATION per group between two columns.
+    *
+    * Rows collapse to `(group, x, y)` cells; X-marginal doubled
+    * midranks come from a cumulative count over the per-group distinct
+    * X values (ditto Y), and every moment Σu, Σv, Σuv, Σu², Σv² is a
+    * cell-count-weighted DECIMAL(38,0) sum. ρ is the Pearson formula
+    * over the doubled ranks (the ×2 cancels). NULL x/y rows are
+    * excluded (engines disagree on NULL sort order); groups with < 2
+    * rows or a constant side emit NULL rho.
+    *
+    * Exactness bound: moments stay under 4n⁴ — inside DECIMAL(38,0)
+    * to n ≈ 10⁹ rows per group. Output: (group, n, rho). */
+  def spearman(df: DataFrame, group: Column, x: Column, y: Column)
+      : DataFrame = {
+    val cells = df
+      .filter(x.isNotNull && y.isNotNull)
+      .select(group.as("g"), x.as("x"), y.as("y"))
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    def marginal(vc: String, rankName: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // partition = one GROUP's distinct values of one column —
+      // value-cardinality-bounded, not data-bounded
+      cells.groupBy(col("g"), col(vc))
+        .agg(sum(col("n_xy")).as("c"))
+        .withColumn("__cum", sum(col("c")).over(w))
+        .select(col("g"), col(vc),
+          (lit(2L) * (col("__cum") - col("c")) + col("c") + lit(1L))
+            .cast(D).as(rankName))
+    }
+    val joined = cells
+      .join(marginal("x", "rx"), Seq("g", "x"))
+      .join(marginal("y", "ry"), Seq("g", "y"))
+    val nD = col("n_xy").cast(D)
+    val agg = joined.groupBy(col("g")).agg(
+      sum(col("n_xy")).as("n"),
+      sum(nD * col("rx")).as("__su"),
+      sum(nD * col("ry")).as("__sv"),
+      sum(nD * col("rx") * col("ry")).as("__suv"),
+      sum(nD * col("rx") * col("rx")).as("__suu"),
+      sum(nD * col("ry") * col("ry")).as("__svv"))
+    val n = col("n").cast("double")
+    def d(s: String) = col(s).cast("double")
+    val num = n * d("__suv") - d("__su") * d("__sv")
+    val varU = n * d("__suu") - d("__su") * d("__su")
+    val varV = n * d("__svv") - d("__sv") * d("__sv")
+    agg.select(col("g"), col("n"),
+      graft.functions.q6(when(col("n") > 1 && varU > 0 && varV > 0,
+        num / (sqrt(varU) * sqrt(varV)))).as("rho"))
+  }
+
+  /** F48: KRUSKAL–WALLIS H — the rank one-way ANOVA across k groups.
+    *
+    * Pooled doubled midranks come from the two-phase prefix sum over
+    * the DISTINCT-VALUE count table (no global-order window); each
+    * group's rank sum R2_g is an exact DECIMAL(38,0) count-weighted
+    * sum. The k per-group terms (R2_g/2)²/n_g are summed by an
+    * ORDERED cumulative window over the k-row GROUP table (addition
+    * order = group order, identical in both engines — the
+    * [[graft.events.Resample.kmFromSpans]] discipline; floor-scaled
+    * LONGs would overflow here, the terms grow ~n_g·N²), and the tie
+    * correction Σ(t³−t)/(N³−N) is exact DECIMAL. The group-ordered
+    * window is global but BOUNDED: one row per distinct group.
+    * Output 1 row: (n, k, dof, h, tie_c, h_adj). */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val rows = df.filter(value.isNotNull)
+      .select(group.as("g"), value.as("v"))
+    val byValue = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ranked = graft.relational.Ranks
+      .prefixSums(byValue, Seq(col("v")), Seq("__cum" -> col("c")))
+      .select(col("v"),
+        (lit(2L) * (col("__cum") - col("c")) + col("c") + lit(1L))
+          .as("r2"),
+        col("c"))
+    val perGroupValue = rows.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("n_gv"))
+    val perGroup = perGroupValue.join(ranked, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv").cast(D) * col("r2").cast(D)).as("__r2g"))
+    // (R2_g/2)²/n_g as a fixed IEEE tree per group; summed by the
+    // ordered k-row cumulative window so the cross-group addition
+    // order is pinned (bounded: one row per group)
+    val term = col("__r2g").cast("double") * col("__r2g").cast("double") /
+      (lit(4.0) * col("n_g").cast("double"))
+    val wG = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perGroup.withColumn("__ct", sum(term).over(wG)).agg(
+      sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      max_by(col("__ct"), col("g")).as("__st"))
+    val ties = ranked.agg(
+      coalesce(sum(col("c").cast(D) * col("c").cast(D) * col("c").cast(D)
+        - col("c").cast(D)), lit(0).cast(D)).as("__t3"))
+    val nn = col("n").cast("double")
+    val h = lit(12.0) / (nn * (nn + lit(1.0))) * col("__st") -
+      lit(3.0) * (nn + lit(1.0))
+    val tieC = lit(1.0) - col("__t3").cast("double") /
+      (nn * nn * nn - nn)
+    totals.crossJoin(broadcast(ties)).select(
+      col("n"), col("k"), (col("k") - lit(1L)).as("dof"),
+      graft.functions.q6(when(col("n") > 1, h)).as("h"),
+      graft.functions.q6(when(col("n") > 1, tieC)).as("tie_c"),
+      graft.functions.q6(when(col("n") > 1 && tieC > 0, h / tieC))
+        .as("h_adj"))
+  }
+
+  /** F49: MANN–WHITNEY U between two arms (`variant` 0/1) with the
+    * tie-corrected normal approximation — the nonparametric two-sample
+    * test ([[graft.ml.Eval.rocAuc]] reports the same U as an AUC; this
+    * emits the TEST: U, z, and a two-sided p).
+    *
+    * Same distinct-value discipline as [[kruskalWallis]]: per-value
+    * arm counts, two-phase pooled midranks, exact DECIMAL rank sums.
+    * `U₁ = R₁ − n₁(n₁+1)/2` stays in doubled-integer form until one
+    * final halving (exact — halves are representable). σ² carries
+    * Lehmann's tie term `n₁n₂/12·[(N+1) − Σ(t³−t)/(N(N−1))]`; the
+    * two-sided p uses the Abramowitz–Stegun 26.2.17 polynomial (the
+    * [[graft.dq.Stats.bhFdr]] CDF). Degenerate inputs (an empty arm,
+    * or all values tied ⇒ σ = 0) emit NULL z/p.
+    * Output 1 row: (n0, n1, u1, u0, z, p). */
+  def mannWhitney(df: DataFrame, variant: Column, value: Column)
+      : DataFrame = {
+    val rows = df.filter(value.isNotNull)
+      .select(variant.cast("int").as("arm"), value.as("v"))
+    val byValue = rows.groupBy(col("v")).agg(
+      count(lit(1)).as("c"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val ranked = graft.relational.Ranks
+      .prefixSums(byValue, Seq(col("v")), Seq("__cum" -> col("c")))
+      .select(col("v"), col("c"), col("c1"),
+        (lit(2L) * (col("__cum") - col("c")) + col("c") + lit(1L))
+          .as("r2"))
+    val agg = ranked.agg(
+      coalesce(sum(col("c") - col("c1")), lit(0L)).as("n0"),
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c1").cast(D) * col("r2").cast(D)),
+        lit(0).cast(D)).as("__r21"),
+      coalesce(sum(col("c").cast(D) * col("c").cast(D) * col("c").cast(D)
+        - col("c").cast(D)), lit(0).cast(D)).as("__t3"))
+    val n0 = col("n0").cast("double")
+    val n1 = col("n1").cast("double")
+    val nn = n0 + n1
+    // u1 from the doubled rank sum: 2·U₁ = R2₁·/1 − ... kept exact:
+    // R2₁ = 2·R₁ so U₁ = (R2₁ − n₁(n₁+1)) / 2 — halves are exact
+    val u1 = (col("__r21").cast("double") -
+      n1 * (n1 + lit(1.0))) / lit(2.0)
+    val u0 = n0 * n1 - u1
+    val mu = n0 * n1 / lit(2.0)
+    val sig2 = n0 * n1 / lit(12.0) *
+      ((nn + lit(1.0)) -
+        col("__t3").cast("double") / (nn * (nn - lit(1.0))))
+    val z = (u1 - mu) / sqrt(sig2)
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("n0") > 0 && col("n1") > 0 && sig2 > 0
+    agg.select(col("n0"), col("n1"),
+      graft.functions.q6(when(col("n0") > 0 && col("n1") > 0, u1))
+        .as("u1"),
+      graft.functions.q6(when(col("n0") > 0 && col("n1") > 0, u0))
+        .as("u0"),
+      graft.functions.q6(when(ok, z)).as("z"),
+      graft.functions.q6(when(ok, least(pTwo, lit(1.0)))).as("p"))
+  }
+}

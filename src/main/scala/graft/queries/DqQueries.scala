@@ -124,6 +124,29 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F47: Spearman rank correlation per return flag between quantity
+    // and extended price — distinct-cell grid ranks, exact DECIMAL
+    // moments, one fixed IEEE rho tree.
+    "q_f47_spearman" -> { (s, dir) =>
+      graft.ml.RankTests.spearman(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("g"))
+    },
+
+    // F48: Kruskal-Wallis rank ANOVA of quantity across return flags —
+    // two-phase pooled midranks, floor-scaled per-group terms.
+    "q_f48_kruskal_wallis" -> { (s, dir) =>
+      graft.ml.RankTests.kruskalWallis(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"))
+    },
+
+    // F49: Mann-Whitney U between high (1-2) and low (3-5) order
+    // priorities over order totals — tie-corrected z + A&S p.
+    "q_f49_mann_whitney" -> { (s, dir) =>
+      graft.ml.RankTests.mannWhitney(t(s, dir, "orders"),
+        (col("o_orderpriority") < "3").cast("int"), col("o_totalprice"))
+    },
+
     // F40: chi-square independence + Cramér's V between language and
     // source — the bounded companion of q_f35's mutual information.
     "q_f40_cramers_v" -> { (s, dir) =>
@@ -828,6 +851,143 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Distinct-cell grid midranks (HUGEINT ≡ Spark DECIMAL(38,0) —
+    // both exact), doubled so ties stay integral; identical IEEE rho
+    // tree over the double-cast moments, quantized-6.
+    "q_f47_spearman" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x,
+        |    l_extendedprice AS y, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |xm AS (SELECT g, x, CAST(sum(n_xy) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |xr AS (SELECT g, x, CAST(2 * (CAST(sum(c) OVER
+        |      (PARTITION BY g ORDER BY x) AS BIGINT) - c) + c + 1
+        |    AS HUGEINT) AS rx FROM xm),
+        |ym AS (SELECT g, y, CAST(sum(n_xy) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |yr AS (SELECT g, y, CAST(2 * (CAST(sum(c) OVER
+        |      (PARTITION BY g ORDER BY y) AS BIGINT) - c) + c + 1
+        |    AS HUGEINT) AS ry FROM ym),
+        |j AS (SELECT cells.g AS g, cells.n_xy AS n_xy,
+        |    xr.rx AS rx, yr.ry AS ry
+        |  FROM cells
+        |  JOIN xr ON cells.g = xr.g AND cells.x = xr.x
+        |  JOIN yr ON cells.g = yr.g AND cells.y = yr.y),
+        |a AS (SELECT g, CAST(sum(n_xy) AS BIGINT) AS n,
+        |    sum(CAST(n_xy AS HUGEINT) * rx) AS su,
+        |    sum(CAST(n_xy AS HUGEINT) * ry) AS sv,
+        |    sum(CAST(n_xy AS HUGEINT) * rx * ry) AS suv,
+        |    sum(CAST(n_xy AS HUGEINT) * rx * rx) AS suu,
+        |    sum(CAST(n_xy AS HUGEINT) * ry * ry) AS svv
+        |  FROM j GROUP BY 1),
+        |b AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(su AS DOUBLE) AS sud, CAST(sv AS DOUBLE) AS svd,
+        |    CAST(suv AS DOUBLE) AS suvd, CAST(suu AS DOUBLE) AS suud,
+        |    CAST(svv AS DOUBLE) AS svvd
+        |  FROM a)
+        |SELECT g, n,
+        |  CASE WHEN n > 1 AND nd * suud - sud * sud > 0
+        |      AND nd * svvd - svd * svd > 0
+        |    THEN floor((nd * suvd - sud * svd)
+        |      / (sqrt(nd * suud - sud * sud)
+        |        * sqrt(nd * svvd - svd * svd))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS rho
+        |FROM b ORDER BY g""".stripMargin,
+    // Pooled doubled midranks over the distinct-value table; per-group
+    // (R2/2)^2/n terms summed by the ordered cumulative window over
+    // the k-row group table (pinned addition order); exact tie term;
+    // identical H / tie-correction trees from the RAW doubles,
+    // quantized-6 only in the final select.
+    "q_f48_kruskal_wallis" ->
+      """WITH rows0 AS (SELECT l_returnflag AS g, l_quantity AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |  FROM rows0 GROUP BY 1),
+        |rk AS (SELECT v, c, CAST(2 * (CAST(sum(c) OVER (ORDER BY v)
+        |    AS BIGINT) - c) + c + 1 AS HUGEINT) AS r2 FROM bv),
+        |pgv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM rows0 GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+        |    sum(CAST(n_gv AS HUGEINT) * r2) AS r2g
+        |  FROM pgv JOIN rk ON pgv.v = rk.v GROUP BY 1),
+        |cumt AS (SELECT g, n_g,
+        |    sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+        |      / (4.0 * CAST(n_g AS DOUBLE)))
+        |      OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM pg),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    arg_max(ct, g) AS st
+        |  FROM cumt),
+        |tc AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0)
+        |    AS t3 FROM rk),
+        |fin AS (SELECT n, k, CAST(n AS DOUBLE) AS nd,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      * st - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hraw,
+        |    1.0 - CAST(t3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS tcraw
+        |  FROM tot, tc)
+        |SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+        |  CASE WHEN n > 1
+        |    THEN floor(hraw * 1000000.0 + 0.5) / 1000000.0 END AS h,
+        |  CASE WHEN n > 1
+        |    THEN floor(tcraw * 1000000.0 + 0.5) / 1000000.0 END AS tie_c,
+        |  CASE WHEN n > 1 AND tcraw > 0
+        |    THEN floor(hraw / tcraw * 1000000.0 + 0.5) / 1000000.0
+        |    END AS h_adj
+        |FROM fin""".stripMargin,
+    // Same distinct-value midranks; doubled U kept integral until one
+    // exact halving; Lehmann tie-corrected sigma; f38's A&S 26.2.17
+    // polynomial for the two-sided p.
+    "q_f49_mann_whitney" ->
+      """WITH rows0 AS (SELECT CASE WHEN o_orderpriority < '3'
+        |      THEN 1 ELSE 0 END AS arm, o_totalprice AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1
+        |  FROM rows0 GROUP BY 1),
+        |rk AS (SELECT v, c, c1, CAST(2 * (CAST(sum(c) OVER (ORDER BY v)
+        |    AS BIGINT) - c) + c + 1 AS HUGEINT) AS r2 FROM bv),
+        |a AS (SELECT coalesce(CAST(sum(c - c1) AS BIGINT), 0) AS n0,
+        |    coalesce(CAST(sum(c1) AS BIGINT), 0) AS n1,
+        |    coalesce(sum(CAST(c1 AS HUGEINT) * r2), 0) AS r21,
+        |    coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0) AS t3
+        |  FROM rk),
+        |b AS (SELECT n0, n1, CAST(n0 AS DOUBLE) AS d0,
+        |    CAST(n1 AS DOUBLE) AS d1, CAST(r21 AS DOUBLE) AS r21d,
+        |    CAST(t3 AS DOUBLE) AS t3d FROM a),
+        |cc AS (SELECT *,
+        |    (r21d - d1 * (d1 + 1.0)) / 2.0 AS u1,
+        |    d0 * d1 / 12.0 * ((d0 + d1 + 1.0)
+        |      - t3d / ((d0 + d1) * (d0 + d1 - 1.0))) AS sig2
+        |  FROM b),
+        |dd AS (SELECT *,
+        |    (u1 - d0 * d1 / 2.0) / sqrt(sig2) AS z FROM cc),
+        |ee AS (SELECT *, 2.0
+        |    * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |    AS p2 FROM dd)
+        |SELECT n0, n1,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |    THEN floor(u1 * 1000000.0 + 0.5) / 1000000.0 END AS u1,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |    THEN floor((d0 * d1 - u1) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS u0,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND sig2 > 0
+        |    THEN floor(z * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND sig2 > 0
+        |    THEN floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM ee""".stripMargin,
     // Same exact cell/marginal re-aggregation as f35; chi-square terms
     // floor-scaled to LONGs, identical V tree.
     "q_f40_cramers_v" ->

@@ -153,6 +153,23 @@ object EventQueries {
         .orderBy(col("duration_days"))
     },
 
+    // E33: Nelson-Aalen cumulative hazard of inter-purchase gaps —
+    // the additive companion of q_e19's KM curve, same censoring.
+    "q_e33_nelson_aalen" -> { (s, dir) =>
+      graft.events.Resample.nelsonAalen(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), "2024-02-01")
+        .orderBy(col("duration_days"))
+    },
+
+    // F50: log-rank test — do even and odd users activate (first
+    // purchase) at the same rate? Floor-scaled E/V term sums, A&S p.
+    "q_f50_logrank" -> { (s, dir) =>
+      graft.events.Resample.activationLogRank(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        pmod(col("user_id"), lit(2)), "purchase", "2024-02-01")
+    },
+
     // E18: classical additive decomposition of daily purchase value —
     // centered MA-7 trend, per-weekday seasonal of the detrended
     // series, remainder (the anomaly signal).
@@ -762,6 +779,128 @@ object EventQueries {
         |  CASE WHEN hit_zero = 1 THEN 0.0
         |       ELSE round(exp(lnsum), 6) END AS survival
         |FROM sv ORDER BY duration_days""".stripMargin,
+    // Same e19 gap spans and risk sets; the two hazard cumulations are
+    // ordered-window double sums (addition order = window order in
+    // both engines); variance quantized-9, hazard quantized-6.
+    "q_e33_nelson_aalen" ->
+      """WITH sp AS (
+        |  SELECT user_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |  FROM events WHERE event_type = 'purchase'),
+        |spans AS (
+        |  SELECT CASE WHEN nxt IS NOT NULL
+        |      THEN date_diff('day', CAST(ts AS DATE), CAST(nxt AS DATE))
+        |      ELSE date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+        |      END AS t,
+        |    (nxt IS NULL) AS censored
+        |  FROM sp),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM spans WHERE t >= 0 GROUP BY t),
+        |rk AS (SELECT *, CAST(sum(n_events + n_censored) OVER (
+        |    ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_risk FROM byt),
+        |cz AS (SELECT *,
+        |    sum(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h,
+        |    sum(CAST(n_events AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hv
+        |  FROM rk)
+        |SELECT t AS duration_days, n_risk, n_events, n_censored,
+        |  floor(h * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard,
+        |  floor(hv * 1000000000.0 + 0.5) / 1000000000.0
+        |    AS cum_hazard_var
+        |FROM cz ORDER BY duration_days""".stripMargin,
+    // E25-style activation spans split by arm; at-risk sets from
+    // cumulative span counts over the bounded distinct-duration grid;
+    // E/V terms floor-scaled to BIGINT before the cross-time sum;
+    // identical z/chi2 trees and f38's A&S polynomial.
+    "q_f50_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(max(user_id % 2) AS INTEGER) AS grp,
+        |    min(ts) AS first_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS target_ts
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |spans AS (
+        |  SELECT grp, CASE WHEN target_ts IS NOT NULL
+        |      THEN date_diff('day', CAST(first_ts AS DATE),
+        |        CAST(target_ts AS DATE))
+        |      ELSE date_diff('day', CAST(first_ts AS DATE),
+        |        DATE '2024-02-01') END AS t,
+        |    (target_ts IS NULL) AS censored
+        |  FROM pu),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN grp = 1 AND NOT censored
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN grp = 0 AND NOT censored
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0
+        |  FROM spans WHERE t >= 0 GROUP BY t),
+        |cum AS (SELECT *,
+        |    CAST(sum(c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum1,
+        |    CAST(sum(c0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum0
+        |  FROM byt),
+        |tot AS (SELECT coalesce(CAST(sum(c1) AS BIGINT), 0) AS nt1,
+        |    coalesce(CAST(sum(c0) AS BIGINT), 0) AS nt0 FROM byt),
+        |fl AS (SELECT cum.*, tot.nt1, tot.nt0,
+        |    tot.nt1 - (cum1 - c1) AS n1r,
+        |    tot.nt0 - (cum0 - c0) AS n0r
+        |  FROM cum, tot),
+        |ff AS (SELECT *, n0r + n1r AS nj, d0 + d1 AS dj FROM fl
+        |  WHERE d0 + d1 > 0),
+        |tm AS (SELECT *,
+        |    CAST(dj AS DOUBLE) * CAST(n1r AS DOUBLE)
+        |      / CAST(nj AS DOUBLE) AS e1t,
+        |    CASE WHEN nj > 1 THEN CAST(dj AS DOUBLE)
+        |      * (CAST(n1r AS DOUBLE) / CAST(nj AS DOUBLE))
+        |      * (1.0 - CAST(n1r AS DOUBLE) / CAST(nj AS DOUBLE))
+        |      * (CAST(nj AS DOUBLE) - CAST(dj AS DOUBLE))
+        |      / (CAST(nj AS DOUBLE) - 1.0) ELSE 0.0 END AS vt
+        |  FROM ff),
+        |ag AS (SELECT CAST(min(nt0) AS BIGINT) AS n0,
+        |    CAST(min(nt1) AS BIGINT) AS n1,
+        |    CAST(count(*) AS BIGINT) AS n_times,
+        |    coalesce(CAST(sum(d1) AS BIGINT), 0) AS o1,
+        |    coalesce(CAST(sum(CAST(floor(e1t * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT), 0) AS se1,
+        |    coalesce(CAST(sum(CAST(floor(vt * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT), 0) AS sv
+        |  FROM tm),
+        |zz AS (SELECT *,
+        |    (CAST(o1 AS DOUBLE) - CAST(se1 AS DOUBLE) / 1000000.0)
+        |      / sqrt(CAST(sv AS DOUBLE) / 1000000.0) AS z
+        |  FROM ag),
+        |pp AS (SELECT *, 2.0
+        |    * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |    AS p2 FROM zz)
+        |SELECT n0, n1, n_times, o1,
+        |  floor(CAST(se1 AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS e1,
+        |  floor(CAST(sv AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS v,
+        |  CASE WHEN sv > 0
+        |    THEN floor(z * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN sv > 0
+        |    THEN floor(z * z * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+        |  CASE WHEN sv > 0
+        |    THEN floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM pp""".stripMargin,
     // Same spans, same ordered cumulative ln-sum; the d = n zero case
     // flagged, never ln(0) (NULL in Spark, -inf in DuckDB).
     "q_e19_survival" ->

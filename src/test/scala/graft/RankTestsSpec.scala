@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RankTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "ml.RankTests"
+
+  it should "score a perfect monotone relationship rho = 1" in {
+    val df = (1 to 20).map(i => ("a", i.toDouble, math.exp(i / 3.0)))
+      .toDF("g", "x", "y")
+    val r = graft.ml.RankTests.spearman(df, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect()
+    r.head._2 shouldBe 20L
+    r.head._3.get shouldBe 1.0 +- 1e-12
+  }
+
+  it should "match the midrank Spearman fixture under ties" in {
+    // scipy.stats.spearmanr-equivalent hand fixture: rho = 0.9256265…
+    val xs = Seq(1, 2, 2, 3, 4, 4, 4, 5).map(_.toDouble)
+    val ys = Seq(2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 6.0)
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "x", "y")
+    val r = graft.ml.RankTests.spearman(df, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect()
+    r.head._3.get shouldBe 0.925627 +- 1e-9 // quantized-6
+  }
+
+  it should "emit NULL rho for a constant side and survive repartitioning" in {
+    val df = (1 to 10).map(i => ("a", i.toDouble, 7.0)).toDF("g", "x", "y")
+    graft.ml.RankTests.spearman(df, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect().head._3 shouldBe None
+    val big = (1 to 200).map(i => ("a", (i % 13).toDouble,
+      ((i * 7) % 11).toDouble)).toDF("g", "x", "y")
+    val one = graft.ml.RankTests
+      .spearman(big.coalesce(1), col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect().head
+    val many = graft.ml.RankTests
+      .spearman(big.repartition(17), col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect().head
+    one shouldBe many
+  }
+
+  it should "match the Kruskal-Wallis tie-corrected fixture" in {
+    // groups a:[1..4] b:[3..7] c:[6..8] -> H = 7.2564103, C = 0.986014
+    val rows = Seq(1, 2, 3, 4).map(("a", _)) ++
+      Seq(3, 4, 5, 6, 7).map(("b", _)) ++ Seq(6, 7, 8).map(("c", _))
+    val df = rows.map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+    val r = graft.ml.RankTests.kruskalWallis(df, col("g"), col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    r._1 shouldBe 12L
+    r._2 shouldBe 3L
+    r._3 shouldBe 2L
+    r._4.get shouldBe 7.256410 +- 1e-9
+    r._5.get shouldBe 0.986014 +- 1e-9
+    r._6.get shouldBe 7.359338 +- 1e-9
+  }
+
+  it should "match the Mann-Whitney tie-corrected fixture" in {
+    // arm0 [1..5], arm1 [3..8]: U1 = 25.5, z = 1.930235, p = 0.053578
+    val rows = Seq(1, 2, 3, 4, 5).map((0, _)) ++
+      Seq(3, 4, 5, 6, 7, 8).map((1, _))
+    val df = rows.map { case (a, v) => (a, v.toDouble) }.toDF("arm", "v")
+    val r = graft.ml.RankTests.mannWhitney(df, col("arm"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    r._1 shouldBe 5L
+    r._2 shouldBe 6L
+    r._3.get shouldBe 25.5
+    r._4.get shouldBe 4.5
+    r._5.get shouldBe 1.930235 +- 1e-9
+    r._6.get shouldBe 0.053578 +- 1e-9
+  }
+
+  it should "degrade to NULL z when every value is tied" in {
+    val df = (1 to 8).map(i => (i % 2, 5.0)).toDF("arm", "v")
+    val r = graft.ml.RankTests.mannWhitney(df, col("arm"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    r._5 shouldBe None
+    r._6 shouldBe None
+  }
+}
