@@ -1,6 +1,7 @@
 package graft.dq
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exploratory statistics over wide fact tables: a one-pass pairwise
@@ -455,6 +456,119 @@ object Stats {
       q6(m0).as("mean0"), q6(m1).as("mean1"),
       q6(v0).as("var0"), q6(v1).as("var1"),
       q6(t).as("t"), q6(dof).as("dof"))
+  }
+
+  /** F53: ONE-WAY ANOVA across k groups (Fisher 1925, public
+    * knowledge) — `F = (SSB/(k−1)) / (SSW/(N−k))` with the η² effect
+    * size `SSB/(SSB+SSW)` (a bare F hides whether a "significant"
+    * difference is big). The parametric sibling of
+    * [[graft.ml.RankTests.kruskalWallis]] and the k-group extension of
+    * [[welchT]]'s moment discipline: per-group n, DECIMAL-exact Σx and
+    * Σx²; SSW_g = q_g − s_g²/n_g and SSB_g = n_g(m_g − m̄)² are fixed
+    * IEEE trees per group, summed by the ORDERED cumulative window
+    * over the k-row group table (pinned cross-group addition order —
+    * the bounded-window discipline; grand N and Σx stay exact
+    * DECIMAL). Groups with n_g = 0 cannot occur (groupBy). Degenerate
+    * boards (k < 2 or N ≤ k or SSW = 0) emit NULL f. Output 1 row:
+    * (n, k, ssb, ssw, f_stat, eta2). */
+  def oneWayAnova(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val x = value.cast("decimal(18,6)")
+    val perGroup = df.filter(value.isNotNull)
+      .groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(x).as("__s"),
+        sum(x * x).as("__q"))
+    val grand = perGroup.agg(
+      sum(col("n_g")).as("__n"),
+      sum(col("__s").cast("decimal(38,6)")).as("__ss"))
+    val withM = perGroup.crossJoin(broadcast(grand))
+    val nG = col("n_g").cast("double")
+    val sG = col("__s").cast("double")
+    val qG = col("__q").cast("double")
+    val mAll = col("__ss").cast("double") / col("__n").cast("double")
+    val mG = sG / nG
+    val sswG = qG - sG * sG / nG
+    val ssbG = nG * (mG - mAll) * (mG - mAll)
+    val wG = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = withM
+      .withColumn("__cw", sum(sswG).over(wG))
+      .withColumn("__cb", sum(ssbG).over(wG))
+      .groupBy()
+      .agg(first(col("__n")).as("n"), count(lit(1)).as("k"),
+        max_by(col("__cw"), col("g")).as("__ssw"),
+        max_by(col("__cb"), col("g")).as("__ssb"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val f = (col("__ssb") / (kD - lit(1.0))) /
+      (col("__ssw") / (nD - kD))
+    // ssb/ssw stay RAW doubles: they are identical fixed IEEE trees in
+    // both engines (no round builtins involved), and their magnitude
+    // (~N·var) overflows any fixed quantizer scale at data size
+    import graft.functions.q6
+    agg.select(col("n"), col("k"),
+      col("__ssb").as("ssb"), col("__ssw").as("ssw"),
+      q6(when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0,
+        f)).as("f_stat"),
+      q6(when(col("__ssb") + col("__ssw") > 0,
+        col("__ssb") / (col("__ssb") + col("__ssw")))).as("eta2"))
+  }
+
+  /** F52: mSPRT ALWAYS-VALID p-VALUE for a two-proportion metric
+    * (mixture sequential probability ratio test — Robbins 1970,
+    * Johari, Pekelis & Walsh 2017, public knowledge). A fixed-n z-test
+    * read daily is a peeking machine; the mSPRT p is valid at EVERY
+    * interim look. Normal-mixture closed form over the effect estimate
+    * `Δ = p₁ − p₀` with sampling variance `V = p̂(1−p̂)(1/n₀+1/n₁)`:
+    * `Λ = √(V/(V+τ²)) · exp(Δ²τ²/(2V(V+τ²)))`, `p = min(1, 1/Λ)`,
+    * with mixture width τ² a fixed design parameter.
+    *
+    * One map-side-combined groupBy to (n₀,n₁,c₀,c₁) per segment; the
+    * statistic is a fixed IEEE tree over the exact counts
+    * ([[msprtFromCounts]] — counters are mergeable, so the streaming
+    * monitor publishes the identical always-valid p per batch).
+    * Degenerate segments (an empty arm or 0%/100% pooled rate) emit
+    * NULL. Output per segment: counts, delta, v, lambda, p_av. */
+  def msprt(units: DataFrame, groupCols: Seq[String], variant: Column,
+      converted: Column, tau2: Double = 1e-4): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    msprtFromCounts(units.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(variant === 0, converted.cast("long")).otherwise(0L))
+          .as("c0"),
+        sum(when(variant === 1, converted.cast("long")).otherwise(0L))
+          .as("c1")), groupCols, tau2)
+  }
+
+  /** The [[msprt]] statistic over an already-counted per-group
+    * (n0, n1, c0, c1) table — exact mergeable counters. */
+  def msprtFromCounts(counts: DataFrame, groupCols: Seq[String],
+      tau2: Double = 1e-4): DataFrame = {
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    val n0 = col("n0").cast("double")
+    val n1 = col("n1").cast("double")
+    val p0 = col("c0").cast("double") / n0
+    val p1 = col("c1").cast("double") / n1
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val v = pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1)
+    val delta = p1 - p0
+    val lam = sqrt(v / (v + lit(tau2))) *
+      exp(delta * delta * lit(tau2) /
+        (lit(2.0) * v * (v + lit(tau2))))
+    val ok = col("n0") > 0 && col("n1") > 0 &&
+      col("c0") + col("c1") > 0 &&
+      col("c0") + col("c1") < col("n0") + col("n1")
+    import graft.functions.q6
+    counts.select(groupCols.map(col) ++ Seq(
+      col("n0"), col("n1"), col("c0"), col("c1"),
+      q6(when(ok, delta)).as("delta"),
+      graft.functions.quantize(when(ok, v), 9).as("v"),
+      q6(when(ok, lam)).as("lambda"),
+      q6(when(ok, least(lit(1.0) / lam, lit(1.0)))).as("p_av")): _*)
   }
 
   /** F38: BENJAMINI–HOCHBERG FDR CONTROL over MANY simultaneous A/B

@@ -124,6 +124,49 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F53: one-way ANOVA of order totals across the five priorities —
+    // exact per-group moments, ordered k-row SSB/SSW cumulation.
+    "q_f53_anova" -> { (s, dir) =>
+      graft.dq.Stats.oneWayAnova(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"))
+    },
+
+    // F52: always-valid mSPRT p per event type — even/odd users as
+    // arms, conversion = value > 60; peek-safe sequential testing.
+    "q_f52_msprt" -> { (s, dir) =>
+      graft.dq.Stats.msprt(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq("event_type"), pmod(col("user_id"), lit(2)),
+        (col("value") > 60).cast("int"))
+        .orderBy(col("event_type"))
+    },
+
+    // F51: caliper propensity matching — BUILDING customers matched
+    // to the nearest non-BUILDING control on normalized account
+    // balance (caliper 0.02); outcome = total order spend.
+    "q_f51_caliper_match" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("__sp"))
+      val stats = cust.agg(min(col("c_acctbal")).as("__mn"),
+        max(col("c_acctbal")).as("__mx"))
+      val base = cust
+        .join(spend, cust("c_custkey") === spend("o_custkey"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("c_custkey").as("id"),
+          ((col("c_acctbal") - col("__mn")) /
+            (col("__mx") - col("__mn"))).as("score"),
+          coalesce(col("__sp"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+            .cast("double").as("y"),
+          (col("c_mktsegment") === "BUILDING").as("__t"))
+      graft.ml.Matching.caliperMatch(
+        base.filter(col("__t")).select("id", "score", "y"),
+        base.filter(!col("__t")).select("id", "score", "y"), 0.02)
+        .orderBy(col("t_id"))
+    },
+
     // F47: Spearman rank correlation per return flag between quantity
     // and extended price — distinct-cell grid ranks, exact DECIMAL
     // moments, one fixed IEEE rho tree.
@@ -851,6 +894,115 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // f42's DECIMAL moment discipline per group; SSW/SSB terms summed
+    // by the ordered k-row cumulative window; identical F/eta2 trees
+    // from raw doubles, quantized-6 at the end.
+    "q_f53_anova" ->
+      """WITH pg AS (SELECT o_orderpriority AS g,
+        |    CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6))) AS q
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |gr AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(s AS DECIMAL(38,6))) AS ss FROM pg),
+        |tm AS (SELECT pg.g, pg.n_g, gr.n, gr.ss,
+        |    CAST(pg.q AS DOUBLE) - CAST(pg.s AS DOUBLE)
+        |      * CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE) AS sswg,
+        |    CAST(pg.n_g AS DOUBLE)
+        |      * (CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE)
+        |        - CAST(gr.ss AS DOUBLE) / CAST(gr.n AS DOUBLE))
+        |      * (CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE)
+        |        - CAST(gr.ss AS DOUBLE) / CAST(gr.n AS DOUBLE)) AS ssbg
+        |  FROM pg, gr),
+        |cm AS (SELECT *,
+        |    sum(sswg) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(ssbg) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM tm),
+        |ag AS (SELECT CAST(min(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    arg_max(cw, g) AS ssw, arg_max(cb, g) AS ssb FROM cm)
+        |SELECT n, k, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0
+        |    THEN floor((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0
+        |    THEN floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS eta2
+        |FROM ag""".stripMargin,
+    // f38's count CTE; mixture-normal mSPRT closed form as one fixed
+    // IEEE tree over the exact counts; v quantized-9 (it sits at the
+    // 1e-4 scale), everything else quantized-6.
+    "q_f52_msprt" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta,
+        |    (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE)
+        |        / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+        |      AS v
+        |  FROM g),
+        |l AS (SELECT *,
+        |    sqrt(v / (v + 0.0001))
+        |      * exp(delta * delta * 0.0001
+        |        / (2.0 * v * (v + 0.0001))) AS lam,
+        |    (n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+        |      AND c0 + c1 < n0 + n1) AS ok
+        |  FROM d)
+        |SELECT event_type, n0, n1, c0, c1,
+        |  CASE WHEN ok
+        |    THEN floor(delta * 1000000.0 + 0.5) / 1000000.0
+        |    END AS delta,
+        |  CASE WHEN ok
+        |    THEN floor(v * 1000000000.0 + 0.5) / 1000000000.0 END AS v,
+        |  CASE WHEN ok
+        |    THEN floor(lam * 1000000.0 + 0.5) / 1000000.0
+        |    END AS lambda,
+        |  CASE WHEN ok
+        |    THEN floor(least(1.0 / lam, 1.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS p_av
+        |FROM l ORDER BY event_type""".stripMargin,
+    // Direct nearest-within-caliper argmin — semantically what the
+    // 3-bin equi-join computes (any pair within the caliper differs by
+    // at most one caliper-width bin); same (dist, score, id) tie
+    // break, dist quantized-6.
+    "q_f51_caliper_match" ->
+      """WITH st AS (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx
+        |  FROM customer),
+        |sp AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_custkey AS id,
+        |    (c_acctbal - st.mn) / (st.mx - st.mn) AS score,
+        |    CAST(coalesce(sp.s, 0) AS DOUBLE) AS y,
+        |    (c_mktsegment = 'BUILDING') AS trt
+        |  FROM customer CROSS JOIN st
+        |  LEFT JOIN sp ON customer.c_custkey = sp.o_custkey),
+        |pr AS (SELECT t.id AS t_id, t.score AS t_score, t.y AS t_y,
+        |    c.id AS c_id, c.score AS c_score, c.y AS c_y,
+        |    abs(t.score - c.score) AS dist
+        |  FROM base t JOIN base c
+        |    ON t.trt AND NOT c.trt
+        |      AND abs(t.score - c.score) <= 0.02),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY t_id
+        |    ORDER BY dist, c_score, c_id) AS rn FROM pr)
+        |SELECT t_id, t_score, t_y, c_id, c_score, c_y,
+        |  floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
+        |FROM rn WHERE rn = 1 ORDER BY t_id""".stripMargin,
     // Distinct-cell grid midranks (HUGEINT ≡ Spark DECIMAL(38,0) —
     // both exact), doubled so ties stay integral; identical IEEE rho
     // tree over the double-cast moments, quantized-6.
