@@ -515,6 +515,80 @@ object Stats {
         col("__ssb") / (col("__ssb") + col("__ssw")))).as("eta2"))
   }
 
+  /** F54: COCHRAN–MANTEL–HAENSZEL stratified 2×2 test (Cochran 1954,
+    * Mantel & Haenszel 1959, public knowledge) — the answer to
+    * Simpson's paradox in A/B readouts: pool evidence ACROSS strata
+    * (segment, country, device) without pooling the COUNTS. Per
+    * stratum i with arm sizes n0/n1 and conversions c0/c1:
+    * `E_i = n1·m1/N`, `V_i = n1·n0·m1·(N−m1)/(N²(N−1))` with
+    * `m1 = c0+c1`, `N = n0+n1`; `χ² = (Σc1 − ΣE)²/ΣV` (no continuity
+    * correction), z its signed root, two-sided p via the A&S 26.2.17
+    * polynomial; plus the Mantel–Haenszel pooled odds ratio
+    * `Σ(a·d/N)/Σ(b·c/N)`.
+    *
+    * One groupBy to per-stratum counts; the four cross-stratum Σ of
+    * per-stratum doubles run as ORDERED cumulative windows over the
+    * strata table (pinned addition order; bounded — one row per
+    * stratum). Strata with an empty arm or N < 2 contribute nothing
+    * (standard). Output 1 row: (n_strata, o1, e1, v, chi2, z, p,
+    * or_mh). */
+  def cmhTest(units: DataFrame, strataCols: Seq[String],
+      variant: Column, converted: Column): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val counts = units.groupBy(strataCols.map(col): _*)
+      .agg(
+        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(variant === 0, converted.cast("long")).otherwise(0L))
+          .as("c0"),
+        sum(when(variant === 1, converted.cast("long")).otherwise(0L))
+          .as("c1"))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("n0") + col("n1") > 1)
+    val n0 = col("n0").cast("double")
+    val n1 = col("n1").cast("double")
+    val nn = (col("n0") + col("n1")).cast("double")
+    val m1 = (col("c0") + col("c1")).cast("double")
+    val e = n1 * m1 / nn
+    val v = n1 * n0 * m1 * (nn - m1) / (nn * nn * (nn - lit(1.0)))
+    val ad = col("c1").cast("double") *
+      (col("n0") - col("c0")).cast("double") / nn
+    val bc = (col("n1") - col("c1")).cast("double") *
+      col("c0").cast("double") / nn
+    val wS = Window.orderBy(strataCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = counts
+      .withColumn("__ce", sum(e).over(wS))
+      .withColumn("__cv", sum(v).over(wS))
+      .withColumn("__cad", sum(ad).over(wS))
+      .withColumn("__cbc", sum(bc).over(wS))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(strataCols.map(col): _*)))
+      .groupBy()
+      .agg(count(lit(1)).as("n_strata"),
+        coalesce(sum(col("c1")), lit(0L)).as("o1"),
+        max_by(col("__ce"), col("__rn")).as("__e"),
+        max_by(col("__cv"), col("__rn")).as("__v"),
+        max_by(col("__cad"), col("__rn")).as("__ad"),
+        max_by(col("__cbc"), col("__rn")).as("__bc"))
+    val z = (col("o1").cast("double") - col("__e")) / sqrt(col("__v"))
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("__v") > 0
+    import graft.functions.q6
+    agg.select(col("n_strata"), col("o1"),
+      q6(col("__e")).as("e1"), q6(col("__v")).as("v"),
+      q6(when(ok, z * z)).as("chi2"),
+      q6(when(ok, z)).as("z"),
+      q6(when(ok, least(pTwo, lit(1.0)))).as("p"),
+      q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
+  }
+
   /** F52: mSPRT ALWAYS-VALID p-VALUE for a two-proportion metric
     * (mixture sequential probability ratio test — Robbins 1970,
     * Johari, Pekelis & Walsh 2017, public knowledge). A fixed-n z-test

@@ -187,4 +187,73 @@ object Stats {
         when(col("__hx_scaled") > 0 && col("__hy_scaled") > 0,
           graft.functions.q6(mi / sqrt(hx * hy))).as("nmi"))
   }
+
+  /** F55: THEIL–SEN ROBUST SLOPE per group (Theil 1950, Sen 1968,
+    * public knowledge) — the median of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)` over pairs with distinct x, with the
+    * standard intercept `median(y − m·x)`. Breakdown point ~29%: one
+    * wild y cannot drag the fit the way it drags
+    * [[groupedOls]]'s least squares.
+    *
+    * All pairs is inherently O(n_g²) PER GROUP — correct only when
+    * groups are bounded, so the cap FAILS LOUD (`maxGroupSize`,
+    * enforced row-level with `raise_error`) instead of silently
+    * sampling: a silent cap would change the estimator (the
+    * basket-cap lesson). The pair join is group-keyed (row-number
+    * identity within group; never a cross join across groups); the
+    * medians are exact `percentile(0.5)` per group — the midpoint
+    * average two engines interpolate identically.
+    *
+    * 100 TB: group-keyed shuffles only; pair volume bounded by
+    * `groups × maxGroupSize²`. For unbounded groups use
+    * [[groupedOls]] or pre-aggregate. Output per group:
+    * (g, n_points, n_pairs, slope, intercept); groups with no
+    * distinct-x pair emit NULL slope/intercept. */
+  def theilSen(df: DataFrame, group: Column, x: Column, y: Column,
+      maxGroupSize: Int = 10000): DataFrame = {
+    require(maxGroupSize >= 2,
+      s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(group.as("g"), x.cast("double").as("x"),
+        y.cast("double").as("y"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"), col("y"))
+    val sized = base
+      .withColumn("__rn", row_number().over(wG))
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"))))
+      .withColumn("__guard", when(col("__n") > maxGroupSize,
+        raise_error(concat(lit("theilSen: group "), col("g").cast("string"),
+          lit(s" exceeds maxGroupSize=$maxGroupSize ("), col("__n"),
+          lit(" rows) — all-pairs would explode; pre-aggregate or raise "
+            + "the cap explicitly")))).otherwise(lit(0)))
+    val l = sized.select(col("g"), col("x").as("x1"), col("y").as("y1"),
+      col("__rn").as("rn1"))
+    val r = sized.select(col("g").as("g2"), col("x").as("x2"),
+      col("y").as("y2"), col("__rn").as("rn2"))
+    val pairs = l.join(r, col("g") === col("g2") &&
+        col("rn1") < col("rn2") && col("x1") =!= col("x2"))
+      .select(col("g"),
+        ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("__m"))
+    val slopes = pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__m, 0.5)").as("slope_raw"))
+    // the aggregate REFERENCES the guard so column pruning cannot
+    // drop the raise_error before it evaluates
+    val counts = sized.groupBy(col("g"))
+      .agg((count(lit(1)) + max(col("__guard"))).as("n_points"))
+    val withSlope = counts.join(slopes, Seq("g"), "left")
+    val inter = base.join(withSlope.select(col("g"),
+        col("slope_raw")), Seq("g"), "left")
+      .filter(col("slope_raw").isNotNull)
+      .groupBy(col("g"))
+      .agg(expr("percentile(y - slope_raw * x, 0.5)").as("intercept_raw"))
+    import graft.functions.q6
+    withSlope.join(inter, Seq("g"), "left")
+      .select(col("g"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        q6(col("slope_raw")).as("slope"),
+        q6(col("intercept_raw")).as("intercept"))
+  }
 }

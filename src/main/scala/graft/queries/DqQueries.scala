@@ -124,6 +124,34 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F54: Cochran-Mantel-Haenszel stratified 2x2 test — pooled
+    // evidence across event-type strata without pooling counts (the
+    // Simpson's-paradox-safe A/B readout), plus the MH odds ratio.
+    "q_f54_cmh" -> { (s, dir) =>
+      graft.dq.Stats.cmhTest(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq("event_type"), pmod(col("user_id"), lit(2)),
+        (col("value") > 60).cast("int"))
+    },
+
+    // F55: Theil-Sen robust slope of retail price on size per brand —
+    // median of pairwise slopes, loud all-pairs cap.
+    "q_f55_theil_sen" -> { (s, dir) =>
+      graft.ml.Stats.theilSen(t(s, dir, "part"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+        .orderBy(col("g"))
+    },
+
+    // X141: size-aware compaction planner — documents as "files"
+    // (n_chars bytes), contiguous 4 KiB bins from two-phase prefix
+    // sums and exact integer division.
+    "q_x141_compaction_plan" -> { (s, dir) =>
+      graft.relational.Compaction.compactionPlan(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), 4096L)
+        .orderBy(col("bin"))
+    },
+
     // F53: one-way ANOVA of order totals across the five priorities —
     // exact per-group moments, ordered k-row SSB/SSW cumulation.
     "q_f53_anova" -> { (s, dir) =>
@@ -894,6 +922,121 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Per-stratum E/V/OR terms summed by ordered cumulative windows
+    // over the strata table (pinned addition order, one row per
+    // stratum); identical z/chi2/odds-ratio trees; f38's A&S p.
+    "q_f54_cmh" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |vv AS (SELECT * FROM g
+        |  WHERE n0 > 0 AND n1 > 0 AND n0 + n1 > 1),
+        |tm AS (SELECT *,
+        |    CAST(n1 AS DOUBLE) * CAST(c0 + c1 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS e,
+        |    CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |      * CAST(c0 + c1 AS DOUBLE)
+        |      * (CAST(n0 + n1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE))
+        |      / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+        |        * (CAST(n0 + n1 AS DOUBLE) - 1.0)) AS v,
+        |    CAST(c1 AS DOUBLE) * CAST(n0 - c0 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS ad,
+        |    CAST(n1 - c1 AS DOUBLE) * CAST(c0 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS bc
+        |  FROM vv),
+        |cm AS (SELECT *,
+        |    sum(e) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING)
+        |      AS ce,
+        |    sum(v) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING)
+        |      AS cv,
+        |    sum(ad) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING)
+        |      AS cad,
+        |    sum(bc) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING)
+        |      AS cbc,
+        |    row_number() OVER (ORDER BY event_type) AS rn
+        |  FROM tm),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    coalesce(CAST(sum(c1) AS BIGINT), 0) AS o1,
+        |    arg_max(ce, rn) AS se, arg_max(cv, rn) AS sv,
+        |    arg_max(cad, rn) AS sad, arg_max(cbc, rn) AS sbc
+        |  FROM cm),
+        |zz AS (SELECT *,
+        |    (CAST(o1 AS DOUBLE) - se) / sqrt(sv) AS z FROM ag),
+        |pp AS (SELECT *, 2.0
+        |    * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |    AS p2 FROM zz)
+        |SELECT n_strata, o1,
+        |  floor(se * 1000000.0 + 0.5) / 1000000.0 AS e1,
+        |  floor(sv * 1000000.0 + 0.5) / 1000000.0 AS v,
+        |  CASE WHEN sv > 0
+        |    THEN floor(z * z * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+        |  CASE WHEN sv > 0
+        |    THEN floor(z * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN sv > 0
+        |    THEN floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p,
+        |  CASE WHEN sbc > 0
+        |    THEN floor(sad / sbc * 1000000.0 + 0.5) / 1000000.0
+        |    END AS or_mh
+        |FROM pp""".stripMargin,
+    // Pair multiset is row-order invariant (duplicate (x,y) rows are
+    // interchangeable); both engines' 0.5-quantile midpoint
+    // interpolation agrees; identical slope/intercept trees.
+    "q_f55_theil_sen" ->
+      """WITH base AS (SELECT p_brand AS g,
+        |    CAST(p_size AS DOUBLE) AS x,
+        |    CAST(p_retailprice AS DOUBLE) AS y
+        |  FROM part
+        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY x, y) AS rid FROM base),
+        |pairs AS (SELECT a.g AS g, (b.y - a.y) / (b.x - a.x) AS m
+        |  FROM rn a JOIN rn b ON a.g = b.g AND a.rid < b.rid
+        |    AND a.x <> b.x),
+        |sl AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    median(m) AS slope_raw FROM pairs GROUP BY 1),
+        |ct AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM base GROUP BY 1),
+        |inter AS (SELECT base.g AS g,
+        |    median(base.y - sl.slope_raw * base.x) AS intercept_raw
+        |  FROM base JOIN sl ON base.g = sl.g GROUP BY 1),
+        |j AS (SELECT ct.g AS g, ct.n_points,
+        |    CAST(coalesce(sl.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |    sl.slope_raw, inter.intercept_raw
+        |  FROM ct LEFT JOIN sl ON ct.g = sl.g
+        |  LEFT JOIN inter ON ct.g = inter.g)
+        |SELECT g, n_points, n_pairs,
+        |  floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(intercept_raw * 1000000.0 + 0.5) / 1000000.0
+        |    AS intercept
+        |FROM j ORDER BY g""".stripMargin,
+    // Contiguous prefix-sum bin packing: cumulative bytes via window
+    // (two-phase Ranks on the Spark side), exact integer division to
+    // the 4 KiB bin, per-bin aggregation.
+    "q_x141_compaction_plan" ->
+      """WITH f AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT)
+        |    AS bytes FROM documents),
+        |c AS (SELECT id, bytes, CAST(sum(bytes) OVER (ORDER BY id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
+        |b AS (SELECT id, bytes, (cum - bytes) // 4096 AS bin FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(id) AS first_id, max(id) AS last_id
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // f42's DECIMAL moment discipline per group; SSW/SSB terms summed
     // by the ordered k-row cumulative window; identical F/eta2 trees
     // from raw doubles, quantized-6 at the end.
