@@ -535,14 +535,26 @@ object Stats {
   def cmhTest(units: DataFrame, strataCols: Seq[String],
       variant: Column, converted: Column): DataFrame = {
     require(strataCols.nonEmpty, "need at least one stratum column")
-    val counts = units.groupBy(strataCols.map(col): _*)
+    cmhFromCounts(units.groupBy(strataCols.map(col): _*)
       .agg(
         sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(variant === 0, converted.cast("long")).otherwise(0L))
           .as("c0"),
         sum(when(variant === 1, converted.cast("long")).otherwise(0L))
-          .as("c1"))
+          .as("c1")), strataCols)
+  }
+
+  /** The [[cmhTest]] statistic over an already-counted per-stratum
+    * (n0, n1, c0, c1) table — exact mergeable counters, so the
+    * streaming monitor sums per-batch stratum tables and publishes the
+    * identical pooled test. The degeneracy filter runs HERE: a stratum
+    * that becomes testable only after batches merge is admitted
+    * exactly when the batch operator would admit it. */
+  def cmhFromCounts(counts0: DataFrame, strataCols: Seq[String])
+      : DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val counts = counts0
       .filter(col("n0") > 0 && col("n1") > 0 &&
         col("n0") + col("n1") > 1)
     val n0 = col("n0").cast("double")

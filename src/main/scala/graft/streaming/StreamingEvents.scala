@@ -1334,6 +1334,64 @@ object StreamingEvents {
           sum(col("c0")).as("c0"), sum(col("c1")).as("c1")),
       groupCols, qNum, qDen)
 
+  /** Always-valid mSPRT monitor: per-batch per-segment A/B counters
+    * (the [[bhFdrSink]] schema — exact mergeable LONGs), published
+    * through [[graft.dq.Stats.msprtFromCounts]]. THE streaming test:
+    * the mSPRT p is valid at every interim look by construction, so a
+    * dashboard reading this view after any batch makes no peeking
+    * error. Batch-parity + replay-idempotence spec-proven. */
+  def msprtSink(rows: DataFrame, groupCols: Seq[String],
+      variantCol: String, convertedCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) bhFdrBatch(batch.toDF(), batchId, groupCols,
+          variantCol, convertedCol, statsDir)
+      }
+      .start()
+
+  /** The published view over a [[msprtSink]] directory: merged segment
+    * counters through the identical closed-form mSPRT. */
+  def msprtView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, groupCols: Seq[String], tau2: Double = 1e-4)
+      : DataFrame =
+    graft.dq.Stats.msprtFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
+          sum(col("c0")).as("c0"), sum(col("c1")).as("c1")),
+      groupCols, tau2)
+
+  /** CMH stratified-test monitor: per-batch per-stratum A/B counters
+    * (same mergeable schema), published through
+    * [[graft.dq.Stats.cmhFromCounts]] — the pooled Simpson's-safe
+    * readout over everything ingested so far. */
+  def cmhSink(rows: DataFrame, strataCols: Seq[String],
+      variantCol: String, convertedCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) bhFdrBatch(batch.toDF(), batchId, strataCols,
+          variantCol, convertedCol, statsDir)
+      }
+      .start()
+
+  /** The published view over a [[cmhSink]] directory: merged stratum
+    * counters through the identical pooled test (degenerate strata
+    * re-filtered AFTER the merge, exactly as the batch operator). */
+  def cmhView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, strataCols: Seq[String]): DataFrame =
+    graft.dq.Stats.cmhFromCounts(
+      spark.read.parquet(statsDir)
+        .groupBy(strataCols.map(col): _*)
+        .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
+          sum(col("c0")).as("c0"), sum(col("c1")).as("c1")),
+      strataCols)
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

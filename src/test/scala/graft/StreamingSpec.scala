@@ -1124,4 +1124,72 @@ class StreamingSpec extends SparkSpec {
       streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "publish an always-valid mSPRT over everything ingested, batch-identically and replay-safely" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smsprt").toString
+    // (segment, arm, converted): planted lift in segment A across batches
+    val b1 = (1 to 40).map(i => ("A", i % 2, if (i % 2 == 1 && i % 3 != 0) 1 else if (i % 5 == 0) 1 else 0)) ++
+      (1 to 20).map(i => ("B", i % 2, if (i % 7 == 0) 1 else 0))
+    val b2 = (1 to 40).map(i => ("A", (i + 1) % 2, if (i % 4 == 0) 1 else 0)) ++
+      (1 to 20).map(i => ("B", (i + 1) % 2, if (i % 6 == 0) 1 else 0))
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingEvents.msprtSink(
+      in.toDF().toDF("g", "v", "y"), Seq("g"), "v", "y",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    val streamed = rows(StreamingEvents.msprtView(spark,
+      s"$tmp/stats", Seq("g")))
+    val batch = rows(graft.dq.Stats.msprt((b1 ++ b2).toDF("g", "v", "y"),
+      Seq("g"), col("v"), col("y")))
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe Seq("A", "B")
+    // replay safety
+    StreamingEvents.bhFdrBatch(b2.toDF("g", "v", "y"), 1L, Seq("g"),
+      "v", "y", s"$tmp/stats")
+    rows(StreamingEvents.msprtView(spark, s"$tmp/stats",
+      Seq("g"))) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "publish a pooled CMH test over ingested strata, batch-identically and replay-safely" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scmh").toString
+    val b1 = (1 to 10).map(i => ("s1", 0, if (i <= 2) 1 else 0)) ++
+      (1 to 10).map(i => ("s1", 1, if (i <= 5) 1 else 0))
+    val b2 = (1 to 20).map(i => ("s2", 0, if (i <= 4) 1 else 0)) ++
+      (1 to 10).map(i => ("s2", 1, if (i <= 5) 1 else 0))
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingEvents.cmhSink(
+      in.toDF().toDF("seg", "v", "y"), Seq("seg"), "v", "y",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    val streamed = rows(StreamingEvents.cmhView(spark, s"$tmp/stats",
+      Seq("seg")))
+    val batch = rows(graft.dq.Stats.cmhTest(
+      (b1 ++ b2).toDF("seg", "v", "y"), Seq("seg"), col("v"), col("y")))
+    streamed shouldBe batch
+    // the CompactionCmhSpec fixture arrived one stratum per batch
+    streamed.head._1 shouldBe 2L
+    streamed.head._3 shouldBe 6.5 +- 1e-9
+    // replay safety
+    StreamingEvents.bhFdrBatch(b2.toDF("seg", "v", "y"), 1L, Seq("seg"),
+      "v", "y", s"$tmp/stats")
+    rows(StreamingEvents.cmhView(spark, s"$tmp/stats",
+      Seq("seg"))) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
