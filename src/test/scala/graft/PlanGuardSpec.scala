@@ -725,4 +725,64 @@ class PlanGuardSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "keep the round-11 session-3 operators free of unbounded windows" in {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (s"g${i % 3}", (i % 7).toDouble, (i % 5).toDouble))
+      .toDF("g", "x", "y")
+
+    // spearman/mannWhitney/theilSen/compaction: group-partitioned or
+    // two-phase-Ranks windows only — no partition-less window at any
+    // input size
+    assertNoUnboundedGlobalWindow(graft.ml.RankTests.spearman(
+      docs, col("g"), col("x"), col("y")))
+    assertNoUnboundedGlobalWindow(graft.ml.RankTests.mannWhitney(
+      docs.select((col("x") > 3).cast("int").as("v"), col("y")),
+      col("v"), col("y")))
+    assertNoUnboundedGlobalWindow(graft.ml.Stats.theilSen(
+      docs, col("g"), col("x"), col("y")))
+    assertNoUnboundedGlobalWindow(graft.relational.Compaction
+      .compactionPlan(docs.select(monotonically_increasing_id()
+        .as("id"), (col("x") * 10 + 1).cast("long").as("b")),
+        "id", col("b"), 16L))
+    assertNoUnboundedGlobalWindow(graft.ml.Matching.caliperMatch(
+      docs.select((col("x") * 60).cast("long").as("id"),
+        (col("x") / 7.0).as("score"), col("y")),
+      docs.select((col("x") * 60 + 1000).cast("long").as("id"),
+        (col("y") / 5.0).as("score"), col("x").as("y")), 0.05))
+    assertNoUnboundedGlobalWindow(graft.dq.Stats.msprt(
+      docs.select(col("g"), (col("x") > 3).cast("int").as("v"),
+        (col("y") > 2).cast("int").as("c")),
+      Seq("g"), col("v"), col("c")))
+
+    // bounded global windows, each over a GROUP/STRATUM/DURATION-sized
+    // relation (value-cardinality bound, not data bound): counts pinned
+    globalWindows(graft.ml.RankTests.kruskalWallis(
+      docs, col("g"), col("x"))) shouldBe 1 // k-row group terms
+    // (2 nodes: the SSB cumulation consumes the grand-mean join that
+    // the SSW cumulation also feeds, so the same k-row spec plans twice)
+    globalWindows(graft.dq.Stats.oneWayAnova(
+      docs, col("g"), col("y"))) shouldBe 2 // k-row SSB/SSW cumulation
+    globalWindows(graft.dq.Stats.cmhTest(
+      docs.select(col("g"), (col("x") > 3).cast("int").as("v"),
+        (col("y") > 2).cast("int").as("c")),
+      Seq("g"), col("v"), col("c"))) shouldBe 4 // strata-row cumulation
+    // (4 nodes: the E/V/AD/BC running sums interleave with the
+    // row_number pick, defeating CollapseWindow — all over the same
+    // strata-bounded relation)
+    val ev = (1L to 40L).map(i => (i % 5, new java.sql.Timestamp(
+      86400000L * (19700 + i % 13)))).toDF("user_id", "ts")
+    // distinct-duration windows, the kmFromSpans boundedness
+    // (3 nodes: t-desc risk window, then the two t-asc hazard
+    // cumulations — the variance consumes n_risk from the first)
+    globalWindows(graft.events.Resample.nelsonAalen(ev, "user_id",
+      col("ts"), "2024-02-01")) shouldBe 3
+    globalWindows(graft.events.Resample.activationLogRank(
+      ev.select(col("user_id"), col("ts"),
+        when(col("user_id") % 2 === 0, "purchase").otherwise("view")
+          .as("event_type")),
+      col("user_id") % 2, "purchase", "2024-02-01")) shouldBe 1
+    graft.util.Caches.releaseAll(spark)
+  }
 }
