@@ -601,6 +601,112 @@ object Stats {
       q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
   }
 
+  /** F56: COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955,
+    * public knowledge) — is a binary rate MONOTONE in an ordered dose
+    * (plan tier, exposure bucket, priority)? A χ² over k groups answers
+    * "any difference"; this 1-dof trend test answers the question a
+    * dose-response readout actually asks, with more power. With
+    * integer scores w_g: `T = Σ w(c_g − n_g·p̄)`,
+    * `Var = p̄(1−p̄)·(Σw²n − (Σwn)²/N)`, `z = T/√Var`, A&S two-sided p.
+    *
+    * EVERYTHING before the final tree is exact integer arithmetic:
+    * scores are required integers, so Σwn, Σw²n, Σwc are DECIMAL(38,0)
+    * sums and T·N = N·Σwc − Σwn·Σc needs no division until the end —
+    * no per-group rationals, no ordered cumulation needed at all.
+    * Degenerate boards (0%/100% pooled, or zero score variance) emit
+    * NULL z/p. Output 1 row: (n, k, t_stat, var_t, z, p). */
+  def cochranArmitage(units: DataFrame, scoreCol: Column,
+      converted: Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val w = scoreCol.cast("long")
+    val perGroup = units.filter(scoreCol.isNotNull)
+      .groupBy(w.as("w"))
+      .agg(count(lit(1)).as("n_g"),
+        coalesce(sum(converted.cast("long")), lit(0L)).as("c_g"))
+    val agg = perGroup.agg(
+      sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      coalesce(sum(col("c_g")), lit(0L)).as("c"),
+      sum(col("w").cast(D) * col("n_g").cast(D)).as("__wn"),
+      sum(col("w").cast(D) * col("w").cast(D) * col("n_g").cast(D))
+        .as("__wwn"),
+      sum(col("w").cast(D) * col("c_g").cast(D)).as("__wc"))
+    val nD = col("n").cast("double")
+    val cD = col("c").cast("double")
+    val pBar = cD / nD
+    val t = col("__wc").cast("double") - col("__wn").cast("double") * pBar
+    val varT = pBar * (lit(1.0) - pBar) *
+      (col("__wwn").cast("double") -
+        col("__wn").cast("double") * col("__wn").cast("double") / nD)
+    val z = t / sqrt(varT)
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("c") > 0 && col("c") < col("n")
+    import graft.functions.q6
+    agg.select(col("n"), col("k"),
+      q6(when(ok, t)).as("t_stat"),
+      q6(when(ok, varT)).as("var_t"),
+      q6(when(ok && varT > 0, z)).as("z"),
+      q6(when(ok && varT > 0, least(pTwo, lit(1.0)))).as("p"))
+  }
+
+  /** F57: EMPIRICAL-BAYES RATE SHRINKAGE (beta-binomial method of
+    * moments — Robbins 1956, Efron & Morris 1975, public knowledge):
+    * per-group conversion rates with small n are noise ("this user
+    * converted 1/1 = 100%"); shrink toward the population with a
+    * Beta(α, β) prior FITTED FROM THE GROUPS THEMSELVES:
+    * `α+β = m(1−m)/v − 1` from the across-group mean m and variance v
+    * of the raw rates, `shrunk = (c + α)/(n + α + β)`.
+    *
+    * Scale discipline: groups are UNBOUNDED (users, pages), so the
+    * across-group rate moments cannot be a double Σ (order-drift) or an
+    * ordered window (unbounded). Each rate is quantized to a scaled-1e9
+    * LONG; Σ and Σ² run as exact DECIMAL(38,0) sums — order-free at any
+    * group count. The fitted prior is a broadcast 1-row join back; the
+    * data relation shuffles once (the groupBy). Degenerate boards
+    * (v = 0, or v ≥ m(1−m) — overdispersion beyond beta-binomial —
+    * where the MoM prior is undefined/negative) emit the RAW rate with
+    * NULL alpha/beta rather than a corrupt shrink. Output per group:
+    * (g, n, c, rate, alpha, beta, shrunk_rate). */
+  def ebShrinkRates(units: DataFrame, groupCol: Column,
+      converted: Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val perGroup = units.groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(converted.cast("long")), lit(0L)).as("c"))
+    val rate = col("c").cast("double") / col("n").cast("double")
+    val rl = floor(rate * lit(1e9) + lit(0.5)).cast("long")
+    val scaled = perGroup.withColumn("__rl", rl)
+    val prior = scaled.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__rl").cast(D)).as("__s"),
+      sum(col("__rl").cast(D) * col("__rl").cast(D)).as("__q"))
+    val kD = col("__k").cast("double")
+    val m = col("__s").cast("double") / lit(1e9) / kD
+    val v = (col("__q").cast("double") / lit(1e18) -
+      (col("__s").cast("double") / lit(1e9)) *
+        (col("__s").cast("double") / lit(1e9)) / kD) / kD
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    val okP = col("__k") > 1 && v > 0 && ab > 0
+    val priorRow = prior.select(
+      when(okP, m * ab).as("__alpha"),
+      when(okP, (lit(1.0) - m) * ab).as("__beta"))
+    import graft.functions.q6
+    scaled.crossJoin(broadcast(priorRow))
+      .select(col("g"), col("n"), col("c"),
+        q6(rate).as("rate"),
+        q6(col("__alpha")).as("alpha"),
+        q6(col("__beta")).as("beta"),
+        q6(when(col("__alpha").isNotNull,
+          (col("c").cast("double") + col("__alpha")) /
+            (col("n").cast("double") + col("__alpha") + col("__beta")))
+          .otherwise(rate)).as("shrunk_rate"))
+  }
+
   /** F52: mSPRT ALWAYS-VALID p-VALUE for a two-proportion metric
     * (mixture sequential probability ratio test — Robbins 1970,
     * Johari, Pekelis & Walsh 2017, public knowledge). A fixed-n z-test

@@ -87,6 +87,91 @@ object Eval {
     *
     * Output: (bucket, threshold, n, n_correct, observed_acc,
     * mean_score, gap, ece) — one row per non-empty-range bucket. */
+  /** F58: MURPHY BRIER DECOMPOSITION (Murphy 1973, public knowledge) —
+    * `BS = reliability − resolution + uncertainty` over score buckets:
+    * reliability `Σ n_k(conf̄_k − acc_k)²/N` (how wrong the stated
+    * confidences are — what recalibration can fix), resolution
+    * `Σ n_k(acc_k − ō)²/N` (how much the buckets separate outcomes —
+    * what recalibration cannot add), uncertainty `ō(1−ō)`. The binned
+    * identity is exact only for bucket-constant forecasts, so the
+    * DISCRETIZATION RESIDUAL `BS − (rel − res + unc)` (the
+    * within-bucket forecast variance) is REPORTED, not hidden.
+    *
+    * Determinism: scores and per-row (p−y)² quantize to scaled-1e9
+    * LONGs summed as DECIMAL(38,0) (a raw double Σ re-orders between
+    * engines); bucket terms cumulate over the ordered ≤ nBuckets grid
+    * (bounded window, the [[calibrationCurve]] justification); the
+    * final trees are fixed IEEE over exact operands. Same min-max
+    * bucketing rule as [[calibrationCurve]]. Output 1 row:
+    * (n, n_buckets, brier, reliability, resolution, uncertainty,
+    * residual). */
+  def brierDecomposition(spark: SparkSession, scored: DataFrame,
+      scoreCol: String, correctCol: String, nBuckets: Int = 10)
+      : DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val D = "decimal(38,0)"
+    val rows = graft.util.Caches.persistTracked(
+      scored.filter(col(scoreCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("__s"),
+          col(correctCol).cast("boolean").cast("long").as("__y")))
+    val stats = rows.agg(min(col("__s")).as("__mn"),
+      max(col("__s")).as("__mx"))
+    val err = (col("__s") - col("__y").cast("double")) *
+      (col("__s") - col("__y").cast("double"))
+    val bucketed = rows.crossJoin(broadcast(stats))
+      .withColumn("__step", (col("__mx") - col("__mn")) / nBuckets)
+      .withColumn("bucket",
+        when(col("__step") === 0, lit(0L)).otherwise(
+          least(floor((col("__s") - col("__mn")) / col("__step")),
+            lit(nBuckets - 1L))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_k"),
+        coalesce(sum(col("__y")), lit(0L)).as("c_k"),
+        sum(floor(col("__s") * lit(1e9) + lit(0.5)).cast("long")
+          .cast(D)).as("__sl"),
+        sum(floor(err * lit(1e9) + lit(0.5)).cast("long").cast(D))
+          .as("__bl"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nAll = sum(col("n_k")).over(tot)
+    val cAll = sum(col("c_k")).over(tot)
+    val oBar = cAll.cast("double") / nAll.cast("double")
+    val conf = col("__sl").cast("double") / lit(1e9) /
+      col("n_k").cast("double")
+    val acc = col("c_k").cast("double") / col("n_k").cast("double")
+    val relT = col("n_k").cast("double") * (conf - acc) * (conf - acc)
+    val resT = col("n_k").cast("double") * (acc - col("__ob")) *
+      (acc - col("__ob"))
+    val agg = bucketed
+      .withColumn("__ob", oBar)
+      .withColumn("__n", nAll)
+      .withColumn("__c", cAll)
+      .withColumn("__bsum", sum(col("__bl")).over(tot))
+      .withColumn("__crel", sum(relT).over(wB))
+      .withColumn("__cres", sum(resT).over(wB))
+      .groupBy()
+      .agg(first(col("__n")).as("n"), count(lit(1)).as("n_buckets"),
+        first(col("__c")).as("__ct"),
+        first(col("__bsum")).as("__bs"),
+        max_by(col("__crel"), col("bucket")).as("__rel"),
+        max_by(col("__cres"), col("bucket")).as("__res"))
+    val nD = col("n").cast("double")
+    val ob = col("__ct").cast("double") / nD
+    val brier = col("__bs").cast("double") / lit(1e9) / nD
+    val rel = col("__rel") / nD
+    val res = col("__res") / nD
+    val unc = ob * (lit(1.0) - ob)
+    import graft.functions.q6
+    agg.select(col("n"), col("n_buckets"),
+      q6(brier).as("brier"),
+      q6(rel).as("reliability"),
+      q6(res).as("resolution"),
+      q6(unc).as("uncertainty"),
+      q6(brier - (rel - res + unc)).as("residual"))
+  }
+
   def calibrationCurve(spark: SparkSession, scored: DataFrame,
       scoreCol: String, correctCol: String, nBuckets: Int = 10)
       : DataFrame = {

@@ -124,6 +124,36 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F56: Cochran-Armitage trend — is the finished-order rate
+    // monotone in the priority digit? Exact integer score sums.
+    "q_f56_cochran_armitage" -> { (s, dir) =>
+      graft.dq.Stats.cochranArmitage(t(s, dir, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        (col("o_orderstatus") === "F").cast("int"))
+    },
+
+    // F57: empirical-Bayes beta-binomial shrinkage of per-customer
+    // finished-order rates — MoM prior from scaled-LONG rate moments.
+    "q_f57_eb_shrinkage" -> { (s, dir) =>
+      graft.dq.Stats.ebShrinkRates(t(s, dir, "orders"),
+        col("o_custkey"), (col("o_orderstatus") === "F").cast("int"))
+        .orderBy(col("g"))
+    },
+
+    // F58: Murphy Brier decomposition of a normalized-balance "score"
+    // for the BUILDING segment — reliability/resolution/uncertainty
+    // plus the honest discretization residual.
+    "q_f58_brier_decomp" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val stats = cust.agg(min(col("c_acctbal")).as("__mn"),
+        max(col("c_acctbal")).as("__mx"))
+      val scored = cust.crossJoin(broadcast(stats))
+        .select(((col("c_acctbal") - col("__mn")) /
+          (col("__mx") - col("__mn"))).as("score"),
+          (col("c_mktsegment") === "BUILDING").as("ok"))
+      graft.ml.Eval.brierDecomposition(s, scored, "score", "ok", 10)
+    },
+
     // F54: Cochran-Mantel-Haenszel stratified 2x2 test — pooled
     // evidence across event-type strata without pooling counts (the
     // Simpson's-paradox-safe A/B readout), plus the MH odds ratio.
@@ -922,6 +952,162 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Exact HUGEINT score sums (≡ Spark DECIMAL(38,0)); identical
+    // T/Var/z trees from the double-cast operands; f38's A&S p.
+    "q_f56_cochran_armitage" ->
+      """WITH pg AS (SELECT
+        |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |    CAST(count(*) AS BIGINT) AS n_g,
+        |    coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS c_g
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    coalesce(CAST(sum(c_g) AS BIGINT), 0) AS c,
+        |    sum(CAST(w AS HUGEINT) * n_g) AS wn,
+        |    sum(CAST(w AS HUGEINT) * w * n_g) AS wwn,
+        |    sum(CAST(w AS HUGEINT) * c_g) AS wc FROM pg),
+        |b AS (SELECT n, k, c, CAST(n AS DOUBLE) AS nd,
+        |    CAST(c AS DOUBLE) AS cd, CAST(wn AS DOUBLE) AS wnd,
+        |    CAST(wwn AS DOUBLE) AS wwnd, CAST(wc AS DOUBLE) AS wcd
+        |  FROM a),
+        |d AS (SELECT *, wcd - wnd * (cd / nd) AS t,
+        |    (cd / nd) * (1.0 - cd / nd)
+        |      * (wwnd - wnd * wnd / nd) AS vart
+        |  FROM b),
+        |e AS (SELECT *, t / sqrt(vart) AS z FROM d),
+        |f AS (SELECT *, 2.0
+        |    * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |    AS p2 FROM e)
+        |SELECT n, k,
+        |  CASE WHEN c > 0 AND c < n
+        |    THEN floor(t * 1000000.0 + 0.5) / 1000000.0 END AS t_stat,
+        |  CASE WHEN c > 0 AND c < n
+        |    THEN floor(vart * 1000000.0 + 0.5) / 1000000.0 END AS var_t,
+        |  CASE WHEN c > 0 AND c < n AND vart > 0
+        |    THEN floor(z * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN c > 0 AND c < n AND vart > 0
+        |    THEN floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM f""".stripMargin,
+    // Rates quantized to scaled-1e9 BIGINTs, HUGEINT moment sums
+    // (order-free at any group count); identical MoM prior and
+    // shrinkage trees; degenerate prior falls back to the raw rate.
+    "q_f57_eb_shrinkage" ->
+      """WITH pg AS (SELECT o_custkey AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS c
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT *, CAST(floor(CAST(c AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+        |    AS rl FROM pg),
+        |pr AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    sum(CAST(rl AS HUGEINT)) AS s,
+        |    sum(CAST(rl AS HUGEINT) * rl) AS q FROM sc),
+        |pm AS (SELECT kk, CAST(kk AS DOUBLE) AS kd,
+        |    CAST(s AS DOUBLE) / 1000000000.0 / CAST(kk AS DOUBLE) AS m,
+        |    (CAST(q AS DOUBLE) / 1e18
+        |      - (CAST(s AS DOUBLE) / 1000000000.0)
+        |        * (CAST(s AS DOUBLE) / 1000000000.0)
+        |        / CAST(kk AS DOUBLE)) / CAST(kk AS DOUBLE) AS v
+        |  FROM pr),
+        |ab AS (SELECT *, m * (1.0 - m) / v - 1.0 AS t FROM pm),
+        |prior AS (SELECT
+        |    CASE WHEN kk > 1 AND v > 0 AND t > 0 THEN m * t END
+        |      AS alpha,
+        |    CASE WHEN kk > 1 AND v > 0 AND t > 0 THEN (1.0 - m) * t END
+        |      AS beta
+        |  FROM ab)
+        |SELECT g, n, c,
+        |  floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+        |    + 0.5) / 1000000.0 AS rate,
+        |  floor(alpha * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+        |  floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+        |  CASE WHEN alpha IS NOT NULL THEN
+        |    floor((CAST(c AS DOUBLE) + alpha)
+        |      / (CAST(n AS DOUBLE) + alpha + beta) * 1000000.0 + 0.5)
+        |      / 1000000.0
+        |  ELSE floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+        |    + 0.5) / 1000000.0 END AS shrunk_rate
+        |FROM sc, prior ORDER BY g""".stripMargin,
+    // Same min-max bucketing as the calibration curve; scores and
+    // per-row squared errors quantized to scaled-1e9 BIGINTs summed
+    // as HUGEINT; bucket terms cumulated over the ordered <=10-row
+    // grid; identical Murphy trees.
+    "q_f58_brier_decomp" ->
+      """WITH st0 AS (SELECT min(c_acctbal) AS mn0, max(c_acctbal)
+        |    AS mx0 FROM customer),
+        |rows0 AS (SELECT
+        |    (c_acctbal - st0.mn0) / (st0.mx0 - st0.mn0) AS s,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        |  FROM customer, st0
+        |  WHERE (c_acctbal - st0.mn0) / (st0.mx0 - st0.mn0)
+        |    IS NOT NULL),
+        |st AS (SELECT min(s) AS mn, max(s) AS mx FROM rows0),
+        |bk AS (SELECT
+        |    CASE WHEN (st.mx - st.mn) / 10 = 0 THEN 0
+        |      ELSE CAST(least(floor((s - st.mn)
+        |        / ((st.mx - st.mn) / 10)), 9) AS BIGINT) END AS bucket,
+        |    s, y,
+        |    CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT) AS sl,
+        |    CAST(floor((s - y) * (s - y) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS bl
+        |  FROM rows0, st),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_k,
+        |    coalesce(CAST(sum(y) AS BIGINT), 0) AS c_k,
+        |    sum(CAST(sl AS HUGEINT)) AS slh,
+        |    sum(CAST(bl AS HUGEINT)) AS blh
+        |  FROM bk GROUP BY 1),
+        |c1 AS (SELECT *,
+        |    CAST(sum(n_k) OVER () AS BIGINT) AS nall,
+        |    CAST(sum(c_k) OVER () AS BIGINT) AS call,
+        |    sum(blh) OVER () AS ball
+        |  FROM g),
+        |c2 AS (SELECT *,
+        |    sum(CAST(n_k AS DOUBLE)
+        |      * (CAST(slh AS DOUBLE) / 1000000000.0
+        |          / CAST(n_k AS DOUBLE)
+        |        - CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+        |      * (CAST(slh AS DOUBLE) / 1000000000.0
+        |          / CAST(n_k AS DOUBLE)
+        |        - CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE)))
+        |      OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS crel,
+        |    sum(CAST(n_k AS DOUBLE)
+        |      * (CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+        |        - CAST(call AS DOUBLE) / CAST(nall AS DOUBLE))
+        |      * (CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+        |        - CAST(call AS DOUBLE) / CAST(nall AS DOUBLE)))
+        |      OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cres,
+        |    row_number() OVER (ORDER BY bucket) AS rn
+        |  FROM c1),
+        |ag AS (SELECT CAST(min(nall) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(min(call) AS BIGINT) AS ct,
+        |    min(ball) AS bs,
+        |    arg_max(crel, rn) AS rel0, arg_max(cres, rn) AS res0
+        |  FROM c2),
+        |fin AS (SELECT n, n_buckets,
+        |    CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS ob,
+        |    CAST(bs AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
+        |      AS brier,
+        |    rel0 / CAST(n AS DOUBLE) AS rel,
+        |    res0 / CAST(n AS DOUBLE) AS res
+        |  FROM ag)
+        |SELECT n, n_buckets,
+        |  floor(brier * 1000000.0 + 0.5) / 1000000.0 AS brier,
+        |  floor(rel * 1000000.0 + 0.5) / 1000000.0 AS reliability,
+        |  floor(res * 1000000.0 + 0.5) / 1000000.0 AS resolution,
+        |  floor(ob * (1.0 - ob) * 1000000.0 + 0.5) / 1000000.0
+        |    AS uncertainty,
+        |  floor((brier - (rel - res + ob * (1.0 - ob))) * 1000000.0
+        |    + 0.5) / 1000000.0 AS residual
+        |FROM fin""".stripMargin,
     // Per-stratum E/V/OR terms summed by ordered cumulative windows
     // over the strata table (pinned addition order, one row per
     // stratum); identical z/chi2/odds-ratio trees; f38's A&S p.
