@@ -43,7 +43,7 @@ object Bench {
       "q_j15_stabbing_count", "q_x112_label_suspects",
       "q_x116_cluster_refine", "q_x122_dedup_yield",
       "q_x129_packed_leakage", "q_x132_source_overlap",
-      "q_x136_srp_neardup")
+      "q_x136_srp_neardup", "q_f55_theil_sen")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -601,6 +601,109 @@ object Stats {
       q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
   }
 
+  /** F59: TOST EQUIVALENCE TEST (two one-sided tests — Schuirmann
+    * 1987, public knowledge): "is the new variant EQUIVALENT to
+    * control within ±δ?" A non-significant difference test is NOT
+    * evidence of equivalence (absence of evidence); TOST inverts the
+    * burden: reject non-equivalence only if the effect is
+    * significantly above −δ AND significantly below +δ.
+    * `z_lo = (Δ+δ)/se`, `z_hi = (δ−Δ)/se`, each tested one-sided;
+    * `p_equiv = max(p_lo, p_hi)`; equivalent ⟺ p_equiv < α.
+    *
+    * Built on [[welchT]]'s exact DECIMAL moment pass; the one-sided
+    * normal p uses the A&S 26.2.17 upper-tail polynomial, reflected
+    * for negative z (the polynomial itself is valid for z ≥ 0 only).
+    * Output 1 row: (n0, n1, mean0, mean1, diff, se, z_lower, z_upper,
+    * p_lower, p_upper, p_equiv, equivalent). */
+  def tostEquivalence(units: DataFrame, variant: Column, value: Column,
+      delta: Double, alphaPct: Int = 5): DataFrame = {
+    require(delta > 0, s"delta must be > 0, got $delta")
+    require(alphaPct >= 1 && alphaPct < 50,
+      s"alphaPct must be in [1, 50), got $alphaPct")
+    val x = value.cast("decimal(18,6)")
+    val agg = units.agg(
+      sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(variant === 0, x)).as("__s0"),
+      sum(when(variant === 1, x)).as("__s1"),
+      sum(when(variant === 0, x * x)).as("__q0"),
+      sum(when(variant === 1, x * x)).as("__q1"))
+    def stats(i: Int) = {
+      val n = col(s"n$i").cast("double")
+      val sm = col(s"__s$i").cast("double")
+      val q = col(s"__q$i").cast("double")
+      (when(col(s"n$i") > 0, sm / n),
+        when(col(s"n$i") > 1, (q - sm * sm / n) / (n - lit(1.0))))
+    }
+    val (m0, v0) = stats(0)
+    val (m1, v1) = stats(1)
+    val se2 = v1 / col("n1").cast("double") + v0 / col("n0").cast("double")
+    val se = sqrt(se2)
+    val diff = m1 - m0
+    val zLo = (diff + lit(delta)) / se
+    val zHi = (lit(delta) - diff) / se
+    // A&S 26.2.17 upper tail Q(z) for z >= 0; Q(z) = 1 - Q(-z) below
+    def qTail(z: Column): Column = {
+      val az = abs(z)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+        lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+        lit(0.319381530)) * tt
+      val q = (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) *
+        poly
+      when(z >= 0, q).otherwise(lit(1.0) - q)
+    }
+    // one-sided p of each boundary test: large positive z -> small p
+    val pLo = qTail(zLo)
+    val pHi = qTail(zHi)
+    val pEq = greatest(pLo, pHi)
+    val ok = col("n0") > 1 && col("n1") > 1 && se2 > 0
+    import graft.functions.q6
+    agg.select(col("n0"), col("n1"),
+      q6(m0).as("mean0"), q6(m1).as("mean1"),
+      q6(diff).as("diff"), q6(when(ok, se)).as("se"),
+      q6(when(ok, zLo)).as("z_lower"), q6(when(ok, zHi)).as("z_upper"),
+      q6(when(ok, pLo)).as("p_lower"), q6(when(ok, pHi)).as("p_upper"),
+      q6(when(ok, pEq)).as("p_equiv"),
+      when(ok, (pEq < lit(alphaPct / 100.0)).cast("int")).as("equivalent"))
+  }
+
+  /** F60: MINIMUM DETECTABLE EFFECT table per segment — the
+    * experiment-design pre-flight ("this segment can only detect an
+    * 8-point lift; don't promise 2"): with pooled rate p̄ and arm sizes
+    * n₀/n₁, `MDE = (z_{α/2} + z_β)·√(p̄(1−p̄)(1/n₀+1/n₁))` — the
+    * standard two-proportion power closed form (public knowledge), at
+    * the conventional α = 0.05 two-sided / 80% power constants
+    * (z = 1.9599639845400545, 0.8416212335729143 — Φ⁻¹ literals, so no
+    * inverse-CDF evaluation happens in-engine). One exact count pass;
+    * fixed IEEE trees. Degenerate segments (empty arm, 0%/100% pooled)
+    * emit NULL. Output per segment: counts, pooled_rate, mde_abs,
+    * mde_rel. */
+  def mdeTable(units: DataFrame, groupCols: Seq[String],
+      variant: Column, converted: Column,
+      zAlpha: Double = 1.9599639845400545,
+      zBeta: Double = 0.8416212335729143): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val counts = units.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(converted.cast("long")), lit(0L)).as("c"))
+    val n0 = col("n0").cast("double")
+    val n1 = col("n1").cast("double")
+    val p = col("c").cast("double") / (col("n0") + col("n1")).cast("double")
+    val mde = lit(zAlpha + zBeta) *
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / n0 + lit(1.0) / n1))
+    val ok = col("n0") > 0 && col("n1") > 0 && col("c") > 0 &&
+      col("c") < col("n0") + col("n1")
+    import graft.functions.q6
+    counts.select(groupCols.map(col) ++ Seq(
+      col("n0"), col("n1"), col("c"),
+      q6(when(ok, p)).as("pooled_rate"),
+      q6(when(ok, mde)).as("mde_abs"),
+      q6(when(ok, mde / p)).as("mde_rel")): _*)
+  }
+
   /** F56: COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955,
     * public knowledge) — is a binary rate MONOTONE in an ordered dose
     * (plan tier, exposure bucket, priority)? A χ² over k groups answers

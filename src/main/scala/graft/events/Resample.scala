@@ -436,6 +436,55 @@ object Resample {
         graft.functions.q6(col("cusum")).as("cusum"), col("is_changepoint"))
   }
 
+  /** E34: CROSS-CORRELATION FUNCTION between two daily series (the
+    * lead/lag detector: "do errors LEAD purchases down, and by how
+    * many days?" — Box & Jenkins, public knowledge). Builds the two
+    * daily value sums, then for every lag l in [−maxLag, maxLag]
+    * correlates (x_t, y_{t+l}) over the overlapping days:
+    * positive-lag peaks mean x leads y.
+    *
+    * Exactness: daily sums and all five per-lag moments are DECIMAL
+    * (2-decimal values — exact, order-free); r_l is one fixed IEEE
+    * tree per lag (the Spearman discipline). Shapes: two day-bounded
+    * aggregates, a lag-grid × days join (days × (2L+1) rows — bounded
+    * by calendar, not event volume), one per-lag aggregate. Lags with
+    * < 3 overlapping days or a constant side emit NULL r. Output:
+    * (lag, n_days, r). */
+  def crossCorrelation(events: DataFrame, ts: Column, valueA: Column,
+      valueB: Column, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val D = "decimal(38,12)"
+    val daily = events.groupBy(to_date(ts).as("__d"))
+      .agg(
+        coalesce(sum(valueA.cast("decimal(18,2)")), lit(
+          java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .cast("decimal(18,6)").as("__x"),
+        coalesce(sum(valueB.cast("decimal(18,2)")), lit(
+          java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .cast("decimal(18,6)").as("__y"))
+    val a = daily.select(col("__d"), col("__x"))
+    val b = daily.select(col("__d").as("__d2"), col("__y"))
+    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val joined = a.crossJoin(broadcast(lags))
+      .join(b, col("__d2") === date_add(col("__d"), col("lag")))
+    val agg = joined.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x").cast(D)).as("__sx"),
+      sum(col("__y").cast(D)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(D)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(D)).as("__sxx"),
+      sum((col("__y") * col("__y")).cast(D)).as("__syy"))
+    val n = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val vx = n * d("__sxx") - d("__sx") * d("__sx")
+    val vy = n * d("__syy") - d("__sy") * d("__sy")
+    agg.select(col("lag"), col("n_days"),
+      graft.functions.q6(when(col("n_days") >= 3 && vx > 0 && vy > 0,
+        num / (sqrt(vx) * sqrt(vy)))).as("r"))
+  }
+
   /** E20: AUTOCORRELATION FUNCTION of a daily series per entity at
     * calendar lags 1..`maxLag` — the seasonality / persistence
     * detector run before committing to any lag feature (a weekly

@@ -124,6 +124,34 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F59: TOST equivalence — are even/odd-key order totals equivalent
+    // within +-2000? The burden-inverted test a flat A/B needs.
+    "q_f59_tost" -> { (s, dir) =>
+      graft.dq.Stats.tostEquivalence(t(s, dir, "orders"),
+        col("o_orderkey") % 2, col("o_totalprice"), delta = 2000.0)
+    },
+
+    // F60: minimum-detectable-effect pre-flight per event type —
+    // even/odd users as arms, conversion = value > 60.
+    "q_f60_mde" -> { (s, dir) =>
+      graft.dq.Stats.mdeTable(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        Seq("event_type"), pmod(col("user_id"), lit(2)),
+        (col("value") > 60).cast("int"))
+        .orderBy(col("event_type"))
+    },
+
+    // E34: cross-correlation of daily purchase vs error value at lags
+    // -7..7 — the lead/lag detector over calendar-bounded grids.
+    "q_e34_cross_correlation" -> { (s, dir) =>
+      graft.events.Resample.crossCorrelation(t(s, dir, "events"),
+        col("ts"),
+        when(col("event_type") === "purchase", col("value")),
+        when(col("event_type") === "error", col("value")), maxLag = 7)
+        .orderBy(col("lag"))
+    },
+
     // F56: Cochran-Armitage trend — is the finished-order rate
     // monotone in the priority digit? Exact integer score sums.
     "q_f56_cochran_armitage" -> { (s, dir) =>
@@ -952,6 +980,166 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // f42's moment CTE; one-sided A&S upper tail reflected for
+    // negative z; identical boundary-z and max-p trees.
+    "q_f59_tost" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q1
+        |  FROM orders),
+        |d AS (SELECT n0, n1,
+        |    CAST(s0 AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(q0 AS DOUBLE) AS q0, CAST(q1 AS DOUBLE) AS q1,
+        |    CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1
+        |  FROM a),
+        |e AS (SELECT *,
+        |    CASE WHEN n0 > 0 THEN s0 / dn0 END AS m0,
+        |    CASE WHEN n1 > 0 THEN s1 / dn1 END AS m1,
+        |    CASE WHEN n0 > 1 THEN (q0 - s0 * s0 / dn0) / (dn0 - 1.0)
+        |      END AS v0,
+        |    CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / dn1) / (dn1 - 1.0)
+        |      END AS v1
+        |  FROM d),
+        |f AS (SELECT *, v1 / dn1 + v0 / dn0 AS se2,
+        |    m1 - m0 AS diff FROM e),
+        |g AS (SELECT *, (diff + 2000.0) / sqrt(se2) AS zlo,
+        |    (2000.0 - diff) / sqrt(se2) AS zhi FROM f),
+        |h AS (SELECT *,
+        |    CASE WHEN zlo >= 0 THEN
+        |      (exp(-(abs(zlo) * abs(zlo)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zlo))))
+        |    ELSE 1.0 -
+        |      (exp(-(abs(zlo) * abs(zlo)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zlo)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zlo))))
+        |    END AS plo,
+        |    CASE WHEN zhi >= 0 THEN
+        |      (exp(-(abs(zhi) * abs(zhi)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zhi))))
+        |    ELSE 1.0 -
+        |      (exp(-(abs(zhi) * abs(zhi)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zhi)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zhi))))
+        |    END AS phi
+        |  FROM g)
+        |SELECT n0, n1,
+        |  floor(m0 * 1000000.0 + 0.5) / 1000000.0 AS mean0,
+        |  floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean1,
+        |  floor(diff * 1000000.0 + 0.5) / 1000000.0 AS diff,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(sqrt(se2) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS se,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(zlo * 1000000.0 + 0.5) / 1000000.0 END AS z_lower,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(zhi * 1000000.0 + 0.5) / 1000000.0 END AS z_upper,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(plo * 1000000.0 + 0.5) / 1000000.0 END AS p_lower,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(phi * 1000000.0 + 0.5) / 1000000.0 END AS p_upper,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN floor(greatest(plo, phi) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p_equiv,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+        |    THEN CAST(greatest(plo, phi) < 0.05 AS INTEGER)
+        |    END AS equivalent
+        |FROM h""".stripMargin,
+    // f38's count CTE; the Phi-inverse constants are folded literals
+    // (2.801585218112969 = z_alpha/2 + z_beta), identical MDE trees.
+    "q_f60_mde" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    coalesce(CAST(sum(CASE WHEN value > 60 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(c AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p,
+        |    (n0 > 0 AND n1 > 0 AND c > 0 AND c < n0 + n1) AS ok
+        |  FROM g),
+        |e AS (SELECT *, 2.801585218112969
+        |    * sqrt(p * (1.0 - p)
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    AS mde FROM d)
+        |SELECT event_type, n0, n1, c,
+        |  CASE WHEN ok
+        |    THEN floor(p * 1000000.0 + 0.5) / 1000000.0
+        |    END AS pooled_rate,
+        |  CASE WHEN ok
+        |    THEN floor(mde * 1000000.0 + 0.5) / 1000000.0 END AS mde_abs,
+        |  CASE WHEN ok
+        |    THEN floor(mde / p * 1000000.0 + 0.5) / 1000000.0
+        |    END AS mde_rel
+        |FROM e ORDER BY event_type""".stripMargin,
+    // Calendar-bounded lag grid; DECIMAL daily sums and per-lag
+    // moments ((19,6) products force DuckDB's INT128 path); identical
+    // per-lag correlation trees.
+    "q_e34_cross_correlation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'error'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(range(-7, 8)) AS INTEGER) AS lag),
+        |j AS (SELECT l.lag AS lag, a.x AS x, b.y AS y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |      AS DECIMAL(38,12))) AS syy
+        |  FROM j GROUP BY 1),
+        |r AS (SELECT lag, n_days, CAST(n_days AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM m)
+        |SELECT lag, n_days,
+        |  CASE WHEN n_days >= 3 AND nd * sxxd - sxd * sxd > 0
+        |      AND nd * syyd - syd * syd > 0
+        |    THEN floor((nd * sxyd - sxd * syd)
+        |      / (sqrt(nd * sxxd - sxd * sxd)
+        |        * sqrt(nd * syyd - syd * syd))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS r
+        |FROM r ORDER BY lag""".stripMargin,
     // Exact HUGEINT score sums (≡ Spark DECIMAL(38,0)); identical
     // T/Var/z trees from the double-cast operands; f38's A&S p.
     "q_f56_cochran_armitage" ->
