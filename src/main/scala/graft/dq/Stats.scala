@@ -601,6 +601,37 @@ object Stats {
       q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
   }
 
+  /** F61: WILSON SCORE INTERVAL per segment (Wilson 1927, public
+    * knowledge) — the binomial CI that behaves at small n and extreme
+    * rates, where the Wald interval collapses to zero width at
+    * p̂ ∈ {0, 1} and escapes [0, 1]:
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`.
+    * The z constant is a folded Φ⁻¹ literal (no in-engine inverse
+    * CDF). One exact count pass; fixed IEEE trees; empty segments
+    * emit NULL bounds. Output per segment: (…, n, c, rate, ci_lo,
+    * ci_hi). */
+  def wilsonCi(units: DataFrame, groupCols: Seq[String],
+      converted: Column, z: Double = 1.9599639845400545): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val counts = units.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(converted.cast("long")), lit(0L)).as("c"))
+    val n = col("n").cast("double")
+    val p = col("c").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    val ok = col("n") > 0
+    import graft.functions.q6
+    counts.select(groupCols.map(col) ++ Seq(
+      col("n"), col("c"),
+      q6(when(ok, p)).as("rate"),
+      q6(when(ok, (center - margin) / denom)).as("ci_lo"),
+      q6(when(ok, (center + margin) / denom)).as("ci_hi")): _*)
+  }
+
   /** F59: TOST EQUIVALENCE TEST (two one-sided tests — Schuirmann
     * 1987, public knowledge): "is the new variant EQUIVALENT to
     * control within ±δ?" A non-significant difference test is NOT

@@ -106,6 +106,34 @@ object EventFunctions {
     * Spark-first: `lag` over an entity window → gap flag → running sum.
     * One shuffle on entity; everything else is a single sorted pass.
     */
+  /** W20: MARKOV TRANSITION MATRIX over per-entity event sequences —
+    * P(next event type | current event type) from consecutive-event
+    * pairs under the (ts, event id) total order per entity (the id
+    * tiebreak pins simultaneous events), plus the raw pair counts.
+    * The first-order behavioral model product analytics reads
+    * ("what follows an error?"); feed the matrix to a simulator or
+    * anomaly scorer downstream. Counts are exact BIGINTs; the row
+    * probability c/Σc is one division, quantized-6. One entity-keyed
+    * lag window + one aggregate; output rows = |types|². */
+  def transitionMatrix(events: DataFrame,
+      c: EventCols = EventCols()): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(c.entity)).orderBy(col(c.ts), col(c.id))
+    val pairs = events
+      .withColumn("__next", lead(col(c.eventType), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(c.eventType).as("from_type"),
+        col("__next").as("to_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_pairs"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    pairs
+      .withColumn("__tot", sum(col("n_pairs")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n_pairs"),
+        graft.functions.q6(col("n_pairs").cast("double") /
+          col("__tot").cast("double")).as("p"))
+  }
+
   def sessionize(events: DataFrame, timeoutSec: Long,
       c: EventCols = EventCols()): DataFrame = {
     val w = Window.partitionBy(col(c.entity)).orderBy(chron(c): _*)

@@ -354,6 +354,21 @@ object Resample {
     * join shares the window's entity partitioning); round-6. */
   def stlDecompose(df: DataFrame, key: String, ts: Column,
       valueCol: Column): DataFrame = {
+    val c = stlComponents(df, key, ts, valueCol)
+    c.select(col(key), col("day"),
+      round(col("__x"), 2).as("value"),
+      graft.functions.q6(col("__trend")).as("trend"),
+      graft.functions.q6(col("__seas")).as("seasonal"),
+      graft.functions.q6(col("__x") - col("__trend") - col("__seas"))
+        .as("remainder"))
+  }
+
+  /** The E18 component derivation with RAW double columns
+    * (__x, __trend, __seas) — shared by [[stlDecompose]] (which rounds
+    * for display) and [[tsFeatureStrengths]] (which must NOT consume
+    * engine-`round`ed values — the half-boundary divergence class). */
+  private[graft] def stlComponents(df: DataFrame, key: String,
+      ts: Column, valueCol: Column): DataFrame = {
     val daily = df.groupBy(col(key), to_date(ts).as("day"))
       .agg(sum(valueCol).as("__x"))
     val ma = Window.partitionBy(col(key)).orderBy(col("day"))
@@ -368,12 +383,57 @@ object Resample {
       .join(seasonal,
         trended(key) === col("__k") &&
           dayofweek(col("day")) === col("__dow"))
-      .select(trended(key), col("day"),
-        round(col("__x"), 2).as("value"),
-        graft.functions.q6(col("__trend")).as("trend"),
-        graft.functions.q6(col("__seas")).as("seasonal"),
-        graft.functions.q6(col("__x") - col("__trend") - col("__seas"))
-          .as("remainder"))
+      .select(trended(key), col("day"), col("__x"), col("__trend"),
+        col("__seas"))
+  }
+
+  /** E35: TIME-SERIES FEATURE STRENGTHS per entity (Wang, Smith &
+    * Hyndman 2006 — the `tsfeatures` decomposition measures, public
+    * knowledge): `trend_strength = max(0, 1 − Var(R)/Var(T+R))` and
+    * `seasonal_strength = max(0, 1 − Var(R)/Var(S+R))` over the E18
+    * STL-lite components — the scalar summaries that let a fleet of
+    * series be triaged ("which of 10⁶ metrics are seasonal at all")
+    * without eyeballing decomposition plots.
+    *
+    * Determinism: consumes the RAW [[stlComponents]] doubles (never
+    * the display-`round`ed E18 outputs — engine round builtins diverge
+    * on half-boundary doubles), quantizes each variance operand to a
+    * scaled-1e6 LONG and takes population variances via
+    * DECIMAL(38,0) moment sums — order-free at any series length (a
+    * raw double Σ over an entity's days would re-order between
+    * engines). Output per entity: (key, n_days, trend_strength,
+    * seasonal_strength); sub-2-day or zero-variance series emit
+    * NULL. */
+  def tsFeatureStrengths(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val stl = stlComponents(df, key, ts, valueCol)
+    val r = col("__x") - col("__trend") - col("__seas")
+    val tr = col("__x") - col("__seas") // T + R
+    val sr = col("__x") - col("__trend") // S + R
+    def sl(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val agg = stl.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        sum(sl(r).cast(D)).as("__sr"),
+        sum((sl(r) * sl(r)).cast(D)).as("__qr"),
+        sum(sl(tr).cast(D)).as("__st"),
+        sum((sl(tr) * sl(tr)).cast(D)).as("__qt"),
+        sum(sl(sr).cast(D)).as("__ss"),
+        sum((sl(sr) * sl(sr)).cast(D)).as("__qs"))
+    val n = col("n_days").cast("double")
+    def popVar(q: String, sm: String) =
+      (col(q).cast("double") / lit(1e12) -
+        (col(sm).cast("double") / lit(1e6)) *
+          (col(sm).cast("double") / lit(1e6)) / n) / n
+    val vR = popVar("__qr", "__sr")
+    val vT = popVar("__qt", "__st")
+    val vS = popVar("__qs", "__ss")
+    import graft.functions.q6
+    agg.select(col(key), col("n_days"),
+      q6(when(col("n_days") > 1 && vT > 0,
+        greatest(lit(0.0), lit(1.0) - vR / vT))).as("trend_strength"),
+      q6(when(col("n_days") > 1 && vS > 0,
+        greatest(lit(0.0), lit(1.0) - vR / vS))).as("seasonal_strength"))
   }
 
   /** E16: CUSUM CHANGEPOINT detection per entity (Page 1954, public

@@ -236,9 +236,26 @@ object Stats {
         col("rn1") < col("rn2") && col("x1") =!= col("x2"))
       .select(col("g"),
         ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("__m"))
-    val slopes = pairs.groupBy(col("g"))
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("percentile(__m, 0.5)").as("slope_raw"))
+    // exact median via a group-keyed RANK, not `percentile`: the
+    // percentile aggregate buffers every slope of a group in executor
+    // memory (32M pairs/group at a 10x scale-up sat in one GC-bound
+    // buffer); the window sort spills to disk and streams. The
+    // midpoint uses percentile's own lo + (hi - lo)*0.5 interpolation
+    // so existing oracle parity is preserved.
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__m"))
+    val rankedSlopes = pairs
+      .withColumn("__rn", row_number().over(wm))
+      .withColumn("__np",
+        org.apache.spark.sql.functions.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val slopes = rankedSlopes
+      .filter(col("__rn") === expr("(__np + 1) div 2") ||
+        col("__rn") === expr("(__np + 2) div 2"))
+      .groupBy(col("g"))
+      .agg(max(col("__np")).as("n_pairs"),
+        (min(col("__m")) +
+          (max(col("__m")) - min(col("__m"))) * lit(0.5)).as("slope_raw"))
     // the aggregate REFERENCES the guard so column pruning cannot
     // drop the raise_error before it evaluates
     val counts = sized.groupBy(col("g"))
@@ -247,8 +264,19 @@ object Stats {
     val inter = base.join(withSlope.select(col("g"),
         col("slope_raw")), Seq("g"), "left")
       .filter(col("slope_raw").isNotNull)
+      .withColumn("__iv", col("y") - col("slope_raw") * col("x"))
+      .withColumn("__irn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("__iv"))))
+      .withColumn("__in",
+        org.apache.spark.sql.functions.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("__irn") === expr("(__in + 1) div 2") ||
+        col("__irn") === expr("(__in + 2) div 2"))
       .groupBy(col("g"))
-      .agg(expr("percentile(y - slope_raw * x, 0.5)").as("intercept_raw"))
+      .agg((min(col("__iv")) +
+        (max(col("__iv")) - min(col("__iv"))) * lit(0.5))
+        .as("intercept_raw"))
     import graft.functions.q6
     withSlope.join(inter, Seq("g"), "left")
       .select(col("g"), col("n_points"),

@@ -124,6 +124,15 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F61: Wilson score intervals for the >60-value conversion rate
+    // per event type — the small-n-safe binomial CI.
+    "q_f61_wilson_ci" -> { (s, dir) =>
+      graft.dq.Stats.wilsonCi(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        Seq("event_type"), (col("value") > 60).cast("int"))
+        .orderBy(col("event_type"))
+    },
+
     // F59: TOST equivalence — are even/odd-key order totals equivalent
     // within +-2000? The burden-inverted test a flat A/B needs.
     "q_f59_tost" -> { (s, dir) =>
@@ -980,6 +989,32 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Folded z / z-squared literals (1.9599639845400545 /
+    // 3.841458820694127 — the Scala-side z*z double); identical
+    // center/margin/denominator trees.
+    "q_f61_wilson_ci" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    coalesce(CAST(sum(CASE WHEN value > 60 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM g),
+        |e AS (SELECT *,
+        |    1.0 + 3.841458820694127 / nd AS denom,
+        |    p + 3.841458820694127 / (2.0 * nd) AS center,
+        |    1.9599639845400545 * sqrt(p * (1.0 - p) / nd
+        |      + 3.841458820694127 / (4.0 * nd * nd)) AS margin
+        |  FROM d)
+        |SELECT event_type, n, c,
+        |  CASE WHEN n > 0
+        |    THEN floor(p * 1000000.0 + 0.5) / 1000000.0 END AS rate,
+        |  CASE WHEN n > 0
+        |    THEN floor((center - margin) / denom * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS ci_lo,
+        |  CASE WHEN n > 0
+        |    THEN floor((center + margin) / denom * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS ci_hi
+        |FROM e ORDER BY event_type""".stripMargin,
     // f42's moment CTE; one-sided A&S upper tail reflected for
     // negative z; identical boundary-z and max-p trees.
     "q_f59_tost" ->

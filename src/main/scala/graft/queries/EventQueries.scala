@@ -153,6 +153,23 @@ object EventQueries {
         .orderBy(col("duration_days"))
     },
 
+    // E35: trend/seasonal strengths of per-user purchase series — the
+    // tsfeatures triage over the raw E18 components.
+    "q_e35_ts_strengths" -> { (s, dir) =>
+      graft.events.Resample.tsFeatureStrengths(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // W20: Markov transition matrix over per-user event sequences —
+    // P(next type | current type) with exact pair counts.
+    "q_w20_markov" -> { (s, dir) =>
+      graft.events.EventFunctions.transitionMatrix(
+        t(s, dir, "events").filter(col("user_id").isNotNull))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // E33: Nelson-Aalen cumulative hazard of inter-purchase gaps —
     // the additive companion of q_e19's KM curve, same censoring.
     "q_e33_nelson_aalen" -> { (s, dir) =>
@@ -779,6 +796,80 @@ object EventQueries {
         |  CASE WHEN hit_zero = 1 THEN 0.0
         |       ELSE round(exp(lnsum), 6) END AS survival
         |FROM sv ORDER BY duration_days""".stripMargin,
+    // e18's raw component CTEs (never the display-rounded outputs);
+    // variance operands quantized to scaled-1e6 BIGINTs, HUGEINT
+    // moment sums, identical strength trees.
+    "q_e35_ts_strengths" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT user_id, d, x,
+        |    avg(x) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM daily),
+        |se AS (
+        |  SELECT user_id AS k, dayofweek(d) AS dow,
+        |    avg(x - trend) AS seas
+        |  FROM tr GROUP BY 1, 2),
+        |comp AS (SELECT tr.user_id AS user_id,
+        |    CAST(floor((tr.x - tr.trend - se.seas) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS rl,
+        |    CAST(floor((tr.x - se.seas) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS tl,
+        |    CAST(floor((tr.x - tr.trend) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS sl
+        |  FROM tr JOIN se ON se.k = tr.user_id
+        |    AND se.dow = dayofweek(tr.d)),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(rl AS HUGEINT)) AS sr,
+        |    sum(CAST(rl AS HUGEINT) * rl) AS qr,
+        |    sum(CAST(tl AS HUGEINT)) AS st,
+        |    sum(CAST(tl AS HUGEINT) * tl) AS qt,
+        |    sum(CAST(sl AS HUGEINT)) AS ss,
+        |    sum(CAST(sl AS HUGEINT) * sl) AS qs
+        |  FROM comp GROUP BY 1),
+        |v AS (SELECT user_id, n_days, CAST(n_days AS DOUBLE) AS nd,
+        |    (CAST(qr AS DOUBLE) / 1e12
+        |      - (CAST(sr AS DOUBLE) / 1000000.0)
+        |        * (CAST(sr AS DOUBLE) / 1000000.0)
+        |        / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE)
+        |      AS vr,
+        |    (CAST(qt AS DOUBLE) / 1e12
+        |      - (CAST(st AS DOUBLE) / 1000000.0)
+        |        * (CAST(st AS DOUBLE) / 1000000.0)
+        |        / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE)
+        |      AS vt,
+        |    (CAST(qs AS DOUBLE) / 1e12
+        |      - (CAST(ss AS DOUBLE) / 1000000.0)
+        |        * (CAST(ss AS DOUBLE) / 1000000.0)
+        |        / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE)
+        |      AS vs
+        |  FROM m)
+        |SELECT user_id, n_days,
+        |  CASE WHEN n_days > 1 AND vt > 0
+        |    THEN floor(greatest(0.0, 1.0 - vr / vt) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS trend_strength,
+        |  CASE WHEN n_days > 1 AND vs > 0
+        |    THEN floor(greatest(0.0, 1.0 - vr / vs) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS seasonal_strength
+        |FROM v ORDER BY user_id""".stripMargin,
+    // Entity-keyed lead pairs under the (ts, event_id) total order;
+    // exact BIGINT counts; one quantized division per row.
+    "q_w20_markov" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT from_type, to_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n_pairs) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS tot FROM c)
+        |SELECT from_type, to_type, n_pairs,
+        |  floor(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     // Same e19 gap spans and risk sets; the two hazard cumulations are
     // ordered-window double sums (addition order = window order in
     // both engines); variance quantized-9, hazard quantized-6.
