@@ -67,9 +67,15 @@ object Bench {
     // query while staying 4x the single-shot cost, not 10x.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     def once(
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String = "?"): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // stderr, never stdout (the driver parses the stdout JSON) — a
+        // silently-swallowed failure previously benched as a fast "win"
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        -1L
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // intra-query persists + checkpoint blocks must not leak (untimed)
       graft.util.Caches.releaseAll(spark)
@@ -99,8 +105,8 @@ object Bench {
     val canary = (1 to repeats).map(_ => canaryOnce()).sorted
       .apply(repeats / 2)
     val results = ordered.map { case (name, fn) =>
-      once(fn) // per-query warm-up, untimed
-      val times = (1 to repeats).map(_ => once(fn)).sorted
+      once(fn, name) // per-query warm-up, untimed
+      val times = (1 to repeats).map(_ => once(fn, name)).sorted
       name -> times(times.size / 2)
     }
     val total = results.map(_._2).sum

@@ -32,34 +32,74 @@ object Matching {
 
   /** Pair table: (t_id, t_score, t_y, c_id, c_score, c_y, dist).
     * Inputs: `treated`/`control` DataFrames with (id, score, y)
-    * columns named by the caller. Scores must be non-null doubles. */
+    * columns named by the caller. Scores must be non-null doubles.
+    *
+    * Shape: the nearest in-caliper control is found WITHOUT ever
+    * materializing the in-caliper pair set (treated × bin-population
+    * exploded to 10⁸ rows at a 10× scale-up). In 1-D the nearest
+    * control is one of at most four candidates:
+    * within-bin nearest at-or-below (a bin-keyed running `last` over
+    * the score-sorted union — equal-score controls sort before the
+    * treated row via the side marker, ids DESC so ties surface the
+    * LOWEST id), within-bin nearest strictly-above (the mirrored
+    * `first`, ids ASC), and the previous/next bin's boundary controls
+    * (2-row per-bin aggregates — any farther bin is > caliper away by
+    * construction). The winner is `least()` over
+    * (dist, c_score, c_id) candidate structs — the exact
+    * argmin-with-tie-break the all-pairs form computes. */
   def caliperMatch(treated: DataFrame, control: DataFrame,
       caliper: Double): DataFrame = {
     require(caliper > 0, s"caliper must be > 0, got $caliper")
-    val t = treated.select(col("id").as("t_id"),
-      col("score").cast("double").as("t_score"),
-      col("y").as("t_y"))
-      .filter(col("t_score").isNotNull)
-    val c = control.select(col("id").as("c_id"),
-      col("score").cast("double").as("c_score"),
-      col("y").as("c_y"))
-      .filter(col("c_score").isNotNull)
-      .withColumn("__bin", floor(col("c_score") / lit(caliper)))
-    val tBinned = t
-      .withColumn("__b0", floor(col("t_score") / lit(caliper)))
-      .withColumn("__bin", explode(array(col("__b0") - 1, col("__b0"),
-        col("__b0") + 1)))
-      .drop("__b0")
-    val pairs = tBinned.join(c, Seq("__bin"))
-      .withColumn("dist", abs(col("t_score") - col("c_score")))
-      .filter(col("dist") <= lit(caliper))
-    val w = Window.partitionBy(col("t_id"))
-      .orderBy(col("dist"), col("c_score"), col("c_id"))
-    pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("t_id"), col("t_score"), col("t_y"),
-        col("c_id"), col("c_score"), col("c_y"),
-        graft.functions.q6(col("dist")).as("dist"))
+    val t = treated.select(col("id").cast("long").as("__id"),
+      col("score").cast("double").as("__s"),
+      col("y").cast("double").as("__y"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__m", lit(1))
+    val c = control.select(col("id").cast("long").as("__id"),
+      col("score").cast("double").as("__s"),
+      col("y").cast("double").as("__y"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__m", lit(0))
+    val u = t.unionByName(c)
+      .withColumn("__bin", floor(col("__s") / lit(caliper)))
+    val payload = when(col("__m") === 0,
+      struct(col("__id"), col("__s"), col("__y")))
+    val wPrev = Window.partitionBy(col("__bin"))
+      .orderBy(col("__s").asc, col("__m").asc, col("__id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__bin"))
+      .orderBy(col("__s").asc, col("__m").asc, col("__id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val windowed = u
+      .withColumn("__prev", last(payload, ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(payload, ignoreNulls = true).over(wNext))
+      .filter(col("__m") === 1)
+    val cBinned = c.withColumn("__bin", floor(col("__s") / lit(caliper)))
+    val below = cBinned.groupBy(col("__bin"))
+      .agg(max_by(struct(col("__id"), col("__s"), col("__y")),
+        struct(col("__s"), -col("__id"))).as("__below"))
+      .select((col("__bin") + 1).as("__bin"), col("__below"))
+    val above = cBinned.groupBy(col("__bin"))
+      .agg(min_by(struct(col("__id"), col("__s"), col("__y")),
+        struct(col("__s"), col("__id"))).as("__above"))
+      .select((col("__bin") - 1).as("__bin"), col("__above"))
+    def cand(s: Column): Column = when(s.isNotNull &&
+      abs(col("__s") - s.getField("__s")) <= lit(caliper),
+      struct(abs(col("__s") - s.getField("__s")).as("d"),
+        s.getField("__s").as("cs"), s.getField("__id").as("ci"),
+        s.getField("__y").as("cy")))
+    val best = least(cand(col("__prev")), cand(col("__next")),
+      cand(col("__below")), cand(col("__above")))
+    windowed
+      .join(below, Seq("__bin"), "left")
+      .join(above, Seq("__bin"), "left")
+      .withColumn("__best", best)
+      .filter(col("__best").isNotNull)
+      .select(col("__id").as("t_id"), col("__s").as("t_score"),
+        col("__y").as("t_y"),
+        col("__best.ci").as("c_id"), col("__best.cs").as("c_score"),
+        col("__best.cy").as("c_y"),
+        graft.functions.q6(col("__best.d")).as("dist"))
   }
 
   /** The ATT summary over a [[caliperMatch]] pair table: matched

@@ -210,26 +210,33 @@ object Stats {
     * (g, n_points, n_pairs, slope, intercept); groups with no
     * distinct-x pair emit NULL slope/intercept. */
   def theilSen(df: DataFrame, group: Column, x: Column, y: Column,
-      maxGroupSize: Int = 10000): DataFrame = {
+      maxGroupSize: Int = 2000): DataFrame = {
     require(maxGroupSize >= 2,
       s"maxGroupSize must be >= 2, got $maxGroupSize")
     val base = df.filter(x.isNotNull && y.isNotNull)
       .select(group.as("g"), x.cast("double").as("x"),
         y.cast("double").as("y"))
+    // EAGER cap check — one tiny count job BEFORE the pair join exists.
+    // A lazy raise_error guard column is useless here: its stage queues
+    // BEHIND the 10^8-row pair stages it is supposed to prevent (and a
+    // count()-shaped consumer can prune it away entirely), so by the
+    // time it fires the explosion has already been paid.
+    val over = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGroupSize)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"theilSen: group ${over.headOption.map(_.get(0)).orNull} has " +
+        s"${over.headOption.map(_.getLong(1)).getOrElse(0L)} rows, " +
+        s"exceeds maxGroupSize=$maxGroupSize — all-pairs would " +
+        "explode; pre-aggregate or raise the cap explicitly")
     val wG = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("x"), col("y"))
     val sized = base
       .withColumn("__rn", row_number().over(wG))
-      .withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("g"))))
-      .withColumn("__guard", when(col("__n") > maxGroupSize,
-        raise_error(concat(lit("theilSen: group "), col("g").cast("string"),
-          lit(s" exceeds maxGroupSize=$maxGroupSize ("), col("__n"),
-          lit(" rows) — all-pairs would explode; pre-aggregate or raise "
-            + "the cap explicitly")))).otherwise(lit(0)))
     val l = sized.select(col("g"), col("x").as("x1"), col("y").as("y1"),
       col("__rn").as("rn1"))
+    // (sized still carries __rn only; the guard ran eagerly above)
     val r = sized.select(col("g").as("g2"), col("x").as("x2"),
       col("y").as("y2"), col("__rn").as("rn2"))
     val pairs = l.join(r, col("g") === col("g2") &&
@@ -249,17 +256,18 @@ object Stats {
       .withColumn("__np",
         org.apache.spark.sql.functions.count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-    val slopes = rankedSlopes
+    // persisted: the slope table feeds BOTH the output join and the
+    // intercept residual pass — without it the 10^7-row pair lineage
+    // recomputes twice (measured 23s -> 2.5s at sf0.1)
+    val slopes = graft.util.Caches.persistTracked(rankedSlopes
       .filter(col("__rn") === expr("(__np + 1) div 2") ||
         col("__rn") === expr("(__np + 2) div 2"))
       .groupBy(col("g"))
       .agg(max(col("__np")).as("n_pairs"),
         (min(col("__m")) +
-          (max(col("__m")) - min(col("__m"))) * lit(0.5)).as("slope_raw"))
-    // the aggregate REFERENCES the guard so column pruning cannot
-    // drop the raise_error before it evaluates
-    val counts = sized.groupBy(col("g"))
-      .agg((count(lit(1)) + max(col("__guard"))).as("n_points"))
+          (max(col("__m")) - min(col("__m"))) * lit(0.5)).as("slope_raw")))
+    val counts = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_points"))
     val withSlope = counts.join(slopes, Seq("g"), "left")
     val inter = base.join(withSlope.select(col("g"),
         col("slope_raw")), Seq("g"), "left")

@@ -207,6 +207,10 @@ object DqQueries {
     "q_f55_theil_sen" -> { (s, dir) =>
       graft.ml.Stats.theilSen(t(s, dir, "part"), col("p_brand"),
         col("p_size"), col("p_retailprice"))
+        // references the fit outputs so a count()-shaped consumer
+        // (the bench) cannot join-eliminate the estimator work
+        .filter(length(concat_ws(",", col("slope"),
+          col("intercept"))) >= 0)
         .orderBy(col("g"))
     },
 

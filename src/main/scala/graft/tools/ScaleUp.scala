@@ -77,6 +77,12 @@ object ScaleUp {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off))
         .withColumn("o_custkey", col("o_custkey") + lit(k * Off))
     }
+    replicate("part") { (df, k) =>
+      // key shift only; brand/size/price distributions unchanged, so
+      // per-brand group sizes grow 10x (what the Theil-Sen all-pairs
+      // cap and robust-slope probes care about)
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * Off))
+    }
     replicate("lineitem") { (df, k) =>
       // key shift only — the relational heavies (pricing summary, ORC
       // round trip, top-k) care about row volume and key cardinality,
