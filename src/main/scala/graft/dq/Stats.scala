@@ -601,6 +601,53 @@ object Stats {
       q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
   }
 
+  /** F62: PAIRED t-TEST (Student 1908, public knowledge) — same units
+    * measured before/after: test the mean of the per-unit DIFFERENCES,
+    * which cancels the between-unit variance that drowns an unpaired
+    * [[welchT]] on the same data. One pass over exact DECIMAL moments
+    * of d = after − before; `t = d̄/(s_d/√n)`, dof = n−1, two-sided p
+    * via the A&S 26.2.17 polynomial (normal approximation — exact-t
+    * quantiles need the incomplete beta; at the row counts this engine
+    * targets the two are indistinguishable). Rows with either side
+    * NULL are excluded (they are not pairs). Output 1 row:
+    * (n, mean_diff, sd_diff, t, dof, p). */
+  def pairedT(units: DataFrame, before: Column, after: Column)
+      : DataFrame = {
+    // the difference re-narrows to (18,6) before squaring so the
+    // square stays at f42's exact (37,12) instead of precision-39
+    // scale truncation
+    val d = (after.cast("decimal(18,6)") - before.cast("decimal(18,6)"))
+      .cast("decimal(18,6)")
+    val agg = units.filter(before.isNotNull && after.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(d), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(18,6)")).as("__s"),
+        coalesce(sum(d * d),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"))
+          .as("__q"))
+    val n = col("n").cast("double")
+    val sm = col("__s").cast("double")
+    val q = col("__q").cast("double")
+    val mean = sm / n
+    val variance = (q - sm * sm / n) / (n - lit(1.0))
+    val t = mean / sqrt(variance / n)
+    val az = abs(t)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("n") > 1 && variance > 0
+    import graft.functions.q6
+    agg.select(col("n"),
+      q6(when(col("n") > 0, mean)).as("mean_diff"),
+      q6(when(ok, sqrt(variance))).as("sd_diff"),
+      q6(when(ok, t)).as("t"),
+      (col("n") - lit(1L)).as("dof"),
+      q6(when(ok, least(pTwo, lit(1.0)))).as("p"))
+  }
+
   /** F61: WILSON SCORE INTERVAL per segment (Wilson 1927, public
     * knowledge) — the binomial CI that behaves at small n and extreme
     * rates, where the Wald interval collapses to zero width at

@@ -124,6 +124,33 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // X142: rendezvous (HRW) sharding of documents into 8 shards —
+    // the minimal-reshuffle routing a shard split needs at 100 TB.
+    "q_x142_rendezvous_shards" -> { (s, dir) =>
+      graft.relational.Sharding.shardPlan(t(s, dir, "documents"),
+        "doc_id", 8)
+        .orderBy(col("shard"))
+    },
+
+    // F62: paired t on per-customer pre/post-1998 spend — the
+    // between-customer variance cancels in the per-unit differences.
+    "q_f62_paired_t" -> { (s, dir) =>
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < "1998-01-01",
+            col("o_totalprice").cast("decimal(18,6)"))).as("pre"),
+          sum(when(col("o_orderdate") >= "1998-01-01",
+            col("o_totalprice").cast("decimal(18,6)"))).as("post"))
+      graft.dq.Stats.pairedT(per, col("pre"), col("post"))
+    },
+
+    // X143: Heaps'-law vocabulary growth fit over documents in id
+    // order — two-phase rank+vocab prefix, quantized log-log OLS.
+    "q_x143_heaps_law" -> { (s, dir) =>
+      graft.text.TextStats.heapsLawFit(t(s, dir, "documents"),
+        "doc_id", "text")
+    },
+
     // F61: Wilson score intervals for the >60-value conversion rate
     // per event type — the small-n-safe binomial CI.
     "q_f61_wilson_ci" -> { (s, dir) =>
@@ -993,6 +1020,116 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Same seeded md5-uniform weights (hex digits re-derived in SQL);
+    // argmax mirrored as row_number over (h DESC, k DESC) — greatest()
+    // over (h, k) structs picks the same winner.
+    "q_x142_rendezvous_shards" ->
+      s"""WITH ks AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS k),
+        |hx AS (SELECT doc_id, k,
+        |    md5('hrw:' || CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(k AS VARCHAR)) AS m
+        |  FROM documents CROSS JOIN ks),
+        |hh AS (SELECT doc_id, k,
+        |    (${hexDigitSum(1, 8)}) / 4294967296.0 AS h FROM hx),
+        |rn AS (SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, k DESC) AS rn FROM hh)
+        |SELECT k AS shard, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM rn WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact DECIMAL difference moments ((19,6) square products for the
+    // INT128 path); identical t tree; f38's A&S p.
+    "q_f62_paired_t" ->
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS pre,
+        |    sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS post
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT CAST(CAST(post AS DECIMAL(18,6))
+        |      - CAST(pre AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS d
+        |  FROM per WHERE pre IS NOT NULL AND post IS NOT NULL),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    coalesce(sum(d), 0) AS s,
+        |    coalesce(sum(CAST(d AS DECIMAL(19,6))
+        |      * CAST(d AS DECIMAL(19,6))), 0) AS q
+        |  FROM dd),
+        |b AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd FROM ag),
+        |cc AS (SELECT *, sd / nd AS mean,
+        |    (qd - sd * sd / nd) / (nd - 1.0) AS var FROM b),
+        |ee AS (SELECT *, mean / sqrt(var / nd) AS t FROM cc),
+        |pp AS (SELECT *, 2.0
+        |    * (exp(-(abs(t) * abs(t)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(t)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(t)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(t)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(t)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(t))))
+        |    AS p2 FROM ee)
+        |SELECT n,
+        |  CASE WHEN n > 0
+        |    THEN floor(mean * 1000000.0 + 0.5) / 1000000.0
+        |    END AS mean_diff,
+        |  CASE WHEN n > 1 AND var > 0
+        |    THEN floor(sqrt(var) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS sd_diff,
+        |  CASE WHEN n > 1 AND var > 0
+        |    THEN floor(t * 1000000.0 + 0.5) / 1000000.0 END AS t,
+        |  CAST(n - 1 AS BIGINT) AS dof,
+        |  CASE WHEN n > 1 AND var > 0
+        |    THEN floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM pp""".stripMargin,
+    // First-doc per token, per-doc new-token counts, running rank/vocab
+    // (Spark side: two-phase Ranks), ln values quantized to scaled-1e9
+    // BIGINTs, HUGEINT moments, identical OLS trees.
+    "q_x143_heaps_law" ->
+      """WITH fd AS (SELECT t, min(d) AS fd FROM (
+        |    SELECT doc_id AS d,
+        |      unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY t),
+        |npd AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS newt
+        |  FROM fd GROUP BY 1),
+        |docs AS (SELECT DISTINCT doc_id AS d FROM documents),
+        |curve AS (SELECT docs.d, coalesce(npd.newt, 0) AS newt
+        |  FROM docs LEFT JOIN npd ON docs.d = npd.d),
+        |pc AS (SELECT d,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rnk,
+        |    CAST(sum(newt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS v
+        |  FROM curve),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM pc WHERE v > 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM pts),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM fd),
+        |f AS (SELECT n_docs, vocab, CAST(n_docs AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 1000000000.0 AS sxd,
+        |    CAST(sy AS DOUBLE) / 1000000000.0 AS syd,
+        |    CAST(sxy AS DOUBLE) / 1e18 AS sxyd,
+        |    CAST(sxx AS DOUBLE) / 1e18 AS sxxd,
+        |    CAST(syy AS DOUBLE) / 1e18 AS syyd
+        |  FROM m, vt),
+        |g AS (SELECT *, nd * sxyd - sxd * syd AS num,
+        |    nd * sxxd - sxd * sxd AS vx,
+        |    nd * syyd - syd * syd AS vy FROM f),
+        |h AS (SELECT *, num / vx AS beta FROM g)
+        |SELECT n_docs, vocab,
+        |  CASE WHEN n_docs > 1 AND vx > 0
+        |    THEN floor(beta * 1000000.0 + 0.5) / 1000000.0 END AS beta,
+        |  CASE WHEN n_docs > 1 AND vx > 0
+        |    THEN floor(exp((syd - beta * sxd) / nd) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS k,
+        |  CASE WHEN n_docs > 1 AND vx > 0 AND vy > 0
+        |    THEN floor(num * num / (vx * vy) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS r2
+        |FROM h""".stripMargin,
     // Folded z / z-squared literals (1.9599639845400545 /
     // 3.841458820694127 — the Scala-side z*z double); identical
     // center/margin/denominator trees.

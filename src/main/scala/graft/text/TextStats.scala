@@ -278,6 +278,66 @@ object TextStats {
         split(col("pair"), " ").getItem(1).as("token_b"),
         col("pair_freq"), col("pair_doc_freq"))
 
+  /** X143: HEAPS' LAW FIT — vocabulary growth `V(N) ≈ K·N^β` over the
+    * corpus in doc-id order (Heaps 1978, public knowledge): the
+    * capacity-planning curve behind every tokenizer/vocab decision —
+    * β ≈ 0.5 means doubling the corpus grows the vocab ~41%; β near 1
+    * means the "vocabulary" is unbounded junk (mangled encodings, ids).
+    *
+    * Distributed exactly: each token's FIRST document (a min
+    * aggregate), new-token counts per doc, then ONE two-phase
+    * [[graft.relational.Ranks.prefixSums]] pass yields both the doc's
+    * rank N and the running vocab V(N) (no global-order window). The
+    * log-log OLS runs over ALL doc points with ln values quantized to
+    * scaled-1e9 LONGs and DECIMAL(38,0) moment sums — order-free; β,
+    * K = e^intercept and R² are fixed IEEE trees. Output 1 row:
+    * (n_docs, vocab, beta, k, r2). */
+  def heapsLawFit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val D = "decimal(38,0)"
+    val tok = df.select(col(idCol).as("__d"),
+      explode(split(col(textCol), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val firstDoc = tok.groupBy(col("__t"))
+      .agg(min(col("__d")).as("__fd"))
+    val newPerDoc = firstDoc.groupBy(col("__fd").as("__d"))
+      .agg(count(lit(1)).as("__new"))
+    val docs = df.select(col(idCol).as("__d")).distinct()
+      .join(newPerDoc, Seq("__d"), "left")
+      .na.fill(0L, Seq("__new"))
+    val curve = graft.relational.Ranks.prefixSums(docs,
+      Seq(col("__d")),
+      Seq("__rank" -> lit(1L), "__v" -> col("__new")))
+      .filter(col("__v") > 0)
+    val xl = floor(log(col("__rank").cast("double")) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val yl = floor(log(col("__v").cast("double")) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val agg = curve.select(xl.as("__x"), yl.as("__y")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__x").cast(D)).as("__sx"),
+      sum(col("__y").cast(D)).as("__sy"),
+      sum(col("__x").cast(D) * col("__y").cast(D)).as("__sxy"),
+      sum(col("__x").cast(D) * col("__x").cast(D)).as("__sxx"),
+      sum(col("__y").cast(D) * col("__y").cast(D)).as("__syy"))
+    val vocabTotal = firstDoc.agg(count(lit(1)).as("vocab"))
+    val n = col("n_docs").cast("double")
+    def d9(c: String) = col(c).cast("double") / lit(1e9)
+    def d18(c: String) = col(c).cast("double") / lit(1e18)
+    val num = n * d18("__sxy") - d9("__sx") * d9("__sy")
+    val vx = n * d18("__sxx") - d9("__sx") * d9("__sx")
+    val vy = n * d18("__syy") - d9("__sy") * d9("__sy")
+    val beta = num / vx
+    val logK = (d9("__sy") - beta * d9("__sx")) / n
+    import graft.functions.q6
+    agg.crossJoin(broadcast(vocabTotal)).select(
+      col("n_docs"), col("vocab"),
+      q6(when(col("n_docs") > 1 && vx > 0, beta)).as("beta"),
+      q6(when(col("n_docs") > 1 && vx > 0, exp(logK))).as("k"),
+      q6(when(col("n_docs") > 1 && vx > 0 && vy > 0,
+        num * num / (vx * vy))).as("r2"))
+  }
+
   /** X88: PMI COLLOCATIONS (Church & Hanks 1990, public knowledge) —
     * adjacent token pairs whose co-occurrence beats chance:
     * `pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )`, with p from corpus
