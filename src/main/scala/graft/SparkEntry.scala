@@ -41,7 +41,8 @@ object SparkEntry {
     (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
     (graft.queries.GraphQueries.queries, graft.queries.GraphQueries.oracles),
     (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracles),
-    (graft.queries.FeatureQueries.queries, graft.queries.FeatureQueries.oracles))
+    (graft.queries.FeatureQueries.queries, graft.queries.FeatureQueries.oracles),
+    (graft.queries.LabelingQueries.queries, graft.queries.LabelingQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

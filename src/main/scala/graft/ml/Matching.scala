@@ -122,4 +122,97 @@ object Matching {
           col("__sd").cast("double") / col("n_matched").cast("double")))
           .as("att"))
   }
+
+  /** Eager propensity-integrity guard shared by [[ipwAte]]/[[aipwAte]]:
+    * one tiny aggregate job that FAILS LOUD on NULL or out-of-(0,1)
+    * propensities before any weighted sum runs. Silently clipping or
+    * dropping them would bias the estimate invisibly (the basket-cap
+    * lesson: truncation must be an explicit caller decision). */
+  private def requireValidPropensity(rows: DataFrame, what: String): Unit = {
+    val r = rows.agg(
+      count(lit(1)).as("n"),
+      count(when(col("__e").isNull || col("__y").isNull, 1)).as("bad"),
+      min(col("__e")).as("lo"), max(col("__e")).as("hi")).head()
+    require(r.getLong(0) > 0, s"$what: empty input")
+    require(r.getLong(1) == 0L,
+      s"$what: ${r.getLong(1)} rows with NULL outcome/propensity — " +
+        "impute or filter explicitly upstream")
+    require(r.getDouble(2) > 0.0 && r.getDouble(3) < 1.0,
+      f"$what: propensity must lie strictly in (0,1), got " +
+        f"[${r.getDouble(2)}, ${r.getDouble(3)}] — trim or re-fit " +
+        "(extreme propensities make the weights unbounded)")
+  }
+
+  /** F65a: INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson 1952
+    * weighting; Hájek-stabilized ratio form — the variant that stays
+    * bounded when weights are noisy): with t ∈ {0,1}, outcome y and a
+    * caller-fitted propensity e = P(t=1|x),
+    * `ATE = Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))`.
+    *
+    * Determinism: each per-row weighted term is a fixed IEEE tree, then
+    * floor-scaled to 1e6 and summed as DECIMAL(38,0) — the estimator is
+    * DEFINED on 1e-6-quantized terms, so the four sums are exact and
+    * order-free at any row count (a raw double Σ re-orders under
+    * partitioning). One aggregate pass; output 1 row:
+    * (n, n_treated, mu_treated, mu_control, ate_ipw). */
+  def ipwAte(df: DataFrame, y: Column, treated: Column,
+      propensity: Column): DataFrame = {
+    val rows = df.select(y.cast("double").as("__y"),
+      treated.cast("int").as("__t"),
+      propensity.cast("double").as("__e"))
+    requireValidPropensity(rows, "ipwAte")
+    val D = "decimal(38,0)"
+    def s6(c: Column) = sum(floor(c * lit(1e6) + lit(0.5)).cast(D))
+    val tD = col("__t").cast("double")
+    val agg = rows.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("__t").cast("long")), lit(0L)).as("n_treated"),
+      s6(tD * col("__y") / col("__e")).as("__ny1"),
+      s6(tD / col("__e")).as("__dw1"),
+      s6((lit(1.0) - tD) * col("__y") / (lit(1.0) - col("__e")))
+        .as("__ny0"),
+      s6((lit(1.0) - tD) / (lit(1.0) - col("__e"))).as("__dw0"))
+    val mu1 = col("__ny1").cast("double") / col("__dw1").cast("double")
+    val mu0 = col("__ny0").cast("double") / col("__dw0").cast("double")
+    agg.select(col("n"), col("n_treated"),
+      graft.functions.q6(when(col("__dw1") > 0, mu1)).as("mu_treated"),
+      graft.functions.q6(when(col("__dw0") > 0, mu0)).as("mu_control"),
+      graft.functions.q6(when(col("__dw1") > 0 && col("__dw0") > 0,
+        mu1 - mu0)).as("ate_ipw"))
+  }
+
+  /** F65b: DOUBLY-ROBUST (AIPW) ATE (Robins, Rotnitzky & Zhao 1994):
+    * augments IPW with caller-fitted outcome-model predictions m1 =
+    * Ê[y|t=1,x], m0 = Ê[y|t=0,x] — consistent if EITHER the propensity
+    * OR the outcome model is right. Per-row influence term
+    * `(m1 − m0) + t·(y − m1)/e − (1−t)·(y − m0)/(1−e)`, floor-scaled to
+    * 1e6 and DECIMAL-summed (order-free), divided by n once. Output
+    * 1 row: (n, n_treated, ate_model, ate_aipw) — `ate_model` is the
+    * plain outcome-model mean difference for comparison. */
+  def aipwAte(df: DataFrame, y: Column, treated: Column,
+      propensity: Column, m1: Column, m0: Column): DataFrame = {
+    val rows = df.select(y.cast("double").as("__y"),
+      treated.cast("int").as("__t"),
+      propensity.cast("double").as("__e"),
+      m1.cast("double").as("__m1"), m0.cast("double").as("__m0"))
+    requireValidPropensity(rows, "aipwAte")
+    val D = "decimal(38,0)"
+    def s6(c: Column) = sum(floor(c * lit(1e6) + lit(0.5)).cast(D))
+    val tD = col("__t").cast("double")
+    val term = (col("__m1") - col("__m0")) +
+      tD * (col("__y") - col("__m1")) / col("__e") -
+      (lit(1.0) - tD) * (col("__y") - col("__m0")) /
+        (lit(1.0) - col("__e"))
+    val agg = rows.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("__t").cast("long")), lit(0L)).as("n_treated"),
+      s6(col("__m1") - col("__m0")).as("__sm"),
+      s6(term).as("__st"))
+    val nD = col("n").cast("double")
+    agg.select(col("n"), col("n_treated"),
+      graft.functions.q6(col("__sm").cast("double") / lit(1e6) / nD)
+        .as("ate_model"),
+      graft.functions.q6(col("__st").cast("double") / lit(1e6) / nD)
+        .as("ate_aipw"))
+  }
 }
