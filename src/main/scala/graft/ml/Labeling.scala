@@ -67,13 +67,25 @@ object Labeling {
     val b = votes.filter(col("__r") === raterB)
       .select(col("__i"), col("__l").as("__lb"))
     val paired = a.join(b, Seq("__i"))
-    val tot = paired.agg(count(lit(1)).as("n"),
-      coalesce(sum(when(col("__la") === col("__lb"), 1L)), lit(0L))
-        .as("agree"))
-    val ca = paired.groupBy(col("__la").as("__l"))
-      .agg(count(lit(1)).as("__ca"))
-    val cb = paired.groupBy(col("__lb").as("__l"))
-      .agg(count(lit(1)).as("__cb"))
+    cohenKappaFromCells(paired.groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__c")))
+  }
+
+  /** The [[cohenKappa]] derivation from pre-aggregated label-pair cells
+    * (__la, __lb, __c BIGINT) — the MERGEABLE form: cell counts are
+    * exact and associative, so a streaming monitor can persist per-batch
+    * cells and publish the identical kappa over their sum (the
+    * confusion-sink discipline). The cell table is bounded by the label
+    * alphabet squared, never by corpus size. */
+  def cohenKappaFromCells(cells: DataFrame): DataFrame = {
+    val tot = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__la") === col("__lb"), col("__c"))),
+        lit(0L)).as("agree"))
+    val ca = cells.groupBy(col("__la").as("__l"))
+      .agg(sum(col("__c")).as("__ca"))
+    val cb = cells.groupBy(col("__lb").as("__l"))
+      .agg(sum(col("__c")).as("__cb"))
     // Label-alphabet-sized join; labels seen by only one rater contribute
     // zero to pe, so the inner join is lossless for the sum.
     // decimal(19,0) operands: the marginal product grows ~n² and would

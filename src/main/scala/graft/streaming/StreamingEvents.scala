@@ -1392,6 +1392,51 @@ object StreamingEvents {
           sum(col("c0")).as("c0"), sum(col("c1")).as("c1")),
       strataCols)
 
+  /** Streaming ANNOTATOR-AGREEMENT monitor (F63 streaming): each
+    * micro-batch of paired labels (rater A's and rater B's label for the
+    * same item) persists its label-pair CELL COUNTS under `batch_id=N` —
+    * a table bounded by the label alphabet squared, never by volume.
+    * Cell counts are exact BIGINTs and associative, so the published
+    * view — [[graft.ml.Labeling.cohenKappaFromCells]] over the summed
+    * cells — equals the batch kappa over everything ingested
+    * (spec-proven). The live "are the labelers drifting apart" readout
+    * for a labeling campaign. Replays overwrite their own batch
+    * directory: idempotent. */
+  def agreementSink(rows: DataFrame, labelACol: String, labelBCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) agreementBatch(batch.toDF(), batchId,
+          labelACol, labelBCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[agreementSink]] — package-private so the
+    * parity spec can drive the identical code path directly. NULL on
+    * either side is an abstention, not a vote: excluded, matching the
+    * batch operator's NULL-label filter. */
+  private[graft] def agreementBatch(batch: DataFrame, batchId: Long,
+      labelACol: String, labelBCol: String, statsDir: String): Unit = {
+    batch
+      .filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .groupBy(col(labelACol).as("__la"), col(labelBCol).as("__lb"))
+      .agg(count(lit(1)).as("__c"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over an [[agreementSink]] directory: merged
+    * label-pair cells through the identical kappa derivation as the
+    * batch operator. */
+  def agreementView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Labeling.cohenKappaFromCells(
+      spark.read.parquet(statsDir)
+        .groupBy(col("__la"), col("__lb"))
+        .agg(sum(col("__c")).as("__c")))
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

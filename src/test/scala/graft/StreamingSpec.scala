@@ -1192,4 +1192,38 @@ class StreamingSpec extends SparkSpec {
       Seq("seg"))) shouldBe streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "publish a stream-wide Cohen kappa identical to the batch operator over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sagree").toString
+    // union = the LabelingSpec fixture: po 3/5, pe 0.52, kappa 1/6
+    val b1 = Seq(("x", "x"), ("x", "y"), ("y", "y"))
+    val b2 = Seq(("x", "x"), ("y", "x"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.agreementSink(
+      in.toDF().toDF("la", "lb"), "la", "lb", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+    val streamed = rows(StreamingEvents.agreementView(spark,
+      s"$tmp/stats"))
+    val longForm = (b1 ++ b2).zipWithIndex.flatMap {
+      case ((a, b), i) => Seq((i, "A", a), (i, "B", b))
+    }.toDF("item", "rater", "label")
+    val batch = rows(graft.ml.Labeling.cohenKappa(longForm, col("item"),
+      col("rater"), col("label"), "A", "B"))
+    streamed shouldBe batch
+    streamed.head._1 shouldBe 5L
+    streamed.head._2 shouldBe 3L
+    streamed.head._5.get shouldBe 0.166667 +- 1e-9
+    // replay safety: re-running batch 1 rewrites its own partition
+    StreamingEvents.agreementBatch(b2.toDF("la", "lb"), 1L, "la", "lb",
+      s"$tmp/stats")
+    rows(StreamingEvents.agreementView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
