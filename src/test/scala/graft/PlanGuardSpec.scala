@@ -785,4 +785,41 @@ class PlanGuardSpec extends SparkSpec {
       col("user_id") % 2, "purchase", "2024-02-01")) shouldBe 1
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "keep the labeling and causal operators free of unbounded windows" in {
+    import spark.implicits._
+    val votes = (1L to 60L).flatMap(i => Seq(
+      (i, "A", s"l${i % 3}"), (i, "B", s"l${(i + 1) % 3}"),
+      (i, "C", s"l${i % 3}"))).toDF("item", "rater", "label")
+
+    // kappas and the causal estimators are pure aggregates + bounded
+    // joins; majority vote / uncertainty windows partition by item
+    // (label-alphabet-bounded partitions) — no partition-less window
+    // at any input size
+    assertNoUnboundedGlobalWindow(graft.ml.Labeling.cohenKappa(
+      votes, col("item"), col("rater"), col("label"), "A", "B"))
+    assertNoUnboundedGlobalWindow(graft.ml.Labeling.fleissKappa(
+      votes, col("item"), col("rater"), col("label")))
+    assertNoUnboundedGlobalWindow(graft.ml.Labeling.majorityVote(
+      votes, col("item"), col("rater"), col("label")))
+    val scores = (1L to 60L).flatMap(i => Seq(
+      (i, "a", 0.25 + (i % 3) * 0.25), (i, "b", 0.75 - (i % 3) * 0.25)))
+      .toDF("item", "cl", "p")
+    assertNoUnboundedGlobalWindow(graft.ml.Labeling.uncertaintyScores(
+      scores, col("item"), col("p")))
+    val causal = (1L to 60L).map(i =>
+      (i.toDouble, (i % 2).toInt, 0.2 + (i % 5) * 0.1))
+      .toDF("y", "t", "e")
+    assertNoUnboundedGlobalWindow(graft.ml.Matching.ipwAte(
+      causal, col("y"), col("t"), col("e")))
+    assertNoUnboundedGlobalWindow(graft.ml.Matching.aipwAte(
+      causal.withColumn("m1", col("y") + 1).withColumn("m0", col("y")),
+      col("y"), col("t"), col("e"), col("m1"), col("m0")))
+    // uncertaintySample: ONE pinned global window — the pick_rank
+    // row_number — planned AFTER the limit, so its input is k rows by
+    // construction
+    globalWindows(graft.ml.Labeling.uncertaintySample(
+      scores, col("item"), col("p"), k = 5)) shouldBe 1
+    graft.util.Caches.releaseAll(spark)
+  }
 }
