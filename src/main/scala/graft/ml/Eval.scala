@@ -714,4 +714,175 @@ object Eval {
       q6(when(abs(lit(1.0) - pe) > 0, (po - pe) / (lit(1.0) - pe)))
         .as("kappa"))
   }
+
+  /** F67: PER-GROUP ROC AUC — the segment-wise discrimination audit
+    * ("the score separates classes overall, but does it still separate
+    * them inside every language / source / market?") that catches
+    * Simpson-style reversals a single pooled AUC hides. Same exact
+    * Mann–Whitney rank-sum arithmetic as [[rocAuc]]: per (group,
+    * distinct score) class counts, average-rank tie handling, doubled
+    * integral numerator, one correctly-rounded final division —
+    * bit-identical cross-engine, no rounding anywhere.
+    *
+    * Plan shape: the rank cumulation is a window PARTITIONED BY GROUP
+    * over the (group, distinct-score) aggregate — parallel across
+    * groups and spill-safe within one, the canonical grouped-rank
+    * form (a single pathological group with ~1e9 distinct scores is
+    * the global case — [[rocAuc]]'s two-phase Ranks path covers it).
+    * Output: one row per group — (group, n_pos, n_neg, auc); auc NULL
+    * where a class is empty in that group. */
+  def groupedAuc(df: DataFrame, groupCol: String,
+      scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val grouped = df
+      .select(col(groupCol).as("__g"), scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"), col("__s"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y") =!= 1, 1L).otherwise(0L)).as("__nn"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grouped
+      .withColumn("__cum", sum(col("__np") + col("__nn")).over(w))
+    val agg = ranked.groupBy(col("__g"))
+      .agg(sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
+        // DECIMAL(38,0) rank-sum numerator — same overflow-proofing as
+        // rocAuc (LONG dies near n ≈ 3e9 rows per group)
+        sum(col("__np").cast("decimal(19,0)") *
+          (lit(2L) * (col("__cum") - col("__np") - col("__nn")) +
+            col("__np") + col("__nn") + lit(1L)).cast("decimal(19,0)"))
+          .as("__num"))
+    agg.select(col("__g").as(groupCol),
+      col("__tp").as("n_pos"), col("__tn").as("n_neg"),
+      when(col("__tp") > 0 && col("__tn") > 0,
+        (col("__num").cast("double") -
+          col("__tp").cast("double") * (col("__tp").cast("double") + 1.0)) /
+          (lit(2.0) * col("__tp").cast("double") *
+            col("__tn").cast("double"))).as("auc"))
+  }
+
+  /** F68: GROUP FAIRNESS REPORT — per-segment selection / error-rate
+    * disparities of a binary decision (public knowledge: demographic
+    * parity, disparate-impact ratio per the four-fifths rule, and the
+    * equalized-odds TPR/FPR gaps of Hardt et al. 2016). For a
+    * keep/drop curation filter this is "does the filter throw away one
+    * source or language disproportionately, and is its error rate
+    * higher there" — the audit regulators and data cards both ask for.
+    *
+    * Exactness: per-group confusion cells are exact BIGINT counts in
+    * ONE map-side-combined aggregate; overall rates ride a broadcast
+    * 1-row total and the max selection rate a group-count-bounded
+    * aggregate; every published rate/gap is a single IEEE division
+    * quantized-6 (ratios of counts are the engine-`round` divergence
+    * class — [[graft.functions.quantize]] scaladoc). NULL pred/label
+    * rows FAIL LOUD (silently dropping them would fake parity).
+    *
+    * Output: one row per group — (group, n, n_pos_label, sel_rate,
+    * base_rate, tpr, fpr, parity_gap = sel − overall sel,
+    * di_ratio = sel / max group sel, tpr_gap, fpr_gap vs overall). */
+  def fairnessReport(df: DataFrame, groupCol: String,
+      predCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.q6
+    val p = predCol.cast("int"); val y = labelCol.cast("int")
+    val cells = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(p === 1, 1L)), lit(0L)).as("__sel"),
+        coalesce(sum(when(y === 1, 1L)), lit(0L)).as("__pos"),
+        coalesce(sum(when(p === 1 && y === 1, 1L)), lit(0L)).as("__tp"),
+        coalesce(sum(when(p === 1 && y === 0, 1L)), lit(0L)).as("__fp"),
+        coalesce(sum(when(p.isNull || y.isNull, 1L)), lit(0L))
+          .as("__n_null"))
+    val tot = cells.agg(sum(col("n")).as("__tot_n"),
+      sum(col("__sel")).as("__tot_sel"), sum(col("__pos")).as("__tot_pos"),
+      sum(col("__tp")).as("__tot_tp"), sum(col("__fp")).as("__tot_fp"),
+      max(when(col("n") > 0,
+        col("__sel").cast("double") / col("n").cast("double")))
+        .as("__maxSel"))
+    val selR = col("__sel").cast("double") / col("n").cast("double")
+    val ovSel = col("__tot_sel").cast("double") /
+      col("__tot_n").cast("double")
+    val ovTpr = when(col("__tot_pos") > 0,
+      col("__tot_tp").cast("double") / col("__tot_pos").cast("double"))
+    val ovFpr = when(col("__tot_n") - col("__tot_pos") > 0,
+      col("__tot_fp").cast("double") /
+        (col("__tot_n") - col("__tot_pos")).cast("double"))
+    cells.crossJoin(broadcast(tot)).select(
+      // prune-proof NULL guard (the confusionSuite discipline)
+      when(col("__n_null") > 0,
+        raise_error(concat(lit("fairnessReport: NULL pred/label rows: "),
+          col("__n_null")))).otherwise(col("group")).as("group"),
+      col("n"), col("__pos").as("n_pos_label"),
+      q6(selR).as("sel_rate"),
+      q6(col("__pos").cast("double") / col("n").cast("double"))
+        .as("base_rate"),
+      q6(when(col("__pos") > 0,
+        col("__tp").cast("double") / col("__pos").cast("double")))
+        .as("tpr"),
+      q6(when(col("n") - col("__pos") > 0,
+        col("__fp").cast("double") /
+          (col("n") - col("__pos")).cast("double"))).as("fpr"),
+      q6(selR - ovSel).as("parity_gap"),
+      q6(when(col("__maxSel") > 0, selR / col("__maxSel")))
+        .as("di_ratio"),
+      q6(when(col("__pos") > 0 && ovTpr.isNotNull,
+        col("__tp").cast("double") / col("__pos").cast("double") -
+          ovTpr)).as("tpr_gap"),
+      q6(when(col("n") - col("__pos") > 0 && ovFpr.isNotNull,
+        col("__fp").cast("double") /
+          (col("n") - col("__pos")).cast("double") - ovFpr))
+        .as("fpr_gap"))
+  }
+
+  /** F69: SPLIT-CONFORMAL THRESHOLD TABLE — the distribution-free
+    * coverage guarantee (Vovk et al. 2005; Lei et al. 2018): given a
+    * calibration set of nonconformity scores, the cutoff
+    * `q = score_(⌈(n+1)(1−α)⌉)` (k-th smallest, 1-based) guarantees
+    * P(new score ≤ q) ≥ 1−α exchangeably — the principled way to turn
+    * any scorer into a "flag the weirdest α of traffic" monitor.
+    *
+    * Exact integer order statistics: distinct-score counts cumulate
+    * through the two-phase prefix sum (no global-order window at any
+    * score cardinality); each α's k-th value is the min score whose
+    * cumulative count reaches k, found by a broadcast grid ⋈ cum-table
+    * range probe (grid is |alphas| rows). k > n (α too small for n)
+    * yields a NULL threshold — "no finite cutoff guarantees that
+    * coverage", reported, not invented. Empirical coverage is the
+    * exact cum/n at the chosen row. The k = ⌈(n+1)(1−α)⌉ ceil runs the
+    * same IEEE mult both engines, never a round() builtin.
+    *
+    * Output: one row per α — (alpha, n, k, threshold, emp_coverage). */
+  def conformalThresholds(spark: SparkSession, df: DataFrame,
+      scoreCol: org.apache.spark.sql.Column,
+      alphas: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.2)): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      s"alphas must sit in (0,1), got $alphas")
+    import spark.implicits._
+    val counts = df.select(scoreCol.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      counts, Seq(col("__s")), Seq("__cum" -> col("__c")))
+    val n = totals.head
+    val grid = alphas.toDF("alpha")
+      .withColumn("n", lit(n))
+      .withColumn("k",
+        ceil((lit(n) + lit(1.0)) * (lit(1.0) - col("alpha")))
+          .cast("long"))
+    // broadcast |alphas|-row grid against the cum table: each distinct
+    // score row is probed by a handful of cutoffs, linear in scores
+    val hit = broadcast(grid).join(cum, col("__cum") >= col("k"))
+      .groupBy(col("alpha"), col("n"), col("k"))
+      .agg(min(struct(col("__s"), col("__cum"))).as("__best"))
+      .select(col("alpha"), col("n"), col("k"),
+        col("__best.__s").as("threshold"),
+        graft.functions.q6(col("__best.__cum").cast("double") /
+          col("n").cast("double")).as("emp_coverage"))
+    broadcast(grid).join(hit, Seq("alpha", "n", "k"), "left")
+      .select(col("alpha"), col("n"), col("k"),
+        when(col("k") <= col("n"), col("threshold")).as("threshold"),
+        when(col("k") <= col("n"), col("emp_coverage"))
+          .as("emp_coverage"))
+  }
 }

@@ -135,7 +135,13 @@ object TextClassifier {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__ok")).as("n_correct"),
         (sum(col("__ok")).cast("double") / count(lit(1))).as("accuracy"),
-        round(avg(col("margin")), 4).as("mean_margin"))
+        // margins are round-3 values, i.e. exact thousandths after a
+        // decimal(18,3) cast — DECIMAL-sum them (exact, order-free) and
+        // divide once, then quantize (engine round() builtins diverge on
+        // half-boundary rationals like this sum/n — see functions.quantize)
+        graft.functions.quantize(
+          sum(col("margin").cast("decimal(18,3)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_margin"))
   }
 
   /** F19: LEARNING CURVE — held-out accuracy as a function of training

@@ -576,6 +576,35 @@ object DqQueries {
         .orderBy(col("bucket"))
     },
 
+    // F67: per-source ROC AUC of the same length-orders-English score —
+    // the Simpson-reversal audit; exact grouped rank-sum, group-keyed
+    // window, one final division per group.
+    "q_f67_group_auc" -> { (s, dir) =>
+      graft.ml.Eval.groupedAuc(t(s, dir, "documents"), "source",
+        col("n_chars"), (col("lang") === "en").cast("int"))
+        .orderBy(col("source"))
+    },
+
+    // F68: fairness audit of the "keep long documents" filter across
+    // sources — selection-rate parity, disparate-impact ratio,
+    // equalized-odds gaps; exact counts, quantized single divisions.
+    "q_f68_fairness" -> { (s, dir) =>
+      graft.ml.Eval.fairnessReport(t(s, dir, "documents"), "source",
+        (col("n_chars") > 500).cast("int"),
+        (col("lang") === "en").cast("int"))
+        .orderBy(col("group"))
+    },
+
+    // F69: split-conformal outlier thresholds over the even-doc
+    // calibration half of document lengths — exact k-th order
+    // statistics via two-phase prefix sums, per-alpha coverage.
+    "q_f69_conformal" -> { (s, dir) =>
+      graft.ml.Eval.conformalThresholds(s,
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        col("n_chars"), Seq(0.01, 0.05, 0.1, 0.2))
+        .orderBy(col("alpha"))
+    },
+
     // X125: split-balance audit — per (split, stratum) counts and the
     // within-split share after the X119 exact split; the governance
     // check that splits preserve the stratum mix.
@@ -2542,6 +2571,119 @@ object DqQueries {
         |      / (CAST((SELECT tp FROM t) AS DOUBLE)
         |        / CAST((SELECT nn FROM t) AS DOUBLE)) END AS lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // Same grouped rank-sum as f22 with the cumulation window
+    // partitioned by source; integer arithmetic to one division.
+    "q_f67_group_auc" ->
+      """WITH s AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, sc, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM s GROUP BY source, sc),
+        |c AS (
+        |  SELECT *, CAST(sum(np + nn) OVER (PARTITION BY source
+        |    ORDER BY sc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT source, CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn,
+        |    CAST(sum(np * (2 * (cum - np - nn) + np + nn + 1))
+        |      AS BIGINT) AS num
+        |  FROM c GROUP BY source)
+        |SELECT source, tp AS n_pos, tn AS n_neg,
+        |  CASE WHEN tp > 0 AND tn > 0
+        |    THEN CAST(num - tp * (tp + 1) AS DOUBLE)
+        |      / (2.0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END
+        |    AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    // Same exact confusion cells per source, same overall/max-rate
+    // broadcast terms, identical quantized single divisions.
+    "q_f68_fairness" ->
+      """WITH b AS (
+        |  SELECT source AS grp,
+        |    CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |cells AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS sel,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM b GROUP BY grp),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(sel) AS BIGINT) AS st,
+        |    CAST(sum(pos) AS BIGINT) AS pt,
+        |    CAST(sum(tp) AS BIGINT) AS tpt,
+        |    CAST(sum(fp) AS BIGINT) AS fpt,
+        |    max(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)) AS max_sel
+        |  FROM cells)
+        |SELECT grp AS "group", n, pos AS n_pos_label,
+        |  floor(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sel_rate,
+        |  floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS base_rate,
+        |  CASE WHEN pos > 0 THEN floor(CAST(tp AS DOUBLE)
+        |    / CAST(pos AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS tpr,
+        |  CASE WHEN n - pos > 0 THEN floor(CAST(fp AS DOUBLE)
+        |    / CAST(n - pos AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS fpr,
+        |  floor((CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS parity_gap,
+        |  CASE WHEN t.max_sel > 0 THEN floor(
+        |    (CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)) / t.max_sel
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS di_ratio,
+        |  CASE WHEN pos > 0 AND t.pt > 0 THEN floor(
+        |    (CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)
+        |      - CAST(t.tpt AS DOUBLE) / CAST(t.pt AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS tpr_gap,
+        |  CASE WHEN n - pos > 0 AND t.nt - t.pt > 0 THEN floor(
+        |    (CAST(fp AS DOUBLE) / CAST(n - pos AS DOUBLE)
+        |      - CAST(t.fpt AS DOUBLE) / CAST(t.nt - t.pt AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS fpr_gap
+        |FROM cells, tot t ORDER BY "group"""".stripMargin,
+    // Same distinct-score cumulation and ceil((n+1)(1-alpha)) order
+    // statistics; the k-th value is the min score with cum >= k.
+    "q_f69_conformal" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS sc FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS c
+        |      FROM s GROUP BY sc),
+        |cum AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY sc
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM g),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |grid AS (
+        |  -- alpha and the (n+1)(1-alpha) product forced to DOUBLE: the
+        |  -- Spark side runs IEEE doubles (40 * 0.95 = 38.000000000000004
+        |  -- -> ceil 39); DuckDB DECIMAL literals would ceil the exact 38
+        |  SELECT CAST(a.alpha AS DOUBLE) AS alpha, n.n,
+        |    CAST(ceil(CAST(n.n + 1 AS DOUBLE)
+        |      * (CAST(1 AS DOUBLE) - CAST(a.alpha AS DOUBLE)))
+        |      AS BIGINT) AS k
+        |  FROM (VALUES (0.01), (0.05), (0.1), (0.2)) AS a(alpha), n),
+        |hit AS (
+        |  SELECT g.alpha, g.n, g.k, min(cum.sc) AS threshold,
+        |    CAST(min(cum.cm) AS BIGINT) AS cm
+        |  FROM grid g JOIN cum ON cum.cm >= g.k
+        |  GROUP BY g.alpha, g.n, g.k)
+        |SELECT g.alpha, g.n, g.k,
+        |  CASE WHEN g.k <= g.n THEN h.threshold END AS threshold,
+        |  CASE WHEN g.k <= g.n THEN
+        |    floor(CAST(h.cm AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS emp_coverage
+        |FROM grid g LEFT JOIN hit h
+        |  ON g.alpha = h.alpha AND g.k = h.k
+        |ORDER BY g.alpha""".stripMargin,
     // The X119 split CTE rolled up to per-(split, stratum) shares.
     "q_x125_split_balance" ->
       s"""WITH u AS (

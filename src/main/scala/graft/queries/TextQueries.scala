@@ -1703,7 +1703,8 @@ object TextQueries {
        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
        |    AS accuracy,
-       |  round(avg(margin), 4) AS mean_margin
+       |  floor((CAST(sum(CAST(margin AS DECIMAL(18,3))) AS DOUBLE)
+       |    / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_margin
        |FROM allr GROUP BY fold ORDER BY fold""".stripMargin
   }
 
@@ -3099,7 +3100,7 @@ object TextQueries {
     "q_x2_minhash_lsh" ->
       s"""WITH ${minhashNmCte()}
          |SELECT doc_a, doc_b, n_match,
-         |  round(n_match / 16.0, 4) AS est_jaccard
+         |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0 AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Same candidate chain; exact Jaccard from distinct shingle sets,

@@ -423,7 +423,10 @@ object Dedup {
       .filter(col("n_match") >= minMatch)
       .distinct()
       .select(col("doc_a"), col("doc_b"), col("n_match"),
-        round(col("n_match") / k.toDouble, 4).as("est_jaccard"))
+        // n/k is a small-denominator rational — the exact class where
+        // engine round() builtins diverge; quantize is IEEE-pure both sides
+        graft.functions.quantize(col("n_match") / k.toDouble, 4)
+          .as("est_jaccard"))
   }
 
   /** X114: MINHASH ESTIMATOR CALIBRATION — for every LSH candidate
