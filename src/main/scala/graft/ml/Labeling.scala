@@ -234,4 +234,68 @@ object Labeling {
       col("item"))
     picked.withColumn("pick_rank", row_number().over(w))
   }
+
+  /** F70: KRIPPENDORFF'S ALPHA (nominal) — the agreement coefficient
+    * that handles MISSING votes and VARYING panel sizes, which real
+    * annotation runs always have (Fleiss demands a fixed panel; Cohen
+    * demands exactly two raters). Krippendorff 2004, public knowledge:
+    * over units with m_u ≥ 2 pairable values and per-(unit, label)
+    * counts n_uc,
+    *   D_o = (1/n)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1),
+    *   D_e = (n² − Σ_c n_c²)/(n(n−1)),   α = 1 − D_o/D_e
+    * with n = Σ m_u and n_c the label totals over pairable units.
+    * Units with a single vote are EXCLUDED by definition (they have no
+    * pairable disagreement), not an error.
+    *
+    * Exactness discipline: the per-unit term divides by (m_u − 1) — a
+    * small-denominator rational — so each term is floor-scaled to a
+    * 1e9 LONG and DECIMAL(38,0)-summed (the F65 "estimator defined on
+    * quantized terms" convention: order-free at any unit count, and
+    * the oracle mirrors the same literal floor). All counts and
+    * Σ n_c² stay exact DECIMAL integers; the published D_o/D_e/α are
+    * single fixed IEEE trees, quantized-6. α NULL when D_e = 0 (one
+    * label total dominates completely / n < 2) — no evidence scale.
+    *
+    * Plan: two aggregates over the (unit, label) cell table (unit-keyed
+    * then label-keyed) + two 1-row broadcasts — no windows, no
+    * collects; cells are corpus-sized at most. Output one row:
+    * (n_units, n_values, d_o, d_e, alpha). */
+  def krippendorffAlpha(annotations: DataFrame, item: Column,
+      rater: Column, label: Column): DataFrame = {
+    val votes = annotations.filter(label.isNotNull)
+      .select(item.as("__i"), rater.as("__r"), label.as("__l"))
+    requireOneVotePerRater(votes, "krippendorffAlpha")
+    val cells = votes.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val perUnit = cells.groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__m"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__s2"))
+      .filter(col("__m") >= 2)
+    val mD = col("__m").cast("double")
+    val termQ = floor(
+      (mD * mD - col("__s2").cast("double")) / (mD - lit(1.0)) *
+        lit(1e9) + lit(0.5)).cast("long").cast("decimal(38,0)")
+    val unitAgg = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum(col("__m")), lit(0L)).as("n_values"),
+      coalesce(sum(termQ), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")).as("__su"))
+    val labelAgg = cells
+      .join(perUnit.select(col("__i")), "__i")
+      .groupBy(col("__l")).agg(sum(col("__c")).as("__nc"))
+      .agg(coalesce(sum((col("__nc").cast("decimal(19,0)") *
+        col("__nc").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+        .as("__sc"))
+    val nD = col("n_values").cast("double")
+    val dO = col("__su").cast("double") / lit(1e9) / nD
+    val dE = (nD * nD - col("__sc").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    unitAgg.crossJoin(broadcast(labelAgg))
+      .select(col("n_units"), col("n_values"),
+        q6(when(col("n_values") >= 2, dO)).as("d_o"),
+        q6(when(col("n_values") >= 2, dE)).as("d_e"),
+        q6(when(col("n_values") >= 2 && dE > 0.0,
+          lit(1.0) - dO / dE)).as("alpha"))
+  }
 }

@@ -83,6 +83,18 @@ object LabelingQueries {
         col("doc_id"), col("rater"), col("label"))
     },
 
+    // F70: Krippendorff's alpha over the panel WITH missing votes —
+    // each vote survives only when digit 3 of its (rater, doc) hash
+    // clears 12/16, so panel sizes vary 0..3 and single-vote units
+    // drop by definition (the statistic Fleiss/Cohen cannot compute).
+    "q_f70_krippendorff" -> { (s, dir) =>
+      val ann = annotations(t(s, dir, "documents"))
+      val keep = conv(substring(md5(concat_ws(":", col("rater"),
+        col("doc_id").cast("string"))), 3, 1), 16, 10).cast("int") < 12
+      Labeling.krippendorffAlpha(ann.filter(keep),
+        col("doc_id"), col("rater"), col("label"))
+    },
+
     // X144: majority-vote consensus with explicit ties (3 raters over
     // ≥3 labels CAN tie 1-1-1) and exact agreement shares.
     "q_x144_majority_vote" -> { (s, dir) =>
@@ -224,6 +236,48 @@ object LabelingQueries {
          |  CASE WHEN p_e < 1.0
          |    THEN floor((p_bar - p_e) / (1.0 - p_e) * 1000000.0 + 0.5)
          |      / 1000000.0 END AS kappa
+         |FROM d""".stripMargin,
+
+    // Same pairable-unit cells; per-unit disagreement terms floor-scaled
+    // to 1e9 and DECIMAL-summed exactly as the Spark side defines them.
+    "q_f70_krippendorff" ->
+      s"""WITH $annSql,
+         |votes AS (SELECT doc_id, label FROM ann
+         |  WHERE strpos('0123456789abcdef', substr(md5(rater || ':' ||
+         |    CAST(doc_id AS VARCHAR)), 3, 1)) - 1 < 12),
+         |cells AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM votes GROUP BY 1, 2),
+         |pu AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m,
+         |    sum(CAST(c * c AS DECIMAL(38,0))) AS s2
+         |  FROM cells GROUP BY 1 HAVING CAST(sum(c) AS BIGINT) >= 2),
+         |ua AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |    coalesce(CAST(sum(m) AS BIGINT), 0) AS n_values,
+         |    coalesce(sum(CAST(floor((CAST(m AS DOUBLE)
+         |        * CAST(m AS DOUBLE) - CAST(s2 AS DOUBLE))
+         |      / (CAST(m AS DOUBLE) - 1.0) * 1000000000.0 + 0.5)
+         |      AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS su
+         |  FROM pu),
+         |la AS (SELECT coalesce(sum(CAST(CAST(nc AS DECIMAL(19,0))
+         |      * CAST(nc AS DECIMAL(19,0)) AS DECIMAL(38,0))),
+         |    CAST(0 AS DECIMAL(38,0))) AS sc
+         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS nc
+         |    FROM cells JOIN pu USING (doc_id) GROUP BY cells.label)),
+         |d AS (SELECT n_units, n_values,
+         |    CAST(su AS DOUBLE) / 1000000000.0
+         |      / CAST(n_values AS DOUBLE) AS dobs,
+         |    (CAST(n_values AS DOUBLE) * CAST(n_values AS DOUBLE)
+         |        - CAST(sc AS DOUBLE))
+         |      / (CAST(n_values AS DOUBLE)
+         |        * (CAST(n_values AS DOUBLE) - 1.0)) AS dexp
+         |  FROM ua CROSS JOIN la)
+         |SELECT n_units, n_values,
+         |  CASE WHEN n_values >= 2
+         |    THEN floor(dobs * 1000000.0 + 0.5) / 1000000.0 END AS d_o,
+         |  CASE WHEN n_values >= 2
+         |    THEN floor(dexp * 1000000.0 + 0.5) / 1000000.0 END AS d_e,
+         |  CASE WHEN n_values >= 2 AND dexp > 0.0
+         |    THEN floor((1.0 - dobs / dexp) * 1000000.0 + 0.5) / 1000000.0
+         |    END AS alpha
          |FROM d""".stripMargin,
 
     // Identical cell counts, per-item max window (bounded by the label

@@ -54,6 +54,16 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X146: weighted-minhash near-dup pairs — signatures over the token
+    // MULTISET (integer-weight copy expansion), estimating weighted
+    // Jaccard; catches repetition-structure near-dups set-Jaccard
+    // saturates on.
+    "q_x146_weighted_minhash" -> { (s, dir) =>
+      Dedup.weightedMinhashNearDuplicates(t(s, dir, "documents"),
+        "doc_id", "text", minMatch = 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // X114: minhash estimator calibration — every LSH candidate pair's
     // n_match/16 estimate vs the exact shingle-set Jaccard.
     "q_x114_minhash_calibration" -> { (s, dir) =>
@@ -3102,6 +3112,51 @@ object TextQueries {
          |SELECT doc_a, doc_b, n_match,
          |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0 AS est_jaccard
          |FROM nm WHERE n_match >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Token-multiset copy expansion (range(1, tf+1), chr(1) separator),
+    // then the identical 16-lane sig / 4-band / agreement chain.
+    "q_x146_weighted_minhash" ->
+      s"""WITH toksw AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tfw AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM toksw GROUP BY 1, 2),
+         |cpw AS (SELECT doc_id, tok,
+         |    unnest(generate_series(1, c)) AS j
+         |  FROM tfw),
+         |thw AS (SELECT doc_id,
+         |    md5(tok || chr(1) || CAST(j AS VARCHAR)) AS m FROM cpw),
+         |xvw AS (SELECT doc_id,
+         |    ${hexDigitSum(1, 8)} AS x1,
+         |    ${hexDigitSum(9, 16)} AS x2
+         |  FROM thw),
+         |mhw AS (
+         |  SELECT doc_id, k,
+         |    min((x1 + k * x2) % ${Dedup.MinhashPrime}) AS mh
+         |  FROM xvw, range(16) AS r(k) GROUP BY doc_id, k),
+         |sigw AS (SELECT doc_id, list(mh ORDER BY k) AS sig
+         |  FROM mhw GROUP BY doc_id),
+         |bandsw AS (
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bh
+         |  FROM sigw, range(4) AS rb(b)),
+         |candw AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bandsw a JOIN bandsw c
+         |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+         |nmw AS (
+         |  SELECT candw.doc_a, candw.doc_b,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_match
+         |  FROM candw
+         |  JOIN mhw x ON x.doc_id = candw.doc_a
+         |  JOIN mhw y ON y.doc_id = candw.doc_b AND y.k = x.k
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_match,
+         |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0
+         |    AS est_wjaccard
+         |FROM nmw WHERE n_match >= 12
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Same candidate chain; exact Jaccard from distinct shingle sets,
     // n/16 exact in binary.

@@ -112,6 +112,37 @@ object Dedup {
     mins.toSeq
   }
 
+  /** Weighted-minhash signature over a token MULTISET via the classic
+    * integer-weight reduction (Gollapudi & Panigrahi 2006, public
+    * knowledge): the j-th copy of token t hashes as md5(t ⊕ 0x01 ⊕ j),
+    * so two documents' signature agreement estimates the WEIGHTED
+    * Jaccard Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) — the right
+    * near-dup measure when repetition matters (boilerplate-heavy and
+    * template pages differ precisely in their token frequencies, which
+    * set-Jaccard flattens to 1). Per-token work is O(tf); `maxTf`
+    * caps it as an EXPLICIT opt-in (default uncapped — a binding cap
+    * changes the estimated measure, so it is never silent policy; the
+    * Associations basket-cap lesson). */
+  private def weightedMinhashUdf(k: Int, maxTf: Int) = udf {
+    ws: Seq[String] =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (ws != null && ws.nonEmpty) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val tf = scala.collection.mutable.HashMap.empty[String, Int]
+        ws.foreach { w => tf.update(w, tf.getOrElse(w, 0) + 1) }
+        tf.foreach { case (tok, c) =>
+          val cap = math.min(c, maxTf)
+          var j = 1
+          while (j <= cap) {
+            updateMins(mins,
+              md.digest((tok + "\u0001" + j).getBytes("UTF-8")), k)
+            j += 1
+          }
+        }
+      }
+      mins.toSeq
+  }
+
   /** Fused words → signature: builds each n-gram shingle in a local
     * StringBuilder and digests it immediately, skipping the Catalyst
     * materialization (and JVM↔UTF8String conversion) of the 100s-of-
@@ -427,6 +458,41 @@ object Dedup {
         // engine round() builtins diverge; quantize is IEEE-pure both sides
         graft.functions.quantize(col("n_match") / k.toDouble, 4)
           .as("est_jaccard"))
+  }
+
+  /** X146: WEIGHTED-MINHASH near-duplicate pairs — [[minhashNearDuplicates]]
+    * with the signature taken over the TOKEN MULTISET (integer-weight
+    * copy expansion, [[weightedMinhashUdf]]): agreement estimates the
+    * weighted Jaccard Σ min(tf)/Σ max(tf), so documents that share a
+    * vocabulary but differ in repetition structure (template pages,
+    * boilerplate stuffing, n-fold concatenations) separate where
+    * set-Jaccard saturates at 1. Identical plan shape: one hashing
+    * pass, banded self-join with the verify inside the join stage,
+    * ReuseExchange sharing the signature projection. Pairs are
+    * (doc_a, doc_b, n_match, est_wjaccard) with doc_a < doc_b. */
+  def weightedMinhashNearDuplicates(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4, minMatch: Int = 8,
+      maxTf: Int = Int.MaxValue): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    require(maxTf >= 1, s"maxTf must be >= 1, got $maxTf")
+    val sig = df
+      .filter(size(words(col(textCol))) >= 1)
+      .select(col(idCol).as("doc_id"),
+        weightedMinhashUdf(k, maxTf)(words(col(textCol))).as("sig"))
+    val banded = bandedSig(sig, "sig", bands, rows)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)).cast("long").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        graft.functions.quantize(col("n_match") / k.toDouble, 4)
+          .as("est_wjaccard"))
   }
 
   /** X114: MINHASH ESTIMATOR CALIBRATION — for every LSH candidate
