@@ -783,10 +783,20 @@ object Eval {
     * di_ratio = sel / max group sel, tpr_gap, fpr_gap vs overall). */
   def fairnessReport(df: DataFrame, groupCol: String,
       predCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame =
+    fairnessFromCells(fairnessCells(df, groupCol, predCol, labelCol))
+
+  /** The exact per-group confusion cells [[fairnessReport]] derives
+    * from — (group, n, __sel, __pos, __tp, __fp, __n_null). All
+    * counters are plain sums, hence MERGEABLE: a cell table summed
+    * from per-batch cell tables equals the cells of the union, which
+    * is what lets the streaming fairness monitor publish the identical
+    * report (spec-proven). */
+  private[graft] def fairnessCells(df: DataFrame, groupCol: String,
+      predCol: org.apache.spark.sql.Column,
       labelCol: org.apache.spark.sql.Column): DataFrame = {
-    import graft.functions.q6
     val p = predCol.cast("int"); val y = labelCol.cast("int")
-    val cells = df.groupBy(col(groupCol).as("group"))
+    df.groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(p === 1, 1L)), lit(0L)).as("__sel"),
         coalesce(sum(when(y === 1, 1L)), lit(0L)).as("__pos"),
@@ -794,6 +804,13 @@ object Eval {
         coalesce(sum(when(p === 1 && y === 0, 1L)), lit(0L)).as("__fp"),
         coalesce(sum(when(p.isNull || y.isNull, 1L)), lit(0L))
           .as("__n_null"))
+  }
+
+  /** The [[fairnessReport]] derivation over an already-counted cell
+    * table — shared verbatim by the batch operator and the streaming
+    * monitor view. */
+  private[graft] def fairnessFromCells(cells: DataFrame): DataFrame = {
+    import graft.functions.q6
     val tot = cells.agg(sum(col("n")).as("__tot_n"),
       sum(col("__sel")).as("__tot_sel"), sum(col("__pos")).as("__tot_pos"),
       sum(col("__tp")).as("__tot_tp"), sum(col("__fp")).as("__tot_fp"),
@@ -856,12 +873,23 @@ object Eval {
   def conformalThresholds(spark: SparkSession, df: DataFrame,
       scoreCol: org.apache.spark.sql.Column,
       alphas: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.2)): DataFrame = {
-    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
-      s"alphas must sit in (0,1), got $alphas")
-    import spark.implicits._
     val counts = df.select(scoreCol.cast("double").as("__s"))
       .filter(col("__s").isNotNull)
       .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    conformalFromCounts(spark, counts, alphas)
+  }
+
+  /** The [[conformalThresholds]] order-statistic derivation over an
+    * already-counted distinct-score table (__s, __c) — the counts are
+    * plain sums, hence MERGEABLE: per-batch count tables summed by
+    * score equal the counts of the union, which is what lets the
+    * streaming conformal monitor publish the identical threshold table
+    * (spec-proven). */
+  private[graft] def conformalFromCounts(spark: SparkSession,
+      counts: DataFrame, alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      s"alphas must sit in (0,1), got $alphas")
+    import spark.implicits._
     val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
       counts, Seq(col("__s")), Seq("__cum" -> col("__c")))
     val n = totals.head

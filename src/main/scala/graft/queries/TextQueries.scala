@@ -64,6 +64,21 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X147: Luhn-validated card detection over a planted corpus — every
+    // 7th doc carries a Luhn-valid PAN, every 11th an invalid digit run;
+    // the checksum (not the regex) must separate them.
+    "q_x147_luhn_cards" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" 4539 1488 0343 6467"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" 1234-5678-9012-3456"))
+            .otherwise(lit(""))).as("text"))
+      graft.text.TextStats.luhnCardCandidates(planted, "doc_id", "text")
+        .orderBy(col("id"), col("candidate"))
+    },
+
     // X114: minhash estimator calibration — every LSH candidate pair's
     // n_match/16 estimate vs the exact shingle-set Jaccard.
     "q_x114_minhash_calibration" -> { (s, dir) =>
@@ -3158,6 +3173,46 @@ object TextQueries {
          |    AS est_wjaccard
          |FROM nmw WHERE n_match >= 12
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same planted spans, same candidate regex, the Luhn fold mirrored
+    // digit-for-digit over the reversed run.
+    "q_x147_luhn_cards" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' 4539 1488 0343 6467'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' 1234-5678-9012-3456'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(text,
+        |      '[0-9][0-9 -]{11,21}[0-9]')) AS candidate
+        |  FROM planted),
+        |norm AS (
+        |  SELECT id, candidate,
+        |    regexp_replace(candidate, '[^0-9]', '', 'g') AS digits
+        |  FROM cand),
+        |scored AS (
+        |  SELECT id, candidate, digits,
+        |    CAST(length(digits) AS BIGINT) AS n_digits,
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(length(digits) AS INT) - 1),
+        |      i -> CASE WHEN i % 2 = 0
+        |        THEN CAST(substr(reverse(digits), i + 1, 1) AS INT)
+        |        ELSE CASE
+        |          WHEN CAST(substr(reverse(digits), i + 1, 1) AS INT)
+        |            * 2 > 9
+        |          THEN CAST(substr(reverse(digits), i + 1, 1) AS INT)
+        |            * 2 - 9
+        |          ELSE CAST(substr(reverse(digits), i + 1, 1) AS INT)
+        |            * 2 END
+        |        END)) AS luhn_sum
+        |  FROM norm)
+        |SELECT id, candidate, digits, n_digits,
+        |  CAST(luhn_sum % 10 = 0 AS INTEGER) AS luhn_valid
+        |FROM scored WHERE n_digits BETWEEN 13 AND 19
+        |ORDER BY id, candidate""".stripMargin,
     // Same candidate chain; exact Jaccard from distinct shingle sets,
     // n/16 exact in binary.
     "q_x114_minhash_calibration" ->

@@ -1018,6 +1018,95 @@ object StreamingEvents {
           .as("share"))
   }
 
+  /** Streaming FAIRNESS monitor (F68 streaming): each micro-batch of
+    * (group, pred, label) decisions persists its per-group confusion
+    * cell table ([[graft.ml.Eval.fairnessCells]] — group-count-sized,
+    * KBs) under `batch_id=N`. Cells are exact mergeable counters, so
+    * the published view's parity/DI/equalized-odds report over the
+    * whole stream equals the batch [[graft.ml.Eval.fairnessReport]]
+    * over the union (spec-proven) — "is the filter drifting into
+    * discarding one source disproportionately" as a live dashboard.
+    * Replays overwrite their own batch directory: idempotent. */
+  def fairnessSink(rows: DataFrame, groupCol: String, predCol: String,
+      labelCol: String, statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) fairnessBatch(batch.toDF(), batchId,
+          groupCol, predCol, labelCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[fairnessSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def fairnessBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, predCol: String, labelCol: String,
+      statsDir: String): Unit = {
+    graft.ml.Eval.fairnessCells(batch, groupCol, col(predCol),
+        col(labelCol))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[fairnessSink]] directory: merged
+    * cells through the SAME derivation as the batch operator
+    * ([[graft.ml.Eval.fairnessFromCells]]). */
+  def fairnessView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Eval.fairnessFromCells(
+      spark.read.parquet(statsDir)
+        .groupBy(col("group"))
+        .agg(sum(col("n")).as("n"), sum(col("__sel")).as("__sel"),
+          sum(col("__pos")).as("__pos"), sum(col("__tp")).as("__tp"),
+          sum(col("__fp")).as("__fp"),
+          sum(col("__n_null")).as("__n_null")))
+
+  /** Streaming CONFORMAL monitor (F69 streaming): each micro-batch
+    * persists its distinct-score count table under `batch_id=N`;
+    * counts are exact and mergeable, so the published view's
+    * threshold table over the whole stream equals the batch
+    * [[graft.ml.Eval.conformalThresholds]] over the union
+    * (spec-proven) — live "flag the weirdest α" cutoffs that tighten
+    * as calibration data accumulates. The persisted table is
+    * DISTINCT-SCORE-sized: for continuous scores callers should
+    * pre-quantize the score column to a fixed grid — an explicit
+    * modeling choice, never silent policy. Replays overwrite their
+    * own batch directory: idempotent. */
+  def conformalSink(rows: DataFrame, scoreCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) conformalBatch(batch.toDF(), batchId,
+          scoreCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[conformalSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def conformalBatch(batch: DataFrame, batchId: Long,
+      scoreCol: String, statsDir: String): Unit = {
+    batch
+      .select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[conformalSink]] directory: merged
+    * distinct-score counts through the SAME order-statistic kernel as
+    * the batch operator ([[graft.ml.Eval.conformalFromCounts]]). */
+  def conformalView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String,
+      alphas: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.2)): DataFrame =
+    graft.ml.Eval.conformalFromCounts(spark,
+      spark.read.parquet(statsDir)
+        .groupBy(col("__s")).agg(sum(col("__c")).as("__c")),
+      alphas)
+
   /** Streaming KEY-SKEW monitor (X126 streaming): each micro-batch
     * persists its per-key row counts under `batch_id=N` (bounded by
     * the batch's key cardinality); counts are exact and mergeable, so

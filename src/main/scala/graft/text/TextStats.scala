@@ -928,6 +928,42 @@ object TextStats {
         patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
   }
 
+  /** X147: LUHN-VALIDATED CARD-NUMBER DETECTION — the precision layer
+    * over [[redact]]'s regex recall: a 13–19 digit run is only PII-risk
+    * if it passes the Luhn mod-10 checksum (ISO/IEC 7812, public
+    * knowledge — the check every real PAN satisfies), which kills the
+    * order-id/timestamp false positives that make naive digit-run
+    * scrubbing useless. One projection: candidates via a
+    * dialect-neutral regex (digit runs with optional space/dash
+    * separators), digits normalized, the checksum folded as a pure
+    * `aggregate` expression over the reversed digit positions (double
+    * every second digit, subtract 9 past 9) — codegen-friendly, no
+    * UDF, mirrored digit-for-digit by the oracle. Output: one row per
+    * candidate span — (id, candidate, digits, n_digits, luhn_valid);
+    * docs without candidates emit nothing (count-style rollups join
+    * back on id). */
+  def luhnCardCandidates(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val cand = regexp_extract_all(col(textCol),
+      lit("[0-9][0-9 -]{11,21}[0-9]"), lit(0))
+    val digits = regexp_replace(col("candidate"), "[^0-9]", "")
+    val rev = reverse(col("digits"))
+    val luhnSum = aggregate(
+      sequence(lit(0), length(col("digits")) - 1),
+      lit(0),
+      (acc, i) => {
+        val d = rev.substr(i + 1, lit(1)).cast("int")
+        acc + when(pmod(i, lit(2)) === 0, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+    df.select(col(idCol).as("id"), explode(cand).as("candidate"))
+      .withColumn("digits", digits)
+      .withColumn("n_digits", length(col("digits")).cast("long"))
+      .filter(col("n_digits").between(13, 19))
+      .withColumn("luhn_valid",
+        (pmod(luhnSum, lit(10)) === 0).cast("int"))
+  }
+
   /** Second-level labels under which the registrable domain keeps THREE
     * labels (a public-suffix-list-lite heuristic — the full PSL is a
     * data file, not an algorithm; this covers the common cc-TLD shapes

@@ -1226,4 +1226,77 @@ class StreamingSpec extends SparkSpec {
       streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "audit stream-wide fairness identically to the batch report over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sfair").toString
+    // group A selects 2/4 with both positives caught; group B selects
+    // 1/4 catching neither positive — split so each batch sees both
+    val b1 = Seq(("A", 1, 1), ("A", 1, 1), ("B", 0, 1), ("B", 1, 0))
+    val b2 = Seq(("A", 0, 0), ("A", 0, 0), ("B", 0, 1), ("B", 0, 0))
+    val in = MemoryStream[(String, Int, Int)]
+    val q = StreamingEvents.fairnessSink(
+      in.toDF().toDF("g", "p", "y"), "g", "p", "y",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("group"))
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Double], Double, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.fairnessView(spark,
+      s"$tmp/stats"))
+    val batch = rows(graft.ml.Eval.fairnessReport(
+      (b1 ++ b2).toDF("g", "p", "y"), "g", col("p"), col("y")))
+    streamed shouldBe batch
+    // hand-check: A sel 0.5 tpr 1.0; B sel 0.25 tpr 0.0; max sel 0.5
+    val a = streamed.head; val b = streamed(1)
+    a._4 shouldBe 0.5; a._6.get shouldBe 1.0
+    b._4 shouldBe 0.25; b._6.get shouldBe 0.0
+    b._9.get shouldBe 0.5 // di_ratio = 0.25 / 0.5
+    // replay safety: re-running batch 1 rewrites its own partition
+    StreamingEvents.fairnessBatch(b2.toDF("g", "p", "y"), 1L,
+      "g", "p", "y", s"$tmp/stats")
+    rows(StreamingEvents.fairnessView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "publish stream-wide conformal thresholds identically to the batch table over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sconf").toString
+    val b1 = (1 to 5).map(_.toDouble)
+    val b2 = (6 to 9).map(_.toDouble) :+ 5.0 // duplicate score across batches
+    val in = MemoryStream[Double]
+    val q = StreamingEvents.conformalSink(
+      in.toDF().toDF("s"), "s", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("alpha"))
+      .as[(Double, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val alphas = Seq(0.05, 0.2)
+    val streamed = rows(StreamingEvents.conformalView(spark,
+      s"$tmp/stats", alphas))
+    val batch = rows(graft.ml.Eval.conformalThresholds(spark,
+      (b1 ++ b2).toDF("s"), col("s"), alphas))
+    streamed shouldBe batch
+    // n = 10: alpha .2 -> k = ceil(11 * .8) = 9 -> 9th smallest = 8.0
+    val a2 = streamed.find(_._1 == 0.2).get
+    a2._2 shouldBe 10L
+    a2._3 shouldBe 9L
+    a2._4 shouldBe Some(8.0)
+    // replay safety: re-running batch 1 rewrites its own partition
+    StreamingEvents.conformalBatch(b2.toDF("s"), 1L, "s", s"$tmp/stats")
+    rows(StreamingEvents.conformalView(spark, s"$tmp/stats",
+      alphas)) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
