@@ -822,4 +822,36 @@ class PlanGuardSpec extends SparkSpec {
       scores, col("item"), col("p"), k = 5)) shouldBe 1
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "plan the fairness/conformal/alpha/weighted-dedup tier with no partition-less window" in {
+    import spark.implicits._
+    val scored = (1L to 60L)
+      .map(i => (s"g${i % 4}", (i % 13).toDouble, (i % 3 == 0)))
+      .toDF("g", "s", "y")
+    // groupedAuc: the cumulation window PARTITIONS BY GROUP — parallel
+    // across groups, never a single-task global sort
+    assertNoUnboundedGlobalWindow(graft.ml.Eval.groupedAuc(
+      scored, "g", col("s"), col("y").cast("int")))
+    // fairness: one cell aggregate + broadcast totals, zero windows
+    assertNoUnboundedGlobalWindow(graft.ml.Eval.fairnessReport(
+      scored, "g", (col("s") > 6).cast("int"), col("y").cast("int")))
+    // conformal: distinct-score counts ride the two-phase Ranks prefix
+    // sum (per-partition windows only) + a broadcast alpha-grid probe
+    assertNoUnboundedGlobalWindow(graft.ml.Eval.conformalThresholds(
+      spark, scored, col("s"), Seq(0.1, 0.2)))
+    val votes = (1L to 60L).flatMap(i => Seq(
+      (i, "A", s"l${i % 3}"), (i, "B", s"l${(i + 1) % 3}")))
+      .toDF("item", "rater", "label")
+    assertNoUnboundedGlobalWindow(graft.ml.Labeling.krippendorffAlpha(
+      votes, col("item"), col("rater"), col("label")))
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 7} end$i"))
+      .toDF("doc_id", "text")
+    assertNoUnboundedGlobalWindow(
+      graft.text.Dedup.weightedMinhashNearDuplicates(
+        docs, "doc_id", "text", minMatch = 1))
+    assertNoUnboundedGlobalWindow(graft.text.TextStats
+      .luhnCardCandidates(docs, "doc_id", "text"))
+    graft.util.Caches.releaseAll(spark)
+  }
 }
