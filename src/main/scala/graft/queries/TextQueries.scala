@@ -64,6 +64,35 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X149: WordPiece tokenization against the fixture vocabulary —
+    // greedy longest-match per word, BERT UNK convention; per-word
+    // grain so the oracle checks every segmentation decision.
+    "q_x149_wordpiece" -> { (s, dir) =>
+      graft.text.TextStats.wordpieceTokenize(
+        t(s, dir, "documents"), "doc_id", "text", wpVocab)
+        .select(col("doc_id"), col("widx"), col("word"),
+          array_join(col("pieces"), " ").as("pieces"),
+          col("n_pieces"), col("is_unk"))
+        .orderBy(col("doc_id"), col("widx"))
+    },
+
+    // X148: unicode-script census over a corpus with planted Cyrillic /
+    // CJK / Arabic segments — the pre-langid routing signal; exact
+    // codepoint-class counts, fixed-precedence dominant script.
+    "q_x148_script_profile" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          lit("привет мир это кириллица всюду здесь 123"))
+          .when(col("doc_id") % 17 === 0,
+            lit("你好世界这是中文文本在这里"))
+          .when(col("doc_id") % 19 === 0,
+            lit("مرحبا بالعالم هذا نص عربي"))
+          .otherwise(col("text")).as("text"))
+      graft.text.TextStats.scriptProfile(planted, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // X147: Luhn-validated card detection over a planted corpus — every
     // 7th doc carries a Luhn-valid PAN, every 11th an invalid digit run;
     // the checksum (not the regex) must separate them.
@@ -1332,6 +1361,67 @@ object TextQueries {
           when(col("__t2").isNull, lit(""))
             .otherwise(concat(lit("\n"), col("__t2"))))
           .as("text"))
+  }
+
+  /** q_x149 fixture vocabulary: every alphanumeric single (word-initial
+    * and `##` continuation) so only punctuation-bearing words go UNK,
+    * plus multi-char pieces that make the greedy-longest choice
+    * non-trivial. Shared verbatim with the oracle's VALUES list. */
+  private[queries] val wpVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    singles ++ singles.map("##" + _) ++
+      Seq("the", "th", "an", "re", "in", "on", "##ing", "##ed",
+        "##er", "##on", "##at", "##es", "##is")
+  }
+
+  /** q_x149 oracle: the greedy longest-match loop as a recursive CTE —
+    * at each (word, pos) a LATERAL probe picks the longest matching
+    * vocab piece (exactly one string can match per length, so
+    * `ORDER BY len DESC LIMIT 1` is deterministic); a position with no
+    * match kills the word to [UNK] whole, the BERT convention. */
+  private val wordpieceOracle: String = {
+    val values = wpVocab.map(v => s"('$v')").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $values) t(v)),
+       |words0 AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(arr))) - 1 AS widx,
+       |    unnest(arr) AS word
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(text), '\\s+') AS arr
+       |        FROM documents)),
+       |words AS (
+       |  SELECT doc_id, CAST(widx AS BIGINT) AS widx, word
+       |  FROM words0 WHERE word <> ''),
+       |step(doc_id, widx, word, pos, toks, dead) AS (
+       |  SELECT doc_id, widx, word, 0, CAST([] AS VARCHAR[]), false
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.doc_id, s.widx, s.word,
+       |    CASE WHEN m.tok IS NULL THEN length(s.word)
+       |         ELSE s.pos + m.len END,
+       |    CASE WHEN m.tok IS NULL THEN ['[UNK]']
+       |         ELSE s.toks || [m.tok] END,
+       |    m.tok IS NULL
+       |  FROM step s
+       |  LEFT JOIN LATERAL (
+       |    SELECT v AS tok,
+       |      length(CASE WHEN s.pos = 0 THEN v ELSE substr(v, 3) END)
+       |        AS len
+       |    FROM vocab
+       |    WHERE CASE WHEN s.pos = 0 THEN v NOT LIKE '##%'
+       |            AND substr(s.word, 1, length(v)) = v
+       |          ELSE v LIKE '##%'
+       |            AND substr(s.word, s.pos + 1, length(v) - 2)
+       |              = substr(v, 3) END
+       |    ORDER BY len DESC, v LIMIT 1) m ON true
+       |  WHERE s.pos < length(s.word) AND NOT s.dead)
+       |SELECT doc_id, widx, word,
+       |  array_to_string(toks, ' ') AS pieces,
+       |  CAST(len(toks) AS BIGINT) AS n_pieces,
+       |  CAST(dead AS INTEGER) AS is_unk
+       |FROM step
+       |WHERE pos >= length(word)
+       |ORDER BY doc_id, widx""".stripMargin
   }
 
   /** q_x37 oracle: the BPE training loop unrolled into a CTE chain — per
@@ -3173,6 +3263,56 @@ object TextQueries {
          |    AS est_wjaccard
          |FROM nmw WHERE n_match >= 12
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // The greedy longest-match loop as a recursive CTE with a LATERAL
+    // longest-piece probe; same vocabulary literal, same UNK collapse.
+    "q_x149_wordpiece" -> wordpieceOracle,
+    // Same planted substitutions; class counts via the strip-and-diff
+    // length identity (single-codepoint classes), literal ranges so
+    // RE2 and Java regex read identical codepoint sets.
+    "q_x148_script_profile" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |        THEN 'привет мир это кириллица всюду здесь 123'
+        |      WHEN doc_id % 17 = 0 THEN '你好世界这是中文文本在这里'
+        |      WHEN doc_id % 19 = 0 THEN 'مرحبا بالعالم هذا نص عربي'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[A-Za-zÀ-ɏ]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[ \t\n]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM planted),
+        |d AS (
+        |  SELECT *, greatest(n_latin, n_cyrillic, n_cjk, n_arabic) AS mx
+        |  FROM c)
+        |SELECT id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+        |  n_space, n_chars,
+        |  CASE WHEN mx > 0 AND n_latin = mx THEN 'latin'
+        |    WHEN mx > 0 AND n_cyrillic = mx THEN 'cyrillic'
+        |    WHEN mx > 0 AND n_cjk = mx THEN 'cjk'
+        |    WHEN mx > 0 AND n_arabic = mx THEN 'arabic'
+        |    ELSE 'none' END AS dominant_script,
+        |  CASE WHEN n_chars > 0 THEN floor(CAST(n_latin AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS latin_ratio,
+        |  CASE WHEN n_chars > 0 THEN floor(
+        |    CAST(n_chars - n_latin - n_cyrillic - n_cjk - n_arabic
+        |      - n_digit - n_space AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS nonspace_other_ratio
+        |FROM d ORDER BY id""".stripMargin,
+
     // Same planted spans, same candidate regex, the Luhn fold mirrored
     // digit-for-digit over the reversed run.
     "q_x147_luhn_cards" ->

@@ -512,6 +512,65 @@ object TextStats {
       coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
   }
 
+  /** X149: WORDPIECE TOKENIZATION — greedy longest-match-first subword
+    * segmentation against a fixed vocabulary (Wu et al. 2016; the
+    * BERT-family tokenizer), completing the trained-tokenizer triad
+    * next to BPE (merge-rule folds, X37/X39) and unigram-LM (Viterbi,
+    * X66): per word, repeatedly consume the LONGEST vocab piece
+    * (continuation pieces carry the `##` prefix); a word with no match
+    * at any position collapses to `unk` whole — the BERT convention,
+    * never a partial emission. One tight UDF per word (the greedy loop
+    * is inherently sequential per word — an expression form would
+    * interpret a lambda per (pos, len) pair), vocabulary broadcast in
+    * the closure (vocab-bounded, the X39 merge-table precedent); zero
+    * shuffle. Output: one row per (doc, word) — (doc_id, widx, word,
+    * pieces, n_pieces, is_unk); empty words are dropped.
+    *
+    * The oracle mirrors the greedy loop as a recursive CTE with a
+    * LATERAL longest-match probe — at each (word, pos) exactly one
+    * vocab string can match each length, so `ORDER BY len DESC LIMIT
+    * 1` is deterministic in both engines. */
+  def wordpieceTokenize(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], unk: String = "[UNK]"): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceTokenize: empty vocabulary")
+    require(vocab.forall(_.nonEmpty), "wordpieceTokenize: empty piece")
+    val vset = vocab.toSet
+    val maxLen = vocab.iterator
+      .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+    val tokUdf = udf { w: String =>
+      if (w == null || w.isEmpty) Seq.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        var dead = false
+        while (pos < w.length && !dead) {
+          var len = math.min(maxLen, w.length - pos)
+          var found: String = null
+          while (len >= 1 && found == null) {
+            val sub = w.substring(pos, pos + len)
+            val cand = if (pos == 0) sub else "##" + sub
+            if (vset.contains(cand)) found = cand
+            len -= 1
+          }
+          if (found == null) dead = true
+          else {
+            out += found
+            pos += (if (pos == 0) found.length else found.length - 2)
+          }
+        }
+        if (dead) Seq(unk) else out.toSeq
+      }
+    }
+    df.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.words(col(textCol))).as(Seq("widx", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("widx", col("widx").cast("long"))
+      .withColumn("pieces", tokUdf(col("word")))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .withColumn("is_unk",
+        (col("pieces") === array(lit(unk))).cast("int"))
+  }
+
   /** X75: fixed-size token-window CHUNKING with stride — the context
     * windowing both RAG indexing (overlapping retrieval chunks) and
     * fixed-context pretraining (max_seq_len splits) run on every
@@ -926,6 +985,52 @@ object TextStats {
       .withColumn("redacted_text", redacted)
       .withColumn("has_pii",
         patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
+  }
+
+  /** X148: UNICODE-SCRIPT PROFILE — the character-class census that
+    * runs BEFORE language ID in web-corpus pipelines (a fasttext-style
+    * lang model is useless on a page whose dominant script it never
+    * saw; script routing is how CCNet shards the crawl). Per document:
+    * counts of Latin / Cyrillic / CJK / Arabic / digit / whitespace
+    * codepoints (character-class regexes written as LITERAL codepoint
+    * ranges, not \\u escapes — Java regex and RE2 read those
+    * identically), the dominant script by exact count with a fixed
+    * precedence tie-break, and quantized ratios over total length.
+    * One projection, zero shuffle, codegen-friendly `regexp_count`.
+    * Empty texts report 'none'. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-zÀ-ɏ]",
+      "cyrillic" -> "[Ѐ-ӿ]",
+      "cjk" -> "[一-鿿぀-ヿ]",
+      "arabic" -> "[؀-ۿ]",
+      "digit" -> "[0-9]",
+      "space" -> "[ \\t\\n]")
+    val counted = classes.foldLeft(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))) {
+      case (d, (name, p)) =>
+        d.withColumn(s"n_$name",
+          regexp_count(col("__t"), lit(p)).cast("long"))
+    }
+    val scripts = Seq("latin", "cyrillic", "cjk", "arabic")
+    val mx = greatest(scripts.map(s => col(s"n_$s")): _*)
+    val dominant = scripts.foldRight(lit("none")) { (s, acc) =>
+      when(mx > 0 && col(s"n_$s") === mx, s).otherwise(acc)
+    }
+    val total = length(col("__t")).cast("long")
+    counted
+      .withColumn("n_chars", total)
+      .withColumn("dominant_script", dominant)
+      .withColumn("latin_ratio",
+        graft.functions.q6(when(total > 0,
+          col("n_latin").cast("double") / total.cast("double"))))
+      .withColumn("nonspace_other_ratio",
+        graft.functions.q6(when(total > 0,
+          (total - scripts.map(s => col(s"n_$s")).reduce(_ + _) -
+            col("n_digit") - col("n_space")).cast("double") /
+            total.cast("double"))))
+      .drop("__t")
   }
 
   /** X147: LUHN-VALIDATED CARD-NUMBER DETECTION — the precision layer
