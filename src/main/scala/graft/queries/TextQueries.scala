@@ -64,6 +64,22 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X150: IBAN mod-97 validation over planted account numbers —
+    // every 23rd doc carries a valid IBAN, every 29th a tampered one;
+    // the ISO 7064 checksum (not the regex) separates them.
+    "q_x150_iban" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 23 === 0,
+            lit(" DE89370400440532013000")).otherwise(lit("")),
+          when(col("doc_id") % 29 === 0,
+            lit(" GB82WEST12345698765433")).otherwise(lit("")))
+          .as("text"))
+      graft.text.TextStats.ibanCandidates(planted, "doc_id", "text")
+        .orderBy(col("id"), col("candidate"))
+    },
+
     // X149: WordPiece tokenization against the fixture vocabulary —
     // greedy longest-match per word, BERT UNK convention; per-word
     // grain so the oracle checks every segmentation decision.
@@ -3266,6 +3282,41 @@ object TextQueries {
     // The greedy longest-match loop as a recursive CTE with a LATERAL
     // longest-piece probe; same vocabulary literal, same UNK collapse.
     "q_x149_wordpiece" -> wordpieceOracle,
+    // Same planted IBANs; the mod-97 fold mirrored with list_reduce
+    // (accumulator seeded by a prepended 0, reduced mod 97 per step).
+    "q_x150_iban" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 23 = 0
+        |      THEN ' DE89370400440532013000' ELSE '' END ||
+        |    CASE WHEN doc_id % 29 = 0
+        |      THEN ' GB82WEST12345698765433' ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(upper(text),
+        |      '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}')) AS candidate
+        |  FROM planted),
+        |sc AS (
+        |  SELECT id, candidate,
+        |    substr(candidate, 5) || substr(candidate, 1, 4) AS re
+        |  FROM cand),
+        |m AS (
+        |  SELECT id, candidate,
+        |    CAST(length(candidate) AS BIGINT) AS n_chars,
+        |    CAST(list_reduce(
+        |      [0] || list_transform(
+        |        generate_series(1, length(re)),
+        |        i -> ascii(substr(re, i, 1))),
+        |      (acc, ch) -> CASE WHEN ch >= 65
+        |        THEN (acc * 100 + (ch - 55)) % 97
+        |        ELSE (acc * 10 + (ch - 48)) % 97 END) AS BIGINT)
+        |      AS mod97
+        |  FROM sc)
+        |SELECT id, candidate, n_chars, mod97,
+        |  CAST(mod97 = 1 AS INTEGER) AS iban_valid
+        |FROM m ORDER BY id, candidate""".stripMargin,
     // Same planted substitutions; class counts via the strip-and-diff
     // length identity (single-codepoint classes), literal ranges so
     // RE2 and Java regex read identical codepoint sets.

@@ -987,6 +987,42 @@ object TextStats {
         patterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
   }
 
+  /** X150: IBAN MOD-97 VALIDATION — [[luhnCardCandidates]]'s sibling
+    * for bank-account PII (ISO 13616 / ISO 7064, public knowledge):
+    * a candidate only counts when the check passes — rearrange
+    * (move the leading country+check 4 chars to the end), map letters
+    * A..Z → 10..35, and fold the resulting digit stream mod 97; valid
+    * iff the residue is 1. The fold multiplies the accumulator by 10
+    * per digit and 100 per letter and reduces mod 97 EVERY step, so
+    * the value never leaves INT range — a pure codegen `aggregate`
+    * over character positions, no UDF, no big-integer; the oracle
+    * mirrors it with `list_reduce`. Checksum-only by design (the
+    * per-country length table is reference DATA, not an algorithm —
+    * callers wanting it join one). Output: one row per candidate —
+    * (id, candidate, n_chars, mod97, iban_valid). */
+  def ibanCandidates(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val cand = regexp_extract_all(upper(col(textCol)),
+      lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"), lit(0))
+    val re = concat(col("candidate").substr(lit(5), lit(34)),
+      col("candidate").substr(lit(1), lit(4)))
+    val mod = aggregate(
+      sequence(lit(0), length(col("__re")) - 1),
+      lit(0),
+      (acc, i) => {
+        val ch = ascii(col("__re").substr(i + 1, lit(1)))
+        when(ch >= 65, // A..Z -> two digits 10..35
+          pmod(acc * 100 + (ch - 55), lit(97)))
+          .otherwise(pmod(acc * 10 + (ch - 48), lit(97)))
+      })
+    df.select(col(idCol).as("id"), explode(cand).as("candidate"))
+      .withColumn("__re", re)
+      .withColumn("n_chars", length(col("candidate")).cast("long"))
+      .withColumn("mod97", mod.cast("long"))
+      .withColumn("iban_valid", (col("mod97") === 1).cast("int"))
+      .drop("__re")
+  }
+
   /** X148: UNICODE-SCRIPT PROFILE — the character-class census that
     * runs BEFORE language ID in web-corpus pipelines (a fasttext-style
     * lang model is useless on a page whose dominant script it never
