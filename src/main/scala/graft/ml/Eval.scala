@@ -913,4 +913,58 @@ object Eval {
         when(col("k") <= col("n"), col("emp_coverage"))
           .as("emp_coverage"))
   }
+
+  /** F71: GROUP-CONDITIONAL CONFORMAL THRESHOLDS — the fairness-aware
+    * refinement of [[conformalThresholds]] (Vovk's "Mondrian"
+    * conformal, 2005): one marginal cutoff over a mixed population can
+    * cover one segment at 99% and another at 80%; calibrating
+    * per-group restores the 1−α guarantee INSIDE every group, at the
+    * price of each group needing its own calibration mass (small
+    * groups surface as NULL thresholds — reported, not papered over).
+    *
+    * Same exact integer order statistics, grouped: per-(group,
+    * distinct score) counts, a GROUP-PARTITIONED cumulation window
+    * (parallel across groups — the [[groupedAuc]] shape), per-group n,
+    * and a (group × α) grid probed by a cum ≥ k range join keyed on
+    * the group. Output: (group, alpha, n, k, threshold, emp_coverage)
+    * — one row per group per α. */
+  def groupedConformalThresholds(df: DataFrame, groupCol: String,
+      scoreCol: org.apache.spark.sql.Column,
+      alphas: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.2)): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      s"alphas must sit in (0,1), got $alphas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(groupCol).as("group"), scoreCol.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("group"), col("__s")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("group")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.util.Caches.persistTracked(
+      counts.withColumn("__cum", sum(col("__c")).over(w)))
+    val perGroup = cum.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n"))
+    val grid = perGroup.crossJoin(broadcast(alphas.toDF("alpha")))
+      .withColumn("k",
+        ceil((col("n").cast("double") + lit(1.0)) *
+          (lit(1.0) - col("alpha"))).cast("long"))
+    // the cum side re-aliased: grid descends from cum, so a direct
+    // two-sided column reference would be ambiguous self-lineage
+    val probe = cum.select(col("group").as("__g2"), col("__s"),
+      col("__cum"))
+    val hit = grid.join(probe,
+        col("group") === col("__g2") && col("__cum") >= col("k"))
+      .groupBy(col("group"), col("alpha"), col("n"), col("k"))
+      .agg(min(struct(col("__s"), col("__cum"))).as("__best"))
+      .select(col("group"), col("alpha"), col("n"), col("k"),
+        col("__best.__s").as("threshold"),
+        graft.functions.q6(col("__best.__cum").cast("double") /
+          col("n").cast("double")).as("emp_coverage"))
+    grid.join(hit, Seq("group", "alpha", "n", "k"), "left")
+      .select(col("group"), col("alpha"), col("n"), col("k"),
+        when(col("k") <= col("n"), col("threshold")).as("threshold"),
+        when(col("k") <= col("n"), col("emp_coverage"))
+          .as("emp_coverage"))
+  }
 }

@@ -605,6 +605,16 @@ object DqQueries {
         .orderBy(col("alpha"))
     },
 
+    // F71: group-conditional (Mondrian) conformal thresholds per
+    // source — the per-segment coverage guarantee one marginal cutoff
+    // cannot give; small groups surface NULL, not invented cutoffs.
+    "q_f71_group_conformal" -> { (s, dir) =>
+      graft.ml.Eval.groupedConformalThresholds(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "source", col("n_chars"), Seq(0.05, 0.1, 0.2))
+        .orderBy(col("group"), col("alpha"))
+    },
+
     // X125: split-balance audit — per (split, stratum) counts and the
     // within-split share after the X119 exact split; the governance
     // check that splits preserve the stratum mix.
@@ -2649,6 +2659,39 @@ object DqQueries {
         |      - CAST(t.fpt AS DOUBLE) / CAST(t.nt - t.pt AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 END AS fpr_gap
         |FROM cells, tot t ORDER BY "group"""".stripMargin,
+    // Group-partitioned cumulation, per-group n, same IEEE
+    // ceil((n+1)(1-alpha)) and min-score-with-cum>=k order statistics.
+    "q_f71_group_conformal" ->
+      """WITH s AS (
+        |  SELECT source AS grp, CAST(n_chars AS DOUBLE) AS sc
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT grp, sc, CAST(count(*) AS BIGINT) AS c
+        |      FROM s GROUP BY grp, sc),
+        |cum AS (
+        |  SELECT *, CAST(sum(c) OVER (PARTITION BY grp ORDER BY sc
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM g),
+        |pg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n
+        |       FROM g GROUP BY grp),
+        |grid AS (
+        |  SELECT pg.grp, CAST(a.alpha AS DOUBLE) AS alpha, pg.n,
+        |    CAST(ceil((CAST(pg.n AS DOUBLE) + 1.0)
+        |      * (CAST(1 AS DOUBLE) - CAST(a.alpha AS DOUBLE)))
+        |      AS BIGINT) AS k
+        |  FROM pg, (VALUES (0.05), (0.1), (0.2)) AS a(alpha)),
+        |hit AS (
+        |  SELECT g.grp, g.alpha, g.n, g.k, min(cum.sc) AS threshold,
+        |    CAST(min(cum.cm) AS BIGINT) AS cm
+        |  FROM grid g JOIN cum ON cum.grp = g.grp AND cum.cm >= g.k
+        |  GROUP BY g.grp, g.alpha, g.n, g.k)
+        |SELECT g.grp AS "group", g.alpha, g.n, g.k,
+        |  CASE WHEN g.k <= g.n THEN h.threshold END AS threshold,
+        |  CASE WHEN g.k <= g.n THEN
+        |    floor(CAST(h.cm AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS emp_coverage
+        |FROM grid g LEFT JOIN hit h
+        |  ON g.grp = h.grp AND g.alpha = h.alpha AND g.k = h.k
+        |ORDER BY g.grp, g.alpha""".stripMargin,
     // Same distinct-score cumulation and ceil((n+1)(1-alpha)) order
     // statistics; the k-th value is the min score with cum >= k.
     "q_f69_conformal" ->

@@ -78,6 +78,34 @@ class FairnessConformalSpec extends SparkSpec {
     r(1)._5.get shouldBe 0.888889 +- 1e-9
   }
 
+  it should "calibrate per group, covering each segment independently" in {
+    // group a: scores 1..9; group b: scores 101..104 (too small for
+    // alpha .05 -> NULL row for b, real threshold for a)
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      (101 to 104).map(i => ("b", i.toDouble))).toDF("g", "s")
+    val r = graft.ml.Eval.groupedConformalThresholds(df, "g", col("s"),
+        Seq(0.05, 0.2))
+      .orderBy(col("group"), col("alpha"))
+      .as[(String, Double, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    // a, .05: k = ceil(10*.95) = 10 > 9 -> NULL
+    r(0) shouldBe ("a", 0.05, 9L, 10L, None, None)
+    // a, .2: k = 8 -> threshold 8.0, coverage 8/9
+    r(1)._4 shouldBe 8L
+    r(1)._5 shouldBe Some(8.0)
+    // b, .2: n = 4, k = ceil(5*.8) = 4 -> threshold 104, coverage 1.0
+    r(3)._3 shouldBe 4L
+    if (r(3)._4 <= 4L) r(3)._5 shouldBe Some(104.0)
+    // the marginal (pooled) cutoff at .2: k = ceil(14*.8) = 12 ->
+    // threshold 103, which OVER-covers group a (9/9) and UNDER-covers
+    // group b (3/4 = .75 < .8) — the miscoverage per-group calibration
+    // exists to fix
+    val pooled = graft.ml.Eval.conformalThresholds(spark, df, col("s"),
+      Seq(0.2)).as[(Double, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    pooled._4 shouldBe Some(103.0)
+  }
+
   it should "count duplicate scores into the cumulative rank" in {
     // scores: 1,2,2,3 (n = 4): alpha .2 -> k = ceil(5 * .8)
     // (= 4.000000000000001 in IEEE... check) -> threshold is the k-th

@@ -839,6 +839,10 @@ class PlanGuardSpec extends SparkSpec {
     // sum (per-partition windows only) + a broadcast alpha-grid probe
     assertNoUnboundedGlobalWindow(graft.ml.Eval.conformalThresholds(
       spark, scored, col("s"), Seq(0.1, 0.2)))
+    // grouped conformal: the cumulation window partitions by group
+    assertNoUnboundedGlobalWindow(
+      graft.ml.Eval.groupedConformalThresholds(
+        scored, "g", col("s"), Seq(0.1, 0.2)))
     val votes = (1L to 60L).flatMap(i => Seq(
       (i, "A", s"l${i % 3}"), (i, "B", s"l${(i + 1) % 3}")))
       .toDF("item", "rater", "label")
