@@ -801,4 +801,69 @@ object Curation {
       .select(col("id"), col("difficulty"), col("stage"),
         (col("__seq_g") - col("__min_g") + 1L).as("seq"))
   }
+
+  /** X151: GREEDY MAX-COVERAGE SELECTION — the facility-location
+    * coreset picker ("choose k documents that together cover the most
+    * distinct shingles"): classic lazy-free greedy (Nemhauser 1978's
+    * 1−1/e guarantee, public knowledge), the shape behind
+    * representative-subset selection for eval sets, prompt banks and
+    * dedup seed choices. Iteration i computes every candidate's
+    * MARGINAL gain — its shingles not yet covered — as one
+    * anti-join + count aggregate, takes the argmax (gain desc, id asc
+    * — deterministic), and unions the winner's shingles into the
+    * covered relation. k driver iterations of one keyed shuffle each —
+    * the textbook pass lower bound without sketches; only the 1-row
+    * argmax ever reaches the driver, and the covered set stays a
+    * DISTRIBUTED relation (at 100 TB it is billions of shingles — it
+    * must never be a broadcast or a driver set). Stops early when no
+    * candidate adds coverage (gain 0 picks nothing — selection quality
+    * would be fiction). Output: (pick_rank, id, gain, covered_total). */
+  def greedyCoverageSelect(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = graft.util.Caches.persistTracked(
+      df.select(col(idCol).cast("long").as("__id"),
+          explode(graft.text.Dedup.shingles(col(textCol), shingleN))
+            .as("__sh"))
+        .distinct())
+    var covered: Option[DataFrame] = None
+    var prev: Option[DataFrame] = None
+    val picks =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    var i = 1
+    var done = false
+    while (i <= k && !done) {
+      val remaining = covered match {
+        case None => sh
+        case Some(c) => sh.join(c, Seq("__sh"), "left_anti")
+      }
+      val top = remaining
+        .filter(!col("__id").isInCollection(
+          if (picks.isEmpty) Seq(-1L) else picks.map(_._2).toSeq))
+        .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
+        .orderBy(col("__gain").desc, col("__id"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) == 0L) done = true
+      else {
+        val id = top(0).getLong(0); val gain = top(0).getLong(1)
+        total += gain
+        picks += ((i, id, gain, total))
+        val next = graft.util.Caches.persistTracked(
+          covered.map(_.union(sh.filter(col("__id") === id)
+              .select(col("__sh"))).distinct())
+            .getOrElse(sh.filter(col("__id") === id).select(col("__sh"))))
+        prev.foreach(_.unpersist())
+        prev = covered
+        covered = Some(next)
+      }
+      i += 1
+    }
+    prev.foreach(_.unpersist())
+    picks.toSeq.toDF("pick_rank", "id", "gain", "covered_total")
+      .select(col("pick_rank").cast("long"), col("id"), col("gain"),
+        col("covered_total"))
+  }
 }

@@ -64,6 +64,15 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X151: greedy max-coverage pick of 5 documents over distinct
+    // 3-shingles — the facility-location coreset selector; argmax by
+    // (marginal gain desc, id asc), early-stop on zero gain.
+    "q_x151_coverage_select" -> { (s, dir) =>
+      graft.curate.Curation.greedyCoverageSelect(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("pick_rank"))
+    },
+
     // X150: IBAN mod-97 validation over planted account numbers —
     // every 23rd doc carries a valid IBAN, every 29th a tampered one;
     // the ISO 7064 checksum (not the regex) separates them.
@@ -1438,6 +1447,50 @@ object TextQueries {
        |FROM step
        |WHERE pos >= length(word)
        |ORDER BY doc_id, widx""".stripMargin
+  }
+
+  /** q_x151 oracle: the greedy max-coverage loop UNROLLED into a CTE
+    * chain (the bpeOracle discipline — standard SQL recursion cannot
+    * aggregate per step): per pick i, marginal gains over shingles not
+    * in the covered set and docs not yet picked, the (gain desc, id)
+    * argmax, then the covered-set union. */
+  private def coverageOracle(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      val notCovered =
+        if (i == 1) ""
+        else s"WHERE s.shingle NOT IN (SELECT shingle FROM c${i - 1})"
+      val notPicked =
+        if (i == 1) ""
+        else (1 until i)
+          .map(j => s"AND s.doc_id NOT IN (SELECT doc_id FROM b$j)")
+          .mkString(" ", " ", "")
+      val where =
+        if (i == 1) "" else notCovered + notPicked
+      val cov =
+        if (i == 1)
+          s"""c1 AS (SELECT DISTINCT shingle FROM sh
+             |  JOIN b1 USING (doc_id))""".stripMargin
+        else
+          s"""c$i AS (SELECT shingle FROM c${i - 1}
+             |  UNION SELECT shingle FROM sh JOIN b$i USING (doc_id))""".stripMargin
+      s"""g$i AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM sh s $where GROUP BY 1),
+         |b$i AS (
+         |  SELECT $i AS pick_rank, doc_id, gain FROM g$i
+         |  WHERE gain > 0 ORDER BY gain DESC, doc_id LIMIT 1),
+         |$cov""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(i => s"SELECT * FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${shingleCte(3, distinct = true)},
+       |$steps,
+       |picks AS ($unions)
+       |SELECT CAST(pick_rank AS BIGINT) AS pick_rank,
+       |  CAST(doc_id AS BIGINT) AS id, gain,
+       |  CAST(sum(gain) OVER (ORDER BY pick_rank
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+       |FROM picks ORDER BY pick_rank""".stripMargin
   }
 
   /** q_x37 oracle: the BPE training loop unrolled into a CTE chain — per
@@ -3282,6 +3335,9 @@ object TextQueries {
     // The greedy longest-match loop as a recursive CTE with a LATERAL
     // longest-piece probe; same vocabulary literal, same UNK collapse.
     "q_x149_wordpiece" -> wordpieceOracle,
+    // The greedy coverage loop unrolled to k=5 CTE steps; same
+    // (gain desc, id) argmax, same covered-set anti-joins.
+    "q_x151_coverage_select" -> coverageOracle(5),
     // Same planted IBANs; the mod-97 fold mirrored with list_reduce
     // (accumulator seeded by a prepended 0, reduced mod 97 per step).
     "q_x150_iban" ->
