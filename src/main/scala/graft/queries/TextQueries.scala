@@ -64,6 +64,25 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X152: rank-biased overlap between two per-source rankers (length
+    // vs recency order) — the top-weighted ranker-swap comparison;
+    // exact prefix overlaps, multiply-chain discounts, order-free
+    // scaled-LONG term sums.
+    "q_x152_rbo" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val wA = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val a = docs.select(col("source"), col("doc_id"),
+        row_number().over(wA).as("rank")).filter(col("rank") <= 10)
+      val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val b = docs.select(col("source"), col("doc_id"),
+        row_number().over(wB).as("rank")).filter(col("rank") <= 10)
+      graft.text.Retrieval.rankBiasedOverlap(a, b, "source", "doc_id",
+          "rank", k = 10)
+        .orderBy(col("source"))
+    },
+
     // X151: greedy max-coverage pick of 5 documents over distinct
     // 3-shingles — the facility-location coreset selector; argmax by
     // (marginal gain desc, id asc), early-stop on zero gain.
@@ -3338,6 +3357,48 @@ object TextQueries {
     // The greedy coverage loop unrolled to k=5 CTE steps; same
     // (gain desc, id) argmax, same covered-set anti-joins.
     "q_x151_coverage_select" -> coverageOracle(5),
+    // Same two window rankers, same depth grid, the same IEEE multiply
+    // chain for p^(d-1) (libm pow is not cross-engine bit-stable).
+    "q_x152_rbo" ->
+      """WITH ra AS (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |    AS BIGINT) AS r
+        |  FROM documents),
+        |a AS (SELECT * FROM ra WHERE r <= 10),
+        |rb AS (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r
+        |  FROM documents),
+        |b AS (SELECT * FROM rb WHERE r <= 10),
+        |m AS (SELECT a.source, greatest(a.r, b.r) AS d0
+        |  FROM a JOIN b ON a.source = b.source
+        |    AND a.doc_id = b.doc_id),
+        |pd AS (SELECT m.source, d.d, CAST(count(*) AS BIGINT) AS ov
+        |  FROM m, range(1, 11) AS d(d) WHERE m.d0 <= d.d
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT source, d, ov,
+        |    CAST(floor((CASE WHEN d = 1 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE list_reduce(
+        |        [CAST(1.0 AS DOUBLE)] || list_transform(
+        |          generate_series(2, CAST(d AS INT)),
+        |          x -> CAST(0.9 AS DOUBLE)),
+        |        (x, y) -> x * y) END)
+        |      * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM pd),
+        |q AS (SELECT DISTINCT source FROM a
+        |      UNION SELECT DISTINCT source FROM b),
+        |pq AS (SELECT source, CAST(sum(term) AS BIGINT) AS ts,
+        |    max(CASE WHEN d = 10 THEN ov END) AS ovk
+        |  FROM terms GROUP BY 1)
+        |SELECT q.source, CAST(coalesce(pq.ovk, 0) AS BIGINT)
+        |    AS n_overlap_k,
+        |  floor((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        |    * CAST(coalesce(pq.ts, 0) AS DOUBLE) / 1000000000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rbo
+        |FROM q LEFT JOIN pq ON q.source = pq.source
+        |ORDER BY q.source""".stripMargin,
     // Same planted IBANs; the mod-97 fold mirrored with list_reduce
     // (accumulator seeded by a prepended 0, reduced mod 97 per step).
     "q_x150_iban" ->

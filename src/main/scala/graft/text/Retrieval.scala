@@ -188,4 +188,76 @@ object Retrieval {
           coalesce(col("__dcg"), lit(0.0)) / col("__idcg")), 6)
           .as("ndcg"))
   }
+
+  /** X152: RANK-BIASED OVERLAP between two rankers (Webber, Moffat &
+    * Zobel 2010, public knowledge) — the top-weighted "how differently
+    * do these two rankers order results" score an eval harness runs
+    * when swapping BM25 for an embedding ranker: truncated
+    * `RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d` (prefix overlap
+    * at every depth, geometrically discounted so rank 1 dominates).
+    *
+    * Exactness: prefix overlaps are exact integers (matched ids joined
+    * once, counted per depth via a broadcast depth grid — never a
+    * per-depth re-scan); each depth term is floor-scaled to a 1e12
+    * LONG before the per-query sum (≤ k terms, but engine sum order is
+    * still engine's choice — scaled LONGs make it order-free, the F65
+    * discipline), one final division, quantized-6. The output is
+    * driven from the DISTINCT QUERY SET of both sides (the
+    * retrievalMetrics lesson: zero-overlap queries must appear as
+    * rbo 0, not vanish). Ranks must be 1-based and unique per query —
+    * enforced loud. Output: (query, n_overlap_k, rbo). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int, p: Double = 0.9)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must sit in (0,1), got $p")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, r: String) = {
+      val s = df.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(rankCol).cast("long").as(r)).filter(col(r) <= k)
+      // eager guards (the theilSen discipline — top-k lists are tiny):
+      // ranks must be 1-based and (query, id) unique, or the prefix
+      // overlap double-counts silently
+      val bad = s.filter(col(r) < 1).limit(1).collect()
+      require(bad.isEmpty, s"rankBiasedOverlap: rank < 1 in input")
+      val dup = s.groupBy(col("__q"), col("__id"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"rankBiasedOverlap: duplicate (query, id) in a ranking")
+      s
+    }
+    val sa = side(a, "__ra"); val sb = side(b, "__rb")
+    val matched = sa.join(sb, Seq("__q", "__id"))
+      .select(col("__q"), greatest(col("__ra"), col("__rb")).as("__d0"))
+    val depths = spark.range(1, k + 1).select(col("id").as("__d"))
+    // p^(d-1) as a LEFT-FOLDED multiplication chain, not pow(): libm
+    // pow is only ~1-ulp accurate and differs across engines; a fixed
+    // IEEE multiply chain is bit-identical everywhere
+    val pw = when(col("__d") === 1, lit(1.0)).otherwise(
+      aggregate(sequence(lit(2), col("__d")), lit(1.0),
+        (acc, _) => acc * lit(p)))
+    // per (query, depth): overlap = matches whose later rank <= d;
+    // term = p^(d-1) * overlap / d, scaled to an order-free LONG
+    val perDepth = matched.join(broadcast(depths), col("__d0") <= col("__d"))
+      .groupBy(col("__q"), col("__d"))
+      .agg(count(lit(1)).as("__ov"))
+      .withColumn("__term",
+        floor(pw *
+          col("__ov").cast("double") / col("__d").cast("double") *
+          lit(1e12) + lit(0.5)).cast("long"))
+    val queries = sa.select(col("__q")).distinct()
+      .unionByName(sb.select(col("__q")).distinct()).distinct()
+    val perQuery = perDepth.groupBy(col("__q"))
+      .agg(sum(col("__term")).as("__ts"),
+        max(when(col("__d") === k, col("__ov"))).as("__ovk"))
+    queries.join(perQuery, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("__ovk"), lit(0L)).as("n_overlap_k"),
+        graft.functions.q6(
+          lit(1.0 - p) *
+            coalesce(col("__ts"), lit(0L)).cast("double") / lit(1e12))
+          .as("rbo"))
+  }
 }
