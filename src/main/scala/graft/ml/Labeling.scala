@@ -235,6 +235,58 @@ object Labeling {
     picked.withColumn("pick_rank", row_number().over(w))
   }
 
+  /** X153: CONFIDENT-LEARNING JOINT ESTIMATE (Northcutt, Jiang &
+    * Chuang 2021, public knowledge) — the label-noise census that
+    * turns "model disagrees with label" into a calibrated (given,
+    * suggested) count matrix: class thresholds `t_j` = mean predicted
+    * probability of class j among examples GIVEN label j (so a
+    * systematically under-confident class is not over-flagged), an
+    * example counts toward cell (given, j*) only when `p_{j*} ≥ t_{j*}`
+    * with j* the argmax over QUALIFYING classes; unconfident examples
+    * (no class clears its threshold) are reported per given class, not
+    * silently dropped. Off-diagonal mass is the label-noise estimate;
+    * X112's out-of-fold suspects are the row-level drill-down.
+    *
+    * Exactness: per-example probabilities are floor-scaled to 1e12
+    * LONGs before the threshold mean (order-free sums, one division —
+    * the F65 discipline), so the `p ≥ t` boundary compare is
+    * deterministic cross-engine; the per-example argmax is a window
+    * bounded by the class alphabet, tie-broken (p desc, class asc).
+    * Input: long form (id, given, class, p). Output: one row per
+    * OBSERVED (given, suggested) cell plus per-given unconfident rows
+    * (suggested NULL) — (given, suggested, n, frac_of_given)
+    * quantized-6. */
+  def confidentJoint(scores: DataFrame, id: Column, given: Column,
+      cls: Column, p: Column): DataFrame = {
+    val base = scores.select(id.as("__i"), given.as("__g"),
+      cls.as("__c"), p.cast("double").as("__p"))
+      .filter(col("__p").isNotNull)
+    val scaled = base.withColumn("__pl",
+      floor(col("__p") * lit(1e12) + lit(0.5)).cast("long"))
+    val thresholds = scaled.filter(col("__g") === col("__c"))
+      .groupBy(col("__c").as("__tc"))
+      .agg((sum(col("__pl").cast("decimal(38,0)")).cast("double") /
+        lit(1e12) / count(lit(1)).cast("double")).as("__t"))
+    val qual = scaled
+      .join(broadcast(thresholds), col("__c") === col("__tc"))
+      .filter(col("__p") >= col("__t"))
+    val w = Window.partitionBy(col("__i"))
+      .orderBy(col("__pl").desc, col("__c"))
+    val best = qual.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__i"), col("__c").as("__sug"))
+    val perExample = base.select(col("__i"), col("__g")).distinct()
+      .join(best, Seq("__i"), "left")
+    val cells = perExample.groupBy(col("__g"), col("__sug"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("__g")).agg(sum(col("n")).as("__tn"))
+    cells.join(totals, "__g")
+      .select(col("__g").as("given"), col("__sug").as("suggested"),
+        col("n"),
+        q6(col("n").cast("double") / col("__tn").cast("double"))
+          .as("frac_of_given"))
+  }
+
   /** F70: KRIPPENDORFF'S ALPHA (nominal) — the agreement coefficient
     * that handles MISSING votes and VARYING panel sizes, which real
     * annotation runs always have (Fleiss demands a fixed panel; Cohen

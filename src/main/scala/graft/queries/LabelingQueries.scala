@@ -95,6 +95,25 @@ object LabelingQueries {
         col("doc_id"), col("rater"), col("label"))
     },
 
+    // X153: confident-learning joint over hash-synthesized class
+    // probabilities — per-class confidence thresholds, qualified
+    // argmax, unconfident rows reported; the (given, suggested)
+    // label-noise census.
+    "q_x153_confident_joint" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def w(cl: String): Column = classWeight(cl)
+      val tot = w("en") + w("de") + w("fr")
+      val long = docs.select(col("doc_id"), col("lang"), explode(array(
+          struct(lit("en").as("cl"), (w("en") / tot).as("p")),
+          struct(lit("de").as("cl"), (w("de") / tot).as("p")),
+          struct(lit("fr").as("cl"), (w("fr") / tot).as("p")))).as("s"))
+        .select(col("doc_id"), col("lang"), col("s.cl").as("cl"),
+          col("s.p").as("p"))
+      Labeling.confidentJoint(long, col("doc_id"), col("lang"),
+          col("cl"), col("p"))
+        .orderBy(col("given"), col("suggested"))
+    },
+
     // X144: majority-vote consensus with explicit ties (3 raters over
     // ≥3 labels CAN tie 1-1-1) and exact agreement shares.
     "q_x144_majority_vote" -> { (s, dir) =>
@@ -237,6 +256,49 @@ object LabelingQueries {
          |    THEN floor((p_bar - p_e) / (1.0 - p_e) * 1000000.0 + 0.5)
          |      / 1000000.0 END AS kappa
          |FROM d""".stripMargin,
+
+    // Same hash-synthesized probabilities, same scaled-LONG threshold
+    // means, same qualified argmax with (p desc, class) tie-break.
+    "q_x153_confident_joint" -> {
+      def w(cl: String) =
+        s"""CAST(strpos('0123456789abcdef',
+           |      substr(md5('$cl:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           |      AS DOUBLE) + 1.0""".stripMargin
+      s"""WITH ws AS (SELECT doc_id, lang,
+         |    ${w("en")} AS we,
+         |    ${w("de")} AS wd,
+         |    ${w("fr")} AS wf
+         |  FROM documents),
+         |p AS (SELECT doc_id, lang, 'en' AS cl,
+         |    we / (we + wd + wf) AS p FROM ws
+         |  UNION ALL SELECT doc_id, lang, 'de', wd / (we + wd + wf)
+         |    FROM ws
+         |  UNION ALL SELECT doc_id, lang, 'fr', wf / (we + wd + wf)
+         |    FROM ws),
+         |pl AS (SELECT *, CAST(floor(p * 1000000000000.0 + 0.5)
+         |    AS BIGINT) AS plv FROM p),
+         |th AS (SELECT cl AS tc,
+         |    CAST(sum(CAST(plv AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1000000000000.0 / CAST(count(*) AS DOUBLE) AS t
+         |  FROM pl WHERE lang = cl GROUP BY cl),
+         |qual AS (SELECT pl.* FROM pl JOIN th ON pl.cl = th.tc
+         |  WHERE pl.p >= th.t),
+         |best AS (SELECT doc_id, cl AS sug FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY plv DESC, cl) AS rn FROM qual)
+         |  WHERE rn = 1),
+         |pe AS (SELECT DISTINCT doc_id, lang FROM p),
+         |cells AS (SELECT lang AS given, b.sug AS suggested,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pe LEFT JOIN best b USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT given, CAST(sum(n) AS BIGINT) AS tn
+         |  FROM cells GROUP BY 1)
+         |SELECT given, suggested, n,
+         |  floor(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS frac_of_given
+         |FROM cells JOIN tot USING (given)
+         |ORDER BY given, suggested NULLS FIRST""".stripMargin
+    },
 
     // Same pairable-unit cells; per-unit disagreement terms floor-scaled
     // to 1e9 and DECIMAL-summed exactly as the Spark side defines them.

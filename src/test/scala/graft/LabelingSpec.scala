@@ -49,6 +49,45 @@ class LabelingSpec extends SparkSpec {
     ex.getMessage should include("votes")
   }
 
+  it should "build the hand-computed confident joint with threshold gating" in {
+    // classes x/y over 4 docs; given labels: d1,d2 -> x; d3,d4 -> y
+    // p_x: d1 .9, d2 .8, d3 .3, d4 .1 ; p_y = 1 - p_x
+    // t_x = mean(.9,.8) = .85 ; t_y = mean(.7,.9) = .8
+    // d1: x qualifies (.9>=.85), y(.1) no  -> (x, x)
+    // d2: x(.8) no, y(.2) no               -> (x, NULL) unconfident
+    // d3: y(.7) no, x(.3) no               -> (y, NULL) unconfident
+    // d4: y(.9) >= .8                      -> (y, y)
+    val scores = Seq(
+      (1L, "x", "x", 0.9), (1L, "x", "y", 0.1),
+      (2L, "x", "x", 0.8), (2L, "x", "y", 0.2),
+      (3L, "y", "x", 0.3), (3L, "y", "y", 0.7),
+      (4L, "y", "x", 0.1), (4L, "y", "y", 0.9))
+      .toDF("id", "given", "cl", "p")
+    val r = graft.ml.Labeling.confidentJoint(scores, col("id"),
+        col("given"), col("cl"), col("p"))
+      .orderBy(col("given"), col("suggested"))
+      .as[(String, Option[String], Long, Double)].collect()
+    r.toSeq shouldBe Seq(
+      ("x", None, 1L, 0.5), ("x", Some("x"), 1L, 0.5),
+      ("y", None, 1L, 0.5), ("y", Some("y"), 1L, 0.5))
+  }
+
+  it should "flag planted systematic noise as off-diagonal mass" in {
+    // 30 docs labeled 'a' but 10 of them carry p_b = 1.0 (mislabeled);
+    // all clean docs are confident in their own class
+    val rows = (1 to 30).flatMap { i =>
+      val noisy = i % 3 == 0
+      Seq((i.toLong, "a", "a", if (noisy) 0.0 else 1.0),
+        (i.toLong, "a", "b", if (noisy) 1.0 else 0.0))
+    } ++ (31 to 40).flatMap(i =>
+      Seq((i.toLong, "b", "a", 0.0), (i.toLong, "b", "b", 1.0)))
+    val r = graft.ml.Labeling.confidentJoint(rows.toDF("id", "given", "cl", "p"),
+        col("id"), col("given"), col("cl"), col("p"))
+      .filter(col("given") === "a" && col("suggested") === "b")
+      .select(col("n")).as[Long].collect()
+    r.headOption shouldBe Some(10L)
+  }
+
   it should "match the hand-computed Fleiss' kappa fixture" in {
     // 4 items x 3 raters: S2 = 26, cj = (6, 5, 1) -> Se = 62
     // P-bar = 14/24, Pe = 62/144, kappa = 0.268293 (quantized-6)
