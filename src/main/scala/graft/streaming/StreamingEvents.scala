@@ -1107,6 +1107,67 @@ object StreamingEvents {
         .groupBy(col("__s")).agg(sum(col("__c")).as("__c")),
       alphas)
 
+  /** Streaming SCRIPT-MIX monitor (X148 streaming): each micro-batch
+    * of documents persists its summed per-class codepoint counts (ONE
+    * row per batch — the [[graft.text.TextStats.scriptProfile]]
+    * per-doc counters reduced; exact, mergeable) under `batch_id=N`;
+    * the published view re-sums and reports the corpus-wide script mix
+    * with quantized shares — the "did the crawl start drifting into a
+    * script our langid never saw" alarm. Replays overwrite their own
+    * batch directory: idempotent. */
+  def scriptMixSink(docs: DataFrame, idCol: String, textCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) scriptMixBatch(batch.toDF(), batchId,
+          idCol, textCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[scriptMixSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def scriptMixBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, statsDir: String): Unit = {
+    graft.text.TextStats.scriptProfile(batch, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_latin")).as("n_latin"),
+        sum(col("n_cyrillic")).as("n_cyrillic"),
+        sum(col("n_cjk")).as("n_cjk"),
+        sum(col("n_arabic")).as("n_arabic"),
+        sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"),
+        sum(col("n_chars")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[scriptMixSink]] directory: merged
+    * counts with quantized corpus-wide shares. */
+  def scriptMixView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame = {
+    val m = spark.read.parquet(statsDir)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_latin")).as("n_latin"),
+        sum(col("n_cyrillic")).as("n_cyrillic"),
+        sum(col("n_cjk")).as("n_cjk"),
+        sum(col("n_arabic")).as("n_arabic"),
+        sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"),
+        sum(col("n_chars")).as("n_chars"))
+    val t = col("n_chars").cast("double")
+    m.select(col("n_docs"), col("n_latin"), col("n_cyrillic"),
+      col("n_cjk"), col("n_arabic"), col("n_digit"), col("n_space"),
+      col("n_chars"),
+      graft.functions.q6(when(col("n_chars") > 0,
+        col("n_latin").cast("double") / t)).as("latin_share"),
+      graft.functions.q6(when(col("n_chars") > 0,
+        col("n_cyrillic").cast("double") / t)).as("cyrillic_share"),
+      graft.functions.q6(when(col("n_chars") > 0,
+        col("n_cjk").cast("double") / t)).as("cjk_share"))
+  }
+
   /** Streaming KEY-SKEW monitor (X126 streaming): each micro-batch
     * persists its per-key row counts under `batch_id=N` (bounded by
     * the batch's key cardinality); counts are exact and mergeable, so

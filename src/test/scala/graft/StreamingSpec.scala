@@ -1299,4 +1299,58 @@ class StreamingSpec extends SparkSpec {
       alphas)) shouldBe streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "track the stream-wide script mix identically to the batch census over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smix").toString
+    val b1 = Seq((1L, "hello world"), (2L, "привет мир"))
+    val b2 = Seq((3L, "你好"), (4L, "abc 123"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.scriptMixSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.scriptMixView(spark,
+      s"$tmp/stats"))
+    // mergeability: the view == per-doc census of everything ingested,
+    // reduced through the same sums
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val batchRow = rows {
+      val prof = graft.text.TextStats.scriptProfile(all, "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_latin")).as("n_latin"),
+          sum(col("n_cyrillic")).as("n_cyrillic"),
+          sum(col("n_cjk")).as("n_cjk"),
+          sum(col("n_arabic")).as("n_arabic"),
+          sum(col("n_digit")).as("n_digit"),
+          sum(col("n_space")).as("n_space"),
+          sum(col("n_chars")).as("n_chars"))
+      val t = col("n_chars").cast("double")
+      prof.select(col("n_docs"), col("n_latin"), col("n_cyrillic"),
+        col("n_cjk"), col("n_arabic"), col("n_digit"), col("n_space"),
+        col("n_chars"),
+        graft.functions.q6(when(col("n_chars") > 0,
+          col("n_latin").cast("double") / t)).as("latin_share"),
+        graft.functions.q6(when(col("n_chars") > 0,
+          col("n_cyrillic").cast("double") / t)).as("cyrillic_share"),
+        graft.functions.q6(when(col("n_chars") > 0,
+          col("n_cjk").cast("double") / t)).as("cjk_share"))
+    }
+    streamed shouldBe batchRow
+    streamed.head._1 shouldBe 4L // docs
+    streamed.head._4 shouldBe 2L // two CJK codepoints
+    // replay safety
+    StreamingEvents.scriptMixBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", s"$tmp/stats")
+    rows(StreamingEvents.scriptMixView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
