@@ -64,6 +64,23 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // X154: Good–Turing frequency-of-frequencies — hapax token share =
+    // the unseen-mass estimate; exact integer histogram, two quantized
+    // shares, tail bucketed at r = -1.
+    "q_x154_good_turing" -> { (s, dir) =>
+      graft.text.TextStats.goodTuring(t(s, dir, "documents"),
+        "doc_id", "text", maxR = 10, shingleN = 3)
+        .orderBy(col("r"))
+    },
+
+    // X155: Zipf rank-frequency fit over the corpus vocabulary —
+    // two-phase global ranks, scaled-LONG log-log OLS; slope ≈ -1 is
+    // natural text.
+    "q_x155_zipf" -> { (s, dir) =>
+      graft.text.TextStats.zipfLawFit(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 2, shingleN = 2)
+    },
+
     // X152: rank-biased overlap between two per-source rankers (length
     // vs recency order) — the top-weighted ranker-swap comparison;
     // exact prefix overlaps, multiply-chain discounts, order-free
@@ -3357,6 +3374,73 @@ object TextQueries {
     // The greedy coverage loop unrolled to k=5 CTE steps; same
     // (gain desc, id) argmax, same covered-set anti-joins.
     "q_x151_coverage_select" -> coverageOracle(5),
+    // Same lowered token counts, same <=10 / tail(-1) binning, same
+    // quantized shares.
+    "q_x154_good_turing" ->
+      s"""WITH ${shingleCte(3)},
+        |c AS (SELECT shingle AS t, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh GROUP BY 1),
+        |b AS (SELECT CASE WHEN c <= 10 THEN c ELSE -1 END AS r,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS tt,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tn FROM b)
+        |SELECT r, n_types, n_tokens,
+        |  floor(CAST(n_types AS DOUBLE) / CAST(tt AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS type_share,
+        |  floor(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        |FROM b, tot ORDER BY r""".stripMargin,
+    // Same counts, (freq desc, token) global ranks, and the X143
+    // scaled-LONG log-log OLS moment discipline.
+    "q_x155_zipf" ->
+      s"""WITH ${shingleCte(2)},
+        |c AS (SELECT shingle AS t, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS total_tokens FROM c),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t)
+        |    AS BIGINT) AS rk FROM c WHERE c >= 2),
+        |xy AS (SELECT
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS sxy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS syy
+        |  FROM xy),
+        |d AS (SELECT tot.n_types, tot.total_tokens, a.n,
+        |    CAST(a.n AS DOUBLE) * (CAST(a.sxy AS DOUBLE) / 1e18)
+        |      - (CAST(a.sx AS DOUBLE) / 1e9)
+        |        * (CAST(a.sy AS DOUBLE) / 1e9) AS num,
+        |    CAST(a.n AS DOUBLE) * (CAST(a.sxx AS DOUBLE) / 1e18)
+        |      - (CAST(a.sx AS DOUBLE) / 1e9)
+        |        * (CAST(a.sx AS DOUBLE) / 1e9) AS vx,
+        |    CAST(a.n AS DOUBLE) * (CAST(a.syy AS DOUBLE) / 1e18)
+        |      - (CAST(a.sy AS DOUBLE) / 1e9)
+        |        * (CAST(a.sy AS DOUBLE) / 1e9) AS vy,
+        |    CAST(a.sx AS DOUBLE) / 1e9 AS sxd,
+        |    CAST(a.sy AS DOUBLE) / 1e9 AS syd
+        |  FROM a, tot)
+        |SELECT n_types, total_tokens,
+        |  CASE WHEN n > 1 AND vx > 0 THEN
+        |    floor(num / vx * 1000000.0 + 0.5) / 1000000.0 END AS slope,
+        |  CASE WHEN n > 1 AND vx > 0 THEN
+        |    floor((syd - (num / vx) * sxd) / CAST(n AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS intercept_ln,
+        |  CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN
+        |    floor(num * num / (vx * vy) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS r2
+        |FROM d""".stripMargin,
     // Same two window rankers, same depth grid, the same IEEE multiply
     // chain for p^(d-1) (libm pow is not cross-engine bit-stable).
     "q_x152_rbo" ->

@@ -338,6 +338,108 @@ object TextStats {
         num * num / (vx * vy))).as("r2"))
   }
 
+  /** Corpus type counts at word (shingleN = 1) or n-gram grain — the
+    * shared front of [[goodTuring]] and [[zipfLawFit]]: real pipelines
+    * run frequency-spectrum diagnostics over n-grams when the word
+    * vocabulary is small or templated. */
+  private def typeCounts(df: DataFrame, textCol: String,
+      shingleN: Int): DataFrame = {
+    val toks =
+      if (shingleN == 1)
+        df.select(explode(split(lower(col(textCol)), "\\s+")).as("__t"))
+          .filter(col("__t") =!= "")
+      else
+        df.select(explode(
+          graft.text.Dedup.shingles(col(textCol), shingleN)).as("__t"))
+    toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** X154: GOOD–TURING FREQUENCY-OF-FREQUENCIES — the "how much of
+    * the distribution is still unseen" estimate (Good 1953, public
+    * knowledge): N_r = number of token TYPES occurring exactly r
+    * times; the Good–Turing unseen-probability mass is N_1/N (the
+    * hapax share of tokens), the number every smoothing scheme (and
+    * every "have we crawled enough" decision) starts from. Output one
+    * row per r in 1..maxR plus a tail row at r = −1 (the "> maxR"
+    * sentinel): (r, n_types, n_tokens, type_share, token_share) —
+    * token_share at r = 1 IS the unseen-mass estimate. Two aggregates
+    * (type counts → count histogram), everything exact integers until
+    * two quantized divisions; `shingleN` > 1 counts n-gram types
+    * (via [[typeCounts]]). */
+  def goodTuring(df: DataFrame, idCol: String, textCol: String,
+      maxR: Int = 10, shingleN: Int = 1): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val counts = typeCounts(df, textCol, shingleN)
+    val binned = counts
+      .withColumn("r",
+        when(col("__c") <= maxR, col("__c")).otherwise(lit(-1L)))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__c")).as("n_tokens"))
+    val tot = binned.agg(sum(col("n_types")).as("__tt"),
+      sum(col("n_tokens")).as("__tn"))
+    import graft.functions.q6
+    binned.crossJoin(broadcast(tot))
+      .select(col("r"), col("n_types"), col("n_tokens"),
+        q6(col("n_types").cast("double") / col("__tt").cast("double"))
+          .as("type_share"),
+        q6(col("n_tokens").cast("double") / col("__tn").cast("double"))
+          .as("token_share"))
+  }
+
+  /** X155: ZIPF RANK-FREQUENCY FIT — the other half of the corpus
+    * power-law dashboard next to Heaps (X143): token frequency vs
+    * frequency rank on log-log axes, slope ≈ −1 for natural text
+    * (Zipf 1949, public knowledge); a much flatter slope flags
+    * boilerplate/template corpora, a much steeper one flags id-like
+    * unbounded vocabularies. Ranks come from the two-phase
+    * [[graft.relational.Ranks.globalRank]] on (freq desc, token) — no
+    * global-order window at any vocabulary size — and the log-log OLS
+    * runs the X143 discipline verbatim: ln values floor-scaled to 1e9
+    * LONGs, DECIMAL(38,0) moment sums (order-free), fixed IEEE trees,
+    * quantized-6. `minCount` drops the long tail of hapax counts
+    * whose quantized-log ties would dominate the fit (explicit
+    * parameter, default 2). Output 1 row:
+    * (n_types, total_tokens, slope, intercept_ln, r2). */
+  def zipfLawFit(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, shingleN: Int = 1): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val D = "decimal(38,0)"
+    val counts = typeCounts(df, textCol, shingleN)
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("__c")).as("total_tokens"))
+    val ranked = graft.relational.Ranks.globalRank(
+      counts.filter(col("__c") >= minCount),
+      Seq(col("__c").desc, col("__t")), "__rank")
+    val xl = floor(log(col("__rank").cast("double")) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val yl = floor(log(col("__c").cast("double")) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val agg = ranked.select(xl.as("__x"), yl.as("__y")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(D)).as("__sx"),
+      sum(col("__y").cast(D)).as("__sy"),
+      sum(col("__x").cast(D) * col("__y").cast(D)).as("__sxy"),
+      sum(col("__x").cast(D) * col("__x").cast(D)).as("__sxx"),
+      sum(col("__y").cast(D) * col("__y").cast(D)).as("__syy"))
+    val n = col("__n").cast("double")
+    def d9(c: String) = col(c).cast("double") / lit(1e9)
+    def d18(c: String) = col(c).cast("double") / lit(1e18)
+    val num = n * d18("__sxy") - d9("__sx") * d9("__sy")
+    val vx = n * d18("__sxx") - d9("__sx") * d9("__sx")
+    val vy = n * d18("__syy") - d9("__sy") * d9("__sy")
+    val slope = num / vx
+    val icept = (d9("__sy") - slope * d9("__sx")) / n
+    import graft.functions.q6
+    agg.crossJoin(broadcast(totals)).select(
+      col("n_types"), col("total_tokens"),
+      q6(when(col("__n") > 1 && vx > 0, slope)).as("slope"),
+      q6(when(col("__n") > 1 && vx > 0, icept)).as("intercept_ln"),
+      q6(when(col("__n") > 1 && vx > 0 && vy > 0,
+        num * num / (vx * vy))).as("r2"))
+  }
+
   /** X88: PMI COLLOCATIONS (Church & Hanks 1990, public knowledge) —
     * adjacent token pairs whose co-occurrence beats chance:
     * `pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )`, with p from corpus
