@@ -235,6 +235,58 @@ object Labeling {
     picked.withColumn("pick_rank", row_number().over(w))
   }
 
+  /** X156: PAIRWISE KAPPA MATRIX — Cohen's kappa for EVERY rater pair
+    * in one distributed pass (the F63 two-rater statistic run per
+    * pair would be O(R²) driver loops; here the item self-join emits
+    * all pair cells at once and ONE aggregate per pair key finishes
+    * the job) — the "which annotator disagrees with everyone"
+    * triage view a labeling campaign reads before re-training anyone.
+    * Same exactness as F63: BIGINT agreement counts, the pe numerator
+    * a DECIMAL(38,0) sum of DECIMAL(19,0) marginal products, fixed
+    * IEEE trees quantized-6, kappa NULL at pe = 1. Pairs are oriented
+    * rater_a < rater_b (string order) so each pair appears once.
+    * Plan: one item-keyed self-join (items bound the fan-out: a panel
+    * of R raters emits R(R−1)/2 rows per item — R is people, not
+    * data), one (pair, label-pair) cell aggregate, label-alphabet-
+    * bounded marginal joins. Output: one row per rater pair —
+    * (rater_a, rater_b, n_items, n_agree, po, pe, kappa). */
+  def pairwiseKappa(annotations: DataFrame, item: Column, rater: Column,
+      label: Column): DataFrame = {
+    val votes = annotations.filter(label.isNotNull)
+      .select(item.as("__i"), rater.as("__r"), label.as("__l"))
+    requireOneVotePerRater(votes, "pairwiseKappa")
+    val pairs = votes.as("a").join(votes.as("b"),
+        col("a.__i") === col("b.__i") && col("a.__r") < col("b.__r"))
+      .select(col("a.__r").as("ra"), col("b.__r").as("rb"),
+        col("a.__l").as("la"), col("b.__l").as("lb"))
+    val cells = pairs.groupBy(col("ra"), col("rb"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cells.groupBy(col("ra"), col("rb"))
+      .agg(sum(col("__c")).as("n_items"),
+        coalesce(sum(when(col("la") === col("lb"), col("__c"))),
+          lit(0L)).as("n_agree"))
+    val ca = cells.groupBy(col("ra"), col("rb"), col("la").as("__l"))
+      .agg(sum(col("__c")).as("__ca"))
+    val cb = cells.groupBy(col("ra"), col("rb"), col("lb").as("__l"))
+      .agg(sum(col("__c")).as("__cb"))
+    val peNum = ca.join(cb, Seq("ra", "rb", "__l"))
+      .groupBy(col("ra"), col("rb"))
+      .agg(coalesce(sum((col("__ca").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+        .as("__pe"))
+    val nD = col("n_items").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = col("__pe").cast("double") / (nD * nD)
+    tot.join(peNum, Seq("ra", "rb"))
+      .select(col("ra").as("rater_a"), col("rb").as("rater_b"),
+        col("n_items"), col("n_agree"),
+        q6(when(col("n_items") > 0, po)).as("po"),
+        q6(when(col("n_items") > 0, pe)).as("pe"),
+        q6(when(col("n_items") > 0 && pe < 1.0,
+          (po - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
   /** X153: CONFIDENT-LEARNING JOINT ESTIMATE (Northcutt, Jiang &
     * Chuang 2021, public knowledge) — the label-noise census that
     * turns "model disagrees with label" into a calibrated (given,

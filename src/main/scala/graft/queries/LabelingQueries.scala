@@ -95,6 +95,14 @@ object LabelingQueries {
         col("doc_id"), col("rater"), col("label"))
     },
 
+    // X156: the full pairwise kappa matrix over the 3-rater panel in
+    // one distributed pass — the "who disagrees with everyone" triage.
+    "q_x156_pairwise_kappa" -> { (s, dir) =>
+      Labeling.pairwiseKappa(annotations(t(s, dir, "documents")),
+        col("doc_id"), col("rater"), col("label"))
+        .orderBy(col("rater_a"), col("rater_b"))
+    },
+
     // X153: confident-learning joint over hash-synthesized class
     // probabilities — per-class confidence thresholds, qualified
     // argmax, unconfident rows reported; the (given, suggested)
@@ -256,6 +264,47 @@ object LabelingQueries {
          |    THEN floor((p_bar - p_e) / (1.0 - p_e) * 1000000.0 + 0.5)
          |      / 1000000.0 END AS kappa
          |FROM d""".stripMargin,
+
+    // Same item self-join pair cells, same DECIMAL pe numerators per
+    // pair, same fixed IEEE po/pe/kappa trees.
+    "q_x156_pairwise_kappa" ->
+      s"""WITH $annSql,
+         |pr AS (SELECT a.rater AS ra, b.rater AS rb,
+         |    a.label AS la, b.label AS lb
+         |  FROM ann a JOIN ann b
+         |    ON a.doc_id = b.doc_id AND a.rater < b.rater),
+         |cells AS (SELECT ra, rb, la, lb,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT ra, rb, CAST(sum(c) AS BIGINT) AS n_items,
+         |    coalesce(CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END)
+         |      AS BIGINT), 0) AS n_agree
+         |  FROM cells GROUP BY 1, 2),
+         |ca AS (SELECT ra, rb, la AS l, CAST(sum(c) AS BIGINT) AS ca
+         |  FROM cells GROUP BY 1, 2, 3),
+         |cb AS (SELECT ra, rb, lb AS l, CAST(sum(c) AS BIGINT) AS cb
+         |  FROM cells GROUP BY 1, 2, 3),
+         |pe AS (SELECT ra, rb,
+         |    coalesce(sum(CAST(CAST(ca AS DECIMAL(19,0))
+         |      * CAST(cb AS DECIMAL(19,0)) AS DECIMAL(38,0))),
+         |      CAST(0 AS DECIMAL(38,0))) AS s
+         |  FROM ca JOIN cb USING (ra, rb, l) GROUP BY 1, 2),
+         |d AS (SELECT t.ra, t.rb, t.n_items, t.n_agree,
+         |    CAST(t.n_agree AS DOUBLE) / CAST(t.n_items AS DOUBLE)
+         |      AS po,
+         |    CAST(pe.s AS DOUBLE)
+         |      / (CAST(t.n_items AS DOUBLE) * CAST(t.n_items AS DOUBLE))
+         |      AS pe
+         |  FROM tot t JOIN pe USING (ra, rb))
+         |SELECT ra AS rater_a, rb AS rater_b, n_items, n_agree,
+         |  CASE WHEN n_items > 0
+         |    THEN floor(po * 1000000.0 + 0.5) / 1000000.0 END AS po,
+         |  CASE WHEN n_items > 0
+         |    THEN floor(pe * 1000000.0 + 0.5) / 1000000.0 END AS pe,
+         |  CASE WHEN n_items > 0 AND pe < 1.0
+         |    THEN floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5)
+         |      / 1000000.0 END AS kappa
+         |FROM d ORDER BY rater_a, rater_b""".stripMargin,
 
     // Same hash-synthesized probabilities, same scaled-LONG threshold
     // means, same qualified argmax with (p desc, class) tie-break.

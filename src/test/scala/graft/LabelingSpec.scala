@@ -49,6 +49,41 @@ class LabelingSpec extends SparkSpec {
     ex.getMessage should include("votes")
   }
 
+  it should "agree with cohenKappa on every pair of a 3-rater panel" in {
+    val votes = (1 to 30).flatMap { i =>
+      Seq((i, "A", s"l${i % 3}"), (i, "B", s"l${(i + 1) % 3}"),
+        (i, "C", s"l${(i * 2) % 3}"))
+    }
+    val df = votes.toDF("item", "rater", "label")
+    val matrix = graft.ml.Labeling.pairwiseKappa(df, col("item"),
+        col("rater"), col("label"))
+      .orderBy(col("rater_a"), col("rater_b"))
+      .as[(String, String, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    matrix.map(m => (m._1, m._2)).toSeq shouldBe
+      Seq(("A", "B"), ("A", "C"), ("B", "C"))
+    for ((ra, rb) <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val single = graft.ml.Labeling.cohenKappa(df, col("item"),
+          col("rater"), col("label"), ra, rb)
+        .as[(Long, Long, Double, Double, Double)].collect().head
+      val m = matrix.find(x => x._1 == ra && x._2 == rb).get
+      (m._3, m._4, m._5, m._6, m._7.get) shouldBe single
+    }
+  }
+
+  it should "orient pairs once and handle a rater missing some items" in {
+    val votes = Seq((1, "A", "x"), (1, "B", "x"), (2, "A", "y"),
+      (2, "B", "x"), (3, "A", "x")) // C absent; item 3 has no pair
+    val r = graft.ml.Labeling.pairwiseKappa(
+        votes.toDF("item", "rater", "label"),
+        col("item"), col("rater"), col("label"))
+      .as[(String, String, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    r.length shouldBe 1
+    r.head._3 shouldBe 2L // only paired items count
+    r.head._4 shouldBe 1L
+  }
+
   it should "build the hand-computed confident joint with threshold gating" in {
     // classes x/y over 4 docs; given labels: d1,d2 -> x; d3,d4 -> y
     // p_x: d1 .9, d2 .8, d3 .3, d4 .1 ; p_y = 1 - p_x
