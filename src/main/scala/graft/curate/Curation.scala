@@ -808,27 +808,35 @@ object Curation {
     * 1−1/e guarantee, public knowledge), the shape behind
     * representative-subset selection for eval sets, prompt banks and
     * dedup seed choices. Iteration i computes every candidate's
-    * MARGINAL gain — its shingles not yet covered — as one
-    * anti-join + count aggregate, takes the argmax (gain desc, id asc
-    * — deterministic), and unions the winner's shingles into the
-    * covered relation. k driver iterations of one keyed shuffle each —
-    * the textbook pass lower bound without sketches; only the 1-row
-    * argmax ever reaches the driver, and the covered set stays a
-    * DISTRIBUTED relation (at 100 TB it is billions of shingles — it
-    * must never be a broadcast or a driver set). Stops early when no
-    * candidate adds coverage (gain 0 picks nothing — selection quality
-    * would be fiction). Output: (pick_rank, id, gain, covered_total). */
+    * MARGINAL gain — its shingles not yet covered — and takes the
+    * argmax (gain desc, id asc — deterministic). The uncovered state
+    * is kept as a SHRINKING `remaining` (__id, __sh) relation: each
+    * winner's still-uncovered shingle set (exactly its marginal-gain
+    * rows, bounded by ONE document's size, so broadcast-able at any
+    * corpus scale) is anti-joined away, which also retires the winner
+    * itself (its rows all vanish) and any fully-covered candidate —
+    * no growing covered set, no union+distinct shuffle, no picked-id
+    * filter. k driver iterations of one count-aggregate shuffle plus
+    * one broadcast anti-join each — the textbook pass lower bound
+    * without sketches; only the 1-row argmax ever reaches the driver,
+    * and `remaining` stays a DISTRIBUTED relation (at 100 TB it is
+    * billions of shingles — never a driver set). Stops early when no
+    * candidate adds coverage (an exhausted corpus has zero remaining
+    * rows — selection quality would be fiction). Output: (pick_rank,
+    * id, gain, covered_total). */
   def greedyCoverageSelect(df: DataFrame, idCol: String,
       textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = graft.util.Caches.persistTracked(
+    // (id, sh) pairs are unique after a PER-DOC array_distinct — ids
+    // differ across docs, so a global distinct() would dedup exactly the
+    // same rows while paying a full shuffle of every shingle string.
+    var remaining = graft.util.Caches.persistTracked(
       df.select(col(idCol).cast("long").as("__id"),
-          explode(graft.text.Dedup.shingles(col(textCol), shingleN))
-            .as("__sh"))
-        .distinct())
-    var covered: Option[DataFrame] = None
+          explode(array_distinct(
+            graft.text.Dedup.shingles(col(textCol), shingleN)))
+            .as("__sh")))
     var prev: Option[DataFrame] = None
     val picks =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
@@ -836,28 +844,23 @@ object Curation {
     var i = 1
     var done = false
     while (i <= k && !done) {
-      val remaining = covered match {
-        case None => sh
-        case Some(c) => sh.join(c, Seq("__sh"), "left_anti")
-      }
+      // A doc whose shingles are all covered has no remaining rows, so
+      // gain-0 candidates (and past winners) never appear in the agg.
       val top = remaining
-        .filter(!col("__id").isInCollection(
-          if (picks.isEmpty) Seq(-1L) else picks.map(_._2).toSeq))
         .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
         .orderBy(col("__gain").desc, col("__id"))
         .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(1) == 0L) done = true
+      if (top.isEmpty) done = true
       else {
         val id = top(0).getLong(0); val gain = top(0).getLong(1)
         total += gain
         picks += ((i, id, gain, total))
+        val winnerSh = remaining.filter(col("__id") === id).select(col("__sh"))
         val next = graft.util.Caches.persistTracked(
-          covered.map(_.union(sh.filter(col("__id") === id)
-              .select(col("__sh"))).distinct())
-            .getOrElse(sh.filter(col("__id") === id).select(col("__sh"))))
+          remaining.join(broadcast(winnerSh), Seq("__sh"), "left_anti"))
         prev.foreach(_.unpersist())
-        prev = covered
-        covered = Some(next)
+        prev = Some(remaining)
+        remaining = next
       }
       i += 1
     }
