@@ -3323,15 +3323,14 @@ object TextQueries {
          |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0 AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // Token-multiset copy expansion (range(1, tf+1), chr(1) separator),
-    // then the identical 16-lane sig / 4-band / agreement chain.
+    // Shingle-multiset copy expansion (range(1, tf+1), chr(1)
+    // separator) over the same 3-shingles as q_x2, then the identical
+    // 16-lane sig / 4-band / agreement chain.
     "q_x146_weighted_minhash" ->
-      s"""WITH toksw AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-         |  FROM documents),
-         |tfw AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-         |  FROM toksw GROUP BY 1, 2),
+      s"""WITH ${shingleCte(3)},
+         |tfw AS (SELECT doc_id, shingle AS tok,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM sh GROUP BY 1, 2),
          |cpw AS (SELECT doc_id, tok,
          |    unnest(generate_series(1, c)) AS j
          |  FROM tfw),

@@ -112,30 +112,62 @@ object Dedup {
     mins.toSeq
   }
 
-  /** Weighted-minhash signature over a token MULTISET via the classic
-    * integer-weight reduction (Gollapudi & Panigrahi 2006, public
-    * knowledge): the j-th copy of token t hashes as md5(t ⊕ 0x01 ⊕ j),
-    * so two documents' signature agreement estimates the WEIGHTED
-    * Jaccard Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) — the right
-    * near-dup measure when repetition matters (boilerplate-heavy and
-    * template pages differ precisely in their token frequencies, which
-    * set-Jaccard flattens to 1). Per-token work is O(tf); `maxTf`
-    * caps it as an EXPLICIT opt-in (default uncapped — a binding cap
-    * changes the estimated measure, so it is never silent policy; the
-    * Associations basket-cap lesson). */
-  private def weightedMinhashUdf(k: Int, maxTf: Int) = udf {
+  /** Weighted-minhash signature over the n-gram SHINGLE MULTISET via
+    * the classic integer-weight reduction (Gollapudi & Panigrahi 2006,
+    * public knowledge): the j-th copy of shingle t hashes as
+    * md5(t \u2295 0x01 \u2295 j), so two documents' signature agreement
+    * estimates the WEIGHTED Jaccard \u03a3 min(tf_a, tf_b) / \u03a3 max(tf_a,
+    * tf_b) \u2014 the right near-dup measure when repetition matters
+    * (boilerplate-heavy and template pages differ precisely in their
+    * frequencies, which set-Jaccard flattens to 1).
+    *
+    * Shingles, NOT unigram tokens, and it is a scale requirement, not
+    * taste: every document contains the common words, so over unigram
+    * multisets the globally-minimal md5(word \u2295 0x01 \u2295 1) dominates
+    * nearly every document's signature \u2014 measured on the sf0.1 corpus
+    * the 4-band buckets collapsed into near-cliques (927k candidate
+    * pairs vs 276 for the shingled set-minhash over the same 5k docs),
+    * a quadratic mega-bucket join at corpus scale. n \u2265 2 shingles are
+    * discriminative (like [[minhashWordsUdf]]) while repeated PASSAGES
+    * still raise shingle tf, which is the repetition signal the
+    * weighted measure is for; n = 1 deliberately recovers the pure
+    * token-multiset semantics (spec'd, never the near-dup default).
+    *
+    * Per-shingle work is O(tf); `maxTf` caps it as an EXPLICIT opt-in
+    * (default uncapped \u2014 a binding cap changes the estimated measure,
+    * so it is never silent policy; the Associations basket-cap
+    * lesson). Each copy digest is fed as update(prefix), update(digits)
+    * \u2014 byte-identical to md5 of the concatenated string without the
+    * per-copy string + byte-array churn. */
+  private def weightedMinhashWordsUdf(n: Int, k: Int, maxTf: Int) = udf {
     ws: Seq[String] =>
       val mins = Array.fill(k)(Long.MaxValue)
-      if (ws != null && ws.nonEmpty) {
+      if (ws != null && ws.length >= n) {
         val md = java.security.MessageDigest.getInstance("MD5")
         val tf = scala.collection.mutable.HashMap.empty[String, Int]
-        ws.foreach { w => tf.update(w, tf.getOrElse(w, 0) + 1) }
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= ws.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j))
+            j += 1
+          }
+          val s = sb.toString
+          tf.update(s, tf.getOrElse(s, 0) + 1)
+          i += 1
+        }
         tf.foreach { case (tok, c) =>
           val cap = math.min(c, maxTf)
+          val prefix = (tok + "\u0001").getBytes("UTF-8")
           var j = 1
           while (j <= cap) {
-            updateMins(mins,
-              md.digest((tok + "\u0001" + j).getBytes("UTF-8")), k)
+            md.update(prefix)
+            md.update(Integer.toString(j)
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            updateMins(mins, md.digest(), k)
             j += 1
           }
         }
@@ -461,25 +493,30 @@ object Dedup {
   }
 
   /** X146: WEIGHTED-MINHASH near-duplicate pairs — [[minhashNearDuplicates]]
-    * with the signature taken over the TOKEN MULTISET (integer-weight
-    * copy expansion, [[weightedMinhashUdf]]): agreement estimates the
-    * weighted Jaccard Σ min(tf)/Σ max(tf), so documents that share a
-    * vocabulary but differ in repetition structure (template pages,
-    * boilerplate stuffing, n-fold concatenations) separate where
-    * set-Jaccard saturates at 1. Identical plan shape: one hashing
-    * pass, banded self-join with the verify inside the join stage,
-    * ReuseExchange sharing the signature projection. Pairs are
-    * (doc_a, doc_b, n_match, est_wjaccard) with doc_a < doc_b. */
+    * with the signature taken over the n-gram SHINGLE MULTISET
+    * (integer-weight copy expansion, [[weightedMinhashWordsUdf]] — see
+    * its scaladoc for why unigram multisets mega-bucket at scale):
+    * agreement estimates the weighted Jaccard Σ min(tf)/Σ max(tf), so
+    * documents that share shingles but differ in repetition structure
+    * (template pages, boilerplate stuffing, n-fold concatenations)
+    * separate where set-Jaccard saturates at 1. Identical plan shape:
+    * one hashing pass, banded self-join with the verify inside the
+    * join stage, ReuseExchange sharing the signature projection.
+    * `shingleN = 1` recovers pure token-multiset semantics (for
+    * property tests; degenerate as a corpus-scale near-dup gate).
+    * Pairs are (doc_a, doc_b, n_match, est_wjaccard), doc_a < doc_b. */
   def weightedMinhashNearDuplicates(df: DataFrame, idCol: String,
-      textCol: String, k: Int = 16, bands: Int = 4, minMatch: Int = 8,
-      maxTf: Int = Int.MaxValue): DataFrame = {
+      textCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minMatch: Int = 8, maxTf: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
     require(maxTf >= 1, s"maxTf must be >= 1, got $maxTf")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     val sig = df
-      .filter(size(words(col(textCol))) >= 1)
+      .filter(size(words(col(textCol))) >= shingleN)
       .select(col(idCol).as("doc_id"),
-        weightedMinhashUdf(k, maxTf)(words(col(textCol))).as("sig"))
+        weightedMinhashWordsUdf(shingleN, k, maxTf)(words(col(textCol)))
+          .as("sig"))
     val banded = bandedSig(sig, "sig", bands, rows)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -48,8 +48,11 @@ class WeightedDedupAlphaSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha beta beta gamma gamma gamma"),
       (2L, "gamma beta gamma alpha gamma beta")).toDF("doc_id", "text")
+    // shingleN = 1: the pure token-multiset semantics this property is
+    // about (n-gram shingles are order-sensitive by design)
     val pairs = graft.text.Dedup.weightedMinhashNearDuplicates(
-      docs, "doc_id", "text", k = 16, bands = 4, minMatch = 1)
+      docs, "doc_id", "text", shingleN = 1, k = 16, bands = 4,
+      minMatch = 1)
       .as[(Long, Long, Long, Double)].collect()
     pairs.length shouldBe 1
     pairs.head._3 shouldBe 16L
@@ -78,7 +81,8 @@ class WeightedDedupAlphaSpec extends SparkSpec {
     val docs = Seq((1L, "aa aa aa bb"), (2L, "aa bb"))
       .toDF("doc_id", "text")
     val pairs = graft.text.Dedup.weightedMinhashNearDuplicates(
-      docs, "doc_id", "text", k = 16, bands = 4, minMatch = 1, maxTf = 1)
+      docs, "doc_id", "text", shingleN = 1, k = 16, bands = 4,
+      minMatch = 1, maxTf = 1)
       .as[(Long, Long, Long, Double)].collect()
     pairs.length shouldBe 1
     pairs.head._3 shouldBe 16L // identical token SETS -> identical sigs
