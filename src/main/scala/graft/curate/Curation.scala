@@ -869,4 +869,74 @@ object Curation {
       .select(col("pick_rank").cast("long"), col("id"), col("gain"),
         col("covered_total"))
   }
+
+  /** X159: IPF / RAKING cell weights toward UNIFORM marginals
+    * (iterative proportional fitting — Deming & Stephan 1940, public
+    * knowledge; "raking" in survey statistics): given two categorical
+    * attributes (e.g. lang × source), compute per-cell sampling
+    * weights whose weighted marginals approach EQUAL mass per
+    * attribute value — the corpus-balancing step run before X46-style
+    * mixing when a crawl over-represents one language or one source.
+    * Iteration t alternates a row step (scale every cell so each
+    * rowCol value carries total/n_rows mass) and a column step
+    * (likewise for colCol); IPF converges geometrically on strictly
+    * positive tables.
+    *
+    * Exact integer arithmetic end to end, which is what makes it
+    * cross-engine reproducible: weights live as `scale`-scaled BigInt
+    * (w₀ = n·scale), each step is w ← ⌊w·W / (v·rowsum)⌋ with W the
+    * current total and v the attribute cardinality — multiply before
+    * divide, one floor division, no doubles anywhere. The uniform
+    * target share 1/v stays a RATIONAL inside the division instead of
+    * a rounded ppm constant.
+    *
+    * Scale: raking marginals are low-cardinality BY DEFINITION (you
+    * rake langs and sources, not doc ids) — the cell table is
+    * v_row·v_col rows, collected to the driver like the k-bounded
+    * centroid tables (`ann/Similarity` discipline), iterated exactly,
+    * and returned as a local relation to broadcast-join downstream.
+    * The only distributed work is the ONE map-side-combined cell
+    * count. `maxCells` fails loud if someone rakes a high-cardinality
+    * attribute. Output: (row_val, col_val, n, weight_scaled) with
+    * weight_scaled/scale the multiplicative cell weight. */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+      iterations: Int = 3, scale: Long = 1000000L,
+      maxCells: Int = 100000): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells0 = df.groupBy(col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, String, Long)].collect()
+    require(cells0.length <= maxCells,
+      s"rakeWeights: ${cells0.length} cells exceed maxCells=$maxCells " +
+        "- raking is for low-cardinality marginals")
+    require(cells0.nonEmpty, "rakeWeights: empty input")
+    var w = cells0.map { case (r, c, n) =>
+      (r, c, n, BigInt(n) * scale)
+    }
+    val nRows = w.map(_._1).distinct.length
+    val nCols = w.map(_._2).distinct.length
+    def step(key: ((String, String, Long, BigInt)) => String,
+        v: Int): Unit = {
+      val total = w.map(_._4).sum
+      val sums = w.groupBy(key).map { case (k2, xs) =>
+        k2 -> xs.map(_._4).sum
+      }
+      w = w.map { case t @ (r, c, n, x) =>
+        val s = sums(key(t))
+        (r, c, n, if (s == 0) x else x * total / (BigInt(v) * s))
+      }
+    }
+    (1 to iterations).foreach { _ =>
+      step(_._1, nRows)
+      step(_._2, nCols)
+    }
+    w.toSeq.map { case (r, c, n, x) => (r, c, n, x.toLong) }
+      .toDF("__r", "__c", "n", "weight_scaled")
+      .select(col("__r").as(rowCol), col("__c").as(colCol), col("n"),
+        col("weight_scaled"))
+  }
 }

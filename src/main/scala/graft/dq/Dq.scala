@@ -186,6 +186,50 @@ object Dq {
     m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** D24: L-DIVERSITY report — the companion release audit to [[kAnonymityRisk]]
+    * (Machanavajjhala 2007, public knowledge): k-anonymity bounds
+    * group SIZE, but a size-50 (lang, source) group whose sensitive
+    * attribute is constant still leaks it for every member — distinct
+    * l-diversity requires each quasi-identifier group to carry at
+    * least l DISTINCT sensitive values. For each candidate l: how
+    * many groups fall below it and how many rows sit in them.
+    *
+    * Exact counts: one map-side-combined groupBy over (quasi cols,
+    * sensitive) — the distinct pre-aggregate — then a group-table
+    * rollup; per-l sums assembled in a single aggregate by the D14
+    * literal-indexed struct-explode pattern. NULL sensitive values
+    * count as one value (a group of all-NULL sensitives is diversity
+    * 1 — maximally leaky — not diversity 0). Everything after the
+    * first aggregate is group-table-sized. Output: one row per l —
+    * (l, n_rows, n_groups, n_low_groups, n_rows_at_risk, risk_rate). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, ls: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: no quasi-identifiers")
+    require(ls.nonEmpty, "lDiversity: no l values")
+    ls.foreach(l => require(l >= 2, s"l must be >= 2, got $l"))
+    // distinct pre-aggregate: (quasi, sensitive) cells with row counts —
+    // one shuffle; the exact-distinct count is then a cell-table count
+    val cells = df.groupBy(
+        (quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__nd"), sum(col("__c")).as("__n"))
+    val aggs = Seq(count(lit(1)).as("__ng"),
+      coalesce(sum(col("__n")), lit(0L)).as("__nr")) ++
+      ls.flatMap(l => Seq(
+        sum(when(col("__nd") < l, 1L).otherwise(0L)).as(s"__lg_$l"),
+        sum(when(col("__nd") < l, col("__n")).otherwise(0L))
+          .as(s"__lr_$l")))
+    val m = groups.agg(aggs.head, aggs.tail: _*)
+    val rows = ls.map(l => struct(lit(l).as("l"),
+      col("__nr").as("n_rows"), col("__ng").as("n_groups"),
+      col(s"__lg_$l").as("n_low_groups"),
+      col(s"__lr_$l").as("n_rows_at_risk"),
+      when(col("__nr") > 0, col(s"__lr_$l").cast("double") /
+        col("__nr").cast("double")).as("risk_rate")))
+    m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** D13: REFERENTIAL-INTEGRITY sweep — orphan-FK rates for a set of
     * (child.fk → parent.pk) relationships in one report: row count,
     * NULL-FK count (NULL is "no reference", not an orphan — the SQL

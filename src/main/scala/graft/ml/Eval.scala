@@ -589,6 +589,71 @@ object Eval {
       .select(col("id"), col("day"), col("fold"), col("role"))
   }
 
+  /** F72: PURGED K-FOLD TIME-SERIES CV WITH EMBARGO (López de Prado
+    * 2018, "Advances in Financial Machine Learning" ch. 7 — public
+    * knowledge): [[rollingOriginFolds]] walks forward; this is the
+    * k-fold variant that lets every block serve as a test set while
+    * still refusing leakage. The span [min day, max day] is tiled
+    * into `folds` contiguous blocks; for fold i a row is
+    *   - `test`    when its day lies in block i;
+    *   - `purged`  when it precedes the block but its LABEL window
+    *               (day .. day + horizonDays) overlaps it — its
+    *               target was realized inside the test block, so
+    *               training on it leaks the test outcome;
+    *   - `embargo` when it lies in the `embargoDays` immediately
+    *               after the block — serial correlation lets
+    *               just-after rows carry test information backward;
+    *   - `train`   otherwise.
+    *
+    * Deterministic: block edges are pure integer date arithmetic from
+    * the broadcast 1-row bounds (edge_i = mn + floor(i·span/k) days,
+    * so blocks tile exactly and re-runs reproduce); every role is an
+    * exact date comparison — no RNG, no state. Fails loud when the
+    * span has fewer days than `folds`. Scale: a ×folds fan-out of
+    * (id, day) only, one broadcast of the bounds — the E32 shape.
+    * Output: one row per (row, fold) — (id, day, fold, role). */
+  def purgedTimeSeriesFolds(df: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column, folds: Int,
+      horizonDays: Int, embargoDays: Int): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    require(horizonDays >= 0, s"horizonDays must be >= 0, got $horizonDays")
+    require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    val days = df.select(idCol.as("id"), tsCol.cast("date").as("day"))
+    val bounds = days.agg(min(col("day")).as("__mn"),
+      max(col("day")).as("__mx"))
+    val spine = days.sparkSession.range(1, folds + 1)
+      .select(col("id").cast("int").as("fold"))
+    val withBounds = days.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(spine))
+      .withColumn("__span",
+        (datediff(col("__mx"), col("__mn")) + 1).cast("long"))
+    val guarded = withBounds.withColumn("__span",
+      when(col("__span") < folds,
+        raise_error(concat(lit("purgedTimeSeriesFolds: span of "),
+          col("__span"), lit(s" days cannot fit $folds folds"))))
+        .otherwise(col("__span")))
+    // block i covers [mn + floor((i-1)*span/k), mn + floor(i*span/k))
+    val start = date_add(col("__mn"),
+      (((col("fold") - 1).cast("long") * col("__span")) / folds)
+        .cast("int"))
+    val end = date_add(col("__mn"),
+      ((col("fold").cast("long") * col("__span")) / folds).cast("int"))
+    guarded
+      .withColumn("__bs", start).withColumn("__be", end)
+      .withColumn("role",
+        when(col("day") >= col("__bs") && col("day") < col("__be"),
+          lit("test"))
+          .when(col("day") < col("__bs") &&
+            date_add(col("day"), horizonDays) >= col("__bs"),
+            lit("purged"))
+          .when(col("day") >= col("__be") &&
+            col("day") < date_add(col("__be"), embargoDays),
+            lit("embargo"))
+          .otherwise(lit("train")))
+      .select(col("id"), col("day"), col("fold"), col("role"))
+  }
+
   /** F37: ISOTONIC CALIBRATION (pool-adjacent-violators fit) over
     * score buckets — the non-parametric monotone score→probability
     * map (Zadrozny & Elkan 2002; Robertson et al. 1988). PAV is

@@ -662,6 +662,14 @@ object DqQueries {
         .orderBy(col("k"))
     },
 
+    // D24: l-diversity — per source group (quasi-identifier), distinct
+    // langs (sensitive) vs l in {2,3}; exact counts, one pass.
+    "q_d24_l_diversity" -> { (s, dir) =>
+      graft.dq.Dq.lDiversity(t(s, dir, "documents"),
+        Seq("source"), "lang")
+        .orderBy(col("l"))
+    },
+
     // D13: referential-integrity sweep — orphan-FK rates for the star
     // relationships in one report; exact counts, one division each.
     "q_d13_referential" -> { (s, dir) =>
@@ -2805,6 +2813,29 @@ object DqQueries {
         |FROM dev JOIN mad ON mad.g = dev.event_type
         |ORDER BY dev.event_type, id""".stripMargin,
     // Same one-pass group-size sums per k.
+    // Distinct pre-aggregate on (source, lang), group rollup, per-l
+    // sums — the d14 shape with the sensitive-distinct count inside.
+    "q_d24_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |per AS (
+        |  SELECT l.l, CAST(sum(g.n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN g.nd < l.l THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_low_groups,
+        |    CAST(sum(CASE WHEN g.nd < l.l THEN g.n ELSE 0 END)
+        |      AS BIGINT) AS n_rows_at_risk
+        |  FROM (VALUES (2), (3)) AS l(l), g
+        |  GROUP BY l.l)
+        |SELECT l, n_rows, n_groups, n_low_groups, n_rows_at_risk,
+        |  CASE WHEN n_rows > 0 THEN CAST(n_rows_at_risk AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) END AS risk_rate
+        |FROM per ORDER BY l""".stripMargin,
     "q_d14_k_anonymity" ->
       """WITH s AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c

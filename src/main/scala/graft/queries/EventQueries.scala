@@ -208,6 +208,31 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // F72: purged k-fold time-series CV with embargo — 4 contiguous
+    // blocks tiling the event span; 2-day label-horizon purge before
+    // each test block, 2-day embargo after; per-fold role counts +
+    // test-block boundary dates.
+    "q_f72_purged_folds" -> { (s, dir) =>
+      graft.ml.Eval.purgedTimeSeriesFolds(t(s, dir, "events"),
+        col("event_id"), col("ts"), folds = 4, horizonDays = 2,
+        embargoDays = 2)
+        .groupBy(col("fold"))
+        .agg(
+          sum(when(col("role") === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("role") === "test", 1L).otherwise(0L))
+            .as("n_test"),
+          sum(when(col("role") === "purged", 1L).otherwise(0L))
+            .as("n_purged"),
+          sum(when(col("role") === "embargo", 1L).otherwise(0L))
+            .as("n_embargo"),
+          date_format(min(when(col("role") === "test", col("day"))),
+            "yyyy-MM-dd").as("test_start"),
+          date_format(max(when(col("role") === "test", col("day"))),
+            "yyyy-MM-dd").as("test_end"))
+        .orderBy(col("fold"))
+    },
+
     // E32: rolling-origin backtest manifest — 3 folds x 7-day test
     // horizons tiling the end of the event span; per-fold counts and
     // boundary dates.
@@ -1055,6 +1080,40 @@ object EventQueries {
         |ORDER BY 1, 2""".stripMargin,
     // Same exact date grid: cutoff_i = min + (span - folds*H) +
     // (i-1)*H; train < cutoff <= test < cutoff + H.
+    // Same integer block-edge arithmetic (mn + floor(i*span/k) days),
+    // same exact date comparisons for the four roles.
+    "q_f72_purged_folds" ->
+      """WITH d AS (SELECT event_id AS id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx,
+        |    date_diff('day', min(day), max(day)) + 1 AS span FROM d),
+        |sp AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS fold),
+        |a AS (SELECT d.id, d.day, sp.fold,
+        |    b.mn + CAST((CAST(sp.fold - 1 AS BIGINT) * b.span) // 4
+        |      AS INTEGER) AS bs,
+        |    b.mn + CAST((CAST(sp.fold AS BIGINT) * b.span) // 4
+        |      AS INTEGER) AS be
+        |  FROM d, b, sp),
+        |r AS (SELECT id, day, fold,
+        |    CASE WHEN day >= bs AND day < be THEN 'test'
+        |         WHEN day < bs AND day + 2 >= bs THEN 'purged'
+        |         WHEN day >= be AND day < be + 2 THEN 'embargo'
+        |         ELSE 'train' END AS role
+        |  FROM a)
+        |SELECT fold,
+        |  CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purged,
+        |  CAST(sum(CASE WHEN role = 'embargo' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_embargo,
+        |  strftime(min(CASE WHEN role = 'test' THEN day END),
+        |    '%Y-%m-%d') AS test_start,
+        |  strftime(max(CASE WHEN role = 'test' THEN day END),
+        |    '%Y-%m-%d') AS test_end
+        |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
     "q_e32_backtest_folds" ->
       """WITH d AS (SELECT event_id AS id, CAST(ts AS DATE) AS day
         |           FROM events),

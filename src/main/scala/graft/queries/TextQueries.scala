@@ -109,6 +109,30 @@ object TextQueries {
         .orderBy(col("pick_rank"))
     },
 
+    // X157: LSH band-plan S-curves for a 16-lane signature — the
+    // (bands, rows) tuning table; explicit multiply chains, exact
+    // i/20 grid, configuration-sized, no data scan.
+    "q_x157_lsh_plan" -> { (s, dir) =>
+      Dedup.lshBandPlan(s, k = 16, bandOptions = Seq(1, 2, 4, 8, 16))
+        .orderBy(col("bands"), col("j"))
+    },
+
+    // X158: per-doc boilerplate line share over the x45 line corpus —
+    // fraction of distinct content lines occurring in >= 3 docs.
+    "q_x158_boilerplate_share" -> { (s, dir) =>
+      Dedup.boilerplateShare(lineCorpus(t(s, dir, "documents")),
+        "doc_id", "text", minDocs = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // X159: IPF raking weights toward uniform lang x source marginals
+    // — exact scaled-BigInt cell iteration, 3 rounds.
+    "q_x159_rake_weights" -> { (s, dir) =>
+      graft.curate.Curation.rakeWeights(t(s, dir, "documents"),
+        "lang", "source", iterations = 3)
+        .orderBy(col("lang"), col("source"))
+    },
+
     // X150: IBAN mod-97 validation over planted account numbers —
     // every 23rd doc carries a valid IBAN, every 29th a tampered one;
     // the ISO 7064 checksum (not the regex) separates them.
@@ -1409,6 +1433,24 @@ object TextQueries {
     * every 3rd doc, and doc (i+17)'s text as a trailing line. The corpus
     * then has blank lines, one ~n/3-times-repeated boilerplate line (the
     * skew case), and cross-doc content-line duplicates. */
+  /** q_x157 oracle: the same explicit left-assoc multiply chains as
+    * the Column tree, spelled out per (bands, rows) branch — SQL's
+    * `j * j * j` parses left-associative exactly like the foldLeft. */
+  private def lshPlanOracle(k: Int, bandOptions: Seq[Int],
+      steps: Int): String = {
+    val branches = bandOptions.map { b =>
+      val r = k / b
+      val jr = Seq.fill(r)("j").mkString(" * ")
+      val missB = Seq.fill(b)("(1.0 - jr)").mkString(" * ")
+      s"""SELECT $b AS bands, $r AS rows_per_band, j,
+         |  1.0 - ($missB) AS p_candidate
+         |FROM (SELECT j, ($jr) AS jr
+         |      FROM (SELECT CAST(i AS DOUBLE) / $steps.0 AS j
+         |            FROM range(1, $steps) AS t(i)))""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY bands, j")
+  }
+
   private def lineCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val nxt = base.select((col("doc_id") - 17).as("doc_id"),
@@ -3323,6 +3365,75 @@ object TextQueries {
          |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0 AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Literal multiply chains per (b, r) branch; exact i/20 grid.
+    "q_x157_lsh_plan" ->
+      lshPlanOracle(16, Seq(1, 2, 4, 8, 16), 20),
+    // Same x45 fixture corpus, distinct (doc, trim-hash) lines,
+    // frequency join, exact-count share division.
+    "q_x158_boilerplate_share" ->
+      """WITH fix AS (
+        |  SELECT b.doc_id,
+        |    b.text ||
+        |    CASE WHEN b.doc_id % 3 = 0
+        |      THEN chr(10) || chr(10) ||
+        |        'Copyright Example Corp - all rights reserved'
+        |      ELSE '' END ||
+        |    CASE WHEN n.text IS NULL THEN ''
+        |      ELSE chr(10) || n.text END AS text
+        |  FROM documents b
+        |  LEFT JOIN documents n ON n.doc_id = b.doc_id + 17),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), chr(10))) AS line
+        |  FROM fix),
+        |dl AS (
+        |  SELECT DISTINCT doc_id, md5(trim(line)) AS h
+        |  FROM lines WHERE trim(line) <> ''),
+        |freq AS (SELECT h, count(*) AS nd FROM dl GROUP BY 1)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(1) AS DOUBLE) AS boiler_share
+        |FROM dl JOIN freq USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The 3 row/col IPF rounds unrolled as CTEs; HUGEINT
+    // multiply-before-divide with // floor division mirrors the
+    // driver-side BigInt arithmetic exactly.
+    "q_x159_rake_weights" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS HUGEINT) * 1000000 AS w
+        |  FROM documents GROUP BY 1, 2),
+        |dims AS (SELECT CAST(count(DISTINCT lang) AS HUGEINT) AS vr,
+        |    CAST(count(DISTINCT source) AS HUGEINT) AS vc
+        |  FROM documents),
+        |r1 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM cells))
+        |      // (dims.vr * sum(w) OVER (PARTITION BY lang)) AS w
+        |  FROM cells, dims),
+        |c1 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM r1))
+        |      // (dims.vc * sum(w) OVER (PARTITION BY source)) AS w
+        |  FROM r1, dims),
+        |r2 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM c1))
+        |      // (dims.vr * sum(w) OVER (PARTITION BY lang)) AS w
+        |  FROM c1, dims),
+        |c2 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM r2))
+        |      // (dims.vc * sum(w) OVER (PARTITION BY source)) AS w
+        |  FROM r2, dims),
+        |r3 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM c2))
+        |      // (dims.vr * sum(w) OVER (PARTITION BY lang)) AS w
+        |  FROM c2, dims),
+        |c3 AS (SELECT lang, source, n,
+        |    (w * (SELECT sum(w) FROM r3))
+        |      // (dims.vc * sum(w) OVER (PARTITION BY source)) AS w
+        |  FROM r3, dims)
+        |SELECT lang, source, n, CAST(w AS BIGINT) AS weight_scaled
+        |FROM c3 ORDER BY lang, source""".stripMargin,
     // Shingle-multiset copy expansion (range(1, tf+1), chr(1)
     // separator) over the same 3-shingles as q_x2, then the identical
     // 16-lane sig / 4-band / agreement chain.

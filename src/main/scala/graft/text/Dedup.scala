@@ -1460,6 +1460,82 @@ object Dedup {
             when(col("keep"), struct(col("idx"), col("line"))))),
           x => x.getField("line")), "\n").as("dedup_text"))
 
+  /** X157: LSH BAND-PLAN S-CURVES — the tuning table behind every
+    * (bands, rows) choice in this file (Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" ch. 3, public knowledge): for each
+    * candidate factorization b·r = k of the signature, the probability
+    * that a pair with Jaccard similarity J becomes an LSH candidate is
+    * P(J) = 1 − (1 − J^r)^b. Emitted on an exact J grid (i/gridSteps,
+    * i = 1..gridSteps−1), this is the table an engineer reads before
+    * setting `bands` on [[minhashNearDuplicates]]: more bands → the
+    * S-curve shifts left (recall up, candidate cost up).
+    *
+    * Cross-engine determinism: J = i/gridSteps is one exact IEEE
+    * division; the powers are EXPLICIT left-fold multiply chains
+    * (((J·J)·J)… — b and r are config constants, so both the Column
+    * tree and the oracle SQL spell out the same literal chain; no
+    * libm `pow`, the X152 discipline). Configuration-sized output
+    * (|bandOptions| × gridSteps rows) computed from a `spark.range`
+    * spine — no data scan at all. Output: (bands, rows_per_band, j,
+    * p_candidate). */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+      bandOptions: Seq[Int], gridSteps: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bandOptions.nonEmpty, "lshBandPlan: no band options")
+    bandOptions.foreach(b => require(b >= 1 && k % b == 0,
+      s"bands must divide k=$k, got $b"))
+    require(gridSteps >= 2, s"gridSteps must be >= 2, got $gridSteps")
+    val grid = spark.range(1, gridSteps)
+      .select((col("id").cast("double") / gridSteps.toDouble).as("j"))
+    val perB = bandOptions.map { b =>
+      val r = k / b
+      val jr = (2 to r).foldLeft(col("j"))((acc, _) => acc * col("j"))
+      val miss = lit(1.0) - jr
+      val missB = (2 to b).foldLeft(miss)((acc, _) => acc * miss)
+      grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("j"), (lit(1.0) - missB).as("p_candidate"))
+    }
+    perB.reduce(_.unionByName(_))
+  }
+
+  /** X158: per-document BOILERPLATE LINE SHARE — the CCNet-style
+    * quality signal next to [[lineDeduplicate]]'s filter: for each
+    * document, the fraction of its DISTINCT content lines that occur
+    * in at least `minDocs` distinct documents of the corpus.
+    * Navigation chrome, cookie banners and footer text repeat across
+    * pages; a page that is MOSTLY such lines is template, not content
+    * — this is the per-doc score a curation pipeline thresholds on,
+    * where X45 only strips the repeated lines in place. Blank and
+    * whitespace-only lines are structure, not evidence (the X45
+    * convention); documents with zero content lines don't appear.
+    *
+    * 100 TB shape: the distinct (doc, line-hash) projection (one
+    * map-side-combined aggregate), the line-frequency aggregate on the
+    * hash (one row per DISTINCT line), a hash-join of the two (hot
+    * boilerplate lines are AQE-splittable probe skew; the build side
+    * is distinct-line-sized), and the per-doc rollup. No window, no
+    * pair join. The share is one k/n division of exact counts (IEEE-
+    * identical cross-engine; no rounding needed). Output: (doc_id,
+    * n_lines, n_boiler, boiler_share). */
+  def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val dl = explodedLines(df, idCol, textCol)
+      .filter(col("dedupable"))
+      .select(col("doc_id"), col("h"))
+      .distinct()
+    val freq = dl.groupBy(col("h"))
+      .agg(count(lit(1)).as("__nd"))
+    dl.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_lines").cast("double"))
+          .as("boiler_share"))
+  }
+
   /** X45 (index): the persisted-state form — (h = line trim-hash,
     * doc_id = first claimant) rows, one per distinct content line of
     * `df`. The X22/X40 index pattern at LINE grain: append-only
