@@ -1597,6 +1597,45 @@ object StreamingEvents {
       .agg(sum(col("term_freq")).as("term_freq"),
         sum(col("doc_freq")).as("doc_freq"))
 
+  /** Streaming BOILERPLATE monitor (X158 streaming): each micro-batch
+    * persists its DISTINCT (doc_id, line trim-hash) projection —
+    * [[graft.text.Dedup.docLineIndex]] — under `batch_id=N`. The
+    * line-grain index is the X158 sufficient statistic, and it merges
+    * by plain union because a document arrives in exactly ONE batch
+    * (the ingest contract every index sink here shares): the
+    * published view re-runs the exact X158 tail (line-frequency
+    * aggregate + per-doc rollup) over the union, so it equals the
+    * batch operator over everything ingested (spec-proven). The live
+    * "is the crawl drifting into template pages" dashboard. Replays
+    * overwrite their own batch directory: idempotent. */
+  def lineIndexSink(rows: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) lineIndexBatch(batch.toDF(), batchId,
+          idCol, textCol, indexDir)
+      }
+      .start()
+
+  /** One micro-batch of [[lineIndexSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def lineIndexBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String): Unit = {
+    graft.text.Dedup.docLineIndex(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[lineIndexSink]] directory: the X158
+    * per-doc boilerplate report from the unioned line index. */
+  def boilerplateView(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, minDocs: Int = 2): DataFrame =
+    graft.text.Dedup.boilerplateFromLines(
+      spark.read.parquet(indexDir).select(col("doc_id"), col("h")),
+      minDocs)
+
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)
   case class EventIn(entity: Long, eventType: String,

@@ -1518,12 +1518,24 @@ object Dedup {
     * identical cross-engine; no rounding needed). Output: (doc_id,
     * n_lines, n_boiler, boiler_share). */
   def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val dl = explodedLines(df, idCol, textCol)
+      minDocs: Int = 2): DataFrame =
+    boilerplateFromLines(docLineIndex(df, idCol, textCol), minDocs)
+
+  /** The X158 sufficient statistic: the DISTINCT (doc_id, line
+    * trim-hash) projection of a corpus — also what the streaming
+    * line-index sink persists per micro-batch (a doc arrives in one
+    * batch, so batch indexes union to exactly this relation). */
+  def docLineIndex(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    explodedLines(df, idCol, textCol)
       .filter(col("dedupable"))
       .select(col("doc_id"), col("h"))
       .distinct()
+
+  /** The X158 tail over a [[docLineIndex]]-shaped relation: line
+    * frequency aggregate, hash join, per-doc rollup. */
+  def boilerplateFromLines(dl: DataFrame, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val freq = dl.groupBy(col("h"))
       .agg(count(lit(1)).as("__nd"))
     dl.join(freq, Seq("h"))

@@ -1353,4 +1353,36 @@ class StreamingSpec extends SparkSpec {
       streamed
     graft.util.Caches.releaseAll(spark)
   }
+  it should "publish a stream-wide boilerplate report identical to X158 over the union, replay-safely" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sboil").toString
+    val b1 = Seq((1L, "unique one\ncommon footer"),
+      (2L, "unique two\ncommon footer"))
+    val b2 = Seq((3L, "unique three\ncommon footer\nother line"),
+      (4L, "   \n"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.lineIndexSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/index", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val streamed = rows(StreamingEvents.boilerplateView(spark,
+      s"$tmp/index", minDocs = 2))
+    val batch = rows(graft.text.Dedup.boilerplateShare(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", minDocs = 2))
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe Seq(1L, 2L, 3L) // doc 4 has no content
+    streamed.head._4 shouldBe 0.5 // doc 1: 1 of 2 lines is shared
+    // replay safety: re-running batch 1 rewrites its partition
+    StreamingEvents.lineIndexBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", s"$tmp/index")
+    rows(StreamingEvents.boilerplateView(spark, s"$tmp/index",
+      minDocs = 2)) shouldBe streamed
+    graft.util.Caches.releaseAll(spark)
+  }
 }
