@@ -109,6 +109,14 @@ object TextQueries {
         .orderBy(col("pick_rank"))
     },
 
+    // X160: TextRank keywords — exact integer PageRank over the
+    // adjacent-token co-occurrence graph (minLen 4, window 2); top 20
+    // by (rank desc, token).
+    "q_x160_textrank" -> { (s, dir) =>
+      graft.text.TextRank.textRankKeywords(t(s, dir, "documents"),
+        "doc_id", "text")
+    },
+
     // X157: LSH band-plan S-curves for a 16-lane signature — the
     // (bands, rows) tuning table; explicit multiply chains, exact
     // i/20 grid, configuration-sized, no data scan.
@@ -1433,6 +1441,50 @@ object TextQueries {
     * every 3rd doc, and doc (i+17)'s text as a trailing line. The corpus
     * then has blank lines, one ~n/3-times-repeated boilerplate line (the
     * skew case), and cross-doc content-line duplicates. */
+  /** q_x160 oracle: the integer-PageRank iterations unrolled as
+    * HUGEINT CTEs — every floor division (`//`) mirrors the Spark
+    * side's `div`, so the chain is exact on both engines. */
+  private val textRankOracle: String = {
+    def iter(k: Int): String = {
+      val p = s"pr${k - 1}"
+      s"""pr$k AS (
+         |  SELECT d.src AS v,
+         |    (SELECT base FROM u) + (17 * coalesce(s.c, 0)) // 20 AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr // dg.deg) AS c
+         |    FROM edges e JOIN $p p ON p.v = e.src
+         |    JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = d.src)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) AS pos,
+       |    unnest(w) AS tok
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(text), '\\s+') AS w
+       |        FROM documents)),
+       |ft AS (SELECT doc_id, pos, tok FROM toks
+       |       WHERE length(tok) >= 4),
+       |adj AS (
+       |  SELECT a.tok AS src, b.tok AS dst
+       |  FROM ft a JOIN ft b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |    AND a.tok <> b.tok),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM adj
+       |  UNION ALL SELECT dst AS src, src AS dst FROM adj)),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |u AS (SELECT 1000000000000 // n AS unit,
+       |    (3 * (1000000000000 // n)) // 20 AS base FROM nn),
+       |pr0 AS (SELECT src AS v, (SELECT unit FROM u) AS pr FROM deg),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT p.v AS token, CAST(p.pr AS BIGINT) AS rank_scaled,
+       |  d.deg AS degree
+       |FROM pr5 p JOIN deg d ON d.src = p.v
+       |ORDER BY rank_scaled DESC, token LIMIT 20""".stripMargin
+  }
+
   /** q_x157 oracle: the same explicit left-assoc multiply chains as
     * the Column tree, spelled out per (bands, rows) branch — SQL's
     * `j * j * j` parses left-associative exactly like the foldLeft. */
@@ -3365,6 +3417,9 @@ object TextQueries {
          |  floor(n_match / 16.0 * 10000.0 + 0.5) / 10000.0 AS est_jaccard
          |FROM nm WHERE n_match >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Integer-PageRank iterations unrolled; HUGEINT // floor division
+    // mirrors the Spark div chain exactly.
+    "q_x160_textrank" -> textRankOracle,
     // Literal multiply chains per (b, r) branch; exact i/20 grid.
     "q_x157_lsh_plan" ->
       lshPlanOracle(16, Seq(1, 2, 4, 8, 16), 20),
