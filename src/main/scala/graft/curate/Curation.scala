@@ -870,6 +870,34 @@ object Curation {
         col("covered_total"))
   }
 
+  /** X161: DETERMINISTIC TRAINING-ORDER MANIFEST — the epoch-level
+    * global shuffle of a training corpus as a REPRODUCIBLE relation
+    * instead of a runtime RNG: order = global rank over
+    * (md5(seed:id), id) — re-runs, re-reads and a different cluster
+    * all derive the identical order, and changing `seed` is a fresh
+    * epoch permutation (the X71/X12 seeded-hash discipline). Shards
+    * are ROUND-ROBIN over the shuffled order (shard = (order−1) mod
+    * k, position = (order−1) div k), so every shard is an unbiased
+    * interleave of the permutation — a data-parallel worker reading
+    * shard s in position order replays its slice of the global
+    * shuffle without coordination.
+    *
+    * Scale: one two-phase `Ranks.globalRank` (no global-order
+    * window); everything else is per-row integer arithmetic. Output:
+    * (id, global_order, shard, pos_in_shard). */
+  def trainingOrder(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val hashed = df.select(col(idCol).as("id"))
+      .withColumn("__h",
+        md5(concat_ws(":", lit(seed), col("id").cast("string"))))
+    graft.relational.Ranks.globalRank(hashed,
+        Seq(col("__h"), col("id")), "global_order")
+      .select(col("id"), col("global_order"),
+        ((col("global_order") - 1) % nShards).as("shard"),
+        expr(s"(global_order - 1) div $nShards").as("pos_in_shard"))
+  }
+
   /** X159: IPF / RAKING cell weights toward UNIFORM marginals
     * (iterative proportional fitting — Deming & Stephan 1940, public
     * knowledge; "raking" in survey statistics): given two categorical

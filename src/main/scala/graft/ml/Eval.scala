@@ -589,6 +589,97 @@ object Eval {
       .select(col("id"), col("day"), col("fold"), col("role"))
   }
 
+  /** F73: DELONG TEST for comparing two correlated AUCs (DeLong,
+    * DeLong & Clarke-Pearson 1988, public knowledge) — the McNemar
+    * (F27) analogue for RANKERS: model A and model B score the SAME
+    * test set, and the question is whether the AUC difference exceeds
+    * what their shared examples explain. Per-example placement values
+    * V10 (each positive's ψ-mean against all negatives) and V01
+    * estimate the AUCs; the variance of the difference combines their
+    * empirical covariance matrices: Var = (S10ᴬᴬ+S10ᴮᴮ−2S10ᴬᴮ)/m +
+    * (S01ᴬᴬ+S01ᴮᴮ−2S01ᴬᴮ)/n, z = ΔAUC/√Var.
+    *
+    * Exactness: a placement is the rational (2·below + ties)/(2n) —
+    * carried as its INTEGER numerator. Covariance numerators are the
+    * exact decimal m·(Σa²+Σb²−2Σab) − (Σa−Σb)² (DECIMAL(38,0) — the
+    * rocAuc overflow bound, ~10⁹ rows per class), and every double is
+    * produced by the same literal division/sqrt tree the oracle
+    * spells out: deterministic cross-engine (ties included — integer
+    * test scores exercise them).
+    *
+    * Scale: placements come from the per-model DISTINCT-SCORE table —
+    * counts per score, one two-phase prefix sum (`Ranks.prefixSums`,
+    * no global window), one score-keyed join back — the F69 conformal
+    * discipline; then ONE map-side-combined moment aggregate. Output:
+    * one row — (n_pos, n_neg, auc_a, auc_b, delta_auc, var_delta, z);
+    * z NULL when a class has < 2 members or Var = 0. */
+  def deLongTest(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      scoreACol: org.apache.spark.sql.Column,
+      scoreBCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val base = graft.util.Caches.persistTracked(
+      df.select(idCol.as("__id"), scoreACol.cast("double").as("__sa"),
+        scoreBCol.cast("double").as("__sb"),
+        labelCol.cast("int").as("__y")))
+    def placements(scoreCol: String, numName: String): DataFrame = {
+      val ds = base.groupBy(col(scoreCol).as("__s"))
+        .agg(sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__negAt"),
+          sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__posAt"))
+      val (pre, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+        ds, Seq(col("__s")),
+        Seq("__cumNeg" -> col("__negAt"), "__cumPos" -> col("__posAt")))
+      val m = totals(1)
+      // positives: ψ-numerator vs negatives below/tied; negatives:
+      // vs positives above/tied — both read off the same prefix row
+      val stats = pre.select(col("__s"),
+        (lit(2L) * (col("__cumNeg") - col("__negAt")) + col("__negAt"))
+          .as("__n10"),
+        (lit(2L) * (lit(m) - col("__cumPos")) + col("__posAt"))
+          .as("__n01"))
+      base.join(stats, base(scoreCol) === stats("__s"))
+        .select(col("__id"), col("__y"),
+          when(col("__y") === 1, col("__n10")).otherwise(col("__n01"))
+            .as(numName))
+    }
+    val pa = placements("__sa", "__numA")
+    val pb = placements("__sb", "__numB")
+    val joined = pa.join(pb.select(col("__id").as("__idB"),
+        col("__numB")), col("__id") === col("__idB"))
+    def mom(yv: Int, sfx: String) = Seq(
+      sum(when(col("__y") === yv, col("__numA"))).as(s"__sa$sfx"),
+      sum(when(col("__y") === yv, col("__numB"))).as(s"__sb$sfx"),
+      sum(when(col("__y") === yv,
+        col("__numA").cast(D) * col("__numA").cast(D))).as(s"__saa$sfx"),
+      sum(when(col("__y") === yv,
+        col("__numB").cast(D) * col("__numB").cast(D))).as(s"__sbb$sfx"),
+      sum(when(col("__y") === yv,
+        col("__numA").cast(D) * col("__numB").cast(D))).as(s"__sab$sfx"),
+      sum(when(col("__y") === yv, 1L).otherwise(0L)).as(s"__n$sfx"))
+    val aggs = mom(1, "P") ++ mom(0, "N")
+    val agg = joined.agg(aggs.head, aggs.tail: _*)
+    val mD = col("__nP").cast("double")
+    val nD = col("__nN").cast("double")
+    def dnum(sfx: String) =
+      (col(s"__n$sfx").cast(D) *
+        (col(s"__saa$sfx") + col(s"__sbb$sfx") -
+          lit(2).cast(D) * col(s"__sab$sfx")) -
+        (col(s"__sa$sfx").cast(D) - col(s"__sb$sfx").cast(D)) *
+          (col(s"__sa$sfx").cast(D) - col(s"__sb$sfx").cast(D)))
+    val varD =
+      when(col("__nP") >= 2 && col("__nN") >= 2,
+        dnum("P").cast("double") /
+          (lit(4.0) * nD * nD * mD * mD * (mD - lit(1.0))) +
+          dnum("N").cast("double") /
+            (lit(4.0) * mD * mD * nD * nD * (nD - lit(1.0))))
+    val aucA = col("__saP").cast("double") / (lit(2.0) * mD * nD)
+    val aucB = col("__sbP").cast("double") / (lit(2.0) * mD * nD)
+    agg.select(col("__nP").as("n_pos"), col("__nN").as("n_neg"),
+      aucA.as("auc_a"), aucB.as("auc_b"),
+      (aucA - aucB).as("delta_auc"), varD.as("var_delta"),
+      when(varD > 0, (aucA - aucB) / sqrt(varD)).as("z"))
+  }
+
   /** F72: PURGED K-FOLD TIME-SERIES CV WITH EMBARGO (López de Prado
     * 2018, "Advances in Financial Machine Learning" ch. 7 — public
     * knowledge): [[rollingOriginFolds]] walks forward; this is the

@@ -550,6 +550,22 @@ object DqQueries {
         .orderBy(col("source"), col("quantile"))
     },
 
+    // F73: DeLong test comparing two synthetic rankers on the same
+    // label — integer test scores (ties exercised), exact placement
+    // numerators and DECIMAL covariance numerators to one literal
+    // division/sqrt tree.
+    "q_f73_delong" -> { (s, dir) =>
+      val y1 = col("doc_id") % 3 === 0
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        when(y1, 1).otherwise(0).as("y"),
+        (col("doc_id") * 37 % 1000 +
+          when(y1, 200).otherwise(0)).cast("double").as("sa"),
+        (col("doc_id") * 53 % 1000 +
+          when(y1, 150).otherwise(0)).cast("double").as("sb"))
+      graft.ml.Eval.deLongTest(scored, col("doc_id"), col("sa"),
+        col("sb"), col("y"))
+    },
+
     // F22: exact ROC AUC of "does document length order English above
     // the rest" — Mann-Whitney rank-sum over distinct-score groups
     // with average-rank ties, two-phase prefix-sum ranks, integer
@@ -2507,6 +2523,70 @@ object DqQueries {
         |SELECT source, label AS quantile, n, rank, value
         |FROM ranked JOIN g ON rank = (num * n + den - 1) // den
         |ORDER BY source, quantile""".stripMargin,
+    // Independent derivation: placements by explicit pos x neg pair
+    // aggregation (affordable at oracle scale), HUGEINT moment sums,
+    // then the IDENTICAL literal division/sqrt tree.
+    "q_f73_delong" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |    CAST(doc_id * 37 % 1000 +
+        |      CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 0 END
+        |      AS DOUBLE) AS sa,
+        |    CAST(doc_id * 53 % 1000 +
+        |      CASE WHEN doc_id % 3 = 0 THEN 150 ELSE 0 END
+        |      AS DOUBLE) AS sb
+        |  FROM documents),
+        |p AS (SELECT * FROM s WHERE y = 1),
+        |ng AS (SELECT * FROM s WHERE y = 0),
+        |v10 AS (
+        |  SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN ng.sa < p.sa THEN 2
+        |      WHEN ng.sa = p.sa THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |    CAST(sum(CASE WHEN ng.sb < p.sb THEN 2
+        |      WHEN ng.sb = p.sb THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+        |  FROM p, ng GROUP BY 1),
+        |v01 AS (
+        |  SELECT ng.doc_id,
+        |    CAST(sum(CASE WHEN p.sa > ng.sa THEN 2
+        |      WHEN p.sa = ng.sa THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |    CAST(sum(CASE WHEN p.sb > ng.sb THEN 2
+        |      WHEN p.sb = ng.sb THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+        |  FROM ng, p GROUP BY 1),
+        |m10 AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    sum(na) AS sa10, sum(nb) AS sb10, sum(na * na) AS saa,
+        |    sum(nb * nb) AS sbb, sum(na * nb) AS sab FROM v10),
+        |m01 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(na) AS sa01, sum(nb) AS sb01, sum(na * na) AS saa,
+        |    sum(nb * nb) AS sbb, sum(na * nb) AS sab FROM v01),
+        |final AS (
+        |  SELECT m10.m, m01.n,
+        |    CAST(m10.m AS DOUBLE) AS md, CAST(m01.n AS DOUBLE) AS nd,
+        |    CAST(m10.sa10 AS DOUBLE) AS sa10d,
+        |    CAST(m10.sb10 AS DOUBLE) AS sb10d,
+        |    CAST(m10.m * (m10.saa + m10.sbb - 2 * m10.sab) -
+        |      (m10.sa10 - m10.sb10) * (m10.sa10 - m10.sb10)
+        |      AS DOUBLE) AS d10,
+        |    CAST(m01.n * (m01.saa + m01.sbb - 2 * m01.sab) -
+        |      (m01.sa01 - m01.sb01) * (m01.sa01 - m01.sb01)
+        |      AS DOUBLE) AS d01
+        |  FROM m10, m01)
+        |SELECT CAST(m AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  sa10d / (2.0 * md * nd) AS auc_a,
+        |  sb10d / (2.0 * md * nd) AS auc_b,
+        |  sa10d / (2.0 * md * nd) - sb10d / (2.0 * md * nd)
+        |    AS delta_auc,
+        |  CASE WHEN m >= 2 AND n >= 2 THEN
+        |    d10 / (4.0 * nd * nd * md * md * (md - 1.0)) +
+        |    d01 / (4.0 * md * md * nd * nd * (nd - 1.0)) END
+        |    AS var_delta,
+        |  CASE WHEN m >= 2 AND n >= 2 AND
+        |    d10 / (4.0 * nd * nd * md * md * (md - 1.0)) +
+        |    d01 / (4.0 * md * md * nd * nd * (nd - 1.0)) > 0 THEN
+        |    (sa10d / (2.0 * md * nd) - sb10d / (2.0 * md * nd)) /
+        |    sqrt(d10 / (4.0 * nd * nd * md * md * (md - 1.0)) +
+        |      d01 / (4.0 * md * md * nd * nd * (nd - 1.0))) END AS z
+        |FROM final""".stripMargin,
     // Same distinct-score groups, same doubled rank-sum numerator
     // (avg ranks over ties), same single division.
     "q_f22_auc" ->

@@ -109,6 +109,14 @@ object TextQueries {
         .orderBy(col("pick_rank"))
     },
 
+    // X161: deterministic training-order manifest — seeded-hash
+    // global shuffle (two-phase rank) + round-robin shard/position.
+    "q_x161_training_order" -> { (s, dir) =>
+      graft.curate.Curation.trainingOrder(t(s, dir, "documents"),
+        "doc_id", seed = "ep1", nShards = 8)
+        .orderBy(col("id"))
+    },
+
     // X160: TextRank keywords — exact integer PageRank over the
     // adjacent-token co-occurrence graph (minLen 4, window 2); top 20
     // by (rank desc, token).
@@ -3420,6 +3428,19 @@ object TextQueries {
     // Integer-PageRank iterations unrolled; HUGEINT // floor division
     // mirrors the Spark div chain exactly.
     "q_x160_textrank" -> textRankOracle,
+    // Same seeded md5 order, row_number rank, mod/floor-div shards.
+    "q_x161_training_order" ->
+      """SELECT doc_id AS id,
+        |  row_number() OVER (
+        |    ORDER BY md5('ep1' || ':' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS global_order,
+        |  (row_number() OVER (
+        |    ORDER BY md5('ep1' || ':' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1) % 8 AS shard,
+        |  (row_number() OVER (
+        |    ORDER BY md5('ep1' || ':' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1) // 8 AS pos_in_shard
+        |FROM documents ORDER BY id""".stripMargin,
     // Literal multiply chains per (b, r) branch; exact i/20 grid.
     "q_x157_lsh_plan" ->
       lshPlanOracle(16, Seq(1, 2, 4, 8, 16), 20),

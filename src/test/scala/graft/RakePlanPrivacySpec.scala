@@ -174,4 +174,27 @@ class RakePlanPrivacySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.curate.Curation.rakeWeights(df, "a", "b", maxCells = 50)
   }
+  behavior of "Curation.trainingOrder"
+
+  it should "emit a balanced round-robin permutation, reproducibly" in {
+    val docs = (1L to 100L).map(i => Tuple1(i)).toDF("doc_id")
+    val r = graft.curate.Curation.trainingOrder(docs, "doc_id", "ep1", 8)
+      .as[(Long, Long, Long, Long)].collect()
+    r.map(_._2).sorted shouldBe (1L to 100L).toArray // a permutation
+    r.foreach { case (_, o, sh, pos) =>
+      sh shouldBe (o - 1) % 8
+      pos shouldBe (o - 1) / 8
+    }
+    val sizes = r.groupBy(_._3).values.map(_.size).toSeq
+    (sizes.max - sizes.min) should be <= 1
+    // reproducible, and partition-invariant
+    val again = graft.curate.Curation.trainingOrder(
+        docs.repartition(7), "doc_id", "ep1", 8)
+      .as[(Long, Long, Long, Long)].collect()
+    again.sortBy(_._1) shouldBe r.sortBy(_._1)
+    // a different seed is a different epoch permutation
+    val ep2 = graft.curate.Curation.trainingOrder(docs, "doc_id", "ep2", 8)
+      .as[(Long, Long, Long, Long)].collect()
+    ep2.sortBy(_._1).map(_._2) should not be r.sortBy(_._1).map(_._2)
+  }
 }
