@@ -7,7 +7,8 @@ Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run first:
 <outDir>/<query>/ parquet dirs + <outDir>/oracle_sql.json. Mimics the driver:
 registers each testdata parquet as a DuckDB view named after the table, runs
 each oracle SQL, sorts columns by name, sorts rows, and compares cell values
-(exact for strings/ints/timestamps, 1e-9-relative for floats).
+EXACTLY — floats included (the driver hashes exact values; a tolerance here
+masks precisely the failure class that survives to the driver — VERDICT r11 §3).
 """
 import json, math, sys
 import duckdb
@@ -38,7 +39,9 @@ def cmp_cell(a, b):
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # EXACT: the driver hash-compares exact cell values. repr() is the
+        # shortest round-trip decimal — equal reprs == bit-identical doubles.
+        return repr(fa) == repr(fb)
     return str(a) == str(b)
 
 def main():

@@ -828,18 +828,21 @@ object Curation {
       textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
-    import spark.implicits._
+    // ids keep their NATIVE type (string doc ids are first-class, like
+    // trainingOrder) — a forced long cast would silently NULL-merge
+    // every non-numeric id into one phantom candidate.
+    val idType = df.select(col(idCol)).schema.head.dataType
     // (id, sh) pairs are unique after a PER-DOC array_distinct — ids
     // differ across docs, so a global distinct() would dedup exactly the
     // same rows while paying a full shuffle of every shingle string.
     var remaining = graft.util.Caches.persistTracked(
-      df.select(col(idCol).cast("long").as("__id"),
+      df.select(col(idCol).as("__id"),
           explode(array_distinct(
             graft.text.Dedup.shingles(col(textCol), shingleN)))
             .as("__sh")))
     var prev: Option[DataFrame] = None
-    val picks =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
     var total = 0L
     var i = 1
     var done = false
@@ -852,10 +855,15 @@ object Curation {
         .limit(1).collect()
       if (top.isEmpty) done = true
       else {
-        val id = top(0).getLong(0); val gain = top(0).getLong(1)
+        val id = top(0).get(0); val gain = top(0).getLong(1)
+        if (id == null) throw new IllegalArgumentException(
+          s"greedyCoverageSelect: NULL value in id column '$idCol' — " +
+            "ids must be non-null (a NULL would merge distinct documents " +
+            "into one candidate)")
         total += gain
-        picks += ((i, id, gain, total))
-        val winnerSh = remaining.filter(col("__id") === id).select(col("__sh"))
+        picks += org.apache.spark.sql.Row(i.toLong, id, gain, total)
+        val winnerSh = remaining.filter(col("__id") === lit(id))
+          .select(col("__sh"))
         val next = graft.util.Caches.persistTracked(
           remaining.join(broadcast(winnerSh), Seq("__sh"), "left_anti"))
         prev.foreach(_.unpersist())
@@ -865,9 +873,16 @@ object Curation {
       i += 1
     }
     prev.foreach(_.unpersist())
-    picks.toSeq.toDF("pick_rank", "id", "gain", "covered_total")
-      .select(col("pick_rank").cast("long"), col("id"), col("gain"),
-        col("covered_total"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("pick_rank", LongType, nullable = false),
+      StructField("id", idType, nullable = false),
+      StructField("gain", LongType, nullable = false),
+      StructField("covered_total", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(picks.toSeq).asJava),
+      schema)
   }
 
   /** X161: DETERMINISTIC TRAINING-ORDER MANIFEST — the epoch-level

@@ -451,10 +451,15 @@ object Stats {
           (col("n1").cast("double") - lit(1.0)) +
           (v0 / col("n0").cast("double")) * (v0 / col("n0").cast("double")) /
             (col("n0").cast("double") - lit(1.0))))
-    import graft.functions.q6
+    import graft.functions.{q6, quantize}
+    // Variances publish at 2 decimals, NOT q6: var ~ metric², so at a
+    // 1e5-scale metric var0 ≈ 2e10 and var·10⁶ ≈ 2e16 > 2^53 — outside
+    // quantize's own contract (functions/package.scala), where the 6th
+    // decimal is below double ulp and cannot be engine-stable. var·10²
+    // ≈ 2e12 stays exact. Same discipline as oneWayAnova's raw SSB/SSW.
     agg.select(col("n0"), col("n1"),
       q6(m0).as("mean0"), q6(m1).as("mean1"),
-      q6(v0).as("var0"), q6(v1).as("var1"),
+      quantize(v0, 2).as("var0"), quantize(v1, 2).as("var1"),
       q6(t).as("t"), q6(dof).as("dof"))
   }
 

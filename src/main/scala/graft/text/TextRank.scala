@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
   * so every intermediate is an exact integer both engines compute
   * identically; each floor loses < 1 per edge against the float fix
   * point, noise at scale = 1e12. Same keyed-shuffle loop discipline
-  * as `graph/PageRank` (node-sized exchanges, per-iteration persist).
+  * as `graph/PageRank`: the degree-annotated edge table is
+  * repartitioned by src and localCheckpoint'ed ONCE (the rank join
+  * never re-exchanges the edge-sized side), and each iteration's rank
+  * table is eagerly localCheckpoint'ed — materialize AND truncate
+  * lineage, keeping per-iteration plans constant-sized (a plain
+  * persist chain grows one plan level per iteration; Catalyst
+  * re-analysis measured 9x slower by iteration 5 on the HITS twin).
+  * Per-iteration exchanges are NODE-sized (pr hash → src, contrib
+  * groupBy dst, the left join back onto the vocabulary).
   *
   * Output: the top `topK` tokens by (rank desc, token) —
   * (token, rank_scaled, degree). */
@@ -65,32 +73,31 @@ object TextRank {
     }
     val unit = scale / n
     val base = 3L * unit / 20L
-    var pr = graft.util.Caches.persistTracked(
-      deg.select(col("src").as("v"), lit(unit).as("pr")))
-    var prev: Option[DataFrame] = None
+    // static per-iteration join input: degree-annotated edges,
+    // partitioned by src and checkpointed once — never re-exchanged
+    val ed = graft.util.Caches.trackCheckpointed(
+      edges.join(deg, "src").repartition(col("src"))
+        .localCheckpoint(true))
+    var pr = graft.util.Caches.trackCheckpointed(
+      deg.select(col("src").as("v"), lit(unit).as("pr"))
+        .localCheckpoint(true))
     (1 to iterations).foreach { _ =>
-      val contrib = edges
-        .join(pr, edges("src") === pr("v"))
-        .join(deg.withColumnRenamed("src", "__ds"),
-          col("src") === col("__ds"))
+      val contrib = ed
+        .join(pr.withColumnRenamed("v", "src"), "src")
         .select(col("dst"), expr("pr div deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__sum"))
-      val next = graft.util.Caches.persistTracked(
+      pr = graft.util.Caches.trackCheckpointed(
         deg.select(col("src").as("v"))
           .join(contrib, col("v") === col("dst"), "left")
           .select(col("v"),
             (lit(base) +
-              expr("17 * coalesce(__sum, 0L) div 20")).as("pr")))
-      prev.foreach(_.unpersist())
-      prev = Some(pr)
-      pr = next
+              expr("17 * coalesce(__sum, 0L) div 20")).as("pr"))
+          .localCheckpoint(true))
     }
-    val out = pr.join(deg, pr("v") === deg("src"))
+    pr.join(deg, pr("v") === deg("src"))
       .select(col("v").as("token"), col("pr").as("rank_scaled"),
         col("deg").as("degree"))
       .orderBy(col("rank_scaled").desc, col("token"))
       .limit(topK)
-    prev.foreach(_.unpersist())
-    out
   }
 }

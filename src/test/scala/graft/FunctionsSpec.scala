@@ -189,4 +189,30 @@ class FunctionsSpec extends SparkSpec {
     np._1 shouldBe Some(2.68) // 2.675*100 = 267.50000000000003 in IEEE: up
     np._2 shouldBe None
   }
+
+  // The r11 q_f42 defect class: quantize's contract is |x·10^p| < 2^53.
+  // A metric² magnitude (variance of a 1e5-scale metric ≈ 2e10) times
+  // 1e6 is ~2e16 — OUT of contract: the 6th decimal sits below the
+  // double's ulp (≈3.8e-6 at 2e10), so a 1-ulp input skew (e.g. a
+  // not-correctly-rounded wide-DECIMAL→DOUBLE cast in the other
+  // engine) lands on a DIFFERENT quantized value. The same value at
+  // p=2 is in contract and absorbs the skew. Publishers of
+  // large-magnitude outputs (variances, SS terms) must pick p so the
+  // product stays under 2^53 — welchFromMoments publishes var at p=2,
+  // oneWayAnova publishes SSB/SSW raw.
+  it should "be skew-stable only within its 2^53 magnitude contract" in {
+    import graft.functions.quantize
+    val a = 20570824315.43745 // q_f42's var0 magnitude (sf0.01 orders)
+    val b = java.lang.Math.nextUp(a) // the 1-ulp cast-skew twin
+    math.ulp(a) should be > 1e-6 // 6th decimal is sub-ulp here
+    assert(a * 1e6 > math.pow(2, 53)) // p=6 out of contract...
+    assert(a * 1e2 < math.pow(2, 53)) // ...p=2 inside it
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(quantize(col("a"), 6).as("a6"), quantize(col("b"), 6).as("b6"),
+        quantize(col("a"), 2).as("a2"), quantize(col("b"), 2).as("b2"))
+      .as[(Double, Double, Double, Double)].head()
+    r._1 should not be r._2 // out-of-contract: 1 ulp flips the output
+    r._3 shouldBe r._4 // in-contract: 1 ulp absorbed
+    r._3 shouldBe 20570824315.44
+  }
 }

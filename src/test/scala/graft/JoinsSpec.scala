@@ -311,4 +311,32 @@ class JoinsSpec extends SparkSpec {
     cf.max should be <= 50L
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "be priced by joinCardinalityAudit as the uncapped pre-flight (straggler contract)" in {
+    import spark.implicits._
+    // the scaladoc contract: auditing the (basket, item) incidence
+    // against itself keyed by basket yields join_rows = |b|² per
+    // basket — the exact pair cost the uncapped rules join pays —
+    // and ranks the hot basket first
+    val mega = (1L to 100L).map(i => (1L, i))
+    val normal = Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
+    val b = (mega ++ normal).toDF("basket", "item")
+    val inc = b.distinct()
+    val audit = graft.relational.Joins
+      .joinCardinalityAudit(inc, inc, "basket", "basket", topK = 3)
+      .select(col("key").cast("long"), col("join_rows"))
+      .as[(Long, Long)].collect()
+    audit.head shouldBe ((1L, 10000L)) // the bot basket: 100² pairs
+    audit.map(_._2).sum shouldBe (10000L + 9L + 4L) // Σ|b|²
+    // and the audit's price really is what the uncapped join pays:
+    // ordered-pair rows before the a<z filter = Σ|b|² (via n_both sums)
+    val pairs = graft.relational.Associations
+      .basketRules(b, "basket", "item", minCount = 1)
+      .agg(org.apache.spark.sql.functions.sum(col("n_both")))
+      .as[Long].head()
+    // both directed rules per unordered co-occurring pair:
+    // Σ_b |b|·(|b|−1) = 100·99 + 3·2 + 2·1
+    pairs shouldBe (100L * 99 + 6 + 2)
+    graft.util.Caches.releaseAll(spark)
+  }
 }

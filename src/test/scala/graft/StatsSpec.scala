@@ -578,7 +578,9 @@ class StatsSpec extends SparkSpec {
       .head()
     r._1 shouldBe 3L; r._2 shouldBe 4L
     r._3 shouldBe 2.0; r._4 shouldBe 5.0
-    r._5 shouldBe 1.0; r._6 shouldBe math.floor(20.0 / 3 * 1e6 + 0.5) / 1e6
+    // variances publish at 2 decimals (quantize's 2^53 contract at
+    // metric² magnitude — see welchFromMoments)
+    r._5 shouldBe 1.0; r._6 shouldBe math.floor(20.0 / 3 * 1e2 + 0.5) / 1e2
     r._7 shouldBe math.floor(3.0 / math.sqrt(2.0) * 1e6 + 0.5) / 1e6
     val se2 = 20.0 / 3 / 4 + 1.0 / 3
     val dof = se2 * se2 / (math.pow(20.0 / 3 / 4, 2) / 3 +
