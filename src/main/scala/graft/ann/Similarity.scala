@@ -1253,4 +1253,97 @@ object Similarity {
               "raise bitsPerBand")))).otherwise(col("vec_a")).as("vec_a"),
         col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** X165: LOCAL OUTLIER FACTOR (Breunig, Kriegel, Ng & Sander 2000,
+    * public knowledge) — DENSITY-RELATIVE embedding-space outliers:
+    * the global-distance screens (D12 MAD, X104 isotropy) miss a point
+    * that is far from ITS cluster but near the corpus centroid; LOF
+    * scores each point by how much sparser its neighborhood is than
+    * its neighbors' (≈1 inlier, ≫1 outlier) — the "weird embeddings"
+    * audit before ANN indexes and SemDeDup trust the space.
+    *
+    * Tie-inclusive kNN (the paper's N_k): k-distance = the k-th
+    * smallest neighbor distance (row_number over (dist, id) — total
+    * order), neighborhood = ALL points within it (|N| ≥ k on ties —
+    * no arbitrary tie pick, so the result is deterministic);
+    * reach-dist(p→o) = max(k-dist(o), d(p,o)).
+    *
+    * Determinism: distances come from the codegen'd `graft_l2` (bit-
+    * identical to DuckDB `list_distance` — the X47 contract);
+    * reach-dists floor-scale to 1e9 LONGs before the per-point sum
+    * (order-free — the X152/F65 discipline); lrd = |N|·1e9/Σreach is
+    * ONE division, itself floor-scaled so the LOF numerator
+    * Σ lrd(o) is again an exact integer sum; LOF = Σlrd_o/(|N|·lrd_p)
+    * — a fixed tree, quantized-6. A point whose neighborhood is all
+    * exact duplicates (Σreach = 0) has infinite density: lrd/lof emit
+    * NULL (flagged by `n_neighbors`, never a division error).
+    *
+    * Scale: this exact form is all-pairs O(n²) BY DESIGN — the audit
+    * runs on a sample or one IVF bucket (the [[ivfAssign]] coarse
+    * partition is the scale path: LOF within buckets, like SemDeDup);
+    * `maxPoints` fails loud before a quadratic explosion. Everything
+    * after the pair join is k-bounded windows and point-keyed
+    * aggregates. Output: (id, k_dist, n_neighbors, lrd, lof). */
+  def lofScores(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxPoints: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    ensureNative(points)
+    val pts = graft.util.Caches.persistTracked(
+      points.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v")))
+    val n = pts.count()
+    require(n <= maxPoints,
+      s"lofScores: $n points exceed maxPoints=$maxPoints — this exact " +
+        "form is O(n²); sample, or run per IVF bucket")
+    val a = pts.select(col("__id").as("__p"), col("__v").as("__va"))
+    val b = pts.select(col("__id").as("__o"), col("__v").as("__vb"))
+    val pairs = a.crossJoin(b).filter(col("__p") =!= col("__o"))
+      .withColumn("__d", nativeL2(col("__va"), col("__vb")))
+      .filter(!isnan(col("__d")))
+      .select(col("__p"), col("__o"), col("__d"))
+    val w = Window.partitionBy(col("__p"))
+      .orderBy(col("__d"), col("__o"))
+    val ranked = graft.util.Caches.persistTracked(
+      pairs.withColumn("__rn", row_number().over(w)))
+    val kdist = ranked.filter(col("__rn") <= k)
+      .groupBy(col("__p")).agg(max(col("__d")).as("__kd"))
+    // tie-inclusive neighborhood: everything within the k-distance
+    val nbrs = ranked.join(kdist, "__p")
+      .filter(col("__d") <= col("__kd"))
+      .select(col("__p"), col("__o"), col("__d"))
+    val reach = nbrs
+      .join(kdist.select(col("__p").as("__o"), col("__kd").as("__kdo")),
+        "__o")
+      .withColumn("__reach", greatest(col("__d"), col("__kdo")))
+      .withColumn("__rs",
+        floor(col("__reach") * lit(1e9) + lit(0.5)).cast("long"))
+    val lrd = reach.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__nn"), sum(col("__rs")).as("__sr"))
+      .withColumn("__lrd", when(col("__sr") > 0,
+        col("__nn").cast("double") * lit(1e9) /
+          col("__sr").cast("double")))
+      .withColumn("__lrds", floor(col("__lrd") * lit(1e9) + lit(0.5))
+        .cast("long"))
+    // scaled lrd can reach ~1e18: the neighbor sum goes DECIMAL(38,0);
+    // a neighbor with NULL lrd (an infinite-density duplicate cluster)
+    // makes the LOF ratio ill-defined — censused, published NULL
+    val lofNum = nbrs
+      .join(lrd.select(col("__p").as("__o"), col("__lrds").as("__lo")),
+        "__o")
+      .groupBy(col("__p")).agg(
+        sum(col("__lo").cast("decimal(38,0)")).as("__slo"),
+        sum(when(col("__lo").isNull, 1L).otherwise(0L)).as("__nullNbr"))
+    import graft.functions.q6
+    lrd.join(lofNum, "__p")
+      .join(kdist, "__p")
+      .select(col("__p").as("id"), q6(col("__kd")).as("k_dist"),
+        col("__nn").as("n_neighbors"),
+        q6(col("__lrd")).as("lrd"),
+        q6(when(col("__lrds").isNotNull && col("__nullNbr") === 0L,
+          col("__slo").cast("double") /
+            (col("__nn").cast("double") * col("__lrds").cast("double"))))
+          .as("lof"))
+      .orderBy(col("id"))
+  }
 }

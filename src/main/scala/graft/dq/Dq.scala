@@ -230,6 +230,103 @@ object Dq {
     m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** D25: T-CLOSENESS report (Li, Li & Venkatasubramanian 2007,
+    * public knowledge) — the third leg of the release-audit triad:
+    * [[kAnonymityRisk]] bounds group SIZE, [[lDiversity]] bounds
+    * sensitive-value COUNT, but a group whose 10 distinct salaries are
+    * all in the top percentile still leaks; t-closeness bounds the
+    * DISTANCE between each quasi-identifier group's sensitive
+    * distribution and the global one. Distance = the ordered
+    * equal-distance Earth-Mover's Distance of the paper's §4:
+    * `EMD(g) = (1/(m−1)) · Σ_i |P_g(≤v_i) − Q(≤v_i)|` over the m
+    * globally observed sensitive values in order.
+    *
+    * EXACT: the cumulative gap at value i is the rational
+    * `(N·cumc_g,i − n_g·cumN_i) / (n_g·N)` — the numerator is an
+    * exact DECIMAL(38,0) integer (N·cum can reach 10²⁰ at 10¹⁰ rows —
+    * LONG overflows), |·|-summed per group, ONE division at the end:
+    * order-free, engine-identical, no per-term float. The trailing
+    * value's gap is identically 0 (both cumulatives hit their total).
+    * NULL sensitive values carry no position in the value order (and
+    * Spark sorts NULLS FIRST where DuckDB sorts NULLS LAST — a silent
+    * cross-engine cut shift): they are EXCLUDED from the
+    * distributions and censused in `n_null_rows`.
+    *
+    * Scale: one (quasi, sensitive) cell aggregate; the per-group
+    * cumulative window is over the group × VALUE-ALPHABET grid —
+    * bounded by m per group (a sensitive attribute in a release audit
+    * is low-cardinality by definition; bucket continuous values
+    * first), built by cross-joining the broadcast m-row value table;
+    * global N/m ride as a broadcast 1-row aggregate. Degenerate m = 1
+    * (constant sensitive value) ⇒ every EMD is exactly 0. Output: one
+    * row per t — (t, n_rows, n_null_rows, n_groups, m_values,
+    * n_violating_groups, n_rows_at_risk, risk_rate, max_emd). */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, ts: Seq[Double] = Seq(0.15, 0.2))
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: no quasi-identifiers")
+    require(ts.nonEmpty, "tCloseness: no t thresholds")
+    ts.foreach(t => require(t > 0 && t < 1,
+      s"t must sit in (0,1), got $t"))
+    val D = "decimal(38,0)"
+    val base = df.select(
+      quasiCols.map(col) :+ col(sensitiveCol).as("__s"): _*)
+    val nullAgg = base.agg(
+      sum(when(col("__s").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+    val cells = graft.util.Caches.persistTracked(
+      base.filter(col("__s").isNotNull)
+        .groupBy(quasiCols.map(col) :+ col("__s"): _*)
+        .agg(count(lit(1)).as("__c")))
+    val values = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__nv"))
+    val tot = values.agg(
+      coalesce(sum(col("__nv")), lit(0L)).as("__tn"),
+      count(lit(1)).as("__m"))
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    val grid = groups.crossJoin(broadcast(values))
+      .join(cells, quasiCols :+ "__s", "left")
+      .na.fill(0L, Seq("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__s"))
+    val cum = grid
+      .withColumn("__cp", sum(col("__c")).over(w))
+      .withColumn("__cq", sum(col("__nv")).over(w))
+    val perGroup = cum.crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__n")).as("__n"), first(col("__tn")).as("__tn"),
+        first(col("__m")).as("__m"),
+        sum(abs(col("__tn").cast(D) * col("__cp").cast(D) -
+          col("__n").cast(D) * col("__cq").cast(D))).as("__num"))
+      .withColumn("__emd",
+        when(col("__m") > 1,
+          col("__num").cast("double") /
+            (col("__n").cast("double") * col("__tn").cast("double") *
+              (col("__m").cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)))
+    val aggs = Seq(count(lit(1)).as("__ng"),
+      coalesce(sum(col("__n")), lit(0L)).as("__nr"),
+      coalesce(max(col("__emd")), lit(0.0)).as("__mx"),
+      first(col("__m")).as("__mv")) ++
+      ts.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__emd") > t, 1L).otherwise(0L)).as(s"__tg_$i"),
+        sum(when(col("__emd") > t, col("__n")).otherwise(0L))
+          .as(s"__tr_$i")) }
+    val m = perGroup.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(nullAgg))
+    val rows = ts.zipWithIndex.map { case (t, i) => struct(
+      lit(t).as("t"), col("__nr").as("n_rows"),
+      col("n_null_rows"), col("__ng").as("n_groups"),
+      coalesce(col("__mv"), lit(0L)).as("m_values"),
+      col(s"__tg_$i").as("n_violating_groups"),
+      col(s"__tr_$i").as("n_rows_at_risk"),
+      graft.functions.q6(when(col("__nr") > 0,
+        col(s"__tr_$i").cast("double") / col("__nr").cast("double")))
+        .as("risk_rate"),
+      graft.functions.q6(col("__mx")).as("max_emd")) }
+    m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** D13: REFERENTIAL-INTEGRITY sweep — orphan-FK rates for a set of
     * (child.fk → parent.pk) relationships in one report: row count,
     * NULL-FK count (NULL is "no reference", not an orphan — the SQL

@@ -369,8 +369,17 @@ object Labeling {
     val votes = annotations.filter(label.isNotNull)
       .select(item.as("__i"), rater.as("__r"), label.as("__l"))
     requireOneVotePerRater(votes, "krippendorffAlpha")
-    val cells = votes.groupBy(col("__i"), col("__l"))
-      .agg(count(lit(1)).as("__c"))
+    krippendorffFromCells(votes.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c")))
+  }
+
+  /** The [[krippendorffAlpha]] derivation over an already-aggregated
+    * per-(unit, label) vote-count table (__i, __l, __c). Cell counts
+    * are exact and ASSOCIATIVE — per-batch cell tables sum into the
+    * identical coefficient, which is what the streaming monitor
+    * publishes (a unit's votes may even arrive across batches; the
+    * merged cell is the same count). */
+  def krippendorffFromCells(cells: DataFrame): DataFrame = {
     val perUnit = cells.groupBy(col("__i"))
       .agg(sum(col("__c")).as("__m"),
         sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__s2"))

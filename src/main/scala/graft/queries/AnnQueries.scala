@@ -143,6 +143,13 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X165: local outlier factor on an embedding sample — tie-inclusive
+    // 5-NN density ratios; scaled-LONG reach/lrd sums, fixed IEEE lof.
+    "q_x165_lof" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      Similarity.lofScores(emb, "vec_id", "embedding", k = 5)
+    },
+
     // X29: exact cosine top-5 with the STREAMED-INDEX form — the query
     // batch broadcasts and the corpus streams, so exact search scales to
     // an unbounded index. Same function as q_x8, same oracle.
@@ -513,6 +520,57 @@ object AnnQueries {
         |  FROM pairs)
         |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // Same list_distance pairs; tie-inclusive k-distance neighborhood,
+    // floor-scaled reach/lrd integers, the identical lof tree. The
+    // HUGEINT lrd sum routes to DOUBLE via VARCHAR (the f42 cast
+    // lesson).
+    "q_x165_lof" ->
+      """WITH nn AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS o,
+        |    list_distance(a.v, b.v) AS d
+        |  FROM nn a, nn b
+        |  WHERE a.vec_id <> b.vec_id
+        |    AND NOT isnan(list_distance(a.v, b.v))),
+        |rk AS (SELECT p, o, d,
+        |    row_number() OVER (PARTITION BY p ORDER BY d, o) AS rn
+        |  FROM pairs),
+        |kd AS (SELECT p, max(d) AS kd FROM rk WHERE rn <= 5
+        |  GROUP BY 1),
+        |nb AS (SELECT r.p, r.o, r.d
+        |  FROM rk r JOIN kd ON kd.p = r.p WHERE r.d <= kd.kd),
+        |rch AS (SELECT nb.p, nb.o,
+        |    CAST(floor(greatest(nb.d, k2.kd) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS rs
+        |  FROM nb JOIN kd k2 ON k2.p = nb.o),
+        |lrd0 AS (SELECT p, CAST(count(*) AS BIGINT) AS nnb,
+        |    CAST(sum(rs) AS BIGINT) AS sr
+        |  FROM rch GROUP BY 1),
+        |lrd AS (SELECT p, nnb, sr,
+        |    CASE WHEN sr > 0 THEN CAST(nnb AS DOUBLE) * 1000000000.0
+        |      / CAST(sr AS DOUBLE) END AS lrd
+        |  FROM lrd0),
+        |lrds AS (SELECT *,
+        |    CAST(floor(lrd * 1000000000.0 + 0.5) AS BIGINT) AS lrds
+        |  FROM lrd),
+        |num AS (SELECT nb.p,
+        |    sum(CAST(l2.lrds AS HUGEINT)) AS slo,
+        |    CAST(sum(CASE WHEN l2.lrds IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulln
+        |  FROM nb JOIN lrds l2 ON l2.p = nb.o GROUP BY 1)
+        |SELECT l.p AS id,
+        |  floor(kd.kd * 1000000.0 + 0.5) / 1000000.0 AS k_dist,
+        |  l.nnb AS n_neighbors,
+        |  CASE WHEN l.lrd IS NOT NULL THEN
+        |    floor(l.lrd * 1000000.0 + 0.5) / 1000000.0 END AS lrd,
+        |  CASE WHEN l.lrds IS NOT NULL AND n.nulln = 0 THEN
+        |    floor(CAST(CAST(n.slo AS VARCHAR) AS DOUBLE)
+        |      / (CAST(l.nnb AS DOUBLE) * CAST(l.lrds AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS lof
+        |FROM lrds l JOIN num n ON n.p = l.p JOIN kd ON kd.p = l.p
+        |ORDER BY id""".stripMargin,
     // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
     // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
     // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side

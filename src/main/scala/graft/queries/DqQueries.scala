@@ -412,8 +412,11 @@ object DqQueries {
     // — one row per distinct score threshold, exact cumulative counts
     // via two-phase prefix sums, AP as a plain aggregate.
     "q_f30_pr_curve" -> { (s, dir) =>
+      // the broadcast AP total is an order-sensitive float sum:
+      // quantize-6 in the wrapper (the f42/ewma lesson)
       graft.ml.Eval.prCurve(t(s, dir, "documents"), col("n_chars"),
         (col("lang") === "en").cast("int"))
+        .withColumn("ap", graft.functions.q6(col("ap")))
         .orderBy(col("score").desc)
     },
 
@@ -561,7 +564,13 @@ object DqQueries {
       val units = t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
-      graft.dq.Stats.bootstrapMeanCi(units, col("x"), col("user_id"))
+      val r = graft.dq.Stats.bootstrapMeanCi(units, col("x"),
+        col("user_id"))
+      // replica means and the point estimate are float sums over
+      // engine-ordered rows: quantize-6 in the wrapper
+      Seq("point_est", "ci_lo", "ci_hi").foldLeft(r) { (d, c) =>
+        d.withColumn(c, graft.functions.q6(col(c)))
+      }
     },
 
     // X111: exact type-1 per-source quantiles of document length —
@@ -706,6 +715,17 @@ object DqQueries {
       graft.dq.Dq.lDiversity(t(s, dir, "documents"),
         Seq("source"), "lang")
         .orderBy(col("l"))
+    },
+
+    // D25: t-closeness of bucketed account balance within
+    // (nation, segment) quasi-groups — the ordered-EMD release audit;
+    // exact DECIMAL cumulative-gap numerators, one division per group.
+    "q_d25_t_closeness" -> { (s, dir) =>
+      val c = t(s, dir, "customer").withColumn("bal_bucket",
+        expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) div 200000"))
+      graft.dq.Dq.tCloseness(c, Seq("c_nationkey", "c_mktsegment"),
+        "bal_bucket", ts = Seq(0.1, 0.2))
+        .orderBy(col("t"))
     },
 
     // D13: referential-integrity sweep — orphan-FK rates for the star
@@ -2372,7 +2392,8 @@ object DqQueries {
         |  FROM c, tot),
         |ap AS (SELECT sum(apw) AS ap FROM r)
         |SELECT r.score, r.n_pos_at, r.n_at, r.tp, r.fp, r."precision",
-        |  r.recall, ap.ap
+        |  r.recall,
+        |  floor(ap.ap * 1000000.0 + 0.5) / 1000000.0 AS ap
         |FROM r, ap ORDER BY r.score DESC""".stripMargin,
     // The same column census and null-rate arithmetic, written as one
     // literal row per column.
@@ -2584,9 +2605,12 @@ object DqQueries {
          |  FROM means),
          |pt AS (SELECT avg(x) AS point_est,
          |  CAST(count(*) AS BIGINT) AS n_units FROM units)
-         |SELECT n_units, 100 AS replicas, point_est,
-         |  (SELECT mn FROM ranked WHERE rnk = 3) AS ci_lo,
-         |  (SELECT mn FROM ranked WHERE rnk = 98) AS ci_hi
+         |SELECT n_units, 100 AS replicas,
+         |  floor(point_est * 1000000.0 + 0.5) / 1000000.0 AS point_est,
+         |  floor((SELECT mn FROM ranked WHERE rnk = 3)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+         |  floor((SELECT mn FROM ranked WHERE rnk = 98)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
          |FROM pt""".stripMargin,
     // Same integer rank arithmetic: r = (num*n + den - 1) // den.
     "q_x111_group_quantiles" ->
@@ -2994,6 +3018,67 @@ object DqQueries {
         |  CASE WHEN n_rows > 0 THEN CAST(n_rows_at_risk AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE) END AS risk_rate
         |FROM per ORDER BY l""".stripMargin,
+    // Same ordered-EMD construction: exact HUGEINT cumulative-gap
+    // numerators |N*cum_g - n*cum_N| over the group x value grid, one
+    // division per group, identical threshold census.
+    "q_d25_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey AS q1, c_mktsegment AS q2,
+        |    (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 200000 AS s
+        |  FROM customer),
+        |nulls AS (SELECT CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_null_rows FROM base),
+        |cells AS (
+        |  SELECT q1, q2, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM base WHERE s IS NOT NULL GROUP BY 1, 2, 3),
+        |vals AS (SELECT s, CAST(sum(c) AS BIGINT) AS nv
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(nv), 0) AS BIGINT) AS N,
+        |    CAST(count(*) AS BIGINT) AS m FROM vals),
+        |grp AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.q1, g.q2, g.n, v.s, v.nv,
+        |    CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |  FROM grp g CROSS JOIN vals v
+        |  LEFT JOIN cells c ON c.q1 = g.q1 AND c.q2 = g.q2
+        |    AND c.s = v.s),
+        |cum AS (
+        |  SELECT q1, q2, n, s,
+        |    sum(c) OVER (PARTITION BY q1, q2 ORDER BY s) AS cp,
+        |    sum(nv) OVER (PARTITION BY q1, q2 ORDER BY s) AS cq
+        |  FROM grid),
+        |per AS (
+        |  SELECT q1, q2, min(cum.n) AS n,
+        |    sum(abs(CAST(t.N AS HUGEINT) * CAST(cp AS HUGEINT)
+        |      - CAST(cum.n AS HUGEINT) * CAST(cq AS HUGEINT))) AS num
+        |  FROM cum, tot t GROUP BY 1, 2),
+        |emd AS (
+        |  SELECT p.q1, p.q2, p.n,
+        |    CASE WHEN t.m > 1 THEN CAST(p.num AS DOUBLE)
+        |      / (CAST(p.n AS DOUBLE) * CAST(t.N AS DOUBLE)
+        |        * (CAST(t.m AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS e
+        |  FROM per p, tot t),
+        |agg AS (
+        |  SELECT ts.t, CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    coalesce(max(e.e), 0.0) AS mx,
+        |    CAST(sum(CASE WHEN e.e > ts.t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_groups,
+        |    CAST(sum(CASE WHEN e.e > ts.t THEN e.n ELSE 0 END)
+        |      AS BIGINT) AS n_rows_at_risk
+        |  FROM (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.2 AS DOUBLE)))
+        |    AS ts(t), emd e
+        |  GROUP BY 1)
+        |SELECT a.t, a.n_rows, nu.n_null_rows, a.n_groups,
+        |  t.m AS m_values, a.n_violating_groups, a.n_rows_at_risk,
+        |  CASE WHEN a.n_rows > 0 THEN
+        |    floor(CAST(a.n_rows_at_risk AS DOUBLE)
+        |      / CAST(a.n_rows AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS risk_rate,
+        |  floor(a.mx * 1000000.0 + 0.5) / 1000000.0 AS max_emd
+        |FROM agg a, nulls nu, tot t ORDER BY a.t""".stripMargin,
     "q_d14_k_anonymity" ->
       """WITH s AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c

@@ -322,10 +322,16 @@ object EventQueries {
     // contribution-explosion closed form, weights renormalized over
     // observed lags.
     "q_e15_ewma" -> { (s, dir) =>
+      // the published ewma quantizes-6 in the WRAPPER (operator stays
+      // full-precision): both engines sum the 14 pow-weighted terms in
+      // their own order, so the raw double carries last-ulp drift —
+      // green on today's driver DuckDB, red on the next (the f42
+      // class); the quantizer absorbs it
       graft.events.Resample.ewmaDaily(
         t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", col("ts"), col("value"))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .withColumn("ewma", graft.functions.q6(col("ewma")))
         .orderBy(col("user_id"), col("day"))
     },
 
@@ -1490,7 +1496,8 @@ object EventQueries {
         |  SELECT user_id, td, sum(wx) AS num, sum(w) AS den
         |  FROM con GROUP BY 1, 2)
         |SELECT d.user_id AS user_id, strftime(d.d, '%Y-%m-%d') AS day,
-        |  round(d.x, 2) AS value, num / den AS ewma
+        |  round(d.x, 2) AS value,
+        |  floor(num / den * 1000000.0 + 0.5) / 1000000.0 AS ewma
         |FROM daily d JOIN sm ON sm.user_id = d.user_id AND sm.td = d.d
         |ORDER BY 1, 2""".stripMargin,
     // Same session construction; existence check mirrored:

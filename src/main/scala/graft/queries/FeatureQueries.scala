@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
 object FeatureQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Quantize-6 the four published OLS floats (the f42/ewma lesson:
+    * raw libm-path doubles drift at the last ulp across DuckDB
+    * versions; the operator itself stays full-precision). */
+  private def olsQ6(df: DataFrame): DataFrame =
+    Seq("slope", "intercept", "r2", "pearson").foldLeft(df) { (d, c) =>
+      d.withColumn(c, graft.functions.q6(col(c)))
+    }
+
   val queries: Map[String, Q] = Map(
     // F14: point-in-time training matrix — purchase labels pick up the
     // latest view value and the cumulative click count visible at each
@@ -45,9 +53,12 @@ object FeatureQueries {
     // moment-state exchange per group; raw doubles, the driver's
     // relative tolerance absorbs the last-ulp Welford-merge delta).
     "q_f16_grouped_ols" -> { (s, dir) =>
-      graft.ml.Stats.groupedOls(t(s, dir, "lineitem"),
+      // published OLS floats quantize-6 in the wrapper (the f42/ewma
+      // lesson: raw libm-path doubles drift at the last ulp across
+      // DuckDB versions; operator stays full-precision)
+      olsQ6(graft.ml.Stats.groupedOls(t(s, dir, "lineitem"),
           Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-        .withColumn("n", col("n").cast("long"))
+        .withColumn("n", col("n").cast("long")))
         .orderBy(col("l_returnflag"))
     },
 
@@ -69,9 +80,9 @@ object FeatureQueries {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("ts"), col("event_id"))).cast("double"))
-      graft.ml.Stats.groupedOls(gaps, Seq("user_id"), col("gap_sec"),
-          col("idx"))
-        .withColumn("n", col("n").cast("long"))
+      olsQ6(graft.ml.Stats.groupedOls(gaps, Seq("user_id"),
+          col("gap_sec"), col("idx"))
+        .withColumn("n", col("n").cast("long")))
         .orderBy(col("user_id"))
     },
 
@@ -162,18 +173,26 @@ object FeatureQueries {
         |      ORDER BY ts, event_id) AS DOUBLE) AS idx
         |  FROM g WHERE prev IS NOT NULL)
         |SELECT user_id, CAST(regr_count(gap_sec, idx) AS BIGINT) AS n,
-        |  regr_slope(gap_sec, idx) AS slope,
-        |  regr_intercept(gap_sec, idx) AS intercept,
-        |  regr_r2(gap_sec, idx) AS r2,
-        |  corr(gap_sec, idx) AS pearson
+        |  floor(regr_slope(gap_sec, idx) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS slope,
+        |  floor(regr_intercept(gap_sec, idx) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS intercept,
+        |  floor(regr_r2(gap_sec, idx) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS r2,
+        |  floor(corr(gap_sec, idx) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS pearson
         |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_f16_grouped_ols" ->
       """SELECT l_returnflag,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-        |  regr_slope(l_extendedprice, l_quantity) AS slope,
-        |  regr_intercept(l_extendedprice, l_quantity) AS intercept,
-        |  regr_r2(l_extendedprice, l_quantity) AS r2,
-        |  corr(l_extendedprice, l_quantity) AS pearson
+        |  floor(regr_slope(l_extendedprice, l_quantity)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(regr_intercept(l_extendedprice, l_quantity)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+        |  floor(regr_r2(l_extendedprice, l_quantity)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS r2,
+        |  floor(corr(l_extendedprice, l_quantity)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pearson
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // LOO target encoding: identical exact-sum formula, sampled output.

@@ -208,6 +208,7 @@ object GraphQueries {
           (col("doc_id") - col("doc_id") % 16) +
             ((col("doc_id") % 16) * 3 + j) % 16): _*)).as("dst"))
       graft.graph.LinkPrediction.adamicAdar(es, "src", "dst")
+        .withColumn("score", graft.functions.q6(col("score")))
         .orderBy(col("node_a"), col("node_b"))
     },
 
@@ -934,7 +935,8 @@ object GraphQueries {
         |    CAST(count(*) AS BIGINT) AS common, sum(l.w) AS score
         |  FROM wadj l JOIN wadj r ON l.z = r.z AND l.nbr < r.nbr
         |  GROUP BY 1, 2)
-        |SELECT sc.node_a, sc.node_b, sc.common, sc.score
+        |SELECT sc.node_a, sc.node_b, sc.common,
+        |  floor(sc.score * 1000000.0 + 0.5) / 1000000.0 AS score
         |FROM sc LEFT JOIN und
         |  ON und.a = sc.node_a AND und.b = sc.node_b
         |WHERE und.a IS NULL

@@ -135,6 +135,118 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // A15: TPC-H Q7-shaped volume shipping — revenue between two
+    // trading nations per ship year, both directions. Small nation
+    // dims broadcast twice (supplier side, customer side); per-row
+    // volumes floor-scaled to 1e6 LONGs and DECIMAL-summed so the
+    // revenue is order-free exact (the q_a1 round(sum(double))
+    // pattern is boundary-lucky; new money queries use the scaled
+    // discipline), published quantize-2.
+    "q_a15_volume_shipping" -> { (s, dir) =>
+      import graft.functions.quantize
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__cnk"),
+          col("n_name").as("cust_nation")))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("__snk"))
+        .join(n2, col("c_nationkey") === col("__cnk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .withColumn("__v", floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("__v").cast("decimal(38,0)")).as("__sv"),
+          count(lit(1)).as("n_items"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          quantize(col("__sv").cast("double") / lit(1e6), 2)
+            .as("revenue"),
+          col("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // A16: TPC-H Q8-shaped market share — one nation's share of
+    // ECONOMY-part revenue sold into one region, per order year.
+    // Scaled-LONG volumes make numerator and denominator exact, so
+    // the share is ONE deterministic division.
+    "q_a16_market_share" -> { (s, dir) =>
+      import graft.functions.{q6, quantize}
+      val nc = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__cnk"),
+          col("n_regionkey").as("__crk")))
+      val reg = broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey").as("__rk")))
+      val ns = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation")))
+      val parts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nc, col("c_nationkey") === col("__cnk"))
+        .join(reg, col("__crk") === col("__rk"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(ns, col("s_nationkey") === col("__snk"))
+        .withColumn("__v", floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("__v"))
+            .otherwise(0L).cast("decimal(38,0)")).as("__num"),
+          sum(col("__v").cast("decimal(38,0)")).as("__den"),
+          count(lit(1)).as("n_items"))
+        .select(col("o_year"),
+          quantize(col("__num").cast("double") / lit(1e6), 2)
+            .as("nation_revenue"),
+          quantize(col("__den").cast("double") / lit(1e6), 2)
+            .as("total_revenue"),
+          q6(when(col("__den") > 0,
+            col("__num").cast("double") / col("__den").cast("double")))
+            .as("mkt_share"),
+          col("n_items"))
+        .orderBy(col("o_year"))
+    },
+
+    // A17: TPC-H Q19-shaped discounted revenue — disjunctive
+    // brand × quantity-band predicates over the part join; the OR
+    // tree pushes to the scan per branch. One exact-scaled-sum row.
+    "q_a17_disjunctive_revenue" -> { (s, dir) =>
+      import graft.functions.quantize
+      val parts = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand")))
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#17" &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" &&
+            col("l_quantity").between(20, 30)))
+        .withColumn("__v", floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .agg(sum(col("__v").cast("decimal(38,0)")).as("__sv"),
+          count(lit(1)).as("n_items"))
+        .select(
+          quantize(col("__sv").cast("double") / lit(1e6), 2)
+            .as("revenue"),
+          col("n_items"))
+    },
+
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
     "q_a1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -409,6 +521,69 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Scaled-LONG volume sums (floor(v*1e6+0.5) per row, BIGINT total)
+    // mirrored exactly; revenue = quantize-2 of total/1e6.
+    "q_a15_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same scaled sums; the share is one division of the two exact
+    // totals, quantized-6.
+    "q_a16_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    ns.n_name AS supp_nation,
+        |    CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v
+        |      ELSE 0 END) AS BIGINT) AS num,
+        |    CAST(sum(v) AS BIGINT) AS den,
+        |    CAST(count(1) AS BIGINT) AS n_items
+        |  FROM base GROUP BY 1)
+        |SELECT o_year,
+        |  floor(CAST(num AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS nation_revenue,
+        |  floor(CAST(den AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS total_revenue,
+        |  CASE WHEN den > 0 THEN
+        |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mkt_share,
+        |  n_items
+        |FROM agg ORDER BY o_year""".stripMargin,
+    // Disjunctive brand x quantity bands; one exact-scaled-sum row.
+    "q_a17_disjunctive_revenue" ->
+      """SELECT
+        |  floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

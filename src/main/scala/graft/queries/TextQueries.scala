@@ -73,6 +73,13 @@ object TextQueries {
         .orderBy(col("r"))
     },
 
+    // X162: Chao1 vocabulary richness + Good's coverage over the
+    // 2-shingle grain — "how much vocabulary is still uncrawled".
+    "q_x162_chao1" -> { (s, dir) =>
+      graft.text.TextStats.chao1Richness(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 2)
+    },
+
     // X155: Zipf rank-frequency fit over the corpus vocabulary —
     // two-phase global ranks, scaled-LONG log-log OLS; slope ≈ -1 is
     // natural text.
@@ -123,6 +130,14 @@ object TextQueries {
     "q_x160_textrank" -> { (s, dir) =>
       graft.text.TextRank.textRankKeywords(t(s, dir, "documents"),
         "doc_id", "text")
+    },
+
+    // X163: RAKE keyword phrases — stopword-bounded candidate runs
+    // scored by summed degree/frequency word ratios; top 25 by
+    // (scaled score desc, phrase).
+    "q_x163_rake" -> { (s, dir) =>
+      graft.text.Rake.rakeKeywords(t(s, dir, "documents"),
+        "doc_id", "text", topK = 25)
     },
 
     // X157: LSH band-plan S-curves for a 16-lane signature — the
@@ -1218,8 +1233,11 @@ object TextQueries {
     // X128: smoothed TF-IDF top-5 terms per document — exact tf/df/N
     // counts, one fixed ln expression, (w desc, token) tie order.
     "q_x128_tfidf_terms" -> { (s, dir) =>
+      // ln-bearing tfidf quantizes-6 in the wrapper (the f42/ewma
+      // lesson); the rank was computed on the raw score on BOTH sides
       graft.text.TextStats.tfidfTopTerms(t(s, dir, "documents"),
         "doc_id", "text", k = 5)
+        .withColumn("tfidf", graft.functions.q6(col("tfidf")))
         .orderBy(col("doc_id"), col("rank"))
     },
 
@@ -3428,6 +3446,47 @@ object TextQueries {
     // Integer-PageRank iterations unrolled; HUGEINT // floor division
     // mirrors the Spark div chain exactly.
     "q_x160_textrank" -> textRankOracle,
+    // Stopword-bounded runs via a per-doc cumulative boundary count;
+    // word deg/freq from the member table; scores floor-scaled to 1e9
+    // LONGs (order-free phrase sums), one final division quantized-6.
+    "q_x163_rake" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        |        FROM words)
+        |  WHERE length(w[i]) > 0),
+        |st AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('the', 'a', 'of', 'and', 'is')
+        |      THEN 1 ELSE 0 END AS stop
+        |  FROM toks),
+        |run AS (SELECT doc_id, pos, tok, stop,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+        |  FROM st),
+        |mem AS (SELECT doc_id, r, pos, tok FROM run WHERE stop = 0),
+        |plen AS (SELECT doc_id, r, CAST(count(*) AS BIGINT) AS len
+        |  FROM mem GROUP BY 1, 2),
+        |ml AS (SELECT m.doc_id, m.r, m.pos, m.tok, p.len
+        |  FROM mem m JOIN plen p ON p.doc_id = m.doc_id AND p.r = m.r),
+        |ws AS (SELECT tok,
+        |    CAST(floor(CAST(sum(len) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS ws
+        |  FROM ml GROUP BY 1),
+        |ph AS (SELECT ml.doc_id, ml.r,
+        |    string_agg(ml.tok, ' ' ORDER BY ml.pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(ws.ws) AS BIGINT) AS s
+        |  FROM ml JOIN ws ON ws.tok = ml.tok GROUP BY 1, 2),
+        |cand AS (SELECT phrase, min(n_words) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences, min(s) AS s
+        |  FROM ph GROUP BY 1)
+        |SELECT phrase, n_words, n_occurrences,
+        |  floor(CAST(s AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS score
+        |FROM cand ORDER BY s DESC, phrase LIMIT 25""".stripMargin,
     // Same seeded md5 order, row_number rank, mod/floor-div shards.
     "q_x161_training_order" ->
       """SELECT doc_id AS id,
@@ -3578,6 +3637,30 @@ object TextQueries {
         |  floor(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS token_share
         |FROM b, tot ORDER BY r""".stripMargin,
+    // Same shingle counts; bias-corrected Chao1 and Good's coverage as
+    // fixed IEEE trees over the exact f1/f2/D/N integers.
+    "q_x162_chao1" ->
+      s"""WITH ${shingleCte(2)},
+        |c AS (SELECT shingle AS t, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh GROUP BY 1),
+        |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f1,
+        |    CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS f2
+        |  FROM c),
+        |u AS (SELECT *, CAST(f1 AS DOUBLE)
+        |    * (CAST(f1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS unseen FROM a)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  floor((CAST(n_types AS DOUBLE) + unseen) * 100.0 + 0.5)
+        |    / 100.0 AS chao1,
+        |  floor(unseen * 100.0 + 0.5) / 100.0 AS unseen_types_est,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor((1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS coverage
+        |FROM u""".stripMargin,
     // Same counts, (freq desc, token) global ranks, and the X143
     // scaled-LONG log-log OLS moment discipline.
     "q_x155_zipf" ->
@@ -4069,7 +4152,8 @@ object TextQueries {
         |  FROM tf JOIN df USING (token) CROSS JOIN nd),
         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM w)
-        |SELECT doc_id, token, tf, df, tfidf, rank
+        |SELECT doc_id, token, tf, df,
+        |  floor(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf, rank
         |FROM rk WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
     // The x77 manifest chain joined to the x125 split chain; leaked

@@ -1587,6 +1587,109 @@ object StreamingEvents {
         .groupBy(col("__la"), col("__lb"))
         .agg(sum(col("__c")).as("__c")))
 
+  /** Streaming KRIPPENDORFF'S-ALPHA monitor (F70 streaming) — the
+    * varying-panel agreement readout for a live annotation campaign
+    * (the F63 Cohen sink demands exactly two fixed raters; real
+    * campaigns don't). Each micro-batch persists its per-(unit, label)
+    * vote-count cells — bounded by units × labels touched in the
+    * batch, never vote volume. Cell counts are exact, associative
+    * LONGs, so the merged cells of any batch split equal the cells of
+    * the union EVEN when one unit's votes arrive across batches (the
+    * counts just add) — the view runs the shared
+    * [[graft.ml.Labeling.krippendorffFromCells]] kernel and is
+    * spec-proven identical to the batch operator over the union.
+    * Replay overwrites `batch_id=N`: idempotent. NULL labels are
+    * abstentions (excluded), matching the batch operator; the batch
+    * operator's duplicate-(unit, rater) guard is enforced per batch
+    * (cross-batch re-votes are indistinguishable from late extra
+    * raters by design — alpha handles varying panels). */
+  def krippendorffSink(rows: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String, statsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) krippendorffBatch(batch.toDF(), batchId,
+          itemCol, raterCol, labelCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[krippendorffSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def krippendorffBatch(batch: DataFrame, batchId: Long,
+      itemCol: String, raterCol: String, labelCol: String,
+      statsDir: String): Unit = {
+    val votes = batch.filter(col(labelCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).as("__l"))
+    val dup = votes.groupBy(col("__i"), col("__r"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      "krippendorffBatch: a rater voted the same unit twice in one batch")
+    votes.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[krippendorffSink]] directory: merged
+    * per-(unit, label) cells through the identical alpha derivation as
+    * the batch operator. */
+  def krippendorffView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Labeling.krippendorffFromCells(
+      spark.read.parquet(statsDir)
+        .groupBy(col("__i"), col("__l"))
+        .agg(sum(col("__c")).as("__c")))
+
+  /** Streaming CONFIDENT-LEARNING monitor (X153 streaming) — the live
+    * label-noise census over an annotation + model-score stream. The
+    * X153 cells are NOT mergeable from per-batch cell tables: the
+    * class thresholds t_j are GLOBAL means, so a per-batch census
+    * would gate each batch on drifting thresholds and the merged cells
+    * would not equal the batch operator over the union. The sink
+    * therefore follows the INDEX-sink ingest contract (the span/
+    * line-index precedent): each micro-batch appends its scaled score
+    * rows (id, given, class, p) — the kernel's minimal sufficient
+    * input — under `batch_id=N` (replay overwrites: idempotent), and
+    * the view re-runs the full [[graft.ml.Labeling.confidentJoint]]
+    * kernel over the union with thresholds recomputed globally —
+    * spec-proven identical to the batch operator. State is
+    * score-volume (like every index sink), not monitor-bounded; the
+    * compaction story is the shared dedup-index one. */
+  def confidentJointSink(rows: DataFrame, idCol: String,
+      givenCol: String, classCol: String, pCol: String,
+      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) confidentJointBatch(batch.toDF(), batchId,
+          idCol, givenCol, classCol, pCol, statsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[confidentJointSink]] — package-private so
+    * the parity spec can drive the identical code path directly. */
+  private[graft] def confidentJointBatch(batch: DataFrame,
+      batchId: Long, idCol: String, givenCol: String, classCol: String,
+      pCol: String, statsDir: String): Unit = {
+    batch.select(col(idCol).as("__i"), col(givenCol).as("__g"),
+        col(classCol).as("__c"), col(pCol).cast("double").as("__p"))
+      .filter(col("__p").isNotNull)
+      .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[confidentJointSink]] directory: the
+    * X153 census with GLOBAL thresholds over everything ingested. */
+  def confidentJointView(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    graft.ml.Labeling.confidentJoint(spark.read.parquet(statsDir),
+      col("__i"), col("__g"), col("__c"), col("__p"))
+
   /** The published view over a [[vocabularySink]] directory: exact
     * corpus-wide (token, term_freq, doc_freq) — proven identical to the
     * batch operator run over the union of every ingested batch. */

@@ -387,6 +387,51 @@ object TextStats {
           .as("token_share"))
   }
 
+  /** X162: CHAO1 VOCABULARY-RICHNESS ESTIMATE (Chao 1984; the
+    * species-richness estimator ecology and corpus linguistics share —
+    * public knowledge) — the "how much vocabulary have we NOT crawled
+    * yet" number that completes the [[goodTuring]]/[[heapsLawFit]]
+    * coverage dashboard: observed types D underestimate the true
+    * vocabulary; the singleton/doubleton ratio bounds the unseen mass.
+    * Bias-corrected form (defined even at f₂ = 0):
+    * `chao1 = D + f₁(f₁−1)/(2(f₂+1))`, plus Good's sample coverage
+    * `C = 1 − f₁/N` (the probability the next token is an already-seen
+    * type — Good 1953).
+    *
+    * Exactness: f₁/f₂/D/N are exact BIGINTs from ONE aggregate over
+    * the shared [[typeCounts]] front (`shingleN` picks the n-gram
+    * grain, same as X143/X154/X155); the estimates are fixed IEEE
+    * trees over those integers. chao1 publishes at quantize-2, NOT
+    * q6: its magnitude is type-count-scale (10⁹ types × 10⁶ breaches
+    * quantize's 2^53 contract — the audited f42 class); coverage ≤ 1
+    * stays q6.
+    *
+    * Scale: typeCounts is one map-side-combined groupBy; everything
+    * after is a 1-row aggregate. Output 1 row:
+    * (n_tokens, n_types, f1, f2, chao1, unseen_types_est, coverage). */
+  def chao1Richness(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 1): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    import graft.functions.{q6, quantize}
+    val counts = typeCounts(df, textCol, shingleN)
+    val agg = counts.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      coalesce(sum(when(col("__c") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("f1"),
+      coalesce(sum(when(col("__c") === 2L, 1L).otherwise(0L)), lit(0L))
+        .as("f2"))
+    val f1D = col("f1").cast("double")
+    val unseen = f1D * (f1D - lit(1.0)) /
+      (lit(2.0) * (col("f2").cast("double") + lit(1.0)))
+    agg.select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+      quantize(col("n_types").cast("double") + unseen, 2).as("chao1"),
+      quantize(unseen, 2).as("unseen_types_est"),
+      q6(when(col("n_tokens") > 0,
+        lit(1.0) - f1D / col("n_tokens").cast("double")))
+        .as("coverage"))
+  }
+
   /** X155: ZIPF RANK-FREQUENCY FIT — the other half of the corpus
     * power-law dashboard next to Heaps (X143): token frequency vs
     * frequency rank on log-log axes, slope ≈ −1 for natural text

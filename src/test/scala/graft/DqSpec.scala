@@ -272,6 +272,39 @@ class DqSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  "tCloseness (D25)" should "hand-compute the ordered EMD and threshold census" in {
+    import spark.implicits._
+    // global values {1, 2}, each with total 2 (Q cum at v1 = 0.5);
+    // group a holds both 1s (P cum at v1 = 1), group b both 2s (P cum
+    // at v1 = 0): both gaps are 0.5, m - 1 = 1 => EMD = 0.5 each.
+    // One NULL sensitive row is censused, never distributed.
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)),
+      ("b", Some(2L)), ("b", Some(2L)), ("b", Option.empty[Long]))
+      .toDF("q", "s")
+    val r = graft.dq.Dq.tCloseness(df, Seq("q"), "s",
+        ts = Seq(0.4, 0.6))
+      .as[(Double, Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    // (t, n_rows, n_null_rows, n_groups, m_values, n_violating_groups,
+    //  n_rows_at_risk, risk_rate, max_emd)
+    r(0.4) shouldBe ((0.4, 4L, 1L, 2L, 2L, 2L, 4L, 1.0, 0.5))
+    r(0.6) shouldBe ((0.6, 4L, 1L, 2L, 2L, 0L, 0L, 0.0, 0.5))
+    // a group matching the global distribution has EMD exactly 0
+    val bal = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("q", "s")
+    graft.dq.Dq.tCloseness(bal, Seq("q"), "s", ts = Seq(0.1))
+      .select(col("max_emd")).as[Double].head() shouldBe 0.0
+    // constant sensitive value (m = 1): EMD 0 by convention, no 0/0
+    val const = Seq(("a", 7L), ("b", 7L)).toDF("q", "s")
+    graft.dq.Dq.tCloseness(const, Seq("q"), "s", ts = Seq(0.1))
+      .select(col("m_values"), col("max_emd"))
+      .as[(Long, Double)].head() shouldBe ((1L, 0.0))
+    intercept[IllegalArgumentException] {
+      graft.dq.Dq.tCloseness(df, Seq("q"), "s", ts = Seq(1.5))
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   "referentialIntegrity (D13)" should "count orphans and NULL FKs per relationship" in {
     import spark.implicits._
     val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")

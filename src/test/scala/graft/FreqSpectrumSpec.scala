@@ -23,6 +23,21 @@ class FreqSpectrumSpec extends SparkSpec {
     r(2) shouldBe (2L, 2L, 4L, 0.333333, 0.333333)
   }
 
+  "TextStats.chao1Richness (X162)" should "hand-compute the bias-corrected estimate and coverage" in {
+    // tokens: a x1, b x1, c x2, d x5 -> N=9, D=4, f1=2, f2=1
+    // chao1 = 4 + 2*1/(2*(1+1)) = 4.5; coverage = 1 - 2/9
+    val docs = Seq((1L, "a b c c d d d d d")).toDF("doc_id", "text")
+    val r = graft.text.TextStats.chao1Richness(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    r shouldBe ((9L, 4L, 2L, 1L, 4.5, 0.5,
+      math.floor((1.0 - 2.0 / 9.0) * 1e6 + 0.5) / 1e6))
+    // no singletons -> coverage 1, chao1 = D exactly (f1 term vanishes)
+    val full = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    graft.text.TextStats.chao1Richness(full, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .head() shouldBe ((4L, 2L, 0L, 2L, 2.0, 0.0, 1.0))
+  }
+
   it should "recover an exact power law's slope" in {
     // counts 16,8,4,2 over 4 types -> ln(freq) = ln16 - ln2 * ln(rank)/ln2…
     // exact log-log line: freq = 16 * rank^(-2): ranks 1,2 -> 16,4

@@ -1227,6 +1227,79 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "publish a stream-wide Krippendorff alpha identical to the batch operator over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skrip").toString
+    // u2's votes arrive ACROSS batches (cells must merge, not collide);
+    // u3 has a single vote (excluded by definition, not an error)
+    val b1 = Seq(("u1", "r1", "a"), ("u1", "r2", "a"), ("u2", "r1", "a"))
+    val b2 = Seq(("u2", "r2", "b"), ("u2", "r3", "b"), ("u3", "r1", "a"))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamingEvents.krippendorffSink(
+      in.toDF().toDF("item", "rater", "label"), "item", "rater", "label",
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val streamed = rows(StreamingEvents.krippendorffView(spark,
+      s"$tmp/stats"))
+    val batch = rows(graft.ml.Labeling.krippendorffAlpha(
+      (b1 ++ b2).toDF("item", "rater", "label"),
+      col("item"), col("rater"), col("label")))
+    streamed shouldBe batch
+    streamed.head._1 shouldBe 2L // u1, u2 pairable; u3 excluded
+    streamed.head._2 shouldBe 5L // their pairable vote total
+    // replay safety: re-running batch 1 rewrites its own partition
+    StreamingEvents.krippendorffBatch(
+      b2.toDF("item", "rater", "label"), 1L, "item", "rater", "label",
+      s"$tmp/stats")
+    rows(StreamingEvents.krippendorffView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "publish a stream-wide confident-learning census identical to the batch operator over the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scj").toString
+    // class thresholds are GLOBAL means: batch 2's low-confidence
+    // given-a example pulls t_a down, so a per-batch census would gate
+    // batch 1 differently than the view must
+    val b1 = Seq((1L, "a", "a", 0.9), (1L, "a", "b", 0.1),
+      (2L, "a", "a", 0.4), (2L, "a", "b", 0.6),
+      (3L, "b", "a", 0.2), (3L, "b", "b", 0.8))
+    val b2 = Seq((4L, "a", "a", 0.5), (4L, "a", "b", 0.5),
+      (5L, "b", "a", 0.7), (5L, "b", "b", 0.3))
+    val in = MemoryStream[(Long, String, String, Double)]
+    val q = StreamingEvents.confidentJointSink(
+      in.toDF().toDF("id", "given", "cls", "p"), "id", "given", "cls",
+      "p", s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Option[String], Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2.getOrElse("")))
+    val streamed = rows(StreamingEvents.confidentJointView(spark,
+      s"$tmp/stats"))
+    val batch = rows(graft.ml.Labeling.confidentJoint(
+      (b1 ++ b2).toDF("id", "given", "cls", "p"),
+      col("id"), col("given"), col("cls"), col("p")))
+    streamed shouldBe batch
+    streamed.map(_._3).sum shouldBe 5L // every example censused
+    // replay safety: re-running batch 1 rewrites its own partition
+    StreamingEvents.confidentJointBatch(
+      b2.toDF("id", "given", "cls", "p"), 1L, "id", "given", "cls", "p",
+      s"$tmp/stats")
+    rows(StreamingEvents.confidentJointView(spark, s"$tmp/stats")) shouldBe
+      streamed
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "audit stream-wide fairness identically to the batch report over the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sfair").toString
