@@ -320,6 +320,36 @@ object Curation {
       assigned.as("split"))
   }
 
+  /** X167: GROUPED k-FOLD with SNAKE-RANK BALANCING — cross-validation
+    * folds where a GROUP (user, domain, document cluster) never
+    * straddles folds (the grouped sibling of [[leakageSafeSplit]] and
+    * of F72's purged time-series folds: per-row folds leak through
+    * correlated rows of the same group), and fold SIZES stay balanced
+    * even under skewed group sizes, which plain hash-folding cannot
+    * promise: rank groups by (size desc, group), then deal them out
+    * boustrophedon (1..k, k..1, 1..k, …) so every consecutive 2k-block
+    * of the size ranking contributes exactly 2 groups — one large-ish,
+    * one small-ish — to each fold. The greedy argmin-load dealer is
+    * marginally tighter but inherently SEQUENTIAL over groups; the
+    * snake is a pure function of the rank — fully parallel, and a
+    * deterministic relation a re-run reproduces bit-for-bit.
+    *
+    * Scale shape: one hash aggregate (group sizes), one two-phase
+    * global rank ([[graft.relational.Ranks.globalRank]] — no
+    * global-order window), one fold projection. All-integer output:
+    * (group, n_rows, size_rank, fold). */
+  def groupedKFold(df: DataFrame, groupCol: String, k: Int = 5)
+      : DataFrame = {
+    require(k >= 2, s"groupedKFold: k must be >= 2, got $k")
+    val sizes = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"))
+    val ranked = graft.relational.Ranks.globalRank(sizes,
+      Seq(col("n_rows").desc, col("group")), "size_rank")
+    val r0 = pmod(col("size_rank") - 1, lit(2L * k))
+    ranked.select(col("group"), col("n_rows"), col("size_rank"),
+      when(r0 < k, r0).otherwise(lit(2L * k - 1) - r0).as("fold"))
+  }
+
   /** X94: LEAKAGE-SAFE train/test SPLIT — the dedup-aware split that
     * hash-splitting by document id cannot give: near-duplicate
     * documents must land on the SAME side, or the test set leaks into

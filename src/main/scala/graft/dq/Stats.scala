@@ -463,6 +463,54 @@ object Stats {
       q6(t).as("t"), q6(dof).as("dof"))
   }
 
+  /** F75: COHEN'S d + HEDGES' g STANDARDIZED EFFECT SIZE (Cohen 1988;
+    * Hedges 1981 — public knowledge) — the "HOW BIG is the difference"
+    * companion of [[welchT]]'s "is there a difference": at 10M units a
+    * t-test flags a 0.001-SD shift as significant, so the ship/no-ship
+    * decision reads the magnitude, not the p-value.
+    * `d = (m₁−m₀)/s_p` with the pooled SD
+    * `s_p = √(((n₀−1)v₀+(n₁−1)v₁)/(n₀+n₁−2))`, and Hedges'
+    * small-sample correction `g = d·(1 − 3/(4(n₀+n₁)−9))`.
+    *
+    * Same moment kernel as [[welchT]]: ONE aggregate pass with
+    * DECIMAL(18,6)-exact Σx/Σx² (order-immune), every derived value a
+    * fixed IEEE tree over exact operands cast once. Only the published
+    * means/d/g are quantized; d and g are O(1) SD-ratios by
+    * construction, far inside the quantize 2^53 contract that bit f42.
+    * Degenerate boards (either arm < 2 rows, or zero pooled variance)
+    * emit NULL d/g. Output: 1 row — (n0, n1, mean0, mean1, d, g). */
+  def effectSize(units: DataFrame, variant: Column, value: Column)
+      : DataFrame = {
+    val x = value.cast("decimal(18,6)")
+    val agg = units.agg(
+      sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(variant === 0, x)).as("__s0"),
+      sum(when(variant === 1, x)).as("__s1"),
+      sum(when(variant === 0, x * x)).as("__q0"),
+      sum(when(variant === 1, x * x)).as("__q1"))
+    def stats(i: Int) = {
+      val n = col(s"n$i").cast("double")
+      val s = col(s"__s$i").cast("double")
+      val q = col(s"__q$i").cast("double")
+      (when(col(s"n$i") > 0, s / n),
+        when(col(s"n$i") > 1, (q - s * s / n) / (n - lit(1.0))))
+    }
+    val (m0, v0) = stats(0)
+    val (m1, v1) = stats(1)
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val pooled = ((n0d - lit(1.0)) * v0 + (n1d - lit(1.0)) * v1) /
+      (n0d + n1d - lit(2.0))
+    val d = when(col("n0") > 1 && col("n1") > 1 && pooled > 0,
+      (m1 - m0) / sqrt(pooled))
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (n0d + n1d) - lit(9.0))
+    import graft.functions.q6
+    agg.select(col("n0"), col("n1"),
+      q6(m0).as("mean0"), q6(m1).as("mean1"),
+      q6(d).as("d"), q6(d * j).as("g"))
+  }
+
   /** F53: ONE-WAY ANOVA across k groups (Fisher 1925, public
     * knowledge) — `F = (SSB/(k−1)) / (SSW/(N−k))` with the η² effect
     * size `SSB/(SSB+SSW)` (a bare F hides whether a "significant"

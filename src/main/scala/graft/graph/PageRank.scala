@@ -212,4 +212,72 @@ object PageRank {
     }
     pr.select(col("node"), col("pr").as("pagerank"))
   }
+
+  /** X168: KATZ CENTRALITY (Katz 1953 — public knowledge) —
+    * `x'(v) = β + α·Σ_{u→v} x(u)`: influence that counts ALL inbound
+    * walks, attenuated by length — the centrality that still ranks
+    * nodes PageRank starves (a page linked by many zero-outdegree
+    * leaves gets no PageRank mass from them next round, but Katz still
+    * credits the walk). The complement of [[pageRank]] in the link-
+    * quality toolbox: PageRank models a random surfer splitting mass
+    * across out-links; Katz models raw reachability.
+    *
+    * ENGINE-STABLE EXACT-INTEGER iteration (the X160 TextRank
+    * discipline): ranks are 1e9-scaled integers carried as
+    * DECIMAL(38,0) (they can exceed LONG mid-loop on dense graphs —
+    * decimal sums stay exact and order-free), β = 1 (scaled), α = the
+    * rational `1/alphaInverse` applied as one floor division per edge
+    * BEFORE the order-free integer sum. α must undercut 1/λ_max for
+    * the series to converge; the default 1/8 covers in-degree-≤-8-ish
+    * graphs, and with FIXED iterations any α still terminates —
+    * divergence shows up as large (still exact) values, fail-loud at
+    * the final LONG publish, never silent wraparound.
+    *
+    * Same loop discipline as [[pageRank]]: edges repartitioned by src
+    * and localCheckpoint'ed ONCE, per-iteration exchanges node-sized,
+    * ranks eagerly localCheckpoint'ed (constant-size plans). Output:
+    * (node, katz_scaled, katz = scaled/1e9, one correctly-rounded
+    * division). */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      alphaInverse: Int = 8, iterations: Int = 5): DataFrame = {
+    // upper bound keeps the floor-division exact under Spark's
+    // scale-6 HALF_UP decimal division: frac(x/d) ≤ (d−1)/d can only
+    // round up to 1.000000 (corrupting the floor) once d ≥ 2e6
+    require(alphaInverse >= 2 && alphaInverse <= 1000000,
+      s"alphaInverse must be in [2, 1e6], got $alphaInverse")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val D = "decimal(38,0)"
+    val S = 1000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = graft.util.Caches.persistTracked(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val ed = graft.util.Caches.trackCheckpointed(
+      e.repartition(col("src")).localCheckpoint(true))
+    var x = graft.util.Caches.trackCheckpointed(
+      nodes.withColumn("x", lit(S).cast(D)).localCheckpoint(true))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("x") / lit(alphaInverse)).cast(D)).as("__c"))
+      x = graft.util.Caches.trackCheckpointed(
+        nodes.join(contribs.withColumnRenamed("dst", "node"),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(S).cast(D) + coalesce(col("__c"), lit(0).cast(D)))
+              .cast(D).as("x"))
+          .localCheckpoint(true))
+    }
+    // publish BIGINT (the d23 lesson: wide-DECIMAL outputs are
+    // rendering-fragile cross-engine); overflow fails loud
+    x.select(col("node"),
+      when(col("x") > lit(Long.MaxValue).cast(D),
+        raise_error(concat(lit("katzCentrality: rank overflow at node "),
+          col("node").cast("string"),
+          lit(" — alpha too large for this graph's spectrum"))))
+        .otherwise(col("x").cast("long")).as("katz_scaled"),
+      (col("x").cast("long").cast("double") / lit(1e9)).as("katz"))
+  }
 }

@@ -290,6 +290,72 @@ object Eval {
           .as("lift"))
   }
 
+  /** F74: HOSMER–LEMESHOW CALIBRATION χ² (Hosmer & Lemeshow 1980,
+    * public knowledge) — the GOODNESS-OF-FIT test behind a calibration
+    * curve's picture: rank by predicted probability, cut into
+    * `buckets` equal-height bins, and test observed vs expected event
+    * counts: `HL = Σ_g (O_g − E_g)² / (E_g·(1 − E_g/n_g))` on
+    * `buckets − 2` dof. [[calibrationCurve]] shows WHERE the model is
+    * off; HL says whether the miscalibration is beyond chance — the
+    * pre-flight before using raw model scores as keep-probabilities.
+    *
+    * Exactness + scale: ranks from the two-phase prefix sum
+    * ([[graft.relational.Ranks.globalRankAndCount]] over (p, id) — no
+    * global-order window), bins from the computed SQL-standard ntile;
+    * O_g is an exact LONG; E_g sums 1e9-scaled-LONG probabilities in
+    * DECIMAL (order-immune — a double Σp would drift with partition
+    * order; exact while n_g ≤ ~9e6 rows per bin at the 1e9 scale,
+    * documented like the calibration kernels). Each bin's χ² term is a
+    * fixed IEEE tree over (O, E, n); the cross-bin sum rides the
+    * BOUNDED `buckets`-row ordered window ([[calibrationCurve]]'s ece
+    * discipline). NULL and out-of-[0,1] probabilities fail loud.
+    * Output: one row per bin — (bucket, n, n_obs, expected, term,
+    * hl_chi2, dof), hl_chi2/dof repeated per row like ece. */
+  def hosmerLemeshow(df: DataFrame, probCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val base = df.select(probCol.cast("double").as("__p"),
+      labelCol.cast("int").as("__y"), idCol.as("__id"))
+    val guarded = base.select(
+      when(col("__p").isNull || col("__y").isNull ||
+          col("__p") < 0.0 || col("__p") > 1.0,
+        raise_error(concat(lit("hosmerLemeshow: NULL or out-of-[0,1] "),
+          lit("probability/label at id "), col("__id").cast("string"))))
+        .otherwise(col("__p")).as("__p"),
+      col("__y"), col("__id"))
+    val (ranked, n) = graft.relational.Ranks.globalRankAndCount(guarded,
+      Seq(col("__p"), col("__id")), "__r")
+    require(n >= buckets, s"hosmerLemeshow: $n rows < $buckets buckets")
+    val perBin = ranked
+      .withColumn("bucket",
+        graft.relational.Ranks.ntileOf(col("__r"), n, buckets))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("long")).as("n_obs"),
+        sum(floor(col("__p") * lit(1e9) + lit(0.5)).cast("long")
+          .cast(D)).as("__el"))
+    val e = col("__el").cast("double") / lit(1e9)
+    val o = col("n_obs").cast("double")
+    val nG = col("n").cast("double")
+    val term = when(e > 0 && e < nG,
+      (o - e) * (o - e) / (e * (lit(1.0) - e / nG)))
+    // bounded global window by construction: `buckets` rows (the f15
+    // lesson — one window over the bin table, not extra broadcast jobs)
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    import graft.functions.q6
+    perBin
+      .withColumn("expected", q6(e))
+      .withColumn("term", q6(term))
+      .withColumn("hl_chi2", q6(sum(term).over(tot)))
+      .withColumn("dof", lit(buckets - 2))
+      .select(col("bucket"), col("n"), col("n_obs"), col("expected"),
+        col("term"), col("hl_chi2"), col("dof"))
+  }
+
   /** F27: McNEMAR PAIRED TEST — "is classifier B actually better than
     * A, or did the same eval set just get re-scored" (McNemar 1947,
     * public knowledge): only the DISCORDANT pairs carry information —

@@ -146,6 +146,30 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F75: Cohen's d + Hedges' g over the same even/odd order-total
+    // arms as f42 — the magnitude the t-test's p-value hides; same
+    // exact DECIMAL moment kernel, O(1) outputs inside q6's contract.
+    "q_f75_effect_size" -> { (s, dir) =>
+      graft.dq.Stats.effectSize(t(s, dir, "orders"),
+        col("o_orderkey") % 2, col("o_totalprice"))
+    },
+
+    // F74: Hosmer-Lemeshow calibration chi^2 over an exact-rational
+    // probability score (p = (id*37%1000)/1000, y ~ Bernoulli(p) by
+    // integer comparison) — two-phase ranks, computed ntile, scaled-
+    // LONG expected sums, bounded 10-row window for the statistic.
+    "q_f74_hosmer" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ml.Eval.hosmerLemeshow(
+        docs.select(col("doc_id"),
+          (((col("doc_id") * 37) % 1000).cast("double") / lit(1000.0))
+            .as("p"),
+          ((col("doc_id") * 53) % 1000 < (col("doc_id") * 37) % 1000)
+            .cast("int").as("y")),
+        col("p"), col("y"), col("doc_id"), buckets = 10)
+        .orderBy(col("bucket"))
+    },
+
     // X142: rendezvous (HRW) sharding of documents into 8 shards —
     // the minimal-reshuffle routing a shard split needs at 100 TB.
     "q_x142_rendezvous_shards" -> { (s, dir) =>
@@ -1179,6 +1203,86 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Same DECIMAL moment CTE as f42 (VARCHAR-routed wide-decimal
+    // casts), pooled-variance d and Hedges J to one literal tree.
+    "q_f75_effect_size" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s1,
+        |  sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q0,
+        |  sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6)) END) AS q1
+        |  FROM orders),
+        |d AS (SELECT n0, n1,
+        |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s0,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(q0 AS VARCHAR) AS DOUBLE) AS q0,
+        |    CAST(CAST(q1 AS VARCHAR) AS DOUBLE) AS q1,
+        |    CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1
+        |  FROM a),
+        |e AS (SELECT *,
+        |    CASE WHEN n0 > 0 THEN s0 / dn0 END AS m0,
+        |    CASE WHEN n1 > 0 THEN s1 / dn1 END AS m1,
+        |    CASE WHEN n0 > 1 THEN (q0 - s0 * s0 / dn0) / (dn0 - 1.0)
+        |      END AS v0,
+        |    CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / dn1) / (dn1 - 1.0)
+        |      END AS v1
+        |  FROM d),
+        |f AS (SELECT *,
+        |    ((dn0 - 1.0) * v0 + (dn1 - 1.0) * v1) / (dn0 + dn1 - 2.0)
+        |      AS pooled
+        |  FROM e)
+        |SELECT n0, n1,
+        |  floor(m0 * 1000000.0 + 0.5) / 1000000.0 AS mean0,
+        |  floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean1,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND pooled > 0 THEN
+        |    floor((m1 - m0) / sqrt(pooled) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS d,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND pooled > 0 THEN
+        |    floor((m1 - m0) / sqrt(pooled)
+        |      * (1.0 - 3.0 / (4.0 * (dn0 + dn1) - 9.0))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS g
+        |FROM f""".stripMargin,
+    // Same exact-rational p and integer-comparison label; ntile(10)
+    // (the computed-ntile formula IS the SQL standard's), scaled-LONG
+    // expected sums, the f15 full-window statistic pattern.
+    "q_f74_hosmer" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS p,
+        |    CASE WHEN (doc_id * 53) % 1000 < (doc_id * 37) % 1000
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |r AS (SELECT *, ntile(10) OVER (ORDER BY p, doc_id) AS bucket
+        |  FROM s),
+        |b AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_obs,
+        |    sum(CAST(CAST(floor(p * 1000000000.0 + 0.5) AS BIGINT)
+        |      AS HUGEINT)) AS el
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT *, CAST(el AS DOUBLE) / 1000000000.0 AS e,
+        |    CAST(n_obs AS DOUBLE) AS o, CAST(n AS DOUBLE) AS ng
+        |  FROM b),
+        |d AS (SELECT *, CASE WHEN e > 0 AND e < ng THEN
+        |    (o - e) * (o - e) / (e * (1.0 - e / ng)) END AS trm
+        |  FROM c)
+        |SELECT bucket, n, n_obs,
+        |  floor(e * 1000000.0 + 0.5) / 1000000.0 AS expected,
+        |  CASE WHEN trm IS NOT NULL THEN
+        |    floor(trm * 1000000.0 + 0.5) / 1000000.0 END AS term,
+        |  floor(sum(trm) OVER () * 1000000.0 + 0.5) / 1000000.0
+        |    AS hl_chi2,
+        |  8 AS dof
+        |FROM d ORDER BY bucket""".stripMargin,
     // Same seeded md5-uniform weights (hex digits re-derived in SQL);
     // argmax mirrored as row_number over (h DESC, k DESC) — greatest()
     // over (h, k) structs picks the same winner.

@@ -350,6 +350,22 @@ object GraphQueries {
         damping = 0.85, iterations = 5)
         .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
         .orderBy(col("node"))
+    },
+
+    // X168: Katz centrality over the same synthetic link graph as x83
+    // — exact 1e9-scaled-integer walk mass, alpha = 1/8 as per-edge
+    // floor division, checkpointed src-partitioned edges, node-sized
+    // per-iteration shuffles.
+    "q_x168_katz" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val es = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 7) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.PageRank.katzCentrality(es, "src", "dst",
+        alphaInverse = 8, iterations = 5)
+        .orderBy(col("node"))
     })
 
   private val edgeCte =
@@ -405,6 +421,37 @@ object GraphQueries {
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT v AS node, round(pr, 6) AS pagerank
        |FROM pr5 ORDER BY v""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.graph.PageRank.katzCentrality]] at
+    * q_x168's settings: unrolled iterations, HUGEINT rank mass,
+    * `x // 8` floor attenuation per edge — bit-identical by
+    * construction. */
+  private val katzOracle: String = {
+    def iter(k: Int): String = {
+      val p = s"x${k - 1}"
+      s"""x$k AS (
+         |  SELECT nodes.v,
+         |    CAST(1000000000 AS HUGEINT) +
+         |      coalesce(s.c, CAST(0 AS HUGEINT)) AS x
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst, sum(p.x // 8) AS c
+         |    FROM ed JOIN $p p ON p.v = ed.src
+         |    GROUP BY ed.dst) s ON s.dst = nodes.v)""".stripMargin
+    }
+    s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + j * 7) % nd AS dst
+       |    FROM documents, n0, range(1, 4) AS r(j))
+       |  WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT v FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |x0 AS (SELECT v, CAST(1000000000 AS HUGEINT) AS x FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v AS node, CAST(x AS BIGINT) AS katz_scaled,
+       |  CAST(CAST(x AS BIGINT) AS DOUBLE) / 1000000000.0 AS katz
+       |FROM x5 ORDER BY v""".stripMargin
   }
 
   /** DuckDB mirror of
@@ -983,6 +1030,7 @@ object GraphQueries {
     "q_x86_hits" -> hitsOracle,
     "q_x84_personalized_pagerank" -> personalizedPageRankOracle,
     "q_x83_pagerank" -> pageRankOracle,
+    "q_x168_katz" -> katzOracle,
     "q_g1_connected_components" ->
       s"""WITH RECURSIVE $edgeCte,
          |reach(v, m) AS (

@@ -137,6 +137,28 @@ object LabelingQueries {
         col("doc_id"), col("p"), k = 40, method = "entropy")
     },
 
+    // X166: Bradley-Terry preference strengths over per-user event-type
+    // "duels" (the type a user fired more often wins the pair) — the
+    // exact-integer MM leaderboard; k=5 items, solve k-bounded on the
+    // driver, the comparison aggregate distributed.
+    "q_x166_bradley_terry" -> { (s, dir) =>
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val comps = counts.as("a").join(counts.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.c") =!= col("b.c"))
+        .select(
+          when(col("a.c") > col("b.c"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a.c") > col("b.c"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+      graft.ml.Preference.bradleyTerry(comps, col("winner"),
+        col("loser"), iterations = 10)
+        .orderBy(col("item"))
+    },
+
     // F65: Hájek-stabilized IPW ATE under hash-synthesized confounding.
     "q_f65_ipw_ate" -> { (s, dir) =>
       val base = causalBase(t(s, dir, "orders"))
@@ -204,7 +226,80 @@ object LabelingQueries {
       |        - 1 AS DOUBLE) + 4.0) / 24.0 AS e
       |  FROM orders)""".stripMargin
 
+  /** The X166 oracle: the MM iterations UNROLLED as CTE pairs (itK /
+    * itKn = raw update + renormalization), generated by the same loop
+    * count the Spark kernel runs — every arithmetic step is HUGEINT
+    * floor division, so the fixed point is bit-identical. */
+  private val bradleyTerryOracle: String = {
+    val S2 = "CAST(1000000000000000000 AS HUGEINT)"
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // step references its predecessor twice (x- and y-side joins) —
+    // inlined, the 10-step unroll expands exponentially and re-opens
+    // the parquet leaf thousands of times (observed: fd exhaustion)
+    val base =
+      """WITH cnt AS MATERIALIZED (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cmp AS MATERIALIZED (SELECT
+        |    CASE WHEN a.c > b.c THEN a.event_type
+        |      ELSE b.event_type END AS w,
+        |    CASE WHEN a.c > b.c THEN b.event_type
+        |      ELSE a.event_type END AS l
+        |  FROM cnt a JOIN cnt b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  WHERE a.c <> b.c),
+        |dw AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+        |  FROM cmp GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT CASE WHEN w < l THEN w ELSE l END AS a,
+        |    CASE WHEN w < l THEN l ELSE w END AS b,
+        |    CAST(sum(n) AS BIGINT) AS n
+        |  FROM dw GROUP BY 1, 2),
+        |items AS MATERIALIZED (SELECT DISTINCT w AS item FROM cmp
+        |  UNION SELECT DISTINCT l FROM cmp),
+        |wins AS MATERIALIZED (SELECT i.item,
+        |    CAST(coalesce((SELECT sum(n) FROM dw WHERE dw.w = i.item),
+        |      0) AS BIGINT) AS wins,
+        |    CAST(coalesce((SELECT sum(n) FROM pairs
+        |      WHERE pairs.a = i.item OR pairs.b = i.item), 0)
+        |      AS BIGINT) AS n_comparisons
+        |  FROM items i),
+        |it0n AS MATERIALIZED (SELECT item, wins, n_comparisons,
+        |    CAST(1000000000 AS HUGEINT) AS p
+        |  FROM wins)""".stripMargin
+    val steps = (1 to 10).map { k =>
+      val prev = s"it${k - 1}n"
+      s"""it$k AS MATERIALIZED (
+         |  SELECT w.item, w.wins, w.n_comparisons,
+         |    CASE WHEN w.wins = 0 OR d.d IS NULL OR d.d = 0
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE (CAST(w.wins AS HUGEINT) * $S2) // d.d END AS praw
+         |  FROM wins w LEFT JOIN (
+         |    SELECT q.i, sum((CAST(q.n AS HUGEINT) * $S2)
+         |        // (x.p + y.p)) AS d
+         |    FROM (SELECT a AS i, b AS j, n FROM pairs
+         |      UNION ALL SELECT b, a, n FROM pairs) q
+         |    JOIN $prev x ON x.item = q.i
+         |    JOIN $prev y ON y.item = q.j
+         |    GROUP BY 1) d ON d.i = w.item),
+         |it${k}n AS MATERIALIZED (
+         |  SELECT item, wins, n_comparisons,
+         |    CASE WHEN (SELECT sum(praw) FROM it$k) = 0 THEN praw
+         |      ELSE (praw * (SELECT count(*) FROM wins)
+         |        * CAST(1000000000 AS HUGEINT))
+         |        // (SELECT sum(praw) FROM it$k) END AS p
+         |  FROM it$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT item, wins, n_comparisons,
+       |  CAST(p AS BIGINT) AS strength_scaled,
+       |  CAST(CAST(p AS BIGINT) AS DOUBLE) / 1000000000.0 AS strength
+       |FROM it10n ORDER BY item""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x166_bradley_terry" -> bradleyTerryOracle,
     // Exact BIGINT agreement counts; pe numerator = DECIMAL(38,0) sum
     // of DECIMAL(19,0) marginal products; one fixed IEEE tree each.
     "q_f63_cohen_kappa" ->

@@ -1054,6 +1054,35 @@ object TextQueries {
         .orderBy(col("x"), col("y"))
     },
 
+    // X170: Dunning log-likelihood collocations — G^2 over the bigram
+    // 2x2 table; exact-integer candidate cut (no top-k on the libm
+    // score), pinned two-division ln arguments, q6 llr.
+    "q_x170_dunning_llr" -> { (s, dir) =>
+      graft.text.TextStats.dunningCollocations(t(s, dir, "documents"),
+        "text", minCount = 20)
+        .orderBy(col("x"), col("y"))
+    },
+
+    // X167: grouped 5-fold with snake-rank balancing over event users
+    // — no group straddles folds, sizes balanced under skew; all
+    // integer, two-phase size rank.
+    "q_x167_group_kfold" -> { (s, dir) =>
+      graft.curate.Curation.groupedKFold(t(s, dir, "events"),
+        "user_id", k = 5)
+        .orderBy(col("group"))
+    },
+
+    // X169: AMS F2 sketch audit per language — 9 md5-sign counters,
+    // exact integer counters/squares, element-exact median, one
+    // quantized ratio.
+    "q_x169_ams_f2" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("tok"))
+      graft.sketch.Sketches.amsF2Report(toks, "lang", "tok",
+        counters = 9)
+        .orderBy(col("lang"))
+    },
+
     // X119: exact-proportion stratified 8/1/1 split per source —
     // deterministic md5 shuffle order, integer floor-apportionment
     // rank cuts; sizes exact per stratum, not Bernoulli.
@@ -5233,6 +5262,99 @@ object TextQueries {
         |  FROM j ORDER BY lift DESC, x, y LIMIT 50)
         |SELECT x, y, pair_freq, lift, pmi FROM t
         |ORDER BY x, y""".stripMargin,
+    // Dunning G^2: same bigram table, same left/right marginals, the
+    // 4-term sum in the same literal association order, same pinned
+    // (k/R)*(N/C) ln arguments; llr quantized at 6 on both sides.
+    "q_x170_dunning_llr" ->
+      """WITH words AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS pair
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words)),
+        |bi AS (SELECT pair, CAST(count(*) AS BIGINT) AS pair_freq
+        |       FROM pairs GROUP BY pair),
+        |nb AS (SELECT CAST(sum(pair_freq) AS BIGINT) AS n FROM bi),
+        |xy AS (SELECT pair, pair_freq,
+        |    split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+        |  FROM bi),
+        |lft AS (SELECT x, CAST(sum(pair_freq) AS BIGINT) AS cx
+        |        FROM xy GROUP BY 1),
+        |rgt AS (SELECT y, CAST(sum(pair_freq) AS BIGINT) AS cy
+        |        FROM xy GROUP BY 1),
+        |c AS (SELECT xy.x, xy.y, xy.pair_freq, l.cx, r.cy,
+        |    CAST((SELECT n FROM nb) AS DOUBLE) AS nd,
+        |    CAST(xy.pair_freq AS DOUBLE) AS k11,
+        |    CAST(l.cx - xy.pair_freq AS DOUBLE) AS k12,
+        |    CAST(r.cy - xy.pair_freq AS DOUBLE) AS k21,
+        |    CAST((SELECT n FROM nb) - l.cx - r.cy + xy.pair_freq
+        |      AS DOUBLE) AS k22,
+        |    CAST(l.cx AS DOUBLE) AS cxd, CAST(r.cy AS DOUBLE) AS cyd
+        |  FROM xy
+        |  JOIN lft l ON l.x = xy.x
+        |  JOIN rgt r ON r.y = xy.y
+        |  WHERE xy.pair_freq >= 20)
+        |SELECT x, y, pair_freq, cx, cy,
+        |  floor(2.0 * (
+        |    (CASE WHEN k11 > 0
+        |      THEN k11 * ln((k11 / cxd) * (nd / cyd)) ELSE 0.0 END) +
+        |    (CASE WHEN k12 > 0
+        |      THEN k12 * ln((k12 / cxd) * (nd / (nd - cyd)))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN k21 > 0
+        |      THEN k21 * ln((k21 / (nd - cxd)) * (nd / cyd))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN k22 > 0
+        |      THEN k22 * ln((k22 / (nd - cxd)) * (nd / (nd - cyd)))
+        |      ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0 AS llr
+        |FROM c ORDER BY x, y""".stripMargin,
+    // Grouped k-fold: same (size desc, group) total order, same snake
+    // formula over the rank — all integers.
+    "q_x167_group_kfold" ->
+      """WITH g AS (SELECT user_id AS "group",
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY n_rows DESC, "group")
+        |      AS BIGINT) AS size_rank
+        |  FROM g)
+        |SELECT "group", n_rows, size_rank,
+        |  CASE WHEN (size_rank - 1) % 10 < 5 THEN (size_rank - 1) % 10
+        |    ELSE 9 - (size_rank - 1) % 10 END AS fold
+        |FROM r ORDER BY "group"""".stripMargin,
+    // AMS F2: md5-low-bit signs recomputed bit-for-bit, HUGEINT
+    // counters/squares, 1-based element-5 median of 9, one quantized
+    // ratio over exact-integer doubles.
+    "q_x169_ams_f2" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |ex AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |f2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+        |      AS BIGINT) AS exact_f2
+        |  FROM ex GROUP BY 1),
+        |js AS (SELECT unnest(range(0, 9)) AS j),
+        |cells AS (SELECT lang, j,
+        |    CAST(sum(1 - 2 * ((strpos('0123456789abcdef',
+        |      substr(md5('ams|' || j || '|' || tok), 1, 1)) - 1) % 2))
+        |      AS BIGINT) AS counter
+        |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+        |es AS (SELECT lang,
+        |    list_sort(list(CAST(CAST(counter AS HUGEINT)
+        |      * CAST(counter AS HUGEINT) AS BIGINT))) AS e
+        |  FROM cells GROUP BY 1)
+        |SELECT f2.lang, f2.n_tokens, f2.exact_f2,
+        |  es.e[5] AS median_est,
+        |  CASE WHEN f2.exact_f2 > 0 THEN
+        |    floor(abs(CAST(es.e[5] AS DOUBLE)
+        |        - CAST(f2.exact_f2 AS DOUBLE))
+        |      / CAST(f2.exact_f2 AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS rel_err
+        |FROM f2 JOIN es ON es.lang = f2.lang
+        |ORDER BY f2.lang""".stripMargin,
     // Same md5 shuffle order (integer digit-sum is monotone-equal to
     // the /2^32 double), same floor-apportionment rank cuts.
     "q_x119_exact_split" ->

@@ -168,4 +168,83 @@ object Sketches {
         ((col("est_n") - col("exact_n")) * width <=
           lit(3L) * col("n_tot")).as("bound_ok"))
   }
+
+  /** ±1 sign for AMS counter `j`: the low bit of the first md5 hex
+    * digit of `"ams|j|token"` — the engine-neutral hash idiom
+    * ([[cmCell]]'s), so any engine recomputes the exact sign. */
+  private def amsSign(token: Column, j: Int): Column =
+    lit(1L) - lit(2L) * pmod(conv(substring(
+      md5(concat(lit(s"ams|$j|"), token)), 1, 1), 16, 10).cast("long"),
+      lit(2L))
+
+  /** X169: AMS SECOND-MOMENT (F2) SKETCH CELLS (Alon–Matias–Szegedy
+    * 1996 — public knowledge) as a relational counter table: counter
+    * `j` of a group is `Σ_t sign_j(t)` over TOKEN OCCURRENCES, and
+    * `counter²` estimates `F2 = Σ_key f_key²` — the repeat-skew moment
+    * (self-join size, dedup pressure, collision mass) that completes
+    * the sketch family: X57 distincts (F0), X68 point counts, X58
+    * quantiles, and now the second moment.
+    *
+    * MERGEABLE like the Count–Min cells: counters are plain integer
+    * sums, so per-batch persisted cell tables merge by
+    * `groupBy(group, j).sum(counter)` — the property the split≡merge
+    * spec pins. Build is ONE map-side-combined aggregate after a
+    * `counters`-way posexplode. Output: (group, j, counter),
+    * ≤ `counters` rows per group. */
+  def amsF2Cells(df: DataFrame, groupCol: String, tokenCol: String,
+      counters: Int = 9): DataFrame = {
+    require(counters >= 1 && counters <= 64,
+      s"counters must be in [1,64], got $counters")
+    df.select(col(groupCol), col(tokenCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .select(col(groupCol),
+        posexplode(array((0 until counters).map(j =>
+          amsSign(col("__t"), j)): _*)).as(Seq("j", "__s")))
+      .groupBy(col(groupCol), col("j"))
+      .agg(sum(col("__s")).as("counter"))
+  }
+
+  /** AMS F2 audit report: per group, the exact second moment (one
+    * corpus-priced count-count aggregate — audit scaffolding;
+    * production keeps only the cells) against the sketch's MEDIAN
+    * estimator over an ODD number of counters. All integers: counters
+    * and their squares are exact, the median of an odd list is an
+    * element (no interpolation — a `counters`-bounded sorted-array
+    * pick, never a percentile sketch), and the only division is the
+    * one published quantized ratio. DECIMAL carries the squares (a
+    * 1e10-token group's F2 overflows LONG); the BIGINT publish fails
+    * loud past 2⁶³ rather than rendering a wide decimal (the d23
+    * lesson). Output per group: (group, n_tokens, exact_f2,
+    * median_est, rel_err). */
+  def amsF2Report(df: DataFrame, groupCol: String, tokenCol: String,
+      counters: Int = 9): DataFrame = {
+    require(counters % 2 == 1,
+      s"counters must be odd for an exact median, got $counters")
+    val D = "decimal(38,0)"
+    val toks = df.select(col(groupCol),
+      col(tokenCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+    val exact = toks.groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum((col("__c") * col("__c")).cast(D)).as("__f2"))
+    val ests = amsF2Cells(df, groupCol, tokenCol, counters)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(
+        (col("counter") * col("counter")).cast(D))).as("__e"))
+    def pubLong(c: Column, what: String) =
+      when(c > lit(Long.MaxValue).cast(D),
+        raise_error(lit(s"amsF2Report: $what overflows BIGINT")))
+        .otherwise(c.cast("long"))
+    val med = element_at(col("__e"), (counters + 1) / 2)
+    exact.join(ests, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"),
+        pubLong(col("__f2"), "exact F2").as("exact_f2"),
+        pubLong(med, "median estimate").as("median_est"),
+        graft.functions.q6(
+          when(col("__f2") > 0,
+            abs(med.cast("double") - col("__f2").cast("double")) /
+              col("__f2").cast("double"))).as("rel_err"))
+  }
 }

@@ -538,6 +538,63 @@ object TextStats {
       .limit(topK)
   }
 
+  /** X170: DUNNING LOG-LIKELIHOOD COLLOCATIONS (Dunning 1993, public
+    * knowledge) — the G² test over the bigram 2×2 contingency table,
+    * the statistically-grounded complement of [[pmiCollocations]]: PMI
+    * over-ranks rare pairs (two hapaxes that co-occur once get the
+    * maximum score); the likelihood ratio weighs the evidence MASS, so
+    * "machine learning" at 500 occurrences beats a one-off typo pair.
+    * Table per candidate pair (x,y): k₁₁ = c(x·y), marginals = x-as-
+    * left and y-as-right bigram counts, `G² = 2·Σ k·ln((k/R)·(N/C))`
+    * over the 4 cells (empty cells contribute 0; a positive cell's row
+    * total is positive by construction, so every ln argument is > 0).
+    *
+    * Engine parity: candidate SELECTION is exact-integer
+    * (`pair_freq ≥ minCount` — no top-k by the libm-bearing score, so
+    * no boundary can flip); every ln argument is the pinned two-
+    * division form `(k/R)·(N/C)` over exact-integer doubles (k·N could
+    * exceed 2^53 on a 1e9-bigram corpus; two correctly-rounded
+    * divisions cannot), the 4-term sum is one literal association
+    * order, and only the published `llr` is quantized (q6).
+    *
+    * Scale shape: one bigram hash-aggregate over the [[Dedup.shingles]]
+    * kernel, two marginal re-aggregates of the (already distinct-pair-
+    * sized) bigram table, two joins against the minCount-filtered
+    * candidate set; the corpus total is one driver scalar. */
+  def dunningCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bi = graft.util.Caches.persistTracked(
+      df.select(explode(Dedup.shingles(col(textCol), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("pair_freq")))
+    val nBi = bi.agg(coalesce(sum(col("pair_freq")), lit(0L)))
+      .head().getLong(0)
+    require(nBi > 0, "dunningCollocations: empty corpus")
+    val sp = split(col("pair"), " ", 2)
+    val xy = bi.withColumn("x", sp.getItem(0))
+      .withColumn("y", sp.getItem(1))
+    val left = xy.groupBy(col("x")).agg(sum(col("pair_freq")).as("cx"))
+    val right = xy.groupBy(col("y")).agg(sum(col("pair_freq")).as("cy"))
+    val n = lit(nBi.toDouble)
+    val k11 = col("pair_freq").cast("double")
+    val k12 = (col("cx") - col("pair_freq")).cast("double")
+    val k21 = (col("cy") - col("pair_freq")).cast("double")
+    val k22 = (lit(nBi) - col("cx") - col("cy") + col("pair_freq"))
+      .cast("double")
+    val cxD = col("cx").cast("double")
+    val cyD = col("cy").cast("double")
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0, k * log((k / r) * (n / c))).otherwise(lit(0.0))
+    val llr = lit(2.0) * (term(k11, cxD, cyD) +
+      term(k12, cxD, n - cyD) +
+      term(k21, n - cxD, cyD) +
+      term(k22, n - cxD, n - cyD))
+    xy.filter(col("pair_freq") >= minCount)
+      .join(left, "x").join(right, "y")
+      .select(col("x"), col("y"), col("pair_freq"), col("cx"),
+        col("cy"), graft.functions.q6(llr).as("llr"))
+  }
+
   /** The `n` most frequent adjacent pairs (freq desc, then tokens asc) —
     * the next BPE merge candidates; TakeOrdered, no global sort. */
   def topPairs(df: DataFrame, idCol: String, textCol: String,

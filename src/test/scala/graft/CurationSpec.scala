@@ -642,6 +642,38 @@ class CurationSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "Curation.groupedKFold (X167)"
+
+  it should "deal size-ranked groups boustrophedon and keep folds balanced" in {
+    // groups g1..g10 with sizes 10..1; k=2 snake over rank-1 mod 4:
+    // ranks 1,4,5,8,9 -> fold 0 (sizes 10,7,6,3,2 = 28);
+    // ranks 2,3,6,7,10 -> fold 1 (sizes 9,8,5,4,1 = 27)
+    val rows = (1 to 10).flatMap(g =>
+      (1 to (11 - g)).map(_ => s"g$g")).toDF("grp")
+    val r = graft.curate.Curation.groupedKFold(rows, "grp", k = 2)
+      .as[(String, Long, Long, Long)].collect()
+    val byFold = r.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    byFold(0L) shouldBe 28L
+    byFold(1L) shouldBe 27L
+    r.filter(_._1 == "g1").head._4 shouldBe 0L // rank 1
+    r.filter(_._1 == "g2").head._4 shouldBe 1L // rank 2
+    r.filter(_._1 == "g3").head._4 shouldBe 1L // rank 3 (snake back)
+    r.filter(_._1 == "g4").head._4 shouldBe 0L // rank 4
+  }
+
+  it should "assign every group exactly one fold in [0,k) and be partition-invariant" in {
+    val rows = (1L to 500L).map(i => s"u${i % 73}").toDF("grp")
+    def run(parts: Int) = graft.curate.Curation
+      .groupedKFold(rows.repartition(parts), "grp", k = 5)
+      .orderBy(col("group"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val a = run(3)
+    a shouldBe run(8)
+    a.map(_._1).distinct.length shouldBe 73
+    all(a.map(_._4)) should (be >= 0L and be < 5L)
+    graft.util.Caches.releaseAll(spark)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
