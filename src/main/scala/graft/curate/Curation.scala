@@ -595,17 +595,33 @@ object Curation {
     * (= maxEpochs·tokens), allocated_tokens, epochs (= alloc/tokens),
     * capped. */
   def epochPlan(df: DataFrame, textCol: String, domainCol: String,
-      budgetTokens: Long, maxEpochs: Double, alpha: Double): DataFrame = {
+      budgetTokens: Long, maxEpochs: Double, alpha: Double): DataFrame =
+    epochPlanFromSizes(
+      df.select(col(domainCol).as("domain"),
+          coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
+            .cast("long").as("__nt"))
+        .groupBy(col("domain"))
+        .agg(sum(col("__nt")).as("tokens_available")),
+      budgetTokens, maxEpochs, alpha)
+
+  /** [[epochPlan]] over a PRE-AGGREGATED `(domain, tokens_available)`
+    * size table — the tokenize-once entry point: an X62→X70→X56
+    * pipeline that calls the textCol overloads tokenizes the corpus
+    * THREE times (budget total, plan sizes, per-doc copy counts); at
+    * 100 TB the tokenize pass IS the cost, so the pipeline should
+    * tokenize into one cached `(id, domain, n_toks)` relation and
+    * derive the size table, the budget scalar and the
+    * [[materializeCounted]] input from it (q_x70/q_x72 do exactly
+    * this). Zero-token domains are dropped here, so callers may pass
+    * raw aggregates. */
+  def epochPlanFromSizes(domainSizes: DataFrame, budgetTokens: Long,
+      maxEpochs: Double, alpha: Double): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    import org.apache.spark.sql.expressions.Window
-    val dom = df
-      .select(col(domainCol).as("domain"),
-        coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
-          .cast("long").as("__nt"))
-      .groupBy(col("domain"))
-      .agg(sum(col("__nt")).as("tokens_available"))
+    val dom = domainSizes
+      .select(col("domain"), col("tokens_available").cast("long")
+        .as("tokens_available"))
       .filter(col("tokens_available") > 0)
     val tot = dom.agg(
       sum(col("tokens_available")).cast("double").as("__t"))
@@ -682,12 +698,24 @@ object Curation {
     * corpus at all. */
   def materializePlan(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, plan: DataFrame, seed: Long,
+      carryCols: Seq[String] = Nil): DataFrame =
+    materializeCounted(
+      df.select(col(idCol) +: col(domainCol).as("domain") +:
+        coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
+          .cast("long").as("n_toks") +: carryCols.map(col): _*),
+      idCol, "n_toks", "domain", plan, seed, carryCols)
+
+  /** [[materializePlan]] over an ALREADY-COUNTED corpus (`nToksCol`
+    * present) — the tokenize-once sibling of [[epochPlanFromSizes]]:
+    * the plan's size table and the copy counts should come from ONE
+    * tokenize pass, not one each. Same output, same md5 Bernoulli. */
+  def materializeCounted(df: DataFrame, idCol: String, nToksCol: String,
+      domainCol: String, plan: DataFrame, seed: Long,
       carryCols: Seq[String] = Nil): DataFrame = {
     require(seed >= 0 && seed <= Int.MaxValue,
       s"seed must fit in [0, 2^31), got $seed")
     val docs = df.select(col(idCol) +: col(domainCol).as("domain") +:
-      coalesce(size(graft.text.Dedup.words(col(textCol))), lit(0))
-        .cast("long").as("n_toks") +: carryCols.map(col): _*)
+      col(nToksCol).cast("long").as("n_toks") +: carryCols.map(col): _*)
     val p = plan.select(col("domain"), col("epochs"))
     val h = conv(substring(md5(concat(lit(s"ep|$seed|"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")

@@ -447,14 +447,21 @@ object TextQueries {
     // corpus tokens, computed exactly (integer division) by BOTH
     // engines.
     "q_x62_epoch_plan" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").withColumn("domain",
-        when(col("doc_id") % 50 === 0, lit("rare"))
-          .when(col("doc_id") % 5 === 0, lit("mid"))
-          .otherwise(lit("common")))
-      val total = docs.agg(
-        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
-        .head().getLong(0)
-      graft.curate.Curation.epochPlan(docs, "text", "domain",
+      // tokenize ONCE: per-doc counts feed the size table AND the
+      // budget scalar (the former textCol path scanned the corpus
+      // twice for the same numbers)
+      val sized = graft.util.Caches.persistTracked(
+        t(s, dir, "documents").select(
+          when(col("doc_id") % 50 === 0, lit("rare"))
+            .when(col("doc_id") % 5 === 0, lit("mid"))
+            .otherwise(lit("common")).as("domain"),
+          coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+            .as("n_toks")))
+      val sizes = sized.groupBy(col("domain"))
+        .agg(sum(col("n_toks")).as("tokens_available"))
+      val total = sizes.agg(coalesce(sum(col("tokens_available")),
+        lit(0L))).head().getLong(0)
+      graft.curate.Curation.epochPlanFromSizes(sizes,
         budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
         .orderBy(col("domain"))
     },
@@ -462,18 +469,23 @@ object TextQueries {
     // X70: epoch-plan materialization — the X62 plan executed: floor(e)
     // copies per doc plus a seeded md5 Bernoulli for the fractional
     // epoch; output is the exploded copy table X56's export consumes.
+    // ONE tokenize pass feeds budget, plan sizes and copy counts.
     "q_x70_epoch_materialize" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").withColumn("domain",
-        when(col("doc_id") % 50 === 0, lit("rare"))
-          .when(col("doc_id") % 5 === 0, lit("mid"))
-          .otherwise(lit("common")))
-      val total = docs.agg(
-        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
-        .head().getLong(0)
-      val plan = graft.curate.Curation.epochPlan(docs, "text", "domain",
+      val sized = graft.util.Caches.persistTracked(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, lit("rare"))
+            .when(col("doc_id") % 5 === 0, lit("mid"))
+            .otherwise(lit("common")).as("domain"),
+          coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+            .as("n_toks")))
+      val sizes = sized.groupBy(col("domain"))
+        .agg(sum(col("n_toks")).as("tokens_available"))
+      val total = sizes.agg(coalesce(sum(col("tokens_available")),
+        lit(0L))).head().getLong(0)
+      val plan = graft.curate.Curation.epochPlanFromSizes(sizes,
         budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
-      graft.curate.Curation.materializePlan(docs, "doc_id", "text",
-        "domain", plan, seed = 7L)
+      graft.curate.Curation.materializeCounted(sized, "doc_id",
+        "n_toks", "domain", plan, seed = 7L)
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
@@ -482,17 +494,24 @@ object TextQueries {
     // → X56 sharded export with a read-back manifest; green proves the
     // written shards carry exactly the planned copies.
     "q_x72_plan_export" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").withColumn("domain",
-        when(col("doc_id") % 50 === 0, lit("rare"))
-          .when(col("doc_id") % 5 === 0, lit("mid"))
-          .otherwise(lit("common")))
-      val total = docs.agg(
-        sum(coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")))
-        .head().getLong(0)
-      val plan = graft.curate.Curation.epochPlan(docs, "text", "domain",
+      // the tokenize-once shape: counts + text carried in one cached
+      // relation; plan sizes, budget and copies all derive from it
+      val sized = graft.util.Caches.persistTracked(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          when(col("doc_id") % 50 === 0, lit("rare"))
+            .when(col("doc_id") % 5 === 0, lit("mid"))
+            .otherwise(lit("common")).as("domain"),
+          coalesce(size(Dedup.words(col("text"))), lit(0)).cast("long")
+            .as("n_toks")))
+      val sizes = sized.groupBy(col("domain"))
+        .agg(sum(col("n_toks")).as("tokens_available"))
+      val total = sizes.agg(coalesce(sum(col("tokens_available")),
+        lit(0L))).head().getLong(0)
+      val plan = graft.curate.Curation.epochPlanFromSizes(sizes,
         budgetTokens = total / 2, maxEpochs = 2.0, alpha = 0.5)
-      val copies = graft.curate.Curation.materializePlan(docs, "doc_id",
-        "text", "domain", plan, seed = 7L, carryCols = Seq("text"))
+      val copies = graft.curate.Curation.materializeCounted(sized,
+        "doc_id", "n_toks", "domain", plan, seed = 7L,
+        carryCols = Seq("text"))
         .withColumn("copy_key",
           concat_ws("#", col("doc_id"), col("copy_idx")))
       val path =
