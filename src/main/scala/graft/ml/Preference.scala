@@ -42,29 +42,45 @@ object Preference {
   def bradleyTerry(comparisons: DataFrame, winnerCol: Column,
       loserCol: Column, iterations: Int = 10, maxItems: Int = 256)
       : DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(maxItems >= 2, s"maxItems must be >= 2, got $maxItems")
-    val S: BigInt = BigInt(1000000000L)
-    val S2: BigInt = S * S
-    val spark = comparisons.sparkSession
     val base = comparisons.select(
       winnerCol.cast("string").as("w"), loserCol.cast("string").as("l"))
     val guarded = base.select(
       when(col("w").isNull || col("l").isNull || col("w") === col("l"),
         raise_error(lit("bradleyTerry: NULL or self-paired comparison")))
         .otherwise(col("w")).as("w"), col("l"))
+    bradleyTerryFromPairWins(
+      guarded.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n")),
+      iterations, maxItems)
+  }
+
+  /** [[bradleyTerry]] over an already-aggregated directed pair-win
+    * table `(w, l, n)` — the MERGEABLE form: win counts are plain
+    * integer sums, so per-batch persisted cell tables merge by
+    * `groupBy(w, l).sum(n)` and the streaming leaderboard view equals
+    * the batch solve over the union by construction (the exact-integer
+    * MM is a pure function of the cell multiset). */
+  def bradleyTerryFromPairWins(directedWins: DataFrame,
+      iterations: Int = 10, maxItems: Int = 256): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(maxItems >= 2, s"maxItems must be >= 2, got $maxItems")
+    val S: BigInt = BigInt(1000000000L)
+    val S2: BigInt = S * S
+    val spark = directedWins.sparkSession
+    val cells = directedWins.select(col("w").cast("string").as("w"),
+      col("l").cast("string").as("l"), col("n").cast("long").as("n"))
     // bound k BEFORE any driver collect: the pair table is k²-sized
     // only once k is known small
-    val nItems = guarded.select(col("w").as("i"))
-      .unionByName(guarded.select(col("l").as("i")))
+    val nItems = cells.select(col("w").as("i"))
+      .unionByName(cells.select(col("l").as("i")))
       .distinct().count()
     require(nItems >= 2, s"bradleyTerry: need >= 2 items, got $nItems")
     require(nItems <= maxItems,
       s"bradleyTerry: $nItems items > maxItems=$maxItems — " +
         "shard the leaderboard or raise the bound explicitly")
-    // ONE distributed aggregate: directed pair win counts (≤ k² rows)
-    val pairWins = guarded.groupBy(col("w"), col("l"))
-      .agg(count(lit(1)).as("n"))
+    // ≤ k² rows by the bound just proven (merged cells may repeat a
+    // directed pair across batches; the fold below just adds them)
+    val pairWins = cells.groupBy(col("w"), col("l"))
+      .agg(sum(col("n")).as("n"))
       .collect()
     val items = pairWins.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted

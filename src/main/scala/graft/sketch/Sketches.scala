@@ -204,6 +204,29 @@ object Sketches {
       .agg(sum(col("__s")).as("counter"))
   }
 
+  /** The production read over an [[amsF2Cells]] table (one-pass or
+    * merged): per group the median-of-counters F2 estimate — the same
+    * element-exact odd-median pick as [[amsF2Report]], minus the
+    * corpus-priced exact audit. Rows in = ≤ counters per group; fails
+    * loud on an even counter census (a half-merged directory). */
+  def amsF2EstimateFromCells(cells: DataFrame, groupCol: String)
+      : DataFrame = {
+    val D = "decimal(38,0)"
+    val agg = cells.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("counters"),
+        sort_array(collect_list(
+          (col("counter") * col("counter")).cast(D))).as("__e"))
+    agg.select(col(groupCol), col("counters"),
+      when(col("counters") % 2 === 0,
+        raise_error(concat(lit("amsF2EstimateFromCells: even counter "),
+          lit("census for group "), col(groupCol).cast("string"),
+          lit(" — merge is incomplete"))))
+        .otherwise(element_at(col("__e"),
+          ((col("counters") + lit(1)) / lit(2)).cast("int"))
+          .cast("long"))
+        .as("median_est"))
+  }
+
   /** AMS F2 audit report: per group, the exact second moment (one
     * corpus-priced count-count aggregate — audit scaffolding;
     * production keeps only the cells) against the sketch's MEDIAN

@@ -470,6 +470,97 @@ object StreamingEvents {
     ()
   }
 
+  /** Streaming SECOND-MOMENT (AMS F2) maintenance: each micro-batch
+    * writes its X169 sign-counter cell table
+    * ([[graft.sketch.Sketches.amsF2Cells]] — ≤ `counters` rows per
+    * group, KBs regardless of batch size) under `batch_id=N`; counters
+    * are plain integer sums, so the published view merges cell-wise
+    * and the stream-wide F2 estimate equals a one-pass sketch of the
+    * union (spec-proven). The live "is repeat-skew / self-join
+    * pressure drifting" dial next to [[countMinSink]]'s point counts
+    * and [[heavyHitterSink]]'s top keys. Replays overwrite their own
+    * batch directory: idempotent. */
+  def amsF2Sink(docs: DataFrame, groupCol: String, textCol: String,
+      counters: Int, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) amsF2Batch(batch.toDF(), batchId, groupCol,
+          textCol, counters, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[amsF2Sink]] — package-private so the parity
+    * spec can drive the identical code path directly. */
+  private[graft] def amsF2Batch(batch: DataFrame, batchId: Long,
+      groupCol: String, textCol: String, counters: Int,
+      cellsDir: String): Unit = {
+    val toks = batch.select(col(groupCol),
+      explode(graft.text.Dedup.words(col(textCol))).as("__tok"))
+    graft.sketch.Sketches.amsF2Cells(toks, groupCol, "__tok", counters)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over an [[amsF2Sink]] directory: cell-wise
+    * merged counters → the X169 median estimator
+    * ([[graft.sketch.Sketches.amsF2EstimateFromCells]]). */
+  def amsF2View(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, groupCol: String): DataFrame =
+    graft.sketch.Sketches.amsF2EstimateFromCells(
+      spark.read.parquet(cellsDir)
+        .groupBy(col(groupCol), col("j"))
+        .agg(sum(col("counter")).as("counter")), groupCol)
+
+  /** Streaming PREFERENCE-LEADERBOARD maintenance: each micro-batch of
+    * (winner, loser) comparison votes writes its directed pair-win
+    * count table (≤ k² rows — KBs at any batch size) under
+    * `batch_id=N`; win counts are plain integer sums, so the published
+    * view merges cell-wise and runs the X166 exact-integer MM solve
+    * ([[graft.ml.Preference.bradleyTerryFromPairWins]]) over the
+    * stream-wide counts — bit-identical to the batch leaderboard over
+    * everything ingested (the MM is a pure function of the cell
+    * multiset; spec-proven). The live RLHF annotation dashboard: "is
+    * model B still winning" without re-scanning a single vote. Replays
+    * overwrite their own batch directory: idempotent. */
+  def bradleyTerrySink(votes: DataFrame, winnerCol: String,
+      loserCol: String, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    votes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) bradleyTerryBatch(batch.toDF(), batchId,
+          winnerCol, loserCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[bradleyTerrySink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def bradleyTerryBatch(batch: DataFrame, batchId: Long,
+      winnerCol: String, loserCol: String, cellsDir: String): Unit = {
+    val guarded = batch.select(
+      when(col(winnerCol).isNull || col(loserCol).isNull ||
+          col(winnerCol) === col(loserCol),
+        raise_error(lit("bradleyTerryBatch: NULL or self-paired vote")))
+        .otherwise(col(winnerCol).cast("string")).as("w"),
+      col(loserCol).cast("string").as("l"))
+    guarded.groupBy(col("w"), col("l"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[bradleyTerrySink]] directory: merged
+    * win cells → the exact-integer MM leaderboard. */
+  def bradleyTerryView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, iterations: Int = 10, maxItems: Int = 256)
+      : DataFrame =
+    graft.ml.Preference.bradleyTerryFromPairWins(
+      spark.read.parquet(cellsDir)
+        .groupBy(col("w"), col("l"))
+        .agg(sum(col("n")).as("n")), iterations, maxItems)
+
   /** Streaming PCA-MOMENT maintenance: each micro-batch of embedding
     * vectors writes its X102 moment buffer (n, per-dim sums, upper-
     * triangular products — `1 + d + d(d+1)/2` doubles, KBs regardless

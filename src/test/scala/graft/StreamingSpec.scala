@@ -1458,4 +1458,83 @@ class StreamingSpec extends SparkSpec {
       minDocs = 2)) shouldBe streamed
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "merge streamed AMS F2 cells into the one-pass sketch of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sams").toString
+    def batchRows(seed: Int): Seq[(String, String)] =
+      (1 to 15).map(i => ("en",
+        if (i % 3 == 0) "hot hot again" else s"w${seed}_$i filler"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.amsF2Sink(in.toDF().toDF("lang", "text"),
+      "lang", "text", counters = 9, s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (1 to 2).flatMap(batchRows).toDF("lang", "text")
+    val toks = all.select(col("lang"),
+      explode(graft.text.Dedup.words(col("text"))).as("tok"))
+    val onePass = graft.sketch.Sketches.amsF2Cells(toks, "lang", "tok",
+      counters = 9).orderBy("lang", "j")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    def merged() = spark.read.parquet(s"$tmp/cells")
+      .groupBy(col("lang"), col("j"))
+      .agg(sum(col("counter")).as("counter"))
+      .orderBy("lang", "j")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    merged() shouldBe onePass
+    // the view's estimate equals the batch estimator over the union
+    val batchEst = graft.sketch.Sketches.amsF2EstimateFromCells(
+      graft.sketch.Sketches.amsF2Cells(toks, "lang", "tok", 9), "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    val viewEst = StreamingEvents.amsF2View(spark, s"$tmp/cells", "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    viewEst shouldBe batchEst
+    // replay safety: rewriting batch 1's partition in place is a no-op
+    StreamingEvents.amsF2Batch(batchRows(2).toDF("lang", "text"), 1L,
+      "lang", "text", 9, s"$tmp/cells")
+    merged() shouldBe onePass
+  }
+
+  it should "solve the streamed Bradley-Terry leaderboard identically to the batch kernel" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbt").toString
+    def batchVotes(seed: Int): Seq[(String, String)] =
+      (1 to 30).map { i =>
+        val pair = (i + seed) % 3 match {
+          case 0 => ("A", "B"); case 1 => ("A", "C"); case _ => ("B", "C")
+        }
+        if (i % 5 == 0) pair.swap else pair // minority upsets
+      }
+    val in = MemoryStream[(String, String)]
+    val q = StreamingEvents.bradleyTerrySink(
+      in.toDF().toDF("winner", "loser"), "winner", "loser",
+      s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchVotes(1): _*); q.processAllAvailable()
+      in.addData(batchVotes(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("item")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val batch = rows(graft.ml.Preference.bradleyTerry(
+      (1 to 2).flatMap(batchVotes).toDF("winner", "loser"),
+      col("winner"), col("loser")))
+    val view = rows(StreamingEvents.bradleyTerryView(spark,
+      s"$tmp/cells"))
+    view shouldBe batch
+    // replay safety: rewriting batch 1's partition leaves the
+    // leaderboard identical
+    StreamingEvents.bradleyTerryBatch(
+      batchVotes(2).toDF("winner", "loser"), 1L, "winner", "loser",
+      s"$tmp/cells")
+    rows(StreamingEvents.bradleyTerryView(spark, s"$tmp/cells")) shouldBe
+      view
+  }
 }
