@@ -434,6 +434,97 @@ object Eval {
               col("__tn").cast("double"))).as("auc"))
   }
 
+  /** F77: CLIFF'S DELTA ordinal effect size (Cliff 1993, public
+    * knowledge) — `δ = (#(x₁>x₀) − #(x₁<x₀)) / (n₁·n₀)`, the
+    * dominance probability difference: the NON-PARAMETRIC magnitude
+    * companion to [[graft.ml.RankTests.mannWhitney]] exactly as F75's
+    * Cohen's d is to F42's t — latency and revenue tails break d's
+    * pooled-SD assumption, δ only asks "how often does one arm beat
+    * the other". Ties contribute zero by definition (δ = 2·AUC − 1
+    * only when tie mass is folded at half; this is the unfolded form).
+    *
+    * Exactness + scale: the [[rocAuc]] kernel — distinct-score groups,
+    * one two-phase prefix sum (no global window), DECIMAL(38,0) pair
+    * products (gt/lt grow ~n² — BIGINT dies near 3e9 rows), one final
+    * division published raw (a single correctly-rounded IEEE op over
+    * exact operands — bit-identical cross-engine, no quantize needed).
+    * Output: 1 row — (n_pos, n_neg, gt, lt, delta); NULL δ when either
+    * arm is empty. */
+  def cliffsDelta(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val grouped = df
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y") =!= 1, 1L).otherwise(0L)).as("__nn"))
+    val ranked = graft.relational.Ranks.prefixSums(grouped,
+      Seq(col("__s")), Seq("__cumnn" -> col("__nn")))
+    val agg = ranked.agg(
+      sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
+      sum(col("__np").cast("decimal(19,0)") *
+        (col("__cumnn") - col("__nn")).cast("decimal(19,0)"))
+        .cast(D).as("__gt"),
+      sum(col("__np").cast("decimal(19,0)") * col("__cumnn")
+        .cast("decimal(19,0)")).cast(D).as("__le"))
+    // lt = Σ np·(TN − cumnn) = tp·TN − Σ np·cumnn — one broadcast-free
+    // identity instead of carrying TN into the per-group row
+    def pubLong(c: org.apache.spark.sql.Column, what: String) =
+      when(c > lit(Long.MaxValue).cast(D),
+        raise_error(lit(s"cliffsDelta: $what overflows BIGINT — " +
+          "publish delta only at this cardinality")))
+        .otherwise(c.cast("long"))
+    agg.select(col("__tp").as("n_pos"), col("__tn").as("n_neg"),
+      pubLong(col("__gt"), "gt").as("gt"),
+      pubLong((col("__tp") * col("__tn")).cast(D) - col("__le"), "lt")
+        .as("lt"),
+      when(col("__tp") > 0 && col("__tn") > 0,
+        (col("__gt") - ((col("__tp") * col("__tn")).cast(D) -
+          col("__le"))).cast("double") /
+          (col("__tp").cast("double") * col("__tn").cast("double")))
+        .as("delta"))
+  }
+
+  /** F76: COCHRAN'S Q TEST (Cochran 1950, public knowledge) — the
+    * k-classifier extension of [[mcnemarTest]]: over the SAME items,
+    * did any of k matched binary raters/classifiers differ?
+    * `Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)` with G_j = per-
+    * classifier successes, L_i = per-item successes, T = ΣG; Q ~ χ²
+    * on k−1 dof. Reduces to McNemar's χ² at k = 2. The gate an
+    * ensemble-vs-members eval runs before pairwise drill-down.
+    *
+    * ONE aggregate pass; all counts exact integers, the quadratic
+    * sums carried in DECIMAL(38,0) (T² ~ n²·k² passes 2^53 near 1e8
+    * rows), one final division published raw. All-identical rows
+    * (denominator 0) emit NULL Q. Output: 1 row — (n, k, t, q,
+    * significant at the χ² cut the caller passes). */
+  def cochranQ(df: DataFrame, okCols: Seq[org.apache.spark.sql.Column],
+      chi2Threshold: Double): DataFrame = {
+    require(okCols.size >= 2,
+      s"cochranQ: need >= 2 classifiers, got ${okCols.size}")
+    val D = "decimal(38,0)"
+    val k = okCols.size
+    val oks = okCols.zipWithIndex.map { case (c, j) =>
+      c.cast("boolean").cast("long").as(s"__ok$j") }
+    val base = df.select(oks: _*)
+    val li = okCols.indices.map(j => col(s"__ok$j")).reduce(_ + _)
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum((li * li).cast(D)).as("__l2")) ++
+      okCols.indices.map(j => sum(col(s"__ok$j")).as(s"__g$j"))
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+    val t = okCols.indices.map(j => col(s"__g$j")).reduce(_ + _)
+    val g2 = okCols.indices.map(j =>
+      (col(s"__g$j") * col(s"__g$j")).cast(D)).reduce(_ + _)
+    val num = lit(k - 1).cast(D) *
+      (lit(k).cast(D) * g2 - (t.cast(D) * t.cast(D)).cast(D))
+    val den = lit(k).cast(D) * t.cast(D) - col("__l2")
+    val q = when(den > 0, num.cast("double") / den.cast("double"))
+    agg.select(col("n"), lit(k).as("k"), t.as("t"), q.as("q"),
+      (q > chi2Threshold).cast("int").as("significant"))
+  }
+
   /** F29: SPLIT-CONFORMAL PREDICTION INTERVALS (inductive conformal —
     * Papadopoulos et al. 2002, Lei et al. 2018; public knowledge): on a
     * held-out calibration set compute q̂ = the ⌈(1−α)(n+1)⌉-th smallest

@@ -630,6 +630,25 @@ object DqQueries {
         (col("lang") === "en").cast("int"))
     },
 
+    // F77: Cliff's delta of the same length-orders-English comparison
+    // — the unfolded dominance difference; exact DECIMAL pair
+    // products, ties contribute zero, one raw final division.
+    "q_f77_cliffs_delta" -> { (s, dir) =>
+      graft.ml.Eval.cliffsDelta(t(s, dir, "documents"), col("n_chars"),
+        (col("lang") === "en").cast("int"))
+    },
+
+    // F76: Cochran's Q over three deterministic pseudo-classifiers on
+    // the same items — exact integer G/L sums in DECIMAL, one raw
+    // division, chi2(2dof, 0.05) cut.
+    "q_f76_cochran_q" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ml.Eval.cochranQ(docs, Seq(
+        (col("doc_id") * 37) % 100 < 70,
+        (col("doc_id") * 53) % 100 < 65,
+        (col("doc_id") * 71) % 100 < 60), chi2Threshold = 5.991)
+    },
+
     // X117: Gini concentration of characters over documents — the
     // corpus-skew one-number report; DECIMAL(38,0) rank-weight sums,
     // single final division, no rounding.
@@ -2820,6 +2839,66 @@ object DqQueries {
         |      / (2.0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END
         |    AS auc
         |FROM a""".stripMargin,
+    // Cliff's delta: same distinct-score kernel; HUGEINT pair
+    // products mirror the DECIMAL carries; lt via the tp*tn - le
+    // identity; one raw division.
+    "q_f77_cliffs_delta" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM s GROUP BY sc),
+        |c AS (
+        |  SELECT *, CAST(sum(nn) OVER (ORDER BY sc
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumnn
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn,
+        |    sum(CAST(np AS HUGEINT) * CAST(cumnn - nn AS HUGEINT))
+        |      AS gt,
+        |    sum(CAST(np AS HUGEINT) * CAST(cumnn AS HUGEINT)) AS le
+        |  FROM c)
+        |SELECT tp AS n_pos, tn AS n_neg, CAST(gt AS BIGINT) AS gt,
+        |  CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT) - le
+        |    AS BIGINT) AS lt,
+        |  CASE WHEN tp > 0 AND tn > 0 THEN
+        |    CAST(gt - (CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT) - le)
+        |      AS DOUBLE)
+        |    / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END AS delta
+        |FROM a""".stripMargin,
+    // Cochran's Q: exact integer G/L2 sums in HUGEINT, the literal
+    // (k-1)(k*sumG2 - T^2) / (kT - sumL2) tree, NULL-aware cut.
+    "q_f76_cochran_q" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN (doc_id * 37) % 100 < 70 THEN 1 ELSE 0 END AS o1,
+        |    CASE WHEN (doc_id * 53) % 100 < 65 THEN 1 ELSE 0 END AS o2,
+        |    CASE WHEN (doc_id * 71) % 100 < 60 THEN 1 ELSE 0 END AS o3
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST((o1 + o2 + o3) * (o1 + o2 + o3) AS HUGEINT))
+        |      AS l2,
+        |    CAST(sum(o1) AS BIGINT) AS g1,
+        |    CAST(sum(o2) AS BIGINT) AS g2,
+        |    CAST(sum(o3) AS BIGINT) AS g3
+        |  FROM s),
+        |b AS (SELECT n, g1 + g2 + g3 AS t,
+        |    CASE WHEN 3 * CAST(g1 + g2 + g3 AS HUGEINT) - l2 > 0 THEN
+        |      CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1
+        |          + CAST(g2 AS HUGEINT) * g2
+        |          + CAST(g3 AS HUGEINT) * g3)
+        |        - CAST(g1 + g2 + g3 AS HUGEINT)
+        |          * CAST(g1 + g2 + g3 AS HUGEINT)) AS DOUBLE)
+        |      / CAST(3 * CAST(g1 + g2 + g3 AS HUGEINT) - l2 AS DOUBLE)
+        |      END AS q
+        |  FROM a)
+        |SELECT n, 3 AS k, t, q,
+        |  CASE WHEN q IS NULL THEN NULL
+        |    WHEN q > 5.991 THEN 1 ELSE 0 END AS significant
+        |FROM b""".stripMargin,
     // Same distinct-weight groups, same rank-set invariant doubled
     // rank-weight sum, HUGEINT mirror of the DECIMAL(38,0) carries.
     "q_x117_gini" ->

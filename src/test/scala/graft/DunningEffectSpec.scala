@@ -108,4 +108,59 @@ class DunningEffectSpec extends SparkSpec {
     row.isNullAt(4) shouldBe true
     row.isNullAt(5) shouldBe true
   }
+
+  behavior of "Eval.cliffsDelta (F77)"
+
+  it should "count dominance pairs exactly with zero-weight ties" in {
+    // arm1 = (3, 5), arm0 = (1, 5, 2): gt = {3>1, 3>2, 5>1, 5>2} = 4,
+    // lt = {3<5} = 1, the 5=5 tie contributes 0 -> delta = 3/6 = 0.5
+    val df = (Seq(3, 5).map(v => (1, v)) ++ Seq(1, 5, 2).map(v => (0, v)))
+      .toDF("y", "s")
+    val r = graft.ml.Eval.cliffsDelta(df, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    r shouldBe ((2L, 3L, 4L, 1L, 0.5))
+  }
+
+  it should "be partition-invariant and NULL on an empty arm" in {
+    val df = (1 to 300).map(i => (i % 2, (i * 7) % 23)).toDF("y", "s")
+    def run(parts: Int) = graft.ml.Eval.cliffsDelta(
+      df.repartition(parts), col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    run(2) shouldBe run(9)
+    val one = Seq((1, 5), (1, 7)).toDF("y", "s")
+    graft.ml.Eval.cliffsDelta(one, col("s"), col("y"))
+      .collect().head.isNullAt(4) shouldBe true
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  behavior of "Eval.cochranQ (F76)"
+
+  it should "reproduce the hand-computed statistic and reduce to McNemar chi2 at k=2" in {
+    // rows (1,1,0),(1,0,0),(1,1,1),(0,0,0): G=(3,2,1), T=6,
+    // sumG2=14, sumL2=14 -> Q = 2*(3*14-36)/(18-14) = 3.0
+    val df = Seq((1, 1, 0), (1, 0, 0), (1, 1, 1), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val r = graft.ml.Eval.cochranQ(df,
+      Seq(col("a") === 1, col("b") === 1, col("c") === 1), 5.991)
+      .as[(Long, Int, Long, Double, Int)].collect().head
+    r._1 shouldBe 4L; r._2 shouldBe 3; r._3 shouldBe 6L
+    r._4 shouldBe 3.0; r._5 shouldBe 0
+    // k=2 equivalence: Q = (b-c)^2/(b+c) = McNemar's chi2
+    val two = Seq((1, 0), (1, 0), (1, 0), (0, 1), (1, 1), (0, 0))
+      .toDF("a", "b")
+    val q2 = graft.ml.Eval.cochranQ(two,
+      Seq(col("a") === 1, col("b") === 1), 3.841)
+      .as[(Long, Int, Long, Double, Int)].collect().head._4
+    val mc = graft.ml.Eval.mcnemarTest(two, col("a") === 1,
+      col("b") === 1).select(col("chi2")).as[Double].collect().head
+    q2 shouldBe mc
+  }
+
+  it should "emit NULL Q when every row is identical across classifiers" in {
+    val df = Seq((1, 1), (0, 0), (1, 1)).toDF("a", "b")
+    val row = graft.ml.Eval.cochranQ(df,
+      Seq(col("a") === 1, col("b") === 1), 3.841).collect().head
+    row.isNullAt(3) shouldBe true
+    row.isNullAt(4) shouldBe true
+  }
 }
