@@ -205,4 +205,75 @@ object RankTests {
       graft.functions.q6(when(ok, z)).as("z"),
       graft.functions.q6(when(ok, least(pTwo, lit(1.0)))).as("p"))
   }
+
+  /** F78: JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST (Terpstra 1952,
+    * Jonckheere 1954 — public knowledge): across k ORDERED groups
+    * (doses, quality buckets, model sizes), is the metric trending
+    * monotonically? `J = Σ_{i<j} U_ij` pools every pairwise
+    * Mann–Whitney in the group order, so a consistent small lift at
+    * each step — invisible to [[kruskalWallis]]'s any-difference
+    * alternative — accumulates. The "does quality improve WITH the
+    * knob" test.
+    *
+    * Exactness + scale: one distinct-value aggregate carries a count
+    * column PER GROUP (k collected up front, fail-loud past
+    * `maxGroups` — group identities are k-bounded metadata, the X166
+    * convention); ONE two-phase prefix-sum call ranks all k columns
+    * over the value order (no global window, no k² passes); the
+    * DOUBLED statistic `2U_ij = Σ_v n_j(v)·(2·below_i(v) + n_i(v))`
+    * (ties weigh ½) stays an exact integer in DECIMAL. The null
+    * moments `E[J] = (N²−Σn_i²)/4` and
+    * `Var[J] = (N²(2N+3) − Σn_i²(2n_i+3))/72` (tie-uncorrected —
+    * documented approximation, standard form) are fixed IEEE trees
+    * over exact integers; only z is published quantized. Output:
+    * 1 row — (n, k, j2 fail-loud BIGINT, z). */
+  def jonckheereTerpstra(df: DataFrame, group: Column, value: Column,
+      maxGroups: Int = 16): DataFrame = {
+    val base = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.cast("long").as("__g"), value.as("__v"))
+    val groups = base.select(col("__g")).distinct()
+    val k = groups.count()
+    require(k >= 2, s"jonckheereTerpstra: need >= 2 groups, got $k")
+    require(k <= maxGroups,
+      s"jonckheereTerpstra: $k groups > maxGroups=$maxGroups")
+    val gs: Seq[Long] = groups.collect().map(_.getLong(0)).sorted.toSeq
+    val counts = base.groupBy(col("__v")).agg(
+      sum(when(col("__g") === gs.head, 1L).otherwise(0L))
+        .as(s"__n0"),
+      gs.tail.zipWithIndex.map { case (g, i) =>
+        sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }: _*)
+    val ranked = graft.relational.Ranks.prefixSums(counts,
+      Seq(col("__v")),
+      gs.indices.map(i => s"__cum$i" -> col(s"__n$i")))
+    // doubled pairwise contributions, all i<j in group order, summed
+    // order-free in DECIMAL
+    val j2terms = (for {
+      i <- gs.indices; j <- gs.indices if i < j
+    } yield col(s"__n$j").cast(D) *
+      (lit(2L) * (col(s"__cum$i") - col(s"__n$i")) + col(s"__n$i"))
+        .cast(D)).reduce(_ + _)
+    val aggCols = Seq(coalesce(sum(j2terms), lit(0).cast(D)).as("__j2")) ++
+      gs.indices.map(i =>
+        coalesce(sum(col(s"__n$i")), lit(0L)).as(s"__t$i"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val nTot = gs.indices.map(i => col(s"__t$i")).reduce(_ + _)
+    val sumSq = gs.indices.map(i =>
+      (col(s"__t$i") * col(s"__t$i")).cast(D)).reduce(_ + _)
+    val sumSq23 = gs.indices.map(i =>
+      (col(s"__t$i") * col(s"__t$i") *
+        (lit(2L) * col(s"__t$i") + lit(3L))).cast(D)).reduce(_ + _)
+    val nD = nTot.cast("double")
+    val e2 = (nD * nD - sumSq.cast("double")) / lit(2.0)
+    val v = (nD * nD * (lit(2.0) * nD + lit(3.0)) -
+      sumSq23.cast("double")) / lit(72.0)
+    val z = (col("__j2").cast("double") - e2) / (lit(2.0) * sqrt(v))
+    def pubLong(c: Column, what: String) =
+      when(c > lit(Long.MaxValue).cast(D),
+        raise_error(lit(s"jonckheereTerpstra: $what overflows BIGINT")))
+        .otherwise(c.cast("long"))
+    agg.select(nTot.as("n"), lit(k).as("k"),
+      pubLong(col("__j2"), "doubled statistic").as("j2"),
+      graft.functions.q6(when(v > 0, z)).as("z"))
+  }
 }

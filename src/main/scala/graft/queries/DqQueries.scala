@@ -638,6 +638,14 @@ object DqQueries {
         (col("lang") === "en").cast("int"))
     },
 
+    // F78: Jonckheere-Terpstra ordered trend of n_chars across the
+    // doc_id%4 groups — one k-column prefix-sum pass, exact doubled
+    // statistic in DECIMAL, q6 z.
+    "q_f78_jonckheere" -> { (s, dir) =>
+      graft.ml.RankTests.jonckheereTerpstra(t(s, dir, "documents"),
+        col("doc_id") % 4, col("n_chars"))
+    },
+
     // F76: Cochran's Q over three deterministic pseudo-classifiers on
     // the same items — exact integer G/L sums in DECIMAL, one raw
     // division, chi2(2dof, 0.05) cut.
@@ -2870,6 +2878,62 @@ object DqQueries {
         |      AS DOUBLE)
         |    / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END AS delta
         |FROM a""".stripMargin,
+    // Jonckheere: same per-group distinct-value counts, window cumsum
+    // mirror of the prefix sums, identical doubled pairwise terms in
+    // HUGEINT, the literal moment trees, q6 z.
+    "q_f78_jonckheere" ->
+      """WITH s AS (SELECT CAST(doc_id % 4 AS BIGINT) AS g,
+        |    n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |c AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n3
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(sum(n0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c2
+        |  FROM c),
+        |a AS (SELECT
+        |    coalesce(sum(
+        |      CAST(n1 AS HUGEINT) * (2 * (c0 - n0) + n0) +
+        |      CAST(n2 AS HUGEINT) * (2 * (c0 - n0) + n0) +
+        |      CAST(n3 AS HUGEINT) * (2 * (c0 - n0) + n0) +
+        |      CAST(n2 AS HUGEINT) * (2 * (c1 - n1) + n1) +
+        |      CAST(n3 AS HUGEINT) * (2 * (c1 - n1) + n1) +
+        |      CAST(n3 AS HUGEINT) * (2 * (c2 - n2) + n2)),
+        |      CAST(0 AS HUGEINT)) AS j2,
+        |    CAST(sum(n0) AS BIGINT) AS t0,
+        |    CAST(sum(n1) AS BIGINT) AS t1,
+        |    CAST(sum(n2) AS BIGINT) AS t2,
+        |    CAST(sum(n3) AS BIGINT) AS t3
+        |  FROM r),
+        |m AS (SELECT j2, t0 + t1 + t2 + t3 AS n,
+        |    CAST(t0 + t1 + t2 + t3 AS DOUBLE) AS nd,
+        |    CAST(CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |      + CAST(t2 AS HUGEINT) * t2 + CAST(t3 AS HUGEINT) * t3
+        |      AS DOUBLE) AS ss,
+        |    CAST(CAST(t0 AS HUGEINT) * t0 * (2 * t0 + 3)
+        |      + CAST(t1 AS HUGEINT) * t1 * (2 * t1 + 3)
+        |      + CAST(t2 AS HUGEINT) * t2 * (2 * t2 + 3)
+        |      + CAST(t3 AS HUGEINT) * t3 * (2 * t3 + 3) AS DOUBLE)
+        |      AS ss23
+        |  FROM a)
+        |SELECT n, CAST(4 AS BIGINT) AS k, CAST(j2 AS BIGINT) AS j2,
+        |  CASE WHEN (nd * nd * (2.0 * nd + 3.0) - ss23) / 72.0 > 0
+        |    THEN floor((CAST(j2 AS DOUBLE) - (nd * nd - ss) / 2.0)
+        |      / (2.0 * sqrt((nd * nd * (2.0 * nd + 3.0) - ss23)
+        |        / 72.0)) * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM m""".stripMargin,
     // Cochran's Q: exact integer G/L2 sums in HUGEINT, the literal
     // (k-1)(k*sumG2 - T^2) / (kT - sumL2) tree, NULL-aware cut.
     "q_f76_cochran_q" ->

@@ -1102,6 +1102,30 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // X172: Yule's K + hapax/dis ratios — lexical repetitiveness in
+    // one exact-integer aggregate; K/ratios q6.
+    "q_x172_yule_k" -> { (s, dir) =>
+      graft.text.TextStats.yuleK(t(s, dir, "documents"), "text")
+    },
+
+    // X171: vocabulary JS drift between the even- and odd-id corpus
+    // halves — scaled-LONG order-free term sums, pinned division
+    // trees, q6 js.
+    "q_x171_vocab_js" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.text.TextStats.vocabJsDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    },
+
+    // X173: term burstiness/dispersion — rate and the exact-identity
+    // VMR (zeros folded in algebraically) per frequent token.
+    "q_x173_burstiness" -> { (s, dir) =>
+      graft.text.TextStats.termBurstiness(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 20)
+        .orderBy(col("token"))
+    },
+
     // X119: exact-proportion stratified 8/1/1 split per source —
     // deterministic md5 shuffle order, integer floor-apportionment
     // rank cuts; sizes exact per stratum, not Bernoulli.
@@ -5374,6 +5398,100 @@ object TextQueries {
         |      / 1000000.0 END AS rel_err
         |FROM f2 JOIN es ON es.lang = f2.lang
         |ORDER BY f2.lang""".stripMargin,
+    // Yule's K: same split+nonempty unigram front, exact HUGEINT
+    // sum-of-squares, the literal 1e4*(m2-N)/N^2 tree, q6.
+    "q_x172_yule_k" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks WHERE t <> '' GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+        |    coalesce(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)),
+        |      CAST(0 AS HUGEINT)) AS m2,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dis
+        |  FROM tc)
+        |SELECT n_types, n_tokens, hapax, dis,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor(10000.0 * (CAST(m2 AS DOUBLE)
+        |        - CAST(n_tokens AS DOUBLE))
+        |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS yule_k,
+        |  CASE WHEN n_types > 0 THEN
+        |    floor(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS hapax_ratio,
+        |  CASE WHEN n_types > 0 THEN
+        |    floor(CAST(dis AS DOUBLE) / CAST(n_types AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS dis_ratio
+        |FROM a""".stripMargin,
+    // Vocab JS drift: same unigram fronts per half, full outer join,
+    // the identical per-word term floor-scaled to 1e15 LONGs and
+    // summed order-free in HUGEINT; q6 js.
+    "q_x171_vocab_js" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |ca AS (SELECT t, CAST(count(*) AS BIGINT) AS ca
+        |       FROM ta WHERE t <> '' GROUP BY 1),
+        |cb AS (SELECT t, CAST(count(*) AS BIGINT) AS cb
+        |       FROM tb WHERE t <> '' GROUP BY 1),
+        |j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON cb.t = ca.t),
+        |tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+        |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb FROM j),
+        |terms AS (SELECT j.ca, j.cb,
+        |    CAST(j.ca AS DOUBLE) / CAST(tot.na AS DOUBLE) AS p,
+        |    CAST(j.cb AS DOUBLE) / CAST(tot.nb AS DOUBLE) AS q
+        |  FROM j CROSS JOIN tot),
+        |sc AS (SELECT ca, cb,
+        |    CAST(floor((
+        |      (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |        ELSE 0.0 END) +
+        |      (CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |        ELSE 0.0 END)) * 1000000000000000.0 + 0.5) AS BIGINT)
+        |      AS term
+        |  FROM terms)
+        |SELECT tot.na AS tokens_a, tot.nb AS tokens_b,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS types_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS types_b,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shared_types,
+        |  floor(0.5 * CAST(coalesce(sum(CAST(term AS HUGEINT)),
+        |      CAST(0 AS HUGEINT)) AS DOUBLE) / 1000000000000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS js
+        |FROM sc CROSS JOIN tot
+        |GROUP BY tot.na, tot.nb""".stripMargin,
+    // Burstiness: same per-(doc, token) count front (the x68 words
+    // mirror), exact HUGEINT c^2 sums, the s2/tf - tf/n identity, q6.
+    "q_x173_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |pt AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS tf,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |  FROM pd GROUP BY 1
+        |  HAVING count(*) >= 20)
+        |SELECT token, df, tf,
+        |  floor(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  floor((CAST(s2 AS DOUBLE) / CAST(tf AS DOUBLE)
+        |      - CAST(tf AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS vmr
+        |FROM pt ORDER BY token""".stripMargin,
     // Same md5 shuffle order (integer digit-sum is monotone-equal to
     // the /2^32 double), same floor-apportionment rank cuts.
     "q_x119_exact_split" ->

@@ -366,6 +366,123 @@ object TextStats {
     * (type counts → count histogram), everything exact integers until
     * two quantized divisions; `shingleN` > 1 counts n-gram types
     * (via [[typeCounts]]). */
+  /** X172: YULE'S CHARACTERISTIC K + hapax/dis legomena ratios (Yule
+    * 1944, public knowledge) — lexical REPETITIVENESS in one number:
+    * `K = 10⁴·(Σ_m m²·V_m − N)/N²` (V_m = types occurring m times),
+    * the length-invariant "how template-y is this corpus" dial that
+    * complements X162 Chao1 (how much vocabulary is MISSING) and X154
+    * Good–Turing (how much probability mass is unseen): synthetic or
+    * over-boilerplated corpora push K up long before exact dedup fires.
+    *
+    * One aggregate over the shared [[typeCounts]] front; every operand
+    * an exact integer (Σm²V_m ≡ Σ_types c² carried in DECIMAL — it
+    * passes 2^53 near 1e8-occurrence types), K/ratios published q6
+    * over fixed IEEE trees. Output: 1 row — (n_types, n_tokens,
+    * hapax, dis, yule_k, hapax_ratio, dis_ratio). */
+  def yuleK(df: DataFrame, textCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val agg = typeCounts(df, textCol, 1).agg(
+      count(lit(1)).as("n_types"),
+      coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+      coalesce(sum((col("__c") * col("__c")).cast(D)),
+        lit(0).cast(D)).as("__m2"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("__c") === 2, 1L).otherwise(0L)).as("dis"))
+    val n = col("n_tokens").cast("double")
+    import graft.functions.q6
+    agg.select(col("n_types"), col("n_tokens"), col("hapax"), col("dis"),
+      q6(when(col("n_tokens") > 0,
+        lit(1e4) * (col("__m2").cast("double") - n) / (n * n)))
+        .as("yule_k"),
+      q6(when(col("n_types") > 0, col("hapax").cast("double") /
+        col("n_types").cast("double"))).as("hapax_ratio"),
+      q6(when(col("n_types") > 0, col("dis").cast("double") /
+        col("n_types").cast("double"))).as("dis_ratio"))
+  }
+
+  /** X171: VOCABULARY JENSEN–SHANNON DRIFT between two corpora (Lin
+    * 1991, public knowledge) — "did this crawl dump's LANGUAGE change,
+    * not just its volume": JS(p‖q) over the two unigram distributions,
+    * symmetric, bounded [0, ln 2], finite under disjoint vocabulary
+    * (where KL explodes — exactly the new-tokens case a drifting crawl
+    * produces). The vocabulary-level companion of the D5 numeric-PSI
+    * drift monitor.
+    *
+    * Engine parity: per-word JS terms bear ln, and a double sum over a
+    * million-type vocabulary is ORDER-DEPENDENT — so each term is
+    * floor-scaled to a 1e15 LONG (terms are ≤ p·ln2 < 1, so the scaled
+    * term is exact-integer safe; cumulative floor bias ≤ |V|·1e-15,
+    * far under the published q6) and summed order-free in DECIMAL
+    * (the RAKE/X160 discipline). Counts and totals are exact integers;
+    * p, q, m are pinned division trees. Output: 1 row — (tokens_a,
+    * tokens_b, types_a, types_b, shared_types, js). */
+  def vocabJsDivergence(a: DataFrame, b: DataFrame, textCol: String)
+      : DataFrame = {
+    val D = "decimal(38,0)"
+    val ca = typeCounts(a, textCol, 1)
+      .select(col("__t"), col("__c").as("__ca"))
+    val cb = typeCounts(b, textCol, 1)
+      .select(col("__t"), col("__c").as("__cb"))
+    val joined = ca.join(cb, Seq("__t"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    val withTot = joined.crossJoin(broadcast(tot))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("__ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    val agg = withTot.agg(
+      first(col("__na")).as("tokens_a"), first(col("__nb")).as("tokens_b"),
+      sum(when(col("__ca") > 0, 1L).otherwise(0L)).as("types_a"),
+      sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("types_b"),
+      sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L))
+        .as("shared_types"),
+      coalesce(sum(floor(term * lit(1e15) + lit(0.5)).cast("long")
+        .cast(D)), lit(0).cast(D)).as("__js"))
+    import graft.functions.q6
+    agg.select(col("tokens_a"), col("tokens_b"), col("types_a"),
+      col("types_b"), col("shared_types"),
+      q6(lit(0.5) * col("__js").cast("double") / lit(1e15)).as("js"))
+  }
+
+  /** X173: TERM BURSTINESS / DISPERSION report (Church & Gale 1995,
+    * public knowledge) — per frequent token, does it spread evenly
+    * (function word) or clump into few documents (content/template
+    * term)? `rate = tf/df` (occurrences per containing doc) and the
+    * variance-to-mean ratio over ALL docs via the exact identity
+    * `VMR = Σc²/tf − tf/n_docs` (zeros included without a dense
+    * join — the algebra folds them in). The data-driven stopword/
+    * keyword discriminator a tokenizer or BM25 stack reads at corpus
+    * scale; VMR ≈ 1 is Poisson (uniform), ≫ 1 is bursty.
+    *
+    * One (doc, token) count aggregate + one token re-aggregate;
+    * exact integers (Σc² in DECIMAL), two pinned divisions published
+    * q6; `minDf` is an exact-integer cut (no float boundary). */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 10): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val D = "decimal(38,0)"
+    val nDocs = df.count()
+    val perDoc = df.select(col(idCol).as("__id"),
+        explode(graft.text.Dedup.words(col(textCol))).as("token"))
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val perTok = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("tf"),
+        sum((col("__c") * col("__c")).cast(D)).as("__s2"))
+      .filter(col("df") >= minDf)
+    import graft.functions.q6
+    perTok.select(col("token"), col("df"), col("tf"),
+      q6(col("tf").cast("double") / col("df").cast("double"))
+        .as("rate"),
+      q6(col("__s2").cast("double") / col("tf").cast("double") -
+        col("tf").cast("double") / lit(nDocs.toDouble)).as("vmr"))
+  }
+
   def goodTuring(df: DataFrame, idCol: String, textCol: String,
       maxR: Int = 10, shingleN: Int = 1): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")

@@ -82,4 +82,41 @@ class RankTestsSpec extends SparkSpec {
     r._5 shouldBe None
     r._6 shouldBe None
   }
+
+  behavior of "RankTests.jonckheereTerpstra (F78)"
+
+  it should "reproduce the hand-computed doubled statistic and z" in {
+    // groups 0:(1,2), 1:(2,3), 2:(4,5): 2U_01 = 7 (one tie at 2),
+    // 2U_02 = 8, 2U_12 = 8 -> J2 = 23? no: U01=3.5 (1<2,1<3,2=2 half,
+    // 2<3) -> 2U01 = 7; U02 = 4 -> 8; U12 = 4 -> 8; J2 = 23 + ... =
+    // 7 + 8 + 8 = 23. E2 = (36 - 12)/2 = 12;
+    // V = (36*15 - 3*4*7)/72 = 456/72
+    val df = Seq((0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0), (2, 4.0),
+      (2, 5.0)).toDF("g", "v")
+    val r = graft.ml.RankTests.jonckheereTerpstra(df, col("g"),
+        col("v"))
+      .as[(Long, Long, Long, Double)].collect().head
+    r._1 shouldBe 6L; r._2 shouldBe 3L
+    r._3 shouldBe 23L
+    val v = 456.0 / 72.0
+    val z = (23.0 - 12.0) / (2.0 * math.sqrt(v))
+    r._4 shouldBe math.floor(z * 1e6 + 0.5) / 1e6
+  }
+
+  it should "score a clean monotone trend higher than a shuffled one and stay partition-invariant" in {
+    val trend = (1 to 90).map(i => (i % 3, (i % 3) * 100.0 + i % 7))
+      .toDF("g", "v")
+    val flat = (1 to 90).map(i => (i % 3, (i * 13 % 17).toDouble))
+      .toDF("g", "v")
+    def z(df: org.apache.spark.sql.DataFrame) =
+      graft.ml.RankTests.jonckheereTerpstra(df, col("g"), col("v"))
+        .select(col("z")).as[Double].collect().head
+    z(trend) should be > z(flat)
+    z(trend.repartition(7)) shouldBe z(trend)
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.RankTests.jonckheereTerpstra(
+        (1 to 40).map(i => (i, i.toDouble)).toDF("g", "v"),
+        col("g"), col("v"), maxGroups = 8)
+    graft.util.Caches.releaseAll(spark)
+  }
 }
