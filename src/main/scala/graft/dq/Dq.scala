@@ -327,6 +327,45 @@ object Dq {
     m.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** X175: SEEDED-LAPLACE NOISY-COUNT RELEASE (the Dwork et al. 2006
+    * Laplace mechanism, public knowledge) — the release SHAPE a
+    * privacy-gated aggregate endpoint publishes: per-group count plus
+    * Laplace(Δ/ε) noise, Δ = 1 for counting queries. Completes the
+    * release-audit tier (D15 k-anonymity, D24 l-diversity, D25
+    * t-closeness audit the TABLE; this op transforms the ANSWER).
+    *
+    * HONEST CAVEAT (read before deploying): the noise here is derived
+    * from a SEEDED md5 uniform — deterministic so the release is
+    * testable bit-for-bit cross-engine and replayable in CI. A
+    * deterministic draw is NOT differential privacy: anyone holding
+    * the seed can subtract the noise. A production release keeps this
+    * exact pipeline shape and swaps the uniform for a CSPRNG draw;
+    * everything else (sensitivity, inverse-CDF transform, the epsilon
+    * accounting the caller does) is unchanged.
+    *
+    * Engine parity: u = (h + 0.5)/2^32 over the first 8 md5 hex digits
+    * of (seed, group) — exact dyadic double, never exactly 0 or ½ —
+    * then the inverse CDF `−b·sgn(u−½)·ln(1−2|u−½|)` as one pinned
+    * tree; only the published noisy count is quantized (q6). One
+    * aggregate + a projection. Output: (group, n, b, noisy_n) — n is
+    * the audit column a real release DROPS. */
+  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seed: String, sensitivity: Double = 1.0): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(sensitivity > 0,
+      s"sensitivity must be > 0, got $sensitivity")
+    val b = sensitivity / epsilon
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(concat_ws(":", lit(s"dp|$seed"),
+      col(groupCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val d = u - lit(0.5)
+    val noise = lit(-b) * signum(d) * log(lit(1.0) - lit(2.0) * abs(d))
+    import graft.functions.q6
+    counts.select(col(groupCol), col("n"), lit(b).as("b"),
+      q6(col("n").cast("double") + noise).as("noisy_n"))
+  }
+
   /** D13: REFERENTIAL-INTEGRITY sweep — orphan-FK rates for a set of
     * (child.fk → parent.pk) relationships in one report: row count,
     * NULL-FK count (NULL is "no reference", not an orphan — the SQL

@@ -143,6 +143,47 @@ object Matching {
         "(extreme propensities make the weights unbounded)")
   }
 
+  /** F79: POSITIVITY / OVERLAP DIAGNOSTIC (the "common support" check
+    * — Rosenbaum & Rubin 1983's assumption, diagnosed per Crump 2009-
+    * style trimming practice; public knowledge): the pre-flight every
+    * [[ipwAte]]/[[aipwAte]]/[[caliperMatch]] run needs — a propensity
+    * stratum where only ONE arm has mass makes the estimand
+    * undefined there (IPW silently extrapolates; matching silently
+    * drops). Bins e into `bins` fixed-width strata and reports both
+    * arms' exact counts, the treated share, and a per-bin
+    * `positivity_ok` — plus each bin's weight ceiling `1/lo` proxy via
+    * the bin floor, so the caller sees WHERE trimming would bite.
+    *
+    * Exactness: bin = ⌊e·bins⌋ clamped (e strictly in (0,1), fail-loud
+    * like the estimators); counts exact; the single share division
+    * quantized. One aggregate. Output: one row per OCCUPIED bin —
+    * (bin, lo, hi, n_treated, n_control, share_treated,
+    * positivity_ok). */
+  def positivityReport(df: DataFrame, treated: Column,
+      propensity: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val rows = df.select(treated.cast("int").as("__t"),
+      propensity.cast("double").as("__e"),
+      propensity.cast("double").as("__y")) // guard reuses __y slot
+    requireValidPropensity(rows, "positivityReport")
+    val b = least(floor(col("__e") * bins).cast("long"),
+      lit(bins - 1L))
+    import graft.functions.q6
+    rows.groupBy(b.as("bin"))
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L))
+          .as("n_treated"),
+        sum(when(col("__t") =!= 1, 1L).otherwise(0L)).as("n_control"))
+      .select(col("bin"),
+        q6(col("bin").cast("double") / bins).as("lo"),
+        q6((col("bin") + lit(1L)).cast("double") / bins).as("hi"),
+        col("n_treated"), col("n_control"),
+        q6(col("n_treated").cast("double") /
+          (col("n_treated") + col("n_control")).cast("double"))
+          .as("share_treated"),
+        (col("n_treated") > 0 && col("n_control") > 0)
+          .as("positivity_ok"))
+  }
+
   /** F65a: INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson 1952
     * weighting; Hájek-stabilized ratio form — the variant that stays
     * bounded when weights are noisy): with t ∈ {0,1}, outcome y and a

@@ -638,6 +638,15 @@ object DqQueries {
         (col("lang") === "en").cast("int"))
     },
 
+    // X175: seeded-Laplace noisy per-lang counts — the release
+    // mechanism demo (deterministic md5 uniform -> inverse CDF; the
+    // scaladoc's honest caveat applies); q6 noisy counts.
+    "q_x175_noisy_counts" -> { (s, dir) =>
+      graft.dq.Dq.noisyCounts(t(s, dir, "documents"), "lang",
+        epsilon = 0.5, seed = "rel1")
+        .orderBy(col("lang"))
+    },
+
     // F78: Jonckheere-Terpstra ordered trend of n_chars across the
     // doc_id%4 groups — one k-column prefix-sum pass, exact doubled
     // statistic in DECIMAL, q6 z.
@@ -2878,6 +2887,22 @@ object DqQueries {
         |      AS DOUBLE)
         |    / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END AS delta
         |FROM a""".stripMargin,
+    // Noisy counts: same md5 uniform ((h+0.5)/2^32 — exact dyadic),
+    // same inverse-CDF tree, q6 on both sides.
+    "q_x175_noisy_counts" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |hx AS (SELECT lang, n, md5('dp|rel1:' || lang) AS m FROM c),
+        |u AS (SELECT lang, n,
+        |    (CAST(${hexDigitSum(1, 8)} AS DOUBLE) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM hx)
+        |SELECT lang, n, 2.0 AS b,
+        |  floor((CAST(n AS DOUBLE) + (-2.0)
+        |      * (CASE WHEN u - 0.5 > 0 THEN 1.0 ELSE -1.0 END)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin,
     // Jonckheere: same per-group distinct-value counts, window cumsum
     // mirror of the prefix sums, identical doubled pairwise terms in
     // HUGEINT, the literal moment trees, q6 z.

@@ -165,6 +165,15 @@ object LabelingQueries {
       Matching.ipwAte(base, col("y"), col("t"), col("e"))
     },
 
+    // F79: positivity/overlap diagnostic over the same propensity —
+    // exact per-stratum arm counts, one quantized share, per-bin
+    // common-support verdict.
+    "q_f79_positivity" -> { (s, dir) =>
+      val base = causalBase(t(s, dir, "orders"))
+      Matching.positivityReport(base, col("t"), col("e"), bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // F66: doubly-robust AIPW ATE with deterministic outcome models
     // (m1 − m0 = 25 exactly — the estimator should land near it even
     // though the propensity confounds the raw means).
@@ -300,6 +309,30 @@ object LabelingQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x166_bradley_terry" -> bradleyTerryOracle,
+    // Positivity: same fixed-width propensity bins (floor(e*10)
+    // clamped), exact arm counts, one quantized share, boolean
+    // verdict.
+    "q_f79_positivity" ->
+      s"""WITH $causalSql,
+         |b AS (SELECT least(CAST(floor(e * 10) AS BIGINT), 9) AS bin,
+         |    t FROM base),
+         |g AS (SELECT bin,
+         |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_treated,
+         |    CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_control
+         |  FROM b GROUP BY 1)
+         |SELECT bin,
+         |  floor(CAST(bin AS DOUBLE) / 10 * 1000000.0 + 0.5)
+         |    / 1000000.0 AS lo,
+         |  floor(CAST(bin + 1 AS DOUBLE) / 10 * 1000000.0 + 0.5)
+         |    / 1000000.0 AS hi,
+         |  n_treated, n_control,
+         |  floor(CAST(n_treated AS DOUBLE)
+         |      / CAST(n_treated + n_control AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS share_treated,
+         |  n_treated > 0 AND n_control > 0 AS positivity_ok
+         |FROM g ORDER BY bin""".stripMargin,
     // Exact BIGINT agreement counts; pe numerator = DECIMAL(38,0) sum
     // of DECIMAL(19,0) marginal products; one fixed IEEE tree each.
     "q_f63_cohen_kappa" ->

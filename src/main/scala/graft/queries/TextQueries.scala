@@ -1126,6 +1126,17 @@ object TextQueries {
         .orderBy(col("token"))
     },
 
+    // X176: HLL pairwise source-overlap matrix — the sketch path for
+    // x132's exact matrix; exact columns are the audit, overlap_ok
+    // pins the estimate within 10% of the union.
+    "q_x176_hll_overlap" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(Dedup.words(col("text"))).as("tok"))
+      graft.sketch.Sketches.hllSourceOverlap(toks, "source", "tok",
+        relErr = 0.1)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // X119: exact-proportion stratified 8/1/1 split per source —
     // deterministic md5 shuffle order, integer floor-apportionment
     // rank cuts; sizes exact per stratum, not Bernoulli.
@@ -5470,6 +5481,32 @@ object TextQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS js
         |FROM sc CROSS JOIN tot
         |GROUP BY tot.na, tot.nb""".stripMargin,
+    // HLL overlap: the oracle pins the exact census columns and the
+    // audit verdicts (the x57 convention — DuckDB's HLL is a
+    // different algorithm, so estimates are not comparable; the
+    // booleans are the checkable contract).
+    "q_x176_hll_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |dv AS (SELECT DISTINCT source, tok FROM toks),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact
+        |       FROM dv GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS exact_overlap
+        |  FROM dv a JOIN dv b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ea.source AS source_a, eb.source AS source_b,
+        |    ea.exact AS exact_a, eb.exact AS exact_b
+        |  FROM ex ea JOIN ex eb ON ea.source < eb.source)
+        |SELECT p.source_a, p.source_b, p.exact_a, p.exact_b,
+        |  CAST(coalesce(i.exact_overlap, 0) AS BIGINT)
+        |    AS exact_overlap,
+        |  true AS overlap_ok
+        |FROM pairs p LEFT JOIN inter i
+        |  ON i.source_a = p.source_a AND i.source_b = p.source_b
+        |ORDER BY 1, 2""".stripMargin,
     // Burstiness: same per-(doc, token) count front (the x68 words
     // mirror), exact HUGEINT c^2 sums, the s2/tf - tf/n identity, q6.
     "q_x173_burstiness" ->

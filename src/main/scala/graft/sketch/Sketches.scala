@@ -169,6 +169,60 @@ object Sketches {
           lit(3L) * col("n_tot")).as("bound_ok"))
   }
 
+  /** X176: HLL PAIRWISE SOURCE-OVERLAP matrix — the SKETCH path for
+    * X132's exact distinct-gram overlap: at 100 TB the exact matrix
+    * carries a distinct-value self-join per source pair; this one
+    * keeps ONE HLL sketch per source (≤ ~2 KB) and reads every
+    * pairwise overlap by inclusion–exclusion over sketch unions
+    * (`|A∩B| ≈ est(A) + est(B) − est(A∪B)`) — no raw re-scan, and new
+    * sources join the matrix by sketching only themselves.
+    *
+    * The exact columns are corpus-priced AUDIT scaffolding (the X57
+    * convention — production keeps the sketches): `overlap_ok` pins
+    * the estimate within `relErr` of the exact UNION size (the right
+    * error scale for a difference of estimates) + 1. Sketch estimates
+    * are deterministic in the distinct set, so the booleans are
+    * engine-stable facts. Output: one row per unordered source pair —
+    * (source_a, source_b, exact_a, exact_b, exact_overlap,
+    * overlap_ok). */
+  def hllSourceOverlap(df: DataFrame, sourceCol: String,
+      valueCol: String, relErr: Double = 0.1): DataFrame = {
+    require(relErr > 0, s"relErr must be positive, got $relErr")
+    val base = df.select(col(sourceCol).as("__src"),
+      col(valueCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+    val perSource = base.groupBy(col("__src"))
+      .agg(hll_sketch_agg(col("__v")).as("__sk"),
+        count_distinct(col("__v")).as("__exact"))
+    val pairs = perSource.select(col("__src").as("source_a"),
+        col("__sk").as("__ska"), col("__exact").as("exact_a"))
+      .join(perSource.select(col("__src").as("source_b"),
+        col("__sk").as("__skb"), col("__exact").as("exact_b")),
+        col("source_a") < col("source_b"))
+    // exact pairwise intersections: the audit join (distinct values
+    // only — vocabulary-sized, not corpus-sized)
+    val dv = base.distinct()
+    val inter = dv.select(col("__src").as("source_a"),
+        col("__v"))
+      .join(dv.select(col("__src").as("source_b"), col("__v")),
+        Seq("__v"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val estU = hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+    val estA = hll_sketch_estimate(col("__ska"))
+    val estB = hll_sketch_estimate(col("__skb"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("exact_a"),
+        col("exact_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        (abs((estA + estB - estU) -
+          coalesce(col("exact_overlap"), lit(0L)).cast("double")) <=
+          lit(relErr) * (col("exact_a") + col("exact_b") -
+            coalesce(col("exact_overlap"), lit(0L))).cast("double") +
+            lit(1.0)).as("overlap_ok"))
+  }
+
   /** ±1 sign for AMS counter `j`: the low bit of the first md5 hex
     * digit of `"ams|j|token"` — the engine-neutral hash idiom
     * ([[cmCell]]'s), so any engine recomputes the exact sign. */

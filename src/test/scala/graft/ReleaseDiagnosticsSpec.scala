@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** F79 positivity + X175 noisy release + X176 HLL overlap — the
+  * round-12 governance tier. */
+class ReleaseDiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  behavior of "Matching.positivityReport (F79)"
+
+  it should "flag one-armed strata and count both arms exactly" in {
+    // bin 1 (0.1-0.2): 2 treated + 1 control; bin 8: control only
+    val df = Seq((1, 0.15), (1, 0.12), (0, 0.18), (0, 0.85), (0, 0.88))
+      .toDF("t", "e")
+    val r = graft.ml.Matching.positivityReport(df, col("t"), col("e"))
+      .orderBy(col("bin"))
+      .as[(Long, Double, Double, Long, Long, Double, Boolean)].collect()
+    r.length shouldBe 2
+    r(0) shouldBe ((1L, 0.1, 0.2, 2L, 1L, q6(2.0 / 3.0), true))
+    r(1) shouldBe ((8L, 0.8, q6(0.9), 0L, 2L, 0.0, false))
+  }
+
+  it should "fail loud on degenerate propensities like the estimators" in {
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.Matching.positivityReport(
+        Seq((1, 1.0), (0, 0.5)).toDF("t", "e"), col("t"), col("e"))
+  }
+
+  behavior of "Dq.noisyCounts (X175)"
+
+  it should "reproduce the inverse-CDF noise bit-for-bit and respond to the seed" in {
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("g", "i")
+    val r = graft.dq.Dq.noisyCounts(df, "g", epsilon = 0.5,
+        seed = "s1")
+      .orderBy(col("g"))
+      .as[(String, Long, Double, Double)].collect()
+    r.map(_._2).sum shouldBe 100L
+    r.foreach { case (g, n, b, noisy) =>
+      b shouldBe 2.0
+      // replicate: u from first 8 md5 hex of "dp|s1:g", inverse CDF
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp|s1:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(m.substring(0, 8), 16).toDouble
+      val u = (h + 0.5) / 4294967296.0
+      val d = u - 0.5
+      val noise = -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
+      noisy shouldBe q6(n.toDouble + noise)
+    }
+    val other = graft.dq.Dq.noisyCounts(df, "g", 0.5, "s2")
+      .orderBy(col("g")).as[(String, Long, Double, Double)].collect()
+    other.map(_._4).toSeq should not be r.map(_._4).toSeq
+  }
+
+  it should "spread noise wider at smaller epsilon" in {
+    val df = (1L to 64L).map(i => (s"g$i", i)).toDF("g", "i")
+    def dev(eps: Double) = graft.dq.Dq.noisyCounts(df, "g", eps, "s")
+      .select(abs(col("noisy_n") - col("n")))
+      .as[Double].collect().sum
+    dev(0.1) should be > dev(10.0)
+  }
+
+  behavior of "Sketches.hllSourceOverlap (X176)"
+
+  it should "audit pairwise overlaps exactly on a hand fixture" in {
+    // A = {x,y,z}, B = {y,z,w}, C = {p}: |A∩B| = 2, |A∩C| = |B∩C| = 0
+    val rows = Seq(("A", "x"), ("A", "y"), ("A", "z"), ("A", "y"),
+      ("B", "y"), ("B", "z"), ("B", "w"), ("C", "p")).toDF("src", "v")
+    val r = graft.sketch.Sketches.hllSourceOverlap(rows, "src", "v")
+      .orderBy(col("source_a"), col("source_b"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    r shouldBe Array(
+      ("A", "B", 3L, 3L, 2L, true),
+      ("A", "C", 3L, 1L, 0L, true),
+      ("B", "C", 3L, 1L, 0L, true))
+  }
+
+  it should "hold its audit bound on a larger vocabulary and ignore partitioning" in {
+    val rows = (1L to 4000L).map { i =>
+      val src = if (i <= 2000) "first" else "second"
+      (src, s"t${i % 700}") // both halves sweep all 700 residues
+    }.toDF("src", "v")
+    def run(parts: Int) = graft.sketch.Sketches
+      .hllSourceOverlap(rows.repartition(parts), "src", "v")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    val a = run(3)
+    a shouldBe run(8)
+    a.head._5 shouldBe 700L
+    a.head._6 shouldBe true
+  }
+}
