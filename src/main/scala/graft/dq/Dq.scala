@@ -484,6 +484,60 @@ object Dq {
         col("ks_stat"))
   }
 
+  /** D26: 1-WASSERSTEIN (EARTH-MOVER) NUMERIC DRIFT — `W₁ = ∫|F_ref −
+    * F_cur| dx` — the MAGNITUDE companion of [[ksDrift]]'s max-gap and
+    * [[psiDrift]]'s binned score: KS says "the worst vertical gap",
+    * W₁ says "how far the mass actually moved, in the metric's own
+    * units" (a 1% shift of every value and a 50% shift of 2% of
+    * values can share a KS; their W₁ differ 25×). The numeric twin of
+    * D25 t-closeness' categorical EMD.
+    *
+    * Exactness: values land on the 1e-6 quantized grid (`⌊v·10⁶+½⌋` —
+    * the statistic is DEFINED on that grid, the [[graft.ml.Matching]]
+    * scaled-term discipline), after which EVERYTHING is exact integer:
+    * per-value counts, two-phase cumulative counts, the CDF gap as the
+    * cross-multiplied `|cnr·n_cur − cnc·n_ref|` (no per-row division),
+    * times the exact integer gap to the NEXT distinct value, summed in
+    * DECIMAL; ONE final division by `n_ref·n_cur·10⁶`. The statistic
+    * is bit-identical cross-engine, quantized only at publish (q6).
+    *
+    * Scale shape: one pooled value aggregate, one two-phase prefix
+    * sum (rank rides the same call), one rank→rank+1 self-join of the
+    * DISTINCT-VALUE table for the Δv adjacency (never a partition-less
+    * lead window); the last value's open interval carries zero gap by
+    * construction, so the inner join dropping it is exact. Output:
+    * 1 row — (n_ref, n_cur, w1). */
+  def wassersteinDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__raw"))
+      .filter(col("__raw").isNotNull)
+      .select(floor(col("__raw") * lit(1e6) + lit(0.5)).cast("long")
+        .as("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      pooled, Seq(col("__v")),
+      Seq("__cnr" -> col("nr"), "__cnc" -> col("nc"),
+        "__rk" -> lit(1L)))
+    val (nRef, nCur) = (totals(0), totals(1))
+    require(nRef > 0 && nCur > 0, "wassersteinDrift: empty population")
+    val nxt = cum.select(col("__rk").as("__rk0"), col("__v").as("__nxt"))
+    val terms = cum.join(nxt, col("__rk0") === col("__rk") + 1)
+      .select((abs(col("__cnr").cast(D) * lit(nCur).cast(D) -
+        col("__cnc").cast(D) * lit(nRef).cast(D)) *
+        (col("__nxt") - col("__v")).cast(D)).as("__t"))
+    import graft.functions.q6
+    terms.agg(coalesce(sum(col("__t")), lit(0).cast(D)).as("__s"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        q6(col("__s").cast("double") /
+          (lit(nRef.toDouble) * lit(nCur.toDouble) * lit(1e6)))
+          .as("w1"))
+  }
+
   /** Exact type-1 quantile edges of `valueCol` (bins−1 cut points at
     * ranks ⌈i·n/bins⌉ in (value, id) order) — the frozen reference
     * contract [[psiDrift]] and the streaming drift monitor share.

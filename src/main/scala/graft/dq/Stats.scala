@@ -1123,6 +1123,69 @@ object Stats {
         .as("gini"))
   }
 
+  /** X177: HBOS — HISTOGRAM-BASED OUTLIER SCORE (Goldstein &
+    * Dengel 2012, public knowledge): per feature, an equal-width
+    * histogram; a row's score is `Σ_f ln(n / count_f(bin_f(x)))` —
+    * rows living in thin bins across several features score high. The
+    * LINEAR-TIME multivariate screen between [[madOutliers]] (one
+    * robust dimension) and [[graft.ann.Similarity.lofScores]]
+    * (density-relative but pairwise-priced): HBOS assumes feature
+    * independence and pays one aggregate + one broadcast join — the
+    * only multivariate outlier shape that survives 100 TB unchanged.
+    *
+    * Engine parity: bin edges are pinned division trees over the
+    * broadcast min/max; histogram counts exact; each feature term's
+    * ln-argument is the exact rational n/count; terms floor-scale to
+    * 1e9 LONGs and sum per row over the FIXED feature list (order
+    * pinned by construction), published q6. NULL features fail loud
+    * (a silent NULL would deflate the score of exactly the weird rows
+    * the screen exists to catch). Degenerate features (min = max)
+    * contribute ln(1) = 0 for every row. Output: one row per input
+    * row — (id, hbos). */
+  def hbosScores(df: DataFrame, idCol: String,
+      features: Seq[(String, Column)], bins: Int = 10): DataFrame = {
+    require(features.nonEmpty, "hbosScores: no features")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fcols = features.map { case (n, c) =>
+      when(c.isNull, raise_error(concat(
+        lit(s"hbosScores: NULL feature '$n' at id "),
+        col(idCol).cast("string"))))
+        .otherwise(c.cast("double")).as(s"__f_$n")
+    }
+    val base = graft.util.Caches.persistTracked(
+      df.select(col(idCol).as("__id") +: fcols: _*))
+    val statAgg = Seq(count(lit(1)).as("__n")) ++ features.flatMap {
+      case (n, _) => Seq(min(col(s"__f_$n")).as(s"__mn_$n"),
+        max(col(s"__f_$n")).as(s"__mx_$n"))
+    }
+    val stats = base.agg(statAgg.head, statAgg.tail: _*)
+    val nRows = stats.select(col("__n")).head().getLong(0)
+    require(nRows > 0, "hbosScores: empty input")
+    def binOf(n: String): org.apache.spark.sql.Column = {
+      val step = (col(s"__mx_$n") - col(s"__mn_$n")) / bins
+      when(step === 0, lit(0L)).otherwise(
+        least(floor((col(s"__f_$n") - col(s"__mn_$n")) / step),
+          lit(bins - 1L))).cast("long")
+    }
+    val binned = base.crossJoin(broadcast(stats))
+      .select(col("__id") +: features.zipWithIndex.map {
+        case ((n, _), i) => binOf(n).as(s"__b$i") }: _*)
+    val exploded = binned.select(col("__id"),
+      posexplode(array(features.indices.map(i => col(s"__b$i")): _*))
+        .as(Seq("__fi", "__bin")))
+    val hist = exploded.groupBy(col("__fi"), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    import graft.functions.q6
+    exploded.join(broadcast(hist), Seq("__fi", "__bin"))
+      .withColumn("__t", floor(log(lit(nRows.toDouble) /
+        col("__cnt").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("__id").as(idCol),
+        q6(col("__s").cast("double") / lit(1e9)).as("hbos"))
+  }
+
   /** D12: ROBUST OUTLIER flags per group via MAD (median absolute
     * deviation) — the monitor that survives the outliers it hunts:
     * mean/stddev z-scores are dragged by the very anomalies they

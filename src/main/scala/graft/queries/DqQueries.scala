@@ -638,6 +638,28 @@ object DqQueries {
         (col("lang") === "en").cast("int"))
     },
 
+    // D26: 1-Wasserstein drift of n_chars between even/odd doc halves
+    // — exact integer CDF-gap mass on the 1e-6 value grid, one final
+    // division, q6.
+    "q_d26_wasserstein" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.dq.Dq.wassersteinDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    },
+
+    // X177: HBOS multivariate outlier screen over (n_chars, n_tokens)
+    // — equal-width histograms, exact counts, scaled-LONG ln terms,
+    // q6 scores; the linear-time companion of LOF.
+    "q_x177_hbos" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.dq.Stats.hbosScores(docs, "doc_id", Seq(
+        "chars" -> col("n_chars"),
+        "tokens" -> size(graft.text.Dedup.words(col("text")))
+          .cast("double")), bins = 10)
+        .orderBy(col("doc_id"))
+    },
+
     // X175: seeded-Laplace noisy per-lang counts — the release
     // mechanism demo (deterministic md5 uniform -> inverse CDF; the
     // scaladoc's honest caveat applies); q6 noisy counts.
@@ -2887,6 +2909,72 @@ object DqQueries {
         |      AS DOUBLE)
         |    / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) END AS delta
         |FROM a""".stripMargin,
+    // Wasserstein: same 1e-6 value grid, window-cumsum + lead mirror
+    // of the prefix-sum + rank-adjacency join, HUGEINT gap mass, one
+    // final division, q6.
+    "q_d26_wasserstein" ->
+      """WITH pooled AS (
+        |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS v,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS c
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc
+        |  FROM pooled GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS na,
+        |    CAST(sum(nc) AS BIGINT) AS nb FROM p),
+        |cum AS (SELECT *,
+        |    CAST(sum(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cnr,
+        |    CAST(sum(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cnc,
+        |    lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM p)
+        |SELECT (SELECT na FROM tot) AS n_ref,
+        |  (SELECT nb FROM tot) AS n_cur,
+        |  floor(CAST(coalesce(sum(
+        |      abs(CAST(cnr AS HUGEINT) * (SELECT nb FROM tot)
+        |        - CAST(cnc AS HUGEINT) * (SELECT na FROM tot))
+        |      * CAST(nxt - v AS HUGEINT)), CAST(0 AS HUGEINT))
+        |      AS DOUBLE)
+        |    / (CAST((SELECT na FROM tot) AS DOUBLE)
+        |      * CAST((SELECT nb FROM tot) AS DOUBLE) * 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS w1
+        |FROM cum WHERE nxt IS NOT NULL""".stripMargin,
+    // HBOS: same broadcast min/max bin edges, exact histogram counts,
+    // identical 1e9-scaled ln terms summed per doc, q6.
+    "q_x177_hbos" ->
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS f0,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |      AS DOUBLE) AS f1
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    min(f0) AS mn0, max(f0) AS mx0,
+        |    min(f1) AS mn1, max(f1) AS mx1 FROM f),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN (st.mx0 - st.mn0) / 10 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(CAST(floor((f.f0 - st.mn0)
+        |        / ((st.mx0 - st.mn0) / 10)) AS BIGINT), 9) END AS b0,
+        |    CASE WHEN (st.mx1 - st.mn1) / 10 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(CAST(floor((f.f1 - st.mn1)
+        |        / ((st.mx1 - st.mn1) / 10)) AS BIGINT), 9) END AS b1
+        |  FROM f CROSS JOIN st),
+        |h0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY 1),
+        |h1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  floor(CAST(
+        |      CAST(floor(ln(CAST((SELECT n FROM st) AS DOUBLE)
+        |          / CAST(h0.c AS DOUBLE)) * 1000000000.0 + 0.5)
+        |        AS BIGINT)
+        |      + CAST(floor(ln(CAST((SELECT n FROM st) AS DOUBLE)
+        |          / CAST(h1.c AS DOUBLE)) * 1000000000.0 + 0.5)
+        |        AS BIGINT) AS DOUBLE)
+        |    / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS hbos
+        |FROM b JOIN h0 ON h0.b0 = b.b0 JOIN h1 ON h1.b1 = b.b1
+        |ORDER BY b.doc_id""".stripMargin,
     // Noisy counts: same md5 uniform ((h+0.5)/2^32 — exact dyadic),
     // same inverse-CDF tree, q6 on both sides.
     "q_x175_noisy_counts" ->

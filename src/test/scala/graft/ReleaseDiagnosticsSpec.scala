@@ -91,4 +91,68 @@ class ReleaseDiagnosticsSpec extends SparkSpec {
     a.head._5 shouldBe 700L
     a.head._6 shouldBe true
   }
+
+  behavior of "Dq.wassersteinDrift (D26)"
+
+  it should "move exactly the hand-computed mass" in {
+    // ref = {0, 1}, cur = {1}: W1 = 0.5; a pure location shift of d
+    // costs exactly d
+    val ref = Seq(0.0, 1.0).toDF("v")
+    val cur = Seq(1.0).toDF("v")
+    val r = graft.dq.Dq.wassersteinDrift(ref, cur, "v")
+      .as[(Long, Long, Double)].collect().head
+    r shouldBe ((2L, 1L, 0.5))
+    val shift = graft.dq.Dq.wassersteinDrift(
+      Seq(3.0).toDF("v"), Seq(13.0).toDF("v"), "v")
+      .as[(Long, Long, Double)].collect().head
+    shift._3 shouldBe 10.0
+  }
+
+  it should "be zero on identical samples and partition-invariant" in {
+    val a = (1L to 400L).map(i => (i * 7 % 53).toDouble).toDF("v")
+    val b = (1L to 300L).map(i => (i * 11 % 53).toDouble + 2.5)
+      .toDF("v")
+    def w(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.wassersteinDrift(x, y, "v")
+        .select(col("w1")).as[Double].collect().head
+    w(a, a) shouldBe 0.0
+    w(a, b) should be > 0.0
+    w(a.repartition(9), b.repartition(4)) shouldBe w(a, b)
+  }
+
+  behavior of "Stats.hbosScores (X177)"
+
+  it should "score thin-bin rows higher with the exact scaled-term arithmetic" in {
+    // values 1,1,1,10 in 3 bins: the 10 sits alone -> ln(4/1);
+    // the 1s share a 3-count bin -> ln(4/3)
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 10.0))
+      .toDF("id", "x")
+    val r = graft.dq.Stats.hbosScores(df, "id",
+        Seq("x" -> col("x")), bins = 3)
+      .orderBy(col("id")).as[(Long, Double)].collect()
+    def term(arg: Double) =
+      math.floor(math.log(arg) * 1e9 + 0.5).toLong
+    r(0)._2 shouldBe q6(term(4.0 / 3.0).toDouble / 1e9)
+    r(3)._2 shouldBe q6(term(4.0).toDouble / 1e9)
+    r(3)._2 should be > r(0)._2
+  }
+
+  it should "add feature terms, zero out degenerate features, and fail loud on NULLs" in {
+    val df = Seq((1L, 1.0, 5.0), (2L, 1.0, 5.0), (3L, 9.0, 5.0))
+      .toDF("id", "a", "b")
+    // feature b is constant -> contributes ln(1) = 0 for every row
+    val one = graft.dq.Stats.hbosScores(df, "id",
+      Seq("a" -> col("a")), bins = 2)
+      .orderBy(col("id")).as[(Long, Double)].collect()
+    val two = graft.dq.Stats.hbosScores(df, "id",
+      Seq("a" -> col("a"), "b" -> col("b")), bins = 2)
+      .orderBy(col("id")).as[(Long, Double)].collect()
+    two shouldBe one
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "a")
+    an[Exception] should be thrownBy
+      graft.dq.Stats.hbosScores(withNull, "id",
+        Seq("a" -> col("a"))).collect()
+    graft.util.Caches.releaseAll(spark)
+  }
 }
