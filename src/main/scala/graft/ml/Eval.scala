@@ -356,6 +356,46 @@ object Eval {
         col("term"), col("hl_chi2"), col("dof"))
   }
 
+  /** F80: SPIEGELHALTER'S CALIBRATION Z (Spiegelhalter 1986, public
+    * knowledge) — the ONE-NUMBER calibration test beside
+    * [[hosmerLemeshow]]'s binned χ²: under perfect calibration
+    * `Z = Σ(y−p)(1−2p) / √Σ(1−2p)²p(1−p)` is standard normal, with NO
+    * binning choice to argue about (HL's verdict moves with the decile
+    * cut; Z doesn't) — the pair is the standard calibration audit.
+    *
+    * ONE aggregate pass: both per-row terms are |·| ≤ 1 fixed IEEE
+    * trees, floor-scaled to 1e9 LONGs and summed in DECIMAL (the
+    * estimator is DEFINED on the 1e-9-quantized terms — the ipwAte
+    * discipline — so the sums are exact and order-free at any row
+    * count); z is two pinned divisions + one sqrt, published q6. NULL
+    * or out-of-[0,1] p fails loud. All-deterministic boards (every
+    * p ∈ {0,1}) have zero variance → NULL z. Output: 1 row — (n, z). */
+  def spiegelhalterZ(df: DataFrame, probCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val base = df.select(
+      when(probCol.isNull || labelCol.isNull ||
+          probCol < 0.0 || probCol > 1.0,
+        raise_error(lit("spiegelhalterZ: NULL or out-of-[0,1] " +
+          "probability/label")))
+        .otherwise(probCol.cast("double")).as("__p"),
+      labelCol.cast("int").cast("double").as("__y"))
+    val num = (col("__y") - col("__p")) *
+      (lit(1.0) - lit(2.0) * col("__p"))
+    val den = (lit(1.0) - lit(2.0) * col("__p")) *
+      (lit(1.0) - lit(2.0) * col("__p")) * col("__p") *
+      (lit(1.0) - col("__p"))
+    def s9(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("long").cast(D))
+    val agg = base.agg(count(lit(1)).as("n"),
+      s9(num).as("__num"), s9(den).as("__den"))
+    import graft.functions.q6
+    agg.select(col("n"),
+      q6(when(col("__den") > 0,
+        (col("__num").cast("double") / lit(1e9)) /
+          sqrt(col("__den").cast("double") / lit(1e9)))).as("z"))
+  }
+
   /** F27: McNEMAR PAIRED TEST — "is classifier B actually better than
     * A, or did the same eval set just get re-scored" (McNemar 1947,
     * public knowledge): only the DISCORDANT pairs carry information —

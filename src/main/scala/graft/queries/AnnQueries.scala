@@ -143,6 +143,18 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X178: simplified silhouette against four fixed seed centroids —
+    // the points-times-k clustering-quality dial; graft_l2 distances
+    // (the X47 list_distance contract), k-bounded sorted assignment,
+    // scaled-LONG per-cluster means.
+    "q_x178_silhouette" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.simplifiedSilhouette(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 14L, 21L)),
+        "vec_id", "embedding")
+        .orderBy(col("cluster_id"))
+    },
+
     // X165: local outlier factor on an embedding sample — tie-inclusive
     // 5-NN density ratios; scaled-LONG reach/lrd sums, fixed IEEE lof.
     "q_x165_lof" -> { (s, dir) =>
@@ -520,6 +532,32 @@ object AnnQueries {
         |  FROM pairs)
         |SELECT vec_id, rk, neighbor_id, round(dist, 6) AS distance
         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // Simplified silhouette: same list_distance distances, same
+    // (distance, centroid) tie-break, identical scaled-LONG means.
+    "q_x178_silhouette" ->
+      """WITH pts AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cs AS (SELECT vec_id AS cid, v AS cv FROM pts
+        |       WHERE vec_id IN (0, 7, 14, 21)),
+        |d AS (SELECT p.vec_id AS pid, c.cid,
+        |    list_distance(p.v, c.cv) AS d
+        |  FROM pts p CROSS JOIN cs c),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY pid
+        |    ORDER BY d, cid) AS BIGINT) AS rk FROM d),
+        |pp AS (SELECT a.pid, a.cid AS cluster_id, a.d AS da,
+        |    b.d AS db
+        |  FROM r a JOIN r b ON b.pid = a.pid AND b.rk = 2
+        |  WHERE a.rk = 1),
+        |s AS (SELECT cluster_id,
+        |    CASE WHEN greatest(da, db) > 0
+        |      THEN (db - da) / greatest(da, db) ELSE 0.0 END AS sil
+        |  FROM pp)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  floor(CAST(sum(CAST(floor(sil * 1000000000.0 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) / 1000000000.0
+        |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same list_distance pairs; tie-inclusive k-distance neighborhood,
     // floor-scaled reach/lrd integers, the identical lof tree. The
     // HUGEINT lrd sum routes to DOUBLE via VARCHAR (the f42 cast

@@ -154,6 +154,20 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F80: Spiegelhalter's calibration Z over the same score — the
+    // binning-free companion of f74; 1e9-scaled order-free term sums,
+    // two pinned divisions + sqrt, q6.
+    "q_f80_spiegelhalter" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ml.Eval.spiegelhalterZ(
+        docs.select(
+          (((col("doc_id") * 37) % 1000).cast("double") / lit(1000.0))
+            .as("p"),
+          ((col("doc_id") * 53) % 1000 < (col("doc_id") * 37) % 1000)
+            .cast("int").as("y")),
+        col("p"), col("y"))
+    },
+
     // F74: Hosmer-Lemeshow calibration chi^2 over an exact-rational
     // probability score (p = (id*37%1000)/1000, y ~ Bernoulli(p) by
     // integer comparison) — two-phase ranks, computed ntile, scaled-
@@ -1310,6 +1324,25 @@ object DqQueries {
         |      * (1.0 - 3.0 / (4.0 * (dn0 + dn1) - 9.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS g
         |FROM f""".stripMargin,
+    // Spiegelhalter Z: same p/y, identical 1e9-scaled term trees
+    // summed in HUGEINT, same two-division-plus-sqrt publish.
+    "q_f80_spiegelhalter" ->
+      """WITH s AS (SELECT
+        |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS p,
+        |    CASE WHEN (doc_id * 53) % 1000 < (doc_id * 37) % 1000
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor((CAST(y AS DOUBLE) - p) * (1.0 - 2.0 * p)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS num,
+        |    sum(CAST(floor((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p
+        |      * (1.0 - p) * 1000000000.0 + 0.5) AS BIGINT)) AS den
+        |  FROM s)
+        |SELECT n, CASE WHEN den > 0 THEN
+        |    floor((CAST(num AS DOUBLE) / 1000000000.0)
+        |      / sqrt(CAST(den AS DOUBLE) / 1000000000.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM t""".stripMargin,
     // Same exact-rational p and integer-comparison label; ntile(10)
     // (the computed-ntile formula IS the SQL standard's), scaled-LONG
     // expected sums, the f15 full-window statistic pattern.

@@ -155,4 +155,73 @@ class ReleaseDiagnosticsSpec extends SparkSpec {
         Seq("a" -> col("a"))).collect()
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Eval.spiegelhalterZ (F80)"
+
+  it should "score perfect calibration at exactly zero and miscalibration away from it" in {
+    // p = 0.25 with exactly 1-in-4 positives: every term cancels
+    val calibrated = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0))
+      .toDF("p", "y")
+    val z0 = graft.ml.Eval.spiegelhalterZ(calibrated, col("p"),
+      col("y")).as[(Long, Double)].collect().head
+    z0 shouldBe ((4L, 0.0))
+    // all-positive at p = 0.25: replicate the scaled-term arithmetic
+    val over = Seq.fill(4)((0.25, 1)).toDF("p", "y")
+    val z1 = graft.ml.Eval.spiegelhalterZ(over, col("p"), col("y"))
+      .as[(Long, Double)].collect().head._2
+    def s9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val num = 4L * s9((1.0 - 0.25) * (1.0 - 2.0 * 0.25))
+    val den = 4L * s9((1.0 - 2.0 * 0.25) * (1.0 - 2.0 * 0.25) * 0.25 *
+      (1.0 - 0.25))
+    z1 shouldBe q6((num.toDouble / 1e9) / math.sqrt(den.toDouble / 1e9))
+    z1 should be > 0.0
+  }
+
+  it should "emit NULL z on a zero-variance board and fail loud out of range" in {
+    val degenerate = Seq((1.0, 1), (0.0, 0)).toDF("p", "y")
+    graft.ml.Eval.spiegelhalterZ(degenerate, col("p"), col("y"))
+      .collect().head.isNullAt(1) shouldBe true
+    an[Exception] should be thrownBy
+      graft.ml.Eval.spiegelhalterZ(Seq((1.5, 1)).toDF("p", "y"),
+        col("p"), col("y")).collect()
+  }
+
+  behavior of "Similarity.simplifiedSilhouette (X178)"
+
+  it should "reproduce hand geometry: tight points score high, boundary points low" in {
+    val pts = Seq((1L, Seq(1.0f, 0f)), (2L, Seq(9.0f, 0f)),
+      (3L, Seq(0.0f, 0f)), (4L, Seq(5.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(0.0f, 0f)), (200L, Seq(10.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ann.Similarity.simplifiedSilhouette(pts, "vec_id",
+        "embedding", cents, "vec_id", "embedding")
+      .orderBy(col("cluster_id"))
+      .as[(Long, Long, Double)].collect()
+    // cluster 100 holds points 1 (s=8/9), 3 (s=1), 4 (tie at 5 ->
+    // assigned to lower id 100, s=0); cluster 200 holds 2 (s=8/9)
+    def s9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    r(0)._1 shouldBe 100L
+    r(0)._2 shouldBe 3L
+    r(0)._3 shouldBe q6((s9(8.0 / 9.0) + s9(1.0) + s9(0.0)).toDouble /
+      1e9 / 3.0)
+    r(1) shouldBe ((200L, 1L, q6(s9(8.0 / 9.0).toDouble / 1e9)))
+  }
+
+  it should "be partition-invariant and bound the centroid count" in {
+    val pts = (1L to 200L).map(i =>
+      (i, Seq((i % 17).toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0.0f, 0f)), (1L, Seq(16.0f, 4f)))
+      .toDF("vec_id", "embedding")
+    def run(parts: Int) = graft.ann.Similarity.simplifiedSilhouette(
+      pts.repartition(parts), "vec_id", "embedding", cents,
+      "vec_id", "embedding")
+      .orderBy(col("cluster_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    run(3) shouldBe run(9)
+    an[IllegalArgumentException] should be thrownBy
+      graft.ann.Similarity.simplifiedSilhouette(pts, "vec_id",
+        "embedding", pts, "vec_id", "embedding", maxCentroids = 10)
+  }
 }
