@@ -231,6 +231,26 @@ class PlanGuardSpec extends SparkSpec {
     planNodes(2) shouldBe planNodes(6)
   }
 
+  it should "keep Katz centrality's per-iteration plans constant-sized (the X160 discipline)" in {
+    // katzCentrality inherits the PageRank loop contract: edges are
+    // src-repartitioned + localCheckpoint'ed once, each iteration's
+    // rank table eagerly localCheckpoint'ed — analyzed-plan size must
+    // not grow with the iteration count, and the rank side must bottom
+    // out in checkpointed RDD scans.
+    val edges = (1L to 60L).map(i => (i % 12, (i * 5 + 1) % 12))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    def planNodes(iters: Int): Int = {
+      val df = graft.graph.PageRank.katzCentrality(edges, "src", "dst",
+        alphaInverse = 8, iterations = iters)
+      val n = df.queryExecution.analyzed.collect { case p => p }.size
+      df.queryExecution.analyzed.toString should include ("LogicalRDD")
+      graft.util.Caches.releaseAll(spark)
+      spark.catalog.clearCache()
+      n
+    }
+    planNodes(2) shouldBe planNodes(6)
+  }
+
   it should "shuffle the IVFADC index exactly once, on centroid_id only" in {
     // the composed index's contract: the encoded corpus pays ONE exchange
     // (the bucket layout on centroid_id) at build time, and search never
