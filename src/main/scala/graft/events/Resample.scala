@@ -496,6 +496,68 @@ object Resample {
         graft.functions.q6(col("cusum")).as("cusum"), col("is_changepoint"))
   }
 
+  /** E36: PETTITT RANK-BASED CHANGEPOINT TEST per entity (Pettitt
+    * 1979, public knowledge) — the NONPARAMETRIC companion of [[E16
+    * cusumChangepoint]]: CUSUM estimates WHERE the mean shifted
+    * (assuming the mean is the story); Pettitt tests WHETHER the
+    * distribution shifted at all — `U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j)`
+    * (a Mann–Whitney at every cut), `K = max_t |U_t|`, the classic
+    * p ≈ 2·exp(−6K²/(n³+n²)), robust to the heavy-tailed dailies that
+    * make a CUSUM argmax chase one outlier.
+    *
+    * Exactness + scale: U_t collapses to EXACT INTEGERS via the rank
+    * identity `U_t = Σ_{i≤t} 2r̄_i − t(n+1)` (the doubled average
+    * ranks `2r̄ = 2·rank + ties − 1` are integers even at tie
+    * midpoints, and the t(n+1) shift makes U_t itself integral);
+    * ranks, tie counts, the day-prefix sum and the max all ride
+    * ENTITY-KEYED windows (never global); ties on |U| resolve to the
+    * EARLIEST day. Only the published p is a double (one pinned
+    * exp tree, clamped to 1, q6); `significant` compares the
+    * UNQUANTIZED clamp to alpha. Single-day entities emit NULL
+    * p/significant. Output: one row per entity —
+    * (key, n_days, k = max|U|, changepoint_day, p, significant). */
+  def pettittChangepoint(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, alpha: Double = 0.05): DataFrame =
+    pettittFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key, alpha)
+
+  /** [[pettittChangepoint]] over an already-aggregated (key, day, __x)
+    * daily table — the associative-daily-sum contract [[cusumFromDaily]]
+    * established, so a streaming daily-aggregate view could reuse this
+    * body verbatim. */
+  private[graft] def pettittFromDaily(daily0: DataFrame, key: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val daily = daily0.withColumn("__x", col("__x").cast("decimal(18,6)"))
+    val wRank = Window.partitionBy(col(key)).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col(key), col("__x"))
+    val wDayOrd = Window.partitionBy(col(key)).orderBy(col("day"))
+    val wDayCum = wDayOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wKey = Window.partitionBy(col(key))
+    val ranked = daily
+      .withColumn("__r2", lit(2L) * rank().over(wRank).cast("long") +
+        count(lit(1)).over(wTie).cast("long") - lit(1L))
+      .withColumn("__t", row_number().over(wDayOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey).cast("long"))
+      .withColumn("__v", sum(col("__r2")).over(wDayCum) -
+        col("__t") * (col("__n") + lit(1L)))
+      .withColumn("__av", abs(col("__v")))
+      .withColumn("__k", max(abs(col("__v"))).over(wKey))
+    val agg = ranked.groupBy(col(key))
+      .agg(first(col("__n")).as("n_days"), first(col("__k")).as("k"),
+        min(when(col("__av") === col("__k"), col("day"))).as("__cp"))
+    val nD = col("n_days").cast("double")
+    val kD = col("k").cast("double")
+    val p = least(lit(2.0) * exp(lit(-6.0) * (kD * kD) /
+      (nD * nD * nD + nD * nD)), lit(1.0))
+    agg.select(col(key), col("n_days"), col("k"),
+      date_format(col("__cp"), "yyyy-MM-dd").as("changepoint_day"),
+      graft.functions.q6(when(col("n_days") > 1, p)).as("p"),
+      when(col("n_days") > 1, (p < alpha).cast("int")).as("significant"))
+  }
+
   /** E34: CROSS-CORRELATION FUNCTION between two daily series (the
     * lead/lag detector: "do errors LEAD purchases down, and by how
     * many days?" — Box & Jenkins, public knowledge). Builds the two

@@ -208,6 +208,16 @@ object EventQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // E36: Pettitt rank changepoint per user over the same purchase
+    // dailies — exact doubled-rank U_t integers, earliest-day ties,
+    // one pinned exp for p.
+    "q_e36_pettitt" -> { (s, dir) =>
+      graft.events.Resample.pettittChangepoint(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // F72: purged k-fold time-series CV with embargo — 4 contiguous
     // blocks tiling the event span; 2-day label-horizon purge before
     // each test block, 2-day embargo after; per-fold role counts +
@@ -1303,6 +1313,46 @@ object EventQueries {
         |  floor(cusum * 1000000.0 + 0.5) / 1000000.0 AS cusum,
         |  CAST(rn = 1 AS INTEGER) AS is_changepoint
         |FROM rk ORDER BY user_id, day""".stripMargin,
+    // Pettitt: same DECIMAL dailies, integral U_t via doubled average
+    // ranks (2*rank + ties - 1), earliest-day argmax, the identical
+    // clamped exp tree for p.
+    "q_e36_pettitt" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    2 * rank() OVER (PARTITION BY user_id ORDER BY x)
+        |      + count(*) OVER (PARTITION BY user_id, x) - 1 AS r2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS t,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |v AS (SELECT user_id, d, n,
+        |    CAST(sum(r2) OVER (PARTITION BY user_id ORDER BY d
+        |        ROWS UNBOUNDED PRECEDING) - t * (n + 1) AS BIGINT)
+        |      AS vt
+        |  FROM rk),
+        |k AS (SELECT *, abs(vt) AS av,
+        |    max(abs(vt)) OVER (PARTITION BY user_id) AS mk FROM v),
+        |g AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(max(mk) AS BIGINT) AS k,
+        |    min(CASE WHEN av = mk THEN d END) AS cp
+        |  FROM k GROUP BY 1),
+        |pp AS (SELECT *, CAST(n_days AS DOUBLE) AS nd,
+        |    least(2.0 * exp(-6.0
+        |      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+        |          * CAST(n_days AS DOUBLE)
+        |        + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))),
+        |      1.0) AS p
+        |  FROM g)
+        |SELECT user_id, n_days, k,
+        |  strftime(cp, '%Y-%m-%d') AS changepoint_day,
+        |  CASE WHEN n_days > 1 THEN
+        |    floor(p * 1000000.0 + 0.5) / 1000000.0 END AS p,
+        |  CASE WHEN n_days > 1 THEN CAST(p < 0.05 AS INTEGER) END
+        |    AS significant
+        |FROM pp ORDER BY user_id""".stripMargin,
     // Same DECIMAL daily sums and pair/series moments, same fixed
     // ratio m = sx/n; num = sab - m*sa - m*sb + c*m*m; den = sxx -
     // n*m*m — operand-mirrored.

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PettittSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  behavior of "Resample.pettittChangepoint (E36)"
+
+  it should "reproduce the hand-computed doubled U sequence with ties" in {
+    // daily x = (1,1,1,1,9,9,9,9): 2r = 5 for the 1s (rank 1, 4 ties),
+    // 13 for the 9s; U_t = 2R_t - 9t = (-4,-8,-12,-16,-12,-8,-4,0)
+    // -> K = 16 at day 4 (U_t = sgn-pair sum: 4*4 pairs all negative)
+    val rows = (1 to 8).map { d =>
+      (7L, ts(f"2024-03-$d%02d 10:00:00"), if (d <= 4) 1.0 else 9.0)
+    }.toDF("user_id", "t", "v")
+    val r = graft.events.Resample.pettittChangepoint(rows, "user_id",
+        col("t"), col("v"))
+      .as[(Long, Long, Long, String, Double, Int)].collect().head
+    r._2 shouldBe 8L
+    r._3 shouldBe 16L
+    r._4 shouldBe "2024-03-04"
+    val p = math.min(2.0 * math.exp(-6.0 * 256.0 / (512.0 + 64.0)), 1.0)
+    r._5 shouldBe q6(p)
+    r._6 shouldBe (if (p < 0.05) 1 else 0)
+  }
+
+  it should "clamp p to 1 on an alternating series and break |U| ties by the earliest day" in {
+    // x = (1,2,1,2): 2r = (3,7,3,7), U_t = 2R_t - 5t = (-2,0,-2,0):
+    // K = 2 shared by t=1 and t=3 -> earliest day wins; p clamps at 1
+    val rows = Seq((1, 1.0), (2, 2.0), (3, 1.0), (4, 2.0)).map {
+      case (d, v) => (1L, ts(f"2024-03-$d%02d 09:00:00"), v) }
+      .toDF("user_id", "t", "v")
+    val r = graft.events.Resample.pettittChangepoint(rows, "user_id",
+        col("t"), col("v"))
+      .as[(Long, Long, Long, String, Double, Int)].collect().head
+    r._3 shouldBe 2L
+    r._4 shouldBe "2024-03-01"
+    r._5 shouldBe 1.0
+    r._6 shouldBe 0
+  }
+
+  it should "flag a long strong shift, stay partition-invariant, and NULL single-day entities" in {
+    val rows = (1 to 28).map { d =>
+      (9L, ts(f"2024-03-$d%02d 12:00:00"),
+        if (d <= 14) 2.0 + d % 3 else 40.0 + d % 3)
+    } :+ ((5L, ts("2024-03-01 12:00:00"), 7.0))
+    val df = rows.toDF("user_id", "t", "v")
+    def run(parts: Int) = graft.events.Resample.pettittChangepoint(
+      df.repartition(parts), "user_id", col("t"), col("v"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, String, Option[Double], Option[Int])]
+      .collect().toSeq
+    val a = run(2)
+    a shouldBe run(7)
+    val single = a.find(_._1 == 5L).get
+    single._5 shouldBe None
+    single._6 shouldBe None
+    val shifted = a.find(_._1 == 9L).get
+    shifted._4 shouldBe "2024-03-14"
+    shifted._6 shouldBe Some(1)
+    graft.util.Caches.releaseAll(spark)
+  }
+}
