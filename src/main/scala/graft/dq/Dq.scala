@@ -564,6 +564,35 @@ object Dq {
       acc + when(v > lit(e), 1).otherwise(0)
     }
 
+  /** D27: QUANTILE–QUANTILE DRIFT TABLE — WHERE the distribution moved,
+    * completing the numeric-drift quartet: D5 PSI (binned score), D7 KS
+    * (worst gap), D26 W₁ (total mass moved), and this (the per-decile
+    * map a remediation actually reads: "p50 is flat, the p90 tail grew
+    * 40%"). One row per interior quantile level with both sides' exact
+    * type-1 order statistics and their difference.
+    *
+    * Exactness: both sides reuse [[quantileEdges]] — two-phase integer
+    * ranks, ⌈i·n/bins⌉ picks, DATA VALUES only (no interpolation, so
+    * both engines return the identical element); `diff` is one IEEE
+    * subtraction of exact values; only the level label is quantized
+    * (driver-side mirror of q6). Two rank passes + two (bins−1)-sized
+    * collects. Output: (quantile_idx, level, q_ref, q_cur, diff). */
+  def qqDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String, idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = reference.sparkSession
+    def clean(df: DataFrame) = df
+      .select(col(valueCol).cast("double").as(valueCol), col(idCol))
+      .filter(col(valueCol).isNotNull)
+    val re = quantileEdges(clean(reference), valueCol, idCol, bins)
+    val ce = quantileEdges(clean(current), valueCol, idCol, bins)
+    import spark.implicits._
+    (1 until bins).map { i =>
+      (i.toLong, math.floor(i.toDouble / bins * 1e6 + 0.5) / 1e6,
+        re(i - 1), ce(i - 1), ce(i - 1) - re(i - 1))
+    }.toDF("quantile_idx", "level", "q_ref", "q_cur", "diff")
+  }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {

@@ -662,6 +662,17 @@ object DqQueries {
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
     },
 
+    // D27: QQ drift table of n_chars between the even/odd halves —
+    // exact type-1 order statistics per decile on both sides, raw
+    // element values, one subtraction.
+    "q_d27_qq_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.dq.Dq.qqDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars", "doc_id")
+        .orderBy(col("quantile_idx"))
+    },
+
     // X177: HBOS multivariate outlier screen over (n_chars, n_tokens)
     // — equal-width histograms, exact counts, scaled-LONG ln terms,
     // q6 scores; the linear-time companion of LOF.
@@ -2975,6 +2986,33 @@ object DqQueries {
         |      * CAST((SELECT nb FROM tot) AS DOUBLE) * 1000000.0)
         |    * 1000000.0 + 0.5) / 1000000.0 AS w1
         |FROM cum WHERE nxt IS NOT NULL""".stripMargin,
+    // QQ drift: same ceil-rank picks ((i*n + bins - 1) // bins) in the
+    // same (value, id) order on both sides; raw element values.
+    "q_d27_qq_drift" ->
+      """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |rr AS (SELECT v,
+        |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT)
+        |      AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM r),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id
+        |  FROM documents
+        |  WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+        |cc AS (SELECT v,
+        |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT)
+        |      AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM c),
+        |idx AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i),
+        |re AS (SELECT idx.i, rr.v FROM idx JOIN rr
+        |  ON rr.rk = (idx.i * rr.n + 9) // 10),
+        |ce AS (SELECT idx.i, cc.v FROM idx JOIN cc
+        |  ON cc.rk = (idx.i * cc.n + 9) // 10)
+        |SELECT re.i AS quantile_idx,
+        |  floor(CAST(re.i AS DOUBLE) / 10 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS level,
+        |  re.v AS q_ref, ce.v AS q_cur, ce.v - re.v AS diff
+        |FROM re JOIN ce ON ce.i = re.i
+        |ORDER BY quantile_idx""".stripMargin,
     // HBOS: same broadcast min/max bin edges, exact histogram counts,
     // identical 1e9-scaled ln terms summed per doc, q6.
     "q_x177_hbos" ->

@@ -121,6 +121,36 @@ class ReleaseDiagnosticsSpec extends SparkSpec {
     w(a.repartition(9), b.repartition(4)) shouldBe w(a, b)
   }
 
+  behavior of "Dq.qqDrift (D27)"
+
+  it should "map a pure location shift onto every quantile row" in {
+    // cur = ref + 5: every type-1 pick shifts by exactly 5
+    val ref = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val cur = (1L to 10L).map(i => (i, i.toDouble + 5.0))
+      .toDF("id", "v")
+    val r = graft.dq.Dq.qqDrift(ref, cur, "v", "id", bins = 5)
+      .orderBy(col("quantile_idx"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    r.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+    r.map(_._3) shouldBe Array(2.0, 4.0, 6.0, 8.0) // ceil-rank picks
+    r.map(_._4) shouldBe Array(7.0, 9.0, 11.0, 13.0)
+    r.map(_._5).toSet shouldBe Set(5.0)
+    r.map(_._2) shouldBe Array(0.2, 0.4, 0.6, 0.8)
+  }
+
+  it should "be partition-invariant with zero diff on identical samples" in {
+    val a = (1L to 300L).map(i => (i, (i * 13 % 97).toDouble))
+      .toDF("id", "v")
+    def run(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.qqDrift(x, y, "v", "id")
+        .orderBy(col("quantile_idx"))
+        .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    val same = run(a, a)
+    all(same.map(_._5)) shouldBe 0.0
+    run(a.repartition(7), a.repartition(3)) shouldBe same
+  }
+
   behavior of "Stats.hbosScores (X177)"
 
   it should "score thin-bin rows higher with the exact scaled-term arithmetic" in {
