@@ -511,6 +511,87 @@ object Stats {
       q6(d).as("d"), q6(d * j).as("g"))
   }
 
+  /** F81: SEEDED RANDOMIZATION TEST for a difference in means (Fisher
+    * 1935's randomization inference, in the re-randomization form —
+    * public knowledge): no normality, no variance model — just "how
+    * extreme is the OBSERVED arm difference among `reps` random
+    * re-assignments of the same values". The exact-inference fallback
+    * when [[welchT]]'s assumptions are the question: heavy-tailed
+    * revenue, tiny arms, bounded metrics.
+    *
+    * Re-assignments are Bernoulli(½) label draws from the md5 low bit
+    * of (seed, rep, id) — a RANDOMIZATION test (arm sizes vary
+    * binomially per rep), not a fixed-margin permutation; documented,
+    * standard, and embarrassingly parallel — and a pure function of
+    * (seed, rep, CALLER id), so the test is rerun- and
+    * partitioning-reproducible. p = (1 + #{|Δ_j| ≥
+    * |Δ_obs|}) / (reps + 1) — the add-one form that can never claim
+    * p = 0.
+    *
+    * Engine parity + scale: values floor-scale to 1e6 LONGs ONCE (the
+    * test is DEFINED on the quantized values); every per-rep sum/count
+    * is an exact integer from ONE `reps`-way explode + hash aggregate
+    * (map-side combined — the corpus is scanned once, the shuffle is
+    * reps-sized); Δ_j and Δ_obs are identical pinned two-division
+    * trees, so the ≥ comparisons cannot flip cross-engine. Cost is
+    * reps × corpus map work by construction — callers size `reps`
+    * accordingly. Degenerate reps (an empty arm) compare as NULL and
+    * drop from the count (never spuriously "extreme"); p publishes as
+    * the exact rational's single division. Output: 1 row —
+    * (n, reps, diff_obs q6, n_extreme, p). */
+  def randomizationTest(df: DataFrame, idCol: Column, variant: Column,
+      value: Column, reps: Int = 200, seed: String = "rt"): DataFrame = {
+    require(reps >= 1 && reps <= 100000,
+      s"reps must be in [1, 1e5], got $reps")
+    val D = "decimal(38,0)"
+    val base = graft.util.Caches.persistTracked(
+      df.select(idCol.cast("string").as("__id"),
+        variant.cast("int").as("__t"),
+        floor(value.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("__x"))
+        .filter(col("__t").isNotNull && col("__x").isNotNull))
+    def meanDiff(s1: Column, n1: Column, s0: Column, n0: Column) =
+      when(n1 > 0 && n0 > 0,
+        s1.cast("double") / lit(1e6) / n1.cast("double") -
+          s0.cast("double") / lit(1e6) / n0.cast("double"))
+    val obs = base.agg(
+      sum(when(col("__t") === 1, col("__x")).otherwise(0L)).cast(D)
+        .as("__s1"),
+      sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__t") =!= 1, col("__x")).otherwise(0L)).cast(D)
+        .as("__s0"),
+      sum(when(col("__t") =!= 1, 1L).otherwise(0L)).as("__n0"))
+      .select((col("__n1") + col("__n0")).as("n"),
+        meanDiff(col("__s1"), col("__n1"), col("__s0"), col("__n0"))
+          .as("__dobs"))
+    // ONE corpus scan: explode reps, re-draw the arm from the md5 low
+    // bit, aggregate per rep (reps-sized shuffle, map-side combined)
+    val perRep = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__j"))
+      .withColumn("__rt", pmod(conv(substring(md5(concat_ws(":",
+        lit(s"rt|$seed"), col("__j").cast("string"), col("__id"))),
+        1, 1), 16, 10).cast("long"), lit(2L)))
+      .groupBy(col("__j"))
+      .agg(sum(when(col("__rt") === 1, col("__x")).otherwise(0L))
+          .cast(D).as("__s1"),
+        sum(when(col("__rt") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__rt") =!= 1, col("__x")).otherwise(0L)).cast(D)
+          .as("__s0"),
+        sum(when(col("__rt") =!= 1, 1L).otherwise(0L)).as("__n0"))
+      .select(meanDiff(col("__s1"), col("__n1"), col("__s0"),
+        col("__n0")).as("__dj"))
+    import graft.functions.q6
+    perRep.crossJoin(broadcast(obs))
+      .agg(first(col("n")).as("n"), first(col("__dobs")).as("__dobs"),
+        sum(when(abs(col("__dj")) >= abs(col("__dobs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n"), lit(reps).as("reps"),
+        q6(col("__dobs")).as("diff_obs"), col("n_extreme"),
+        ((col("n_extreme") + lit(1L)).cast("double") /
+          lit((reps + 1).toDouble)).as("p"))
+  }
+
   /** F53: ONE-WAY ANOVA across k groups (Fisher 1925, public
     * knowledge) — `F = (SSB/(k−1)) / (SSW/(N−k))` with the η² effect
     * size `SSB/(SSB+SSW)` (a bare F hides whether a "significant"

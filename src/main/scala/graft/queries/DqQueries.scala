@@ -146,6 +146,16 @@ object DqQueries {
         col("o_orderkey") % 2, col("o_totalprice"))
     },
 
+    // F81: seeded randomization test on the same arms — exact
+    // inference without welch's assumptions; 50 md5-seeded
+    // re-assignments in ONE corpus scan, quantized-value integer sums,
+    // add-one rational p.
+    "q_f81_randomization" -> { (s, dir) =>
+      graft.dq.Stats.randomizationTest(t(s, dir, "orders"),
+        col("o_orderkey"), (col("o_orderkey") % 2).cast("int"),
+        col("o_totalprice"), reps = 50, seed = "rt1")
+    },
+
     // F75: Cohen's d + Hedges' g over the same even/odd order-total
     // arms as f42 — the magnitude the t-test's p-value hides; same
     // exact DECIMAL moment kernel, O(1) outputs inside q6's contract.
@@ -1286,6 +1296,51 @@ object DqQueries {
         |        + (v0 / dn0) * (v0 / dn0) / (dn0 - 1.0))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS dof
         |FROM f""".stripMargin,
+    // Randomization test: same 1e6-quantized values, same md5 low-bit
+    // re-assignment per (seed, rep, id), identical pinned mean-diff
+    // trees so every >= comparison agrees; add-one rational p.
+    "q_f81_randomization" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS x
+        |  FROM orders),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS DOUBLE)
+        |      / 1000000.0
+        |      / CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    - CAST(sum(CASE WHEN t <> 1 THEN x ELSE 0 END) AS DOUBLE)
+        |      / 1000000.0
+        |      / CAST(sum(CASE WHEN t <> 1 THEN 1 ELSE 0 END)
+        |        AS DOUBLE) AS dobs
+        |  FROM base),
+        |rp AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS j),
+        |draws AS (SELECT r.j,
+        |    (strpos('0123456789abcdef', substr(md5('rt|rt1:'
+        |      || CAST(r.j AS VARCHAR) || ':' || b.id), 1, 1)) - 1) % 2
+        |      AS rt,
+        |    b.x
+        |  FROM base b CROSS JOIN rp r),
+        |pr AS (SELECT j,
+        |    CASE WHEN sum(CASE WHEN rt = 1 THEN 1 ELSE 0 END) > 0
+        |      AND sum(CASE WHEN rt <> 1 THEN 1 ELSE 0 END) > 0 THEN
+        |      CAST(sum(CASE WHEN rt = 1 THEN x ELSE 0 END) AS DOUBLE)
+        |        / 1000000.0
+        |        / CAST(sum(CASE WHEN rt = 1 THEN 1 ELSE 0 END)
+        |          AS DOUBLE)
+        |      - CAST(sum(CASE WHEN rt <> 1 THEN x ELSE 0 END)
+        |          AS DOUBLE) / 1000000.0
+        |        / CAST(sum(CASE WHEN rt <> 1 THEN 1 ELSE 0 END)
+        |          AS DOUBLE) END AS dj
+        |  FROM draws GROUP BY 1)
+        |SELECT obs.n, 50 AS reps,
+        |  floor(obs.dobs * 1000000.0 + 0.5) / 1000000.0 AS diff_obs,
+        |  CAST(sum(CASE WHEN abs(pr.dj) >= abs(obs.dobs) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_extreme,
+        |  CAST(CAST(sum(CASE WHEN abs(pr.dj) >= abs(obs.dobs) THEN 1
+        |    ELSE 0 END) AS BIGINT) + 1 AS DOUBLE) / 51.0 AS p
+        |FROM pr CROSS JOIN obs
+        |GROUP BY obs.n, obs.dobs""".stripMargin,
     // Same DECIMAL moment CTE as f42 (VARCHAR-routed wide-decimal
     // casts), pooled-variance d and Hedges J to one literal tree.
     "q_f75_effect_size" ->

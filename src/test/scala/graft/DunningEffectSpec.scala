@@ -163,4 +163,39 @@ class DunningEffectSpec extends SparkSpec {
     row.isNullAt(3) shouldBe true
     row.isNullAt(4) shouldBe true
   }
+
+  behavior of "Stats.randomizationTest (F81)"
+
+  it should "find a massive effect maximally extreme and a null effect unextreme" in {
+    val big = (1L to 40L).map(i =>
+      (i, i % 2, (i % 5).toDouble + (if (i % 2 == 1) 1000.0 else 0.0)))
+      .toDF("id", "t", "v")
+    val r = graft.dq.Stats.randomizationTest(big, col("id"), col("t"),
+        col("v"), reps = 20, seed = "s")
+      .as[(Long, Int, Double, Long, Double)].collect().head
+    r._1 shouldBe 40L
+    r._2 shouldBe 20
+    r._3 should be > 990.0
+    r._4 shouldBe 0L // no re-draw beats a 1000-point true effect
+    r._5 shouldBe 1.0 / 21.0
+    val nullEff = (1L to 40L).map(i => (i, i % 2, (i % 7).toDouble))
+      .toDF("id", "t", "v")
+    val p0 = graft.dq.Stats.randomizationTest(nullEff, col("id"),
+        col("t"), col("v"), reps = 30, seed = "s")
+      .select(col("n_extreme")).as[Long].collect().head
+    p0 should be >= 1L
+  }
+
+  it should "be a pure function of (seed, id) — rerun- and partition-stable" in {
+    val df = (1L to 120L).map(i => (i, i % 2, (i * 13 % 31).toDouble))
+      .toDF("id", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame, seed: String) =
+      graft.dq.Stats.randomizationTest(d, col("id"), col("t"),
+        col("v"), reps = 25, seed = seed)
+        .as[(Long, Int, Double, Long, Double)].collect().head
+    val a = run(df, "s1")
+    run(df.repartition(7), "s1") shouldBe a
+    run(df, "s1") shouldBe a
+    graft.util.Caches.releaseAll(spark)
+  }
 }
