@@ -355,7 +355,16 @@ object Dq {
     require(sensitivity > 0,
       s"sensitivity must be > 0, got $sensitivity")
     val b = sensitivity / epsilon
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // fail loud on NULL groups: concat_ws silently SKIPS NULL, so a
+    // NULL group would draw seed-only noise here while a SQL mirror's
+    // `||` concatenation yields NULL — a cross-engine divergence. A
+    // release endpoint decides NULL-group policy upstream, explicitly.
+    val guarded = df.select(
+      when(col(groupCol).isNull,
+        raise_error(lit(s"noisyCounts: NULL group in '$groupCol' — " +
+          "filter or bucket NULLs explicitly before release")))
+        .otherwise(col(groupCol)).as(groupCol))
+    val counts = guarded.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
     val h = conv(substring(md5(concat_ws(":", lit(s"dp|$seed"),
       col(groupCol).cast("string"))), 1, 8), 16, 10).cast("double")
     val u = (h + lit(0.5)) / lit(4294967296.0)

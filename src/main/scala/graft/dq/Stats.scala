@@ -544,8 +544,16 @@ object Stats {
     require(reps >= 1 && reps <= 100000,
       s"reps must be in [1, 1e5], got $reps")
     val D = "decimal(38,0)"
+    // fail loud on NULL ids: the per-rep draw hashes (seed, rep, id)
+    // via concat_ws, which SKIPS NULL — every NULL-id row would share
+    // one draw per rep while a SQL mirror's `||` yields NULL-hash
+    // rows. Unit ids are the caller's contract; enforce it.
     val base = graft.util.Caches.persistTracked(
-      df.select(idCol.cast("string").as("__id"),
+      df.select(
+        when(idCol.isNull,
+          raise_error(lit("randomizationTest: NULL id — the " +
+            "re-randomization draw is keyed on the unit id")))
+          .otherwise(idCol.cast("string")).as("__id"),
         variant.cast("int").as("__t"),
         floor(value.cast("double") * lit(1e6) + lit(0.5)).cast("long")
           .as("__x"))

@@ -546,8 +546,17 @@ object Eval {
       s"cochranQ: need >= 2 classifiers, got ${okCols.size}")
     val D = "decimal(38,0)"
     val k = okCols.size
+    // fail loud on NULL outputs: count(*) would include the row while
+    // the per-classifier sums and the L² sum skip NULLs inconsistently
+    // (li is NULL if ANY column is), so Q would mix mismatched n/G/L
+    // populations silently — the hosmerLemeshow/spiegelhalterZ guard
+    // convention. Matched designs require every rater on every item.
     val oks = okCols.zipWithIndex.map { case (c, j) =>
-      c.cast("boolean").cast("long").as(s"__ok$j") }
+      when(c.isNull,
+        raise_error(lit(s"cochranQ: NULL classifier output at " +
+          s"column $j — a matched design needs every rater on " +
+          "every item; filter or impute upstream")))
+        .otherwise(c.cast("boolean").cast("long")).as(s"__ok$j") }
     val base = df.select(oks: _*)
     val li = okCols.indices.map(j => col(s"__ok$j")).reduce(_ + _)
     val aggCols = Seq(count(lit(1)).as("n"),

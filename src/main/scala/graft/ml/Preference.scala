@@ -97,17 +97,31 @@ object Preference {
     }
     val compsOf = Array.fill(k)(0L)
     nPair.foreach { case ((a, b), n) => compsOf(a) += n; compsOf(b) += n }
+    // per-item neighbor lists: the MM loop below walks each item's own
+    // pairs, O(k²·iter) total, not a full nPair scan per item per
+    // iteration (O(k³·iter))
+    val neighborsOf: Array[Array[(Int, Long)]] = {
+      val bufs = Array.fill(k)(
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long)])
+      nPair.foreach { case ((a, b), n) =>
+        bufs(a) += ((b, n)); bufs(b) += ((a, n))
+      }
+      bufs.map(_.toArray)
+    }
     var p = Array.fill(k)(S)
     for (_ <- 1 to iterations) {
       val next = Array.tabulate(k) { i =>
         if (winsOf(i) == 0L) BigInt(0)
         else {
           var d = BigInt(0)
-          nPair.foreach { case ((a, b), n) =>
-            if (a == i || b == i) {
-              val denom = p(a) + p(b) // > 0: one of the pair has wins
-              d += (BigInt(n) * S2) / denom
-            }
+          neighborsOf(i).foreach { case (j, n) =>
+            val denom = p(i) + p(j)
+            // the floor renormalization below CAN zero a winning
+            // item's strength (another item's raw update dominating
+            // tot); a pair of two such items would divide by zero —
+            // skip that pair this iteration, its mass re-enters once
+            // either side recovers nonzero strength
+            if (denom > 0) d += (BigInt(n) * S2) / denom
           }
           if (d == 0) BigInt(0) else (BigInt(winsOf(i)) * S2) / d
         }

@@ -229,8 +229,20 @@ object RankTests {
     * 1 row — (n, k, j2 fail-loud BIGINT, z). */
   def jonckheereTerpstra(df: DataFrame, group: Column, value: Column,
       maxGroups: Int = 16): DataFrame = {
+    // the ordered-trend statistic is DEFINED on integer group levels:
+    // fail loud when the cast loses information — a non-numeric label
+    // casts to NULL (would NPE at the collect below) and a fractional
+    // level silently truncates (0.2 and 0.9 both become level 0,
+    // merging groups and corrupting J without error)
+    val gLong = group.cast("long")
     val base = df.filter(value.isNotNull && group.isNotNull)
-      .select(group.cast("long").as("__g"), value.as("__v"))
+      .select(
+        when(gLong.isNull || gLong.cast("double") =!= group.cast("double"),
+          raise_error(lit("jonckheereTerpstra: group label is not " +
+            "an exact integer level — map labels to ordered " +
+            "integers explicitly")))
+          .otherwise(gLong).as("__g"),
+        value.as("__v"))
     val groups = base.select(col("__g")).distinct()
     val k = groups.count()
     require(k >= 2, s"jonckheereTerpstra: need >= 2 groups, got $k")

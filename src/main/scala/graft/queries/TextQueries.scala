@@ -5318,7 +5318,9 @@ object TextQueries {
         |ORDER BY x, y""".stripMargin,
     // Dunning G^2: same bigram table, same left/right marginals, the
     // 4-term sum in the same literal association order, same pinned
-    // (k/R)*(N/C) ln arguments; llr quantized at 6 on both sides.
+    // (k/R)*(N/C) ln arguments; llr quantized at 2 on both sides (G^2
+    // grows ~O(N), so q6 would break the 2^53 quantize contract at
+    // corpus scale - the welchT variance precedent).
     "q_x170_dunning_llr" ->
       """WITH words AS (
         |  SELECT regexp_split_to_array(lower(text), '\s+') AS w
@@ -5360,7 +5362,7 @@ object TextQueries {
         |      ELSE 0.0 END) +
         |    (CASE WHEN k22 > 0
         |      THEN k22 * ln((k22 / (nd - cxd)) * (nd / (nd - cyd)))
-        |      ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0 AS llr
+        |      ELSE 0.0 END)) * 100.0 + 0.5) / 100.0 AS llr
         |FROM c ORDER BY x, y""".stripMargin,
     // Grouped k-fold: same (size desc, group) total order, same snake
     // formula over the rank — all integers.

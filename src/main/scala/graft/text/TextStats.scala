@@ -706,10 +706,15 @@ object TextStats {
       term(k12, cxD, n - cyD) +
       term(k21, n - cxD, cyD) +
       term(k22, n - cxD, n - cyD))
+    // llr publishes at p=2, NOT the default q6: G² grows ~O(N) with the
+    // corpus bigram count (a frequent pair at N≈1e13 bigrams yields
+    // llr≈1e10), so |llr·1e6| would pass the quantize 2^53 contract —
+    // the welchT var0/var1 precedent. Two decimals keep the published
+    // value engine-stable to |llr| < ~4.5e13.
     xy.filter(col("pair_freq") >= minCount)
       .join(left, "x").join(right, "y")
       .select(col("x"), col("y"), col("pair_freq"), col("cx"),
-        col("cy"), graft.functions.q6(llr).as("llr"))
+        col("cy"), graft.functions.quantize(llr, 2).as("llr"))
   }
 
   /** The `n` most frequent adjacent pairs (freq desc, then tokens asc) —

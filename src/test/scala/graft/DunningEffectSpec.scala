@@ -25,7 +25,9 @@ class DunningEffectSpec extends SparkSpec {
     val exp = 2.0 * (2.0 * math.log((2.0 / 3.0) * (5.0 / 2.0)) +
       1.0 * math.log((1.0 / 3.0) * (5.0 / 3.0)) + 0.0 +
       2.0 * math.log((2.0 / 2.0) * (5.0 / 3.0)))
-    ab._6 shouldBe math.floor(exp * 1e6 + 0.5) / 1e6
+    // llr publishes at p=2 (G² grows ~O(N); q6 would break the
+    // quantize 2^53 contract at corpus scale)
+    ab._6 shouldBe math.floor(exp * 1e2 + 0.5) / 1e2
     // (b a) is a candidate too; (a c) is under minCount
     r.map(t => (t._1, t._2)).toSet shouldBe Set(("a", "b"), ("b", "a"))
   }
@@ -164,6 +166,16 @@ class DunningEffectSpec extends SparkSpec {
     row.isNullAt(4) shouldBe true
   }
 
+  it should "fail loud on NULL classifier outputs (matched design)" in {
+    // pre-guard, count(*) kept the row while the G/L sums dropped it
+    // inconsistently — Q silently mixed mismatched populations
+    val df = Seq((Some(1), Some(1)), (Some(0), None), (Some(1), Some(0)))
+      .toDF("a", "b")
+    an[Exception] should be thrownBy
+      graft.ml.Eval.cochranQ(df,
+        Seq(col("a") === 1, col("b") === 1), 3.841).collect()
+  }
+
   behavior of "Stats.randomizationTest (F81)"
 
   it should "find a massive effect maximally extreme and a null effect unextreme" in {
@@ -196,6 +208,17 @@ class DunningEffectSpec extends SparkSpec {
     val a = run(df, "s1")
     run(df.repartition(7), "s1") shouldBe a
     run(df, "s1") shouldBe a
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "fail loud on NULL unit ids (the draw is keyed on the id)" in {
+    // pre-guard, concat_ws skipped the NULL so every NULL-id row
+    // shared ONE draw per rep — a silent cross-engine divergence
+    val df = Seq((Some(1L), 1, 1.0), (None, 0, 2.0), (Some(3L), 1, 3.0),
+      (Some(4L), 0, 4.0)).toDF("id", "t", "v")
+    an[Exception] should be thrownBy
+      graft.dq.Stats.randomizationTest(df, col("id"), col("t"),
+        col("v"), reps = 5, seed = "s").collect()
     graft.util.Caches.releaseAll(spark)
   }
 }

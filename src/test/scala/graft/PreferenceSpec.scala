@@ -47,6 +47,24 @@ class PreferenceSpec extends SparkSpec {
     run(2) shouldBe run(7)
   }
 
+  it should "survive floor-renormalized zero-strength pairs (no divide by zero)" in {
+    // w_a/w_b ~ 1e10 > k·S = 4e9, so b's renormalized strength floors
+    // to 0 after iteration 1; same for d. b and d share a pair, so
+    // p(b)+p(d) = 0 — the unguarded loop threw BigInt ArithmeticException
+    // here. The guard skips the dead pair; winners still rank on top.
+    val wins = Seq(
+      ("a", "b", 10000000000L), ("b", "a", 1L),
+      ("c", "d", 10000000000L), ("d", "c", 1L),
+      ("b", "d", 1L), ("d", "b", 1L)).toDF("w", "l", "n")
+    val r = graft.ml.Preference.bradleyTerryFromPairWins(wins)
+      .orderBy(col("item"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    r.map(_._1) shouldBe Array("a", "b", "c", "d")
+    all(r.map(_._4)) should be >= 0L
+    r(0)._4 should be > r(1)._4 // a >> b
+    r(2)._4 should be > r(3)._4 // c >> d
+  }
+
   it should "fail loud on self-pairs and on too many items" in {
     an[Exception] should be thrownBy
       graft.ml.Preference.bradleyTerry(

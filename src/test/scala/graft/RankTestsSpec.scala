@@ -119,4 +119,26 @@ class RankTestsSpec extends SparkSpec {
         col("g"), col("v"), maxGroups = 8)
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "fail loud on fractional or non-numeric group labels" in {
+    // 0.2 and 0.9 would both truncate to level 0, silently merging
+    // groups; a non-numeric label casts to NULL and NPE'd pre-guard
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.jonckheereTerpstra(
+        Seq((0.2, 1.0), (0.9, 2.0), (1.0, 3.0), (2.0, 4.0))
+          .toDF("g", "v"), col("g"), col("v"))
+        .collect()
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.jonckheereTerpstra(
+        Seq(("lo", 1.0), ("mid", 2.0), ("hi", 3.0)).toDF("g", "v"),
+        col("g"), col("v"))
+        .collect()
+    // exact integer levels carried as strings or doubles still work
+    val z = graft.ml.RankTests.jonckheereTerpstra(
+      Seq(("0", 1.0), ("0", 2.0), ("1", 3.0), ("1", 4.0),
+        ("2", 5.0), ("2", 6.0)).toDF("g", "v"), col("g"), col("v"))
+      .select(col("z")).as[Double].collect().head
+    z should be > 0.0
+    graft.util.Caches.releaseAll(spark)
+  }
 }

@@ -63,6 +63,12 @@ class ReleaseDiagnosticsSpec extends SparkSpec {
     dev(0.1) should be > dev(10.0)
   }
 
+  it should "fail loud on a NULL group (concat_ws would skip it silently)" in {
+    val df = Seq(Some("a"), None, Some("b")).toDF("g")
+    an[Exception] should be thrownBy
+      graft.dq.Dq.noisyCounts(df, "g", 1.0, "s").collect()
+  }
+
   behavior of "Sketches.hllSourceOverlap (X176)"
 
   it should "audit pairwise overlaps exactly on a hand fixture" in {
