@@ -247,6 +247,143 @@ object RelationalQueries {
           col("n_items"))
     },
 
+    // A18: TPC-H Q2-shaped min-cost supplier — the classic CORRELATED
+    // SCALAR subquery (`cost = (SELECT min(cost) … WHERE inner.part =
+    // outer.part)`) DECORRELATED: the textbook rewrite is a per-part
+    // min aggregate joined back on (partkey, cost); here the aggregate
+    // and the join-back FUSE into one partkey-partitioned window-min +
+    // filter, so the offer relation is scanned ONCE and shuffled ONCE
+    // (the naive aggregate+join-back diamond re-computes the 5-table
+    // offer join on both sides — 2× the corpus scan at 100 TB; the
+    // oracle keeps the correlated form, so hash parity proves the
+    // rewrite; q_a19 demonstrates the aggregate+join-back shape).
+    // Unit costs floor-scale to 1e6 LONGs: the min and the equality
+    // select on EXACT integer keys (the libm-free top-k rule). Offers
+    // deduplicate within the same partkey partitioning (a supplier
+    // quoting the same part at the same cost twice is one offer — the
+    // partsupp grain this schema lacks).
+    "q_a18_min_cost_supplier" -> { (s, dir) =>
+      val eur = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name")))
+      val offers = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(eur, col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"),
+          floor(col("l_extendedprice") / col("l_quantity") * lit(1e6)
+            + lit(0.5)).cast("long").as("unit_cost_micro"))
+        // one explicit partkey exchange; the full-key distinct and the
+        // window-min both run inside it (hashpartitioning(l_partkey)
+        // satisfies both clusterings — no further shuffle)
+        .repartition(col("l_partkey"))
+        .distinct()
+      offers
+        .withColumn("__min_cost", min(col("unit_cost_micro"))
+          .over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("unit_cost_micro") === col("__min_cost"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "MEDIUM" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("s_acctbal"),
+          col("unit_cost_micro"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    },
+
+    // A19: TPC-H Q17-shaped small-quantity revenue — the correlated
+    // AVG subquery (`qty < 0.2 * (SELECT avg(qty) … same part)`)
+    // decorrelated to ONE per-part (Σqty, n) aggregate joined back on
+    // the partkey. The threshold compare runs on exact integers:
+    // qty < 0.2·(Σ/n) ⇔ 5·qty_s·n < Σ_s with quantities floor-scaled
+    // to 1e6 LONGs — no float avg can flip the cut cross-engine.
+    "q_a19_small_quantity_revenue" -> { (s, dir) =>
+      import graft.functions.quantize
+      val D = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+      val qtyS = floor(col("l_quantity") * lit(1e6) + lit(0.5))
+        .cast("long")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(qtyS.cast(D)).as("__sq"), count(lit(1)).as("__nq"))
+      li.join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .filter(qtyS.cast(D) * lit(5) * col("__nq") < col("__sq"))
+        .agg(sum(floor(col("l_extendedprice") * lit(1e6) + lit(0.5))
+          .cast("long").cast(D)).as("__sv"),
+          count(lit(1)).as("n_items"))
+        .select(quantize(col("__sv").cast("double") / lit(1e6) / lit(7.0), 2)
+          .as("avg_yearly"), col("n_items"))
+    },
+
+    // A20: TPC-H Q21-shaped waiting orders — the EXISTS / NOT-EXISTS
+    // chain decorrelated to a LEFT SEMI (another supplier shipped in
+    // the same order) plus a LEFT ANTI (nobody else shipped LATER)
+    // join, both keyed on l_orderkey so the three lineitem sides share
+    // one shuffle; the per-supplier count then ranks on the exact
+    // integer (numwait, name) key. The oracle carries the textbook
+    // correlated EXISTS form.
+    "q_a20_waiting_orders" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val l1 = li.join(t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("__ok2"),
+        col("l_suppkey").as("__sk2"))
+      val l3 = li.select(col("l_orderkey").as("__ok3"),
+        col("l_suppkey").as("__sk3"), col("l_shipdate").as("__sd3"))
+      l1.join(l2, col("l_orderkey") === col("__ok2") &&
+          col("l_suppkey") =!= col("__sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("__ok3") &&
+          col("l_suppkey") =!= col("__sk3") &&
+          col("__sd3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+
+    // A21: TPC-H Q22-shaped global sales opportunity — the UNCORRELATED
+    // scalar subquery (global positive-balance average) broadcast as a
+    // 1-row relation plus the NOT-EXISTS anti join against recent
+    // orders. The average compare is exact: bal_s·n > Σ_s on
+    // floor-scaled LONG balances — the one plan family where a scalar
+    // must become a broadcast, not a join-back.
+    "q_a21_global_sales_opportunity" -> { (s, dir) =>
+      import graft.functions.quantize
+      val D = "decimal(38,0)"
+      val cust = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 5, 12, 18, 22))
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") * lit(1e6) + lit(0.5)).cast("long")
+            .as("__bal"))
+      val avgPos = cust.filter(col("__bal") > 0)
+        .agg(sum(col("__bal").cast(D)).as("__s"),
+          count(lit(1)).as("__n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(recent, col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .crossJoin(broadcast(avgPos))
+        .filter(col("__bal").cast(D) * col("__n") > col("__s"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          quantize(sum(col("__bal").cast(D)).cast("double") / lit(1e6), 2)
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
     "q_a1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -584,6 +721,79 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q2 shape: the oracle keeps the CORRELATED scalar-min subquery —
+    // DuckDB decorrelates it internally, so hash parity proves the
+    // hand-decorrelated Spark plan. Unit costs are exact 1e6-scaled
+    // BIGINTs on both sides.
+    "q_a18_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal,
+        |    n_name,
+        |    CAST(floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)
+        |      AS BIGINT) AS unit_cost_micro
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+        |  unit_cost_micro
+        |FROM part JOIN offers o ON p_partkey = o.l_partkey
+        |WHERE p_type = 'MEDIUM' AND p_size <= 10
+        |  AND unit_cost_micro = (
+        |    SELECT min(unit_cost_micro) FROM offers o2
+        |    WHERE o2.l_partkey = o.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    // Q17 shape: correlated per-part avg-quantity subqueries; the cut
+    // is the exact-integer 5*qty_s*n < sum_s form on both sides.
+    "q_a19_small_quantity_revenue" ->
+      """SELECT
+        |  floor(CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND CAST(floor(l_quantity * 1000000.0 + 0.5) AS HUGEINT) * 5
+        |      * (SELECT count(*) FROM lineitem l2
+        |         WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(floor(l_quantity * 1000000.0 + 0.5)
+        |         AS HUGEINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // Q21 shape: the textbook EXISTS / NOT-EXISTS chain, decorrelated
+    // in the Spark plan to semi + anti joins on the shared order key.
+    "q_a20_waiting_orders" ->
+      """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // Q22 shape: uncorrelated scalar (global positive-balance average,
+    // exact bal_s*n > sum_s compare) + NOT EXISTS on recent orders.
+    "q_a21_global_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS bal
+        |  FROM customer WHERE c_nationkey IN (1, 5, 12, 18, 22))
+        |SELECT c_nationkey, CAST(count(1) AS BIGINT) AS numcust,
+        |  floor(CAST(sum(bal) AS DOUBLE) / 1000000.0 * 100.0 + 0.5)
+        |    / 100.0 AS totacctbal
+        |FROM cust c
+        |WHERE CAST(bal AS HUGEINT) *
+        |    (SELECT count(*) FROM cust WHERE bal > 0)
+        |  > (SELECT sum(CAST(bal AS HUGEINT)) FROM cust WHERE bal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -907,4 +907,52 @@ class PlanGuardSpec extends SparkSpec {
       .luhnCardCandidates(docs, "doc_id", "text"))
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "decorrelate the TPC-H correlated-subquery family to joins/aggregates — no per-outer-row rescan" in {
+    // q_a18 (Q2 scalar-min), q_a19 (Q17 avg), q_a20 (Q21 exists/not-
+    // exists), q_a21 (Q22 scalar + anti). The guards pin the plan
+    // family each one must decorrelate to; any shape that re-scans the
+    // inner relation per outer row would surface as a cartesian or a
+    // nested-loop join over non-trivial sides.
+    val dir = "/root/testdata/sf0.001"
+    def planOfQ(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE: materialize so the final plan is decided
+      df.queryExecution.executedPlan.toString
+    }
+
+    // Q2: ONE lineitem scan (the window-min fuses the per-part
+    // aggregate with the join-back; the naive diamond scans twice),
+    // window partitioned by partkey only, no cartesian anywhere.
+    val a18 = planOfQ("q_a18_min_cost_supplier")
+    val a18Final = a18.split("== Initial Plan ==").head
+    a18Final.split("lineitem.parquet").length - 1 shouldBe 1
+    a18 should include("Window")
+    a18 should not include "CartesianProduct"
+    a18 should not include "BroadcastNestedLoopJoin"
+
+    // Q17: the correlated avg becomes ONE per-part aggregate joined
+    // back on the partkey (equi hash/sort-merge join, never a loop).
+    val a19 = planOfQ("q_a19_small_quantity_revenue")
+    a19 should not include "CartesianProduct"
+    a19 should not include "BroadcastNestedLoopJoin"
+    a19 should include("HashAggregate")
+
+    // Q21: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both equi-keyed
+    // on the order key.
+    val a20 = planOfQ("q_a20_waiting_orders")
+    a20 should include("LeftSemi")
+    a20 should include("LeftAnti")
+    a20 should not include "CartesianProduct"
+    a20 should not include "BroadcastNestedLoopJoin"
+
+    // Q22: the uncorrelated scalar broadcasts as a 1-row build side
+    // (the ONE legitimate nested-loop: its inner side is a single
+    // aggregate row), plus a LeftAnti for NOT EXISTS.
+    val a21 = planOfQ("q_a21_global_sales_opportunity")
+    a21 should include("LeftAnti")
+    a21 should not include "CartesianProduct"
+    val a21Final = a21.split("== Initial Plan ==").head
+    (a21Final.split("BroadcastNestedLoopJoin").length - 1) should be <= 1
+  }
 }
