@@ -1302,6 +1302,69 @@ object Similarity {
       .withColumn("__d", nativeL2(col("__va"), col("__vb")))
       .filter(!isnan(col("__d")))
       .select(col("__p"), col("__o"), col("__d"))
+    lofCore(pairs, k)
+  }
+
+  /** X179: LOF PER IVF BUCKET — the documented 100 TB form of
+    * [[lofScores]] actually composed: nearest-centroid assignment
+    * ([[ivfAssign]]) coarse-partitions the corpus, pair generation
+    * becomes a BUCKET-KEYED equi self-join (one centroid_id shuffle,
+    * never an all-pairs cross join), and the exact LOF pipeline runs
+    * bucket-locally — point ids are globally unique, so every
+    * downstream key stays the point id and the kernel is shared
+    * verbatim with the exact form.
+    *
+    * BUCKET-BOUNDARY CAVEAT (stated, not hidden): a point near a
+    * bucket edge scores against its bucket-LOCAL neighborhood — a true
+    * neighbor assigned to the adjacent bucket is invisible, so edge
+    * k-distances are >= the global ones and LOF can differ from the
+    * exact all-pairs score (multi-probe assignment or a halo exchange
+    * would narrow the gap; SemDeDup ships the same trade). The audit
+    * semantics are therefore "outlier WITHIN its coarse cell".
+    *
+    * Guard: fails loud when any bucket exceeds `maxBucketPoints` (the
+    * per-bucket O(m²) bound — re-train more centroids or sample).
+    * Output: (id, bucket_id, k_dist, n_neighbors, lrd, lof). */
+  def lofScoresBucketed(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, k: Int,
+      maxBucketPoints: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBucketPoints >= 2,
+      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
+    ensureNative(points)
+    val asg = graft.util.Caches.persistTracked(
+      ivfAssign(points, idCol, vecCol, centroids, dim)
+        .select(col("vec_id").as("__id"), col("v").as("__v"),
+          col("centroid_id").as("__bk")))
+    val oversize = asg.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketPoints)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"lofScoresBucketed: bucket ${oversize.head.get(0)} holds " +
+        s"${oversize.head.getLong(1)} points > maxBucketPoints=" +
+        s"$maxBucketPoints — the per-bucket pair join is O(m²); train " +
+        "more centroids or sample the corpus")
+    val a = asg.select(col("__bk"), col("__id").as("__p"),
+      col("__v").as("__va"))
+    val b = asg.select(col("__bk"), col("__id").as("__o"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("__bk")).filter(col("__p") =!= col("__o"))
+      .withColumn("__d", nativeL2(col("__va"), col("__vb")))
+      .filter(!isnan(col("__d")))
+      .select(col("__p"), col("__o"), col("__d"))
+    lofCore(pairs, k)
+      .join(asg.select(col("__id").as("id"), col("__bk").as("bucket_id")),
+        "id")
+      .select(col("id"), col("bucket_id"), col("k_dist"),
+        col("n_neighbors"), col("lrd"), col("lof"))
+      .orderBy(col("id"))
+  }
+
+  /** The shared exact-LOF kernel over a (point, other, distance) pair
+    * relation — [[lofScores]] feeds it the guarded all-pairs join,
+    * [[lofScoresBucketed]] the bucket-keyed one. */
+  private def lofCore(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("__p"))
       .orderBy(col("__d"), col("__o"))
     val ranked = graft.util.Caches.persistTracked(

@@ -55,4 +55,69 @@ class LofSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Similarity.lofScoresBucketed (X179)"
+
+  // two direction clusters: x-axis points bucket to centroid 100,
+  // y-axis points to 200; ids 7/8 sit on the diagonal, 0.28 apart,
+  // split across the buckets by their slightly different directions
+  private def boundaryFixture = (Seq(
+    1L -> Array(10.0, 0.0), 2L -> Array(11.0, 0.0),
+    3L -> Array(12.0, 0.0), 8L -> Array(7.2, 7.0),
+    4L -> Array(0.0, 10.0), 5L -> Array(0.0, 11.0),
+    6L -> Array(0.0, 12.0), 7L -> Array(7.0, 7.2))
+    .toDF("id", "vec"),
+    Seq(100L -> Array(1.0, 0.0), 200L -> Array(0.0, 1.0))
+      .toDF("id", "vec"))
+
+  it should "reproduce exact LOF within each bucket" in {
+    val (pts, cents) = boundaryFixture
+    val bucketed = graft.ann.Similarity.lofScoresBucketed(
+      pts, "id", "vec", cents, dim = 2, k = 1)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect()
+    bucketed.filter(_._2 == 100L).map(_._1).sorted shouldBe
+      Array(1L, 2L, 3L, 8L)
+    bucketed.filter(_._2 == 200L).map(_._1).sorted shouldBe
+      Array(4L, 5L, 6L, 7L)
+    // the bucket-local scores ARE the exact LOF of the bucket alone —
+    // the kernel is shared, only pair generation changes
+    for (b <- Seq(Seq(1L, 2L, 3L, 8L), Seq(4L, 5L, 6L, 7L))) {
+      val exact = graft.ann.Similarity.lofScores(
+        pts.filter(col("id").isin(b: _*)), "id", "vec", k = 1)
+        .as[(Long, Double, Long, Option[Double], Option[Double])]
+        .collect().map(t => t._1 -> t).toMap
+      bucketed.filter(r => b.contains(r._1)).foreach { r =>
+        (r._3, r._4, r._5, r._6) shouldBe
+          (exact(r._1)._2, exact(r._1)._3, exact(r._1)._4, exact(r._1)._5)
+      }
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "exhibit the documented bucket-boundary caveat and guard bucket size" in {
+    val (pts, cents) = boundaryFixture
+    val bucketed = graft.ann.Similarity.lofScoresBucketed(
+      pts, "id", "vec", cents, dim = 2, k = 1)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val exact = graft.ann.Similarity.lofScores(pts, "id", "vec", k = 1)
+      .as[(Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // ids 7 and 8 are each other's TRUE nearest neighbor (0.28 apart)
+    // but land in different buckets: the bucket-local k-distance is
+    // strictly coarser — the caveat the scaladoc states
+    exact(7L)._2 should be < 1.0
+    bucketed(7L)._3 should be > 5.0
+    bucketed(8L)._3 should be > 5.0
+    // and NEVER finer: a bucket can only hide neighbors, not add them
+    pts.select("id").as[Long].collect().foreach { id =>
+      bucketed(id)._3 should be >= exact(id)._2
+    }
+    intercept[IllegalArgumentException] {
+      graft.ann.Similarity.lofScoresBucketed(pts, "id", "vec", cents,
+        dim = 2, k = 1, maxBucketPoints = 3L)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }
