@@ -337,6 +337,17 @@ object Eval {
         sum(col("__y").cast("long")).as("n_obs"),
         sum(floor(col("__p") * lit(1e9) + lit(0.5)).cast("long")
           .cast(D)).as("__el"))
+    hlFromBins(perBin, buckets)
+  }
+
+  /** The [[hosmerLemeshow]] χ² finish over an already-aggregated bin
+    * table `(bucket, n, n_obs, __el)` — bin counts and scaled-LONG
+    * expected sums are exact and associative, so per-batch persisted
+    * bin cells merge by plain addition (the streaming monitor's
+    * contract). */
+  private[graft] def hlFromBins(perBin: DataFrame, buckets: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = col("__el").cast("double") / lit(1e9)
     val o = col("n_obs").cast("double")
     val nG = col("n").cast("double")
@@ -354,6 +365,48 @@ object Eval {
       .withColumn("dof", lit(buckets - 2))
       .select(col("bucket"), col("n"), col("n_obs"), col("expected"),
         col("term"), col("hl_chi2"), col("dof"))
+  }
+
+  /** F74 STREAMING FORM: Hosmer–Lemeshow over FIXED equal-width
+    * probability bins (`bucket = min(⌊p·buckets⌋, buckets−1)`) instead
+    * of [[hosmerLemeshow]]'s data-dependent rank deciles. Fixed
+    * cutpoints are the standard variant the ORIGINAL paper also
+    * tabulates (Hosmer & Lemeshow 1980's "fixed cutpoints" grouping)
+    * and the ONLY binning whose per-bin counts are MERGEABLE across
+    * micro-batches — rank deciles over a union are not a function of
+    * per-batch deciles. Same exact O/scaled-E sums, same χ² tree, same
+    * dof = buckets − 2; bins no row landed in are absent (their term
+    * contributes 0, stated not hidden). Batch twin of the
+    * hosmerLemeshowSink view — spec-pinned equal. */
+  def hosmerLemeshowFixedBins(df: DataFrame,
+      probCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column, buckets: Int = 10)
+      : DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    hlFromBins(hlFixedBinCells(df, probCol, labelCol, buckets), buckets)
+  }
+
+  /** The per-bin cell aggregate of [[hosmerLemeshowFixedBins]] —
+    * shared verbatim by the streaming sink's micro-batch write. */
+  private[graft] def hlFixedBinCells(df: DataFrame,
+      probCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    val D = "decimal(38,0)"
+    val base = df.select(
+      when(probCol.isNull || labelCol.isNull ||
+          probCol < 0.0 || probCol > 1.0,
+        raise_error(lit("hosmerLemeshowFixedBins: NULL or " +
+          "out-of-[0,1] probability/label")))
+        .otherwise(probCol.cast("double")).as("__p"),
+      labelCol.cast("int").as("__y"))
+    base
+      .withColumn("bucket", least(floor(col("__p") * lit(buckets))
+        .cast("long"), lit(buckets - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("long")).as("n_obs"),
+        sum(floor(col("__p") * lit(1e9) + lit(0.5)).cast("long")
+          .cast(D)).as("__el"))
   }
 
   /** F80: SPIEGELHALTER'S CALIBRATION Z (Spiegelhalter 1986, public
@@ -387,8 +440,17 @@ object Eval {
       (lit(1.0) - col("__p"))
     def s9(c: org.apache.spark.sql.Column) =
       sum(floor(c * lit(1e9) + lit(0.5)).cast("long").cast(D))
-    val agg = base.agg(count(lit(1)).as("n"),
-      s9(num).as("__num"), s9(den).as("__den"))
+    spiegelhalterFromMoments(base.agg(count(lit(1)).as("n"),
+      s9(num).as("__num"), s9(den).as("__den")))
+  }
+
+  /** The [[spiegelhalterZ]] finish over an already-aggregated moment
+    * row `(n, __num, __den)` — DECIMAL moment sums are exact and
+    * associative, so per-batch persisted rows merge by plain addition
+    * and the streaming view equals the batch test by construction
+    * (the welchFromMoments contract). */
+  private[graft] def spiegelhalterFromMoments(agg: DataFrame)
+      : DataFrame = {
     import graft.functions.q6
     agg.select(col("n"),
       q6(when(col("__den") > 0,

@@ -249,12 +249,30 @@ object RankTests {
     require(k <= maxGroups,
       s"jonckheereTerpstra: $k groups > maxGroups=$maxGroups")
     val gs: Seq[Long] = groups.collect().map(_.getLong(0)).sorted.toSeq
-    val counts = base.groupBy(col("__v")).agg(
+    jtFromValueCells(jtValueCells(base, gs), gs)
+  }
+
+  /** The per-distinct-value group-count aggregate of
+    * [[jonckheereTerpstra]] — `(__v, __n0 … __n{k−1})` over a FIXED
+    * ordered group list. Counts are exact integers, so per-batch
+    * persisted cell tables merge by value-keyed addition — the
+    * streaming monitor's contract. Input must already carry the
+    * guarded `(__g, __v)` projection. */
+  private[graft] def jtValueCells(base: DataFrame, gs: Seq[Long])
+      : DataFrame =
+    base.groupBy(col("__v")).agg(
       sum(when(col("__g") === gs.head, 1L).otherwise(0L))
         .as(s"__n0"),
       gs.tail.zipWithIndex.map { case (g, i) =>
         sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n${i + 1}")
       }: _*)
+
+  /** The [[jonckheereTerpstra]] finish over an already-aggregated
+    * value-cell table — shared verbatim by the batch test and the
+    * streaming view. */
+  private[graft] def jtFromValueCells(counts: DataFrame, gs: Seq[Long])
+      : DataFrame = {
+    val k = gs.length.toLong
     val ranked = graft.relational.Ranks.prefixSums(counts,
       Seq(col("__v")),
       gs.indices.map(i => s"__cum$i" -> col(s"__n$i")))

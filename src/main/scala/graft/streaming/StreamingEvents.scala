@@ -561,6 +561,169 @@ object StreamingEvents {
         .groupBy(col("w"), col("l"))
         .agg(sum(col("n")).as("n")), iterations, maxItems)
 
+  /** Streaming HOSMER–LEMESHOW calibration monitor (F74 streaming):
+    * each micro-batch persists its FIXED-equal-width-bin cell table
+    * `(bucket, n, n_obs, scaled-E DECIMAL sum)` under `batch_id=N`.
+    * Fixed cutpoints are the ONE HL binning whose cells merge — rank
+    * deciles over a union are not a function of per-batch deciles —
+    * so the published view (cell sums per bucket → the shared χ²
+    * finish) equals [[graft.ml.Eval.hosmerLemeshowFixedBins]] over
+    * everything ingested (spec-proven). Replays overwrite their own
+    * batch directory: idempotent. */
+  def hosmerLemeshowSink(rows: DataFrame, probCol: String,
+      labelCol: String, buckets: Int, cellsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) hosmerLemeshowBatch(batch.toDF(), batchId,
+          probCol, labelCol, buckets, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[hosmerLemeshowSink]] — package-private so
+    * the parity spec can drive the identical code path directly. */
+  private[graft] def hosmerLemeshowBatch(batch: DataFrame, batchId: Long,
+      probCol: String, labelCol: String, buckets: Int,
+      cellsDir: String): Unit = {
+    graft.ml.Eval.hlFixedBinCells(batch, col(probCol), col(labelCol),
+      buckets)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[hosmerLemeshowSink]] directory:
+    * bucket-summed cells through the same χ² finish as the batch
+    * fixed-bin test. */
+  def hosmerLemeshowView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, buckets: Int): DataFrame =
+    graft.ml.Eval.hlFromBins(
+      spark.read.parquet(cellsDir)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("n_obs")).as("n_obs"),
+          sum(col("__el")).cast("decimal(38,0)").as("__el")), buckets)
+
+  /** Streaming SPIEGELHALTER-Z calibration monitor (F80 streaming) —
+    * the binning-free companion dial next to [[hosmerLemeshowSink]]:
+    * each micro-batch persists ONE row of exact moment sums
+    * `(n, Σ scaled num terms, Σ scaled den terms)` under
+    * `batch_id=N`; DECIMAL sums merge exactly, so the published view
+    * — the shared z finish over the summed row — equals
+    * [[graft.ml.Eval.spiegelhalterZ]] over everything ingested
+    * (spec-proven). Replays overwrite their own batch directory:
+    * idempotent. */
+  def spiegelhalterSink(rows: DataFrame, probCol: String,
+      labelCol: String, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) spiegelhalterBatch(batch.toDF(), batchId,
+          probCol, labelCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[spiegelhalterSink]] — package-private so
+    * the parity spec can drive the identical code path directly. The
+    * per-row guarded terms and 1e9 scaling are written ONCE here,
+    * mirroring [[graft.ml.Eval.spiegelhalterZ]]'s base projection
+    * verbatim (same fail-loud guard, same fixed IEEE trees). */
+  private[graft] def spiegelhalterBatch(batch: DataFrame, batchId: Long,
+      probCol: String, labelCol: String, cellsDir: String): Unit = {
+    val D = "decimal(38,0)"
+    val base = batch.select(
+      when(col(probCol).isNull || col(labelCol).isNull ||
+          col(probCol) < 0.0 || col(probCol) > 1.0,
+        raise_error(lit("spiegelhalterBatch: NULL or out-of-[0,1] " +
+          "probability/label")))
+        .otherwise(col(probCol).cast("double")).as("__p"),
+      col(labelCol).cast("int").cast("double").as("__y"))
+    val num = (col("__y") - col("__p")) *
+      (lit(1.0) - lit(2.0) * col("__p"))
+    val den = (lit(1.0) - lit(2.0) * col("__p")) *
+      (lit(1.0) - lit(2.0) * col("__p")) * col("__p") *
+      (lit(1.0) - col("__p"))
+    def s9(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("long").cast(D))
+    base.agg(count(lit(1)).as("n"),
+      s9(num).as("__num"), s9(den).as("__den"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[spiegelhalterSink]] directory: the
+    * merged moment row through the same z finish as the batch test. */
+  def spiegelhalterView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String): DataFrame =
+    graft.ml.Eval.spiegelhalterFromMoments(
+      spark.read.parquet(cellsDir).agg(
+        sum(col("n")).as("n"),
+        sum(col("__num")).cast("decimal(38,0)").as("__num"),
+        sum(col("__den")).cast("decimal(38,0)").as("__den")))
+
+  /** Streaming JONCKHEERE–TERPSTRA ordered-trend monitor (F78
+    * streaming): the group list is DECLARED up front (a streaming
+    * schema cannot discover groups per batch — a batch missing a
+    * group would write narrower cells that no longer merge); each
+    * micro-batch persists its per-distinct-value group-count cell
+    * table `(__v, __n0 … __n{k−1})` under `batch_id=N`; integer
+    * counts merge by value-keyed addition, so the published view —
+    * value-summed cells through the shared J²/z finish — equals
+    * [[graft.ml.RankTests.jonckheereTerpstra]] over everything
+    * ingested (spec-proven). A row whose group is not in the declared
+    * list (or not an exact integer level) fails loud. Replays
+    * overwrite their own batch directory: idempotent. */
+  def jonckheereSink(rows: DataFrame, groupCol: String, valueCol: String,
+      groups: Seq[Long], cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groups.size >= 2 && groups == groups.sorted &&
+      groups.distinct == groups,
+      s"jonckheereSink: need >= 2 sorted distinct group levels, " +
+        s"got $groups")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) jonckheereBatch(batch.toDF(), batchId,
+          groupCol, valueCol, groups, cellsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[jonckheereSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def jonckheereBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, groups: Seq[Long],
+      cellsDir: String): Unit = {
+    val group = col(groupCol)
+    val value = col(valueCol)
+    val gLong = group.cast("long")
+    val base = batch.filter(value.isNotNull && group.isNotNull)
+      .select(
+        when(gLong.isNull ||
+            gLong.cast("double") =!= group.cast("double") ||
+            !gLong.isin(groups: _*),
+          raise_error(lit("jonckheereBatch: group label is not one " +
+            s"of the declared integer levels $groups")))
+          .otherwise(gLong).as("__g"),
+        value.as("__v"))
+    graft.ml.RankTests.jtValueCells(base, groups)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[jonckheereSink]] directory: value-
+    * summed cells through the same J²/z finish as the batch test. */
+  def jonckheereView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, groups: Seq[Long]): DataFrame = {
+    val cells = spark.read.parquet(cellsDir)
+      .groupBy(col("__v"))
+      .agg(sum(col("__n0")).as("__n0"),
+        groups.indices.tail.map(i =>
+          sum(col(s"__n$i")).as(s"__n$i")): _*)
+    graft.ml.RankTests.jtFromValueCells(cells, groups)
+  }
+
   /** Streaming PCA-MOMENT maintenance: each micro-batch of embedding
     * vectors writes its X102 moment buffer (n, per-dim sums, upper-
     * triangular products — `1 + d + d(d+1)/2` doubles, KBs regardless

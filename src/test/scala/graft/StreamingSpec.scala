@@ -1537,4 +1537,104 @@ class StreamingSpec extends SparkSpec {
     rows(StreamingEvents.bradleyTerryView(spark, s"$tmp/cells")) shouldBe
       view
   }
+
+  it should "merge streamed Hosmer-Lemeshow fixed-bin cells into the batch test of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shl").toString
+    def batchRows(seed: Int): Seq[(Double, Int)] =
+      (1 to 40).map { i =>
+        val p = ((i * 7 + seed * 3) % 20) / 20.0 + 0.024
+        (math.min(p, 1.0), if ((i + seed) % 3 == 0) 1 else 0)
+      }
+    val in = MemoryStream[(Double, Int)]
+    val q = StreamingEvents.hosmerLemeshowSink(
+      in.toDF().toDF("p", "y"), "p", "y", buckets = 5,
+      s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5), r.getInt(6))).toSeq
+    val union = (1 to 2).flatMap(batchRows).toDF("p", "y")
+    val batch = rows(graft.ml.Eval.hosmerLemeshowFixedBins(union,
+      col("p"), col("y"), buckets = 5))
+    val view = rows(StreamingEvents.hosmerLemeshowView(spark,
+      s"$tmp/cells", buckets = 5))
+    view shouldBe batch
+    // replay safety: rewriting batch 1's partition in place is a no-op
+    StreamingEvents.hosmerLemeshowBatch(batchRows(2).toDF("p", "y"),
+      1L, "p", "y", 5, s"$tmp/cells")
+    rows(StreamingEvents.hosmerLemeshowView(spark, s"$tmp/cells",
+      5)) shouldBe view
+  }
+
+  it should "merge streamed Spiegelhalter moments into the batch z of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssz").toString
+    def batchRows(seed: Int): Seq[(Double, Int)] =
+      (1 to 35).map { i =>
+        val p = ((i * 11 + seed * 5) % 18) / 18.0 + 0.027
+        (math.min(p, 1.0), if ((i * seed) % 4 == 0) 1 else 0)
+      }
+    val in = MemoryStream[(Double, Int)]
+    val q = StreamingEvents.spiegelhalterSink(in.toDF().toDF("p", "y"),
+      "p", "y", s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).head
+    val union = (1 to 2).flatMap(batchRows).toDF("p", "y")
+    val batch = row(graft.ml.Eval.spiegelhalterZ(union, col("p"),
+      col("y")))
+    row(StreamingEvents.spiegelhalterView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // replay safety
+    StreamingEvents.spiegelhalterBatch(batchRows(2).toDF("p", "y"),
+      1L, "p", "y", s"$tmp/cells")
+    row(StreamingEvents.spiegelhalterView(spark,
+      s"$tmp/cells")) shouldBe batch
+  }
+
+  it should "merge streamed Jonckheere value cells into the batch trend test of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sjt").toString
+    val gs = Seq(0L, 1L, 2L)
+    def batchRows(seed: Int): Seq[(Long, Double)] =
+      (1 to 45).map { i =>
+        val g = (i % 3).toLong
+        (g, g * 10.0 + ((i * 13 + seed * 7) % 9).toDouble)
+      }
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingEvents.jonckheereSink(in.toDF().toDF("g", "v"),
+      "g", "v", gs, s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).head
+    val union = (1 to 2).flatMap(batchRows).toDF("g", "v")
+    val batch = row(graft.ml.RankTests.jonckheereTerpstra(union,
+      col("g"), col("v")))
+    row(StreamingEvents.jonckheereView(spark, s"$tmp/cells",
+      gs)) shouldBe batch
+    // replay safety
+    StreamingEvents.jonckheereBatch(batchRows(2).toDF("g", "v"), 1L,
+      "g", "v", gs, s"$tmp/cells")
+    row(StreamingEvents.jonckheereView(spark, s"$tmp/cells",
+      gs)) shouldBe batch
+    // an undeclared group level fails loud instead of widening cells
+    an[Exception] should be thrownBy
+      StreamingEvents.jonckheereBatch(
+        Seq((5L, 1.0)).toDF("g", "v"), 9L, "g", "v", gs, s"$tmp/cells")
+    graft.util.Caches.releaseAll(spark)
+  }
 }
