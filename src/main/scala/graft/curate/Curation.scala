@@ -615,14 +615,32 @@ object Curation {
     * this). Zero-token domains are dropped here, so callers may pass
     * raw aggregates. */
   def epochPlanFromSizes(domainSizes: DataFrame, budgetTokens: Long,
-      maxEpochs: Double, alpha: Double): DataFrame = {
+      maxEpochs: Double, alpha: Double,
+      driverMaxDomains: Int = 1000000): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val dom = domainSizes
+    // CACHED: every interior job below re-executes this relation's
+    // lineage otherwise — in the tokenize-once pipelines that lineage
+    // is the full corpus aggregate (wave-34 bisect, r13)
+    val dom = graft.util.Caches.persistTracked(domainSizes
       .select(col("domain"), col("tokens_available").cast("long")
         .as("tokens_available"))
-      .filter(col("tokens_available") > 0)
+      .filter(col("tokens_available") > 0))
+    // DRIVER FAST PATH — the wave-34 finding: the distributed interior
+    // costs ~2 s of FIXED multi-job latency (two broadcast aggregates,
+    // the range-sampling pass, the prefix cache fill, the totals
+    // collect, the λ aggregate) regardless of domain count — 10× the
+    // whole r11 global-sort interior on a 3-row table. The plan table
+    // is broadcast into [[materializeCounted]] downstream, so k is
+    // REQUIRED to be driver-sized anyway: below `driverMaxDomains` the
+    // water-filling runs as plain Scala over the collected size table
+    // (same IEEE expression trees literally — the q_x62/x70/x72
+    // oracles and the equality spec pin driver ≡ distributed), and the
+    // two-phase no-global-sort form remains the fallback above it.
+    val k = dom.count()
+    if (k <= driverMaxDomains)
+      return epochPlanOnDriver(dom, budgetTokens, maxEpochs, alpha)
     val tot = dom.agg(
       sum(col("tokens_available")).cast("double").as("__t"))
     val wtd = dom.crossJoin(broadcast(tot))
@@ -677,6 +695,84 @@ object Curation {
           .otherwise(col("__lam") * col("w")) / col("tokens_available"),
           4).as("epochs"),
         col("capped"))
+  }
+
+  /** The k-bounded driver form of [[epochPlanFromSizes]]'s interior:
+    * the SAME water-filling arithmetic, expression tree by expression
+    * tree (Math.pow/divide/floor are the identical correctly-rounded
+    * IEEE primitives Catalyst evaluates), over the collected
+    * `(domain, tokens_available)` table. Order-sensitive double sums
+    * (Σ__wraw, the capped-capacity and uncapped-weight reductions) run
+    * in the CANONICAL (__r, domain-UTF-8) order — a DEFINED order
+    * where the distributed form's was engine-internal; the q_x62/x70/
+    * x72 oracles and the driver≡distributed equality spec pin the
+    * results together. */
+  private def epochPlanOnDriver(dom: DataFrame, budgetTokens: Long,
+      maxEpochs: Double, alpha: Double): DataFrame = {
+    val spark = dom.sparkSession
+    import spark.implicits._
+    val rows: Array[(String, Long)] = dom
+      .select(col("domain").cast("string"), col("tokens_available"))
+      .as[(String, Long)].collect()
+    if (rows.isEmpty)
+      return Seq.empty[(String, Long, Double, Double, Double, Double,
+        Boolean)].toDF("domain", "tokens_available", "weight",
+        "capacity", "allocated_tokens", "epochs", "capped")
+    // UTF-8 byte order = Spark's binary string order (a UTF-16
+    // compareTo would diverge on supplementary-plane domain labels)
+    val utf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    val totT = rows.map(_._2).sum.toDouble // exact long sum
+    val byDomain = rows.sortBy(_._1)(utf8)
+    val wraw = byDomain.map { case (_, ta) =>
+      math.pow(ta.toDouble / totT, alpha) }
+    val wsum = wraw.sum // canonical ascending-domain order
+    val b = math.min(budgetTokens.toDouble, totT * maxEpochs)
+    case class Staged(domain: String, ta: Long, w: Double,
+      capacity: Double, r: Double, wq: Long)
+    val staged = byDomain.zip(wraw).map { case ((d, ta), wr) =>
+      val w = wr / wsum
+      val capacity = ta.toDouble * maxEpochs
+      Staged(d, ta, w, capacity, capacity / w,
+        math.floor(w * 1e15 + 0.5).toLong)
+    }
+    val ordered = staged.sortBy(s => (s.r, s.domain))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8))
+    val totWq = ordered.map(_.wq).sum
+    var cumT = 0L; var cumWq = 0L
+    val flagged = ordered.map { s =>
+      cumT += s.ta; cumWq += s.wq
+      val cumC = cumT.toDouble * maxEpochs
+      val sfxW = (totWq - cumWq).toDouble / 1e15
+      val capped =
+        if (sfxW > 1e-12) s.r <= (b - cumC) / sfxW
+        else b >= cumC - 1e-6
+      (s, capped)
+    }
+    val cc = flagged.map { case (s, c) => if (c) s.capacity else 0.0 }.sum
+    val uw = flagged.map { case (s, c) => if (c) 0.0 else s.w }.sum
+    val lam = if (uw > 1e-12) (b - cc) / uw else 0.0
+    def quant(x: Double, p: Int): Double = {
+      val sc = math.pow(10, p)
+      math.floor(x * sc + 0.5) / sc
+    }
+    flagged.map { case (s, capped) =>
+      val alloc = if (capped) s.capacity else lam * s.w
+      (s.domain, s.ta, quant(s.w, 6), s.capacity, quant(alloc, 2),
+        quant(alloc / s.ta.toDouble, 4), capped)
+    }.toSeq.toDF("domain", "tokens_available", "weight", "capacity",
+      "allocated_tokens", "epochs", "capped")
   }
 
   /** Materialize an [[epochPlan]] into the training corpus it

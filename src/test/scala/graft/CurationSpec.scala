@@ -52,6 +52,33 @@ class CurationSpec extends SparkSpec {
     out.map(_.getDouble(4)).sum shouldBe 500.0 +- 1e-6
   }
 
+  it should "produce identical plans on the driver fast path and the distributed fallback" in {
+    // the wave-34 fix: k ≤ driverMaxDomains runs the water-filling as
+    // plain Scala (the plan is broadcast downstream, so k is driver-
+    // sized by construction); the two-phase distributed form stays the
+    // fallback. Same IEEE trees — the plans must match bit-for-bit on
+    // capped, uncapped and mixed boards, including the skewed shape
+    // q_x62 exercises.
+    for ((sizes, budget, maxE, a) <- Seq(
+      (Seq(("rare", 100L), ("big", 900L)), 500L, 1.0, 0.5),
+      (Seq(("a", 50L), ("b", 150L)), 10000L, 3.0, 0.5),
+      (Seq(("a", 400L), ("b", 600L)), 100L, 5.0, 1.0),
+      (Seq(("common", 93137L), ("mid", 21071L), ("rare", 2471L)),
+        58339L, 2.0, 0.5),
+      ((1 to 40).map(i => (s"d$i", (i * i * 7 + 3).toLong)), 9000L,
+        2.5, 0.7))) {
+      val df = sizes.toDF("domain", "tokens_available")
+      def run(driverMax: Int) =
+        Curation.epochPlanFromSizes(df, budget, maxE, a,
+          driverMaxDomains = driverMax)
+          .orderBy("domain")
+          .as[(String, Long, Double, Double, Double, Double, Boolean)]
+          .collect().toSeq
+      run(1000000) shouldBe run(0)
+      graft.util.Caches.releaseAll(spark)
+    }
+  }
+
   it should "allocate full capacity when the budget exceeds it" in {
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
     val df = Seq(("a", doc(50)), ("b", doc(150))).toDF("domain", "text")
