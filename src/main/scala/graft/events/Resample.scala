@@ -558,6 +558,74 @@ object Resample {
       when(col("n_days") > 1, (p < alpha).cast("int")).as("significant"))
   }
 
+  /** E37: MANN–KENDALL TREND TEST per entity (Mann 1945 / Kendall
+    * 1975, public knowledge) — the nonparametric IS-there-a-trend
+    * verdict that pairs with F55's Theil–Sen HOW-BIG slope (the
+    * classic combo: MK decides, Theil–Sen sizes; E16/E36 ask WHERE it
+    * broke instead). `S = Σ_{t<u} sgn(x_u − x_t)` over the entity's
+    * day-ordered daily sums; tie-corrected normal variance
+    * `Var(S) = (n(n−1)(2n+5) − Σ_j t_j(t_j−1)(2t_j+5))/18`; the
+    * continuity-corrected `z = (S ∓ 1)/√Var` (0 at S = 0).
+    *
+    * Exactness: daily sums compare in DECIMAL (exact), S and the tie
+    * spectrum are exact integers, Var's numerator is exact integer
+    * arithmetic with ONE division by 18, z is one pinned tree
+    * published q6. n < 2 or zero variance (all days tied) ⇒ NULL z.
+    *
+    * Scale shape: the pair stage is an ENTITY-KEYED self-join on
+    * day < day — per-entity O(n²) BOUNDED BY CONSTRUCTION: n is the
+    * entity's count of observed DAYS (calendar-bounded; a year of
+    * dailies is 365 days = 66k pairs), never event volume — the
+    * dailies pre-aggregate exactly like E16/E36. One entity-keyed
+    * exchange feeds both join sides (co-partitioned), the tie
+    * spectrum is a second aggregate over the same cached dailies.
+    * Output: (key, n_days, s, var_s, z). */
+  def mannKendall(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame =
+    mannKendallFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key)
+
+  /** [[mannKendall]] over an already-aggregated (key, day, __x) daily
+    * table — the associative-daily-sum contract of [[cusumFromDaily]]
+    * and [[pettittFromDaily]]. */
+  private[graft] def mannKendallFromDaily(daily0: DataFrame,
+      key: String): DataFrame = {
+    val daily = graft.util.Caches.persistTracked(
+      daily0.select(col(key), col("day"),
+        col("__x").cast("decimal(18,6)").as("__x")))
+    val a = daily.select(col(key), col("day").as("__da"),
+      col("__x").as("__xa"))
+    val b = daily.select(col(key).as("__kb"), col("day").as("__db"),
+      col("__x").as("__xb"))
+    val pairS = a.join(b, col(key) === col("__kb") &&
+        col("__da") < col("__db"))
+      .groupBy(col(key))
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L)
+        .otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col(key), col("__x"))
+      .agg(count(lit(1)).as("__tj"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__tj")).as("n_days"),
+        sum(col("__tj") * (col("__tj") - lit(1L)) *
+          (lit(2L) * col("__tj") + lit(5L))).as("__tieTerm"))
+    val n = col("n_days")
+    val varNum = n * (n - lit(1L)) * (lit(2L) * n + lit(5L)) -
+      col("__tieTerm")
+    val sC = coalesce(col("s"), lit(0L))
+    val varS = varNum.cast("double") / lit(18.0)
+    val z = when(sC > 0, (sC.cast("double") - lit(1.0)) / sqrt(varS))
+      .when(sC < 0, (sC.cast("double") + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    import graft.functions.q6
+    ties.join(pairS, Seq(key), "left")
+      .select(col(key), col("n_days"), sC.as("s"),
+        q6(varS).as("var_s"),
+        q6(when(n >= 2 && varNum > 0, z)).as("z"))
+  }
+
   /** E34: CROSS-CORRELATION FUNCTION between two daily series (the
     * lead/lag detector: "do errors LEAD purchases down, and by how
     * many days?" — Box & Jenkins, public knowledge). Builds the two

@@ -218,6 +218,17 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E37: Mann–Kendall trend test per user over purchase dailies —
+    // the is-there-a-trend verdict pairing F55's Theil–Sen slope;
+    // exact integer S + tie spectrum, entity-keyed day<day pair join
+    // (calendar-bounded per entity), continuity-corrected z.
+    "q_e37_mann_kendall" -> { (s, dir) =>
+      graft.events.Resample.mannKendall(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // F72: purged k-fold time-series CV with embargo — 4 contiguous
     // blocks tiling the event span; 2-day label-horizon purge before
     // each test block, 2-day embargo after; per-fold role counts +
@@ -1353,6 +1364,48 @@ object EventQueries {
         |  CASE WHEN n_days > 1 THEN CAST(p < 0.05 AS INTEGER) END
         |    AS significant
         |FROM pp ORDER BY user_id""".stripMargin,
+    // Mann–Kendall: same DECIMAL dailies, the literal day<day pair
+    // self-join for S, the same exact tie-corrected variance and
+    // continuity-corrected z tree.
+    "q_e37_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT a.user_id,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.d < b.d
+        |  GROUP BY 1),
+        |tie AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS tj
+        |  FROM daily GROUP BY user_id, x),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(tj) AS BIGINT) AS n_days,
+        |    CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT)
+        |      AS tie_term
+        |  FROM tie GROUP BY 1),
+        |j AS (
+        |  SELECT g.user_id, g.n_days,
+        |    COALESCE(p.s, 0) AS s,
+        |    CAST(g.n_days * (g.n_days - 1) * (2 * g.n_days + 5)
+        |      - g.tie_term AS BIGINT) AS var_num
+        |  FROM agg g LEFT JOIN prs p ON p.user_id = g.user_id),
+        |z AS (
+        |  SELECT *, CAST(var_num AS DOUBLE) / 18.0 AS var_s,
+        |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END AS zr
+        |  FROM j)
+        |SELECT user_id, n_days, s,
+        |  floor(var_s * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+        |  CASE WHEN n_days >= 2 AND var_num > 0 THEN
+        |    floor(zr * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM z ORDER BY user_id""".stripMargin,
     // Same DECIMAL daily sums and pair/series moments, same fixed
     // ratio m = sx/n; num = sab - m*sa - m*sb + c*m*m; den = sxx -
     // n*m*m — operand-mirrored.

@@ -384,6 +384,43 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // A22: TPC-H Q20-shaped dominant-share suppliers — the NESTED
+    // IN-chain + correlated scalar: suppliers (in one nation) IN the
+    // set of suppliers who, for some SMALL-type part, shipped more
+    // than 10% of that part's total shipped quantity. Decorrelated:
+    // one (supp, part) aggregate over the part-filtered lineitem, one
+    // per-part aggregate over ALL lineitem (the inner subquery is
+    // unfiltered — a classic decorrelation subtlety: filtering it by
+    // p_type would change the denominator), an equi join-back on the
+    // partkey, and the IN as a LEFT SEMI into the supplier dim. The
+    // share cut compares exact scaled integers (10·q_sp > q_p).
+    "q_a22_dominant_share_supplier" -> { (s, dir) =>
+      val D = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+      val qtyS = floor(col("l_quantity") * lit(1e6) + lit(0.5))
+        .cast("long")
+      val perSuppPart = li
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "SMALL").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(qtyS.cast(D)).as("__qsp"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(qtyS.cast(D)).as("__qp"))
+      val dominant = perSuppPart.join(perPart, Seq("l_partkey"))
+        .filter(col("__qsp") * lit(10) > col("__qp"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_2")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
     "q_a1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -776,6 +813,23 @@ object RelationalQueries {
         |      AND l3.l_shipdate > l1.l_shipdate)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // Q20 shape: nested IN + correlated scalar in the HAVING — kept
+    // correlated here; the Spark plan decorrelates to two aggregates,
+    // a join-back and a semi join. Exact scaled-integer share cut.
+    "q_a22_dominant_share_supplier" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2' AND s_suppkey IN (
+        |  SELECT l1.l_suppkey
+        |  FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |  WHERE p_type = 'SMALL'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING sum(CAST(floor(l_quantity * 1000000.0 + 0.5)
+        |      AS HUGEINT)) * 10
+        |    > (SELECT sum(CAST(floor(l2.l_quantity * 1000000.0 + 0.5)
+        |         AS HUGEINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     // Q22 shape: uncorrelated scalar (global positive-balance average,
     // exact bal_s*n > sum_s compare) + NOT EXISTS on recent orders.
     "q_a21_global_sales_opportunity" ->

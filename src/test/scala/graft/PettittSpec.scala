@@ -64,4 +64,59 @@ class PettittSpec extends SparkSpec {
     shifted._6 shouldBe Some(1)
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Resample.mannKendall (E37)"
+
+  private def ts2(s: String) = java.sql.Timestamp.valueOf(s)
+
+  it should "reproduce the hand-computed S, tie-corrected variance and z" in {
+    // series 1, 3, 2, 2, 5 over five days (one value per day):
+    // pairs (i<j): (1,3)+ (1,2)+ (1,2)+ (1,5)+ (3,2)- (3,2)- (3,5)+
+    //   (2,2)0 (2,5)+ (2,5)+  => S = 7 - 2 = 5
+    // n=5, ties: one pair of 2s (t=2): varNum = 5*4*15 - 2*1*9 = 282
+    // var = 282/18 = 15.6667; z = (5-1)/sqrt(15.6667) = 1.010153...
+    val rows = Seq(1.0, 3.0, 2.0, 2.0, 5.0).zipWithIndex.map {
+      case (v, i) => (1L, ts2(f"2024-03-${i + 1}%02d 10:00:00"), v) }
+    val r = graft.events.Resample.mannKendall(
+      rows.toDF("user_id", "t", "v"), "user_id", col("t"), col("v"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    r._2 shouldBe 5L
+    r._3 shouldBe 5L
+    r._4 shouldBe math.floor(282.0 / 18.0 * 1e6 + 0.5) / 1e6
+    r._5.get shouldBe
+      math.floor(4.0 / math.sqrt(282.0 / 18.0) * 1e6 + 0.5) / 1e6
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "max out S on a monotone series, zero it on a flat one, and stay partition-invariant" in {
+    val rows =
+      (1 to 12).map(d => (1L, ts2(f"2024-03-$d%02d 10:00:00"),
+        d * 2.0)) ++ // strictly rising: S = 66
+      (1 to 12).map(d => (2L, ts2(f"2024-03-$d%02d 10:00:00"),
+        7.0)) ++ // flat: S = 0, var 0 -> NULL z
+      Seq((3L, ts2("2024-03-01 10:00:00"), 1.0)) // single day -> NULL z
+    val df = rows.toDF("user_id", "t", "v")
+    def run(parts: Int) = graft.events.Resample.mannKendall(
+      df.repartition(parts), "user_id", col("t"), col("v"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    val a = run(2)
+    a shouldBe run(7)
+    a(0)._3 shouldBe 66L // 12*11/2 concordant pairs, none discordant
+    a(0)._5.get should be > 0.0
+    a(1)._3 shouldBe 0L
+    a(1)._5 shouldBe None // all-tied: zero variance reported as NULL
+    a(2)._3 shouldBe 0L
+    a(2)._5 shouldBe None
+    // two purchases on ONE day collapse to a daily sum (the E16/E36
+    // dailies contract), leaving a single observation -> NULL z
+    val sameDay = Seq(
+      (9L, ts2("2024-03-01 08:00:00"), 1.0),
+      (9L, ts2("2024-03-01 18:00:00"), 99.0)).toDF("user_id", "t", "v")
+    graft.events.Resample.mannKendall(sameDay, "user_id", col("t"),
+      col("v"))
+      .as[(Long, Long, Long, Double, Option[Double])]
+      .collect().head._2 shouldBe 1L
+    graft.util.Caches.releaseAll(spark)
+  }
 }

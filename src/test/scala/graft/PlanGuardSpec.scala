@@ -954,5 +954,13 @@ class PlanGuardSpec extends SparkSpec {
     a21 should not include "CartesianProduct"
     val a21Final = a21.split("== Initial Plan ==").head
     (a21Final.split("BroadcastNestedLoopJoin").length - 1) should be <= 1
+
+    // Q20: nested IN + correlated HAVING scalar -> two aggregates, an
+    // equi join-back, and a LeftSemi into the supplier dim.
+    val a22 = planOfQ("q_a22_dominant_share_supplier")
+    a22 should include("LeftSemi")
+    a22 should include("HashAggregate")
+    a22 should not include "CartesianProduct"
+    a22 should not include "BroadcastNestedLoopJoin"
   }
 }
