@@ -421,6 +421,269 @@ object RelationalQueries {
         .orderBy(col("s_suppkey"))
     },
 
+    // A23: TPC-H Q4-shaped order-priority checking — the correlated
+    // EXISTS (some lineitem of the order shipped > 60 days after the
+    // order date; the commit/receipt-lag pair this schema lacks)
+    // decorrelated to ONE LEFT SEMI on the order key, the non-equi
+    // lag conjunct riding the same equi shuffle — lineitem is scanned
+    // once, never per outer row. All-integer counts.
+    "q_a23_priority_check" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // A24: TPC-H Q6-shaped forecast revenue change — the pure
+    // scan-aggregate: every predicate (date band, discount band,
+    // quantity cut) pushes to the parquet scan, zero joins, zero
+    // wide shuffles (one partial+final agg). Exact scaled sum.
+    "q_a24_forecast_revenue" -> { (s, dir) =>
+      import graft.functions.quantize
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") *
+            lit(1e6) + lit(0.5)).cast("long").cast("decimal(38,0)"))
+          .as("__sv"), count(lit(1)).as("n_items"))
+        .select(quantize(col("__sv").cast("double") / lit(1e6), 2)
+          .as("revenue"), col("n_items"))
+    },
+
+    // A25: TPC-H Q9-shaped product-type profit — the join diamond
+    // grouped by (nation, year). Supply cost is proxied as 10% of
+    // retail (this schema has no partsupp); the per-row amount is one
+    // pinned IEEE tree floor-scaled to a LONG, so the possibly-
+    // NEGATIVE profit sums stay exact. Part/supplier/nation broadcast.
+    "q_a25_product_profit" -> { (s, dir) =>
+      import graft.functions.quantize
+      val amt = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.1)) * lit(1e6) +
+        lit(0.5)).cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(amt.cast("decimal(38,0)")).as("__s"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("o_year"),
+          quantize(col("__s").cast("double") / lit(1e6), 2).as("sum_profit"),
+          col("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    // A26: TPC-H Q10-shaped returned-item reporting — revenue lost to
+    // returns per customer over a quarter, top 20. The rank runs on
+    // the EXACT micro-LONG revenue (custkey tiebreak) BEFORE the
+    // limit; the quantized double is published after — no float rank
+    // can flip the cut cross-engine.
+    "q_a26_returned_items" -> { (s, dir) =>
+      import graft.functions.quantize
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            lit(1e6) + lit(0.5)).cast("long").cast("decimal(38,0)"))
+          .as("__rv"))
+        .orderBy(col("__rv").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          quantize(col("__rv").cast("double") / lit(1e6), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    },
+
+    // A27: TPC-H Q11-shaped important stock — per-part supply value
+    // (one nation's suppliers) HAVING value > 1/1000 of the GLOBAL
+    // total: the uncorrelated scalar-on-aggregate broadcast as a
+    // 1-row relation (like A21), compared on exact integers
+    // (v_p·1000 > Σv). At scale the part-sized aggregate should be
+    // cached before the two consumers; here Catalyst recomputes it —
+    // the input is one nation's slice, so the double scan is bounded.
+    "q_a27_important_stock" -> { (s, dir) =>
+      import graft.functions.quantize
+      val vals = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_nationkey") === 3).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(1e6) + lit(0.5))
+          .cast("long").cast("decimal(38,0)")).as("__vp"))
+      val tot = vals.agg(sum(col("__vp")).as("__vt"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("__vp") * lit(1000) > col("__vt"))
+        .select(col("l_partkey").as("p_partkey"),
+          quantize(col("__vp").cast("double") / lit(1e6), 2).as("part_value"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // A28: TPC-H Q12-shaped shipping-priority split — the conditional
+    // CASE-sum pair per mode (l_returnflag stands in for the shipmode
+    // column this schema lacks); one equi join on the order key, all
+    // integer counts.
+    "q_a28_shipmode_priority" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // A29: TPC-H Q13-shaped customer order-count distribution — the
+    // LEFT OUTER join with the filter INSIDE the join condition (a
+    // WHERE would silently drop the zero-order customers Q13 exists
+    // to count), then the aggregate-of-an-aggregate histogram.
+    "q_a29_customer_distribution" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // A30: TPC-H Q14-shaped promotion effect — the conditional-
+    // aggregate RATIO: promo share of one month's revenue as one
+    // division of two exact scaled-integer totals (numerator a
+    // CASE-sum), published quantized-6; part broadcast.
+    "q_a30_promo_effect" -> { (s, dir) =>
+      import graft.functions.quantize
+      val D = "decimal(38,0)"
+      val v = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        lit(1e6) + lit(0.5)).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", v).otherwise(0L).cast(D))
+          .as("__num"),
+          sum(v.cast(D)).as("__den"), count(lit(1)).as("n_items"))
+        .select(
+          quantize(col("__num").cast("double") * lit(100.0) /
+            col("__den").cast("double"), 6).as("promo_revenue_pct"),
+          quantize(col("__den").cast("double") / lit(1e6), 2)
+            .as("total_revenue"),
+          col("n_items"))
+    },
+
+    // A31: TPC-H Q15-shaped top supplier — the scalar MAX over an
+    // aggregated view: per-supplier quarter revenue (exact micro
+    // LONGs), the max broadcast as a 1-row relation (a global window
+    // would funnel every supplier into one partition at scale), and
+    // the winners selected by exact integer equality.
+    "q_a31_top_supplier" -> { (s, dir) =>
+      import graft.functions.quantize
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            lit(1e6) + lit(0.5)).cast("long").cast("decimal(38,0)"))
+          .as("__r"))
+      val mx = rev.agg(max(col("__r")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("__r") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          quantize(col("__r").cast("double") / lit(1e6), 2)
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // A32: TPC-H Q16-shaped parts/supplier relationship — distinct
+    // supplier counts per (brand, type, size) with the NOT IN
+    // complaint set (negative-balance suppliers stand in for the
+    // comment pattern) as a broadcast LEFT ANTI; countDistinct
+    // expands to one extra keyed exchange, never a driver set.
+    "q_a32_supplier_relationship" -> { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // A33: TPC-H Q18-shaped large-volume customers — the IN-subquery
+    // on a grouped HAVING decorrelated to ONE lineitem aggregate
+    // reused as both the filter and the published sum (the textbook
+    // form re-aggregates lineitem inside the IN and joins it again
+    // outside — 2× the corpus scan at 100 TB). Rank on exact micro
+    // totalprice before the limit, publish quantized after.
+    "q_a33_large_orders" -> { (s, dir) =>
+      import graft.functions.quantize
+      val qtyS = floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long")
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(qtyS.cast("decimal(38,0)")).as("__sq"))
+        .filter(col("__sq") > lit(150L * 1000000L))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long")
+            .as("__tp"),
+          col("__sq"))
+        .orderBy(col("__tp").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          quantize(col("__tp").cast("double") / lit(1e6), 2)
+            .as("o_totalprice"),
+          quantize(col("__sq").cast("double") / lit(1e6), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // A1/A3/A5/F8 + P3: TPC-H Q1-style pricing summary.
     "q_a1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -848,6 +1111,170 @@ object RelationalQueries {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // Q4 shape: the oracle keeps the correlated EXISTS — DuckDB
+    // decorrelates it internally; hash parity proves the semi join.
+    "q_a23_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q6 shape: pure filtered scan-aggregate, exact scaled sum.
+    "q_a24_forecast_revenue" ->
+      """SELECT
+        |  floor(CAST(sum(CAST(floor(l_extendedprice * l_discount
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+    // Q9 shape: identical pinned IEEE amount tree per row (profit can
+    // be negative; the floor-scaled LONG keeps the sums exact).
+    "q_a25_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity * 0.1) * 1000000.0 + 0.5)
+        |      AS HUGEINT)) AS DOUBLE)
+        |    / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_profit,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'LARGE'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    // Q10 shape: rank + limit on the exact micro revenue, publish
+    // quantized; final order mirrors the Spark output sort.
+    "q_a26_returned_items" ->
+      """WITH agg AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS HUGEINT)) AS rv
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2, 3),
+        |sel AS (SELECT * FROM agg ORDER BY rv DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name,
+        |  floor(CAST(rv AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS revenue
+        |FROM sel ORDER BY revenue DESC, c_custkey""".stripMargin,
+    // Q11 shape: the scalar subquery over the same aggregated view —
+    // exact integer v_p*1000 > total compare on both sides.
+    "q_a27_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+        |      AS HUGEINT)) AS vp
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3 GROUP BY 1)
+        |SELECT l_partkey AS p_partkey,
+        |  floor(CAST(vp AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS part_value
+        |FROM v WHERE vp * 1000 > (SELECT sum(vp) FROM v)
+        |ORDER BY p_partkey""".stripMargin,
+    // Q12 shape: conditional CASE-sum pair, all integers.
+    "q_a28_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Q13 shape: filter inside the LEFT JOIN condition (zero-order
+    // customers must survive), then the histogram of counts.
+    "q_a29_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(1) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14 shape: one division of two exact scaled-integer totals,
+    // (num*100)/den in the same association order as the Spark tree.
+    "q_a30_promo_effect" ->
+      """SELECT
+        |  floor(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice * (1 - l_discount)
+        |        * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |    * 100.0
+        |    / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
+        |  floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 * 100.0 + 0.5) / 100.0 AS total_revenue,
+        |  CAST(count(1) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    // Q15 shape: the scalar max over the aggregated revenue view,
+    // winners by exact integer equality.
+    "q_a31_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 1000000.0 + 0.5) AS HUGEINT)) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  floor(CAST(r AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q16 shape: NOT IN complaint set + distinct supplier counts.
+    "q_a32_supplier_relationship" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q18 shape: the textbook IN on a grouped HAVING (DuckDB
+    // re-aggregates inside the IN; the Spark plan reuses ONE
+    // aggregate); rank on exact micro totalprice, publish quantized.
+    "q_a33_large_orders" ->
+      """WITH sel AS (
+        |  SELECT c_name, c_custkey, o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |    CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS tp,
+        |    sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS HUGEINT))
+        |      AS sq
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING sum(CAST(floor(l_quantity * 1000000.0 + 0.5)
+        |      AS HUGEINT)) > 150000000)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |  ORDER BY tp DESC, o_orderkey LIMIT 100)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  floor(CAST(tp AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS o_totalprice,
+        |  floor(CAST(sq AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0
+        |    AS sum_qty
+        |FROM sel ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

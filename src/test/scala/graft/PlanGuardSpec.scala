@@ -963,4 +963,62 @@ class PlanGuardSpec extends SparkSpec {
     a22 should not include "CartesianProduct"
     a22 should not include "BroadcastNestedLoopJoin"
   }
+
+  it should "keep the remaining TPC-H suite (Q4/Q6/Q9-16/Q18) on decorrelated single-pass plans" in {
+    val dir = "/root/testdata/sf0.001"
+    def planOfQ(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    def finalPlan(p: String): String = p.split("== Initial Plan ==").head
+
+    // Q4: EXISTS -> ONE LeftSemi riding the orderkey equi join; the
+    // lag conjunct stays a join residual, never a per-row rescan.
+    val a23 = planOfQ("q_a23_priority_check")
+    a23 should include("LeftSemi")
+    a23 should not include "CartesianProduct"
+    a23 should not include "BroadcastNestedLoopJoin"
+    finalPlan(a23).split("lineitem.parquet").length - 1 shouldBe 1
+
+    // Q6: the pure scan-aggregate — zero joins, zero windows, and the
+    // date/discount/quantity predicates pushed to the parquet scan.
+    val a24 = planOfQ("q_a24_forecast_revenue")
+    a24 should not include "Join"
+    a24 should not include "Window"
+    a24.toLowerCase should include("pushedfilters: [isnotnull")
+
+    // Q11/Q15: the scalar-on-aggregate is the ONE legitimate
+    // 1-row-inner nested loop (like Q22); everything else equi.
+    for (name <- Seq("q_a27_important_stock", "q_a31_top_supplier")) {
+      val p = planOfQ(name)
+      p should not include "CartesianProduct"
+      (finalPlan(p).split("BroadcastNestedLoopJoin").length - 1) should be <= 1
+    }
+
+    // Q13: the zero-preserving LEFT outer join must survive (an inner
+    // join here silently drops the zero-order customers), feeding the
+    // two-level aggregate.
+    val a29 = planOfQ("q_a29_customer_distribution")
+    a29 should include("LeftOuter")
+    a29 should not include "CartesianProduct"
+
+    // Q18: the IN-on-grouped-HAVING decorrelates to ONE lineitem
+    // aggregate reused for both the cut and the published sum — a
+    // single lineitem scan (the textbook form pays two).
+    val a33 = planOfQ("q_a33_large_orders")
+    finalPlan(a33).split("lineitem.parquet").length - 1 shouldBe 1
+    a33 should not include "CartesianProduct"
+    a33 should not include "BroadcastNestedLoopJoin"
+
+    // Q9/Q10/Q12/Q14/Q16: star joins with every dim broadcast or
+    // equi-keyed; no cartesian, no nested loop anywhere.
+    for (name <- Seq("q_a25_product_profit", "q_a26_returned_items",
+        "q_a28_shipmode_priority", "q_a30_promo_effect",
+        "q_a32_supplier_relationship")) {
+      val p = planOfQ(name)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
 }
