@@ -602,6 +602,74 @@ object Dq {
     }.toDF("quantile_idx", "level", "q_ref", "q_cur", "diff")
   }
 
+  /** D29: TWO-SAMPLE ANDERSON–DARLING DRIFT (Scholz & Stephens 1987
+    * midrank form A²akN — public knowledge) — the TAIL-sensitive
+    * member completing the numeric-drift family: PSI bins, KS takes
+    * the worst CDF gap (center-dominated — a pure tail shift barely
+    * moves it), W₁ totals the mass moved, AD weights every gap by
+    * `1/(F(1−F))` so the p99 tail that breaks latency SLOs and
+    * quantile featurizers gets the microscope. This is the
+    * tie-adjusted midrank version (the one scipy's anderson_ksamp
+    * computes), DEFINED on the distinct-value grid:
+    *
+    *   A² = (N−1)/N² · Σ_j Σ_{i∈{ref,cur}} l_j·D_ij² / (n_i·E_j)
+    *   D_ij = N·M2_ij − n_i·B2_j,  E_j = B2_j·(2N−B2_j) − N·l_j
+    *
+    * with DOUBLED midrank cumulatives (B2 = 2·cum − l, M2 likewise) so
+    * the textbook ½s never appear: every D, E, numerator and
+    * denominator is an EXACT integer in DECIMAL(38,0). Each of the 2L
+    * per-term rationals is ONE correctly-rounded double division
+    * (identical cross-engine) floor-scaled to 1e9 — the per-term
+    * floor is part of the statistic's definition here, making the
+    * cross-term sum an exact, ORDER-FREE integer (a raw double Σ over
+    * an unordered grid would be engine-unstable). One final
+    * (N−1)/N²·S/10⁹ tree, published q6.
+    *
+    * Scale shape: one pooled distinct-value aggregate + ONE two-phase
+    * prefix sum carrying both sides' cumulatives (the ksDrift plan) —
+    * no windows over data, no joins. E_j > 0 whenever the pooled
+    * sample has ≥ 2 distinct values; the all-tied corpus emits NULL.
+    * Output: 1 row — (n_ref, n_cur, a2). */
+  def andersonDarlingDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      pooled, Seq(col("__v")),
+      Seq("__cnr" -> col("nr"), "__cnc" -> col("nc"),
+        "__cn" -> (col("nr") + col("nc"))))
+    val (nRef, nCur) = (totals(0), totals(1))
+    val nTot = totals(2)
+    require(nRef > 0 && nCur > 0, "andersonDarlingDrift: empty population")
+    val l = (col("nr") + col("nc")).cast(D)
+    val b2 = (lit(2L) * col("__cn")).cast(D) - l
+    val e = b2 * (lit(2L * nTot).cast(D) - b2) - lit(nTot).cast(D) * l
+    def term(m2: org.apache.spark.sql.Column, ni: Long)
+        : org.apache.spark.sql.Column = {
+      val d = lit(nTot).cast(D) * m2.cast(D) - lit(ni).cast(D) * b2
+      floor((l * d * d).cast("double") /
+        (lit(ni).cast(D) * e).cast("double") * lit(1e9)).cast(D)
+    }
+    val tRef = term((lit(2L) * col("__cnr")).cast(D) - col("nr").cast(D),
+      nRef)
+    val tCur = term((lit(2L) * col("__cnc")).cast(D) - col("nc").cast(D),
+      nCur)
+    import graft.functions.q6
+    cum.agg(count(lit(1)).as("__nvals"),
+        sum(when(e > 0, tRef + tCur)).as("__s"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        q6(when(col("__nvals") > 1,
+          lit((nTot - 1).toDouble) / lit(nTot.toDouble * nTot.toDouble) *
+            (col("__s").cast("double") / lit(1e9)))).as("a2"))
+  }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {

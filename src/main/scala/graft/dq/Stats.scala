@@ -657,6 +657,44 @@ object Stats {
         col("__ssb") / (col("__ssb") + col("__ssw")))).as("eta2"))
   }
 
+  /** D28: BROWN–FORSYTHE / LEVENE VARIANCE-HOMOGENEITY TEST (Levene
+    * 1960; Brown & Forsythe 1974 median-centering — public knowledge):
+    * are the group SPREADS equal? The pre-flight every pooled-variance
+    * test above ([[oneWayAnova]] F53, the classic t) silently assumes,
+    * and a drift dial in its own right — a segment whose variance
+    * exploded PSI/KS on the mean can miss. This is the median-centered
+    * (robust) form: one-way ANOVA on `z = |x − median_g|`; the
+    * spread-equality W statistic IS [[oneWayAnova]]'s F over z, so the
+    * kernel is REUSED verbatim (one new shuffle pair: the per-group
+    * distinct-value grid for the median, the join-back for z).
+    *
+    * Exactness: medians resolve on the DECIMAL(18,6) grid — the LOWER
+    * median (smallest v with 2·cum ≥ n; a midpoint average would leave
+    * the decimal grid), documented and mirrored by the oracle; z stays
+    * exact DECIMAL, so the ANOVA moments inherit F53's exact-moment
+    * discipline unchanged. Windows are value-cardinality-bounded per
+    * group. Output 1 row: (n, k, ssb, ssw, w_stat) — w_stat NULL when
+    * every |deviation| ties (ssw = 0). */
+  def brownForsythe(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val vals = df.filter(value.isNotNull)
+      .select(group.as("__g"), value.cast("decimal(18,6)").as("__v"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col("__g"))
+    val med = vals.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .filter(col("__cum") * lit(2) >= col("__n"))
+      .groupBy(col("__g")).agg(min(col("__v")).as("__med"))
+    val z = vals.join(med, Seq("__g"))
+      .select(col("__g").as("g"), abs(col("__v") - col("__med")).as("__z"))
+    oneWayAnova(z, col("g"), col("__z"))
+      .withColumnRenamed("f_stat", "w_stat")
+      .drop("eta2")
+  }
+
   /** F54: COCHRAN–MANTEL–HAENSZEL stratified 2×2 test (Cochran 1954,
     * Mantel & Haenszel 1959, public knowledge) — the answer to
     * Simpson's paradox in A/B readouts: pool evidence ACROSS strata

@@ -626,6 +626,83 @@ object Resample {
         q6(when(n >= 2 && varNum > 0, z)).as("z"))
   }
 
+  /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
+    * 1954; the streaming-drift form popularized by Gama et al. 2004 —
+    * public knowledge): the ONLINE companion of the offline
+    * changepoint family — E16 CUSUM estimates where the mean shifted
+    * in hindsight, E36 Pettitt tests whether; Page–Hinkley answers
+    * "WHEN would a monitor reading this series day by day have
+    * FIRED?", with the δ (drift tolerance) / λ (alarm threshold)
+    * knobs every production drift monitor exposes. `U_t = Σ_{i≤t}
+    * (x_i − x̄_i − δ)` against the RUNNING mean, `PH_t = U_t −
+    * min_{s≤t} U_s`, alarm at the first `PH_t > λ`.
+    *
+    * Exactness (the cusumFromDaily lesson, taken one step further):
+    * a cumulative sum of per-step DOUBLES is engine-unstable (window
+    * accumulation strategies differ), so the whole recursion runs on
+    * MICRO-INTEGERS — daily sums exact in DECIMAL(18,6) → ×10⁶
+    * LONGs; the running mean is the TRUNCATING integer division
+    * `C_t div t` (Spark `div` ≡ DuckDB `//`, both toward zero), a
+    * documented ≤1-micro-per-step quantization of the textbook mean
+    * that buys bit-identical integer U/PH on every engine; δ and λ
+    * quantize to micros the same way. Integer addition is
+    * associative — no window-strategy hazard. Contract: cumulative
+    * micro sums must stay inside BIGINT (|Σx|·10⁶ < 9.2·10¹⁸ — a
+    * 10¹²/day series for 3 centuries).
+    *
+    * Scale: one (entity, day) aggregate + one chain of ENTITY-KEYED
+    * windows (calendar-bounded partitions), no joins, no global
+    * order. `detectIncrease = false` monitors a mean DROP (term
+    * flips). Output per entity: (key, n_days, ph_max, alarm_day —
+    * first firing day or NULL, alarmed). */
+  def pageHinkley(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, delta: Double = 0.0, lambda: Double,
+      detectIncrease: Boolean = true): DataFrame = {
+    require(lambda > 0, s"pageHinkley: lambda must be > 0, got $lambda")
+    pageHinkleyFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")),
+      key, delta, lambda, detectIncrease)
+  }
+
+  /** [[pageHinkley]] over an already-aggregated (key, day, __x) daily
+    * table — the associative-daily-sum contract shared with
+    * [[cusumFromDaily]] / [[pettittFromDaily]] / [[mannKendallFromDaily]],
+    * so a streaming daily-cell sink can reuse this finish verbatim. */
+  private[graft] def pageHinkleyFromDaily(daily0: DataFrame, key: String,
+      delta: Double, lambda: Double, detectIncrease: Boolean)
+      : DataFrame = {
+    val deltaMicro = math.floor(delta * 1e6 + 0.5).toLong
+    val lambdaMicro = math.floor(lambda * 1e6 + 0.5).toLong
+    val ord = Window.partitionBy(col(key)).orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wKey = Window.partitionBy(col(key))
+    val daily = daily0.select(col(key), col("day"),
+      (col("__x").cast("decimal(18,6)") * lit(1000000L)).cast("long")
+        .as("__xm"))
+    val term =
+      if (detectIncrease)
+        col("__xm") - expr("__cm div __t") - lit(deltaMicro)
+      else expr("__cm div __t") - col("__xm") - lit(deltaMicro)
+    val scored = daily
+      .withColumn("__t", row_number().over(ord).cast("long"))
+      .withColumn("__cm", sum(col("__xm")).over(cum))
+      .withColumn("__term", term)
+      .withColumn("__u", sum(col("__term")).over(cum))
+      .withColumn("__minu", min(col("__u")).over(cum))
+      .withColumn("__ph", col("__u") - col("__minu"))
+    scored.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("__ph")).as("__phmax"),
+        min(when(col("__ph") > lambdaMicro, col("day"))).as("__alarm"))
+      .select(col(key), col("n_days"),
+        graft.functions.q6(col("__phmax").cast("double") / lit(1e6))
+          .as("ph_max"),
+        date_format(col("__alarm"), "yyyy-MM-dd").as("alarm_day"),
+        col("__alarm").isNotNull.cast("int").as("alarmed"))
+  }
+
   /** E34: CROSS-CORRELATION FUNCTION between two daily series (the
     * lead/lag detector: "do errors LEAD purchases down, and by how
     * many days?" — Box & Jenkins, public knowledge). Builds the two

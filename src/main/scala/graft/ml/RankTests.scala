@@ -306,4 +306,163 @@ object RankTests {
       pubLong(col("__j2"), "doubled statistic").as("j2"),
       graft.functions.q6(when(v > 0, z)).as("z"))
   }
+
+  /** F82: FRIEDMAN TEST (Friedman 1937, public knowledge) — the
+    * nonparametric REPEATED-MEASURES one-way: k treatments measured on
+    * the SAME n blocks (k models scored on the same prompts, k
+    * pipeline variants on the same shards). [[kruskalWallis]] assumes
+    * independent groups and is wrong for matched designs — blocking
+    * removes the between-block variance, exactly like [[graft.ml
+    * .Eval]]'s Cochran's Q does for binary outcomes (Friedman is its
+    * graded-response generalization; at k=2 it collapses to the sign
+    * test's χ²).
+    *
+    * Exactness + scale: ranks are WITHIN-block, so every window
+    * partition is one block's k cells — k-bounded, never data-sized;
+    * doubled midranks keep ranks integral under ties; the
+    * tie-corrected statistic (Conover's form)
+    * `χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ_cells r2² − n·k·(k+1)²)`
+    * has an exact-DECIMAL numerator and denominator (order-free
+    * integer sums; the doubling cancels — both carry a factor 4), one
+    * IEEE division at the end, published q6. Fails loud on NULLs, a
+    * duplicate (block, treatment) observation, or an incomplete block
+    * (a silent drop would bias R_j — the classic Friedman footgun).
+    * All-tied blocks everywhere ⇒ denominator 0 ⇒ NULL chi2.
+    * Output 1 row: (n_blocks, k, dof, chi2). */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      value: Column): DataFrame = {
+    val vd = value.cast("double")
+    val rows = df.select(block.as("__b"), treatment.as("__t"),
+      when(block.isNull || treatment.isNull || vd.isNull,
+        raise_error(lit("friedman: NULL block/treatment/value")))
+        .otherwise(vd).as("__v"))
+    // exactly one observation per (block, treatment)
+    val cells = rows.groupBy(col("__b"), col("__t"))
+      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__v0"))
+      .select(col("__b"), col("__t"),
+        when(col("__c") > 1, raise_error(
+          lit("friedman: duplicate (block, treatment) observation")))
+          .otherwise(col("__v0")).as("__v"))
+    // within-block doubled midranks: partition = ONE block's distinct
+    // values (≤ k rows), never data-sized
+    val byVal = cells.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__cv"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal.withColumn("__cum", sum(col("__cv")).over(w))
+      .select(col("__b"), col("__v"),
+        (lit(2L) * (col("__cum") - col("__cv")) + col("__cv") + lit(1L))
+          .as("__r2"))
+    val cellR = cells.join(ranked, Seq("__b", "__v"))
+    // one row: k (global treatment count), n (blocks), Σr2² — with the
+    // completeness guard riding the per-block recount
+    val kRow = broadcast(cells.agg(
+      countDistinct(col("__t")).as("__k")))
+    val blockTotals = cellR.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        sum((col("__r2") * col("__r2")).cast(D)).as("__sr2b"))
+      .crossJoin(kRow)
+      .select(when(col("__nb") =!= col("__k"),
+        raise_error(lit("friedman: incomplete block — every block " +
+          "needs one observation of every treatment")))
+        .otherwise(col("__sr2b")).as("__sr2b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__sr2b")).as("__sr2sq"))
+    val perT = cellR.groupBy(col("__t"))
+      .agg(sum(col("__r2").cast(D)).as("__R2"))
+    // (R2_j − n(k+1))² exact in DECIMAL, order-free across treatments
+    val terms = perT.crossJoin(broadcast(blockTotals.crossJoin(kRow)))
+      .select(col("__n"), col("__k"), col("__sr2sq"),
+        ((col("__R2") -
+            col("__n").cast(D) * (col("__k") + lit(1L)).cast(D)) *
+         (col("__R2") -
+            col("__n").cast(D) * (col("__k") + lit(1L)).cast(D)))
+          .as("__sq"))
+      .groupBy(col("__n"), col("__k"), col("__sr2sq"))
+      .agg(sum(col("__sq")).as("__num"))
+    val den = col("__sr2sq") -
+      col("__n").cast(D) * col("__k").cast(D) *
+        (col("__k") + lit(1L)).cast(D) * (col("__k") + lit(1L)).cast(D)
+    val chi2 = (col("__k") - lit(1L)).cast("double") *
+      col("__num").cast("double") / den.cast("double")
+    terms.select(col("__n").as("n_blocks"), col("__k").as("k"),
+      (col("__k") - lit(1L)).as("dof"),
+      graft.functions.q6(when(den.cast("double") > 0, chi2)).as("chi2"))
+  }
+
+  /** F83: KENDALL'S τ-b per group (Kendall 1938; τ-b tie form per
+    * Kendall 1945 — public knowledge) — the concordance companion of
+    * [[spearman]]: ρ correlates the RANKS (one big tie block can
+    * dominate); τ counts PAIR INVERSIONS, the same quantity a
+    * learning-to-rank swap loss measures, and is what [[graft.events
+    * .Resample]]'s Mann–Kendall specializes to x = time.
+    *
+    * Exactness + scale: rows collapse to the (x, y) DISTINCT-CELL grid
+    * per group first; C−D is an exact integer from the cell-pair
+    * equi-join on the group key (each unordered cell pair once, via
+    * lexicographic (x, y) order), and the tie terms n₀/n₁/n₂ come from
+    * the marginal count tables — doubled (t·(t−1), n·(n−1)) so no
+    * halving ever happens: the /2 cancels inside τ-b. The pair join is
+    * quadratic in CELL count, never row count; it fails loud past
+    * `maxCellsPerGroup` (the X165 LOF convention — at 100 TB, bucket
+    * or quantize the value grids first). τ-b = (C−D)/√((n0−n1)(n0−n2))
+    * is one IEEE tree over exact integers, published q6; a constant
+    * side ⇒ NULL tau. Output per group: (g, n, n_cells,
+    * conc_minus_disc, tau_b). */
+  def kendallTau(df: DataFrame, group: Column, x: Column, y: Column,
+      maxCellsPerGroup: Int = 20000): DataFrame = {
+    val cells = df.filter(x.isNotNull && y.isNotNull)
+      .select(group.as("g"), x.as("x"), y.as("y"))
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val nCells = cells.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n"))
+      .select(col("g"), col("n"),
+        when(col("n_cells") > maxCellsPerGroup, raise_error(concat(
+          lit("kendallTau: "), col("n_cells").cast("string"),
+          lit(s" distinct (x,y) cells > maxCellsPerGroup=" +
+            s"$maxCellsPerGroup in group "), col("g").cast("string"),
+          lit(" — bucket or quantize first"))))
+          .otherwise(col("n_cells")).as("n_cells"))
+    val a = cells.select(col("g"), col("x").as("__xa"),
+      col("y").as("__ya"), col("c").as("__ca"))
+    val b = cells.select(col("g"), col("x").as("__xb"),
+      col("y").as("__yb"), col("c").as("__cb"))
+    // each unordered cell pair once: lexicographic (x, y)
+    val pairs = a.join(b, Seq("g"))
+      .filter(col("__xa") < col("__xb") ||
+        (col("__xa") === col("__xb") && col("__ya") < col("__yb")))
+    val sgn = when(col("__xa") === col("__xb") ||
+        col("__ya") === col("__yb"), lit(0L))
+      .when((col("__xa") < col("__xb")) === (col("__ya") < col("__yb")),
+        lit(1L))
+      .otherwise(lit(-1L))
+    val cd = pairs.groupBy(col("g"))
+      .agg(coalesce(sum((col("__ca") * col("__cb")).cast(D) *
+        sgn.cast(D)), lit(0).cast(D)).as("__cd"))
+    def tieTerm(vc: String, name: String): DataFrame =
+      cells.groupBy(col("g"), col(vc)).agg(sum(col("c")).as("__t"))
+        .groupBy(col("g"))
+        .agg(coalesce(sum((col("__t") * (col("__t") - lit(1L))).cast(D)),
+          lit(0).cast(D)).as(name))
+    val joined = nCells
+      .join(cd, Seq("g"), "left")
+      .join(tieTerm("x", "__tx2"), Seq("g"))
+      .join(tieTerm("y", "__ty2"), Seq("g"))
+      .withColumn("__cd", coalesce(col("__cd"), lit(0).cast(D)))
+    // doubled pair counts: n0₂ = n(n−1), n1₂ = Σt(t−1), n2₂ = Σu(u−1);
+    // τ-b = 2(C−D)/√((n0₂−n1₂)(n0₂−n2₂)) — the halves cancel
+    val n02 = col("n").cast(D) * (col("n") - lit(1L)).cast(D)
+    val fx = (n02 - col("__tx2")).cast("double")
+    val fy = (n02 - col("__ty2")).cast("double")
+    def pubLong(c: Column) =
+      when(abs(c) > lit(Long.MaxValue).cast(D),
+        raise_error(lit("kendallTau: C−D overflows BIGINT")))
+        .otherwise(c.cast("long"))
+    joined.select(col("g"), col("n"), col("n_cells"),
+      pubLong(col("__cd")).as("conc_minus_disc"),
+      graft.functions.q6(when(fx > 0 && fy > 0,
+        lit(2.0) * col("__cd").cast("double") / (sqrt(fx) * sqrt(fy))))
+        .as("tau_b"))
+  }
 }

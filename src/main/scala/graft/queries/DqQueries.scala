@@ -386,6 +386,51 @@ object DqQueries {
         (col("o_orderpriority") < "3").cast("int"), col("o_totalprice"))
     },
 
+    // F82: Friedman repeated-measures rank test — the five event types
+    // measured on the SAME users (exact micro-LONG per-cell sums;
+    // only complete blocks enter, per the operator's fail-loud
+    // contract). Within-block doubled midranks, exact DECIMAL
+    // statistic, one IEEE division.
+    "q_f82_friedman" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+      val cells = ev.groupBy(col("user_id").as("b"),
+          col("event_type").as("tr"))
+        .agg(sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("v"))
+      val full = cells.groupBy(col("b")).agg(count(lit(1)).as("__nt"))
+        .filter(col("__nt") === 5).select(col("b"))
+      graft.ml.RankTests.friedman(cells.join(full, Seq("b")),
+        col("b"), col("tr"), col("v"))
+    },
+
+    // F83: Kendall tau-b per return flag between quantity and discount
+    // — distinct-cell pair join (50x11 grid, never row pairs), exact
+    // integer C-D and tie terms.
+    "q_f83_kendall_tau" -> { (s, dir) =>
+      graft.ml.RankTests.kendallTau(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("g"))
+    },
+
+    // D28: Brown-Forsythe spread-equality test of extended price
+    // across return flags — lower-median centering on the DECIMAL
+    // grid, then the F53 ANOVA kernel on |x - med| verbatim.
+    "q_d28_brown_forsythe" -> { (s, dir) =>
+      graft.dq.Stats.brownForsythe(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"))
+    },
+
+    // D29: two-sample Anderson-Darling drift between view and purchase
+    // event values — the tail-weighted member of the drift family;
+    // doubled-midrank exact integers, per-term 1e9 floor-scale.
+    "q_d29_anderson_darling" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.dq.Dq.andersonDarlingDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    },
+
     // F40: chi-square independence + Cramér's V between language and
     // source — the bounded companion of q_f35's mutual information.
     "q_f40_cramers_v" -> { (s, dir) =>
@@ -2009,6 +2054,174 @@ object DqQueries {
         |  CAST(sum(bytes) AS BIGINT) AS bytes,
         |  min(id) AS first_id, max(id) AS last_id
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // Friedman: same micro-LONG cells, within-block doubled midranks,
+    // exact HUGEINT numerator/denominator, one quantized-6 division.
+    "q_f82_friedman" ->
+      """WITH cells AS (
+        |  SELECT user_id AS b, event_type AS tr,
+        |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |fb AS (SELECT b FROM cells GROUP BY b HAVING count(*) = 5),
+        |cf AS (SELECT cells.* FROM cells JOIN fb USING (b)),
+        |bv AS (SELECT b, v, CAST(count(*) AS BIGINT) AS cv
+        |       FROM cf GROUP BY 1, 2),
+        |rk AS (SELECT b, v,
+        |    2 * (sum(cv) OVER (PARTITION BY b ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - cv) + cv + 1 AS r2
+        |  FROM bv),
+        |cr AS (SELECT cf.b, cf.tr, rk.r2
+        |       FROM cf JOIN rk ON cf.b = rk.b AND cf.v = rk.v),
+        |tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT tr) AS BIGINT) AS k,
+        |    sum(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS sr2sq
+        |  FROM cr),
+        |pt AS (SELECT tr, sum(CAST(r2 AS HUGEINT)) AS R2
+        |       FROM cr GROUP BY tr),
+        |nm AS (SELECT sum((R2 - CAST(n AS HUGEINT) * (k + 1))
+        |      * (R2 - CAST(n AS HUGEINT) * (k + 1))) AS num
+        |  FROM pt, tot)
+        |SELECT n AS n_blocks, k, k - 1 AS dof,
+        |  CASE WHEN CAST(sr2sq - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+        |      * (k + 1) * (k + 1) AS DOUBLE) > 0 THEN
+        |    floor(CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / CAST(sr2sq - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+        |        * (k + 1) * (k + 1) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS chi2
+        |FROM tot, nm""".stripMargin,
+    // Kendall tau-b: the same distinct-cell pair join and exact tie
+    // terms; tau is one 2(C-D)/sqrt tree over exact integers.
+    "q_f83_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |nc AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_cells FROM cells GROUP BY g),
+        |cd AS (SELECT a.g,
+        |    sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) *
+        |      (CASE WHEN a.x = b.x OR a.y = b.y THEN 0
+        |            WHEN (a.x < b.x) = (a.y < b.y) THEN 1
+        |            ELSE -1 END)) AS cdv
+        |  FROM cells a JOIN cells b ON a.g = b.g
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |  GROUP BY a.g),
+        |tx AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2 FROM
+        |  (SELECT g, x, CAST(sum(c) AS BIGINT) AS t FROM cells
+        |   GROUP BY 1, 2) GROUP BY g),
+        |ty AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS ty2 FROM
+        |  (SELECT g, y, CAST(sum(c) AS BIGINT) AS t FROM cells
+        |   GROUP BY 1, 2) GROUP BY g)
+        |SELECT nc.g, n, n_cells,
+        |  CAST(coalesce(cdv, 0) AS BIGINT) AS conc_minus_disc,
+        |  CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE) > 0
+        |        AND CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE) > 0
+        |    THEN floor(2.0 * CAST(coalesce(cdv, 0) AS DOUBLE)
+        |      / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE))
+        |        * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - ty2
+        |            AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS tau_b
+        |FROM nc LEFT JOIN cd ON nc.g = cd.g
+        |JOIN tx ON nc.g = tx.g JOIN ty ON nc.g = ty.g
+        |ORDER BY nc.g""".stripMargin,
+    // Brown-Forsythe: lower median on the DECIMAL grid, |x - med|,
+    // then exactly the f53 ANOVA SQL on z with f_stat -> w_stat.
+    "q_d28_brown_forsythe" ->
+      """WITH vals AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |bv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM vals GROUP BY 1, 2),
+        |cm0 AS (SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS nn FROM bv),
+        |md AS (SELECT g, min(v) AS med FROM cm0
+        |       WHERE cum * 2 >= nn GROUP BY g),
+        |z AS (SELECT vals.g, CAST(abs(vals.v - md.med) AS DECIMAL(18,6))
+        |        AS zv
+        |      FROM vals JOIN md ON vals.g = md.g),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(zv) AS s,
+        |    sum(CAST(zv AS DECIMAL(19,6)) * CAST(zv AS DECIMAL(19,6)))
+        |      AS q
+        |  FROM z GROUP BY 1),
+        |gr AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(s AS DECIMAL(38,6))) AS ss FROM pg),
+        |tm AS (SELECT pg.g, pg.n_g, gr.n, gr.ss,
+        |    CAST(pg.q AS DOUBLE) - CAST(pg.s AS DOUBLE)
+        |      * CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE) AS sswg,
+        |    CAST(pg.n_g AS DOUBLE)
+        |      * (CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE)
+        |        - CAST(gr.ss AS DOUBLE) / CAST(gr.n AS DOUBLE))
+        |      * (CAST(pg.s AS DOUBLE) / CAST(pg.n_g AS DOUBLE)
+        |        - CAST(gr.ss AS DOUBLE) / CAST(gr.n AS DOUBLE)) AS ssbg
+        |  FROM pg, gr),
+        |cmw AS (SELECT *,
+        |    sum(sswg) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(ssbg) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM tm),
+        |ag AS (SELECT CAST(min(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    arg_max(cw, g) AS ssw, arg_max(cb, g) AS ssb FROM cmw)
+        |SELECT n, k, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0
+        |    THEN floor((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS w_stat
+        |FROM ag""".stripMargin,
+    // Anderson-Darling: same doubled-midrank integers and per-term 1e9
+    // floor-scale; one (N-1)/N^2 * S/1e9 publish tree.
+    "q_d29_anderson_darling" ->
+      """WITH pooled AS (
+        |  SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc FROM (
+        |    SELECT CAST(value AS DOUBLE) AS v, 1 AS r, 0 AS c
+        |    FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |    UNION ALL
+        |    SELECT CAST(value AS DOUBLE) AS v, 0, 1
+        |    FROM events
+        |    WHERE event_type = 'purchase' AND value IS NOT NULL)
+        |  GROUP BY v),
+        |cum AS (SELECT *, sum(nr) OVER w AS cnr, sum(nc) OVER w AS cnc,
+        |    sum(nr + nc) OVER w AS cn
+        |  FROM pooled WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |tt AS (SELECT CAST(sum(nr) AS BIGINT) AS nref,
+        |    CAST(sum(nc) AS BIGINT) AS ncur,
+        |    CAST(sum(nr + nc) AS BIGINT) AS n FROM pooled),
+        |tv AS (SELECT tt.n, tt.nref, tt.ncur,
+        |    CAST(nr + nc AS HUGEINT) AS l,
+        |    CAST(2 * cn - (nr + nc) AS HUGEINT) AS b2,
+        |    CAST(2 * cnr - nr AS HUGEINT) AS m2r,
+        |    CAST(2 * cnc - nc AS HUGEINT) AS m2c
+        |  FROM cum, tt),
+        |te AS (SELECT n, nref, ncur, l,
+        |    b2 * (2 * CAST(n AS HUGEINT) - b2)
+        |      - CAST(n AS HUGEINT) * l AS e,
+        |    CAST(n AS HUGEINT) * m2r - CAST(nref AS HUGEINT) * b2 AS dr,
+        |    CAST(n AS HUGEINT) * m2c - CAST(ncur AS HUGEINT) * b2 AS dc
+        |  FROM tv),
+        |sm AS (SELECT max(n) AS n, max(nref) AS nref,
+        |    max(ncur) AS ncur, count(*) AS nvals,
+        |    sum(CASE WHEN e > 0 THEN
+        |      CAST(floor(CAST(l * dr * dr AS DOUBLE)
+        |        / CAST(CAST(nref AS HUGEINT) * e AS DOUBLE)
+        |        * 1000000000.0) AS HUGEINT)
+        |      + CAST(floor(CAST(l * dc * dc AS DOUBLE)
+        |        / CAST(CAST(ncur AS HUGEINT) * e AS DOUBLE)
+        |        * 1000000000.0) AS HUGEINT) END) AS s
+        |  FROM te)
+        |SELECT nref AS n_ref, ncur AS n_cur,
+        |  CASE WHEN nvals > 1 THEN
+        |    floor(CAST(n - 1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / 1000000000.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS a2
+        |FROM sm""".stripMargin,
     // f42's DECIMAL moment discipline per group; SSW/SSB terms summed
     // by the ordered k-row cumulative window; identical F/eta2 trees
     // from raw doubles, quantized-6 at the end.

@@ -229,6 +229,17 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E38: Page-Hinkley sequential drift per event type over daily
+    // value sums — "when would an online monitor have fired": micro-
+    // integer running-mean recursion (truncating div), λ=2500 splits
+    // the five series (click/error/signup alarm; purchase/view don't).
+    "q_e38_page_hinkley" -> { (s, dir) =>
+      graft.events.Resample.pageHinkley(
+        t(s, dir, "events"), "event_type", col("ts"), col("value"),
+        delta = 0.0, lambda = 2500.0)
+        .orderBy(col("event_type"))
+    },
+
     // F72: purged k-fold time-series CV with embargo — 4 contiguous
     // blocks tiling the event span; 2-day label-horizon purge before
     // each test block, 2-day embargo after; per-fold role counts +
@@ -1364,6 +1375,35 @@ object EventQueries {
         |  CASE WHEN n_days > 1 THEN CAST(p < 0.05 AS INTEGER) END
         |    AS significant
         |FROM pp ORDER BY user_id""".stripMargin,
+    // Page-Hinkley: identical micro-integer recursion — DuckDB's //
+    // truncates toward zero exactly like Spark's div, so U/PH are
+    // bit-identical integers; only the published ph_max divides.
+    "q_e38_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, xm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS t,
+        |    sum(xm) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM daily),
+        |u AS (SELECT *, sum(xm - cm // t - 0)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS uu FROM w),
+        |p AS (SELECT *, uu - min(uu)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS ph FROM u)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(CAST(max(ph) AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ph_max,
+        |  strftime(min(CASE WHEN ph > 2500000000 THEN day END),
+        |    '%Y-%m-%d') AS alarm_day,
+        |  CAST(min(CASE WHEN ph > 2500000000 THEN day END) IS NOT NULL
+        |    AS INTEGER) AS alarmed
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Mann–Kendall: same DECIMAL dailies, the literal day<day pair
     // self-join for S, the same exact tie-corrected variance and
     // continuity-corrected z tree.

@@ -494,4 +494,58 @@ class DqSpec extends SparkSpec {
     graft.dq.Dq.fdViolations(df.filter(col("k") =!= 1), Seq("k"), "v")
       .select("fd_holds").as[Boolean].head() shouldBe true
   }
+
+  behavior of "andersonDarlingDrift (D29)"
+
+  it should "match the Scholz-Stephens midrank fixture with ties across samples" in {
+    // ref=[1,2,3] cur=[2,4]: A2akN = 31/42 = 0.738095 (hand, via the
+    // doubled-midrank integer form; equals the float midrank formula
+    // to the 1e-9 per-term floor)
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(2.0, 4.0).toDF("v")
+    val r = graft.dq.Dq.andersonDarlingDrift(ref, cur, "v")
+      .as[(Long, Long, Option[Double])].collect().head
+    r._1 shouldBe 3L
+    r._2 shouldBe 2L
+    r._3.get shouldBe 0.738095 +- 2e-6 // q6 +- the per-term floor
+    // identical samples -> zero statistic
+    val s = Seq(1.0, 1.0, 2.0, 3.0, 3.0).toDF("v")
+    graft.dq.Dq.andersonDarlingDrift(s, s, "v")
+      .as[(Long, Long, Option[Double])].collect()
+      .head._3.get shouldBe 0.0 +- 1e-12
+    // a single pooled distinct value -> NULL (E = 0 everywhere)
+    val one = Seq(5.0, 5.0).toDF("v")
+    graft.dq.Dq.andersonDarlingDrift(one, one, "v")
+      .as[(Long, Long, Option[Double])].collect()
+      .head._3 shouldBe None
+  }
+
+  it should "weight a tail shift far above an equal-mass center shift (same KS) and stay partition-invariant" in {
+    // two currents each move 1% of the mass (KS = 0.01 for BOTH): one
+    // nudges the center (50 -> 50.5), one sends the top value to the
+    // far tail. The 1/(F(1-F)) weight makes the tail move two orders
+    // of magnitude louder on AD while KS cannot tell them apart.
+    val body = (1 to 500).map(i => (i % 100).toDouble)
+    val ref = body.toDF("v")
+    val curCenter = (body.filter(_ != 50.0) ++ Seq.fill(5)(50.5))
+      .toDF("v")
+    val curTail = (body.filter(_ != 99.0) ++ Seq.fill(5)(1000.0))
+      .toDF("v")
+    def ks(c: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.ksDrift(ref, c, "v")
+        .select("ks_stat").as[Double].collect().head
+    def ad(c: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.andersonDarlingDrift(ref, c, "v")
+        .select("a2").as[Double].collect().head
+    math.abs(ks(curCenter) - ks(curTail)) should be < 1e-12
+    ad(curTail) should be > 50.0 * ad(curCenter) // hand: ~120x
+    val big = (1 to 400).map(i => ((i * 13) % 37).toDouble).toDF("v")
+    val big2 = (1 to 300).map(i => ((i * 17) % 41).toDouble).toDF("v")
+    def run(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.andersonDarlingDrift(a, b, "v")
+        .as[(Long, Long, Option[Double])].collect().head
+    run(big.coalesce(1), big2.coalesce(1)) shouldBe
+      run(big.repartition(11), big2.repartition(7))
+  }
 }

@@ -119,4 +119,57 @@ class PettittSpec extends SparkSpec {
       .collect().head._2 shouldBe 1L
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Resample.pageHinkley (E38)"
+
+  it should "reproduce the hand micro-integer recursion and alarm day" in {
+    // dailies 10,10,10,20,20 (delta=0): U = (0,0,0,7.5,13.5) via the
+    // truncating running mean (C//t = 10,10,10,12.5->12.5 exact,14);
+    // PH = U - minU = U; first PH > 5 on day 4; ph_max = 13.5
+    val rows = (1 to 5).map { d =>
+      ("m", ts(f"2024-03-$d%02d 10:00:00"), if (d <= 3) 10.0 else 20.0)
+    }.toDF("k", "t", "v")
+    val r = graft.events.Resample.pageHinkley(rows, "k", col("t"),
+        col("v"), delta = 0.0, lambda = 5.0)
+      .as[(String, Long, Double, String, Int)].collect().head
+    r shouldBe (("m", 5L, 13.5, "2024-03-04", 1))
+    // a flat series never fires and PH stays 0
+    val flat = (1 to 5).map(d =>
+      ("f", ts(f"2024-03-$d%02d 10:00:00"), 10.0)).toDF("k", "t", "v")
+    val rf = graft.events.Resample.pageHinkley(flat, "k", col("t"),
+        col("v"), delta = 0.0, lambda = 5.0)
+      .as[(String, Long, Double, Option[String], Int)].collect().head
+    rf shouldBe (("f", 5L, 0.0, None, 0))
+  }
+
+  it should "flip direction with detectIncrease=false and reject bad lambda" in {
+    val rows = (1 to 5).map { d =>
+      ("d", ts(f"2024-03-$d%02d 10:00:00"), if (d <= 3) 20.0 else 10.0)
+    }.toDF("k", "t", "v")
+    // a mean DROP: increase monitor stays quiet, decrease monitor fires
+    graft.events.Resample.pageHinkley(rows, "k", col("t"), col("v"),
+        delta = 0.0, lambda = 5.0)
+      .select("alarmed").as[Int].collect().head shouldBe 0
+    graft.events.Resample.pageHinkley(rows, "k", col("t"), col("v"),
+        delta = 0.0, lambda = 5.0, detectIncrease = false)
+      .select("alarmed").as[Int].collect().head shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      graft.events.Resample.pageHinkley(rows, "k", col("t"), col("v"),
+        delta = 0.0, lambda = 0.0)
+  }
+
+  it should "keep Page-Hinkley partition-invariant and intra-day-order-free" in {
+    val rows = (1 to 60).flatMap { i =>
+      val d = i % 20 + 1
+      Seq((s"u${i % 3}", ts(f"2024-04-$d%02d ${i % 24}%02d:00:00"),
+        (i * 7 % 23).toDouble))
+    }.toDF("k", "t", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.events.Resample.pageHinkley(df, "k", col("t"), col("v"),
+          delta = 1.0, lambda = 10.0)
+        .orderBy(col("k"))
+        .as[(String, Long, Double, Option[String], Int)].collect().toSeq
+    run(rows.coalesce(1)) shouldBe run(rows.repartition(13))
+    run(rows.orderBy(rand(42))) shouldBe run(rows)
+  }
 }

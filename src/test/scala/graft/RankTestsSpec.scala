@@ -141,4 +141,103 @@ class RankTestsSpec extends SparkSpec {
     z should be > 0.0
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "ml.RankTests.friedman"
+
+  it should "match the classic no-tie fixture and the Conover tie form" in {
+    // 4 blocks x 3 treatments, no ties: classic
+    // chi2 = 12/(nk(k+1))*sum(Rj^2) - 3n(k+1) = 3.5
+    val noTie = Seq(
+      (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+      (2, "a", 2.0), (2, "b", 3.0), (2, "c", 1.0),
+      (3, "a", 1.0), (3, "b", 3.0), (3, "c", 2.0),
+      (4, "a", 1.0), (4, "b", 2.0), (4, "c", 3.0))
+      .toDF("b", "t", "v")
+    val r = graft.ml.RankTests.friedman(noTie, col("b"), col("t"),
+      col("v")).as[(Long, Long, Long, Option[Double])].collect().head
+    r shouldBe ((4L, 3L, 2L, Some(3.5)))
+    // within-block ties use midranks (hand: chi2 = 1.0)
+    val tied = Seq(
+      (1, "a", 1.0), (1, "b", 1.0), (1, "c", 2.0),
+      (2, "a", 3.0), (2, "b", 1.0), (2, "c", 1.0),
+      (3, "a", 2.0), (3, "b", 2.0), (3, "c", 2.0))
+      .toDF("b", "t", "v")
+    graft.ml.RankTests.friedman(tied, col("b"), col("t"), col("v"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .head._4.get shouldBe 1.0 +- 1e-12
+    // every block all-tied -> denominator 0 -> NULL chi2
+    val flat = (1 to 3).flatMap(b =>
+      Seq("a", "b", "c").map(t => (b, t, 5.0))).toDF("b", "t", "v")
+    graft.ml.RankTests.friedman(flat, col("b"), col("t"), col("v"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .head._4 shouldBe None
+  }
+
+  it should "fail loud on duplicate observations and incomplete blocks" in {
+    val dup = Seq((1, "a", 1.0), (1, "a", 2.0), (1, "b", 3.0),
+      (2, "a", 1.0), (2, "b", 2.0)).toDF("b", "t", "v")
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.friedman(dup, col("b"), col("t"), col("v"))
+        .collect()
+    val incomplete = Seq((1, "a", 1.0), (1, "b", 2.0),
+      (2, "a", 1.0)).toDF("b", "t", "v")
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.friedman(incomplete, col("b"), col("t"),
+        col("v")).collect()
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.friedman(
+        Seq((Some(1), Some("a"), None: Option[Double]))
+          .toDF("b", "t", "v"), col("b"), col("t"), col("v")).collect()
+  }
+
+  it should "stay partition-invariant on Friedman" in {
+    val rows = (1 to 40).flatMap(b => Seq("a", "b", "c", "d").map(t =>
+      (b, t, ((b * 7 + t.hashCode.abs) % 13).toDouble)))
+    val df = rows.toDF("b", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ml.RankTests.friedman(d, col("b"), col("t"), col("v"))
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    run(df.coalesce(1)) shouldBe run(df.repartition(17))
+  }
+
+  behavior of "ml.RankTests.kendallTau"
+
+  it should "match the hand tau-b fixture with ties on both sides" in {
+    // x=[1,2,2,3,4] y=[2,1,3,3,5]: C-D=6, tau-b=2/3
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (2.0, 3.0), (3.0, 3.0),
+      (4.0, 5.0)).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = graft.ml.RankTests.kendallTau(df, col("g"), col("x"),
+      col("y")).as[(String, Long, Long, Long, Option[Double])]
+      .collect().head
+    r._2 shouldBe 5L
+    r._4 shouldBe 6L
+    r._5.get shouldBe 0.666667 +- 1e-9 // q6 of 2/3
+    // perfect monotone -> exactly 1
+    val mono = (1 to 8).map(i => ("g", i.toDouble, (i * 3).toDouble))
+      .toDF("g", "x", "y")
+    graft.ml.RankTests.kendallTau(mono, col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .head._5.get shouldBe 1.0 +- 1e-12
+  }
+
+  it should "emit NULL tau for a constant side, fail loud past the cell cap, and stay partition-invariant" in {
+    val const = (1 to 10).map(i => ("g", i.toDouble, 3.0))
+      .toDF("g", "x", "y")
+    graft.ml.RankTests.kendallTau(const, col("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .head._5 shouldBe None
+    an[Exception] should be thrownBy
+      graft.ml.RankTests.kendallTau(
+        (1 to 50).map(i => ("g", i.toDouble, (i * 2).toDouble))
+          .toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"), maxCellsPerGroup = 10).collect()
+    val big = (1 to 300).map(i =>
+      (s"g${i % 2}", (i % 9).toDouble, ((i * 5) % 7).toDouble))
+      .toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ml.RankTests.kendallTau(d, col("g"), col("x"), col("y"))
+        .orderBy(col("g"))
+        .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    run(big.coalesce(1)) shouldBe run(big.repartition(13))
+  }
 }

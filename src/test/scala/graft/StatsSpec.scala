@@ -755,4 +755,40 @@ class StatsSpec extends SparkSpec {
       .select("nmi").as[Option[Double]].collect()
     r.foreach(_ shouldBe None)
   }
+
+  behavior of "dq.Stats.brownForsythe (D28)"
+
+  it should "match the hand median-centered W and return 0 for equal spreads" in {
+    // a=[1..5] (med 3), b=[10,30,50,70,90] (med 50): z-means 1.2 vs 24,
+    // W = (N-k)/(k-1) * num/den = 9.259708 (q6)
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(10.0, 30.0, 50.0, 70.0, 90.0).map(("b", _))).toDF("g", "v")
+    val r = graft.dq.Stats.brownForsythe(df, col("g"), col("v"))
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    r._1 shouldBe 10L
+    r._2 shouldBe 2L
+    r._5.get shouldBe 9.259708 +- 1e-9
+    // identical |x - med| profiles -> zero between-group spread signal
+    val eq = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    graft.dq.Stats.brownForsythe(eq, col("g"), col("v"))
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+      .head._5.get shouldBe 0.0 +- 1e-12
+  }
+
+  it should "use the LOWER median on even groups and stay partition-invariant" in {
+    // even n: [1,2,3,4] -> lower median 2 (not 2.5): z = [1,0,1,2]
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(5.0, 6.0, 7.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = graft.dq.Stats.brownForsythe(df, col("g"), col("v"))
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // both groups share z-profile [1,0,1,2] -> ssb = 0 -> W = 0
+    r._5.get shouldBe 0.0 +- 1e-12
+    val big = (1 to 400).map(i =>
+      (s"g${i % 3}", (i * 37 % 101).toDouble)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.dq.Stats.brownForsythe(d, col("g"), col("v"))
+        .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    run(big.coalesce(1)) shouldBe run(big.repartition(19))
+  }
 }
