@@ -812,9 +812,47 @@ object StreamingEvents {
   def cusumView(spark: org.apache.spark.sql.SparkSession,
       dailyDir: String, keyCol: String): DataFrame =
     graft.events.Resample.cusumFromDaily(
-      spark.read.parquet(dailyDir)
-        .groupBy(col(keyCol), col("day"))
-        .agg(sum(col("x")).as("__x")), keyCol)
+      mergedDaily(spark, dailyDir, keyCol), keyCol)
+
+  /** E36 over the SAME [[dailyAggSink]] store: the Pettitt
+    * distribution-shift test as a streaming monitor — one daily cell
+    * directory feeds all four changepoint/trend views (CUSUM locates,
+    * Pettitt tests, Mann–Kendall judges the trend, Page–Hinkley says
+    * when an online monitor would have fired); DECIMAL daily sums are
+    * associative, so every view is bit-equal to its batch operator
+    * regardless of batch boundaries. */
+  def pettittView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String, alpha: Double = 0.05)
+      : DataFrame =
+    graft.events.Resample.pettittFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol, alpha)
+
+  /** E37 Mann–Kendall trend verdicts over a [[dailyAggSink]] store. */
+  def mannKendallView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    graft.events.Resample.mannKendallFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol)
+
+  /** E38 Page–Hinkley alarms over a [[dailyAggSink]] store — the
+    * "would the online monitor have fired yet" readout, refreshed per
+    * micro-batch. */
+  def pageHinkleyView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String, delta: Double, lambda: Double,
+      detectIncrease: Boolean = true): DataFrame = {
+    require(lambda > 0, s"pageHinkleyView: lambda must be > 0")
+    graft.events.Resample.pageHinkleyFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol, delta, lambda,
+      detectIncrease)
+  }
+
+  /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
+    * directory — per-batch partial daily sums re-aggregated (exact
+    * DECIMAL addition), shared by every view above. */
+  private def mergedDaily(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    spark.read.parquet(dailyDir)
+      .groupBy(col(keyCol), col("day"))
+      .agg(sum(col("x")).as("__x"))
 
   /** Streaming GROWTH-ACCOUNTING sink (the W18 ledger over a stream):
     * each micro-batch persists its DISTINCT (entity, activity-week)

@@ -443,6 +443,30 @@ class StreamingSpec extends SparkSpec {
       "user_id", "ts", "value", s"$tmp/daily")
     rows(StreamingEvents.cusumView(spark, s"$tmp/daily",
       "user_id")) shouldBe batch
+    // the SAME daily store feeds the whole changepoint/trend family:
+    // each view must equal its batch operator over the full input
+    val allDf = all.toDF("user_id", "ts", "value")
+    def pettittRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, String, Double, Int)].collect().toSeq
+    pettittRows(StreamingEvents.pettittView(spark, s"$tmp/daily",
+      "user_id")) shouldBe
+      pettittRows(graft.events.Resample.pettittChangepoint(
+        allDf, "user_id", col("ts"), col("value")))
+    def mkRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    mkRows(StreamingEvents.mannKendallView(spark, s"$tmp/daily",
+      "user_id")) shouldBe
+      mkRows(graft.events.Resample.mannKendall(
+        allDf, "user_id", col("ts"), col("value")))
+    def phRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Option[String], Int)].collect().toSeq
+    val phView = phRows(StreamingEvents.pageHinkleyView(spark,
+      s"$tmp/daily", "user_id", delta = 0.0, lambda = 50.0))
+    phView shouldBe phRows(graft.events.Resample.pageHinkley(
+      allDf, "user_id", col("ts"), col("value"),
+      delta = 0.0, lambda = 50.0))
+    phView.head._5 shouldBe 1 // the level shift fires the monitor
+    graft.util.Caches.releaseAll(spark)
   }
 
   it should "reconstruct session-spanning sequential rules equal to the batch W14 operator" in {
