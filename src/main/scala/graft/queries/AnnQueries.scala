@@ -173,6 +173,19 @@ object AnnQueries {
         emb.filter(col("vec_id").isin(0L, 7L, 14L, 21L)), Dim, k = 5)
     },
 
+    // X179 scale form, PROVEN: the wave-35 probe showed the FIXED
+    // 4-centroid variant going super-linear at 10x data (exponent
+    // 1.10 — O(N²/nlist) with nlist pinned, exactly as documented).
+    // Here the centroid list is DATA-PROPORTIONAL (every vec_id
+    // divisible by 3750: ~N/3750 centroids, so bucket size stays
+    // ~constant as the corpus grows) — the form whose probe exponent
+    // is ~linear and the one a 100 TB deployment runs.
+    "q_x179b_lof_bucketed_adaptive" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lofScoresBucketed(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 3750 === 0), Dim, k = 5)
+    },
+
     // X29: exact cosine top-5 with the STREAMED-INDEX form — the query
     // batch broadcasts and the corpus streams, so exact search scales to
     // an unbounded index. Same function as q_x8, same oracle.
@@ -412,6 +425,66 @@ object AnnQueries {
       |      CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** The q_x179 bucketed-LOF oracle chain, parameterized by the
+    * centroid predicate (fixed seed list vs the data-proportional
+    * `vec_id % 3750 = 0` scale form — same SQL otherwise). */
+  private def lofBucketedOracle(centroidPred: String): String =
+    s"""WITH $nnCte,
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+       |  FROM nn WHERE $centroidPred),
+       |asg AS (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT n.vec_id, n.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |          c.centroid_id) AS rn
+       |    FROM nn n, cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS p, b.vec_id AS o,
+       |    list_distance(a.v, b.v) AS d
+       |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+       |    AND a.vec_id <> b.vec_id
+       |  WHERE NOT isnan(list_distance(a.v, b.v))),
+       |rk AS (SELECT p, o, d,
+       |    row_number() OVER (PARTITION BY p ORDER BY d, o) AS rn
+       |  FROM pairs),
+       |kd AS (SELECT p, max(d) AS kd FROM rk WHERE rn <= 5
+       |  GROUP BY 1),
+       |nb AS (SELECT r.p, r.o, r.d
+       |  FROM rk r JOIN kd ON kd.p = r.p WHERE r.d <= kd.kd),
+       |rch AS (SELECT nb.p, nb.o,
+       |    CAST(floor(greatest(nb.d, k2.kd) * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS rs
+       |  FROM nb JOIN kd k2 ON k2.p = nb.o),
+       |lrd0 AS (SELECT p, CAST(count(*) AS BIGINT) AS nnb,
+       |    CAST(sum(rs) AS BIGINT) AS sr
+       |  FROM rch GROUP BY 1),
+       |lrd AS (SELECT p, nnb, sr,
+       |    CASE WHEN sr > 0 THEN CAST(nnb AS DOUBLE) * 1000000000.0
+       |      / CAST(sr AS DOUBLE) END AS lrd
+       |  FROM lrd0),
+       |lrds AS (SELECT *,
+       |    CAST(floor(lrd * 1000000000.0 + 0.5) AS BIGINT) AS lrds
+       |  FROM lrd),
+       |num AS (SELECT nb.p,
+       |    sum(CAST(l2.lrds AS HUGEINT)) AS slo,
+       |    CAST(sum(CASE WHEN l2.lrds IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nulln
+       |  FROM nb JOIN lrds l2 ON l2.p = nb.o GROUP BY 1)
+       |SELECT l.p AS id, a2.centroid_id AS bucket_id,
+       |  floor(kd.kd * 1000000.0 + 0.5) / 1000000.0 AS k_dist,
+       |  l.nnb AS n_neighbors,
+       |  CASE WHEN l.lrd IS NOT NULL THEN
+       |    floor(l.lrd * 1000000.0 + 0.5) / 1000000.0 END AS lrd,
+       |  CASE WHEN l.lrds IS NOT NULL AND n.nulln = 0 THEN
+       |    floor(CAST(CAST(n.slo AS VARCHAR) AS DOUBLE)
+       |      / (CAST(l.nnb AS DOUBLE) * CAST(l.lrds AS DOUBLE))
+       |      * 1000000.0 + 0.5) / 1000000.0 END AS lof
+       |FROM lrds l JOIN num n ON n.p = l.p JOIN kd ON kd.p = l.p
+       |JOIN asg a2 ON a2.vec_id = l.p
+       |ORDER BY id""".stripMargin
+
   // NaN cosines (zero-norm vectors) are unrankable and dropped — the
   // shared contract of both Spark brute-force forms
   private val bruteForceOracle: String =
@@ -624,61 +697,11 @@ object AnnQueries {
     // tie-break) + the q_x165 LOF chain with pairs generated WITHIN
     // the assigned bucket; bucket_id joins back onto the output.
     "q_x179_lof_bucketed" ->
-      s"""WITH $nnCte,
-         |cent AS (
-         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-         |  FROM nn WHERE vec_id IN (0, 7, 14, 21)),
-         |asg AS (
-         |  SELECT vec_id, v, centroid_id FROM (
-         |    SELECT n.vec_id, n.v, c.centroid_id,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
-         |          c.centroid_id) AS rn
-         |    FROM nn n, cent c) WHERE rn = 1),
-         |pairs AS (
-         |  SELECT a.vec_id AS p, b.vec_id AS o,
-         |    list_distance(a.v, b.v) AS d
-         |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
-         |    AND a.vec_id <> b.vec_id
-         |  WHERE NOT isnan(list_distance(a.v, b.v))),
-         |rk AS (SELECT p, o, d,
-         |    row_number() OVER (PARTITION BY p ORDER BY d, o) AS rn
-         |  FROM pairs),
-         |kd AS (SELECT p, max(d) AS kd FROM rk WHERE rn <= 5
-         |  GROUP BY 1),
-         |nb AS (SELECT r.p, r.o, r.d
-         |  FROM rk r JOIN kd ON kd.p = r.p WHERE r.d <= kd.kd),
-         |rch AS (SELECT nb.p, nb.o,
-         |    CAST(floor(greatest(nb.d, k2.kd) * 1000000000.0 + 0.5)
-         |      AS BIGINT) AS rs
-         |  FROM nb JOIN kd k2 ON k2.p = nb.o),
-         |lrd0 AS (SELECT p, CAST(count(*) AS BIGINT) AS nnb,
-         |    CAST(sum(rs) AS BIGINT) AS sr
-         |  FROM rch GROUP BY 1),
-         |lrd AS (SELECT p, nnb, sr,
-         |    CASE WHEN sr > 0 THEN CAST(nnb AS DOUBLE) * 1000000000.0
-         |      / CAST(sr AS DOUBLE) END AS lrd
-         |  FROM lrd0),
-         |lrds AS (SELECT *,
-         |    CAST(floor(lrd * 1000000000.0 + 0.5) AS BIGINT) AS lrds
-         |  FROM lrd),
-         |num AS (SELECT nb.p,
-         |    sum(CAST(l2.lrds AS HUGEINT)) AS slo,
-         |    CAST(sum(CASE WHEN l2.lrds IS NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS nulln
-         |  FROM nb JOIN lrds l2 ON l2.p = nb.o GROUP BY 1)
-         |SELECT l.p AS id, a2.centroid_id AS bucket_id,
-         |  floor(kd.kd * 1000000.0 + 0.5) / 1000000.0 AS k_dist,
-         |  l.nnb AS n_neighbors,
-         |  CASE WHEN l.lrd IS NOT NULL THEN
-         |    floor(l.lrd * 1000000.0 + 0.5) / 1000000.0 END AS lrd,
-         |  CASE WHEN l.lrds IS NOT NULL AND n.nulln = 0 THEN
-         |    floor(CAST(CAST(n.slo AS VARCHAR) AS DOUBLE)
-         |      / (CAST(l.nnb AS DOUBLE) * CAST(l.lrds AS DOUBLE))
-         |      * 1000000.0 + 0.5) / 1000000.0 END AS lof
-         |FROM lrds l JOIN num n ON n.p = l.p JOIN kd ON kd.p = l.p
-         |JOIN asg a2 ON a2.vec_id = l.p
-         |ORDER BY id""".stripMargin,
+      lofBucketedOracle("vec_id IN (0, 7, 14, 21)"),
+    // The adaptive-nlist scale form: identical chain, centroid set
+    // data-proportional (vec_id % 3750 = 0).
+    "q_x179b_lof_bucketed_adaptive" ->
+      lofBucketedOracle("vec_id % 3750 = 0"),
     // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
     // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
     // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side

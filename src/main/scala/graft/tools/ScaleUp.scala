@@ -101,8 +101,13 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
       println(s"[scaleup] events x$copies written")
     }
-    spark.read.parquet(s"$src/region.parquet")
-      .write.mode("overwrite").parquet(s"$dst/region.parquet")
+    // small dims copied verbatim (the realistic asymmetry: facts grow
+    // 10x, the nation/supplier dims don't — the TPC-H probes measure
+    // fact-side scaling against stable broadcast sides)
+    Seq("region", "nation", "supplier").foreach { d =>
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$d.parquet")
+    }
     println(s"[scaleup] done -> $dst")
     spark.stop()
   }
