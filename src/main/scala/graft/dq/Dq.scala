@@ -602,6 +602,83 @@ object Dq {
     }.toDF("quantile_idx", "level", "q_ref", "q_cur", "diff")
   }
 
+  /** D30: CATEGORICAL DRIFT SCORECARD — TVD + Hellinger + Jensen–
+    * Shannon in one pass, the categorical counterpart of the numeric
+    * family ([[psiDrift]]/[[ksDrift]]/[[wassersteinDrift]]/
+    * [[andersonDarlingDrift]]) and the metric complement of
+    * [[chiSquareDrift]]'s TEST: χ² answers "is the shift sampling
+    * noise", these three answer "HOW FAR apart are the distributions"
+    * on bounded [0,1] scales a threshold policy can own (TVD = the
+    * largest probability any event's mass can differ by; Hellinger
+    * the geometric middle; JSD the information-theoretic one, in
+    * bits).
+    *
+    * Exactness: TVD is EXACT integers end-to-end — Σ|c_r·N_c −
+    * c_c·N_r| in DECIMAL with ONE final division by 2·N_r·N_c.
+    * Hellinger/JSD terms are per-category fixed IEEE trees (sqrt is
+    * correctly rounded; log2 follows the repo's libm precedent)
+    * summed by the ORDERED category cumulative window (k-bounded —
+    * one row per category, the kruskalWallis discipline), published
+    * q6. NULL categories fail loud (engines disagree on NULL order);
+    * category count is guarded by `maxCategories`. Output: 1 row —
+    * (n_ref, n_cur, k, tvd, hellinger, jsd). */
+  def categoricalDrift(reference: DataFrame, current: DataFrame,
+      catCol: String, maxCategories: Int = 100000): DataFrame = {
+    val D = "decimal(38,0)"
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(when(col(catCol).isNull,
+        raise_error(lit(s"categoricalDrift: NULL category in " +
+          s"'$catCol' — bucket NULLs explicitly")))
+        .otherwise(col(catCol).cast("string")).as("__cat"),
+        lit(r).as("__r"), lit(c).as("__c"))
+    val cells = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    val totals = cells.agg(
+      coalesce(sum(col("nr")), lit(0L)).as("__nref"),
+      coalesce(sum(col("nc")), lit(0L)).as("__ncur"),
+      count(lit(1)).as("__k"))
+      .select(
+        when(col("__nref") === 0 || col("__ncur") === 0,
+          raise_error(lit("categoricalDrift: empty population")))
+          .otherwise(col("__nref")).as("__nref"),
+        col("__ncur"),
+        when(col("__k") > maxCategories,
+          raise_error(lit(s"categoricalDrift: category count exceeds " +
+            s"maxCategories=$maxCategories — bucket the long tail")))
+          .otherwise(col("__k")).as("__k"))
+    val withT = cells.crossJoin(broadcast(totals))
+    val tvdNum = abs(col("nr").cast(D) * col("__ncur").cast(D) -
+      col("nc").cast(D) * col("__nref").cast(D))
+    val pr = col("nr").cast("double") / col("__nref").cast("double")
+    val pc = col("nc").cast("double") / col("__ncur").cast("double")
+    val hTerm = (sqrt(pr) - sqrt(pc)) * (sqrt(pr) - sqrt(pc))
+    val mAvg = (pr + pc) / lit(2.0)
+    val jTerm =
+      when(col("nr") > 0, pr * log2(pr / mAvg)).otherwise(lit(0.0)) +
+      when(col("nc") > 0, pc * log2(pc / mAvg)).otherwise(lit(0.0))
+    val wC = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cat"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    import graft.functions.q6
+    withT
+      .withColumn("__ch", sum(hTerm).over(wC))
+      .withColumn("__cj", sum(jTerm).over(wC))
+      .groupBy(col("__nref"), col("__ncur"), col("__k"))
+      .agg(coalesce(sum(tvdNum), lit(0).cast(D)).as("__tvd"),
+        max_by(col("__ch"), col("__cat")).as("__h"),
+        max_by(col("__cj"), col("__cat")).as("__j"))
+      .select(col("__nref").as("n_ref"), col("__ncur").as("n_cur"),
+        col("__k").as("k"),
+        q6(col("__tvd").cast("double") /
+          (lit(2.0) * col("__nref").cast("double") *
+            col("__ncur").cast("double"))).as("tvd"),
+        q6(sqrt(col("__h") / lit(2.0))).as("hellinger"),
+        q6(col("__j") / lit(2.0)).as("jsd"))
+  }
+
   /** D29: TWO-SAMPLE ANDERSON–DARLING DRIFT (Scholz & Stephens 1987
     * midrank form A²akN — public knowledge) — the TAIL-sensitive
     * member completing the numeric-drift family: PSI bins, KS takes

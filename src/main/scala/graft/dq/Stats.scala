@@ -1150,14 +1150,8 @@ object Stats {
   def bhFdr(units: DataFrame, groupCols: Seq[String], variant: Column,
       converted: Column, qNum: Int = 1, qDen: Int = 20): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    bhFdrFromCounts(units.groupBy(groupCols.map(col): _*)
-      .agg(
-        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(variant === 0, converted.cast("long")).otherwise(0L))
-          .as("c0"),
-        sum(when(variant === 1, converted.cast("long")).otherwise(0L))
-          .as("c1")), groupCols, qNum, qDen)
+    bhFdrFromCounts(mtpCounts(units, groupCols, variant, converted),
+      groupCols, qNum, qDen)
   }
 
   /** The [[bhFdr]] step-up over an already-counted per-group
@@ -1171,6 +1165,24 @@ object Stats {
     require(groupCols.nonEmpty, "need at least one group column")
     require(qNum >= 1 && qDen > qNum,
       s"need 0 < qNum/qDen < 1, got $qNum/$qDen")
+    val (ranked, m) = pRankedTests(counts0, groupCols)
+    val lhs = col("__pl").cast("decimal(38,0)") * lit(m) * lit(qDen)
+    val rhs = col("rank").cast("decimal(38,0)") * lit(qNum) *
+      lit(1000000000000L)
+    val kStar = ranked
+      .agg(coalesce(max(when(lhs <= rhs, col("rank"))), lit(0L))
+        .as("__kstar"))
+    mtpPublish(ranked, kStar, m, groupCols, "bh_cutoff_rank")
+  }
+
+  /** Shared front of the multiple-testing family (F38 BH step-up,
+    * F84 Holm step-down, F85 Benjamini–Yekutieli): the per-group
+    * two-proportion z, the exact 1e12-scaled p (A&S 26.2.17), the
+    * degeneracy filter, and the global two-phase (p, group) rank.
+    * One body so the three procedures are decided over IDENTICAL
+    * p-values. */
+  private def pRankedTests(counts0: DataFrame, groupCols: Seq[String])
+      : (DataFrame, Long) = {
     val counts = counts0
       .filter(col("n0") > 0 && col("n1") > 0 &&
         col("c0") + col("c1") > 0 &&
@@ -1191,23 +1203,114 @@ object Stats {
     val scored = counts
       .withColumn("__z", z)
       .withColumn("__pl", floor(pTwo * lit(1e12) + lit(0.5)).cast("long"))
-    val (ranked, m) = graft.relational.Ranks.globalRankAndCount(scored,
+    graft.relational.Ranks.globalRankAndCount(scored,
       col("__pl") +: groupCols.map(col), "rank")
-    val lhs = col("__pl").cast("decimal(38,0)") * lit(m) * lit(qDen)
-    val rhs = col("rank").cast("decimal(38,0)") * lit(qNum) *
-      lit(1000000000000L)
-    val kStar = ranked
-      .agg(coalesce(max(when(lhs <= rhs, col("rank"))), lit(0L))
-        .as("__kstar"))
+  }
+
+  /** The shared publish tail of the family — counts, z, p, rank, m,
+    * the procedure's cutoff rank under `cutoffName`, significant. */
+  private def mtpPublish(ranked: DataFrame, kStar: DataFrame, m: Long,
+      groupCols: Seq[String], cutoffName: String): DataFrame =
     ranked.crossJoin(broadcast(kStar))
       .select(groupCols.map(col) ++ Seq(
         col("n0"), col("n1"), col("c0"), col("c1"),
         graft.functions.q6(col("__z")).as("z"),
         (col("__pl").cast("double") / lit(1e12)).as("p"),
         col("rank"), lit(m).as("m"),
-        col("__kstar").as("bh_cutoff_rank"),
+        col("__kstar").as(cutoffName),
         (col("rank") <= col("__kstar")).cast("int").as("significant")): _*)
+
+  /** F84: HOLM–BONFERRONI STEP-DOWN (Holm 1979, public knowledge) —
+    * the FWER member of the multiple-testing family: [[bhFdr]] bounds
+    * the FALSE-DISCOVERY RATE (some false positives tolerated, more
+    * power), Holm bounds the probability of ANY false positive — the
+    * right control when a single wrong "segment regressed" page fires
+    * a rollback. Uniformly more powerful than plain Bonferroni at the
+    * same guarantee, with no independence assumption at all.
+    *
+    * Step-down on the shared ranked-p table: reject ranks 1..k* where
+    * k* + 1 is the FIRST rank failing `p·(m−r+1) ≤ α` — the compare
+    * runs on exact integers (`p_l·(m−r+1)·αDen > αNum·10¹²` in
+    * DECIMAL), so no float boundary can flip a verdict cross-engine.
+    * Output per kept group: counts, z, p, rank, m, holm_cutoff_rank,
+    * significant. */
+  def holmBonferroni(units: DataFrame, groupCols: Seq[String],
+      variant: Column, converted: Column, alphaNum: Int = 1,
+      alphaDen: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    holmFromCounts(mtpCounts(units, groupCols, variant, converted),
+      groupCols, alphaNum, alphaDen)
   }
+
+  /** [[holmBonferroni]] over an already-counted (n0, n1, c0, c1)
+    * table — mergeable cells, the bhFdrFromCounts contract. */
+  def holmFromCounts(counts0: DataFrame, groupCols: Seq[String],
+      alphaNum: Int = 1, alphaDen: Int = 20): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"need 0 < alphaNum/alphaDen < 1, got $alphaNum/$alphaDen")
+    val D = "decimal(38,0)"
+    val (ranked, m) = pRankedTests(counts0, groupCols)
+    val lhs = col("__pl").cast(D) *
+      (lit(m) - col("rank") + lit(1L)).cast(D) * lit(alphaDen)
+    val rhs = lit(alphaNum).cast(D) * lit(1000000000000L).cast(D)
+    val kStar = ranked
+      .agg(coalesce(min(when(lhs > rhs, col("rank"))) - lit(1L),
+        lit(m)).as("__kstar"))
+    mtpPublish(ranked, kStar, m, groupCols, "holm_cutoff_rank")
+  }
+
+  /** F85: BENJAMINI–YEKUTIELI FDR (Benjamini & Yekutieli 2001, public
+    * knowledge) — [[bhFdr]]'s guarantee holds under independence or
+    * positive dependence; overlapping segments (country × device grids
+    * share users) violate both. BY divides the BH line by the harmonic
+    * factor c(m) = Σ 1/i and controls FDR under ARBITRARY dependence —
+    * the conservative fallback when the grid is correlated.
+    *
+    * c(m) is summed ascending-rank on the driver (m is the test count
+    * the shared rank already returns; the oracle reproduces the SAME
+    * IEEE double with an ordered SQL aggregate over the ranks
+    * themselves, 1/1 + 1/2 + … + 1/m). The cutoff compare keeps the
+    * integer sides exact in DECIMAL and applies c(m) as one double
+    * product per side. Output: counts, z, p, rank, m,
+    * by_cutoff_rank, significant. */
+  def byFdr(units: DataFrame, groupCols: Seq[String], variant: Column,
+      converted: Column, qNum: Int = 1, qDen: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    byFdrFromCounts(mtpCounts(units, groupCols, variant, converted),
+      groupCols, qNum, qDen)
+  }
+
+  /** [[byFdr]] over an already-counted (n0, n1, c0, c1) table. */
+  def byFdrFromCounts(counts0: DataFrame, groupCols: Seq[String],
+      qNum: Int = 1, qDen: Int = 20): DataFrame = {
+    require(qNum >= 1 && qDen > qNum,
+      s"need 0 < qNum/qDen < 1, got $qNum/$qDen")
+    val D = "decimal(38,0)"
+    val (ranked, m) = pRankedTests(counts0, groupCols)
+    require(m <= 10000000L,
+      s"byFdr: $m tests — the driver harmonic sum is bounded at 1e7")
+    val cm = (1L to m).foldLeft(0.0)((a, i) => a + 1.0 / i)
+    val lhs = (col("__pl").cast(D) * lit(m) * lit(qDen)).cast("double") *
+      lit(cm)
+    val rhs = (col("rank").cast(D) * lit(qNum) *
+      lit(1000000000000L).cast(D)).cast("double")
+    val kStar = ranked
+      .agg(coalesce(max(when(lhs <= rhs, col("rank"))), lit(0L))
+        .as("__kstar"))
+    mtpPublish(ranked, kStar, m, groupCols, "by_cutoff_rank")
+  }
+
+  /** The shared (n0, n1, c0, c1) cell aggregate of the family. */
+  private def mtpCounts(units: DataFrame, groupCols: Seq[String],
+      variant: Column, converted: Column): DataFrame =
+    units.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(variant === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(variant === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(variant === 0, converted.cast("long")).otherwise(0L))
+          .as("c0"),
+        sum(when(variant === 1, converted.cast("long")).otherwise(0L))
+          .as("c1"))
 
   /** X117: GINI CONCENTRATION of a nonnegative integer weight — the
     * one-number corpus-skew report ("how unevenly are tokens spread

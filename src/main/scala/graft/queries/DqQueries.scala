@@ -438,6 +438,38 @@ object DqQueries {
         col("lang"), col("source"))
     },
 
+    // F84: Holm step-down over the SAME (event_type, hour) grid as
+    // q_f38 — the FWER decision next to BH's FDR one; exact integer
+    // p*(m-r+1) <= alpha compares.
+    "q_f84_holm" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+      graft.dq.Stats.holmBonferroni(ev, Seq("event_type", "hr"),
+        pmod(col("user_id"), lit(2)), (col("value") > 60).cast("int"))
+        .orderBy(col("rank"))
+    },
+
+    // F85: Benjamini-Yekutieli over the same grid — BH's line divided
+    // by the harmonic c(m): FDR under arbitrary dependence.
+    "q_f85_by_fdr" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+      graft.dq.Stats.byFdr(ev, Seq("event_type", "hr"),
+        pmod(col("user_id"), lit(2)), (col("value") > 60).cast("int"))
+        .orderBy(col("rank"))
+    },
+
+    // D30: categorical drift scorecard between two document sources'
+    // language mixes — exact-integer TVD, windowed Hellinger/JSD.
+    "q_d30_categorical_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.dq.Dq.categoricalDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "lang")
+    },
+
     // F38: BH false-discovery control across the 5x24 (event_type,
     // hour) A/B grid — hash-derived variant, exact integer step-up.
     "q_f38_bh_fdr" -> { (s, dir) =>
@@ -2510,6 +2542,163 @@ object DqQueries {
         |FROM f""".stripMargin,
     // Same exact counts/filters, same A&S 26.2.17 p-value tree
     // scaled to 1e12 LONGs, same HUGEINT-exact BH step-up.
+    // Holm: same z/p/rank chain as f38; the step-down cutoff is the
+    // first rank failing the exact-integer p*(m-r+1)*20 > 1e12 test.
+    "q_f84_holm" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (SELECT * FROM g
+        |  WHERE n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+        |    AND c0 + c1 < n0 + n1),
+        |zt AS (SELECT *,
+        |    (c1 / n1 - c0 / n0)
+        |      / sqrt(((c0 + c1) / (n0 + n1))
+        |        * (1.0 - (c0 + c1) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)) AS z
+        |  FROM v),
+        |pt AS (SELECT *,
+        |    CAST(floor(2.0
+        |      * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS pl
+        |  FROM zt),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY pl, event_type, hr)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt),
+        |ks AS (SELECT coalesce(min(CASE
+        |    WHEN CAST(pl AS HUGEINT) * (m - rank + 1) * 20
+        |      > CAST(1 AS HUGEINT) * 1000000000000
+        |    THEN rank END) - 1, max(m)) AS kstar FROM rk)
+        |SELECT rk.event_type, rk.hr, rk.n0, rk.n1, rk.c0, rk.c1,
+        |  floor(rk.z * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  CAST(rk.pl AS DOUBLE) / 1000000000000.0 AS p,
+        |  rk.rank, rk.m, ks.kstar AS holm_cutoff_rank,
+        |  CASE WHEN rk.rank <= ks.kstar THEN 1 ELSE 0 END AS significant
+        |FROM rk, ks ORDER BY rk.rank""".stripMargin,
+    // BY: the BH cutoff divided by the harmonic c(m), reproduced as
+    // the ascending-rank cumulative sum of 1/rank (sequential window
+    // = the driver's ascending fold, same IEEE double).
+    "q_f85_by_fdr" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (SELECT * FROM g
+        |  WHERE n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+        |    AND c0 + c1 < n0 + n1),
+        |zt AS (SELECT *,
+        |    (c1 / n1 - c0 / n0)
+        |      / sqrt(((c0 + c1) / (n0 + n1))
+        |        * (1.0 - (c0 + c1) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)) AS z
+        |  FROM v),
+        |pt AS (SELECT *,
+        |    CAST(floor(2.0
+        |      * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS pl
+        |  FROM zt),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY pl, event_type, hr)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pt),
+        |hm0 AS (SELECT rank, sum(1.0 / rank)
+        |    OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM rk),
+        |hm AS (SELECT arg_max(c, rank) AS cm FROM hm0),
+        |ks AS (SELECT coalesce(max(CASE
+        |    WHEN CAST(CAST(pl AS HUGEINT) * m * 20 AS DOUBLE) * hm.cm
+        |      <= CAST(CAST(rank AS HUGEINT) * 1 * 1000000000000
+        |        AS DOUBLE)
+        |    THEN rank END), 0) AS kstar FROM rk, hm)
+        |SELECT rk.event_type, rk.hr, rk.n0, rk.n1, rk.c0, rk.c1,
+        |  floor(rk.z * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  CAST(rk.pl AS DOUBLE) / 1000000000000.0 AS p,
+        |  rk.rank, rk.m, ks.kstar AS by_cutoff_rank,
+        |  CASE WHEN rk.rank <= ks.kstar THEN 1 ELSE 0 END AS significant
+        |FROM rk, ks ORDER BY rk.rank""".stripMargin,
+    // Categorical drift: exact HUGEINT TVD numerator; Hellinger/JSD
+    // terms as the same IEEE trees summed by the category-ordered
+    // cumulative window (arg_max picks the final cumulation).
+    "q_d30_categorical_drift" ->
+      """WITH cells AS (
+        |  SELECT lang AS cat,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(nr) AS BIGINT) AS nref,
+        |    CAST(sum(nc) AS BIGINT) AS ncur,
+        |    CAST(count(*) AS BIGINT) AS k FROM cells),
+        |tm AS (SELECT c.cat, tt.nref, tt.ncur, tt.k,
+        |    abs(CAST(c.nr AS HUGEINT) * tt.ncur
+        |      - CAST(c.nc AS HUGEINT) * tt.nref) AS tvdn,
+        |    (sqrt(CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE))
+        |      - sqrt(CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE)))
+        |    * (sqrt(CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE))
+        |      - sqrt(CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE)))
+        |      AS ht,
+        |    (CASE WHEN c.nr > 0 THEN
+        |      (CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE))
+        |        * log2((CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE))
+        |          / ((CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE)
+        |            + CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE))
+        |            / 2.0)) ELSE 0.0 END
+        |    + CASE WHEN c.nc > 0 THEN
+        |      (CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE))
+        |        * log2((CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE))
+        |          / ((CAST(c.nr AS DOUBLE) / CAST(tt.nref AS DOUBLE)
+        |            + CAST(c.nc AS DOUBLE) / CAST(tt.ncur AS DOUBLE))
+        |            / 2.0)) ELSE 0.0 END) AS jt
+        |  FROM cells c, tt),
+        |cw AS (SELECT *,
+        |    sum(ht) OVER (ORDER BY cat ROWS UNBOUNDED PRECEDING) AS ch,
+        |    sum(jt) OVER (ORDER BY cat ROWS UNBOUNDED PRECEDING) AS cj
+        |  FROM tm),
+        |ag AS (SELECT max(nref) AS nref, max(ncur) AS ncur,
+        |    max(k) AS k, sum(tvdn) AS tvd,
+        |    arg_max(ch, cat) AS h, arg_max(cj, cat) AS j FROM cw)
+        |SELECT nref AS n_ref, ncur AS n_cur, k,
+        |  floor(CAST(tvd AS DOUBLE)
+        |    / (2.0 * CAST(nref AS DOUBLE) * CAST(ncur AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS tvd,
+        |  floor(sqrt(h / 2.0) * 1000000.0 + 0.5) / 1000000.0
+        |    AS hellinger,
+        |  floor(j / 2.0 * 1000000.0 + 0.5) / 1000000.0 AS jsd
+        |FROM ag""".stripMargin,
     "q_f38_bh_fdr" ->
       """WITH g AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

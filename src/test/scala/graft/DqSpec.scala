@@ -495,6 +495,54 @@ class DqSpec extends SparkSpec {
       .select("fd_holds").as[Boolean].head() shouldBe true
   }
 
+  behavior of "categoricalDrift (D30)"
+
+  it should "match the hand 3/1-vs-1/3 fixture and hit the [0,1] endpoints" in {
+    def df(rows: (String, Int)*) =
+      rows.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("cat")
+    // p=(0.75,0.25) vs q=(0.25,0.75): tvd=0.5, hellinger=|√.75−√.25|,
+    // jsd = 0.75·log2(1.5) − 0.25 = 0.188722 (q6)
+    val r = graft.dq.Dq.categoricalDrift(
+      df("a" -> 3, "b" -> 1), df("a" -> 1, "b" -> 3), "cat")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    r._1 shouldBe 4L
+    r._2 shouldBe 4L
+    r._3 shouldBe 2L
+    r._4 shouldBe 0.5 +- 1e-12
+    r._5 shouldBe (math.sqrt(0.75) - math.sqrt(0.25)) +- 1e-6
+    r._6 shouldBe 0.188722 +- 1e-9
+    // identical mixes -> all three zero
+    val z = graft.dq.Dq.categoricalDrift(
+      df("a" -> 2, "b" -> 5), df("a" -> 2, "b" -> 5), "cat")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    (z._4, z._5, z._6) shouldBe ((0.0, 0.0, 0.0))
+    // disjoint supports -> all three at their upper bound
+    val d = graft.dq.Dq.categoricalDrift(
+      df("a" -> 3), df("b" -> 4), "cat")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    (d._4, d._5, d._6) shouldBe ((1.0, 1.0, 1.0))
+  }
+
+  it should "fail loud on NULL categories and past the category cap, and stay partition-invariant" in {
+    val withNull = Seq(Some("a"), None, Some("b")).toDF("cat")
+    val ok = Seq("a", "b").toDF("cat")
+    an[Exception] should be thrownBy
+      graft.dq.Dq.categoricalDrift(withNull, ok, "cat").collect()
+    an[Exception] should be thrownBy
+      graft.dq.Dq.categoricalDrift(
+        (1 to 40).map(i => s"c$i").toDF("cat"),
+        (1 to 40).map(i => s"c$i").toDF("cat"),
+        "cat", maxCategories = 10).collect()
+    val big = (1 to 500).map(i => s"c${i % 23}").toDF("cat")
+    val big2 = (1 to 400).map(i => s"c${(i * 7) % 29}").toDF("cat")
+    def run(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      graft.dq.Dq.categoricalDrift(a, b, "cat")
+        .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    run(big.coalesce(1), big2.coalesce(1)) shouldBe
+      run(big.repartition(11), big2.repartition(5))
+  }
+
   behavior of "andersonDarlingDrift (D29)"
 
   it should "match the Scholz-Stephens midrank fixture with ties across samples" in {

@@ -756,6 +756,65 @@ class StatsSpec extends SparkSpec {
     r.foreach(_ shouldBe None)
   }
 
+  behavior of "dq.Stats multiple-testing family (F38/F84/F85)"
+
+  it should "order the three procedures: BY rejects within BH, Holm within BH, on shared p-values" in {
+    // 6 tests: two strong effects, two mild, two null — all built as
+    // exact count cells so the three procedures see IDENTICAL p's
+    val counts = Seq(
+      ("g1", 1000L, 1000L, 100L, 300L), // strong
+      ("g2", 1000L, 1000L, 120L, 260L), // strong-ish
+      ("g3", 800L, 800L, 100L, 140L),   // mild
+      ("g4", 800L, 800L, 100L, 130L),   // milder
+      ("g5", 900L, 900L, 110L, 112L),   // null
+      ("g6", 900L, 900L, 115L, 113L))   // null
+      .toDF("g", "n0", "n1", "c0", "c1")
+    def sig(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .filter(col("significant") === 1).select("g")
+      .as[String].collect().toSet
+    val bh = sig(graft.dq.Stats.bhFdrFromCounts(counts, Seq("g")))
+    val holm = sig(graft.dq.Stats.holmFromCounts(counts, Seq("g")))
+    val by = sig(graft.dq.Stats.byFdrFromCounts(counts, Seq("g")))
+    // the strong effect survives everything; the nulls survive nothing
+    Seq(bh, holm, by).foreach { s =>
+      s should contain("g1")
+      s should not contain "g5"
+      s should not contain "g6"
+    }
+    // classical containments: Holm (FWER) and BY (dependence-robust
+    // FDR) are each no more liberal than BH at the same level
+    holm.subsetOf(bh) shouldBe true
+    by.subsetOf(bh) shouldBe true
+  }
+
+  it should "step down exactly: Holm's cutoff is the first failing rank minus one" in {
+    // one huge effect, then junk: rank 1 passes p <= alpha/m, rank 2
+    // fails p <= alpha/(m-1) -> holm_cutoff_rank = 1
+    val counts = Seq(
+      ("a", 2000L, 2000L, 100L, 600L),
+      ("b", 50L, 50L, 20L, 26L),
+      ("c", 50L, 50L, 22L, 25L),
+      ("d", 50L, 50L, 23L, 24L))
+      .toDF("g", "n0", "n1", "c0", "c1")
+    val r = graft.dq.Stats.holmFromCounts(counts, Seq("g"))
+      .orderBy(col("rank"))
+      .select("g", "rank", "holm_cutoff_rank", "significant")
+      .as[(String, Long, Long, Int)].collect()
+    r.head._1 shouldBe "a"
+    r.head._4 shouldBe 1
+    val cutoff = r.head._3
+    r.foreach { case (_, rank, c, s) =>
+      c shouldBe cutoff
+      s shouldBe (if (rank <= cutoff) 1 else 0)
+    }
+    // BY's harmonic factor only shrinks the BH cutoff
+    val bhC = graft.dq.Stats.bhFdrFromCounts(counts, Seq("g"))
+      .select(max(col("bh_cutoff_rank"))).as[Long].collect().head
+    val byC = graft.dq.Stats.byFdrFromCounts(counts, Seq("g"))
+      .select(max(col("by_cutoff_rank"))).as[Long].collect().head
+    byC should be <= bhC
+  }
+
   behavior of "dq.Stats.brownForsythe (D28)"
 
   it should "match the hand median-centered W and return 0 for equal spreads" in {
