@@ -631,10 +631,22 @@ object Dq {
           s"'$catCol' — bucket NULLs explicitly")))
         .otherwise(col(catCol).cast("string")).as("__cat"),
         lit(r).as("__r"), lit(c).as("__c"))
-    val cells = clean(reference, 1L, 0L)
-      .unionByName(clean(current, 0L, 1L))
-      .groupBy(col("__cat"))
-      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    categoricalDriftFromCells(
+      clean(reference, 1L, 0L)
+        .unionByName(clean(current, 0L, 1L))
+        .groupBy(col("__cat"))
+        .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc")),
+      maxCategories)
+  }
+
+  /** [[categoricalDrift]] over an already-counted (__cat, nr, nc)
+    * cell table — per-category counts are exact and mergeable, which
+    * is what lets the streaming category-cell sink's merged view vs a
+    * frozen reference reuse this finish verbatim (batch-parity
+    * spec-proven). */
+  private[graft] def categoricalDriftFromCells(cells: DataFrame,
+      maxCategories: Int): DataFrame = {
+    val D = "decimal(38,0)"
     val totals = cells.agg(
       coalesce(sum(col("nr")), lit(0L)).as("__nref"),
       coalesce(sum(col("nc")), lit(0L)).as("__ncur"),

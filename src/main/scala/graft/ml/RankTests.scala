@@ -385,9 +385,16 @@ object RankTests {
         (col("__k") + lit(1L)).cast(D) * (col("__k") + lit(1L)).cast(D)
     val chi2 = (col("__k") - lit(1L)).cast("double") *
       col("__num").cast("double") / den.cast("double")
+    // Kendall's W (1939): the [0,1] concordance reading of the same
+    // statistic — W = χ²/(n(k−1)); 1 = every block ranks the
+    // treatments identically, 0 = no agreement.
+    val kw = chi2 / (col("__n").cast("double") *
+      (col("__k") - lit(1L)).cast("double"))
     terms.select(col("__n").as("n_blocks"), col("__k").as("k"),
       (col("__k") - lit(1L)).as("dof"),
-      graft.functions.q6(when(den.cast("double") > 0, chi2)).as("chi2"))
+      graft.functions.q6(when(den.cast("double") > 0, chi2)).as("chi2"),
+      graft.functions.q6(when(den.cast("double") > 0, kw))
+        .as("kendall_w"))
   }
 
   /** F83: KENDALL'S τ-b per group (Kendall 1938; τ-b tie form per

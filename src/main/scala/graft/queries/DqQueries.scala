@@ -2121,7 +2121,14 @@ object DqQueries {
         |    floor(CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
         |      / CAST(sr2sq - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
         |        * (k + 1) * (k + 1) AS DOUBLE)
-        |      * 1000000.0 + 0.5) / 1000000.0 END AS chi2
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+        |  CASE WHEN CAST(sr2sq - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+        |      * (k + 1) * (k + 1) AS DOUBLE) > 0 THEN
+        |    floor(CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / CAST(sr2sq - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+        |        * (k + 1) * (k + 1) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS kendall_w
         |FROM tot, nm""".stripMargin,
     // Kendall tau-b: the same distinct-cell pair join and exact tie
     // terms; tau is one 2(C-D)/sqrt tree over exact integers.

@@ -854,6 +854,61 @@ object StreamingEvents {
       .groupBy(col(keyCol), col("day"))
       .agg(sum(col("x")).as("__x"))
 
+  /** Streaming CATEGORY-CELL sink (the D30 monitor's store): each
+    * micro-batch persists its per-category counts under `batch_id=N`
+    * — rows bounded by category cardinality, never event volume;
+    * counts are exact and mergeable, replays overwrite their own
+    * partition (idempotent). NULL categories fail loud exactly like
+    * the batch operator. */
+  def categoryCellSink(rows: DataFrame, catCol: String,
+      cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) categoryCellBatch(batch.toDF(), batchId,
+          catCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[categoryCellSink]] — package-private so the
+    * parity spec drives the identical code path. */
+  private[graft] def categoryCellBatch(batch: DataFrame, batchId: Long,
+      catCol: String, cellsDir: String): Unit = {
+    batch
+      .select(when(col(catCol).isNull,
+        raise_error(lit(s"categoryCellSink: NULL category in " +
+          s"'$catCol' — bucket NULLs explicitly")))
+        .otherwise(col(catCol).cast("string")).as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The D30 drift scorecard of everything ingested so far against a
+    * FROZEN reference relation: merged stream cells full-outer-joined
+    * to the reference's category counts, finished by the batch
+    * [[graft.dq.Dq.categoricalDriftFromCells]] kernel verbatim —
+    * counts are mergeable, so the view equals the batch operator over
+    * the union of all micro-batches (spec-proven). */
+  def categoricalDriftView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, catCol: String,
+      maxCategories: Int = 100000): DataFrame = {
+    val cur = spark.read.parquet(cellsDir)
+      .groupBy(col("cat")).agg(sum(col("n")).as("__nc"))
+    val ref = reference
+      .select(when(col(catCol).isNull,
+        raise_error(lit(s"categoricalDriftView: NULL category in " +
+          s"reference '$catCol' — bucket NULLs explicitly")))
+        .otherwise(col(catCol).cast("string")).as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("__nr"))
+    val cells = ref.join(cur, Seq("cat"), "full_outer")
+      .select(col("cat").as("__cat"),
+        coalesce(col("__nr"), lit(0L)).as("nr"),
+        coalesce(col("__nc"), lit(0L)).as("nc"))
+    graft.dq.Dq.categoricalDriftFromCells(cells, maxCategories)
+  }
+
   /** Streaming GROWTH-ACCOUNTING sink (the W18 ledger over a stream):
     * each micro-batch persists its DISTINCT (entity, activity-week)
     * pairs — rows bounded by users × weeks touched, never event

@@ -154,8 +154,11 @@ class RankTestsSpec extends SparkSpec {
       (4, "a", 1.0), (4, "b", 2.0), (4, "c", 3.0))
       .toDF("b", "t", "v")
     val r = graft.ml.RankTests.friedman(noTie, col("b"), col("t"),
-      col("v")).as[(Long, Long, Long, Option[Double])].collect().head
-    r shouldBe ((4L, 3L, 2L, Some(3.5)))
+      col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    r shouldBe ((4L, 3L, 2L, Some(3.5), Some(0.4375)))
+    // Kendall's W = chi2/(n(k-1)) = 3.5/8 = 0.4375 exactly
     // within-block ties use midranks (hand: chi2 = 1.0)
     val tied = Seq(
       (1, "a", 1.0), (1, "b", 1.0), (1, "c", 2.0),
@@ -163,14 +166,23 @@ class RankTestsSpec extends SparkSpec {
       (3, "a", 2.0), (3, "b", 2.0), (3, "c", 2.0))
       .toDF("b", "t", "v")
     graft.ml.RankTests.friedman(tied, col("b"), col("t"), col("v"))
-      .as[(Long, Long, Long, Option[Double])].collect()
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
       .head._4.get shouldBe 1.0 +- 1e-12
-    // every block all-tied -> denominator 0 -> NULL chi2
+    // perfect concordance: every block ranks a<b<c -> W = 1 exactly
+    val perfect = (1 to 5).flatMap(b => Seq(
+      (b, "a", 1.0), (b, "b", 2.0), (b, "c", 3.0))).toDF("b", "t", "v")
+    graft.ml.RankTests.friedman(perfect, col("b"), col("t"), col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+      .head._5.get shouldBe 1.0 +- 1e-12
+    // every block all-tied -> denominator 0 -> NULL chi2/W
     val flat = (1 to 3).flatMap(b =>
       Seq("a", "b", "c").map(t => (b, t, 5.0))).toDF("b", "t", "v")
-    graft.ml.RankTests.friedman(flat, col("b"), col("t"), col("v"))
-      .as[(Long, Long, Long, Option[Double])].collect()
-      .head._4 shouldBe None
+    val fr = graft.ml.RankTests.friedman(flat, col("b"), col("t"),
+      col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    fr._4 shouldBe None
+    fr._5 shouldBe None
   }
 
   it should "fail loud on duplicate observations and incomplete blocks" in {
@@ -196,7 +208,8 @@ class RankTestsSpec extends SparkSpec {
     val df = rows.toDF("b", "t", "v")
     def run(d: org.apache.spark.sql.DataFrame) =
       graft.ml.RankTests.friedman(d, col("b"), col("t"), col("v"))
-        .as[(Long, Long, Long, Option[Double])].collect().head
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
     run(df.coalesce(1)) shouldBe run(df.repartition(17))
   }
 

@@ -469,6 +469,43 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "score streaming category cells against a frozen reference equal to the batch D30 operator" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccd").toString
+    val reference = (Seq.fill(40)("en") ++ Seq.fill(30)("de") ++
+      Seq.fill(30)("fr")).toDF("lang")
+    // the stream drifts toward en; category "es" is stream-only and
+    // "fr" is reference-only after batch 1 — the full-outer edge
+    val b1 = Seq.fill(30)("en") ++ Seq.fill(10)("de")
+    val b2 = Seq.fill(25)("en") ++ Seq.fill(5)("es")
+    val in = MemoryStream[String]
+    val q = StreamingEvents.categoryCellSink(
+      in.toDF().toDF("lang"), "lang", s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    val view = rows(StreamingEvents.categoricalDriftView(spark,
+      s"$tmp/cells", reference, "lang"))
+    val batch = rows(graft.dq.Dq.categoricalDrift(reference,
+      (b1 ++ b2).toDF("lang"), "lang"))
+    view shouldBe batch
+    view._1 shouldBe 100L
+    view._2 shouldBe 70L
+    view._3 shouldBe 4L // en, de, fr (ref-only), es (stream-only)
+    // replay: rewriting batch 0's partition leaves the view identical
+    StreamingEvents.categoryCellBatch(b1.toDF("lang"), 0L, "lang",
+      s"$tmp/cells")
+    rows(StreamingEvents.categoricalDriftView(spark, s"$tmp/cells",
+      reference, "lang")) shouldBe batch
+    // NULL categories fail loud on the sink path too
+    an[Exception] should be thrownBy
+      StreamingEvents.categoryCellBatch(
+        Seq(Some("en"), None).toDF("lang"), 9L, "lang", s"$tmp/cells")
+  }
+
   it should "reconstruct session-spanning sequential rules equal to the batch W14 operator" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssr").toString
