@@ -1464,4 +1464,62 @@ object Similarity {
         q6(col("__sum").cast("double") / lit(1e9) /
           col("n_points").cast("double")).as("mean_silhouette"))
   }
+
+  /** X180: PER-DIMENSION EMBEDDING DRIFT between two corpus snapshots
+    * — the "did the embedding space move, and WHERE" diagnostic every
+    * re-embedding / re-crawl cycle needs before ANN indexes and
+    * SemDeDup thresholds are trusted across snapshots: a global
+    * centroid-cosine hides a large shift confined to a few
+    * dimensions, and a KS per dimension costs 2·dim rank passes.
+    * Here: ONE posexplode aggregate per side (map-side combined,
+    * dim-bounded output), per-dimension mean shift plus the
+    * pooled-σ standardized shift.
+    *
+    * Exactness: components are DEFINED on the 1e-6 grid
+    * (`⌊x·10⁶+½⌋` LONGs, the wassersteinDrift discipline); Σx and
+    * Σx² are exact DECIMAL; means, pooled population σ and the
+    * standardized shift are fixed IEEE trees over the exact moments,
+    * published q6. Vectors of the wrong length fail loud (a silent
+    * posexplode of a ragged vector would shift every later
+    * dimension's moments). Zero pooled σ ⇒ NULL std_shift. Output:
+    * one row per dimension — (dim_idx, n_ref, n_cur, mean_ref,
+    * mean_cur, mean_diff, pooled_sd, std_shift). */
+  def embeddingDimDrift(reference: DataFrame, current: DataFrame,
+      vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val D = "decimal(38,0)"
+    def moments(df: DataFrame, nName: String, sName: String,
+        qName: String): DataFrame = {
+      val guarded = when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
+        raise_error(lit(s"embeddingDimDrift: vector is NULL or not " +
+          s"length $dim")))
+        .otherwise(col(vecCol).cast("array<double>"))
+      df.select(posexplode(guarded).as(Seq("dim_idx", "__x")))
+        .select(col("dim_idx").cast("long").as("dim_idx"),
+          floor(col("__x") * lit(1e6) + lit(0.5)).cast("long").as("__xm"))
+        .groupBy(col("dim_idx"))
+        .agg(count(lit(1)).as(nName),
+          sum(col("__xm").cast(D)).as(sName),
+          sum((col("__xm") * col("__xm")).cast(D)).as(qName))
+    }
+    val joined = moments(reference, "n_ref", "__sr", "__qr")
+      .join(moments(current, "n_cur", "__sc", "__qc"), Seq("dim_idx"))
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val meanR = col("__sr").cast("double") / lit(1e6) / nr
+    val meanC = col("__sc").cast("double") / lit(1e6) / nc
+    // pooled population variance on the micro grid, then /1e6 to units
+    val nT = nr + nc
+    val mT = (col("__sr").cast("double") + col("__sc").cast("double")) / nT
+    val varT = (col("__qr").cast("double") + col("__qc").cast("double")) /
+      nT - mT * mT
+    val sd = sqrt(greatest(varT, lit(0.0))) / lit(1e6)
+    import graft.functions.q6
+    joined.select(col("dim_idx"), col("n_ref"), col("n_cur"),
+      q6(meanR).as("mean_ref"), q6(meanC).as("mean_cur"),
+      q6(meanC - meanR).as("mean_diff"),
+      q6(sd).as("pooled_sd"),
+      q6(when(sd > 0, (meanC - meanR) / sd)).as("std_shift"))
+      .orderBy(col("dim_idx"))
+  }
 }

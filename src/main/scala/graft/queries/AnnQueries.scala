@@ -186,6 +186,16 @@ object AnnQueries {
         emb.filter(col("vec_id") % 3750 === 0), Dim, k = 5)
     },
 
+    // X180: per-dimension embedding drift between the even/odd vector
+    // halves — which dimensions moved, in raw and pooled-sigma units;
+    // one posexplode aggregate per side, dim-bounded output.
+    "q_x180_embedding_drift" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDimDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", Dim)
+    },
+
     // X29: exact cosine top-5 with the STREAMED-INDEX form — the query
     // batch broadcasts and the corpus streams, so exact search scales to
     // an unbounded index. Same function as q_x8, same oracle.
@@ -693,6 +703,49 @@ object AnnQueries {
         |      * 1000000.0 + 0.5) / 1000000.0 END AS lof
         |FROM lrds l JOIN num n ON n.p = l.p JOIN kd ON kd.p = l.p
         |ORDER BY id""".stripMargin,
+    // Embedding drift: the same 1e-6-grid micro moments per
+    // (side, dimension); parallel unnest aligns value and index; all
+    // published trees mirror the Spark expressions exactly.
+    "q_x180_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    unnest(range(0, len(embedding))) AS i
+        |  FROM embeddings),
+        |xm AS (SELECT vec_id, i,
+        |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS m FROM e),
+        |mr AS (SELECT i AS dim_idx, CAST(count(*) AS BIGINT) AS n_ref,
+        |    sum(CAST(m AS HUGEINT)) AS sr,
+        |    sum(CAST(m * m AS HUGEINT)) AS qr
+        |  FROM xm WHERE vec_id % 2 = 0 GROUP BY 1),
+        |mc AS (SELECT i AS dim_idx, CAST(count(*) AS BIGINT) AS n_cur,
+        |    sum(CAST(m AS HUGEINT)) AS sc,
+        |    sum(CAST(m * m AS HUGEINT)) AS qc
+        |  FROM xm WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT mr.dim_idx, n_ref, n_cur,
+        |    CAST(sr AS DOUBLE) AS sr, CAST(qr AS DOUBLE) AS qr,
+        |    CAST(sc AS DOUBLE) AS sc, CAST(qc AS DOUBLE) AS qc
+        |  FROM mr JOIN mc ON mr.dim_idx = mc.dim_idx),
+        |tm AS (SELECT *,
+        |    sr / 1000000.0 / CAST(n_ref AS DOUBLE) AS mean_r,
+        |    sc / 1000000.0 / CAST(n_cur AS DOUBLE) AS mean_c,
+        |    sqrt(greatest((qr + qc)
+        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+        |      - ((sr + sc)
+        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+        |      * ((sr + sc)
+        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))),
+        |      0.0)) / 1000000.0 AS sd
+        |  FROM j)
+        |SELECT CAST(dim_idx AS BIGINT) AS dim_idx, n_ref, n_cur,
+        |  floor(mean_r * 1000000.0 + 0.5) / 1000000.0 AS mean_ref,
+        |  floor(mean_c * 1000000.0 + 0.5) / 1000000.0 AS mean_cur,
+        |  floor((mean_c - mean_r) * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean_diff,
+        |  floor(sd * 1000000.0 + 0.5) / 1000000.0 AS pooled_sd,
+        |  CASE WHEN sd > 0 THEN
+        |    floor((mean_c - mean_r) / sd * 1000000.0 + 0.5) / 1000000.0
+        |    END AS std_shift
+        |FROM tm ORDER BY dim_idx""".stripMargin,
     // Bucketed LOF: the q_x9 assignment mirror (cos desc, centroid id
     // tie-break) + the q_x165 LOF chain with pairs generated WITHIN
     // the assigned bucket; bucket_id joins back onto the output.

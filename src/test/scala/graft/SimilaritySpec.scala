@@ -627,4 +627,45 @@ class SimilaritySpec extends SparkSpec {
     r(2)._5 shouldBe 0.0 // (1,2) same
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Similarity.embeddingDimDrift (X180)"
+
+  it should "localize a planted one-dimension shift with hand moments" in {
+    // dim 0 shifts by +1 (values 0,0 vs 1,1: pooled sd .5 -> z = 2);
+    // dim 1 identical (0,2 both sides: diff 0, z = 0)
+    val ref = Seq(Seq(0f, 0f), Seq(0f, 2f)).toDF("embedding")
+    val cur = Seq(Seq(1f, 0f), Seq(1f, 2f)).toDF("embedding")
+    val r = graft.ann.Similarity
+      .embeddingDimDrift(ref, cur, "embedding", 2)
+      .as[(Long, Long, Long, Double, Double, Double, Double,
+        Option[Double])].collect()
+    r(0) shouldBe ((0L, 2L, 2L, 0.0, 1.0, 1.0, 0.5, Some(2.0)))
+    r(1) shouldBe ((1L, 2L, 2L, 1.0, 1.0, 0.0, 1.0, Some(0.0)))
+    // a constant dimension has zero pooled sigma -> NULL std_shift
+    val c = Seq(Seq(5f)).toDF("embedding")
+    graft.ann.Similarity.embeddingDimDrift(c, c, "embedding", 1)
+      .as[(Long, Long, Long, Double, Double, Double, Double,
+        Option[Double])].collect().head._8 shouldBe None
+  }
+
+  it should "fail loud on ragged vectors and stay partition-invariant" in {
+    val ok = Seq(Seq(1f, 2f)).toDF("embedding")
+    val ragged = Seq(Seq(1f, 2f), Seq(3f)).toDF("embedding")
+    an[Exception] should be thrownBy
+      graft.ann.Similarity.embeddingDimDrift(ok, ragged, "embedding", 2)
+        .collect()
+    val a = (1 to 200).map(i =>
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat))
+      .toDF("embedding")
+    val b = (1 to 150).map(i =>
+      Seq((i % 6).toFloat, (i % 4).toFloat, (i % 9).toFloat))
+      .toDF("embedding")
+    def run(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      graft.ann.Similarity.embeddingDimDrift(x, y, "embedding", 3)
+        .as[(Long, Long, Long, Double, Double, Double, Double,
+          Option[Double])].collect().toSeq
+    run(a.coalesce(1), b.coalesce(1)) shouldBe
+      run(a.repartition(13), b.repartition(7))
+  }
 }
