@@ -1500,7 +1500,10 @@ object Similarity {
         .groupBy(col("dim_idx"))
         .agg(count(lit(1)).as(nName),
           sum(col("__xm").cast(D)).as(sName),
-          sum((col("__xm") * col("__xm")).cast(D)).as(qName))
+          // square in DECIMAL: a micro component past ~3e3 would wrap
+          // the LONG square silently (and diverge from the HUGEINT
+          // oracle) — the oneWayAnova moment discipline
+          sum(col("__xm").cast(D) * col("__xm").cast(D)).as(qName))
     }
     val joined = moments(reference, "n_ref", "__sr", "__qr")
       .join(moments(current, "n_cur", "__sc", "__qc"), Seq("dim_idx"))
@@ -1508,12 +1511,17 @@ object Similarity {
     val nc = col("n_cur").cast("double")
     val meanR = col("__sr").cast("double") / lit(1e6) / nr
     val meanC = col("__sc").cast("double") / lit(1e6) / nc
-    // pooled population variance on the micro grid, then /1e6 to units
-    val nT = nr + nc
-    val mT = (col("__sr").cast("double") + col("__sc").cast("double")) / nT
-    val varT = (col("__qr").cast("double") + col("__qc").cast("double")) /
-      nT - mT * mT
-    val sd = sqrt(greatest(varT, lit(0.0))) / lit(1e6)
+    // WITHIN-group pooled population variance (Cohen's-d style): the
+    // mixture variance of ref∪cur would include the mean shift itself
+    // and cap the standardized shift at √(N²/(n_r·n_c)) no matter how
+    // far the mean moved — the scale must be the within-snapshot
+    // spread only. SSW_g = Q_g − S_g²/n_g from the exact moments;
+    // micro grid, then /1e6 to units.
+    val ssw = (col("__qr").cast("double") -
+        col("__sr").cast("double") * col("__sr").cast("double") / nr) +
+      (col("__qc").cast("double") -
+        col("__sc").cast("double") * col("__sc").cast("double") / nc)
+    val sd = sqrt(greatest(ssw / (nr + nc), lit(0.0))) / lit(1e6)
     import graft.functions.q6
     joined.select(col("dim_idx"), col("n_ref"), col("n_cur"),
       q6(meanR).as("mean_ref"), q6(meanC).as("mean_cur"),

@@ -624,7 +624,6 @@ object Dq {
     * (n_ref, n_cur, k, tvd, hellinger, jsd). */
   def categoricalDrift(reference: DataFrame, current: DataFrame,
       catCol: String, maxCategories: Int = 100000): DataFrame = {
-    val D = "decimal(38,0)"
     def clean(df: DataFrame, r: Long, c: Long) = df
       .select(when(col(catCol).isNull,
         raise_error(lit(s"categoricalDrift: NULL category in " +

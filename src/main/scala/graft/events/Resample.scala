@@ -677,7 +677,6 @@ object Resample {
     val ord = Window.partitionBy(col(key)).orderBy(col("day"))
     val cum = ord.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val wKey = Window.partitionBy(col(key))
     val daily = daily0.select(col(key), col("day"),
       (col("__x").cast("decimal(18,6)") * lit(1000000L)).cast("long")
         .as("__xm"))

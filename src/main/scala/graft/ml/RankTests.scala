@@ -331,10 +331,18 @@ object RankTests {
     * Output 1 row: (n_blocks, k, dof, chi2). */
   def friedman(df: DataFrame, block: Column, treatment: Column,
       value: Column): DataFrame = {
-    val vd = value.cast("double")
+    // values rank on the DECIMAL(18,6) grid (the cusumFromDaily
+    // normalization contract): a double cast would midrank-tie
+    // integer values past 2^53 — exactly the micro-scaled LONG sums
+    // callers feed this — while an exact-typed oracle distinguishes
+    // them. |v| ≥ 1e12 overflows the decimal and fails loud below.
+    val vd = value.cast("decimal(18,6)")
     val rows = df.select(block.as("__b"), treatment.as("__t"),
-      when(block.isNull || treatment.isNull || vd.isNull,
+      when(block.isNull || treatment.isNull || value.isNull,
         raise_error(lit("friedman: NULL block/treatment/value")))
+        .when(vd.isNull,
+          raise_error(lit("friedman: value outside the " +
+            "DECIMAL(18,6) grid — rescale first")))
         .otherwise(vd).as("__v"))
     // exactly one observation per (block, treatment)
     val cells = rows.groupBy(col("__b"), col("__t"))
@@ -418,19 +426,24 @@ object RankTests {
     * conc_minus_disc, tau_b). */
   def kendallTau(df: DataFrame, group: Column, x: Column, y: Column,
       maxCellsPerGroup: Int = 20000): DataFrame = {
-    val cells = df.filter(x.isNotNull && y.isNotNull)
-      .select(group.as("g"), x.as("x"), y.as("y"))
-      .groupBy(col("g"), col("x"), col("y"))
-      .agg(count(lit(1)).as("c"))
+    val cells = graft.util.Caches.persistTracked(
+      df.filter(x.isNotNull && y.isNotNull)
+        .select(group.as("g"), x.as("x"), y.as("y"))
+        .groupBy(col("g"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c")))
     val nCells = cells.groupBy(col("g"))
       .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n"))
-      .select(col("g"), col("n"),
-        when(col("n_cells") > maxCellsPerGroup, raise_error(concat(
-          lit("kendallTau: "), col("n_cells").cast("string"),
-          lit(s" distinct (x,y) cells > maxCellsPerGroup=" +
-            s"$maxCellsPerGroup in group "), col("g").cast("string"),
-          lit(" — bucket or quantize first"))))
-          .otherwise(col("n_cells")).as("n_cells"))
+    // EAGER cap check (the X165 LOF convention, for real): a lazy
+    // raise_error column shares the plan with the O(cells²) pair join
+    // and Spark may schedule the quadratic shuffle before the guard
+    // task ever runs — the cap must abort BEFORE the join exists
+    val oversize = nCells.filter(col("n_cells") > maxCellsPerGroup)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"kendallTau: group ${oversize.headOption.map(_.get(0)).orNull} " +
+        s"has ${oversize.headOption.map(_.get(1)).orNull} distinct " +
+        s"(x,y) cells > maxCellsPerGroup=$maxCellsPerGroup — bucket " +
+        "or quantize first")
     val a = cells.select(col("g"), col("x").as("__xa"),
       col("y").as("__ya"), col("c").as("__ca"))
     val b = cells.select(col("g"), col("x").as("__xb"),

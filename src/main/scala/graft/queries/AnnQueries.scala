@@ -715,11 +715,11 @@ object AnnQueries {
         |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS m FROM e),
         |mr AS (SELECT i AS dim_idx, CAST(count(*) AS BIGINT) AS n_ref,
         |    sum(CAST(m AS HUGEINT)) AS sr,
-        |    sum(CAST(m * m AS HUGEINT)) AS qr
+        |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS qr
         |  FROM xm WHERE vec_id % 2 = 0 GROUP BY 1),
         |mc AS (SELECT i AS dim_idx, CAST(count(*) AS BIGINT) AS n_cur,
         |    sum(CAST(m AS HUGEINT)) AS sc,
-        |    sum(CAST(m * m AS HUGEINT)) AS qc
+        |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS qc
         |  FROM xm WHERE vec_id % 2 = 1 GROUP BY 1),
         |j AS (SELECT mr.dim_idx, n_ref, n_cur,
         |    CAST(sr AS DOUBLE) AS sr, CAST(qr AS DOUBLE) AS qr,
@@ -728,12 +728,10 @@ object AnnQueries {
         |tm AS (SELECT *,
         |    sr / 1000000.0 / CAST(n_ref AS DOUBLE) AS mean_r,
         |    sc / 1000000.0 / CAST(n_cur AS DOUBLE) AS mean_c,
-        |    sqrt(greatest((qr + qc)
-        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
-        |      - ((sr + sc)
-        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
-        |      * ((sr + sc)
-        |        / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))),
+        |    sqrt(greatest(
+        |      ((qr - sr * sr / CAST(n_ref AS DOUBLE))
+        |        + (qc - sc * sc / CAST(n_cur AS DOUBLE)))
+        |      / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)),
         |      0.0)) / 1000000.0 AS sd
         |  FROM j)
         |SELECT CAST(dim_idx AS BIGINT) AS dim_idx, n_ref, n_cur,

@@ -2599,11 +2599,13 @@ object DqQueries {
         |  rk.rank, rk.m, ks.kstar AS holm_cutoff_rank,
         |  CASE WHEN rk.rank <= ks.kstar THEN 1 ELSE 0 END AS significant
         |FROM rk, ks ORDER BY rk.rank""".stripMargin,
-    // BY: the BH cutoff divided by the harmonic c(m), reproduced as
-    // the ascending-rank cumulative sum of 1/rank (sequential window
-    // = the driver's ascending fold, same IEEE double).
+    // BY: the BH cutoff divided by the harmonic c(m). c(m) is rebuilt
+    // by a RECURSIVE CTE (1, +1/2, +1/3, …) — a literal sequential
+    // left fold, bit-identical to the Spark driver's ascending sum; a
+    // windowed double cumulation would leave the accumulation
+    // strategy engine-internal (the pageHinkley hazard).
     "q_f85_by_fdr" ->
-      """WITH g AS (
+      """WITH RECURSIVE g AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n0,
@@ -2640,10 +2642,11 @@ object DqQueries {
         |      AS BIGINT) AS rank,
         |    CAST(count(*) OVER () AS BIGINT) AS m
         |  FROM pt),
-        |hm0 AS (SELECT rank, sum(1.0 / rank)
-        |    OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS c
-        |  FROM rk),
-        |hm AS (SELECT arg_max(c, rank) AS cm FROM hm0),
+        |rec AS (SELECT CAST(1 AS BIGINT) AS i, 1.0 AS c
+        |  UNION ALL SELECT i + 1, c + 1.0 / (i + 1)
+        |  FROM rec WHERE i < (SELECT max(m) FROM rk)),
+        |hm AS (SELECT c AS cm FROM rec
+        |  WHERE i = (SELECT max(m) FROM rk)),
         |ks AS (SELECT coalesce(max(CASE
         |    WHEN CAST(CAST(pl AS HUGEINT) * m * 20 AS DOUBLE) * hm.cm
         |      <= CAST(CAST(rank AS HUGEINT) * 1 * 1000000000000

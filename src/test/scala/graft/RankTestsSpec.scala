@@ -231,6 +231,7 @@ class RankTestsSpec extends SparkSpec {
     graft.ml.RankTests.kendallTau(mono, col("g"), col("x"), col("y"))
       .as[(String, Long, Long, Long, Option[Double])].collect()
       .head._5.get shouldBe 1.0 +- 1e-12
+    graft.util.Caches.releaseAll(spark)
   }
 
   it should "emit NULL tau for a constant side, fail loud past the cell cap, and stay partition-invariant" in {
@@ -252,5 +253,6 @@ class RankTestsSpec extends SparkSpec {
         .orderBy(col("g"))
         .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
     run(big.coalesce(1)) shouldBe run(big.repartition(13))
+    graft.util.Caches.releaseAll(spark)
   }
 }

@@ -630,17 +630,28 @@ class SimilaritySpec extends SparkSpec {
 
   behavior of "Similarity.embeddingDimDrift (X180)"
 
-  it should "localize a planted one-dimension shift with hand moments" in {
-    // dim 0 shifts by +1 (values 0,0 vs 1,1: pooled sd .5 -> z = 2);
-    // dim 1 identical (0,2 both sides: diff 0, z = 0)
+  it should "localize a planted one-dimension shift with hand WITHIN-group moments" in {
+    // the sd is the WITHIN-snapshot pooled sigma (Cohen's-d style) —
+    // a mixture sd would include the shift itself and cap z at 2 for
+    // equal halves. dim 0: each side constant (within-sd 0) -> the
+    // mean moved but there is no within-spread scale -> NULL shift;
+    // dim 1: identical sides (0,2): within-sd 1, diff 0 -> z = 0
     val ref = Seq(Seq(0f, 0f), Seq(0f, 2f)).toDF("embedding")
     val cur = Seq(Seq(1f, 0f), Seq(1f, 2f)).toDF("embedding")
     val r = graft.ann.Similarity
       .embeddingDimDrift(ref, cur, "embedding", 2)
       .as[(Long, Long, Long, Double, Double, Double, Double,
         Option[Double])].collect()
-    r(0) shouldBe ((0L, 2L, 2L, 0.0, 1.0, 1.0, 0.5, Some(2.0)))
+    r(0) shouldBe ((0L, 2L, 2L, 0.0, 1.0, 1.0, 0.0, None))
     r(1) shouldBe ((1L, 2L, 2L, 1.0, 1.0, 0.0, 1.0, Some(0.0)))
+    // a 3-within-sigma drift reads exactly 3 — the mixture formula
+    // would have saturated it near 2
+    val r3 = graft.ann.Similarity.embeddingDimDrift(
+      Seq(Seq(0f), Seq(2f)).toDF("embedding"),
+      Seq(Seq(3f), Seq(5f)).toDF("embedding"), "embedding", 1)
+      .as[(Long, Long, Long, Double, Double, Double, Double,
+        Option[Double])].collect().head
+    r3 shouldBe ((0L, 2L, 2L, 1.0, 4.0, 3.0, 1.0, Some(3.0)))
     // a constant dimension has zero pooled sigma -> NULL std_shift
     val c = Seq(Seq(5f)).toDF("embedding")
     graft.ann.Similarity.embeddingDimDrift(c, c, "embedding", 1)
