@@ -1487,6 +1487,14 @@ object Similarity {
   def embeddingDimDrift(reference: DataFrame, current: DataFrame,
       vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // empty-population guard (the categoricalDrift/andersonDarlingDrift
+    // convention): the dim_idx inner join would turn a MISSING snapshot
+    // into a silently empty "no drift" readout. isEmpty is a limit(1)
+    // probe — no shuffle, no full scan.
+    require(!reference.isEmpty,
+      "embeddingDimDrift: empty reference snapshot")
+    require(!current.isEmpty,
+      "embeddingDimDrift: empty current snapshot")
     val D = "decimal(38,0)"
     def moments(df: DataFrame, nName: String, sName: String,
         qName: String): DataFrame = {

@@ -736,6 +736,15 @@ object Dq {
     val (nRef, nCur) = (totals(0), totals(1))
     val nTot = totals(2)
     require(nRef > 0 && nCur > 0, "andersonDarlingDrift: empty population")
+    // exactness bound: l·d² ≤ N·(2N²)² = 4N⁵ must fit DECIMAL(38,0);
+    // 4N⁵ < 10³⁸ ⇔ N ≤ 3.0e7. Past that Spark (non-ANSI) would NULL
+    // the overflowed products and sum(when(e>0,…)) would silently drop
+    // terms while the DuckDB oracle's HUGEINT errors — fail loud here
+    // instead (sample/pre-aggregate above this pooled size).
+    require(nTot <= 30000000L,
+      s"andersonDarlingDrift: pooled N=$nTot exceeds the exact " +
+        "DECIMAL(38,0) bound (4·N⁵ < 1e38 requires N ≤ 3.0e7) " +
+        "— sample or pre-bin before testing")
     val l = (col("nr") + col("nc")).cast(D)
     val b2 = (lit(2L) * col("__cn")).cast(D) - l
     val e = b2 * (lit(2L * nTot).cast(D) - b2) - lit(nTot).cast(D) * l

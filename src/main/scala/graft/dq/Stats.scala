@@ -615,7 +615,14 @@ object Stats {
     * (n, k, ssb, ssw, f_stat, eta2). */
   def oneWayAnova(df: DataFrame, group: Column, value: Column)
       : DataFrame = {
-    val x = value.cast("decimal(18,6)")
+    // guard the grid cast: a caller can hand a wider value (e.g.
+    // brownForsythe's DECIMAL(19,6) |x − median|); a silent NULL here
+    // would inflate n_g against the moment sums while DuckDB errors —
+    // fail loud instead (the friedman discipline)
+    val xd = value.cast("decimal(18,6)")
+    val x = when(xd.isNull,
+      raise_error(lit("oneWayAnova: value outside the DECIMAL(18,6) " +
+        "grid — rescale first"))).otherwise(xd)
     val perGroup = df.filter(value.isNotNull)
       .groupBy(group.as("g"))
       .agg(count(lit(1)).as("n_g"),

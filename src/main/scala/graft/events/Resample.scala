@@ -677,9 +677,16 @@ object Resample {
     val ord = Window.partitionBy(col(key)).orderBy(col("day"))
     val cum = ord.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
+    // guard the grid cast: a daily |sum| ≥ 1e12 would NULL out of the
+    // DECIMAL(18,6) cast and the windowed sums would silently skip that
+    // day, corrupting C_t/U_t/ph_max — fail loud instead (the friedman
+    // out-of-grid discipline; the docstring's BIGINT contract, enforced)
+    val xd = col("__x").cast("decimal(18,6)")
     val daily = daily0.select(col(key), col("day"),
-      (col("__x").cast("decimal(18,6)") * lit(1000000L)).cast("long")
-        .as("__xm"))
+      (when(col("__x").isNotNull && xd.isNull,
+        raise_error(lit("pageHinkley: daily sum outside the " +
+          "DECIMAL(18,6) grid — rescale first")))
+        .otherwise(xd) * lit(1000000L)).cast("long").as("__xm"))
     val term =
       if (detectIncrease)
         col("__xm") - expr("__cm div __t") - lit(deltaMicro)

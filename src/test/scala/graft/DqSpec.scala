@@ -568,6 +568,20 @@ class DqSpec extends SparkSpec {
       .head._3 shouldBe None
   }
 
+  it should "fail loud past the exact-DECIMAL pooled-N bound" in {
+    // 4·N⁵ must fit DECIMAL(38,0): N ≤ 3.0e7. Past that Spark would
+    // NULL the overflowed l·d² products and silently drop terms while
+    // DuckDB's HUGEINT errors — the guard turns the divergence into a
+    // loud require. 1.6e7 distinct-light rows per side: the aggregate
+    // is cheap, the grid is 8 values.
+    val side = spark.range(16000000L)
+      .select((col("id") % 8).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.dq.Dq.andersonDarlingDrift(side, side, "v").collect()
+    }
+    e.getMessage should include("3.0e7")
+  }
+
   it should "weight a tail shift far above an equal-mass center shift (same KS) and stay partition-invariant" in {
     // two currents each move 1% of the mass (KS = 0.01 for BOTH): one
     // nudges the center (50 -> 50.5), one sends the top value to the

@@ -172,4 +172,21 @@ class PettittSpec extends SparkSpec {
     run(rows.coalesce(1)) shouldBe run(rows.repartition(13))
     run(rows.orderBy(rand(42))) shouldBe run(rows)
   }
+
+  it should "fail loud when a daily sum leaves the DECIMAL(18,6) grid" in {
+    // one 2e12 day overflows the micro cast; pre-guard this NULLed
+    // silently and the windowed sums skipped the day (corrupting
+    // C_t/U_t/ph_max) — now raise_error, the BIGINT contract enforced
+    val rows = Seq(
+      ("m", ts("2024-03-01 10:00:00"), 10.0),
+      ("m", ts("2024-03-02 10:00:00"), 2.0e12)).toDF("k", "t", "v")
+    // ANSI-on sessions fail at the cast itself; non-ANSI sessions hit
+    // the raise_error guard — both loud, both name the decimal grid
+    val e = intercept[Exception] {
+      graft.events.Resample.pageHinkley(rows, "k", col("t"), col("v"),
+        delta = 0.0, lambda = 5.0).collect()
+    }
+    e.getMessage.toLowerCase.replace(" ", "") should
+      include("decimal(18,6)")
+  }
 }

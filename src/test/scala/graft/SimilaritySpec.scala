@@ -679,4 +679,15 @@ class SimilaritySpec extends SparkSpec {
     run(a.coalesce(1), b.coalesce(1)) shouldBe
       run(a.repartition(13), b.repartition(7))
   }
+
+  it should "fail loud on an empty snapshot instead of reading 'no drift'" in {
+    // the dim_idx inner join would turn a missing snapshot into a
+    // silently empty result — the drift family's convention is raise
+    val ok = Seq(Seq(1f, 2f)).toDF("embedding")
+    val empty = Seq.empty[Seq[Float]].toDF("embedding")
+    an[IllegalArgumentException] should be thrownBy
+      graft.ann.Similarity.embeddingDimDrift(empty, ok, "embedding", 2)
+    an[IllegalArgumentException] should be thrownBy
+      graft.ann.Similarity.embeddingDimDrift(ok, empty, "embedding", 2)
+  }
 }

@@ -850,4 +850,19 @@ class StatsSpec extends SparkSpec {
         .as[(Long, Long, Double, Double, Option[Double])].collect().head
     run(big.coalesce(1)) shouldBe run(big.repartition(19))
   }
+
+  it should "fail loud when a deviation leaves the DECIMAL(18,6) grid" in {
+    // |x - median| = 2e12 overflows the (18,6) re-cast inside
+    // oneWayAnova; pre-guard this NULLed silently (n_g counted the row,
+    // the moment sums skipped it) while DuckDB errors — now raise_error
+    val df = Seq(("a", 0.0), ("a", 2.0e12), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    // ANSI-on sessions fail at the cast itself; non-ANSI sessions hit
+    // the raise_error guard — both loud, both name the decimal grid
+    val e = intercept[Exception] {
+      graft.dq.Stats.brownForsythe(df, col("g"), col("v")).collect()
+    }
+    e.getMessage.toLowerCase.replace(" ", "") should
+      include("decimal(18,6)")
+  }
 }
