@@ -110,21 +110,37 @@ object Bench {
       name -> times(times.size / 2)
     }
     val total = results.map(_._2).sum
+    // DECLARED COUNTER-EXAMPLES: queries kept on the board deliberately
+    // to demonstrate a scale failure mode next to their fix (q_x179
+    // fixed-nlist bucketed LOF, measured super-linear at sf1 exponent
+    // 1.10 vs its adaptive fix q_x179b at 0.52 — BASELINE wave 35).
+    // Tagged in the JSON so the board reads clean without hiding them.
+    val counterExamples = Seq("q_x179_lof_bucketed")
+      .filter(n => results.exists(_._1 == n))
+    val ceJson = counterExamples.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // The driver captures only the LAST 2000 chars of output; a full
     // ~120-query map (~4.4 KB) truncates and the JSON line never parses
     // (BENCH_r6..r8 all landed "parsed: null"). So: full-precision
-    // per-query map goes to BENCH_FULL.json in the working directory,
+    // per-query map goes to BENCH_RUN.json in the working directory,
     // and the stdout line carries the headline (heavy) subset at 3
     // decimals — small enough to fit the tail window whole.
+    // BENCH_RUN.json is a SINGLE run's record — the committed board
+    // (BENCH_FULL.json) is produced by the explicit min-merge step
+    // `python3 scripts/promote_bench.py` (the r13 min-of-two method as
+    // a script), so an ad-hoc bench can never silently overwrite the
+    // transient-free board (the r13 footgun).
     def fmt(entries: Seq[(String, Double)], dec: Boolean): String =
       entries.map { case (k, v) =>
         "\"" + k + "\":" + (if (dec) f"$v%.3f" else v.toString)
       }.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_RUN.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+      java.nio.file.Paths.get(outPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"counter_examples":$ceJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
     val headline = results.filter { case (n, _) => heavy.contains(n) }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary_sec":${f"$canary%.3f"},"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
