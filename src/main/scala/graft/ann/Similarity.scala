@@ -1361,6 +1361,75 @@ object Similarity {
       .orderBy(col("id"))
   }
 
+  /** X181: LOF WITH A MULTI-PROBE HALO — closes [[lofScoresBucketed]]'s
+    * stated bucket-boundary caveat: a point near a cell edge whose true
+    * neighbor landed in the adjacent cell. Every point is assigned to
+    * its top-`probes` centroids ([[ivfAssignProbes]] — probe 0 is the
+    * [[ivfAssign]] primary cell), and the candidate-pair relation joins
+    * probe-assignments on the cell key: two points see each other iff
+    * they SHARE at least one probed cell. The relation is SYMMETRIC by
+    * construction (both join sides are the same probe table), so every
+    * neighbor's k-distance and lrd exist — no dropped-neighbor edge
+    * case — and it is a SUPERSET of the bucketed relation (same-primary
+    * pairs share their probe-0 cell), so halo k-distance ≤ bucketed
+    * k-distance point-wise. A pair sharing two probed cells is
+    * deduplicated (the distance is the same codegen'd `graft_l2` both
+    * times — bit-equal, so `distinct` collapses it). The exact kernel
+    * [[lofCore]] is shared verbatim; each point reports under its
+    * PRIMARY cell.
+    *
+    * Semantics: "outlier within its probed neighborhood" — with
+    * `probes` = nlist it degenerates to exact [[lofScores]]; the
+    * remaining approximation is a true neighbor outside ALL probed
+    * cells (raise `probes` to tighten, the standard multi-probe trade).
+    *
+    * Scale: one centroid_id shuffle of `probes×N` assignment rows; the
+    * per-cell join is O(m_eff²) with m_eff ≤ probes× the primary cell
+    * size, guarded EAGERLY (before the join) by `maxBucketPoints` over
+    * probe-inclusive cell census — the X179 guard discipline. The
+    * `distinct` shuffles the candidate-pair relation once, the same
+    * order of traffic [[lofCore]]'s first window shuffles anyway.
+    * Output: (id, bucket_id, k_dist, n_neighbors, lrd, lof). */
+  def lofScoresHalo(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, k: Int, probes: Int = 2,
+      maxBucketPoints: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(maxBucketPoints >= 2,
+      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
+    ensureNative(points)
+    val asg = graft.util.Caches.persistTracked(
+      ivfAssignProbes(points, idCol, vecCol, centroids, dim, probes)
+        .select(col("vec_id").as("__id"), col("v").as("__v"),
+          col("probe").as("__pr"), col("centroid_id").as("__bk")))
+    // eager census BEFORE the O(m²) join, counting HALO rows too — the
+    // halo inflates the effective cell size by up to probes×
+    val oversize = asg.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketPoints)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"lofScoresHalo: cell ${oversize.head.get(0)} holds " +
+        s"${oversize.head.getLong(1)} probe-assigned points > " +
+        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
+        "O(m²); train more centroids, lower probes, or sample")
+    val a = asg.select(col("__bk"), col("__id").as("__p"),
+      col("__v").as("__va"))
+    val b = asg.select(col("__bk"), col("__id").as("__o"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("__bk")).filter(col("__p") =!= col("__o"))
+      .withColumn("__d", nativeL2(col("__va"), col("__vb")))
+      .filter(!isnan(col("__d")))
+      .select(col("__p"), col("__o"), col("__d"))
+      .distinct()
+    lofCore(pairs, k)
+      .join(asg.filter(col("__pr") === 0)
+        .select(col("__id").as("id"), col("__bk").as("bucket_id")), "id")
+      .select(col("id"), col("bucket_id"), col("k_dist"),
+        col("n_neighbors"), col("lrd"), col("lof"))
+      .orderBy(col("id"))
+  }
+
   /** The shared exact-LOF kernel over a (point, other, distance) pair
     * relation — [[lofScores]] feeds it the guarded all-pairs join,
     * [[lofScoresBucketed]] the bucket-keyed one. */

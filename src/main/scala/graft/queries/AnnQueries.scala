@@ -186,6 +186,19 @@ object AnnQueries {
         emb.filter(col("vec_id") % 3750 === 0), Dim, k = 5)
     },
 
+    // X181: multi-probe HALO bucketed LOF — closes X179's stated
+    // bucket-boundary caveat: every point is assigned to its top-2
+    // centroids, pairs join on the probed cell (symmetric — two points
+    // see each other iff they share >= 1 probed cell, a SUPERSET of the
+    // bucketed relation), the exact kernel is shared, scores report
+    // under the primary cell.
+    "q_x181_lof_halo" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lofScoresHalo(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0L, 7L, 14L, 21L)), Dim, k = 5,
+        probes = 2)
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -495,6 +508,69 @@ object AnnQueries {
        |JOIN asg a2 ON a2.vec_id = l.p
        |ORDER BY id""".stripMargin
 
+  /** The q_x181 halo-LOF oracle: the [[lofBucketedOracle]] chain with
+    * pair generation widened to the top-`probes` cells per point —
+    * `halo ⋈ halo` on the cell key, DISTINCT (two shared cells emit the
+    * identical list_distance twice), scores keyed to the primary cell. */
+  private def lofHaloOracle(centroidPred: String, probes: Int): String =
+    s"""WITH $nnCte,
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+       |  FROM nn WHERE $centroidPred),
+       |rnk AS (
+       |  SELECT n.vec_id, n.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |        c.centroid_id) AS rn
+       |  FROM nn n, cent c),
+       |asg AS (SELECT vec_id, v, centroid_id FROM rnk WHERE rn = 1),
+       |halo AS (SELECT vec_id, v, centroid_id FROM rnk
+       |  WHERE rn <= $probes),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS p, b.vec_id AS o,
+       |    list_distance(a.v, b.v) AS d
+       |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+       |    AND a.vec_id <> b.vec_id
+       |  WHERE NOT isnan(list_distance(a.v, b.v))),
+       |rk AS (SELECT p, o, d,
+       |    row_number() OVER (PARTITION BY p ORDER BY d, o) AS rn
+       |  FROM pairs),
+       |kd AS (SELECT p, max(d) AS kd FROM rk WHERE rn <= 5
+       |  GROUP BY 1),
+       |nb AS (SELECT r.p, r.o, r.d
+       |  FROM rk r JOIN kd ON kd.p = r.p WHERE r.d <= kd.kd),
+       |rch AS (SELECT nb.p, nb.o,
+       |    CAST(floor(greatest(nb.d, k2.kd) * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS rs
+       |  FROM nb JOIN kd k2 ON k2.p = nb.o),
+       |lrd0 AS (SELECT p, CAST(count(*) AS BIGINT) AS nnb,
+       |    CAST(sum(rs) AS BIGINT) AS sr
+       |  FROM rch GROUP BY 1),
+       |lrd AS (SELECT p, nnb, sr,
+       |    CASE WHEN sr > 0 THEN CAST(nnb AS DOUBLE) * 1000000000.0
+       |      / CAST(sr AS DOUBLE) END AS lrd
+       |  FROM lrd0),
+       |lrds AS (SELECT *,
+       |    CAST(floor(lrd * 1000000000.0 + 0.5) AS BIGINT) AS lrds
+       |  FROM lrd),
+       |num AS (SELECT nb.p,
+       |    sum(CAST(l2.lrds AS HUGEINT)) AS slo,
+       |    CAST(sum(CASE WHEN l2.lrds IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nulln
+       |  FROM nb JOIN lrds l2 ON l2.p = nb.o GROUP BY 1)
+       |SELECT l.p AS id, a2.centroid_id AS bucket_id,
+       |  floor(kd.kd * 1000000.0 + 0.5) / 1000000.0 AS k_dist,
+       |  l.nnb AS n_neighbors,
+       |  CASE WHEN l.lrd IS NOT NULL THEN
+       |    floor(l.lrd * 1000000.0 + 0.5) / 1000000.0 END AS lrd,
+       |  CASE WHEN l.lrds IS NOT NULL AND n.nulln = 0 THEN
+       |    floor(CAST(CAST(n.slo AS VARCHAR) AS DOUBLE)
+       |      / (CAST(l.nnb AS DOUBLE) * CAST(l.lrds AS DOUBLE))
+       |      * 1000000.0 + 0.5) / 1000000.0 END AS lof
+       |FROM lrds l JOIN num n ON n.p = l.p JOIN kd ON kd.p = l.p
+       |JOIN asg a2 ON a2.vec_id = l.p
+       |ORDER BY id""".stripMargin
+
   // NaN cosines (zero-norm vectors) are unrankable and dropped — the
   // shared contract of both Spark brute-force forms
   private val bruteForceOracle: String =
@@ -753,6 +829,9 @@ object AnnQueries {
     // data-proportional (vec_id % 3750 = 0).
     "q_x179b_lof_bucketed_adaptive" ->
       lofBucketedOracle("vec_id % 3750 = 0"),
+    // The halo form: pair generation widened to the top-2 probed cells.
+    "q_x181_lof_halo" ->
+      lofHaloOracle("vec_id IN (0, 7, 14, 21)", probes = 2),
     // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
     // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
     // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side

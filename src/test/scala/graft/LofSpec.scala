@@ -120,4 +120,68 @@ class LofSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Similarity.lofScoresHalo (X181)"
+
+  it should "close the bucket-boundary caveat: equal exact LOF on the split-pair fixture" in {
+    // the fixture that PINS the X179 caveat: ids 7/8 are true nearest
+    // neighbors 0.28 apart but land in different primary cells. With
+    // probes = 2 every point also visits its runner-up cell, the pair
+    // relation becomes the full relation here, and the halo scores
+    // equal the exact all-pairs LOF — k-dist, |N|, lrd and lof alike
+    val (pts, cents) = boundaryFixture
+    val halo = graft.ann.Similarity.lofScoresHalo(
+      pts, "id", "vec", cents, dim = 2, k = 1, probes = 2)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val exact = graft.ann.Similarity.lofScores(pts, "id", "vec", k = 1)
+      .as[(Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    halo.keySet shouldBe exact.keySet
+    exact.foreach { case (id, e) =>
+      (halo(id)._3, halo(id)._4, halo(id)._5, halo(id)._6) shouldBe
+        (e._2, e._3, e._4, e._5)
+    }
+    // primary-cell reporting is unchanged from the bucketed form
+    halo(7L)._2 shouldBe 200L
+    halo(8L)._2 shouldBe 100L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "never widen a k-distance vs the bucketed form and guard the halo cell size" in {
+    // the halo pair relation is a SUPERSET of the bucketed one (same-
+    // primary pairs share their probe-0 cell), so k-dist can only
+    // shrink or stay — on any fixture, not just the planted one
+    val pts = (1L to 40L).map(i => (i,
+      Array((i % 9).toDouble, (i % 7).toDouble, (i % 5).toDouble)))
+      .toDF("id", "vec")
+    val cents = Seq(
+      100L -> Array(1.0, 0.0, 0.0), 200L -> Array(0.0, 1.0, 0.0),
+      300L -> Array(0.0, 0.0, 1.0), 400L -> Array(1.0, 1.0, 1.0))
+      .toDF("id", "vec")
+    val bucketed = graft.ann.Similarity.lofScoresBucketed(
+      pts, "id", "vec", cents, dim = 3, k = 3)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r._3).toMap
+    val halo = graft.ann.Similarity.lofScoresHalo(
+      pts, "id", "vec", cents, dim = 3, k = 3, probes = 2)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r._3).toMap
+    bucketed.keySet.subsetOf(halo.keySet) shouldBe true
+    bucketed.foreach { case (id, kd) => halo(id) should be <= kd }
+    // partition invariance (the candidate dedup and kernel are
+    // shuffle-order-free)
+    val again = graft.ann.Similarity.lofScoresHalo(
+      pts.repartition(13), "id", "vec", cents, dim = 3, k = 3,
+      probes = 2)
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r._3).toMap
+    again shouldBe halo
+    // the census counts HALO rows too: probes = 2 doubles occupancy
+    intercept[IllegalArgumentException] {
+      graft.ann.Similarity.lofScoresHalo(pts, "id", "vec", cents,
+        dim = 3, k = 3, probes = 2, maxBucketPoints = 10L)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
 }
