@@ -1430,6 +1430,70 @@ object Similarity {
       .orderBy(col("id"))
   }
 
+  /** X182: k-NN GRAPH PER IVF CELL — the production graph-ANN building
+    * block (the HNSW-adjacent shape a Spark pipeline actually runs):
+    * exact cosine k-NN EDGES computed within multi-probe IVF cells, so
+    * the corpus-wide k-NN graph costs Σ m_eff² per cell instead of N².
+    * The edge list (vec_id, rk, neighbor_id, cosine) is the
+    * [[bruteForceTopK]] schema — the recall gate compares them directly
+    * — and composes with the community operators (X85 label
+    * propagation, X93 k-core) as a similarity graph over embeddings.
+    *
+    * Candidate generation is the [[lofScoresHalo]] relation: points
+    * sharing ≥ 1 of their top-`probes` cells see each other (symmetric;
+    * probe 0 alone is plain bucketing, probes = nlist is exact).
+    * Duplicate two-cell pairs collapse under `distinct` — the cosine is
+    * the same codegen'd left-to-right `graft_dot` tree both times,
+    * bit-equal. Ranking is (cos desc, neighbor id) per source point —
+    * the brute-force tie order — via a window PARTITIONED by source
+    * (m_eff-bounded, never data-global). NaN cosines (zero-norm
+    * vectors) are unrankable and dropped — the brute-force contract.
+    *
+    * Scale: one centroid_id shuffle of probes×N assignment rows, the
+    * guarded per-cell join, one pair-relation distinct, one
+    * source-keyed window — no all-pairs anywhere; eager probe-inclusive
+    * census fails loud before the join (the X179 guard discipline).
+    * Output: (vec_id, rk, neighbor_id, cosine), rk ≤ k per source. */
+  def knnGraph(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, k: Int, probes: Int = 2,
+      maxBucketPoints: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(maxBucketPoints >= 2,
+      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
+    ensureNative(points)
+    val asg = graft.util.Caches.persistTracked(
+      ivfAssignProbes(points, idCol, vecCol, centroids, dim, probes)
+        .select(col("vec_id").as("__id"), col("v").as("__v"),
+          col("nrm").as("__nm"), col("centroid_id").as("__bk")))
+    val oversize = asg.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketPoints)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"knnGraph: cell ${oversize.head.get(0)} holds " +
+        s"${oversize.head.getLong(1)} probe-assigned points > " +
+        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
+        "O(m²); train more centroids, lower probes, or sample")
+    val a = asg.select(col("__bk"), col("__id").as("__p"),
+      col("__v").as("__va"), col("__nm").as("__na"))
+    val b = asg.select(col("__bk"), col("__id").as("__o"),
+      col("__v").as("__vb"), col("__nm").as("__nb"))
+    val pairs = a.join(b, Seq("__bk")).filter(col("__p") =!= col("__o"))
+      .withColumn("__c", nCosine(col("__va"), col("__vb"), col("__na"),
+        col("__nb")))
+      .filter(!isnan(col("__c")))
+      .select(col("__p"), col("__o"), col("__c"))
+      .distinct()
+    pairs
+      .withColumn("rk", row_number().over(Window.partitionBy(col("__p"))
+        .orderBy(col("__c").desc, col("__o"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("__p").as("vec_id"), col("rk"),
+        col("__o").as("neighbor_id"), round(col("__c"), 6).as("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** The shared exact-LOF kernel over a (point, other, distance) pair
     * relation — [[lofScores]] feeds it the guarded all-pairs join,
     * [[lofScoresBucketed]] the bucket-keyed one. */

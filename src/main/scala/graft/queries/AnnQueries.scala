@@ -199,6 +199,15 @@ object AnnQueries {
         probes = 2)
     },
 
+    // X182: per-cell exact k-NN graph — the graph-ANN edge list: exact
+    // cosine top-5 neighbors within top-2-probe IVF cells (symmetric
+    // halo candidates), brute-force output schema, Σ m_eff² cost.
+    "q_x182_knn_graph" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 40 === 0), Dim, k = 5, probes = 2)
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -832,6 +841,34 @@ object AnnQueries {
     // The halo form: pair generation widened to the top-2 probed cells.
     "q_x181_lof_halo" ->
       lofHaloOracle("vec_id IN (0, 7, 14, 21)", probes = 2),
+    // X182: the halo candidate relation ranked by (cos desc, id) per
+    // source — the brute-force tie order, restricted to shared cells.
+    "q_x182_knn_graph" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
     // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
     // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side

@@ -125,6 +125,35 @@ class RecallGateSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "hold the k-NN graph recall floor, exact at probes = nlist" in {
+    // X182: the per-cell edge list vs the brute-force truth. probes=2
+    // recovers the planted boundary vectors (blended toward the next
+    // cluster's axis); probes=1 is plain bucketing and loses them;
+    // probes = nlist makes every pair share a cell -> EXACT edges.
+    def graphRecall(probes: Int): Double = recallOf(
+      Similarity.knnGraph(corpus, "vec_id", "embedding", centroids,
+        Dim, K, probes = probes).filter(col("vec_id") % 5 === 0))
+    val g1 = graphRecall(1)
+    val g2 = graphRecall(2)
+    info(f"knn graph recall probes1=$g1%.3f probes2=$g2%.3f")
+    g1 should be >= 0.85
+    g2 should be >= 0.98
+    g2 should be >= g1
+    val exactEdges = Similarity.bruteForceTopK(corpus, corpus, "vec_id",
+      "embedding", K, Dim)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val fullGraph = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      centroids, Dim, K, probes = Clusters)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    fullGraph shouldBe exactEdges
+    // the census counts probe rows: probes=2 doubles cell occupancy
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(corpus, "vec_id", "embedding", centroids,
+        Dim, K, probes = 2, maxBucketPoints = 12L)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "hold the IVF near-dup pair recall floor against the exact pair set" in {
     // planted near-identical copies: every 5th corpus vector re-appears
     // under id+1000 with a tiny deterministic perturbation (cos ~ 1)
