@@ -479,6 +479,14 @@ object Dq {
       .unionByName(clean(current, 0L, 1L))
       .groupBy(col("__v"))
       .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    ksFromCells(pooled)
+  }
+
+  /** The [[ksDrift]] finish over an already-pooled distinct-value count
+    * table (__v double, nr, nc) — per-value counts are exact mergeable
+    * integers, so a streaming value-cell store can reuse this verbatim
+    * (the cmhFromCounts pattern at value grain). */
+  private[graft] def ksFromCells(pooled: DataFrame): DataFrame = {
     val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
       pooled, Seq(col("__v")),
       Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
@@ -518,7 +526,6 @@ object Dq {
     * 1 row — (n_ref, n_cur, w1). */
   def wassersteinDrift(reference: DataFrame, current: DataFrame,
       valueCol: String): DataFrame = {
-    val D = "decimal(38,0)"
     def clean(df: DataFrame, r: Long, c: Long) = df
       .select(col(valueCol).cast("double").as("__raw"))
       .filter(col("__raw").isNotNull)
@@ -528,6 +535,17 @@ object Dq {
       .unionByName(clean(current, 0L, 1L))
       .groupBy(col("__v"))
       .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    wassersteinFromCells(pooled)
+  }
+
+  /** The [[wassersteinDrift]] finish over an already-pooled MICRO-grid
+    * distinct-value count table (__v = ⌊v·10⁶+½⌋ long, nr, nc) —
+    * mergeable integer cells, shared with the streaming value-cell
+    * store (quantizing cell values and summing counts is identical to
+    * quantizing row values: same value → same micro cell). */
+  private[graft] def wassersteinFromCells(pooled: DataFrame)
+      : DataFrame = {
+    val D = "decimal(38,0)"
     val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
       pooled, Seq(col("__v")),
       Seq("__cnr" -> col("nr"), "__cnc" -> col("nc"),
@@ -720,7 +738,6 @@ object Dq {
     * Output: 1 row — (n_ref, n_cur, a2). */
   def andersonDarlingDrift(reference: DataFrame, current: DataFrame,
       valueCol: String): DataFrame = {
-    val D = "decimal(38,0)"
     def clean(df: DataFrame, r: Long, c: Long) = df
       .select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
@@ -729,6 +746,16 @@ object Dq {
       .unionByName(clean(current, 0L, 1L))
       .groupBy(col("__v"))
       .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    andersonDarlingFromCells(pooled)
+  }
+
+  /** The [[andersonDarlingDrift]] finish over an already-pooled
+    * distinct-value count table (__v double, nr, nc) — the third view
+    * the streaming value-cell store feeds (KS takes the worst gap, W₁
+    * the mass moved, AD the tail-weighted total). */
+  private[graft] def andersonDarlingFromCells(pooled: DataFrame)
+      : DataFrame = {
+    val D = "decimal(38,0)"
     val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
       pooled, Seq(col("__v")),
       Seq("__cnr" -> col("nr"), "__cnc" -> col("nc"),

@@ -331,11 +331,40 @@ object RankTests {
     * Output 1 row: (n_blocks, k, dof, chi2). */
   def friedman(df: DataFrame, block: Column, treatment: Column,
       value: Column): DataFrame = {
-    // values rank on the DECIMAL(18,6) grid (the cusumFromDaily
-    // normalization contract): a double cast would midrank-tie
-    // integer values past 2^53 — exactly the micro-scaled LONG sums
-    // callers feed this — while an exact-typed oracle distinguishes
-    // them. |v| ≥ 1e12 overflows the decimal and fails loud below.
+    val cells = friedmanGuardedCells(df, block, treatment, value)
+    val cellR = friedmanRankedCells(cells)
+    // the per-block completeness guard rides the per-block recount
+    // (unchanged); n = block count with the guard fused into its plan
+    val kRow = broadcast(cells.agg(
+      countDistinct(col("__t")).as("__k")))
+    val nRow = cellR.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"))
+      .crossJoin(kRow)
+      .select(when(col("__nb") =!= col("__k"),
+        raise_error(lit("friedman: incomplete block — every block " +
+          "needs one observation of every treatment")))
+        .otherwise(lit(1L)).as("__one"))
+      .agg(coalesce(sum(col("__one")), lit(0L)).as("__n"))
+    // per-treatment cells: Σ_cells r2² regrouped by treatment instead
+    // of by block — the same exact-DECIMAL cell set, order-free — so
+    // the finish is shared verbatim with the streaming cell store
+    val perT = cellR.groupBy(col("__t"))
+      .agg(sum(col("__r2").cast(D)).as("__R2"),
+        sum((col("__r2") * col("__r2")).cast(D)).as("__sr2"))
+      .crossJoin(broadcast(nRow))
+      .select(col("__t"), col("__n"), col("__R2"), col("__sr2"))
+    friedmanFromTreatmentCells(perT)
+  }
+
+  /** The [[friedman]] guard front: NULL block/treatment/value and
+    * out-of-grid values fail loud; exactly one observation per (block,
+    * treatment) — values on the DECIMAL(18,6) grid (the cusumFromDaily
+    * normalization contract): a double cast would midrank-tie integer
+    * values past 2^53 — exactly the micro-scaled LONG sums callers
+    * feed this — while an exact-typed oracle distinguishes them.
+    * Returns (__b, __t, __v). */
+  private[graft] def friedmanGuardedCells(df: DataFrame, block: Column,
+      treatment: Column, value: Column): DataFrame = {
     val vd = value.cast("decimal(18,6)")
     val rows = df.select(block.as("__b"), treatment.as("__t"),
       when(block.isNull || treatment.isNull || value.isNull,
@@ -344,15 +373,18 @@ object RankTests {
           raise_error(lit("friedman: value outside the " +
             "DECIMAL(18,6) grid — rescale first")))
         .otherwise(vd).as("__v"))
-    // exactly one observation per (block, treatment)
-    val cells = rows.groupBy(col("__b"), col("__t"))
+    rows.groupBy(col("__b"), col("__t"))
       .agg(count(lit(1)).as("__c"), min(col("__v")).as("__v0"))
       .select(col("__b"), col("__t"),
         when(col("__c") > 1, raise_error(
           lit("friedman: duplicate (block, treatment) observation")))
           .otherwise(col("__v0")).as("__v"))
-    // within-block doubled midranks: partition = ONE block's distinct
-    // values (≤ k rows), never data-sized
+  }
+
+  /** WITHIN-BLOCK doubled midranks over [[friedmanGuardedCells]]
+    * output: partition = ONE block's distinct values (≤ k rows), never
+    * data-sized. Returns (__b, __t, __v, __r2). */
+  private[graft] def friedmanRankedCells(cells: DataFrame): DataFrame = {
     val byVal = cells.groupBy(col("__b"), col("__v"))
       .agg(count(lit(1)).as("__cv"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
@@ -361,25 +393,30 @@ object RankTests {
       .select(col("__b"), col("__v"),
         (lit(2L) * (col("__cum") - col("__cv")) + col("__cv") + lit(1L))
           .as("__r2"))
-    val cellR = cells.join(ranked, Seq("__b", "__v"))
-    // one row: k (global treatment count), n (blocks), Σr2² — with the
-    // completeness guard riding the per-block recount
-    val kRow = broadcast(cells.agg(
-      countDistinct(col("__t")).as("__k")))
-    val blockTotals = cellR.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__nb"),
-        sum((col("__r2") * col("__r2")).cast(D)).as("__sr2b"))
-      .crossJoin(kRow)
-      .select(when(col("__nb") =!= col("__k"),
-        raise_error(lit("friedman: incomplete block — every block " +
-          "needs one observation of every treatment")))
-        .otherwise(col("__sr2b")).as("__sr2b"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__sr2b")).as("__sr2sq"))
-    val perT = cellR.groupBy(col("__t"))
-      .agg(sum(col("__r2").cast(D)).as("__R2"))
+    cells.join(ranked, Seq("__b", "__v"))
+  }
+
+  /** The [[friedman]] finish over per-treatment cells (__t, __n =
+    * blocks covered by this treatment, __R2 = Σ doubled ranks, __sr2 =
+    * Σ doubled-rank squares; both DECIMAL(38,0)) — every column is an
+    * exact mergeable integer (a complete block contributes its k cells
+    * whole), so a streaming block-grain store sums per-batch cells and
+    * reuses this verbatim. Fails loud when treatments disagree on the
+    * block count (an incomplete merged design). */
+  private[graft] def friedmanFromTreatmentCells(perT: DataFrame)
+      : DataFrame = {
+    val tot = broadcast(perT
+      .agg(count(lit(1)).as("__k"),
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+        sum(col("__sr2")).as("__sr2sq"))
+      .select(
+        when(col("__nmin") =!= col("__nmax"),
+          raise_error(lit("friedman: incomplete design — treatments " +
+            "cover different block counts")))
+          .otherwise(col("__nmin")).as("__n"),
+        col("__k"), col("__sr2sq")))
     // (R2_j − n(k+1))² exact in DECIMAL, order-free across treatments
-    val terms = perT.crossJoin(broadcast(blockTotals.crossJoin(kRow)))
+    val terms = perT.select(col("__R2")).crossJoin(tot)
       .select(col("__n"), col("__k"), col("__sr2sq"),
         ((col("__R2") -
             col("__n").cast(D) * (col("__k") + lit(1L)).cast(D)) *
@@ -425,12 +462,20 @@ object RankTests {
     * side ⇒ NULL tau. Output per group: (g, n, n_cells,
     * conc_minus_disc, tau_b). */
   def kendallTau(df: DataFrame, group: Column, x: Column, y: Column,
-      maxCellsPerGroup: Int = 20000): DataFrame = {
-    val cells = graft.util.Caches.persistTracked(
+      maxCellsPerGroup: Int = 20000): DataFrame =
+    kendallTauFromCells(
       df.filter(x.isNotNull && y.isNotNull)
         .select(group.as("g"), x.as("x"), y.as("y"))
         .groupBy(col("g"), col("x"), col("y"))
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c")), maxCellsPerGroup)
+
+  /** The [[kendallTau]] finish over an already-counted (g, x, y, c)
+    * cell table — cells are exact mergeable integers, so a streaming
+    * cell store re-aggregates per-batch partial counts and reuses this
+    * verbatim (the cmhFromCounts pattern). */
+  private[graft] def kendallTauFromCells(cells0: DataFrame,
+      maxCellsPerGroup: Int = 20000): DataFrame = {
+    val cells = graft.util.Caches.persistTracked(cells0)
     val nCells = cells.groupBy(col("g"))
       .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n"))
     // EAGER cap check (the X165 LOF convention, for real): a lazy

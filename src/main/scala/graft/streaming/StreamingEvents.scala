@@ -2086,6 +2086,225 @@ object StreamingEvents {
       spark.read.parquet(indexDir).select(col("doc_id"), col("h")),
       minDocs)
 
+  /** Streaming NUMERIC-DRIFT VALUE-CELL store: each micro-batch of the
+    * CURRENT stream persists its per-distinct-value counts (__v, n)
+    * under `batch_id=N` — rows bounded by value cardinality, never
+    * event volume; counts are exact mergeable integers (the
+    * dailyAggSink pattern at value grain). ONE store feeds the whole
+    * numeric-drift family against a frozen reference: [[ksDriftView]]
+    * (worst CDF gap), [[wassersteinView]] (mass moved),
+    * [[andersonDarlingView]] (tail-weighted total) — each reusing its
+    * batch finisher verbatim, so every view is bit-equal to the batch
+    * operator over (reference, everything-ingested) regardless of
+    * batch boundaries (spec-proven). NULL values drop exactly like the
+    * batch operators' clean step. Replays overwrite their own batch
+    * directory: idempotent. */
+  def valueCellSink(rows: DataFrame, valueCol: String,
+      cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) valueCellBatch(batch.toDF(), batchId,
+          valueCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[valueCellSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def valueCellBatch(batch: DataFrame, batchId: Long,
+      valueCol: String, cellsDir: String): Unit = {
+    batch.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The pooled (__v, nr, nc) distinct-value table of a frozen
+    * reference DataFrame against a [[valueCellSink]] store — the
+    * shared front of the three numeric-drift views. `quantize`
+    * re-grids both sides to micro LONGs for the W₁ view (same value →
+    * same micro cell, so cell-then-quantize ≡ row-then-quantize). */
+  private def pooledValueCells(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String,
+      quantize: Boolean): DataFrame = {
+    def grid(c: org.apache.spark.sql.Column) =
+      if (quantize) floor(c * lit(1e6) + lit(0.5)).cast("long") else c
+    val ref = reference
+      .select(col(valueCol).cast("double").as("__raw"))
+      .filter(col("__raw").isNotNull)
+      .select(grid(col("__raw")).as("__v"), lit(1L).as("__r"),
+        lit(0L).as("__c"))
+    val cur = spark.read.parquet(cellsDir)
+      .select(grid(col("__v")).as("__v"), lit(0L).as("__r"),
+        col("n").as("__c"))
+    ref.unionByName(cur)
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+  }
+
+  /** D7 over a [[valueCellSink]] store: the KS drift statistic of the
+    * merged current cells against a frozen reference, through the
+    * batch [[graft.dq.Dq.ksDrift]] finish verbatim. */
+  def ksDriftView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.ksFromCells(pooledValueCells(spark, cellsDir,
+      reference, valueCol, quantize = false))
+
+  /** D26 over the SAME [[valueCellSink]] store: the 1-Wasserstein
+    * drift through the batch finish verbatim (micro-grid cells). */
+  def wassersteinView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.wassersteinFromCells(pooledValueCells(spark, cellsDir,
+      reference, valueCol, quantize = true))
+
+  /** D29 over the SAME [[valueCellSink]] store: the tail-sensitive
+    * two-sample Anderson–Darling drift through the batch finish
+    * verbatim (including its exact-DECIMAL pooled-N bound). */
+  def andersonDarlingView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.andersonDarlingFromCells(pooledValueCells(spark,
+      cellsDir, reference, valueCol, quantize = false))
+
+  /** Streaming FRIEDMAN matched-design monitor (F82 streaming): the
+    * treatment list is DECLARED up front (the jonckheereSink
+    * discipline — a batch missing a treatment would write narrower
+    * cells that no longer merge) and blocks arrive WHOLE — one
+    * micro-batch carries every declared treatment of each of its
+    * blocks (the lineIndexSink one-batch contract; within-block ranks
+    * need the complete block). Each micro-batch persists its
+    * per-treatment cells (__t, __n blocks, __R2 Σ doubled ranks, __sr2
+    * Σ doubled-rank squares) under `batch_id=N` — k rows per batch,
+    * never block volume; every column is an exact mergeable integer,
+    * so the published view — treatment-summed cells through
+    * [[graft.ml.RankTests.friedmanFromTreatmentCells]] verbatim —
+    * equals the batch Friedman over everything ingested (spec-proven).
+    * Undeclared treatments, NULLs, duplicate observations and
+    * incomplete blocks fail loud. Replays overwrite their own batch
+    * directory: idempotent. */
+  def friedmanSink(rows: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String, treatments: Seq[String], cellsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(treatments.size >= 2 && treatments.distinct == treatments,
+      s"friedmanSink: need >= 2 distinct declared treatments, " +
+        s"got $treatments")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) friedmanBatch(batch.toDF(), batchId,
+          blockCol, treatCol, valueCol, treatments, cellsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[friedmanSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def friedmanBatch(batch: DataFrame, batchId: Long,
+      blockCol: String, treatCol: String, valueCol: String,
+      treatments: Seq[String], cellsDir: String): Unit = {
+    val t = col(treatCol).cast("string")
+    val guarded = batch.select(col(blockCol).as("__b0"),
+      when(t.isNotNull && !t.isin(treatments: _*),
+        raise_error(concat(lit("friedmanBatch: treatment "), t,
+          lit(s" is not in the declared list $treatments"))))
+        .otherwise(t).as("__t0"),
+      col(valueCol).as("__v0"))
+    val cells = graft.ml.RankTests.friedmanGuardedCells(guarded,
+      col("__b0"), col("__t0"), col("__v0"))
+    // block-grain completeness INSIDE the batch: within-block ranks
+    // need every declared treatment of a block in this micro-batch
+    val k = treatments.size
+    val ranked = graft.ml.RankTests.friedmanRankedCells(cells)
+      .withColumn("__nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .select(col("__t"),
+        when(col("__nb") =!= lit(k),
+          raise_error(lit("friedmanBatch: incomplete block in batch " +
+            "— a block must arrive whole (every declared treatment " +
+            "in one micro-batch)")))
+          .otherwise(col("__r2")).as("__r2"))
+    ranked.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast("decimal(38,0)")).as("__R2"),
+        sum((col("__r2") * col("__r2")).cast("decimal(38,0)"))
+          .as("__sr2"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[friedmanSink]] directory: treatment-
+    * summed cells through the batch Friedman finish verbatim. A
+    * declared treatment with no cells yet fails loud (a narrower k
+    * would silently change the statistic's dof). */
+  def friedmanView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, treatments: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val merged = spark.read.parquet(cellsDir)
+      .groupBy(col("__t"))
+      .agg(sum(col("__n")).as("__n"),
+        sum(col("__R2")).cast("decimal(38,0)").as("__R2"),
+        sum(col("__sr2")).cast("decimal(38,0)").as("__sr2"))
+    val spine = treatments.toDF("__t")
+    val guarded = spine.join(merged, Seq("__t"), "left")
+      .select(col("__t"),
+        when(col("__n").isNull,
+          raise_error(concat(lit("friedmanView: declared treatment "),
+            col("__t"), lit(" has no ingested cells"))))
+          .otherwise(col("__n")).as("__n"),
+        col("__R2"), col("__sr2"))
+    graft.ml.RankTests.friedmanFromTreatmentCells(guarded)
+  }
+
+  /** Streaming KENDALL-τ-b monitor (F83 streaming): each micro-batch
+    * persists its per-(g, x, y) distinct-cell counts under
+    * `batch_id=N` — rows bounded by cell cardinality, never row
+    * volume; counts are exact mergeable integers, so the published
+    * view — cell-summed counts through
+    * [[graft.ml.RankTests.kendallTauFromCells]] verbatim (eager
+    * cell-cap guard included) — equals the batch τ-b over everything
+    * ingested (spec-proven). NULL x/y drop exactly like the batch
+    * operator. Replays overwrite their own batch directory:
+    * idempotent. */
+  def kendallTauSink(rows: DataFrame, groupCol: String, xCol: String,
+      yCol: String, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) kendallTauBatch(batch.toDF(), batchId,
+          groupCol, xCol, yCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[kendallTauSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def kendallTauBatch(batch: DataFrame, batchId: Long,
+      groupCol: String, xCol: String, yCol: String,
+      cellsDir: String): Unit = {
+    batch.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).as("x"),
+        col(yCol).as("y"))
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[kendallTauSink]] directory: merged
+    * cells through the batch τ-b finish verbatim. */
+  def kendallTauView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, maxCellsPerGroup: Int = 20000): DataFrame =
+    graft.ml.RankTests.kendallTauFromCells(
+      spark.read.parquet(cellsDir)
+        .groupBy(col("g"), col("x"), col("y"))
+        .agg(sum(col("c")).as("c")), maxCellsPerGroup)
+
   /** One (entity, eventType) lane of streaming state. */
   case class EventKey(entity: Long, eventType: String)
   case class EventIn(entity: Long, eventType: String,

@@ -1698,4 +1698,130 @@ class StreamingSpec extends SparkSpec {
         Seq((5L, 1.0)).toDF("g", "v"), 9L, "g", "v", gs, s"$tmp/cells")
     graft.util.Caches.releaseAll(spark)
   }
+
+  it should "feed KS, Wasserstein and Anderson-Darling views from ONE value-cell store, batch-identically and replay-safely" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svc").toString
+    // a frozen reference and a drifting current stream (level shift +
+    // a planted far-tail value so AD has something KS undersees)
+    val reference = (1 to 60).map(i => (i % 12).toDouble).toDF("v")
+    def batchRows(seed: Int): Seq[Double] =
+      (1 to 40).map(i => ((i * 7 + seed * 3) % 12).toDouble + 0.5) :+
+        (seed * 100.0)
+    val in = MemoryStream[Double]
+    val q = StreamingEvents.valueCellSink(in.toDF().toDF("v"), "v",
+      s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val union = (1 to 2).flatMap(batchRows).toDF("v")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).head
+    val ksB = one(graft.dq.Dq.ksDrift(reference, union, "v"))
+    val w1B = one(graft.dq.Dq.wassersteinDrift(reference, union, "v"))
+    val adB = one(graft.dq.Dq.andersonDarlingDrift(reference, union,
+      "v"))
+    one(StreamingEvents.ksDriftView(spark, s"$tmp/cells", reference,
+      "v")) shouldBe ksB
+    one(StreamingEvents.wassersteinView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe w1B
+    one(StreamingEvents.andersonDarlingView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe adB
+    // replay safety: re-writing a batch's cells changes nothing
+    StreamingEvents.valueCellBatch(batchRows(2).toDF("v"), 1L, "v",
+      s"$tmp/cells")
+    one(StreamingEvents.ksDriftView(spark, s"$tmp/cells", reference,
+      "v")) shouldBe ksB
+    one(StreamingEvents.wassersteinView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe w1B
+    one(StreamingEvents.andersonDarlingView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe adB
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "merge streamed Friedman treatment cells into the batch test of the union, blocks arriving whole" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sfr").toString
+    val ts = Seq("a", "b", "c")
+    // complete blocks per batch (the block-grain ingest contract),
+    // with ties inside some blocks to exercise the midrank path
+    def batchRows(seed: Int): Seq[(Long, String, Double)] =
+      (1 to 8).flatMap { b =>
+        val blk = (seed * 100 + b).toLong
+        ts.zipWithIndex.map { case (t, j) =>
+          (blk, t, ((b * 5 + j * (seed + j) + seed) % 7).toDouble)
+        }
+      }
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingEvents.friedmanSink(in.toDF().toDF("b", "t", "v"),
+      "b", "t", "v", ts, s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).head
+    val union = (1 to 2).flatMap(batchRows).toDF("b", "t", "v")
+    val batch = one(graft.ml.RankTests.friedman(union, col("b"),
+      col("t"), col("v")))
+    one(StreamingEvents.friedmanView(spark, s"$tmp/cells",
+      ts)) shouldBe batch
+    // replay safety
+    StreamingEvents.friedmanBatch(batchRows(2).toDF("b", "t", "v"),
+      1L, "b", "t", "v", ts, s"$tmp/cells")
+    one(StreamingEvents.friedmanView(spark, s"$tmp/cells",
+      ts)) shouldBe batch
+    // an undeclared treatment fails loud
+    an[Exception] should be thrownBy
+      StreamingEvents.friedmanBatch(
+        Seq((1L, "zz", 1.0), (1L, "a", 2.0), (1L, "b", 3.0))
+          .toDF("b", "t", "v"), 9L, "b", "t", "v", ts, s"$tmp/cells")
+    // a block arriving split (missing treatment c) fails loud
+    an[Exception] should be thrownBy
+      StreamingEvents.friedmanBatch(
+        Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("b", "t", "v"),
+        9L, "b", "t", "v", ts, s"$tmp/cells")
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "merge streamed Kendall tau-b cells into the batch test of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skt").toString
+    def batchRows(seed: Int): Seq[(String, Long, Long)] =
+      (1 to 50).map { i =>
+        val g = s"g${i % 2}"
+        (g, (i % 9).toLong, ((i * (3 + seed) + seed) % 11).toLong)
+      }
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingEvents.kendallTauSink(
+      in.toDF().toDF("g", "x", "y"), "g", "x", "y", s"$tmp/cells",
+      s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("g")).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val union = (1 to 2).flatMap(batchRows).toDF("g", "x", "y")
+    val batch = rows(graft.ml.RankTests.kendallTau(union, col("g"),
+      col("x"), col("y")))
+    rows(StreamingEvents.kendallTauView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // replay safety
+    StreamingEvents.kendallTauBatch(batchRows(2).toDF("g", "x", "y"),
+      1L, "g", "x", "y", s"$tmp/cells")
+    rows(StreamingEvents.kendallTauView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // the eager cell cap guards the view's quadratic join too
+    an[Exception] should be thrownBy
+      StreamingEvents.kendallTauView(spark, s"$tmp/cells",
+        maxCellsPerGroup = 3).collect()
+    graft.util.Caches.releaseAll(spark)
+  }
 }
