@@ -115,8 +115,8 @@ object Bench {
     // fixed-nlist bucketed LOF, measured super-linear at sf1 exponent
     // 1.10 vs its adaptive fix q_x179b at 0.52 — BASELINE wave 35).
     // Tagged in the JSON so the board reads clean without hiding them.
-    val counterExamples = Seq("q_x179_lof_bucketed")
-      .filter(n => results.exists(_._1 == n))
+    val counterExamples = graft.tools.ScaleGate.declaredCounterExamples
+      .toSeq.sorted.filter(n => results.exists(_._1 == n))
     val ceJson = counterExamples.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // The driver captures only the LAST 2000 chars of output; a full

@@ -794,6 +794,113 @@ object Dq {
             (col("__s").cast("double") / lit(1e9)))).as("a2"))
   }
 
+  /** D31: TWO-SAMPLE CRAMÉR–VON MISES DRIFT (Anderson 1962, public
+    * knowledge) — the INTEGRATED-square member completing the
+    * CDF-distance family: KS takes the single worst gap (a narrow
+    * spike dominates), AD weights the tails, W₁ is metric-scaled; CvM
+    * integrates the SQUARED gap over the pooled sample —
+    * `T = (n_r·n_c/N²)·Σ_pooled (F_r − F_c)²` — the whole-shape score
+    * that is robust to both a lone spike and metric rescaling.
+    *
+    * Exactness: on the pooled distinct-value grid
+    * `T = Σ_j l_j·d_j² / (N²·n_r·n_c)` with `d_j = cnr_j·n_c −
+    * cnc_j·n_r` — every term an EXACT integer in DECIMAL(38,0)
+    * (Σ l_j = N so the sum is bounded by N·(n_r·n_c)² ≤ N⁵/16 — the
+    * [[andersonDarlingDrift]] bound family; the shared N ≤ 3.0e7 guard
+    * keeps it inside 38 digits), ONE final double division, published
+    * q6. Scale shape: the ksDrift plan verbatim — one pooled value
+    * aggregate + one two-phase prefix sum, no windows over data, no
+    * joins. Output: 1 row — (n_ref, n_cur, cvm). */
+  def cramerVonMisesDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    cramerVonMisesFromCells(pooled)
+  }
+
+  /** The [[cramerVonMisesDrift]] finish over an already-pooled
+    * distinct-value count table (__v double, nr, nc) — the fourth view
+    * the streaming value-cell store feeds. */
+  private[graft] def cramerVonMisesFromCells(pooled: DataFrame)
+      : DataFrame = {
+    val D = "decimal(38,0)"
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      pooled, Seq(col("__v")),
+      Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
+    val (nRef, nCur) = (totals(0), totals(1))
+    val nTot = nRef + nCur
+    require(nRef > 0 && nCur > 0, "cramerVonMisesDrift: empty population")
+    require(nTot <= 30000000L,
+      s"cramerVonMisesDrift: pooled N=$nTot exceeds the exact " +
+        "DECIMAL(38,0) bound (N⁵/16 < 1e38 requires N ≤ 3.0e7, the " +
+        "andersonDarlingDrift guard family) — sample or pre-bin first")
+    val l = (col("nr") + col("nc")).cast(D)
+    val d = col("__cnr").cast(D) * lit(nCur).cast(D) -
+      col("__cnc").cast(D) * lit(nRef).cast(D)
+    import graft.functions.q6
+    cum.agg(coalesce(sum(l * d * d), lit(0).cast(D)).as("__s"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        q6(col("__s").cast("double") /
+          (lit(nTot.toDouble) * lit(nTot.toDouble) *
+            lit(nRef.toDouble) * lit(nCur.toDouble))).as("cvm"))
+  }
+
+  /** D32: KUIPER DRIFT (Kuiper 1960, public knowledge) — the
+    * TWO-SIDED max-gap: `V = D⁺ + D⁻` with `D± = max ±(F_ref −
+    * F_cur)`. KS sees only the single largest gap; a shift that moves
+    * mass OUT of both ends (or any change KS happens to see only on
+    * one side) doubles up in V — the classic equal-sensitivity-
+    * across-the-range variant (and the circular-data statistic).
+    *
+    * Exactness: the two maxima are taken over EXACT integers
+    * `d_j = cnr_j·n_c − cnc_j·n_r` (each bounded by n_r·n_c ≤ N²/4 —
+    * fits DECIMAL(38,0) at any realistic N, no guard needed), then ONE
+    * correctly-rounded division of their sum — bit-identical
+    * cross-engine like [[ksDrift]], no quantization anywhere. The
+    * ksDrift plan verbatim. D⁺, D⁻ ≥ 0 always (the gap is 0 at the top
+    * grid value). Output: 1 row — (n_ref, n_cur, d_plus, d_minus,
+    * kuiper). */
+  def kuiperDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    kuiperFromCells(pooled)
+  }
+
+  /** The [[kuiperDrift]] finish over an already-pooled distinct-value
+    * count table (__v double, nr, nc) — the fifth view the streaming
+    * value-cell store feeds. */
+  private[graft] def kuiperFromCells(pooled: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val (cum, totals) = graft.relational.Ranks.prefixSumsWithTotals(
+      pooled, Seq(col("__v")),
+      Seq("__cnr" -> col("nr"), "__cnc" -> col("nc")))
+    val (nRef, nCur) = (totals(0), totals(1))
+    require(nRef > 0 && nCur > 0, "kuiperDrift: empty population")
+    val d = col("__cnr").cast(D) * lit(nCur).cast(D) -
+      col("__cnc").cast(D) * lit(nRef).cast(D)
+    val den = nRef.toDouble * nCur.toDouble
+    cum.agg(greatest(max(d), lit(0).cast(D)).as("__dp"),
+        greatest(max(-d), lit(0).cast(D)).as("__dm"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        (col("__dp").cast("double") / lit(den)).as("d_plus"),
+        (col("__dm").cast("double") / lit(den)).as("d_minus"),
+        ((col("__dp") + col("__dm")).cast("double") / lit(den))
+          .as("kuiper"))
+  }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {

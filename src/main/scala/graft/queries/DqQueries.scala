@@ -638,6 +638,28 @@ object DqQueries {
         "value")
     },
 
+    // D31: two-sample Cramér–von Mises on the same split — the
+    // integrated-square CDF distance (exact integer l·d² terms on the
+    // pooled grid, one final division).
+    "q_d31_cramer_von_mises" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.cramerVonMisesDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value")
+    },
+
+    // D32: Kuiper V = D+ + D- on the same split — the two-sided
+    // max-gap (exact integer maxima, one division — bit-identical
+    // cross-engine like KS).
+    "q_d32_kuiper" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.kuiperDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value")
+    },
+
     // D8: one-pass column profiling of lineitem — exact counts and
     // distincts, decimal-exact numeric means, string min/max.
     "q_d8_profile" -> { (s, dir) =>
@@ -4292,6 +4314,86 @@ object DqQueries {
         |  (SELECT ncl FROM t) AS n_cur,
         |  max(gap) AS ks_stat
         |FROM g""".stripMargin,
+    // D31: the same pooled-grid chain; l·d² terms exact in HUGEINT,
+    // HUGEINT→DOUBLE through VARCHAR (the lof-oracle cast discipline),
+    // denominator multiplied left-to-right like the Spark tree.
+    "q_d31_cramer_von_mises" ->
+      """WITH rv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |cv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |pooled AS (
+        |  SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc
+        |  FROM (
+        |    SELECT v, 1 AS r, 0 AS c FROM rv
+        |    UNION ALL
+        |    SELECT v, 0, 1 FROM cv)
+        |  GROUP BY v),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS nrl,
+        |    CAST(sum(nc) AS BIGINT) AS ncl FROM pooled),
+        |g AS (
+        |  SELECT CAST(nr + nc AS HUGEINT) AS l,
+        |    CAST(sum(nr) OVER w AS HUGEINT) * (SELECT ncl FROM t) -
+        |    CAST(sum(nc) OVER w AS HUGEINT) * (SELECT nrl FROM t) AS d
+        |  FROM pooled
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT (SELECT nrl FROM t) AS n_ref,
+        |  (SELECT ncl FROM t) AS n_cur,
+        |  floor(CAST(CAST(sum(l * d * d) AS VARCHAR) AS DOUBLE) /
+        |    (CAST((SELECT nrl FROM t) + (SELECT ncl FROM t) AS DOUBLE) *
+        |     CAST((SELECT nrl FROM t) + (SELECT ncl FROM t) AS DOUBLE) *
+        |     CAST((SELECT nrl FROM t) AS DOUBLE) *
+        |     CAST((SELECT ncl FROM t) AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS cvm
+        |FROM g""".stripMargin,
+    // D32: exact integer maxima of ±d, one division each — no
+    // rounding anywhere (the ksDrift contract).
+    "q_d32_kuiper" ->
+      """WITH rv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |cv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |pooled AS (
+        |  SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc
+        |  FROM (
+        |    SELECT v, 1 AS r, 0 AS c FROM rv
+        |    UNION ALL
+        |    SELECT v, 0, 1 FROM cv)
+        |  GROUP BY v),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS nrl,
+        |    CAST(sum(nc) AS BIGINT) AS ncl FROM pooled),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(nr) OVER w AS HUGEINT) * (SELECT ncl FROM t) -
+        |    CAST(sum(nc) OVER w AS HUGEINT) * (SELECT nrl FROM t) AS d
+        |  FROM pooled
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT greatest(max(d), 0) AS dp,
+        |    greatest(max(-d), 0) AS dm FROM g)
+        |SELECT (SELECT nrl FROM t) AS n_ref,
+        |  (SELECT ncl FROM t) AS n_cur,
+        |  CAST(CAST(dp AS VARCHAR) AS DOUBLE) /
+        |    (CAST((SELECT nrl FROM t) AS DOUBLE) *
+        |     CAST((SELECT ncl FROM t) AS DOUBLE)) AS d_plus,
+        |  CAST(CAST(dm AS VARCHAR) AS DOUBLE) /
+        |    (CAST((SELECT nrl FROM t) AS DOUBLE) *
+        |     CAST((SELECT ncl FROM t) AS DOUBLE)) AS d_minus,
+        |  CAST(CAST(dp + dm AS VARCHAR) AS DOUBLE) /
+        |    (CAST((SELECT nrl FROM t) AS DOUBLE) *
+        |     CAST((SELECT ncl FROM t) AS DOUBLE)) AS kuiper
+        |FROM m""".stripMargin,
     // PSI: identical edge ranks (integer ceil arithmetic), identical
     // strict-greater binning against data-exact edges, clipped shares
     // as single divisions; only ln-bearing outputs rounded.

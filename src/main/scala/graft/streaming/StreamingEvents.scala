@@ -2171,6 +2171,24 @@ object StreamingEvents {
     graft.dq.Dq.andersonDarlingFromCells(pooledValueCells(spark,
       cellsDir, reference, valueCol, quantize = false))
 
+  /** D31 over the SAME [[valueCellSink]] store: the integrated-square
+    * Cramér–von Mises drift through the batch finish verbatim. */
+  def cramerVonMisesView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.cramerVonMisesFromCells(pooledValueCells(spark,
+      cellsDir, reference, valueCol, quantize = false))
+
+  /** D32 over the SAME [[valueCellSink]] store: the two-sided Kuiper
+    * max-gap through the batch finish verbatim — the store now feeds
+    * the full five-member CDF-distance family (KS, W₁, AD, CvM,
+    * Kuiper) from one cell directory. */
+  def kuiperView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.kuiperFromCells(pooledValueCells(spark,
+      cellsDir, reference, valueCol, quantize = false))
+
   /** Streaming FRIEDMAN matched-design monitor (F82 streaming): the
     * treatment list is DECLARED up front (the jonckheereSink
     * discipline — a batch missing a treatment would write narrower

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** THE SCALE GATE (r13 verdict item 2, institutionalized): the per-round
+  * sf0.1 → sf1 exponent probe as a tool instead of a hand-run ritual.
+  * Runs each named query against a small and a big data directory
+  * (the big one typically `/tmp/sf1_synth` from [[ScaleUp]] ×10),
+  * times both (untimed warm-up + median-of-N, the Bench discipline),
+  * prints the BASELINE.md wave table, and FAILS — nonzero exit — when
+  * any query's exponent `log_factor(t_big / t_small)` exceeds the gate
+  * (default 0.8) unless the query is on the DECLARED counter-example
+  * list. A board can therefore never silently grow a super-linear
+  * query: the wave that would record it aborts instead.
+  *
+  * The default query set is the STANDING GATE: all 22 TPC-H shapes
+  * (r13 verdict item 7 — so the 0.33–0.35 watch rows a20/a28/a29 get
+  * tracked round-over-round) plus the stats watch row f82. Pass an
+  * explicit comma list to probe a new wave's queries.
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleGate <smallDir> <bigDir> <factor> [q1,q2,…]
+  * Env: SPARK_GRAFT_REPEATS (default 3), SPARK_GRAFT_GATE (default 0.8),
+  *      SPARK_GRAFT_CPUS (default 32). */
+object ScaleGate {
+
+  /** Declared scale counter-examples — queries KEPT on the board to
+    * demonstrate a failure mode beside their fix (q_x179: fixed-nlist
+    * bucketed LOF, O(N²/nlist) by design, fix = q_x179b's adaptive
+    * nlist). The single source of truth: [[graft.Bench]] tags these in
+    * its JSON and this gate exempts them. */
+  val declaredCounterExamples: Set[String] = Set("q_x179_lof_bucketed")
+
+  /** The standing gate: every TPC-H shape + the stats watch row. */
+  val standingGate: Seq[String] = Seq(
+    "q_a1_pricing_summary", "q_a13_shipping_priority",
+    "q_a14_local_supplier_volume", "q_a15_volume_shipping",
+    "q_a16_market_share", "q_a17_disjunctive_revenue",
+    "q_a18_min_cost_supplier", "q_a19_small_quantity_revenue",
+    "q_a20_waiting_orders", "q_a21_global_sales_opportunity",
+    "q_a22_dominant_share_supplier", "q_a23_priority_check",
+    "q_a24_forecast_revenue", "q_a25_product_profit",
+    "q_a26_returned_items", "q_a27_important_stock",
+    "q_a28_shipmode_priority", "q_a29_customer_distribution",
+    "q_a30_promo_effect", "q_a31_top_supplier",
+    "q_a32_supplier_relationship", "q_a33_large_orders",
+    "q_f82_friedman")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ScaleGate <smallDir> <bigDir> <factor> [q1,q2,...]")
+    val (smallDir, bigDir) = (args(0), args(1))
+    val factor = args(2).toDouble
+    require(factor > 1.0, s"factor must be > 1, got $factor")
+    val names =
+      if (args.length >= 4) args(3).split(",").map(_.trim).toSeq
+      else standingGate
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val gate = sys.env.getOrElse("SPARK_GRAFT_GATE", "0.8").toDouble
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      graft.util.Caches.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      elapsed
+    }
+    def median(name: String, dir: String): Double = {
+      once(name, dir) // untimed warm-up (codegen, footer cache)
+      val ts = (1 to repeats).map(_ => once(name, dir)).sorted
+      ts(ts.size / 2)
+    }
+
+    println(s"[scalegate] ${names.size} queries, factor $factor, " +
+      s"gate $gate, repeats $repeats")
+    println("| query | small s | big s | exponent | verdict |")
+    println("|---|---|---|---|---|")
+    val rows = names.map { n =>
+      val tS = median(n, smallDir)
+      val tB = median(n, bigDir)
+      val exp = math.log(tB / tS) / math.log(factor)
+      val declared = declaredCounterExamples.contains(n)
+      val verdict =
+        if (exp <= gate) "ok"
+        else if (declared) "DECLARED counter-example"
+        else "FAIL"
+      println(f"| $n | $tS%.2f | $tB%.2f | $exp%.2f | $verdict |")
+      (n, tS, tB, exp, verdict)
+    }
+    val failed = rows.filter(_._5 == "FAIL")
+    // one machine-readable line for the round log
+    val json = rows.map { case (n, tS, tB, e, v) =>
+      f"""\"$n\":{\"small\":$tS%.3f,\"big\":$tB%.3f,\"exp\":$e%.3f,\"ok\":${v != "FAIL"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scalegate","gate":$gate,"factor":$factor,"failed":${failed.size},"queries":$json}""")
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[scalegate] FAIL: ${failed.size} queries " +
+        s"above exponent $gate and not declared: " +
+        failed.map(r => f"${r._1} (${r._4}%.2f)").mkString(", "))
+      sys.exit(1)
+    }
+    println("[scalegate] PASS")
+  }
+}

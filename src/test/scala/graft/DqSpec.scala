@@ -568,6 +568,60 @@ class DqSpec extends SparkSpec {
       .head._3 shouldBe None
   }
 
+  behavior of "cramerVonMisesDrift (D31) and kuiperDrift (D32)"
+
+  it should "match hand CvM and Kuiper on a small grid with ties" in {
+    // ref=[1,2,3], cur=[2,4]: grid cumulatives (cnr,cnc) =
+    // (1,0),(2,1),(3,1),(3,2); d = cnr*2 - cnc*3 = 2,1,3,0
+    // CvM: sum l*d^2 = 1*4 + 2*1 + 1*9 + 1*0 = 15; T = 15/(25*3*2)
+    //    = 0.1 exactly
+    // Kuiper: D+ = 3/6 = 0.5, D- = 0 -> V = 0.5 (= KS here: one-sided)
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(2.0, 4.0).toDF("v")
+    val cvm = graft.dq.Dq.cramerVonMisesDrift(ref, cur, "v")
+      .as[(Long, Long, Double)].collect().head
+    cvm shouldBe ((3L, 2L, 0.1))
+    val ku = graft.dq.Dq.kuiperDrift(ref, cur, "v")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    ku shouldBe ((3L, 2L, 0.5, 0.0, 0.5))
+    // identical samples -> zero everywhere
+    val s = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    graft.dq.Dq.cramerVonMisesDrift(s, s, "v")
+      .as[(Long, Long, Double)].collect().head._3 shouldBe 0.0
+    graft.dq.Dq.kuiperDrift(s, s, "v")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .head._5 shouldBe 0.0
+  }
+
+  it should "see a both-ends shift KS halves, and stay partition-invariant" in {
+    // current CONCENTRATES into the middle: ref leads below (D+ = 0.4
+    // at v=40), cur leads above (D- = 0.4 at v=60) — KS sees one 0.4
+    // gap, Kuiper adds both sides to 0.8
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (41 to 60).flatMap(v => Seq.fill(5)(v.toDouble)).toDF("v")
+    val ks = graft.dq.Dq.ksDrift(ref, cur, "v")
+      .select("ks_stat").as[Double].collect().head
+    val r = graft.dq.Dq.kuiperDrift(ref, cur, "v")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    r._3 should be > 0.0
+    r._4 should be > 0.0
+    r._5 should be > ks * 1.5
+    def runs(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) = (
+      graft.dq.Dq.cramerVonMisesDrift(a, b, "v")
+        .as[(Long, Long, Double)].collect().head,
+      graft.dq.Dq.kuiperDrift(a, b, "v")
+        .as[(Long, Long, Double, Double, Double)].collect().head)
+    runs(ref.coalesce(1), cur.coalesce(1)) shouldBe
+      runs(ref.repartition(7), cur.repartition(11))
+    // the drift-family empty-population guard
+    val empty = Seq.empty[Double].toDF("v")
+    an[IllegalArgumentException] should be thrownBy
+      graft.dq.Dq.cramerVonMisesDrift(ref, empty, "v").collect()
+    an[IllegalArgumentException] should be thrownBy
+      graft.dq.Dq.kuiperDrift(empty, cur, "v").collect()
+  }
+
   it should "fail loud past the exact-DECIMAL pooled-N bound" in {
     // 4·N⁵ must fit DECIMAL(38,0): N ≤ 3.0e7. Past that Spark would
     // NULL the overflowed l·d² products and silently drop terms while

@@ -1723,12 +1723,22 @@ class StreamingSpec extends SparkSpec {
     val w1B = one(graft.dq.Dq.wassersteinDrift(reference, union, "v"))
     val adB = one(graft.dq.Dq.andersonDarlingDrift(reference, union,
       "v"))
+    val cvB = one(graft.dq.Dq.cramerVonMisesDrift(reference, union,
+      "v"))
+    def five(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
+    val kuB = five(graft.dq.Dq.kuiperDrift(reference, union, "v"))
     one(StreamingEvents.ksDriftView(spark, s"$tmp/cells", reference,
       "v")) shouldBe ksB
     one(StreamingEvents.wassersteinView(spark, s"$tmp/cells",
       reference, "v")) shouldBe w1B
     one(StreamingEvents.andersonDarlingView(spark, s"$tmp/cells",
       reference, "v")) shouldBe adB
+    one(StreamingEvents.cramerVonMisesView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe cvB
+    five(StreamingEvents.kuiperView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe kuB
     // replay safety: re-writing a batch's cells changes nothing
     StreamingEvents.valueCellBatch(batchRows(2).toDF("v"), 1L, "v",
       s"$tmp/cells")
@@ -1738,6 +1748,10 @@ class StreamingSpec extends SparkSpec {
       reference, "v")) shouldBe w1B
     one(StreamingEvents.andersonDarlingView(spark, s"$tmp/cells",
       reference, "v")) shouldBe adB
+    one(StreamingEvents.cramerVonMisesView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe cvB
+    five(StreamingEvents.kuiperView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe kuB
     graft.util.Caches.releaseAll(spark)
   }
 
