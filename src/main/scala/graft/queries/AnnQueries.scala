@@ -191,11 +191,14 @@ object AnnQueries {
     // centroids, pairs join on the probed cell (symmetric — two points
     // see each other iff they share >= 1 probed cell, a SUPERSET of the
     // bucketed relation), the exact kernel is shared, scores report
-    // under the primary cell.
+    // under the primary cell. Centroids are DATA-PROPORTIONAL
+    // (vec_id % 250 = 0 -> ~N/250 cells, constant expected bucket size
+    // — the x179b lesson, applied from day one: the ScaleGate caught
+    // the fixed-4-seed form at exponent ~1.1 on its first wave run).
     "q_x181_lof_halo" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lofScoresHalo(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id").isin(0L, 7L, 14L, 21L)), Dim, k = 5,
+        emb.filter(col("vec_id") % 250 === 0), Dim, k = 5,
         probes = 2)
     },
 
@@ -838,9 +841,10 @@ object AnnQueries {
     // data-proportional (vec_id % 3750 = 0).
     "q_x179b_lof_bucketed_adaptive" ->
       lofBucketedOracle("vec_id % 3750 = 0"),
-    // The halo form: pair generation widened to the top-2 probed cells.
+    // The halo form: pair generation widened to the top-2 probed cells
+    // of a data-proportional centroid set.
     "q_x181_lof_halo" ->
-      lofHaloOracle("vec_id IN (0, 7, 14, 21)", probes = 2),
+      lofHaloOracle("vec_id % 250 = 0", probes = 2),
     // X182: the halo candidate relation ranked by (cos desc, id) per
     // source — the brute-force tie order, restricted to shared cells.
     "q_x182_knn_graph" ->
