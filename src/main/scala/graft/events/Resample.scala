@@ -626,6 +626,77 @@ object Resample {
         q6(when(n >= 2 && varNum > 0, z)).as("z"))
   }
 
+  /** E39: SEASONAL MANN–KENDALL trend test per entity (Hirsch & Slack
+    * 1984, public knowledge) — the seasonality-robust form of E37: a
+    * metric with a weekly rhythm (weekday traffic ≫ weekends) feeds
+    * plain MK pairs that compare Mondays to Sundays and drowns a real
+    * week-over-week trend in seasonal noise. Hirsch–Slack compares
+    * LIKE WITH LIKE: the MK statistic runs WITHIN each season (default
+    * season = day-of-week), then `S' = Σ_m S_m`, `Var' = Σ_m Var_m`
+    * (independent seasons — the basic form without the serial-
+    * correlation covariance term, as stated), z with the ±1 continuity
+    * correction.
+    *
+    * Exactness: the E37 discipline verbatim — daily sums exact
+    * DECIMAL, per-season S and tie-corrected variance numerators exact
+    * BIGINT summed per key, ONE /18 division, one fixed z tree, q6.
+    * Scale: the pair join is (key, season)-keyed — CHEAPER than plain
+    * MK's (key)-keyed join (Σ n_m² < n²), calendar-bounded per key.
+    * Output per entity: (key, n_seasons, n_days, s, var_s, z) — z NULL
+    * when every season is degenerate (Var' = 0). */
+  def seasonalMannKendall(df: DataFrame, key: String, ts: Column,
+      valueCol: Column,
+      seasonOf: Column => Column = dayofweek): DataFrame =
+    seasonalMannKendallFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key,
+      seasonOf)
+
+  /** [[seasonalMannKendall]] over an already-aggregated (key, day,
+    * __x) daily table — the associative-daily-sum contract of the
+    * whole `*FromDaily` family, so the dailyAggSink store feeds this
+    * as its fifth view. */
+  private[graft] def seasonalMannKendallFromDaily(daily0: DataFrame,
+      key: String, seasonOf: Column => Column = dayofweek)
+      : DataFrame = {
+    val daily = graft.util.Caches.persistTracked(
+      daily0.select(col(key), col("day"),
+        seasonOf(col("day")).cast("int").as("__sn"),
+        col("__x").cast("decimal(18,6)").as("__x")))
+    val a = daily.select(col(key), col("__sn"), col("day").as("__da"),
+      col("__x").as("__xa"))
+    val b = daily.select(col(key).as("__kb"), col("__sn").as("__snb"),
+      col("day").as("__db"), col("__x").as("__xb"))
+    val pairS = a.join(b, col(key) === col("__kb") &&
+        col("__sn") === col("__snb") && col("__da") < col("__db"))
+      .groupBy(col(key))
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L)
+        .otherwise(0L)).as("s"))
+    val perSeason = daily.groupBy(col(key), col("__sn"), col("__x"))
+      .agg(count(lit(1)).as("__tj"))
+      .groupBy(col(key), col("__sn"))
+      .agg(sum(col("__tj")).as("__nm"),
+        sum(col("__tj") * (col("__tj") - lit(1L)) *
+          (lit(2L) * col("__tj") + lit(5L))).as("__tieTerm"))
+    val perKey = perSeason.groupBy(col(key))
+      .agg(count(lit(1)).as("n_seasons"),
+        sum(col("__nm")).as("n_days"),
+        sum(col("__nm") * (col("__nm") - lit(1L)) *
+          (lit(2L) * col("__nm") + lit(5L)) - col("__tieTerm"))
+          .as("__varNum"))
+    val sC = coalesce(col("s"), lit(0L))
+    val varS = col("__varNum").cast("double") / lit(18.0)
+    val z = when(sC > 0, (sC.cast("double") - lit(1.0)) / sqrt(varS))
+      .when(sC < 0, (sC.cast("double") + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    import graft.functions.q6
+    perKey.join(pairS, Seq(key), "left")
+      .select(col(key), col("n_seasons"), col("n_days"), sC.as("s"),
+        q6(varS).as("var_s"),
+        q6(when(col("n_days") >= 2 && col("__varNum") > 0, z)).as("z"))
+  }
+
   /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
     * 1954; the streaming-drift form popularized by Gama et al. 2004 —
     * public knowledge): the ONLINE companion of the offline

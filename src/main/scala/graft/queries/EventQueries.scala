@@ -229,6 +229,16 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E39: seasonal (Hirsch-Slack) Mann-Kendall over the same series —
+    // MK pairs within day-of-week seasons (like compares with like),
+    // per-season S and variance numerators summed exactly per user.
+    "q_e39_seasonal_mann_kendall" -> { (s, dir) =>
+      graft.events.Resample.seasonalMannKendall(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // E38: Page-Hinkley sequential drift per event type over daily
     // value sums — "when would an online monitor have fired": micro-
     // integer running-mean recursion (truncating div), λ=2500 splits
@@ -1442,6 +1452,54 @@ object EventQueries {
         |      ELSE 0.0 END AS zr
         |  FROM j)
         |SELECT user_id, n_days, s,
+        |  floor(var_s * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+        |  CASE WHEN n_days >= 2 AND var_num > 0 THEN
+        |    floor(zr * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM z ORDER BY user_id""".stripMargin,
+    // E39: the E37 chain with a day-of-week season key inside the
+    // pair join and tie/variance aggregates (DuckDB dayofweek is
+    // 0-based vs Spark's 1-based — a pure relabeling: the season
+    // value never leaves the grouping, so the partitions are equal).
+    "q_e39_seasonal_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    dayofweek(CAST(ts AS DATE)) AS sn,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+        |prs AS (
+        |  SELECT a.user_id,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.sn = b.sn AND a.d < b.d
+        |  GROUP BY 1),
+        |tie AS (
+        |  SELECT user_id, sn, CAST(count(*) AS BIGINT) AS tj
+        |  FROM daily GROUP BY user_id, sn, x),
+        |seas AS (
+        |  SELECT user_id, sn, CAST(sum(tj) AS BIGINT) AS nm,
+        |    CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT)
+        |      AS tie_term
+        |  FROM tie GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(nm) AS BIGINT) AS n_days,
+        |    CAST(sum(nm * (nm - 1) * (2 * nm + 5) - tie_term)
+        |      AS BIGINT) AS var_num
+        |  FROM seas GROUP BY 1),
+        |j AS (
+        |  SELECT g.user_id, g.n_seasons, g.n_days,
+        |    COALESCE(p.s, 0) AS s, g.var_num
+        |  FROM agg g LEFT JOIN prs p ON p.user_id = g.user_id),
+        |z AS (
+        |  SELECT *, CAST(var_num AS DOUBLE) / 18.0 AS var_s,
+        |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END AS zr
+        |  FROM j)
+        |SELECT user_id, n_seasons, n_days, s,
         |  floor(var_s * 1000000.0 + 0.5) / 1000000.0 AS var_s,
         |  CASE WHEN n_days >= 2 AND var_num > 0 THEN
         |    floor(zr * 1000000.0 + 0.5) / 1000000.0 END AS z

@@ -845,6 +845,15 @@ object StreamingEvents {
       detectIncrease)
   }
 
+  /** E39 seasonal (Hirsch–Slack) Mann–Kendall over a [[dailyAggSink]]
+    * store — the fifth view of the same daily-cell directory: the
+    * seasonality-robust trend verdict (MK within day-of-week seasons,
+    * per-season statistics summed exactly). */
+  def seasonalMannKendallView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    graft.events.Resample.seasonalMannKendallFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol)
+
   /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
     * directory — per-batch partial daily sums re-aggregated (exact
     * DECIMAL addition), shared by every view above. */

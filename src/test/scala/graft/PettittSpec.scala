@@ -120,6 +120,63 @@ class PettittSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "Resample.seasonalMannKendall (E39)"
+
+  it should "reproduce hand per-season S and tie-corrected variance sums" in {
+    // Mondays (2024-03-04/11/18): 10,20,30 -> S_Mon = 3, varNum 66
+    // Tuesdays (03-05/12/19): 5,1,5 -> S_Tue = 0, tie t=2 -> varNum 48
+    // S' = 3, Var' = 114/18; z = (3-1)/sqrt(114/18) = 0.794719
+    val rows = Seq(
+      (1L, ts("2024-03-04 10:00:00"), 10.0),
+      (1L, ts("2024-03-11 10:00:00"), 20.0),
+      (1L, ts("2024-03-18 10:00:00"), 30.0),
+      (1L, ts("2024-03-05 10:00:00"), 5.0),
+      (1L, ts("2024-03-12 10:00:00"), 1.0),
+      (1L, ts("2024-03-19 10:00:00"), 5.0)).toDF("k", "t", "v")
+    val r = graft.events.Resample.seasonalMannKendall(rows, "k",
+      col("t"), col("v"))
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().head
+    r._2 shouldBe 2L // seasons touched
+    r._3 shouldBe 6L
+    r._4 shouldBe 3L
+    r._5 shouldBe math.floor(114.0 / 18.0 * 1e6 + 0.5) / 1e6
+    r._6.get shouldBe
+      math.floor(2.0 / math.sqrt(114.0 / 18.0) * 1e6 + 0.5) / 1e6
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "see through weekly seasonality that drowns plain MK, and stay partition-invariant" in {
+    // 4 weeks, strong weekday rhythm (weekends ~0, weekdays ~100) plus
+    // a small true upward trend (+1 per week): plain MK wastes most
+    // pairs comparing Mondays to Sundays; Hirsch-Slack compares within
+    // each weekday and reads the trend at full strength
+    val rows = (0 until 28).map { i =>
+      val day = i + 4 // 2024-03-04 (Monday) .. 2024-03-31
+      val dow = i % 7 // 0 = Monday
+      val base = if (dow >= 5) 0.0 else 100.0
+      (1L, ts(f"2024-03-$day%02d 10:00:00"), base + i / 7)
+    }.toDF("k", "t", "v")
+    def smk(df: org.apache.spark.sql.DataFrame) =
+      graft.events.Resample.seasonalMannKendall(df, "k", col("t"),
+        col("v"))
+        .as[(Long, Long, Long, Long, Double, Option[Double])]
+        .collect().head
+    val seasonal = smk(rows)
+    val plain = graft.events.Resample.mannKendall(rows, "k", col("t"),
+      col("v"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    seasonal._2 shouldBe 7L
+    // every weekday rises strictly across its 4 weeks: S' = 7 * 6 = 42
+    seasonal._4 shouldBe 42L
+    seasonal._6.get should be > 5.0
+    // measured: seasonal z = 5.26 vs plain 2.66 — the within-season
+    // comparison roughly doubles the trend signal on this fixture
+    seasonal._6.get should be > plain._5.get * 1.5
+    smk(rows.repartition(13)) shouldBe seasonal
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Resample.pageHinkley (E38)"
 
   it should "reproduce the hand micro-integer recursion and alarm day" in {

@@ -466,6 +466,13 @@ class StreamingSpec extends SparkSpec {
       allDf, "user_id", col("ts"), col("value"),
       delta = 0.0, lambda = 50.0))
     phView.head._5 shouldBe 1 // the level shift fires the monitor
+    def smkRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    smkRows(StreamingEvents.seasonalMannKendallView(spark,
+      s"$tmp/daily", "user_id")) shouldBe
+      smkRows(graft.events.Resample.seasonalMannKendall(
+        allDf, "user_id", col("ts"), col("value")))
     graft.util.Caches.releaseAll(spark)
   }
 
