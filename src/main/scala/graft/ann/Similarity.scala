@@ -1494,6 +1494,49 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** X183: MUTUAL-kNN CLUSTERS over the [[knnGraph]] edge list — the
+    * density-aware near-dup communities the flat cosine threshold
+    * (X10/X35) can't give: an edge survives only if EACH endpoint
+    * ranks the other in its own top-k (the shared-nearest-neighbor
+    * principle, Jarvis–Patrick 1973 — public knowledge), which cuts
+    * hub points that sit in everyone's top-k without reciprocity, then
+    * connected components label the communities. The embedding-space
+    * sibling of X17's MinHash clusters: same output contract
+    * (id, cluster_id = component min-id, is_canonical), so
+    * [[graft.text.Dedup.selectRepresentatives]] composes downstream
+    * unchanged.
+    *
+    * Determinism: edges come from the deterministic [[knnGraph]]
+    * (exact cosine ranking in probed cells); mutuality is a set
+    * intersect of the edge list with its reverse (exact); components
+    * via the deterministic min-label [[graft.graph.EntityResolution
+    * .connectedComponents]]. `minCosine` thresholds the PUBLISHED
+    * round-6 cosine (documented — the oracle thresholds the same
+    * rounded value). Only points with ≥ 1 mutual edge appear (the X17
+    * contract: non-duplicates are absent, output is duplicate-sized).
+    *
+    * Scale: the knnGraph cost + an edge-list intersect (≤ N·k rows) +
+    * CC rounds on the mutual edges — no all-pairs anywhere. Output:
+    * (vec_id, cluster_id, is_canonical). */
+  def mutualKnnClusters(points: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, dim: Int, k: Int,
+      probes: Int = 2, minCosine: Double = 0.0,
+      maxBucketPoints: Long = 100000L): DataFrame = {
+    val edges = knnGraph(points, idCol, vecCol, centroids, dim, k,
+      probes, maxBucketPoints)
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_id").as("__a"), col("neighbor_id").as("__b"))
+    val mutual = edges
+      .intersect(edges.select(col("__b").as("__a"),
+        col("__a").as("__b")))
+      .filter(col("__a") < col("__b"))
+    graft.graph.EntityResolution
+      .connectedComponents(mutual, "__a", "__b")
+      .select(col("v").as("vec_id"), col("component").as("cluster_id"),
+        (col("v") === col("component")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The shared exact-LOF kernel over a (point, other, distance) pair
     * relation — [[lofScores]] feeds it the guarded all-pairs join,
     * [[lofScoresBucketed]] the bucket-keyed one. */

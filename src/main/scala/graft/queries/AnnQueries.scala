@@ -211,6 +211,17 @@ object AnnQueries {
         emb.filter(col("vec_id") % 40 === 0), Dim, k = 5, probes = 2)
     },
 
+    // X183: mutual-kNN near-dup communities — the X182 edge list cut
+    // to RECIPROCAL top-5 edges (each endpoint ranks the other in its
+    // own top-k: hub points lose their one-way edges), components via
+    // the deterministic min-label CC. X17's output contract in
+    // embedding space.
+    "q_x183_mutual_knn_clusters" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mutualKnnClusters(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 40 === 0), Dim, k = 5, probes = 2)
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -845,6 +856,53 @@ object AnnQueries {
     // of a data-proportional centroid set.
     "q_x181_lof_halo" ->
       lofHaloOracle("vec_id % 250 = 0", probes = 2),
+    // X183: the X182 chain cut to reciprocal edges, then the X17
+    // recursive min-label closure.
+    "q_x183_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE nn AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk,
+         |    round(cos, 6) AS cosine
+         |  FROM pairs),
+         |knn AS (SELECT vec_id, neighbor_id FROM rk
+         |  WHERE rk <= 5 AND cosine >= 0.0),
+         |mutual AS (
+         |  SELECT a.vec_id AS a, a.neighbor_id AS b
+         |  FROM knn a JOIN knn b ON a.vec_id = b.neighbor_id
+         |    AND a.neighbor_id = b.vec_id
+         |  WHERE a.vec_id < a.neighbor_id),
+         |edges AS (SELECT a, b FROM mutual
+         |          UNION SELECT b, a FROM mutual),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a)
+         |SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         |  v = min(r) AS is_canonical
+         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
     // X182: the halo candidate relation ranked by (cos desc, id) per
     // source — the brute-force tie order, restricted to shared cells.
     "q_x182_knn_graph" ->

@@ -154,6 +154,37 @@ class RecallGateSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "keep mutual-kNN clusters pure on planted clusters and cut one-way hub edges" in {
+    // X183: on the well-separated corpus every mutual top-3 edge stays
+    // inside its planted cluster, so each output community is a SUBSET
+    // of one planted cluster (purity 1.0) — and the blended boundary
+    // vectors can't glue clusters because the reciprocity cut drops
+    // their one-way cross-cluster edges unless both ends agree
+    val out = Similarity.mutualKnnClusters(corpus, "vec_id",
+      "embedding", centroids, Dim, k = K, probes = 2,
+      minCosine = 0.5)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    out.nonEmpty shouldBe true
+    def planted(id: Long) = id / Per
+    val byCluster = out.groupBy(_._2)
+    byCluster.size should be >= Clusters
+    byCluster.values.foreach { members =>
+      members.map(m => planted(m._1)).distinct.size shouldBe 1
+    }
+    // exactly one canonical per community, and it carries the min id
+    byCluster.values.foreach { members =>
+      members.count(_._3) shouldBe 1
+      members.filter(_._3).head._1 shouldBe members.map(_._1).min
+    }
+    // partition invariance
+    val again = Similarity.mutualKnnClusters(corpus.repartition(13),
+      "vec_id", "embedding", centroids, Dim, k = K, probes = 2,
+      minCosine = 0.5)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    again.sorted shouldBe out.sorted
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "hold the IVF near-dup pair recall floor against the exact pair set" in {
     // planted near-identical copies: every 5th corpus vector re-appears
     // under id+1000 with a tiny deterministic perturbation (cos ~ 1)
