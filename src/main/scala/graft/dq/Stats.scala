@@ -788,6 +788,95 @@ object Stats {
       q6(when(col("__bc") > 0, col("__ad") / col("__bc"))).as("or_mh"))
   }
 
+  /** F86: COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955 —
+    * public knowledge) — is a BINARY rate monotone in an ORDERED
+    * exposure level? The dose-response readout between [[cmhTest]]'s
+    * paired arms and [[graft.ml.RankTests.jonckheereTerpstra]]'s
+    * ordered-group values: k exposure levels (discount tier, ramp
+    * percentage, bucketed tenure), one conversion flag; χ²(k−1) sees
+    * ANY difference — CA spends its single dof on the TREND, the
+    * hypothesis a ramp actually ships.
+    *
+    * With scores w_i = the declared levels, counts (n_i, c_i):
+    * `Z = A / √(C·(N−C)·B/N)` with `A = N·Σw_i·c_i − C·Σw_i·n_i` and
+    * `B = N·Σw_i²·n_i − (Σw_i·n_i)²` — A and B EXACT integers in
+    * DECIMAL(38,0) (order-free sums over the k-row count table), the
+    * denominator one fixed IEEE tree over exactly-cast integers, p
+    * two-sided via the A&S 26.2.17 polynomial. Levels are DECLARED
+    * (the jonckheereTerpstra discipline): an undeclared or non-integer
+    * dose fails loud; a declared level with no rows contributes zero
+    * terms (standard). Degenerate boards (C = 0, C = N, or B = 0 —
+    * all mass on one level) emit NULL z/p.
+    *
+    * Scale: ONE groupBy to k rows, then k-row arithmetic. Output
+    * 1 row: (n, converted, k, z, p) — z > 0 ⇔ rate rises with the
+    * level. */
+  def cochranArmitage(units: DataFrame, dose: Column,
+      converted: Column, doses: Seq[Long]): DataFrame = {
+    require(doses.size >= 2 && doses == doses.sorted &&
+      doses.distinct == doses,
+      s"cochranArmitage: need >= 2 sorted distinct dose levels, " +
+        s"got $doses")
+    val dLong = dose.cast("long")
+    val y = converted.cast("long")
+    val rows = units
+      .select(
+        when(dose.isNull || converted.isNull,
+          raise_error(lit("cochranArmitage: NULL dose/converted")))
+          .when(dLong.isNull ||
+            dLong.cast("double") =!= dose.cast("double") ||
+            !dLong.isin(doses: _*),
+            raise_error(lit("cochranArmitage: dose level is not one " +
+              s"of the declared integer levels $doses")))
+          .otherwise(dLong).as("__g"),
+        when(y =!= 0L && y =!= 1L,
+          raise_error(lit("cochranArmitage: converted must be 0/1")))
+          .otherwise(y).as("__y"))
+    cochranArmitageFromCounts(
+      rows.groupBy(col("__g"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("c")))
+  }
+
+  /** The [[cochranArmitage]] statistic over an already-counted
+    * per-level (__g, n, c) table — exact mergeable counters (the
+    * cmhFromCounts pattern), so a streaming level-count store
+    * publishes the identical trend test. */
+  private[graft] def cochranArmitageFromCounts(counts: DataFrame)
+      : DataFrame = {
+    val D = "decimal(38,0)"
+    val w = col("__g").cast(D)
+    val agg = counts.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(col("c")), lit(0L)).as("converted"),
+      coalesce(sum(w * col("c").cast(D)), lit(0).cast(D)).as("__swc"),
+      coalesce(sum(w * col("n").cast(D)), lit(0).cast(D)).as("__swn"),
+      coalesce(sum(w * w * col("n").cast(D)), lit(0).cast(D))
+        .as("__sw2n"))
+    val nD = col("n").cast(D)
+    val cD = col("converted").cast(D)
+    val a = nD * col("__swc") - cD * col("__swn")
+    val b = nD * col("__sw2n") - col("__swn") * col("__swn")
+    // C·(N−C)·B can pass 38 digits at data scale — the denominator is
+    // one fixed IEEE tree over the exactly-cast integers instead
+    val z = a.cast("double") /
+      sqrt(cD.cast("double") * (nD - cD).cast("double") *
+        b.cast("double") / col("n").cast("double"))
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * tt + lit(-1.821255978)) * tt +
+      lit(1.781477937)) * tt + lit(-0.356563782)) * tt +
+      lit(0.319381530)) * tt
+    val pTwo = lit(2.0) *
+      (exp(-(az * az) / lit(2.0)) / lit(2.5066282746310002)) * poly
+    val ok = col("converted") > 0 && col("converted") < col("n") &&
+      b > 0
+    import graft.functions.q6
+    agg.select(col("n"), col("converted"), col("k"),
+      q6(when(ok, z)).as("z"),
+      q6(when(ok, least(pTwo, lit(1.0)))).as("p"))
+  }
+
   /** F62: PAIRED t-TEST (Student 1908, public knowledge) — same units
     * measured before/after: test the mean of the per-unit DIFFERENCES,
     * which cancels the between-unit variance that drowns an unpaired

@@ -299,6 +299,16 @@ object DqQueries {
         (col("value") > 60).cast("int"))
     },
 
+    // F86: Cochran-Armitage dose-response trend — is the high-value
+    // order rate monotone in the customer-key exposure tier (declared
+    // ordered levels 0..3)? Exact integer A/B, one IEEE z tree.
+    "q_f86_cochran_armitage" -> { (s, dir) =>
+      graft.dq.Stats.cochranArmitage(t(s, dir, "orders"),
+        pmod(col("o_custkey"), lit(4)),
+        (col("o_totalprice") > 150000).cast("long"),
+        Seq(0L, 1L, 2L, 3L))
+    },
+
     // F55: Theil-Sen robust slope of retail price on size per brand —
     // median of pairwise slopes, loud all-pairs cap.
     "q_f55_theil_sen" -> { (s, dir) =>
@@ -1996,6 +2006,56 @@ object DqQueries {
     // Per-stratum E/V/OR terms summed by ordered cumulative windows
     // over the strata table (pinned addition order, one row per
     // stratum); identical z/chi2/odds-ratio trees; f38's A&S p.
+    // F86: same integer A/B (HUGEINT), same one-tree denominator and
+    // A&S polynomial; HUGEINT -> DOUBLE through VARCHAR.
+    "q_f86_cochran_armitage" ->
+      """WITH u AS (
+        |  SELECT o_custkey % 4 AS g,
+        |    CAST(o_totalprice > 150000 AS BIGINT) AS y
+        |  FROM orders),
+        |counts AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS converted,
+        |    sum(CAST(g AS HUGEINT) * c) AS swc,
+        |    sum(CAST(g AS HUGEINT) * n) AS swn,
+        |    sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT) * n) AS sw2n
+        |  FROM counts),
+        |ab AS (
+        |  SELECT *,
+        |    CAST(n AS HUGEINT) * swc - CAST(converted AS HUGEINT) * swn
+        |      AS a,
+        |    CAST(n AS HUGEINT) * sw2n - swn * swn AS b
+        |  FROM agg),
+        |zz AS (
+        |  SELECT *,
+        |    CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(converted AS DOUBLE) *
+        |        CAST(n - converted AS DOUBLE) *
+        |        CAST(CAST(b AS VARCHAR) AS DOUBLE) /
+        |        CAST(n AS DOUBLE)) AS z
+        |  FROM ab),
+        |pp AS (
+        |  SELECT *,
+        |    2.0 * (exp(-(abs(z) * abs(z)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+        |      AS p2
+        |  FROM zz)
+        |SELECT n, converted, k,
+        |  CASE WHEN converted > 0 AND converted < n AND b > 0 THEN
+        |    floor(z * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN converted > 0 AND converted < n AND b > 0 THEN
+        |    floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM pp""".stripMargin,
     "q_f54_cmh" ->
       """WITH g AS (SELECT event_type,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)

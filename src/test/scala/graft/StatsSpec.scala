@@ -815,6 +815,62 @@ class StatsSpec extends SparkSpec {
     byC should be <= bhC
   }
 
+  behavior of "dq.Stats.cochranArmitage (F86)"
+
+  it should "reproduce the hand A/B integers and z on a planted dose response" in {
+    // doses 0/1/2, n = (10,10,10), c = (1,5,9): Swc = 23, Swn = 30,
+    // Sw2n = 50; A = 30*23 - 15*30 = 240, B = 30*50 - 900 = 600;
+    // z = 240/sqrt(15*15*600/30) = 3.577709 (q6)
+    val rows = (Seq.fill(1)(0L -> 1L) ++ Seq.fill(9)(0L -> 0L) ++
+      Seq.fill(5)(1L -> 1L) ++ Seq.fill(5)(1L -> 0L) ++
+      Seq.fill(9)(2L -> 1L) ++ Seq.fill(1)(2L -> 0L))
+      .toDF("g", "y")
+    val r = graft.dq.Stats.cochranArmitage(rows, col("g"), col("y"),
+      Seq(0L, 1L, 2L))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    r._1 shouldBe 30L
+    r._2 shouldBe 15L
+    r._3 shouldBe 3L
+    val zHand = 240.0 / math.sqrt(15.0 * 15.0 * 600.0 / 30.0)
+    r._4.get shouldBe math.floor(zHand * 1e6 + 0.5) / 1e6
+    r._5.get should be < 0.001
+    // the reversed ramp flips the sign
+    val rev = rows.select((lit(2L) - col("g")).as("g"), col("y"))
+    graft.dq.Stats.cochranArmitage(rev, col("g"), col("y"),
+      Seq(0L, 1L, 2L))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head._4.get shouldBe
+      -(math.floor(zHand * 1e6 + 0.5) / 1e6)
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "guard doses and degenerate boards, and stay partition-invariant" in {
+    val rows = (1 to 120).map(i => ((i % 3).toLong,
+      if (i % 5 == 0) 1L else 0L)).toDF("g", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.dq.Stats.cochranArmitage(df, col("g"), col("y"),
+        Seq(0L, 1L, 2L))
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+    run(rows.coalesce(1)) shouldBe run(rows.repartition(13))
+    // flat rate per level -> z ~ 0 (exactly 0 here: equal counts)
+    run(rows)._4.get shouldBe 0.0 +- 1e-9
+    // all-converted board is degenerate -> NULL z/p
+    val allc = rows.select(col("g"), lit(1L).as("y"))
+    run(allc)._4 shouldBe None
+    // undeclared level and non-binary outcome fail loud
+    an[Exception] should be thrownBy
+      graft.dq.Stats.cochranArmitage(
+        Seq((7L, 1L)).toDF("g", "y"), col("g"), col("y"),
+        Seq(0L, 1L, 2L)).collect()
+    an[Exception] should be thrownBy
+      graft.dq.Stats.cochranArmitage(
+        Seq((1L, 3L)).toDF("g", "y"), col("g"), col("y"),
+        Seq(0L, 1L, 2L)).collect()
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "dq.Stats.brownForsythe (D28)"
 
   it should "match the hand median-centered W and return 0 for equal spreads" in {
