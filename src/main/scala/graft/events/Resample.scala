@@ -697,6 +697,75 @@ object Resample {
         q6(when(col("n_days") >= 2 && col("__varNum") > 0, z)).as("z"))
   }
 
+  /** E40: SEASONAL THEIL–SEN SLOPE per entity (Hirsch, Slack & Smith
+    * 1982's seasonal Kendall slope — public knowledge): the HOW-BIG
+    * companion of [[seasonalMannKendall]] exactly as F55 Theil–Sen
+    * pairs with E37 MK — "the metric rises 2.3 units/day, judged only
+    * on like-with-like comparisons": pairwise slopes `(x_j − x_i) /
+    * (day_j − day_i)` are taken WITHIN each season (default
+    * day-of-week) and the estimate is the MEDIAN of all seasons'
+    * slopes pooled per entity — cross-season level differences (the
+    * weekend cliff) never enter a pair.
+    *
+    * Exactness: daily sums exact DECIMAL; each slope is ONE division
+    * of the exact value difference by the exact integer day gap; the
+    * median uses the F55 kernel — group-keyed RANK picks of the two
+    * middle slopes, `lo + (hi − lo)·0.5` midpoint (identical
+    * cross-engine). Scale: pairs are (key, season)-keyed and
+    * calendar-bounded (dailies, Σ n_m² per key); the median is a
+    * group-keyed window, never global. Output per entity:
+    * (key, n_seasons, n_days, n_pairs, slope) — slope NULL when no
+    * within-season pair exists. */
+  def seasonalTheilSen(df: DataFrame, key: String, ts: Column,
+      valueCol: Column,
+      seasonOf: Column => Column = dayofweek): DataFrame =
+    seasonalTheilSenFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key,
+      seasonOf)
+
+  /** [[seasonalTheilSen]] over an already-aggregated (key, day, __x)
+    * daily table — the `*FromDaily` contract, so the dailyAggSink
+    * store feeds this as its sixth view. */
+  private[graft] def seasonalTheilSenFromDaily(daily0: DataFrame,
+      key: String, seasonOf: Column => Column = dayofweek)
+      : DataFrame = {
+    val daily = graft.util.Caches.persistTracked(
+      daily0.select(col(key), col("day"),
+        seasonOf(col("day")).cast("int").as("__sn"),
+        col("__x").cast("decimal(18,6)").as("__x")))
+    val counts = daily.groupBy(col(key))
+      .agg(count_distinct(col("__sn")).as("n_seasons"),
+        count(lit(1)).as("n_days"))
+    val a = daily.select(col(key), col("__sn"), col("day").as("__da"),
+      col("__x").as("__xa"))
+    val b = daily.select(col(key).as("__kb"), col("__sn").as("__snb"),
+      col("day").as("__db"), col("__x").as("__xb"))
+    val pairs = a.join(b, col(key) === col("__kb") &&
+        col("__sn") === col("__snb") && col("__da") < col("__db"))
+      .select(col(key),
+        ((col("__xb") - col("__xa")).cast("double") /
+          datediff(col("__db"), col("__da")).cast("double")).as("__m"))
+    val wm = Window.partitionBy(col(key)).orderBy(col("__m"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(wm))
+      .withColumn("__np", count(lit(1))
+        .over(Window.partitionBy(col(key))))
+    val med = ranked
+      .filter(col("__rn") === expr("(__np + 1) div 2") ||
+        col("__rn") === expr("(__np + 2) div 2"))
+      .groupBy(col(key))
+      .agg(max(col("__np")).as("n_pairs"),
+        (min(col("__m")) +
+          (max(col("__m")) - min(col("__m"))) * lit(0.5))
+          .as("__slope"))
+    import graft.functions.q6
+    counts.join(med, Seq(key), "left")
+      .select(col(key), col("n_seasons"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        q6(col("__slope")).as("slope"))
+  }
+
   /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
     * 1954; the streaming-drift form popularized by Gama et al. 2004 —
     * public knowledge): the ONLINE companion of the offline

@@ -239,6 +239,15 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E40: the Hirsch-Slack seasonal slope — HOW BIG the trend E39
+    // judges: median of within-season pairwise day slopes per user.
+    "q_e40_seasonal_theil_sen" -> { (s, dir) =>
+      graft.events.Resample.seasonalTheilSen(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // E38: Page-Hinkley sequential drift per event type over daily
     // value sums — "when would an online monitor have fired": micro-
     // integer running-mean recursion (truncating div), λ=2500 splits
@@ -1504,6 +1513,41 @@ object EventQueries {
         |  CASE WHEN n_days >= 2 AND var_num > 0 THEN
         |    floor(zr * 1000000.0 + 0.5) / 1000000.0 END AS z
         |FROM z ORDER BY user_id""".stripMargin,
+    // E40: within-season pairs, one slope division each, the F55
+    // two-middle-ranks midpoint median.
+    "q_e40_seasonal_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    dayofweek(CAST(ts AS DATE)) AS sn,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+        |counts AS (
+        |  SELECT user_id,
+        |    CAST(count(DISTINCT sn) AS BIGINT) AS n_seasons,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |slopes AS (
+        |  SELECT a.user_id,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS m
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.sn = b.sn AND a.d < b.d),
+        |ranked AS (
+        |  SELECT user_id, m,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS np
+        |  FROM slopes),
+        |med AS (
+        |  SELECT user_id, max(np) AS n_pairs,
+        |    min(m) + (max(m) - min(m)) * 0.5 AS slope
+        |  FROM ranked
+        |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |  GROUP BY 1)
+        |SELECT c.user_id, c.n_seasons, c.n_days,
+        |  COALESCE(med.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN med.slope IS NOT NULL THEN
+        |    floor(med.slope * 1000000.0 + 0.5) / 1000000.0 END AS slope
+        |FROM counts c LEFT JOIN med ON med.user_id = c.user_id
+        |ORDER BY c.user_id""".stripMargin,
     // Same DECIMAL daily sums and pair/series moments, same fixed
     // ratio m = sx/n; num = sab - m*sa - m*sb + c*m*m; den = sxx -
     // n*m*m — operand-mirrored.

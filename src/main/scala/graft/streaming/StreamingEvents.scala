@@ -854,6 +854,14 @@ object StreamingEvents {
     graft.events.Resample.seasonalMannKendallFromDaily(
       mergedDaily(spark, dailyDir, keyCol), keyCol)
 
+  /** E40 seasonal Theil–Sen slope over a [[dailyAggSink]] store — the
+    * sixth view: HOW BIG the trend [[seasonalMannKendallView]] judges,
+    * from the same merged daily cells. */
+  def seasonalTheilSenView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    graft.events.Resample.seasonalTheilSenFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol)
+
   /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
     * directory — per-batch partial daily sums re-aggregated (exact
     * DECIMAL addition), shared by every view above. */

@@ -177,6 +177,42 @@ class PettittSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "Resample.seasonalTheilSen (E40)"
+
+  it should "median within-season slopes, immune to the weekend cliff" in {
+    // the E39 confound fixture: weekday base 100 / weekend 0, +1 per
+    // week. Within every weekday the only pairs are 7/14/21 days apart
+    // with slope exactly 1/7; a plain all-pairs Theil-Sen would mix in
+    // the +-100 cliff slopes
+    val rows = (0 until 28).map { i =>
+      val day = i + 4
+      val dow = i % 7
+      val base = if (dow >= 5) 0.0 else 100.0
+      (1L, ts(f"2024-03-$day%02d 10:00:00"), base + i / 7)
+    }.toDF("k", "t", "v")
+    val r = graft.events.Resample.seasonalTheilSen(rows, "k", col("t"),
+      col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    r._2 shouldBe 7L
+    r._3 shouldBe 28L
+    r._4 shouldBe 7L * 6L // C(4,2) = 6 pairs per weekday
+    r._5.get shouldBe math.floor(1.0 / 7.0 * 1e6 + 0.5) / 1e6
+    // a single-day entity has no pair -> NULL slope, n_pairs 0
+    val single = Seq((9L, ts("2024-03-04 10:00:00"), 5.0))
+      .toDF("k", "t", "v")
+    val s = graft.events.Resample.seasonalTheilSen(single, "k",
+      col("t"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    s._4 shouldBe 0L
+    s._5 shouldBe None
+    // partition invariance
+    graft.events.Resample.seasonalTheilSen(rows.repartition(13), "k",
+      col("t"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().head shouldBe r
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Resample.pageHinkley (E38)"
 
   it should "reproduce the hand micro-integer recursion and alarm day" in {

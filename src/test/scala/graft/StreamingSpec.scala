@@ -473,6 +473,12 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/daily", "user_id")) shouldBe
       smkRows(graft.events.Resample.seasonalMannKendall(
         allDf, "user_id", col("ts"), col("value")))
+    def stsRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    stsRows(StreamingEvents.seasonalTheilSenView(spark,
+      s"$tmp/daily", "user_id")) shouldBe
+      stsRows(graft.events.Resample.seasonalTheilSen(
+        allDf, "user_id", col("ts"), col("value")))
     graft.util.Caches.releaseAll(spark)
   }
 
