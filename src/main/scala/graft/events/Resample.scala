@@ -766,6 +766,81 @@ object Resample {
         q6(col("__slope")).as("slope"))
   }
 
+  /** E41: SIGMA-CLIPPED ANOMALOUS DAYS per entity (iterative sigma
+    * clipping — the astronomy-standard robust outlier sweep, e.g.
+    * Bertin's SExtractor lineage; public knowledge): the POINT-anomaly
+    * complement of the changepoint family — E16/E36 find level SHIFTS,
+    * E38 fires online; this flags the individual days whose value sits
+    * beyond `nSigma` standard deviations of the entity's OTHER days,
+    * with the moments re-fit after each clip round so one huge spike
+    * can't inflate σ and hide its smaller siblings (the single-pass
+    * z-score's classic masking failure).
+    *
+    * Exactness: daily sums exact DECIMAL; each round's mean/sd are
+    * fixed IEEE trees over exact (n, Σx, Σx²); the clip decision
+    * `|x − mean| > nSigma·sd` is the same tree cross-engine. Rounds
+    * are a FIXED `maxIter` (deterministic plan, oracle unrolls the
+    * same rounds); each round is persisted so the iterated lineage
+    * stays linear (the CC-loop discipline). Keys need ≥ 3 unclipped
+    * days and sd > 0 to clip further (a 2-day entity can't vote a day
+    * out). Output: one row per CLIPPED day — (key, day, value, z =
+    * the day against the FINAL surviving moments, clip_iter), ordered.
+    * Scale: maxIter × (one key aggregate + one key join), dailies
+    * only — never event volume. */
+  def anomalousDays(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, nSigma: Double = 3.0, maxIter: Int = 3)
+      : DataFrame = {
+    require(nSigma > 0, s"nSigma must be > 0, got $nSigma")
+    require(maxIter >= 1 && maxIter <= 10,
+      s"maxIter must be in [1, 10], got $maxIter")
+    val daily0 = df.groupBy(col(key), to_date(ts).as("day"))
+      .agg(sum(valueCol.cast("decimal(18,2)")).as("__x"))
+    anomalousDaysFromDaily(daily0, key, nSigma, maxIter)
+  }
+
+  /** [[anomalousDays]] over an already-aggregated (key, day, __x)
+    * daily table — the `*FromDaily` contract (seventh dailyAggSink
+    * view). */
+  private[graft] def anomalousDaysFromDaily(daily0: DataFrame,
+      key: String, nSigma: Double, maxIter: Int): DataFrame = {
+    val xd = col("__x").cast("decimal(18,6)")
+    var cur = graft.util.Caches.persistTracked(
+      daily0.select(col(key), col("day"), xd.as("__x"),
+        lit(0).as("__clip")))
+    def moments(of: DataFrame) = of.filter(col("__clip") === 0)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__q"))
+    def meanSd = {
+      val n = col("__n").cast("double")
+      val s = col("__s").cast("double")
+      val q = col("__q").cast("double")
+      (s / n, sqrt((q - s * s / n) / (n - lit(1.0))))
+    }
+    for (i <- 1 to maxIter) {
+      val (mean, sd) = meanSd
+      cur = graft.util.Caches.persistTracked(
+        cur.join(moments(cur), Seq(key), "left")
+          .withColumn("__clip",
+            when(col("__clip") === 0 && col("__n") >= 3 && sd > 0 &&
+              abs(col("__x").cast("double") - mean) > lit(nSigma) * sd,
+              lit(i)).otherwise(col("__clip")))
+          .select(col(key), col("day"), col("__x"), col("__clip")))
+    }
+    val (meanF, sdF) = meanSd
+    import graft.functions.q6
+    cur.filter(col("__clip") > 0)
+      .join(moments(cur), Seq(key), "left")
+      .select(col(key),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("__x").cast("double").as("value"),
+        q6(when(col("__n") >= 2 && sdF > 0,
+          (col("__x").cast("double") - meanF) / sdF)).as("z"),
+        col("__clip").as("clip_iter"))
+      .orderBy(col(key), col("day"))
+  }
+
   /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
     * 1954; the streaming-drift form popularized by Gama et al. 2004 —
     * public knowledge): the ONLINE companion of the offline

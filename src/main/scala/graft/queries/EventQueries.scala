@@ -248,6 +248,16 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E41: sigma-clipped anomalous days per event type — iterative
+    // 1.5-sigma clipping with re-fit moments (2 rounds): the point
+    // anomalies the changepoint family doesn't flag.
+    "q_e41_anomalous_days" -> { (s, dir) =>
+      graft.events.Resample.anomalousDays(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", col("ts"), col("value"), nSigma = 1.5,
+        maxIter = 2)
+    },
+
     // E38: Page-Hinkley sequential drift per event type over daily
     // value sums — "when would an online monitor have fired": micro-
     // integer running-mean recursion (truncating div), λ=2500 splits
@@ -1548,6 +1558,63 @@ object EventQueries {
         |    floor(med.slope * 1000000.0 + 0.5) / 1000000.0 END AS slope
         |FROM counts c LEFT JOIN med ON med.user_id = c.user_id
         |ORDER BY c.user_id""".stripMargin,
+    // E41: the two clip rounds unrolled; exact DECIMAL moments cast
+    // once, the identical mean/sd/clip IEEE trees per round.
+    "q_e41_anomalous_days" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(x AS DECIMAL(19,6))
+        |      * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS q
+        |  FROM daily GROUP BY 1),
+        |c1 AS (
+        |  SELECT daily.k, d, x,
+        |    CASE WHEN m1.n >= 3
+        |      AND sqrt((q - s * s / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) > 0
+        |      AND abs(CAST(x AS DOUBLE) - s / CAST(n AS DOUBLE))
+        |        > 1.5 * sqrt((q - s * s / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0))
+        |      THEN 1 ELSE 0 END AS clip
+        |  FROM daily LEFT JOIN m1 ON m1.k = daily.k),
+        |m2 AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(x AS DECIMAL(19,6))
+        |      * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS q
+        |  FROM c1 WHERE clip = 0 GROUP BY 1),
+        |c2 AS (
+        |  SELECT c1.k, d, x,
+        |    CASE WHEN clip = 0 AND m2.n >= 3
+        |      AND sqrt((q - s * s / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) > 0
+        |      AND abs(CAST(x AS DOUBLE) - s / CAST(n AS DOUBLE))
+        |        > 1.5 * sqrt((q - s * s / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0))
+        |      THEN 2 ELSE clip END AS clip
+        |  FROM c1 LEFT JOIN m2 ON m2.k = c1.k),
+        |mf AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(x AS DECIMAL(19,6))
+        |      * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS q
+        |  FROM c2 WHERE clip = 0 GROUP BY 1)
+        |SELECT c2.k AS event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(x AS DOUBLE) AS value,
+        |  CASE WHEN mf.n >= 2
+        |    AND sqrt((q - s * s / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) > 0
+        |    THEN floor((CAST(x AS DOUBLE) - s / CAST(n AS DOUBLE))
+        |      / sqrt((q - s * s / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS z,
+        |  clip AS clip_iter
+        |FROM c2 LEFT JOIN mf ON mf.k = c2.k
+        |WHERE clip > 0 ORDER BY event_type, day""".stripMargin,
     // Same DECIMAL daily sums and pair/series moments, same fixed
     // ratio m = sx/n; num = sab - m*sa - m*sb + c*m*m; den = sxx -
     // n*m*m — operand-mirrored.

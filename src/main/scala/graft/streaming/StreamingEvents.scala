@@ -862,6 +862,15 @@ object StreamingEvents {
     graft.events.Resample.seasonalTheilSenFromDaily(
       mergedDaily(spark, dailyDir, keyCol), keyCol)
 
+  /** E41 sigma-clipped anomalous days over a [[dailyAggSink]] store —
+    * the seventh view: the POINT anomalies the changepoint views don't
+    * flag, from the same merged daily cells. */
+  def anomalousDaysView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String, nSigma: Double = 3.0,
+      maxIter: Int = 3): DataFrame =
+    graft.events.Resample.anomalousDaysFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol, nSigma, maxIter)
+
   /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
     * directory — per-batch partial daily sums re-aggregated (exact
     * DECIMAL addition), shared by every view above. */

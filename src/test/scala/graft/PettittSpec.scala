@@ -213,6 +213,45 @@ class PettittSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "Resample.anomalousDays (E41)"
+
+  it should "unmask the smaller spike only after the big one is clipped" in {
+    // base days 9/10/11, one 1000 spike, one 100 spike: round 1's sd
+    // (~211, inflated by the 1000) hides the 100; after clipping the
+    // 1000, round 2's sd (~20) exposes it — the masking failure a
+    // single-pass z-score ships
+    val rows = (1 to 20).map { d =>
+      ("m", ts(f"2024-03-$d%02d 10:00:00"), 10.0 + d % 3 - 1)
+    } ++ Seq(
+      ("m", ts("2024-03-21 10:00:00"), 1000.0),
+      ("m", ts("2024-03-22 10:00:00"), 100.0))
+    val df = rows.toDF("k", "t", "v")
+    val two = graft.events.Resample.anomalousDays(df, "k", col("t"),
+      col("v"), nSigma = 3.0, maxIter = 2)
+      .as[(String, String, Double, Option[Double], Int)]
+      .collect().toSeq
+    two.map(r => (r._2, r._3, r._5)) shouldBe Seq(
+      ("2024-03-21", 1000.0, 1), ("2024-03-22", 100.0, 2))
+    all(two.map(_._4.get)) should be > 3.0
+    // a single pass reports only the big spike — masking demonstrated
+    val one = graft.events.Resample.anomalousDays(df, "k", col("t"),
+      col("v"), nSigma = 3.0, maxIter = 1)
+      .as[(String, String, Double, Option[Double], Int)]
+      .collect().toSeq
+    one.map(_._3) shouldBe Seq(1000.0)
+    // partition invariance
+    graft.events.Resample.anomalousDays(df.repartition(13), "k",
+      col("t"), col("v"), nSigma = 3.0, maxIter = 2)
+      .as[(String, String, Double, Option[Double], Int)]
+      .collect().toSeq shouldBe two
+    // a 2-day entity can't vote a day out
+    val tiny = Seq(("s", ts("2024-03-01 10:00:00"), 1.0),
+      ("s", ts("2024-03-02 10:00:00"), 1e6)).toDF("k", "t", "v")
+    graft.events.Resample.anomalousDays(tiny, "k", col("t"), col("v"))
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Resample.pageHinkley (E38)"
 
   it should "reproduce the hand micro-integer recursion and alarm day" in {

@@ -479,6 +479,13 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/daily", "user_id")) shouldBe
       stsRows(graft.events.Resample.seasonalTheilSen(
         allDf, "user_id", col("ts"), col("value")))
+    def adRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Double, Option[Double], Int)].collect().toSeq
+    adRows(StreamingEvents.anomalousDaysView(spark, s"$tmp/daily",
+      "user_id", nSigma = 1.5, maxIter = 2)) shouldBe
+      adRows(graft.events.Resample.anomalousDays(
+        allDf, "user_id", col("ts"), col("value"), nSigma = 1.5,
+        maxIter = 2))
     graft.util.Caches.releaseAll(spark)
   }
 
