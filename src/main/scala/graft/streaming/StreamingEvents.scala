@@ -2112,6 +2112,69 @@ object StreamingEvents {
       spark.read.parquet(indexDir).select(col("doc_id"), col("h")),
       minDocs)
 
+  /** Streaming COCHRAN–ARMITAGE dose-response monitor (F86 streaming):
+    * dose levels are DECLARED up front (the jonckheereSink discipline
+    * — an undeclared or non-integer level, or a non-0/1 outcome, fails
+    * loud); each micro-batch persists its per-level (n, converted)
+    * counts under `batch_id=N` — ≤ k rows per batch, exact mergeable
+    * counters — and the published view sums them through
+    * [[graft.dq.Stats.cochranArmitageFromCounts]] verbatim, so the
+    * live "is the ramp's conversion trend holding" readout equals the
+    * batch test over everything ingested (spec-proven). Replays
+    * overwrite their own batch directory: idempotent. */
+  def cochranArmitageSink(rows: DataFrame, doseCol: String,
+      convertedCol: String, doses: Seq[Long], cellsDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(doses.size >= 2 && doses == doses.sorted &&
+      doses.distinct == doses,
+      s"cochranArmitageSink: need >= 2 sorted distinct dose levels, " +
+        s"got $doses")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) cochranArmitageBatch(batch.toDF(), batchId,
+          doseCol, convertedCol, doses, cellsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cochranArmitageSink]] — package-private so
+    * the parity spec can drive the identical code path directly. */
+  private[graft] def cochranArmitageBatch(batch: DataFrame,
+      batchId: Long, doseCol: String, convertedCol: String,
+      doses: Seq[Long], cellsDir: String): Unit = {
+    val dose = col(doseCol)
+    val dLong = dose.cast("long")
+    val y = col(convertedCol).cast("long")
+    batch
+      .select(
+        when(dose.isNull || col(convertedCol).isNull,
+          raise_error(lit("cochranArmitageBatch: NULL dose/converted")))
+          .when(dLong.isNull ||
+            dLong.cast("double") =!= dose.cast("double") ||
+            !dLong.isin(doses: _*),
+            raise_error(lit("cochranArmitageBatch: dose level is not " +
+              s"one of the declared integer levels $doses")))
+          .otherwise(dLong).as("__g"),
+        when(y =!= 0L && y =!= 1L,
+          raise_error(lit("cochranArmitageBatch: converted must be " +
+            "0/1"))).otherwise(y).as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("c"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[cochranArmitageSink]] directory:
+    * level-summed counts through the batch trend finish verbatim. */
+  def cochranArmitageView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String): DataFrame =
+    graft.dq.Stats.cochranArmitageFromCounts(
+      spark.read.parquet(cellsDir)
+        .groupBy(col("__g"))
+        .agg(sum(col("n")).as("n"), sum(col("c")).as("c")))
+
   /** Streaming NUMERIC-DRIFT VALUE-CELL store: each micro-batch of the
     * CURRENT stream persists its per-distinct-value counts (__v, n)
     * under `batch_id=N` — rows bounded by value cardinality, never

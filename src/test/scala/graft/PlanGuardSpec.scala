@@ -28,6 +28,32 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "keep the round-14 ANN family cell-keyed: no cartesian, no data-global window" in {
+    val cents = vecs.filter(col("vec_id") % 10 === 0)
+    // X181 halo LOF: the pair relation is a cell-keyed equi join over
+    // the probe table — never a cross join — and every window the LOF
+    // kernel runs is point-partitioned
+    val haloPlan = planOf(Similarity.lofScoresHalo(vecs, "vec_id",
+      "embedding", cents, dim = 8, k = 2, probes = 2))
+    haloPlan should not include "CartesianProduct"
+    haloPlan should not include "BroadcastNestedLoopJoin"
+    // X182 k-NN graph: same relation, ranking window partitioned by
+    // the source point (m_eff-bounded), codegen'd graft_dot distances
+    val knnPlan = planOf(Similarity.knnGraph(vecs, "vec_id",
+      "embedding", cents, dim = 8, k = 2, probes = 2))
+    knnPlan should not include "CartesianProduct"
+    knnPlan should not include "BroadcastNestedLoopJoin"
+    knnPlan should include("graft_dot")
+    // X183 mutual-kNN clusters: the reciprocity cut is an equi
+    // intersect, the closure the CC propagation loop — still no
+    // cartesian anywhere
+    val mkPlan = planOf(Similarity.mutualKnnClusters(vecs, "vec_id",
+      "embedding", cents, dim = 8, k = 2, probes = 2))
+    mkPlan should not include "CartesianProduct"
+    mkPlan should not include "BroadcastNestedLoopJoin"
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "keep the PPJoin positional filter in the Jaccard candidate stage" in {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = planOf(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",

@@ -1822,6 +1822,47 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "merge streamed Cochran-Armitage level counts into the batch trend test of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sca").toString
+    val doses = Seq(0L, 1L, 2L)
+    def batchRows(seed: Int): Seq[(Long, Long)] =
+      (1 to 60).map { i =>
+        val g = (i % 3).toLong
+        (g, if ((i * (seed + 2)) % 10 < 2 + g * 2) 1L else 0L)
+      }
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingEvents.cochranArmitageSink(
+      in.toDF().toDF("g", "y"), "g", "y", doses, s"$tmp/cells",
+      s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).head
+    val union = (1 to 2).flatMap(batchRows).toDF("g", "y")
+    val batch = one(graft.dq.Stats.cochranArmitage(union, col("g"),
+      col("y"), doses))
+    one(StreamingEvents.cochranArmitageView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // replay safety
+    StreamingEvents.cochranArmitageBatch(batchRows(2).toDF("g", "y"),
+      1L, "g", "y", doses, s"$tmp/cells")
+    one(StreamingEvents.cochranArmitageView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // undeclared level and non-binary outcome fail loud
+    an[Exception] should be thrownBy
+      StreamingEvents.cochranArmitageBatch(Seq((9L, 1L)).toDF("g", "y"),
+        9L, "g", "y", doses, s"$tmp/cells")
+    an[Exception] should be thrownBy
+      StreamingEvents.cochranArmitageBatch(Seq((1L, 5L)).toDF("g", "y"),
+        9L, "g", "y", doses, s"$tmp/cells")
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "merge streamed Kendall tau-b cells into the batch test of the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_skt").toString
