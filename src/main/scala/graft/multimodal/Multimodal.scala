@@ -289,6 +289,128 @@ object Multimodal {
       maxDist)
   }
 
+  /** M9: SPECTRAL perceptual hash via the WALSH–HADAMARD transform
+    * (pHash family, public knowledge; WHT in place of the DCT): dHash
+    * reads local GRADIENTS, so global low-frequency edits — a
+    * brightness ramp, recompression ringing, a global contrast curve —
+    * flip many gradient bits at once; the spectral hash thresholds
+    * LOW-SEQUENCY transform coefficients, which such edits barely
+    * move. The WHT is chosen over the DCT deliberately: its basis is
+    * ±1, so every coefficient is an EXACT INTEGER sum of the grid
+    * cells — order-free, engine-exact, oracle-mirrorable — where DCT
+    * cosines would pin the hash to library floating point.
+    *
+    * Pipeline: decode (JDK ImageIO) → integer grayscale → 16×16 box
+    * means (floor division — the dHash grid code) →
+    * `W(u,v) = Σ_{x,y} g(x,y)·(−1)^{popcount(x∧u)+popcount(y∧v)}` for
+    * the 64 lowest-sequency cells (u, v ∈ [0,8)) → one bit per
+    * coefficient: `W > median`, the median being the 32nd-smallest of
+    * the 63 non-DC coefficients (exact integer order statistic; the
+    * DC energy sits far above it, so its bit is constantly 1 and
+    * carries no discriminative weight — documented). Emits (hi, lo)
+    * in the [[graft.text.Dedup.simhash64]] layout, so the SAME
+    * lossless 16-bit banding join answers spectral near-dup search
+    * ([[spectralHashNearDuplicates]]). Undecodable payloads keep their
+    * row with null halves. Zero shuffle — one mapPartitions pass. */
+  def spectralHash(media: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      media.schema(idCol),
+      StructField("hi", LongType),
+      StructField("lo", LongType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        readImage(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(r.get(idIdx), null, null)
+          case Some(img) =>
+            val raster = img.getRaster
+            val (w, h, bands) =
+              (img.getWidth, img.getHeight, raster.getNumBands)
+            def gray(x: Int, y: Int): Long =
+              if (bands >= 3)
+                (raster.getSample(x, y, 0).toLong +
+                  raster.getSample(x, y, 1) +
+                  raster.getSample(x, y, 2)) / 3
+              else raster.getSample(x, y, 0).toLong
+            val G = 16
+            val cell = Array.ofDim[Long](G, G)
+            var cy = 0
+            while (cy < G) {
+              val y0 = cy * h / G
+              val y1 = math.max((cy + 1) * h / G, y0 + 1)
+              var cx = 0
+              while (cx < G) {
+                val x0 = cx * w / G
+                val x1 = math.max((cx + 1) * w / G, x0 + 1)
+                var s = 0L; var n = 0L
+                var y = y0
+                while (y < y1 && y < h) {
+                  var x = x0
+                  while (x < x1 && x < w) { s += gray(x, y); n += 1; x += 1 }
+                  y += 1
+                }
+                cell(cx)(cy) = if (n == 0) 0L else s / n
+                cx += 1
+              }
+              cy += 1
+            }
+            // 64 lowest-sequency WHT coefficients — exact integer sums
+            val coeff = new Array[Long](64)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0L
+                var x = 0
+                while (x < G) {
+                  var y = 0
+                  while (y < G) {
+                    val neg = (java.lang.Integer.bitCount(x & u) +
+                      java.lang.Integer.bitCount(y & v)) % 2 == 1
+                    s += (if (neg) -cell(x)(y) else cell(x)(y))
+                    y += 1
+                  }
+                  x += 1
+                }
+                coeff(v * 8 + u) = s
+                v += 1
+              }
+              u += 1
+            }
+            // exact integer median: 32nd-smallest of the 63 non-DC
+            val nonDc = coeff.drop(1).sorted
+            val med = nonDc(31)
+            var hi = 0L; var lo = 0L
+            var b = 0
+            while (b < 64) {
+              if (coeff(b) > med) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Row(r.get(idIdx), hi, lo)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** M10: spectral-hash near-duplicate pairs — the [[dHashNearDuplicates]]
+    * pigeonhole banding over [[spectralHash]] values: one band shuffle,
+    * never O(n²); undecodable rows excluded. */
+  def spectralHashNearDuplicates(media: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4,
+      s"4 bands are lossless only for maxDist < 4, got $maxDist")
+    graft.text.Dedup.bandJoin64(
+      spectralHash(media, idCol).filter(col("hi").isNotNull)
+        .select(col(idCol).as("doc_id"), col("hi").as("__hi"),
+          col("lo").as("__lo")),
+      maxDist)
+  }
+
   /** Deterministic grayscale pattern PNG — the arithmetic payload
     * generator behind q_m4/q_m5's oracle-checked decode round-trips.
     * The seed-dependent QUADRATIC x term matters: with a linear pattern

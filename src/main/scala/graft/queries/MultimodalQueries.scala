@@ -60,6 +60,9 @@ object MultimodalQueries {
   private def patternPng = udf((seed: Long) =>
     Multimodal.grayPatternPng(9, 8, seed))
 
+  private def patternPng16 = udf((seed: Long) =>
+    Multimodal.grayPatternPng(16, 16, seed))
+
   private lazy val queriesDHash: Map[String, Q] = Map(
     // M4: perceptual dHash round-trip — 9×8 arithmetic-pattern PNGs
     // (Multimodal.patternValue arithmetic) are encoded, decoded through
@@ -69,6 +72,29 @@ object MultimodalQueries {
       val payloads = t(s, dir, "documents").select(col("doc_id"),
         patternPng(col("doc_id")).as("content"))
       Multimodal.dHash(payloads, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // M9: spectral (Walsh-Hadamard) perceptual hash round-trip — 16x16
+    // arithmetic-pattern PNGs decode to exact integer WHT coefficients;
+    // bits threshold on the exact integer median of the 63 non-DC.
+    "q_m9_image_spectral_hash" -> { (s, dir) =>
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        patternPng16(col("doc_id")).as("content"))
+      Multimodal.spectralHash(payloads, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // M10: spectral near-dup pairs — every 5th doc's image duplicated
+    // under doc_id+100000 (same seed), found at Hamming 0 by the same
+    // 16-bit banding join as M5.
+    "q_m10_spectral_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id")))
+      val payloads = corpus.select(col("doc_id"),
+        patternPng16(col("doc_id") % 100000).as("content"))
+      Multimodal.spectralHashNearDuplicates(payloads, "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // M5: image near-dup pairs — every 5th doc's image is duplicated
@@ -167,6 +193,106 @@ object MultimodalQueries {
     // Image near-dup: same bits over the planted corpus (copies share
     // the seed), 4×16-bit bands, in-join Hamming verify — the q_x21
     // band structure over dHash values.
+    // M9 ground truth: the 16x16 pattern pixels ARE the grid cells; WHT
+    // signs from explicit 3-bit parity arithmetic, exact integer sums,
+    // the 32nd-smallest non-DC coefficient as the threshold.
+    "q_m9_image_spectral_hash" ->
+      """WITH g AS (
+        |  SELECT doc_id, xx.x AS x, yy.y AS y,
+        |    ((doc_id * 2654435761) % 256
+        |      + ((doc_id % 251) + 1) * xx.x * xx.x + xx.x * 119
+        |      + yy.y * yy.y * 17 + yy.y * ((doc_id % 67) + 29)) % 256
+        |      AS gv
+        |  FROM documents, range(16) AS xx(x), range(16) AS yy(y)),
+        |co AS (
+        |  SELECT doc_id, vv.v * 8 + uu.u AS b,
+        |    CAST(sum(CASE WHEN (
+        |        ((x & uu.u) & 1) + (((x & uu.u) >> 1) & 1)
+        |          + (((x & uu.u) >> 2) & 1)
+        |        + ((y & vv.v) & 1) + (((y & vv.v) >> 1) & 1)
+        |          + (((y & vv.v) >> 2) & 1)) % 2 = 1
+        |      THEN -gv ELSE gv END) AS BIGINT) AS w
+        |  FROM g, range(8) AS uu(u), range(8) AS vv(v)
+        |  GROUP BY doc_id, vv.v * 8 + uu.u),
+        |med AS (
+        |  SELECT doc_id, w AS med FROM (
+        |    SELECT doc_id, w,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+        |    FROM co WHERE b <> 0) WHERE rn = 32),
+        |bits AS (
+        |  SELECT co.doc_id, b,
+        |    CASE WHEN w > med THEN 1 ELSE 0 END AS bit
+        |  FROM co JOIN med ON med.doc_id = co.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32
+        |    THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN b < 32
+        |    THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |    AS BIGINT) AS lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // M10: the same spectral bits over the planted corpus, the q_m5
+    // band structure and in-join Hamming verify.
+    "q_m10_spectral_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, doc_id AS seed
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT doc_id, xx.x AS x, yy.y AS y,
+        |    ((seed * 2654435761) % 256
+        |      + ((seed % 251) + 1) * xx.x * xx.x + xx.x * 119
+        |      + yy.y * yy.y * 17 + yy.y * ((seed % 67) + 29)) % 256
+        |      AS gv
+        |  FROM corpus, range(16) AS xx(x), range(16) AS yy(y)),
+        |co AS (
+        |  SELECT doc_id, vv.v * 8 + uu.u AS b,
+        |    CAST(sum(CASE WHEN (
+        |        ((x & uu.u) & 1) + (((x & uu.u) >> 1) & 1)
+        |          + (((x & uu.u) >> 2) & 1)
+        |        + ((y & vv.v) & 1) + (((y & vv.v) >> 1) & 1)
+        |          + (((y & vv.v) >> 2) & 1)) % 2 = 1
+        |      THEN -gv ELSE gv END) AS BIGINT) AS w
+        |  FROM g, range(8) AS uu(u), range(8) AS vv(v)
+        |  GROUP BY doc_id, vv.v * 8 + uu.u),
+        |med AS (
+        |  SELECT doc_id, w AS med FROM (
+        |    SELECT doc_id, w,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+        |    FROM co WHERE b <> 0) WHERE rn = 32),
+        |bits AS (
+        |  SELECT co.doc_id, b,
+        |    CASE WHEN w > med THEN 1 ELSE 0 END AS bit
+        |  FROM co JOIN med ON med.doc_id = co.doc_id),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN CAST(pow(2, b - 32) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN CAST(pow(2, b) AS BIGINT) * bit ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    CASE b WHEN 0 THEN lo % 65536
+        |           WHEN 1 THEN CAST(floor(lo / 65536) AS BIGINT)
+        |           WHEN 2 THEN hi % 65536
+        |           ELSE CAST(floor(hi / 65536) AS BIGINT) END AS bv
+        |  FROM sim, range(4) AS r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN sim x ON x.doc_id = doc_a
+        |JOIN sim y ON y.doc_id = doc_b
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_m5_image_neardup" ->
       """WITH corpus AS (
         |  SELECT doc_id, doc_id AS seed FROM documents

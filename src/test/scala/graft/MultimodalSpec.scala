@@ -127,6 +127,57 @@ class MultimodalSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  it should "hash images spectrally: WHT coefficients, exact brightness invariance, banded near-dup" in {
+    // a GLOBAL brightness shift moves only the DC coefficient (the ±1
+    // basis cancels a constant on every non-DC cell), so the spectral
+    // hash is EXACTLY invariant — the low-frequency robustness that
+    // motivates the pHash family over gradient-sign dHash
+    def png16(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = (x: Int, y: Int) => (x * 7 + y * 13 + x * y) % 128
+    val payloads = Seq(
+      (1L, png16(base)),
+      (2L, png16((x, y) => base(x, y) + 50)),     // +50 brightness
+      (3L, png16((x, y) => (x * 31 + y * 5) % 200)), // different image
+      (4L, "not a png".getBytes))                 // undecodable
+      .toDF("id", "content")
+    val hs = Multimodal.spectralHash(payloads, "id")
+      .select("id", "hi", "lo").as[(Long, Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    hs(2L) shouldBe hs(1L) // exact invariance under the +50 shift
+    hs(3L) should not be hs(1L)
+    hs(4L) shouldBe ((None, None))
+    // hand-check one coefficient bit path: W(1,0) on the base image
+    val g = Array.tabulate(16, 16)((x, y) => base(x, y).toLong)
+    def wht(u: Int, v: Int): Long = {
+      var s = 0L
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val neg = (Integer.bitCount(x & u) + Integer.bitCount(y & v)) % 2 == 1
+        s += (if (neg) -g(x)(y) else g(x)(y))
+      }
+      s
+    }
+    val coeffs = (for (u <- 0 until 8; v <- 0 until 8)
+      yield (v * 8 + u) -> wht(u, v)).sortBy(_._1).map(_._2)
+    val med = coeffs.drop(1).sorted.apply(31)
+    val expectBit1 = coeffs(1) > med // b = 1 is (u=1, v=0)
+    val lo1 = hs(1L)._2.get
+    ((lo1 >> 1) & 1L) shouldBe (if (expectBit1) 1L else 0L)
+    // banded near-dup finds the planted brightness twin at Hamming 0
+    val pairs = Multimodal.spectralHashNearDuplicates(payloads, "id")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)]
+      .collect()
+    pairs should contain((1L, 2L, 0L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+  }
+
   it should "decode real WAV audio through javax.sound.sampled to exact stats" in {
     // constant-amplitude mono: mean IS the value, rms its magnitude
     def constWav(v: Int, n: Int, channels: Int): Array[Byte] = {
