@@ -841,6 +841,72 @@ object Resample {
       .orderBy(col(key), col("day"))
   }
 
+  /** E42: WALD–WOLFOWITZ RUNS TEST per entity (Wald & Wolfowitz 1940,
+    * public knowledge) — IS the daily series RANDOM around its level,
+    * or does it cluster? The diagnostic the trend family can't give:
+    * MK/Pettitt see monotone or one-break structure; a series that
+    * oscillates in multi-day clumps (autocorrelated incidents,
+    * weekly batching) passes both yet fails runs. Days dichotomize
+    * against the entity's LOWER MEDIAN (the D28 grid discipline —
+    * exact, engine-identical); days equal to the median are excluded
+    * (standard). R = observed runs of consecutive same-side days (in
+    * day order), `μ = 1 + 2n₁n₂/N`, `σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1))`,
+    * z = (R−μ)/σ: z < 0 ⇒ clumping, z > 0 ⇒ over-alternation.
+    *
+    * Exactness: R/n₁/n₂ exact integers (run starts via an entity-keyed
+    * day-ordered lag — calendar-bounded windows); μ/σ²/z one fixed
+    * IEEE tree over the exact integers, published q6. Degenerate
+    * entities (n₁ = 0 or n₂ = 0 or N < 2) emit NULL z. Output per
+    * entity: (key, n_days, n_above, n_below, runs, z). */
+  def runsTest(df: DataFrame, key: String, ts: Column,
+      valueCol: Column): DataFrame =
+    runsTestFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key)
+
+  /** [[runsTest]] over an already-aggregated (key, day, __x) daily
+    * table — the `*FromDaily` contract (eighth dailyAggSink view). */
+  private[graft] def runsTestFromDaily(daily0: DataFrame, key: String)
+      : DataFrame = {
+    val daily = graft.util.Caches.persistTracked(
+      daily0.select(col(key), col("day"),
+        col("__x").cast("decimal(18,6)").as("__x")))
+    // lower median on the value grid (the brownForsythe selection)
+    val wOrd = Window.partitionBy(col(key)).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col(key))
+    val med = daily.groupBy(col(key), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .filter(col("__cum") * lit(2) >= col("__n"))
+      .groupBy(col(key)).agg(min(col("__x")).as("__med"))
+    val sided = daily.join(med, Seq(key))
+      .filter(col("__x") =!= col("__med"))
+      .withColumn("__s", (col("__x") > col("__med")).cast("int"))
+    val lagW = Window.partitionBy(col(key)).orderBy(col("day"))
+    val agg = sided
+      .withColumn("__prev", lag(col("__s"), 1).over(lagW))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__s").cast("long")).as("n_above"),
+        sum(lit(1L) - col("__s")).as("n_below"),
+        sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__s"), 1L).otherwise(0L)).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nn = n1 + n2
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / nn
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - lit(1.0)))
+    val z = (col("runs").cast("double") - mu) / sqrt(varR)
+    import graft.functions.q6
+    agg.select(col(key), col("n_days"), col("n_above"),
+      col("n_below"), col("runs"),
+      q6(when(col("n_above") > 0 && col("n_below") > 0 &&
+        col("n_days") >= 2 && varR > 0, z)).as("z"))
+  }
+
   /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
     * 1954; the streaming-drift form popularized by Gama et al. 2004 —
     * public knowledge): the ONLINE companion of the offline

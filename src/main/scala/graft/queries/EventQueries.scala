@@ -248,6 +248,16 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // E42: Wald-Wolfowitz runs test per user — does the daily series
+    // cluster around its median (z < 0) or alternate too regularly
+    // (z > 0)? The randomness diagnostic MK/Pettitt can't give.
+    "q_e42_runs_test" -> { (s, dir) =>
+      graft.events.Resample.runsTest(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
     // E41: sigma-clipped anomalous days per event type — iterative
     // 1.5-sigma clipping with re-fit moments (2 rounds): the point
     // anomalies the changepoint family doesn't flag.
@@ -1558,6 +1568,59 @@ object EventQueries {
         |    floor(med.slope * 1000000.0 + 0.5) / 1000000.0 END AS slope
         |FROM counts c LEFT JOIN med ON med.user_id = c.user_id
         |ORDER BY c.user_id""".stripMargin,
+    // E42: lower-median dichotomization (the D28 grid selection),
+    // ties excluded, runs via day-ordered lag, one IEEE z tree.
+    "q_e42_runs_test" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |byv AS (
+        |  SELECT user_id, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |med AS (
+        |  SELECT user_id, min(x) AS mv FROM (
+        |    SELECT user_id, x,
+        |      sum(c) OVER (PARTITION BY user_id ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cum,
+        |      sum(c) OVER (PARTITION BY user_id) AS n
+        |    FROM byv)
+        |  WHERE cum * 2 >= n GROUP BY 1),
+        |sided AS (
+        |  SELECT daily.user_id, d,
+        |    CAST(x > mv AS INT) AS s
+        |  FROM daily JOIN med ON med.user_id = daily.user_id
+        |  WHERE x <> mv),
+        |lagged AS (
+        |  SELECT user_id, s,
+        |    lag(s) OVER (PARTITION BY user_id ORDER BY d) AS prev
+        |  FROM sided),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - s) AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1
+        |      ELSE 0 END) AS BIGINT) AS runs
+        |  FROM lagged GROUP BY 1),
+        |zz AS (
+        |  SELECT *,
+        |    1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) AS mu,
+        |    2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+        |      / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |        * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |        * ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          - 1.0)) AS var_r
+        |  FROM agg)
+        |SELECT user_id, n_days, n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND n_days >= 2
+        |    AND var_r > 0 THEN
+        |    floor((CAST(runs AS DOUBLE) - mu) / sqrt(var_r)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM zz ORDER BY user_id""".stripMargin,
     // E41: the two clip rounds unrolled; exact DECIMAL moments cast
     // once, the identical mean/sd/clip IEEE trees per round.
     "q_e41_anomalous_days" ->

@@ -871,6 +871,14 @@ object StreamingEvents {
     graft.events.Resample.anomalousDaysFromDaily(
       mergedDaily(spark, dailyDir, keyCol), keyCol, nSigma, maxIter)
 
+  /** E42 Wald–Wolfowitz runs test over a [[dailyAggSink]] store — the
+    * eighth view: is the series RANDOM around its median, or clumping
+    * (the autocorrelation the trend views can't see)? */
+  def runsTestView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String): DataFrame =
+    graft.events.Resample.runsTestFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol)
+
   /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
     * directory — per-batch partial daily sums re-aggregated (exact
     * DECIMAL addition), shared by every view above. */

@@ -44,7 +44,9 @@ object ScaleGate {
     "q_a28_shipmode_priority", "q_a29_customer_distribution",
     "q_a30_promo_effect", "q_a31_top_supplier",
     "q_a32_supplier_relationship", "q_a33_large_orders",
-    "q_f82_friedman")
+    "q_f82_friedman",
+    // r14 ANN watch rows (wave 36: 0.24-0.35, CC/cell-join bound)
+    "q_x181_lof_halo", "q_x182_knn_graph", "q_x183_mutual_knn_clusters")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

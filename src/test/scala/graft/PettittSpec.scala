@@ -252,6 +252,44 @@ class PettittSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "Resample.runsTest (E42)"
+
+  it should "read clumping below zero and alternation above, with hand-exact z" in {
+    // clumped 1,2,(3),10,11,12: lower median 3 excluded, B B A A A ->
+    // runs 2, mu = 3.4, var = 0.84, z = -1.4/sqrt(0.84) = -1.527525
+    val clumped = Seq(1.0, 2.0, 3.0, 10.0, 11.0, 12.0).zipWithIndex
+      .map { case (v, i) => ("c", ts(f"2024-03-${i + 1}%02d 10:00:00"), v) }
+    // alternating 1,10,2,11,(3),12: B A B A A -> runs 4, z > 0
+    val alt = Seq(1.0, 10.0, 2.0, 11.0, 3.0, 12.0).zipWithIndex
+      .map { case (v, i) => ("a", ts(f"2024-03-${i + 1}%02d 10:00:00"), v) }
+    val df = (clumped ++ alt).toDF("k", "t", "v")
+    val r = graft.events.Resample.runsTest(df, "k", col("t"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    r("c")._2 shouldBe 5L
+    r("c")._3 shouldBe 3L // above
+    r("c")._4 shouldBe 2L // below
+    r("c")._5 shouldBe 2L // runs
+    val zHand = (2.0 - 3.4) / math.sqrt(0.84)
+    r("c")._6.get shouldBe math.floor(zHand * 1e6 + 0.5) / 1e6
+    r("a")._5 shouldBe 4L
+    r("a")._6.get should be > 0.0
+    r("c")._6.get should be < 0.0
+    // one-sided entity (every non-median day above) -> NULL z
+    val oneSide = Seq(1.0, 9.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("o", ts(f"2024-03-${i + 1}%02d 10:00:00"), v) }
+      .toDF("k", "t", "v")
+    graft.events.Resample.runsTest(oneSide, "k", col("t"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().head._6 shouldBe None
+    // partition invariance
+    graft.events.Resample.runsTest(df.repartition(13), "k", col("t"),
+      col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap shouldBe r
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "Resample.pageHinkley (E38)"
 
   it should "reproduce the hand micro-integer recursion and alarm day" in {

@@ -486,6 +486,13 @@ class StreamingSpec extends SparkSpec {
       adRows(graft.events.Resample.anomalousDays(
         allDf, "user_id", col("ts"), col("value"), nSigma = 1.5,
         maxIter = 2))
+    def rtRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    rtRows(StreamingEvents.runsTestView(spark, s"$tmp/daily",
+      "user_id")) shouldBe
+      rtRows(graft.events.Resample.runsTest(
+        allDf, "user_id", col("ts"), col("value")))
     graft.util.Caches.releaseAll(spark)
   }
 
