@@ -171,6 +171,61 @@ object EventFeatures {
   /** Inter-event intervals per entity (seconds between consecutive events
     * of `attribute`): count, max, and mean — the "inter-purchase interval"
     * feature. Mean = exact BIGINT sum / count, one double division. */
+  /** W21: TIME-WEIGHTED AVERAGE per entity over a window (the
+    * last-observation-carried-forward integral — the TWAP/availability
+    * shape; public knowledge): a plain mean over-weights chatty
+    * periods (ten updates in one minute count ten times), the
+    * time-weighted mean weights each VALUE by HOW LONG IT HELD —
+    * exactly what "average price/limit/capacity over the window"
+    * means for a feature that holds between updates (the feature-store
+    * current()/latest semantics, integrated). Each event's value holds
+    * from its timestamp to the next event (LOCF); the integral runs
+    * over [start, end): segments clamp to the window, and the value
+    * carried INTO the window by the last pre-window event counts from
+    * `start`. Time before the first event is uncovered — reported, not
+    * imputed.
+    *
+    * Exactness: epoch seconds exact BIGINT; values on the 1e-6 grid
+    * (micro LONGs), each segment `v_μ · seconds` exact in
+    * DECIMAL(38,0), order-free sum; ONE pinned division pair
+    * (Σ/10⁶)/covered, q6. Ties at the same timestamp order by (ts,
+    * value) — deterministic; the earlier rows hold zero seconds.
+    * Scale: one entity-keyed lead window over events ≤ end, one
+    * aggregate — no joins. Output per entity:
+    * (key, n_events, covered_sec, twa). */
+  def timeWeightedAverage(events: DataFrame, key: String, ts: Column,
+      valueCol: Column, windowStart: String, windowEnd: String)
+      : DataFrame = {
+    val startS = java.sql.Timestamp.valueOf(windowStart).getTime / 1000
+    val endS = java.sql.Timestamp.valueOf(windowEnd).getTime / 1000
+    require(endS > startS,
+      s"timeWeightedAverage: empty window [$windowStart, $windowEnd)")
+    val D = "decimal(38,0)"
+    val base = events
+      .filter(valueCol.isNotNull)
+      .select(col(key), unix_timestamp(ts).as("__t"),
+        valueCol.cast("decimal(18,6)").as("__v"))
+      .filter(col("__t") < endS)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__v"))
+    val seg = base
+      .withColumn("__next",
+        coalesce(lead(col("__t"), 1).over(w), lit(endS)))
+      .withColumn("__s0", greatest(col("__t"), lit(startS)))
+      .withColumn("__s1", least(col("__next"), lit(endS)))
+      .withColumn("__dur", greatest(col("__s1") - col("__s0"), lit(0L)))
+    import graft.functions.q6
+    seg.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__dur")).as("covered_sec"),
+        sum((col("__v") * lit(1000000L)).cast("long").cast(D) *
+          col("__dur").cast(D)).as("__int"))
+      .select(col(key), col("n_events"), col("covered_sec"),
+        q6(when(col("covered_sec") > 0,
+          (col("__int").cast("double") / lit(1e6)) /
+            col("covered_sec").cast("double"))).as("twa"))
+  }
+
   def interEventIntervals(events: DataFrame, attribute: String,
       c: EventCols = EventCols()): DataFrame = {
     val w = Window.partitionBy(col(c.entity)).orderBy(col(c.ts), col(c.id))

@@ -248,6 +248,17 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W21: time-weighted average value per user over a mid-month
+    // window — the LOCF integral: each value weighted by how long it
+    // held, the carried-in value counted from the window start.
+    "q_w21_time_weighted_avg" -> { (s, dir) =>
+      graft.events.EventFeatures.timeWeightedAverage(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"),
+        "2024-01-10 00:00:00", "2024-01-25 00:00:00")
+        .orderBy(col("user_id"))
+    },
+
     // E42: Wald-Wolfowitz runs test per user — does the daily series
     // cluster around its median (z < 0) or alternate too regularly
     // (z > 0)? The randomness diagnostic MK/Pettitt can't give.
@@ -1568,6 +1579,40 @@ object EventQueries {
         |    floor(med.slope * 1000000.0 + 0.5) / 1000000.0 END AS slope
         |FROM counts c LEFT JOIN med ON med.user_id = c.user_id
         |ORDER BY c.user_id""".stripMargin,
+    // W21: same LOCF segments — lead over (ts, value), window clamp,
+    // micro-LONG x seconds in HUGEINT, the pinned division pair.
+    "q_w21_time_weighted_avg" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND CAST(floor(epoch(ts)) AS BIGINT)
+        |      < CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00'))
+        |        AS BIGINT)),
+        |seg AS (
+        |  SELECT user_id, v,
+        |    greatest(t, CAST(floor(epoch(
+        |      TIMESTAMP '2024-01-10 00:00:00')) AS BIGINT)) AS s0,
+        |    least(COALESCE(lead(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, v),
+        |      CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00'))
+        |        AS BIGINT)),
+        |      CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00'))
+        |        AS BIGINT)) AS s1
+        |  FROM base),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(greatest(s1 - s0, 0)) AS BIGINT) AS covered_sec,
+        |    sum(CAST(CAST(v * 1000000 AS BIGINT) AS HUGEINT)
+        |      * greatest(s1 - s0, 0)) AS i
+        |  FROM seg GROUP BY 1)
+        |SELECT user_id, n_events, covered_sec,
+        |  CASE WHEN covered_sec > 0 THEN
+        |    floor((CAST(CAST(i AS VARCHAR) AS DOUBLE) / 1000000.0)
+        |      / CAST(covered_sec AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS twa
+        |FROM agg ORDER BY user_id""".stripMargin,
     // E42: lower-median dichotomization (the D28 grid selection),
     // ties excluded, runs via day-ordered lag, one IEEE z tree.
     "q_e42_runs_test" ->

@@ -177,6 +177,46 @@ class EventFunctionsSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "timeWeightedAverage (W21)"
+
+  it should "integrate LOCF segments, counting the carried-in value from window start" in {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: 10 carried IN from before the window (holds 60s), then 20
+    // for the last 40s: twa = (10*60 + 20*40)/100 = 14 (plain mean 15)
+    // u2: chatty then quiet — ten 100s inside one second, then 0 for
+    // the rest: the plain mean says ~91, the time-weighted says ~1
+    val rows = Seq(
+      (1L, t("2024-03-01 09:59:00"), 10.0),
+      (1L, t("2024-03-01 10:01:00"), 20.0)) ++
+      (0 until 10).map(i =>
+        (2L, t(f"2024-03-01 10:00:${i}%02d"), 100.0)) ++ Seq(
+      (2L, t("2024-03-01 10:00:10"), 0.0),
+      (3L, t("2024-03-01 11:00:00"), 7.0)) // entirely after the window
+    val got = graft.events.EventFeatures.timeWeightedAverage(
+      rows.toDF("user_id", "ts", "value"), "user_id", col("ts"),
+      col("value"), "2024-03-01 10:00:00", "2024-03-01 10:01:40")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(1L) shouldBe ((2L, 100L, Some(14.0)))
+    // u2: 100 holds 10 x 1s segments, 0 holds the remaining 90s
+    got(2L)._1 shouldBe 11L
+    got(2L)._2 shouldBe 100L
+    got(2L)._3.get shouldBe 10.0 +- 1e-9
+    got.contains(3L) shouldBe false // nothing held inside the window
+    // partition invariance
+    graft.events.EventFeatures.timeWeightedAverage(
+      rows.toDF("user_id", "ts", "value").repartition(7), "user_id",
+      col("ts"), col("value"), "2024-03-01 10:00:00",
+      "2024-03-01 10:01:40")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap shouldBe got
+    an[IllegalArgumentException] should be thrownBy
+      graft.events.EventFeatures.timeWeightedAverage(
+        rows.toDF("user_id", "ts", "value"), "user_id", col("ts"),
+        col("value"), "2024-03-01 10:00:00", "2024-03-01 10:00:00")
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "rfmScores (E12)"
 
   it should "score hand-computed recency/frequency/monetary quintiles" in {
