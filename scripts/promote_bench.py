@@ -53,10 +53,15 @@ def main() -> int:
     prev = board["queries"] if board else {}
     merged = {k: (min(v, prev[k]) if k in prev else v)
               for k, v in run["queries"].items()}
-    run_canaries = (board.get("run_canaries", []) if board else []) + \
-        [run["canary_sec"]]
-    run_totals = (board.get("run_totals", []) if board else []) + \
-        [run["value"]]
+    # a legacy board (no run_* keys) still contributed one run: seed the
+    # history from its own canary/total so canary_sec stays the min over
+    # ALL contributing runs
+    prev_canaries = (board.get("run_canaries") or [board["canary_sec"]]) \
+        if board else []
+    prev_totals = (board.get("run_totals") or [board["value"]]) \
+        if board else []
+    run_canaries = prev_canaries + [run["canary_sec"]]
+    run_totals = prev_totals + [run["value"]]
     out = {
         "metric": "total",
         "value": sum(merged.values()),

@@ -70,18 +70,21 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String = "?"): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // stderr, never stdout (the driver parses the stdout JSON) — a
-        // silently-swallowed failure previously benched as a fast "win"
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        -1L
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          // stderr, never stdout (the driver parses the stdout JSON)
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // intra-query persists + checkpoint blocks must not leak (untimed)
       graft.util.Caches.releaseAll(spark)
       spark.catalog.clearCache()
       System.gc() // untimed: stop one query's garbage from taxing the next
-      elapsed
+      // a failure must surface as the -1 sentinel, NOT its wall time —
+      // a swallowed failure otherwise benches as a fast "win" and
+      // promote_bench.py's refusal gate never fires
+      if (ok) elapsed else -1.0
     }
     // CODE-FROZEN machine-drift canary — DO NOT CHANGE: cross-round
     // normalization divides totals by this. A fixed shuffle+codegen
@@ -107,7 +110,9 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       once(fn, name) // per-query warm-up, untimed
       val times = (1 to repeats).map(_ => once(fn, name)).sorted
-      name -> times(times.size / 2)
+      // ANY failed repeat poisons the median to the sentinel — a query
+      // that flakes must read as failed, not as its fastest success
+      name -> (if (times.exists(_ < 0)) -1.0 else times(times.size / 2))
     }
     val total = results.map(_._2).sum
     // DECLARED COUNTER-EXAMPLES: queries kept on the board deliberately

@@ -1394,25 +1394,8 @@ object Similarity {
       centroids: DataFrame, dim: Int, k: Int, probes: Int = 2,
       maxBucketPoints: Long = 100000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(probes >= 1, s"probes must be >= 1, got $probes")
-    require(maxBucketPoints >= 2,
-      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
-    ensureNative(points)
-    val asg = graft.util.Caches.persistTracked(
-      ivfAssignProbes(points, idCol, vecCol, centroids, dim, probes)
-        .select(col("vec_id").as("__id"), col("v").as("__v"),
-          col("probe").as("__pr"), col("centroid_id").as("__bk")))
-    // eager census BEFORE the O(m²) join, counting HALO rows too — the
-    // halo inflates the effective cell size by up to probes×
-    val oversize = asg.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketPoints)
-      .limit(1).collect()
-    require(oversize.isEmpty,
-      s"lofScoresHalo: cell ${oversize.head.get(0)} holds " +
-        s"${oversize.head.getLong(1)} probe-assigned points > " +
-        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
-        "O(m²); train more centroids, lower probes, or sample")
+    val asg = probeAssignGuarded(points, idCol, vecCol, centroids,
+      dim, probes, maxBucketPoints, "lofScoresHalo")
     val a = asg.select(col("__bk"), col("__id").as("__p"),
       col("__v").as("__va"))
     val b = asg.select(col("__bk"), col("__id").as("__o"),
@@ -1428,6 +1411,36 @@ object Similarity {
       .select(col("id"), col("bucket_id"), col("k_dist"),
         col("n_neighbors"), col("lrd"), col("lof"))
       .orderBy(col("id"))
+  }
+
+  /** The shared front of the halo ANN family ([[lofScoresHalo]],
+    * [[knnGraph]]): top-`probes` cell assignment, persisted, with the
+    * EAGER probe-inclusive cell census failing loud BEFORE any O(m²)
+    * join exists (the X179 guard discipline — the halo inflates the
+    * effective cell size by up to probes×). Returns
+    * (__id, __v, __nm, __pr, __bk). */
+  private def probeAssignGuarded(points: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, dim: Int, probes: Int,
+      maxBucketPoints: Long, op: String): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(maxBucketPoints >= 2,
+      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
+    ensureNative(points)
+    val asg = graft.util.Caches.persistTracked(
+      ivfAssignProbes(points, idCol, vecCol, centroids, dim, probes)
+        .select(col("vec_id").as("__id"), col("v").as("__v"),
+          col("nrm").as("__nm"), col("probe").as("__pr"),
+          col("centroid_id").as("__bk")))
+    val oversize = asg.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketPoints)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"$op: cell ${oversize.head.get(0)} holds " +
+        s"${oversize.head.getLong(1)} probe-assigned points > " +
+        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
+        "O(m²); train more centroids, lower probes, or sample")
+    asg
   }
 
   /** X182: k-NN GRAPH PER IVF CELL — the production graph-ANN building
@@ -1458,23 +1471,8 @@ object Similarity {
       centroids: DataFrame, dim: Int, k: Int, probes: Int = 2,
       maxBucketPoints: Long = 100000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(probes >= 1, s"probes must be >= 1, got $probes")
-    require(maxBucketPoints >= 2,
-      s"maxBucketPoints must be >= 2, got $maxBucketPoints")
-    ensureNative(points)
-    val asg = graft.util.Caches.persistTracked(
-      ivfAssignProbes(points, idCol, vecCol, centroids, dim, probes)
-        .select(col("vec_id").as("__id"), col("v").as("__v"),
-          col("nrm").as("__nm"), col("centroid_id").as("__bk")))
-    val oversize = asg.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketPoints)
-      .limit(1).collect()
-    require(oversize.isEmpty,
-      s"knnGraph: cell ${oversize.head.get(0)} holds " +
-        s"${oversize.head.getLong(1)} probe-assigned points > " +
-        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
-        "O(m²); train more centroids, lower probes, or sample")
+    val asg = probeAssignGuarded(points, idCol, vecCol, centroids,
+      dim, probes, maxBucketPoints, "knnGraph")
     val a = asg.select(col("__bk"), col("__id").as("__p"),
       col("__v").as("__va"), col("__nm").as("__na"))
     val b = asg.select(col("__bk"), col("__id").as("__o"),

@@ -812,14 +812,24 @@ object Stats {
     * 1 row: (n, converted, k, z, p) — z > 0 ⇔ rate rises with the
     * level. */
   def cochranArmitage(units: DataFrame, dose: Column,
-      converted: Column, doses: Seq[Long]): DataFrame = {
+      converted: Column, doses: Seq[Long]): DataFrame =
+    cochranArmitageFromCounts(
+      cochranArmitageGuardedCounts(units, dose, converted, doses))
+
+  /** The [[cochranArmitage]] guard front: declared-integer dose levels
+    * and an EXACTLY-0/1 outcome (a fractional outcome must not
+    * truncate into the gate — `0.9.cast(long)` is 0), both fail loud;
+    * one groupBy to the per-level (__g, n, c) counts. Shared verbatim
+    * with the streaming sink (the friedmanGuardedCells discipline). */
+  private[graft] def cochranArmitageGuardedCounts(units: DataFrame,
+      dose: Column, converted: Column, doses: Seq[Long]): DataFrame = {
     require(doses.size >= 2 && doses == doses.sorted &&
       doses.distinct == doses,
       s"cochranArmitage: need >= 2 sorted distinct dose levels, " +
         s"got $doses")
     val dLong = dose.cast("long")
     val y = converted.cast("long")
-    val rows = units
+    units
       .select(
         when(dose.isNull || converted.isNull,
           raise_error(lit("cochranArmitage: NULL dose/converted")))
@@ -829,12 +839,14 @@ object Stats {
             raise_error(lit("cochranArmitage: dose level is not one " +
               s"of the declared integer levels $doses")))
           .otherwise(dLong).as("__g"),
-        when(y =!= 0L && y =!= 1L,
-          raise_error(lit("cochranArmitage: converted must be 0/1")))
+        when(y.isNull ||
+          y.cast("double") =!= converted.cast("double") ||
+          (y =!= 0L && y =!= 1L),
+          raise_error(lit("cochranArmitage: converted must be " +
+            "exactly 0/1")))
           .otherwise(y).as("__y"))
-    cochranArmitageFromCounts(
-      rows.groupBy(col("__g"))
-        .agg(count(lit(1)).as("n"), sum(col("__y")).as("c")))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("c"))
   }
 
   /** The [[cochranArmitage]] statistic over an already-counted

@@ -201,10 +201,18 @@ object EventFeatures {
     require(endS > startS,
       s"timeWeightedAverage: empty window [$windowStart, $windowEnd)")
     val D = "decimal(38,0)"
+    // out-of-grid values fail loud: a silent NULL would keep the
+    // segment's seconds in covered_sec while dropping its value from
+    // the integral — twa understated with no error (the daily-family
+    // grid discipline)
+    val vd = valueCol.cast("decimal(18,6)")
     val base = events
       .filter(valueCol.isNotNull)
       .select(col(key), unix_timestamp(ts).as("__t"),
-        valueCol.cast("decimal(18,6)").as("__v"))
+        when(vd.isNull,
+          raise_error(lit("timeWeightedAverage: value outside the " +
+            "DECIMAL(18,6) grid — rescale first")))
+          .otherwise(vd).as("__v"))
       .filter(col("__t") < endS)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__v"))

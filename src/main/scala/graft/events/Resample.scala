@@ -469,10 +469,23 @@ object Resample {
     * per-row expression over those exact operands — bit-identical
     * across engines under IEEE 754. `__x` of any numeric type is
     * normalized to DECIMAL(18,6) on entry. */
+  /** The daily-family DECIMAL(18,6) grid cast with the fail-loud
+    * overflow guard — a daily |sum| ≥ 1e12 would NULL out silently and
+    * each finisher would corrupt differently (windows skip the day,
+    * moments count it, pairs drop it); every `*FromDaily` front shares
+    * this instead (the friedman out-of-grid discipline). */
+  private[graft] def dailyGrid(c: Column, op: String): Column = {
+    val cd = c.cast("decimal(18,6)")
+    when(c.isNotNull && cd.isNull,
+      raise_error(lit(s"$op: daily sum outside the DECIMAL(18,6) " +
+        "grid — rescale first")))
+      .otherwise(cd)
+  }
+
   private[graft] def cusumFromDaily(daily0: DataFrame, key: String)
       : DataFrame = {
     val daily = daily0
-      .withColumn("__x", col("__x").cast("decimal(18,6)"))
+      .withColumn("__x", dailyGrid(col("__x"), "cusum"))
     val wp = Window.partitionBy(col(key))
     val ord = Window.partitionBy(col(key)).orderBy(col("day"))
     val cum = ord.rowsBetween(Window.unboundedPreceding,
@@ -529,7 +542,8 @@ object Resample {
   private[graft] def pettittFromDaily(daily0: DataFrame, key: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    val daily = daily0.withColumn("__x", col("__x").cast("decimal(18,6)"))
+    val daily = daily0.withColumn("__x",
+      dailyGrid(col("__x"), "pettitt"))
     val wRank = Window.partitionBy(col(key)).orderBy(col("__x"))
     val wTie = Window.partitionBy(col(key), col("__x"))
     val wDayOrd = Window.partitionBy(col(key)).orderBy(col("day"))
@@ -593,7 +607,7 @@ object Resample {
       key: String): DataFrame = {
     val daily = graft.util.Caches.persistTracked(
       daily0.select(col(key), col("day"),
-        col("__x").cast("decimal(18,6)").as("__x")))
+        dailyGrid(col("__x"), "mannKendall").as("__x")))
     val a = daily.select(col(key), col("day").as("__da"),
       col("__x").as("__xa"))
     val b = daily.select(col(key).as("__kb"), col("day").as("__db"),
@@ -662,7 +676,7 @@ object Resample {
     val daily = graft.util.Caches.persistTracked(
       daily0.select(col(key), col("day"),
         seasonOf(col("day")).cast("int").as("__sn"),
-        col("__x").cast("decimal(18,6)").as("__x")))
+        dailyGrid(col("__x"), "seasonalMannKendall").as("__x")))
     val a = daily.select(col(key), col("__sn"), col("day").as("__da"),
       col("__x").as("__xa"))
     val b = daily.select(col(key).as("__kb"), col("__sn").as("__snb"),
@@ -733,7 +747,7 @@ object Resample {
     val daily = graft.util.Caches.persistTracked(
       daily0.select(col(key), col("day"),
         seasonOf(col("day")).cast("int").as("__sn"),
-        col("__x").cast("decimal(18,6)").as("__x")))
+        dailyGrid(col("__x"), "seasonalTheilSen").as("__x")))
     val counts = daily.groupBy(col(key))
       .agg(count_distinct(col("__sn")).as("n_seasons"),
         count(lit(1)).as("n_days"))
@@ -803,9 +817,9 @@ object Resample {
     * view). */
   private[graft] def anomalousDaysFromDaily(daily0: DataFrame,
       key: String, nSigma: Double, maxIter: Int): DataFrame = {
-    val xd = col("__x").cast("decimal(18,6)")
     var cur = graft.util.Caches.persistTracked(
-      daily0.select(col(key), col("day"), xd.as("__x"),
+      daily0.select(col(key), col("day"),
+        dailyGrid(col("__x"), "anomalousDays").as("__x"),
         lit(0).as("__clip")))
     def moments(of: DataFrame) = of.filter(col("__clip") === 0)
       .groupBy(col(key))
@@ -870,7 +884,7 @@ object Resample {
       : DataFrame = {
     val daily = graft.util.Caches.persistTracked(
       daily0.select(col(key), col("day"),
-        col("__x").cast("decimal(18,6)").as("__x")))
+        dailyGrid(col("__x"), "runsTest").as("__x")))
     // lower median on the value grid (the brownForsythe selection)
     val wOrd = Window.partitionBy(col(key)).orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

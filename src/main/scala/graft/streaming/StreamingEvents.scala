@@ -2152,24 +2152,10 @@ object StreamingEvents {
   private[graft] def cochranArmitageBatch(batch: DataFrame,
       batchId: Long, doseCol: String, convertedCol: String,
       doses: Seq[Long], cellsDir: String): Unit = {
-    val dose = col(doseCol)
-    val dLong = dose.cast("long")
-    val y = col(convertedCol).cast("long")
-    batch
-      .select(
-        when(dose.isNull || col(convertedCol).isNull,
-          raise_error(lit("cochranArmitageBatch: NULL dose/converted")))
-          .when(dLong.isNull ||
-            dLong.cast("double") =!= dose.cast("double") ||
-            !dLong.isin(doses: _*),
-            raise_error(lit("cochranArmitageBatch: dose level is not " +
-              s"one of the declared integer levels $doses")))
-          .otherwise(dLong).as("__g"),
-        when(y =!= 0L && y =!= 1L,
-          raise_error(lit("cochranArmitageBatch: converted must be " +
-            "0/1"))).otherwise(y).as("__y"))
-      .groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"), sum(col("__y")).as("c"))
+    // the batch operator's guard front, shared verbatim — declared
+    // levels, exactly-0/1 outcomes, both fail loud
+    graft.dq.Stats.cochranArmitageGuardedCounts(batch, col(doseCol),
+        col(convertedCol), doses)
       .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
     ()
   }
@@ -2365,12 +2351,23 @@ object StreamingEvents {
       .agg(sum(col("__n")).as("__n"),
         sum(col("__R2")).cast("decimal(38,0)").as("__R2"),
         sum(col("__sr2")).cast("decimal(38,0)").as("__sr2"))
+    // BOTH directions fail loud: a declared treatment with no cells
+    // would silently narrow k (changing dof); a STORED treatment
+    // absent from the declared list would silently drop cells whose
+    // within-block ranks were assigned among MORE treatments — not a
+    // Friedman statistic of anything
     val spine = treatments.toDF("__t")
-    val guarded = spine.join(merged, Seq("__t"), "left")
+      .withColumn("__declared", lit(1))
+    val guarded = spine.join(merged, Seq("__t"), "full_outer")
       .select(col("__t"),
         when(col("__n").isNull,
           raise_error(concat(lit("friedmanView: declared treatment "),
             col("__t"), lit(" has no ingested cells"))))
+          .when(col("__declared").isNull,
+            raise_error(concat(lit("friedmanView: stored treatment "),
+              col("__t"),
+              lit(" is not in the declared list — the store was " +
+                "written with a different treatment set"))))
           .otherwise(col("__n")).as("__n"),
         col("__R2"), col("__sr2"))
     graft.ml.RankTests.friedmanFromTreatmentCells(guarded)

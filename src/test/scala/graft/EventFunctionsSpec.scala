@@ -214,6 +214,17 @@ class EventFunctionsSpec extends SparkSpec {
       graft.events.EventFeatures.timeWeightedAverage(
         rows.toDF("user_id", "ts", "value"), "user_id", col("ts"),
         col("value"), "2024-03-01 10:00:00", "2024-03-01 10:00:00")
+    // an out-of-grid value fails loud — a silent NULL would keep the
+    // segment's seconds in covered_sec while dropping its value
+    val big = Seq((1L, t("2024-03-01 10:00:05"), 2.0e12))
+      .toDF("user_id", "ts", "value")
+    val e = intercept[Exception] {
+      graft.events.EventFeatures.timeWeightedAverage(big, "user_id",
+        col("ts"), col("value"), "2024-03-01 10:00:00",
+        "2024-03-01 10:01:40").collect()
+    }
+    e.getMessage.toLowerCase.replace(" ", "") should
+      include("decimal(18,6)")
     graft.util.Caches.releaseAll(spark)
   }
 

@@ -249,6 +249,17 @@ class PettittSpec extends SparkSpec {
       ("s", ts("2024-03-02 10:00:00"), 1e6)).toDF("k", "t", "v")
     graft.events.Resample.anomalousDays(tiny, "k", col("t"), col("v"))
       .count() shouldBe 0L
+    // the daily-family grid guard: an out-of-grid daily sum fails loud
+    // instead of silently skewing the moments against the day count
+    val big = Seq(("g", ts("2024-03-01 10:00:00"), 2.0e12),
+      ("g", ts("2024-03-02 10:00:00"), 1.0),
+      ("g", ts("2024-03-03 10:00:00"), 2.0)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      graft.events.Resample.anomalousDays(big, "k", col("t"),
+        col("v")).collect()
+    }
+    e.getMessage.toLowerCase.replace(" ", "") should
+      include("decimal(18,6)")
     graft.util.Caches.releaseAll(spark)
   }
 

@@ -868,6 +868,12 @@ class StatsSpec extends SparkSpec {
       graft.dq.Stats.cochranArmitage(
         Seq((1L, 3L)).toDF("g", "y"), col("g"), col("y"),
         Seq(0L, 1L, 2L)).collect()
+    // a FRACTIONAL outcome must not truncate into the 0/1 gate:
+    // 0.9.cast(long) is 0 and would silently pass as a non-conversion
+    an[Exception] should be thrownBy
+      graft.dq.Stats.cochranArmitage(
+        Seq((1L, 0.9)).toDF("g", "y"), col("g"), col("y"),
+        Seq(0L, 1L, 2L)).collect()
     graft.util.Caches.releaseAll(spark)
   }
 

@@ -1826,6 +1826,12 @@ class StreamingSpec extends SparkSpec {
       StreamingEvents.friedmanBatch(
         Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("b", "t", "v"),
         9L, "b", "t", "v", ts, s"$tmp/cells")
+    // a view declared NARROWER than the store fails loud too: the
+    // stored ranks were assigned among 3 treatments — dropping c's
+    // cells would not be a Friedman statistic of anything
+    an[Exception] should be thrownBy
+      StreamingEvents.friedmanView(spark, s"$tmp/cells",
+        Seq("a", "b")).collect()
     graft.util.Caches.releaseAll(spark)
   }
 
