@@ -88,6 +88,73 @@ object Communities {
     * result after k steps is exact and reproducible either way.
     *
     * Output: (node, community) — the label after `iterations` steps. */
+  /** X184: GRAPH SHAPE REPORT — reciprocity + degree assortativity
+    * (Newman 2002, 2003; the networkx degree-pair Pearson form —
+    * public knowledge) of a DIRECTED edge list: the two dials that say
+    * whether a similarity graph is NAVIGABLE before community ops
+    * trust it. Reciprocity = the share of directed edges whose reverse
+    * also exists (a k-NN graph full of one-way hub edges scores low —
+    * the X183 mutuality cut removes exactly what this measures);
+    * assortativity = the Pearson correlation of endpoint degrees over
+    * the symmetrized edges (r < 0 ⇒ hub-and-spoke: hubs connect to
+    * low-degree points, greedy graph search degrades; r > 0 ⇒
+    * degree-stratified core).
+    *
+    * Exactness: self-loops dropped, duplicate directed edges
+    * collapsed; degrees and all five Pearson moments are exact
+    * integers in DECIMAL(38,0) (order-free sums; n·Σx² ≤ |E|²·|V| —
+    * inside 38 digits to ~1e12 edges); r is ONE fixed IEEE tree with
+    * the two variance roots taken separately (their decimal product
+    * would overflow), published q6. Degenerate graphs (constant
+    * degree ⇒ zero variance) emit NULL assortativity — a regular graph
+    * has no degree mixing to measure. Scale: one distinct, one
+    * intersect, one degree aggregate, two key joins — no all-pairs.
+    * Output 1 row: (n_nodes, n_edges, n_reciprocal, reciprocity,
+    * assortativity). */
+  def graphShapeReport(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val edges = graft.util.Caches.persistTracked(
+      edges0.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+        .filter(col("__a") =!= col("__b")).distinct())
+    val rev = edges.select(col("__b").as("__a"), col("__a").as("__b"))
+    val eCount = edges.agg(count(lit(1)).as("n_edges"))
+    val rCount = edges.intersect(rev)
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val sym = graft.util.Caches.persistTracked(
+      edges.unionByName(rev).distinct())
+    val deg = sym.groupBy(col("__a")).agg(count(lit(1)).as("__d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val pairs = sym
+      .join(deg.select(col("__a"), col("__d").as("__dx")), "__a")
+      .join(deg.select(col("__a").as("__b"), col("__d").as("__dy")),
+        "__b")
+    val m = pairs.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dx").cast(D)).as("__sx"),
+      sum(col("__dy").cast(D)).as("__sy"),
+      sum(col("__dx").cast(D) * col("__dy").cast(D)).as("__sxy"),
+      sum(col("__dx").cast(D) * col("__dx").cast(D)).as("__sxx"),
+      sum(col("__dy").cast(D) * col("__dy").cast(D)).as("__syy"))
+    val n = col("__n").cast(D)
+    val num = (n * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (n * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (n * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    import graft.functions.q6
+    m.crossJoin(broadcast(nodes))
+      .crossJoin(broadcast(eCount))
+      .crossJoin(broadcast(rCount))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        q6(when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"))).as("reciprocity"),
+        q6(when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))))
+          .as("assortativity"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

@@ -222,6 +222,18 @@ object AnnQueries {
         emb.filter(col("vec_id") % 40 === 0), Dim, k = 5, probes = 2)
     },
 
+    // X184: graph shape of the X182 k-NN edge list — reciprocity (the
+    // share of one-way hub edges the X183 cut removes) and degree
+    // assortativity (hub-and-spoke vs stratified core) in one report.
+    "q_x184_graph_shape" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.graph.Communities.graphShapeReport(
+        Similarity.knnGraph(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 40 === 0), Dim, k = 5,
+          probes = 2),
+        "vec_id", "neighbor_id")
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -903,6 +915,68 @@ object AnnQueries {
          |SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
          |  v = min(r) AS is_canonical
          |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
+    // X184: the X182 chain, then exact-integer Pearson moments over
+    // symmetrized edge-endpoint degrees; HUGEINT -> DOUBLE via VARCHAR.
+    "q_x184_graph_shape" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand),
+         |e AS (SELECT DISTINCT vec_id AS a, neighbor_id AS b FROM rk
+         |  WHERE rk <= 5 AND vec_id <> neighbor_id),
+         |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+         |  FROM e x JOIN e y ON x.a = y.b AND x.b = y.a),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+         |pr AS (
+         |  SELECT dx.d AS x, dy.d AS y
+         |  FROM sym JOIN deg dx ON dx.a = sym.a
+         |  JOIN deg dy ON dy.a = sym.b),
+         |mm AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx,
+         |    sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM pr)
+         |SELECT (SELECT n_nodes FROM nc) AS n_nodes,
+         |  (SELECT n_edges FROM ec) AS n_edges,
+         |  (SELECT n_reciprocal FROM rc) AS n_reciprocal,
+         |  CASE WHEN (SELECT n_edges FROM ec) > 0 THEN
+         |    floor(CAST((SELECT n_reciprocal FROM rc) AS DOUBLE)
+         |      / CAST((SELECT n_edges FROM ec) AS DOUBLE)
+         |      * 1000000.0 + 0.5) / 1000000.0 END AS reciprocity,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |    THEN floor(
+         |      CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+         |      (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+         |       * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR)
+         |           AS DOUBLE)))
+         |      * 1000000.0 + 0.5) / 1000000.0 END AS assortativity
+         |FROM mm""".stripMargin,
     // X182: the halo candidate relation ranked by (cos desc, id) per
     // source — the brute-force tie order, restricted to shared cells.
     "q_x182_knn_graph" ->

@@ -312,4 +312,39 @@ class GraphSpec extends SparkSpec {
     r shouldBe ((2L, 2L, 1L, 0.8, 0.5))
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "Communities.graphShapeReport (X184)"
+
+  it should "read a star as disassortative and score reciprocity exactly" in {
+    def shape(edges: Seq[(Long, Long)]) =
+      graft.graph.Communities.graphShapeReport(
+        edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+    // one-way hub star 0 -> {1,2,3}: zero reciprocity; symmetrized
+    // degree pairs are (3,1)x3 and (1,3)x3 -> Pearson exactly -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    shape(star) shouldBe ((4L, 3L, 0L, Some(0.0), Some(-1.0)))
+    // the same star with every reverse edge: reciprocity 1, same mixing
+    shape(star ++ star.map(_.swap)) shouldBe
+      ((4L, 6L, 6L, Some(1.0), Some(-1.0)))
+    // a 4-cycle is 2-regular: no degree variance -> NULL assortativity
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    shape(cyc ++ cyc.map(_.swap)) shouldBe
+      ((4L, 8L, 8L, Some(1.0), None))
+    // self-loops and duplicate directed edges are dropped before counts
+    shape(star ++ Seq((0L, 1L), (2L, 2L))) shouldBe
+      ((4L, 3L, 0L, Some(0.0), Some(-1.0)))
+    // partition invariance
+    val big = (1L to 60L).map(i => (i, i % 7 + 100L))
+    graft.graph.Communities.graphShapeReport(
+      big.toDF("src", "dst").repartition(13), "src", "dst")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head shouldBe
+      graft.graph.Communities.graphShapeReport(
+        big.toDF("src", "dst").coalesce(1), "src", "dst")
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+    graft.util.Caches.releaseAll(spark)
+  }
 }
