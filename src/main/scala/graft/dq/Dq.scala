@@ -1126,6 +1126,74 @@ object Dq {
       "null_rate_old", "null_rate_new", "null_rate_delta")
   }
 
+  /** D33: NULL-RATE DRIFT TEST per column (two-proportion z — public
+    * knowledge) — the SIGNIFICANCE companion of [[schemaDrift]]'s
+    * null-rate delta: "value went 0.3% → 0.5% NULL; is that a real
+    * upstream change at this n, or noise?" — the schema-rot alarm a
+    * raw delta can't threshold (the same delta is damning at 10⁹ rows
+    * and meaningless at 10³). Per declared column: both sides' exact
+    * (n, nulls), pooled p̄, `z = (p̂_cur − p̂_ref)/√(p̄(1−p̄)(1/n_r+1/n_c))`,
+    * two-sided p via the A&S 26.2.17 polynomial.
+    *
+    * Shape: ONE map-side-combined aggregate pass per side (count +
+    * per-column counts — the schemaDrift pass), then k rows of driver
+    * arithmetic (column census is metadata-scale whatever the data
+    * volume); every count exact, z/p fixed IEEE trees mirrored by the
+    * oracle, published q6. Degenerate columns (both sides all-NULL or
+    * no NULLs anywhere ⇒ p̄ ∈ {0,1}, or an empty side) emit NULL z/p.
+    * Output per column: (column, n_ref, null_ref, n_cur, null_cur,
+    * rate_ref, rate_cur, delta, z, p), sorted by column. */
+  def nullRateDriftTest(reference: DataFrame, current: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullRateDriftTest: need >= 1 column")
+    for (c <- cols; (df, side) <- Seq(reference -> "reference",
+        current -> "current"))
+      require(df.columns.contains(c),
+        s"nullRateDriftTest: column $c missing from the $side side")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame): (Long, Map[String, Long]) = {
+      val row = df.agg(count(lit(1)).as("__n"),
+        cols.map(c => (count(lit(1)) - count(col(c))).as(s"__m_$c")): _*)
+        .head()
+      (row.getAs[Long]("__n"),
+        cols.map(c => c -> row.getAs[Long](s"__m_$c")).toMap)
+    }
+    val (nr, mr) = counts(reference)
+    val (nc, mc) = counts(current)
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    cols.sorted.map { c =>
+      val (a, b) = (mr(c), mc(c))
+      val rateR = if (nr > 0) Some(q6d(a.toDouble / nr.toDouble)) else None
+      val rateC = if (nc > 0) Some(q6d(b.toDouble / nc.toDouble)) else None
+      val zp: Option[(Double, Double)] =
+        if (nr == 0 || nc == 0) None
+        else {
+          val pooled = (a + b).toDouble / (nr + nc).toDouble
+          if (pooled <= 0.0 || pooled >= 1.0) None
+          else {
+            // the operand order is the ORACLE CONTRACT — mirrored
+            // verbatim in SQL so both engines walk the same IEEE tree
+            val se = math.sqrt(pooled * (1.0 - pooled) *
+              (1.0 / nr.toDouble + 1.0 / nc.toDouble))
+            val z = (b.toDouble / nc.toDouble -
+              a.toDouble / nr.toDouble) / se
+            val az = math.abs(z)
+            val t = 1.0 / (1.0 + 0.2316419 * az)
+            val poly = ((((1.330274429 * t + -1.821255978) * t +
+              1.781477937) * t + -0.356563782) * t + 0.319381530) * t
+            val p = 2.0 *
+              (math.exp(-(az * az) / 2.0) / 2.5066282746310002) * poly
+            Some((q6d(z), q6d(math.min(p, 1.0))))
+          }
+        }
+      (c, nr, a, nc, b, rateR, rateC,
+        for { x <- rateR; y <- rateC } yield q6d(y - x),
+        zp.map(_._1), zp.map(_._2))
+    }.toDF("column", "n_ref", "null_ref", "n_cur", "null_cur",
+      "rate_ref", "rate_cur", "delta", "z", "p")
+  }
+
   /** D18: KEY-UNIQUENESS REPORT — "is this really a primary key": one
     * row with exact row/key counts, how many key values repeat, how
     * many rows sit in repeated keys, and the worst multiplicity. The

@@ -648,6 +648,16 @@ object DqQueries {
         "value")
     },
 
+    // D33: per-column null-rate drift significance on the same split —
+    // the two-proportion z that makes schemaDrift's delta actionable.
+    "q_d33_null_rate_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Dq.nullRateDriftTest(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        Seq("value", "user_id", "event_type"))
+    },
+
     // D31: two-sample Cramér–von Mises on the same split — the
     // integrated-square CDF distance (exact integer l·d² terms on the
     // pooled grid, one final division).
@@ -4374,6 +4384,71 @@ object DqQueries {
         |  (SELECT ncl FROM t) AS n_cur,
         |  max(gap) AS ks_stat
         |FROM g""".stripMargin,
+    // D33: per-column exact counts, the driver's IEEE z/p tree
+    // mirrored verbatim (delta is computed from the ROUNDED rates —
+    // the operator's published contract).
+    "q_d33_null_rate_drift" ->
+      """WITH r AS (SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |c AS (SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |stats AS (
+        |  SELECT 'event_type' AS col,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+        |    (SELECT CAST(count(*) - count(event_type) AS BIGINT) FROM r)
+        |      AS null_ref,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur,
+        |    (SELECT CAST(count(*) - count(event_type) AS BIGINT) FROM c)
+        |      AS null_cur
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |    (SELECT count(*) FROM r),
+        |    (SELECT count(*) - count(user_id) FROM r),
+        |    (SELECT count(*) FROM c),
+        |    (SELECT count(*) - count(user_id) FROM c)
+        |  UNION ALL
+        |  SELECT 'value',
+        |    (SELECT count(*) FROM r),
+        |    (SELECT count(*) - count(value) FROM r),
+        |    (SELECT count(*) FROM c),
+        |    (SELECT count(*) - count(value) FROM c)),
+        |d AS (
+        |  SELECT *,
+        |    CAST(null_ref + null_cur AS DOUBLE)
+        |      / CAST(n_ref + n_cur AS DOUBLE) AS pooled,
+        |    floor(CAST(null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS rate_ref,
+        |    floor(CAST(null_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS rate_cur
+        |  FROM stats),
+        |z0 AS (
+        |  SELECT *,
+        |    (CAST(null_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |      - CAST(null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
+        |    / sqrt(pooled * (1.0 - pooled)
+        |      * (1.0 / CAST(n_ref AS DOUBLE)
+        |        + 1.0 / CAST(n_cur AS DOUBLE))) AS zr
+        |  FROM d),
+        |pp AS (
+        |  SELECT *,
+        |    2.0 * (exp(-(abs(zr) * abs(zr)) / 2.0) / 2.5066282746310002)
+        |    * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zr)))
+        |      + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zr)))
+        |      + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zr)))
+        |      + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zr)))
+        |      + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zr))))
+        |      AS p2
+        |  FROM z0)
+        |SELECT col AS "column", n_ref, null_ref, n_cur, null_cur,
+        |  rate_ref, rate_cur,
+        |  floor((rate_cur - rate_ref) * 1000000.0 + 0.5) / 1000000.0
+        |    AS delta,
+        |  CASE WHEN pooled > 0.0 AND pooled < 1.0 THEN
+        |    floor(zr * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |  CASE WHEN pooled > 0.0 AND pooled < 1.0 THEN
+        |    floor(least(p2, 1.0) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS p
+        |FROM pp ORDER BY col""".stripMargin,
     // D31: the same pooled-grid chain; l·d² terms exact in HUGEINT,
     // HUGEINT→DOUBLE through VARCHAR (the lof-oracle cast discipline),
     // denominator multiplied left-to-right like the Spark tree.

@@ -568,6 +568,35 @@ class DqSpec extends SparkSpec {
       .head._3 shouldBe None
   }
 
+  behavior of "nullRateDriftTest (D33)"
+
+  it should "score a hand two-proportion z and NULL out degenerate columns" in {
+    // ref 2/10 null, cur 6/10: pooled 0.4, se = sqrt(0.4*0.6*0.2),
+    // z = 0.4/0.219089 = 1.825742 (q6)
+    val ref = (Seq.fill(8)(Some(1.0)) ++ Seq.fill(2)(None))
+      .map(v => (v, "k")).toDF("v", "k")
+    val cur = (Seq.fill(4)(Some(1.0)) ++ Seq.fill(6)(None))
+      .map(v => (v, "k")).toDF("v", "k")
+    val r = graft.dq.Dq.nullRateDriftTest(ref, cur, Seq("v", "k"))
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    r("v")._2 shouldBe 10L
+    r("v")._3 shouldBe 2L
+    r("v")._5 shouldBe 6L
+    r("v")._6 shouldBe Some(0.2)
+    r("v")._7 shouldBe Some(0.6)
+    r("v")._8 shouldBe Some(0.4)
+    val zHand = 0.4 / math.sqrt(0.4 * 0.6 * 0.2)
+    r("v")._9 shouldBe Some(math.floor(zHand * 1e6 + 0.5) / 1e6)
+    r("v")._10.get should be < 0.07
+    // k never NULL on either side: pooled = 0 -> no test to run
+    r("k")._9 shouldBe None
+    // a missing column fails loud
+    an[IllegalArgumentException] should be thrownBy
+      graft.dq.Dq.nullRateDriftTest(ref, cur, Seq("nope"))
+  }
+
   behavior of "cramerVonMisesDrift (D31) and kuiperDrift (D32)"
 
   it should "match hand CvM and Kuiper on a small grid with ties" in {
