@@ -114,7 +114,12 @@ object Bench {
       // that flakes must read as failed, not as its fastest success
       name -> (if (times.exists(_ < 0)) -1.0 else times(times.size / 2))
     }
-    val total = results.map(_._2).sum
+    // A failed query's -1 sentinel must not silently shave the headline
+    // total: sum only successes and carry an explicit failed count so a
+    // failing run's JSON is self-describing (promote_bench.py already
+    // refuses runs with sentinels; this makes the stdout line honest too).
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2 < 0)
     // DECLARED COUNTER-EXAMPLES: queries kept on the board deliberately
     // to demonstrate a scale failure mode next to their fix (q_x179
     // fixed-nlist bucketed LOF, measured super-linear at sf1 exponent
@@ -143,9 +148,9 @@ object Bench {
       "BENCH_RUN.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"counter_examples":$ceJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":$canary,"counter_examples":$ceJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
     val headline = results.filter { case (n, _) => heavy.contains(n) }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1400,11 +1400,17 @@ object Similarity {
       col("__v").as("__va"))
     val b = asg.select(col("__bk"), col("__id").as("__o"),
       col("__v").as("__vb"))
-    val pairs = a.join(b, Seq("__bk")).filter(col("__p") =!= col("__o"))
+    // HALF-relation dedup: only (p < o) pairs are evaluated and
+    // distinct-ed — the codegen L2 is bit-symmetric ((a−b)² = (b−a)²,
+    // same iteration order), so re-emitting the swap afterwards is
+    // exact and the dedup shuffle carries half the candidate volume
+    val half = a.join(b, Seq("__bk")).filter(col("__p") < col("__o"))
       .withColumn("__d", nativeL2(col("__va"), col("__vb")))
       .filter(!isnan(col("__d")))
       .select(col("__p"), col("__o"), col("__d"))
       .distinct()
+    val pairs = half.unionByName(half.select(col("__o").as("__p"),
+      col("__p").as("__o"), col("__d")))
     lofCore(pairs, k)
       .join(asg.filter(col("__pr") === 0)
         .select(col("__id").as("id"), col("__bk").as("bucket_id")), "id")
@@ -1477,12 +1483,17 @@ object Similarity {
       col("__v").as("__va"), col("__nm").as("__na"))
     val b = asg.select(col("__bk"), col("__id").as("__o"),
       col("__v").as("__vb"), col("__nm").as("__nb"))
-    val pairs = a.join(b, Seq("__bk")).filter(col("__p") =!= col("__o"))
+    // half-relation dedup (see [[lofScoresHalo]]): the codegen cosine
+    // is bit-symmetric, so only (p < o) pairs shuffle through the
+    // distinct and the swap is re-emitted exactly
+    val half = a.join(b, Seq("__bk")).filter(col("__p") < col("__o"))
       .withColumn("__c", nCosine(col("__va"), col("__vb"), col("__na"),
         col("__nb")))
       .filter(!isnan(col("__c")))
       .select(col("__p"), col("__o"), col("__c"))
       .distinct()
+    val pairs = half.unionByName(half.select(col("__o").as("__p"),
+      col("__p").as("__o"), col("__c")))
     pairs
       .withColumn("rk", row_number().over(Window.partitionBy(col("__p"))
         .orderBy(col("__c").desc, col("__o"))).cast("long"))
@@ -1533,6 +1544,105 @@ object Similarity {
       .select(col("v").as("vec_id"), col("component").as("cluster_id"),
         (col("v") === col("component")).as("is_canonical"))
       .orderBy(col("vec_id"))
+  }
+
+  /** X185: ONE increment of the MAINTAINED k-NN graph — the production
+    * shape the one-shot [[knnGraph]] lacks: a growing embedding corpus
+    * updates the edge list WITHOUT a full rebuild. The new batch is
+    * assigned to the FROZEN centroid table (the X76 incremental-index
+    * discipline: assignment-only growth, no re-training) and appended
+    * to a persisted assignment index under
+    * `<store>/index/batch_id=N/centroid_id=C`; then edges are
+    * recomputed ONLY for affected sources — every point (old or new)
+    * probing a cell the batch touched — over exactly their probed
+    * cells, and written under `<store>/edges/batch_id=N`.
+    *
+    * Exactness (the rebuild-parity contract, spec-proven): a source
+    * outside every touched cell shares no cell with any new point, so
+    * its candidate set — hence its exact top-k — is unchanged; an
+    * affected source is re-ranked over its COMPLETE candidate set (the
+    * slice covers every cell it probes), with the same codegen cosine
+    * tree, the same `distinct`, the same (cos desc, id) tie order as
+    * [[knnGraph]] — so [[graft.streaming.StreamingEvents.knnGraphView]]
+    * (latest batch per source) is bit-equal to a full [[knnGraph]]
+    * rebuild over the union corpus.
+    *
+    * Scale: the two discovery scans read ONLY (vec_id, centroid_id) —
+    * column-pruned metadata width, no vectors; vector bytes are read
+    * solely from the touched-neighborhood cells via `centroid_id`
+    * partition pruning (cell lists collect at ≤ nlist longs — the
+    * centroid table the driver already broadcasts). Cost per batch is
+    * Σ m² over recomputed cells, not N²; the eager probe-inclusive
+    * census guard fails loud BEFORE the pair join (the X179
+    * discipline). Replays re-read only EARLIER batches and overwrite
+    * their own directories: idempotent. */
+  def knnGraphIncrement(newPoints: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, dim: Int, k: Int,
+      storeDir: String, batchId: Long, probes: Int = 2,
+      maxBucketPoints: Long = 100000L): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val spark = newPoints.sparkSession
+    ensureNative(newPoints)
+    val newA = graft.util.Caches.persistTracked(
+      ivfAssignProbes(newPoints, idCol, vecCol, centroids, dim, probes))
+    newA.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$storeDir/index/batch_id=$batchId")
+    // prior corpus = strictly earlier batches (replay-idempotent);
+    // the index dir always exists — this batch just wrote to it
+    val all = spark.read.parquet(s"$storeDir/index")
+      .filter(col("batch_id") < batchId)
+      .drop("batch_id")
+      .unionByName(newA)
+    // touched cells: ≤ nlist ids — bounded by the centroid table
+    val touched = newA.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    // affected sources: any point probing a touched cell (metadata-
+    // width scan — only (vec_id, centroid_id) columns are read)
+    val src = all.filter(col("centroid_id").isin(touched: _*))
+      .select(col("vec_id")).distinct()
+    // the recompute slice covers EVERY cell an affected source probes,
+    // so each recomputed top-k sees its complete candidate set
+    val cells = all.select(col("vec_id"), col("centroid_id"))
+      .join(src, Seq("vec_id"))
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val slice = graft.util.Caches.persistTracked(
+      all.filter(col("centroid_id").isin(cells: _*)))
+    val oversize = slice.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketPoints)
+      .limit(1).collect()
+    require(oversize.isEmpty,
+      s"knnGraphIncrement: cell ${oversize.head.get(0)} holds " +
+        s"${oversize.head.getLong(1)} probe-assigned points > " +
+        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join " +
+        "is O(m²); train more centroids, lower probes, or sample")
+    val a = slice.select(col("centroid_id").as("__bk"),
+      col("vec_id").as("__p"), col("v").as("__va"),
+      col("nrm").as("__na"))
+    val b = slice.select(col("centroid_id").as("__bk"),
+      col("vec_id").as("__o"), col("v").as("__vb"),
+      col("nrm").as("__nb"))
+    // half-relation dedup (see [[lofScoresHalo]]): bit-symmetric
+    // cosine, (p < o) through the distinct, swap re-emitted
+    val half = a.join(b, Seq("__bk")).filter(col("__p") < col("__o"))
+      .withColumn("__c", nCosine(col("__va"), col("__vb"), col("__na"),
+        col("__nb")))
+      .filter(!isnan(col("__c")))
+      .select(col("__p"), col("__o"), col("__c"))
+      .distinct()
+    val pairs = half.unionByName(half.select(col("__o").as("__p"),
+      col("__p").as("__o"), col("__c")))
+    pairs
+      .join(src.select(col("vec_id").as("__p")), Seq("__p"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("__p"))
+        .orderBy(col("__c").desc, col("__o"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("__p").as("vec_id"), col("rk"),
+        col("__o").as("neighbor_id"), round(col("__c"), 6).as("cosine"))
+      .write.mode("overwrite").parquet(s"$storeDir/edges/batch_id=$batchId")
+    ()
   }
 
   /** The shared exact-LOF kernel over a (point, other, distance) pair

@@ -1151,19 +1151,35 @@ object Dq {
       require(df.columns.contains(c),
         s"nullRateDriftTest: column $c missing from the $side side")
     val spark = reference.sparkSession
+    val (nr, mr) = nullCounts(reference, cols)
+    val (nc, mc) = nullCounts(current, cols)
+    nullRateDriftFinish(spark,
+      cols.map(c => (c, nr, mr(c), nc, mc(c))))
+  }
+
+  /** The [[nullRateDriftTest]] counts pass: ONE map-side-combined
+    * aggregate — (total rows, per-column null counts). Package-private
+    * so the streaming null-rate cell sink persists the identical
+    * counters. */
+  private[graft] def nullCounts(df: DataFrame, cols: Seq[String])
+      : (Long, Map[String, Long]) = {
+    val row = df.agg(count(lit(1)).as("__n"),
+      cols.map(c => (count(lit(1)) - count(col(c))).as(s"__m_$c")): _*)
+      .head()
+    (row.getAs[Long]("__n"),
+      cols.map(c => c -> row.getAs[Long](s"__m_$c")).toMap)
+  }
+
+  /** The [[nullRateDriftTest]] finish over per-column count cells
+    * (column, n_ref, null_ref, n_cur, null_cur) — every input an exact
+    * mergeable integer, so a streaming store sums per-batch cells and
+    * reuses this verbatim (the *FromCells discipline). */
+  private[graft] def nullRateDriftFinish(
+      spark: org.apache.spark.sql.SparkSession,
+      cells: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
     import spark.implicits._
-    def counts(df: DataFrame): (Long, Map[String, Long]) = {
-      val row = df.agg(count(lit(1)).as("__n"),
-        cols.map(c => (count(lit(1)) - count(col(c))).as(s"__m_$c")): _*)
-        .head()
-      (row.getAs[Long]("__n"),
-        cols.map(c => c -> row.getAs[Long](s"__m_$c")).toMap)
-    }
-    val (nr, mr) = counts(reference)
-    val (nc, mc) = counts(current)
     def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    cols.sorted.map { c =>
-      val (a, b) = (mr(c), mc(c))
+    cells.sortBy(_._1).map { case (c, nr, a, nc, b) =>
       val rateR = if (nr > 0) Some(q6d(a.toDouble / nr.toDouble)) else None
       val rateC = if (nc > 0) Some(q6d(b.toDouble / nc.toDouble)) else None
       val zp: Option[(Double, Double)] =

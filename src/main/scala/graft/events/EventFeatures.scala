@@ -196,8 +196,15 @@ object EventFeatures {
   def timeWeightedAverage(events: DataFrame, key: String, ts: Column,
       valueCol: Column, windowStart: String, windowEnd: String)
       : DataFrame = {
-    val startS = java.sql.Timestamp.valueOf(windowStart).getTime / 1000
-    val endS = java.sql.Timestamp.valueOf(windowEnd).getTime / 1000
+    // window bounds parse timezone-INDEPENDENTLY (epoch under UTC, the
+    // pinned session timezone) — Timestamp.valueOf would use the JVM
+    // default TZ and silently shift the window against the
+    // unix_timestamp-converted event times on any non-UTC machine
+    def epochUtc(s: String): Long =
+      java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    val startS = epochUtc(windowStart)
+    val endS = epochUtc(windowEnd)
     require(endS > startS,
       s"timeWeightedAverage: empty window [$windowStart, $windowEnd)")
     val D = "decimal(38,0)"

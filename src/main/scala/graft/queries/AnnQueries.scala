@@ -234,6 +234,26 @@ object AnnQueries {
         "vec_id", "neighbor_id")
     },
 
+    // X185: the MAINTAINED k-NN graph — the corpus arrives in three
+    // interleaved increments (the production growth cycle), each one
+    // a frozen-centroid assignment append + touched-cell-only edge
+    // recompute; the published latest-batch-per-source view must equal
+    // a full X182 rebuild over the union, which is exactly what the
+    // oracle computes.
+    "q_x185_knn_graph_incremental" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_x185"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      for (m <- 0 to 2)
+        Similarity.knnGraphIncrement(emb.filter(col("vec_id") % 3 === m),
+          "vec_id", "embedding", centroids, Dim, k = 4,
+          storeDir = store, batchId = m.toLong, probes = 2)
+      graft.streaming.StreamingEvents.knnGraphView(s, store)
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -1005,6 +1025,35 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // X185: the REBUILD-PARITY contract is the oracle — the maintained
+    // latest-batch-per-source view must equal the one-shot X182 chain
+    // over the whole corpus (centroids % 50, k = 4).
+    "q_x185_knn_graph_incremental" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 50 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin,
     // MMR: the 3-step greedy unrolled — sel1 = argmax rel, later steps
     // argmax λ·rel − (1−λ)·max(0, cos-to-selected). λ is CAST to DOUBLE
     // so (1 − λ) is the same IEEE 0.30000000000000004 the Scala side

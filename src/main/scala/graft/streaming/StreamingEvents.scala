@@ -2272,6 +2272,319 @@ object StreamingEvents {
     graft.dq.Dq.kuiperFromCells(pooledValueCells(spark,
       cellsDir, reference, valueCol, quantize = false))
 
+  /** Streaming k-NN-GRAPH MAINTENANCE sink (X185): a growing embedding
+    * corpus keeps its X182 edge list current WITHOUT full rebuilds —
+    * each micro-batch of (id, vector) rows runs ONE
+    * [[graft.ann.Similarity.knnGraphIncrement]]: frozen-centroid
+    * assignment, index append under `index/batch_id=N/centroid_id=C`,
+    * and edge recompute ONLY for sources probing a touched cell, under
+    * `edges/batch_id=N`. The published [[knnGraphView]] — latest batch
+    * per source — is bit-equal to a full [[graft.ann.Similarity
+    * .knnGraph]] rebuild over everything ingested (spec-proven).
+    * Replays re-read only earlier batches and overwrite their own
+    * directories: idempotent. */
+  def knnGraphSink(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, k: Int, storeDir: String,
+      checkpointDir: String, probes: Int = 2,
+      maxBucketPoints: Long = 100000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ann.Similarity.knnGraphIncrement(batch.toDF(), idCol,
+            vecCol, centroids, dim, k, storeDir, batchId, probes,
+            maxBucketPoints)
+      }
+      .start()
+
+  /** The published view over a [[knnGraphSink]] store: each source's
+    * edges from the LATEST batch that recomputed it — an unaffected
+    * source's candidate set (hence its exact top-k) cannot have
+    * changed, so this equals the full-rebuild [[graft.ann.Similarity
+    * .knnGraph]] over the union corpus. */
+  def knnGraphView(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$storeDir/edges")
+    val latest = edges.groupBy(col("vec_id"))
+      .agg(max(col("batch_id")).as("batch_id"))
+    edges.join(latest, Seq("vec_id", "batch_id"))
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Streaming NULL-RATE cell store (D33 streaming): each micro-batch
+    * persists its per-declared-column (column, n rows, nulls) counters
+    * under `batch_id=N` — k rows per batch, never row volume; counts
+    * are exact mergeable integers (one map-side-combined aggregate
+    * pass, the [[graft.dq.Dq.nullCounts]] pass verbatim), so the
+    * published view — column-summed cells against a frozen reference
+    * through [[graft.dq.Dq.nullRateDriftFinish]] verbatim — equals the
+    * batch [[graft.dq.Dq.nullRateDriftTest]] over everything ingested
+    * (spec-proven). This completes the drift-monitor family: every
+    * D-family drift test now has a streaming twin. A declared column
+    * missing from a batch fails loud (narrower cells would no longer
+    * merge). Replays overwrite their own batch directory:
+    * idempotent. */
+  def nullRateCellSink(rows: DataFrame, cols: Seq[String],
+      cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"nullRateCellSink: need >= 1 distinct declared columns, got $cols")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) nullRateCellBatch(batch.toDF(), batchId,
+          cols, cellsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[nullRateCellSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def nullRateCellBatch(batch: DataFrame, batchId: Long,
+      cols: Seq[String], cellsDir: String): Unit = {
+    for (c <- cols) require(batch.columns.contains(c),
+      s"nullRateCellBatch: declared column $c missing from the stream")
+    val (n, m) = graft.dq.Dq.nullCounts(batch, cols)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    cols.map(c => (c, n, m(c))).toDF("column", "n", "nulls")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[nullRateCellSink]] directory: the D33
+    * per-column null-rate significance test of the merged current
+    * cells against a frozen reference, through the batch finish
+    * verbatim. BOTH directions of column mismatch fail loud: a
+    * declared column with no cells, and a stored column not declared
+    * (a store written with a different column set). */
+  def nullRateDriftView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"nullRateDriftView: need >= 1 distinct declared columns, got $cols")
+    // bounded collect: the merged store is k rows (column census is
+    // metadata-scale whatever the ingested volume)
+    val merged = spark.read.parquet(cellsDir)
+      .groupBy(col("column"))
+      .agg(sum(col("n")).as("n"), sum(col("nulls")).as("nulls"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nulls"))).toMap
+    val missing = cols.filterNot(merged.contains)
+    require(missing.isEmpty,
+      s"nullRateDriftView: declared columns $missing have no ingested " +
+        "cells")
+    val undeclared = merged.keySet -- cols.toSet
+    require(undeclared.isEmpty,
+      s"nullRateDriftView: stored columns $undeclared are not in the " +
+        "declared list — the store was written with a different " +
+        "column set")
+    for (c <- cols) require(reference.columns.contains(c),
+      s"nullRateDriftView: column $c missing from the reference side")
+    val (nr, mr) = graft.dq.Dq.nullCounts(reference, cols)
+    graft.dq.Dq.nullRateDriftFinish(spark,
+      cols.map(c => (c, nr, mr(c), merged(c)._1, merged(c)._2)))
+  }
+
+  /** Streaming TIME-WEIGHTED-AVERAGE cell store (W21 streaming): the
+    * LOCF integral's one genuinely cross-batch semantic — the value
+    * carried INTO a batch by the last event of an EARLIER batch — made
+    * mergeable. Each micro-batch persists, under `batch_id=N`:
+    *
+    *  - `days/`  — per-(key, epoch-day) cells (n events, covered
+    *    seconds, Σ value_µ·sec as DECIMAL(38,0)) for every segment
+    *    CLOSED by this batch: the batch's own consecutive-event
+    *    segments, plus the BRIDGE from each entity's previous-batch
+    *    carry to its first event here, split exactly at UTC day
+    *    boundaries (rows bounded by keys × days touched, never event
+    *    volume; all columns exact mergeable integers);
+    *  - `carry/` — per-entity (last_ts, last value_µ) of this batch,
+    *    the still-open segment a later batch (or the view's window
+    *    end) will close.
+    *
+    * The published [[twaView]] sums day cells over a DAY-ALIGNED
+    * window, closes each entity's final carry at the window end, and
+    * finishes with the batch kernel's exact arithmetic — so it equals
+    * [[graft.events.EventFeatures.timeWeightedAverage]] over
+    * everything ingested, regardless of batch boundaries
+    * (spec-proven). Day-splitting is exact: a window-aligned clamp of
+    * a segment equals the sum of its per-day overlaps, and
+    * value_µ·seconds sums are order-free in DECIMAL(38,0).
+    *
+    * Contract (fails loud): per-entity event times STRICTLY increase
+    * across micro-batches (same-timestamp ties must arrive in one
+    * batch — the batch kernel breaks ties by value, which cross-batch
+    * arrival order cannot reproduce); values on the DECIMAL(18,6)
+    * grid; NULL values drop exactly like the batch kernel. Replays
+    * overwrite their own batch directories and re-read only EARLIER
+    * batches' carries: idempotent. */
+  def twaCellSink(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) twaCellBatch(batch.toDF(), batchId, keyCol,
+          tsCol, valueCol, cellsDir)
+      }
+      .start()
+
+  /** One micro-batch of [[twaCellSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def twaCellBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, tsCol: String, valueCol: String,
+      cellsDir: String): Unit = {
+    val spark = batch.sparkSession
+    val D = "decimal(38,0)"
+    val DAY = 86400L
+    // the batch kernel's guard front verbatim: NULL values drop,
+    // out-of-grid values fail loud (a silent NULL would keep seconds
+    // in covered while dropping the value from the integral)
+    val vd = col(valueCol).cast("decimal(18,6)")
+    val base = batch
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_timestamp(col(tsCol)).as("__t"),
+        when(vd.isNull,
+          raise_error(lit("twaCellBatch: value outside the " +
+            "DECIMAL(18,6) grid — rescale first")))
+          .otherwise((vd * lit(1000000L)).cast("long")).as("__vu"))
+    // the kernel's (ts, value) ordering — in-batch ties resolve
+    // exactly as the batch operator resolves them
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__vu"))
+    val seq = base
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    // within-batch closed segments: every event except the last holds
+    // to the next in-batch event
+    val closed = seq.filter(col("__next").isNotNull)
+      .select(col("__k"), col("__t").as("__s0"),
+        col("__next").as("__s1"), col("__vu"))
+    // bridge segments: the latest EARLIER-batch carry per entity holds
+    // to this batch's first event; strict cross-batch monotonicity is
+    // the contract and fails loud here
+    val carryDir = new org.apache.hadoop.fs.Path(s"$cellsDir/carry")
+    val fs = carryDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val bridges =
+      if (!fs.exists(carryDir)) None
+      else {
+        val prev = spark.read.parquet(s"$cellsDir/carry")
+          .filter(col("batch_id") < batchId)
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+          .orderBy(col("batch_id").desc)
+        val latest = prev.withColumn("__r", row_number().over(wc))
+          .filter(col("__r") === 1)
+          .select(col("__k"), col("__ct"), col("__cv"))
+        val firsts = seq.filter(col("__rn") === 1)
+          .select(col("__k"), col("__t"))
+        Some(latest.join(firsts, Seq("__k"))
+          .select(col("__k"),
+            when(col("__ct") >= col("__t"),
+              raise_error(lit("twaCellBatch: per-entity event times " +
+                "must strictly increase across micro-batches — " +
+                "out-of-order or duplicate-timestamp delivery " +
+                "detected")))
+              .otherwise(col("__ct")).as("__s0"),
+            col("__t").as("__s1"), col("__cv").as("__vu")))
+      }
+    val segments = bridges.fold(closed)(b => closed.unionByName(b))
+    // exact day split: Σ per-day overlaps ≡ the segment's duration,
+    // so any DAY-ALIGNED window clamp is a plain cell-range sum
+    val dayCells = segments.filter(col("__s1") > col("__s0"))
+      .select(col("__k"), col("__s0"), col("__s1"), col("__vu"),
+        explode(sequence(floor(col("__s0") / DAY).cast("long"),
+          floor((col("__s1") - 1) / DAY).cast("long"))).as("__d"))
+      .select(col("__k"), col("__d"), col("__vu"),
+        (least(col("__s1"), (col("__d") + 1) * DAY) -
+          greatest(col("__s0"), col("__d") * DAY)).as("__dur"))
+      .groupBy(col("__k"), col("__d"))
+      .agg(sum(col("__dur")).as("cov"),
+        sum(col("__vu").cast(D) * col("__dur").cast(D)).as("int"))
+    val eventCells = base
+      .groupBy(col("__k"), floor(col("__t") / DAY).cast("long").as("__d"))
+      .agg(count(lit(1)).as("n"))
+    eventCells.join(dayCells, Seq("__k", "__d"), "full_outer")
+      .select(col("__k"), col("__d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("cov"), lit(0L)).as("cov"),
+        coalesce(col("int"), lit(0L).cast(D)).as("int"))
+      .write.mode("overwrite").parquet(s"$cellsDir/days/batch_id=$batchId")
+    // the new open carry: this batch's last (ts, value) per entity
+    seq.filter(col("__next").isNull)
+      .select(col("__k"), col("__t").as("__ct"), col("__vu").as("__cv"))
+      .write.mode("overwrite").parquet(s"$cellsDir/carry/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over a [[twaCellSink]] store: the W21
+    * time-weighted average over a DAY-ALIGNED window [start, end) —
+    * day cells summed over window days, each entity's final open
+    * carry closed at the window end, then the batch kernel's exact
+    * finish ((Σµ/10⁶)/covered, q6). Equals
+    * [[graft.events.EventFeatures.timeWeightedAverage]] over the
+    * union of everything ingested (spec-proven). n_events counts
+    * events before the window end — the batch kernel's census —
+    * which is why day cells keep per-day event counts. */
+  def twaView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, keyCol: String, windowStart: String,
+      windowEnd: String): DataFrame = {
+    val DAY = 86400L
+    def epochUtc(s: String): Long =
+      java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+    val startS = epochUtc(windowStart)
+    val endS = epochUtc(windowEnd)
+    require(endS > startS,
+      s"twaView: empty window [$windowStart, $windowEnd)")
+    require(startS % DAY == 0 && endS % DAY == 0,
+      s"twaView: window must be day-aligned (UTC midnights), got " +
+        s"[$windowStart, $windowEnd) — the store is day-grain")
+    val D = "decimal(38,0)"
+    val startD = startS / DAY
+    val endD = endS / DAY
+    val days = spark.read.parquet(s"$cellsDir/days")
+      .groupBy(col("__k"))
+      .agg(
+        // the kernel censuses every event BEFORE the window end
+        sum(when(col("__d") < endD, col("n")).otherwise(lit(0L)))
+          .as("n_events"),
+        sum(when(col("__d") >= startD && col("__d") < endD, col("cov"))
+          .otherwise(lit(0L))).as("__cov0"),
+        sum(when(col("__d") >= startD && col("__d") < endD, col("int"))
+          .otherwise(lit(0L).cast(D))).as("__int0"))
+    // each entity's FINAL open carry (latest batch that saw the key)
+    // holds from its last event to the window end — exactly the batch
+    // kernel's lead-NULL segment
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("batch_id").desc)
+    val carry = spark.read.parquet(s"$cellsDir/carry")
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") === 1)
+      .select(col("__k"),
+        greatest(least(lit(endS) - greatest(col("__ct"), lit(startS)),
+          lit(endS - startS)), lit(0L)).as("__cdur"),
+        col("__cv"))
+    val out = days.join(carry, Seq("__k"), "left_outer")
+      .select(col("__k"), col("n_events"),
+        (col("__cov0") + coalesce(col("__cdur"), lit(0L)))
+          .as("covered_sec"),
+        (col("__int0") + coalesce(col("__cv").cast(D) *
+          col("__cdur").cast(D), lit(0L).cast(D))).as("__int"))
+      .filter(col("n_events") > 0)
+    import graft.functions.q6
+    out.select(col("__k").as(keyCol), col("n_events"),
+      col("covered_sec"),
+      q6(when(col("covered_sec") > 0,
+        (col("__int").cast("double") / lit(1e6)) /
+          col("covered_sec").cast("double"))).as("twa"))
+  }
+
   /** Streaming FRIEDMAN matched-design monitor (F82 streaming): the
     * treatment list is DECLARED up front (the jonckheereSink
     * discipline — a batch missing a treatment would write narrower
@@ -2286,8 +2599,11 @@ object StreamingEvents {
     * [[graft.ml.RankTests.friedmanFromTreatmentCells]] verbatim —
     * equals the batch Friedman over everything ingested (spec-proven).
     * Undeclared treatments, NULLs, duplicate observations and
-    * incomplete blocks fail loud. Replays overwrite their own batch
-    * directory: idempotent. */
+    * incomplete blocks fail loud. A per-batch block-id ledger
+    * (`<cellsDir>__blocks/batch_id=N`) makes CROSS-batch redelivery —
+    * the same block arriving whole in two different micro-batches,
+    * invisible to every within-batch guard — fail loud in the view.
+    * Replays overwrite their own batch directory: idempotent. */
   def friedmanSink(rows: DataFrame, blockCol: String, treatCol: String,
       valueCol: String, treatments: Seq[String], cellsDir: String,
       checkpointDir: String)
@@ -2318,6 +2634,15 @@ object StreamingEvents {
       col(valueCol).as("__v0"))
     val cells = graft.ml.RankTests.friedmanGuardedCells(guarded,
       col("__b0"), col("__t0"), col("__v0"))
+    // cross-batch redelivery ledger: a block re-ingested WHOLE in a
+    // LATER micro-batch (at-least-once upstream) passes every
+    // within-batch guard yet double-counts __n/__R2/__sr2 on merge —
+    // so each batch also records its distinct block ids (one short row
+    // per block, k× smaller than the raw batch) and the view fails
+    // loud on any cross-batch overlap
+    cells.select(col("__b").cast("string").as("__b")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${cellsDir}__blocks/batch_id=$batchId")
     // block-grain completeness INSIDE the batch: within-block ranks
     // need every declared treatment of a block in this micro-batch
     val k = treatments.size
@@ -2346,6 +2671,19 @@ object StreamingEvents {
   def friedmanView(spark: org.apache.spark.sql.SparkSession,
       cellsDir: String, treatments: Seq[String]): DataFrame = {
     import spark.implicits._
+    // cross-batch redelivery guard: the sink's per-batch block ledger
+    // (`<cellsDir>__blocks/batch_id=N`, replay-idempotent because a
+    // replay overwrites its own batch directory) is grouped by block
+    // id — a block appearing under MORE than one batch_id means the
+    // same block merged twice into the treatment cells, which the
+    // within-batch guards cannot see. Bounded collect: limit(1).
+    val dup = spark.read.parquet(s"${cellsDir}__blocks")
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"friedmanView: block '${dup.head.getString(0)}' was ingested " +
+        "in more than one micro-batch — each block must be delivered " +
+        "whole in exactly one batch (upstream redelivery detected)")
     val merged = spark.read.parquet(cellsDir)
       .groupBy(col("__t"))
       .agg(sum(col("__n")).as("__n"),

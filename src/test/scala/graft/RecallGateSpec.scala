@@ -154,6 +154,56 @@ class RecallGateSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "maintain the k-NN graph incrementally, bit-equal to a full rebuild at every prefix" in {
+    // X185: the corpus arrives in three increments (ids interleaved, so
+    // every increment touches most cells AND leaves some sources
+    // unaffected); after each increment the maintained view must equal
+    // a full knnGraph rebuild over everything ingested so far —
+    // including the double cosines, bit-for-bit
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x185").toString
+    val store = s"$tmp/knn_store"
+    def slice(m: Int) = corpus.filter(col("vec_id") % 3 === m)
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    // first two increments through the REAL sink (micro-batches 0, 1)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])]
+    val q = graft.streaming.StreamingEvents.knnGraphSink(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centroids, Dim, K, store, s"$tmp/ckpt", probes = 2)
+    try {
+      in.addData(slice(0).as[(Long, Array[Double])].collect(): _*)
+      q.processAllAvailable()
+      in.addData(slice(1).as[(Long, Array[Double])].collect(): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val two = corpus.filter(col("vec_id") % 3 =!= 2)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(two, "vec_id",
+      "embedding", centroids, Dim, K, probes = 2))
+    // third increment through the kernel directly (the sink's own path)
+    Similarity.knnGraphIncrement(slice(2), "vec_id", "embedding",
+      centroids, Dim, K, store, batchId = 2L, probes = 2)
+    val full = edgesOf(Similarity.knnGraph(corpus, "vec_id",
+      "embedding", centroids, Dim, K, probes = 2))
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe full
+    // replay idempotence: re-running the last increment (same batch id,
+    // same rows) re-reads only earlier batches -> identical store
+    Similarity.knnGraphIncrement(slice(2), "vec_id", "embedding",
+      centroids, Dim, K, store, batchId = 2L, probes = 2)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe full
+    // the eager probe-inclusive census guards the recompute slice too
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncrement(slice(2), "vec_id", "embedding",
+        centroids, Dim, K, store, batchId = 3L, probes = 2,
+        maxBucketPoints = 12L)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "keep mutual-kNN clusters pure on planted clusters and cut one-way hub edges" in {
     // X183: on the well-separated corpus every mutual top-3 edge stays
     // inside its planted cluster, so each output community is a SUBSET

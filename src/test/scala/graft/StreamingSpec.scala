@@ -1832,6 +1832,14 @@ class StreamingSpec extends SparkSpec {
     an[Exception] should be thrownBy
       StreamingEvents.friedmanView(spark, s"$tmp/cells",
         Seq("a", "b")).collect()
+    // CROSS-batch redelivery: the same blocks arriving whole in a
+    // SECOND batch pass every within-batch guard but would double-
+    // count the treatment cells — the block ledger makes the view
+    // fail loud instead of silently merging an extra block copy
+    StreamingEvents.friedmanBatch(batchRows(2).toDF("b", "t", "v"),
+      5L, "b", "t", "v", ts, s"$tmp/cells")
+    an[Exception] should be thrownBy
+      StreamingEvents.friedmanView(spark, s"$tmp/cells", ts)
     graft.util.Caches.releaseAll(spark)
   }
 
@@ -1910,6 +1918,127 @@ class StreamingSpec extends SparkSpec {
     an[Exception] should be thrownBy
       StreamingEvents.kendallTauView(spark, s"$tmp/cells",
         maxCellsPerGroup = 3).collect()
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "merge streamed null-rate cells into the batch D33 drift test of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snr").toString
+    val cols = Seq("a", "b")
+    // per-column null patterns that differ by batch AND from the
+    // frozen reference (b's null rate triples in the stream)
+    def batchRows(seed: Int): Seq[(Option[Long], Option[String])] =
+      (1 to 50).map { i =>
+        (if ((i + seed) % 10 == 0) None else Some(i.toLong),
+          if ((i * seed) % 5 == 0) None else Some(s"v$i"))
+      }
+    val reference = (1 to 80).map { i =>
+      (if (i % 20 == 0) None else Some(i.toLong),
+        if (i % 25 == 0) None else Some(s"r$i"))
+    }.toDF("a", "b")
+    val in = MemoryStream[(Option[Long], Option[String])]
+    val q = StreamingEvents.nullRateCellSink(in.toDF().toDF("a", "b"),
+      cols, s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("column")).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)),
+        if (r.isNullAt(9)) None else Some(r.getDouble(9)))).toSeq
+    val union = (1 to 2).flatMap(batchRows).toDF("a", "b")
+    val batch = rows(graft.dq.Dq.nullRateDriftTest(reference, union,
+      cols))
+    rows(StreamingEvents.nullRateDriftView(spark, s"$tmp/cells",
+      reference, cols)) shouldBe batch
+    // replay safety: re-writing a batch's cells changes nothing
+    StreamingEvents.nullRateCellBatch(batchRows(2).toDF("a", "b"), 1L,
+      cols, s"$tmp/cells")
+    rows(StreamingEvents.nullRateDriftView(spark, s"$tmp/cells",
+      reference, cols)) shouldBe batch
+    // a declared column missing from the stream fails loud
+    an[Exception] should be thrownBy
+      StreamingEvents.nullRateCellBatch(
+        Seq(1L).toDF("a"), 9L, cols, s"$tmp/cells")
+    // a view declared NARROWER than the store fails loud (stored
+    // column not in the declared list), and wider fails loud too
+    an[Exception] should be thrownBy
+      StreamingEvents.nullRateDriftView(spark, s"$tmp/cells",
+        reference, Seq("a"))
+    an[Exception] should be thrownBy
+      StreamingEvents.nullRateDriftView(spark, s"$tmp/cells",
+        reference, Seq("a", "b", "zz"))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "merge streamed TWA day/carry cells into the batch LOCF time-weighted average of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stwa").toString
+    // entities exercising every cross-batch semantic: e1 spans days
+    // with an in-batch same-ts tie; e2 carries a pre-window value IN;
+    // e3 appears only mid-stream; e4 stops early (open carry to the
+    // window end); e5 has an event past the window end (census only);
+    // one NULL value drops like the batch kernel
+    val b1: Seq[(Long, java.sql.Timestamp, Option[Double])] = Seq(
+      (1L, ts("2024-01-01 06:00:00"), Some(2.0)),
+      (1L, ts("2024-01-01 06:00:00"), Some(3.0)),   // tie: 3.0 holds
+      (1L, ts("2024-01-02 12:00:00"), Some(5.5)),
+      (2L, ts("2023-12-30 00:00:00"), Some(10.0)),  // pre-window LOCF
+      (2L, ts("2023-12-31 18:00:00"), Some(20.0)),  // carried into Jan 1
+      (4L, ts("2024-01-01 00:30:00"), Some(7.25)),  // open to window end
+      (5L, ts("2024-01-01 09:00:00"), Some(1.0)),
+      (5L, ts("2024-01-02 09:00:00"), None))        // NULL drops
+    val b2: Seq[(Long, java.sql.Timestamp, Option[Double])] = Seq(
+      (1L, ts("2024-01-03 00:00:00"), Some(4.0)),
+      (2L, ts("2024-01-02 06:00:00"), Some(30.0)),
+      (3L, ts("2024-01-03 12:00:00"), Some(100.0)), // new entity
+      (5L, ts("2024-01-03 18:00:00"), Some(2.0)),
+      (5L, ts("2024-01-05 00:00:00"), Some(9.0)))   // past end: census only
+    val in = MemoryStream[(Long, java.sql.Timestamp, Option[Double])]
+    val q = StreamingEvents.twaCellSink(in.toDF().toDF("k", "t", "v"),
+      "k", "t", "v", s"$tmp/cells", s"$tmp/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val (ws, we) = ("2024-01-01 00:00:00", "2024-01-04 00:00:00")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("k")).collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val union = (b1 ++ b2).toDF("k", "t", "v")
+    val batch = rows(graft.events.EventFeatures.timeWeightedAverage(
+      union, "k", col("t"), col("v"), ws, we))
+    batch.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    rows(StreamingEvents.twaView(spark, s"$tmp/cells", "k", ws,
+      we)) shouldBe batch
+    // a different day-aligned window over the SAME store also matches
+    val (ws2, we2) = ("2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    rows(StreamingEvents.twaView(spark, s"$tmp/cells", "k", ws2,
+      we2)) shouldBe rows(graft.events.EventFeatures.timeWeightedAverage(
+      union, "k", col("t"), col("v"), ws2, we2))
+    // replay safety: re-writing the last batch changes nothing
+    StreamingEvents.twaCellBatch(b2.toDF("k", "t", "v"), 1L, "k", "t",
+      "v", s"$tmp/cells")
+    rows(StreamingEvents.twaView(spark, s"$tmp/cells", "k", ws,
+      we)) shouldBe batch
+    // cross-batch out-of-order (or duplicate-timestamp) delivery
+    // fails loud: e1's "new" event is not after its batch-2 carry
+    an[Exception] should be thrownBy
+      StreamingEvents.twaCellBatch(
+        Seq((1L, ts("2024-01-03 00:00:00"), Some(8.0)))
+          .toDF("k", "t", "v"), 9L, "k", "t", "v", s"$tmp/cells")
+    // a non-day-aligned window fails loud (the store is day-grain)
+    an[Exception] should be thrownBy
+      StreamingEvents.twaView(spark, s"$tmp/cells", "k",
+        "2024-01-01 00:00:00", "2024-01-04 12:00:00")
+    // out-of-grid values fail loud instead of silently skewing twa
+    an[Exception] should be thrownBy
+      StreamingEvents.twaCellBatch(
+        Seq((7L, ts("2024-01-06 00:00:00"), Some(1e13)))
+          .toDF("k", "t", "v"), 9L, "k", "t", "v", s"$tmp/cells")
     graft.util.Caches.releaseAll(spark)
   }
 }
