@@ -43,7 +43,8 @@ object Bench {
       "q_j15_stabbing_count", "q_x112_label_suspects",
       "q_x116_cluster_refine", "q_x122_dedup_yield",
       "q_x129_packed_leakage", "q_x132_source_overlap",
-      "q_x136_srp_neardup", "q_f55_theil_sen")
+      "q_x136_srp_neardup", "q_f55_theil_sen",
+      "q_x185_knn_graph_incremental", "q_x186_clustering_report")
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

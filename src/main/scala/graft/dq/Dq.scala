@@ -901,6 +901,71 @@ object Dq {
           .as("kuiper"))
   }
 
+  /** D34: JENSEN–SHANNON DIVERGENCE DRIFT — the bounded, symmetric
+    * information-theoretic member the CDF-distance family lacks:
+    * `JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M)`, `M = (P+Q)/2`, in nats
+    * (0 = identical, ln 2 = disjoint support — public knowledge).
+    * KS/Kuiper read the worst CDF gap, W₁ the mass moved, AD/CvM the
+    * integrated gaps; JSD reads the OVERLAP of the two distributions
+    * — the score that saturates exactly when the populations stop
+    * sharing values at all, which no CDF distance reports directly.
+    *
+    * Exactness: values land on the 1e-6 micro grid (the statistic is
+    * DEFINED on that grid — the [[wassersteinDrift]] discipline), so
+    * per-value counts are exact integers; each value's term
+    * `p·ln(p/m) + q·ln(q/m)` is one fixed IEEE tree (p = nr/Nr,
+    * q = nc/Nc, m = (p+q)/2 — each share ONE division of exact
+    * integers), floor-scaled to a 1e12 LONG (the
+    * [[graft.text.Retrieval]] scaled-term discipline: the float sum
+    * order can never matter because the sum is integer), summed in
+    * DECIMAL(38,0), halved once, published q6. Zero-count sides
+    * contribute a zero term (lim x→0 of x·ln(x/m) — the KL
+    * convention).
+    *
+    * Scale shape: one pooled distinct-value aggregate, one map-side
+    * term projection, one scalar aggregate — no window, no join.
+    * Output: 1 row — (n_ref, n_cur, jsd). */
+  def jsdDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String): DataFrame = {
+    def clean(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("__raw"))
+      .filter(col("__raw").isNotNull)
+      .select(floor(col("__raw") * lit(1e6) + lit(0.5)).cast("long")
+        .as("__v"), lit(r).as("__r"), lit(c).as("__c"))
+    val pooled = clean(reference, 1L, 0L)
+      .unionByName(clean(current, 0L, 1L))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("nr"), sum(col("__c")).as("nc"))
+    jsdFromCells(pooled)
+  }
+
+  /** The [[jsdDrift]] finish over an already-pooled MICRO-grid
+    * distinct-value count table (__v long, nr, nc) — mergeable integer
+    * cells, the sixth view the streaming value-cell store feeds. */
+  private[graft] def jsdFromCells(pooled: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val cells = graft.util.Caches.persistTracked(pooled)
+    val t = cells.agg(sum(col("nr")).as("__tr"), sum(col("nc")).as("__tc"))
+      .head()
+    val (nRef, nCur) = (t.getAs[Long]("__tr"), t.getAs[Long]("__tc"))
+    require(nRef > 0 && nCur > 0, "jsdDrift: empty population")
+    // the per-value term's IEEE tree is the ORACLE CONTRACT — p, q
+    // each one division, m = (p + q) / 2, ln of one division each
+    val p = col("nr").cast("double") / lit(nRef.toDouble)
+    val q = col("nc").cast("double") / lit(nCur.toDouble)
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("nr") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("nc") > 0, q * log(q / m)).otherwise(lit(0.0))
+    import graft.functions.q6
+    cells
+      .select(floor(term * lit(1e12) + lit(0.5)).cast("long").as("__t"))
+      .agg(coalesce(sum(col("__t").cast(D)), lit(0).cast(D)).as("__s"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        q6(lit(0.5) * (col("__s").cast("double") / lit(1e12)))
+          .as("jsd"))
+  }
+
   def psiDrift(reference: DataFrame, current: DataFrame,
       valueCol: String, idCol: String, bins: Int = 10,
       minShare: Double = 1e-4): DataFrame = {
@@ -919,10 +984,22 @@ object Dq {
     def binCounts(df: DataFrame, out: String) = df
       .groupBy(binOf(col("__v"), edges).as("bin"))
       .agg(count(lit(1)).as(out))
+    psiFinish(spark, binCounts(refV, "n_ref"), binCounts(curV, "n_cur"),
+      nRef, nCur, bins, minShare)
+  }
+
+  /** The [[psiDrift]] finish over per-bin count tables (bin, n_ref) /
+    * (bin, n_cur) — bin counts are exact mergeable integers and
+    * [[binOf]] is a pure value comparison (binning merged cells ≡
+    * binning rows), so the streaming value-cell store reuses this
+    * verbatim against frozen reference edges. */
+  private[graft] def psiFinish(spark: SparkSession, refBins: DataFrame,
+      curBins: DataFrame, nRef: Long, nCur: Long, bins: Int,
+      minShare: Double): DataFrame = {
     val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
     val perBin = graft.util.Caches.persistTracked(spine
-      .join(binCounts(refV, "n_ref"), Seq("bin"), "left")
-      .join(binCounts(curV, "n_cur"), Seq("bin"), "left")
+      .join(refBins, Seq("bin"), "left")
+      .join(curBins, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

@@ -550,4 +550,48 @@ object EventFeatures {
           .as("burstiness"))
   }
 
+  /** W22: EVENT-TYPE ENTROPY per entity — the behavioral-diversity
+    * feature (Shannon 1948, public knowledge): `H = −Σ_i p_i·ln p_i`
+    * over the entity's event-type distribution, plus the normalized
+    * `H / ln k` (0 = monomaniac, 1 = uniform over the k types the
+    * entity actually uses) — the standard "is this account a single-
+    * purpose bot or a human-shaped mixture" signal, and the
+    * categorical companion of E29's cadence regime.
+    *
+    * Exactness: type counts exact; each type's `−p·ln p` is ONE fixed
+    * IEEE tree over an exact-integer division, floor-scaled to a 1e12
+    * LONG (the scaled-term discipline: the sum is integer, so
+    * per-partition order can never matter), summed in DECIMAL(38,0),
+    * divided out once; `norm = H_raw / ln k` one further pinned
+    * division on the unquantized H. Published q6. Entities with one
+    * type emit H = 0 and NULL norm (ln 1 = 0). Scale: one
+    * (entity, type) aggregate + one entity-keyed aggregate — rows
+    * bounded by entities × types, no windows over event volume.
+    * Output: (key, n_events, n_types, entropy, norm_entropy). */
+  def eventTypeEntropy(events: DataFrame,
+      c: EventCols = EventCols()): DataFrame = {
+    val D = "decimal(38,0)"
+    val counts = events
+      .filter(col(c.eventType).isNotNull)
+      .groupBy(col(c.entity), col(c.eventType))
+      .agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(col(c.entity))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val term = -(p * log(p))
+    import graft.functions.q6
+    counts
+      .withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__t",
+        floor(term * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col(c.entity))
+      .agg(first(col("__n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("__t").cast(D)).as("__s"))
+      .select(col(c.entity), col("n_events"), col("n_types"),
+        q6(col("__s").cast("double") / lit(1e12)).as("entropy"),
+        q6(when(col("n_types") > 1,
+          (col("__s").cast("double") / lit(1e12)) /
+            log(col("n_types").cast("double")))).as("norm_entropy"))
+  }
+
 }

@@ -921,6 +921,89 @@ object Resample {
         col("n_days") >= 2 && varR > 0, z)).as("z"))
   }
 
+  /** E43: SERIES AUTOCORRELATION per entity (the textbook sample ACF,
+    * Box & Jenkins — public knowledge): `r_l = Σ_{t≤n−l}(x_t−x̄)
+    * (x_{t+l}−x̄) / Σ_t(x_t−x̄)²` with ONE shared denominator (the
+    * full-series variance) and lags indexing the OBSERVED day-ordered
+    * series (gaps compress — the *FromDaily family convention).
+    * The complement of [[autocorrelation]] (E20), whose lags are
+    * CALENDAR days and whose per-lag moments renormalize over each
+    * lag's own pair set: E20 reads calendar seasonality through gaps,
+    * E43 is the Box–Jenkins spectrum a model-identification step
+    * expects — and, unlike E20, it is exactly mergeable from the
+    * streaming daily store (the shared denominator needs only
+    * full-series moments, so [[acfFromDaily]] is the ninth
+    * dailyAggSink view).
+    *
+    * Exactness: daily sums on the DECIMAL(18,6) grid → micro LONGs;
+    * centering multiplies through by n (`c_t = n·x_t − S`, exact in
+    * DECIMAL(38,0) — the mean never materializes as a double), so
+    * numerator and denominator are exact integers whose shared n²·10¹²
+    * scale cancels in the ratio; ONE pinned double division per lag,
+    * published q6. |c| is guarded below 3·10¹⁶ so squares and their
+    * sums stay inside DECIMAL(38,0) for ≤ 10⁴ observed days (fail
+    * loud — the friedman out-of-grid discipline).
+    *
+    * Scale: one (entity, day) aggregate, ONE entity-keyed window pass
+    * carrying maxLag lead columns (calendar-bounded partitions — no
+    * self-join, no global order), one aggregate, one bounded unpivot.
+    * Output: (key, lag, n_days, n_pairs, r) for every lag 1..maxLag;
+    * r is NULL when the lag has no pairs or the series is constant. */
+  def seriesAutocorrelation(df: DataFrame, key: String, ts: Column,
+      valueCol: Column, maxLag: Int = 7): DataFrame =
+    acfFromDaily(
+      df.groupBy(col(key), to_date(ts).as("day"))
+        .agg(sum(valueCol.cast("decimal(18,2)")).as("__x")), key, maxLag)
+
+  /** [[seriesAutocorrelation]] over an already-aggregated
+    * (key, day, __x) daily table — the `*FromDaily` contract (ninth
+    * dailyAggSink view). */
+  private[graft] def acfFromDaily(daily0: DataFrame, key: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1, 64], got $maxLag")
+    val D = "decimal(38,0)"
+    val ord = Window.partitionBy(col(key)).orderBy(col("day"))
+    val wk = Window.partitionBy(col(key))
+    val bound = lit(BigDecimal("30000000000000000")).cast(D)
+    val base = daily0.select(col(key), col("day"),
+        (dailyGrid(col("__x"), "acf") * lit(1000000L)).cast("long")
+          .as("__m"))
+      .withColumn("__n", count(lit(1)).over(wk).cast("long"))
+      .withColumn("__s", sum(col("__m").cast(D)).over(wk))
+      .withColumn("__c0",
+        col("__n").cast(D) * col("__m").cast(D) - col("__s"))
+      .withColumn("__c",
+        when(abs(col("__c0")) >= bound,
+          raise_error(lit("acf: centered daily magnitude above the " +
+            "exact-moment bound (3e16 micro) — rescale first")))
+          .otherwise(col("__c0")))
+    val leads = base.select(
+      col(key) +: col("__n") +: col("__c") +:
+        (1 to maxLag).map(l =>
+          lead(col("__c"), l).over(ord).as(s"__l$l")): _*)
+    val aggCols =
+      first(col("__n")).as("n_days") +:
+        sum(col("__c") * col("__c")).as("__den") +:
+        (1 to maxLag).flatMap(l => Seq(
+          sum(col("__c") * col(s"__l$l")).as(s"__num$l"),
+          count(col(s"__l$l")).as(s"__np$l")))
+    val agg = leads.groupBy(col(key))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // bounded unpivot: maxLag (lag, num, pairs) triples per entity
+    val stacked = agg.selectExpr(
+      Seq(key, "n_days", "__den") :+
+        (s"stack($maxLag, " + (1 to maxLag).map(l =>
+          s"$l, __num$l, __np$l").mkString(", ") +
+          ") AS (lag, __num, n_pairs)"): _*)
+    import graft.functions.q6
+    stacked.select(col(key), col("lag").cast("long").as("lag"),
+      col("n_days"), col("n_pairs"),
+      q6(when(col("n_pairs") > 0 && col("__den") > 0,
+        col("__num").cast("double") / col("__den").cast("double")))
+        .as("r"))
+  }
+
   /** E38: PAGE–HINKLEY SEQUENTIAL DRIFT DETECTOR per entity (Page
     * 1954; the streaming-drift form popularized by Gama et al. 2004 —
     * public knowledge): the ONLINE companion of the offline

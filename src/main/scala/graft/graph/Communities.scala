@@ -155,6 +155,67 @@ object Communities {
           .as("assortativity"))
   }
 
+  /** X186: GLOBAL CLUSTERING / TRANSITIVITY REPORT over an edge list
+    * — the third graph-shape dimension [[graphShapeReport]] (X184)
+    * lacks: reciprocity reads mutuality, assortativity degree mixing,
+    * transitivity reads TRIANGLE CLOSURE — `3·T / W` (W = Σ d(d−1)/2
+    * open-or-closed wedges; Watts–Strogatz / Newman, public
+    * knowledge): do my neighbor's neighbors know each other (cluster
+    * structure greedy graph search exploits), or is the graph
+    * tree-like? Plus the AVERAGE LOCAL coefficient over nodes with
+    * d ≥ 2 — the two disagree exactly when hubs are open (transitivity
+    * low, average high), which IS the hub diagnosis.
+    *
+    * Exactness: the undirected simple graph and per-node triangle
+    * counts come from [[triangleCounts]] verbatim (degree-oriented
+    * wedge join — Σ min-degree orientation, never Σ d²); Σdeg, Σd(d−1)
+    * and Σtri are exact DECIMAL sums whose DIV-2/DIV-3 finishes are
+    * exact integers; transitivity is the pinned tree
+    * `(2·Σtri)/Σd(d−1)` (= 3T/W — both sides carried doubled, one
+    * ×2 exact, ONE division); each node's local coefficient is the
+    * X91-published double, floor-scaled to a 1e12 LONG and summed in
+    * DECIMAL (order-free), one division by the d ≥ 2 node count.
+    * Published q6. Output 1 row: (n_nodes, n_edges, n_wedges,
+    * n_triangles, transitivity, avg_clustering). */
+  def clusteringReport(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val per = triangleCounts(edges0, srcCol, dstCol)
+    val e = edges0.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    import graft.functions.q6
+    deg.join(per, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg").cast(D)).as("__sd"),
+        sum(col("deg").cast(D) * (col("deg") - 1).cast(D)).as("__w2"),
+        sum(col("n_triangles").cast(D)).as("__t3"),
+        sum(when(col("deg") >= 2,
+          floor(col("clustering_coef") * lit(1e12) + lit(0.5))
+            .cast("long")).cast(D)).as("__sc"),
+        sum(when(col("deg") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("__nc"))
+      .selectExpr("n_nodes",
+        "CAST(__sd AS BIGINT) DIV 2 AS n_edges",
+        "CAST(__w2 AS BIGINT) DIV 2 AS n_wedges",
+        "CAST(__t3 AS BIGINT) DIV 3 AS n_triangles",
+        "__w2", "__t3", "__sc", "__nc")
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        q6(when(col("__w2").cast("double") > 0,
+          (lit(2.0) * col("__t3").cast("double")) /
+            col("__w2").cast("double"))).as("transitivity"),
+        q6(when(col("__nc") > 0,
+          (col("__sc").cast("double") / lit(1e12)) /
+            col("__nc").cast("double"))).as("avg_clustering"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

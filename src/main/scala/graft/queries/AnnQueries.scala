@@ -234,6 +234,21 @@ object AnnQueries {
         "vec_id", "neighbor_id")
     },
 
+    // X186: transitivity + average local clustering of the X182 k-NN
+    // edge list — the triangle-closure dimension X184's shape report
+    // lacks (are neighborhoods cliquish or tree-like); exact
+    // DIV-2/DIV-3 census over the X91 triangle kernel, pinned
+    // (2·Σtri)/Σd(d−1), scaled-term average of the local
+    // coefficients.
+    "q_x186_clustering_report" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.graph.Communities.clusteringReport(
+        Similarity.knnGraph(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 40 === 0), Dim, k = 5,
+          probes = 2),
+        "vec_id", "neighbor_id")
+    },
+
     // X185: the MAINTAINED k-NN graph — the corpus arrives in three
     // interleaved increments (the production growth cycle), each one
     // a frozen-centroid assignment append + touched-cell-only edge
@@ -1025,6 +1040,77 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // X186: the X184 halo/edge chain, then the exact triangle census —
+    // canonical (a < b) simple edges, ordered two-wedge join closed by
+    // a third edge, per-corner triangle counts; coefficients mirror
+    // the X91 tree, the average rides 1e12 scaled terms; HUGEINT
+    // reaches DOUBLE via VARCHAR (the x184 lesson).
+    "q_x186_clustering_report" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand),
+         |e AS (SELECT DISTINCT vec_id AS a, neighbor_id AS b FROM rk
+         |  WHERE rk <= 5 AND vec_id <> neighbor_id),
+         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |  FROM e),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+         |    SELECT x AS n FROM tr UNION ALL SELECT y FROM tr
+         |    UNION ALL SELECT z FROM tr)
+         |  GROUP BY 1),
+         |cf AS (SELECT deg.n, deg.d, COALESCE(pn.t, 0) AS t,
+         |    CASE WHEN deg.d < 2 THEN 0.0
+         |      ELSE CAST(COALESCE(pn.t, 0) * 2 AS DOUBLE)
+         |        / CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS coef
+         |  FROM deg LEFT JOIN pn ON pn.n = deg.n),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    sum(CAST(d AS HUGEINT)) AS sd,
+         |    sum(CAST(d AS HUGEINT) * (d - 1)) AS w2,
+         |    sum(CAST(t AS HUGEINT)) AS t3,
+         |    sum(CASE WHEN d >= 2 THEN
+         |      CAST(floor(coef * 1000000000000.0 + 0.5) AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS sc,
+         |    CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nc
+         |  FROM cf)
+         |SELECT n_nodes,
+         |  CAST(sd // 2 AS BIGINT) AS n_edges,
+         |  CAST(w2 // 2 AS BIGINT) AS n_wedges,
+         |  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+         |  CASE WHEN CAST(CAST(w2 AS VARCHAR) AS DOUBLE) > 0 THEN
+         |    floor((2.0 * CAST(CAST(t3 AS VARCHAR) AS DOUBLE))
+         |      / CAST(CAST(w2 AS VARCHAR) AS DOUBLE)
+         |      * 1000000.0 + 0.5) / 1000000.0 END AS transitivity,
+         |  CASE WHEN nc > 0 THEN
+         |    floor((CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+         |        / 1000000000000.0) / CAST(nc AS DOUBLE)
+         |      * 1000000.0 + 0.5) / 1000000.0 END AS avg_clustering
+         |FROM m""".stripMargin,
     // X185: the REBUILD-PARITY contract is the oracle — the maintained
     // latest-batch-per-source view must equal the one-shot X182 chain
     // over the whole corpus (centroids % 50, k = 4).

@@ -791,6 +791,17 @@ object DqQueries {
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
     },
 
+    // D34: Jensen–Shannon overlap divergence of n_chars between the
+    // even/odd doc halves — micro-grid counts, ONE fixed IEEE term
+    // per distinct value floor-scaled to a 1e12 LONG, exact DECIMAL
+    // sum, halved once, published q6.
+    "q_d34_jsd" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.dq.Dq.jsdDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    },
+
     // D27: QQ drift table of n_chars between the even/odd halves —
     // exact type-1 order statistics per decile on both sides, raw
     // element values, one subtraction.
@@ -3545,6 +3556,41 @@ object DqQueries {
         |      * CAST((SELECT nb FROM tot) AS DOUBLE) * 1000000.0)
         |    * 1000000.0 + 0.5) / 1000000.0 AS w1
         |FROM cum WHERE nxt IS NOT NULL""".stripMargin,
+    // JSD: same 1e-6 value grid as Wasserstein; the per-value term's
+    // IEEE tree is mirrored verbatim (one division per share,
+    // m = (p+q)/2, ln of one division), floor-scaled to a 1e12 BIGINT
+    // so the sum is order-free, halved once, q6.
+    "q_d34_jsd" ->
+      """WITH pooled AS (
+        |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS v,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS c
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT v, CAST(sum(r) AS BIGINT) AS nr,
+        |    CAST(sum(c) AS BIGINT) AS nc
+        |  FROM pooled GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS na,
+        |    CAST(sum(nc) AS BIGINT) AS nb FROM p),
+        |sh AS (SELECT nr, nc,
+        |    CAST(nr AS DOUBLE) / CAST((SELECT na FROM tot) AS DOUBLE)
+        |      AS pp,
+        |    CAST(nc AS DOUBLE) / CAST((SELECT nb FROM tot) AS DOUBLE)
+        |      AS qq
+        |  FROM p),
+        |terms AS (
+        |  SELECT CAST(floor((
+        |      CASE WHEN nr > 0 THEN pp * ln(pp / ((pp + qq) / 2.0))
+        |        ELSE 0.0 END
+        |      + CASE WHEN nc > 0 THEN qq * ln(qq / ((pp + qq) / 2.0))
+        |        ELSE 0.0 END) * 1000000000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM sh)
+        |SELECT (SELECT na FROM tot) AS n_ref,
+        |  (SELECT nb FROM tot) AS n_cur,
+        |  floor(0.5 * (CAST(coalesce(sum(CAST(t AS HUGEINT)),
+        |      CAST(0 AS HUGEINT)) AS DOUBLE) / 1000000000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jsd
+        |FROM terms""".stripMargin,
     // QQ drift: same ceil-rank picks ((i*n + bins - 1) // bins) in the
     // same (value, id) order on both sides; raw element values.
     "q_d27_qq_drift" ->

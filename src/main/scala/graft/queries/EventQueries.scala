@@ -259,6 +259,16 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W22: event-type entropy per user — behavioral diversity:
+    // −Σ p·ln p over the user's event-type mix (0 = single-purpose,
+    // ln k = uniform); per-type terms floor-scaled to 1e12 LONGs so
+    // the sum is order-free, one division out, q6; normalized by
+    // ln(n_types).
+    "q_w22_event_type_entropy" -> { (s, dir) =>
+      graft.events.EventFeatures.eventTypeEntropy(t(s, dir, "events"))
+        .orderBy(col("user_id"))
+    },
+
     // E42: Wald-Wolfowitz runs test per user — does the daily series
     // cluster around its median (z < 0) or alternate too regularly
     // (z > 0)? The randomness diagnostic MK/Pettitt can't give.
@@ -267,6 +277,17 @@ object EventQueries {
         t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", col("ts"), col("value"))
         .orderBy(col("user_id"))
+    },
+
+    // E43: autocorrelation spectrum (lags 1..5) of each user's daily
+    // purchase-value series — at which horizon does the series
+    // remember? Micro-integer centered moments (c = n·x − S exact in
+    // DECIMAL(38,0)), one pinned division per lag, q6.
+    "q_e43_autocorrelation" -> { (s, dir) =>
+      graft.events.Resample.seriesAutocorrelation(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("value"), maxLag = 5)
+        .orderBy(col("user_id"), col("lag"))
     },
 
     // E41: sigma-clipped anomalous days per event type — iterative
@@ -1615,6 +1636,71 @@ object EventQueries {
         |FROM agg ORDER BY user_id""".stripMargin,
     // E42: lower-median dichotomization (the D28 grid selection),
     // ties excluded, runs via day-ordered lag, one IEEE z tree.
+    // W22: the same scaled-term mirror — each −p·ln p term is one
+    // IEEE tree over an exact count division, floored to a 1e12
+    // BIGINT; normalized entropy divides the unquantized H by ln k.
+    "q_w22_event_type_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM c GROUP BY 1),
+        |t AS (
+        |  SELECT c.user_id,
+        |    CAST(floor(-((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM c JOIN n ON n.user_id = c.user_id),
+        |s AS (SELECT user_id, sum(CAST(t AS HUGEINT)) AS s
+        |  FROM t GROUP BY 1)
+        |SELECT n.user_id, n.n AS n_events, n.k AS n_types,
+        |  floor((CAST(CAST(s.s AS VARCHAR) AS DOUBLE) / 1000000000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+        |  CASE WHEN n.k > 1 THEN
+        |    floor((CAST(CAST(s.s AS VARCHAR) AS DOUBLE)
+        |        / 1000000000000.0) / ln(CAST(n.k AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS norm_entropy
+        |FROM n JOIN s ON s.user_id = n.user_id
+        |ORDER BY n.user_id""".stripMargin,
+    // E43: the pair-join mirror of the lead-window numerators — both
+    // sides are exact integers (c = n·m − S in HUGEINT/DECIMAL), so
+    // the plans may differ; HUGEINT reaches DOUBLE via VARCHAR (the
+    // x184 lesson: DuckDB's direct HUGEINT->DOUBLE cast is not
+    // correctly rounded, Spark's DECIMAL->DOUBLE is).
+    "q_e43_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |base AS (
+        |  SELECT user_id, d, m,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    sum(CAST(m AS HUGEINT)) OVER (PARTITION BY user_id) AS s,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS BIGINT) AS t
+        |  FROM daily),
+        |c AS (SELECT user_id, n, t,
+        |    CAST(n AS HUGEINT) * m - s AS c FROM base),
+        |den AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+        |    sum(c * c) AS dn FROM c GROUP BY 1),
+        |lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5)) AS l(lag)),
+        |num AS (
+        |  SELECT a.user_id, CAST(b.t - a.t AS BIGINT) AS lag,
+        |    sum(a.c * b.c) AS nm, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM c a JOIN c b ON a.user_id = b.user_id
+        |    AND b.t - a.t BETWEEN 1 AND 5
+        |  GROUP BY 1, 2)
+        |SELECT d.user_id, CAST(l.lag AS BIGINT) AS lag, d.n_days,
+        |  COALESCE(n.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN COALESCE(n.n_pairs, 0) > 0 AND d.dn > 0 THEN
+        |    floor(CAST(CAST(n.nm AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(d.dn AS VARCHAR) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS r
+        |FROM den d CROSS JOIN lags l
+        |LEFT JOIN num n ON n.user_id = d.user_id AND n.lag = l.lag
+        |ORDER BY d.user_id, l.lag""".stripMargin,
     "q_e42_runs_test" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,

@@ -879,6 +879,16 @@ object StreamingEvents {
     graft.events.Resample.runsTestFromDaily(
       mergedDaily(spark, dailyDir, keyCol), keyCol)
 
+  /** E43 over the SAME [[dailyAggSink]] store — the NINTH view one
+    * daily cell directory feeds: the per-entity autocorrelation
+    * spectrum (at which horizon does the series remember), through
+    * the batch [[graft.events.Resample.acfFromDaily]] finish
+    * verbatim. */
+  def acfView(spark: org.apache.spark.sql.SparkSession,
+      dailyDir: String, keyCol: String, maxLag: Int = 7): DataFrame =
+    graft.events.Resample.acfFromDaily(
+      mergedDaily(spark, dailyDir, keyCol), keyCol, maxLag)
+
   /** The merged (key, day, __x) daily table of a [[dailyAggSink]]
     * directory — per-batch partial daily sums re-aggregated (exact
     * DECIMAL addition), shared by every view above. */
@@ -2312,6 +2322,49 @@ object StreamingEvents {
       .select(col("vec_id"), col("rk"), col("neighbor_id"),
         col("cosine"))
       .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** D34 over the SAME [[valueCellSink]] store: the Jensen–Shannon
+    * overlap divergence through the batch finish verbatim (micro-grid
+    * cells, the W₁ re-grid) — the SIXTH view one cell directory
+    * feeds. */
+  def jsdView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.dq.Dq.jsdFromCells(pooledValueCells(spark, cellsDir,
+      reference, valueCol, quantize = true))
+
+  /** D5 over the SAME [[valueCellSink]] store: the Population
+    * Stability Index against a frozen reference — the SEVENTH view
+    * one cell directory feeds, completing the numeric-drift family's
+    * streaming twins. Bin edges are the reference's exact type-1
+    * quantiles (batch-computed — the frozen contract); merged cell
+    * values bin through the same pure comparisons as rows (same value
+    * → same bin, counts merge), then the batch finish verbatim. */
+  def psiView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, reference: DataFrame, valueCol: String,
+      idCol: String, bins: Int = 10, minShare: Double = 1e-4)
+      : DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val refV = graft.util.Caches.persistTracked(reference
+      .select(col(valueCol).cast("double").as("__v"),
+        col(idCol).as("__i"))
+      .filter(col("__v").isNotNull))
+    val nRef = refV.count()
+    require(nRef >= bins, s"psiView: reference has $nRef rows < $bins bins")
+    val edges = graft.dq.Dq.quantileEdges(refV, "__v", "__i", bins)
+    val cells = spark.read.parquet(cellsDir)
+    val tot = cells.agg(coalesce(sum(col("n")), lit(0L)).as("__n"))
+      .head().getAs[Long]("__n")
+    require(tot > 0, "psiView: empty current population")
+    val refBins = refV
+      .groupBy(graft.dq.Dq.binOf(col("__v"), edges).as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    val curBins = cells
+      .groupBy(graft.dq.Dq.binOf(col("__v"), edges).as("bin"))
+      .agg(sum(col("n")).as("n_cur"))
+    graft.dq.Dq.psiFinish(spark, refBins, curBins, nRef, tot, bins,
+      minShare)
   }
 
   /** Streaming NULL-RATE cell store (D33 streaming): each micro-batch

@@ -179,6 +179,27 @@ class DqSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  behavior of "jsdDrift (D34)"
+
+  it should "score 0 on identical, ln 2 on disjoint, symmetric in between" in {
+    def pop2(vs: Double*) = vs.toSeq.toDF("v")
+    Dq.jsdDrift(pop2(1, 2, 2, 3), pop2(1, 2, 2, 3), "v")
+      .select(col("n_ref"), col("n_cur"), col("jsd"))
+      .as[(Long, Long, Double)].head() shouldBe ((4L, 4L, 0.0))
+    // disjoint supports saturate at ln 2 (q6-published)
+    Dq.jsdDrift(pop2(1, 2, 2, 3), pop2(4, 5, 5), "v")
+      .select(col("jsd")).as[Double].head() shouldBe 0.693147
+    // symmetry: JSD(P||Q) = JSD(Q||P) exactly (the term is symmetric)
+    val ab = Dq.jsdDrift(pop2(1, 2, 3, 4), pop2(3, 4, 5), "v")
+      .select(col("jsd")).as[Double].head()
+    val ba = Dq.jsdDrift(pop2(3, 4, 5), pop2(1, 2, 3, 4), "v")
+      .select(col("jsd")).as[Double].head()
+    ab shouldBe ba
+    ab should be > 0.0
+    ab should be < 0.693147
+    graft.util.Caches.releaseAll(spark)
+  }
+
   behavior of "psiDrift (D5)"
 
   private def pop(vs: Seq[Double]) =

@@ -178,6 +178,55 @@ class MultimodalSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
   }
 
+  it should "keep the spectral hash exactly scale-invariant and robust to small translation" in {
+    // the pHash family's CLAIM is crop/scale robustness — pin it:
+    // (a) a 2x-per-axis upscale box-averages back to the identical
+    // 16x16 grid (cell [2cx,2cx+2) of the 64-wide image is the same
+    // 2x2 original block duplicated 4x, so the floor mean is equal),
+    // hence hash equality is EXACT, not approximate;
+    // (b) a 1-pixel translate of a SMOOTH image perturbs the
+    // low-sequency integer coefficients only slightly, so the hash
+    // moves a few bits while a different image stays far
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // a 16-px block scene: a 1-pixel shift moves 1/16 of each feature
+    // — the "translate small relative to feature size" regime the
+    // pHash family claims (a shift comparable to the feature size is
+    // a DIFFERENT image and correctly lands far; measured on this
+    // fixture: translate=3, unrelated=32 of 64 bits)
+    val base = (x: Int, y: Int) => ((x / 16) * 60 + (y / 16) * 45) % 256
+    val payloads = Seq(
+      (1L, png(64, 64)(base)),
+      (2L, png(128, 128)((x, y) => base(x / 2, y / 2))), // exact 2x upscale
+      (3L, png(64, 64)((x, y) => base(math.min(x + 1, 63), y))), // 1-px shift
+      (4L, png(64, 64)((x, y) => (x * 31 + y * 5) % 200))) // different
+      .toDF("id", "content")
+    val hs = Multimodal.spectralHash(payloads, "id")
+      .select("id", "hi", "lo").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    hs(2L) shouldBe hs(1L) // upscale: EXACT equality
+    val dTrans = hamming(hs(1L), hs(3L))
+    val dOther = hamming(hs(1L), hs(4L))
+    info(s"spectral hamming: translate=$dTrans other=$dOther")
+    dTrans should be <= 3 // inside the banded near-dup radius
+    dOther should be > 3
+    val pairs = Multimodal.spectralHashNearDuplicates(payloads, "id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+
   it should "decode real WAV audio through javax.sound.sampled to exact stats" in {
     // constant-amplitude mono: mean IS the value, rms its magnitude
     def constWav(v: Int, n: Int, channels: Int): Array[Byte] = {

@@ -305,4 +305,38 @@ class ResampleSpec extends SparkSpec {
     f._7 shouldBe None    // mase undefined on a no-variation series
     graft.util.Caches.releaseAll(spark)
   }
+
+  behavior of "seriesAutocorrelation (E43)"
+
+  it should "compute the hand-checked Box-Jenkins ACF with a shared denominator" in {
+    // x = 1,2,3,4 on consecutive days: c = (-1.5,-.5,.5,1.5), den = 5;
+    // r1 = 1.25/5, r2 = -1.5/5, r3 = -2.25/5, r4 has no pairs
+    val events = (1 to 4).map(d =>
+      (1L, ts(f"2024-01-0$d%d 10:00:00"), d.toDouble)).toDF("k", "t", "v")
+    val out = Resample.seriesAutocorrelation(events, "k", col("t"),
+      col("v"), maxLag = 4).orderBy(col("lag"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 4L, 3L, Some(0.25)),
+      (1L, 2L, 4L, 2L, Some(-0.3)),
+      (1L, 3L, 4L, 1L, Some(-0.45)),
+      (1L, 4L, 4L, 0L, None))
+    // a constant series has zero variance: NULL r, pairs still counted
+    val flat = (1 to 3).map(d =>
+      (2L, ts(f"2024-01-0$d%d 10:00:00"), 7.0)).toDF("k", "t", "v")
+    Resample.seriesAutocorrelation(flat, "k", col("t"), col("v"),
+      maxLag = 2).orderBy(col("lag"))
+      .select(col("n_pairs"), col("r"))
+      .as[(Long, Option[Double])].collect().toSeq shouldBe
+      Seq((2L, None), (1L, None))
+    // partition invariance: the micro-integer moments are order-free
+    val both = events.unionByName(flat)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Resample.seriesAutocorrelation(df, "k", col("t"), col("v"),
+        maxLag = 3)
+        .as[(Long, Long, Long, Long, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    run(both.coalesce(1)) shouldBe run(both.repartition(7))
+    graft.util.Caches.releaseAll(spark)
+  }
 }

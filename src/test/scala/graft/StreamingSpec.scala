@@ -493,6 +493,13 @@ class StreamingSpec extends SparkSpec {
       "user_id")) shouldBe
       rtRows(graft.events.Resample.runsTest(
         allDf, "user_id", col("ts"), col("value")))
+    def acfRows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    acfRows(StreamingEvents.acfView(spark, s"$tmp/daily",
+      "user_id", maxLag = 4)) shouldBe
+      acfRows(graft.events.Resample.seriesAutocorrelation(
+        allDf, "user_id", col("ts"), col("value"), maxLag = 4))
     graft.util.Caches.releaseAll(spark)
   }
 
@@ -1756,6 +1763,7 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
     val kuB = five(graft.dq.Dq.kuiperDrift(reference, union, "v"))
+    val jsB = one(graft.dq.Dq.jsdDrift(reference, union, "v"))
     one(StreamingEvents.ksDriftView(spark, s"$tmp/cells", reference,
       "v")) shouldBe ksB
     one(StreamingEvents.wassersteinView(spark, s"$tmp/cells",
@@ -1766,6 +1774,21 @@ class StreamingSpec extends SparkSpec {
       reference, "v")) shouldBe cvB
     five(StreamingEvents.kuiperView(spark, s"$tmp/cells",
       reference, "v")) shouldBe kuB
+    one(StreamingEvents.jsdView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe jsB
+    // PSI (the seventh view off the same store): frozen reference
+    // quantile edges, cell counts binned like rows
+    val refP = (1 to 60).map(i => ((i % 12).toDouble, i.toLong))
+      .toDF("v", "id")
+    val unionId = (1 to 2).flatMap(batchRows).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    def psiRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("bin")).collect().map(r => (r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    val psiB = psiRows(graft.dq.Dq.psiDrift(refP, unionId, "v", "id"))
+    psiRows(StreamingEvents.psiView(spark, s"$tmp/cells", refP,
+      "v", "id")) shouldBe psiB
     // replay safety: re-writing a batch's cells changes nothing
     StreamingEvents.valueCellBatch(batchRows(2).toDF("v"), 1L, "v",
       s"$tmp/cells")
@@ -1779,6 +1802,10 @@ class StreamingSpec extends SparkSpec {
       reference, "v")) shouldBe cvB
     five(StreamingEvents.kuiperView(spark, s"$tmp/cells",
       reference, "v")) shouldBe kuB
+    one(StreamingEvents.jsdView(spark, s"$tmp/cells",
+      reference, "v")) shouldBe jsB
+    psiRows(StreamingEvents.psiView(spark, s"$tmp/cells", refP,
+      "v", "id")) shouldBe psiB
     graft.util.Caches.releaseAll(spark)
   }
 
