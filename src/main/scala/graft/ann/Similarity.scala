@@ -1552,7 +1552,9 @@ object Similarity {
     * assigned to the FROZEN centroid table (the X76 incremental-index
     * discipline: assignment-only growth, no re-training) and appended
     * to a persisted assignment index under
-    * `<store>/index/batch_id=N/centroid_id=C`; then edges are
+    * `<store>/index/batch_id=N/__shard=S` (S = centroid_id mod a FIXED
+    * shard count — constant directory count at any corpus size); then
+    * edges are
     * recomputed ONLY for affected sources — every point (old or new)
     * probing a cell the batch touched — over exactly their probed
     * cells, and written under `<store>/edges/batch_id=N`.
@@ -1569,9 +1571,10 @@ object Similarity {
     *
     * Scale: the two discovery scans read ONLY (vec_id, centroid_id) —
     * column-pruned metadata width, no vectors; vector bytes are read
-    * solely from the touched-neighborhood cells via `centroid_id`
-    * partition pruning (cell lists collect at ≤ nlist longs — the
-    * centroid table the driver already broadcasts). Cost per batch is
+    * solely from the touched-neighborhood cells via shard partition
+    * pruning plus the pushed `centroid_id` row-group filter (cell
+    * lists collect at ≤ nlist longs — the centroid table the driver
+    * already broadcasts). Cost per batch is
     * Σ m² over recomputed cells, not N²; the eager probe-inclusive
     * census guard fails loud BEFORE the pair join (the X179
     * discipline). Replays re-read only EARLIER batches and overwrite
@@ -1584,22 +1587,40 @@ object Similarity {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val spark = newPoints.sparkSession
     ensureNative(newPoints)
+    // FIXED shard count for the physical layout — partitioning by the
+    // raw centroid_id looks right but is a scale killer the gate
+    // caught at its first sf1 probe (exponent 0.84): data-proportional
+    // centroids mean 10× data = 10× partition DIRECTORIES of
+    // ever-smaller files, and the per-file metadata cost turns the
+    // store linear-in-nlist. A capped shard keeps directory count
+    // CONSTANT as the corpus grows; cell pruning survives as shard
+    // pruning (×1/shards) plus the pushed centroid_id filter inside
+    // each shard's row groups.
+    val shards = 64
     val newA = graft.util.Caches.persistTracked(
       ivfAssignProbes(newPoints, idCol, vecCol, centroids, dim, probes))
-    newA.write.mode("overwrite").partitionBy("centroid_id")
+    newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+      .repartition(col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard")
       .parquet(s"$storeDir/index/batch_id=$batchId")
     // prior corpus = strictly earlier batches (replay-idempotent);
     // the index dir always exists — this batch just wrote to it
     val all = spark.read.parquet(s"$storeDir/index")
       .filter(col("batch_id") < batchId)
       .drop("batch_id")
-      .unionByName(newA)
+      .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+      .unionByName(
+        newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards))))
     // touched cells: ≤ nlist ids — bounded by the centroid table
     val touched = newA.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
+    def shardsOf(cs: Array[Long]): Array[Long] =
+      cs.map(c => ((c % shards) + shards) % shards).distinct
     // affected sources: any point probing a touched cell (metadata-
-    // width scan — only (vec_id, centroid_id) columns are read)
-    val src = all.filter(col("centroid_id").isin(touched: _*))
+    // width scan — shard-pruned, only (vec_id, centroid_id) read)
+    val src = all
+      .filter(col("__shard").isin(shardsOf(touched): _*) &&
+        col("centroid_id").isin(touched: _*))
       .select(col("vec_id")).distinct()
     // the recompute slice covers EVERY cell an affected source probes,
     // so each recomputed top-k sees its complete candidate set
@@ -1608,7 +1629,9 @@ object Similarity {
       .select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
     val slice = graft.util.Caches.persistTracked(
-      all.filter(col("centroid_id").isin(cells: _*)))
+      all.filter(col("__shard").isin(shardsOf(cells): _*) &&
+        col("centroid_id").isin(cells: _*))
+        .drop("__shard"))
     val oversize = slice.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketPoints)

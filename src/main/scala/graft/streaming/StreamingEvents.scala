@@ -2286,7 +2286,7 @@ object StreamingEvents {
     * corpus keeps its X182 edge list current WITHOUT full rebuilds —
     * each micro-batch of (id, vector) rows runs ONE
     * [[graft.ann.Similarity.knnGraphIncrement]]: frozen-centroid
-    * assignment, index append under `index/batch_id=N/centroid_id=C`,
+    * assignment, index append under `index/batch_id=N/__shard=S`,
     * and edge recompute ONLY for sources probing a touched cell, under
     * `edges/batch_id=N`. The published [[knnGraphView]] — latest batch
     * per source — is bit-equal to a full [[graft.ann.Similarity
