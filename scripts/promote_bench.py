@@ -72,6 +72,7 @@ def main() -> int:
         "run_canaries": run_canaries,
         "run_totals": run_totals,
         "counter_examples": run.get("counter_examples", []),
+        "compute_bound": run.get("compute_bound", []),
         "queries": merged,
         "sf": run["sf"],
     }

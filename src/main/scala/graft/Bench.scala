@@ -130,6 +130,12 @@ object Bench {
       .toSeq.sorted.filter(n => results.exists(_._1 == n))
     val ceJson = counterExamples.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // declared compute-bound rows (row-parallel decode, scales out —
+    // see ScaleGate.declaredComputeBound) tagged for the same
+    // transparency as counter-examples
+    val cbJson = graft.tools.ScaleGate.declaredComputeBound
+      .toSeq.sorted.filter(n => results.exists(_._1 == n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver captures only the LAST 2000 chars of output; a full
     // ~120-query map (~4.4 KB) truncates and the JSON line never parses
     // (BENCH_r6..r8 all landed "parsed: null"). So: full-precision
@@ -149,9 +155,9 @@ object Bench {
       "BENCH_RUN.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":$canary,"counter_examples":$ceJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":$canary,"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
     val headline = results.filter { case (n, _) => heavy.contains(n) }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,6 +54,23 @@ class PlanGuardSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "keep the audio decode family shuffle-free: no Exchange anywhere in the decode plans" in {
+    // the ScaleGate `declaredComputeBound` contract, structurally
+    // proven: m6/m7's whole plan is a row-parallel map over the
+    // payload relation — a wall-time exponent ~1 at fixed cores is
+    // linear WORK that scales out with executors, and that claim is
+    // only honest while no Exchange sneaks in
+    val payloads = Seq((1L, graft.multimodal.Multimodal.pcmWav(1L, 50)),
+      (2L, graft.multimodal.Multimodal.pcmWav(2L, 60)))
+      .toDF("doc_id", "content")
+    val decodePlan = planOf(
+      graft.multimodal.Multimodal.decodeWavFeatures(payloads, "doc_id"))
+    decodePlan should not include "Exchange"
+    val fpPlan = planOf(
+      graft.multimodal.Multimodal.audioEnergyHash(payloads, "doc_id"))
+    fpPlan should not include "Exchange"
+  }
+
   it should "keep the PPJoin positional filter in the Jaccard candidate stage" in {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = planOf(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
