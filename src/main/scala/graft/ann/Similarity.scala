@@ -1530,9 +1530,19 @@ object Similarity {
   def mutualKnnClusters(points: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, dim: Int, k: Int,
       probes: Int = 2, minCosine: Double = 0.0,
-      maxBucketPoints: Long = 100000L): DataFrame = {
-    val edges = knnGraph(points, idCol, vecCol, centroids, dim, k,
-      probes, maxBucketPoints)
+      maxBucketPoints: Long = 100000L): DataFrame =
+    mutualClustersFromEdges(
+      knnGraph(points, idCol, vecCol, centroids, dim, k, probes,
+        maxBucketPoints), minCosine)
+
+  /** The [[mutualKnnClusters]] cut + closure over an ALREADY-BUILT
+    * (vec_id, rk, neighbor_id, cosine) edge list — shared verbatim by
+    * the one-shot operator and the X185 maintained-store view (X187),
+    * so "communities of everything ingested" equals the full-rebuild
+    * communities by construction. */
+  private[graft] def mutualClustersFromEdges(edgeList: DataFrame,
+      minCosine: Double): DataFrame = {
+    val edges = edgeList
       .filter(col("cosine") >= minCosine)
       .select(col("vec_id").as("__a"), col("neighbor_id").as("__b"))
     val mutual = edges

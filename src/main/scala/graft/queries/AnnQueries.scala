@@ -269,6 +269,25 @@ object AnnQueries {
       graft.streaming.StreamingEvents.knnGraphView(s, store)
     },
 
+    // X187: mutual-kNN communities served FROM the maintained X185
+    // store — the corpus arrives in two increments, the view cuts the
+    // latest-batch edge list to reciprocal edges and closes components
+    // — proving the maintenance story extends to the community layer:
+    // the oracle is the one-shot X183 chain over the whole corpus.
+    "q_x187_incremental_communities" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_x187"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      for (m <- 0 to 1)
+        Similarity.knnGraphIncrement(emb.filter(col("vec_id") % 2 === m),
+          "vec_id", "embedding", centroids, Dim, k = 4,
+          storeDir = store, batchId = m.toLong, probes = 2)
+      graft.streaming.StreamingEvents.mutualKnnView(s, store)
+    },
+
     // X180: per-dimension embedding drift between the even/odd vector
     // halves — which dimensions moved, in raw and pooled-sigma units;
     // one posexplode aggregate per side, dim-bounded output.
@@ -1040,6 +1059,54 @@ object AnnQueries {
          |  FROM pairs)
          |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
          |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    // X187: the X183 recursive-closure oracle with the X185 store's
+    // parameters (cent % 50, k = 4) — the maintained view must equal
+    // the one-shot chain over the union corpus.
+    "q_x187_incremental_communities" ->
+      s"""WITH RECURSIVE nn AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 50 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk,
+         |    round(cos, 6) AS cosine
+         |  FROM pairs),
+         |knn AS (SELECT vec_id, neighbor_id FROM rk
+         |  WHERE rk <= 4 AND cosine >= 0.0),
+         |mutual AS (
+         |  SELECT a.vec_id AS a, a.neighbor_id AS b
+         |  FROM knn a JOIN knn b ON a.vec_id = b.neighbor_id
+         |    AND a.neighbor_id = b.vec_id
+         |  WHERE a.vec_id < a.neighbor_id),
+         |edges AS (SELECT a, b FROM mutual
+         |          UNION SELECT b, a FROM mutual),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.v = e.a)
+         |SELECT v AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         |  v = min(r) AS is_canonical
+         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
     // X186: the X184 halo/edge chain, then the exact triangle census —
     // canonical (a < b) simple edges, ordered two-wedge join closed by
     // a third edge, per-corner triangle counts; coefficients mirror

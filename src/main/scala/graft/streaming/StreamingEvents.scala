@@ -2367,6 +2367,20 @@ object StreamingEvents {
       minShare)
   }
 
+  /** X187: mutual-kNN COMMUNITIES over a [[knnGraphSink]] store — the
+    * maintenance story extended to the community layer: the X183
+    * reciprocity cut + deterministic min-label closure
+    * ([[graft.ann.Similarity.mutualClustersFromEdges]], shared
+    * verbatim) over the maintained latest-batch-per-source edge list,
+    * which [[knnGraphView]] already proves bit-equal to a full
+    * rebuild — so the live communities equal
+    * [[graft.ann.Similarity.mutualKnnClusters]] of everything
+    * ingested, without ever re-touching raw vectors. */
+  def mutualKnnView(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, minCosine: Double = 0.0): DataFrame =
+    graft.ann.Similarity.mutualClustersFromEdges(
+      knnGraphView(spark, storeDir), minCosine)
+
   /** Streaming NULL-RATE cell store (D33 streaming): each micro-batch
     * persists its per-declared-column (column, n rows, nulls) counters
     * under `batch_id=N` — k rows per batch, never row volume; counts

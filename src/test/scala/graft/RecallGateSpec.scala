@@ -195,6 +195,15 @@ class RecallGateSpec extends SparkSpec {
       centroids, Dim, K, store, batchId = 2L, probes = 2)
     edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
       store)) shouldBe full
+    // X187: the community layer rides the same maintained store — the
+    // reciprocity cut + closure over the view equals the one-shot
+    // mutual-kNN communities of the whole corpus
+    def comm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().sorted.toSeq
+    comm(graft.streaming.StreamingEvents.mutualKnnView(spark, store,
+      minCosine = 0.5)) shouldBe
+      comm(Similarity.mutualKnnClusters(corpus, "vec_id", "embedding",
+        centroids, Dim, k = K, probes = 2, minCosine = 0.5))
     // the eager probe-inclusive census guards the recompute slice too
     intercept[IllegalArgumentException] {
       Similarity.knnGraphIncrement(slice(2), "vec_id", "embedding",
