@@ -1607,17 +1607,43 @@ object Similarity {
     // pruning (×1/shards) plus the pushed centroid_id filter inside
     // each shard's row groups.
     val shards = 64
-    val newA = graft.util.Caches.persistTracked(
-      ivfAssignProbes(newPoints, idCol, vecCol, centroids, dim, probes))
+    // persisted LOCALLY and released in the finally below — the
+    // streaming sink invokes this once per micro-batch with no harness
+    // release point, so session-lifetime tracking
+    // (Caches.persistTracked) would pin one pair of cached plans per
+    // batch forever on a long-running stream
+    val newA =
+      ivfAssignProbes(newPoints, idCol, vecCol, centroids, dim, probes)
+        .persist()
+    var slice: DataFrame = null
+    try {
     newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
       .repartition(col("__shard"))
       .write.mode("overwrite").partitionBy("__shard")
       .parquet(s"$storeDir/index/batch_id=$batchId")
-    // prior corpus = strictly earlier batches (replay-idempotent);
-    // the index dir always exists — this batch just wrote to it
-    val all = spark.read.parquet(s"$storeDir/index")
+    // prior corpus = strictly earlier batches (replay-idempotent),
+    // minus earlier tombstones ([[knnGraphDelete]]); the index dir
+    // always exists — this batch just wrote to it
+    val dead = knnTombstones(spark, storeDir)
+      .map(_.filter(col("batch_id") < batchId).select(col("vec_id")))
+    dead.foreach { d =>
+      // re-ingesting a tombstoned id would resurrect a point the view
+      // anti-joins away — silent wrongness; the contract is fail loud
+      // (compact or refresh clears tombstones, after which the id may
+      // return). Bounded: limit(1).
+      val re = newA.select(col("vec_id")).distinct()
+        .join(d, Seq("vec_id")).limit(1).collect()
+      require(re.isEmpty,
+        s"knnGraphIncrement: id ${re.head.getLong(0)} was tombstoned " +
+          "by knnGraphDelete — run compactKnnStore (or knnGraphRefresh) " +
+          "before re-ingesting a deleted id")
+    }
+    val prior0 = spark.read.parquet(s"$storeDir/index")
       .filter(col("batch_id") < batchId)
       .drop("batch_id")
+    val prior = dead.fold(prior0)(d =>
+      prior0.join(d, Seq("vec_id"), "left_anti"))
+    val all = prior
       .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
       .unionByName(
         newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards))))
@@ -1638,27 +1664,50 @@ object Similarity {
       .join(src, Seq("vec_id"))
       .select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
-    val slice = graft.util.Caches.persistTracked(
-      all.filter(col("__shard").isin(shardsOf(cells): _*) &&
+    slice = all.filter(col("__shard").isin(shardsOf(cells): _*) &&
         col("centroid_id").isin(cells: _*))
-        .drop("__shard"))
+      .drop("__shard")
+      .persist()
+    guardCellCensus(slice, maxBucketPoints, "knnGraphIncrement")
+    recomputeKnnEdges(slice, src, k)
+      .write.mode("overwrite").parquet(s"$storeDir/edges/batch_id=$batchId")
+    } finally {
+      newA.unpersist(true)
+      if (slice != null) slice.unpersist(true)
+    }
+    ()
+  }
+
+  /** The [[knnGraphIncrement]] census guard: the per-cell pair join is
+    * O(m²), so an oversize probe-assigned cell fails loud BEFORE the
+    * join (the X179 discipline). Bounded collect: limit(1). */
+  private def guardCellCensus(slice: DataFrame, maxBucketPoints: Long,
+      op: String): Unit = {
     val oversize = slice.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketPoints)
       .limit(1).collect()
     require(oversize.isEmpty,
-      s"knnGraphIncrement: cell ${oversize.head.get(0)} holds " +
+      s"$op: cell ${oversize.head.get(0)} holds " +
         s"${oversize.head.getLong(1)} probe-assigned points > " +
         s"maxBucketPoints=$maxBucketPoints — the per-cell pair join " +
         "is O(m²); train more centroids, lower probes, or sample")
+  }
+
+  /** Exact top-k edge rows for the `src` sources over `slice` — their
+    * COMPLETE probed-cell candidate set — shared verbatim by
+    * [[knnGraphIncrement]] and [[knnGraphDelete]]: same codegen
+    * cosine, same half-relation dedup (bit-symmetric distance, (p<o)
+    * through the `distinct`, swap re-emitted), same (cos desc, id)
+    * tie order as the one-shot [[knnGraph]]. */
+  private def recomputeKnnEdges(slice: DataFrame, src: DataFrame,
+      k: Int): DataFrame = {
     val a = slice.select(col("centroid_id").as("__bk"),
       col("vec_id").as("__p"), col("v").as("__va"),
       col("nrm").as("__na"))
     val b = slice.select(col("centroid_id").as("__bk"),
       col("vec_id").as("__o"), col("v").as("__vb"),
       col("nrm").as("__nb"))
-    // half-relation dedup (see [[lofScoresHalo]]): bit-symmetric
-    // cosine, (p < o) through the distinct, swap re-emitted
     val half = a.join(b, Seq("__bk")).filter(col("__p") < col("__o"))
       .withColumn("__c", nCosine(col("__va"), col("__vb"), col("__na"),
         col("__nb")))
@@ -1674,8 +1723,309 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("__p").as("vec_id"), col("rk"),
         col("__o").as("neighbor_id"), round(col("__c"), 6).as("cosine"))
-      .write.mode("overwrite").parquet(s"$storeDir/edges/batch_id=$batchId")
+  }
+
+  /** The tombstone ledger of a [[knnGraphDelete]]-maintained store —
+    * `None` until the first delete. One (vec_id, batch_id) row per
+    * deleted id; cleared by [[compactKnnStore]]/[[knnGraphRefresh]]
+    * once applied. */
+  private[graft] def knnTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** X188: TOMBSTONE DELETES in the maintained k-NN store — production
+    * corpora shrink (takedowns, dedup purges), and an append-only
+    * store would serve a removed document's neighbors forever. One
+    * delete batch: the dying ids' assignments name the touched cells;
+    * edges are recomputed for every SURVIVING source probing a touched
+    * cell (any source holding a stale edge to a deleted neighbor
+    * shares a probed cell with it, so the touched-cell frontier covers
+    * exactly the stale rows) over its complete candidate set from the
+    * surviving index; the ids land in a `tombstones/batch_id=N` ledger
+    * that [[knnGraphIncrement]] and the published view anti-join.
+    *
+    * A source recomputed to EMPTY (its last co-bucketed neighbor died)
+    * writes a `rk = 0` SENTINEL row — "latest batch per source" alone
+    * cannot express "now has no edges", and without the sentinel the
+    * view would resurrect the stale pre-delete rows. The view filters
+    * `rk >= 1` after latest-batch selection.
+    *
+    * Exactness (rebuild-parity, spec-proven + the q_x188 DuckDB
+    * oracle): the view after a delete equals a full [[knnGraph]]
+    * rebuild over corpus-minus-deleted. Replays re-read only earlier
+    * batches and overwrite their own directories: idempotent. The
+    * ledger is written AFTER the edges commit (the friedman-ledger
+    * lesson: never publish state the view trusts before the guarded
+    * write succeeds). Deleting an unknown id is a no-op tombstone.
+    * Scale: touched cells ≤ nlist; cost is the affected sources'
+    * cells only, never N². */
+  def knnGraphDelete(deleted: DataFrame, idCol: String,
+      storeDir: String, batchId: Long, k: Int,
+      maxBucketPoints: Long = 100000L): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = deleted.sparkSession
+    val shards = 64
+    val del = deleted.select(col(idCol).cast("long").as("vec_id"))
+      .distinct().persist()
+    var slice: DataFrame = null
+    try {
+      val dead = knnTombstones(spark, storeDir)
+        .map(_.filter(col("batch_id") < batchId).select(col("vec_id")))
+      val idx0 = spark.read.parquet(s"$storeDir/index")
+        .filter(col("batch_id") < batchId)
+        .drop("batch_id")
+      val alive0 = dead.fold(idx0)(d =>
+        idx0.join(d, Seq("vec_id"), "left_anti"))
+      // touched cells: every cell the dying points were assigned to —
+      // bounded by the centroid table (≤ nlist ids)
+      val touched = alive0.join(del, Seq("vec_id"))
+        .select(col("centroid_id")).distinct()
+        .collect().map(_.getLong(0))
+      val alive = alive0.join(del, Seq("vec_id"), "left_anti")
+        .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+      def shardsOf(cs: Array[Long]): Array[Long] =
+        cs.map(c => ((c % shards) + shards) % shards).distinct
+      if (touched.nonEmpty) {
+        // affected sources: surviving points probing a touched cell
+        // (metadata-width scan — shard-pruned, (vec_id, centroid_id))
+        val src = alive
+          .filter(col("__shard").isin(shardsOf(touched): _*) &&
+            col("centroid_id").isin(touched: _*))
+          .select(col("vec_id")).distinct()
+        val cells = alive.select(col("vec_id"), col("centroid_id"))
+          .join(src, Seq("vec_id"))
+          .select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0))
+        slice = alive.filter(col("__shard").isin(shardsOf(cells): _*) &&
+            col("centroid_id").isin(cells: _*))
+          .drop("__shard")
+          .persist()
+        guardCellCensus(slice, maxBucketPoints, "knnGraphDelete")
+        val recomputed = recomputeKnnEdges(slice, src, k)
+        val sentinels = src
+          .join(recomputed.select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), lit(0L).as("rk"),
+            lit(null).cast("long").as("neighbor_id"),
+            lit(null).cast("double").as("cosine"))
+        recomputed.unionByName(sentinels)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/edges/batch_id=$batchId")
+      }
+      del.write.mode("overwrite")
+        .parquet(s"$storeDir/tombstones/batch_id=$batchId")
+    } finally {
+      del.unpersist(true)
+      if (slice != null) slice.unpersist(true)
+    }
     ()
+  }
+
+  /** Compact a [[knnGraphIncrement]]/[[knnGraphDelete]]-maintained
+    * store back to ONE batch directory per side and ZERO tombstones —
+    * [[compactIvfIndex]]'s sibling for the X185 store. The store grows
+    * one `index/batch_id=N` and `edges/batch_id=N` directory per
+    * micro-batch FOREVER, and the view lists every one of them —
+    * linear-in-batch-count metadata cost that the sf-probe cannot see
+    * (it scales rows, not batch count; the r15 verdict's exact
+    * warning). Compaction collapses: index → surviving assignments
+    * (tombstones applied, crash-window duplicates absorbed by
+    * `distinct`) into `index/batch_id=<min-1>`; edges → each surviving
+    * source's LATEST rows (the view's own selection, `rk = 0`
+    * sentinels dropped — with pre-sentinel history gone they mask
+    * nothing) into `edges/batch_id=<min-1>`; tombstone ledger →
+    * deleted (applied). Ids count DOWN from the side's own min so they
+    * can never collide with stream-assigned ids, and
+    * [[knnGraphIncrement]]'s `batch_id < N` prior-corpus read keeps
+    * working unchanged.
+    *
+    * Crash-safe like its siblings: both consolidated directories are
+    * fully written before anything is deleted; leftovers from a crash
+    * window are absorbed (old edge dirs outrank the consolidated one
+    * per source with IDENTICAL rows; duplicate index rows fall to the
+    * pair join's `distinct`; an undeleted ledger anti-joins ids the
+    * compacted store no longer contains). Run while the sink is idle
+    * (the [[compactIvfIndex]] contract). Returns the consolidated
+    * edges batch id. */
+  def compactKnnStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Long = {
+    val shards = 64
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(side: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$side")
+      require(fs.exists(p), s"compactKnnStore: no $side at $storeDir")
+      val ds = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+      require(ds.nonEmpty, s"compactKnnStore: $storeDir/$side has no " +
+        "batch_id=* partitions — not a knnGraphIncrement store")
+      ds
+    }
+    val idxDirs = batchDirs("index")
+    val edgeDirs = batchDirs("edges")
+    def ids(ds: Array[org.apache.hadoop.fs.Path]) =
+      ds.map(_.getName.stripPrefix("batch_id=").toLong)
+    val tombs = knnTombstones(spark, storeDir)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones")
+    if (idxDirs.length == 1 && edgeDirs.length == 1 && tombs.isEmpty)
+      return ids(edgeDirs).head // already compact
+    val dead = tombs.map(_.select(col("vec_id")).distinct())
+    val idxTo = ids(idxDirs).min - 1
+    val aliveIdx = {
+      val i0 = spark.read.parquet(s"$storeDir/index").drop("batch_id")
+      dead.fold(i0)(d => i0.join(d, Seq("vec_id"), "left_anti"))
+    }
+    aliveIdx.drop("__shard").distinct()
+      .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+      .repartition(col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard")
+      .parquet(s"$storeDir/index/batch_id=$idxTo")
+    val edgeTo = ids(edgeDirs).min - 1
+    val e0 = spark.read.parquet(s"$storeDir/edges")
+    val live = dead.fold(e0)(d => e0.join(d, Seq("vec_id"), "left_anti"))
+    val latest = live.groupBy(col("vec_id"))
+      .agg(max(col("batch_id")).as("batch_id"))
+    live.join(latest, Seq("vec_id", "batch_id"))
+      .filter(col("rk") >= 1)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        col("cosine"))
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/edges/batch_id=$edgeTo")
+    idxDirs.foreach(d => fs.delete(d, true))
+    edgeDirs.foreach(d => fs.delete(d, true))
+    if (fs.exists(tombDir)) fs.delete(tombDir, true)
+    edgeTo
+  }
+
+  /** CENTROID-REFRESH EPOCH for the maintained k-NN store (the third
+    * lifecycle leg after [[knnGraphDelete]] and [[compactKnnStore]]):
+    * the frozen-centroid contract is right for increments, but under
+    * real drift the partition quality decays silently — new points
+    * crowd a few cells, recall erodes. A refresh re-assigns the ENTIRE
+    * surviving corpus (read back from the store's own index — vectors
+    * live there) to `newCentroids`, rebuilds the full edge list with
+    * the one-shot [[knnGraph]], writes both sides into rebased
+    * `batch_id=<min-1>` directories, and clears the tombstone ledger.
+    * When `recallSample > 0` the epoch SELF-VERIFIES: view top-k
+    * recall for a deterministic source sample is re-measured against
+    * exact brute-force over the surviving corpus and must reach
+    * `recallFloor`, else the refresh fails loud (directories are
+    * already consistent — the rebuilt store IS the failed evidence).
+    *
+    * Crash-safety note: unlike compaction, a refresh changes the
+    * centroid SPACE, so a crash between the index write and the old-
+    * directory deletes must be repaired by re-running the refresh
+    * (document contract) — the view stays consistent throughout (old
+    * edge dirs outrank the rebased one until they are deleted, then
+    * the new epoch is visible atomically per source). Run while the
+    * sink is idle. Returns the rebased edges batch id. */
+  def knnGraphRefresh(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, newCentroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, probes: Int = 2,
+      maxBucketPoints: Long = 100000L, recallFloor: Double = 0.0,
+      recallSample: Int = 0): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shards = 64
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(side: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$side")
+      require(fs.exists(p), s"knnGraphRefresh: no $side at $storeDir")
+      fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    }
+    val idxDirs = dirs("index")
+    val edgeDirs = dirs("edges")
+    require(idxDirs.nonEmpty && edgeDirs.nonEmpty,
+      s"knnGraphRefresh: $storeDir is not a knnGraphIncrement store")
+    val cents = newCentroids.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val corpus = knnStoreCorpus(spark, storeDir).persist()
+    try {
+      val idxTo = idxDirs.map(_.getName.stripPrefix("batch_id=").toLong)
+        .min - 1
+      val edgeTo = edgeDirs.map(_.getName.stripPrefix("batch_id=").toLong)
+        .min - 1
+      ivfAssignProbes(corpus, "vec_id", "v", cents, dim, probes)
+        .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+        .repartition(col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard")
+        .parquet(s"$storeDir/index/batch_id=$idxTo")
+      knnGraph(corpus, "vec_id", "v", cents, dim, k, probes,
+          maxBucketPoints)
+        .write.mode("overwrite")
+        .parquet(s"$storeDir/edges/batch_id=$edgeTo")
+      idxDirs.foreach(d => fs.delete(d, true))
+      edgeDirs.foreach(d => fs.delete(d, true))
+      val tombDir = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones")
+      if (fs.exists(tombDir)) fs.delete(tombDir, true)
+      if (recallSample > 0) {
+        // deterministic sample: the recallSample smallest source ids —
+        // reproducible across reruns, no RNG in the gate
+        val sample = corpus.orderBy(col("vec_id")).limit(recallSample)
+        val truth = bruteForceTopK(sample, corpus, "vec_id", "v", k, dim)
+          .select(col("vec_id"), col("neighbor_id"))
+        val got = spark.read.parquet(s"$storeDir/edges/batch_id=$edgeTo")
+          .join(sample.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("neighbor_id"))
+        val hit = truth.join(got, Seq("vec_id", "neighbor_id")).count()
+        val tot = truth.count()
+        val recall = if (tot == 0) 1.0 else hit.toDouble / tot
+        require(recall >= recallFloor,
+          f"knnGraphRefresh: post-refresh recall $recall%.3f < floor " +
+            f"$recallFloor%.3f over $recallSample sampled sources — " +
+            "the new centroid set degrades the graph; retrain with " +
+            "more centroids or higher probes")
+      }
+      edgeTo
+    } finally { corpus.unpersist(true); () }
+  }
+
+  /** The surviving (vec_id, v) corpus of a maintained store, read back
+    * from its own index (vectors live there), tombstones applied —
+    * one row per point (multi-probe rows collapse). */
+  private[graft] def knnStoreCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$storeDir/index")
+      .select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    knnTombstones(spark, storeDir).fold(idx)(t =>
+      idx.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+  }
+
+  /** [[knnGraphRefresh]] gated on a MEASURED drift signal instead of a
+    * schedule: the store's surviving corpus is compared to the frozen
+    * `reference` snapshot dimension-by-dimension ([[embeddingDimDrift]]
+    * — X139's standardized mean shift), and the epoch runs only when
+    * any dimension's |std_shift| reaches `sigmaThreshold`. Returns
+    * whether a refresh ran, so callers can log/alert on the decision.
+    * The drift scan reads only the store's index (metadata + vectors,
+    * no edge IO); the refresh itself is [[knnGraphRefresh]] verbatim,
+    * including the optional recall re-measure. */
+  def knnGraphRefreshIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, reference: DataFrame, refVecCol: String,
+      newCentroids: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, sigmaThreshold: Double, probes: Int = 2,
+      maxBucketPoints: Long = 100000L, recallFloor: Double = 0.0,
+      recallSample: Int = 0): Boolean = {
+    require(sigmaThreshold > 0,
+      s"sigmaThreshold must be > 0, got $sigmaThreshold")
+    val corpus = knnStoreCorpus(spark, storeDir)
+    val drift = embeddingDimDrift(
+      reference.select(col(refVecCol).as("v")), corpus.select(col("v")),
+      "v", dim)
+    val worst = drift
+      .agg(max(abs(coalesce(col("std_shift"), lit(0.0)))).as("__w"))
+      .head().getDouble(0)
+    if (worst >= sigmaThreshold) {
+      knnGraphRefresh(spark, storeDir, newCentroids, idCol, vecCol,
+        dim, k, probes, maxBucketPoints, recallFloor, recallSample)
+      true
+    } else false
   }
 
   /** The shared exact-LOF kernel over a (point, other, distance) pair

@@ -258,7 +258,11 @@ object AnnQueries {
     "q_x185_knn_graph_incremental" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") % 50 === 0)
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_x185"
+      // suffixed with the application id so two concurrent harness
+      // runs on one machine (bench beside verify) cannot clobber each
+      // other's store mid-query
+      val store = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_knn_store_x185_${s.sparkContext.applicationId}"
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
@@ -277,7 +281,8 @@ object AnnQueries {
     "q_x187_incremental_communities" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") % 50 === 0)
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_x187"
+      val store = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_knn_store_x187_${s.sparkContext.applicationId}"
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
@@ -286,6 +291,56 @@ object AnnQueries {
           "vec_id", "embedding", centroids, Dim, k = 4,
           storeDir = store, batchId = m.toLong, probes = 2)
       graft.streaming.StreamingEvents.mutualKnnView(s, store)
+    },
+
+    // X188: tombstone DELETES in the maintained store — two increments
+    // ingest the corpus, a delete batch tombstones the % 7 == 3 ids
+    // (touched-cell edge recompute + rk=0 empty-recompute sentinels),
+    // then compaction collapses both sides to one rebased directory
+    // and applies the ledger; the view must equal a full X182 rebuild
+    // over corpus-minus-deleted — exactly what the oracle computes.
+    "q_x188_knn_graph_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val store = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_knn_store_x188_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      for (m <- 0 to 1)
+        Similarity.knnGraphIncrement(emb.filter(col("vec_id") % 2 === m),
+          "vec_id", "embedding", centroids, Dim, k = 4,
+          storeDir = store, batchId = m.toLong, probes = 2)
+      Similarity.knnGraphDelete(emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")), "vec_id", store, batchId = 2L, k = 4)
+      Similarity.compactKnnStore(s, store)
+      graft.streaming.StreamingEvents.knnGraphView(s, store)
+    },
+
+    // X189: the CENTROID-REFRESH epoch — increments + a delete build a
+    // drifting store, then the epoch re-assigns the surviving corpus
+    // (read back from the store's own index) to a NEW centroid set
+    // (% 30), rebuilds the edges, rebases the directories and clears
+    // the ledger; the view must equal a FRESH X182 build of the
+    // survivors under the new centroids — the oracle's computation.
+    "q_x189_knn_graph_refresh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val store = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_knn_store_x189_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      for (m <- 0 to 1)
+        Similarity.knnGraphIncrement(emb.filter(col("vec_id") % 2 === m),
+          "vec_id", "embedding", centroids, Dim, k = 4,
+          storeDir = store, batchId = m.toLong, probes = 2)
+      Similarity.knnGraphDelete(emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")), "vec_id", store, batchId = 2L, k = 4)
+      Similarity.knnGraphRefresh(s, store,
+        emb.filter(col("vec_id") % 30 === 0), "vec_id", "embedding",
+        Dim, k = 4, probes = 2)
+      graft.streaming.StreamingEvents.knnGraphView(s, store)
     },
 
     // X180: per-dimension embedding drift between the even/odd vector
@@ -321,7 +376,8 @@ object AnnQueries {
         col("vec_id") % 4 === 2)
       val b2 = emb.filter(col("vec_id") % 4 === 3)
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        s.sparkContext.applicationId
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(b1, "vec_id", "embedding", centroids,
           Dim), path, mode = "overwrite")
@@ -1192,6 +1248,66 @@ object AnnQueries {
          |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
          |        c.centroid_id) AS rn
          |  FROM nn n, cent c),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin,
+    // X188: rebuild-parity over the SURVIVORS — the centroid table
+    // stays the frozen full-corpus % 50 set (a parameter, not data),
+    // the point population drops the tombstoned % 7 == 3 ids; an
+    // independent full recomputation of what delete + compaction must
+    // leave behind.
+    "q_x188_knn_graph_delete" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 50 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c WHERE n.vec_id % 7 <> 3),
+         |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
+         |  WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM halo a JOIN halo b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(list_dot_product(a.v, b.v) / (a.nrm * b.nrm))),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin,
+    // X189: fresh-build parity under the NEW centroid space (% 30)
+    // over the surviving points — the refresh epoch must be
+    // indistinguishable from building the graph from scratch.
+    "q_x189_knn_graph_refresh" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 30 = 0),
+         |rnk AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.centroid_id) AS rn
+         |  FROM nn n, cent c WHERE n.vec_id % 7 <> 3),
          |halo AS (SELECT vec_id, v, nrm, centroid_id FROM rnk
          |  WHERE rn <= 2),
          |pairs AS (

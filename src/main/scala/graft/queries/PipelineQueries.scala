@@ -63,7 +63,8 @@ object PipelineQueries {
     // S1+S4: CSV sink then source roundtrip preserves the data.
     "q_s1_csv_roundtrip" -> { (s, dir) =>
       val ctx = new TransformationContext
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+        s.sparkContext.applicationId
       ctx.update("out_path", path)
       ctx.update("in_path", path)
       val orig = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -81,7 +82,8 @@ object PipelineQueries {
     // survives JSON escaping.
     "q_s2_jsonl_roundtrip" -> { (s, dir) =>
       val ctx = new TransformationContext
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_" +
+        s.sparkContext.applicationId
       ctx.update("out_path", path)
       ctx.update("in_path", path)
       val orig = t(s, dir, "documents")
@@ -101,7 +103,8 @@ object PipelineQueries {
     // by returnflag to exercise the partition_by path.
     "q_s3_orc_roundtrip" -> { (s, dir) =>
       val ctx = new TransformationContext
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+        s.sparkContext.applicationId
       ctx.update("out_path", path)
       ctx.update("in_path", path)
       ctx.update("partition_by", Seq("l_returnflag"))

@@ -515,7 +515,8 @@ object TextQueries {
         .withColumn("copy_key",
           concat_ws("#", col("doc_id"), col("copy_idx")))
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_plan_export"
+        s"${System.getProperty("java.io.tmpdir")}/graft_plan_export_" +
+        s.sparkContext.applicationId
       graft.curate.Curation.shardedExport(copies, "copy_key", "text",
         nShards = 8, path)
         .orderBy(col("shard"))
@@ -758,7 +759,8 @@ object TextQueries {
     // partitioned write, manifest computed from the read-back files.
     "q_x56_sharded_export" -> { (s, dir) =>
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_shard_export"
+        s"${System.getProperty("java.io.tmpdir")}/graft_shard_export_" +
+        s.sparkContext.applicationId
       graft.curate.Curation.shardedExport(t(s, dir, "documents"),
         "doc_id", "text", nShards = 8, path)
         .orderBy(col("shard"))

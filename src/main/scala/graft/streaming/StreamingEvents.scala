@@ -2316,9 +2316,20 @@ object StreamingEvents {
   def knnGraphView(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
     val edges = spark.read.parquet(s"$storeDir/edges")
-    val latest = edges.groupBy(col("vec_id"))
+    // tombstoned sources ([[graft.ann.Similarity.knnGraphDelete]])
+    // vanish; deleted NEIGHBORS need no handling here — any source
+    // holding a stale edge to a deleted point shared a probed cell
+    // with it, so the delete recomputed that source's rows
+    val live = graft.ann.Similarity.knnTombstones(spark, storeDir)
+      .fold(edges)(t => edges.join(t.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti"))
+    val latest = live.groupBy(col("vec_id"))
       .agg(max(col("batch_id")).as("batch_id"))
-    edges.join(latest, Seq("vec_id", "batch_id"))
+    live.join(latest, Seq("vec_id", "batch_id"))
+      // rk = 0 rows are the delete's EMPTY-recompute sentinels: they
+      // win the latest-batch selection (masking the stale pre-delete
+      // rows) and are then dropped here
+      .filter(col("rk") >= 1)
       .select(col("vec_id"), col("rk"), col("neighbor_id"),
         col("cosine"))
       .orderBy(col("vec_id"), col("rk"))
@@ -2380,6 +2391,19 @@ object StreamingEvents {
       storeDir: String, minCosine: Double = 0.0): DataFrame =
     graft.ann.Similarity.mutualClustersFromEdges(
       knnGraphView(spark, storeDir), minCosine)
+
+  /** X186 as the TENTH live monitor: the clustering-coefficient report
+    * (transitivity + average local clustering, the exact wedge/triangle
+    * census) over the maintained [[knnGraphSink]] store's edge list —
+    * [[graft.graph.Communities.clusteringReport]] verbatim over
+    * [[knnGraphView]], which is itself spec-proven bit-equal to a full
+    * rebuild, so the live readout equals the batch X186 of everything
+    * ingested. The graph tier's dashboard twin beside the drift
+    * families. */
+  def clusteringReportView(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    graft.graph.Communities.clusteringReport(
+      knnGraphView(spark, storeDir), "vec_id", "neighbor_id")
 
   /** Streaming NULL-RATE cell store (D33 streaming): each micro-batch
     * persists its per-declared-column (column, n rows, nulls) counters
@@ -2701,15 +2725,6 @@ object StreamingEvents {
       col(valueCol).as("__v0"))
     val cells = graft.ml.RankTests.friedmanGuardedCells(guarded,
       col("__b0"), col("__t0"), col("__v0"))
-    // cross-batch redelivery ledger: a block re-ingested WHOLE in a
-    // LATER micro-batch (at-least-once upstream) passes every
-    // within-batch guard yet double-counts __n/__R2/__sr2 on merge —
-    // so each batch also records its distinct block ids (one short row
-    // per block, k× smaller than the raw batch) and the view fails
-    // loud on any cross-batch overlap
-    cells.select(col("__b").cast("string").as("__b")).distinct()
-      .write.mode("overwrite")
-      .parquet(s"${cellsDir}__blocks/batch_id=$batchId")
     // block-grain completeness INSIDE the batch: within-block ranks
     // need every declared treatment of a block in this micro-batch
     val k = treatments.size
@@ -2728,6 +2743,21 @@ object StreamingEvents {
         sum((col("__r2") * col("__r2")).cast("decimal(38,0)"))
           .as("__sr2"))
       .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    // cross-batch redelivery ledger: a block re-ingested WHOLE in a
+    // LATER micro-batch (at-least-once upstream) passes every
+    // within-batch guard yet double-counts __n/__R2/__sr2 on merge —
+    // so each batch also records its distinct block ids (one short row
+    // per block, k× smaller than the raw batch) and the view fails
+    // loud on any cross-batch overlap. Written AFTER the cells commit:
+    // the within-batch guards fire during the cells write, so a
+    // ledger-first order would leave a guard-failed batch's block ids
+    // in the ledger with no matching cells — and a later WHOLE
+    // redelivery of those blocks under a fresh batch_id (checkpoint
+    // reset) would trip the view's overlap guard forever even though
+    // the cells merged exactly once
+    cells.select(col("__b").cast("string").as("__b")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${cellsDir}__blocks/batch_id=$batchId")
     ()
   }
 
@@ -2744,7 +2774,16 @@ object StreamingEvents {
     // id — a block appearing under MORE than one batch_id means the
     // same block merged twice into the treatment cells, which the
     // within-batch guards cannot see. Bounded collect: limit(1).
+    // Only ledger batches whose CELLS actually committed count: the
+    // sink writes the ledger after the cells, but a store written by
+    // an older ledger-first sink (or any out-of-band writer) could
+    // hold ledger rows for a guard-failed batch with no cells — those
+    // blocks never merged, so they must not poison a later whole
+    // redelivery (semi-join against the committed cell batch ids).
+    val committed = spark.read.parquet(cellsDir)
+      .select(col("batch_id")).distinct()
     val dup = spark.read.parquet(s"${cellsDir}__blocks")
+      .join(committed, Seq("batch_id"), "left_semi")
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).limit(1).collect()
     require(dup.isEmpty,

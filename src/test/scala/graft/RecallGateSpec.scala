@@ -213,6 +213,179 @@ class RecallGateSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  private def edgesOf(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+
+  private def buildStore(slices: Int): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    val store = s"$tmp/knn_store"
+    for (m <- 0 until slices)
+      Similarity.knnGraphIncrement(
+        corpus.filter(col("vec_id") % slices === m), "vec_id",
+        "embedding", centroids, Dim, K, store, batchId = m.toLong,
+        probes = 2)
+    store
+  }
+
+  it should "tombstone-delete from the maintained store, bit-equal to a rebuild over the survivors" in {
+    // X188: the store must shrink too — after a delete batch the view
+    // equals a full knnGraph rebuild over corpus-minus-deleted,
+    // including every stale edge TO a deleted neighbor being
+    // recomputed away (the touched-cell frontier covers them)
+    val store = buildStore(2)
+    val deleted = corpus.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    Similarity.knnGraphDelete(deleted, "vec_id", store, batchId = 2L,
+      k = K)
+    val survivors = corpus.filter(col("vec_id") % 7 =!= 3)
+    val want = edgesOf(Similarity.knnGraph(survivors, "vec_id",
+      "embedding", centroids, Dim, K, probes = 2))
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe want
+    // no deleted id survives anywhere in the view (source OR neighbor)
+    val view = graft.streaming.StreamingEvents.knnGraphView(spark, store)
+    view.filter(col("vec_id") % 7 === 3 ||
+      col("neighbor_id") % 7 === 3).count() shouldBe 0L
+    // replay idempotence: the same delete batch re-applied changes
+    // nothing (reads only earlier state, overwrites its own dirs)
+    Similarity.knnGraphDelete(deleted, "vec_id", store, batchId = 2L,
+      k = K)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe want
+    // deleting an id the store never saw is a harmless tombstone
+    Similarity.knnGraphDelete(Seq(9999L).toDF("vec_id"), "vec_id",
+      store, batchId = 3L, k = K)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe want
+    // increments AFTER a delete see only the surviving corpus…
+    val late = corpus.filter(col("vec_id") % 7 === 3)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    Similarity.knnGraphIncrement(late, "vec_id", "embedding",
+      centroids, Dim, K, store, batchId = 4L, probes = 2)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(
+      survivors.unionByName(late), "vec_id", "embedding", centroids,
+      Dim, K, probes = 2))
+    // …and re-ingesting a TOMBSTONED id fails loud (resurrection would
+    // be silently anti-joined away by the view)
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncrement(corpus.filter(col("vec_id") === 3),
+        "vec_id", "embedding", centroids, Dim, K, store, batchId = 5L,
+        probes = 2)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "write an empty-recompute sentinel so a lonely survivor drops its stale edges" in {
+    // a survivor whose every co-bucketed neighbor died must end with NO
+    // edges — "latest batch per source" alone would resurrect the stale
+    // pre-delete rows; the rk = 0 sentinel masks them
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knns").toString
+    val store = s"$tmp/knn_store"
+    val three = corpus.filter(col("vec_id") < 3) // one planted cluster
+    Similarity.knnGraphIncrement(three, "vec_id", "embedding",
+      centroids, Dim, K, store, batchId = 0L, probes = 2)
+    graft.streaming.StreamingEvents.knnGraphView(spark, store)
+      .filter(col("vec_id") === 0L).count() should be >= 1L
+    Similarity.knnGraphDelete(Seq(1L, 2L).toDF("vec_id"), "vec_id",
+      store, batchId = 1L, k = K)
+    // survivor 0 has no candidates left: view is empty, like a fresh
+    // knnGraph over a single point
+    graft.streaming.StreamingEvents.knnGraphView(spark, store)
+      .count() shouldBe 0L
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "compact the maintained store view-identically, bounding directories and clearing tombstones" in {
+    // the r15 verdict's top item: the store grows one directory per
+    // batch forever and the view lists them all — compaction collapses
+    // both sides to ONE rebased directory with the view bit-unchanged,
+    // applies + clears the tombstone ledger, and the maintenance loop
+    // (including re-ingesting a previously deleted id) continues
+    val store = buildStore(3)
+    Similarity.knnGraphDelete(corpus.filter(col("vec_id") % 11 === 5)
+      .select(col("vec_id")), "vec_id", store, batchId = 3L, k = K)
+    val before = edgesOf(
+      graft.streaming.StreamingEvents.knnGraphView(spark, store))
+    val cid = Similarity.compactKnnStore(spark, store)
+    cid shouldBe -1L // counts DOWN from the min stream id (0)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe before
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirNames(side: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$side"))
+        .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    dirNames("index") shouldBe Seq("batch_id=-1")
+    dirNames("edges") shouldBe Seq("batch_id=-1")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$store/tombstones")) shouldBe false
+    // idempotent: compacting a compact store is a no-op
+    Similarity.compactKnnStore(spark, store) shouldBe -1L
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe before
+    // the loop continues: a post-compaction increment may RE-INGEST the
+    // previously deleted ids (the ledger was applied and cleared) — the
+    // view then equals a full rebuild over the whole corpus
+    Similarity.knnGraphIncrement(corpus.filter(col("vec_id") % 11 === 5),
+      "vec_id", "embedding", centroids, Dim, K, store, batchId = 10L,
+      probes = 2)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(corpus, "vec_id",
+      "embedding", centroids, Dim, K, probes = 2))
+    graft.util.Caches.releaseAll(spark)
+  }
+
+  it should "refresh the centroid epoch from a measured drift signal, recall-gated, equal to a fresh build" in {
+    val store = buildStore(2)
+    Similarity.knnGraphDelete(corpus.filter(col("vec_id") % 13 === 2)
+      .select(col("vec_id")), "vec_id", store, batchId = 2L, k = K)
+    val survivors = corpus.filter(col("vec_id") % 13 =!= 2)
+    // no drift vs the store's own corpus -> no refresh runs
+    val newCents = corpus.filter(col("vec_id") % 10 === 0)
+    Similarity.knnGraphRefreshIfDrifted(spark, store,
+      survivors.select(col("embedding")), "embedding", newCents,
+      "vec_id", "embedding", Dim, K, sigmaThreshold = 0.5,
+      probes = 2) shouldBe false
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(survivors, "vec_id",
+      "embedding", centroids, Dim, K, probes = 2))
+    // a shifted reference trips the X139 signal -> full epoch: new
+    // centroid space, rebased single directories, ledger cleared,
+    // view equal to a FRESH build with the new centroids, recall
+    // re-measured against exact brute force and above the floor
+    val shifted = survivors.select(transform(col("embedding"),
+      x => x + lit(5.0)).as("embedding"))
+    Similarity.knnGraphRefreshIfDrifted(spark, store, shifted,
+      "embedding", newCents, "vec_id", "embedding", Dim, K,
+      sigmaThreshold = 0.5, probes = 2, recallFloor = 0.85,
+      recallSample = 20) shouldBe true
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(survivors, "vec_id",
+      "embedding", newCents, Dim, K, probes = 2))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/edges"))
+      .count(_.isDirectory) shouldBe 1
+    fs.exists(new org.apache.hadoop.fs.Path(s"$store/tombstones")) shouldBe false
+    // the epoch keeps maintaining: an increment lands in the NEW space
+    val late = corpus.filter(col("vec_id") % 13 === 2)
+      .withColumn("vec_id", col("vec_id") + 2000L)
+    Similarity.knnGraphIncrement(late, "vec_id", "embedding", newCents,
+      Dim, K, store, batchId = 20L, probes = 2)
+    edgesOf(graft.streaming.StreamingEvents.knnGraphView(spark,
+      store)) shouldBe edgesOf(Similarity.knnGraph(
+      survivors.unionByName(late), "vec_id", "embedding", newCents,
+      Dim, K, probes = 2))
+    // an unreachable floor fails the epoch loud instead of shipping a
+    // quietly-worse graph
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphRefresh(spark, store, newCents, "vec_id",
+        "embedding", Dim, K, probes = 2, recallFloor = 1.01,
+        recallSample = 10)
+    }
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "keep mutual-kNN clusters pure on planted clusters and cut one-way hub edges" in {
     // X183: on the well-separated corpus every mutual top-3 edge stays
     // inside its planted cluster, so each output community is a SUBSET
