@@ -569,12 +569,20 @@ object EventFeatures {
     * bounded by entities × types, no windows over event volume.
     * Output: (key, n_events, n_types, entropy, norm_entropy). */
   def eventTypeEntropy(events: DataFrame,
-      c: EventCols = EventCols()): DataFrame = {
-    val D = "decimal(38,0)"
-    val counts = events
+      c: EventCols = EventCols()): DataFrame =
+    eventTypeEntropyFromCells(events
       .filter(col(c.eventType).isNotNull)
       .groupBy(col(c.entity), col(c.eventType))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")), c)
+
+  /** The W22 finish over (entity, type, `__c`) COUNT CELLS — split out
+    * so the streaming twin ([[graft.streaming.StreamingEvents
+    * .eventTypeEntropyView]]) reuses it verbatim: per-(entity, type)
+    * counts are exact mergeable integers, so cells summed across
+    * micro-batches feed the identical entropy finish. */
+  private[graft] def eventTypeEntropyFromCells(counts: DataFrame,
+      c: EventCols = EventCols()): DataFrame = {
+    val D = "decimal(38,0)"
     val wk = Window.partitionBy(col(c.entity))
     val p = col("__c").cast("double") / col("__n").cast("double")
     val term = -(p * log(p))

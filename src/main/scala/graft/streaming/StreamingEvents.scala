@@ -2405,6 +2405,49 @@ object StreamingEvents {
     graft.graph.Communities.clusteringReport(
       knnGraphView(spark, storeDir), "vec_id", "neighbor_id")
 
+  /** Streaming EVENT-TYPE ENTROPY cell store (W22 streaming): each
+    * micro-batch persists its per-(entity, type) event counts under
+    * `batch_id=N` — rows bounded by entities × types, never event
+    * volume; counts are exact mergeable integers, so the published
+    * [[eventTypeEntropyView]] — cell-summed counts through
+    * [[graft.events.EventFeatures.eventTypeEntropyFromCells]]
+    * verbatim — equals the batch W22 over everything ingested
+    * (spec-proven). This keeps the survey's invariant: every batch
+    * operator with mergeable sufficient statistics gets a twin. NULL
+    * event types drop exactly like the batch operator. Replays
+    * overwrite their own batch directory: idempotent. */
+  def eventTypeCellSink(events: DataFrame, cellsDir: String,
+      checkpointDir: String, c: EventCols = EventCols())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) eventTypeCellBatch(batch.toDF(), batchId,
+          cellsDir, c)
+      }
+      .start()
+
+  /** One micro-batch of [[eventTypeCellSink]] — package-private so the
+    * parity spec can drive the identical code path directly. */
+  private[graft] def eventTypeCellBatch(batch: DataFrame, batchId: Long,
+      cellsDir: String, c: EventCols = EventCols()): Unit = {
+    batch.filter(col(c.eventType).isNotNull)
+      .groupBy(col(c.entity), col(c.eventType))
+      .agg(count(lit(1)).as("__c"))
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The published view over an [[eventTypeCellSink]] store: merged
+    * (entity, type) counts through the batch W22 entropy finish
+    * verbatim — the live behavioral-diversity readout. */
+  def eventTypeEntropyView(spark: org.apache.spark.sql.SparkSession,
+      cellsDir: String, c: EventCols = EventCols()): DataFrame =
+    graft.events.EventFeatures.eventTypeEntropyFromCells(
+      spark.read.parquet(cellsDir)
+        .groupBy(col(c.entity), col(c.eventType))
+        .agg(sum(col("__c")).as("__c")), c)
+
   /** Streaming NULL-RATE cell store (D33 streaming): each micro-batch
     * persists its per-declared-column (column, n rows, nulls) counters
     * under `batch_id=N` — k rows per batch, never row volume; counts

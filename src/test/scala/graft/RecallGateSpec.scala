@@ -204,6 +204,14 @@ class RecallGateSpec extends SparkSpec {
       minCosine = 0.5)) shouldBe
       comm(Similarity.mutualKnnClusters(corpus, "vec_id", "embedding",
         centroids, Dim, k = K, probes = 2, minCosine = 0.5))
+    // X186 as the tenth monitor: the clustering report served from the
+    // maintained store equals the batch report of the union corpus
+    graft.streaming.StreamingEvents.clusteringReportView(spark, store)
+      .collect().toSeq shouldBe
+      graft.graph.Communities.clusteringReport(
+        Similarity.knnGraph(corpus, "vec_id", "embedding", centroids,
+          Dim, K, probes = 2), "vec_id", "neighbor_id")
+        .collect().toSeq
     // the eager probe-inclusive census guards the recompute slice too
     intercept[IllegalArgumentException] {
       Similarity.knnGraphIncrement(slice(2), "vec_id", "embedding",

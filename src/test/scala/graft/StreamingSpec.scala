@@ -1948,6 +1948,48 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "merge streamed event-type cells into the batch W22 entropy of the union" in {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sw22").toString
+    // per-batch type mixes that differ (entity 1 diversifies in batch
+    // 2; entity 3 stays single-purpose; NULL types must drop)
+    def batchRows(seed: Int): Seq[(Long, String)] =
+      (1 to 40).map { i =>
+        val u = (i % 3 + 1).toLong
+        val t = if (u == 3) "only"
+          else s"t${(i * seed) % (2 + seed)}"
+        (u, if (i % 13 == 0 && seed == 1) null else t)
+      }
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingEvents.eventTypeCellSink(
+      in.toDF().toDF("user_id", "event_type"), s"$tmp/cells",
+      s"$tmp/ckpt")
+    try {
+      in.addData(batchRows(1): _*); q.processAllAvailable()
+      in.addData(batchRows(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id")).collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val union = (1 to 2).flatMap(batchRows)
+      .toDF("user_id", "event_type")
+    val batch = rows(graft.events.EventFeatures.eventTypeEntropy(union))
+    batch.nonEmpty shouldBe true
+    // the single-purpose entity pins the H = 0 / NULL-norm edge
+    batch.find(_._1 == 3L).get._4 shouldBe Some(0.0)
+    batch.find(_._1 == 3L).get._5 shouldBe None
+    rows(StreamingEvents.eventTypeEntropyView(spark,
+      s"$tmp/cells")) shouldBe batch
+    // replay safety: re-writing a batch's cells changes nothing
+    StreamingEvents.eventTypeCellBatch(
+      batchRows(2).toDF("user_id", "event_type"), 1L, s"$tmp/cells")
+    rows(StreamingEvents.eventTypeEntropyView(spark,
+      s"$tmp/cells")) shouldBe batch
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "merge streamed null-rate cells into the batch D33 drift test of the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_snr").toString
