@@ -278,6 +278,46 @@ object TextQueries {
         .orderBy(col("doc_id"), col("band"))
     },
 
+    // X190: tombstone DELETES in the persisted dedup index — the index
+    // is built over the corpus in two appended batches (the X76/X22
+    // maintenance cycle), a takedown tombstones the % 5 == 1 docs, and
+    // the X20 batch is verdicted against the canonical tombstone-aware
+    // read. The % 20 == 1 clones' originals are among the deleted, so
+    // their pre-delete 'exact' verdicts must flip — exactly what the
+    // oracle computes from corpus-minus-deleted.
+    "q_x190_dedup_index_delete" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_dedup_index_x190_${s.sparkContext.applicationId}"
+      val hc = s.sessionState.newHadoopConf()
+      for (p <- Seq(idx, s"${idx}__tombstones")) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hc)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .write.parquet(s"$idx/batch_id=0")
+      Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .write.parquet(s"$idx/batch_id=1")
+      Dedup.deleteFromDedupIndex(s, idx,
+        corpus.filter(col("doc_id") % 5 === 1).select(col("doc_id")),
+        "doc_id", batchId = 2L)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 2)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      Dedup.incrementalDedupIndexed(Dedup.readDedupIndex(s, idx),
+          batch, "doc_id", "text", 3, 16, 4, 8)
+        .orderBy(col("doc_id"))
+    },
+
     // X3: 32-bit SimHash per document.
     "q_x3_simhash" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -4039,6 +4079,53 @@ object TextQueries {
          |  UNION ALL
          |  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
          |  FROM corpus WHERE doc_id % 20 = 2),
+         |ex AS (
+         |  SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
+         |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+         |  GROUP BY 1),
+         |${minhashSigCte("corpus", "_c")},
+         |${minhashSigCte("batch", "_b")},
+         |candx AS (
+         |  SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS cid
+         |  FROM bands_c cb JOIN bands_b bb ON cb.b = bb.b AND cb.bh = bb.bh),
+         |nmx AS (
+         |  SELECT candx.doc_id, candx.cid,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM candx
+         |  JOIN mh_b x ON x.doc_id = candx.doc_id
+         |  JOIN mh_c y ON y.doc_id = candx.cid AND y.k = x.k
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT doc_id, min(cid) AS near_dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_near_dups
+         |  FROM nmx WHERE n_match >= 8 GROUP BY 1)
+         |SELECT b.doc_id, ex.exact_dup_of, near.near_dup_of,
+         |  coalesce(near.n_near_dups, 0) AS n_near_dups,
+         |  CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact'
+         |       WHEN near.near_dup_of IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict
+         |FROM batch b
+         |LEFT JOIN ex ON b.doc_id = ex.doc_id
+         |LEFT JOIN near ON b.doc_id = near.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    // X190: the q_x20 verdict computation over corpus-MINUS-DELETED —
+    // the batch still carries the % 20 == 1 clones whose originals were
+    // taken down, so the oracle independently recomputes the flipped
+    // verdicts the tombstone-aware index read must produce.
+    "q_x190_dedup_index_delete" ->
+      s"""WITH corpus0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM corpus0 WHERE doc_id % 5 <> 1),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text
+         |  FROM corpus0 WHERE doc_id % 20 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+         |  FROM corpus0 WHERE doc_id % 20 = 2),
          |ex AS (
          |  SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
          |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)

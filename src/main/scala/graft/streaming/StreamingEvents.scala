@@ -149,9 +149,24 @@ object StreamingEvents {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-ingesting a tombstoned id ([[graft.text.Dedup
+    // .deleteFromDedupIndex]]) would index rows the canonical read
+    // anti-joins away — silent wrongness; fail loud until
+    // compactDedupIndex applies + clears the ledger (the X188
+    // resurrection contract). Bounded: limit(1).
+    graft.text.Dedup.dedupTombstones(spark, indexDir).foreach { t =>
+      val re = batch.select(col(idCol).cast("long").as("doc_id"))
+        .distinct()
+        .join(t.select(col("doc_id")).distinct(), Seq("doc_id"))
+        .limit(1).collect()
+      require(re.isEmpty,
+        s"incrementalDedupSink: doc ${re.head.getLong(0)} was " +
+          "tombstoned by deleteFromDedupIndex — run compactDedupIndex " +
+          "before re-ingesting a deleted id")
+    }
     val index =
       if (fs.exists(path))
-        spark.read.parquet(indexDir)
+        graft.text.Dedup.readDedupIndex(spark, indexDir)
           // a failed attempt of THIS batch may have appended its rows
           // already; they must not verdict the replay
           .join(broadcast(batch.select(col(idCol).as("doc_id"))),

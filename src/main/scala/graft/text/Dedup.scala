@@ -669,19 +669,82 @@ object Dedup {
     // a single partition still needs consolidation when IT carries more
     // files than the target (e.g. a seed written by a wide-parallelism
     // job) — the small-file listing cost this function exists to bound
-    // does not care how the files are grouped
-    if (batchDirs.length == 1 &&
+    // does not care how the files are grouped; a pending tombstone
+    // ledger ([[deleteFromDedupIndex]]) always needs applying
+    val tombDir = new org.apache.hadoop.fs.Path(s"${indexDir}__tombstones")
+    val tombs = dedupTombstones(spark, indexDir)
+    if (batchDirs.length == 1 && tombs.isEmpty &&
         fs.listStatus(batchDirs.head)
           .count(_.getPath.getName.startsWith("part-")) <= targetFiles)
       return ids.head // already compact
     val compactTo = ids.min - 1
-    spark.read.parquet(indexDir)
+    val all = spark.read.parquet(indexDir)
       .drop("batch_id") // re-materialized by the target directory name
+    // apply the tombstone ledger, then clear it below: the compacted
+    // index no longer contains the deleted docs, so every crash window
+    // stays correct (the doc_id anti-join is idempotent against an
+    // index that lacks those docs) and a cleared ledger re-opens the
+    // ids for legitimate re-ingestion
+    val alive = tombs.fold(all)(t => all.join(
+      t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
+    alive
       .distinct()       // absorb crash-window leftovers (see scaladoc)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$compactTo")
     batchDirs.foreach(d => fs.delete(d, true))
+    if (fs.exists(tombDir)) fs.delete(tombDir, true)
     compactTo
+  }
+
+  /** The tombstone ledger of a delete-maintained dedup index — `None`
+    * until the first [[deleteFromDedupIndex]]. Lives in the SIBLING
+    * directory `<indexDir>__tombstones` (the friedman-ledger layout
+    * precedent): a subdirectory inside `indexDir` would break the
+    * index's own `batch_id=*` partition discovery. */
+  private[graft] def dedupTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"${indexDir}__tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** X190: TOMBSTONE DELETES in the persisted dedup index — the X188
+    * lifecycle leg for the text store: a taken-down document must stop
+    * verdicting future batches as duplicates of it, and an append-only
+    * index would keep matching it forever. Unlike the k-NN store no
+    * recompute is needed (a doc's signature rows are independent), so
+    * a delete is ONE ledger write: the dying ids land under
+    * `<indexDir>__tombstones/batch_id=N` and [[readDedupIndex]]
+    * anti-joins them. Same resurrection contract as the k-NN store:
+    * re-ingesting a tombstoned id fails loud in the sink
+    * ([[graft.streaming.StreamingEvents.incrementalDedupSink]]) until
+    * [[compactDedupIndex]] applies + clears the ledger. Replays
+    * overwrite their own batch directory: idempotent. Deleting an
+    * unknown id is a harmless tombstone. */
+  def deleteFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, deleted: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"deleteFromDedupIndex: no index at $indexDir")
+    deleted.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${indexDir}__tombstones/batch_id=$batchId")
+    ()
+  }
+
+  /** The canonical read of a delete-maintained dedup index: the
+    * `batch_id=*` rows minus tombstoned docs. All query paths
+    * (the streaming sink's verdict read, [[incrementalDedupIndexed]]
+    * callers, the store gate) go through this so a delete is visible
+    * everywhere at once. */
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    dedupTombstones(spark, indexDir).fold(idx)(t =>
+      idx.join(t.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
   }
 
   /** X20 (index form): incremental cross-corpus dedup answered from a

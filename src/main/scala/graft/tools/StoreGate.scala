@@ -124,7 +124,7 @@ object StoreGate {
         // the published read path: verdict a fixed probe batch against
         // the read-back index (the sink's own query shape)
         (dir: String) => graft.text.Dedup.incrementalDedupIndexed(
-          spark.read.parquet(s"$dir/index"),
+          graft.text.Dedup.readDedupIndex(spark, s"$dir/index"),
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           3, 16, 4, 8),
         Some((dir: String) => {

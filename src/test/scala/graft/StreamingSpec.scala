@@ -1948,6 +1948,66 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "tombstone-delete docs from the dedup index, verdict-identical to an index without them" in {
+    // X190: a takedown must stop verdicting future batches as dups of
+    // the removed docs — tombstones anti-joined by the canonical read,
+    // applied + cleared by compaction, resurrection fails loud until
+    import graft.text.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sddel").toString
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val dying = corpus.filter(col("doc_id") % 5 === 1)
+    val idx = s"$tmp/index"
+    Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text").write.parquet(s"$idx/batch_id=0")
+    Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text").write.parquet(s"$idx/batch_id=1")
+    // the probe batch clones exactly the docs we are about to delete
+    val probe = dying.select((col("doc_id") + 200000).as("doc_id"),
+      col("text"))
+    def verdicts(index: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalDedupIndexed(index, probe, "doc_id", "text",
+        3, 16, 4, 8).collect()
+        .map(r => (r.getLong(0), r.getString(4))).sorted.toSeq
+    // before the takedown every clone is an exact dup of its original
+    val before = verdicts(Dedup.readDedupIndex(spark, idx))
+    before.nonEmpty shouldBe true
+    all(before.map(_._2)) shouldBe "exact"
+    Dedup.deleteFromDedupIndex(spark, idx,
+      dying.select(col("doc_id")), "doc_id", batchId = 2L)
+    // the tombstone-aware read equals a fresh index built WITHOUT them
+    val want = verdicts(Dedup.buildDedupIndex(
+      corpus.filter(col("doc_id") % 5 =!= 1), "doc_id", "text"))
+    want should not be before
+    verdicts(Dedup.readDedupIndex(spark, idx)) shouldBe want
+    // replay idempotence: the same delete batch re-applied
+    Dedup.deleteFromDedupIndex(spark, idx,
+      dying.select(col("doc_id")), "doc_id", batchId = 2L)
+    verdicts(Dedup.readDedupIndex(spark, idx)) shouldBe want
+    // the sink fails loud on resurrecting a tombstoned id pre-compaction
+    intercept[IllegalArgumentException] {
+      StreamingEvents.dedupBatch(dying.limit(1), 3L, "doc_id", "text",
+        idx, s"$tmp/verdicts", 3, 16, 4, 8)
+    }
+    // compaction applies + clears the ledger, verdicts unchanged
+    Dedup.compactDedupIndex(spark, idx) shouldBe -1L
+    verdicts(Dedup.readDedupIndex(spark, idx)) shouldBe want
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"${idx}__tombstones")) shouldBe false
+    // the loop continues: a previously deleted doc may return now (the
+    // sink's dedup-on-ingest appends the "new" ones and, correctly,
+    // not those that near-match a surviving doc) — so no clone can
+    // verdict "new" anymore
+    want.count(_._2 == "new") should be > 0 // the takedown orphaned some
+    StreamingEvents.dedupBatch(dying, 4L, "doc_id", "text", idx,
+      s"$tmp/verdicts", 3, 16, 4, 8)
+    verdicts(Dedup.readDedupIndex(spark, idx))
+      .count(_._2 == "new") shouldBe 0
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "merge streamed event-type cells into the batch W22 entropy of the union" in {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_sw22").toString
