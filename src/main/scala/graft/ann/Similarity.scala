@@ -835,16 +835,79 @@ object Similarity {
       s"compactIvfIndex: $indexDir has no batch_id=* partitions — not a " +
         "streamed IVF index (write batches via ivfIndexSink)")
     val ids = batchDirs.map(_.getName.stripPrefix("batch_id=").toLong)
-    if (batchDirs.length == 1) return ids.head // already compact
+    val tombs = ivfTombstones(spark, indexDir)
+    // a pending tombstone ledger always needs applying, even when the
+    // layout is already a single directory
+    if (batchDirs.length == 1 && tombs.isEmpty)
+      return ids.head // already compact
     val compactTo = ids.min - 1
-    spark.read.parquet(indexDir)
+    val all = spark.read.parquet(indexDir)
       .drop("batch_id") // re-materialized by the target directory name
+    // apply + (below) clear the X191 delete ledger — the compacted
+    // index lacks the deleted points, so every crash window stays
+    // correct (the vec_id anti-join is idempotent against it) and a
+    // cleared ledger re-opens the ids for legitimate re-ingestion
+    val alive = tombs.fold(all)(t => all.join(
+      t.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
+    alive
       .distinct()       // absorb crash-window leftovers (see scaladoc)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/batch_id=$compactTo")
     batchDirs.foreach(d => fs.delete(d, true))
+    val tombDir = new org.apache.hadoop.fs.Path(s"${indexDir}__tombstones")
+    if (fs.exists(tombDir)) fs.delete(tombDir, true)
     compactTo
+  }
+
+  /** The tombstone ledger of a delete-maintained IVF index — `None`
+    * until the first [[deleteFromIvfIndex]]. Sibling directory (the
+    * [[graft.text.Dedup.dedupTombstones]] layout: a subdir inside the
+    * index root would break its partition discovery). */
+  private[graft] def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"${indexDir}__tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** X191: TOMBSTONE DELETES in the persisted IVF embedding index —
+    * the X188/X190 lifecycle leg for the retrieval store: a taken-down
+    * embedding must stop surfacing as a neighbor, and the append-only
+    * X76 index would return it forever. No recompute is needed (bucket
+    * rows are independent), so a delete is ONE ledger write;
+    * [[readIvfIndex]] is the canonical tombstone-aware read,
+    * [[compactIvfIndex]] applies + clears the ledger, and the
+    * streaming sink fails loud on resurrecting a tombstoned id
+    * pre-compaction — the shared maintained-store contract:
+    * append / tombstone-delete / compact(applies+clears). Works for
+    * both index layouts (the [[writeIvfIndex]] bucket-partitioned
+    * table and the streamed `batch_id=N` form). Replays overwrite
+    * their own batch directory: idempotent. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, deleted: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"deleteFromIvfIndex: no index at $indexDir")
+    deleted.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${indexDir}__tombstones/batch_id=$batchId")
+    ()
+  }
+
+  /** The canonical read of a delete-maintained IVF index: the stored
+    * rows minus tombstoned points. Feed the result to
+    * [[ivfTopKFromIndex]] — partition pruning on `centroid_id`
+    * survives the anti-join (the tombstone side is a broadcast of
+    * ids, joined after the pruned scan). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    ivfTombstones(spark, indexDir).fold(idx)(t =>
+      idx.join(broadcast(t.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
   }
 
   /** Top-k over a PERSISTED index for a (bounded) query batch: queries

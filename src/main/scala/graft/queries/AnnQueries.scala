@@ -390,6 +390,40 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // X191: tombstone DELETES in the persisted IVF index — the X76
+    // chain (two appended batches) plus a takedown of the % 9 == 2
+    // vectors through the ledger; the canonical tombstone-aware read
+    // must answer exactly like an index that never held them — the
+    // oracle's computation over corpus-minus-deleted.
+    "q_x191_ivf_index_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 40 === 0)
+      val b1 = emb.filter(col("vec_id") % 4 === 1 ||
+        col("vec_id") % 4 === 2)
+      val b2 = emb.filter(col("vec_id") % 4 === 3)
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_ivf_index_x191_${s.sparkContext.applicationId}"
+      val hc = s.sessionState.newHadoopConf()
+      for (p <- Seq(path, s"${path}__tombstones")) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hc)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(b1, "vec_id", "embedding", centroids,
+          Dim), path, mode = "overwrite")
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(b2, "vec_id", "embedding", centroids,
+          Dim), path)
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")),
+        "vec_id", batchId = 0L)
+      Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(s, path),
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        centroids, 3, Dim)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // X79: chunk → document embedding mean-pool — 8-chunk groups
     // (vec_id DIV 8), per-dim means and the norm rounded to 6 on both
     // engines (norm computed FROM the rounded means).
@@ -1483,6 +1517,40 @@ object AnnQueries {
          |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
          |          c.centroid_id) AS rn
          |    FROM nn n, cent c WHERE n.vec_id % 4 <> 0) WHERE rn = 1),
+         |qry AS (
+         |  SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |          c.centroid_id) AS rn
+         |    FROM nn n, cent c WHERE n.vec_id % 4 = 0) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id, a.centroid_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM qry a JOIN corp b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, centroid_id, rk, neighbor_id, round(cos, 6) AS cosine
+         |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    // X191: the q_x76 computation over an index corpus that excludes
+    // the tombstoned % 9 == 2 vectors — what the canonical read must
+    // be indistinguishable from.
+    "q_x191_ivf_index_delete" ->
+      s"""WITH $nnCte,
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nn WHERE vec_id % 40 = 0),
+         |corp AS (
+         |  SELECT vec_id, v, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |          c.centroid_id) AS rn
+         |    FROM nn n, cent c
+         |    WHERE n.vec_id % 4 <> 0 AND n.vec_id % 9 <> 2) WHERE rn = 1),
          |qry AS (
          |  SELECT vec_id, v, nrm, centroid_id FROM (
          |    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,

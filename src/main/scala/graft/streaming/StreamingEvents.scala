@@ -273,6 +273,20 @@ object StreamingEvents {
   private[graft] def ivfIndexBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, centroids: DataFrame, dim: Int,
       indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    // the X191 resurrection contract (see deleteFromIvfIndex): a
+    // tombstoned id must not be re-ingested until compactIvfIndex
+    // applies + clears the ledger. Bounded: limit(1).
+    graft.ann.Similarity.ivfTombstones(spark, indexDir).foreach { t =>
+      val re = batch.select(col(idCol).cast("long").as("vec_id"))
+        .distinct()
+        .join(t.select(col("vec_id")).distinct(), Seq("vec_id"))
+        .limit(1).collect()
+      require(re.isEmpty,
+        s"ivfIndexSink: vec ${re.head.getLong(0)} was tombstoned by " +
+          "deleteFromIvfIndex — run compactIvfIndex before " +
+          "re-ingesting a deleted id")
+    }
     graft.ann.Similarity
       .buildIvfIndex(batch, idCol, vecCol, centroids, dim)
       .repartition(col("centroid_id"))

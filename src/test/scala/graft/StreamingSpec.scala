@@ -196,6 +196,57 @@ class StreamingSpec extends SparkSpec {
     graft.util.Caches.releaseAll(spark)
   }
 
+  it should "tombstone-delete vectors from the IVF index, query-identical to an index without them" in {
+    // X191: the retrieval-store delete leg — a taken-down embedding
+    // must stop surfacing as a neighbor; ledger anti-joined by the
+    // canonical read, applied + cleared by compaction, resurrection
+    // fails loud until then
+    import graft.ann.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfd").toString
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    for (b <- 0L to 3L)
+      StreamingEvents.ivfIndexBatch(
+        emb.filter(col("vec_id") % 4 === (b + 1) % 4).toDF(), b,
+        "vec_id", "embedding", cents, 64, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    val dying = emb.filter(col("vec_id") % 9 === 2)
+    def answer(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFromIndex(index, queries, "vec_id",
+        "embedding", cents, 3, 64).collect().toSet
+    val before = answer(Similarity.readIvfIndex(spark, s"$tmp/idx"))
+    before should not be empty
+    Similarity.deleteFromIvfIndex(spark, s"$tmp/idx",
+      dying.select(col("vec_id")), "vec_id", batchId = 0L)
+    // the tombstone-aware read equals an index that never held them
+    val want = answer(Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 9 =!= 2), "vec_id", "embedding",
+      cents, 64))
+    want should not be before
+    answer(Similarity.readIvfIndex(spark, s"$tmp/idx")) shouldBe want
+    // replay idempotence
+    Similarity.deleteFromIvfIndex(spark, s"$tmp/idx",
+      dying.select(col("vec_id")), "vec_id", batchId = 0L)
+    answer(Similarity.readIvfIndex(spark, s"$tmp/idx")) shouldBe want
+    // resurrection fails loud pre-compaction
+    intercept[IllegalArgumentException] {
+      StreamingEvents.ivfIndexBatch(dying.limit(1).toDF(), 9L,
+        "vec_id", "embedding", cents, 64, s"$tmp/idx")
+    }
+    // compaction applies + clears the ledger, answers unchanged
+    Similarity.compactIvfIndex(spark, s"$tmp/idx") shouldBe -1L
+    answer(Similarity.readIvfIndex(spark, s"$tmp/idx")) shouldBe want
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/idx__tombstones")) shouldBe false
+    // the loop continues: the deleted vectors may return, restoring
+    // the original answers
+    StreamingEvents.ivfIndexBatch(dying.toDF(), 10L, "vec_id",
+      "embedding", cents, 64, s"$tmp/idx")
+    answer(Similarity.readIvfIndex(spark, s"$tmp/idx")) shouldBe before
+    graft.util.Caches.releaseAll(spark)
+  }
+
   it should "dedup lines across batches replay-idempotently in the line sink" in {
     import graft.text.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft_lines").toString
