@@ -1678,6 +1678,7 @@ object Similarity {
     val newA =
       ivfAssignProbes(newPoints, idCol, vecCol, centroids, dim, probes)
         .persist()
+    var allMeta: DataFrame = null
     var slice: DataFrame = null
     try {
     newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
@@ -1701,7 +1702,7 @@ object Similarity {
           "by knnGraphDelete — run compactKnnStore (or knnGraphRefresh) " +
           "before re-ingesting a deleted id")
     }
-    val prior0 = spark.read.parquet(s"$storeDir/index")
+    val prior0 = readKnnIndex(spark, storeDir)
       .filter(col("batch_id") < batchId)
       .drop("batch_id")
     val prior = dead.fold(prior0)(d =>
@@ -1715,46 +1716,53 @@ object Similarity {
       .collect().map(_.getLong(0))
     def shardsOf(cs: Array[Long]): Array[Long] =
       cs.map(c => ((c % shards) + shards) % shards).distinct
-    // affected sources: any point probing a touched cell (metadata-
-    // width scan — shard-pruned, only (vec_id, centroid_id) read)
-    val src = all
+    // discovery runs over ONE persisted metadata-width projection
+    // (vec_id, centroid_id, __shard — no vector bytes): the store is
+    // scanned once for discovery instead of once per derived question
+    allMeta = all.select(col("vec_id"), col("centroid_id"),
+      col("__shard")).persist()
+    // affected sources: any point probing a touched cell
+    val srcIds = allMeta
       .filter(col("__shard").isin(shardsOf(touched): _*) &&
         col("centroid_id").isin(touched: _*))
       .select(col("vec_id")).distinct()
+    // ONE discovery job replaces the old cells-collect + census-guard
+    // pair: per cell, (total points, affected points); `cells` is
+    // every cell an affected source probes, and for exactly those
+    // cells `total` IS the old slice census — so the O(m²) guard fails
+    // loud from the same bounded collect (≤ nlist rows).
+    val stats = allMeta.select(col("vec_id"), col("centroid_id"))
+      .join(srcIds.withColumn("__aff", lit(1)), Seq("vec_id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__total"), count(col("__aff")).as("__naff"))
+      .filter(col("__naff") > 0)
+      .collect()
+    val over = stats.find(_.getLong(1) > maxBucketPoints)
+    require(over.isEmpty,
+      s"knnGraphIncrement: cell ${over.get.get(0)} holds " +
+        s"${over.get.getLong(1)} probe-assigned points > " +
+        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join is " +
+        "O(m²); train more centroids, lower probes, or sample")
     // the recompute slice covers EVERY cell an affected source probes,
     // so each recomputed top-k sees its complete candidate set
-    val cells = all.select(col("vec_id"), col("centroid_id"))
-      .join(src, Seq("vec_id"))
-      .select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
+    val cells = stats.map(_.getLong(0))
     slice = all.filter(col("__shard").isin(shardsOf(cells): _*) &&
         col("centroid_id").isin(cells: _*))
       .drop("__shard")
       .persist()
-    guardCellCensus(slice, maxBucketPoints, "knnGraphIncrement")
+    // src served from the persisted slice (touched ⊆ cells, so the
+    // slice holds every touched-cell row): the edges job reads the
+    // cache instead of re-scanning the store
+    val src = slice.filter(col("centroid_id").isin(touched: _*))
+      .select(col("vec_id")).distinct()
     recomputeKnnEdges(slice, src, k)
       .write.mode("overwrite").parquet(s"$storeDir/edges/batch_id=$batchId")
     } finally {
       newA.unpersist(true)
+      if (allMeta != null) allMeta.unpersist(true)
       if (slice != null) slice.unpersist(true)
     }
     ()
-  }
-
-  /** The [[knnGraphIncrement]] census guard: the per-cell pair join is
-    * O(m²), so an oversize probe-assigned cell fails loud BEFORE the
-    * join (the X179 discipline). Bounded collect: limit(1). */
-  private def guardCellCensus(slice: DataFrame, maxBucketPoints: Long,
-      op: String): Unit = {
-    val oversize = slice.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketPoints)
-      .limit(1).collect()
-    require(oversize.isEmpty,
-      s"$op: cell ${oversize.head.get(0)} holds " +
-        s"${oversize.head.getLong(1)} probe-assigned points > " +
-        s"maxBucketPoints=$maxBucketPoints — the per-cell pair join " +
-        "is O(m²); train more centroids, lower probes, or sample")
   }
 
   /** Exact top-k edge rows for the `src` sources over `slice` — their
@@ -1764,7 +1772,15 @@ object Similarity {
     * through the `distinct`, swap re-emitted), same (cos desc, id)
     * tie order as the one-shot [[knnGraph]]. */
   private def recomputeKnnEdges(slice: DataFrame, src: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    knnRankTopK(knnPairCosines(slice)
+      .join(src.select(col("vec_id").as("__p")), Seq("__p")), k)
+
+  /** The per-cell exact-cosine pair relation over an assignment slice
+    * (centroid_id, vec_id, v, nrm) — half-relation dedup (bit-symmetric
+    * distance, (p<o) through the `distinct`, swap re-emitted), shared
+    * by [[recomputeKnnEdges]] and [[knnEdgesAll]]. */
+  private def knnPairCosines(slice: DataFrame): DataFrame = {
     val a = slice.select(col("centroid_id").as("__bk"),
       col("vec_id").as("__p"), col("v").as("__va"),
       col("nrm").as("__na"))
@@ -1777,16 +1793,26 @@ object Similarity {
       .filter(!isnan(col("__c")))
       .select(col("__p"), col("__o"), col("__c"))
       .distinct()
-    val pairs = half.unionByName(half.select(col("__o").as("__p"),
+    half.unionByName(half.select(col("__o").as("__p"),
       col("__p").as("__o"), col("__c")))
+  }
+
+  /** The (cos desc, id) top-k ranking of a (__p, __o, __c) pair
+    * relation — the [[knnGraph]] output contract. */
+  private def knnRankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .join(src.select(col("vec_id").as("__p")), Seq("__p"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("__p"))
         .orderBy(col("__c").desc, col("__o"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("__p").as("vec_id"), col("rk"),
         col("__o").as("neighbor_id"), round(col("__c"), 6).as("cosine"))
-  }
+
+  /** [[recomputeKnnEdges]] with EVERY source recomputed (no src
+    * restriction) — the [[knnGraphRefresh]] full-rebuild kernel, fed by
+    * an already-computed assignment so the refresh assigns the corpus
+    * exactly once (the index write and the edge rebuild share it). */
+  private def knnEdgesAll(asg: DataFrame, k: Int): DataFrame =
+    knnRankTopK(knnPairCosines(asg), k)
 
   /** The tombstone ledger of a [[knnGraphDelete]]-maintained store —
     * `None` until the first delete. One (vec_id, batch_id) row per
@@ -1797,8 +1823,56 @@ object Similarity {
       storeDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$storeDir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p))
+      Some(spark.read.schema(knnTombstoneSchema).parquet(p.toString))
+    else None
   }
+
+  // Explicit store schemas: the maintained-store layout is module-owned
+  // and fixed, so every read skips the parquet footer-inference job a
+  // bare spark.read.parquet pays per call — the lifecycle composites
+  // re-open these paths several times per maintenance step and the
+  // saved jobs add up (guide §1.2: per-task/per-job overhead after the
+  // algorithm is right). Partition columns (batch_id, __shard) are
+  // declared so directory discovery casts instead of inferring.
+  private val knnIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = false)),
+      StructField("nrm", DoubleType),
+      StructField("probe", IntegerType),
+      StructField("centroid_id", LongType),
+      StructField("__shard", LongType),
+      StructField("batch_id", LongType)))
+  }
+  private val knnEdgesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("rk", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("cosine", DoubleType),
+      StructField("batch_id", LongType)))
+  }
+  private val knnTombstoneSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** Schema-pinned read of a maintained store's assignment index. */
+  private[graft] def readKnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.schema(knnIndexSchema).parquet(s"$storeDir/index")
+
+  /** Schema-pinned read of a maintained store's edge side. */
+  private[graft] def readKnnEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.schema(knnEdgesSchema).parquet(s"$storeDir/edges")
 
   /** X188: TOMBSTONE DELETES in the maintained k-NN store — production
     * corpora shrink (takedowns, dedup purges), and an append-only
@@ -1834,18 +1908,26 @@ object Similarity {
     val shards = 64
     val del = deleted.select(col(idCol).cast("long").as("vec_id"))
       .distinct().persist()
+    var aliveMeta: DataFrame = null
     var slice: DataFrame = null
+    var recomputed: DataFrame = null
     try {
       val dead = knnTombstones(spark, storeDir)
         .map(_.filter(col("batch_id") < batchId).select(col("vec_id")))
-      val idx0 = spark.read.parquet(s"$storeDir/index")
+      val idx0 = readKnnIndex(spark, storeDir)
         .filter(col("batch_id") < batchId)
         .drop("batch_id")
       val alive0 = dead.fold(idx0)(d =>
         idx0.join(d, Seq("vec_id"), "left_anti"))
+      // discovery runs over ONE persisted metadata-width projection
+      // (vec_id, centroid_id — no vector bytes): the store is scanned
+      // once for the touched/cells/census questions instead of once
+      // per question
+      aliveMeta = alive0.select(col("vec_id"), col("centroid_id"))
+        .persist()
       // touched cells: every cell the dying points were assigned to —
       // bounded by the centroid table (≤ nlist ids)
-      val touched = alive0.join(del, Seq("vec_id"))
+      val touched = aliveMeta.join(del, Seq("vec_id"))
         .select(col("centroid_id")).distinct()
         .collect().map(_.getLong(0))
       val alive = alive0.join(del, Seq("vec_id"), "left_anti")
@@ -1854,21 +1936,39 @@ object Similarity {
         cs.map(c => ((c % shards) + shards) % shards).distinct
       if (touched.nonEmpty) {
         // affected sources: surviving points probing a touched cell
-        // (metadata-width scan — shard-pruned, (vec_id, centroid_id))
-        val src = alive
-          .filter(col("__shard").isin(shardsOf(touched): _*) &&
-            col("centroid_id").isin(touched: _*))
+        val srcIds = aliveMeta.join(del, Seq("vec_id"), "left_anti")
+          .filter(col("centroid_id").isin(touched: _*))
           .select(col("vec_id")).distinct()
-        val cells = alive.select(col("vec_id"), col("centroid_id"))
-          .join(src, Seq("vec_id"))
-          .select(col("centroid_id")).distinct()
-          .collect().map(_.getLong(0))
+        // ONE discovery job replaces the old cells-collect +
+        // census-guard pair (see [[knnGraphIncrement]]): per surviving
+        // cell, (total, affected) — `cells` and the O(m²) census come
+        // from the same bounded collect (≤ nlist rows).
+        val stats = aliveMeta.join(del, Seq("vec_id"), "left_anti")
+          .join(srcIds.withColumn("__aff", lit(1)), Seq("vec_id"), "left")
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("__total"),
+            count(col("__aff")).as("__naff"))
+          .filter(col("__naff") > 0)
+          .collect()
+        val over = stats.find(_.getLong(1) > maxBucketPoints)
+        require(over.isEmpty,
+          s"knnGraphDelete: cell ${over.get.get(0)} holds " +
+            s"${over.get.getLong(1)} probe-assigned points > " +
+            s"maxBucketPoints=$maxBucketPoints — the per-cell pair " +
+            "join is O(m²); train more centroids, lower probes, or " +
+            "sample")
+        val cells = stats.map(_.getLong(0))
         slice = alive.filter(col("__shard").isin(shardsOf(cells): _*) &&
             col("centroid_id").isin(cells: _*))
           .drop("__shard")
           .persist()
-        guardCellCensus(slice, maxBucketPoints, "knnGraphDelete")
-        val recomputed = recomputeKnnEdges(slice, src, k)
+        // src served from the persisted slice (touched ⊆ cells), and
+        // the recomputed edges persisted so the sentinel anti-join
+        // below reads a cache instead of re-running the pair join
+        // inside the same write job
+        val src = slice.filter(col("centroid_id").isin(touched: _*))
+          .select(col("vec_id")).distinct()
+        recomputed = recomputeKnnEdges(slice, src, k).persist()
         val sentinels = src
           .join(recomputed.select(col("vec_id")).distinct(),
             Seq("vec_id"), "left_anti")
@@ -1883,7 +1983,9 @@ object Similarity {
         .parquet(s"$storeDir/tombstones/batch_id=$batchId")
     } finally {
       del.unpersist(true)
+      if (aliveMeta != null) aliveMeta.unpersist(true)
       if (slice != null) slice.unpersist(true)
+      if (recomputed != null) recomputed.unpersist(true)
     }
     ()
   }
@@ -1939,7 +2041,7 @@ object Similarity {
     val dead = tombs.map(_.select(col("vec_id")).distinct())
     val idxTo = ids(idxDirs).min - 1
     val aliveIdx = {
-      val i0 = spark.read.parquet(s"$storeDir/index").drop("batch_id")
+      val i0 = readKnnIndex(spark, storeDir).drop("batch_id")
       dead.fold(i0)(d => i0.join(d, Seq("vec_id"), "left_anti"))
     }
     aliveIdx.drop("__shard").distinct()
@@ -1948,11 +2050,14 @@ object Similarity {
       .write.mode("overwrite").partitionBy("__shard")
       .parquet(s"$storeDir/index/batch_id=$idxTo")
     val edgeTo = ids(edgeDirs).min - 1
-    val e0 = spark.read.parquet(s"$storeDir/edges")
+    val e0 = readKnnEdges(spark, storeDir)
     val live = dead.fold(e0)(d => e0.join(d, Seq("vec_id"), "left_anti"))
-    val latest = live.groupBy(col("vec_id"))
-      .agg(max(col("batch_id")).as("batch_id"))
-    live.join(latest, Seq("vec_id", "batch_id"))
+    // latest batch per source via ONE window over ONE scan — the old
+    // groupBy(max) + join-back read the edge store twice and shuffled
+    // twice for the same row set
+    live.withColumn("__mx",
+        max(col("batch_id")).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("batch_id") === col("__mx"))
       .filter(col("rk") >= 1)
       .select(col("vec_id"), col("rk"), col("neighbor_id"),
         col("cosine"))
@@ -2008,18 +2113,34 @@ object Similarity {
     val cents = newCentroids.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val corpus = knnStoreCorpus(spark, storeDir).persist()
+    var asg: DataFrame = null
     try {
       val idxTo = idxDirs.map(_.getName.stripPrefix("batch_id=").toLong)
         .min - 1
       val edgeTo = edgeDirs.map(_.getName.stripPrefix("batch_id=").toLong)
         .min - 1
-      ivfAssignProbes(corpus, "vec_id", "v", cents, dim, probes)
-        .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
+      // the corpus is assigned to the new centroids exactly ONCE: the
+      // index write and the edge rebuild share the persisted
+      // assignment (the old shape ran ivfAssignProbes twice — once for
+      // the index, once inside knnGraph)
+      asg = ivfAssignProbes(corpus, "vec_id", "v", cents, dim, probes)
+        .persist()
+      asg.withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
         .repartition(col("__shard"))
         .write.mode("overwrite").partitionBy("__shard")
         .parquet(s"$storeDir/index/batch_id=$idxTo")
-      knnGraph(corpus, "vec_id", "v", cents, dim, k, probes,
-          maxBucketPoints)
+      // the one-shot knnGraph's O(m²) census guard, over the shared
+      // assignment (one job on the cache); same failure contract
+      val over = asg.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketPoints)
+        .limit(1).collect()
+      require(over.isEmpty,
+        s"knnGraphRefresh: cell ${over.head.get(0)} holds " +
+          s"${over.head.getLong(1)} probe-assigned points > " +
+          s"maxBucketPoints=$maxBucketPoints — the per-cell pair join " +
+          "is O(m²); train more centroids, lower probes, or sample")
+      knnEdgesAll(asg, k)
         .write.mode("overwrite")
         .parquet(s"$storeDir/edges/batch_id=$edgeTo")
       idxDirs.foreach(d => fs.delete(d, true))
@@ -2045,7 +2166,11 @@ object Similarity {
             "more centroids or higher probes")
       }
       edgeTo
-    } finally { corpus.unpersist(true); () }
+    } finally {
+      corpus.unpersist(true)
+      if (asg != null) asg.unpersist(true)
+      ()
+    }
   }
 
   /** The surviving (vec_id, v) corpus of a maintained store, read back
@@ -2054,7 +2179,7 @@ object Similarity {
   private[graft] def knnStoreCorpus(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
-    val idx = spark.read.parquet(s"$storeDir/index")
+    val idx = readKnnIndex(spark, storeDir)
       .select(col("vec_id"), col("v")).dropDuplicates("vec_id")
     knnTombstones(spark, storeDir).fold(idx)(t =>
       idx.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))

@@ -2344,7 +2344,7 @@ object StreamingEvents {
     * .knnGraph]] over the union corpus. */
   def knnGraphView(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
-    val edges = spark.read.parquet(s"$storeDir/edges")
+    val edges = graft.ann.Similarity.readKnnEdges(spark, storeDir)
     // tombstoned sources ([[graft.ann.Similarity.knnGraphDelete]])
     // vanish; deleted NEIGHBORS need no handling here — any source
     // holding a stale edge to a deleted point shared a probed cell
@@ -2352,9 +2352,13 @@ object StreamingEvents {
     val live = graft.ann.Similarity.knnTombstones(spark, storeDir)
       .fold(edges)(t => edges.join(t.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti"))
-    val latest = live.groupBy(col("vec_id"))
-      .agg(max(col("batch_id")).as("batch_id"))
-    live.join(latest, Seq("vec_id", "batch_id"))
+    // latest batch per source via ONE window over ONE scan — the old
+    // groupBy(max) + join-back scanned the edge store twice and
+    // shuffled twice for the same row set
+    import org.apache.spark.sql.expressions.Window
+    live.withColumn("__mx", max(col("batch_id"))
+        .over(Window.partitionBy(col("vec_id"))))
+      .filter(col("batch_id") === col("__mx"))
       // rk = 0 rows are the delete's EMPTY-recompute sentinels: they
       // win the latest-batch selection (masking the stale pre-delete
       // rows) and are then dropped here
