@@ -1605,9 +1605,13 @@ object Similarity {
     * communities by construction. */
   private[graft] def mutualClustersFromEdges(edgeList: DataFrame,
       minCosine: Double): DataFrame = {
-    val edges = edgeList
+    // the edge list materializes ONCE (≤ N·k rows): it feeds BOTH sides
+    // of the reciprocity intersect, and when the caller hands in a whole
+    // pipeline (X183: the knnGraph build; X187: the store view), an
+    // unpersisted plan would execute end-to-end twice in that one job
+    val edges = graft.util.Caches.persistTracked(edgeList
       .filter(col("cosine") >= minCosine)
-      .select(col("vec_id").as("__a"), col("neighbor_id").as("__b"))
+      .select(col("vec_id").as("__a"), col("neighbor_id").as("__b")))
     val mutual = edges
       .intersect(edges.select(col("__b").as("__a"),
         col("__a").as("__b")))

@@ -180,9 +180,14 @@ object Communities {
   def clusteringReport(edges0: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val D = "decimal(38,0)"
-    val per = triangleCounts(edges0, srcCol, dstCol)
-    val e = edges0.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+    // the raw edge list materializes ONCE: it is consumed twice below
+    // (triangle kernel + degree census), and when the caller hands in a
+    // whole pipeline (X186: the knnGraph build; the store view), an
+    // unpersisted plan would execute end-to-end twice in this one job
+    val e = graft.util.Caches.persistTracked(
+      edges0.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b")))
+    val per = triangleCounts(e, "a", "b")
     val und = e.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
