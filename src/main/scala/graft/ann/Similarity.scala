@@ -1715,9 +1715,10 @@ object Similarity {
       .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
       .unionByName(
         newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards))))
-    // touched cells: ≤ nlist ids — bounded by the centroid table
-    val touched = newA.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
+    // touched cells stay a (cached, ≤ nlist row) DataFrame — the old
+    // collected array cost one driver round-trip per increment and was
+    // only a pruning hint on scans that now read the metadata cache
+    val touchedCells = newA.select(col("centroid_id")).distinct()
     def shardsOf(cs: Array[Long]): Array[Long] =
       cs.map(c => ((c % shards) + shards) % shards).distinct
     // discovery runs over ONE persisted metadata-width projection
@@ -1727,8 +1728,7 @@ object Similarity {
       col("__shard")).persist()
     // affected sources: any point probing a touched cell
     val srcIds = allMeta
-      .filter(col("__shard").isin(shardsOf(touched): _*) &&
-        col("centroid_id").isin(touched: _*))
+      .join(touchedCells, Seq("centroid_id"), "left_semi")
       .select(col("vec_id")).distinct()
     // ONE discovery job replaces the old cells-collect + census-guard
     // pair: per cell, (total points, affected points); `cells` is
@@ -1757,7 +1757,7 @@ object Similarity {
     // src served from the persisted slice (touched ⊆ cells, so the
     // slice holds every touched-cell row): the edges job reads the
     // cache instead of re-scanning the store
-    val src = slice.filter(col("centroid_id").isin(touched: _*))
+    val src = slice.join(touchedCells, Seq("centroid_id"), "left_semi")
       .select(col("vec_id")).distinct()
     recomputeKnnEdges(slice, src, k)
       .write.mode("overwrite").parquet(s"$storeDir/edges/batch_id=$batchId")
