@@ -11,11 +11,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // local profiling hook: SPARK_GRAFT_CONF="k=v;k=v" overlays extra
     // session confs for config A/B experiments; unset (the driver's
-    // case) it is a no-op, so the measured contract is unchanged
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    // case) it is a no-op, so the measured contract is unchanged. The
+    // overlay (or its absence) is recorded in the emitted JSON so an
+    // overlaid run can never masquerade as a default-config board.
+    val confOverlay = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    if (confOverlay.nonEmpty) confOverlay.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k.trim, v.trim)
+        case _ => sys.error(s"SPARK_GRAFT_CONF: malformed segment " +
+          s"'$kv' — expected key=value")
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic order (Map hash order varies across builds), with the
@@ -160,11 +166,34 @@ object Bench {
       }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_RUN.json")
+    val overlayJson = "\"" + confOverlay.replace("\\", "")
+      .replace("\"", "") + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":$canary,"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
-    val headline = results.filter { case (n, _) => heavy.contains(n) }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(headline, dec = true)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":$canary,"conf_overlay":$overlayJson,"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(results, dec = false)},"sf":"$sfDir"}""")
+    // FULL per-query map first (the r16 stdout line printed only the
+    // `heavy` subset; emitting every query is additions-only on that
+    // contract — nothing removed or renamed, old entries keep their
+    // meaning), then a COMPACT summary as the FINAL stdout line. The
+    // driver's output capture keeps only the LAST 2000 characters, and
+    // the per-query line outgrew that window rounds ago: every
+    // BENCH_r01..r16.json carries parsed:null, so the driver's
+    // round-over-round per-query comparison has never actually run.
+    // The final line is a complete JSON object comfortably inside the
+    // window: headline totals + the slowest queries (time desc, name
+    // asc — deterministic, and the expensive rows are exactly the ones
+    // whose deltas exceed noise) up to a fixed character budget.
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"conf_overlay":$overlayJson,"counter_examples":$ceJson,"compute_bound":$cbJson,"queries":${fmt(results, dec = true)},"sf":"$sfDir"}""")
+    val prefix = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"canary_sec":${f"$canary%.3f"},"n":${results.size},"conf_overlay":$overlayJson,"queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val budget = 1700 - prefix.length - suffix.length
+    val compact = new StringBuilder
+    results.sortBy { case (n, v) => (-v, n) }.foreach { case (n, v) =>
+      val entry = (if (compact.nonEmpty) "," else "") +
+        "\"" + n + "\":" + f"$v%.3f"
+      if (compact.length + entry.length <= budget) compact.append(entry)
+    }
+    println(prefix + compact + suffix)
     spark.stop()
   }
 }

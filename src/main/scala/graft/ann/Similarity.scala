@@ -841,7 +841,7 @@ object Similarity {
     if (batchDirs.length == 1 && tombs.isEmpty)
       return ids.head // already compact
     val compactTo = ids.min - 1
-    val all = spark.read.parquet(indexDir)
+    val all = spark.read.schema(ivfBatchedSchema).parquet(indexDir)
       .drop("batch_id") // re-materialized by the target directory name
     // apply + (below) clear the X191 delete ledger — the compacted
     // index lacks the deleted points, so every crash window stays
@@ -869,7 +869,61 @@ object Similarity {
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"${indexDir}__tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p))
+      Some(spark.read.schema(ivfTombstoneSchema).parquet(p.toString))
+    else None
+  }
+
+  // Explicit IVF store schemas — the same footer-inference-skipping
+  // discipline as the k-NN store's readKnnIndex/readKnnEdges (guide §6:
+  // the layout is module-owned, so a bare spark.read.parquet pays a
+  // schema-inference job per re-open for information the module already
+  // knows). TWO layouts exist and both are module-written: the
+  // [[writeIvfIndex]] batch table (`centroid_id=C/` at the top level)
+  // and the [[graft.streaming.StreamingEvents.ivfIndexSink]] streamed
+  // form (`batch_id=B/centroid_id=C/`). The first-level directory name
+  // IS the layout tag — one listStatus at open (no manifest file, no
+  // migration of existing stores) picks the pinned schema. Partition
+  // columns are declared LONG, so the int-narrowing of inferred
+  // partition values never reaches consumers.
+  private val ivfDataFields = {
+    import org.apache.spark.sql.types._
+    Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false)))
+  }
+  private val ivfFlatSchema = org.apache.spark.sql.types.StructType(
+    ivfDataFields :+ org.apache.spark.sql.types.StructField(
+      "centroid_id", org.apache.spark.sql.types.LongType))
+  private val ivfBatchedSchema = org.apache.spark.sql.types.StructType(
+    ivfDataFields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "centroid_id", org.apache.spark.sql.types.LongType)))
+  private val ivfTombstoneSchema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField(
+      "vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** Schema-pinned open of an IVF index directory: reads the layout tag
+    * (the first-level partition directory name) and applies the matching
+    * module-owned schema; an unrecognized layout falls back to plain
+    * inference rather than failing a foreign table. */
+  private[graft] def openIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstDir = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).find(n => n.contains("="))
+    firstDir match {
+      case Some(n) if n.startsWith("centroid_id=") =>
+        spark.read.schema(ivfFlatSchema).parquet(indexDir)
+      case Some(n) if n.startsWith("batch_id=") =>
+        spark.read.schema(ivfBatchedSchema).parquet(indexDir)
+      case _ => spark.read.parquet(indexDir)
+    }
   }
 
   /** X191: TOMBSTONE DELETES in the persisted IVF embedding index —
@@ -904,7 +958,7 @@ object Similarity {
     * ids, joined after the pruned scan). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
+    val idx = openIvfIndex(spark, indexDir)
     ivfTombstones(spark, indexDir).fold(idx)(t =>
       idx.join(broadcast(t.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
@@ -1715,7 +1769,10 @@ object Similarity {
       .withColumn("__shard", pmod(col("centroid_id"), lit(shards)))
       .unionByName(
         newA.withColumn("__shard", pmod(col("centroid_id"), lit(shards))))
-    // touched cells stay a (cached, ≤ nlist row) DataFrame — the old
+    // touched cells stay a (≤ nlist row) DataFrame derived from the
+    // cached newA (recomputed per consumer — a distinct over the cache,
+    // not itself persisted; cheap enough that pinning it never paid in
+    // profiles) — the old
     // collected array cost one driver round-trip per increment and was
     // only a pruning hint on scans that now read the metadata cache
     val touchedCells = newA.select(col("centroid_id")).distinct()
@@ -2094,7 +2151,14 @@ object Similarity {
     * (document contract) — the view stays consistent throughout (old
     * edge dirs outrank the rebased one until they are deleted, then
     * the new epoch is visible atomically per source). Run while the
-    * sink is idle. Returns the rebased edges batch id. */
+    * sink is idle. Returns the rebased edges batch id.
+    *
+    * File-layout note: the rebuilt `<store>/edges` rows are written in
+    * shuffle order — NOT the one-shot [[knnGraph]]'s (vec_id, rk) sort
+    * (a pre-write global orderBy is one whole extra exchange + sort for
+    * a property no consumer needs: row order inside the store carries
+    * no meaning, and the published views re-sort). Any future direct
+    * reader of the edge files must not rely on file order. */
   def knnGraphRefresh(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, newCentroids: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, probes: Int = 2,

@@ -686,14 +686,65 @@ object Stats {
       : DataFrame = {
     val vals = df.filter(value.isNotNull)
       .select(group.as("__g"), value.cast("decimal(18,6)").as("__v"))
-    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wk = Window.partitionBy(col("__g"))
-    val med = vals.groupBy(col("__g"), col("__v"))
+    // TWO-PHASE exact lower median. The direct form — one cumulative
+    // window `partitionBy(__g).orderBy(__v)` over the whole distinct-
+    // value grid — puts each group's entire grid on ONE task (k ≈ 3
+    // return-flag groups ⇒ three giant single-task sorts; at any scale
+    // it is one task per group — the single-giant-key skew shape).
+    // Instead: (1) equi-width-bucket the grid on the value axis and
+    // accumulate the tiny (≤ nBuckets rows/group) per-bucket counts to
+    // locate the bucket holding the lower median; (2) resolve the exact
+    // value inside that one bucket only (~1/nBuckets of the grid).
+    // Bucketing is monotone non-decreasing in __v (order-preserving
+    // decimal→double, subtract/scale by per-group constants, floor,
+    // clamp), so the global cumulative count decomposes EXACTLY as
+    // bucket-offset + within-bucket cumulative: the selected value —
+    // smallest v with 2·cum(v) ≥ n — is unchanged bit-for-bit, and the
+    // oracle keeps mirroring the one-window formulation.
+    // One big exchange total: rows repartition by (__g, __b) ONCE, and
+    // that single clustering carries the (__g,__b,__v) count aggregate,
+    // the within-bucket cumulative window AND the per-bucket-total
+    // aggregate (HashPartitioning(g,b) satisfies all three); only the
+    // bucket-level table (≤ k·nBuckets rows) is shuffled again for the
+    // cross-bucket offsets. Earlier drafts that located the median
+    // bucket via a separate grid + per-bucket aggregates measured
+    // SLOWER at sf0.1 (31 AQE stage-jobs vs the old 8): the fix must
+    // not fan one window into a fleet of exchanges.
+    val nBuckets = 4096
+    val stats = vals.groupBy(col("__g"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val spanD = (col("__mx") - col("__mn")).cast("double")
+    val cells = vals.join(broadcast(stats), Seq("__g"))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(
+            floor((col("__v") - col("__mn")).cast("double") / spanD *
+              lit(nBuckets.toDouble)).cast("int"),
+            lit(nBuckets - 1))))
+      .select(col("__g"), col("__b"), col("__v"))
+      .repartition(col("__g"), col("__b"))
+      .groupBy(col("__g"), col("__b"), col("__v"))
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__n", sum(col("__c")).over(wk))
-      .filter(col("__cum") * lit(2) >= col("__n"))
+      .withColumn("__cumIn", sum(col("__c")).over(
+        Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bucket totals → cross-bucket offsets and per-group n: one window
+    // pair over the ≤ nBuckets-row-per-group bucket table (bounded)
+    val wOffB = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = cells.groupBy(col("__g"), col("__b"))
+      .agg(max(col("__cumIn")).as("__bt"))
+      .withColumn("__cumB", sum(col("__bt")).over(wOffB))
+      .withColumn("__n", sum(col("__bt")).over(
+        Window.partitionBy(col("__g"))))
+      .select(col("__g"), col("__b"),
+        (col("__cumB") - col("__bt")).as("__off"), col("__n"))
+    // global cum(v) = smaller-bucket offset + within-bucket cumulative
+    // (bucketing is monotone, so every smaller bucket holds only
+    // smaller values); the partial-aggregated min per group resolves
+    // "smallest v crossing n/2" without moving the filtered rows
+    val med = cells.join(broadcast(offs), Seq("__g", "__b"))
+      .filter((col("__off") + col("__cumIn")) * lit(2) >= col("__n"))
       .groupBy(col("__g")).agg(min(col("__v")).as("__med"))
     val z = vals.join(med, Seq("__g"))
       .select(col("__g").as("g"), abs(col("__v") - col("__med")).as("__z"))

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.text.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,13 +70,25 @@ object TextClassifier {
     * `label` the predicted class. */
   /** Per-(doc, class) log-posterior table — the pre-argmax state
     * [[score]] ranks and [[brierLogLoss]] normalizes. */
-  private[ml] def scoreAll(model: NbModel, corpus: DataFrame,
-      idCol: String, textCol: String, alpha: Double): DataFrame = {
-    require(alpha > 0, s"alpha must be positive, got $alpha")
-    val docToks = corpus.select(col(idCol).as("doc_id"),
+  /** The (doc_id, tok, __nt) distinct-token counts a scoring pass
+    * consumes — factored out so the fold composites (X103/X112/F19)
+    * can tokenize the corpus ONCE and slice the cached result per
+    * fold instead of re-exploding the corpus per branch. */
+  private[ml] def docTokenCounts(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
       explode(Dedup.words(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("__nt"))
+
+  private[ml] def scoreAll(model: NbModel, corpus: DataFrame,
+      idCol: String, textCol: String, alpha: Double): DataFrame =
+    scoreAllDt(model, docTokenCounts(corpus, idCol, textCol), alpha)
+
+  /** [[scoreAll]] over an already-built [[docTokenCounts]] table. */
+  private[ml] def scoreAllDt(model: NbModel, docToks: DataFrame,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
     docToks
       .crossJoin(broadcast(model.priors))
       .join(model.tokenCounts, Seq("label", "tok"), "left")
@@ -91,8 +103,13 @@ object TextClassifier {
   }
 
   def score(model: NbModel, corpus: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 1.0): DataFrame = {
-    val scored = scoreAll(model, corpus, idCol, textCol, alpha)
+      textCol: String, alpha: Double = 1.0): DataFrame =
+    scoreDt(model, docTokenCounts(corpus, idCol, textCol), alpha)
+
+  /** [[score]] over an already-built [[docTokenCounts]] table. */
+  private[ml] def scoreDt(model: NbModel, docToks: DataFrame,
+      alpha: Double): DataFrame = {
+    val scored = scoreAllDt(model, docToks, alpha)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__logp").desc, col("label"))
     scored
@@ -102,6 +119,57 @@ object TextClassifier {
       .select(col("doc_id"), col("label"),
         round(col("__logp"), 3).as("log_prob"),
         round(col("__logp") - col("__next"), 3).as("margin"))
+  }
+
+  /** Per-(slice, label, token) occurrence counts + per-(slice, label)
+    * doc counts over `corpus` — the shared sufficient statistics every
+    * fold/slice model of the X103/X112/F19 composites aggregates from.
+    * Deliberately UNPERSISTED: Catalyst pushes each fold's slice filter
+    * below the aggregate to the scan, so a fold tokenizes only its own
+    * training slices and the three per-model consumers (token counts /
+    * totals / vocabulary) dedupe onto ONE exchange per fold via
+    * ReuseExchange — where the old per-fold `train()` re-exploded the
+    * corpus once per consumer (~5 passes per fold). Persist variants
+    * (cnts+dc, or all three shared tables) measured 20–150% SLOWER at
+    * sf0.1: the materialization barrier serializes the fold branches
+    * that otherwise run as one fully parallel DAG. `sliceOf` must be a
+    * deterministic integer column expression (fold id, slot id). */
+  private def sliceStats(corpus: DataFrame, textCol: String,
+      labelCol: String, sliceOf: Column): (DataFrame, DataFrame) = {
+    val cnts = corpus.select(sliceOf.as("__f"),
+        col(labelCol).as("label"),
+        explode(Dedup.words(col(textCol))).as("tok"))
+      .groupBy(col("__f"), col("label"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val dc = corpus.groupBy(sliceOf.as("__f"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nc"))
+    (cnts, dc)
+  }
+
+  /** The [[train]] model of the sub-corpus whose slices satisfy `keep`,
+    * derived from [[sliceStats]] tables by exact integer aggregation —
+    * token counts, totals, doc counts and the distinct-vocabulary size
+    * are sums/counts of disjoint slice partitions, so every model
+    * statistic (and the doubles computed from them) is identical to
+    * training on the filtered corpus directly; the corpus itself is
+    * never re-read. */
+  private def modelFromSlices(cnts: DataFrame, dc: DataFrame,
+      keep: Column): NbModel = {
+    val kc = cnts.filter(keep)
+    val tokenCounts = kc.groupBy(col("label"), col("tok"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val totals = kc.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("tok_total"))
+    val kd = dc.filter(keep)
+    val docTotal = kd.agg(sum(col("__nc")).as("__n"))
+    val priors = kd.groupBy(col("label"))
+      .agg(sum(col("__nc")).as("__nc"))
+      .crossJoin(broadcast(docTotal))
+      .select(col("label"), log(col("__nc") / col("__n")).as("log_prior"))
+      .join(totals, "label")
+    val vocab = kc.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    NbModel(priors, tokenCounts, vocab)
   }
 
   /** X103: K-FOLD CROSS-VALIDATION of the NB classifier — the honest
@@ -121,10 +189,19 @@ object TextClassifier {
   def crossValidate(corpus: DataFrame, idCol: String, textCol: String,
       labelCol: String, folds: Int, alpha: Double = 1.0): DataFrame = {
     require(folds >= 2, s"folds must be >= 2, got $folds")
+    // each fold's model aggregates the SHARED slice statistics (one
+    // tokenize+shuffle per fold, reused by its token-count/total/vocab
+    // consumers — see [[sliceStats]]) instead of re-training from the
+    // raw corpus ~5 scans at a time; every statistic is an exact
+    // integer aggregate of disjoint slices, bit-identical to per-fold
+    // training. Scoring slices one shared doc-token table per fold.
+    val (cnts, dc) = sliceStats(corpus, textCol, labelCol,
+      pmod(col(idCol), lit(folds.toLong)))
+    val dtAll = docTokenCounts(corpus, idCol, textCol)
     val perFold = (0 until folds).map { f =>
-      val isFold = pmod(col(idCol), lit(folds.toLong)) === f
-      val model = train(corpus.filter(!isFold), textCol, labelCol)
-      score(model, corpus.filter(isFold), idCol, textCol, alpha)
+      val model = modelFromSlices(cnts, dc, col("__f") =!= f)
+      scoreDt(model,
+        dtAll.filter(pmod(col("doc_id"), lit(folds.toLong)) === f), alpha)
         .join(corpus.select(col(idCol).as("doc_id"),
           col(labelCol).as("__true")), "doc_id")
         .select(lit(f).as("fold"),
@@ -163,12 +240,22 @@ object TextClassifier {
       s"slots must be in [1, $totalSlots]: $slots")
     val pool = corpus.filter(pmod(col(idCol), lit(2L)) === 0)
     val test = corpus.filter(pmod(col(idCol), lit(2L)) === 1)
+    // every curve point's model aggregates the shared slot statistics
+    // (slices are nested — slot < k — so each point sums exactly its
+    // slots; one tokenize+shuffle per point, its three model consumers
+    // deduped by ReuseExchange), and the SHARED held-out split's
+    // doc-token table is one identical subtree across all points —
+    // ReuseExchange collapses the old once-per-point test re-explode.
+    val (cnts, dc) = sliceStats(pool, textCol, labelCol,
+      pmod(expr(s"$idCol div 2"), lit(totalSlots.toLong)))
+    val dtTest = docTokenCounts(test, idCol, textCol)
     slots.map { k =>
-      val tr = pool.filter(
-        pmod(expr(s"$idCol div 2"), lit(totalSlots.toLong)) < k)
-      val model = train(tr, textCol, labelCol)
-      val nTrain = tr.agg(count(lit(1)).as("n_train"))
-      score(model, test, idCol, textCol, alpha)
+      val model = modelFromSlices(cnts, dc, col("__f") < k)
+      // coalesce: sum over an empty training slice is NULL where the
+      // old count() said 0 — pin the 0
+      val nTrain = dc.filter(col("__f") < k)
+        .agg(coalesce(sum(col("__nc")), lit(0L)).as("n_train"))
+      scoreDt(model, dtTest, alpha)
         .join(corpus.select(col(idCol).as("doc_id"),
           col(labelCol).as("__true")), "doc_id")
         .agg(count(lit(1)).as("n_test"),
@@ -236,10 +323,15 @@ object TextClassifier {
       alpha: Double = 1.0): DataFrame = {
     require(folds >= 2, s"folds must be >= 2, got $folds")
     require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    // same shared-statistics shape as [[crossValidate]] — one tokenized
+    // pass for all k out-of-fold models, one doc-token pass for scoring
+    val (cnts, dc) = sliceStats(corpus, textCol, labelCol,
+      pmod(col(idCol), lit(folds.toLong)))
+    val dtAll = docTokenCounts(corpus, idCol, textCol)
     (0 until folds).map { f =>
-      val isFold = pmod(col(idCol), lit(folds.toLong)) === f
-      val model = train(corpus.filter(!isFold), textCol, labelCol)
-      score(model, corpus.filter(isFold), idCol, textCol, alpha)
+      val model = modelFromSlices(cnts, dc, col("__f") =!= f)
+      scoreDt(model,
+        dtAll.filter(pmod(col("doc_id"), lit(folds.toLong)) === f), alpha)
     }.reduce(_ unionByName _)
       .join(corpus.select(col(idCol).as("doc_id"),
         col(labelCol).as("given")), "doc_id")

@@ -384,7 +384,7 @@ object AnnQueries {
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(b2, "vec_id", "embedding", centroids,
           Dim), path)
-      Similarity.ivfTopKFromIndex(s.read.parquet(path),
+      Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(s, path),
         emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
         centroids, 3, Dim)
         .orderBy(col("vec_id"), col("rk"))

@@ -2419,7 +2419,14 @@ object StreamingEvents {
     * which [[knnGraphView]] already proves bit-equal to a full
     * rebuild — so the live communities equal
     * [[graft.ann.Similarity.mutualKnnClusters]] of everything
-    * ingested, without ever re-touching raw vectors. */
+    * ingested, without ever re-touching raw vectors.
+    *
+    * CACHE OBLIGATION: the shared kernel pins its edge projection via
+    * `Caches.persistTracked` (session-lifetime). A long-lived process
+    * polling this view (or [[clusteringReportView]]) repeatedly must
+    * call `graft.util.Caches.releaseAll(spark)` between polls — the
+    * harness does after every invocation — or one cached plan
+    * accumulates per poll. */
   def mutualKnnView(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, minCosine: Double = 0.0): DataFrame =
     graft.ann.Similarity.mutualClustersFromEdges(
